@@ -1,0 +1,115 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Event-stream surface: JSON extraction (extension corpus `events.props`)
+  * and the event-time window family — tumbling / sliding / session /
+  * watermarked streaming — generalizing the reference's incremental
+  * micro-batch semantics (SURVEY §2.I R1-R4).
+  */
+object EventQueries {
+
+  import Agg.{sumDec4}
+
+  val all: Seq[QuerySpec] = Seq(
+
+    // JSON extraction over events.props (SURVEY §7.5)
+    QuerySpec("q23_json_extract",
+      (s, dir) => Tables.events(s, dir)
+        .select((get_json_object(col("props"), "$.k").cast("int") % 10).as("k_mod"),
+          col("event_type"), col("value"))
+        .groupBy("k_mod", "event_type")
+        .agg(count(lit(1)).as("n_events"), sumDec4(col("value")).as("sum_value")),
+      Some("""
+        SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS k_mod, event_type,
+          count(*) AS n_events,
+          CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_value
+        FROM events GROUP BY 1, 2""")),
+
+    // tumbling event-time window (1 h, epoch-aligned = date_trunc)
+    QuerySpec("q24_tumbling_window",
+      (s, dir) => Tables.events(s, dir)
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"), sumDec4(col("value")).as("sum_value"))
+        .select(col("window.start").as("window_start"), col("event_type"),
+          col("n_events"), col("sum_value")),
+      Some("""
+        SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start, event_type,
+          count(*) AS n_events,
+          CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_value
+        FROM events GROUP BY 1, 2""")),
+
+    // sliding window (1 h window, 30 min slide → each event in 2 windows)
+    QuerySpec("q25_sliding_window",
+      (s, dir) => Tables.events(s, dir)
+        .groupBy(window(col("ts"), "1 hour", "30 minutes"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("window.start").as("window_start"), col("n_events")),
+      Some("""
+        WITH b AS (
+          SELECT *, make_timestamp(CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 1800) * 1800 AS BIGINT) * 1000000) AS b0
+          FROM events),
+        w AS (
+          SELECT b0 AS window_start FROM b
+          UNION ALL
+          SELECT b0 - INTERVAL 30 MINUTE AS window_start FROM b)
+        SELECT window_start, count(*) AS n_events FROM w GROUP BY 1""")),
+
+    // session window (30 min gap) — start = first event, merge while gap < 30 min
+    QuerySpec("q26_session_window",
+      (s, dir) => Tables.events(s, dir)
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"), col("session_window.start").as("session_start"),
+          col("n_events")),
+      Some("""
+        WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        d AS (
+          SELECT *, CASE WHEN lag(ts) OVER w IS NULL
+                           OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        s AS (
+          SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+          FROM d)
+        SELECT user_id, min(ts) AS session_start, count(*) AS n_events
+        FROM s GROUP BY user_id, sid""")),
+
+    // Structured Streaming end-to-end: file source → watermark → windowed
+    // agg → memory sink, driven to completion (Trigger.AvailableNow
+    // semantics via processAllAvailable). Complete output mode, so the
+    // final state matches the batch oracle exactly.
+    QuerySpec("q27_stream_tumbling",
+      (s, dir) => {
+        GraftSession.tune(s)
+        val batchSchema = s.read.parquet(s"$dir/events.parquet").schema
+        // file-stream sources want a directory: stream the sf dir but
+        // glob-filter down to the events table
+        val raw = s.readStream.schema(batchSchema)
+          .option("pathGlobFilter", "events.parquet").parquet(dir)
+        val withTs =
+          if (batchSchema("ts").dataType == org.apache.spark.sql.types.LongType)
+            raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+          else raw
+        val agg = withTs
+          .withWatermark("ts", "1 hour")
+          .groupBy(window(col("ts"), "1 hour"))
+          .agg(count(lit(1)).as("n_events"), sumDec4(col("value")).as("sum_value"))
+          .select(col("window.start").as("window_start"), col("n_events"), col("sum_value"))
+        val qn = s"graft_stream_${System.nanoTime()}"
+        val q = agg.writeStream.outputMode("complete")
+          .format("memory").queryName(qn)
+          .trigger(Trigger.ProcessingTime(0)).start()
+        q.processAllAvailable()
+        val out = s.table(qn).persist()
+        out.count()
+        q.stop()
+        out
+      },
+      Some("""
+        SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,
+          count(*) AS n_events,
+          CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_value
+        FROM events GROUP BY 1"""))
+  )
+}

@@ -1,0 +1,269 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.{TextFns, VectorFns}
+import graft.operators.{Dedup, SimilaritySearch}
+
+/** Training-data-pipeline extension surface (SURVEY §7.5): dedup (exact,
+  * n-gram Jaccard, MinHash-LSH, SimHash), embedding similarity search
+  * (brute-force + LSH-bucketed), text analysis (lang-ID, quality,
+  * tokens), and multimodal binary plumbing.
+  *
+  * Everything except SimHash carries a full DuckDB oracle: the hash
+  * primitives are deliberately portable (md5 hex digests, lexicographic
+  * mins, sign tests, exact-decimal accumulation), so even the LSH
+  * pipelines hash-match across engines.
+  */
+object ExtQueries {
+
+  /** DuckDB fragment: lowercased whitespace word array per document. */
+  private val WORDS_SQL =
+    """words AS (
+      SELECT doc_id, lang, n_chars, text,
+        list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> len(x) > 0) AS w
+      FROM documents)"""
+
+  /** DuckDB fragment: distinct 4-gram shingle posting list (doc_id, sh). */
+  private val SHINGLES_SQL = WORDS_SQL + """,
+    sh AS (
+      SELECT DISTINCT doc_id, sh FROM (
+        SELECT doc_id, array_to_string(w[i:i+3], ' ') AS sh
+        FROM words, UNNEST(range(1, len(w) - 2)) AS t(i)
+        WHERE len(w) >= 4) x)"""
+
+  val all: Seq[QuerySpec] = Seq(
+
+    // exact dedup: canonical-fingerprint hash-aggregate clusters
+    QuerySpec("q30_dedup_exact",
+      (s, dir) => Dedup.fingerprintClusters(Tables.documents(s, dir), "doc_id", "text"),
+      Some("""
+        SELECT md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fp,
+          min(doc_id) AS keeper_id, count(*) AS cluster_size
+        FROM documents GROUP BY 1""")),
+
+    // exact n-gram Jaccard near-dup via shingle blocking (df-capped)
+    QuerySpec("q31_dedup_jaccard",
+      (s, dir) => Dedup.jaccardPairs(Tables.documents(s, dir), "doc_id", "text",
+        n = 4, dfCap = 100, num = 1, den = 10),
+      Some(s"""
+        WITH $SHINGLES_SQL,
+        kept AS (
+          SELECT doc_id, sh FROM (
+            SELECT doc_id, sh, count(*) OVER (PARTITION BY sh) AS df FROM sh) y
+          WHERE df <= 100),
+        sizes AS (SELECT doc_id, count(*) AS sz FROM kept GROUP BY 1),
+        shared AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+          FROM kept a JOIN kept b ON a.sh = b.sh AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+        SELECT doc_a, doc_b, shared, na, nb,
+          CAST(shared AS DOUBLE) / (na + nb - shared) AS jaccard
+        FROM shared
+          JOIN (SELECT doc_id, sz AS na FROM sizes) sa ON doc_a = sa.doc_id
+          JOIN (SELECT doc_id, sz AS nb FROM sizes) sb ON doc_b = sb.doc_id
+        WHERE shared * 10 >= (na + nb - shared) * 1""")),
+
+    // MinHash + LSH banding, engine-portable hashes, exact-Jaccard verify
+    QuerySpec("q32_dedup_minhash_lsh",
+      (s, dir) => Dedup.minhashLshPairs(Tables.documents(s, dir), "doc_id", "text",
+        n = 4, k = 12, rowsPerBand = 3),
+      Some(s"""
+        WITH $SHINGLES_SQL,
+        mh AS (
+          SELECT doc_id, i, min(md5(CAST(i AS VARCHAR) || ':' || sh)) AS mh
+          FROM sh, UNNEST(range(0, 12)) AS t(i)
+          GROUP BY 1, 2),
+        bands AS (
+          SELECT doc_id, i // 3 AS band, md5(string_agg(mh, ',' ORDER BY i)) AS sig
+          FROM mh GROUP BY 1, 2),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+        sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+        shr AS (
+          SELECT c.doc_a, c.doc_b, count(*) AS shared
+          FROM cand c
+            JOIN sh a ON a.doc_id = c.doc_a
+            JOIN sh b ON b.doc_id = c.doc_b AND b.sh = a.sh
+          GROUP BY 1, 2)
+        SELECT c.doc_a, c.doc_b, COALESCE(shared, 0) AS shared, na, nb,
+          CAST(COALESCE(shared, 0) AS DOUBLE) / (na + nb - COALESCE(shared, 0)) AS jaccard
+        FROM cand c
+          LEFT JOIN shr s ON c.doc_a = s.doc_a AND c.doc_b = s.doc_b
+          JOIN (SELECT doc_id, sz AS na FROM sizes) sa ON c.doc_a = sa.doc_id
+          JOIN (SELECT doc_id, sz AS nb FROM sizes) sb ON c.doc_b = sb.doc_id""")),
+
+    // SimHash banded near-dup — engine-specific 64-bit mixing, so no SQL
+    // oracle; verified by unit/property tests (rows-only harness check)
+    QuerySpec("q33_dedup_simhash",
+      (s, dir) => Dedup.simhashPairs(Tables.documents(s, dir), "doc_id", "text",
+        maxHamming = 2),
+      None),
+
+    // exact brute-force cosine top-5 (ANN baseline)
+    QuerySpec("q34_knn_brute",
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        SimilaritySearch.bruteForceTopK(
+          e.filter(col("vec_id") < 8), e, "vec_id", "embedding", k = 5)
+      },
+      Some("""
+        WITH n2 AS (
+          SELECT vec_id, SUM(CAST(floor(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 1000000000.0) AS BIGINT)) AS n2
+          FROM (SELECT vec_id, UNNEST(embedding) AS x FROM embeddings) t GROUP BY 1),
+        pairs AS (
+          SELECT q.vec_id AS qid, e.vec_id AS nid, q.embedding AS qe, e.embedding AS ne
+          FROM embeddings q, embeddings e
+          WHERE q.vec_id < 8 AND e.vec_id <> q.vec_id),
+        el AS (SELECT qid, nid, UNNEST(qe) AS x, UNNEST(ne) AS y FROM pairs),
+        dots AS (SELECT qid, nid, SUM(CAST(floor(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) * 1000000000.0) AS BIGINT)) AS dot FROM el GROUP BY 1, 2),
+        sims AS (
+          SELECT qid, nid,
+            CAST(dot AS DOUBLE) / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) AS sim
+          FROM dots JOIN n2 a ON qid = a.vec_id JOIN n2 b ON nid = b.vec_id)
+        SELECT qid, nid, sim, CAST(rn AS INTEGER) AS rank
+        FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rn FROM sims) r
+        WHERE rn <= 5""")),
+
+    // LSH sign-bucketed cosine top-3 (the scale path: candidates cut ~2^bits)
+    QuerySpec("q35_knn_bucketed",
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        SimilaritySearch.bucketedTopK(
+          e.filter(col("vec_id") < 32), e, "vec_id", "embedding", k = 3, bits = 8)
+      },
+      Some("""
+        WITH b AS (
+          SELECT vec_id, embedding,
+            (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END)
+            + (CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END)
+            + (CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END)
+            + (CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END)
+            + (CASE WHEN embedding[5] > 0 THEN 16 ELSE 0 END)
+            + (CASE WHEN embedding[6] > 0 THEN 32 ELSE 0 END)
+            + (CASE WHEN embedding[7] > 0 THEN 64 ELSE 0 END)
+            + (CASE WHEN embedding[8] > 0 THEN 128 ELSE 0 END) AS bucket
+          FROM embeddings),
+        n2 AS (
+          SELECT vec_id, SUM(CAST(floor(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 1000000000.0) AS BIGINT)) AS n2
+          FROM (SELECT vec_id, UNNEST(embedding) AS x FROM embeddings) t GROUP BY 1),
+        pairs AS (
+          SELECT q.vec_id AS qid, e.vec_id AS nid, q.embedding AS qe, e.embedding AS ne
+          FROM b q JOIN b e ON q.bucket = e.bucket
+          WHERE q.vec_id < 32 AND e.vec_id <> q.vec_id),
+        el AS (SELECT qid, nid, UNNEST(qe) AS x, UNNEST(ne) AS y FROM pairs),
+        dots AS (SELECT qid, nid, SUM(CAST(floor(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) * 1000000000.0) AS BIGINT)) AS dot FROM el GROUP BY 1, 2),
+        sims AS (
+          SELECT qid, nid,
+            CAST(dot AS DOUBLE) / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b2.n2 AS DOUBLE))) AS sim
+          FROM dots JOIN n2 a ON qid = a.vec_id JOIN n2 b2 ON nid = b2.vec_id)
+        SELECT qid, nid, sim, CAST(rn AS INTEGER) AS rank
+        FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rn FROM sims) r
+        WHERE rn <= 3""")),
+
+    // language-ID heuristic: stopword-lexicon hit counts, fixed-priority
+    // argmax — output is a lang × prediction confusion matrix
+    QuerySpec("q36_lang_id",
+      (s, dir) => {
+        val toks = TextFns.tokens(col("text"))
+        val hits = TextFns.langLexicons.map { case (l, lex) =>
+          TextFns.lexiconHits(toks, lex).as(s"h_$l") }
+        val h = Tables.documents(s, dir).select(col("lang") +: hits: _*)
+        h.withColumn("pred",
+            when(col("h_en") >= col("h_de") && col("h_en") >= col("h_fr") && col("h_en") >= col("h_es"), "en")
+              .when(col("h_de") >= col("h_fr") && col("h_de") >= col("h_es"), "de")
+              .when(col("h_fr") >= col("h_es"), "fr")
+              .otherwise("es"))
+          .groupBy("lang", "pred").agg(count(lit(1)).as("n_docs"))
+      },
+      Some(s"""
+        WITH $WORDS_SQL,
+        h AS (
+          SELECT doc_id, lang,
+            len(list_filter(w, x -> list_contains(['the','and','of','to','a','in','is','with'], x))) AS h_en,
+            len(list_filter(w, x -> list_contains(['der','die','das','und','ist','mit','ein','von'], x))) AS h_de,
+            len(list_filter(w, x -> list_contains(['le','la','les','et','est','un','une','des'], x))) AS h_fr,
+            len(list_filter(w, x -> list_contains(['el','los','las','es','un','una','y','con'], x))) AS h_es
+          FROM words)
+        SELECT lang,
+          CASE WHEN h_en >= h_de AND h_en >= h_fr AND h_en >= h_es THEN 'en'
+               WHEN h_de >= h_fr AND h_de >= h_es THEN 'de'
+               WHEN h_fr >= h_es THEN 'fr'
+               ELSE 'es' END AS pred,
+          count(*) AS n_docs
+        FROM h GROUP BY 1, 2""")),
+
+    // quality scoring: length / distinct-ratio / stopword-ratio metrics
+    QuerySpec("q37_quality_score",
+      (s, dir) => {
+        val toks = TextFns.tokens(col("text"))
+        Tables.documents(s, dir)
+          .select(col("doc_id"), col("text"),
+            size(toks).as("n_words"),
+            size(array_distinct(toks)).as("n_distinct"),
+            length(regexp_replace(col("text"), "\\s", "")).as("n_nospace"),
+            TextFns.lexiconHits(toks, TextFns.langLexicons.head._2).as("stop_hits"))
+          .select(col("doc_id"), col("n_words"), col("n_distinct"),
+            (col("n_distinct").cast("double") / col("n_words")).as("distinct_ratio"),
+            (col("n_nospace").cast("double") / col("n_words")).as("avg_word_len"),
+            (col("stop_hits").cast("double") / col("n_words")).as("stopword_ratio"),
+            when(col("n_words") >= 40 &&
+                 col("n_distinct").cast("double") / col("n_words") >= 0.3, "good")
+              .otherwise("low").as("quality_bucket"))
+      },
+      Some(s"""
+        WITH $WORDS_SQL,
+        m AS (
+          SELECT doc_id,
+            CAST(len(w) AS INTEGER) AS n_words,
+            CAST(len(list_distinct(w)) AS INTEGER) AS n_distinct,
+            length(regexp_replace(text, '\\s', '', 'g')) AS n_nospace,
+            len(list_filter(w, x -> list_contains(['the','and','of','to','a','in','is','with'], x))) AS stop_hits
+          FROM words)
+        SELECT doc_id, n_words, n_distinct,
+          CAST(n_distinct AS DOUBLE) / n_words AS distinct_ratio,
+          CAST(n_nospace AS DOUBLE) / n_words AS avg_word_len,
+          CAST(stop_hits AS DOUBLE) / n_words AS stopword_ratio,
+          CASE WHEN n_words >= 40 AND CAST(n_distinct AS DOUBLE) / n_words >= 0.3
+               THEN 'good' ELSE 'low' END AS quality_bucket
+        FROM m""")),
+
+    // token counting: whitespace tokens + regex (BPE-ish) tokens per lang
+    QuerySpec("q38_token_stats",
+      (s, dir) => Tables.documents(s, dir)
+        .select(col("lang"),
+          size(TextFns.tokens(col("text"))).cast("long").as("ws_tokens"),
+          regexp_count(lower(col("text")), lit("[a-z0-9]+|[^a-z0-9\\s]")).cast("long").as("re_tokens"))
+        .groupBy("lang")
+        .agg(sum(col("ws_tokens")).as("total_ws_tokens"),
+          sum(col("re_tokens")).as("total_re_tokens"),
+          count(lit(1)).as("n_docs")),
+      Some(s"""
+        WITH $WORDS_SQL
+        SELECT lang,
+          CAST(SUM(len(w)) AS BIGINT) AS total_ws_tokens,
+          CAST(SUM(len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\\s]'))) AS BIGINT) AS total_re_tokens,
+          count(*) AS n_docs
+        FROM words GROUP BY 1""")),
+
+    // multimodal binary plumbing: opaque payload + typed metadata +
+    // deterministic sampling fingerprints (the Spark-side schema/batch
+    // shape for a decode stage; the actual codec is stubbed — see
+    // graft.multimodal.Multimodal)
+    QuerySpec("q39_multimodal_meta",
+      (s, dir) => Tables.documents(s, dir)
+        .select(col("doc_id"),
+          lit("text/plain").as("mime"),
+          octet_length(encode(col("text"), "UTF-8")).as("n_bytes"),
+          md5(substring(col("text"), 1, 32)).as("head_fp"),
+          md5(col("text").substr(
+            floor(col("n_chars") / lit(2.0)).cast("int") + 1, lit(32))).as("mid_fp")),
+      Some("""
+        SELECT doc_id, 'text/plain' AS mime,
+          CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+          md5(substr(text, 1, 32)) AS head_fp,
+          md5(substr(text, CAST(floor(n_chars / 2.0) AS INTEGER) + 1, 32)) AS mid_fp
+        FROM documents"""))
+  )
+}

@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory for the graft engine.
+  *
+  * The settings here are the ones we would ship on a large multi-executor
+  * cluster; the local[N] harness only changes parallelism:
+  *
+  *   - AQE on: runtime coalescing of shuffle partitions + skew-join
+  *     splitting, so a 100 TB run self-corrects bad static estimates.
+  *   - Non-ANSI, permissive coercion: the reference engine never aborts a
+  *     load on a malformed cell — `safe_cast` returns the column default
+  *     instead (reference `server/helper.py:4-27`). Classic cast-to-null +
+  *     `coalesce(default)` reproduces that contract.
+  *   - UTC session time zone: oracle parity and stable partition keys.
+  *   - Parquet nanos-as-long: the harness `events` table carries
+  *     TIMESTAMP(NANOS) which vanilla Spark refuses; we read the raw
+  *     int64 and convert (see [[Tables.events]]).
+  */
+object GraftSession {
+
+  /** Apply engine confs to an existing session (e.g. one built by the
+    * driver harness). All of these are runtime-settable.
+    */
+  def tune(spark: SparkSession): SparkSession = {
+    val c = spark.conf
+    c.set("spark.sql.session.timeZone", "UTC")
+    c.set("spark.sql.ansi.enabled", "false")
+    c.set("spark.sql.adaptive.enabled", "true")
+    c.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    c.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    // TIMESTAMP(NANOS) parquet columns surface as LongType instead of
+    // erroring out (harness events table):
+    c.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // Partition-overwrite only rewrites the partitions present in the
+    // incoming frame — the physical form of the reference's per-day
+    // import-once upserts (reference `server/etl.py:71`).
+    c.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    spark
+  }
+
+  /** Build a local session with `n` cores; shuffle partitions sized to the
+    * core count (not the 200 default, which just makes tiny local tasks).
+    */
+  def local(n: Int = Runtime.getRuntime.availableProcessors()): SparkSession = {
+    val spark = SparkSession
+      .builder()
+      .master(s"local[$n]")
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", n.toString)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    tune(spark)
+  }
+}

@@ -1,0 +1,86 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** String / key-derivation / text-analysis functions. Everything here is
+  * a composition of codegen'd builtins — no UDFs — so the expressions
+  * stay inside whole-stage codegen and scale linearly with input bytes.
+  */
+object TextFns {
+
+  /** Join-key normalization: strip spaces, lowercase — applied on BOTH
+    * sides of the torrent↔recording equi-join (reference
+    * `server/etl.py:206,251`).
+    */
+  def normalizeKey(c: Column): Column = lower(regexp_replace(c, " ", ""))
+
+  /** Day partition key `yyyy_MM_dd` (reference `'%Y_%m_%d'`,
+    * `server/etl.py:67,96`).
+    */
+  def dayKey(c: Column): Column = date_format(c, "yyyy_MM_dd")
+
+  /** Derived equi-join time key `yy.MM.dd HH-mm-ss` (reference
+    * `'%y.%m.%d %H-%M-%S'`, `server/etl.py:251`).
+    */
+  def timeKey(c: Column): Column = date_format(c, "yy.MM.dd HH-mm-ss")
+
+  /** 5-way resolution classifier with `'AVI'` default (reference
+    * `server/etl.py:208-234`): literal match on the token extracted from
+    * the torrent link between `TVOON_DE` and `otrkey.torrent`.
+    */
+  def classifyResolution(tok: Column): Column =
+    when(tok === ".mpg.HD.avi.", "HD")
+      .when(tok === ".mpg.HQ.avi.", "HQ")
+      .when(tok === ".mpg.avi.", "DIVX")
+      .when(tok === ".mpg.mp4.", "MP4")
+      .when(tok === ".mpg.HD.ac3.", "HD.AC3")
+      .otherwise("AVI")
+
+  /** Substring-between extraction done with one regex instead of the
+    * reference's split-chains (reference `server/etl.py:209`).
+    */
+  def resolutionToken(link: Column): Column =
+    regexp_extract(link, "TVOON_DE(.*)otrkey\\.torrent", 1)
+
+  /** Lowercased whitespace tokens, empties dropped. */
+  def tokens(c: Column): Column =
+    filter(split(lower(trim(c)), "\\s+"), t => length(t) > 0)
+
+  /** Distinct word n-gram shingles (space-joined) over an ALREADY
+    * MATERIALIZED token-array column. Passing `tokens(text)` inline here
+    * would be quadratic: higher-order functions evaluate interpreted, and
+    * an inlined subexpression is re-evaluated per lambda element — i.e.
+    * one regex split of the whole document PER SHINGLE. Materialize the
+    * tokens with `withColumn` first (see [[graft.operators.Dedup]]).
+    * Guarded so documents shorter than `n` words yield an empty array (a
+    * bare `sequence(0, size-n)` would count DOWN for negative spans).
+    */
+  def shinglesOf(w: Column, n: Int): Column =
+    when(size(w) < n, array().cast("array<string>"))
+      .otherwise(array_distinct(
+        transform(sequence(lit(1), size(w) - (n - 1)),
+          i => array_join(slice(w, i, lit(n)), " "))))
+
+  /** Canonical-text fingerprint: lowercase, strip non-alphanumerics,
+    * collapse runs of spaces, md5. Identical duplicate detection that is
+    * robust to whitespace/punctuation jitter.
+    */
+  def fingerprint(text: Column): Column =
+    md5(trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9 ]", ""), " +", " ")))
+
+  /** Tiny per-language stopword lexicons for the n-gram/stopword
+    * language-ID heuristic. Deterministic and portable (pure set
+    * membership counts).
+    */
+  val langLexicons: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "a", "in", "is", "with"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "mit", "ein", "von"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un", "une", "des"),
+    "es" -> Seq("el", "los", "las", "es", "un", "una", "y", "con")
+  )
+
+  /** Stopword-hit count for one lexicon over a token array. */
+  def lexiconHits(toks: Column, lexicon: Seq[String]): Column =
+    size(filter(toks, t => array_contains(lit(lexicon.toArray), t)))
+}

@@ -1,0 +1,61 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Embedding-vector math over `ArrayType(FloatType)` columns.
+  *
+  * Two tiers:
+  *   - `*Dec` variants accumulate in exact DECIMAL: element products are
+  *     float ops (bit-identical across engines), each product is rounded
+  *     once to a fixed decimal scale, and decimal addition is exact and
+  *     associative — so the result is independent of partitioning and
+  *     summation order. Used for oracle-checked results.
+  *   - `*Dbl` variants accumulate in double (fastest path, order
+  *     dependent in the last bits). Used when raw throughput matters and
+  *     approximate ranking is acceptable.
+  *
+  * All are codegen'd higher-order-function compositions — no UDF, no
+  * serialization off the unsafe row.
+  */
+object VectorFns {
+
+  /** Fixed-point dot product: each element pair is widened to double
+    * (exact), multiplied (IEEE, identical everywhere), scaled by 1e9,
+    * floored (IEEE, identical) and accumulated as a 64-bit integer —
+    * exact, associative, order-independent. This sidesteps BOTH double
+    * summation-order drift AND engine-specific float→decimal rounding:
+    * every engine produces the same integer. The 1e9 scale factor
+    * cancels in the cosine ratio.
+    */
+  def dotFixed9(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b,
+        (x, y) => floor(x.cast("double") * y.cast("double") * lit(1e9)).cast("long")),
+      lit(0L),
+      (acc, x) => acc + x)
+
+  /** Fixed-point squared L2 norm (same 1e9 scaling as [[dotFixed9]]). */
+  def norm2Fixed9(a: Column): Column = dotFixed9(a, a)
+
+  /** Cosine similarity from fixed-point dot / squared norms: the 1e9
+    * scale cancels (dot·1e9 over √(n2a·1e9)·√(n2b·1e9)). All inputs are
+    * identical integers in every engine, so the double result is
+    * bit-identical too.
+    */
+  def cosineFrom(dot: Column, n2a: Column, n2b: Column): Column =
+    dot.cast("double") / (sqrt(n2a.cast("double")) * sqrt(n2b.cast("double")))
+
+  /** Double-precision dot product (throughput path). */
+  def dotDbl(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y), lit(0.0), (acc, x) => acc + x)
+
+  /** Axis-aligned hyperplane sign bucket over the first `k` dimensions —
+    * a deterministic LSH-style coarse partitioner for bucketed ANN
+    * (each vector lands in one of 2^k buckets; search touches only its
+    * bucket). Portable: uses only sign tests.
+    */
+  def signBucket(a: Column, k: Int): Column =
+    (0 until k).map(i => when(element_at(a, i + 1) > 0f, 1 << i).otherwise(0))
+      .reduce(_ + _)
+}

@@ -1,0 +1,173 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFns
+
+/** Document deduplication operators for training-data pipelines.
+  *
+  * All operators are shuffle-bounded joins/aggregations — no driver-side
+  * collections, no O(n²) cross products. Pairwise work is generated only
+  * through blocking keys (shared shingles, LSH band buckets, SimHash
+  * bands), which is what keeps them viable at 100 TB: candidate volume
+  * scales with Σ df(block)² over bounded-frequency blocks, not with n².
+  */
+object Dedup {
+
+  /** Exact dedup via canonical-text fingerprint (lowercase, strip
+    * punctuation, collapse whitespace, md5): one hash-aggregate, the
+    * cheapest possible cluster pass. `keeper` = min id (deterministic).
+    */
+  def fingerprintClusters(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.groupBy(TextFns.fingerprint(col(textCol)).as("fp"))
+      .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("cluster_size"))
+
+  /** Distinct word-n-gram shingles, exploded to (id, sh) posting rows.
+    *
+    * Built as posexplode + window `lead()` instead of a transform/slice
+    * higher-order function: HOFs evaluate interpreted (allocation-heavy
+    * and outside whole-stage codegen — in round-1 profiling the HOF
+    * formulation dominated the whole operator); the token explode and
+    * the sort-based window both stay on codegen'd paths and scale
+    * linearly. The repartition spreads the fan-out: a dimension-sized
+    * parquet arrives as ONE input split, which would otherwise serialize
+    * the explode on a single core.
+    */
+  def shingleSet(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    val parallelism = math.min(docs.sparkSession.sparkContext.defaultParallelism, 16)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("id").orderBy("pos")
+    val leads = (1 until n).map(j => lead(col("t"), j).over(w))
+    docs.repartition(parallelism, col(idCol))
+      .select(col(idCol).as("id"), posexplode(TextFns.tokens(col(textCol))).as(Seq("pos", "t")))
+      .select(col("id"), col("t"), leads.last.as("last"),
+        concat_ws(" ", col("t") +: leads: _*).as("sh"))
+      .filter(col("last").isNotNull)
+      .select(col("id"), col("sh")).distinct()
+  }
+
+  /** Exact n-gram Jaccard near-dup pairs via shingle blocking.
+    *
+    * Shingles occurring in more than `dfCap` documents are dropped from
+    * the shingle space first (a standard frequency cap: ultra-common
+    * shingles generate quadratic candidate blowup but carry no
+    * discriminative signal). Jaccard is then exact over the capped
+    * shingle sets: |A∩B| / (|A|+|B|−|A∩B|), emitted for pairs with
+    * jaccard ≥ num/den (compared in integer arithmetic — no float in the
+    * predicate).
+    */
+  def jaccardPairs(docs: DataFrame, idCol: String, textCol: String, n: Int,
+                   dfCap: Int, num: Int, den: Int): DataFrame = {
+    // The posting table feeds three consumers (sizes + both join sides):
+    // materialize it once instead of re-running the explode per consumer.
+    // At cluster scale this would be a checkpoint/bucketed staging table.
+    val sh = shingleSet(docs, idCol, textCol, n).persist()
+    val kept = sh.withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("sh")))
+      .filter(col("df") <= dfCap).drop("df").persist()
+    val sizes = kept.groupBy("id").agg(count(lit(1)).as("sz"))
+    val a = kept.select(col("id").as("doc_a"), col("sh"))
+    val b = kept.select(col("id").as("doc_b"), col("sh"))
+    val shared = a.join(b, Seq("sh")).filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("shared"))
+    shared
+      .join(sizes.select(col("id").as("doc_a"), col("sz").as("na")), Seq("doc_a"))
+      .join(sizes.select(col("id").as("doc_b"), col("sz").as("nb")), Seq("doc_b"))
+      .filter(col("shared") * den >= (col("na") + col("nb") - col("shared")) * num)
+      .select(col("doc_a"), col("doc_b"), col("shared"), col("na"), col("nb"),
+        (col("shared").cast("double") / (col("na") + col("nb") - col("shared"))).as("jaccard"))
+  }
+
+  /** MinHash + LSH banding near-dup detection, engine-portable by
+    * construction: hash i of a shingle is the md5 hex digest of
+    * `"<i>:<shingle>"`, the minhash is the lexicographic MIN of those
+    * digests, and a band signature is the md5 of the band's minhashes
+    * joined in hash-index order. Identical in any engine with md5 —
+    * which is what makes the DuckDB oracle able to verify it.
+    *
+    * Candidates = pairs agreeing on ≥1 of the `k/rowsPerBand` band
+    * signatures; each candidate is then verified with EXACT Jaccard over
+    * the full shingle sets (cheap: candidates ≪ n²).
+    */
+  def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String, n: Int,
+                      k: Int, rowsPerBand: Int): DataFrame = {
+    val sh = shingleSet(docs, idCol, textCol, n).persist()
+    val mh = sh
+      .select(col("id"), explode(sequence(lit(0), lit(k - 1))).as("i"), col("sh"))
+      .groupBy("id", "i")
+      .agg(min(md5(concat(col("i").cast("string"), lit(":"), col("sh")))).as("mh"))
+    // Band signature = md5 of the band's minhashes joined in hash-index
+    // order. One conditional-aggregate column per in-band position keeps
+    // this a codegen'd HashAggregate — a collect_list+sort formulation
+    // is an ObjectHashAggregate whose per-group object churn dominated
+    // the whole operator in GC time.
+    val posCols = (0 until rowsPerBand).map(p =>
+      max(when(col("i") % rowsPerBand === p, col("mh"))).as(s"mh_$p"))
+    val bands = mh.withColumn("band", expr(s"i div $rowsPerBand"))
+      .groupBy("id", "band")
+      .agg(posCols.head, posCols.tail: _*)
+      .select(col("id"), col("band"),
+        md5(concat_ws(",", (0 until rowsPerBand).map(p => col(s"mh_$p")): _*)).as("sig"))
+    val cand = bands.select(col("id").as("doc_a"), col("band"), col("sig"))
+      .join(bands.select(col("id").as("doc_b"), col("band"), col("sig")), Seq("band", "sig"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
+    // Exact-Jaccard verify: first SHRINK the posting table to candidate
+    // docs (broadcast semi-join — candidates ≪ corpus), then self-join
+    // the reduced postings on the shingle and keep candidate pairs. This
+    // is a few-thousand-row join instead of a corpus-wide one.
+    val candDocs = cand.select(col("doc_a").as("id"))
+      .union(cand.select(col("doc_b").as("id"))).distinct()
+    val shc = sh.join(broadcast(candDocs), Seq("id"), "left_semi")
+    val shared = shc.select(col("id").as("doc_a"), col("sh"))
+      .join(shc.select(col("id").as("doc_b"), col("sh")), Seq("sh"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("shared"))
+      .join(cand, Seq("doc_a", "doc_b"), "left_semi")
+    cand
+      .join(shared, Seq("doc_a", "doc_b"), "left_outer")
+      .na.fill(0L, Seq("shared"))
+      .join(sizes.select(col("id").as("doc_a"), col("sz").as("na")), Seq("doc_a"))
+      .join(sizes.select(col("id").as("doc_b"), col("sz").as("nb")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("shared"), col("na"), col("nb"),
+        (col("shared").cast("double") / (col("na") + col("nb") - col("shared"))).as("jaccard"))
+  }
+
+  /** SimHash near-dup pairs: 32-bit signature over distinct tokens
+    * (xxhash64 bit votes), banded into 4×8-bit blocks for blocking, then
+    * exact Hamming distance ≤ `maxHamming` on candidates. Not portably
+    * expressible in the oracle (engine-specific hash), so verified by
+    * property tests instead (rows-only harness check).
+    */
+  def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int): DataFrame = {
+    val parallelism = docs.sparkSession.sparkContext.defaultParallelism
+    val toks = docs.repartition(parallelism, col(idCol))
+      .select(col(idCol).as("id"), explode(TextFns.tokens(col(textCol))).as("t"))
+      .distinct()
+      .withColumn("h", xxhash64(col("t")))
+    val votes = toks
+      .select(col("id"), col("h"), explode(sequence(lit(0), lit(31))).as("b"))
+      .withColumn("v", expr("CASE WHEN ((h >> b) & 1) = 1 THEN 1 ELSE -1 END"))
+      .groupBy("id", "b").agg(sum(col("v")).as("vote"))
+    val sig = votes
+      .withColumn("bit", when(col("vote") > 0, 1L).otherwise(0L))
+      .groupBy("id")
+      .agg(sum(expr("shiftleft(bit, b)")).as("simhash"))
+      .persist() // feeds both sides of the band self-join
+    val banded = sig.select(col("id"), col("simhash"),
+      explode(sequence(lit(0), lit(3))).as("k"))
+      .withColumn("bandval", expr("(simhash >> (k * 8)) & 255"))
+    // Hamming filter BEFORE the pair-dedup: the band join can emit the
+    // same pair up to 4 times, but filtering first shrinks the distinct's
+    // input by orders of magnitude.
+    banded.select(col("id").as("doc_a"), col("simhash").as("sig_a"), col("k"), col("bandval"))
+      .join(banded.select(col("id").as("doc_b"), col("simhash").as("sig_b"), col("k"), col("bandval")),
+        Seq("k", "bandval"))
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("doc_a", "doc_b", "hamming").distinct()
+  }
+}

@@ -1,0 +1,117 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+import graft.{GraftSession, Queries}
+
+/** Dev tool: time and/or explain individual queries.
+  * Usage: Profile <sfDir> <queryName>[,<queryName>...] [--explain]
+  */
+object Profile {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val names = args(1).split(",").toSeq
+    val doExplain = args.contains("--explain")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    GraftSession.tune(spark)
+    if (args.contains("--noaqe")) spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.sparkContext.setLogLevel("ERROR")
+    val reg = Queries.all.map(q => q.name -> q.run).toMap
+    names.foreach { n =>
+      val df = reg(n)(spark, sfDir)
+      if (doExplain) { println(s"==== $n"); df.explain("formatted") }
+      val t0 = System.nanoTime()
+      val cnt = df.count()
+      println(f"TIME $n ${(System.nanoTime() - t0) / 1e9}%.2f s  rows=$cnt")
+    }
+    spark.stop()
+  }
+}
+
+/** Dev tool: time arbitrary stages of the dedup pipeline (the round-1
+  * bench hotspots) to localize regressions.
+  */
+object ProfileDedup {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[16]").config("spark.sql.shuffle.partitions", "16")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    GraftSession.tune(spark)
+    spark.sparkContext.setLogLevel("ERROR")
+    def time[T](tag: String)(f: => T): T = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"TIME $tag ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
+    }
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables.documents(spark, sfDir)
+    time("docs.count")(docs.count())
+    val sh = graft.operators.Dedup.shingleSet(docs, "doc_id", "text", 4)
+    time("shingles")(sh.count())
+    time("shingles2")(sh.count())
+    val kept = {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("sh")
+      sh.withColumn("df", count(lit(1)).over(w)).filter(col("df") <= 100).drop("df")
+    }
+    time("kept")(kept.count())
+    val a = kept.select(col("id").as("doc_a"), col("sh"))
+    val b = kept.select(col("id").as("doc_b"), col("sh"))
+    val shared = a.join(b, Seq("sh")).filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("shared"))
+    time("shared")(shared.count())
+    time("jaccard_full")(
+      graft.operators.Dedup.jaccardPairs(docs, "doc_id", "text", 4, 100, 1, 10).count())
+    spark.stop()
+  }
+}
+
+/** Dev tool: localize the MinHash-LSH hotspot. */
+object ProfileMinhash {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[32]").config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    GraftSession.tune(spark)
+    spark.sparkContext.setLogLevel("ERROR")
+    def time[T](tag: String)(f: => T): T = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"TIME $tag ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
+    }
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables.documents(spark, sfDir)
+    val sh = graft.operators.Dedup.shingleSet(docs, "doc_id", "text", 4)
+    time("sh")(sh.count())
+    val k = 12; val rowsPerBand = 3
+    val mh = sh
+      .select(col("id"), explode(sequence(lit(0), lit(k - 1))).as("i"), col("sh"))
+      .groupBy("id", "i")
+      .agg(min(md5(concat(col("i").cast("string"), lit(":"), col("sh")))).as("mh"))
+    time("mh")(mh.count())
+    val bands = mh.withColumn("band", expr(s"i div $rowsPerBand"))
+      .groupBy("id", "band")
+      .agg(md5(array_join(transform(
+        array_sort(collect_list(struct(col("i"), col("mh")))),
+        x => x.getField("mh")), ",")).as("sig"))
+    time("bands")(bands.count())
+    val cand = bands.select(col("id").as("doc_a"), col("band"), col("sig"))
+      .join(bands.select(col("id").as("doc_b"), col("band"), col("sig")), Seq("band", "sig"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    time("cand")(cand.count())
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
+    time("sizes")(sizes.count())
+    val shared = cand
+      .join(sh.select(col("id").as("doc_a"), col("sh")), Seq("doc_a"))
+      .join(sh.select(col("id").as("doc_b"), col("sh")), Seq("doc_b", "sh"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("shared"))
+    time("shared")(shared.count())
+    time("full")(graft.operators.Dedup.minhashLshPairs(docs, "doc_id", "text", 4, 12, 3).count())
+    spark.stop()
+  }
+}
