@@ -98,11 +98,15 @@ object KeyedTable {
     * coalesce).
     */
   def lookupEnrich(facts: DataFrame, dim: DataFrame, factKey: String, dimKey: String,
-                   valueCol: String, as: String, default: String): DataFrame =
-    facts.join(broadcast(dim.select(col(dimKey), col(valueCol))),
-        facts(factKey) === dim(dimKey), "left_outer")
-      .withColumn(as, coalesce(col(valueCol), lit(default)))
-      .drop(dimKey, valueCol)
+                   valueCol: String, as: String, default: String): DataFrame = {
+    // Unique temp names: a bare drop(valueCol) resolves case-insensitively
+    // and would also remove an output column differing only in case
+    // (e.g. dim `Genre` vs enriched `genre`).
+    val d = dim.select(col(dimKey).as("__dim_key"), col(valueCol).as("__dim_val"))
+    facts.join(broadcast(d), facts(factKey) === d("__dim_key"), "left_outer")
+      .withColumn(as, coalesce(col("__dim_val"), lit(default)))
+      .drop("__dim_key", "__dim_val")
+  }
 
   /** Existence probe ≡ `LIMIT 1` scan (reference `table_isempty`,
     * `storage/azurestoragewrapper.py:54-75`): a bounded action, never a

@@ -48,12 +48,14 @@ object OtrParsers {
     chunks.toDF("chunk")
       .select(
         regexp_extract($"chunk", "href='([^']*)'", 1).as("TorrentLink"),
-        regexp_extract($"chunk", "file=([^&'\\s]+)", 1).as("TorrentFile"),
+        // the display name is the anchor TEXT (reference etl.py:187)
+        regexp_extract($"chunk", "'>([^<]+)</a>", 1).as("TorrentFile"),
         SafeCastFns.safeInt(regexp_extract($"chunk", "finished=(\\d+)", 1)).as("finished"),
         SafeCastFns.safeInt(regexp_extract($"chunk", "loading=(\\d+)", 1)).as("loading"),
         SafeCastFns.safeInt(regexp_extract($"chunk", "loaded=(\\d+)", 1)).as("loaded"))
       .filter($"TorrentFile" =!= "")
-      .withColumn("fileparts", split($"TorrentFile", "_"))
+      // the reference tokenizes the display name on SPACES (etl.py:192)
+      .withColumn("fileparts", split($"TorrentFile", " "))
       // fileparts[len-4] = date token, [len-3] = time token, [len-2] = sender
       .withColumn("beginn", SafeCastFns.safeTimestamp(
         concat_ws(" ", element_at($"fileparts", -4),

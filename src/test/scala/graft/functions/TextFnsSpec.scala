@@ -1,0 +1,56 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class TextFnsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("join-key normalization strips spaces and lowercases (etl.py:206)") {
+    val got = Seq("Das Erste", "RTL 2", "arte").toDF("v")
+      .select(TextFns.normalizeKey($"v")).as[String].collect().toSeq
+    assert(got == Seq("daserste", "rtl2", "arte"))
+  }
+
+  test("resolution classifier: 5 literal classes + AVI default (etl.py:208-234)") {
+    val cases = Seq(
+      ".mpg.HD.avi." -> "HD",
+      ".mpg.HQ.avi." -> "HQ",
+      ".mpg.avi." -> "DIVX",
+      ".mpg.mp4." -> "MP4",
+      ".mpg.HD.ac3." -> "HD.AC3",
+      ".something.else." -> "AVI")
+    val got = cases.map(_._1).toDF("tok")
+      .select(TextFns.classifyResolution($"tok")).as[String].collect().toSeq
+    assert(got == cases.map(_._2))
+  }
+
+  test("resolution token extraction between TVOON_DE and otrkey.torrent") {
+    val got = Seq("http://x/Show_21.03.05_20-15_daserste_90_TVOON_DE.mpg.HD.avi.otrkey.torrent")
+      .toDF("l").select(TextFns.resolutionToken($"l")).as[String].collect().head
+    assert(got == ".mpg.HD.avi.")
+  }
+
+  test("day and time keys use the reference strftime formats") {
+    val got = Seq("2021-03-05 20:15:30").toDF("v")
+      .select(TextFns.dayKey($"v".cast("timestamp")),
+        TextFns.timeKey($"v".cast("timestamp")))
+      .as[(String, String)].collect().head
+    assert(got == ("2021_03_05", "21.03.05 20-15-30"))
+  }
+
+  test("fingerprint is invariant to case, punctuation and whitespace runs") {
+    val fps = Seq("Hello,  World! 42", "hello world 42", "HELLO ... world    42")
+      .toDF("t").select(TextFns.fingerprint($"t")).as[String].collect().toSeq
+    assert(fps.distinct.size == 1)
+  }
+
+  test("lexicon hits count stopword occurrences") {
+    val toks = TextFns.tokens(lit("the cat and the hat"))
+    val got = spark.range(1)
+      .select(TextFns.lexiconHits(toks, Seq("the", "and")).as("h"))
+      .as[Int].collect().head
+    assert(got == 3)
+  }
+}

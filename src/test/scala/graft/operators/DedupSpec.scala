@@ -1,0 +1,59 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (2L, "the quick brown fox jumps over the lazy dog near the river bank tonight"), // near-dup of 1
+    (3L, "completely different words about spark query engines and shuffles here now"),
+    (4L, "THE  Quick Brown fox jumps over the lazy dog near the river bank today"), // exact dup of 1 modulo case/space
+    (5L, "tiny doc") // shorter than one shingle
+  ).toDF("doc_id", "text")
+
+  test("fingerprintClusters groups case/whitespace-identical docs") {
+    val out = Dedup.fingerprintClusters(docs, "doc_id", "text")
+      .as[(String, Long, Long)].collect().map(t => t._2 -> t._3).toMap
+    assert(out(1L) == 2)      // docs 1 and 4 share a fingerprint, keeper = min id
+    assert(out(2L) == 1)
+    assert(out.values.sum == 5)
+  }
+
+  test("shingleSet emits distinct n-grams, none for too-short docs") {
+    val sh = Dedup.shingleSet(docs, "doc_id", "text", 4)
+    assert(sh.filter($"id" === 5L).isEmpty)
+    val d1 = sh.filter($"id" === 1L).as[(Long, String)].collect().map(_._2)
+    assert(d1.contains("the quick brown fox"))
+    assert(d1.length == 11) // 14 words → 11 4-grams, all distinct
+  }
+
+  test("jaccardPairs finds the near-dup pair with exact jaccard") {
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", n = 4,
+      dfCap = 100, num = 1, den = 10)
+      .select("doc_a", "doc_b", "shared", "na", "nb")
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(t => (t._1, t._2) -> (t._3, t._4, t._5)).toMap
+    // docs 1/2 share 10 of their 11 4-gram shingles; 1/4 are identical
+    assert(pairs((1L, 2L)) == (10L, 11L, 11L))
+    assert(pairs((1L, 4L)) == (11L, 11L, 11L))
+    assert(pairs((2L, 4L)) == (10L, 11L, 11L))
+    assert(!pairs.contains((1L, 3L)))
+  }
+
+  test("minhashLshPairs surfaces the same near-dups as exact jaccard") {
+    val got = Dedup.minhashLshPairs(docs, "doc_id", "text", n = 4, k = 12, rowsPerBand = 3)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(got.contains((1L, 4L))) // identical shingle sets always collide
+    assert(got.contains((1L, 2L)) || got.contains((2L, 4L))) // 0.82 jaccard: some band agrees
+    assert(!got.contains((1L, 3L)))
+  }
+
+  test("simhashPairs: identical token sets at hamming 0, unrelated docs absent") {
+    val got = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 1)
+      .as[(Long, Long, Long)].collect().map(t => (t._1, t._2) -> t._3).toMap
+    assert(got((1L, 4L)) == 0) // same tokens → same signature
+    assert(!got.contains((1L, 3L)))
+  }
+}

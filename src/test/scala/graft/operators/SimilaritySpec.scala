@@ -1,0 +1,46 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def vecs = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+    (1L, Array(0.9f, 0.1f, 0.0f, 0.0f)),   // closest to 0
+    (2L, Array(0.0f, 1.0f, 0.0f, 0.0f)),   // orthogonal to 0
+    (3L, Array(-1.0f, 0.0f, 0.0f, 0.0f)),  // opposite of 0
+    (4L, Array(0.8f, 0.2f, 0.1f, 0.0f))
+  ).toDF("vec_id", "embedding")
+
+  test("bruteForceTopK ranks by cosine, excludes self, k bounds results") {
+    val out = SimilaritySearch.bruteForceTopK(
+      vecs.filter($"vec_id" === 0L), vecs, "vec_id", "embedding", k = 3)
+      .as[(Long, Long, Double, Int)].collect().sortBy(_._4)
+    assert(out.map(_._2).toSeq == Seq(1L, 4L, 2L)) // by descending cosine
+    assert(out.head._3 > 0.98 && out.head._3 <= 1.0)
+    assert(out.forall(_._1 == 0L) && out.length == 3)
+  }
+
+  test("bucketedTopK only searches the query's sign bucket") {
+    val data = Seq(
+      (0L, Array(1.0f, 1.0f, 0f, 0f)),   // bucket (+,+)
+      (1L, Array(0.9f, 0.1f, 0f, 0f)),   // bucket (+,+)
+      (2L, Array(-1.0f, 1.0f, 0f, 0f)),  // bucket (-,+)
+      (3L, Array(0.5f, 0.9f, 0f, 0f))    // bucket (+,+)
+    ).toDF("vec_id", "embedding")
+    val out = SimilaritySearch.bucketedTopK(
+      data.filter($"vec_id" === 0L), data, "vec_id", "embedding", k = 5, bits = 2)
+      .as[(Long, Long, Double, Int)].collect()
+    // same-bucket candidates only: vec2 lives in another sign bucket
+    assert(out.map(_._2).toSet == Set(1L, 3L))
+  }
+
+  test("cosine of a vector with itself is 1 within fixed-point tolerance") {
+    val out = SimilaritySearch.bruteForceTopK(
+      vecs, vecs.withColumn("vec_id", $"vec_id" + 100L), "vec_id", "embedding", k = 1)
+      .as[(Long, Long, Double, Int)].collect()
+    val self = out.filter(r => r._2 == r._1 + 100L)
+    assert(self.nonEmpty && self.forall(r => math.abs(r._3 - 1.0) < 1e-6))
+  }
+}

@@ -1,0 +1,85 @@
+package graft.pipeline
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Pipeline-level golden tests on reference-shaped fixtures
+  * (FIXTURES.md §A): E1 EPG import, E2 top refinement, E3 torrent match.
+  */
+class PipelinesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val recCols = Seq("PartitionKey", "RowKey", "Id", "beginn", "dauer",
+    "sender", "titel", "genre_id", "genre", "language")
+
+  private def emptyRecordings = Seq.empty[(String, String, Int, Timestamp, Int,
+    String, String, Int, String, String)]
+    .toDF(recCols: _*)
+
+  private def epgCsv = Seq(
+    // Id, beginn, dauer, sender, titel, genre_id, language
+    ("101", "05.03.2021 20:15:00", "90", "Das Erste", "Tatort", "1", "de"),
+    ("102", "05.03.2021 21:45:00", "45", "ZDF", "heute", "2", "de"),
+    ("103", "garbage-date", "30", "RTL", "Show", "99", "de"),   // bad date → epoch, unknown genre → Sonstiges
+    ("104", "05.03.2021 22:00:00", "60", "BBC", "News", "1", "en") // filtered: not 'de'
+  ).toDF("Id", "beginn", "dauer", "sender", "titel", "genre_id", "language")
+    .withColumn("ende", lit("05.03.2021 23:00:00"))
+
+  private def genres = Seq((1, "Spielfilm"), (2, "Nachrichten")).toDF("Genre_Id", "Genre")
+
+  test("E1 epgImport: de-filter, key derivation, genre default, safe dates") {
+    val out = Pipelines.epgImport(epgCsv, genres, emptyRecordings)
+    val rows = out.select("RowKey", "PartitionKey", "genre", "beginn")
+      .as[(String, String, String, Timestamp)].collect()
+      .map(t => t._1 -> (t._2, t._3, t._4.toString)).toMap
+    assert(rows.size == 3) // the 'en' row is gone
+    assert(rows("101") == ("2021_03_05", "Spielfilm", "2021-03-05 20:15:00.0"))
+    assert(rows("102")._2 == "Nachrichten")
+    // bad date → epoch default 1900, which also becomes the partition key
+    assert(rows("103") == ("1900_01_01", "Sonstiges", "1900-01-01 00:00:00.0"))
+  }
+
+  test("E1 epgImport is idempotent under re-import (U2/U3)") {
+    val once = Pipelines.epgImport(epgCsv, genres, emptyRecordings)
+    val twice = Pipelines.epgImport(epgCsv, genres, once)
+    assert(twice.count() == once.count())
+    assert(twice.exceptAll(once).isEmpty)
+  }
+
+  test("E2 topRecordings: rating threshold + existence semi-join + re-key to 'top'") {
+    val recordings = Pipelines.epgImport(epgCsv, genres, emptyRecordings)
+    val toplist = Seq(
+      ("2021_03_05", "101", "sehr hoch"),
+      ("2021_03_05", "102", "mittel"),   // rating below threshold
+      ("2021_03_05", "999", "hoch")      // no such recording
+    ).toDF("PartitionKey", "RowKey", "rating")
+    val top = emptyRecordings
+    val out = Pipelines.topRecordings(toplist, recordings, top)
+    val keys = out.select("PartitionKey", "RowKey").as[(String, String)].collect().toSeq
+    assert(keys == Seq(("top", "101")))
+    // idempotent: inserting again adds nothing
+    val again = Pipelines.topRecordings(toplist, recordings, out)
+    assert(again.count() == 1)
+  }
+
+  test("E3 torrentMatch: derived-key join, 1:N variants, anti-join delete") {
+    val ts = Timestamp.valueOf("2021-03-05 20:15:00")
+    val tops = Seq(
+      (101, ts, "Das Erste"),
+      (202, Timestamp.valueOf("2021-03-06 10:00:00"), "ZDF") // no torrents → dropped
+    ).toDF("Id", "beginn", "sender")
+    val tracker = Seq(
+      (ts, "daserste", "HD", 5),
+      (ts, "daserste", "AVI", 9),                                // second variant, same recording
+      (Timestamp.valueOf("2021-02-01 10:00:00"), "daserste", "HD", 1) // outside 8-day window
+    ).toDF("beginn", "sender", "Resolution", "finished")
+    val (matched, surviving) = Pipelines.torrentMatch(
+      tracker, tops, Timestamp.valueOf("2021-03-01 00:00:00"))
+    val m = matched.select("PartitionKey", "RowKey").as[(String, String)].collect().toSet
+    assert(m == Set(("101", "HD"), ("101", "AVI")))
+    assert(surviving.select("Id").as[Int].collect().toSeq == Seq(101))
+  }
+}
