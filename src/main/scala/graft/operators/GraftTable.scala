@@ -1,0 +1,117 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** A keyed, partitioned parquet table — the physical form of the
+  * reference's storage model (`(PartitionKey, RowKey)`-addressed rows,
+  * `storage/azurestoragewrapper.py:115-116`): day-partitioned layout on
+  * disk, key-level upserts via the [[KeyedTable]] MERGE layer, and
+  * dynamic partition overwrite so a write only rewrites the partitions
+  * it touches (the physical form of per-day import-once idempotency).
+  *
+  * At cluster scale the same code runs against object storage; the
+  * partition column is the pruning axis (queries with a partition
+  * predicate read only those directories) and should match the dominant
+  * access pattern — the broadcast day for the reference workload.
+  */
+final class GraftTable(spark: SparkSession, val path: String,
+                       val keys: Seq[String], val partitionCol: String) {
+
+  /** Idempotent create (K1): materializes the table directory and a
+    * schema sidecar once. (An empty partitioned parquet write produces no
+    * data files, so the sidecar is what lets `read` work pre-first-row.)
+    */
+  def createIfNotExists(schema: org.apache.spark.sql.types.StructType): this.type = {
+    if (!exists) {
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+        .write.partitionBy(partitionCol).parquet(path)
+      java.nio.file.Files.writeString(schemaSidecar, schema.json)
+    }
+    this
+  }
+
+  private def schemaSidecar = java.nio.file.Paths.get(path, "_graft_schema.json")
+
+  def exists: Boolean = new java.io.File(path).exists()
+
+  def read: DataFrame =
+    if (java.nio.file.Files.exists(schemaSidecar)) {
+      val schema = org.apache.spark.sql.types.DataType
+        .fromJson(java.nio.file.Files.readString(schemaSidecar))
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+      spark.read.schema(schema).parquet(path)
+    } else spark.read.parquet(path)
+
+  /** Append rows for partitions not yet present (U2 import-once): the
+    * existence check prunes to partition values, the write appends only
+    * the new partitions.
+    */
+  def importOnce(incoming: DataFrame): this.type = {
+    val existing = read.select(partitionCol).distinct()
+    val fresh = incoming.join(existing, Seq(partitionCol), "left_anti")
+    fresh.write.mode(SaveMode.Append).partitionBy(partitionCol).parquet(path)
+    this
+  }
+
+  /** Key-level upsert-REPLACE (K4): merge updates into the stored table,
+    * rewriting ONLY the partitions the updates touch (dynamic partition
+    * overwrite — untouched day directories are never read or written).
+    */
+  def upsertReplace(updates: DataFrame, tiebreak: Seq[String] = Nil): this.type = {
+    val touched = updates.select(partitionCol).distinct()
+    val current = read.join(touched, Seq(partitionCol), "left_semi")
+    val merged = KeyedTable.upsertReplace(
+      current.withColumn("__v", lit(1)), updates.withColumn("__v", lit(2)),
+      keys, "__v", tiebreak).drop("__v")
+    writePartitions(merged.select(current.columns.map(col).toSeq: _*))
+  }
+
+  /** Key-level upsert-MERGE (K3, non-default columns win). */
+  def upsertMerge(updates: DataFrame, defaults: Map[String, Any]): this.type = {
+    val touched = updates.select(partitionCol).distinct()
+    val current = read.join(touched, Seq(partitionCol), "left_semi")
+    val merged = KeyedTable.upsertMerge(current, updates, keys, defaults)
+    writePartitions(merged.select(current.columns.map(col).toSeq: _*))
+  }
+
+  /** Keyed DELETE (K5): anti-join rewrite of only the touched partitions.
+    * A partition whose every row is deleted yields no output rows, which
+    * dynamic overwrite would silently skip — that case falls back to a
+    * full-table rewrite of the remaining rows.
+    */
+  def deleteByKeys(deleteKeys: DataFrame): this.type = {
+    val touched = read.join(deleteKeys, keys, "left_semi")
+      .select(partitionCol).distinct()
+    val current = read.join(touched, Seq(partitionCol), "left_semi")
+    val remaining = KeyedTable.deleteByKeys(current, deleteKeys, keys)
+    val emptied = touched.join(remaining.select(partitionCol).distinct(),
+      Seq(partitionCol), "left_anti")
+    if (emptied.isEmpty) writePartitions(remaining)
+    else {
+      // full rewrite MUST use static overwrite: in dynamic mode an
+      // all-rows-deleted partition appears in no output row, so its old
+      // files would silently survive
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+      val all = KeyedTable.deleteByKeys(read, deleteKeys, keys).persist()
+      all.count()
+      all.write.mode(SaveMode.Overwrite).partitionBy(partitionCol).parquet(path)
+      all.unpersist()
+      this
+    }
+  }
+
+  /** Overwrite touched partitions. The input plan READS this table, so it
+    * is fully materialized (persist + count) before the overwrite deletes
+    * any source file — otherwise the write would consume files it is
+    * replacing.
+    */
+  private def writePartitions(df: DataFrame): this.type = {
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    val m = df.persist()
+    m.count()
+    m.write.mode(SaveMode.Overwrite).partitionBy(partitionCol).parquet(path)
+    m.unpersist()
+    this
+  }
+}

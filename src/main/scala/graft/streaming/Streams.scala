@@ -1,0 +1,93 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+
+/** Structured-Streaming surface generalizing the reference's incremental
+  * semantics (SURVEY §2.I): the daily trigger loop (R1), the late-data
+  * lookback window (R2), and the rolling correlation window (R4) map to
+  * triggers, watermarks and stateful processing.
+  */
+object Streams {
+
+  /** Watermarked tumbling-window aggregation (R2-style late-data bound):
+    * events later than `lateness` behind the max seen event time are
+    * dropped from their (closed) window.
+    */
+  def windowedCounts(events: DataFrame, tsCol: String, width: String,
+                     lateness: String): DataFrame =
+    events
+      .withWatermark(tsCol, lateness)
+      .groupBy(window(col(tsCol), width))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start").as("window_start"), col("n_events"))
+
+  /** One user session as emitted by the custom stateful operator. */
+  final case class SessionOut(user_id: Long, session_start: Timestamp, n_events: Long)
+  final case class Evt(user_id: Long, ts: Timestamp)
+  final case class SessionBuf(start: Long, last: Long, n: Long)
+
+  /** Custom session state via flatMapGroupsWithState (the mechanism the
+    * reference lacks entirely — bounded per-key state with timeout-driven
+    * emission): a session closes when no event arrives for `gapMs`.
+    * Sessions are emitted on state timeout, so output is append-mode.
+    */
+  def sessionize(events: Dataset[Evt], gapMs: Long): Dataset[SessionOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionBuf, SessionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, evs: Iterator[Evt], state: GroupState[SessionBuf]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(SessionOut(uid, new Timestamp(s.start), s.n))
+          } else {
+            val sorted = evs.map(_.ts.getTime).toSeq.sorted
+            val closed = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+            var buf = state.getOption.getOrElse(SessionBuf(sorted.head, sorted.head, 0))
+            sorted.foreach { t =>
+              if (t - buf.last >= gapMs) {
+                closed += SessionOut(uid, new Timestamp(buf.start), buf.n)
+                buf = SessionBuf(t, t, 1)
+              } else buf = buf.copy(last = t, n = buf.n + 1)
+            }
+            state.update(buf)
+            state.setTimeoutTimestamp(buf.last + gapMs)
+            closed.iterator
+          }
+      }
+  }
+
+  /** The reference's scheduler loop (R1, `runetl.py:39-66`): run `tick`
+    * on a processing-time cadence with graceful stop. In Spark this is a
+    * streaming query with a ProcessingTime trigger; `Trigger.AvailableNow`
+    * gives the catch-up-then-exit batch mode.
+    */
+  def scheduledSink(source: DataFrame, cadence: String, checkpoint: String)(
+      tick: (DataFrame, Long) => Unit) =
+    source.writeStream
+      .trigger(Trigger.ProcessingTime(cadence))
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        tick(batch.toDF(), id)
+      }
+
+  /** Drive a streaming query built from a bounded source to completion
+    * and return the sink table (test/backfill harness).
+    */
+  def runToCompletion(spark: SparkSession, agg: DataFrame, mode: String): DataFrame = {
+    val qn = s"graft_sink_${System.nanoTime()}"
+    val q = agg.writeStream.outputMode(mode).format("memory").queryName(qn).start()
+    q.processAllAvailable()
+    val out = spark.table(qn).persist()
+    out.count()
+    q.stop()
+    out
+  }
+}

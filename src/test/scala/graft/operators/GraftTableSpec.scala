@@ -1,0 +1,72 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** The parquet-backed keyed table: partitioned layout, import-once,
+  * key-level upserts rewriting only touched partitions, keyed delete.
+  */
+class GraftTableSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshTable(): GraftTable = {
+    val dir = Files.createTempDirectory("graft_table").toString + "/t"
+    new GraftTable(spark, dir, keys = Seq("pk", "rk"), partitionCol = "day")
+  }
+
+  private def rows(t: (String, String, String, Int)*) =
+    t.toSeq.toDF("day", "pk", "rk", "n")
+
+  test("createIfNotExists + read on an empty table") {
+    val t = freshTable()
+    t.createIfNotExists(rows().schema)
+    assert(t.read.count() == 0)
+    assert(t.read.columns.toSet == Set("day", "pk", "rk", "n"))
+  }
+
+  test("importOnce appends only new partitions (U2)") {
+    val t = freshTable().createIfNotExists(rows().schema)
+    t.importOnce(rows(("d1", "p", "r1", 1), ("d2", "p", "r1", 2)))
+    t.importOnce(rows(("d2", "p", "r1", 99), ("d3", "p", "r1", 3))) // d2 already present
+    val got = t.read.select("day", "n").as[(String, Int)].collect().toMap
+    assert(got == Map("d1" -> 1, "d2" -> 2, "d3" -> 3))
+  }
+
+  test("upsertReplace rewrites only touched partitions, keyed winner") {
+    val t = freshTable().createIfNotExists(rows().schema)
+    t.importOnce(rows(("d1", "p", "r1", 1), ("d1", "p", "r2", 2), ("d2", "p", "r1", 3)))
+    t.upsertReplace(rows(("d1", "p", "r1", 100), ("d1", "p", "r9", 9)))
+    val got = t.read.select("day", "rk", "n").as[(String, String, Int)]
+      .collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(got == Map(("d1", "r1") -> 100, ("d1", "r2") -> 2,
+      ("d2", "r1") -> 3, ("d1", "r9") -> 9))
+  }
+
+  test("upsertReplace is idempotent on disk") {
+    val t = freshTable().createIfNotExists(rows().schema)
+    t.importOnce(rows(("d1", "p", "r1", 1)))
+    t.upsertReplace(rows(("d1", "p", "r1", 7)))
+    t.upsertReplace(rows(("d1", "p", "r1", 7)))
+    assert(t.read.count() == 1)
+    assert(t.read.select("n").as[Int].collect().head == 7)
+  }
+
+  test("upsertMerge keeps stored values where the update carries defaults") {
+    val t = freshTable().createIfNotExists(rows().schema)
+    t.importOnce(rows(("d1", "p", "r1", 5)))
+    // update carries the default 0 for n → stored 5 must survive
+    t.upsertMerge(rows(("d1", "p", "r1", 0)), defaults = Map("n" -> 0))
+    assert(t.read.select("n").as[Int].collect().toSeq == Seq(5))
+  }
+
+  test("deleteByKeys removes rows; emptied partitions disappear") {
+    val t = freshTable().createIfNotExists(rows().schema)
+    t.importOnce(rows(("d1", "p", "r1", 1), ("d1", "p", "r2", 2), ("d2", "p", "r1", 3)))
+    t.deleteByKeys(Seq(("p", "r1")).toDF("pk", "rk")) // hits d1 AND d2; d2 becomes empty
+    val got = t.read.select("day", "rk").as[(String, String)].collect().toSet
+    assert(got == Set(("d1", "r2")))
+  }
+}
