@@ -75,6 +75,27 @@ object EventQueries {
         SELECT user_id, min(ts) AS session_start, count(*) AS n_events
         FROM s GROUP BY user_id, sid""")),
 
+    // §2.C P5 + §2.F T2 + §2.I R4: rolling lookback window relative to the
+    // stream head (the reference's 8-day torrent-correlation window,
+    // runetl.py:50 / server/etl.py:196) — deterministic: anchored on
+    // max(ts), not wall clock
+    QuerySpec("q40_rolling_window",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val mx = ev.agg(max(col("ts")).as("m"))
+        ev.crossJoin(mx)
+          .filter(col("ts") >= col("m") - expr("INTERVAL 8 DAY"))
+          .groupBy(date_trunc("day", col("ts")).as("day"))
+          .agg(count(lit(1)).as("n_events"), sumDec4(col("value")).as("sum_value"))
+      },
+      Some("""
+        WITH mx AS (SELECT max(CAST(ts AS TIMESTAMP)) AS m FROM events)
+        SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS day,
+          count(*) AS n_events,
+          CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_value
+        FROM events, mx WHERE CAST(ts AS TIMESTAMP) >= m - INTERVAL 8 DAY
+        GROUP BY 1""")),
+
     // Structured Streaming end-to-end: file source → watermark → windowed
     // agg → memory sink, driven to completion (Trigger.AvailableNow
     // semantics via processAllAvailable). Complete output mode, so the

@@ -351,6 +351,41 @@ object Queries {
           CAST(SUM(CAST(p_retailprice AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_price
         FROM part GROUP BY 1""")),
 
+    // §2.B K7: COPY re-key — rows duplicated under the 'top' partition,
+    // originals kept (reference copyto, azurestoragewrapper.py:303-317)
+    QuerySpec("q41_rekey_copy",
+      (s, dir) => KeyedTable.copyTo(
+          orders(s, dir).withColumn("pk", date_format(col("o_orderdate"), "yyyy_MM_dd")),
+          col("o_orderstatus") === "P", "pk", lit("top"))
+        .groupBy("pk")
+        .agg(count(lit(1)).as("n_orders"), sum4(col("o_totalprice")).as("sum_price")),
+      Some("""
+        SELECT pk, count(*) AS n_orders,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_price
+        FROM (
+          SELECT strftime(o_orderdate, '%Y_%m_%d') AS pk, o_totalprice FROM orders
+          UNION ALL
+          SELECT 'top' AS pk, o_totalprice FROM orders WHERE o_orderstatus = 'P'
+        ) t GROUP BY 1""")),
+
+    // §2.B K6: MOVE re-key — delete + insert under the new key
+    // (reference moveto, azurestoragewrapper.py:286-301)
+    QuerySpec("q42_rekey_move",
+      (s, dir) => KeyedTable.moveTo(
+          orders(s, dir).withColumn("pk", date_format(col("o_orderdate"), "yyyy_MM_dd")),
+          col("o_orderstatus") === "P", "pk", lit("top"))
+        .groupBy("pk")
+        .agg(count(lit(1)).as("n_orders"), sum4(col("o_totalprice")).as("sum_price")),
+      Some("""
+        SELECT pk, count(*) AS n_orders,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_price
+        FROM (
+          SELECT strftime(o_orderdate, '%Y_%m_%d') AS pk, o_totalprice FROM orders
+          WHERE o_orderstatus <> 'P'
+          UNION ALL
+          SELECT 'top' AS pk, o_totalprice FROM orders WHERE o_orderstatus = 'P'
+        ) t GROUP BY 1""")),
+
     // §2.H F1/F10 + §1.2: safe_cast semantics — try-cast with defaults,
     // German date-format round trip, permissive bool token set
     QuerySpec("q22_safe_cast",

@@ -108,6 +108,21 @@ object KeyedTable {
       .drop("__dim_key", "__dim_val")
   }
 
+  /** COPY re-key (K7, reference `copyto`,
+    * `storage/azurestoragewrapper.py:303-317`): rows matching `pred` are
+    * duplicated under a new partition key, originals kept — the
+    * materialized-view pattern behind the reference's 'top' partition.
+    */
+  def copyTo(table: DataFrame, pred: Column, pkCol: String, newPk: Column): DataFrame =
+    table.unionByName(table.filter(pred).withColumn(pkCol, newPk))
+
+  /** MOVE re-key (K6, reference `moveto`,
+    * `storage/azurestoragewrapper.py:286-301`): delete + insert under the
+    * new key in one dataflow.
+    */
+  def moveTo(table: DataFrame, pred: Column, pkCol: String, newPk: Column): DataFrame =
+    table.filter(!pred).unionByName(table.filter(pred).withColumn(pkCol, newPk))
+
   /** Existence probe ≡ `LIMIT 1` scan (reference `table_isempty`,
     * `storage/azurestoragewrapper.py:54-75`): a bounded action, never a
     * full count.
