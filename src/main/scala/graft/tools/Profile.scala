@@ -115,3 +115,33 @@ object ProfileMinhash {
     spark.stop()
   }
 }
+
+/** Microbenchmark: the three dot-product tiers over the embeddings
+  * corpus (fixed-point exact vs composable double vs fused codegen).
+  */
+object ProfileDot {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[16]").config("spark.sql.shuffle.partitions", "16")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    GraftSession.tune(spark)
+    spark.sparkContext.setLogLevel("ERROR")
+    import org.apache.spark.sql.functions._
+    val e = graft.Tables.embeddings(spark, sfDir)
+    val q = e.filter(col("vec_id") < 64)
+      .select(col("embedding").as("qe"), col("vec_id").as("qid"))
+    val pairs = q.crossJoin(e.select(col("embedding").as("ne"))).persist()
+    println(s"pairs=${pairs.count()}")
+    def time(tag: String)(c: org.apache.spark.sql.Column): Unit = {
+      val t0 = System.nanoTime()
+      pairs.select(sum(c)).collect()
+      println(f"TIME $tag ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
+    time("warm")(graft.expr.FloatDot.floatDot(col("qe"), col("ne")))
+    time("fixed9 ")(graft.functions.VectorFns.dotFixed9(col("qe"), col("ne")).cast("double"))
+    time("composed")(graft.functions.VectorFns.dotDbl(col("qe"), col("ne")))
+    time("fused  ")(graft.expr.FloatDot.floatDot(col("qe"), col("ne")))
+    spark.stop()
+  }
+}
