@@ -98,7 +98,7 @@ object ExtQueries {
     // oracle; verified by unit/property tests (rows-only harness check)
     QuerySpec("q33_dedup_simhash",
       (s, dir) => Dedup.simhashPairs(Tables.documents(s, dir), "doc_id", "text",
-        maxHamming = 2),
+        maxHamming = 1),
       None),
 
     // exact brute-force cosine top-5 (ANN baseline)
