@@ -126,6 +126,33 @@ object ExtQueries {
         FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rn FROM sims) r
         WHERE rn <= 5""")),
 
+    // same search through the bounded-heap TopKAggregator (no window
+    // sort; partial buffers of size k combine map-side) — verified
+    // against the same oracle as q34
+    QuerySpec("q43_knn_topk_agg",
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        SimilaritySearch.bruteForceTopKAgg(
+          e.filter(col("vec_id") < 8), e, "vec_id", "embedding", k = 5)
+      },
+      Some("""
+        WITH n2 AS (
+          SELECT vec_id, SUM(CAST(floor(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 1000000000.0) AS BIGINT)) AS n2
+          FROM (SELECT vec_id, UNNEST(embedding) AS x FROM embeddings) t GROUP BY 1),
+        pairs AS (
+          SELECT q.vec_id AS qid, e.vec_id AS nid, q.embedding AS qe, e.embedding AS ne
+          FROM embeddings q, embeddings e
+          WHERE q.vec_id < 8 AND e.vec_id <> q.vec_id),
+        el AS (SELECT qid, nid, UNNEST(qe) AS x, UNNEST(ne) AS y FROM pairs),
+        dots AS (SELECT qid, nid, SUM(CAST(floor(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) * 1000000000.0) AS BIGINT)) AS dot FROM el GROUP BY 1, 2),
+        sims AS (
+          SELECT qid, nid,
+            CAST(dot AS DOUBLE) / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) AS sim
+          FROM dots JOIN n2 a ON qid = a.vec_id JOIN n2 b ON nid = b.vec_id)
+        SELECT qid, nid, sim, CAST(rn AS INTEGER) AS rank
+        FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rn FROM sims) r
+        WHERE rn <= 5""")),
+
     // LSH sign-bucketed cosine top-3 (the scale path: candidates cut ~2^bits)
     QuerySpec("q35_knn_bucketed",
       (s, dir) => {

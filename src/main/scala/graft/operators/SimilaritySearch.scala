@@ -54,6 +54,35 @@ object SimilaritySearch {
     rank(sims, k)
   }
 
+  /** Aggregator-based variant of the exact search: replaces the window
+    * sort with the bounded-heap [[graft.expr.TopKAggregator]] — each
+    * partial buffer carries at most k entries and combines map-side, so
+    * a query with a billion candidates never sorts them. Same results as
+    * [[bruteForceTopK]] (same total order).
+    */
+  def bruteForceTopKAgg(queries: DataFrame, corpus: DataFrame, idCol: String,
+                        vecCol: String, k: Int): DataFrame = {
+    import graft.expr.{Scored, TopKAggregator}
+    val q = withNorm(queries, idCol, vecCol, "q")
+    val c = withNorm(corpus, idCol, vecCol, "n")
+    val sims = q.join(c, col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        VectorFns.cosineFrom(
+          VectorFns.dotFixed9(col("qvec"), col("nvec")), col("qn2"), col("nn2")).as("sim_raw"))
+    val spark = sims.sparkSession
+    import spark.implicits._
+    val agg = new TopKAggregator(k).toColumn
+    sims.select(col("qid"), col("sim_raw").as("score"), col("nid").as("id"))
+      .as[(Long, Double, Long)]
+      .groupByKey(_._1)
+      .mapValues(t => Scored(t._2, t._3))
+      .agg(agg.name("topk"))
+      .flatMap { case (qid, top) =>
+        top.iterator.zipWithIndex.map { case (s, i) => (qid, s.id, s.score, i + 1) }
+      }
+      .toDF("qid", "nid", "sim", "rank")
+  }
+
   private def rank(sims: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy("qid").orderBy(col("sim_raw").desc, col("nid"))
     sims.withColumn("rank", row_number().over(w))
