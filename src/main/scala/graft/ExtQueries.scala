@@ -189,6 +189,36 @@ object ExtQueries {
         FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rn FROM sims) r
         WHERE rn <= 3""")),
 
+    // embedding-cosine near-dup: sign-bucket blocking + exact fixed-point
+    // cosine threshold — the semantic-dedup pass over an embedded corpus
+    QuerySpec("q44_dedup_embedding",
+      (s, dir) => Dedup.embeddingNearDup(Tables.embeddings(s, dir),
+        "vec_id", "embedding", bits = 8, minSim = 0.4),
+      Some("""
+        WITH b AS (
+          SELECT vec_id, embedding,
+            (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END)
+            + (CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END)
+            + (CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END)
+            + (CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END)
+            + (CASE WHEN embedding[5] > 0 THEN 16 ELSE 0 END)
+            + (CASE WHEN embedding[6] > 0 THEN 32 ELSE 0 END)
+            + (CASE WHEN embedding[7] > 0 THEN 64 ELSE 0 END)
+            + (CASE WHEN embedding[8] > 0 THEN 128 ELSE 0 END) AS bucket
+          FROM embeddings),
+        n2 AS (
+          SELECT vec_id, SUM(CAST(floor(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 1000000000.0) AS BIGINT)) AS n2
+          FROM (SELECT vec_id, UNNEST(embedding) AS x FROM embeddings) t GROUP BY 1),
+        pairs AS (
+          SELECT a.vec_id AS id_a, c.vec_id AS id_b, a.embedding AS va, c.embedding AS vb
+          FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id),
+        el AS (SELECT id_a, id_b, UNNEST(va) AS x, UNNEST(vb) AS y FROM pairs),
+        dots AS (SELECT id_a, id_b, SUM(CAST(floor(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) * 1000000000.0) AS BIGINT)) AS dot FROM el GROUP BY 1, 2)
+        SELECT id_a, id_b,
+          CAST(dot AS DOUBLE) / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(c.n2 AS DOUBLE))) AS sim
+        FROM dots JOIN n2 a ON id_a = a.vec_id JOIN n2 c ON id_b = c.vec_id
+        WHERE CAST(dot AS DOUBLE) / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(c.n2 AS DOUBLE))) >= 0.4""")),
+
     // language-ID heuristic: stopword-lexicon hit counts, fixed-priority
     // argmax — output is a lang × prediction confusion matrix
     QuerySpec("q36_lang_id",

@@ -134,6 +134,29 @@ object Dedup {
         (col("shared").cast("double") / (col("na") + col("nb") - col("shared"))).as("jaccard"))
   }
 
+  /** Embedding-cosine near-duplicate pairs: candidates are blocked by a
+    * deterministic sign-bit LSH bucket computed on both sides (2^bits
+    * cells — pair volume scales with Σ bucket² instead of n²), then
+    * scored with the exact fixed-point cosine and kept at sim ≥ minSim.
+    * The standard semantic-dedup pass over an embedded corpus; the
+    * bucket column doubles as the physical partitioning of a pre-bucketed
+    * table at scale (co-located self-join).
+    */
+  def embeddingNearDup(emb: DataFrame, idCol: String, vecCol: String,
+                       bits: Int, minSim: Double): DataFrame = {
+    import graft.functions.VectorFns
+    val b = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
+      VectorFns.norm2Fixed9(col(vecCol)).as("n2"),
+      VectorFns.signBucket(col(vecCol), bits).as("bucket"))
+    val a = b.select(col("id").as("id_a"), col("v").as("va"), col("n2").as("n2a"), col("bucket"))
+    val c = b.select(col("id").as("id_b"), col("v").as("vb"), col("n2").as("n2b"), col("bucket"))
+    a.join(c, Seq("bucket")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        VectorFns.cosineFrom(VectorFns.dotFixed9(col("va"), col("vb")),
+          col("n2a"), col("n2b")).as("sim"))
+      .filter(col("sim") >= minSim)
+  }
+
   /** SimHash near-dup pairs: 32-bit signature over distinct tokens
     * (xxhash64 bit votes), banded into 4×8-bit blocks for blocking, then
     * exact Hamming distance ≤ `maxHamming` on candidates. Not portably

@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.SparkSpec
+import graft.functions.SafeCastFns
+
+/** Property-based laws (SURVEY §5.2): safe_cast totality, upsert
+  * idempotence, merge identity, import-once stability. Uses raw
+  * ScalaCheck generators with fixed seeds (deterministic CI) sampled a
+  * few times each — every property evaluation spins Spark jobs, so the
+  * iteration count is kept small.
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (1 to n).flatMap(i => g.apply(Gen.Parameters.default, Seed(42L + i)))
+
+  private val rowGen: Gen[List[(String, String, Int, String)]] =
+    Gen.listOfN(8, for {
+      pk <- Gen.oneOf("p1", "p2", "p3")
+      rk <- Gen.oneOf("r1", "r2", "r3", "r4")
+      n <- Gen.chooseNum(-5, 5)
+      s <- Gen.oneOf("", "a", "b")
+    } yield (pk, rk, n, s))
+
+  test("safe_cast is total over arbitrary printable strings") {
+    samples(Gen.listOfN(12, Gen.asciiPrintableStr), 5).foreach { strs =>
+      val out = strs.toDF("v")
+        .select(SafeCastFns.safeInt($"v", 7).as("i"), SafeCastFns.safeBool($"v").as("b"))
+        .as[(Int, Boolean)].collect()
+      assert(out.length == strs.length) // no row lost, nothing thrown
+    }
+  }
+
+  test("upsertReplace idempotence: apply(u) == apply(u) ∘ apply(u)") {
+    val pairs = samples(rowGen, 5).zip(samples(rowGen, 5).reverse)
+    pairs.foreach { case (base, upd) =>
+      val t = base.toDF("pk", "rk", "n", "s")
+      val u = upd.distinctBy(r => (r._1, r._2)).toDF("pk", "rk", "n", "s")
+      val once = KeyedTable.upsertReplace(
+        t.withColumn("_v", lit(1)), u.withColumn("_v", lit(2)),
+        Seq("pk", "rk"), "_v", Seq("n", "s"))
+      val twice = KeyedTable.upsertReplace(
+        once, u.withColumn("_v", lit(2)), Seq("pk", "rk"), "_v", Seq("n", "s"))
+      assert(once.exceptAll(twice).isEmpty && twice.exceptAll(once).isEmpty)
+    }
+  }
+
+  test("upsertMerge with all-default updates is identity on matched keys") {
+    samples(rowGen, 5).foreach { base =>
+      val t = base.distinctBy(r => (r._1, r._2)).toDF("pk", "rk", "n", "s")
+      val u = t.select($"pk", $"rk", lit(0).as("n"), lit("").as("s"))
+      val merged = KeyedTable.upsertMerge(t, u, Seq("pk", "rk"),
+        Map("n" -> 0, "s" -> ""))
+      assert(merged.exceptAll(t).isEmpty && t.exceptAll(merged).isEmpty)
+    }
+  }
+
+  test("insertIfAbsent preserves existing rows and never duplicates keys") {
+    val pairs = samples(rowGen, 5).zip(samples(rowGen, 5).reverse)
+    pairs.foreach { case (base, ins) =>
+      val t = base.distinctBy(r => (r._1, r._2)).toDF("pk", "rk", "n", "s")
+      val u = ins.distinctBy(r => (r._1, r._2)).toDF("pk", "rk", "n", "s")
+      val out = KeyedTable.insertIfAbsent(t, u, Seq("pk", "rk"))
+      assert(t.exceptAll(out).isEmpty)
+      assert(out.groupBy("pk", "rk").count().filter($"count" > 1).isEmpty)
+    }
+  }
+
+  test("importOnce is monotone and idempotent at partition grain") {
+    val pairs = samples(rowGen, 5).zip(samples(rowGen, 5).reverse)
+    pairs.foreach { case (base, inc) =>
+      val t = base.toDF("pk", "rk", "n", "s")
+      val i = inc.toDF("pk", "rk", "n", "s")
+      val once = KeyedTable.importOnce(t, i, "pk")
+      val twice = KeyedTable.importOnce(once, i, "pk")
+      assert(once.exceptAll(twice).isEmpty && twice.exceptAll(once).isEmpty)
+      assert(t.exceptAll(once).isEmpty)
+    }
+  }
+}
