@@ -1,0 +1,48 @@
+package graft
+
+/** Plan-shape assertions: the optimizations SCALE.md claims must be
+  * visible in the executed plans — predicate/projection pushdown into
+  * the parquet scans and broadcast joins for the dimensions. A
+  * regression here (e.g. an operator change that breaks pushdown) fails
+  * the build even though results stay correct.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf001).queryExecution.executedPlan.toString
+
+  test("q02: filter and projection are pushed into the parquet scan") {
+    val p = plan("q02_filter_project_limit")
+    assert(p.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThanOrEqual(l_quantity,49.0)]"))
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int,l_quantity:double,l_shipdate:timestamp_ntz>"))
+  }
+
+  test("q03: point lookup pushes the key predicate") {
+    val p = plan("q03_point_lookup")
+    assert(p.contains("EqualTo(o_orderkey,42)"))
+  }
+
+  test("q05: all four dimensions broadcast — the fact side never shuffles for joins") {
+    val p = plan("q05_star_revenue")
+    assert("BroadcastHashJoin".r.findAllIn(p).size == 4)
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("q04: dimension-enrich is a broadcast left-outer join") {
+    val p = plan("q04_dim_enrich_default")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftOuter"))
+  }
+
+  test("q06/q07: semi and anti joins read only the key column on the probe side") {
+    assert(plan("q06_semi_join").contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"))
+    assert(plan("q07_anti_join").contains("ReadSchema: struct<o_custkey:bigint,o_orderstatus:string>"))
+  }
+
+  test("q01: aggregation is two-phase (partial before the exchange)") {
+    val p = plan("q01_pricing_summary")
+    val firstAgg = p.indexOf("HashAggregate")
+    val exch = p.indexOf("Exchange")
+    assert(firstAgg >= 0 && exch >= 0)
+    assert("HashAggregate".r.findAllIn(p).size >= 2) // partial + final
+  }
+}
