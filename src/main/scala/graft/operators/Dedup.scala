@@ -91,6 +91,8 @@ object Dedup {
     */
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String, n: Int,
                       k: Int, rowsPerBand: Int): DataFrame = {
+    // the posting table feeds four consumers (minhashes, sizes, both
+    // verify sides) — materialize once
     val sh = shingleSet(docs, idCol, textCol, n).persist()
     val mh = sh
       .select(col("id"), explode(sequence(lit(0), lit(k - 1))).as("i"), col("sh"))
