@@ -24,7 +24,7 @@ object EventQueries {
       Some("""
         SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS k_mod, event_type,
           count(*) AS n_events,
-          CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_value
+          CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
         FROM events GROUP BY 1, 2""")),
 
     // tumbling event-time window (1 h, epoch-aligned = date_trunc)
@@ -37,7 +37,7 @@ object EventQueries {
       Some("""
         SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start, event_type,
           count(*) AS n_events,
-          CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_value
+          CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
         FROM events GROUP BY 1, 2""")),
 
     // sliding window (1 h window, 30 min slide → each event in 2 windows)
@@ -92,7 +92,7 @@ object EventQueries {
         WITH mx AS (SELECT max(CAST(ts AS TIMESTAMP)) AS m FROM events)
         SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS day,
           count(*) AS n_events,
-          CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_value
+          CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
         FROM events, mx WHERE CAST(ts AS TIMESTAMP) >= m - INTERVAL 8 DAY
         GROUP BY 1""")),
 
@@ -130,7 +130,7 @@ object EventQueries {
       Some("""
         SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,
           count(*) AS n_events,
-          CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_value
+          CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
         FROM events GROUP BY 1"""))
   )
 }

@@ -94,12 +94,37 @@ object ExtQueries {
           JOIN (SELECT doc_id, sz AS na FROM sizes) sa ON c.doc_a = sa.doc_id
           JOIN (SELECT doc_id, sz AS nb FROM sizes) sb ON c.doc_b = sb.doc_id""")),
 
-    // SimHash banded near-dup — engine-specific 64-bit mixing, so no SQL
-    // oracle; verified by unit/property tests (rows-only harness check)
+    // SimHash banded near-dup. Portable by construction: bit j of a
+    // token's hash is the low bit of hex digit j of md5(token), so the
+    // oracle can re-derive the identical 32-bit signature in DuckDB.
+    // (The SQL explodes bits — fine for an sf0.01 oracle; the Spark side
+    // computes the 32 votes as conditional-sum columns in one aggregate.)
     QuerySpec("q33_dedup_simhash",
       (s, dir) => Dedup.simhashPairs(Tables.documents(s, dir), "doc_id", "text",
         maxHamming = 1),
-      None),
+      Some(s"""
+        WITH $WORDS_SQL,
+        toks AS (
+          SELECT DISTINCT doc_id, md5(t) AS h
+          FROM (SELECT doc_id, UNNEST(w) AS t FROM words) x),
+        votes AS (
+          SELECT doc_id, b,
+            SUM(CASE WHEN substr(h, b + 1, 1) IN ('1','3','5','7','9','b','d','f')
+                     THEN 1 ELSE -1 END) AS vote
+          FROM toks, UNNEST(range(0, 32)) AS t(b)
+          GROUP BY 1, 2),
+        sig AS (
+          SELECT doc_id,
+            CAST(SUM(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
+          FROM votes GROUP BY 1),
+        banded AS (
+          SELECT doc_id, simhash, k, (simhash >> (k * 8)) & 255 AS bandval
+          FROM sig, UNNEST(range(0, 4)) AS t(k))
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+          CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+        FROM banded a
+          JOIN banded b ON a.k = b.k AND a.bandval = b.bandval AND a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 1""")),
 
     // exact brute-force cosine top-5 (ANN baseline)
     QuerySpec("q34_knn_brute",
@@ -223,9 +248,8 @@ object ExtQueries {
     // argmax — output is a lang × prediction confusion matrix
     QuerySpec("q36_lang_id",
       (s, dir) => {
-        val toks = TextFns.tokens(col("text"))
         val hits = TextFns.langLexicons.map { case (l, lex) =>
-          TextFns.lexiconHits(toks, lex).as(s"h_$l") }
+          TextFns.lexiconHits(col("text"), lex).as(s"h_$l") }
         val h = Tables.documents(s, dir).select(col("lang") +: hits: _*)
         h.withColumn("pred",
             when(col("h_en") >= col("h_de") && col("h_en") >= col("h_fr") && col("h_en") >= col("h_es"), "en")
@@ -260,7 +284,7 @@ object ExtQueries {
             size(toks).as("n_words"),
             size(array_distinct(toks)).as("n_distinct"),
             length(regexp_replace(col("text"), "\\s", "")).as("n_nospace"),
-            TextFns.lexiconHits(toks, TextFns.langLexicons.head._2).as("stop_hits"))
+            TextFns.lexiconHits(col("text"), TextFns.langLexicons.head._2).as("stop_hits"))
           .select(col("doc_id"), col("n_words"), col("n_distinct"),
             (col("n_distinct").cast("double") / col("n_words")).as("distinct_ratio"),
             (col("n_nospace").cast("double") / col("n_words")).as("avg_word_len"),

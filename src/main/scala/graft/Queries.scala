@@ -30,14 +30,13 @@ object Queries {
           count(lit(1)).as("count_order"),
           sum4(col("l_quantity")).as("sum_qty"),
           sum4(col("l_extendedprice")).as("sum_base_price"),
-          sum(dec4(col("l_extendedprice")) * (lit(1).cast("decimal(18,4)") - dec4(col("l_discount"))))
-            .cast("decimal(38,8)").as("sum_disc_price"),
+          Agg.sumDiscounted(col("l_extendedprice"), col("l_discount")).as("sum_disc_price"),
           (sum(dec4(col("l_quantity"))).cast("double") / count(lit(1))).as("avg_qty")),
       Some("""
         SELECT l_returnflag, l_linestatus, count(*) AS count_order,
-          CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_qty,
-          CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_base_price,
-          CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(38,8)) AS sum_disc_price,
+          CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS sum_disc_price,
           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_qty
         FROM lineitem WHERE l_shipdate < TIMESTAMP '2000-06-01'
         GROUP BY l_returnflag, l_linestatus""")),
@@ -69,7 +68,7 @@ object Queries {
         .agg(count(lit(1)).as("n_customers"), sum4(col("c_acctbal")).as("total_acctbal")),
       Some("""
         SELECT COALESCE(n_name, 'Sonstiges') AS nation_name, count(*) AS n_customers,
-          CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS total_acctbal
+          CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS total_acctbal
         FROM customer LEFT JOIN (SELECT * FROM nation WHERE n_regionkey <= 2) n
           ON c_nationkey = n_nationkey
         GROUP BY 1""")),
@@ -86,13 +85,12 @@ object Queries {
           .filter(col("r_name").isin("ASIA", "EUROPE") && year(col("o_orderdate")).between(1996, 1998))
           .groupBy(col("n_name"), year(col("o_orderdate")).as("order_year"))
           .agg(
-            sum(dec4(col("l_extendedprice")) * (lit(1).cast("decimal(18,4)") - dec4(col("l_discount"))))
-              .cast("decimal(38,8)").as("revenue"),
+            Agg.sumDiscounted(col("l_extendedprice"), col("l_discount")).as("revenue"),
             count(lit(1)).as("n_lines"))
       },
       Some("""
         SELECT n_name, CAST(year(o_orderdate) AS INTEGER) AS order_year,
-          CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(38,8)) AS revenue,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue,
           count(*) AS n_lines
         FROM lineitem
           JOIN orders ON l_orderkey = o_orderkey
@@ -145,7 +143,7 @@ object Queries {
           FROM orders),
         dim AS (SELECT DISTINCT jk FROM keyed WHERE o_orderstatus = 'F')
         SELECT k.jk AS jk, count(*) AS n_orders,
-          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_price
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
         FROM keyed k JOIN dim USING (jk) GROUP BY 1""")),
 
     // §2.B K4 + §2.G U3: upsert-REPLACE, last-writer-wins by version
@@ -172,7 +170,7 @@ object Queries {
           SELECT *, row_number() OVER (PARTITION BY l_orderkey, l_linenumber ORDER BY _version DESC, l_returnflag, l_extendedprice) AS rn
           FROM (SELECT * FROM base UNION ALL SELECT * FROM upd) x)
         SELECT l_returnflag, count(*) AS n_rows,
-          CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_price
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
         FROM u WHERE rn = 1 GROUP BY 1""")),
 
     // §2.B K3 + §1.4: upsert-MERGE — only non-default update columns win
@@ -194,7 +192,7 @@ object Queries {
           FROM orders WHERE o_orderstatus = 'O')
         SELECT COALESCE(CASE WHEN u.o_orderpriority <> '' THEN u.o_orderpriority END, b.o_orderpriority, '') AS o_orderpriority,
           count(*) AS n_orders,
-          CAST(SUM(CAST(COALESCE(CASE WHEN u.o_totalprice <> 0.0 THEN u.o_totalprice END, b.o_totalprice, 0.0) AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_price
+          CAST(SUM(CAST(COALESCE(CASE WHEN u.o_totalprice <> 0.0 THEN u.o_totalprice END, b.o_totalprice, 0.0) AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
         FROM orders b FULL OUTER JOIN upd u ON b.o_orderkey = u.o_orderkey
         GROUP BY 1""")),
 
@@ -209,7 +207,7 @@ object Queries {
         .agg(count(lit(1)).as("n_rows"), sum4(col("l_quantity")).as("sum_qty")),
       Some("""
         SELECT l_returnflag, count(*) AS n_rows,
-          CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_qty
+          CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
         FROM lineitem
         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey AND o_orderstatus = 'F')
         GROUP BY 1""")),
@@ -276,7 +274,7 @@ object Queries {
         .agg(count(lit(1)).as("n_rows"), sum4(col("l_quantity")).as("sum_qty")),
       Some("""
         SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
-          CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_qty
+          CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
         FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""")),
 
     // distinct aggregates
@@ -348,7 +346,7 @@ object Queries {
                     WHEN p_size >= 20 THEN 'L'
                     ELSE 'AVI' END AS size_class,
           count(*) AS n_parts,
-          CAST(SUM(CAST(p_retailprice AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_price
+          CAST(SUM(CAST(p_retailprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
         FROM part GROUP BY 1""")),
 
     // §2.B K7: COPY re-key — rows duplicated under the 'top' partition,
@@ -361,7 +359,7 @@ object Queries {
         .agg(count(lit(1)).as("n_orders"), sum4(col("o_totalprice")).as("sum_price")),
       Some("""
         SELECT pk, count(*) AS n_orders,
-          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_price
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
         FROM (
           SELECT strftime(o_orderdate, '%Y_%m_%d') AS pk, o_totalprice FROM orders
           UNION ALL
@@ -378,7 +376,7 @@ object Queries {
         .agg(count(lit(1)).as("n_orders"), sum4(col("o_totalprice")).as("sum_price")),
       Some("""
         SELECT pk, count(*) AS n_orders,
-          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_price
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
         FROM (
           SELECT strftime(o_orderdate, '%Y_%m_%d') AS pk, o_totalprice FROM orders
           WHERE o_orderstatus <> 'P'

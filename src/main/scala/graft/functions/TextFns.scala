@@ -43,9 +43,19 @@ object TextFns {
   def resolutionToken(link: Column): Column =
     regexp_extract(link, "TVOON_DE(.*)otrkey\\.torrent", 1)
 
-  /** Lowercased whitespace tokens, empties dropped. */
-  def tokens(c: Column): Column =
-    filter(split(lower(trim(c)), "\\s+"), t => length(t) > 0)
+  /** Lowercased whitespace tokens, empties dropped.
+    *
+    * No higher-order `filter` (HOFs evaluate interpreted, outside
+    * whole-stage codegen — they dominated the round-1 text-path profile):
+    * after `trim`, a `\s+` split of a NON-empty string can produce no
+    * empty elements, so the only case the old filter handled is the
+    * all-whitespace document — handled by the `when` instead.
+    */
+  def tokens(c: Column): Column = {
+    val t = trim(c)
+    when(length(t) === 0, array().cast("array<string>"))
+      .otherwise(split(lower(t), "\\s+"))
+  }
 
   /** Distinct word n-gram shingles (space-joined) over an ALREADY
     * MATERIALIZED token-array column. Passing `tokens(text)` inline here
@@ -80,7 +90,14 @@ object TextFns {
     "es" -> Seq("el", "los", "las", "es", "un", "una", "y", "con")
   )
 
-  /** Stopword-hit count for one lexicon over a token array. */
-  def lexiconHits(toks: Column, lexicon: Seq[String]): Column =
-    size(filter(toks, t => array_contains(lit(lexicon.toArray), t)))
+  /** Stopword-hit count for one lexicon, computed directly over the raw
+    * text with ONE codegen'd `regexp_count` instead of a higher-order
+    * `filter` over the token array (interpreted, allocation-heavy).
+    * Token semantics are preserved exactly: a "token" is a maximal
+    * non-whitespace run, so a lexicon word counts iff it is bounded by
+    * whitespace or string edge on both sides (constant-length lookarounds).
+    */
+  def lexiconHits(text: Column, lexicon: Seq[String]): Column =
+    regexp_count(lower(text),
+      lit("(?<![^\\s])(?:" + lexicon.mkString("|") + ")(?![^\\s])")).cast("int")
 }

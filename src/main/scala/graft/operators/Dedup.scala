@@ -58,13 +58,18 @@ object Dedup {
     */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String, n: Int,
                    dfCap: Int, num: Int, den: Int): DataFrame = {
-    // The posting table feeds three consumers (sizes + both join sides):
-    // materialize it once instead of re-running the explode per consumer.
-    // At cluster scale this would be a checkpoint/bucketed staging table.
-    val sh = shingleSet(docs, idCol, textCol, n).persist()
+    // The posting table feeds three consumers (sizes + both join sides).
+    // No persist(): an operator-held cache leaks into the shared session
+    // (nothing ever unpersists it) and pins an unbounded posting table in
+    // memory at scale. Spark's ReuseExchange dedupes the identical
+    // shuffle subtrees across the consumers instead — the expensive
+    // tokenize+explode shuffle runs once and only the cheap post-shuffle
+    // aggregates re-run per consumer. At cluster scale this would be an
+    // explicit bucketed staging table owned by the CALLER.
+    val sh = shingleSet(docs, idCol, textCol, n)
     val kept = sh.withColumn("df", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy("sh")))
-      .filter(col("df") <= dfCap).drop("df").persist()
+      .filter(col("df") <= dfCap).drop("df")
     val sizes = kept.groupBy("id").agg(count(lit(1)).as("sz"))
     val a = kept.select(col("id").as("doc_a"), col("sh"))
     val b = kept.select(col("id").as("doc_b"), col("sh"))
@@ -91,9 +96,10 @@ object Dedup {
     */
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String, n: Int,
                       k: Int, rowsPerBand: Int): DataFrame = {
-    // the posting table feeds four consumers (minhashes, sizes, both
-    // verify sides) — materialize once
-    val sh = shingleSet(docs, idCol, textCol, n).persist()
+    // The posting table feeds four consumers (minhashes, sizes, both
+    // verify sides); ReuseExchange shares the underlying shuffle — see
+    // the cache-lifecycle note in [[jaccardPairs]].
+    val sh = shingleSet(docs, idCol, textCol, n)
     val mh = sh
       .select(col("id"), explode(sequence(lit(0), lit(k - 1))).as("i"), col("sh"))
       .groupBy("id", "i")
@@ -159,11 +165,18 @@ object Dedup {
       .filter(col("sim") >= minSim)
   }
 
-  /** SimHash near-dup pairs: 32-bit signature over distinct tokens
-    * (xxhash64 bit votes), banded into 4×8-bit blocks for blocking, then
-    * exact Hamming distance ≤ `maxHamming` on candidates. Not portably
-    * expressible in the oracle (engine-specific hash), so verified by
-    * property tests instead (rows-only harness check).
+  /** SimHash near-dup pairs: 32-bit signature over distinct tokens,
+    * banded into 4×8-bit blocks for blocking, then exact Hamming
+    * distance ≤ `maxHamming` on candidates.
+    *
+    * Engine-portable by construction: bit j of a token's hash is the low
+    * bit of hex digit j of `md5(token)` — any engine with md5 derives the
+    * identical signature, so a DuckDB oracle can verify the whole
+    * pipeline (same trick as the MinHash operator).
+    *
+    * The 32 bit-votes are computed as 32 conditional-sum columns in ONE
+    * hash aggregate over the token postings — not by exploding each
+    * token into 32 bit rows, which would multiply the shuffle volume 32×.
     */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int): DataFrame = {
@@ -171,16 +184,17 @@ object Dedup {
     val toks = docs.repartition(parallelism, col(idCol))
       .select(col(idCol).as("id"), explode(TextFns.tokens(col(textCol))).as("t"))
       .distinct()
-      .withColumn("h", xxhash64(col("t")))
-    val votes = toks
-      .select(col("id"), col("h"), explode(sequence(lit(0), lit(31))).as("b"))
-      .withColumn("v", expr("CASE WHEN ((h >> b) & 1) = 1 THEN 1 ELSE -1 END"))
-      .groupBy("id", "b").agg(sum(col("v")).as("vote"))
-    val sig = votes
-      .withColumn("bit", when(col("vote") > 0, 1L).otherwise(0L))
-      .groupBy("id")
-      .agg(sum(expr("shiftleft(bit, b)")).as("simhash"))
-      .persist() // feeds both sides of the band self-join
+      .withColumn("h", md5(col("t")))
+    // low bit of a hex digit is 1 for exactly these nibbles
+    val oddHex = Seq("1", "3", "5", "7", "9", "b", "d", "f")
+    val voteCols = (0 until 32).map(j =>
+      sum(when(substring(col("h"), j + 1, 1).isin(oddHex: _*), 1).otherwise(-1)).as(s"v_$j"))
+    val sigExpr = (0 until 32).map(j =>
+      when(col(s"v_$j") > 0, lit(1L << j)).otherwise(lit(0L))).reduce(_ + _)
+    val sig = toks.groupBy("id").agg(voteCols.head, voteCols.tail: _*)
+      .select(col("id"), sigExpr.as("simhash"))
+    // feeds both sides of the band self-join; ReuseExchange shares the
+    // aggregate's shuffle (no operator-held persist — see jaccardPairs)
     val banded = sig.select(col("id"), col("simhash"),
       explode(sequence(lit(0), lit(3))).as("k"))
       .withColumn("bandval", expr("(simhash >> (k * 8)) & 255"))
@@ -191,7 +205,7 @@ object Dedup {
       .join(banded.select(col("id").as("doc_b"), col("simhash").as("sig_b"), col("k"), col("bandval")),
         Seq("k", "bandval"))
       .filter(col("doc_a") < col("doc_b"))
-      .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
+      .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("int"))
       .filter(col("hamming") <= maxHamming)
       .select("doc_a", "doc_b", "hamming").distinct()
   }

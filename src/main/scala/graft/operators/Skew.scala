@@ -38,7 +38,9 @@ object Skew {
     */
   def saltedCount(df: DataFrame, key: Column, salts: Int): DataFrame =
     // salt must vary WITHIN a key (a key-hash salt would re-concentrate
-    // the hot key on one task): scatter by row position
+    // the hot key on one task): scatter by row position. The salt value
+    // itself depends on the input partitioning — only the merged final
+    // counts are stable, which is all this operator promises.
     df.groupBy(key.as("k"), pmod(monotonically_increasing_id(), lit(salts)).as("__salt"))
       .agg(count(lit(1)).as("__partial"))
       .groupBy("k").agg(sum("__partial").as("n"))

@@ -46,11 +46,18 @@ class TextFnsSpec extends SparkSpec {
     assert(fps.distinct.size == 1)
   }
 
-  test("lexicon hits count stopword occurrences") {
-    val toks = TextFns.tokens(lit("the cat and the hat"))
+  test("lexicon hits count whole-token stopword occurrences") {
     val got = spark.range(1)
-      .select(TextFns.lexiconHits(toks, Seq("the", "and")).as("h"))
-      .as[Int].collect().head
-    assert(got == 3)
+      .select(TextFns.lexiconHits(lit("The cat and the hat"), Seq("the", "and")).as("h"),
+        // 'theory'/'band' must NOT count: whole-token semantics
+        TextFns.lexiconHits(lit("theory of the band and"), Seq("the", "and")).as("h2"))
+      .as[(Int, Int)].collect().head
+    assert(got == ((3, 2)))
+  }
+
+  test("tokens: whitespace split, lowercased, empty/whitespace-only → empty array") {
+    val got = Seq("  The  Cat\njumped ", "", "   ").toDF("t")
+      .select(size(TextFns.tokens($"t")).as("n")).as[Int].collect().toSeq
+    assert(got == Seq(3, 0, 0))
   }
 }
