@@ -1,0 +1,192 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.model.Recording
+import graft.operators.KeyedTable
+import graft.pipeline.Pipelines
+import graft.sources.{Fixtures, OtrParsers}
+
+/** Oracle coverage for the ingest surface (SURVEY §2.A S1-S6, §2.H
+  * F5/F6/F11, §2.B K1, §2.D J5): the reference-shaped fixtures are
+  * staged ONCE as raw parquet (see [[graft.sources.Fixtures]]) and both
+  * engines — the Spark operators and the DuckDB oracle SQL — compute the
+  * parse / safe-cast / key-derivation / enrich / match pipelines
+  * independently over the same staged bytes.
+  */
+object IngestQueries {
+
+  private val STAGE = Fixtures.stageDir
+
+  /** DuckDB fragment: the genres dimension exactly as
+    * [[Pipelines.genresLoad]] derives it (reference `server/etl.py:25-55`).
+    */
+  private val GENRES_SQL = s"""
+    g AS (
+      SELECT Nummer AS RowKey,
+        MAX(COALESCE(TRY_CAST(Nummer AS INTEGER), 0)) AS Genre_Id,
+        MAX(Kategorie) AS Genre
+      FROM '$STAGE/genres_raw.parquet/*.parquet'
+      GROUP BY 1)"""
+
+  /** DuckDB fragment: typed+keyed+enriched recordings exactly as
+    * [[Pipelines.epgRecords]] derives them (reference `server/etl.py:89-99`).
+    */
+  private val RECS_SQL = GENRES_SQL + s""",
+    e AS (
+      SELECT COALESCE(TRY_CAST(Id AS INTEGER), 0) AS Id,
+        COALESCE(try_strptime(beginn, '%d.%m.%Y %H:%M:%S'), TIMESTAMP '1900-01-01') AS beginn,
+        COALESCE(try_strptime(ende, '%d.%m.%Y %H:%M:%S'), TIMESTAMP '1900-01-01') AS ende,
+        COALESCE(TRY_CAST(dauer AS INTEGER), 0) AS dauer,
+        sender, titel, COALESCE(TRY_CAST(genre_id AS INTEGER), 0) AS genre_id,
+        language
+      FROM '$STAGE/epg_raw.parquet/*.parquet'
+      WHERE language = 'de'),
+    recs AS (
+      SELECT strftime(e.beginn, '%Y_%m_%d') AS PartitionKey,
+        CAST(e.Id AS VARCHAR) AS RowKey,
+        e.Id, e.beginn, e.ende, e.dauer, e.sender, e.titel, e.genre_id,
+        COALESCE(g.Genre, 'Sonstiges') AS genre, e.language
+      FROM e LEFT JOIN g ON e.genre_id = g.Genre_Id)"""
+
+  /** DuckDB fragment: parsed toplist rows as [[OtrParsers.parseToplist]]
+    * (reference `server/etl.py:130-138`).
+    */
+  private val TOPLIST_SQL = s"""
+    tl AS (
+      SELECT epg_id, rating, previewimagelink, dt,
+        strftime(dt, '%Y_%m_%d') AS PartitionKey, epg_id AS RowKey
+      FROM (
+        SELECT regexp_extract(chunk, 'epg_id=(\\d+)', 1) AS epg_id,
+          regexp_extract(chunk, 'rating=''([^'']*)''', 1) AS rating,
+          regexp_extract(chunk, 'img src=''([^'']*)''', 1) AS previewimagelink,
+          COALESCE(CAST(try_strptime(regexp_extract(chunk, '(\\d{2}\\.\\d{2}\\.\\d{2})', 1), '%d.%m.%y') AS DATE), DATE '1900-01-01') AS dt
+        FROM '$STAGE/toplist_chunks.parquet/*.parquet') x
+      WHERE epg_id <> '')"""
+
+  /** DuckDB fragment: parsed tracker rows as [[OtrParsers.parseTracker]]
+    * (reference `server/etl.py:181-206`): from-end filename tokens →
+    * `beginn`/`sender`, resolution classified from the link token.
+    */
+  private val TRACKER_SQL = s"""
+    tr AS (
+      SELECT TorrentLink, TorrentFile, finished, loading, loaded,
+        COALESCE(try_strptime(p[len(p)-3] || ' ' || p[len(p)-2] || '-00', '%y.%m.%d %H-%M-%S'),
+          TIMESTAMP '1900-01-01') AS beginn,
+        lower(replace(p[len(p)-1], ' ', '')) AS sender,
+        CASE regexp_extract(TorrentLink, 'TVOON_DE(.*)otrkey\\.torrent', 1)
+          WHEN '.mpg.HD.avi.' THEN 'HD' WHEN '.mpg.HQ.avi.' THEN 'HQ'
+          WHEN '.mpg.avi.' THEN 'DIVX' WHEN '.mpg.mp4.' THEN 'MP4'
+          WHEN '.mpg.HD.ac3.' THEN 'HD.AC3' ELSE 'AVI' END AS Resolution
+      FROM (
+        SELECT *, string_split(TorrentFile, ' ') AS p FROM (
+          SELECT regexp_extract(chunk, 'href=''([^'']*)''', 1) AS TorrentLink,
+            regexp_extract(chunk, '''>([^<]+)</a>', 1) AS TorrentFile,
+            COALESCE(TRY_CAST(regexp_extract(chunk, 'finished=(\\d+)', 1) AS INTEGER), 0) AS finished,
+            COALESCE(TRY_CAST(regexp_extract(chunk, 'loading=(\\d+)', 1) AS INTEGER), 0) AS loading,
+            COALESCE(TRY_CAST(regexp_extract(chunk, 'loaded=(\\d+)', 1) AS INTEGER), 0) AS loaded
+          FROM '$STAGE/tracker_chunks.parquet/*.parquet') y
+        WHERE TorrentFile <> '') z)"""
+
+  val all: Seq[QuerySpec] = Seq(
+
+    // §2.A S1/S3/S4 + §2.B K1 + E1: lenient ;-CSV → safe casts → day/Id
+    // keys → broadcast genre enrich with 'Sonstiges' default → merge into
+    // an empty recordings table (reference server/etl.py:57-110)
+    QuerySpec("q45_epg_import",
+      (s, dir) => {
+        Fixtures.stage(s)
+        import s.implicits._
+        val genres = Pipelines.genresLoad(Fixtures.genresCsv(s))
+        Pipelines.epgImport(Fixtures.epgCsv(s), genres, s.emptyDataset[Recording].toDF)
+          .select("PartitionKey", "RowKey", "Id", "beginn", "ende", "dauer",
+            "sender", "titel", "genre_id", "genre", "language")
+      },
+      Some(s"""
+        WITH $RECS_SQL
+        SELECT * FROM recs""")),
+
+    // §2.A S2/S5 + §2.H F6: toplist page parser — regex field extraction
+    // + dd.MM.yy date parse + day partition key (server/etl.py:130-138)
+    QuerySpec("q46_toplist_parse",
+      (s, dir) => {
+        Fixtures.stage(s)
+        import s.implicits._
+        OtrParsers.parseToplist(
+            Fixtures.chunks(s, "toplist_chunks.txt").select("chunk").as[String])
+          .withColumnRenamed("date", "dt")
+      },
+      Some(s"""
+        WITH $TOPLIST_SQL
+        SELECT epg_id, rating, previewimagelink, dt, PartitionKey, RowKey FROM tl""")),
+
+    // §2.A S6 + §2.H F5 (from-end token extract) + F9 (resolution
+    // classifier) + the FULL E1→E2→E3 composition: parse tracker pages,
+    // window on beginn, derive the composite join key on both sides and
+    // match against the toplist-refined top recordings
+    // (server/etl.py:163-260)
+    QuerySpec("q47_torrent_match",
+      (s, dir) => {
+        Fixtures.stage(s)
+        import s.implicits._
+        val genres = Pipelines.genresLoad(Fixtures.genresCsv(s))
+        val recs = Pipelines.epgImport(Fixtures.epgCsv(s), genres,
+          s.emptyDataset[Recording].toDF)
+        val toplist = OtrParsers.parseToplist(
+          Fixtures.chunks(s, "toplist_chunks.txt").select("chunk").as[String])
+        val tops = Pipelines.topRecordings(toplist, recs,
+          s.emptyDataset[Recording].toDF)
+        val tracker = OtrParsers.parseTracker(
+          Fixtures.chunks(s, "tracker_chunks.txt").select("chunk").as[String])
+        val (matched, _) = Pipelines.torrentMatch(tracker, tops,
+          java.sql.Timestamp.valueOf("2021-03-01 00:00:00"))
+        matched.select("PartitionKey", "RowKey", "TorrentLink", "TorrentFile",
+          "beginn", "sender", "finished", "loading", "loaded")
+      },
+      Some(s"""
+        WITH $RECS_SQL, $TOPLIST_SQL, $TRACKER_SQL,
+        kept AS (SELECT * FROM tl WHERE rating IN ('sehr hoch', 'hoch')),
+        tops AS (
+          SELECT r.* FROM recs r
+          WHERE EXISTS (SELECT 1 FROM kept k
+                        WHERE k.PartitionKey = r.PartitionKey AND k.RowKey = r.RowKey)),
+        windowed AS (
+          SELECT *, strftime(beginn, '%y.%m.%d %H-%M-%S') || '|' || sender AS jk
+          FROM tr WHERE beginn >= TIMESTAMP '2021-03-01 00:00:00'),
+        keyedtops AS (
+          SELECT strftime(beginn, '%y.%m.%d %H-%M-%S') || '|' || lower(replace(sender, ' ', '')) AS jk, Id
+          FROM tops)
+        SELECT CAST(t.Id AS VARCHAR) AS PartitionKey, w.Resolution AS RowKey,
+          w.TorrentLink, w.TorrentFile, w.beginn, w.sender,
+          w.finished, w.loading, w.loaded
+        FROM windowed w JOIN keyedtops t ON w.jk = t.jk""")),
+
+    // §2.D J5: 1:N child load — children packed as one sorted struct
+    // array per parent (reference Recording.loadtorrents,
+    // storage/tablemodels.py:62-68); digest-projected so the compare is
+    // render-stable across engines
+    QuerySpec("q48_child_load",
+      (s, dir) => KeyedTable.loadChildren(
+          Tables.orders(s, dir).filter(col("o_orderkey") % 100 === 0)
+            .select("o_orderkey", "o_totalprice"),
+          Tables.lineitem(s, dir)
+            .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"),
+          "o_orderkey", "l_orderkey", "l_linenumber", "children")
+        .select(col("o_orderkey"), col("o_totalprice"),
+          size(col("children")).as("n_children"),
+          expr("array_join(transform(children, c -> concat(c.l_linenumber, ':', cast(c.l_quantity as int), ':', c.l_returnflag)), '|')")
+            .as("child_digest")),
+      Some("""
+        WITH k AS (
+          SELECT l_orderkey,
+            string_agg(CAST(l_linenumber AS VARCHAR) || ':' || CAST(CAST(l_quantity AS INTEGER) AS VARCHAR) || ':' || l_returnflag,
+              '|' ORDER BY l_linenumber, l_quantity, l_returnflag) AS child_digest,
+            count(*) AS n_children
+          FROM lineitem GROUP BY 1)
+        SELECT o_orderkey, o_totalprice,
+          CAST(COALESCE(n_children, 0) AS INTEGER) AS n_children,
+          COALESCE(child_digest, '') AS child_digest
+        FROM orders LEFT JOIN k ON o_orderkey = l_orderkey
+        WHERE o_orderkey % 100 = 0"""))
+  )
+}

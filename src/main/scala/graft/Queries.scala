@@ -408,5 +408,6 @@ object Queries {
   )
 
   /** Registry assembled by [[SparkEntry]]. */
-  def all: Seq[QuerySpec] = core ++ EventQueries.all ++ ExtQueries.all
+  def all: Seq[QuerySpec] =
+    core ++ EventQueries.all ++ ExtQueries.all ++ IngestQueries.all
 }

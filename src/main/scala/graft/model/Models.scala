@@ -67,6 +67,8 @@ final case class Recording(
     rating: String = "")
 
 object Recording {
+  val schema: StructType =
+    org.apache.spark.sql.Encoders.product[Recording].schema
   val timestampFormat = "dd.MM.yyyy HH:mm:ss" // tablemodels.py:38 ('%d.%m.%Y %H:%M:%S')
   val dateFormat = "dd.MM.yyyy"               // tablemodels.py:37 ('%d.%m.%Y')
   val defaults: Map[String, Any] = Map(
@@ -96,6 +98,8 @@ final case class Torrent(
     loaded: Int = 0)
 
 object Torrent {
+  val schema: StructType =
+    org.apache.spark.sql.Encoders.product[Torrent].schema
   /** Derived-from-filename time key (`server/etl.py:193`, `'%y.%m.%d %H-%M-%S'`). */
   val timestampFormat = "yy.MM.dd HH-mm-ss"
   val defaults: Map[String, Any] = Map(

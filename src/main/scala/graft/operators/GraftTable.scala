@@ -67,6 +67,17 @@ final class GraftTable(spark: SparkSession, val path: String,
     writePartitions(merged.select(current.columns.map(col).toSeq: _*))
   }
 
+  /** Insert-if-absent (K8): append only rows whose key is not yet
+    * present — never reads back or rewrites existing files, so it is
+    * cheap and idempotent at any scale (reference `server/etl.py:148-149`).
+    */
+  def insertIfAbsent(inserts: DataFrame): this.type = {
+    val fresh = inserts.join(read.select(keys.map(col).toSeq: _*).distinct(),
+      keys, "left_anti")
+    fresh.write.mode(SaveMode.Append).partitionBy(partitionCol).parquet(path)
+    this
+  }
+
   /** Key-level upsert-MERGE (K3, non-default columns win). */
   def upsertMerge(updates: DataFrame, defaults: Map[String, Any]): this.type = {
     val touched = updates.select(partitionCol).distinct()
@@ -77,28 +88,38 @@ final class GraftTable(spark: SparkSession, val path: String,
 
   /** Keyed DELETE (K5): anti-join rewrite of only the touched partitions.
     * A partition whose every row is deleted yields no output rows, which
-    * dynamic overwrite would silently skip — that case falls back to a
-    * full-table rewrite of the remaining rows.
+    * dynamic overwrite would silently skip — those partitions are instead
+    * DROPPED at the metadata level (their directories deleted), so a
+    * routine delete never rewrites untouched data. Collecting partition
+    * VALUES to the driver is metadata-scale (bounded by the partition
+    * count), not data-scale.
     */
   def deleteByKeys(deleteKeys: DataFrame): this.type = {
     val touched = read.join(deleteKeys, keys, "left_semi")
       .select(partitionCol).distinct()
     val current = read.join(touched, Seq(partitionCol), "left_semi")
     val remaining = KeyedTable.deleteByKeys(current, deleteKeys, keys)
-    val emptied = touched.join(remaining.select(partitionCol).distinct(),
-      Seq(partitionCol), "left_anti")
-    if (emptied.isEmpty) writePartitions(remaining)
-    else {
-      // full rewrite MUST use static overwrite: in dynamic mode an
-      // all-rows-deleted partition appears in no output row, so its old
-      // files would silently survive
-      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
-      val all = KeyedTable.deleteByKeys(read, deleteKeys, keys).persist()
-      all.count()
-      all.write.mode(SaveMode.Overwrite).partitionBy(partitionCol).parquet(path)
-      all.unpersist()
-      this
+    // materialize BEFORE any file is dropped/overwritten: the plan reads
+    // the very files this method mutates
+    val m = remaining.persist()
+    m.count()
+    val emptiedVals = touched
+      .join(m.select(partitionCol).distinct(), Seq(partitionCol), "left_anti")
+      .collect().map(_.get(0).toString)
+    emptiedVals.foreach { v =>
+      val dir = java.nio.file.Paths.get(path, s"$partitionCol=$v")
+      if (java.nio.file.Files.exists(dir)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(dir).iterator().asScala.toSeq
+          .sortBy(-_.getNameCount).foreach(java.nio.file.Files.delete)
+      }
     }
+    if (!m.isEmpty) {
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      m.write.mode(SaveMode.Overwrite).partitionBy(partitionCol).parquet(path)
+    }
+    m.unpersist()
+    this
   }
 
   /** Overwrite touched partitions. The input plan READS this table, so it

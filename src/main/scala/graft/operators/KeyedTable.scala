@@ -123,6 +123,29 @@ object KeyedTable {
   def moveTo(table: DataFrame, pred: Column, pkCol: String, newPk: Column): DataFrame =
     table.filter(!pred).unionByName(table.filter(pred).withColumn(pkCol, newPk))
 
+  /** 1:N child load (J5, reference `Recording.loadtorrents`,
+    * `storage/tablemodels.py:62-68`): attach each parent's child rows as
+    * ONE array column in a single pass — a shuffle on the join key and a
+    * hash aggregate, instead of the reference's per-parent query loop
+    * (which would be N driver round-trips at scale).
+    *
+    * The children are packed as structs with `orderCol` as the FIRST
+    * field and the array is sorted, so the result is deterministic
+    * (collect_list order is not). Parents with no children get an empty
+    * array (left join + coalesce).
+    */
+  def loadChildren(parents: DataFrame, children: DataFrame,
+                   parentKey: String, childKey: String,
+                   orderCol: String, as: String): DataFrame = {
+    val childCols = col(orderCol) +:
+      children.columns.filterNot(c => c == childKey || c == orderCol).map(col).toSeq
+    val packed = children
+      .groupBy(col(childKey).as(parentKey))
+      .agg(sort_array(collect_list(struct(childCols: _*))).as(as))
+    parents.join(packed, Seq(parentKey), "left_outer")
+      .withColumn(as, coalesce(col(as), array().cast(packed.schema(as).dataType)))
+  }
+
   /** Existence probe ≡ `LIMIT 1` scan (reference `table_isempty`,
     * `storage/azurestoragewrapper.py:54-75`): a bounded action, never a
     * full count.

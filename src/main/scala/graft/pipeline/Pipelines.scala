@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 import graft.functions.{SafeCastFns, TextFns}
-import graft.model.Recording
+import graft.model.{Genre, Recording}
 import graft.operators.KeyedTable
 
 /** The reference's three pipelines (SURVEY §3), re-expressed as pure
@@ -14,6 +14,45 @@ import graft.operators.KeyedTable
   * joins — the reference's hand-rolled per-row REST probes disappear.
   */
 object Pipelines {
+
+  /** Genres dimension load (`import_otrgenres`, reference
+    * `server/etl.py:25-55`): the `;`-CSV's `Nummer`/`Kategorie` become
+    * `(Genre_Id, Genre)`; `PartitionKey` is the literal `'all'` and
+    * `RowKey` the RAW `Nummer` string (`server/etl.py:42` — so a
+    * non-numeric `Nummer` keeps its own key while `Genre_Id` safe-casts
+    * to 0, `storage/tablemodels.py:101`). Duplicate `Nummer` rows
+    * collapse per key (the reference's sequential per-row upsert); the
+    * max-`Genre` winner makes the collapse order-independent.
+    */
+  def genresLoad(genresCsv: DataFrame): DataFrame =
+    genresCsv.select(
+        lit("all").as("PartitionKey"),
+        col("Nummer").as("RowKey"),
+        SafeCastFns.safeInt(col("Nummer")).as("Genre_Id"),
+        col("Kategorie").as("Genre"))
+      .groupBy("PartitionKey", "RowKey")
+      .agg(max(col("Genre_Id")).as("Genre_Id"), max(col("Genre")).as("Genre"))
+      .select(Genre.schema.fieldNames.map(col).toSeq: _*)
+
+  /** E1's per-row transform (reference `server/etl.py:89-99`): typed,
+    * keyed, genre-enriched recording rows ready to upsert — the update
+    * side of [[epgImport]], exposed separately so the orchestrator can
+    * feed a persistent [[graft.operators.GraftTable]].
+    */
+  def epgRecords(epgCsv: DataFrame, genres: DataFrame): DataFrame = {
+    val epoch = lit("1900-01-01 00:00:00").cast("timestamp")
+    val typed = epgCsv
+      .filter(col("language") === "de")
+      .withColumn("beginn", SafeCastFns.safeTimestamp(col("beginn"), Recording.timestampFormat, epoch))
+      .withColumn("ende", SafeCastFns.safeTimestamp(col("ende"), Recording.timestampFormat, epoch))
+      .withColumn("Id", SafeCastFns.safeInt(col("Id")))
+      .withColumn("dauer", SafeCastFns.safeInt(col("dauer")))
+      .withColumn("genre_id", SafeCastFns.safeInt(col("genre_id")))
+      .withColumn("PartitionKey", TextFns.dayKey(col("beginn")))
+      .withColumn("RowKey", col("Id").cast("string"))
+    KeyedTable.lookupEnrich(typed, genres,
+      "genre_id", "Genre_Id", "Genre", "genre", "Sonstiges")
+  }
 
   /** E1 — EPG day import (`import_otrepg`, reference `server/etl.py:57-110`).
     *
@@ -25,18 +64,7 @@ object Pipelines {
     * `(PartitionKey, RowKey)` (K3). Re-running is idempotent (U2/U3).
     */
   def epgImport(epgCsv: DataFrame, genres: DataFrame, recordings: DataFrame): DataFrame = {
-    val epoch = lit("1900-01-01 00:00:00").cast("timestamp")
-    val typed = epgCsv
-      .filter(col("language") === "de")
-      .withColumn("beginn", SafeCastFns.safeTimestamp(col("beginn"), Recording.timestampFormat, epoch))
-      .withColumn("ende", SafeCastFns.safeTimestamp(col("ende"), Recording.timestampFormat, epoch))
-      .withColumn("Id", SafeCastFns.safeInt(col("Id")))
-      .withColumn("dauer", SafeCastFns.safeInt(col("dauer")))
-      .withColumn("genre_id", SafeCastFns.safeInt(col("genre_id")))
-      .withColumn("PartitionKey", TextFns.dayKey(col("beginn")))
-      .withColumn("RowKey", col("Id").cast("string"))
-    val enriched = KeyedTable.lookupEnrich(typed, genres,
-      "genre_id", "Genre_Id", "Genre", "genre", "Sonstiges")
+    val enriched = epgRecords(epgCsv, genres)
     val cols = recordings.columns
     KeyedTable.upsertMerge(recordings,
       enriched.select(cols.filter(enriched.columns.contains).map(col).toSeq: _*),
@@ -90,5 +118,27 @@ object Pipelines {
     val surviving = keyedTops
       .join(windowed.select("jk"), Seq("jk"), "left_semi").drop("jk")
     (matched, surviving)
+  }
+
+  /** E3's cascade, composed (reference INTENT at `server/etl.py:257-259`,
+    * SURVEY §2.D — the reference's leaked loop variable deletes the wrong
+    * row; this implements what it meant): top recordings with ZERO
+    * matching torrents in the window are deleted from the top table, and
+    * any stored torrent whose parent top is gone is deleted with it.
+    *
+    * Returns (topDeleteKeys, torrentDeleteKeys) — key frames for
+    * [[graft.operators.GraftTable.deleteByKeys]] / [[KeyedTable.deleteByKeys]],
+    * so the caller decides the storage side.
+    */
+  def cascadeDelete(tops: DataFrame, surviving: DataFrame,
+                    storedTorrents: DataFrame): (DataFrame, DataFrame) = {
+    val doomedTops = tops.select("PartitionKey", "RowKey")
+      .join(surviving.select("PartitionKey", "RowKey"),
+        Seq("PartitionKey", "RowKey"), "left_anti")
+    // torrent PartitionKey = recording Id = top RowKey (tablemodels.py:27-29)
+    val doomedTorrents = storedTorrents.select("PartitionKey", "RowKey")
+      .join(doomedTops.select(col("RowKey").as("PartitionKey")),
+        Seq("PartitionKey"), "left_semi")
+    (doomedTops, doomedTorrents)
   }
 }

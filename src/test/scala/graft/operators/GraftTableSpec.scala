@@ -69,4 +69,35 @@ class GraftTableSpec extends SparkSpec {
     val got = t.read.select("day", "rk").as[(String, String)].collect().toSet
     assert(got == Set(("d1", "r2")))
   }
+
+  test("deleteByKeys drops emptied partitions at metadata level — untouched partitions are not rewritten") {
+    val t = freshTable().createIfNotExists(rows().schema)
+    t.importOnce(rows(("d1", "p", "r1", 1), ("d2", "p", "r1", 2), ("d3", "p", "r1", 3)))
+    def files(day: String) = {
+      val d = new java.io.File(s"${t.path}/day=$day")
+      if (!d.exists) Set.empty[(String, Long)]
+      else d.listFiles.filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getName, f.lastModified)).toSet
+    }
+    val d3Before = files("d3")
+    assert(d3Before.nonEmpty)
+    // (p,r1) exists in every partition — instead use per-partition keys:
+    // rebuild with distinct pks so the delete empties d2 only
+    val t2 = freshTable().createIfNotExists(rows().schema)
+    t2.importOnce(rows(("d1", "a", "r1", 1), ("d1", "a", "r2", 2),
+      ("d2", "b", "r1", 3), ("d3", "c", "r1", 4)))
+    def files2(day: String) = {
+      val d = new java.io.File(s"${t2.path}/day=$day")
+      if (!d.exists) Set.empty[(String, Long)]
+      else d.listFiles.filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getName, f.lastModified)).toSet
+    }
+    val d3b = files2("d3")
+    // empties d2 entirely, partially deletes d1, leaves d3 untouched
+    t2.deleteByKeys(Seq(("a", "r1"), ("b", "r1")).toDF("pk", "rk"))
+    assert(!new java.io.File(s"${t2.path}/day=d2").exists, "emptied partition dir must be dropped")
+    assert(files2("d3") == d3b, "untouched partition files must not be rewritten")
+    assert(t2.read.select("day", "rk").as[(String, String)].collect().toSet
+      == Set(("d1", "r2"), ("d3", "r1")))
+  }
 }

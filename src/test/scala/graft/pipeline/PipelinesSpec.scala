@@ -82,4 +82,45 @@ class PipelinesSpec extends SparkSpec {
     assert(m == Set(("101", "HD"), ("101", "AVI")))
     assert(surviving.select("Id").as[Int].collect().toSeq == Seq(101))
   }
+
+  test("E3 cascadeDelete: zero-torrent top + its stale torrents → delete keys (etl.py:257-259)") {
+    val tops = Seq(("top", "101"), ("top", "202"), ("top", "303"))
+      .toDF("PartitionKey", "RowKey")
+    val surviving = Seq(("top", "101")).toDF("PartitionKey", "RowKey")
+    val storedTorrents = Seq(
+      ("101", "HD"),   // parent survives → kept
+      ("202", "HD"),   // parent doomed → cascade
+      ("202", "AVI"),  // both variants cascade
+      ("999", "HD")    // orphan of a never-top recording → untouched here
+    ).toDF("PartitionKey", "RowKey")
+    val (dTops, dTorr) = Pipelines.cascadeDelete(tops, surviving, storedTorrents)
+    assert(dTops.as[(String, String)].collect().toSet
+      == Set(("top", "202"), ("top", "303")))
+    assert(dTorr.as[(String, String)].collect().toSet
+      == Set(("202", "HD"), ("202", "AVI")))
+  }
+
+  test("full tick over fixtures is idempotent and cascades the torrentless top") {
+    val base = java.nio.file.Files.createTempDirectory("graft_run").toString
+    def state() = {
+      val (g, r, t, z) = (spark.read.parquet(s"$base/genres"),
+        spark.read.parquet(s"$base/recordings"),
+        spark.read.parquet(s"$base/top"), spark.read.parquet(s"$base/torrents"))
+      (g.count(),
+        r.select("PartitionKey", "RowKey").as[(String, String)].collect().toSet,
+        t.select("RowKey").as[String].collect().toSet,
+        z.select("PartitionKey", "RowKey").as[(String, String)].collect().toSet)
+    }
+    Run.tick(spark, base)
+    val first = state()
+    // E1: de-rows only — 4 on day 05 (incl. bad-date→1900 partition? no:
+    // 1004's epoch partition, and the non-numeric-Id row) + 2 on day 06
+    assert(first._2.map(_._2) == Set("1001", "1002", "1004", "0", "1005", "1006"))
+    // E2+E3: 1002 made top (rating hoch) but has no torrents → cascaded;
+    // 1001 and 1005 survive with their matched variants
+    assert(first._3 == Set("1001", "1005"))
+    assert(first._4 == Set(("1001", "HD"), ("1001", "HQ"), ("1005", "MP4"), ("1005", "AVI")))
+    Run.tick(spark, base)
+    assert(state() == first, "second tick must be a state-level no-op")
+  }
 }
