@@ -214,6 +214,48 @@ object ExtQueries {
         FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rn FROM sims) r
         WHERE rn <= 3""")),
 
+    // multi-probe LSH ANN: each query also probes the 8 Hamming-1
+    // neighbor buckets — the recall fix for q35's single-bucket probe,
+    // still corpus-co-located (candidates from ≤ 9/256 of the corpus)
+    QuerySpec("q49_knn_multiprobe",
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        SimilaritySearch.bucketedTopKMultiProbe(
+          e.filter(col("vec_id") < 32), e, "vec_id", "embedding", k = 3, bits = 8)
+      },
+      Some("""
+        WITH b AS (
+          SELECT vec_id, embedding,
+            (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END)
+            + (CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END)
+            + (CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END)
+            + (CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END)
+            + (CASE WHEN embedding[5] > 0 THEN 16 ELSE 0 END)
+            + (CASE WHEN embedding[6] > 0 THEN 32 ELSE 0 END)
+            + (CASE WHEN embedding[7] > 0 THEN 64 ELSE 0 END)
+            + (CASE WHEN embedding[8] > 0 THEN 128 ELSE 0 END) AS bucket
+          FROM embeddings),
+        qp AS (
+          SELECT vec_id, embedding, xor(bucket, p) AS bucket
+          FROM b, UNNEST([0, 1, 2, 4, 8, 16, 32, 64, 128]) AS t(p)
+          WHERE vec_id < 32),
+        n2 AS (
+          SELECT vec_id, SUM(CAST(floor(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 1000000000.0) AS BIGINT)) AS n2
+          FROM (SELECT vec_id, UNNEST(embedding) AS x FROM embeddings) t GROUP BY 1),
+        pairs AS (
+          SELECT q.vec_id AS qid, e.vec_id AS nid, q.embedding AS qe, e.embedding AS ne
+          FROM qp q JOIN b e ON q.bucket = e.bucket
+          WHERE e.vec_id <> q.vec_id),
+        el AS (SELECT qid, nid, UNNEST(qe) AS x, UNNEST(ne) AS y FROM pairs),
+        dots AS (SELECT qid, nid, SUM(CAST(floor(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) * 1000000000.0) AS BIGINT)) AS dot FROM el GROUP BY 1, 2),
+        sims AS (
+          SELECT qid, nid,
+            CAST(dot AS DOUBLE) / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b2.n2 AS DOUBLE))) AS sim
+          FROM dots JOIN n2 a ON qid = a.vec_id JOIN n2 b2 ON nid = b2.vec_id)
+        SELECT qid, nid, sim, CAST(rn AS INTEGER) AS rank
+        FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rn FROM sims) r
+        WHERE rn <= 3""")),
+
     // embedding-cosine near-dup: sign-bucket blocking + exact fixed-point
     // cosine threshold — the semantic-dedup pass over an embedded corpus
     QuerySpec("q44_dedup_embedding",

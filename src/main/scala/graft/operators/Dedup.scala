@@ -15,6 +15,35 @@ import graft.functions.TextFns
   */
 object Dedup {
 
+  /** Materialize a multi-consumer intermediate (posting table, signature
+    * table) to a staging parquet and read it back, so its plan runs ONCE
+    * no matter how many consumers the operator fans it into. A persist()
+    * here would leak into the shared session (round-1 finding) and pin
+    * an unbounded table in executor memory; a staging file is bounded by
+    * disk, spill-free, and exactly what a cluster deployment would use —
+    * set `graft.staging.dir` to a job-scoped cluster path there (default:
+    * local tmp, removed on JVM exit).
+    */
+  private[operators] def staged(df: DataFrame, hint: String): DataFrame = {
+    val spark = df.sparkSession
+    val root = spark.conf.getOption("graft.staging.dir")
+      .getOrElse(sys.props("java.io.tmpdir") + "/graft_stage")
+    val path = s"$root/${hint}_${java.util.UUID.randomUUID().toString.take(8)}"
+    df.write.mode("overwrite").parquet(path)
+    cleanupOnExit(root)
+    spark.read.parquet(path)
+  }
+
+  private val hooked = new java.util.concurrent.atomic.AtomicBoolean(false)
+  private def cleanupOnExit(root: String): Unit =
+    if (hooked.compareAndSet(false, true))
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+        }
+        rm(new java.io.File(root))
+      }))
+
   /** Exact dedup via canonical-text fingerprint (lowercase, strip
     * punctuation, collapse whitespace, md5): one hash-aggregate, the
     * cheapest possible cluster pass. `keeper` = min id (deterministic).
@@ -58,18 +87,16 @@ object Dedup {
     */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String, n: Int,
                    dfCap: Int, num: Int, den: Int): DataFrame = {
-    // The posting table feeds three consumers (sizes + both join sides).
-    // No persist(): an operator-held cache leaks into the shared session
-    // (nothing ever unpersists it) and pins an unbounded posting table in
-    // memory at scale. Spark's ReuseExchange dedupes the identical
-    // shuffle subtrees across the consumers instead — the expensive
-    // tokenize+explode shuffle runs once and only the cheap post-shuffle
-    // aggregates re-run per consumer. At cluster scale this would be an
-    // explicit bucketed staging table owned by the CALLER.
+    // The df-capped posting table feeds three consumers (sizes + both
+    // join sides): stage it once (see [[staged]] — AQE re-plans each
+    // consumer as its own job, so exchange reuse does NOT span them and
+    // an unstaged posting table would be recomputed per consumer).
     val sh = shingleSet(docs, idCol, textCol, n)
-    val kept = sh.withColumn("df", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("sh")))
-      .filter(col("df") <= dfCap).drop("df")
+    val kept = staged(
+      sh.withColumn("df", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("sh")))
+        .filter(col("df") <= dfCap).drop("df"),
+      "jaccard_postings")
     val sizes = kept.groupBy("id").agg(count(lit(1)).as("sz"))
     val a = kept.select(col("id").as("doc_a"), col("sh"))
     val b = kept.select(col("id").as("doc_b"), col("sh"))
@@ -97,29 +124,35 @@ object Dedup {
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String, n: Int,
                       k: Int, rowsPerBand: Int): DataFrame = {
     // The posting table feeds four consumers (minhashes, sizes, both
-    // verify sides); ReuseExchange shares the underlying shuffle — see
-    // the cache-lifecycle note in [[jaccardPairs]].
-    val sh = shingleSet(docs, idCol, textCol, n)
-    val mh = sh
-      .select(col("id"), explode(sequence(lit(0), lit(k - 1))).as("i"), col("sh"))
-      .groupBy("id", "i")
-      .agg(min(md5(concat(col("i").cast("string"), lit(":"), col("sh")))).as("mh"))
-    // Band signature = md5 of the band's minhashes joined in hash-index
-    // order. One conditional-aggregate column per in-band position keeps
-    // this a codegen'd HashAggregate — a collect_list+sort formulation
-    // is an ObjectHashAggregate whose per-group object churn dominated
-    // the whole operator in GC time.
-    val posCols = (0 until rowsPerBand).map(p =>
-      max(when(col("i") % rowsPerBand === p, col("mh"))).as(s"mh_$p"))
-    val bands = mh.withColumn("band", expr(s"i div $rowsPerBand"))
-      .groupBy("id", "band")
-      .agg(posCols.head, posCols.tail: _*)
-      .select(col("id"), col("band"),
-        md5(concat_ws(",", (0 until rowsPerBand).map(p => col(s"mh_$p")): _*)).as("sig"))
-    val cand = bands.select(col("id").as("doc_a"), col("band"), col("sig"))
-      .join(bands.select(col("id").as("doc_b"), col("band"), col("sig")), Seq("band", "sig"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b").distinct()
+    // verify sides): stage it once — see [[staged]].
+    val sh = staged(shingleSet(docs, idCol, textCol, n), "minhash_postings")
+    // All k minhashes in ONE aggregate: k conditional-min columns over
+    // the posting rows. No k-way explode — the k× row multiplication
+    // never exists, and min() combines map-side, so the only shuffle
+    // carries one partial row per (partition, id). (The earlier
+    // explode(k)+groupBy(id,i) form shuffled k× the posting table; at
+    // 100 TB that 12× shuffle IS the operator's cost.)
+    val mhCols = (0 until k).map(i =>
+      min(md5(concat(lit(s"$i:"), col("sh")))).as(s"mh_$i"))
+    val sigs = sh.groupBy("id").agg(mhCols.head, mhCols.tail: _*)
+    // Band signature = md5 of the band's minhashes in hash-index order,
+    // emitted as a small per-doc explode of k/rowsPerBand structs.
+    val nBands = k / rowsPerBand
+    val bandStructs = array((0 until nBands).map { b =>
+      struct(lit(b).as("band"),
+        md5(concat_ws(",",
+          (0 until rowsPerBand).map(p => col(s"mh_${b * rowsPerBand + p}")): _*)).as("sig"))
+    }: _*)
+    val bands = sigs.select(col("id"), explode(bandStructs).as("bs"))
+      .select(col("id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+    // candidate pairs feed three consumers (candDocs, verify semi-join,
+    // final left-outer) — stage the (small) pair list too
+    val cand = staged(
+      bands.select(col("id").as("doc_a"), col("band"), col("sig"))
+        .join(bands.select(col("id").as("doc_b"), col("band"), col("sig")), Seq("band", "sig"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b").distinct(),
+      "minhash_cands")
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
     // Exact-Jaccard verify: first SHRINK the posting table to candidate
     // docs (broadcast semi-join — candidates ≪ corpus), then self-join
@@ -191,19 +224,30 @@ object Dedup {
       sum(when(substring(col("h"), j + 1, 1).isin(oddHex: _*), 1).otherwise(-1)).as(s"v_$j"))
     val sigExpr = (0 until 32).map(j =>
       when(col(s"v_$j") > 0, lit(1L << j)).otherwise(lit(0L))).reduce(_ + _)
-    val sig = toks.groupBy("id").agg(voteCols.head, voteCols.tail: _*)
-      .select(col("id"), sigExpr.as("simhash"))
-    // feeds both sides of the band self-join; ReuseExchange shares the
-    // aggregate's shuffle (no operator-held persist — see jaccardPairs)
+    // feeds both sides of the band self-join: stage once (tiny — one row
+    // per doc; see [[staged]])
+    val sig = staged(
+      toks.groupBy("id").agg(voteCols.head, voteCols.tail: _*)
+        .select(col("id"), sigExpr.as("simhash")),
+      "simhash_sigs")
+    // Blocking key = an agreeing PAIR of bands (all C(4,2)=6 pairs):
+    // hamming ≤ 1 flips a bit in at most one band, so ≥ 3 bands — hence
+    // ≥ 3 band PAIRS — agree exactly, and no qualifying pair is missed.
+    // 16-bit cells shrink hot blocks quadratically vs single-band 8-bit
+    // cells (templated corpora cluster heavily on one band value), which
+    // is what bounds Σ|block|² — the candidate volume — at scale.
+    // pair (k1,k2) encoded as bp = k1*4+k2, recovered as (bp div 4, bp % 4)
+    val bandPairs = for (k1 <- 0 until 4; k2 <- k1 + 1 until 4) yield k1 * 4 + k2
     val banded = sig.select(col("id"), col("simhash"),
-      explode(sequence(lit(0), lit(3))).as("k"))
-      .withColumn("bandval", expr("(simhash >> (k * 8)) & 255"))
+        explode(array(bandPairs.map(lit): _*)).as("bp"))
+      .withColumn("bandval", expr(
+        "(((simhash >> ((bp div 4) * 8)) & 255) << 8) | ((simhash >> ((bp % 4) * 8)) & 255)"))
     // Hamming filter BEFORE the pair-dedup: the band join can emit the
-    // same pair up to 4 times, but filtering first shrinks the distinct's
+    // same pair up to 6 times, but filtering first shrinks the distinct's
     // input by orders of magnitude.
-    banded.select(col("id").as("doc_a"), col("simhash").as("sig_a"), col("k"), col("bandval"))
-      .join(banded.select(col("id").as("doc_b"), col("simhash").as("sig_b"), col("k"), col("bandval")),
-        Seq("k", "bandval"))
+    banded.select(col("id").as("doc_a"), col("simhash").as("sig_a"), col("bp"), col("bandval"))
+      .join(banded.select(col("id").as("doc_b"), col("simhash").as("sig_b"), col("bp"), col("bandval")),
+        Seq("bp", "bandval"))
       .filter(col("doc_a") < col("doc_b"))
       .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("int"))
       .filter(col("hamming") <= maxHamming)

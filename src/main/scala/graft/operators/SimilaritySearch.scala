@@ -54,6 +54,32 @@ object SimilaritySearch {
     rank(sims, k)
   }
 
+  /** Multi-probe sign-bucket LSH top-k: each query probes its own bucket
+    * PLUS every bucket at Hamming distance 1 (flip one of the `bits`
+    * sign-planes) — the standard recall fix for bucketed LSH, recovering
+    * neighbors that fall just across one hyperplane. Cost grows by the
+    * probe count (1 + bits) on the QUERY side only — the corpus stays in
+    * exactly one bucket, so a pre-bucketed/partitioned corpus table is
+    * still probed co-located, and a (query, candidate) pair can arise
+    * from at most one probe (no dedup pass needed).
+    */
+  def bucketedTopKMultiProbe(queries: DataFrame, corpus: DataFrame, idCol: String,
+                             vecCol: String, k: Int, bits: Int): DataFrame = {
+    val probes = array((lit(0) +: (0 until bits).map(b => lit(1 << b))): _*)
+    val q = withNorm(queries, idCol, vecCol, "q")
+      .withColumn("probe", explode(probes))
+      .withColumn("bucket",
+        VectorFns.signBucket(col("qvec"), bits).bitwiseXOR(col("probe")))
+      .drop("probe")
+    val c = withNorm(corpus, idCol, vecCol, "n")
+      .withColumn("bucket", VectorFns.signBucket(col("nvec"), bits))
+    val sims = q.join(c, Seq("bucket")).filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        VectorFns.cosineFrom(
+          VectorFns.dotFixed9(col("qvec"), col("nvec")), col("qn2"), col("nn2")).as("sim_raw"))
+    rank(sims, k)
+  }
+
   /** Aggregator-based variant of the exact search: replaces the window
     * sort with the bounded-heap [[graft.expr.TopKAggregator]] — each
     * partial buffer carries at most k entries and combines map-side, so

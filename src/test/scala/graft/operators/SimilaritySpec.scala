@@ -36,6 +36,23 @@ class SimilaritySpec extends SparkSpec {
     assert(out.map(_._2).toSet == Set(1L, 3L))
   }
 
+  test("multi-probe recovers the across-one-hyperplane neighbor single-probe misses") {
+    val data = Seq(
+      (0L, Array(1.0f, 0.01f, 0f, 0f)),   // bucket (+,+): just above plane 2
+      (1L, Array(1.0f, -0.01f, 0f, 0f)),  // bucket (+,-): its true nearest, across plane 2
+      (2L, Array(-1.0f, -1.0f, 0f, 0f))   // far away in (-,-)
+    ).toDF("vec_id", "embedding")
+    val q = data.filter($"vec_id" === 0L)
+    val single = SimilaritySearch.bucketedTopK(q, data, "vec_id", "embedding", k = 2, bits = 2)
+      .as[(Long, Long, Double, Int)].collect()
+    val multi = SimilaritySearch.bucketedTopKMultiProbe(q, data, "vec_id", "embedding", k = 2, bits = 2)
+      .as[(Long, Long, Double, Int)].collect()
+    assert(!single.map(_._2).contains(1L), "single probe must miss the cross-plane neighbor")
+    assert(multi.map(_._2).contains(1L), "Hamming-1 probe must recover it")
+    // and multi-probe still does NOT see Hamming-2 buckets
+    assert(!multi.map(_._2).contains(2L))
+  }
+
   test("cosine of a vector with itself is 1 within fixed-point tolerance") {
     val out = SimilaritySearch.bruteForceTopK(
       vecs, vecs.withColumn("vec_id", $"vec_id" + 100L), "vec_id", "embedding", k = 1)
