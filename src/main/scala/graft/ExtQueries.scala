@@ -256,6 +256,54 @@ object ExtQueries {
         FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rn FROM sims) r
         WHERE rn <= 3""")),
 
+    // IVF ANN: data-dependent cells (caller-supplied centroids — here a
+    // deterministic subset standing in for offline k-means), nProbe=4 of
+    // C=16 cells probed → candidates ≈ N·nProbe/C
+    QuerySpec("q50_knn_ivf",
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        SimilaritySearch.ivfTopK(
+          e.filter(col("vec_id") < 8), e, e.filter(col("vec_id") < 16),
+          "vec_id", "embedding", "vec_id", k = 3, nProbe = 4)
+      },
+      Some("""
+        WITH n2 AS (
+          SELECT vec_id, SUM(CAST(floor(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 1000000000.0) AS BIGINT)) AS n2
+          FROM (SELECT vec_id, UNNEST(embedding) AS x FROM embeddings) t GROUP BY 1),
+        cent AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 16),
+        ael AS (
+          SELECT e.vec_id AS nid, c.cid, UNNEST(e.embedding) AS x, UNNEST(c.cvec) AS y
+          FROM embeddings e, cent c),
+        adots AS (
+          SELECT nid, cid, SUM(CAST(floor(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) * 1000000000.0) AS BIGINT)) AS dot
+          FROM ael GROUP BY 1, 2),
+        asims AS (
+          SELECT nid, cid,
+            CAST(dot AS DOUBLE) / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(c2.n2 AS DOUBLE))) AS csim
+          FROM adots JOIN n2 a ON nid = a.vec_id JOIN n2 c2 ON cid = c2.vec_id),
+        ranked AS (
+          SELECT *, row_number() OVER (PARTITION BY nid ORDER BY csim DESC, cid) AS rn
+          FROM asims),
+        cells AS (SELECT nid, cid FROM ranked WHERE rn = 1),
+        probes AS (SELECT nid AS qid, cid FROM ranked WHERE rn <= 4 AND nid < 8),
+        cand AS (
+          SELECT p.qid, s.nid FROM probes p JOIN cells s ON p.cid = s.cid
+          WHERE s.nid <> p.qid),
+        el AS (
+          SELECT c.qid, c.nid, UNNEST(q.embedding) AS x, UNNEST(e.embedding) AS y
+          FROM cand c JOIN embeddings q ON c.qid = q.vec_id
+                      JOIN embeddings e ON c.nid = e.vec_id),
+        dots AS (
+          SELECT qid, nid, SUM(CAST(floor(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) * 1000000000.0) AS BIGINT)) AS dot
+          FROM el GROUP BY 1, 2),
+        sims AS (
+          SELECT qid, nid,
+            CAST(dot AS DOUBLE) / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b2.n2 AS DOUBLE))) AS sim
+          FROM dots JOIN n2 a ON qid = a.vec_id JOIN n2 b2 ON nid = b2.vec_id)
+        SELECT qid, nid, sim, CAST(rn AS INTEGER) AS rank
+        FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rn FROM sims) r
+        WHERE rn <= 3""")),
+
     // embedding-cosine near-dup: sign-bucket blocking + exact fixed-point
     // cosine threshold — the semantic-dedup pass over an embedded corpus
     QuerySpec("q44_dedup_embedding",

@@ -80,6 +80,45 @@ object SimilaritySearch {
     rank(sims, k)
   }
 
+  /** IVF (inverted-file) top-k: the data-DEPENDENT scale path, dual to
+    * the hash-based buckets. `centroids` come from the caller (trained
+    * offline — k-means or a coreset; at 100 TB centroid training is its
+    * own job, never inlined into the probe). The operator:
+    *
+    *   1. assigns every corpus vector to its nearest centroid — a
+    *      broadcast of the (tiny) centroid set against the streaming
+    *      corpus, one row-local argmax, emitted as the `cid` cell key;
+    *      the cell key is the natural physical partitioning of a
+    *      pre-assigned corpus table,
+    *   2. probes each query's `nProbe` nearest cells (the recall knob),
+    *   3. scores only candidates in probed cells — cost ≈ Q·N·nProbe/C.
+    *
+    * Ties break on centroid id, so assignment is total and the result
+    * engine-reproducible (fixed-point cosine throughout).
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
+              idCol: String, vecCol: String, cidCol: String,
+              k: Int, nProbe: Int): DataFrame = {
+    val cent = centroids.select(col(cidCol).as("cid"), col(vecCol).as("cvec"),
+      VectorFns.norm2Fixed9(col(vecCol)).as("cn2"))
+    def nearest(side: DataFrame, p: String, keep: Int): DataFrame = {
+      val w = Window.partitionBy(s"${p}id").orderBy(col("csim").desc, col("cid"))
+      side.join(broadcast(cent))
+        .select(col(s"${p}id"), col(s"${p}vec"), col(s"${p}n2"), col("cid"),
+          VectorFns.cosineFrom(VectorFns.dotFixed9(col(s"${p}vec"), col("cvec")),
+            col(s"${p}n2"), col("cn2")).as("csim"))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") <= keep)
+        .select(col(s"${p}id"), col(s"${p}vec"), col(s"${p}n2"), col("cid"))
+    }
+    val cells = nearest(withNorm(corpus, idCol, vecCol, "n"), "n", keep = 1)
+    val probes = nearest(withNorm(queries, idCol, vecCol, "q"), "q", keep = nProbe)
+    val sims = probes.join(cells, Seq("cid")).filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        VectorFns.cosineFrom(
+          VectorFns.dotFixed9(col("qvec"), col("nvec")), col("qn2"), col("nn2")).as("sim_raw"))
+    rank(sims, k)
+  }
+
   /** Aggregator-based variant of the exact search: replaces the window
     * sort with the bounded-heap [[graft.expr.TopKAggregator]] — each
     * partial buffer carries at most k entries and combines map-side, so

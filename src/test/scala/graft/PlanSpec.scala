@@ -45,4 +45,30 @@ class PlanSpec extends SparkSpec {
     assert(firstAgg >= 0 && exch >= 0)
     assert("HashAggregate".r.findAllIn(p).size >= 2) // partial + final
   }
+
+  test("q45: genre dimension-enrich broadcasts (no shuffle for the dim join)") {
+    val p = plan("q45_epg_import")
+    assert(p.contains("BroadcastHashJoin"))
+  }
+
+  test("q48: child load is one shuffle + object hash aggregate, parents join broadcast-or-shuffle on the key") {
+    val p = plan("q48_child_load")
+    // collect_list aggregates partially before the exchange (two phases)
+    assert("ObjectHashAggregate".r.findAllIn(p).size >= 2)
+  }
+
+  test("q32: minhash signatures are ONE aggregate over the postings — no k-way explode") {
+    val p = plan("q32_dedup_minhash_lsh")
+    // the signature stage reads the staged posting parquet, aggregates
+    // by id once (partial+final), and the only explode left is the
+    // per-doc band struct fan-out — no Generate feeding an Exchange of
+    // k× posting rows
+    assert(!p.contains("sequence(0, 11"), "k-way posting explode must be gone")
+  }
+
+  test("q50: IVF centroid assignment broadcasts the centroid set") {
+    val p = plan("q50_knn_ivf")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
 }

@@ -53,6 +53,31 @@ class SimilaritySpec extends SparkSpec {
     assert(!multi.map(_._2).contains(2L))
   }
 
+  test("IVF: candidates come only from probed cells; nProbe=all ≡ brute force") {
+    val data = Seq(
+      (0L, Array(1.0f, 0.05f, 0f, 0f)),
+      (1L, Array(0.9f, 0.1f, 0f, 0f)),
+      (2L, Array(0.0f, 1.0f, 0f, 0f)),
+      (3L, Array(-1.0f, 0.1f, 0f, 0f)),
+      (4L, Array(0.8f, 0.3f, 0f, 0f))
+    ).toDF("vec_id", "embedding")
+    val q = data.filter($"vec_id" === 0L)
+    // centroids: x-axis (cid 10) and y-axis (cid 11)
+    val cent = Seq((10L, Array(1.0f, 0f, 0f, 0f)), (11L, Array(0f, 1.0f, 0f, 0f)))
+      .toDF("cid", "embedding")
+    // nProbe=1: query 0 probes the x-cell only → 2 (y-cell) and 3
+    // (assigned to y-cell: cosine to x is negative) are never scored
+    val one = SimilaritySearch.ivfTopK(q, data, cent, "vec_id", "embedding", "cid",
+      k = 4, nProbe = 1).as[(Long, Long, Double, Int)].collect()
+    assert(one.map(_._2).toSet == Set(1L, 4L))
+    // probing every cell recovers the full ranking = brute force
+    val all = SimilaritySearch.ivfTopK(q, data, cent, "vec_id", "embedding", "cid",
+      k = 4, nProbe = 2).as[(Long, Long, Double, Int)].collect().sortBy(_._4)
+    val brute = SimilaritySearch.bruteForceTopK(q, data, "vec_id", "embedding", k = 4)
+      .as[(Long, Long, Double, Int)].collect().sortBy(_._4)
+    assert(all.map(_._2).toSeq == brute.map(_._2).toSeq)
+  }
+
   test("cosine of a vector with itself is 1 within fixed-point tolerance") {
     val out = SimilaritySearch.bruteForceTopK(
       vecs, vecs.withColumn("vec_id", $"vec_id" + 100L), "vec_id", "embedding", k = 1)
