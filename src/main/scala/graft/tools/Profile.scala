@@ -23,11 +23,15 @@ object Profile {
     spark.sparkContext.setLogLevel("ERROR")
     val reg = Queries.all.map(q => q.name -> q.run).toMap
     names.foreach { n =>
+      // time construction + execution: operators with eager staging
+      // writes (Dedup.staged) do real work during construction, so
+      // timing only count() under-reports them
+      val t0 = System.nanoTime()
       val df = reg(n)(spark, sfDir)
       if (doExplain) { println(s"==== $n"); df.explain("formatted") }
-      val t0 = System.nanoTime()
       val cnt = df.count()
       println(f"TIME $n ${(System.nanoTime() - t0) / 1e9}%.2f s  rows=$cnt")
+      spark.catalog.clearCache()
     }
     spark.stop()
   }
