@@ -334,6 +334,26 @@ object ExtQueries {
         FROM dots JOIN n2 a ON id_a = a.vec_id JOIN n2 c ON id_b = c.vec_id
         WHERE CAST(dot AS DOUBLE) / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(c.n2 AS DOUBLE))) >= 0.4""")),
 
+    // winnowing (MOSS) fingerprints: min-hash of each sliding window of
+    // w=4 char-8-gram hashes — density ~2/(w+1), position-robust; digest
+    // is order-independent so identical fingerprint sets hash equal
+    QuerySpec("q51_winnow_fingerprint",
+      (s, dir) => Dedup.winnowFingerprints(Tables.documents(s, dir),
+        "doc_id", "text", k = 8, w = 4),
+      Some("""
+        WITH d AS (SELECT doc_id, lower(text) AS t FROM documents WHERE length(text) >= 8),
+        p AS (
+          SELECT doc_id, i AS pos, md5(substr(t, CAST(i AS INTEGER), 8)) AS h
+          FROM d, UNNEST(range(1, length(t) - 6)) AS u(i)),
+        wm AS (
+          SELECT doc_id,
+            min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                         ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin
+          FROM p)
+        SELECT doc_id AS id, CAST(count(DISTINCT wmin) AS INTEGER) AS n_fps,
+          md5(array_to_string(list_sort(list(DISTINCT wmin)), '')) AS fp_digest
+        FROM wm GROUP BY 1""")),
+
     // language-ID heuristic: stopword-lexicon hit counts, fixed-priority
     // argmax — output is a lang × prediction confusion matrix
     QuerySpec("q36_lang_id",

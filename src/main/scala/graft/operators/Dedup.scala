@@ -91,12 +91,14 @@ object Dedup {
     // join sides): stage it once (see [[staged]] — AQE re-plans each
     // consumer as its own job, so exchange reuse does NOT span them and
     // an unstaged posting table would be recomputed per consumer).
-    val sh = shingleSet(docs, idCol, textCol, n)
-    val kept = staged(
-      sh.withColumn("df", count(lit(1)).over(
-          org.apache.spark.sql.expressions.Window.partitionBy("sh")))
-        .filter(col("df") <= dfCap).drop("df"),
-      "jaccard_postings")
+    // The frequency cap is a hash-aggregate + semi-join, NOT a window
+    // over partitionBy(sh): the window's per-key sort concentrates a
+    // hot shingle on one task and AQE cannot split it; the agg combines
+    // map-side and the join is skew-splittable.
+    val sh = staged(shingleSet(docs, idCol, textCol, n), "jaccard_shingles")
+    val rare = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= dfCap).select("sh")
+    val kept = staged(sh.join(rare, Seq("sh"), "left_semi"), "jaccard_postings")
     val sizes = kept.groupBy("id").agg(count(lit(1)).as("sz"))
     val a = kept.select(col("id").as("doc_a"), col("sh"))
     val b = kept.select(col("id").as("doc_b"), col("sh"))
@@ -196,6 +198,36 @@ object Dedup {
         VectorFns.cosineFrom(VectorFns.dotFixed9(col("va"), col("vb")),
           col("n2a"), col("n2b")).as("sim"))
       .filter(col("sim") >= minSim)
+  }
+
+  /** Winnowing document fingerprints (the MOSS scheme): hash every
+    * character `k`-gram, then keep the minimum hash of each sliding
+    * window of `w` consecutive positions — a deterministic, position-
+    * robust fingerprint set whose density is ~2/(w+1) regardless of
+    * document length. The standard plagiarism/near-dup fingerprint when
+    * token shingles are too coarse.
+    *
+    * Engine-portable (md5 over substrings, per-doc sorted digest);
+    * row-local except one per-doc ordered window — the partition key is
+    * the doc id, so no cross-doc skew (window length = doc length).
+    * Emitted per doc: fingerprint count + an order-independent digest of
+    * the fingerprint set (join-ready for exact-match clustering).
+    */
+  def winnowFingerprints(docs: DataFrame, idCol: String, textCol: String,
+                         k: Int, w: Int): DataFrame = {
+    val parallelism = math.min(docs.sparkSession.sparkContext.defaultParallelism, 16)
+    val pos = docs.repartition(parallelism, col(idCol))
+      .select(col(idCol).as("id"), lower(col(textCol)).as("t"))
+      .filter(length(col("t")) >= k)
+      .select(col("id"), explode(sequence(lit(1), length(col("t")) - (k - 1))).as("pos"),
+        col("t"))
+      .select(col("id"), col("pos"), md5(expr(s"substring(t, pos, $k)")).as("h"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy("pos").rowsBetween(0, w - 1)
+    pos.withColumn("wmin", min(col("h")).over(win))
+      .groupBy("id")
+      .agg(countDistinct(col("wmin")).cast("int").as("n_fps"),
+        md5(concat_ws("", sort_array(collect_set(col("wmin"))))).as("fp_digest"))
   }
 
   /** SimHash near-dup pairs: 32-bit signature over distinct tokens,

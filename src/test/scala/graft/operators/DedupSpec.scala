@@ -56,4 +56,21 @@ class DedupSpec extends SparkSpec {
     assert(got((1L, 4L)) == 0) // same tokens → same signature
     assert(!got.contains((1L, 3L)))
   }
+
+  test("winnowFingerprints: identical text ⇒ identical digest; density ~2/(w+1); short docs dropped") {
+    val data = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"), // identical
+      (3L, "a completely different sentence about spark engines"),
+      (4L, "short")                                        // < k chars → no fingerprints
+    ).toDF("doc_id", "text")
+    val fps = Dedup.winnowFingerprints(data, "doc_id", "text", k = 8, w = 4)
+      .as[(Long, Int, String)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+    assert(fps(1L) == fps(2L), "same text must fingerprint identically")
+    assert(fps(1L)._2 != fps(3L)._2)
+    assert(!fps.contains(4L))
+    // winnowing keeps roughly one hash per w positions — far fewer than all
+    val positions = data.filter($"doc_id" === 1L).as[(Long, String)].collect().head._2.length - 7
+    assert(fps(1L)._1 < positions / 2 && fps(1L)._1 >= positions / (4 * 2))
+  }
 }
