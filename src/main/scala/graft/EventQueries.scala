@@ -96,6 +96,26 @@ object EventQueries {
         FROM events, mx WHERE CAST(ts AS TIMESTAMP) >= m - INTERVAL 8 DAY
         GROUP BY 1""")),
 
+    // Streaming exact dedup end-to-end: the SAME events file feeds TWO
+    // file streams unioned (every event arrives twice — the reprocessing/
+    // at-least-once delivery case), then a stateful dropDuplicates by
+    // event_id chained into a complete-mode aggregate recovers exactly
+    // the batch answer — which is what the DuckDB oracle checks.
+    QuerySpec("q52_stream_dedup",
+      (s, dir) => {
+        GraftSession.tune(s)
+        val batchSchema = s.read.parquet(s"$dir/events.parquet").schema
+        def src = s.readStream.schema(batchSchema)
+          .option("pathGlobFilter", "events.parquet").parquet(dir)
+        val doubled = src.unionByName(src)
+        val agg = graft.streaming.Streams.dedupedCounts(
+          doubled, Seq("event_id"), "event_type")
+        graft.streaming.Streams.runToCompletion(s, agg, "complete")
+      },
+      Some("""
+        SELECT event_type, count(*) AS n_events
+        FROM events GROUP BY 1""")),
+
     // Structured Streaming end-to-end: file source → watermark → windowed
     // agg → memory sink, driven to completion (Trigger.AvailableNow
     // semantics via processAllAvailable). Complete output mode, so the

@@ -78,6 +78,18 @@ object Streams {
         tick(batch.toDF(), id)
       }
 
+  /** Streaming exact dedup (the streaming form of the key-level dedup
+    * U3): drop duplicate rows by key columns from an unbounded stream,
+    * then aggregate. The dedup keeps per-key state; in production the
+    * `withinWatermark` variant bounds that state by event time — here
+    * the bounded-source test path exercises the same chained
+    * stateful-dedup → aggregate topology.
+    */
+  def dedupedCounts(stream: DataFrame, keyCols: Seq[String], groupCol: String): DataFrame =
+    stream.dropDuplicates(keyCols)
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_events"))
+
   /** Drive a streaming query built from a bounded source to completion
     * and return the sink table (test/backfill harness).
     */
