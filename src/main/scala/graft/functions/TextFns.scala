@@ -46,14 +46,16 @@ object TextFns {
   /** Lowercased whitespace tokens, empties dropped.
     *
     * No higher-order `filter` (HOFs evaluate interpreted, outside
-    * whole-stage codegen — they dominated the round-1 text-path profile):
-    * after `trim`, a `\s+` split of a NON-empty string can produce no
-    * empty elements, so the only case the old filter handled is the
-    * all-whitespace document — handled by the `when` instead.
+    * whole-stage codegen — they dominated the round-1 text-path profile).
+    * Edges are trimmed with a REGEX (`trim()` strips only 0x20 spaces —
+    * a tab/newline-edged string would otherwise split into empty edge
+    * tokens); after that, a `\s+` split of a non-empty string can
+    * produce no empty elements, and the all-whitespace/empty document
+    * yields an empty array via the `when`.
     */
   def tokens(c: Column): Column = {
-    val t = trim(c)
-    when(length(t) === 0, array().cast("array<string>"))
+    val t = regexp_replace(c, "^\\s+|\\s+$", "")
+    when(t.isNull || length(t) === 0, array().cast("array<string>"))
       .otherwise(split(lower(t), "\\s+"))
   }
 
@@ -99,5 +101,7 @@ object TextFns {
     */
   def lexiconHits(text: Column, lexicon: Seq[String]): Column =
     regexp_count(lower(text),
-      lit("(?<![^\\s])(?:" + lexicon.mkString("|") + ")(?![^\\s])")).cast("int")
+      lit("(?<![^\\s])(?:" +
+        lexicon.map(java.util.regex.Pattern.quote).mkString("|") +
+        ")(?![^\\s])")).cast("int")
 }

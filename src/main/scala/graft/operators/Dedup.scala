@@ -28,20 +28,25 @@ object Dedup {
     val spark = df.sparkSession
     val root = spark.conf.getOption("graft.staging.dir")
       .getOrElse(sys.props("java.io.tmpdir") + "/graft_stage")
-    val path = s"$root/${hint}_${java.util.UUID.randomUUID().toString.take(8)}"
+    // per-JVM session subdir: exit cleanup removes ONLY this JVM's
+    // staging — never a shared root another running job still reads,
+    // and never a caller-owned graft.staging.dir itself
+    val path = s"$root/$sessionId/${hint}_${java.util.UUID.randomUUID().toString.take(8)}"
     df.write.mode("overwrite").parquet(path)
-    cleanupOnExit(root)
+    cleanupOnExit(s"$root/$sessionId")
     spark.read.parquet(path)
   }
 
+  private val sessionId: String =
+    s"jvm_${java.lang.ProcessHandle.current().pid()}_${java.util.UUID.randomUUID().toString.take(8)}"
   private val hooked = new java.util.concurrent.atomic.AtomicBoolean(false)
-  private def cleanupOnExit(root: String): Unit =
+  private def cleanupOnExit(dir: String): Unit =
     if (hooked.compareAndSet(false, true))
       Runtime.getRuntime.addShutdownHook(new Thread(() => {
         def rm(f: java.io.File): Unit = {
           Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
         }
-        rm(new java.io.File(root))
+        rm(new java.io.File(dir))
       }))
 
   /** Exact dedup via canonical-text fingerprint (lowercase, strip
@@ -125,6 +130,9 @@ object Dedup {
     */
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String, n: Int,
                       k: Int, rowsPerBand: Int): DataFrame = {
+    require(k % rowsPerBand == 0,
+      s"k ($k) must be a multiple of rowsPerBand ($rowsPerBand): a partial " +
+        "trailing band would silently change the LSH collision probability")
     // The posting table feeds four consumers (minhashes, sizes, both
     // verify sides): stage it once — see [[staged]].
     val sh = staged(shingleSet(docs, idCol, textCol, n), "minhash_postings")
@@ -262,21 +270,30 @@ object Dedup {
       toks.groupBy("id").agg(voteCols.head, voteCols.tail: _*)
         .select(col("id"), sigExpr.as("simhash")),
       "simhash_sigs")
-    // Blocking key = an agreeing PAIR of bands (all C(4,2)=6 pairs):
-    // hamming ≤ 1 flips a bit in at most one band, so ≥ 3 bands — hence
-    // ≥ 3 band PAIRS — agree exactly, and no qualifying pair is missed.
-    // 16-bit cells shrink hot blocks quadratically vs single-band 8-bit
-    // cells (templated corpora cluster heavily on one band value), which
-    // is what bounds Σ|block|² — the candidate volume — at scale.
+    // Blocking key: with 4 bands, `maxHamming` flips can dirty at most
+    // `maxHamming` bands, so pairs within range agree on ≥ 4-maxHamming
+    // bands. For maxHamming ≤ 2 that guarantees an agreeing PAIR of
+    // bands — block on all C(4,2)=6 pairs: 16-bit cells shrink hot
+    // blocks quadratically vs single-band 8-bit cells (templated corpora
+    // cluster heavily on one band value), which is what bounds Σ|block|²
+    // — the candidate volume — at scale. For maxHamming = 3 only a
+    // single clean band is guaranteed, so fall back to single-band
+    // blocking (coarser cells, full recall).
     // pair (k1,k2) encoded as bp = k1*4+k2, recovered as (bp div 4, bp % 4)
-    val bandPairs = for (k1 <- 0 until 4; k2 <- k1 + 1 until 4) yield k1 * 4 + k2
+    require(maxHamming <= 3, s"4-band blocking covers maxHamming <= 3, got $maxHamming")
+    val bandKeys =
+      if (maxHamming <= 2) for (k1 <- 0 until 4; k2 <- k1 + 1 until 4) yield k1 * 4 + k2
+      else 16 until 20 // sentinel ids for single bands 0..3
+    val bandvalExpr =
+      if (maxHamming <= 2)
+        "(((simhash >> ((bp div 4) * 8)) & 255) << 8) | ((simhash >> ((bp % 4) * 8)) & 255)"
+      else "(simhash >> ((bp - 16) * 8)) & 255"
     val banded = sig.select(col("id"), col("simhash"),
-        explode(array(bandPairs.map(lit): _*)).as("bp"))
-      .withColumn("bandval", expr(
-        "(((simhash >> ((bp div 4) * 8)) & 255) << 8) | ((simhash >> ((bp % 4) * 8)) & 255)"))
+        explode(array(bandKeys.map(lit): _*)).as("bp"))
+      .withColumn("bandval", expr(bandvalExpr))
     // Hamming filter BEFORE the pair-dedup: the band join can emit the
-    // same pair up to 6 times, but filtering first shrinks the distinct's
-    // input by orders of magnitude.
+    // same pair several times, but filtering first shrinks the
+    // distinct's input by orders of magnitude.
     banded.select(col("id").as("doc_a"), col("simhash").as("sig_a"), col("bp"), col("bandval"))
       .join(banded.select(col("id").as("doc_b"), col("simhash").as("sig_b"), col("bp"), col("bandval")),
         Seq("bp", "bandval"))

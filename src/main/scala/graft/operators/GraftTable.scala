@@ -105,9 +105,17 @@ final class GraftTable(spark: SparkSession, val path: String,
     m.count()
     val emptiedVals = touched
       .join(m.select(partitionCol).distinct(), Seq(partitionCol), "left_anti")
-      .collect().map(_.get(0).toString)
+      .collect().map(r => Option(r.get(0)).map(_.toString))
     emptiedVals.foreach { v =>
-      val dir = java.nio.file.Paths.get(path, s"$partitionCol=$v")
+      // Hive path encoding: special chars are %-escaped in directory
+      // names and a null partition value has its own sentinel — a raw
+      // "$col=$v" would miss both and leave the deleted rows on disk
+      val dirName = v match {
+        case Some(value) =>
+          s"$partitionCol=" + org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName(value)
+        case None => s"$partitionCol=__HIVE_DEFAULT_PARTITION__"
+      }
+      val dir = java.nio.file.Paths.get(path, dirName)
       if (java.nio.file.Files.exists(dir)) {
         import scala.jdk.CollectionConverters._
         java.nio.file.Files.walk(dir).iterator().asScala.toSeq

@@ -101,17 +101,27 @@ object SimilaritySearch {
               k: Int, nProbe: Int): DataFrame = {
     val cent = centroids.select(col(cidCol).as("cid"), col(vecCol).as("cvec"),
       VectorFns.norm2Fixed9(col(vecCol)).as("cn2"))
-    def nearest(side: DataFrame, p: String, keep: Int): DataFrame = {
-      val w = Window.partitionBy(s"${p}id").orderBy(col("csim").desc, col("cid"))
+    def scored(side: DataFrame, p: String): DataFrame =
       side.join(broadcast(cent))
         .select(col(s"${p}id"), col(s"${p}vec"), col(s"${p}n2"), col("cid"),
           VectorFns.cosineFrom(VectorFns.dotFixed9(col(s"${p}vec"), col("cvec")),
             col(s"${p}n2"), col("cn2")).as("csim"))
-        .withColumn("rn", row_number().over(w)).filter(col("rn") <= keep)
-        .select(col(s"${p}id"), col(s"${p}vec"), col(s"${p}n2"), col("cid"))
-    }
-    val cells = nearest(withNorm(corpus, idCol, vecCol, "n"), "n", keep = 1)
-    val probes = nearest(withNorm(queries, idCol, vecCol, "q"), "q", keep = nProbe)
+    // corpus assignment: argmax as a map-side-combinable max_by — the
+    // C-way broadcast fan-out collapses back to one row per vector
+    // BEFORE any exchange (a window formulation would shuffle C× the
+    // corpus just to keep rn=1). Tie order (csim, -cid) is total.
+    val cells = scored(withNorm(corpus, idCol, vecCol, "n"), "n")
+      .groupBy("nid")
+      .agg(max_by(struct(col("cid"), col("nvec"), col("nn2")),
+        struct(col("csim"), -col("cid"))).as("best"))
+      .select(col("nid"), col("best.cid").as("cid"),
+        col("best.nvec").as("nvec"), col("best.nn2").as("nn2"))
+    // query probes (top-nProbe cells) keep the window — the query side
+    // is small by contract
+    val wProbe = Window.partitionBy("qid").orderBy(col("csim").desc, col("cid"))
+    val probes = scored(withNorm(queries, idCol, vecCol, "q"), "q")
+      .withColumn("rn", row_number().over(wProbe)).filter(col("rn") <= nProbe)
+      .select(col("qid"), col("qvec"), col("qn2"), col("cid"))
     val sims = probes.join(cells, Seq("cid")).filter(col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"),
         VectorFns.cosineFrom(

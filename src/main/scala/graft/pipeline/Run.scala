@@ -56,16 +56,24 @@ object Run {
       .importOnce(conform(Pipelines.genresLoad(Fixtures.genresCsv(spark)), Genre.schema))
     val genres = genresT.read
 
-    // E1 — per-day EPG import, skipped for days already present
-    // (server/etl.py:71); the day partition comes from beginn, so one
-    // csv's rows may land in several partitions — importOnce admits only
-    // the absent ones
+    // E1 — per-day EPG import. The guard is the reference's: skip the
+    // FILE when its nominal day partition already has rows
+    // (table_isempty(Recording, PartitionKey), server/etl.py:71). The
+    // rows themselves are applied as keyed UPSERTS, not a partition-
+    // grain importOnce: a file's rows can land in OTHER partitions
+    // (after-midnight listings, the 1900_01_01 bad-date default) that
+    // may already exist — a partition-grain filter would silently drop
+    // those forever.
     val recsT = new GraftTable(spark, s"$base/recordings", keys, "PartitionKey")
       .createIfNotExists(Recording.schema)
     epgDays.foreach { day =>
-      recsT.importOnce(conform(
-        Pipelines.epgRecords(Fixtures.epgCsvDay(spark, day), genres),
-        Recording.schema))
+      val dayPresent = KeyedTable.exists(
+        recsT.read.filter(col("PartitionKey") === day))
+      if (!dayPresent)
+        recsT.upsertReplace(
+          conform(Pipelines.epgRecords(Fixtures.epgCsvDay(spark, day), genres),
+            Recording.schema),
+          tiebreak = Seq("RowKey"))
     }
 
     // E2 — toplist refinement: parse → rating threshold → semi-join to

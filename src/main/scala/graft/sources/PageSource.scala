@@ -69,10 +69,15 @@ final class PageTable(path: String, pageSize: Int) extends Table with SupportsRe
 final class PageScanBuilder(path: String, pageSize: Int)
     extends ScanBuilder with SupportsPushDownLimit {
   private var limit = Int.MaxValue
-  /** Returning true = fully pushed: the scan emits at most `n` rows
-    * itself (per-partition budgets below), so Spark drops its own Limit.
+  /** Returning false = partially pushed: the scan still uses the limit
+    * to bound which pages are PLANNED (the early-stop), but Spark keeps
+    * its own Limit on top — so a page that violates the fixed-pageSize
+    * protocol by running short can never cause silent over-delivery.
+    * (A short page means the feed is exhausted in the reference
+    * protocol — pages are fixed-size except the last — so the planned
+    * prefix still covers the limit whenever the protocol holds.)
     */
-  override def pushLimit(n: Int): Boolean = { limit = n; true }
+  override def pushLimit(n: Int): Boolean = { limit = n; false }
   override def build(): Scan = new PageScan(path, pageSize, limit)
 }
 

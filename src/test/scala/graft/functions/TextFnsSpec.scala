@@ -56,8 +56,11 @@ class TextFnsSpec extends SparkSpec {
   }
 
   test("tokens: whitespace split, lowercased, empty/whitespace-only → empty array") {
-    val got = Seq("  The  Cat\njumped ", "", "   ").toDF("t")
+    // tab/newline EDGES matter: Spark trim() strips only 0x20 spaces, so
+    // a naive trim+split would emit empty edge tokens for "\tx" / "x\n"
+    val got = Seq("  The  Cat\njumped ", "", "   ", "\tThe cat\t", "x\n", "\t\n")
+      .toDF("t")
       .select(size(TextFns.tokens($"t")).as("n")).as[Int].collect().toSeq
-    assert(got == Seq(3, 0, 0))
+    assert(got == Seq(3, 0, 0, 2, 1, 0))
   }
 }
