@@ -15,6 +15,26 @@ import org.apache.spark.sql.functions._
   * predicate read only those directories) and should match the dominant
   * access pattern — the broadcast day for the reference workload.
   */
+object GraftTable {
+
+  /** Write `df` as a BUCKETED table: rows are hash-distributed into
+    * `buckets` files by `bucketCols` and sorted within each bucket, and
+    * the bucketing is recorded in the catalog — so a later equi-join or
+    * aggregation on the bucket columns reads co-located data and plans
+    * NO shuffle exchange (asserted in `BucketingSpec`). This is the
+    * physical lever SCALE.md's fact-fact join row relies on: bucket both
+    * fact tables on the join key once at write time, and every
+    * subsequent join on that key is exchange-free regardless of size.
+    */
+  def writeBucketed(df: org.apache.spark.sql.DataFrame, table: String, path: String,
+                    buckets: Int, bucketCols: Seq[String]): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .option("path", path)
+      .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .saveAsTable(table)
+}
+
 final class GraftTable(spark: SparkSession, val path: String,
                        val keys: Seq[String], val partitionCol: String) {
 
