@@ -253,6 +253,8 @@ object Dedup {
     */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int): DataFrame = {
+    // validate BEFORE the eager staging write below does any work
+    require(maxHamming <= 3, s"4-band blocking covers maxHamming <= 3, got $maxHamming")
     val parallelism = docs.sparkSession.sparkContext.defaultParallelism
     val toks = docs.repartition(parallelism, col(idCol))
       .select(col(idCol).as("id"), explode(TextFns.tokens(col(textCol))).as("t"))
@@ -280,7 +282,6 @@ object Dedup {
     // single clean band is guaranteed, so fall back to single-band
     // blocking (coarser cells, full recall).
     // pair (k1,k2) encoded as bp = k1*4+k2, recovered as (bp div 4, bp % 4)
-    require(maxHamming <= 3, s"4-band blocking covers maxHamming <= 3, got $maxHamming")
     val bandKeys =
       if (maxHamming <= 2) for (k1 <- 0 until 4; k2 <- k1 + 1 until 4) yield k1 * 4 + k2
       else 16 until 20 // sentinel ids for single bands 0..3

@@ -117,14 +117,21 @@ final class GraftTable(spark: SparkSession, val path: String,
   def deleteByKeys(deleteKeys: DataFrame): this.type = {
     val touched = read.join(deleteKeys, keys, "left_semi")
       .select(partitionCol).distinct()
-    val current = read.join(touched, Seq(partitionCol), "left_semi")
+    // partition-value joins must be NULL-SAFE: a null partition value is
+    // legal (Hive default partition), and a null-unsafe semi/anti join
+    // would silently exclude its surviving rows from the rewrite while
+    // still dropping its directory — i.e. delete rows it was never asked
+    // to delete
+    val tp = touched.withColumnRenamed(partitionCol, "__tp")
+    val current = read.join(tp, col(partitionCol) <=> col("__tp"), "left_semi")
     val remaining = KeyedTable.deleteByKeys(current, deleteKeys, keys)
     // materialize BEFORE any file is dropped/overwritten: the plan reads
     // the very files this method mutates
     val m = remaining.persist()
     m.count()
+    val mp = m.select(col(partitionCol).as("__mp")).distinct()
     val emptiedVals = touched
-      .join(m.select(partitionCol).distinct(), Seq(partitionCol), "left_anti")
+      .join(mp, col(partitionCol) <=> col("__mp"), "left_anti")
       .collect().map(r => Option(r.get(0)).map(_.toString))
     emptiedVals.foreach { v =>
       // Hive path encoding: special chars are %-escaped in directory

@@ -56,14 +56,17 @@ object Run {
       .importOnce(conform(Pipelines.genresLoad(Fixtures.genresCsv(spark)), Genre.schema))
     val genres = genresT.read
 
-    // E1 — per-day EPG import. The guard is the reference's: skip the
-    // FILE when its nominal day partition already has rows
-    // (table_isempty(Recording, PartitionKey), server/etl.py:71). The
-    // rows themselves are applied as keyed UPSERTS, not a partition-
-    // grain importOnce: a file's rows can land in OTHER partitions
-    // (after-midnight listings, the 1900_01_01 bad-date default) that
-    // may already exist — a partition-grain filter would silently drop
-    // those forever.
+    // E1 — per-day EPG import. The guard is EXACTLY the reference's:
+    // skip the FILE when its nominal day partition already has rows
+    // (table_isempty(Recording, PartitionKey), server/etl.py:71) —
+    // including the reference's quirk that a previous file's spillover
+    // row into this day's partition suppresses this day's file. The rows
+    // themselves are applied as keyed UPSERTS (per-row tmp.save() in the
+    // reference), not a partition-grain importOnce — a file's rows can
+    // land in OTHER partitions (after-midnight listings, the 1900_01_01
+    // bad-date default) and still apply. The tiebreak is a PAYLOAD
+    // order (keys would be a no-op inside their own window) so a dirty
+    // file carrying duplicate (day, Id) rows resolves deterministically.
     val recsT = new GraftTable(spark, s"$base/recordings", keys, "PartitionKey")
       .createIfNotExists(Recording.schema)
     epgDays.foreach { day =>
@@ -73,7 +76,7 @@ object Run {
         recsT.upsertReplace(
           conform(Pipelines.epgRecords(Fixtures.epgCsvDay(spark, day), genres),
             Recording.schema),
-          tiebreak = Seq("RowKey"))
+          tiebreak = Seq("beginn", "titel", "downloadlink"))
     }
 
     // E2 — toplist refinement: parse → rating threshold → semi-join to

@@ -59,8 +59,9 @@ object Stress {
       shuffleRec.set(0); inputRec.set(0)
       val t0 = System.nanoTime()
       val n = f
+      val dt = (System.nanoTime() - t0) / 1e9 // capture BEFORE the drain sleep
       Thread.sleep(1500)
-      println(f"STRESS $tag wall=${(System.nanoTime() - t0) / 1e9}%.1fs " +
+      println(f"STRESS $tag wall=$dt%.1fs " +
         f"out=$n shuffleRec=${shuffleRec.get()} inputRec=${inputRec.get()}")
     }
 

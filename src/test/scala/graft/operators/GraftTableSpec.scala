@@ -88,4 +88,20 @@ class GraftTableSpec extends SparkSpec {
     assert(t2.read.select("day", "rk").as[(String, String)].collect().toSet
       == Set(("d1", "r2"), ("d3", "r1")))
   }
+
+  test("deleteByKeys on a NULL partition value: partial delete keeps survivors, full delete drops the default dir") {
+    val t = freshTable().createIfNotExists(rows().schema)
+    t.importOnce(Seq((null.asInstanceOf[String], "p", "rA", 1),
+      (null.asInstanceOf[String], "q", "rB", 2), ("d1", "z", "r1", 3))
+      .toDF("day", "pk", "rk", "n"))
+    val defaultDir = new java.io.File(s"${t.path}/day=__HIVE_DEFAULT_PARTITION__")
+    assert(defaultDir.exists)
+    // partial: only rA deleted — rB must SURVIVE in the null partition
+    t.deleteByKeys(Seq(("p", "rA")).toDF("pk", "rk"))
+    assert(t.read.filter($"day".isNull).select("rk").as[String].collect().toSeq == Seq("rB"))
+    // full: rB deleted too — now the default-partition dir is dropped
+    t.deleteByKeys(Seq(("q", "rB")).toDF("pk", "rk"))
+    assert(!defaultDir.exists, "emptied null partition dir must be dropped")
+    assert(t.read.select("rk").as[String].collect().toSeq == Seq("r1"))
+  }
 }
