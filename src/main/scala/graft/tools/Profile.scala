@@ -89,32 +89,31 @@ object ProfileMinhash {
     }
     import org.apache.spark.sql.functions._
     val docs = graft.Tables.documents(spark, sfDir)
-    val sh = graft.operators.Dedup.shingleSet(docs, "doc_id", "text", 4)
-    time("sh")(sh.count())
+    val sh0 = graft.operators.Dedup.shingleSet(docs, "doc_id", "text", 4)
+    val stage = java.nio.file.Files.createTempDirectory("prof_mh").toString + "/p"
+    time("stage_write")(sh0.write.parquet(stage))
+    val sh = spark.read.parquet(stage)
+    time("stage_read_count")(sh.count())
     val k = 12; val rowsPerBand = 3
-    val mh = sh
-      .select(col("id"), explode(sequence(lit(0), lit(k - 1))).as("i"), col("sh"))
-      .groupBy("id", "i")
-      .agg(min(md5(concat(col("i").cast("string"), lit(":"), col("sh")))).as("mh"))
-    time("mh")(mh.count())
-    val bands = mh.withColumn("band", expr(s"i div $rowsPerBand"))
-      .groupBy("id", "band")
-      .agg(md5(array_join(transform(
-        array_sort(collect_list(struct(col("i"), col("mh")))),
-        x => x.getField("mh")), ",")).as("sig"))
-    time("bands")(bands.count())
+    // baseline: ONE md5 per posting row (lower bound for hash work)
+    time("one_md5")(sh.select(md5(col("sh")).as("h")).agg(max("h")).collect())
+    // the operator's signature stage: k conditional-min md5 columns
+    val mhCols = (0 until k).map(i =>
+      min(md5(concat(lit(s"$i:"), col("sh")))).as(s"mh_$i"))
+    val sigs = sh.groupBy("id").agg(mhCols.head, mhCols.tail: _*)
+    time("sig_agg_12md5")(sigs.count())
+    val bandStructs = array((0 until k / rowsPerBand).map { b =>
+      struct(lit(b).as("band"),
+        md5(concat_ws(",",
+          (0 until rowsPerBand).map(p => col(s"mh_${b * rowsPerBand + p}")): _*)).as("sig"))
+    }: _*)
+    val bands = sigs.select(col("id"), explode(bandStructs).as("bs"))
+      .select(col("id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
     val cand = bands.select(col("id").as("doc_a"), col("band"), col("sig"))
       .join(bands.select(col("id").as("doc_b"), col("band"), col("sig")), Seq("band", "sig"))
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
-    time("cand")(cand.count())
-    val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
-    time("sizes")(sizes.count())
-    val shared = cand
-      .join(sh.select(col("id").as("doc_a"), col("sh")), Seq("doc_a"))
-      .join(sh.select(col("id").as("doc_b"), col("sh")), Seq("doc_b", "sh"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("shared"))
-    time("shared")(shared.count())
+    time("bands_cand")(cand.count())
     time("full")(graft.operators.Dedup.minhashLshPairs(docs, "doc_id", "text", 4, 12, 3).count())
     spark.stop()
   }
