@@ -22,32 +22,28 @@ object Dedup {
     * an unbounded table in executor memory; a staging file is bounded by
     * disk, spill-free, and exactly what a cluster deployment would use —
     * set `graft.staging.dir` to a job-scoped cluster path there (default:
-    * local tmp, removed on JVM exit).
+    * local tmp). Lifecycle: see [[Staging]] — every root is tracked and
+    * removed at JVM exit; the disk cost until then is one parquet copy
+    * of each staged intermediate per operator CONSTRUCTION, so a
+    * long-lived session constructing many operators should set a
+    * job-scoped `graft.staging.dir` it recycles between jobs.
     */
-  private[operators] def staged(df: DataFrame, hint: String): DataFrame = {
-    val spark = df.sparkSession
-    val root = spark.conf.getOption("graft.staging.dir")
-      .getOrElse(sys.props("java.io.tmpdir") + "/graft_stage")
-    // per-JVM session subdir: exit cleanup removes ONLY this JVM's
-    // staging — never a shared root another running job still reads,
-    // and never a caller-owned graft.staging.dir itself
-    val path = s"$root/$sessionId/${hint}_${java.util.UUID.randomUUID().toString.take(8)}"
-    df.write.mode("overwrite").parquet(path)
-    cleanupOnExit(s"$root/$sessionId")
-    spark.read.parquet(path)
-  }
+  private[operators] def staged(df: DataFrame, hint: String): DataFrame =
+    Staging.stage(df, hint).df
 
-  private val sessionId: String =
-    s"jvm_${java.lang.ProcessHandle.current().pid()}_${java.util.UUID.randomUUID().toString.take(8)}"
-  private val hooked = new java.util.concurrent.atomic.AtomicBoolean(false)
-  private def cleanupOnExit(dir: String): Unit =
-    if (hooked.compareAndSet(false, true))
-      Runtime.getRuntime.addShutdownHook(new Thread(() => {
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
-        }
-        rm(new java.io.File(dir))
-      }))
+  /** Fan-out width for the explode-heavy stages. A dimension-sized
+    * parquet arrives as one input split, which would serialize the
+    * explode on a single core — so these stages repartition first.
+    * Default: the cluster's `defaultParallelism`, clamped to 16 only on
+    * SMALL clusters (the clamp is a small-data overhead guard; at
+    * 1000-executor scale `defaultParallelism` rules). Override with
+    * `graft.fanout.partitions`.
+    */
+  private[operators] def fanout(spark: org.apache.spark.sql.SparkSession): Int =
+    spark.conf.getOption("graft.fanout.partitions").map(_.toInt).getOrElse {
+      val p = spark.sparkContext.defaultParallelism
+      if (p <= 64) math.min(p, 16) else p
+    }
 
   /** Exact dedup via canonical-text fingerprint (lowercase, strip
     * punctuation, collapse whitespace, md5): one hash-aggregate, the
@@ -69,7 +65,7 @@ object Dedup {
     * the explode on a single core.
     */
   def shingleSet(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
-    val parallelism = math.min(docs.sparkSession.sparkContext.defaultParallelism, 16)
+    val parallelism = fanout(docs.sparkSession)
     val w = org.apache.spark.sql.expressions.Window.partitionBy("id").orderBy("pos")
     val leads = (1 until n).map(j => lead(col("t"), j).over(w))
     docs.repartition(parallelism, col(idCol))
@@ -223,7 +219,7 @@ object Dedup {
     */
   def winnowFingerprints(docs: DataFrame, idCol: String, textCol: String,
                          k: Int, w: Int): DataFrame = {
-    val parallelism = math.min(docs.sparkSession.sparkContext.defaultParallelism, 16)
+    val parallelism = fanout(docs.sparkSession)
     val pos = docs.repartition(parallelism, col(idCol))
       .select(col(idCol).as("id"), lower(col(textCol)).as("t"))
       .filter(length(col("t")) >= k)
@@ -255,7 +251,7 @@ object Dedup {
                    maxHamming: Int): DataFrame = {
     // validate BEFORE the eager staging write below does any work
     require(maxHamming <= 3, s"4-band blocking covers maxHamming <= 3, got $maxHamming")
-    val parallelism = docs.sparkSession.sparkContext.defaultParallelism
+    val parallelism = fanout(docs.sparkSession)
     val toks = docs.repartition(parallelism, col(idCol))
       .select(col(idCol).as("id"), explode(TextFns.tokens(col(textCol))).as("t"))
       .distinct()

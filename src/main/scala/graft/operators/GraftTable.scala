@@ -125,10 +125,16 @@ final class GraftTable(spark: SparkSession, val path: String,
     val tp = touched.withColumnRenamed(partitionCol, "__tp")
     val current = read.join(tp, col(partitionCol) <=> col("__tp"), "left_semi")
     val remaining = KeyedTable.deleteByKeys(current, deleteKeys, keys)
-    // materialize BEFORE any file is dropped/overwritten: the plan reads
-    // the very files this method mutates
-    val m = remaining.persist()
-    m.count()
+    // DURABLY materialize BEFORE any file is dropped/overwritten: the
+    // plan reads the very files this method mutates. A persist() barrier
+    // is not durable — a lost executor's cached blocks would be
+    // recomputed from the mutated directories, silently dropping
+    // surviving rows. A staging write severs the lineage: any retry
+    // re-reads the staging parquet, never the mutated table. (Point
+    // `graft.staging.dir` at cluster storage for durability across
+    // executor loss.)
+    val staged = Staging.stage(remaining, "delete_barrier")
+    val m = staged.df
     val mp = m.select(col(partitionCol).as("__mp")).distinct()
     val emptiedVals = touched
       .join(mp, col(partitionCol) <=> col("__mp"), "left_anti")
@@ -150,24 +156,26 @@ final class GraftTable(spark: SparkSession, val path: String,
       }
     }
     if (!m.isEmpty) {
-      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-      m.write.mode(SaveMode.Overwrite).partitionBy(partitionCol).parquet(path)
+      // per-write option, NOT a session conf mutation: callers may rely
+      // on their own overwrite semantics
+      m.write.mode(SaveMode.Overwrite).option("partitionOverwriteMode", "dynamic")
+        .partitionBy(partitionCol).parquet(path)
     }
-    m.unpersist()
+    staged.delete()
     this
   }
 
   /** Overwrite touched partitions. The input plan READS this table, so it
-    * is fully materialized (persist + count) before the overwrite deletes
-    * any source file — otherwise the write would consume files it is
-    * replacing.
+    * is durably staged (see [[Staging]]) before the overwrite deletes any
+    * source file — otherwise the write would consume files it is
+    * replacing, and a non-durable barrier (persist) could recompute from
+    * them after an executor loss.
     */
   private def writePartitions(df: DataFrame): this.type = {
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    val m = df.persist()
-    m.count()
-    m.write.mode(SaveMode.Overwrite).partitionBy(partitionCol).parquet(path)
-    m.unpersist()
+    val staged = Staging.stage(df, "write_barrier")
+    staged.df.write.mode(SaveMode.Overwrite).option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partitionCol).parquet(path)
+    staged.delete()
     this
   }
 }

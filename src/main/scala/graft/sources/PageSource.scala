@@ -91,6 +91,13 @@ final class PageScan(path: String, pageSize: Int, limit: Int) extends Scan with 
   /** One partition per NEEDED page: the pushed limit bounds the page
     * count up front — the early-stop. Page i's row budget caps the total
     * at the limit even mid-page.
+    *
+    * The page-count bound assumes every non-final page holds exactly
+    * `pageSize` rows (the reference protocol: only the LAST page may run
+    * short). A short non-final page would make the planned prefix
+    * under-deliver the pushed limit with no way to recover (later pages
+    * were never planned) — so the reader ASSERTS the protocol and fails
+    * loudly on a short non-final page instead of silently dropping rows.
     */
   override def planInputPartitions(): Array[InputPartition] = {
     val pages = Option(new java.io.File(path).listFiles()).getOrElse(Array.empty)
@@ -103,13 +110,18 @@ final class PageScan(path: String, pageSize: Int, limit: Int) extends Scan with 
       val budget =
         if (limit == Int.MaxValue) Int.MaxValue
         else math.min(pageSize, limit - i * pageSize)
-      PagePartition(f.getAbsolutePath, i, budget): InputPartition
+      // final = last file present in the DIRECTORY, not last planned:
+      // a planned prefix page is only allowed to run short if it is
+      // genuinely the feed's last page
+      PagePartition(f.getAbsolutePath, i, budget, pageSize,
+        isFinal = i == pages.length - 1): InputPartition
     }
   }
   override def createReaderFactory(): PartitionReaderFactory = new PageReaderFactory
 }
 
-final case class PagePartition(file: String, page: Int, budget: Int) extends InputPartition
+final case class PagePartition(file: String, page: Int, budget: Int,
+                               pageSize: Int, isFinal: Boolean) extends InputPartition
 
 final class PageReaderFactory extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
@@ -119,8 +131,14 @@ final class PageReaderFactory extends PartitionReaderFactory {
 final class PageReader(p: PagePartition) extends PartitionReader[InternalRow] {
   private val lines: Iterator[(String, Int)] = {
     PageSource.pagesOpened.incrementAndGet()
-    java.nio.file.Files.readAllLines(java.nio.file.Paths.get(p.file))
-      .asScala.iterator.take(p.budget).zipWithIndex
+    val all = java.nio.file.Files.readAllLines(java.nio.file.Paths.get(p.file)).asScala
+    // protocol assertion (see planInputPartitions): a short NON-final
+    // page silently under-delivers a pushed limit — fail loudly instead
+    if (!p.isFinal && all.size != p.pageSize)
+      throw new IllegalStateException(
+        s"PageSource protocol violation: non-final page ${p.file} has " +
+          s"${all.size} rows, expected exactly ${p.pageSize}")
+    all.iterator.take(p.budget).zipWithIndex
   }
   private var current: (String, Int) = _
   override def next(): Boolean = { val has = lines.hasNext; if (has) current = lines.next(); has }

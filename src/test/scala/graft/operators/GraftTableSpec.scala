@@ -104,4 +104,23 @@ class GraftTableSpec extends SparkSpec {
     assert(!defaultDir.exists, "emptied null partition dir must be dropped")
     assert(t.read.select("rk").as[String].collect().toSeq == Seq("r1"))
   }
+
+  test("table writes do not mutate the session's partitionOverwriteMode") {
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val before = spark.conf.get(key)
+    try {
+      // a caller relying on STATIC overwrite for its own writes must see
+      // its setting untouched after table mutations (which use a
+      // per-write option for dynamic semantics)
+      spark.conf.set(key, "static")
+      val t = freshTable().createIfNotExists(rows().schema)
+      t.importOnce(rows(("d1", "p", "r1", 1), ("d2", "q", "r2", 2)))
+      t.upsertReplace(rows(("d1", "p", "r1", 10)))
+      t.deleteByKeys(Seq(("p", "r1")).toDF("pk", "rk"))
+      assert(spark.conf.get(key) == "static")
+      // and the mutations still behaved dynamically: d2 survived the
+      // d1-only upsert
+      assert(t.read.where(col("day") === "d2").count() == 1)
+    } finally spark.conf.set(key, before)
+  }
 }

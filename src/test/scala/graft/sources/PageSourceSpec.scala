@@ -59,4 +59,24 @@ class PageSourceSpec extends SparkSpec {
     assert(kept.count() == 6)
     assert(PageSource.pagesOpened.get() == 2)
   }
+
+  test("a short FINAL page is legal (feed exhausted)") {
+    val dir = stagePages(nPages = 2, perPage = 4)
+    // rewrite the last page short — the protocol's exhaustion signal
+    Files.write(java.nio.file.Paths.get(dir, "page-001.txt"), "row p1 i0".getBytes)
+    assert(readPages(dir).count() == 5)
+  }
+
+  test("a short NON-final page fails loudly instead of silently under-delivering a limit") {
+    val dir = stagePages(nPages = 3, perPage = 4)
+    Files.write(java.nio.file.Paths.get(dir, "page-001.txt"), "row p1 i0".getBytes)
+    // limit 12 plans 3 pages; the short middle page would deliver 9 < 12
+    // with no way to recover (later pages were never planned) — the
+    // reader must refuse rather than return a silently-short prefix
+    val ex = intercept[org.apache.spark.SparkException] {
+      readPages(dir).limit(12).collect()
+    }
+    assert(ex.getMessage.contains("protocol violation")
+      || Option(ex.getCause).exists(_.getMessage.contains("protocol violation")))
+  }
 }
