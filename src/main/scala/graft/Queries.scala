@@ -409,5 +409,5 @@ object Queries {
 
   /** Registry assembled by [[SparkEntry]]. */
   def all: Seq[QuerySpec] =
-    core ++ EventQueries.all ++ ExtQueries.all ++ IngestQueries.all
+    core ++ EventQueries.all ++ ExtQueries.all ++ IngestQueries.all ++ RelQueries.all
 }

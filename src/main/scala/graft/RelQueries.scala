@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Relational, Sampling}
+
+/** Temporal-relational + sampling surface: as-of join, interval (range)
+  * join, SCD-2 history build, and deterministic hash-keyed sampling —
+  * operators an analytics/training-data engine needs that Spark has no
+  * builtin for, each implemented shuffle-minimal (see [[Relational]] and
+  * [[Sampling]] for the scale arguments).
+  */
+object RelQueries {
+
+  val all: Seq[QuerySpec] = Seq(
+
+    // Backward as-of join: each click gets the user's latest prior (or
+    // simultaneous) purchase. Union + one ordered window per key — no
+    // range-predicate join, no n·m candidate blowup.
+    QuerySpec("q53_asof_join",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val clicks = ev.filter(col("event_type") === "click")
+          .select("event_id", "user_id", "ts", "value")
+        // right side unique per (user_id, ts): asof carry is deterministic
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .groupBy("user_id", "ts").agg(max("value").as("pv"))
+        Relational.asofJoin(clicks, purchases, "user_id", "ts", "ts", Seq("pv"))
+      },
+      Some("""
+        WITH l AS (
+          SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'click'),
+        r AS (
+          SELECT user_id, ts AS asof_ts, max(value) AS asof_pv
+          FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+        SELECT l.event_id, l.user_id, l.ts, l.value, r.asof_ts, r.asof_pv
+        FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.asof_ts""")),
+
+    // Interval (range) join, keyless: clicks landing in the 5-minute
+    // window after each error, via time-bin bucketing (equi-join on the
+    // bin + exact refine — never a nested loop). max(), not sum(), over
+    // the double: order-independent, so the result is engine-exact.
+    QuerySpec("q54_range_join",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val errors = ev.filter(col("event_type") === "error")
+          .select(col("event_id").as("err_id"), col("ts").as("err_start"),
+            (col("ts") + expr("INTERVAL 5 MINUTES")).as("err_end"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("ts").as("click_ts"), col("value").as("click_value"))
+        Relational.rangeJoinPairs(errors, "err_start", "err_end", clicks, "click_ts", 300L)
+          .groupBy("err_id")
+          .agg(count(lit(1)).as("n_clicks"), max("click_value").as("max_value"))
+      },
+      Some("""
+        WITH e AS (
+          SELECT event_id AS err_id, ts AS s, ts + INTERVAL 5 MINUTE AS en
+          FROM events WHERE event_type = 'error'),
+        c AS (
+          SELECT ts AS ct, value AS cv FROM events WHERE event_type = 'click')
+        SELECT err_id, count(*) AS n_clicks, max(cv) AS max_value
+        FROM e JOIN c ON c.ct >= e.s AND c.ct < e.en
+        GROUP BY 1""")),
+
+    // SCD-2 dimension build: each customer's order-price history as
+    // half-open validity intervals. One shuffle on the key, one window.
+    QuerySpec("q55_scd2_history",
+      (s, dir) => Relational.scd2Intervals(
+        Tables.orders(s, dir), "o_custkey", "o_orderdate", "o_totalprice", "o_orderkey"),
+      Some("""
+        WITH dedup AS (
+          SELECT o_custkey, o_orderdate AS valid_from,
+                 max_by(o_totalprice, o_orderkey) AS o_totalprice
+          FROM orders GROUP BY 1, 2),
+        iv AS (
+          SELECT o_custkey, valid_from,
+                 lead(valid_from) OVER (PARTITION BY o_custkey ORDER BY valid_from) AS valid_to,
+                 o_totalprice
+          FROM dedup)
+        SELECT o_custkey, valid_from, valid_to, o_totalprice,
+               (valid_to IS NULL) AS is_current
+        FROM iv""")),
+
+    // Deterministic Bernoulli-by-hash sample (~10% at threshold '1a'):
+    // pure filter, no shuffle, reproducible across engines and runs.
+    QuerySpec("q56_hash_sample",
+      (s, dir) => Sampling.hashSample(
+        Tables.documents(s, dir).select("doc_id", "lang", "source", "n_chars"),
+        "doc_id", "1a"),
+      Some("""
+        SELECT doc_id, lang, source, n_chars FROM documents
+        WHERE md5(CAST(doc_id AS VARCHAR)) < '1a'""")),
+
+    // Fixed-size stratified sample: 20 docs per language, by min-k over
+    // md5(doc_id) — bounded-buffer aggregate, no per-stratum sort/window.
+    QuerySpec("q57_stratified_sample",
+      (s, dir) => Sampling.stratifiedSample(Tables.documents(s, dir), "lang", "doc_id", 20),
+      Some("""
+        SELECT lang, doc_id, rn FROM (
+          SELECT lang, doc_id,
+                 row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+          FROM documents)
+        WHERE rn <= 20"""))
+  )
+}

@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.expr.{HashedId, MinKAggregator}
+
+/** Deterministic sampling for training-data pipelines. Both operators
+  * key the sample on a HASH of the row id, not on randomness: the same
+  * corpus always yields the same sample (reproducible ablations), the
+  * sample is engine-portable (md5 is the same everywhere, so an oracle
+  * can verify it), and membership is decidable row-locally — no global
+  * coordination, which is what lets it run as a pure map/aggregate at
+  * any scale.
+  */
+object Sampling {
+
+  /** Bernoulli-by-hash sample: keep rows whose `md5(id)` hex digest is
+    * lexicographically below `thresholdHex`. The kept fraction is the
+    * fraction of hash space below the threshold (e.g. "19" ≈ 16^-2·0x19
+    * ≈ 9.8%). A pure, pushdown-friendly filter — no shuffle, no state.
+    */
+  def hashSample(df: DataFrame, idCol: String, thresholdHex: String): DataFrame =
+    df.filter(md5(col(idCol).cast("string")) < thresholdHex)
+
+  /** Fixed-size stratified sample: the `k` rows with the smallest
+    * (md5(id), id) per stratum — a deterministic uniform draw within
+    * each stratum. Runs as a bounded-buffer min-k aggregate
+    * ([[graft.expr.MinKAggregator]]): partial buffers hold ≤ k entries
+    * and combine map-side, so a billion-row stratum still ships only
+    * k rows per map partition — no per-stratum sort, no window spill.
+    *
+    * Output: (stratum, id, rn) with rn = 1..k in hash order.
+    */
+  def stratifiedSample(df: DataFrame, stratumCol: String, idCol: String, k: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val minK = new MinKAggregator(k).toColumn
+    df.select(col(stratumCol).cast("string"), md5(col(idCol).cast("string")),
+        col(idCol).cast("long"))
+      .as[(String, String, Long)]
+      .groupByKey(_._1)
+      .mapValues { case (_, h, id) => HashedId(h, id) }
+      .agg(minK.name("sample"))
+      .flatMap { case (stratum, picked) =>
+        // rn as Long: the oracle's row_number() is 64-bit and the driver
+        // compares output schemas, not just values
+        picked.zipWithIndex.map { case (x, i) => (stratum, x.id, (i + 1).toLong) }
+      }
+      .toDF(stratumCol, idCol, "rn")
+  }
+}

@@ -1,0 +1,99 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class RelationalSpec extends SparkSpec {
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("asofJoin attaches the latest right row at-or-before each left time") {
+    val s = spark
+    import s.implicits._
+    val left = Seq(
+      (1L, "a", ts("2024-01-01 10:00:00")),
+      (2L, "a", ts("2024-01-01 12:00:00")),
+      (3L, "a", ts("2024-01-01 09:00:00")), // before any right row
+      (4L, "b", ts("2024-01-01 10:30:00"))
+    ).toDF("id", "k", "t")
+    val right = Seq(
+      ("a", ts("2024-01-01 09:30:00"), 1.0),
+      ("a", ts("2024-01-01 11:00:00"), 2.0),
+      ("a", ts("2024-01-01 12:00:00"), 3.0), // tie with left id=2 → included
+      ("b", ts("2024-01-01 10:30:00"), 9.0)
+    ).toDF("k", "rt", "v")
+
+    val out = Relational.asofJoin(left, right, "k", "t", "rt", Seq("v"))
+      .select("id", "asof_v").as[(Long, Option[Double])].collect().toMap
+
+    assert(out(1L) === Some(1.0)) // 09:30 row, not 11:00
+    assert(out(2L) === Some(3.0)) // exact tie included
+    assert(out(3L) === None)      // nothing at-or-before 09:00
+    assert(out(4L) === Some(9.0)) // tie on the other key
+  }
+
+  test("asofJoin is window-based: no join operator in the physical plan") {
+    val s = spark
+    import s.implicits._
+    val left = Seq((1L, "a", ts("2024-01-01 10:00:00"))).toDF("id", "k", "t")
+    val right = Seq(("a", ts("2024-01-01 09:00:00"), 1.0)).toDF("k", "rt", "v")
+    val plan = Relational.asofJoin(left, right, "k", "t", "rt", Seq("v"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.toLowerCase.contains("join"),
+      s"as-of join must be union+window, not a range-predicate join:\n$plan")
+  }
+
+  test("rangeJoinPairs emits each containment pair exactly once, incl. bin-spanning intervals") {
+    val s = spark
+    import s.implicits._
+    // 10-minute interval spans two 5-minute bins; points at start (in),
+    // end (out, half-open), and mid-bin boundary (in, once)
+    val iv = Seq((100L, ts("2024-01-01 10:00:00"), ts("2024-01-01 10:10:00")))
+      .toDF("iid", "s0", "e0")
+    val pts = Seq(
+      (1L, ts("2024-01-01 10:00:00")),  // == start → in
+      (2L, ts("2024-01-01 10:05:00")),  // bin boundary inside → exactly once
+      (3L, ts("2024-01-01 10:10:00")),  // == end → out (half-open)
+      (4L, ts("2024-01-01 09:59:59"))   // before → out
+    ).toDF("pid", "pt")
+    val got = Relational.rangeJoinPairs(iv, "s0", "e0", pts, "pt", 300L)
+      .select("pid").as[Long].collect().sorted
+    assert(got.toSeq === Seq(1L, 2L))
+  }
+
+  test("rangeJoinPairs is an equi-join on the bin — no nested-loop join") {
+    val s = spark
+    import s.implicits._
+    val iv = Seq((100L, ts("2024-01-01 10:00:00"), ts("2024-01-01 10:10:00")))
+      .toDF("iid", "s0", "e0")
+    val pts = Seq((1L, ts("2024-01-01 10:00:00"))).toDF("pid", "pt")
+    val plan = Relational.rangeJoinPairs(iv, "s0", "e0", pts, "pt", 300L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop"),
+      s"range join must bucket to an equi-join, got:\n$plan")
+  }
+
+  test("scd2Intervals builds half-open history with deterministic tie-break") {
+    val s = spark
+    import s.implicits._
+    val updates = Seq(
+      ("c1", ts("2024-01-01 00:00:00"), 10.0, 1L),
+      ("c1", ts("2024-01-01 00:00:00"), 11.0, 2L), // same instant: max tiebreak wins
+      ("c1", ts("2024-02-01 00:00:00"), 20.0, 3L),
+      ("c2", ts("2024-01-15 00:00:00"), 5.0, 4L)
+    ).toDF("k", "t", "v", "seq")
+    val out = Relational.scd2Intervals(updates, "k", "t", "v", "seq")
+      .orderBy("k", "valid_from").collect()
+    assert(out.length === 3)
+    val r0 = out(0)
+    assert(r0.getAs[Double]("v") === 11.0) // tiebreak by seq
+    assert(r0.getAs[Timestamp]("valid_to") === ts("2024-02-01 00:00:00"))
+    assert(!r0.getAs[Boolean]("is_current"))
+    assert(out(1).getAs[Timestamp]("valid_to") == null)
+    assert(out(1).getAs[Boolean]("is_current"))
+    assert(out(2).getAs[Boolean]("is_current"))
+  }
+}

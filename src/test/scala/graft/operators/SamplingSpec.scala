@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class SamplingSpec extends SparkSpec {
+
+  test("hashSample is a deterministic, repartition-invariant subset") {
+    val s = spark
+    import s.implicits._
+    val df = (1L to 1000L).toDF("id")
+    val a = Sampling.hashSample(df, "id", "20").as[Long].collect().sorted
+    val b = Sampling.hashSample(df.repartition(7), "id", "20").as[Long].collect().sorted
+    assert(a.toSeq === b.toSeq)
+    // ~12.5% expected at threshold "20"; loose bounds, deterministic data
+    assert(a.length > 60 && a.length < 200, s"got ${a.length}")
+  }
+
+  test("hashSample stays a pure filter — no shuffle in the plan") {
+    val s = spark
+    import s.implicits._
+    val plan = Sampling.hashSample((1L to 10L).toDF("id"), "id", "20")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"hash sample must not shuffle:\n$plan")
+  }
+
+  test("stratifiedSample returns exactly k per stratum in hash order") {
+    val s = spark
+    import s.implicits._
+    val df = (1L to 300L).map(i => (if (i % 3 == 0) "x" else "y", i)).toDF("g", "id")
+    val out = Sampling.stratifiedSample(df, "g", "id", 10)
+    val byG = out.groupBy("g").agg(count(lit(1)).as("n"), max("rn").as("maxrn"))
+      .as[(String, Long, Long)].collect().map { case (g, n, m) => g -> ((n, m)) }.toMap
+    assert(byG("x") === ((10L, 10L)))
+    assert(byG("y") === ((10L, 10L)))
+
+    // matches the window-function formulation exactly
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("g").orderBy(md5(col("id").cast("string")), col("id"))
+    val exp = df.withColumn("rn", row_number().over(w)).filter(col("rn") <= 10)
+      .select(col("g"), col("id"), col("rn").cast("long"))
+      .as[(String, Long, Long)].collect().sorted
+    val got = out.select("g", "id", "rn").as[(String, Long, Long)].collect().sorted
+    assert(got.toSeq === exp.toSeq)
+  }
+
+  test("stratifiedSample with undersized stratum returns all its rows") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(("a", 1L), ("a", 2L), ("b", 3L)).toDF("g", "id")
+    val out = Sampling.stratifiedSample(df, "g", "id", 5)
+      .groupBy("g").agg(count(lit(1)).as("n")).as[(String, Long)].collect().toMap
+    assert(out === Map("a" -> 2L, "b" -> 1L))
+  }
+}
