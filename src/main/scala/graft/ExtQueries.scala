@@ -455,6 +455,102 @@ object ExtQueries {
           CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
           md5(substr(text, 1, 32)) AS head_fp,
           md5(substr(text, CAST(floor(n_chars / 2.0) AS INTEGER) + 1, 32)) AS mid_fp
-        FROM documents"""))
+        FROM documents""")),
+
+    // Exact per-group order statistics (p25/p50/p75 of document length
+    // by language), "lower" order-statistic definition: the element at
+    // 0-based index (n-1)*p, computed in INTEGER arithmetic so the rank
+    // is engine-exact. One shuffle on the group key + one in-partition
+    // sort; the rank filter means no collect of the sorted set. (The
+    // sketch path for unsorted 100 TB groups is approx_percentile; this
+    // is the exact form, viable while a group fits one task's sort —
+    // beyond that, pre-bucket by value range first.)
+    QuerySpec("q58_quantile_by_rank",
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("lang").orderBy("n_chars", "doc_id")
+        val wn = org.apache.spark.sql.expressions.Window.partitionBy("lang")
+        Tables.documents(s, dir)
+          .select(col("lang"), col("n_chars"), col("doc_id"))
+          .withColumn("rn", row_number().over(w))
+          .withColumn("n", count(lit(1)).over(wn))
+          .groupBy("lang")
+          .agg(
+            max(when(col("rn") === expr("(n-1) div 4") + 1, col("n_chars"))).as("p25"),
+            max(when(col("rn") === expr("(n-1) div 2") + 1, col("n_chars"))).as("p50"),
+            max(when(col("rn") === expr("(3*(n-1)) div 4") + 1, col("n_chars"))).as("p75"),
+            count(lit(1)).as("n_docs"))
+      },
+      Some("""
+        WITH r AS (
+          SELECT lang, n_chars,
+            row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rn,
+            count(*) OVER (PARTITION BY lang) AS n
+          FROM documents)
+        SELECT lang,
+          max(CASE WHEN rn = (n-1)//4 + 1 THEN n_chars END) AS p25,
+          max(CASE WHEN rn = (n-1)//2 + 1 THEN n_chars END) AS p50,
+          max(CASE WHEN rn = (3*(n-1))//4 + 1 THEN n_chars END) AS p75,
+          count(*) AS n_docs
+        FROM r GROUP BY 1""")),
+
+    // TF-IDF top-5 terms per document, with a RATIONAL idf
+    // (tf·N·1e6 div df in integer arithmetic — no float log, so the
+    // score is bit-identical in any engine; the log-idf variant is a
+    // drop-in `log(n_docs/df)` on top of the same frame). Corpus df is
+    // one map-side-combining aggregate; N broadcasts as a 1-row frame;
+    // the per-doc top-5 is a window over ≤ |doc| rows keyed by doc —
+    // no global sort, no skew (window partition = one document).
+    QuerySpec("q59_tfidf_topk",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val toks = docs.select(col("doc_id"),
+          explode(TextFns.tokens(col("text"))).as("term"))
+        val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        val dfc = tf.groupBy("term").agg(count(lit(1)).as("df"))
+        val n = docs.agg(count(lit(1)).as("n_docs"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id").orderBy(col("score_ppm").desc, col("term").asc)
+        tf.join(dfc, Seq("term"))
+          .crossJoin(broadcast(n))
+          .withColumn("score_ppm", expr("(tf * n_docs * 1000000) div df"))
+          .withColumn("rk", row_number().over(w).cast("long"))
+          .filter(col("rk") <= 5)
+          .select("doc_id", "term", "tf", "df", "score_ppm", "rk")
+      },
+      Some(s"""
+        WITH $WORDS_SQL,
+        tok AS (SELECT doc_id, UNNEST(w) AS term FROM words),
+        tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+        dfc AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        n AS (SELECT count(*) AS n_docs FROM documents),
+        sc AS (
+          SELECT doc_id, term, tf, df, (tf * n_docs * 1000000) // df AS score_ppm
+          FROM tf JOIN dfc USING (term) CROSS JOIN n),
+        r AS (
+          SELECT *, row_number() OVER (
+            PARTITION BY doc_id ORDER BY score_ppm DESC, term) AS rk
+          FROM sc)
+        SELECT doc_id, term, tf, df, score_ppm, rk FROM r WHERE rk <= 5""")),
+
+    // Pivot: hour-of-day × event-type count matrix. Explicit pivot
+    // values — no distinct-scan job to discover columns, and the plan
+    // is ONE conditional aggregate (map-side combining), not one pass
+    // per column.
+    QuerySpec("q60_pivot_matrix",
+      (s, dir) => Tables.events(s, dir)
+        .select(hour(col("ts")).cast("long").as("hr"), col("event_type"))
+        .groupBy("hr")
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0L, Seq("click", "error", "purchase", "signup", "view")),
+      Some("""
+        SELECT CAST(hour(ts) AS BIGINT) AS hr,
+          count(*) FILTER (event_type = 'click') AS click,
+          count(*) FILTER (event_type = 'error') AS error,
+          count(*) FILTER (event_type = 'purchase') AS purchase,
+          count(*) FILTER (event_type = 'signup') AS signup,
+          count(*) FILTER (event_type = 'view') AS view
+        FROM events GROUP BY 1"""))
   )
 }

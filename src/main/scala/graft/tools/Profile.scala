@@ -119,6 +119,60 @@ object ProfileMinhash {
   }
 }
 
+/** Dev tool: localize the SimHash hotspot (q33 is the largest bench item). */
+object ProfileSimhash {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[32]").config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    GraftSession.tune(spark)
+    spark.sparkContext.setLogLevel("ERROR")
+    def time[T](tag: String)(f: => T): T = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"TIME $tag ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
+    }
+    import org.apache.spark.sql.functions._
+    import graft.functions.TextFns
+    val docs = graft.Tables.documents(spark, sfDir)
+    time("docs.count")(docs.count())
+    val toks = docs.repartition(16, col("doc_id"))
+      .select(col("doc_id").as("id"), explode(TextFns.tokens(col("text"))).as("t"))
+      .distinct()
+      .withColumn("h", md5(col("t")))
+    time("toks")(toks.count())
+    val oddHex = Seq("1", "3", "5", "7", "9", "b", "d", "f")
+    val voteCols = (0 until 32).map(j =>
+      sum(when(substring(col("h"), j + 1, 1).isin(oddHex: _*), 1).otherwise(-1)).as(s"v_$j"))
+    val sigExpr = (0 until 32).map(j =>
+      when(col(s"v_$j") > 0, lit(1L << j)).otherwise(lit(0L))).reduce(_ + _)
+    val sigPlan = toks.groupBy("id").agg(voteCols.head, voteCols.tail: _*)
+      .select(col("id"), sigExpr.as("simhash"))
+    time("sig_agg")(sigPlan.count())
+    val st = time("sig_stage")(graft.operators.Staging.stage(sigPlan, "prof_simhash"))
+    val sig = st.df
+    val bandKeys = for (k1 <- 0 until 4; k2 <- k1 + 1 until 4) yield k1 * 4 + k2
+    val bandvalExpr =
+      "(((simhash >> ((bp div 4) * 8)) & 255) << 8) | ((simhash >> ((bp % 4) * 8)) & 255)"
+    val banded = sig.select(col("id"), col("simhash"),
+        explode(array(bandKeys.map(lit): _*)).as("bp"))
+      .withColumn("bandval", expr(bandvalExpr))
+    val joined = banded.select(col("id").as("doc_a"), col("simhash").as("sig_a"), col("bp"), col("bandval"))
+      .join(banded.select(col("id").as("doc_b"), col("simhash").as("sig_b"), col("bp"), col("bandval")),
+        Seq("bp", "bandval"))
+      .filter(col("doc_a") < col("doc_b"))
+    time("cand_join")(joined.count())
+    val pairs = joined
+      .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("int"))
+      .filter(col("hamming") <= 1)
+      .select("doc_a", "doc_b", "hamming").distinct()
+    time("pairs_distinct")(pairs.count())
+    time("full")(graft.operators.Dedup.simhashPairs(docs, "doc_id", "text", 1).count())
+    time("full2")(graft.operators.Dedup.simhashPairs(docs, "doc_id", "text", 1).count())
+    spark.stop()
+  }
+}
+
 /** Microbenchmark: the three dot-product tiers over the embeddings
   * corpus (fixed-point exact vs composable double vs fused codegen).
   */
