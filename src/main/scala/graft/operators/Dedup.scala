@@ -96,7 +96,15 @@ object Dedup {
     // over partitionBy(sh): the window's per-key sort concentrates a
     // hot shingle on one task and AQE cannot split it; the agg combines
     // map-side and the join is skew-splittable.
-    val sh = staged(shingleSet(docs, idCol, textCol, n), "jaccard_shingles")
+    //
+    // ONE staging write, not two: the raw shingle plan appears on both
+    // sides of the semi-join (probe + df aggregate), but that is a
+    // single job — Spark's ReuseExchange computes the shared shingle
+    // subtree once within it — so only the df-capped RESULT needs the
+    // durable multi-consumer materialization. (Staging the raw postings
+    // too would add a full parquet round-trip of the posting table per
+    // operator construction for nothing.)
+    val sh = shingleSet(docs, idCol, textCol, n)
     val rare = sh.groupBy("sh").agg(count(lit(1)).as("df"))
       .filter(col("df") <= dfCap).select("sh")
     val kept = staged(sh.join(rare, Seq("sh"), "left_semi"), "jaccard_postings")
@@ -262,12 +270,13 @@ object Dedup {
       sum(when(substring(col("h"), j + 1, 1).isin(oddHex: _*), 1).otherwise(-1)).as(s"v_$j"))
     val sigExpr = (0 until 32).map(j =>
       when(col(s"v_$j") > 0, lit(1L << j)).otherwise(lit(0L))).reduce(_ + _)
-    // feeds both sides of the band self-join: stage once (tiny — one row
-    // per doc; see [[staged]])
-    val sig = staged(
-      toks.groupBy("id").agg(voteCols.head, voteCols.tail: _*)
-        .select(col("id"), sigExpr.as("simhash")),
-      "simhash_sigs")
+    // Feeds both sides of the band self-join — but that is ONE job, and
+    // the two sides' plans are identical up to the band explode, so
+    // Spark's ReuseExchange computes the signature subtree once within
+    // it. No staging write needed (staging earns its parquet round-trip
+    // only when consumers run as SEPARATE jobs — see [[staged]]).
+    val sig = toks.groupBy("id").agg(voteCols.head, voteCols.tail: _*)
+      .select(col("id"), sigExpr.as("simhash"))
     // Blocking key: with 4 bands, `maxHamming` flips can dirty at most
     // `maxHamming` bands, so pairs within range agree on ≥ 4-maxHamming
     // bands. For maxHamming ≤ 2 that guarantees an agreeing PAIR of

@@ -1,0 +1,33 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+import graft.GraftSession
+
+/** Dev check: does runtime exchange reuse fire for the self-joining
+  * dedup operators (SimHash band join, Jaccard df-cap semi-join)? The
+  * static `explain` cannot show AQE stage reuse — inspect the executed
+  * plan after the action instead.
+  */
+object ReuseCheck {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = SparkSession.builder()
+      .master("local[8]").config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    GraftSession.tune(spark)
+    spark.sparkContext.setLogLevel("ERROR")
+    val docs = graft.Tables.documents(spark, sfDir)
+    Seq(
+      "simhash" -> graft.operators.Dedup.simhashPairs(docs, "doc_id", "text", 1),
+      "jaccard" -> graft.operators.Dedup.jaccardPairs(docs, "doc_id", "text", 4, 100, 1, 10)
+    ).foreach { case (tag, df) =>
+      df.collect()  // collect drives THIS dataset's QueryExecution (count() builds its own)
+      val p = df.queryExecution.executedPlan.toString
+      val stageIds = "ShuffleQueryStage (\\d+)".r.findAllMatchIn(p).map(_.group(1)).toSeq
+      println(s"CHECK $tag stages=${stageIds.size} distinct=${stageIds.distinct.size} " +
+        s"reused=${p.contains("ReusedExchange")}")
+    }
+    spark.stop()
+  }
+}
