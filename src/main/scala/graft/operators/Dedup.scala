@@ -159,14 +159,16 @@ object Dedup {
     }: _*)
     val bands = sigs.select(col("id"), explode(bandStructs).as("bs"))
       .select(col("id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
-    // candidate pairs feed three consumers (candDocs, verify semi-join,
-    // final left-outer) — stage the (small) pair list too
-    val cand = staged(
-      bands.select(col("id").as("doc_a"), col("band"), col("sig"))
-        .join(bands.select(col("id").as("doc_b"), col("band"), col("sig")), Seq("band", "sig"))
-        .filter(col("doc_a") < col("doc_b"))
-        .select("doc_a", "doc_b").distinct(),
-      "minhash_cands")
+    // Candidate pairs feed three consumers (candDocs, verify semi-join,
+    // final left-outer) — but all three sit in the FINAL job, and the
+    // candidate subtree ends in a distinct (an exchange), so runtime
+    // exchange reuse computes it once there (verified via
+    // tools.ReuseCheck). Only the posting table above needs durable
+    // staging: ITS consumers span separate jobs.
+    val cand = bands.select(col("id").as("doc_a"), col("band"), col("sig"))
+      .join(bands.select(col("id").as("doc_b"), col("band"), col("sig")), Seq("band", "sig"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
     // Exact-Jaccard verify: first SHRINK the posting table to candidate
     // docs (broadcast semi-join — candidates ≪ corpus), then self-join

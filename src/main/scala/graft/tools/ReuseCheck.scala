@@ -20,7 +20,8 @@ object ReuseCheck {
     val docs = graft.Tables.documents(spark, sfDir)
     Seq(
       "simhash" -> graft.operators.Dedup.simhashPairs(docs, "doc_id", "text", 1),
-      "jaccard" -> graft.operators.Dedup.jaccardPairs(docs, "doc_id", "text", 4, 100, 1, 10)
+      "jaccard" -> graft.operators.Dedup.jaccardPairs(docs, "doc_id", "text", 4, 100, 1, 10),
+      "minhash" -> graft.operators.Dedup.minhashLshPairs(docs, "doc_id", "text", 4, 12, 3)
     ).foreach { case (tag, df) =>
       df.collect()  // collect drives THIS dataset's QueryExecution (count() builds its own)
       val p = df.queryExecution.executedPlan.toString
