@@ -1,7 +1,6 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.Trigger
 
 /** Event-stream surface: JSON extraction (extension corpus `events.props`)
   * and the event-time window family — tumbling / sliding / session /
@@ -137,15 +136,7 @@ object EventQueries {
           .groupBy(window(col("ts"), "1 hour"))
           .agg(count(lit(1)).as("n_events"), sumDec4(col("value")).as("sum_value"))
           .select(col("window.start").as("window_start"), col("n_events"), col("sum_value"))
-        val qn = s"graft_stream_${System.nanoTime()}"
-        val q = agg.writeStream.outputMode("complete")
-          .format("memory").queryName(qn)
-          .trigger(Trigger.ProcessingTime(0)).start()
-        q.processAllAvailable()
-        val out = s.table(qn).persist()
-        out.count()
-        q.stop()
-        out
+        graft.streaming.Streams.runToCompletion(s, agg, "complete")
       },
       Some("""
         SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,

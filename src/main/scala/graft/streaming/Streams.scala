@@ -92,10 +92,28 @@ object Streams {
 
   /** Drive a streaming query built from a bounded source to completion
     * and return the sink table (test/backfill harness).
+    *
+    * State-store partition count: a streaming query instantiates one
+    * state store per shuffle partition per stateful operator per
+    * micro-batch — with the session's batch-sized shuffle partitioning
+    * (= cores) that is pure constant overhead for small-keyspace state.
+    * The partition count is captured at FIRST checkpoint and fixed for
+    * the query's life, so it is a deliberate knob, not something AQE can
+    * fix later: `graft.stream.statePartitions` (default
+    * min(session shuffle partitions, 8) — size it to key cardinality ÷
+    * target keys-per-store in production). The session conf is restored
+    * after start: queries capture it at start, and callers may rely on
+    * their own value.
     */
   def runToCompletion(spark: SparkSession, agg: DataFrame, mode: String): DataFrame = {
     val qn = s"graft_sink_${System.nanoTime()}"
-    val q = agg.writeStream.outputMode(mode).format("memory").queryName(qn).start()
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    val statePartitions = spark.conf.getOption("graft.stream.statePartitions")
+      .map(_.toInt).getOrElse(math.min(prev.toInt, 8))
+    spark.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+    val q =
+      try agg.writeStream.outputMode(mode).format("memory").queryName(qn).start()
+      finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     q.processAllAvailable()
     val out = spark.table(qn).persist()
     out.count()
