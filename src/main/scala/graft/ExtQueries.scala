@@ -32,6 +32,54 @@ object ExtQueries {
         FROM words, UNNEST(range(1, len(w) - 2)) AS t(i)
         WHERE len(w) >= 4) x)"""
 
+  /** DuckDB fragment: the full MinHash-LSH candidate+verify pipeline
+    * (k=12, 3 rows/band), ending in `mh_pairs(doc_a, doc_b, shared, na,
+    * nb, jaccard)` — shared by q32 and the clustering queries q61/q62.
+    */
+  private val MINHASH_PAIRS_SQL = SHINGLES_SQL + """,
+    mh AS (
+      SELECT doc_id, i, min(md5(CAST(i AS VARCHAR) || ':' || sh)) AS mh
+      FROM sh, UNNEST(range(0, 12)) AS t(i)
+      GROUP BY 1, 2),
+    bands AS (
+      SELECT doc_id, i // 3 AS band, md5(string_agg(mh, ',' ORDER BY i)) AS sig
+      FROM mh GROUP BY 1, 2),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+    shr AS (
+      SELECT c.doc_a, c.doc_b, count(*) AS shared
+      FROM cand c
+        JOIN sh a ON a.doc_id = c.doc_a
+        JOIN sh b ON b.doc_id = c.doc_b AND b.sh = a.sh
+      GROUP BY 1, 2),
+    mh_pairs AS (
+      SELECT c.doc_a, c.doc_b, COALESCE(shared, 0) AS shared, na, nb,
+        CAST(COALESCE(shared, 0) AS DOUBLE) / (na + nb - COALESCE(shared, 0)) AS jaccard
+      FROM cand c
+        LEFT JOIN shr s ON c.doc_a = s.doc_a AND c.doc_b = s.doc_b
+        JOIN (SELECT doc_id, sz AS na FROM sizes) sa ON c.doc_a = sa.doc_id
+        JOIN (SELECT doc_id, sz AS nb FROM sizes) sb ON c.doc_b = sb.doc_id)"""
+
+  /** DuckDB fragment (requires WITH RECURSIVE): connected components
+    * over the verified near-dup pairs (jaccard ≥ 0.2) via transitive
+    * closure, ending in `lbl(doc_id, cluster_id)` — cluster_id = the
+    * component's minimum doc id, matching [[graft.operators.Graph]]'s
+    * canonical representative.
+    */
+  private val CC_LABELS_SQL = MINHASH_PAIRS_SQL + """,
+    cc_edges AS (SELECT doc_a, doc_b FROM mh_pairs WHERE jaccard >= 0.2),
+    und AS (
+      SELECT doc_a AS a, doc_b AS b FROM cc_edges
+      UNION SELECT doc_b, doc_a FROM cc_edges),
+    reach AS (
+      SELECT a, b FROM und
+      UNION
+      SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a),
+    lbl AS (
+      SELECT a AS doc_id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a)"""
+
   val all: Seq[QuerySpec] = Seq(
 
     // exact dedup: canonical-fingerprint hash-aggregate clusters
@@ -69,30 +117,8 @@ object ExtQueries {
       (s, dir) => Dedup.minhashLshPairs(Tables.documents(s, dir), "doc_id", "text",
         n = 4, k = 12, rowsPerBand = 3),
       Some(s"""
-        WITH $SHINGLES_SQL,
-        mh AS (
-          SELECT doc_id, i, min(md5(CAST(i AS VARCHAR) || ':' || sh)) AS mh
-          FROM sh, UNNEST(range(0, 12)) AS t(i)
-          GROUP BY 1, 2),
-        bands AS (
-          SELECT doc_id, i // 3 AS band, md5(string_agg(mh, ',' ORDER BY i)) AS sig
-          FROM mh GROUP BY 1, 2),
-        cand AS (
-          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-          FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
-        sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
-        shr AS (
-          SELECT c.doc_a, c.doc_b, count(*) AS shared
-          FROM cand c
-            JOIN sh a ON a.doc_id = c.doc_a
-            JOIN sh b ON b.doc_id = c.doc_b AND b.sh = a.sh
-          GROUP BY 1, 2)
-        SELECT c.doc_a, c.doc_b, COALESCE(shared, 0) AS shared, na, nb,
-          CAST(COALESCE(shared, 0) AS DOUBLE) / (na + nb - COALESCE(shared, 0)) AS jaccard
-        FROM cand c
-          LEFT JOIN shr s ON c.doc_a = s.doc_a AND c.doc_b = s.doc_b
-          JOIN (SELECT doc_id, sz AS na FROM sizes) sa ON c.doc_a = sa.doc_id
-          JOIN (SELECT doc_id, sz AS nb FROM sizes) sb ON c.doc_b = sb.doc_id""")),
+        WITH $MINHASH_PAIRS_SQL
+        SELECT doc_a, doc_b, shared, na, nb, jaccard FROM mh_pairs""")),
 
     // SimHash banded near-dup. Portable by construction: bit j of a
     // token's hash is the low bit of hex digit j of md5(token), so the
@@ -551,6 +577,43 @@ object ExtQueries {
           count(*) FILTER (event_type = 'purchase') AS purchase,
           count(*) FILTER (event_type = 'signup') AS signup,
           count(*) FILTER (event_type = 'view') AS view
-        FROM events GROUP BY 1"""))
+        FROM events GROUP BY 1""")),
+
+    // Near-dup CLUSTERS: the step after pair detection — connected
+    // components over the verified MinHash pairs (jaccard ≥ 0.2), each
+    // doc labeled with its component's minimum doc id. Iterative
+    // min-label propagation ([[graft.operators.Graph]]); the oracle
+    // computes the same labels via a recursive-CTE transitive closure.
+    QuerySpec("q61_dedup_clusters",
+      (s, dir) => {
+        val pairs = Dedup.minhashLshPairs(Tables.documents(s, dir), "doc_id", "text",
+          n = 4, k = 12, rowsPerBand = 3).filter(col("jaccard") >= 0.2)
+        graft.operators.Graph.connectedComponents(pairs, "doc_a", "doc_b")
+          .select(col("id").as("doc_id"), col("cluster").as("cluster_id"))
+      },
+      Some(s"""
+        WITH RECURSIVE $CC_LABELS_SQL
+        SELECT doc_id, cluster_id FROM lbl""")),
+
+    // Corpus compaction: collapse each near-dup cluster to its canonical
+    // keeper (minimum doc id) and pass singletons through — the
+    // end-to-end "dedup the training corpus" operation
+    // (LSH candidates → exact verify → clusters → keepers).
+    QuerySpec("q62_dedup_compact",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
+          n = 4, k = 12, rowsPerBand = 3).filter(col("jaccard") >= 0.2)
+        val lbl = graft.operators.Graph.connectedComponents(pairs, "doc_a", "doc_b")
+          .select(col("id").as("doc_id"), col("cluster").as("cluster_id"))
+        docs.join(lbl, Seq("doc_id"), "left")
+          .filter(col("cluster_id").isNull || col("cluster_id") === col("doc_id"))
+          .select("doc_id", "lang", "source", "n_chars")
+      },
+      Some(s"""
+        WITH RECURSIVE $CC_LABELS_SQL
+        SELECT d.doc_id, d.lang, d.source, d.n_chars
+        FROM documents d LEFT JOIN lbl ON d.doc_id = lbl.doc_id
+        WHERE lbl.doc_id IS NULL OR lbl.cluster_id = d.doc_id"""))
   )
 }

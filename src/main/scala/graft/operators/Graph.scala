@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Iterative graph operators over edge lists — Spark-first: each
+  * iteration is a plain join + map-side-combining aggregate, and the
+  * evolving per-node state is re-staged every round to SEVER the lineage
+  * (the classic requirement of iterative dataflow on Spark: without it,
+  * iteration k's plan re-derives all k−1 predecessors and the DAG grows
+  * without bound; a checkpoint/staging write makes every round O(1) plan
+  * depth).
+  */
+object Graph {
+
+  /** Connected components by min-label propagation: every node starts
+    * labeled with itself; each round every node takes the minimum label
+    * among itself and its neighbors; fixpoint when no label changes.
+    * Output: one row per node appearing in `edges` — (`id`, `cluster`),
+    * cluster = the component's minimum node id (deterministic canonical
+    * representative).
+    *
+    * Scale: each round shuffles the (node,label) frame once on the join
+    * key and combines the min() map-side; rounds needed = the graph
+    * diameter. Near-dup graphs are clique-like (tiny diameter), so 2-3
+    * rounds close them. For adversarially long chains at extreme scale,
+    * the star-contraction variants (large-star/small-star, Kiveris et
+    * al.) drop the round count to O(log n) — same per-round dataflow,
+    * different neighbor rule — without changing this interface.
+    *
+    * The per-round `count` of changed labels is the only driver-side
+    * value (a scalar aggregate — the standard iterative convergence
+    * check, not a data collect).
+    */
+  def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
+                          maxIter: Int = 20): DataFrame = {
+    val und = edges.select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
+      .union(edges.select(col(dstCol).cast("long").as("a"), col(srcCol).cast("long").as("b")))
+    // stage the (small) edge frame once: it is re-read every round, and
+    // its producing plan may be an expensive dedup pipeline
+    val ust = Staging.stage(und, "cc_edges")
+    val u = ust.df
+    val nodes = u.select(col("a").as("id")).distinct()
+    var cur = Staging.stage(nodes.withColumn("label", col("id")), "cc_labels_0")
+    var changed = 1L
+    var i = 0
+    while (changed > 0L && i < maxIter) {
+      val nbrMin = u.join(cur.df.withColumnRenamed("id", "b2"), col("b") === col("b2"))
+        .groupBy(col("a")).agg(min(col("label")).as("nbl"))
+      val next = cur.df.join(nbrMin, col("id") === col("a"), "left")
+        .select(col("id"), col("label"),
+          least(col("label"), coalesce(col("nbl"), col("label"))).as("nl"))
+      val staged = Staging.stage(next.select(col("id"), col("nl").as("label"),
+        (col("nl") < col("label")).as("moved")), s"cc_labels_${i + 1}")
+      changed = staged.df.filter(col("moved")).count()
+      cur.delete()
+      cur = staged
+      i += 1
+    }
+    val out = cur.df.select(col("id"), col("label").as("cluster"))
+    ust.delete()
+    out
+  }
+}
