@@ -1,26 +1,29 @@
 package graft.tools
 
-import java.util.concurrent.atomic.AtomicLong
-
-import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
 import org.apache.spark.sql.functions._
 
 import graft.{GraftSession, Tables}
 import graft.operators.Dedup
 
-/** Scaling-curve harness: multiply the documents corpus M× (ids offset,
-  * text perturbed per copy so clones are NEAR-dups, not exact) and
-  * measure each dedup operator at each multiple.
+/** Scaling-curve harness: multiply the documents/events corpora M× (ids
+  * offset; text perturbed per copy so clones are NEAR-dups; events get
+  * new users and a 40-day shift per copy so per-key/per-bin density
+  * stays constant) and measure each operator at each multiple.
   *
-  * Reports SHUFFLE-READ and INPUT record counts (deterministic task
-  * metrics) alongside wall time: this host has multi-minute external
-  * stall windows that make wall-clock curves uninterpretable, but record
-  * counts are exact. The thing to check is the SHAPE: shuffle records
-  * must grow ~linearly in corpus size (plus the true output-pair count,
-  * which is quadratic in M by construction here — every near-dup pair
-  * exists in M×M copy combinations). A blocking key failing at scale
-  * shows up as super-linear shuffle growth BEYOND the output term.
+  * Reports SHUFFLE-WRITE and SCAN record counts read SYNCHRONOUSLY from
+  * the executed plan's SQL metrics (walking AQE query stages), NOT from
+  * a SparkListener: stage-completion events race the measurement and
+  * under-count (observed: a window query's 30 k-record shuffle reported
+  * as 1). Wall time is reported but untrusted — this host has
+  * multi-minute external stall windows; record counts are exact. The
+  * thing to check is the SHAPE: shuffle must grow ~linearly in corpus
+  * size (plus the true output-pair term, which is quadratic in M by
+  * construction for the dedup ops — every near-dup pair exists in M×M
+  * copy combinations).
   *
   * Usage: Stress [sfDir] [multiples…]
   */
@@ -35,17 +38,52 @@ object Stress {
     GraftSession.tune(spark)
     spark.sparkContext.setLogLevel("ERROR")
 
-    val shuffleRec = new AtomicLong(0)
-    val inputRec = new AtomicLong(0)
-    spark.sparkContext.addSparkListener(new SparkListener {
-      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
-        val m = sc.stageInfo.taskMetrics
-        if (m != null) {
-          shuffleRec.addAndGet(m.shuffleReadMetrics.recordsRead)
-          inputRec.addAndGet(m.inputMetrics.recordsRead)
-        }
+    // every node of the FINAL adaptive plan, descending through AQE
+    // stage wrappers (their `children` is empty — a plain p.collect
+    // sees nothing below a query stage). ReusedExchange is a leaf, so
+    // a reused shuffle is counted exactly once, at its original stage.
+    def nodes(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => a +: nodes(a.executedPlan)
+      case q: QueryStageExec => q +: nodes(q.plan)
+      case o => o +: o.children.flatMap(nodes)
+    }
+
+    // pipeline-wide shuffle-write total via task-end events: operators
+    // with eager staged intermediates (Dedup, Graph.connectedComponents)
+    // do real jobs at CONSTRUCTION time, outside the final plan's
+    // metrics. Task-end metrics are final at event time (unlike
+    // stage-completion aggregates); the residual risk is only the
+    // drain latency, covered by the sleeps.
+    val taskShuffle = new java.util.concurrent.atomic.AtomicLong(0)
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = te.taskMetrics
+        if (m != null) taskShuffle.addAndGet(m.shuffleWriteMetrics.recordsWritten)
       }
     })
+
+    def measure(tag: String)(df: => DataFrame): Unit = {
+      Thread.sleep(1200) // drain the previous op's task events
+      taskShuffle.set(0)
+      val t0 = System.nanoTime()
+      val d = df // construction: staged jobs run HERE — inside the clock
+      val qe = d.queryExecution
+      // drive THIS QueryExecution: df.count() would build its own, and —
+      // worse — let the optimizer prune the operator away entirely
+      // (count() of the as-of join needs no window column, so Catalyst
+      // deletes the Window and the right union branch; the old
+      // listener-based numbers measured that husk)
+      val n = qe.executedPlan.execute().map(_ => 1L).fold(0L)(_ + _)
+      val dt = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(1200) // drain this op's task events
+      val ns = nodes(qe.executedPlan)
+      val planShuffle = ns.collect { case s: ShuffleExchangeLike =>
+        s.metrics.get("shuffleRecordsWritten").map(_.value).getOrElse(0L) }.sum
+      val scanned = ns.collect { case f: FileSourceScanExec =>
+        f.metrics.get("numOutputRows").map(_.value).getOrElse(0L) }.sum
+      println(f"STRESS $tag wall=$dt%.1fs out=$n planShuffle=$planShuffle " +
+        f"totalShuffle=${taskShuffle.get()} scanRec=$scanned")
+    }
 
     def corpus(mult: Int): DataFrame = {
       val d0 = Tables.documents(spark, sfDir)
@@ -54,25 +92,65 @@ object Stress {
           concat(col("text"), lit(s" copymark$i")).as("text"))
       }.reduce(_ unionByName _)
     }
-    def measure(tag: String)(f: => Long): Unit = {
-      Thread.sleep(1500) // let listener events drain from the previous op
-      shuffleRec.set(0); inputRec.set(0)
-      val t0 = System.nanoTime()
-      val n = f
-      val dt = (System.nanoTime() - t0) / 1e9 // capture BEFORE the drain sleep
-      Thread.sleep(1500)
-      println(f"STRESS $tag wall=$dt%.1fs " +
-        f"out=$n shuffleRec=${shuffleRec.get()} inputRec=${inputRec.get()}")
+
+    // events corpus M×: new users per copy and a 40-day time shift per
+    // copy — growth means MORE users over MORE time (the realistic
+    // shape), so per-key and per-bin density stay constant and linear
+    // shuffle growth is the pass criterion
+    def eventsCorpus(mult: Int): DataFrame = {
+      val e0 = Tables.events(spark, sfDir)
+      (0 until mult).map { i =>
+        e0.select((col("event_id") + lit(i * 1000000000L)).as("event_id"),
+          (col("ts") + expr(s"INTERVAL ${i * 40} DAYS")).as("ts"),
+          (col("user_id") + lit(i * 1000000L)).as("user_id"),
+          col("event_type"), col("value"))
+      }.reduce(_ unionByName _)
     }
 
     mults.foreach { m =>
       val docs = corpus(m)
       println(s"== mult=$m docs=${docs.count()}")
-      measure(s"m$m exact")(Dedup.fingerprintClusters(docs, "doc_id", "text").count())
-      measure(s"m$m jaccard")(Dedup.jaccardPairs(docs, "doc_id", "text", 4, 100 * m, 1, 10).count())
-      measure(s"m$m minhash")(Dedup.minhashLshPairs(docs, "doc_id", "text", 4, 12, 3).count())
-      measure(s"m$m simhash")(Dedup.simhashPairs(docs, "doc_id", "text", 1).count())
-      measure(s"m$m winnow")(Dedup.winnowFingerprints(docs, "doc_id", "text", 8, 4).count())
+      measure(s"m$m exact")(Dedup.fingerprintClusters(docs, "doc_id", "text"))
+      measure(s"m$m jaccard")(Dedup.jaccardPairs(docs, "doc_id", "text", 4, 100 * m, 1, 10))
+      measure(s"m$m minhash")(Dedup.minhashLshPairs(docs, "doc_id", "text", 4, 12, 3))
+      measure(s"m$m simhash")(Dedup.simhashPairs(docs, "doc_id", "text", 1))
+      measure(s"m$m winnow")(Dedup.winnowFingerprints(docs, "doc_id", "text", 8, 4))
+      // near-dup clustering: edge count grows ~M² by construction here
+      // (every copy pairs with every other), so the pass criterion is
+      // shuffle ≈ edges + rounds·nodes, not linearity in M. (The CC
+      // loop's per-round shuffles happen inside staged jobs during
+      // construction; this measures the final labels frame + the count
+      // of the staged output — the loop's own volume is bounded by
+      // rounds × (edges + nodes) by construction.)
+      measure(s"m$m cc") {
+        val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text", 4, 12, 3)
+          .filter(col("jaccard") >= 0.2)
+        graft.operators.Graph.connectedComponents(pairs, "doc_a", "doc_b")
+      }
+      // stratified sample: shuffle must stay ~CONSTANT in M
+      // (k · map-partitions · strata partial rows, independent of input)
+      measure(s"m$m stratified")(graft.operators.Sampling.stratifiedSample(
+        docs.withColumn("g", pmod(col("doc_id"), lit(50))), "g", "doc_id", 20))
+
+      val ev = eventsCorpus(m)
+      println(s"== mult=$m events=${ev.count()}")
+      measure(s"m$m asof") {
+        val clicks = ev.filter(col("event_type") === "click")
+          .select("event_id", "user_id", "ts", "value")
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .groupBy("user_id", "ts").agg(max("value").as("pv"))
+        graft.operators.Relational.asofJoin(
+          clicks, purchases, "user_id", "ts", "ts", Seq("pv"))
+      }
+      measure(s"m$m rangejoin") {
+        val errors = ev.filter(col("event_type") === "error")
+          .select(col("event_id").as("err_id"), col("ts").as("err_start"),
+            (col("ts") + expr("INTERVAL 5 MINUTES")).as("err_end"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("ts").as("click_ts"), col("value").as("click_value"))
+        graft.operators.Relational.rangeJoinPairs(
+          errors, "err_start", "err_end", clicks, "click_ts", 300L)
+      }
     }
     spark.stop()
   }
