@@ -614,6 +614,50 @@ object ExtQueries {
         WITH RECURSIVE $CC_LABELS_SQL
         SELECT d.doc_id, d.lang, d.source, d.n_chars
         FROM documents d LEFT JOIN lbl ON d.doc_id = lbl.doc_id
-        WHERE lbl.doc_id IS NULL OR lbl.cluster_id = d.doc_id"""))
+        WHERE lbl.doc_id IS NULL OR lbl.cluster_id = d.doc_id""")),
+
+    // One Lloyd iteration of spherical k-means (8 seed centroids =
+    // vec_id < 8) — the offline training job behind the IVF index
+    // (q50). Assignment is the broadcast + map-side max_by collapse;
+    // the update is an exact fixed-point per-(cluster, dim) mean, so
+    // the whole iteration is engine-reproducible and oracle-checkable.
+    QuerySpec("q63_kmeans_step",
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        graft.operators.Clustering.kmeansStep(
+          e, "vec_id", "embedding",
+          e.filter(col("vec_id") < 8).select(col("vec_id").as("cid"),
+            col("embedding").as("cvec")),
+          "cid", "cvec")
+      },
+      Some("""
+        WITH n2 AS (
+          SELECT vec_id, SUM(CAST(floor(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 1000000000.0) AS BIGINT)) AS n2
+          FROM (SELECT vec_id, UNNEST(embedding) AS x FROM embeddings) t GROUP BY 1),
+        cent AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 8),
+        ael AS (
+          SELECT e.vec_id AS pid, c.cid, UNNEST(e.embedding) AS x, UNNEST(c.cvec) AS y
+          FROM embeddings e, cent c),
+        adots AS (
+          SELECT pid, cid, SUM(CAST(floor(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) * 1000000000.0) AS BIGINT)) AS dot
+          FROM ael GROUP BY 1, 2),
+        asims AS (
+          SELECT pid, cid,
+            CAST(dot AS DOUBLE) / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(c2.n2 AS DOUBLE))) AS csim
+          FROM adots JOIN n2 a ON pid = a.vec_id JOIN n2 c2 ON cid = c2.vec_id),
+        cells AS (
+          SELECT pid, cid FROM (
+            SELECT *, row_number() OVER (PARTITION BY pid ORDER BY csim DESC, cid) AS rn
+            FROM asims) r WHERE rn = 1),
+        mem AS (
+          SELECT cells.cid, d.dim, e.embedding[d.dim + 1] AS v
+          FROM cells
+            JOIN embeddings e ON e.vec_id = cells.pid,
+            UNNEST(range(0, len(e.embedding))) AS d(dim))
+        SELECT cid, dim,
+          CAST(SUM(CAST(floor(CAST(v AS DOUBLE) * 1000000000.0) AS BIGINT)) AS DOUBLE)
+            / count(*) / 1000000000.0 AS mean_val,
+          count(*) AS n_members
+        FROM mem GROUP BY 1, 2"""))
   )
 }
