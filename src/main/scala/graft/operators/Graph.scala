@@ -42,17 +42,27 @@ object Graph {
     val u = ust.df
     val nodes = u.select(col("a").as("id")).distinct()
     var cur = Staging.stage(nodes.withColumn("label", col("id")), "cc_labels_0")
-    var changed = 1L
+    // Convergence check: labels only ever DECREASE, so the global label
+    // sum is strictly monotone and "sum unchanged" ⟺ fixpoint — one
+    // scalar aggregate per round, no old-vs-new compare join.
+    def labelSum(df: DataFrame): Long =
+      df.agg(coalesce(sum(col("label")), lit(0L))).collect()(0).getLong(0)
+    var curSum = labelSum(cur.df)
     var i = 0
-    while (changed > 0L && i < maxIter) {
-      val nbrMin = u.join(cur.df.withColumnRenamed("id", "b2"), col("b") === col("b2"))
-        .groupBy(col("a")).agg(min(col("label")).as("nbl"))
-      val next = cur.df.join(nbrMin, col("id") === col("a"), "left")
-        .select(col("id"), col("label"),
-          least(col("label"), coalesce(col("nbl"), col("label"))).as("nl"))
-      val staged = Staging.stage(next.select(col("id"), col("nl").as("label"),
-        (col("nl") < col("label")).as("moved")), s"cc_labels_${i + 1}")
-      changed = staged.df.filter(col("moved")).count()
+    var converged = false
+    while (!converged && i < maxIter) {
+      // one shuffle join + one map-side-combining min aggregate per
+      // round: each node's new label = min over {itself} ∪ neighbor
+      // labels, expressed as a union so no second join is needed to
+      // carry the node's own label
+      val next = cur.df
+        .unionByName(u.join(cur.df.withColumnRenamed("id", "b2"), col("b") === col("b2"))
+          .select(col("a").as("id"), col("label")))
+        .groupBy(col("id")).agg(min(col("label")).as("label"))
+      val staged = Staging.stage(next, s"cc_labels_${i + 1}")
+      val nextSum = labelSum(staged.df)
+      converged = nextSum == curSum
+      curSum = nextSum
       cur.delete()
       cur = staged
       i += 1
