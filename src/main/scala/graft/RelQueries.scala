@@ -102,6 +102,45 @@ object RelQueries {
                    PARTITION BY lang
                    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
           FROM documents)
-        WHERE rn <= 20"""))
+        WHERE rn <= 20""")),
+
+    // Forward as-of join: each click gets the user's EARLIEST
+    // at-or-after purchase — same union + ordered window plan as q53,
+    // sorted descending (the next-quote-after shape).
+    QuerySpec("q64_asof_forward",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val clicks = ev.filter(col("event_type") === "click")
+          .select("event_id", "user_id", "ts", "value")
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .groupBy("user_id", "ts").agg(max("value").as("pv"))
+        Relational.asofJoin(clicks, purchases, "user_id", "ts", "ts", Seq("pv"),
+          forward = true)
+      },
+      Some("""
+        WITH l AS (
+          SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'click'),
+        r AS (
+          SELECT user_id, ts AS asof_ts, max(value) AS asof_pv
+          FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+        SELECT l.event_id, l.user_id, l.ts, l.value, r.asof_ts, r.asof_pv
+        FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts <= r.asof_ts""")),
+
+    // Context-window chunking: 50-token chunks on a 40-token stride
+    // (10-token overlap) — the corpus → training-sequences pass. Pure
+    // row-local codegen'd work, no shuffle.
+    QuerySpec("q65_chunk_tokens",
+      (s, dir) => graft.operators.Chunking.chunkByTokens(
+        Tables.documents(s, dir), "doc_id", "text", chunkSize = 50, stride = 40),
+      Some("""
+        WITH words AS (
+          SELECT doc_id,
+            list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                        x -> len(x) > 0) AS w
+          FROM documents)
+        SELECT doc_id, d.s AS chunk_start,
+          least(50, len(w) - d.s) AS n_tokens,
+          array_to_string(w[d.s + 1 : d.s + 50], ' ') AS chunk_text
+        FROM words, UNNEST(range(0, len(w), 40)) AS d(s)"""))
   )
 }

@@ -18,16 +18,19 @@ object Relational {
   /** Backward as-of join: attach to each left row the LATEST right row
     * of the same `key` with `rightTime <= leftTime` (ties at equal time
     * included — the standard ASOF semantics). Left rows with no prior
-    * right row keep nulls.
+    * right row keep nulls. `forward = true` flips the direction: the
+    * EARLIEST right row with `rightTime >= leftTime` (the
+    * next-quote-after shape).
     *
     * Implementation is union + ordered window, NOT a join: both sides
     * are tagged and unioned, sorted per key by (time, side) with right
     * rows first at ties, and `last(value, ignoreNulls)` over the
     * unbounded-preceding frame carries the latest right value forward
-    * onto each left row. One shuffle on the key, in-partition sort —
-    * the n·m candidate blowup of a range-predicate join never exists,
-    * which is what makes this viable when both sides are fact-sized
-    * (the classic trades-vs-quotes shape at 100 TB).
+    * onto each left row (the forward variant sorts descending and
+    * carries backward — same plan shape). One shuffle on the key,
+    * in-partition sort — the n·m candidate blowup of a range-predicate
+    * join never exists, which is what makes this viable when both sides
+    * are fact-sized (the classic trades-vs-quotes shape at 100 TB).
     *
     * Right rows must be unique per (key, rightTime) — pre-aggregate
     * ties upstream or the carried value is nondeterministic.
@@ -37,7 +40,7 @@ object Relational {
     */
   def asofJoin(left: DataFrame, right: DataFrame, key: String,
                leftTime: String, rightTime: String, rightVals: Seq[String],
-               prefix: String = "asof_"): DataFrame = {
+               prefix: String = "asof_", forward: Boolean = false): DataFrame = {
     val leftSchema = left.schema
     val carried = (s"$prefix$rightTime" -> rightTime) +: rightVals.map(v => s"$prefix$v" -> v)
     val lAligned = carried.foldLeft(left) { case (df, (out, src)) =>
@@ -50,9 +53,12 @@ object Relational {
         else lit(null).cast(f.dataType).as(f.name)
       } ++ carried.map { case (out, src) => col(src).as(out) }
         :+ lit(0).as("__src"): _*)
-    // right rows sort BEFORE left rows at equal time (__src 0 < 1), so a
-    // right row at exactly leftTime is visible to that left row
-    val w = Window.partitionBy(key).orderBy(col(leftTime).asc, col("__src").asc)
+    // right rows sort BEFORE left rows at equal time (__src 0 < 1 on the
+    // time-ascending side; descending time with ascending __src keeps
+    // the same property for the forward variant), so a right row at
+    // exactly leftTime is visible to that left row
+    val timeOrd = if (forward) col(leftTime).desc else col(leftTime).asc
+    val w = Window.partitionBy(key).orderBy(timeOrd, col("__src").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val filled = carried.foldLeft(lAligned.unionByName(rAligned)) { case (df, (out, _)) =>
       df.withColumn(out, last(col(out), ignoreNulls = true).over(w))

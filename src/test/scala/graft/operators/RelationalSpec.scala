@@ -35,6 +35,25 @@ class RelationalSpec extends SparkSpec {
     assert(out(4L) === Some(9.0)) // tie on the other key
   }
 
+  test("asofJoin forward attaches the earliest right row at-or-after each left time") {
+    val s = spark
+    import s.implicits._
+    val left = Seq(
+      (1L, "a", ts("2024-01-01 10:00:00")),
+      (2L, "a", ts("2024-01-01 12:00:00")), // tie with right at 12:00 → included
+      (3L, "a", ts("2024-01-01 13:00:00"))  // nothing at-or-after
+    ).toDF("id", "k", "t")
+    val right = Seq(
+      ("a", ts("2024-01-01 11:00:00"), 2.0),
+      ("a", ts("2024-01-01 12:00:00"), 3.0)
+    ).toDF("k", "rt", "v")
+    val out = Relational.asofJoin(left, right, "k", "t", "rt", Seq("v"), forward = true)
+      .select("id", "asof_v").as[(Long, Option[Double])].collect().toMap
+    assert(out(1L) === Some(2.0)) // 11:00, not 12:00
+    assert(out(2L) === Some(3.0)) // exact tie included
+    assert(out(3L) === None)
+  }
+
   test("asofJoin is window-based: no join operator in the physical plan") {
     val s = spark
     import s.implicits._
