@@ -404,7 +404,80 @@ object Queries {
           CAST(month(COALESCE(try_strptime(strftime(o_orderdate, '%d.%m.%Y'), '%d.%m.%Y'), TIMESTAMP '1900-01-01')) AS INTEGER) AS parsed_month,
           COALESCE(try_strptime(o_orderpriority, '%d.%m.%Y'), TIMESTAMP '1900-01-01') AS fallback_ts,
           count(*) AS n_rows
-        FROM orders GROUP BY 1, 2, 3, 4"""))
+        FROM orders GROUP BY 1, 2, 3, 4""")),
+
+    // full cube over two dimensions (q16's rollup sibling): Catalyst
+    // expands grouping sets with partial aggregation — one pass, no
+    // per-set rescan
+    QuerySpec("q66_cube",
+      (s, dir) => lineitem(s, dir)
+        .cube("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n_rows"), sum4(col("l_quantity")).as("sum_qty")),
+      Some("""
+        SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+          CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+        FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""")),
+
+    // unpivot/melt: wide metric columns → (key, metric, value) rows —
+    // row-local, no shuffle; the long-format feed for per-metric
+    // aggregation/feature pipelines
+    QuerySpec("q67_unpivot",
+      (s, dir) => lineitem(s, dir)
+        .filter(col("l_orderkey") % 100 === 0)
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_extendedprice"), col("l_discount"), col("l_tax")),
+          "metric", "value"),
+      Some("""
+        WITH f AS (SELECT * FROM lineitem WHERE l_orderkey % 100 = 0)
+        SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity AS value FROM f
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM f
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM f
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM f""")),
+
+    // Feature bucketization: per-group quartile edges by integer-exact
+    // rank (the q58 order-statistic trick), broadcast back, bin =
+    // count of edges strictly below the value — monotone and
+    // deterministic under ties. The two-phase compute-edges →
+    // broadcast-assign shape is how a 100 TB bucketizer avoids a
+    // global sort: the window is per-group, the assignment row-local.
+    QuerySpec("q68_bucketize",
+      (s, dir) => {
+        val wq = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+        val wn = Window.partitionBy("o_orderpriority")
+        val ranked = orders(s, dir)
+          .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+          .withColumn("rn", row_number().over(wq))
+          .withColumn("n", count(lit(1)).over(wn))
+        val edges = ranked.groupBy("o_orderpriority").agg(
+          max(when(col("rn") === expr("(n-1) div 4") + 1, col("o_totalprice"))).as("e1"),
+          max(when(col("rn") === expr("(n-1) div 2") + 1, col("o_totalprice"))).as("e2"),
+          max(when(col("rn") === expr("(3*(n-1)) div 4") + 1, col("o_totalprice"))).as("e3"))
+        orders(s, dir).join(broadcast(edges), Seq("o_orderpriority"))
+          .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"),
+            ((col("o_totalprice") > col("e1")).cast("long") +
+             (col("o_totalprice") > col("e2")).cast("long") +
+             (col("o_totalprice") > col("e3")).cast("long")).as("bin"))
+      },
+      Some("""
+        WITH r AS (
+          SELECT o_orderpriority, o_totalprice,
+            row_number() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey) AS rn,
+            count(*) OVER (PARTITION BY o_orderpriority) AS n
+          FROM orders),
+        e AS (
+          SELECT o_orderpriority,
+            max(CASE WHEN rn = (n-1)//4 + 1 THEN o_totalprice END) AS e1,
+            max(CASE WHEN rn = (n-1)//2 + 1 THEN o_totalprice END) AS e2,
+            max(CASE WHEN rn = (3*(n-1))//4 + 1 THEN o_totalprice END) AS e3
+          FROM r GROUP BY 1)
+        SELECT o.o_orderkey, o.o_orderpriority, o.o_totalprice,
+          CAST(o.o_totalprice > e.e1 AS BIGINT) + CAST(o.o_totalprice > e.e2 AS BIGINT)
+            + CAST(o.o_totalprice > e.e3 AS BIGINT) AS bin
+        FROM orders o JOIN e USING (o_orderpriority)"""))
   )
 
   /** Registry assembled by [[SparkEntry]]. */
