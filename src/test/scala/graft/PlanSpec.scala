@@ -71,4 +71,31 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("q60: pivot with explicit values has no value-discovery pass or row expansion") {
+    val p = plan("q60_pivot_matrix")
+    // the plan is one scan feeding (hr,type)-count + pivotfirst, each
+    // two-phase; a values-less pivot would first run a separate
+    // distinct JOB over event_type, and a conditional-agg emulation
+    // via grouping sets would Expand the rows
+    assert("FileScan".r.findAllIn(p).size == 1, p)
+    assert(!p.contains("Expand"), "explicit-values pivot must not expand rows")
+  }
+
+  test("q67: unpivot is row-local — no Exchange in the plan") {
+    val p = plan("q67_unpivot")
+    assert(!p.contains("Exchange"), s"unpivot must not shuffle:\n$p")
+  }
+
+  test("q68: bucket assignment broadcasts the edges — no sort-merge join of the fact side") {
+    val p = plan("q68_bucketize")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("q63: k-means assignment broadcasts centroids and collapses via one aggregate pair") {
+    val p = plan("q63_kmeans_step")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
 }
