@@ -29,6 +29,28 @@ class StreamsSpec extends SparkSpec {
       "2024-01-01 03:00:00" -> 1L))
   }
 
+  test("watermark-bounded streaming dedup drops in-horizon duplicates across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long)]
+    val deduped = mem.toDF().toDF("ts", "event_id")
+      .withWatermark("ts", "1 hour")
+      // the production form of q52's dedup: per-key state is DROPPED
+      // once the key falls behind the watermark, so state is bounded
+      // by (horizon x key arrival rate), not by history
+      .dropDuplicatesWithinWatermark("event_id")
+      .groupBy().count()
+    val qn = s"graft_wmdedup_${System.nanoTime()}"
+    val q = deduped.writeStream.outputMode("complete").format("memory").queryName(qn).start()
+    mem.addData((ts("2024-01-01 00:00:00"), 1L), (ts("2024-01-01 00:00:01"), 1L))
+    q.processAllAvailable()
+    mem.addData((ts("2024-01-01 00:30:00"), 1L), (ts("2024-01-01 00:30:00"), 2L))
+    q.processAllAvailable()
+    val n = spark.table(qn).as[Long].collect().head
+    q.stop()
+    // 4 arrivals, id=1 delivered three times within the horizon -> 2
+    assert(n === 2L)
+  }
+
   test("sessionize emits closed sessions via event-time timeout state") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Streams.Evt]
