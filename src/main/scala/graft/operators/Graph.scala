@@ -40,8 +40,13 @@ object Graph {
     // its producing plan may be an expensive dedup pipeline
     val ust = Staging.stage(und, "cc_edges")
     val u = ust.df
-    val nodes = u.select(col("a").as("id")).distinct()
-    var cur = Staging.stage(nodes.withColumn("label", col("id")), "cc_labels_0")
+    // Seed = the FIRST propagation round folded into initialization:
+    // label(x) = min over {x} ∪ neighbors(x), one aggregate over the
+    // edge list (no separate node-list job). Clique-like components
+    // converge at seed, so the loop below only confirms the fixpoint.
+    val seed = u.groupBy(col("a").as("id"))
+      .agg(min(least(col("a"), col("b"))).as("label"))
+    var cur = Staging.stage(seed, "cc_labels_0")
     // Convergence check: labels only ever DECREASE, so the global label
     // sum is strictly monotone and "sum unchanged" ⟺ fixpoint — one
     // scalar aggregate per round, no old-vs-new compare join.
