@@ -42,4 +42,30 @@ class BucketingSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS graft_lineitem_b")
     }
   }
+
+  test("SCD-2 build over a table bucketed on the key plans no Exchange") {
+    val dir = Files.createTempDirectory("graft_buckets_scd2")
+    val updates = graft.Tables.orders(spark, sf001)
+      .select("o_custkey", "o_orderdate", "o_totalprice", "o_orderkey")
+    GraftTable.writeBucketed(updates, "graft_updates_b", s"$dir/updates", 8, Seq("o_custkey"))
+    try {
+      // bucket(o_custkey) satisfies BOTH the (key, time) dedup
+      // aggregate's clustering AND the lead() window's partitioning —
+      // the whole type-2 history build runs exchange-free off the
+      // bucketed layout, the shape that matters when the update stream
+      // is fact-sized
+      val scd2 = Relational.scd2Intervals(spark.table("graft_updates_b"),
+        "o_custkey", "o_orderdate", "o_totalprice", "o_orderkey")
+      val plan = scd2.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed SCD-2 build must be exchange-free:\n$plan")
+      // and it computes the same intervals as the unbucketed path
+      val viaBuckets = scd2.count()
+      val direct = Relational.scd2Intervals(updates,
+        "o_custkey", "o_orderdate", "o_totalprice", "o_orderkey").count()
+      assert(viaBuckets == direct)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_updates_b")
+    }
+  }
 }
