@@ -34,6 +34,11 @@ object Graph {
     */
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
                           maxIter: Int = 20): DataFrame = {
+    require(maxIter >= 1, s"maxIter must be >= 1, got $maxIter")
+    // NOTE: if maxIter rounds pass without reaching the fixpoint (a
+    // component with diameter > maxIter), the labels returned are the
+    // partially-propagated state — raise maxIter for high-diameter
+    // graphs (near-dup graphs are clique-like and converge in 2-3).
     val und = edges.select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
       .union(edges.select(col(dstCol).cast("long").as("a"), col(srcCol).cast("long").as("b")))
     // stage the (small) edge frame once: it is re-read every round, and

@@ -43,6 +43,12 @@ object Relational {
                prefix: String = "asof_", forward: Boolean = false): DataFrame = {
     val leftSchema = left.schema
     val carried = (s"$prefix$rightTime" -> rightTime) +: rightVals.map(v => s"$prefix$v" -> v)
+    // fail loudly on column collisions instead of silently overwriting:
+    // the output adds the carried columns and an internal tag to LEFT
+    val clash = (carried.map(_._1) :+ "__src").filter(leftSchema.fieldNames.contains)
+    require(clash.isEmpty,
+      s"asofJoin output columns collide with left columns: ${clash.mkString(", ")} " +
+        s"(rename them or pass a different prefix)")
     val lAligned = carried.foldLeft(left) { case (df, (out, src)) =>
       df.withColumn(out, lit(null).cast(right.schema(src).dataType))
     }.withColumn("__src", lit(1))
@@ -86,6 +92,11 @@ object Relational {
   def rangeJoinPairs(intervals: DataFrame, startCol: String, endCol: String,
                      points: DataFrame, timeCol: String, binSeconds: Long): DataFrame = {
     require(binSeconds > 0)
+    val overlap = intervals.columns.toSet.intersect(points.columns.toSet)
+    require(overlap.isEmpty,
+      s"rangeJoinPairs requires disjoint column names; both sides have: ${overlap.mkString(", ")}")
+    require(!intervals.columns.contains("__bin") && !points.columns.contains("__bin"),
+      "__bin is reserved by rangeJoinPairs")
     val binMicros = binSeconds * 1000000L
     // [start, end) overlaps bins floor(start/w) .. floor((end-1µs)/w);
     // an empty/negative interval yields an empty sequence (no pairs)

@@ -20,8 +20,13 @@ object Sampling {
     * fraction of hash space below the threshold (e.g. "19" ≈ 16^-2·0x19
     * ≈ 9.8%). A pure, pushdown-friendly filter — no shuffle, no state.
     */
-  def hashSample(df: DataFrame, idCol: String, thresholdHex: String): DataFrame =
+  def hashSample(df: DataFrame, idCol: String, thresholdHex: String): DataFrame = {
+    // md5 renders LOWERCASE hex; an uppercase threshold would compare
+    // lexicographically against it and silently keep ~nothing
+    require(thresholdHex.nonEmpty && thresholdHex.forall(c => c.isDigit || ('a' to 'f').contains(c)),
+      s"thresholdHex must be non-empty lowercase hex, got '$thresholdHex'")
     df.filter(md5(col(idCol).cast("string")) < thresholdHex)
+  }
 
   /** Fixed-size stratified sample: the `k` rows with the smallest
     * (md5(id), id) per stratum — a deterministic uniform draw within
@@ -33,6 +38,14 @@ object Sampling {
     * Output: (stratum, id, rn) with rn = 1..k in hash order.
     */
   def stratifiedSample(df: DataFrame, stratumCol: String, idCol: String, k: Int): DataFrame = {
+    require(k > 0)
+    // the id must survive a lossless cast to long (the hash is over its
+    // STRING form, but ordering/tie-break and output use the long) —
+    // fail loudly rather than silently dropping null-cast rows
+    require(Seq("byte", "short", "int", "integer", "long", "bigint")
+        .contains(df.schema(idCol).dataType.typeName),
+      s"stratifiedSample needs an integral id column, got " +
+        s"${df.schema(idCol).dataType.typeName} for '$idCol'")
     val spark = df.sparkSession
     import spark.implicits._
     val minK = new MinKAggregator(k).toColumn

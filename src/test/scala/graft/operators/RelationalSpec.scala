@@ -65,6 +65,24 @@ class RelationalSpec extends SparkSpec {
       s"as-of join must be union+window, not a range-predicate join:\n$plan")
   }
 
+  test("asofJoin rejects carried-column collisions with the left frame") {
+    val s = spark
+    import s.implicits._
+    val left = Seq((1L, "a", ts("2024-01-01 10:00:00"), 0.0)).toDF("id", "k", "t", "asof_v")
+    val right = Seq(("a", ts("2024-01-01 09:00:00"), 1.0)).toDF("k", "rt", "v")
+    intercept[IllegalArgumentException](
+      Relational.asofJoin(left, right, "k", "t", "rt", Seq("v")))
+  }
+
+  test("rangeJoinPairs rejects overlapping column names between the two sides") {
+    val s = spark
+    import s.implicits._
+    val iv = Seq((1L, ts("2024-01-01 10:00:00"), ts("2024-01-01 11:00:00"))).toDF("id", "s0", "e0")
+    val pts = Seq((2L, ts("2024-01-01 10:30:00"))).toDF("id", "pt")
+    intercept[IllegalArgumentException](
+      Relational.rangeJoinPairs(iv, "s0", "e0", pts, "pt", 300L))
+  }
+
   test("rangeJoinPairs emits each containment pair exactly once, incl. bin-spanning intervals") {
     val s = spark
     import s.implicits._

@@ -45,6 +45,20 @@ class SamplingSpec extends SparkSpec {
     assert(got.toSeq === exp.toSeq)
   }
 
+  test("hashSample rejects an uppercase threshold instead of silently keeping nothing") {
+    val s = spark
+    import s.implicits._
+    val df = (1L to 10L).toDF("id")
+    intercept[IllegalArgumentException](Sampling.hashSample(df, "id", "1A"))
+  }
+
+  test("stratifiedSample rejects a non-integral id column") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(("a", "x1"), ("a", "x2")).toDF("g", "id")
+    intercept[IllegalArgumentException](Sampling.stratifiedSample(df, "g", "id", 1))
+  }
+
   test("stratifiedSample with undersized stratum returns all its rows") {
     val s = spark
     import s.implicits._
