@@ -141,6 +141,20 @@ object RelQueries {
         SELECT doc_id, d.s AS chunk_start,
           least(50, len(w) - d.s) AS n_tokens,
           array_to_string(w[d.s + 1 : d.s + 50], ' ') AS chunk_text
-        FROM words, UNNEST(range(0, len(w), 40)) AS d(s)"""))
+        FROM words, UNNEST(range(0, len(w), 40)) AS d(s)""")),
+
+    // Deterministic train/val/test split (~90/5/5 by md5 hash range):
+    // row-local, reproducible, and stable under corpus growth — a doc
+    // keeps its split when new data arrives.
+    QuerySpec("q69_dataset_split",
+      (s, dir) => Sampling.splitByHash(
+        Tables.documents(s, dir).select("doc_id", "lang"),
+        "doc_id", Seq("train" -> "e6", "val" -> "f3"), "test"),
+      Some("""
+        SELECT doc_id, lang,
+          CASE WHEN md5(CAST(doc_id AS VARCHAR)) < 'e6' THEN 'train'
+               WHEN md5(CAST(doc_id AS VARCHAR)) < 'f3' THEN 'val'
+               ELSE 'test' END AS split
+        FROM documents"""))
   )
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.expr.{HashedId, MinKAggregator}
@@ -26,6 +26,31 @@ object Sampling {
     require(thresholdHex.nonEmpty && thresholdHex.forall(c => c.isDigit || ('a' to 'f').contains(c)),
       s"thresholdHex must be non-empty lowercase hex, got '$thresholdHex'")
     df.filter(md5(col(idCol).cast("string")) < thresholdHex)
+  }
+
+  /** Deterministic train/val/test split: each row's md5(id) digest is
+    * compared against ascending hex thresholds and labeled with the
+    * first bucket it falls under (the remainder gets `defaultLabel`).
+    * The canonical dataset-split op: reproducible across runs and
+    * engines, row-local (no shuffle), and STABLE under corpus growth —
+    * a document keeps its split when new data arrives, because
+    * membership depends only on its own id.
+    */
+  def splitByHash(df: DataFrame, idCol: String,
+                  splits: Seq[(String, String)], defaultLabel: String,
+                  outCol: String = "split"): DataFrame = {
+    require(splits.nonEmpty)
+    require(splits.map(_._2) == splits.map(_._2).sorted,
+      s"split thresholds must be ascending hex, got ${splits.map(_._2)}")
+    splits.foreach { case (_, hex) =>
+      require(hex.nonEmpty && hex.forall(c => c.isDigit || ('a' to 'f').contains(c)),
+        s"threshold must be lowercase hex, got '$hex'")
+    }
+    val h = md5(col(idCol).cast("string"))
+    val labeled = splits.foldLeft(Option.empty[Column]) { case (acc, (label, hex)) =>
+      Some(acc.fold(when(h < hex, label))(_.when(h < hex, label)))
+    }.get.otherwise(defaultLabel)
+    df.withColumn(outCol, labeled)
   }
 
   /** Fixed-size stratified sample: the `k` rows with the smallest

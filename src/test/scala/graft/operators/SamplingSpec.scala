@@ -45,6 +45,29 @@ class SamplingSpec extends SparkSpec {
     assert(got.toSeq === exp.toSeq)
   }
 
+  test("splitByHash labels are total, deterministic, and stable under corpus growth") {
+    val s = spark
+    import s.implicits._
+    val splits = Seq("train" -> "e6", "val" -> "f3")
+    val small = Sampling.splitByHash((1L to 500L).toDF("id"), "id", splits, "test")
+      .as[(Long, String)].collect().toMap
+    val grown = Sampling.splitByHash((1L to 1000L).toDF("id"), "id", splits, "test")
+      .as[(Long, String)].collect().toMap
+    // every original row keeps its split when the corpus doubles
+    assert(small.forall { case (id, lab) => grown(id) == lab })
+    // all three labels occur and roughly match the hash-space shares
+    val counts = grown.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(counts.keySet === Set("train", "val", "test"))
+    assert(counts("train") > 850 && counts("train") < 950, counts.toString)
+  }
+
+  test("splitByHash rejects unsorted thresholds") {
+    val s = spark
+    import s.implicits._
+    intercept[IllegalArgumentException](Sampling.splitByHash(
+      (1L to 10L).toDF("id"), "id", Seq("a" -> "f3", "b" -> "e6"), "c"))
+  }
+
   test("hashSample rejects an uppercase threshold instead of silently keeping nothing") {
     val s = spark
     import s.implicits._
