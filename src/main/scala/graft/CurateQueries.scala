@@ -1,0 +1,246 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.expr.NfcNormalize
+import graft.functions.TextFns
+import graft.operators.{Bloom, Contamination, Dedup, Incremental, Layout, Outliers}
+
+/** Corpus-curation surface, round 3 batch 2: the remaining operations a
+  * large-scale training-data pipeline runs between "raw crawl" and
+  * "training shards" — benchmark decontamination, fuzzy (edit-distance)
+  * dedup, robust outlier filtering, repetition quality signals, Bloom
+  * join pruning, incremental aggregate maintenance, Z-order layout,
+  * Unicode normalization, and PII redaction. Every query carries a full
+  * DuckDB oracle; hashes/arithmetic are engine-portable by construction
+  * (md5, integer ranks, row-local IEEE ops).
+  */
+object CurateQueries {
+
+  import Agg.{sumDec4 => sum4}
+  import ExtQueries.{SHINGLES_SQL, WORDS_SQL}
+
+  val all: Seq[QuerySpec] = Seq(
+
+    // Benchmark decontamination: corpus docs sharing any word 4-gram
+    // with the "benchmark" slice (doc_id % 20 == 0 stands in for the
+    // eval suite). Benchmark shingles broadcast; the corpus never
+    // self-joins.
+    QuerySpec("q70_decontaminate",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        Contamination.ngramOverlap(
+            docs.filter(col("doc_id") % 20 =!= 0),
+            docs.filter(col("doc_id") % 20 === 0),
+            "doc_id", "text", n = 4)
+          .select(col("id").as("doc_id"), col("n_shingles"), col("n_hits"),
+            col("contaminated"))
+      },
+      Some(s"""
+        WITH $SHINGLES_SQL,
+        bench AS (SELECT DISTINCT sh AS bsh FROM sh WHERE doc_id % 20 = 0),
+        corp AS (SELECT doc_id, sh FROM sh WHERE doc_id % 20 <> 0),
+        sizes AS (SELECT doc_id, count(*) AS n_shingles FROM corp GROUP BY 1),
+        hits AS (
+          SELECT doc_id, count(*) AS n_hits
+          FROM corp JOIN bench ON sh = bsh GROUP BY 1)
+        SELECT s.doc_id, s.n_shingles, COALESCE(h.n_hits, 0) AS n_hits,
+          COALESCE(h.n_hits, 0) > 0 AS contaminated
+        FROM sizes s LEFT JOIN hits h ON s.doc_id = h.doc_id""")),
+
+    // Fuzzy dedup by bounded edit distance over short strings, blocked
+    // on (brand, head token): the near-identical-title pass.
+    QuerySpec("q71_fuzzy_editdist",
+      (s, dir) => Dedup.editDistancePairs(
+          Tables.part(s, dir), "p_partkey", "p_name",
+          struct(col("p_brand"), regexp_extract(col("p_name"), "([^ ]+)$", 1)),
+          maxDist = 3)
+        .select(col("id_a").as("key_a"), col("id_b").as("key_b"),
+          col("t_a").as("name_a"), col("t_b").as("name_b"), col("dist")),
+      Some("""
+        WITH p AS (
+          SELECT p_partkey, p_name, p_brand,
+            regexp_extract(p_name, '([^ ]+)$', 1) AS blk
+          FROM part)
+        SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+          a.p_name AS name_a, b.p_name AS name_b,
+          CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+        FROM p a JOIN p b
+          ON a.p_brand = b.p_brand AND a.blk = b.blk AND a.p_partkey < b.p_partkey
+        WHERE abs(length(a.p_name) - length(b.p_name)) <= 3
+          AND levenshtein(a.p_name, b.p_name) <= 3""")),
+
+    // Robust outlier rows by exact rank-based median + MAD per group —
+    // no float aggregates in the thresholds.
+    QuerySpec("q72_mad_outliers",
+      (s, dir) => Outliers.madOutliers(
+        Tables.orders(s, dir).select("o_orderpriority", "o_orderkey", "o_totalprice"),
+        Seq("o_orderpriority"), "o_totalprice", "o_orderkey", k = 2.0),
+      Some("""
+        WITH r AS (
+          SELECT o_orderpriority, o_totalprice, o_orderkey,
+            row_number() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey) AS rn,
+            count(*) OVER (PARTITION BY o_orderpriority) AS n
+          FROM orders),
+        med AS (
+          SELECT o_orderpriority, max(CASE WHEN rn = (n-1)//2 + 1 THEN o_totalprice END) AS med
+          FROM r GROUP BY 1),
+        d AS (
+          SELECT o.o_orderpriority, o.o_orderkey, o.o_totalprice, m.med,
+            abs(o.o_totalprice - m.med) AS dev
+          FROM orders o JOIN med m USING (o_orderpriority)),
+        r2 AS (
+          SELECT *, row_number() OVER (PARTITION BY o_orderpriority ORDER BY dev, o_orderkey) AS rn,
+            count(*) OVER (PARTITION BY o_orderpriority) AS n
+          FROM d),
+        mad AS (
+          SELECT o_orderpriority, max(CASE WHEN rn = (n-1)//2 + 1 THEN dev END) AS mad
+          FROM r2 GROUP BY 1)
+        SELECT d.o_orderpriority, d.o_orderkey, d.o_totalprice, d.med, mad.mad, d.dev
+        FROM d JOIN mad USING (o_orderpriority)
+        WHERE d.dev > 2.0 * mad.mad""")),
+
+    // Repetition quality signal (the Gopher-rule family): most frequent
+    // word bigram per document and its share of all bigrams.
+    QuerySpec("q73_repetition",
+      (s, dir) => {
+        val w = Window.partitionBy("doc_id").orderBy("pos")
+        val bigrams = Tables.documents(s, dir)
+          .select(col("doc_id"), posexplode(TextFns.tokens(col("text"))).as(Seq("pos", "t")))
+          .withColumn("t2", lead(col("t"), 1).over(w))
+          .filter(col("t2").isNotNull)
+          .select(col("doc_id"), concat_ws(" ", col("t"), col("t2")).as("bg"))
+        val counts = bigrams.groupBy("doc_id", "bg").agg(count(lit(1)).as("cnt"))
+        val totals = counts.groupBy("doc_id").agg(sum(col("cnt")).as("n_bigrams"))
+        val wt = Window.partitionBy("doc_id").orderBy(col("cnt").desc, col("bg"))
+        counts.withColumn("rk", row_number().over(wt)).filter(col("rk") === 1)
+          .join(totals, Seq("doc_id"))
+          .select(col("doc_id"), col("n_bigrams"), col("bg").as("top_bigram"),
+            col("cnt").as("top_cnt"),
+            (col("cnt").cast("double") / col("n_bigrams")).as("top_frac"),
+            (col("cnt").cast("double") / col("n_bigrams") > 0.05).as("repetitive"))
+      },
+      Some(s"""
+        WITH $WORDS_SQL,
+        bg AS (
+          SELECT doc_id, array_to_string(w[i:i+1], ' ') AS bg
+          FROM words, UNNEST(range(1, len(w))) AS t(i)
+          WHERE len(w) >= 2),
+        c AS (SELECT doc_id, bg, count(*) AS cnt FROM bg GROUP BY 1, 2),
+        nb AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_bigrams FROM c GROUP BY 1),
+        top AS (
+          SELECT doc_id, bg, cnt FROM (
+            SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, bg) AS rk
+            FROM c) x WHERE rk = 1)
+        SELECT t.doc_id, nb.n_bigrams, t.bg AS top_bigram, t.cnt AS top_cnt,
+          CAST(t.cnt AS DOUBLE) / nb.n_bigrams AS top_frac,
+          CAST(t.cnt AS DOUBLE) / nb.n_bigrams > 0.05 AS repetitive
+        FROM top t JOIN nb ON t.doc_id = nb.doc_id""")),
+
+    // Bloom-prefiltered semi-join: result ≡ the plain semi-join (the
+    // oracle), the bitmap just cuts probe rows before the shuffle.
+    QuerySpec("q74_bloom_semijoin",
+      (s, dir) => Bloom.semiJoin(
+          Tables.orders(s, dir), "o_custkey",
+          Tables.customer(s, dir).filter(col("c_acctbal") > 9000), "c_custkey")
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"), sum4(col("o_totalprice")).as("sum_price")),
+      Some("""
+        SELECT o_orderstatus, count(*) AS n_orders,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        FROM orders
+        WHERE EXISTS (SELECT 1 FROM customer
+                      WHERE c_custkey = o_custkey AND c_acctbal > 9000)
+        GROUP BY 1""")),
+
+    // Incremental aggregate maintenance: per-key algebraic state built
+    // from history and delta separately, merged — oracle is the full
+    // recompute, which the merged state must equal exactly.
+    QuerySpec("q75_incremental_agg",
+      (s, dir) => {
+        val o = Tables.orders(s, dir)
+        val keys = Seq("o_orderpriority")
+        val ms = Seq("o_totalprice")
+        val merged = Incremental.merge(Seq(
+          Incremental.state(o.filter(year(col("o_orderdate")) <= 1997), keys, ms),
+          Incremental.state(o.filter(year(col("o_orderdate")) > 1997), keys, ms)), keys, ms)
+        Incremental.finish(merged, keys, ms)
+      },
+      Some("""
+        SELECT o_orderpriority, count(*) AS n_rows,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_o_totalprice,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_o_totalprice
+        FROM orders GROUP BY 1""")),
+
+    // Z-order (Morton) layout key over price band × day-of-cycle: the
+    // two-dimensional file-clustering key, pure row-local arithmetic.
+    QuerySpec("q76_zorder_layout",
+      (s, dir) => {
+        val buck = Tables.orders(s, dir).select(col("o_orderkey"),
+          least(floor(col("o_totalprice") * 256.0 / 500000.0), lit(255L)).cast("long").as("xb"),
+          pmod(datediff(col("o_orderdate"), lit("1995-01-01").cast("date")), lit(256))
+            .cast("long").as("yb"))
+        buck.withColumn("z", Layout.zValue(col("xb"), col("yb"), 8))
+      },
+      Some {
+        val interleave = (0 until 8).map(b =>
+          s"(((xb >> $b) & 1) << ${2 * b}) + (((yb >> $b) & 1) << ${2 * b + 1})")
+          .mkString(" + ")
+        s"""
+        WITH b AS (
+          SELECT o_orderkey,
+            CAST(least(floor(o_totalprice * 256.0 / 500000.0), 255.0) AS BIGINT) AS xb,
+            CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) % 256 AS BIGINT) AS yb
+          FROM orders)
+        SELECT o_orderkey, xb, yb, $interleave AS z FROM b"""
+      }),
+
+    // Unicode NFC normalization via the custom codegen expression: a
+    // decomposed suffix (e+U+0301, a+U+0308) is appended so the
+    // normalizer provably composes — lengths shrink by exactly 2.
+    QuerySpec("q77_nfc_normalize",
+      (s, dir) => {
+        val raw = concat(substring(col("text"), 1, 12), lit(" café plän"))
+        Tables.documents(s, dir).select(col("doc_id"),
+          length(raw).cast("long").as("n_raw"),
+          length(NfcNormalize.nfcCol(raw)).cast("long").as("n_nfc"),
+          md5(NfcNormalize.nfcCol(raw)).as("nfc_md5"))
+      },
+      Some("""
+        WITH b AS (
+          SELECT doc_id, substr(text, 1, 12) || ' cafe""" + "́" + """ pla""" + "̈" + """n' AS raw
+          FROM documents)
+        SELECT doc_id, CAST(length(raw) AS BIGINT) AS n_raw,
+          CAST(length(nfc_normalize(raw)) AS BIGINT) AS n_nfc,
+          md5(nfc_normalize(raw)) AS nfc_md5
+        FROM b""")),
+
+    // PII redaction: deterministic synthetic emails/phones injected into
+    // the text, then scrubbed and counted — row-local regex chain.
+    QuerySpec("q78_pii_redact",
+      (s, dir) => {
+        val synth = concat(lit("contact "), substring(md5(col("text")), 1, 6),
+          lit("@mail.example.com or call 555-"),
+          lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"),
+          lit(" :: "), substring(col("text"), 1, 48))
+        Tables.documents(s, dir).select(col("doc_id"),
+          regexp_count(synth, lit(TextFns.EmailRe)).cast("long").as("n_emails"),
+          regexp_count(synth, lit(TextFns.PhoneRe)).cast("long").as("n_phones"),
+          TextFns.redactPii(synth).as("redacted"))
+      },
+      Some("""
+        WITH b AS (
+          SELECT doc_id,
+            'contact ' || substr(md5(text), 1, 6) || '@mail.example.com or call 555-' ||
+            lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' :: ' || substr(text, 1, 48) AS s
+          FROM documents)
+        SELECT doc_id,
+          CAST(len(regexp_extract_all(s, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT) AS n_emails,
+          CAST(len(regexp_extract_all(s, '\b\d{3}-\d{4}\b')) AS BIGINT) AS n_phones,
+          regexp_replace(
+            regexp_replace(s, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+            '\b\d{3}-\d{4}\b', '<PHONE>', 'g') AS redacted
+        FROM b"""))
+  )
+}

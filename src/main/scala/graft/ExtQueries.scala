@@ -17,15 +17,19 @@ import graft.operators.{Dedup, SimilaritySearch}
   */
 object ExtQueries {
 
-  /** DuckDB fragment: lowercased whitespace word array per document. */
-  private val WORDS_SQL =
+  /** DuckDB fragment: lowercased whitespace word array per document.
+    * Shared with [[CurateQueries]].
+    */
+  private[graft] val WORDS_SQL =
     """words AS (
       SELECT doc_id, lang, n_chars, text,
         list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> len(x) > 0) AS w
       FROM documents)"""
 
-  /** DuckDB fragment: distinct 4-gram shingle posting list (doc_id, sh). */
-  private val SHINGLES_SQL = WORDS_SQL + """,
+  /** DuckDB fragment: distinct 4-gram shingle posting list (doc_id, sh).
+    * Shared with [[CurateQueries]].
+    */
+  private[graft] val SHINGLES_SQL = WORDS_SQL + """,
     sh AS (
       SELECT DISTINCT doc_id, sh FROM (
         SELECT doc_id, array_to_string(w[i:i+3], ' ') AS sh

@@ -482,5 +482,6 @@ object Queries {
 
   /** Registry assembled by [[SparkEntry]]. */
   def all: Seq[QuerySpec] =
-    core ++ EventQueries.all ++ ExtQueries.all ++ IngestQueries.all ++ RelQueries.all
+    core ++ EventQueries.all ++ ExtQueries.all ++ IngestQueries.all ++
+      RelQueries.all ++ CurateQueries.all
 }

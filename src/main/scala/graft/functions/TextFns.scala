@@ -104,4 +104,19 @@ object TextFns {
       lit("(?<![^\\s])(?:" +
         lexicon.map(java.util.regex.Pattern.quote).mkString("|") +
         ")(?![^\\s])")).cast("int")
+
+  /** PII patterns, deliberately restricted to constructs with identical
+    * semantics in Java regex and RE2 (character classes, `\b`, bounded
+    * repetition) so a DuckDB oracle applies the very same scrub.
+    */
+  val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val PhoneRe = "\\b\\d{3}-\\d{4}\\b"
+
+  /** Redact emails and phone-shaped tokens — the scrub every
+    * web-scraped training corpus runs before anything is retained.
+    * Pure codegen'd `regexp_replace` chain (replaces ALL matches);
+    * extend the chain per PII class.
+    */
+  def redactPii(c: Column): Column =
+    regexp_replace(regexp_replace(c, EmailRe, "<EMAIL>"), PhoneRe, "<PHONE>")
 }

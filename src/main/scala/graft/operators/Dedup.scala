@@ -244,6 +244,33 @@ object Dedup {
         md5(concat_ws("", sort_array(collect_set(col("wmin"))))).as("fp_digest"))
   }
 
+  /** Fuzzy (edit-distance) near-dup pairs over SHORT strings — titles,
+    * product names, URLs — where token shingles are too coarse. Pairs
+    * are generated only within equality blocks (`blockCol`: e.g. a
+    * (brand, head-token) key), pruned by a length-difference band
+    * (|len(a)−len(b)| ≤ maxDist is a necessary condition for edit
+    * distance ≤ maxDist and costs one codegen'd comparison), and only
+    * then scored with the BOUNDED `levenshtein(a, b, maxDist)` — which
+    * abandons a pair as soon as the running distance exceeds the
+    * threshold, O(maxDist·len) instead of O(len²).
+    *
+    * Candidate volume is Σ block² — the caller's blocking key choice is
+    * the scale lever, exactly as with [[jaccardPairs]]'s shingle blocks;
+    * hot blocks are plain equi-join skew, AQE-splittable.
+    */
+  def editDistancePairs(df: DataFrame, idCol: String, textCol: String,
+                        blockCol: Column, maxDist: Int): DataFrame = {
+    require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
+    val b = df.select(col(idCol).as("id"), col(textCol).as("t"), blockCol.as("blk"))
+    val a = b.select(col("id").as("id_a"), col("t").as("t_a"), col("blk"))
+    val c = b.select(col("id").as("id_b"), col("t").as("t_b"), col("blk"))
+    a.join(c, Seq("blk")).filter(col("id_a") < col("id_b"))
+      .filter(abs(length(col("t_a")) - length(col("t_b"))) <= maxDist)
+      .withColumn("dist", levenshtein(col("t_a"), col("t_b"), maxDist).cast("long"))
+      .filter(col("dist") >= 0) // bounded form returns -1 past the threshold
+      .select("id_a", "id_b", "t_a", "t_b", "dist")
+  }
+
   /** SimHash near-dup pairs: 32-bit signature over distinct tokens,
     * banded into 4×8-bit blocks for blocking, then exact Hamming
     * distance ≤ `maxHamming` on candidates.

@@ -73,4 +73,23 @@ class DedupSpec extends SparkSpec {
     val positions = data.filter($"doc_id" === 1L).as[(Long, String)].collect().head._2.length - 7
     assert(fps(1L)._1 < positions / 2 && fps(1L)._1 >= positions / (4 * 2))
   }
+
+  test("editDistancePairs: blocked candidates, bounded distance") {
+    val df = Seq(
+      (1L, "cold widget", "B1"),
+      (2L, "bold widget", "B1"), // dist 1 from #1
+      (3L, "cold widget", "B2"), // identical text, different block → excluded
+      (4L, "cold gadget", "B1"), // dist 2 from #1, dist 3 from #2
+      (5L, "entirely other name x", "B1") // length prune removes before scoring
+    ).toDF("id", "name", "b")
+    val out = Dedup.editDistancePairs(df, "id", "name", org.apache.spark.sql.functions.col("b"), maxDist = 2)
+      .select("id_a", "id_b", "dist").as[(Long, Long, Long)].collect().sorted
+    assert(out.toSeq === Seq((1L, 2L, 1L), (1L, 4L, 2L)))
+  }
+
+  test("editDistancePairs rejects negative maxDist") {
+    val df = Seq((1L, "a", "b")).toDF("id", "name", "b")
+    intercept[IllegalArgumentException](
+      Dedup.editDistancePairs(df, "id", "name", org.apache.spark.sql.functions.col("b"), -1))
+  }
 }

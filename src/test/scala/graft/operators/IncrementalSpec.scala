@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class IncrementalSpec extends SparkSpec {
+
+  private def rows(seed: Int, n: Int) = {
+    val s = spark
+    import s.implicits._
+    (1 to n).map(i => (s"g${(i + seed) % 3}", (i * 7 + seed) % 100 / 10.0))
+      .toDF("g", "v")
+  }
+
+  private def finished(df: DataFrame) =
+    df.orderBy("g").collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSeq
+
+  test("merged batch states equal the full recompute, any merge grouping") {
+    val keys = Seq("g"); val ms = Seq("v")
+    val b1 = rows(0, 100); val b2 = rows(1, 50); val b3 = rows(2, 75)
+    val full = Incremental.state(b1.unionByName(b2).unionByName(b3), keys, ms)
+    val leftFold = Incremental.merge(Seq(
+      Incremental.merge(Seq(Incremental.state(b1, keys, ms),
+        Incremental.state(b2, keys, ms)), keys, ms),
+      Incremental.state(b3, keys, ms)), keys, ms)
+    val flat = Incremental.merge(
+      Seq(b3, b1, b2).map(Incremental.state(_, keys, ms)), keys, ms)
+    val exp = finished(Incremental.finish(full, keys, ms))
+    assert(finished(Incremental.finish(leftFold, keys, ms)) === exp)
+    assert(finished(Incremental.finish(flat, keys, ms)) === exp)
+  }
+
+  test("empty delta is a merge identity") {
+    val s = spark
+    import s.implicits._
+    val keys = Seq("g"); val ms = Seq("v")
+    val base = Incremental.state(rows(0, 60), keys, ms)
+    val empty = Incremental.state(rows(0, 60).filter(lit(false)), keys, ms)
+    assert(finished(Incremental.finish(Incremental.merge(Seq(base, empty), keys, ms), keys, ms))
+      === finished(Incremental.finish(base, keys, ms)))
+  }
+
+  test("finish derives avg = sum / count") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(("a", 1.0), ("a", 2.0), ("b", 5.0)).toDF("g", "v")
+    val out = finished(Incremental.finish(
+      Incremental.state(df, Seq("g"), Seq("v")), Seq("g"), Seq("v")))
+    assert(out === Seq(("a", 2L, 3.0, 1.5), ("b", 1L, 5.0, 5.0)))
+  }
+}
