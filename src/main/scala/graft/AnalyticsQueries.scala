@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Analytics, Sketches}
+
+/** Behavioral analytics + mergeable-sketch surface (round 3 batch 3):
+  * ordered funnels, cohort retention, and the HLL / count-min sketches —
+  * each with a full DuckDB oracle (the sketches are engine-portable by
+  * construction, so even their estimates hash-match).
+  */
+object AnalyticsQueries {
+
+  val all: Seq[QuerySpec] = Seq(
+
+    // Ordered 3-step funnel (view → click → purchase) with a 24 h
+    // per-step conversion window.
+    QuerySpec("q79_funnel",
+      (s, dir) => Analytics.funnel(Tables.events(s, dir),
+        "user_id", "event_type", "ts",
+        Seq("view", "click", "purchase"), windowSec = 86400L),
+      Some("""
+        WITH v AS (
+          SELECT user_id, min(CAST(ts AS TIMESTAMP)) FILTER (event_type = 'view') AS t1
+          FROM events GROUP BY 1),
+        c AS (
+          SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS t2
+          FROM events e JOIN v ON e.user_id = v.user_id
+          WHERE e.event_type = 'click' AND CAST(e.ts AS TIMESTAMP) >= v.t1
+            AND CAST(e.ts AS TIMESTAMP) <= v.t1 + INTERVAL 86400 SECOND
+          GROUP BY 1),
+        p AS (
+          SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS t3
+          FROM events e JOIN c ON e.user_id = c.user_id
+          WHERE e.event_type = 'purchase' AND CAST(e.ts AS TIMESTAMP) >= c.t2
+            AND CAST(e.ts AS TIMESTAMP) <= c.t2 + INTERVAL 86400 SECOND
+          GROUP BY 1)
+        SELECT CAST(1 AS BIGINT) AS step, 'view' AS event_type,
+          (SELECT count(*) FROM v WHERE t1 IS NOT NULL) AS n_users
+        UNION ALL
+        SELECT 2, 'click', (SELECT count(*) FROM c)
+        UNION ALL
+        SELECT 3, 'purchase', (SELECT count(*) FROM p)""")),
+
+    // Cohort retention matrix: first-seen-day cohorts × day offset.
+    QuerySpec("q80_cohort_retention",
+      (s, dir) => Analytics.cohortRetention(Tables.events(s, dir), "user_id", "ts"),
+      Some("""
+        WITH f AS (
+          SELECT user_id, min(CAST(ts AS DATE)) AS cohort FROM events GROUP BY 1)
+        SELECT f.cohort,
+          CAST(date_diff('day', f.cohort, CAST(e.ts AS DATE)) AS BIGINT) AS day_offset,
+          count(DISTINCT e.user_id) AS n_users
+        FROM events e JOIN f ON e.user_id = f.user_id
+        GROUP BY 1, 2""")),
+
+    // HyperLogLog distinct count over order keys (b=10 → 1024 buckets):
+    // integer harmonic sum, so state AND estimate are engine-exact.
+    QuerySpec("q81_hll_distinct",
+      (s, dir) => Sketches.hllEstimate(
+        Sketches.hllState(Tables.orders(s, dir), "o_orderkey", b = 10), b = 10),
+      Some("""
+        WITH h AS (
+          SELECT CAST(concat('0x', substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+          FROM orders),
+        st AS (
+          SELECT h % 1024 AS bucket,
+            max(CASE WHEN h // 1024 = 0 THEN 51 ELSE 51 - length(bin(h // 1024)) END) AS rho
+          FROM h GROUP BY 1),
+        agg AS (
+          SELECT CAST(count(*) AS BIGINT) AS m_used,
+            CAST(sum(CAST(1 AS BIGINT) << (51 - rho)) AS BIGINT) AS s_used
+          FROM st)
+        SELECT m_used,
+          s_used + (1024 - m_used) * (CAST(1 AS BIGINT) << 51) AS s,
+          0.7213 / (1 + 1.079 / 1024.0) * 1024 * 1024 * 2251799813685248.0
+            / (s_used + (1024 - m_used) * (CAST(1 AS BIGINT) << 51)) AS est_distinct
+        FROM agg""")),
+
+    // Count-min frequency estimates for every user (d=4 × w=256): the
+    // min-over-rows upper bound, alongside the exact count.
+    QuerySpec("q82_cms_freq",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val st = Sketches.cmsState(ev, "user_id", d = 4, w = 256)
+        Sketches.cmsLookup(st, ev.select("user_id").distinct(), "user_id", d = 4, w = 256)
+          .withColumnRenamed("key", "user_id")
+          .join(ev.groupBy("user_id").agg(count(lit(1)).as("exact")), Seq("user_id"))
+      },
+      Some("""
+        WITH pos AS (
+          SELECT user_id,
+            i AS r,
+            CAST(concat('0x', substr(md5(CAST(i AS VARCHAR) || ':' || CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) % 256 AS c
+          FROM events, UNNEST(range(0, 4)) AS t(i)),
+        st AS (SELECT r, c, count(*) AS cnt FROM pos GROUP BY 1, 2),
+        k AS (SELECT DISTINCT user_id FROM events),
+        kp AS (
+          SELECT user_id,
+            i AS r,
+            CAST(concat('0x', substr(md5(CAST(i AS VARCHAR) || ':' || CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) % 256 AS c
+          FROM k, UNNEST(range(0, 4)) AS t(i)),
+        est AS (
+          SELECT kp.user_id, min(COALESCE(st.cnt, 0)) AS est
+          FROM kp LEFT JOIN st ON kp.r = st.r AND kp.c = st.c
+          GROUP BY 1),
+        ex AS (SELECT user_id, count(*) AS exact FROM events GROUP BY 1)
+        SELECT est.user_id, est.est, ex.exact
+        FROM est JOIN ex ON est.user_id = ex.user_id"""))
+  )
+}

@@ -40,7 +40,7 @@ object ExtQueries {
     * (k=12, 3 rows/band), ending in `mh_pairs(doc_a, doc_b, shared, na,
     * nb, jaccard)` — shared by q32 and the clustering queries q61/q62.
     */
-  private val MINHASH_PAIRS_SQL = SHINGLES_SQL + """,
+  private[graft] val MINHASH_PAIRS_SQL = SHINGLES_SQL + """,
     mh AS (
       SELECT doc_id, i, min(md5(CAST(i AS VARCHAR) || ':' || sh)) AS mh
       FROM sh, UNNEST(range(0, 12)) AS t(i)
@@ -662,6 +662,35 @@ object ExtQueries {
           CAST(SUM(CAST(floor(CAST(v AS DOUBLE) * 1000000000.0) AS BIGINT)) AS DOUBLE)
             / count(*) / 1000000000.0 AS mean_val,
           count(*) AS n_members
-        FROM mem GROUP BY 1, 2"""))
+        FROM mem GROUP BY 1, 2""")),
+
+    // PageRank over the verified near-dup similarity graph (q61's edges)
+    // in exact integer fixed-point arithmetic — high-rank documents are
+    // the recurring "templates" of the corpus. 3 fixed iterations,
+    // damping 85/100, scale 1e9; every division is a BIGINT floor div,
+    // so the ranks hash-match the oracle's unrolled recomputation.
+    QuerySpec("q83_pagerank",
+      (s, dir) => {
+        val pairs = Dedup.minhashLshPairs(Tables.documents(s, dir), "doc_id", "text",
+          n = 4, k = 12, rowsPerBand = 3).filter(col("jaccard") >= 0.2)
+        graft.operators.Graph.pageRank(pairs, "doc_a", "doc_b", iterations = 3)
+          .select(col("id").as("doc_id"), col("pr"))
+      },
+      Some(s"""
+        WITH $MINHASH_PAIRS_SQL,
+        e AS (SELECT doc_a, doc_b FROM mh_pairs WHERE jaccard >= 0.2),
+        und AS (SELECT doc_a AS a, doc_b AS b FROM e UNION ALL SELECT doc_b, doc_a FROM e),
+        deg AS (SELECT a, count(*) AS deg FROM und GROUP BY 1),
+        p0 AS (SELECT a AS id, CAST(1000000000 AS BIGINT) AS pr FROM deg),
+        c1 AS (SELECT u.b AS id, SUM(p.pr // d.deg) AS s
+               FROM und u JOIN p0 p ON u.a = p.id JOIN deg d ON u.a = d.a GROUP BY 1),
+        p1 AS (SELECT id, CAST(150000000 + (85 * s) // 100 AS BIGINT) AS pr FROM c1),
+        c2 AS (SELECT u.b AS id, SUM(p.pr // d.deg) AS s
+               FROM und u JOIN p1 p ON u.a = p.id JOIN deg d ON u.a = d.a GROUP BY 1),
+        p2 AS (SELECT id, CAST(150000000 + (85 * s) // 100 AS BIGINT) AS pr FROM c2),
+        c3 AS (SELECT u.b AS id, SUM(p.pr // d.deg) AS s
+               FROM und u JOIN p2 p ON u.a = p.id JOIN deg d ON u.a = d.a GROUP BY 1),
+        p3 AS (SELECT id, CAST(150000000 + (85 * s) // 100 AS BIGINT) AS pr FROM c3)
+        SELECT id AS doc_id, pr FROM p3"""))
   )
 }

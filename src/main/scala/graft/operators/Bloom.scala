@@ -54,21 +54,34 @@ object Bloom {
 
   /** Exact semi-join of `probe` against `build`'s keys, with the probe
     * side Bloom-prefiltered first. Result ≡ plain left-semi join.
+    *
+    * The bitmap is materialized at construction (one bounded row of
+    * m/64 longs — 8 KB at m=2^16) and embedded as a LITERAL in the
+    * probe-side filter. This is deliberate, and it is exactly what
+    * Spark's own runtime bloom filter does when it executes its
+    * ScalarSubquery: a composed cross-join-with-bitmap formulation
+    * leaves two reorderable joins, and Catalyst pushes the exact
+    * semi-join BELOW the prefilter (observed in the executed plan) — the
+    * probe side would reach the expensive join at full volume, defeating
+    * the operator. As a literal, the k bit tests form a plain Filter
+    * directly above the probe scan, which no reorder can displace. The
+    * bounded collect is broadcast-variable state, not a data collect.
     */
   def semiJoin(probe: DataFrame, probeKey: String, build: DataFrame,
                buildKey: String, k: Int = 3, m: Int = 1 << 16): DataFrame = {
-    val bm = buildBitmap(build, col(buildKey), k, m)
-    // materialize the k probe positions as columns, then test each with
-    // O(1) word lookup + dynamic shift (array indexing is 0-based in SQL)
+    val bits = buildBitmap(build, col(buildKey), k, m)
+      .collect()(0).getSeq[Long](0).toArray
     val posNames = (0 until k).map(i => s"__bp$i")
     val withPos = positions(col(probeKey), k, m).zip(posNames)
-      .foldLeft(probe.crossJoin(broadcast(bm))) {
+      .foldLeft(probe.withColumn("__bm", lit(bits))) {
         case (d, (p, nm)) => d.withColumn(nm, p.cast("int"))
       }
+    // O(1) membership per position: word lookup + dynamic shift (SQL
+    // array indexing is 0-based)
     val pass = posNames.map(nm =>
-        expr(s"(bm[shiftright($nm, 6)] & shiftleft(cast(1 as bigint), $nm % 64)) != 0"))
+        expr(s"(__bm[shiftright($nm, 6)] & shiftleft(cast(1 as bigint), $nm % 64)) != 0"))
       .reduce(_ && _)
-    val prefiltered = withPos.filter(pass).drop(posNames :+ "bm": _*)
+    val prefiltered = withPos.filter(pass).drop(posNames :+ "__bm": _*)
     prefiltered.join(build.select(col(buildKey).as(probeKey)), Seq(probeKey), "left_semi")
   }
 }

@@ -81,4 +81,54 @@ object Graph {
     ust.delete()
     out
   }
+
+  /** PageRank over an undirected edge list in EXACT integer fixed-point
+    * arithmetic (scale 10^9, damping 85/100):
+    *
+    *   pr₀(v) = SCALE;  pr_{t+1}(v) = 15·SCALE/100 + (85 · Σ_{u~v} (pr_t(u) div deg(u))) div 100
+    *
+    * — all BIGINT floor divisions, so the result is deterministic under
+    * any partitioning and engine-portable (the float formulation sums
+    * contributions in partition order and never hash-matches across
+    * engines). Fixed iteration count, the production norm for ranking.
+    *
+    * Per round: ONE shuffle join of the (node, pr, deg) state onto the
+    * edge list + one map-side-combining sum — the same O(1)-plan-depth
+    * staged-round shape as [[connectedComponents]]. Every node in an
+    * undirected graph has degree ≥ 1, so there are no dangling-mass
+    * corrections to apply (directed graphs with sinks would need the
+    * standard dangling redistribution — out of scope for the similarity
+    * graphs this ranks).
+    *
+    * The use here: rank documents by centrality in the near-dup
+    * similarity graph — high-rank nodes are the "template" documents
+    * whose shape recurs across the corpus, exactly the ones corpus
+    * curation wants to inspect.
+    */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+               iterations: Int): DataFrame = {
+    require(iterations >= 1 && iterations <= 50,
+      s"iterations must be in [1, 50], got $iterations")
+    val Scale = 1000000000L
+    val und = edges.select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
+      .union(edges.select(col(dstCol).cast("long").as("a"), col(srcCol).cast("long").as("b")))
+    val ust = Staging.stage(und, "pr_edges")
+    val u = ust.df
+    val deg = u.groupBy(col("a").as("id")).agg(count(lit(1)).as("deg"))
+    var cur = Staging.stage(deg.select(col("id"), lit(Scale).as("pr"), col("deg")), "pr_0")
+    for (i <- 1 to iterations) {
+      val contrib = u
+        .join(cur.df.withColumnRenamed("id", "a"), Seq("a"))
+        .select(col("b").as("id"), expr("pr div deg").as("w"))
+      val next = contrib.groupBy("id").agg(sum(col("w")).as("s"))
+        .select(col("id"), (lit(15L * Scale / 100) + expr("(85 * s) div 100")).as("pr"))
+        .join(cur.df.select("id", "deg"), Seq("id"))
+      val staged = Staging.stage(next, s"pr_$i")
+      cur.delete()
+      cur = staged
+    }
+    val out = cur.df.select(col("id"), col("pr"))
+    ust.delete()
+    out
+  }
 }

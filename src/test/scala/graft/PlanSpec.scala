@@ -98,4 +98,29 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("q76/q78: z-order keys and PII redaction are row-local — no Exchange") {
+    assert(!plan("q76_zorder_layout").contains("Exchange"))
+    assert(!plan("q78_pii_redact").contains("Exchange"))
+  }
+
+  test("q74: bloom prefilter tests run on the probe side BEFORE its exchange") {
+    val p = plan("q74_bloom_semijoin")
+    // the bitmap word test (shiftright of the position column) must sit
+    // in a Filter below the semi-join, not after it
+    val filt = p.indexOf("shiftright")
+    val semi = p.indexOf("LeftSemi")
+    assert(filt >= 0 && semi >= 0 && filt > semi,
+      s"prefilter must be below (printed after) the semi join:\n$p")
+  }
+
+  test("q70: benchmark n-gram probe broadcasts — no corpus self-join") {
+    val p = plan("q70_decontaminate")
+    assert(p.contains("BroadcastHashJoin"))
+  }
+
+  test("q81: HLL state is a two-phase aggregate (map-side max combine)") {
+    val p = plan("q81_hll_distinct")
+    assert("HashAggregate".r.findAllIn(p).size >= 2)
+  }
 }

@@ -1,0 +1,72 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import graft.SparkSpec
+
+class AnalyticsSpec extends SparkSpec {
+
+  private def ts(min: Long) = new Timestamp(min * 60000L)
+
+  test("funnel counts users per step under the conversion window") {
+    val s = spark
+    import s.implicits._
+    val ev = Seq(
+      // u1 completes: view@0 → click@10 → buy@20
+      (1L, "view", ts(0)), (1L, "click", ts(10)), (1L, "buy", ts(20)),
+      // u2 clicks too late (window 30 min)
+      (2L, "view", ts(0)), (2L, "click", ts(45)), (2L, "buy", ts(50)),
+      // u3 clicked BEFORE the first view — not a conversion
+      (3L, "click", ts(0)), (3L, "view", ts(10)), (3L, "buy", ts(20)),
+      // u4 views only
+      (4L, "view", ts(0))
+    ).toDF("user_id", "event_type", "t")
+    val out = Analytics.funnel(ev, "user_id", "event_type", "t",
+      Seq("view", "click", "buy"), windowSec = 1800L)
+      .as[(Long, String, Long)].collect().sortBy(_._1)
+    assert(out.toSeq === Seq((1L, "view", 4L), (2L, "click", 1L), (3L, "buy", 1L)))
+  }
+
+  test("funnel step time anchors on when the PREVIOUS step was reached") {
+    val s = spark
+    import s.implicits._
+    // u1 reaches click at minute 10; buy at 35 is within 30 min of the
+    // click even though it is 35 min after the view
+    val ev = Seq(
+      (1L, "view", ts(0)), (1L, "click", ts(10)), (1L, "buy", ts(35))
+    ).toDF("user_id", "event_type", "t")
+    val out = Analytics.funnel(ev, "user_id", "event_type", "t",
+      Seq("view", "click", "buy"), windowSec = 1800L)
+      .as[(Long, String, Long)].collect().sortBy(_._1)
+    assert(out.map(_._3).toSeq === Seq(1L, 1L, 1L))
+  }
+
+  test("funnel rejects degenerate configs") {
+    val s = spark
+    import s.implicits._
+    val ev = Seq((1L, "view", ts(0))).toDF("user_id", "event_type", "t")
+    intercept[IllegalArgumentException](
+      Analytics.funnel(ev, "user_id", "event_type", "t", Seq("view"), 60L))
+    intercept[IllegalArgumentException](
+      Analytics.funnel(ev, "user_id", "event_type", "t", Seq("view", "click"), 0L))
+  }
+
+  test("cohortRetention buckets by first-seen day with correct offsets") {
+    val s = spark
+    import s.implicits._
+    def day(d: Int, h: Int = 0) = new Timestamp((d * 24L + h) * 3600000L)
+    val ev = Seq(
+      (1L, day(0)), (1L, day(0, 5)), (1L, day(2)),  // cohort day0: offsets 0,0,2
+      (2L, day(0)), (2L, day(1)),                    // cohort day0: offsets 0,1
+      (3L, day(1)), (3L, day(2))                     // cohort day1: offsets 0,1
+    ).toDF("user_id", "t")
+    val out = Analytics.cohortRetention(ev, "user_id", "t")
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out(("1970-01-01", 0L)) === 2L) // u1, u2 active on their day 0
+    assert(out(("1970-01-01", 1L)) === 1L) // u2
+    assert(out(("1970-01-01", 2L)) === 1L) // u1
+    assert(out(("1970-01-02", 0L)) === 1L) // u3
+    assert(out(("1970-01-02", 1L)) === 1L) // u3
+    assert(out.size === 5)
+  }
+}

@@ -29,4 +29,35 @@ class GraphSpec extends SparkSpec {
     val got = Graph.connectedComponents(e1, "a", "b").as[(Long, Long)].collect().toMap
     assert(got === Map(1L -> 1L, 4L -> 1L, 6L -> 1L))
   }
+
+  test("pageRank matches the hand-computed fixed-point iteration on a path graph") {
+    val s = spark
+    import s.implicits._
+    // path 1-2-3: deg 1:1, 2:2, 3:1; SCALE=1e9, damping 85/100
+    // iter1: pr(1)=pr(3)=0.15e9+85%·(1e9 div 2)=575000000; pr(2)=0.15e9+85%·2e9=1850000000
+    // iter2: pr(1)=pr(3)=0.15e9+85%·(1850000000 div 2)=936250000
+    //        pr(2)=0.15e9+85%·(575000000+575000000)=1127500000
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
+    val got = Graph.pageRank(edges, "a", "b", iterations = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 936250000L, 2L -> 1127500000L, 3L -> 936250000L))
+  }
+
+  test("pageRank is deterministic under repartitioning (exact integer arithmetic)") {
+    val s = spark
+    import s.implicits._
+    val edges = (1L to 30L).map(i => (i, i % 10 + 100L)).toDF("a", "b")
+    val a = Graph.pageRank(edges, "a", "b", 3).as[(Long, Long)].collect().sorted
+    val b = Graph.pageRank(edges.repartition(7), "a", "b", 3)
+      .as[(Long, Long)].collect().sorted
+    assert(a.toSeq === b.toSeq)
+  }
+
+  test("pageRank rejects out-of-range iteration counts") {
+    val s = spark
+    import s.implicits._
+    val edges = Seq((1L, 2L)).toDF("a", "b")
+    intercept[IllegalArgumentException](Graph.pageRank(edges, "a", "b", 0))
+    intercept[IllegalArgumentException](Graph.pageRank(edges, "a", "b", 51))
+  }
 }
