@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFns
+import graft.operators.Tokenize
+
+/** Training-sequence preparation surface (round 3 batch 4): vocabulary
+  * build → token-id encoding → fixed-length sequence packing — the
+  * corpus-to-training-shards pipeline, each stage oracle-checked.
+  */
+object TokenQueries {
+
+  import ExtQueries.WORDS_SQL
+
+  val all: Seq[QuerySpec] = Seq(
+
+    // Frequency-ranked vocabulary, capped at 16 ids (ties broken
+    // lexicographically — engine-deterministic).
+    QuerySpec("q84_vocab_build",
+      (s, dir) => Tokenize.vocabBuild(
+        Tables.documents(s, dir)
+          .select(explode(TextFns.tokens(col("text"))).as("term")),
+        "term", maxSize = 16),
+      Some(s"""
+        WITH $WORDS_SQL,
+        tok AS (SELECT UNNEST(w) AS term FROM words),
+        c AS (SELECT term, count(*) AS cnt FROM tok GROUP BY 1),
+        v AS (SELECT term, cnt,
+                CAST(row_number() OVER (ORDER BY cnt DESC, term) - 1 AS BIGINT) AS id
+              FROM c)
+        SELECT term, cnt, id FROM v WHERE id < 16""")),
+
+    // Documents encoded as vocabulary-id arrays in token order; terms
+    // outside the 16-id vocabulary encode as -1 (OOV).
+    QuerySpec("q85_encode_docs",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val vocab = Tokenize.vocabBuild(
+          docs.select(explode(TextFns.tokens(col("text"))).as("term")), "term", 16)
+        Tokenize.encodeDocs(docs, "doc_id", "text", vocab)
+      },
+      Some(s"""
+        WITH $WORDS_SQL,
+        tok AS (
+          SELECT doc_id, i AS pos, w[CAST(i + 1 AS INTEGER)] AS term
+          FROM words, UNNEST(range(0, len(w))) AS t(i)
+          WHERE len(w) > 0),
+        c AS (SELECT term, count(*) AS cnt FROM tok GROUP BY 1),
+        v AS (SELECT term,
+                CAST(row_number() OVER (ORDER BY cnt DESC, term) - 1 AS BIGINT) AS id
+              FROM c QUALIFY id < 16),
+        enc AS (
+          SELECT t.doc_id, t.pos, COALESCE(v.id, -1) AS id
+          FROM tok t LEFT JOIN v ON t.term = v.term)
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+          list(id ORDER BY pos) AS ids
+        FROM enc GROUP BY 1""")),
+
+    // The corpus token stream cut into 128-token training sequences:
+    // per-sequence manifest row (token count, docs spanned, boundaries).
+    QuerySpec("q86_sequence_pack",
+      (s, dir) => Tokenize.packSequences(
+        Tables.documents(s, dir), "doc_id", "text", ctx = 128),
+      Some(s"""
+        WITH $WORDS_SQL,
+        lens AS (SELECT doc_id AS did, CAST(len(w) AS BIGINT) AS n
+                 FROM words WHERE len(w) > 0),
+        sp AS (
+          SELECT did, n,
+            CAST(COALESCE(SUM(n) OVER (ORDER BY did
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start
+          FROM lens),
+        b AS (
+          SELECT did, n, start, seq_id
+          FROM sp, UNNEST(range(start // 128, (start + n - 1) // 128 + 1)) AS t(seq_id))
+        SELECT CAST(seq_id AS BIGINT) AS seq_id,
+          CAST(SUM(LEAST(start + n, (seq_id + 1) * 128) - GREATEST(start, seq_id * 128)) AS BIGINT) AS n_tokens,
+          count(*) AS n_docs,
+          min(did) AS first_doc, max(did) AS last_doc
+        FROM b GROUP BY 1"""))
+  )
+}

@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFns
+
+/** Training-sequence preparation: vocabulary construction, document →
+  * token-id encoding, and packing the corpus token stream into
+  * fixed-length training sequences (the tokenize → concatenate → cut
+  * pipeline of LLM pretraining, minus the learned BPE merges — the
+  * Spark-side dataflow is identical for any tokenizer).
+  */
+object Tokenize {
+
+  /** Frequency-ranked vocabulary over a (term) row frame: id 0 is the
+    * most frequent term, ties broken lexicographically — a total order,
+    * so ids are deterministic in any engine. `maxSize` caps the
+    * vocabulary; everything else later encodes as OOV.
+    *
+    * The global rank window runs on the POST-AGGREGATE frame (one row
+    * per distinct term — vocabulary-sized, not corpus-sized), so the
+    * single-partition sort it implies is bounded by |vocab|, which is
+    * the quantity a vocabulary build is bounded by anyway.
+    */
+  def vocabBuild(toks: DataFrame, termCol: String, maxSize: Int): DataFrame = {
+    require(maxSize >= 1, s"maxSize must be >= 1, got $maxSize")
+    val counts = toks.groupBy(col(termCol).as("term")).agg(count(lit(1)).as("cnt"))
+    val w = Window.orderBy(col("cnt").desc, col("term"))
+    counts.withColumn("id", (row_number().over(w) - 1).cast("long"))
+      .filter(col("id") < maxSize)
+  }
+
+  /** Encode each document as its vocabulary-id array in token order
+    * (OOV → −1). The vocab broadcasts (it is maxSize-bounded); the
+    * explode + join is linear in corpus tokens; the id array reassembles
+    * with the same sorted-struct pack as [[KeyedTable.loadChildren]].
+    * Documents with zero tokens are absent from the output.
+    */
+  def encodeDocs(docs: DataFrame, idCol: String, textCol: String,
+                 vocab: DataFrame): DataFrame = {
+    val toks = docs.select(col(idCol).as("did"),
+      posexplode(TextFns.tokens(col(textCol))).as(Seq("pos", "term")))
+    toks.join(broadcast(vocab.select(col("term"), col("id"))), Seq("term"), "left")
+      .na.fill(-1L, Seq("id"))
+      .groupBy(col("did").as(idCol))
+      // the final transform runs once per OUTPUT row over an
+      // already-assembled array — assembly cost, not scan-path cost
+      .agg(transform(sort_array(collect_list(struct(col("pos"), col("id")))),
+        x => x.getField("id")).as("ids"))
+      .select(col(idCol), size(col("ids")).cast("long").as("n_tokens"), col("ids"))
+  }
+
+  /** Pack the corpus token stream into fixed-`ctx`-token training
+    * sequences: documents concatenate in `idCol` order and the stream is
+    * cut every `ctx` tokens. Returns the shard manifest — one row per
+    * sequence: (seq_id, n_tokens, n_docs, first_doc, last_doc); every
+    * sequence holds exactly `ctx` tokens except the tail.
+    *
+    * The global token offset of each document is a DISTRIBUTED two-phase
+    * prefix sum — NOT a single-partition global window: range-partition
+    * by doc id, per-partition running sums (each partition sorts only
+    * its slice, in parallel), then the per-partition totals (P rows)
+    * cumulate on a tiny frame and broadcast back. Partition boundaries
+    * do not affect the result, so the output is partitioning-invariant.
+    * Per-doc bin overlap is a ≤(len/ctx + 1)-row explode, and the final
+    * aggregate combines map-side on seq_id.
+    */
+  def packSequences(docs: DataFrame, idCol: String, textCol: String, ctx: Int): DataFrame = {
+    require(ctx >= 1, s"context length must be >= 1, got $ctx")
+    val spark = docs.sparkSession
+    val p = Dedup.fanout(spark)
+    val lens = docs.select(col(idCol).as("did"),
+        size(TextFns.tokens(col(textCol))).cast("long").as("n"))
+      .filter(col("n") > 0)
+    // phase 1: per-partition running sums over range-partitioned slices
+    val wPart = Window.partitionBy("pid").orderBy("did")
+    val local = lens.repartitionByRange(p, col("did"))
+      .withColumn("pid", spark_partition_id())
+      .withColumn("run", sum(col("n")).over(wPart) - col("n"))
+    // phase 2: cumulate the P partition totals and broadcast back
+    val wOff = Window.orderBy("pid")
+    val offsets = local.groupBy("pid").agg(sum(col("n")).as("tot"))
+      .withColumn("off", coalesce(sum(col("tot")).over(wOff) - col("tot"), lit(0L)))
+      .select("pid", "off")
+    val spans = local.join(broadcast(offsets), Seq("pid"))
+      .select(col("did"), col("n"), (col("off") + col("run")).as("start"))
+    // a doc overlaps bins start/ctx .. (start+n-1)/ctx
+    val bins = spans.select(col("did"), col("n"), col("start"),
+      explode(sequence(expr(s"start div $ctx"), expr(s"(start + n - 1) div $ctx"))).as("seq_id"))
+    bins.groupBy("seq_id")
+      .agg(sum(least(col("start") + col("n"), (col("seq_id") + 1) * ctx)
+          - greatest(col("start"), col("seq_id") * ctx)).as("n_tokens"),
+        count(lit(1)).as("n_docs"),
+        min(col("did")).as("first_doc"), max(col("did")).as("last_doc"))
+  }
+}
