@@ -241,6 +241,45 @@ object CurateQueries {
           regexp_replace(
             regexp_replace(s, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
             '\b\d{3}-\d{4}\b', '<PHONE>', 'g') AS redacted
-        FROM b"""))
+        FROM b""")),
+
+    // Declarative data-quality report: five expectation checks over the
+    // orders table, each one aggregate/anti-join, one report row per
+    // check — the publish gate of a lakehouse pipeline.
+    QuerySpec("q87_dq_report",
+      (s, dir) => operators.Quality.validate(Tables.orders(s, dir), Seq(
+        operators.Quality.NotNull("o_custkey"),
+        operators.Quality.Unique(Seq("o_orderkey")),
+        operators.Quality.InRange("o_totalprice", 0.0, 400000.0),
+        operators.Quality.InSet("o_orderstatus", Seq("F", "O")),
+        operators.Quality.RefIntegrity("o_custkey", Tables.customer(s, dir),
+          "c_custkey", "customer"))),
+      Some("""
+        SELECT 'not_null(o_custkey)' AS check_name,
+          CAST(count(*) FILTER (o_custkey IS NULL) AS BIGINT) AS n_violations,
+          count(*) FILTER (o_custkey IS NULL) = 0 AS passed
+        FROM orders
+        UNION ALL
+        SELECT 'unique(o_orderkey)',
+          count(*) - count(DISTINCT o_orderkey),
+          count(*) = count(DISTINCT o_orderkey)
+        FROM orders
+        UNION ALL
+        SELECT 'in_range(o_totalprice,0.0,400000.0)',
+          CAST(count(*) FILTER (o_totalprice IS NOT NULL AND (o_totalprice < 0.0 OR o_totalprice > 400000.0)) AS BIGINT),
+          count(*) FILTER (o_totalprice IS NOT NULL AND (o_totalprice < 0.0 OR o_totalprice > 400000.0)) = 0
+        FROM orders
+        UNION ALL
+        SELECT 'in_set(o_orderstatus)',
+          CAST(count(*) FILTER (o_orderstatus IS NOT NULL AND o_orderstatus NOT IN ('F', 'O')) AS BIGINT),
+          count(*) FILTER (o_orderstatus IS NOT NULL AND o_orderstatus NOT IN ('F', 'O')) = 0
+        FROM orders
+        UNION ALL
+        SELECT 'ref(o_custkey->customer.c_custkey)',
+          CAST(count(*) AS BIGINT),
+          count(*) = 0
+        FROM orders
+        WHERE o_custkey IS NOT NULL
+          AND NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = o_custkey)"""))
   )
 }

@@ -142,6 +142,35 @@ object EventQueries {
         SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,
           count(*) AS n_events,
           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
-        FROM events GROUP BY 1"""))
+        FROM events GROUP BY 1""")),
+
+    // Stream-static join: the live event stream enriched against a
+    // STATIC dimension (per-user first-seen cohort, computed batch-side)
+    // via broadcast — the standard streaming-enrichment shape: the dim
+    // is read once per micro-batch planning, no stream-stream state.
+    QuerySpec("q89_stream_static_join",
+      (s, dir) => {
+        GraftSession.tune(s)
+        val batchSchema = s.read.parquet(s"$dir/events.parquet").schema
+        val raw = s.readStream.schema(batchSchema)
+          .option("pathGlobFilter", "events.parquet").parquet(dir)
+        val withTs =
+          if (batchSchema("ts").dataType == org.apache.spark.sql.types.LongType)
+            raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+          else raw
+        val cohorts = Tables.events(s, dir)
+          .groupBy("user_id").agg(min(to_date(col("ts"))).as("cohort"))
+        val agg = withTs.join(broadcast(cohorts), Seq("user_id"))
+          .groupBy("cohort")
+          .agg(count(lit(1)).as("n_events"), sumDec4(col("value")).as("sum_value"))
+        graft.streaming.Streams.runToCompletion(s, agg, "complete")
+      },
+      Some("""
+        WITH f AS (
+          SELECT user_id, min(CAST(ts AS DATE)) AS cohort FROM events GROUP BY 1)
+        SELECT f.cohort, count(*) AS n_events,
+          CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        FROM events e JOIN f ON e.user_id = f.user_id
+        GROUP BY 1"""))
   )
 }

@@ -691,6 +691,25 @@ object ExtQueries {
         c3 AS (SELECT u.b AS id, SUM(p.pr // d.deg) AS s
                FROM und u JOIN p2 p ON u.a = p.id JOIN deg d ON u.a = d.a GROUP BY 1),
         p3 AS (SELECT id, CAST(150000000 + (85 * s) // 100 AS BIGINT) AS pr FROM c3)
-        SELECT id AS doc_id, pr FROM p3"""))
+        SELECT id AS doc_id, pr FROM p3""")),
+
+    // Exact triangle count over the near-dup graph by degree-ordered
+    // orientation (out-degrees bounded O(√E) — no hub blowup); the
+    // oracle closes a<b<c wedges directly, which is equivalent.
+    QuerySpec("q88_triangle_count",
+      (s, dir) => {
+        val pairs = Dedup.minhashLshPairs(Tables.documents(s, dir), "doc_id", "text",
+          n = 4, k = 12, rowsPerBand = 3).filter(col("jaccard") >= 0.2)
+        graft.operators.Graph.triangleCount(pairs, "doc_a", "doc_b")
+      },
+      Some(s"""
+        WITH $MINHASH_PAIRS_SQL,
+        ed AS (
+          SELECT DISTINCT least(doc_a, doc_b) AS a, greatest(doc_a, doc_b) AS b
+          FROM mh_pairs WHERE jaccard >= 0.2 AND doc_a <> doc_b)
+        SELECT CAST(count(*) AS BIGINT) AS n_triangles
+        FROM ed e1
+          JOIN ed e2 ON e1.b = e2.a
+          JOIN ed e3 ON e3.a = e1.a AND e3.b = e2.b"""))
   )
 }

@@ -131,4 +131,44 @@ object Graph {
     ust.delete()
     out
   }
+
+  /** Exact triangle count by DEGREE-ORDERED edge orientation (the
+    * node-iterator++ algorithm): orient every undirected edge from its
+    * lower-(degree, id) endpoint to the higher one, build wedges at each
+    * pivot's out-neighborhood, and close them against the canonical edge
+    * set. Each triangle has exactly one node with out-edges to the other
+    * two under this orientation, so it is counted exactly once.
+    *
+    * The degree ordering is the scale lever: out-degrees are bounded by
+    * O(√|E|) on any graph, so the wedge join's fan-out — the quadratic
+    * danger of a naive a<b<c self-join on a hub node — is capped; the
+    * closure check is a semi-join against the edge set. Returns one row:
+    * (n_triangles).
+    */
+  def triangleCount(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val canon = edges.select(
+        least(col(srcCol), col(dstCol)).cast("long").as("a"),
+        greatest(col(srcCol), col(dstCol)).cast("long").as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val cst = Staging.stage(canon, "tri_edges")
+    val e = cst.df
+    val und = e.union(e.select(col("b").as("a"), col("a").as("b")))
+    val deg = und.groupBy(col("a").as("id")).agg(count(lit(1)).as("deg"))
+    // orient u→v iff (deg(u), u) < (deg(v), v)
+    val withDeg = und
+      .join(deg.withColumnRenamed("id", "a").withColumnRenamed("deg", "da"), Seq("a"))
+      .join(deg.withColumnRenamed("id", "b").withColumnRenamed("deg", "db"), Seq("b"))
+    val oriented = withDeg.filter(
+      col("da") < col("db") || (col("da") === col("db") && col("a") < col("b")))
+      .select(col("a").as("u"), col("b").as("v"))
+    // wedges at pivot u: unordered out-neighbor pairs (v, w), v < w in
+    // canonical id order so the closing edge lookup is canonical too
+    val wedges = oriented.select(col("u"), col("v"))
+      .join(oriented.select(col("u"), col("v").as("w")), Seq("u"))
+      .filter(col("v") < col("w"))
+    val closed = wedges.join(
+      e.select(col("a").as("v"), col("b").as("w")), Seq("v", "w"), "left_semi")
+    val out = closed.agg(count(lit(1)).as("n_triangles"))
+    out
+  }
 }

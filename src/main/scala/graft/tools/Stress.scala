@@ -131,6 +131,17 @@ object Stress {
       // (k · map-partitions · strata partial rows, independent of input)
       measure(s"m$m stratified")(graft.operators.Sampling.stratifiedSample(
         docs.withColumn("g", pmod(col("doc_id"), lit(50))), "g", "doc_id", 20))
+      // decontamination: benchmark set broadcasts; shuffle = per-doc
+      // aggregates only — linear in corpus
+      measure(s"m$m decontam")(graft.operators.Contamination.ngramOverlap(
+        docs.filter(col("doc_id") % 20 =!= 0),
+        docs.filter(col("doc_id") % 20 === 0), "doc_id", "text", 4))
+      // HLL: state ≤ m buckets/map-partition — shuffle ~constant in M
+      measure(s"m$m hll")(graft.operators.Sketches.hllEstimate(
+        graft.operators.Sketches.hllState(docs, "doc_id", 10), 10))
+      // sequence packing: shuffle = one length row per doc (+P offsets)
+      measure(s"m$m pack")(graft.operators.Tokenize.packSequences(
+        docs, "doc_id", "text", 512))
 
       val ev = eventsCorpus(m)
       println(s"== mult=$m events=${ev.count()}")
@@ -150,6 +161,17 @@ object Stress {
           .select(col("ts").as("click_ts"), col("value").as("click_value"))
         graft.operators.Relational.rangeJoinPairs(
           errors, "err_start", "err_end", clicks, "click_ts", 300L)
+      }
+      // funnel: every shuffle keyed on user_id — linear in events
+      measure(s"m$m funnel")(graft.operators.Analytics.funnel(
+        ev, "user_id", "event_type", "ts", Seq("view", "click", "purchase"), 86400L))
+      // bloom semi-join: probe-side shuffle tracks MATCHES (+fpp), not
+      // the probe size — the selective build side keeps it a constant
+      // fraction of events
+      measure(s"m$m bloom") {
+        val users = ev.select(col("user_id").as("k")).distinct()
+          .filter(col("k") % 37 === 0)
+        graft.operators.Bloom.semiJoin(ev, "user_id", users, "k")
       }
     }
     spark.stop()

@@ -60,4 +60,30 @@ class GraphSpec extends SparkSpec {
     intercept[IllegalArgumentException](Graph.pageRank(edges, "a", "b", 0))
     intercept[IllegalArgumentException](Graph.pageRank(edges, "a", "b", 51))
   }
+
+  test("triangleCount: K4 has 4 triangles; dangling edges add none") {
+    val s = spark
+    import s.implicits._
+    val k4 = for (i <- 1L to 4L; j <- i + 1 to 4L) yield (i, j)
+    val edges = (k4 ++ Seq((4L, 9L), (9L, 10L))).toDF("a", "b")
+    val n = Graph.triangleCount(edges, "a", "b").as[Long].collect().head
+    assert(n === 4L)
+  }
+
+  test("triangleCount is invariant to edge direction, duplicates and self-loops") {
+    val s = spark
+    import s.implicits._
+    val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 1L), (1L, 2L), (2L, 2L))
+      .toDF("a", "b")
+    val n = Graph.triangleCount(edges, "a", "b").as[Long].collect().head
+    assert(n === 1L)
+  }
+
+  test("triangleCount on a triangle-free graph is zero") {
+    val s = spark
+    import s.implicits._
+    // star graph: no triangles
+    val edges = (2L to 8L).map(i => (1L, i)).toDF("a", "b")
+    assert(Graph.triangleCount(edges, "a", "b").as[Long].collect().head === 0L)
+  }
 }
