@@ -106,6 +106,20 @@ object AnalyticsQueries {
           GROUP BY 1),
         ex AS (SELECT user_id, count(*) AS exact FROM events GROUP BY 1)
         SELECT est.user_id, est.est, ex.exact
-        FROM est JOIN ex ON est.user_id = ex.user_id"""))
+        FROM est JOIN ex ON est.user_id = ex.user_id""")),
+
+    // First-order event-type transition matrix along each user's
+    // time-ordered stream (event_id breaks timestamp ties).
+    QuerySpec("q91_transition_matrix",
+      (s, dir) => Analytics.transitionMatrix(Tables.events(s, dir),
+        "user_id", "event_type", "ts", "event_id"),
+      Some("""
+        WITH d AS (
+          SELECT event_type,
+            lag(event_type) OVER (PARTITION BY user_id
+              ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev
+          FROM events)
+        SELECT prev AS from_type, event_type AS to_type, count(*) AS n_transitions
+        FROM d WHERE prev IS NOT NULL GROUP BY 1, 2"""))
   )
 }

@@ -710,6 +710,27 @@ object ExtQueries {
         SELECT CAST(count(*) AS BIGINT) AS n_triangles
         FROM ed e1
           JOIN ed e2 ON e1.b = e2.a
-          JOIN ed e3 ON e3.a = e1.a AND e3.b = e2.b"""))
+          JOIN ed e3 ON e3.a = e1.a AND e3.b = e2.b""")),
+
+    // Exact Jaccard ≥ 1/2 via PREFIX FILTERING (AllPairs/PPJoin):
+    // candidates only from rarity-ordered prefixes — recall-lossless,
+    // so the oracle is the plain exact-Jaccard self-join at the same
+    // threshold (no blocking, no df cap in the metric).
+    QuerySpec("q92_dedup_prefix_jaccard",
+      (s, dir) => Dedup.jaccardPairsPrefix(Tables.documents(s, dir),
+        "doc_id", "text", n = 4, num = 1, den = 2),
+      Some(s"""
+        WITH $SHINGLES_SQL,
+        sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+        shared AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+          FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+        SELECT doc_a, doc_b, shared, na, nb,
+          CAST(shared AS DOUBLE) / (na + nb - shared) AS jaccard
+        FROM shared
+          JOIN (SELECT doc_id, sz AS na FROM sizes) sa ON doc_a = sa.doc_id
+          JOIN (SELECT doc_id, sz AS nb FROM sizes) sb ON doc_b = sb.doc_id
+        WHERE shared * 2 >= (na + nb - shared) * 1"""))
   )
 }

@@ -78,6 +78,30 @@ object TokenQueries {
           CAST(SUM(LEAST(start + n, (seq_id + 1) * 128) - GREATEST(start, seq_id * 128)) AS BIGINT) AS n_tokens,
           count(*) AS n_docs,
           min(did) AS first_doc, max(did) AS last_doc
-        FROM b GROUP BY 1"""))
+        FROM b GROUP BY 1""")),
+
+    // Inverted index over the corpus: term → df + ordered postings of
+    // (doc, position). The df cap is a no-op on this degenerate test
+    // vocabulary (every term is near-universal); `TokenizeSpec`
+    // exercises the capping semantics on synthetic data.
+    QuerySpec("q90_inverted_index",
+      (s, dir) => Tokenize.invertedIndex(
+        Tables.documents(s, dir), "doc_id", "text", dfCap = 1000000L),
+      Some(s"""
+        WITH $WORDS_SQL,
+        tok AS (
+          SELECT doc_id, i AS pos, w[CAST(i + 1 AS INTEGER)] AS term
+          FROM words, UNNEST(range(0, len(w))) AS t(i)
+          WHERE len(w) > 0),
+        dfc AS (
+          SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1
+          HAVING count(DISTINCT doc_id) <= 1000000),
+        kept AS (
+          SELECT t.doc_id, t.pos, t.term, d.df
+          FROM tok t JOIN dfc d ON t.term = d.term)
+        SELECT term, CAST(any_value(df) AS BIGINT) AS df,
+          CAST(count(*) AS BIGINT) AS n_postings,
+          list(struct_pack(did := doc_id, pos := pos) ORDER BY doc_id, pos) AS postings
+        FROM kept GROUP BY 1"""))
   )
 }

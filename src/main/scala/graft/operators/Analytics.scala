@@ -56,4 +56,21 @@ object Analytics {
       .groupBy(col("cohort"), datediff(col("day"), col("cohort")).cast("long").as("day_offset"))
       .agg(countDistinct(col("u")).as("n_users"))
   }
+
+  /** First-order transition counts between event types along each
+    * user's time-ordered stream — the Markov-chain / next-event-model
+    * input. One lag window PER USER (per-user in-partition sort, never a
+    * global order) + one map-side-combining count; `tieCol` breaks
+    * equal-timestamp ties so the sequence is a total order and the
+    * counts are engine-deterministic.
+    */
+  def transitionMatrix(events: DataFrame, userCol: String, typeCol: String,
+                       tsCol: String, tieCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(userCol).orderBy(col(tsCol), col(tieCol))
+    events.withColumn("__prev", lag(col(typeCol), 1).over(w))
+      .filter(col("__prev").isNotNull)
+      .groupBy(col("__prev").as("from_type"), col(typeCol).as("to_type"))
+      .agg(count(lit(1)).as("n_transitions"))
+  }
 }

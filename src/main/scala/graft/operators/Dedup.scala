@@ -121,6 +121,58 @@ object Dedup {
         (col("shared").cast("double") / (col("na") + col("nb") - col("shared"))).as("jaccard"))
   }
 
+  /** Exact Jaccard near-dup pairs via PREFIX FILTERING (the
+    * AllPairs/PPJoin principle): order every document's shingles by
+    * global rarity (df asc, shingle asc — a total order, no dense rank
+    * needed), keep only each document's first π(x) = |x| − ⌈t·|x|⌉ + 1
+    * shingles as its prefix, and generate candidates ONLY from shared
+    * prefix shingles. Lossless for threshold t = num/den: two sets with
+    * J ≥ t must overlap in ≥ t·|x| elements, which cannot fit entirely
+    * in the suffixes — so every qualifying pair shares a prefix token.
+    * Candidates are then verified with exact Jaccard over the FULL
+    * shingle sets (semi-join-shrunk postings, as in [[minhashLshPairs]]).
+    *
+    * Versus [[jaccardPairs]]'s df-cap blocking: the df cap trades recall
+    * for volume (capped shingles vanish from the metric); the prefix
+    * filter keeps the metric exact and instead prunes by rarity — the
+    * rarest shingles generate the fewest collisions, so candidate
+    * volume shrinks dramatically at high thresholds. π is computed in
+    * integer arithmetic (⌈a/b⌉ = (a+b−1) div b), engine-portable.
+    */
+  def jaccardPairsPrefix(docs: DataFrame, idCol: String, textCol: String,
+                         n: Int, num: Int, den: Int): DataFrame = {
+    require(num >= 1 && den >= num,
+      s"threshold num/den must be in (0, 1]: got $num/$den")
+    val sh = staged(shingleSet(docs, idCol, textCol, n), "prefix_postings")
+    val dfc = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
+    val wDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy(col("df"), col("sh"))
+    val prefix = sh.join(dfc, Seq("sh"))
+      .withColumn("rn", row_number().over(wDoc))
+      .join(sizes, Seq("id"))
+      .filter(col("rn") <= col("sz") - expr(s"(($num * sz) + $den - 1) div $den") + 1)
+      .select("id", "sh")
+    val cand = prefix.select(col("id").as("doc_a"), col("sh"))
+      .join(prefix.select(col("id").as("doc_b"), col("sh")), Seq("sh"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    // exact verify over full postings, shrunk to candidate docs first
+    val candDocs = cand.select(col("doc_a").as("id"))
+      .union(cand.select(col("doc_b").as("id"))).distinct()
+    val shc = sh.join(broadcast(candDocs), Seq("id"), "left_semi")
+    shc.select(col("id").as("doc_a"), col("sh"))
+      .join(shc.select(col("id").as("doc_b"), col("sh")), Seq("sh"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("shared"))
+      .join(cand, Seq("doc_a", "doc_b"), "left_semi")
+      .join(sizes.select(col("id").as("doc_a"), col("sz").as("na")), Seq("doc_a"))
+      .join(sizes.select(col("id").as("doc_b"), col("sz").as("nb")), Seq("doc_b"))
+      .filter(col("shared") * den >= (col("na") + col("nb") - col("shared")) * num)
+      .select(col("doc_a"), col("doc_b"), col("shared"), col("na"), col("nb"),
+        (col("shared").cast("double") / (col("na") + col("nb") - col("shared"))).as("jaccard"))
+  }
+
   /** MinHash + LSH banding near-dup detection, engine-portable by
     * construction: hash i of a shingle is the md5 hex digest of
     * `"<i>:<shingle>"`, the minhash is the lexicographic MIN of those

@@ -95,4 +95,26 @@ object Tokenize {
         count(lit(1)).as("n_docs"),
         min(col("did")).as("first_doc"), max(col("did")).as("last_doc"))
   }
+
+  /** Inverted-index build: term → document frequency + the postings
+    * array of (did, pos) in (doc, position) order — the keyword-search
+    * index over a corpus. Terms above `dfCap` are dropped (stopword
+    * posting lists are the skew hazard of index builds: one term's list
+    * is one aggregation group, so an uncapped stopword concentrates the
+    * corpus on one task; cap it — or shard hot terms by `did` range —
+    * before building at scale).
+    */
+  def invertedIndex(docs: DataFrame, idCol: String, textCol: String,
+                    dfCap: Long): DataFrame = {
+    require(dfCap >= 1, s"dfCap must be >= 1, got $dfCap")
+    val toks = docs.select(col(idCol).as("did"),
+      posexplode(TextFns.tokens(col(textCol))).as(Seq("pos", "term")))
+    val dfc = toks.groupBy("term").agg(countDistinct(col("did")).as("df"))
+      .filter(col("df") <= dfCap)
+    toks.join(dfc, Seq("term"))
+      .groupBy("term")
+      .agg(first(col("df")).as("df"), count(lit(1)).cast("long").as("n_postings"),
+        sort_array(collect_list(struct(col("did"),
+          col("pos").cast("long").as("pos")))).as("postings"))
+  }
 }

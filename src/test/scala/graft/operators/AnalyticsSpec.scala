@@ -51,6 +51,30 @@ class AnalyticsSpec extends SparkSpec {
       Analytics.funnel(ev, "user_id", "event_type", "t", Seq("view", "click"), 0L))
   }
 
+  test("transitionMatrix counts ordered per-user type transitions") {
+    val s = spark
+    import s.implicits._
+    val ev = Seq(
+      (1L, 1L, "view", ts(0)), (1L, 2L, "click", ts(1)), (1L, 3L, "view", ts(2)),
+      (2L, 4L, "view", ts(0)), (2L, 5L, "click", ts(1)),
+      (3L, 6L, "buy", ts(5)) // single event → no transition
+    ).toDF("user_id", "event_id", "event_type", "t")
+    val out = Analytics.transitionMatrix(ev, "user_id", "event_type", "t", "event_id")
+      .as[(String, String, Long)].collect().map(t => (t._1, t._2) -> t._3).toMap
+    assert(out === Map(("view", "click") -> 2L, ("click", "view") -> 1L))
+  }
+
+  test("transitionMatrix breaks timestamp ties deterministically by the tie column") {
+    val s = spark
+    import s.implicits._
+    val ev = Seq(
+      (1L, 10L, "a", ts(0)), (1L, 11L, "b", ts(0)), (1L, 12L, "c", ts(0))
+    ).toDF("user_id", "event_id", "event_type", "t")
+    val out = Analytics.transitionMatrix(ev, "user_id", "event_type", "t", "event_id")
+      .as[(String, String, Long)].collect().map(t => (t._1, t._2) -> t._3).toMap
+    assert(out === Map(("a", "b") -> 1L, ("b", "c") -> 1L))
+  }
+
   test("cohortRetention buckets by first-seen day with correct offsets") {
     val s = spark
     import s.implicits._

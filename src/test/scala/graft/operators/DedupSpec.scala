@@ -74,6 +74,25 @@ class DedupSpec extends SparkSpec {
     assert(fps(1L)._1 < positions / 2 && fps(1L)._1 >= positions / (4 * 2))
   }
 
+  test("jaccardPairsPrefix equals the un-blocked exact join at the threshold (lossless)") {
+    // exact pairs at t=1/2 over the shared fixture: 1-2 (10/12), 1-4
+    // (identical), 2-4 — same as jaccardPairs at a high threshold with
+    // no df cap in play
+    val got = Dedup.jaccardPairsPrefix(docs, "doc_id", "text", n = 4, num = 1, den = 2)
+      .select("doc_a", "doc_b", "shared").as[(Long, Long, Long)].collect().sorted
+    val exact = Dedup.jaccardPairs(docs, "doc_id", "text", n = 4,
+        dfCap = Int.MaxValue, num = 1, den = 2)
+      .select("doc_a", "doc_b", "shared").as[(Long, Long, Long)].collect().sorted
+    assert(got.toSeq === exact.toSeq)
+    assert(got.nonEmpty)
+  }
+
+  test("jaccardPairsPrefix at t=1 reduces to exact-duplicate pairs") {
+    val got = Dedup.jaccardPairsPrefix(docs, "doc_id", "text", n = 4, num = 1, den = 1)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(got === Set((1L, 4L))) // identical shingle sets only
+  }
+
   test("editDistancePairs: blocked candidates, bounded distance") {
     val df = Seq(
       (1L, "cold widget", "B1"),

@@ -61,6 +61,34 @@ class TokenizeSpec extends SparkSpec {
     assert(a.dropRight(1).forall(_._2 === 32L))
   }
 
+  test("invertedIndex: ordered postings, df cap drops hot terms") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (2L, "x y x"), (1L, "x z"), (3L, "x x x")
+    ).toDF("doc_id", "text")
+    // df: x=3, y=1, z=1 → cap 2 drops x
+    val out = Tokenize.invertedIndex(docs, "doc_id", "text", dfCap = 2)
+      .collect().map { r =>
+        (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getSeq[org.apache.spark.sql.Row](3).map(p => (p.getLong(0), p.getLong(1))))
+      }.map(t => t._1 -> ((t._2, t._3, t._4))).toMap
+    assert(!out.contains("x"))
+    assert(out("y") === ((1L, 1L, Seq((2L, 1L)))))
+    assert(out("z") === ((1L, 1L, Seq((1L, 1L)))))
+  }
+
+  test("invertedIndex postings sort by (doc, position)") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((9L, "a b a"), (4L, "a")).toDF("doc_id", "text")
+    val out = Tokenize.invertedIndex(docs, "doc_id", "text", dfCap = 10)
+      .filter(col("term") === "a")
+      .collect().head.getSeq[org.apache.spark.sql.Row](3)
+      .map(p => (p.getLong(0), p.getLong(1)))
+    assert(out.toSeq === Seq((4L, 0L), (9L, 0L), (9L, 2L)))
+  }
+
   test("degenerate parameters are rejected") {
     val s = spark
     import s.implicits._
