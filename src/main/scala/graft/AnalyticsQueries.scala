@@ -120,6 +120,29 @@ object AnalyticsQueries {
               ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev
           FROM events)
         SELECT prev AS from_type, event_type AS to_type, count(*) AS n_transitions
-        FROM d WHERE prev IS NOT NULL GROUP BY 1, 2"""))
+        FROM d WHERE prev IS NOT NULL GROUP BY 1, 2""")),
+
+    // Dense hourly re-grid per event type: gap hours 0-filled, the last
+    // observed hourly max forward-filled (LOCF).
+    QuerySpec("q93_gap_fill",
+      (s, dir) => Analytics.gapFill(Tables.events(s, dir),
+        "event_type", "ts", "value", unit = "hour"),
+      Some("""
+        WITH b AS (
+          SELECT event_type AS k, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hb, value AS v
+          FROM events),
+        agg AS (SELECT k, hb, count(*) AS n_events, max(v) AS vmax FROM b GROUP BY 1, 2),
+        span AS (SELECT min(hb) AS lo, max(hb) AS hi FROM b),
+        cal AS (
+          SELECT k, UNNEST(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hb
+          FROM (SELECT DISTINCT k FROM b) keys, span),
+        j AS (
+          SELECT cal.k, cal.hb, COALESCE(agg.n_events, 0) AS n_events, agg.vmax
+          FROM cal LEFT JOIN agg ON cal.k = agg.k AND cal.hb = agg.hb)
+        SELECT k AS event_type, hb AS bucket, n_events,
+          last_value(vmax IGNORE NULLS) OVER (
+            PARTITION BY k ORDER BY hb
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_ff
+        FROM j"""))
   )
 }

@@ -73,4 +73,37 @@ object Analytics {
       .groupBy(col("__prev").as("from_type"), col(typeCol).as("to_type"))
       .agg(count(lit(1)).as("n_transitions"))
   }
+
+  /** Dense time-series re-grid: one row per (key, time bucket) across
+    * the table's FULL [min, max] calendar at `unit` granularity — gap
+    * buckets emitted with a zero count and the last observed value
+    * forward-filled (LOCF; null until a key's first observation). The
+    * resampling step every downstream window/forecast model needs,
+    * since rolling computations silently skip missing buckets otherwise.
+    *
+    * The calendar builds from a ONE-ROW min/max aggregate crossed with
+    * the distinct key set (span/unit × |keys| rows — never a rescan of
+    * the fact table), the join back is on (key, bucket), and the LOCF
+    * window partitions per KEY — parallel in-partition sorts bounded by
+    * the calendar length, no global order anywhere.
+    */
+  def gapFill(events: DataFrame, keyCol: String, tsCol: String, valCol: String,
+              unit: String): DataFrame = {
+    require(Set("hour", "day", "week", "month").contains(unit),
+      s"unit must be hour/day/week/month, got $unit")
+    val bucketed = events.select(col(keyCol).as("k"),
+      date_trunc(unit, col(tsCol)).as("b"), col(valCol).as("v"))
+    val agg = bucketed.groupBy("k", "b")
+      .agg(count(lit(1)).as("n_events"), max(col("v")).as("vmax"))
+    val span = bucketed.agg(min(col("b")).as("lo"), max(col("b")).as("hi"))
+    val calendar = bucketed.select("k").distinct()
+      .crossJoin(broadcast(span))
+      .select(col("k"), explode(expr(s"sequence(lo, hi, interval 1 $unit)")).as("b"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("k").orderBy("b")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    calendar.join(agg, Seq("k", "b"), "left")
+      .na.fill(0L, Seq("n_events"))
+      .withColumn("v_ff", last(col("vmax"), ignoreNulls = true).over(w))
+      .select(col("k").as(keyCol), col("b").as("bucket"), col("n_events"), col("v_ff"))
+  }
 }

@@ -75,6 +75,36 @@ class AnalyticsSpec extends SparkSpec {
     assert(out === Map(("a", "b") -> 1L, ("b", "c") -> 1L))
   }
 
+  test("gapFill emits the full calendar with zero-filled gaps and LOCF values") {
+    val s = spark
+    import s.implicits._
+    def hour(h: Int) = new Timestamp(h * 3600000L)
+    val ev = Seq(
+      ("a", hour(0), 10.0), ("a", hour(0), 12.0), // hour 0: n=2, max 12
+      ("a", hour(3), 7.0),                         // hours 1-2 are gaps
+      ("b", hour(1), 5.0)                          // b observed only at hour 1
+    ).toDF("k", "t", "v")
+    val out = Analytics.gapFill(ev, "k", "t", "v", "hour")
+      .collect().map(r => (r.getString(0), r.getTimestamp(1).getTime / 3600000L) ->
+        ((r.getLong(2), Option(r.get(3)).map(_.asInstanceOf[Double])))).toMap
+    // span is the TABLE's [min, max] = hours 0..3, for both keys
+    assert(out.size === 8)
+    assert(out(("a", 0L)) === ((2L, Some(12.0))))
+    assert(out(("a", 1L)) === ((0L, Some(12.0)))) // gap: 0 count, LOCF
+    assert(out(("a", 2L)) === ((0L, Some(12.0))))
+    assert(out(("a", 3L)) === ((1L, Some(7.0))))
+    assert(out(("b", 0L)) === ((0L, None)))       // before first observation
+    assert(out(("b", 1L)) === ((1L, Some(5.0))))
+    assert(out(("b", 3L)) === ((0L, Some(5.0))))
+  }
+
+  test("gapFill rejects unsupported units") {
+    val s = spark
+    import s.implicits._
+    val ev = Seq(("a", ts(0), 1.0)).toDF("k", "t", "v")
+    intercept[IllegalArgumentException](Analytics.gapFill(ev, "k", "t", "v", "minute"))
+  }
+
   test("cohortRetention buckets by first-seen day with correct offsets") {
     val s = spark
     import s.implicits._
