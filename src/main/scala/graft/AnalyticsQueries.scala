@@ -143,6 +143,34 @@ object AnalyticsQueries {
           last_value(vmax IGNORE NULLS) OVER (
             PARTITION BY k ORDER BY hb
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_ff
-        FROM j"""))
+        FROM j""")),
+
+    // Histogram-sketch quantiles of order value (1000 buckets over
+    // [0, 500000)): bounded mergeable state, answers exact to one
+    // bucket width — the sketch tier above q58's exact order statistics.
+    QuerySpec("q94_histogram_quantile",
+      (s, dir) => Sketches.histogramQuantile(
+        Sketches.histogramState(Tables.orders(s, dir), "o_totalprice",
+          lo = 0.0, hi = 500000.0, n = 1000),
+        lo = 0.0, hi = 500000.0, n = 1000, ps = Seq(0.5, 0.9, 0.99)),
+      Some {
+        // CAST(p AS DOUBLE): a bare 0.5 literal is DECIMAL in DuckDB and
+        // renders "0.50" — the round-1 decimal trap in miniature
+        val body = Seq(0.5, 0.9, 0.99).map(p => s"""
+          SELECT CAST($p AS DOUBLE) AS p, b.bucket, 0.0 + b.bucket * (500000.0 - 0.0) / 1000 AS edge
+          FROM (SELECT min(bucket) AS bucket FROM cum, tot
+                WHERE cum >= ceil($p * n_rows)) b""").mkString(" UNION ALL ")
+        s"""
+        WITH st AS (
+          SELECT CAST(least(greatest(floor((o_totalprice - 0.0) * 1000 / (500000.0 - 0.0)), 0.0), 999.0) AS BIGINT) AS bucket,
+            count(*) AS cnt
+          FROM orders WHERE o_totalprice IS NOT NULL GROUP BY 1),
+        cum AS (
+          SELECT bucket, SUM(cnt) OVER (ORDER BY bucket
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          FROM st),
+        tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_rows FROM st)
+        $body"""
+      })
   )
 }

@@ -103,4 +103,54 @@ object Sketches {
       .na.fill(0L, Seq("cnt"))
       .groupBy("key").agg(min(col("cnt")).as("est"))
   }
+
+  // -------------------------------------------------- Histogram sketch
+
+  /** Fixed-range histogram sketch for quantiles — the bounded-state,
+    * mergeable complement of the EXACT per-group order statistics
+    * (q58): n equal-width buckets over [lo, hi), values clamped to the
+    * edge buckets, one map-side-combining count per occupied bucket.
+    * Error is bounded by one bucket width; state is ≤ n counters no
+    * matter the input size; merge = bucket-wise sum. Every arithmetic
+    * step is a single IEEE operation mirrored by the oracle, so the
+    * sketch AND its quantile answers are engine-exact.
+    */
+  def histogramState(df: DataFrame, valCol: String, lo: Double, hi: Double,
+                     n: Int): DataFrame = {
+    require(n >= 1, s"bucket count must be >= 1, got $n")
+    require(hi > lo, s"need hi > lo, got [$lo, $hi)")
+    val b = least(greatest(floor((col(valCol) - lo) * n / (hi - lo)), lit(0.0)),
+      lit((n - 1).toDouble)).cast("long")
+    df.filter(col(valCol).isNotNull)
+      .select(b.as("bucket")).groupBy("bucket").agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Merge histogram states (bucket-wise sum). */
+  def histogramMerge(states: Seq[DataFrame]): DataFrame = {
+    require(states.nonEmpty, "histogramMerge needs at least one state")
+    states.reduce(_ unionByName _).groupBy("bucket").agg(sum(col("cnt")).as("cnt"))
+  }
+
+  /** Quantile answers from the cumulative histogram: for each p, the
+    * LOWER EDGE of the first bucket whose cumulative count reaches
+    * ⌈p·N⌉ — i.e. the true quantile rounded down to a bucket boundary.
+    * The cumulative window runs over ≤ n state rows (bounded by the
+    * sketch size, not the data).
+    */
+  def histogramQuantile(state: DataFrame, lo: Double, hi: Double, n: Int,
+                        ps: Seq[Double]): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p > 0 && p <= 1),
+      s"quantiles must lie in (0, 1], got $ps")
+    val w = org.apache.spark.sql.expressions.Window.orderBy("bucket")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val tot = state.agg(sum(col("cnt")).as("n_rows"))
+    val cum = state.withColumn("cum", sum(col("cnt")).over(w))
+      .crossJoin(broadcast(tot))
+    ps.map { p =>
+      cum.filter(col("cum") >= ceil(lit(p) * col("n_rows")))
+        .agg(min(col("bucket")).as("bucket"))
+        .select(lit(p).as("p"), col("bucket"),
+          (lit(lo) + col("bucket") * lit(hi - lo) / n).as("edge"))
+    }.reduce(_ unionByName _)
+  }
 }

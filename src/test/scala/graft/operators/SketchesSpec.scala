@@ -61,6 +61,44 @@ class SketchesSpec extends SparkSpec {
     (1L to 200L).foreach(k => assert(est(k) >= 3L, s"key $k underestimated"))
   }
 
+  test("histogram quantiles: known ranks land on bucket lower edges") {
+    val s = spark
+    import s.implicits._
+    // values 1..100, 10 buckets of width 10: rank ceil(0.5·100)=50 first
+    // reaches cumulative ≥50 in bucket 5 (cum 9,19,…,49,59) → edge 50.0
+    val df = (1 to 100).map(_.toDouble).toDF("v")
+    val st = Sketches.histogramState(df, "v", 0.0, 100.0, 10)
+    val out = Sketches.histogramQuantile(st, 0.0, 100.0, 10, Seq(0.5, 0.99))
+      .as[(Double, Long, Double)].collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(out(0.5) === ((5L, 50.0)))
+    assert(out(0.99) === ((9L, 90.0))) // rank 99 lands in the top bucket
+  }
+
+  test("histogram state clamps out-of-range values to edge buckets and merges exactly") {
+    val s = spark
+    import s.implicits._
+    val a = Seq(-5.0, 1.0, 2.0).toDF("v")
+    val b = Seq(99.0, 250.0).toDF("v") // 250 clamps to bucket 9
+    val merged = Sketches.histogramMerge(Seq(
+      Sketches.histogramState(a, "v", 0.0, 100.0, 10),
+      Sketches.histogramState(b, "v", 0.0, 100.0, 10)))
+      .as[(Long, Long)].collect().toMap
+    val direct = Sketches.histogramState(a.unionByName(b), "v", 0.0, 100.0, 10)
+      .as[(Long, Long)].collect().toMap
+    assert(merged === direct)
+    assert(merged(0L) === 3L) // -5 clamped down, plus 1 and 2
+    assert(merged(9L) === 2L) // 99 natural + 250 clamped up
+  }
+
+  test("histogram rejects degenerate ranges and quantiles") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(1.0).toDF("v")
+    intercept[IllegalArgumentException](Sketches.histogramState(df, "v", 5.0, 5.0, 10))
+    intercept[IllegalArgumentException](Sketches.histogramQuantile(
+      Sketches.histogramState(df, "v", 0.0, 1.0, 4), 0.0, 1.0, 4, Seq(1.5)))
+  }
+
   test("cms state is bounded by d·w cells") {
     val s = spark
     import s.implicits._
