@@ -280,6 +280,81 @@ object CurateQueries {
           count(*) = 0
         FROM orders
         WHERE o_custkey IS NOT NULL
-          AND NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = o_custkey)"""))
+          AND NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = o_custkey)""")),
+
+    // Lexical diversity as Gini impurity of the per-doc unigram
+    // distribution, in EXACT integer arithmetic (1 − Σp² rendered as
+    // parts-per-million: ((n² − Σcnt²)·10⁶) div n²) — the
+    // entropy-style quality signal without a cross-engine log(). Long
+    // arithmetic holds to ~3M tokens per document (n²·10⁶ < 2^63).
+    QuerySpec("q95_gini_diversity",
+      (s, dir) => {
+        val tf = Tables.documents(s, dir)
+          .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("t"))
+          .groupBy("doc_id", "t").agg(count(lit(1)).as("cnt"))
+        tf.groupBy("doc_id")
+          .agg(sum(col("cnt")).as("n_tokens"), sum(col("cnt") * col("cnt")).as("sq"))
+          .select(col("doc_id"), col("n_tokens"),
+            expr("((n_tokens * n_tokens - sq) * 1000000) div (n_tokens * n_tokens)")
+              .as("gini_ppm"))
+      },
+      Some(s"""
+        WITH $WORDS_SQL,
+        tf AS (
+          SELECT doc_id, t, count(*) AS cnt
+          FROM (SELECT doc_id, UNNEST(w) AS t FROM words) x GROUP BY 1, 2),
+        m AS (
+          SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_tokens,
+            CAST(sum(cnt * cnt) AS BIGINT) AS sq
+          FROM tf GROUP BY 1)
+        SELECT doc_id, n_tokens,
+          CAST(((n_tokens * n_tokens - sq) * 1000000) // (n_tokens * n_tokens) AS BIGINT) AS gini_ppm
+        FROM m""")),
+
+    // Grouped Pearson correlation with EXACT moment sums: values
+    // quantize to fixed-point longs (floor(x·10⁴) — one deterministic
+    // IEEE op; correlation is scale-invariant so the 10⁴ cancels),
+    // per-element products stay in long range, the five sums accumulate
+    // exactly (DECIMAL(38,0) / HUGEINT — order-independent), and the
+    // final expression is the same chain of single IEEE ops in both
+    // engines — so even a float statistic hash-matches. (Elementwise
+    // DECIMAL products overflow DuckDB's int64-backed DECIMAL(18) —
+    // hence the integer route.)
+    QuerySpec("q96_correlation",
+      (s, dir) => {
+        val qi = floor(col("l_quantity") * 10000.0).cast("long")
+        val pi = floor(col("l_extendedprice") * 10000.0).cast("long")
+        def exact(c: org.apache.spark.sql.Column) =
+          sum(c.cast("decimal(38,0)")).cast("double")
+        Tables.lineitem(s, dir)
+          .select(col("l_returnflag"), qi.as("qi"), pi.as("pi"))
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n_rows"),
+            exact(col("qi")).as("sx"), exact(col("pi")).as("sy"),
+            exact(col("qi") * col("qi")).as("sxx"),
+            exact(col("pi") * col("pi")).as("syy"),
+            exact(col("qi") * col("pi")).as("sxy"))
+          .select(col("l_returnflag"), col("n_rows"),
+            ((col("n_rows") * col("sxy") - col("sx") * col("sy")) /
+              sqrt((col("n_rows") * col("sxx") - col("sx") * col("sx")) *
+                (col("n_rows") * col("syy") - col("sy") * col("sy")))).as("corr"))
+      },
+      Some("""
+        WITH b AS (
+          SELECT l_returnflag,
+            CAST(floor(l_quantity * 10000.0) AS BIGINT) AS qi,
+            CAST(floor(l_extendedprice * 10000.0) AS BIGINT) AS pi
+          FROM lineitem),
+        a AS (
+          SELECT l_returnflag, count(*) AS n_rows,
+            CAST(SUM(qi) AS DOUBLE) AS sx, CAST(SUM(pi) AS DOUBLE) AS sy,
+            CAST(SUM(qi * qi) AS DOUBLE) AS sxx,
+            CAST(SUM(pi * pi) AS DOUBLE) AS syy,
+            CAST(SUM(qi * pi) AS DOUBLE) AS sxy
+          FROM b GROUP BY 1)
+        SELECT l_returnflag, n_rows,
+          (n_rows * sxy - sx * sy) /
+          sqrt((n_rows * sxx - sx * sx) * (n_rows * syy - sy * sy)) AS corr
+        FROM a"""))
   )
 }
