@@ -355,6 +355,32 @@ object CurateQueries {
         SELECT l_returnflag, n_rows,
           (n_rows * sxy - sx * sy) /
           sqrt((n_rows * sxx - sx * sx) * (n_rows * syy - sy * sy)) AS corr
-        FROM a"""))
+        FROM a""")),
+
+    // Real container-header parsing (no codec library): every 10th doc
+    // carries a JPEG SOI payload, the rest a synthesized PNG header with
+    // dimensions derived from doc_id. The Spark side must SNIFF the
+    // format from magic bytes and PARSE width/height out of the IHDR
+    // bytes; the oracle derives the expected values independently from
+    // doc_id — a parse(synthesize(w,h)) == (w,h) round trip.
+    QuerySpec("q97_media_headers",
+      (s, dir) => {
+        import graft.multimodal.Multimodal
+        val w = lit(100L) + col("doc_id") % 900
+        val h = lit(100L) + (col("doc_id") * 7) % 900
+        val payload = when(col("doc_id") % 10 === 0,
+            concat(unhex(lit("FFD8FFE0")), encode(substring(col("text"), 1, 16), "UTF-8")))
+          .otherwise(Multimodal.synthPngHeader(w, h))
+        Tables.documents(s, dir).select(col("doc_id"),
+          Multimodal.sniffMime(payload).as("mime"),
+          Multimodal.pngWidth(payload).as("width"),
+          Multimodal.pngHeight(payload).as("height"))
+      },
+      Some("""
+        SELECT doc_id,
+          CASE WHEN doc_id % 10 = 0 THEN 'image/jpeg' ELSE 'image/png' END AS mime,
+          CASE WHEN doc_id % 10 = 0 THEN NULL ELSE 100 + doc_id % 900 END AS width,
+          CASE WHEN doc_id % 10 = 0 THEN NULL ELSE 100 + (doc_id * 7) % 900 END AS height
+        FROM documents"""))
   )
 }

@@ -40,6 +40,49 @@ object Multimodal {
       .as[MediaRow]
   }
 
+  import org.apache.spark.sql.Column
+
+  /** Container-format sniffing from MAGIC BYTES — real binary parsing,
+    * no codec library involved: the first bytes of the payload identify
+    * the format (PNG signature, JPEG SOI, RIFF/WAVE, GIF8). Pure
+    * codegen'd byte arithmetic (`hex(substring(bin, …))`), row-local.
+    */
+  def sniffMime(payload: Column): Column =
+    when(hex(substring(payload, 1, 8)) === "89504E470D0A1A0A", "image/png")
+      .when(hex(substring(payload, 1, 2)) === "FFD8", "image/jpeg")
+      .when(hex(substring(payload, 1, 4)) === "52494646" &&
+        hex(substring(payload, 9, 4)) === "57415645", "audio/wav")
+      .when(hex(substring(payload, 1, 4)) === "47494638", "image/gif")
+      .otherwise("application/octet-stream")
+
+  /** PNG dimensions parsed straight from the IHDR chunk (bytes 17–24:
+    * width and height as 4-byte big-endian ints — PNG spec §11.2.2).
+    * This is the real decode-metadata path for the one container whose
+    * header needs no codec: `conv(hex(bytes), 16, 10)` — codegen'd,
+    * row-local, works on genuine PNG files. Null when the payload is
+    * not a PNG.
+    */
+  def pngWidth(payload: Column): Column =
+    when(hex(substring(payload, 1, 8)) === "89504E470D0A1A0A",
+      conv(hex(substring(payload, 17, 4)), 16, 10).cast("long"))
+
+  def pngHeight(payload: Column): Column =
+    when(hex(substring(payload, 1, 8)) === "89504E470D0A1A0A",
+      conv(hex(substring(payload, 21, 4)), 16, 10).cast("long"))
+
+  /** Synthesize a minimal-but-valid PNG header prefix (signature + IHDR
+    * length/type + dimensions) for round-trip tests: parse(synth(w, h))
+    * must return (w, h). Width/height are 32-bit big-endian per spec.
+    */
+  def synthPngHeader(width: Column, height: Column): Column =
+    concat(
+      unhex(lit("89504E470D0A1A0A")), // signature
+      unhex(lit("0000000D")),         // IHDR chunk length = 13
+      unhex(lit("49484452")),         // "IHDR"
+      unhex(lpad(hex(width), 8, "0")),
+      unhex(lpad(hex(height), 8, "0")),
+      unhex(lit("0806000000")))       // bit depth/color/etc.
+
   /** Deterministic frame sampling: byte slices at a fixed stride stand in
     * for decoded video frames. A real decoder replaces `StubDecoder.frames`
     * only — the distributed shape (partition-wise batches, bounded memory

@@ -38,4 +38,36 @@ class MultimodalSpec extends SparkSpec {
       .executedPlan.toString
     assert(plan.contains("MapPartitions"))
   }
+
+  test("sniffMime identifies containers by magic bytes") {
+    val df = Seq(
+      "89504E470D0A1A0A0000000D", // png
+      "FFD8FFE000104A46",         // jpeg
+      "52494646AAAAAAAA57415645", // riff/wave
+      "474946383961",             // gif
+      "0011223344"                // unknown
+    ).toDF("hx")
+    val out = df.select(Multimodal.sniffMime(unhex(col("hx"))))
+      .as[String].collect()
+    assert(out.toSeq === Seq("image/png", "image/jpeg", "audio/wav",
+      "image/gif", "application/octet-stream"))
+  }
+
+  test("PNG dimensions round-trip through synthesized headers, including multi-byte values") {
+    val df = Seq((1L, 640L, 480L), (2L, 70000L, 3L), (3L, 1L, 16777216L))
+      .toDF("id", "w", "h")
+    val out = df.select(col("id"),
+        Multimodal.pngWidth(Multimodal.synthPngHeader(col("w"), col("h"))).as("pw"),
+        Multimodal.pngHeight(Multimodal.synthPngHeader(col("w"), col("h"))).as("ph"))
+      .as[(Long, Long, Long)].collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(out === Map(1L -> ((640L, 480L)), 2L -> ((70000L, 3L)),
+      3L -> ((1L, 16777216L))))
+  }
+
+  test("pngWidth is null on non-PNG payloads") {
+    val out = Seq("FFD8FFE0").toDF("hx")
+      .select(Multimodal.pngWidth(unhex(col("hx"))))
+      .as[Option[Long]].collect()
+    assert(out.toSeq === Seq(None))
+  }
 }
