@@ -82,4 +82,60 @@ class PropertySpec extends SparkSpec {
       assert(t.exceptAll(once).isEmpty)
     }
   }
+
+  test("bloom semiJoin ≡ plain semi-join on arbitrary key sets") {
+    val keyGen = Gen.listOfN(60, Gen.chooseNum(0L, 40L))
+    samples(keyGen, 4).foreach { ks =>
+      val probe = ks.toDF("id")
+      val build = ks.take(12).map(_ * 3).toDF("k") // partial overlap
+      val got = Bloom.semiJoin(probe, "id", build, "k", k = 3, m = 512)
+        .as[Long].collect().sorted
+      val exp = probe.join(build.select($"k".as("id")), Seq("id"), "left_semi")
+        .as[Long].collect().sorted
+      assert(got.toSeq === exp.toSeq)
+    }
+  }
+
+  test("incremental merge equals full recompute under arbitrary batch splits") {
+    val batchGen = Gen.listOfN(40, for {
+      g <- Gen.oneOf("a", "b", "c")
+      v <- Gen.chooseNum(-100, 100)
+    } yield (g, v / 4.0))
+    samples(Gen.listOfN(3, batchGen), 4).foreach { batches =>
+      val dfs = batches.map(_.toDF("g", "v"))
+      val full = Incremental.finish(
+        Incremental.state(dfs.reduce(_ unionByName _), Seq("g"), Seq("v")),
+        Seq("g"), Seq("v"))
+      val merged = Incremental.finish(
+        Incremental.merge(dfs.map(Incremental.state(_, Seq("g"), Seq("v"))),
+          Seq("g"), Seq("v")), Seq("g"), Seq("v"))
+      assert(full.exceptAll(merged).isEmpty && merged.exceptAll(full).isEmpty)
+    }
+  }
+
+  test("hll states are insensitive to duplication and split-merge") {
+    val keyGen = Gen.listOfN(50, Gen.chooseNum(0L, 5000L))
+    samples(keyGen, 4).foreach { ks =>
+      val (l, r) = ks.splitAt(ks.length / 2)
+      val whole = Sketches.hllState(ks.toDF("id"), "id", 8)
+      val merged = Sketches.hllMerge(Seq(
+        Sketches.hllState((l ++ l).toDF("id"), "id", 8), // duplicated half
+        Sketches.hllState(r.toDF("id"), "id", 8)))
+      assert(whole.exceptAll(merged).isEmpty && merged.exceptAll(whole).isEmpty)
+    }
+  }
+
+  test("zValue is a bijection on the bucket grid") {
+    val gen = Gen.listOfN(30, for {
+      x <- Gen.chooseNum(0L, 255L); y <- Gen.chooseNum(0L, 255L)
+    } yield (x, y))
+    samples(gen, 3).foreach { pts =>
+      val distinctPts = pts.distinct
+      val zs = distinctPts.toDF("x", "y")
+        .select(Layout.zValue($"x", $"y", 8)).as[Long].collect()
+      assert(zs.length === distinctPts.length)
+      assert(zs.distinct.length === distinctPts.length) // injective
+      assert(zs.forall(z => z >= 0 && z < (1L << 16)))  // into the 16-bit grid
+    }
+  }
 }
