@@ -32,3 +32,31 @@ object ReuseCheck {
     spark.stop()
   }
 }
+
+/** Same check for the round-3 multi-consumer operators (decontamination's
+  * shared shingle subtree, the prefix-Jaccard posting fan-out).
+  */
+object ReuseCheck2 {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = SparkSession.builder()
+      .master("local[8]").config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    GraftSession.tune(spark)
+    spark.sparkContext.setLogLevel("ERROR")
+    val docs = graft.Tables.documents(spark, sfDir)
+    Seq(
+      "decontam" -> graft.operators.Contamination.ngramOverlap(
+        docs.filter(org.apache.spark.sql.functions.col("doc_id") % 20 =!= 0),
+        docs.filter(org.apache.spark.sql.functions.col("doc_id") % 20 === 0),
+        "doc_id", "text", 4),
+      "prefixjac" -> graft.operators.Dedup.jaccardPairsPrefix(docs, "doc_id", "text", 4, 1, 2)
+    ).foreach { case (tag, df) =>
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      val scans = "FileScan parquet".r.findAllIn(p).size
+      println(s"CHECK $tag reused=${p.contains("ReusedExchange")} parquetScans=$scans")
+    }
+    spark.stop()
+  }
+}
