@@ -70,6 +70,20 @@ object Multimodal {
     when(hex(substring(payload, 1, 8)) === "89504E470D0A1A0A",
       conv(hex(substring(payload, 21, 4)), 16, 10).cast("long"))
 
+  /** WAV sample rate parsed from the fmt chunk (bytes 25–28,
+    * LITTLE-endian — the byte order PNG's big-endian path never
+    * exercises): reassemble the reversed byte order explicitly with
+    * per-byte hex extraction. Null when the payload is not RIFF/WAVE.
+    */
+  def wavSampleRate(payload: Column): Column = {
+    // bytes 25..28 are LE: value = b28·2^24 + b27·2^16 + b26·2^8 + b25
+    val le = concat((0 until 4).reverse.map(i =>
+      hex(substring(payload, 25 + i, 1))): _*)
+    when(hex(substring(payload, 1, 4)) === "52494646" &&
+      hex(substring(payload, 9, 4)) === "57415645",
+      conv(le, 16, 10).cast("long"))
+  }
+
   /** Synthesize a minimal-but-valid PNG header prefix (signature + IHDR
     * length/type + dimensions) for round-trip tests: parse(synth(w, h))
     * must return (w, h). Width/height are 32-bit big-endian per spec.

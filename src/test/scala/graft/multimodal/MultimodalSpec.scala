@@ -64,6 +64,17 @@ class MultimodalSpec extends SparkSpec {
       3L -> ((1L, 16777216L))))
   }
 
+  test("wavSampleRate parses the little-endian fmt field") {
+    // RIFF....WAVEfmt + chunk size/format/channels, then 44100 Hz as
+    // LE bytes 44 AC 00 00 at offsets 25-28
+    val wav = "52494646" + "24080000" + "57415645" + "666D7420" +
+      "10000000" + "0100" + "0200" + "44AC0000"
+    val out = Seq(wav).toDF("hx")
+      .select(Multimodal.wavSampleRate(unhex(col("hx"))))
+      .as[Option[Long]].collect()
+    assert(out.toSeq === Seq(Some(44100L)))
+  }
+
   test("pngWidth is null on non-PNG payloads") {
     val out = Seq("FFD8FFE0").toDF("hx")
       .select(Multimodal.pngWidth(unhex(col("hx"))))
