@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.expr.NfcNormalize
 import graft.functions.TextFns
-import graft.operators.{Bloom, Contamination, Dedup, Incremental, Layout, Outliers}
+import graft.operators.{Bloom, Contamination, Dedup, Incremental, Layout, Outliers, Sampling, Tokenize}
 
 /** Corpus-curation surface, round 3 batch 2: the remaining operations a
   * large-scale training-data pipeline runs between "raw crawl" and
@@ -381,6 +381,58 @@ object CurateQueries {
           CASE WHEN doc_id % 10 = 0 THEN 'image/jpeg' ELSE 'image/png' END AS mime,
           CASE WHEN doc_id % 10 = 0 THEN NULL ELSE 100 + doc_id % 900 END AS width,
           CASE WHEN doc_id % 10 = 0 THEN NULL ELSE 100 + (doc_id * 7) % 900 END AS height
-        FROM documents"""))
+        FROM documents""")),
+
+    // Capstone: the END-TO-END corpus curation pipeline as one composed
+    // dataflow — quality filter (q37's criteria) → exact-dedup keepers
+    // (q30) → deterministic train split (q69) → fixed-length sequence
+    // packing (q86) — raw crawl in, training-shard manifest out. Every
+    // stage is the already-verified operator; the oracle replays the
+    // whole chain in SQL, so composition (not just the parts) is
+    // hash-checked.
+    QuerySpec("q98_curation_pipeline",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val good = docs
+          .withColumn("__w", TextFns.tokens(col("text")))
+          .filter(size(col("__w")) >= 40 &&
+            size(array_distinct(col("__w"))).cast("double") / size(col("__w")) >= 0.3)
+          .drop("__w")
+        val keepers = Dedup.fingerprintClusters(good, "doc_id", "text")
+          .select(col("keeper_id").as("doc_id"))
+        val kept = good.join(keepers, Seq("doc_id"), "left_semi")
+        val train = Sampling.splitByHash(kept, "doc_id",
+            Seq("train" -> "e6", "val" -> "f3"), "test")
+          .filter(col("split") === "train").drop("split")
+        Tokenize.packSequences(train, "doc_id", "text", ctx = 128)
+      },
+      Some(s"""
+        WITH $WORDS_SQL,
+        good AS (
+          SELECT doc_id, text, w FROM words
+          WHERE len(w) >= 40 AND CAST(len(list_distinct(w)) AS DOUBLE) / len(w) >= 0.3),
+        fp AS (
+          SELECT md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS f,
+            min(doc_id) AS keeper
+          FROM good GROUP BY 1),
+        kept AS (SELECT g.doc_id, g.w FROM good g JOIN fp ON g.doc_id = fp.keeper),
+        train AS (
+          SELECT doc_id, w FROM kept
+          WHERE md5(CAST(doc_id AS VARCHAR)) < 'e6'),
+        lens AS (SELECT doc_id AS did, CAST(len(w) AS BIGINT) AS n
+                 FROM train WHERE len(w) > 0),
+        sp AS (
+          SELECT did, n,
+            CAST(COALESCE(SUM(n) OVER (ORDER BY did
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start
+          FROM lens),
+        b AS (
+          SELECT did, n, start, seq_id
+          FROM sp, UNNEST(range(start // 128, (start + n - 1) // 128 + 1)) AS t(seq_id))
+        SELECT CAST(seq_id AS BIGINT) AS seq_id,
+          CAST(SUM(LEAST(start + n, (seq_id + 1) * 128) - GREATEST(start, seq_id * 128)) AS BIGINT) AS n_tokens,
+          count(*) AS n_docs,
+          min(did) AS first_doc, max(did) AS last_doc
+        FROM b GROUP BY 1"""))
   )
 }
