@@ -145,6 +145,63 @@ object AnalyticsQueries {
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_ff
         FROM j""")),
 
+    // Row-frame moving aggregate: 4-event trailing sum/avg of value per
+    // user in (ts, event_id) order. The frame order is a total order,
+    // and the sum accumulates in exact DECIMAL over the ≤4-row frame,
+    // so the float average is engine-identical. Per-USER window — no
+    // global sort.
+    QuerySpec("q99_moving_avg",
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+          .rowsBetween(-3, 0)
+        Tables.events(s, dir)
+          .select(col("user_id"), col("event_id"),
+            count(lit(1)).over(w).as("n_in_frame"),
+            sum(Agg.dec4(col("value"))).over(w).cast("double").as("sum_4"))
+          .select(col("user_id"), col("event_id"), col("n_in_frame"),
+            col("sum_4"), (col("sum_4") / col("n_in_frame")).as("avg_4"))
+      },
+      Some("""
+        WITH x AS (
+          SELECT user_id, event_id,
+            count(*) OVER w AS n_in_frame,
+            CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE) AS sum_4
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+                       ROWS BETWEEN 3 PRECEDING AND CURRENT ROW))
+        SELECT user_id, event_id, n_in_frame, sum_4,
+          sum_4 / n_in_frame AS avg_4
+        FROM x""")),
+
+    // Inter-arrival gaps per user in EXACT integer microseconds: lag
+    // diff on the epoch-micro timeline, per-user mean gap by integer
+    // floor division — no float time arithmetic anywhere.
+    QuerySpec("q100_interarrival",
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        Tables.events(s, dir)
+          .withColumn("us", unix_micros(col("ts")))
+          .withColumn("gap", col("us") - lag(col("us"), 1).over(w))
+          .filter(col("gap").isNotNull)
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_gaps"),
+            max(col("gap")).as("max_gap_us"),
+            expr("sum(gap) div count(1)").as("mean_gap_us"))
+      },
+      Some("""
+        WITH x AS (
+          SELECT user_id,
+            epoch_us(CAST(ts AS TIMESTAMP)) -
+              lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER (
+                PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) AS gap
+          FROM events)
+        SELECT user_id, count(*) AS n_gaps,
+          CAST(max(gap) AS BIGINT) AS max_gap_us,
+          CAST(sum(gap) // count(*) AS BIGINT) AS mean_gap_us
+        FROM x WHERE gap IS NOT NULL GROUP BY 1""")),
+
     // Histogram-sketch quantiles of order value (1000 buckets over
     // [0, 500000)): bounded mergeable state, answers exact to one
     // bucket width — the sketch tier above q58's exact order statistics.
