@@ -98,6 +98,23 @@ class AnalyticsSpec extends SparkSpec {
     assert(out(("b", 3L)) === ((0L, Some(5.0))))
   }
 
+  test("gapFill at day granularity spans the full calendar") {
+    val s = spark
+    import s.implicits._
+    def day(d: Int) = new Timestamp(d * 86400000L)
+    val ev = Seq(("a", day(0), 1.0), ("a", day(4), 2.0)).toDF("k", "t", "v")
+    val out = Analytics.gapFill(ev, "k", "t", "v", "day")
+      .collect().map(r => r.getTimestamp(1).getTime / 86400000L -> r.getLong(2)).toMap
+    assert(out === Map(0L -> 1L, 1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 1L))
+  }
+
+  test("gapFill on an empty frame returns no rows") {
+    val s = spark
+    import s.implicits._
+    val ev = Seq(("a", ts(0), 1.0)).toDF("k", "t", "v").filter(org.apache.spark.sql.functions.lit(false))
+    assert(Analytics.gapFill(ev, "k", "t", "v", "hour").count() === 0L)
+  }
+
   test("gapFill rejects unsupported units") {
     val s = spark
     import s.implicits._

@@ -39,6 +39,17 @@ class BloomSpec extends SparkSpec {
     assert(popcount > 0 && popcount <= 300, s"popcount $popcount")
   }
 
+  test("empty build side yields an all-zero bitmap and an empty result") {
+    val s = spark
+    import s.implicits._
+    val probe = (1L to 100L).toDF("id")
+    val build = (1L to 10L).toDF("k").filter(col("k") > 100)
+    assert(Bloom.semiJoin(probe, "id", build, "k", 3, 1024).count() === 0L)
+    val bm = Bloom.buildBitmap(build, col("k"), 3, 1024)
+      .as[Seq[Long]].collect().head
+    assert(bm.length === 16 && bm.forall(_ === 0L))
+  }
+
   test("m not a multiple of 64 is rejected") {
     val s = spark
     import s.implicits._
