@@ -39,6 +39,9 @@ object Bloom {
     */
   def buildBitmap(build: DataFrame, key: Column, k: Int, m: Int): DataFrame = {
     require(m % 64 == 0 && m > 0, s"m ($m) must be a positive multiple of 64")
+    // the bitmap is embedded as a literal in the probe filter (see
+    // semiJoin); 2^24 bits = 2 MB of plan payload is the sane ceiling
+    require(m <= (1 << 24), s"m ($m) exceeds 2^24 bits — size k/m to the build side")
     require(k >= 1, s"k ($k) must be >= 1")
     val words = build
       .select(explode(array(positions(key, k, m): _*)).as("p"))

@@ -58,6 +58,12 @@ object Tokenize {
     * sequence: (seq_id, n_tokens, n_docs, first_doc, last_doc); every
     * sequence holds exactly `ctx` tokens except the tail.
     *
+    * PRECONDITION: `idCol` values must be unique — the id order IS the
+    * concatenation order, so duplicate ids would leave the stream
+    * position of the duplicates undefined. (The running-sum window below
+    * is ROWS-framed so it is well-defined row-wise regardless, but the
+    * OUTPUT would not be deterministic under duplicate ids.)
+    *
     * The global token offset of each document is a DISTRIBUTED two-phase
     * prefix sum — NOT a single-partition global window: range-partition
     * by doc id, per-partition running sums (each partition sorts only
@@ -75,7 +81,10 @@ object Tokenize {
         size(TextFns.tokens(col(textCol))).cast("long").as("n"))
       .filter(col("n") > 0)
     // phase 1: per-partition running sums over range-partitioned slices
+    // (ROWS frame, not the default RANGE frame: RANGE would merge
+    // order-key ties into one cumulative value)
     val wPart = Window.partitionBy("pid").orderBy("did")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val local = lens.repartitionByRange(p, col("did"))
       .withColumn("pid", spark_partition_id())
       .withColumn("run", sum(col("n")).over(wPart) - col("n"))
