@@ -433,6 +433,28 @@ object CurateQueries {
           CAST(SUM(LEAST(start + n, (seq_id + 1) * 128) - GREATEST(start, seq_id * 128)) AS BIGINT) AS n_tokens,
           count(*) AS n_docs,
           min(did) AS first_doc, max(did) AS last_doc
-        FROM b GROUP BY 1"""))
+        FROM b GROUP BY 1""")),
+
+    // Deterministic weighted sample: 50 documents drawn without
+    // replacement proportional to length (weight = n_chars/100 + 1,
+    // min-of-w-draws priorities — reproducible and engine-portable).
+    QuerySpec("q101_weighted_sample",
+      (s, dir) => Sampling.weightedSample(
+        Tables.documents(s, dir)
+          .select(col("doc_id"), (col("n_chars") / lit(100) + 1).cast("long").as("w")),
+        "doc_id", "w", k = 50, wCap = 64),
+      Some("""
+        WITH d AS (
+          SELECT doc_id, CAST(n_chars // 100 + 1 AS BIGINT) AS weight
+          FROM documents WHERE n_chars // 100 + 1 >= 1),
+        draws AS (
+          SELECT doc_id, weight,
+            md5(CAST(j AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)) AS h
+          FROM d, UNNEST(range(0, least(weight, 64))) AS t(j)),
+        pri AS (
+          SELECT doc_id, weight, min(h) AS priority
+          FROM draws GROUP BY 1, 2)
+        SELECT doc_id, weight, priority FROM pri
+        ORDER BY priority, doc_id LIMIT 50"""))
   )
 }

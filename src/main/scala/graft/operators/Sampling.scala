@@ -87,4 +87,33 @@ object Sampling {
       }
       .toDF(stratumCol, idCol, "rn")
   }
+
+  /** Deterministic WEIGHTED sampling without replacement, integer
+    * weights: item x draws min_{0 ≤ j < w(x)} md5("<j>:<x>") as its
+    * priority — the minimum of w(x) independent uniform draws, so a
+    * heavier item beats a lighter one with exactly the
+    * weighted-without-replacement odds — and the sample is the bottom-k
+    * by (priority, id). Zero-weight items never sample (no draws).
+    * Reproducible, engine-portable (md5), and decidable per row.
+    *
+    * The draw explode is bounded by `wCap` rows per item (cap weights
+    * or pre-bucket ultra-heavy items); the per-item min combines
+    * map-side, and the bottom-k runs as TakeOrdered (per-partition
+    * top-k, never a global sort materialization).
+    */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String,
+                     k: Int, wCap: Int): DataFrame = {
+    require(k >= 1, s"sample size k must be >= 1, got $k")
+    require(wCap >= 1, s"weight cap must be >= 1, got $wCap")
+    df.select(col(idCol), col(weightCol).cast("long").as("weight"))
+      .filter(col("weight") >= 1)
+      .select(col(idCol), col("weight"),
+        explode(sequence(lit(0), least(col("weight"), lit(wCap.toLong)) - 1)).as("j"))
+      .select(col(idCol), col("weight"),
+        md5(concat(col("j").cast("string"), lit(":"), col(idCol).cast("string"))).as("d"))
+      .groupBy(col(idCol), col("weight"))
+      .agg(min(col("d")).as("priority"))
+      .orderBy(col("priority"), col(idCol))
+      .limit(k)
+  }
 }

@@ -82,6 +82,33 @@ class SamplingSpec extends SparkSpec {
     intercept[IllegalArgumentException](Sampling.stratifiedSample(df, "g", "id", 1))
   }
 
+  test("weightedSample: deterministic, repartition-invariant, favors heavy items") {
+    val s = spark
+    import s.implicits._
+    // half the ids weight 9, half weight 1 → a 40-draw sample should be
+    // dominated by heavy items (expected ~36 of 40)
+    val df = (1L to 200L).map(i => (i, if (i % 2 == 0) 9L else 1L)).toDF("id", "w")
+    val a = Sampling.weightedSample(df, "id", "w", k = 40, wCap = 16)
+      .select("id").as[Long].collect().sorted
+    val b = Sampling.weightedSample(df.repartition(7), "id", "w", k = 40, wCap = 16)
+      .select("id").as[Long].collect().sorted
+    assert(a.toSeq === b.toSeq)
+    assert(a.length === 40)
+    val heavy = a.count(_ % 2 == 0)
+    assert(heavy >= 28, s"heavy items should dominate, got $heavy/40")
+  }
+
+  test("weightedSample excludes zero-weight items and validates params") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, 0L), (2L, 5L), (3L, 1L)).toDF("id", "w")
+    val picked = Sampling.weightedSample(df, "id", "w", k = 10, wCap = 8)
+      .select("id").as[Long].collect().toSet
+    assert(picked === Set(2L, 3L)) // id 1 never draws
+    intercept[IllegalArgumentException](Sampling.weightedSample(df, "id", "w", 0, 8))
+    intercept[IllegalArgumentException](Sampling.weightedSample(df, "id", "w", 5, 0))
+  }
+
   test("stratifiedSample with undersized stratum returns all its rows") {
     val s = spark
     import s.implicits._
