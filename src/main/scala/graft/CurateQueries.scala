@@ -191,7 +191,7 @@ object CurateQueries {
         WITH b AS (
           SELECT o_orderkey,
             CAST(least(floor(o_totalprice * 256.0 / 500000.0), 255.0) AS BIGINT) AS xb,
-            CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) % 256 AS BIGINT) AS yb
+            CAST(((date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) % 256) + 256) % 256 AS BIGINT) AS yb
           FROM orders)
         SELECT o_orderkey, xb, yb, $interleave AS z FROM b"""
       }),
@@ -382,6 +382,40 @@ object CurateQueries {
           CASE WHEN doc_id % 10 = 0 THEN NULL ELSE 100 + doc_id % 900 END AS width,
           CASE WHEN doc_id % 10 = 0 THEN NULL ELSE 100 + (doc_id * 7) % 900 END AS height
         FROM documents""")),
+
+    // REAL audio decode, end-to-end: each doc synthesizes a complete
+    // valid mono 16-bit PCM WAV file (RIFF+fmt+data, LE two's-complement
+    // samples from a closed-form generator), the JVM codec
+    // (WavCodec.decode) walks the chunks and decodes the sample stream,
+    // and per-frame integer stats come off the DECODED samples. The
+    // oracle replays the generator arithmetic directly — so a hash match
+    // proves build → parse → decode → window is lossless, not stubbed.
+    QuerySpec("q103_wav_decode",
+      (s, dir) => {
+        import graft.multimodal.Multimodal
+        val docs = Tables.documents(s, dir).select(col("doc_id"))
+        val n = (col("doc_id") % 50 + 20).cast("int")
+        val samples = transform(sequence(lit(0), n - 1),
+          i => (pmod(col("doc_id") * 31 + i * 17, lit(65536)) - 32768).cast("int"))
+        val media = Multimodal.asMediaTable(
+          docs.withColumn("payload",
+            Multimodal.synthWavPcm16(lit(8000), samples)),
+          "doc_id", "payload", "audio/wav")
+        Multimodal.wavFrameStats(media, frameSize = 16, stride = 16).toDF()
+      },
+      Some("""
+        WITH s AS (
+          SELECT doc_id, i AS pos,
+            ((doc_id * 31 + i * 17) % 65536) - 32768 AS v
+          FROM documents, UNNEST(range(0, doc_id % 50 + 20)) AS t(i))
+        SELECT doc_id, CAST(8000 AS INTEGER) AS sample_rate,
+          CAST(16 AS INTEGER) AS bits,
+          CAST(pos // 16 AS BIGINT) AS frame_id,
+          CAST(count(*) AS BIGINT) AS n_samples,
+          CAST(sum(v) AS BIGINT) AS s_sum,
+          CAST(min(v) AS INTEGER) AS s_min,
+          CAST(max(v) AS INTEGER) AS s_max
+        FROM s GROUP BY 1, 4""")),
 
     // Capstone: the END-TO-END corpus curation pipeline as one composed
     // dataflow — quality filter (q37's criteria) → exact-dedup keepers

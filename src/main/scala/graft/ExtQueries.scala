@@ -470,8 +470,8 @@ object ExtQueries {
 
     // multimodal binary plumbing: opaque payload + typed metadata +
     // deterministic sampling fingerprints (the Spark-side schema/batch
-    // shape for a decode stage; the actual codec is stubbed — see
-    // graft.multimodal.Multimodal)
+    // shape for a decode stage; the real WAV PCM decode path is
+    // q103_wav_decode — see graft.multimodal.{Multimodal, WavCodec})
     QuerySpec("q39_multimodal_meta",
       (s, dir) => Tables.documents(s, dir)
         .select(col("doc_id"),

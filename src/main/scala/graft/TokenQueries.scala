@@ -32,13 +32,18 @@ object TokenQueries {
         SELECT term, cnt, id FROM v WHERE id < 16""")),
 
     // Documents encoded as vocabulary-id arrays in token order; terms
-    // outside the 16-id vocabulary encode as -1 (OOV).
+    // outside the 16-id vocabulary encode as -1 (OOV). The Scala API
+    // (`Tokenize.encodeDocs`) returns the real `ids: array<bigint>`; the
+    // oracle projection renders it as a CSV string because the driver's
+    // canonicalizer can only sort/hash scalar columns.
     QuerySpec("q85_encode_docs",
       (s, dir) => {
         val docs = Tables.documents(s, dir)
         val vocab = Tokenize.vocabBuild(
           docs.select(explode(TextFns.tokens(col("text"))).as("term")), "term", 16)
         Tokenize.encodeDocs(docs, "doc_id", "text", vocab)
+          .select(col("doc_id"), col("n_tokens"),
+            array_join(transform(col("ids"), _.cast("string")), ",").as("ids_csv"))
       },
       Some(s"""
         WITH $WORDS_SQL,
@@ -54,7 +59,7 @@ object TokenQueries {
           SELECT t.doc_id, t.pos, COALESCE(v.id, -1) AS id
           FROM tok t LEFT JOIN v ON t.term = v.term)
         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
-          list(id ORDER BY pos) AS ids
+          string_agg(CAST(id AS VARCHAR), ',' ORDER BY pos) AS ids_csv
         FROM enc GROUP BY 1""")),
 
     // The corpus token stream cut into 128-token training sequences:
@@ -86,7 +91,13 @@ object TokenQueries {
     // exercises the capping semantics on synthetic data.
     QuerySpec("q90_inverted_index",
       (s, dir) => Tokenize.invertedIndex(
-        Tables.documents(s, dir), "doc_id", "text", dfCap = 1000000L),
+          Tables.documents(s, dir), "doc_id", "text", dfCap = 1000000L)
+        // the API keeps `postings: array<struct<did,pos>>`; the oracle
+        // projection digests the ordered list so the driver can hash it
+        .select(col("term"), col("df"), col("n_postings"),
+          md5(array_join(transform(col("postings"),
+            p => concat_ws(":", p.getField("did").cast("string"),
+              p.getField("pos").cast("string"))), ";")).as("postings_md5")),
       Some(s"""
         WITH $WORDS_SQL,
         tok AS (
@@ -101,7 +112,8 @@ object TokenQueries {
           FROM tok t JOIN dfc d ON t.term = d.term)
         SELECT term, CAST(any_value(df) AS BIGINT) AS df,
           CAST(count(*) AS BIGINT) AS n_postings,
-          list(struct_pack(did := doc_id, pos := pos) ORDER BY doc_id, pos) AS postings
+          md5(string_agg(CAST(doc_id AS VARCHAR) || ':' || CAST(pos AS VARCHAR),
+            ';' ORDER BY doc_id, pos)) AS postings_md5
         FROM kept GROUP BY 1"""))
   )
 }

@@ -10,10 +10,14 @@ import org.apache.spark.sql.functions._
   * batched pandas UDF: one iterator per partition, no per-row JVM↔
   * library round trips).
   *
-  * The actual codec is STUBBED (`StubDecoder`) — the container has no
-  * image/audio libraries — but everything Spark-side is real and tested:
-  * the schema, the partitioning, the batch iterator shape, and the
-  * deterministic sampling. Swapping in a real decoder is one function.
+  * The codec is REAL for WAV PCM — [[WavCodec]] walks the RIFF chunk
+  * list and decodes 8/16-bit integer PCM samples in pure JVM code, no
+  * media library — and frames/fingerprints are computed over decoded
+  * SAMPLES for audio payloads. Payloads the codec cannot decode (JPEG
+  * pixels, video) fall back to opaque byte windows: the distributed
+  * shape (partition-wise batches, bounded memory per task, no driver
+  * involvement) is identical either way, so swapping in further codecs
+  * changes one function.
   */
 object Multimodal {
 
@@ -97,12 +101,17 @@ object Multimodal {
       unhex(lpad(hex(height), 8, "0")),
       unhex(lit("0806000000")))       // bit depth/color/etc.
 
-  /** Deterministic frame sampling: byte slices at a fixed stride stand in
-    * for decoded video frames. A real decoder replaces `StubDecoder.frames`
-    * only — the distributed shape (partition-wise batches, bounded memory
-    * per task, no driver involvement) stays identical.
+  /** Deterministic frame extraction. WAV PCM payloads DECODE — frames
+    * are `frameSize`-sample windows at `stride` over the real decoded
+    * sample stream, fingerprinted over the canonical 16-bit LE image of
+    * the sample values (so the fingerprint is a function of the audio,
+    * not of container framing). Undecodable payloads fall back to
+    * `frameSize`-byte windows over the raw bytes — the honest treatment
+    * of a format with no in-container codec.
     */
   def extractFeatures(media: Dataset[MediaRow], frameSize: Int, stride: Int): Dataset[MediaFeatures] = {
+    require(frameSize >= 1, s"frameSize must be >= 1, got $frameSize")
+    require(stride >= 1, s"stride must be >= 1, got $stride")
     val spark = media.sparkSession
     import spark.implicits._
     media.mapPartitions { rows =>
@@ -110,7 +119,12 @@ object Multimodal {
       // context once per partition, not once per row)
       val md = java.security.MessageDigest.getInstance("MD5")
       rows.map { r =>
-        val frames = StubDecoder.frames(r.payload, frameSize, stride)
+        val frames: Seq[Array[Byte]] = WavCodec.decode(r.payload) match {
+          case Some(pcm) =>
+            WavCodec.sampleWindows(pcm.samples, frameSize, stride)
+              .map(WavCodec.encodeLe16)
+          case None => byteWindows(r.payload, frameSize, stride)
+        }
         val fps = frames.map { f =>
           md.reset(); md.update(f)
           md.digest().map("%02x".format(_)).mkString
@@ -119,16 +133,71 @@ object Multimodal {
       }
     }
   }
-}
 
-/** Stand-in codec: deterministic byte-slice "frames". Replace with a real
-  * image/audio/video library binding when available; the call site and
-  * distributed execution shape do not change.
-  */
-object StubDecoder {
-  def frames(payload: Array[Byte], frameSize: Int, stride: Int): Seq[Array[Byte]] =
+  /** Opaque-payload fallback framing: strided byte windows. */
+  private def byteWindows(payload: Array[Byte], frameSize: Int, stride: Int): Seq[Array[Byte]] =
     if (payload == null || payload.isEmpty) Seq.empty
     else (0 until payload.length by stride)
       .map(off => payload.slice(off, math.min(off + frameSize, payload.length)))
       .filter(_.nonEmpty)
+
+  /** Per-frame integer statistics over DECODED WAV samples — one row per
+    * (doc, frame): header fields from the parsed fmt chunk + count/sum/
+    * min/max of the window, all integer-exact so a replayed oracle
+    * hash-matches. Undecodable payloads contribute no rows (they have no
+    * samples; `extractFeatures` is the API that frames opaque bytes).
+    */
+  def wavFrameStats(media: Dataset[MediaRow], frameSize: Int, stride: Int): Dataset[WavFrame] = {
+    require(frameSize >= 1, s"frameSize must be >= 1, got $frameSize")
+    require(stride >= 1, s"stride must be >= 1, got $stride")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        WavCodec.decode(r.payload).toSeq.flatMap { pcm =>
+          WavCodec.sampleWindows(pcm.samples, frameSize, stride).zipWithIndex.map {
+            case (w, i) => WavFrame(r.doc_id, pcm.sampleRate, pcm.bitsPerSample,
+              i.toLong, w.length.toLong, w.map(_.toLong).sum, w.min, w.max)
+          }
+        }
+      }
+    }
+  }
+
+  /** One decoded audio frame's statistics. */
+  final case class WavFrame(doc_id: Long, sample_rate: Int, bits: Int,
+                            frame_id: Long, n_samples: Long, s_sum: Long,
+                            s_min: Int, s_max: Int)
+
+  /** Little-endian byte rendering of the low `nBytes` bytes of an
+    * integer column — the RIFF encoding primitive (PNG's synth path is
+    * big-endian; WAV is LE throughout).
+    */
+  private def le(v: Column, nBytes: Int): Column =
+    concat((0 until nBytes).map(i =>
+      unhex(lpad(hex(pmod(shiftright(v, 8 * i), lit(256))), 2, "0"))): _*)
+
+  /** Synthesize a COMPLETE valid mono 16-bit PCM WAV file from an
+    * `array<int>` sample column, as pure codegen'd SQL expressions —
+    * RIFF header, fmt chunk, data chunk, two's-complement LE samples.
+    * `WavCodec.decode(synthWavPcm16(sr, xs))` returns exactly (sr, xs):
+    * the decoder round-trip the q103 oracle checks end-to-end.
+    */
+  def synthWavPcm16(sampleRate: Column, samples: Column): Column = {
+    val n = size(samples)
+    val dataSize = n * 2
+    val body = aggregate(
+      transform(samples, s => le(pmod(s.cast("long"), lit(65536L)), 2)),
+      lit(Array.emptyByteArray), (acc, x) => concat(acc, x))
+    concat(
+      unhex(lit("52494646")), le((dataSize + 36).cast("long"), 4), // "RIFF" + file size
+      unhex(lit("57415645")),                                      // "WAVE"
+      unhex(lit("666D7420")), le(lit(16L), 4),                     // "fmt " + chunk size
+      le(lit(1L), 2), le(lit(1L), 2),                              // PCM, mono
+      le(sampleRate.cast("long"), 4),                              // sample rate
+      le(sampleRate.cast("long") * 2, 4),                          // byte rate
+      le(lit(2L), 2), le(lit(16L), 2),                             // block align, bits
+      unhex(lit("64617461")), le(dataSize.cast("long"), 4),        // "data" + size
+      body)
+  }
 }

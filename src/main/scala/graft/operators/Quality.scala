@@ -56,10 +56,14 @@ object Quality {
         case NotNull(colName) =>
           df.agg(sum(when(col(colName).isNull, 1L).otherwise(0L)).as("v"))
         case Unique(cols) =>
-          // count minus distinct-count of the tuple (null-safe: count
-          // over a struct treats null fields as values)
-          df.agg((count(lit(1)) -
-            countDistinct(struct(cols.map(col): _*))).as("v"))
+          // SQL COUNT(DISTINCT ...) convention: rows with ANY null key
+          // column are excluded from the uniqueness check entirely (null
+          // keys are NotNull's business, and SQL UNIQUE constraints treat
+          // nulls as incomparable). n_violations = duplicate rows among
+          // the fully-non-null key tuples.
+          val nonNull = cols.map(col(_).isNotNull).reduce(_ && _)
+          df.agg((sum(when(nonNull, 1L).otherwise(0L)) -
+            countDistinct(col(cols.head), cols.tail.map(col): _*)).as("v"))
         case InRange(colName, lo, hi) =>
           df.agg(sum(when(col(colName).isNotNull &&
             (col(colName) < lo || col(colName) > hi), 1L).otherwise(0L)).as("v"))

@@ -90,10 +90,22 @@ object Sampling {
 
   /** Deterministic WEIGHTED sampling without replacement, integer
     * weights: item x draws min_{0 ≤ j < w(x)} md5("<j>:<x>") as its
-    * priority — the minimum of w(x) independent uniform draws, so a
-    * heavier item beats a lighter one with exactly the
-    * weighted-without-replacement odds — and the sample is the bottom-k
-    * by (priority, id). Zero-weight items never sample (no draws).
+    * priority and the sample is the bottom-k by (priority, id).
+    *
+    * Exactness: ranking items by their minimum draw is equivalent to
+    * expanding item x into w(x) tickets, uniformly permuting all
+    * W = Σw tickets (sorting iid draws IS a uniform permutation), and
+    * keeping items in first-occurrence order — which realizes successive
+    * weighted-without-replacement odds EXACTLY for every draw, not just
+    * the first: P(next = j | drawn set S) = w(j) / (W − Σ_{i∈S} w(i)),
+    * because the remaining tickets stay exchangeable at every step.
+    * (This is the classic expanded-population equivalence for integer
+    * weights; no Efraimidis–Spirakis u^(1/w) keys — and hence no
+    * cross-engine floating-point pow/ln — are needed.)
+    *
+    * CAVEAT — `wCap`: items with weight > wCap draw only wCap tickets,
+    * so they compete as if their weight were wCap; odds are exact only
+    * when all weights ≤ wCap. Zero-weight items never sample (no draws).
     * Reproducible, engine-portable (md5), and decidable per row.
     *
     * The draw explode is bounded by `wCap` rows per item (cap weights

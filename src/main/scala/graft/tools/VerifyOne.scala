@@ -1,0 +1,47 @@
+package graft.tools
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.SparkSession
+
+import graft.{GraftSession, Queries}
+
+/** Dev tool: the per-query slice of graft.Verify — dump selected
+  * queries' results + their oracle SQL so scripts/check.py can compare
+  * just those, without re-running the whole registry.
+  * Usage: VerifyOne <sfDir> <outDir> <name>[,<name>...]
+  */
+object VerifyOne {
+  def main(args: Array[String]): Unit = {
+    val Array(sfDir, outDir, nameCsv) = args
+    val names = nameCsv.split(",").toSet
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    GraftSession.tune(spark)
+    spark.sparkContext.setLogLevel("WARN")
+    new java.io.File(outDir).mkdirs()
+    val picked = Queries.all.filter(q => names(q.name))
+    require(picked.map(_.name).toSet == names,
+      s"unknown queries: ${names -- picked.map(_.name).toSet}")
+    picked.foreach { q =>
+      q.run(spark, sfDir).coalesce(1).write.mode("overwrite")
+        .parquet(s"$outDir/${q.name}")
+      spark.catalog.clearCache()
+    }
+    def esc(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+      case '\r' => "\\r"; case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    val json = picked.flatMap(q => q.oracle.map(o => s"${esc(q.name)}: ${esc(o.trim)}"))
+      .mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    spark.stop()
+  }
+}

@@ -75,6 +75,53 @@ class MultimodalSpec extends SparkSpec {
     assert(out.toSeq === Seq(Some(44100L)))
   }
 
+  test("extractFeatures validates frame parameters at construction") {
+    intercept[IllegalArgumentException](Multimodal.extractFeatures(media, 0, 4))
+    intercept[IllegalArgumentException](Multimodal.extractFeatures(media, 4, 0))
+  }
+
+  test("WAV payloads frame over DECODED samples: container width does not change fingerprints") {
+    // same sample values shipped as 8-bit and as 16-bit PCM must
+    // produce identical frame fingerprints — proof the fingerprint is a
+    // function of the decoded audio, not of the byte framing
+    def le16(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def le32(v: Int) = Array(v & 0xff, (v >> 8) & 0xff, (v >> 16) & 0xff,
+      (v >> 24) & 0xff).map(_.toByte)
+    def a(s: String) = s.getBytes("US-ASCII")
+    def wav(bits: Int, data: Array[Byte]) = {
+      val fmt = a("fmt ") ++ le32(16) ++ le16(1) ++ le16(1) ++ le32(8000) ++
+        le32(8000 * bits / 8) ++ le16(bits / 8) ++ le16(bits)
+      val body = a("WAVE") ++ fmt ++ a("data") ++ le32(data.length) ++ data
+      a("RIFF") ++ le32(body.length) ++ body
+    }
+    val vals = Seq(-100, 0, 55, 127, -128, 3, 9, 1)
+    val w8 = wav(8, vals.map(v => (v + 128).toByte).toArray)
+    val w16 = wav(16, vals.flatMap(le16).toArray)
+    val df = Seq((1L, w8), (2L, w16)).toDF("doc_id", "payload")
+    val m = Multimodal.asMediaTable(df, "doc_id", "payload", "audio/wav")
+    val fps = Multimodal.extractFeatures(m, frameSize = 4, stride = 4)
+      .collect().map(f => f.doc_id -> f.frame_fps).toMap
+    assert(fps(1L).nonEmpty && fps(1L) == fps(2L))
+  }
+
+  test("wavFrameStats decodes real sample statistics, skips undecodable rows") {
+    val df = Seq((7L, "not audio")).toDF("doc_id", "txt")
+      .withColumn("payload", encode($"txt", "UTF-8"))
+    val opaque = Multimodal.asMediaTable(df, "doc_id", "payload", "text/plain")
+    assert(Multimodal.wavFrameStats(opaque, 4, 4).count() == 0)
+    val synth = Seq((3L, Seq(10, -20, 30, -40, 50))).toDF("doc_id", "xs")
+      .select($"doc_id", Multimodal.synthWavPcm16(lit(16000), $"xs").as("payload"))
+    val m = Multimodal.asMediaTable(synth, "doc_id", "payload", "audio/wav")
+    val rows = Multimodal.wavFrameStats(m, frameSize = 4, stride = 4)
+      .collect().sortBy(_.frame_id)
+    assert(rows.length == 2)
+    assert(rows(0).sample_rate == 16000 && rows(0).bits == 16)
+    assert((rows(0).n_samples, rows(0).s_sum, rows(0).s_min, rows(0).s_max)
+      == ((4L, -20L, -40, 30)))
+    assert((rows(1).n_samples, rows(1).s_sum, rows(1).s_min, rows(1).s_max)
+      == ((1L, 50L, 50, 50)))
+  }
+
   test("pngWidth is null on non-PNG payloads") {
     val out = Seq("FFD8FFE0").toDF("hx")
       .select(Multimodal.pngWidth(unhex(col("hx"))))
