@@ -599,6 +599,21 @@ object ExtQueries {
         WITH RECURSIVE $CC_LABELS_SQL
         SELECT doc_id, cluster_id FROM lbl""")),
 
+    // Same clustering via STAR CONTRACTION (large-star/small-star) — the
+    // O(log n)-round high-diameter scale path; must produce byte-for-byte
+    // the same labels as q61's label propagation (and the recursive-CTE
+    // oracle), which is exactly what the shared oracle checks.
+    QuerySpec("q104_cc_star",
+      (s, dir) => {
+        val pairs = Dedup.minhashLshPairs(Tables.documents(s, dir), "doc_id", "text",
+          n = 4, k = 12, rowsPerBand = 3).filter(col("jaccard") >= 0.2)
+        graft.operators.Graph.connectedComponentsStar(pairs, "doc_a", "doc_b")
+          .select(col("id").as("doc_id"), col("cluster").as("cluster_id"))
+      },
+      Some(s"""
+        WITH RECURSIVE $CC_LABELS_SQL
+        SELECT doc_id, cluster_id FROM lbl""")),
+
     // Corpus compaction: collapse each near-dup cluster to its canonical
     // keeper (minimum doc id) and pass singletons through — the
     // end-to-end "dedup the training corpus" operation

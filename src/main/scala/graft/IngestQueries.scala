@@ -161,6 +161,97 @@ object IngestQueries {
           w.finished, w.loading, w.loaded
         FROM windowed w JOIN keyedtops t ON w.jk = t.jk""")),
 
+    // §2.B K1 + §2.I R1 end-to-end: the WHOLE ETL TICK (genres → E1
+    // per-day EPG import with the reference's partition-presence guard →
+    // E2 toplist refinement → E3 torrent match + cascade delete) runs
+    // against real GraftTable-persisted parquet tables in a scratch dir,
+    // and the FINAL STATE of all four tables is digested row-by-row. The
+    // oracle replays E1→E2→E3 in SQL over the same staged fixture bytes
+    // — so the orchestrator (create-if-absent, import-once, upserts,
+    // insert-if-absent, cascade delete, the lot) is hash-checked, not
+    // just spec-covered. On these fixtures no EPG file spills rows into
+    // the other day's partition and files carry no duplicate keys, so
+    // the per-day guard admits both files and the combined-file replay
+    // is exact (the guard/tiebreak semantics themselves are exercised by
+    // RunSpec).
+    QuerySpec("q102_etl_tick",
+      (s, dir) => {
+        Fixtures.stage(s)
+        val base = java.nio.file.Files.createTempDirectory("graft_q102_").toString
+        val (g, r, t, z) = graft.pipeline.Run.tick(s, base)
+        val fmt = "yyyy-MM-dd HH:mm:ss"
+        def ts(c: org.apache.spark.sql.Column) = date_format(c, fmt)
+        val gd = g.read.select(lit("genres").as("tbl"),
+          col("PartitionKey"), col("RowKey"),
+          md5(concat_ws("|", col("Genre_Id"), col("Genre"))).as("digest"))
+        def rd(df: org.apache.spark.sql.DataFrame, name: String) =
+          df.select(lit(name).as("tbl"), col("PartitionKey"), col("RowKey"),
+            md5(concat_ws("|", col("Id"), ts(col("beginn")), ts(col("ende")),
+              col("dauer"), col("sender"), col("titel"), col("genre_id"),
+              col("genre"), col("language"))).as("digest"))
+        val zd = z.read.select(lit("torrents").as("tbl"),
+          col("PartitionKey"), col("RowKey"),
+          md5(concat_ws("|", col("Id"), col("TorrentLink"), col("TorrentFile"),
+            ts(col("beginn")), col("sender"), col("finished"), col("loading"),
+            col("loaded"))).as("digest"))
+        val out = gd.unionByName(rd(r.read, "recordings"))
+          .unionByName(rd(t.read, "top")).unionByName(zd)
+        // snapshot BEFORE deleting the scratch tables the plan reads
+        val snap = out.localCheckpoint(true)
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+        }
+        rm(new java.io.File(base))
+        snap
+      },
+      Some(s"""
+        WITH $RECS_SQL, $TOPLIST_SQL, $TRACKER_SQL,
+        kept AS (SELECT * FROM tl WHERE rating IN ('sehr hoch', 'hoch')),
+        tops AS (
+          SELECT r.* FROM recs r
+          WHERE EXISTS (SELECT 1 FROM kept k
+                        WHERE k.PartitionKey = r.PartitionKey AND k.RowKey = r.RowKey)),
+        windowed AS (
+          SELECT *, strftime(beginn, '%y.%m.%d %H-%M-%S') || '|' || sender AS jk
+          FROM tr WHERE beginn >= TIMESTAMP '2021-03-01 00:00:00'),
+        topsk AS (
+          SELECT t.*, strftime(t.beginn, '%y.%m.%d %H-%M-%S') || '|' || lower(replace(t.sender, ' ', '')) AS jk
+          FROM tops t),
+        matched AS (
+          SELECT CAST(t.Id AS VARCHAR) AS PartitionKey, w.Resolution AS RowKey,
+            t.Id AS Id, w.TorrentLink, w.TorrentFile, w.beginn, w.sender,
+            w.finished, w.loading, w.loaded
+          FROM windowed w JOIN topsk t ON w.jk = t.jk
+          QUALIFY row_number() OVER (PARTITION BY CAST(t.Id AS VARCHAR), w.Resolution
+            ORDER BY w.TorrentLink) = 1),
+        top_final AS (SELECT * FROM topsk WHERE jk IN (SELECT jk FROM windowed)),
+        rdig AS (
+          SELECT PartitionKey, RowKey,
+            md5(CAST(Id AS VARCHAR) || '|' || strftime(beginn, '%Y-%m-%d %H:%M:%S')
+              || '|' || strftime(ende, '%Y-%m-%d %H:%M:%S') || '|' || CAST(dauer AS VARCHAR)
+              || '|' || sender || '|' || titel || '|' || CAST(genre_id AS VARCHAR)
+              || '|' || genre || '|' || language) AS digest
+          FROM recs),
+        tdig AS (
+          SELECT 'top' AS PartitionKey, RowKey,
+            md5(CAST(Id AS VARCHAR) || '|' || strftime(beginn, '%Y-%m-%d %H:%M:%S')
+              || '|' || strftime(ende, '%Y-%m-%d %H:%M:%S') || '|' || CAST(dauer AS VARCHAR)
+              || '|' || sender || '|' || titel || '|' || CAST(genre_id AS VARCHAR)
+              || '|' || genre || '|' || language) AS digest
+          FROM top_final),
+        zdig AS (
+          SELECT PartitionKey, RowKey,
+            md5(CAST(Id AS VARCHAR) || '|' || TorrentLink || '|' || TorrentFile
+              || '|' || strftime(beginn, '%Y-%m-%d %H:%M:%S') || '|' || sender
+              || '|' || CAST(finished AS VARCHAR) || '|' || CAST(loading AS VARCHAR)
+              || '|' || CAST(loaded AS VARCHAR)) AS digest
+          FROM matched)
+        SELECT 'genres' AS tbl, 'all' AS PartitionKey, RowKey,
+          md5(CAST(Genre_Id AS VARCHAR) || '|' || Genre) AS digest FROM g
+        UNION ALL SELECT 'recordings', PartitionKey, RowKey, digest FROM rdig
+        UNION ALL SELECT 'top', PartitionKey, RowKey, digest FROM tdig
+        UNION ALL SELECT 'torrents', PartitionKey, RowKey, digest FROM zdig""")),
+
     // §2.D J5: 1:N child load — children packed as one sorted struct
     // array per parent (reference Recording.loadtorrents,
     // storage/tablemodels.py:62-68); digest-projected so the compare is

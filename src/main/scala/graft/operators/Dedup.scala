@@ -16,17 +16,18 @@ import graft.functions.TextFns
 object Dedup {
 
   /** Materialize a multi-consumer intermediate (posting table, signature
-    * table) to a staging parquet and read it back, so its plan runs ONCE
-    * no matter how many consumers the operator fans it into. A persist()
-    * here would leak into the shared session (round-1 finding) and pin
-    * an unbounded table in executor memory; a staging file is bounded by
-    * disk, spill-free, and exactly what a cluster deployment would use —
-    * set `graft.staging.dir` to a job-scoped cluster path there (default:
-    * local tmp). Lifecycle: see [[Staging]] — every root is tracked and
-    * removed at JVM exit; the disk cost until then is one parquet copy
-    * of each staged intermediate per operator CONSTRUCTION, so a
-    * long-lived session constructing many operators should set a
-    * job-scoped `graft.staging.dir` it recycles between jobs.
+    * table) so its plan runs ONCE no matter how many consumers the
+    * operator fans it into. A persist() here would leak into the shared
+    * session (round-1 finding) and pin an unbounded table in executor
+    * memory. On a cluster, set `graft.staging.dir` to a job-scoped
+    * cluster path and this is a staging parquet — disk-bounded,
+    * spill-free, durable; unset (single-node mode) it is an eager local
+    * checkpoint — same plan cut, no parquet round-trip. Lifecycle: see
+    * [[Staging]] — parquet roots are tracked and removed at JVM exit;
+    * the cost until then is one copy of each staged intermediate per
+    * operator CONSTRUCTION, so a long-lived session constructing many
+    * operators should set a job-scoped `graft.staging.dir` it recycles
+    * between jobs.
     */
   private[operators] def staged(df: DataFrame, hint: String): DataFrame =
     Staging.stage(df, hint).df

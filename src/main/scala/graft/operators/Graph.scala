@@ -82,6 +82,115 @@ object Graph {
     out
   }
 
+  /** Connected components by STAR CONTRACTION (alternating large-star /
+    * small-star, Kiveris et al., "Connected Components in MapReduce and
+    * Beyond", SoCC'14) — the high-diameter scale path
+    * [[connectedComponents]]'s doc names: label propagation needs
+    * diameter-many rounds (a 10⁶-node chain = 10⁶ rounds), star
+    * contraction converges in O(log n) alternating rounds on any graph
+    * because each pair of rounds contracts paths toward component minima
+    * geometrically. Same interface and output as
+    * [[connectedComponents]]: (`id`, `cluster`) for every node appearing
+    * in `edges`, cluster = component minimum.
+    *
+    *   - large-star: every node u emits, for each STRICTLY LARGER
+    *     neighbor v, the edge (v, m(u)) where m(u) = min({u} ∪ N(u)) —
+    *     hanging big neighbors off the local minimum.
+    *   - small-star: every node u emits, for its ≤-neighbors and itself,
+    *     edges to m̃(u) = min({u} ∪ {v ∈ N(u) : v < u}) — compressing
+    *     multi-hop tails.
+    *
+    * At the fixpoint the edge set is a union of stars rooted at
+    * component minima, so labels read directly off the edges. Each
+    * half-round is one shuffle aggregate (per-node min) + one shuffle
+    * join, staged via [[Staging]] for O(1) plan depth — identical
+    * per-round dataflow cost to a label-propagation round; only the
+    * ROUND COUNT differs.
+    *
+    * Convergence check: edge count + sum of xxhash64(a, b) over the
+    * (distinct) edge set, two scalar aggregates per round — an unchanged
+    * (count, hash-sum) pair across a full large+small round means an
+    * unchanged star set (a hash-sum collision between different
+    * same-size edge sets is a 2⁻⁶⁴-scale event; `GraphSpec` proves
+    * result-equality against label propagation on random graphs
+    * independently of this check).
+    */
+  def connectedComponentsStar(edges: DataFrame, srcCol: String, dstCol: String,
+                              maxIter: Int = 50): DataFrame =
+    ccStarWithRounds(edges, srcCol, dstCol, maxIter)._1
+
+  /** [[connectedComponentsStar]] + the number of large+small rounds it
+    * ran (spec hook for the O(log n) convergence guarantee).
+    */
+  private[graft] def ccStarWithRounds(edges: DataFrame, srcCol: String, dstCol: String,
+                                      maxIter: Int = 50): (DataFrame, Int) = {
+    require(maxIter >= 1, s"maxIter must be >= 1, got $maxIter")
+    val init = edges
+      .select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("a"), greatest(col("a"), col("b")).as("b"))
+      .distinct()
+    // nodes that only ever appear as a component minimum would vanish
+    // from a star edge set rooted at them — remember the full node set
+    // once so the final projection covers roots and (post-contraction)
+    // isolated survivors alike
+    val und0 = init.union(init.select(col("b").as("a"), col("a").as("b")))
+    val nodes = Staging.stage(und0.select(col("a").as("id")).distinct(), "ccs_nodes")
+
+    def undirected(e: DataFrame): DataFrame =
+      e.union(e.select(col("b").as("a"), col("a").as("b")))
+
+    // large-star: (v, m(u)) for every neighbor v > u
+    def largeStar(e: DataFrame): DataFrame = {
+      val und = undirected(e)
+      val m = und.groupBy(col("a").as("u"))
+        .agg(min(least(col("a"), col("b"))).as("m"))
+      und.filter(col("b") > col("a"))
+        .join(m, col("a") === col("u"))
+        .select(col("b").as("a"), col("m").as("b"))
+        .filter(col("a") =!= col("b")).distinct()
+    }
+
+    // small-star: (v, m̃(u)) for every neighbor v < u, plus (u, m̃(u))
+    def smallStar(e: DataFrame): DataFrame = {
+      val und = undirected(e)
+      val m = und.groupBy(col("a").as("u"))
+        .agg(least(min(when(col("b") < col("a"), col("b"))), min(col("a"))).as("m"))
+      und.filter(col("b") < col("a"))
+        .select(col("b").as("v"), col("a").as("u"))
+        .join(m, Seq("u"))
+        .select(col("v").as("a"), col("m").as("b"))
+        .union(m.select(col("u").as("a"), col("m").as("b")))
+        .filter(col("a") =!= col("b")).distinct()
+    }
+
+    def signature(e: DataFrame): (Long, Long) = {
+      val r = e.agg(count(lit(1)).as("n"),
+        coalesce(sum(xxhash64(col("a"), col("b"))), lit(0L)).as("h")).collect()(0)
+      (r.getLong(0), r.getLong(1))
+    }
+
+    var cur = Staging.stage(init, "ccs_0")
+    var sig = signature(cur.df)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val next = Staging.stage(smallStar(largeStar(cur.df)), s"ccs_${i + 1}")
+      val nextSig = signature(next.df)
+      converged = nextSig == sig
+      sig = nextSig
+      cur.delete()
+      cur = next
+      i += 1
+    }
+    // fixpoint edges are (child, root): every child labels with its
+    // root; roots and contracted-away minima label with themselves
+    val out = nodes.df
+      .join(cur.df.select(col("a").as("id"), col("b").as("lbl")), Seq("id"), "left")
+      .groupBy(col("id")).agg(coalesce(min(col("lbl")), min(col("id"))).as("cluster"))
+    (out, i)
+  }
+
   /** PageRank over an undirected edge list in EXACT integer fixed-point
     * arithmetic (scale 10^9, damping 85/100):
     *

@@ -19,11 +19,24 @@ import org.apache.spark.sql.DataFrame
   *      no lineage back to the table files: recomputation re-reads the
   *      staging parquet, never the mutated table.
   *
-  * Root selection: `graft.staging.dir` if set (point it at job-scoped
-  * cluster storage — HDFS/S3 — for durability across executor loss),
-  * else local tmp. Each JVM stages under its own `jvm_<pid>_<nonce>`
-  * subdir so exit cleanup removes only this JVM's files, never a shared
-  * root another job still reads.
+  * Mechanism selection: with `graft.staging.dir` SET (point it at
+  * job-scoped cluster storage — HDFS/S3), every stage is a parquet
+  * write — durable across executor loss, the only correct barrier on a
+  * multi-node cluster. With the conf UNSET (single-node/dev mode — an
+  * unset root on a real cluster would stage into per-node local tmp,
+  * which is already broken for multi-node reads), stage() uses
+  * `localCheckpoint(eager=true)` instead: the plan is cut exactly the
+  * same way (O(1) plan depth for iterative operators, one computation
+  * for multi-consumer frames), but the materialization lives in the
+  * block manager (memory, spilling to local disk) with no parquet
+  * round-trip — several times faster per iteration at small scale.
+  * Durability trade: checkpoint blocks die with the JVM; if a block is
+  * lost the JOB FAILS (lineage is truncated — Spark cannot silently
+  * recompute from mutated inputs, so the [[GraftTable]] barrier
+  * correctness argument still holds; what is lost is restartability,
+  * which single-JVM mode never had). Each JVM stages parquet under its
+  * own `jvm_<pid>_<nonce>` subdir so exit cleanup removes only this
+  * JVM's files, never a shared root another job still reads.
   *
   * Lifecycle: every staging root this JVM creates is tracked in
   * [[roots]]; a single shutdown hook deletes them all (covering the case
@@ -36,14 +49,17 @@ import org.apache.spark.sql.DataFrame
   */
 object Staging {
 
-  /** A staged intermediate: `df` reads the staging parquet; [[delete]]
-    * removes it once the last consumer has run.
+  /** A staged intermediate: `df` reads the materialization (staging
+    * parquet, or checkpoint blocks in local mode — `path` is empty
+    * then); [[delete]] releases it once the last consumer has run.
     */
   final case class Staged(df: DataFrame, path: String) {
-    /** Eagerly remove the staging files (Hadoop FS — works for local tmp
-      * and cluster roots alike). Safe to call more than once.
+    /** Eagerly release the staged materialization (file delete or block
+      * unpersist). Safe to call more than once.
       */
-    def delete(): Unit = Staging.delete(df.sparkSession, path)
+    def delete(): Unit =
+      if (path.isEmpty) { df.unpersist(); () }
+      else Staging.delete(df.sparkSession, path)
   }
 
   private val sessionId: String =
@@ -66,22 +82,23 @@ object Staging {
       }))
   }
 
-  private def sessionRoot(spark: org.apache.spark.sql.SparkSession): String = {
-    val root = spark.conf.getOption("graft.staging.dir")
-      .getOrElse(sys.props("java.io.tmpdir") + "/graft_stage")
-    s"$root/$sessionId"
-  }
-
-  /** Write `df` to a fresh staging parquet under the session root and
-    * return a frame reading it back (plus the path, for eager cleanup).
+  /** Materialize `df` as a lineage-free barrier and return a frame
+    * reading it back: staging parquet when `graft.staging.dir` is set
+    * (cluster mode), eager local checkpoint otherwise (see class doc
+    * for the trade).
     */
   def stage(df: DataFrame, hint: String): Staged = {
     val spark = df.sparkSession
-    val dir = sessionRoot(spark)
-    val path = s"$dir/${hint}_${java.util.UUID.randomUUID().toString.take(8)}"
-    df.write.mode("overwrite").parquet(path)
-    registerRoot(dir)
-    Staged(spark.read.parquet(path), path)
+    spark.conf.getOption("graft.staging.dir") match {
+      case Some(root) =>
+        val dir = s"$root/$sessionId"
+        val path = s"$dir/${hint}_${java.util.UUID.randomUUID().toString.take(8)}"
+        df.write.mode("overwrite").parquet(path)
+        registerRoot(dir)
+        Staged(spark.read.parquet(path), path)
+      case None =>
+        Staged(df.localCheckpoint(true), "")
+    }
   }
 
   private def delete(spark: org.apache.spark.sql.SparkSession, path: String): Unit = {

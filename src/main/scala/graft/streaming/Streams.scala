@@ -115,9 +115,16 @@ object Streams {
       try agg.writeStream.outputMode(mode).format("memory").queryName(qn).start()
       finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     q.processAllAvailable()
-    val out = spark.table(qn).persist()
-    out.count()
+    // copy the sink out and RELEASE the query's session footprint: the
+    // memory sink is the final aggregate of a completed bounded query —
+    // driver-bounded by construction — so one collect lets us drop the
+    // temp view immediately and leave nothing cached/registered behind
+    // (a long test session otherwise accumulates one pinned sink table
+    // per streaming run)
+    val sink = spark.table(qn)
+    val rows = sink.collect()
     q.stop()
-    out
+    spark.catalog.dropTempView(qn)
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), sink.schema)
   }
 }

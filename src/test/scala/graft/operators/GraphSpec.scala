@@ -86,4 +86,53 @@ class GraphSpec extends SparkSpec {
     val edges = (2L to 8L).map(i => (1L, i)).toDF("a", "b")
     assert(Graph.triangleCount(edges, "a", "b").as[Long].collect().head === 0L)
   }
+
+  test("connectedComponentsStar labels a path graph by its minimum node") {
+    val s = spark
+    import s.implicits._
+    val edges = Seq((7L, 5L), (5L, 9L), (9L, 11L), (2L, 3L)).toDF("a", "b")
+    val got = Graph.connectedComponentsStar(edges, "a", "b")
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(5L -> 5L, 7L -> 5L, 9L -> 5L, 11L -> 5L, 2L -> 2L, 3L -> 2L))
+  }
+
+  test("connectedComponentsStar on empty edges returns no rows") {
+    val s = spark
+    import s.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("a", "b")
+    assert(Graph.connectedComponentsStar(empty, "a", "b").count() === 0L)
+  }
+
+  test("connectedComponentsStar ≡ label propagation on random graphs (property)") {
+    val s = spark
+    import s.implicits._
+    for (seed <- Seq(1, 2, 3)) {
+      val rnd = new scala.util.Random(seed)
+      // ~sparse: 120 nodes, 90 edges → many components of varied shape,
+      // plus direction flips and duplicates
+      val edges = Seq.fill(90)((rnd.nextInt(120).toLong, rnd.nextInt(120).toLong))
+        .filter { case (a, b) => a != b }
+        .toDF("a", "b")
+      val lp = Graph.connectedComponents(edges, "a", "b", maxIter = 200)
+        .as[(Long, Long)].collect().toMap
+      val st = Graph.connectedComponentsStar(edges, "a", "b")
+        .as[(Long, Long)].collect().toMap
+      assert(st === lp, s"seed $seed")
+    }
+  }
+
+  test("connectedComponentsStar converges in O(log n) rounds on a chain (label propagation needs n)") {
+    val s = spark
+    import s.implicits._
+    // 0-1-2-...-64: diameter 64. Label propagation needs ~64 rounds;
+    // star contraction must close it in ≤ log2(65) + 4 ≈ 10 rounds
+    // (the +4 covers the seed round and the fixpoint-confirming round).
+    val n = 64L
+    val chain = (0L until n).map(i => (i, i + 1)).toDF("a", "b")
+    val (df, rounds) = Graph.ccStarWithRounds(chain, "a", "b")
+    val got = df.as[(Long, Long)].collect().toMap
+    assert(got === (0L to n).map(i => i -> 0L).toMap)
+    assert(rounds <= (math.log(n + 1) / math.log(2)).ceil.toInt + 4,
+      s"took $rounds rounds")
+  }
 }

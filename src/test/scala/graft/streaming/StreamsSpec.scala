@@ -27,6 +27,11 @@ class StreamsSpec extends SparkSpec {
       "2024-01-01 00:00:00" -> 2L,
       "2024-01-01 01:00:00" -> 1L,
       "2024-01-01 03:00:00" -> 1L))
+    // the harness must leave nothing behind: no registered sink view,
+    // no cached table pinned in the shared session
+    assert(!spark.catalog.listTables().collect()
+      .exists(_.name.startsWith("graft_sink_")))
+    assert(spark.sharedState.cacheManager.isEmpty)
   }
 
   test("watermark-bounded streaming dedup drops in-horizon duplicates across batches") {
