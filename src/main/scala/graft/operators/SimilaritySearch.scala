@@ -158,6 +158,24 @@ object SimilaritySearch {
       .toDF("qid", "nid", "sim", "rank")
   }
 
+  /** Recall@k of an approximate result against the exact result, both in
+    * this object's (qid, nid, sim, rank) shape: per query, the fraction
+    * of the exact top-k the approximate run also returned, macro-averaged
+    * over queries. One row: (n_queries, recall). The quality dimension
+    * the correctness hashes cannot see — a bucketed ANN can be perfectly
+    * deterministic (hash-green) and still miss true neighbors; this is
+    * the measurement for that, driven by `graft.tools.Recall` per round.
+    */
+  def recallAtK(approx: DataFrame, exact: DataFrame): DataFrame = {
+    val hits = exact.select(col("qid"), col("nid"))
+      .join(approx.select(col("qid"), col("nid")), Seq("qid", "nid"), "left_semi")
+      .groupBy("qid").agg(count(lit(1)).as("n_hits"))
+    exact.groupBy("qid").agg(count(lit(1)).as("n_exact"))
+      .join(hits, Seq("qid"), "left").na.fill(0L, Seq("n_hits"))
+      .agg(count(lit(1)).as("n_queries"),
+        avg(col("n_hits").cast("double") / col("n_exact")).as("recall"))
+  }
+
   private def rank(sims: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy("qid").orderBy(col("sim_raw").desc, col("nid"))
     sims.withColumn("rank", row_number().over(w))

@@ -1,0 +1,89 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.GraftSession
+
+/** Dev/round tool: synthesize an N×-scale copy of a testdata sf dir (for
+  * constant-factor stress runs above the largest driver-provided SF —
+  * the driver's parquet stays untouched; output goes to /tmp).
+  *
+  * Replication is SALTED so corpus statistics scale LINEARLY instead of
+  * manufacturing an artificial duplicate structure:
+  *   - documents: replica i maps the 10 most frequent letters through a
+  *     rotation (translate) — token/char distributions are preserved,
+  *     but cross-replica shingle overlap vanishes, so dedup candidate
+  *     volume grows ~N× (not the N²× that exact replication would cause
+  *     — web-scale corpora do contain heavy duplication, but that regime
+  *     is its own benchmark, not a scaling run);
+  *   - embeddings: replica i rotates the vector by i positions — norms
+  *     preserved, directions new, so ANN cell/bucket occupancy scales;
+  *   - events: user_id offset per replica (N× users, same time range);
+  *   - orders/lineitem: orderkey offset per replica (N× facts over the
+  *     same dimension tables — dims deliberately NOT scaled, the usual
+  *     shape of fact-vs-dim growth);
+  *   - region/nation/customer/supplier/part: copied as-is.
+  *
+  * Usage: ScaleUp [srcDir] [dstDir] [factor]
+  */
+object ScaleUp {
+
+  private val Off = 10000000L
+  private val Alpha = "etaoinsrhl"
+
+  def main(args: Array[String]): Unit = {
+    val src = args.lift(0).getOrElse("/root/testdata/sf0.1")
+    val dst = args.lift(1).getOrElse("/tmp/graft_sf1")
+    val n = args.lift(2).map(_.toInt).getOrElse(10)
+    require(n >= 1 && n <= 100, s"factor must be in [1,100], got $n")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    GraftSession.tune(spark)
+    spark.sparkContext.setLogLevel("WARN")
+
+    def read(t: String) = spark.read.parquet(s"$src/$t.parquet")
+    def write(df: DataFrame, t: String): Unit =
+      df.write.mode("overwrite").parquet(s"$dst/$t.parquet")
+    def rot(i: Int): String = { val r = i % Alpha.length; Alpha.drop(r) + Alpha.take(r) }
+    def replicate(base: DataFrame)(variant: (DataFrame, Int) => DataFrame): DataFrame =
+      (0 until n).map(i => variant(base, i)).reduce(_ unionByName _)
+
+    write(replicate(read("documents")) { (d, i) =>
+      d.select((col("doc_id") + i * Off).as("doc_id"),
+        translate(col("text"), Alpha, rot(i)).as("text"),
+        col("lang"), col("source"), col("n_chars"))
+    }, "documents")
+
+    write(replicate(read("embeddings")) { (d, i) =>
+      d.select((col("vec_id") + i * Off).as("vec_id"),
+        expr(s"concat(slice(embedding, ${i % 8} + 1, size(embedding) - ${i % 8}), " +
+          s"slice(embedding, 1, ${i % 8}))").as("embedding"),
+        col("label"))
+    }, "embeddings")
+
+    write(replicate(read("events")) { (d, i) =>
+      d.select((col("event_id") + i * Off).as("event_id"), col("ts"),
+        (col("user_id") + i * Off).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+    }, "events")
+
+    write(replicate(read("orders")) { (d, i) =>
+      d.withColumn("o_orderkey", col("o_orderkey") + i * Off)
+    }, "orders")
+
+    write(replicate(read("lineitem")) { (d, i) =>
+      d.withColumn("l_orderkey", col("l_orderkey") + i * Off)
+    }, "lineitem")
+
+    Seq("region", "nation", "customer", "supplier", "part")
+      .foreach(t => write(read(t), t))
+
+    println(s"SCALED $src -> $dst x$n")
+    spark.stop()
+  }
+}

@@ -78,6 +78,25 @@ class SimilaritySpec extends SparkSpec {
     assert(all.map(_._2).toSeq == brute.map(_._2).toSeq)
   }
 
+  test("recallAtK: exact vs itself is 1.0; multi-probe ≥ single-probe on random vectors") {
+    val rnd = new scala.util.Random(7)
+    val data = (0L until 200L).map(i =>
+      (i, Array.fill(8)(rnd.nextGaussian().toFloat))).toDF("vec_id", "embedding")
+    val q = data.filter($"vec_id" < 16)
+    val exact = SimilaritySearch.bruteForceTopK(q, data, "vec_id", "embedding", k = 5)
+    def recall(approx: org.apache.spark.sql.DataFrame): Double =
+      SimilaritySearch.recallAtK(approx, exact).collect()(0).getDouble(1)
+    assert(recall(exact) == 1.0)
+    val single = recall(
+      SimilaritySearch.bucketedTopK(q, data, "vec_id", "embedding", 5, bits = 6))
+    val multi = recall(
+      SimilaritySearch.bucketedTopKMultiProbe(q, data, "vec_id", "embedding", 5, bits = 6))
+    assert(single > 0.0 && single < 1.0,
+      s"6-bit single-probe on gaussian vectors should lose some neighbors (got $single)")
+    assert(multi >= single, s"multi-probe ($multi) must not trail single-probe ($single)")
+    assert(multi > single, s"on this seed multi-probe strictly improves recall")
+  }
+
   test("cosine of a vector with itself is 1 within fixed-point tolerance") {
     val out = SimilaritySearch.bruteForceTopK(
       vecs, vecs.withColumn("vec_id", $"vec_id" + 100L), "vec_id", "embedding", k = 1)
