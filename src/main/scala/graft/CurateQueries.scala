@@ -417,6 +417,118 @@ object CurateQueries {
           CAST(max(v) AS INTEGER) AS s_max
         FROM s GROUP BY 1, 4""")),
 
+    // Line-level dedup (CCNet/RefinedWeb boilerplate removal) at word
+    // granularity on this corpus: segments occurring in > 390 of the
+    // docs are dropped everywhere, surviving segments reassemble in
+    // order. (With newline-delimited web text the same operator strips
+    // shared nav/footer lines; CorpusTextSpec covers that shape.)
+    QuerySpec("q105_segment_dedup",
+      (s, dir) => operators.CorpusText.dropRepeatedSegments(
+        Tables.documents(s, dir), "doc_id", "text", " ", maxDf = 390),
+      Some(s"""
+        WITH $WORDS_SQL,
+        tok AS (
+          SELECT doc_id, i AS pos, w[CAST(i + 1 AS INTEGER)] AS term
+          FROM words, UNNEST(range(0, len(w))) AS t(i)
+          WHERE len(w) > 0),
+        dft AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+        kept AS (
+          SELECT t.doc_id, t.pos, t.term
+          FROM tok t JOIN dft d ON t.term = d.term WHERE d.df <= 390),
+        orig AS (SELECT doc_id, count(*) AS n_orig FROM tok GROUP BY 1)
+        SELECT k.doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+          CAST(any_value(o.n_orig) - count(*) AS BIGINT) AS n_dropped,
+          md5(string_agg(k.term, ' ' ORDER BY k.pos)) AS clean_md5
+        FROM kept k JOIN orig o ON k.doc_id = o.doc_id GROUP BY 1""")),
+
+    // Bigram LM surprisal scoring — the LM quality filter, trained on
+    // the corpus itself, in integer log2 units (bit lengths, no floats
+    // in any aggregate) so the score hash-matches cross-engine.
+    QuerySpec("q106_lm_surprisal",
+      (s, dir) => operators.CorpusText.bigramSurprisal(
+        Tables.documents(s, dir), "doc_id", "text"),
+      Some(s"""
+        WITH $WORDS_SQL,
+        tok AS (
+          SELECT doc_id, i AS pos, w[CAST(i + 1 AS INTEGER)] AS term
+          FROM words, UNNEST(range(0, len(w))) AS t(i)
+          WHERE len(w) > 0),
+        uni AS (SELECT term AS w1, count(*) AS c1 FROM tok GROUP BY 1),
+        voc AS (SELECT count(*) AS v FROM uni),
+        big AS (
+          SELECT doc_id, term AS w1,
+            lead(term) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+          FROM tok QUALIFY w2 IS NOT NULL),
+        pair AS (SELECT w1, w2, count(*) AS c12 FROM big GROUP BY 1, 2),
+        sc AS (
+          SELECT b.doc_id,
+            (length(bin(u.c1 + v.v)) - 1) - (length(bin(p.c12 + 1)) - 1) AS bits
+          FROM big b
+          JOIN pair p ON b.w1 = p.w1 AND b.w2 = p.w2
+          JOIN uni u ON b.w1 = u.w1
+          CROSS JOIN voc v)
+        SELECT doc_id, count(*) AS n_bigrams,
+          CAST(SUM(bits) AS BIGINT) AS surprise_bits,
+          CAST(SUM(bits) AS DOUBLE) / count(*) AS bits_per_bigram
+        FROM sc GROUP BY 1""")),
+
+    // BM25 keyword retrieval in fixed-point integer arithmetic (k1=1.2,
+    // b=0.75 as milli-units, IDF as integer log2 bits): 'dup' is the
+    // rare high-idf term, 'spark'/'key' are near-stopwords — the top-k
+    // must surface the dup-bearing docs first.
+    QuerySpec("q107_bm25_topk",
+      (s, dir) => operators.CorpusText.bm25TopK(
+        Tables.documents(s, dir), "doc_id", "text",
+        Seq("spark", "dup", "key"), k = 20),
+      Some(s"""
+        WITH $WORDS_SQL,
+        tok AS (SELECT doc_id, UNNEST(w) AS term FROM words),
+        dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM tok GROUP BY 1),
+        stats AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_docs,
+            (SUM(dl) * 1000) // count(*) AS avgdl_m FROM dl),
+        tf AS (
+          SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+          FROM tok WHERE term IN ('spark', 'dup', 'key') GROUP BY 1, 2),
+        dft AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        sc AS (
+          SELECT t.doc_id, t.tf,
+            ((s.n_docs - d.df + 1) * 1048576) // (d.df + 1) AS r,
+            (l.dl * 1000000) // s.avgdl_m AS rel_m
+          FROM tf t
+          JOIN dft d ON t.term = d.term
+          JOIN dl l ON t.doc_id = l.doc_id
+          CROSS JOIN stats s),
+        scm AS (
+          SELECT doc_id, tf, rel_m,
+            CAST(length(bin(r)) - 1 AS BIGINT) AS lb,
+            CAST(1 AS BIGINT) << (length(bin(r)) - 1) AS pw, r
+          FROM sc),
+        sci AS (
+          SELECT doc_id, tf, rel_m,
+            GREATEST(lb * 1000 + ((r - pw) * 1000) // pw - 20000, 0) AS idf_mb
+          FROM scm),
+        sc2 AS (
+          SELECT doc_id,
+            idf_mb * ((tf * 2200 * 1000000) //
+              (tf * 1000 + (1200 * (1000 - 750 + (750 * rel_m) // 1000)) // 1000)) // 1000 AS score_u
+          FROM sci)
+        SELECT doc_id, CAST(SUM(score_u) AS BIGINT) AS score_u,
+          count(*) AS n_terms
+        FROM sc2 GROUP BY 1
+        ORDER BY 2 DESC, 1 LIMIT 20""")),
+
+    // BPE tokenizer TRAINING (the learn side of q84/q85's apply side):
+    // 8 byte-pair merges learned from corpus word frequencies, leftmost-
+    // non-overlapping merge semantics, (count desc, pair) tie order. The
+    // oracle replays all 8 rounds as generated chained CTEs with the
+    // same window formulation — the iterative trainer itself is under
+    // the hash gate, not just one step.
+    QuerySpec("q108_bpe_train",
+      (s, dir) => operators.Bpe.trainBpe(
+        Tables.documents(s, dir), "doc_id", "text", merges = 8),
+      Some(s"WITH $WORDS_SQL, ${operators.Bpe.oracleSql(8)}")),
+
     // Capstone: the END-TO-END corpus curation pipeline as one composed
     // dataflow — quality filter (q37's criteria) → exact-dedup keepers
     // (q30) → deterministic train split (q69) → fixed-length sequence

@@ -1,0 +1,153 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFns
+
+/** Byte-pair-encoding VOCABULARY TRAINING as a distributed dataflow —
+  * the real tokenizer-training computation (learn the merge table from
+  * corpus statistics), not just the q84/q85 apply side.
+  *
+  * Spark-first decomposition:
+  *   - the corpus collapses ONCE to (word, count) — vocabulary-sized,
+  *     the only corpus-scale pass;
+  *   - each merge round runs entirely on the symbolized vocabulary
+  *     table: one windowed pair-count aggregate, ONE scalar argmax to
+  *     the driver (the chosen pair — the same bounded per-round scalar
+  *     as an iterative convergence check), and one window-based merge
+  *     rewrite, re-staged per round for O(1) plan depth;
+  *   - merge semantics are the standard leftmost-non-overlapping rule,
+  *     expressed relationally (candidate runs → keep odd positions) so
+  *     an oracle SQL replay can reproduce it EXACTLY — overlap only
+  *     matters for (a,a) pairs inside runs like "aaa".
+  *
+  * Ties in the argmax break on (count desc, left, right) — a total
+  * order, so training is deterministic in any engine.
+  *
+  * Scale note: production BPE runs ~30k merges; at vocabulary scale
+  * each round here costs one shuffle over the symbol table plus one
+  * driver scalar, so the dataflow is sound but round-LATENCY-bound.
+  * The standard batching fix (apply the top-F non-interacting pairs per
+  * round) drops rounds by ~F× with identical results for
+  * non-overlapping pairs; out of scope for the demo surface.
+  */
+object Bpe {
+
+  /** One learned merge. */
+  final case class Merge(step: Int, lhs: String, rhs: String, pair_count: Long)
+
+  /** Train `merges` BPE merges over the corpus' word frequencies.
+    * Returns the merge table (step, lhs, rhs, pair_count) — the
+    * tokenizer artifact. Stops early when no pair remains.
+    */
+  def trainBpe(docs: DataFrame, idCol: String, textCol: String, merges: Int): DataFrame = {
+    require(merges >= 1 && merges <= 1000, s"merges must be in [1,1000], got $merges")
+    val spark = docs.sparkSession
+    val words = docs
+      .select(explode(TextFns.tokens(col(textCol))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("wc"))
+    val chars = words.select(col("word"), col("wc"),
+      posexplode(expr("filter(split(word, ''), s -> s != '')")).as(Seq("pos", "sym")))
+    var cur = Staging.stage(chars, "bpe_0")
+    val learned = scala.collection.mutable.ArrayBuffer.empty[Merge]
+    var i = 0
+    var done = false
+    while (i < merges && !done) {
+      val wn = Window.partitionBy("word").orderBy("pos")
+      val paired = cur.df.withColumn("nxt", lead(col("sym"), 1).over(wn))
+      val top = paired.filter(col("nxt").isNotNull)
+        .groupBy("sym", "nxt").agg(sum(col("wc")).as("cnt"))
+        .orderBy(col("cnt").desc, col("sym"), col("nxt"))
+        .limit(1).collect()
+      if (top.isEmpty) done = true
+      else {
+        val (a, b, cnt) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        learned += Merge(i + 1, a, b, cnt)
+        // leftmost-non-overlapping merge of (a,b): candidates → runs of
+        // consecutive candidate positions → keep odd ranks within run
+        val cand = paired.filter(col("sym") === a && col("nxt") === b)
+          .withColumn("grp", col("pos") - row_number().over(wn))
+          .withColumn("rn2", row_number().over(
+            Window.partitionBy("word", "grp").orderBy("pos")))
+          .filter(col("rn2") % 2 === 1)
+          .select(col("word"), col("pos"), lit(true).as("kept"))
+        val merged = paired.join(cand, Seq("word", "pos"), "left")
+          .withColumn("kept", coalesce(col("kept"), lit(false)))
+          .withColumn("prev_kept",
+            lag(col("kept"), 1, false).over(wn))
+          .filter(!col("prev_kept"))
+          .select(col("word"), col("wc"),
+            (row_number().over(wn) - 1).as("pos"),
+            when(col("kept"), concat(col("sym"), col("nxt")))
+              .otherwise(col("sym")).as("sym"))
+        val staged = Staging.stage(merged, s"bpe_${i + 1}")
+        cur.delete()
+        cur = staged
+        i += 1
+      }
+    }
+    cur.delete()
+    merge(spark, learned.toSeq)
+  }
+
+  private def merge(spark: SparkSession, ms: Seq[Merge]): DataFrame = {
+    import spark.implicits._
+    ms.toDF("step", "lhs", "rhs", "pair_count")
+  }
+
+  /** The DuckDB replay of [[trainBpe]] for `merges` rounds, generated as
+    * a chained-CTE SQL string (each round = pair/best/cand/keep/rewrite
+    * CTEs with the SAME window semantics) — kept next to the trainer so
+    * the two formulations evolve together. `wordsCte` must provide
+    * words(w) as in ExtQueries.WORDS_SQL.
+    */
+  def oracleSql(merges: Int): String = {
+    val base = """
+      wrd AS (
+        SELECT word, CAST(count(*) AS BIGINT) AS wc FROM (
+          SELECT UNNEST(w) AS word FROM words) GROUP BY 1),
+      s0 AS (
+        SELECT word, wc, i AS pos, cs[CAST(i + 1 AS INTEGER)] AS sym FROM (
+          SELECT word, wc, list_filter(string_split(word, ''), x -> x <> '') AS cs
+          FROM wrd), UNNEST(range(0, len(cs))) AS t(i))"""
+    val rounds = (1 to merges).map { k =>
+      val p = s"s${k - 1}"
+      s"""
+      fl$k AS (
+        SELECT word, wc, pos, sym,
+          lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt
+        FROM $p),
+      best$k AS (
+        SELECT sym AS a, nxt AS b, SUM(wc) AS cnt
+        FROM fl$k WHERE nxt IS NOT NULL GROUP BY 1, 2
+        ORDER BY cnt DESC, a, b LIMIT 1),
+      cand$k AS (
+        SELECT word, pos,
+          pos - row_number() OVER (PARTITION BY word ORDER BY pos) AS grp
+        FROM fl$k, best$k WHERE sym = a AND nxt = b),
+      keep$k AS (
+        SELECT word, pos FROM (
+          SELECT word, pos,
+            row_number() OVER (PARTITION BY word, grp ORDER BY pos) AS rn2
+          FROM cand$k) WHERE rn2 % 2 = 1),
+      m$k AS (
+        SELECT f.word, f.wc, f.pos, f.sym, f.nxt,
+          (k.pos IS NOT NULL) AS kept
+        FROM fl$k f LEFT JOIN keep$k k ON f.word = k.word AND f.pos = k.pos),
+      s$k AS (
+        SELECT word, wc,
+          row_number() OVER (PARTITION BY word ORDER BY pos) - 1 AS pos,
+          CASE WHEN kept THEN sym || nxt ELSE sym END AS sym
+        FROM (
+          SELECT *, coalesce(lag(kept) OVER (PARTITION BY word ORDER BY pos), false) AS prev_kept
+          FROM m$k)
+        WHERE NOT prev_kept)"""
+    }.mkString(",")
+    val out = (1 to merges).map(k =>
+      s"SELECT CAST($k AS INTEGER) AS step, a AS lhs, b AS rhs, CAST(cnt AS BIGINT) AS pair_count FROM best$k")
+      .mkString("\n        UNION ALL ")
+    base + "," + rounds + "\n        " + out
+  }
+}

@@ -1,0 +1,179 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFns
+
+/** Corpus-level text operators beyond per-document signals: repeated-
+  * segment removal (line-level dedup), n-gram language-model surprisal
+  * scoring, and BM25 keyword retrieval — the remaining standard stages
+  * of a web-scale training-data pipeline (CCNet/RefinedWeb-style
+  * curation: strip boilerplate lines, filter by LM score, search the
+  * corpus). All outputs are integer/fixed-point-exact so results
+  * hash-match across engines.
+  *
+  * Reference scope note: the reference has no corpus operators at all
+  * (its text handling is per-row field parsing, `server/etl.py:89-99`);
+  * these belong to the §7.5 training-pipeline extension surface.
+  */
+object CorpusText {
+
+  /** Repeated-segment removal — line-level dedup at `delim` granularity
+    * (for web text, `delim = "\n"` strips boilerplate nav/footer lines
+    * shared across pages; the mechanism is granularity-agnostic).
+    * A segment is dropped from EVERY document when it occurs in more
+    * than `maxDf` distinct documents; surviving segments reassemble in
+    * original order. Documents whose segments are all dropped vanish
+    * (CCNet drops them too).
+    *
+    * Output: (id, n_kept, n_dropped, clean_md5) — counts plus a digest
+    * of the reassembled text (callers wanting the text itself use
+    * [[cleanSegments]]).
+    *
+    * Scale: the segment-frequency table is segment-vocabulary-sized; the
+    * probe is one shuffle join on the segment key; reassembly is one
+    * grouped sort over each doc's own (bounded) segments. The
+    * ultra-common segments — the skew hazard — are exactly the ones the
+    * filter REMOVES, so the join's hot keys carry no reassembly cost.
+    */
+  def dropRepeatedSegments(docs: DataFrame, idCol: String, textCol: String,
+                           delim: String, maxDf: Long): DataFrame = {
+    val kept = cleanSegments(docs, idCol, textCol, delim, maxDf)
+    val orig = segments(docs, idCol, textCol, delim)
+      .groupBy(col("id")).agg(count(lit(1)).as("n_orig"))
+    kept.select(col("id"), size(col("segs")).cast("long").as("n_kept"),
+        md5(array_join(col("segs"), delim)).as("clean_md5"))
+      .join(orig, Seq("id"))
+      .select(col("id").as(idCol), col("n_kept"),
+        (col("n_orig") - col("n_kept")).as("n_dropped"), col("clean_md5"))
+  }
+
+  /** The segment-array form of [[dropRepeatedSegments]]: (id, segs) with
+    * dropped segments removed, order preserved.
+    */
+  def cleanSegments(docs: DataFrame, idCol: String, textCol: String,
+                    delim: String, maxDf: Long): DataFrame = {
+    require(maxDf >= 1, s"maxDf must be >= 1, got $maxDf")
+    val segs = segments(docs, idCol, textCol, delim)
+    val df = segs.groupBy("seg").agg(countDistinct(col("id")).as("df"))
+    segs.join(df.filter(col("df") <= maxDf), Seq("seg"))
+      .groupBy(col("id"))
+      .agg(transform(sort_array(collect_list(struct(col("pos"), col("seg")))),
+        x => x.getField("seg")).as("segs"))
+  }
+
+  private def segments(docs: DataFrame, idCol: String, textCol: String,
+                       delim: String): DataFrame =
+    docs.select(col(idCol).as("id"),
+        posexplode(filter(split(col(textCol), java.util.regex.Pattern.quote(delim)),
+          s => length(s) > 0)).as(Seq("pos", "seg")))
+
+  /** Integer-exact floor(log2(x)) for positive integer columns — the
+    * engine-portable log idiom ([[Sketches]] uses it for the HLL
+    * harmonic sum): bit length via `bin()`, no floating point anywhere.
+    */
+  private def log2i(c: Column): Column = (length(bin(c)) - 1).cast("long")
+
+  /** Bigram language-model SURPRISAL scoring — the classic LM quality
+    * filter (score the corpus with a model trained ON the corpus; docs
+    * with abnormal surprisal are boilerplate or garbage). Per adjacent
+    * token pair (w1, w2), add-one-smoothed surprisal in INTEGER log2
+    * units:
+    *
+    *   surprise(w1,w2) = floor(log2(c(w1) + V)) − floor(log2(c(w1,w2) + 1))
+    *
+    * (≈ −log2 P(w2|w1); the floor-log2 formulation trades ~1-bit
+    * resolution for bit-exact cross-engine reproducibility — float ln
+    * sums are partition-order-dependent and never hash-match).
+    * Output per doc: (id, n_bigrams, surprise_bits, bits_per_bigram)
+    * where bits_per_bigram is the one row-local double division.
+    *
+    * Scale: unigram/bigram count tables are vocabulary-sized; scoring is
+    * two shuffle joins of the corpus bigram stream against them (the
+    * count tables broadcast when small); everything combines map-side.
+    * Single-token documents have no bigrams and drop out.
+    */
+  def bigramSurprisal(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = docs.select(col(idCol).as("id"),
+      posexplode(TextFns.tokens(col(textCol))).as(Seq("pos", "w")))
+    val uni = toks.groupBy(col("w").as("w1")).agg(count(lit(1)).as("c1"))
+    val vocab = uni.agg(count(lit(1)).as("v"))
+    val bigr = toks.withColumn("w2",
+        lead(col("w"), 1).over(org.apache.spark.sql.expressions.Window
+          .partitionBy("id").orderBy("pos")))
+      .filter(col("w2").isNotNull)
+      .select(col("id"), col("w").as("w1"), col("w2"))
+    val pair = bigr.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    bigr.join(pair, Seq("w1", "w2"))
+      .join(uni, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .select(col("id"),
+        (log2i(col("c1") + col("v")) - log2i(col("c12") + 1)).as("bits"))
+      .groupBy(col("id").as(idCol))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("bits")).as("surprise_bits"))
+      .withColumn("bits_per_bigram",
+        col("surprise_bits").cast("double") / col("n_bigrams"))
+  }
+
+  /** BM25 top-k keyword retrieval over the corpus, in FIXED-POINT
+    * integer arithmetic end to end (k1 = 1.2 and b = 0.75 as
+    * milli-units; one integer division per (doc, term)) — deterministic
+    * under any partitioning and hash-matchable cross-engine, unlike the
+    * float formulation whose per-term additions reorder.
+    *
+    * IDF needs SUB-bit resolution (stopword-vs-content idf ratios are
+    * often < 2×, which floor-log2 cannot see), so it uses MILLI-BIT
+    * log2: mlog2(x) = 1000·(L−1) + (x − 2^(L−1))·1000 div 2^(L−1)
+    * with L = bitlength(x) — linear interpolation between powers of
+    * two, pure integer ops, monotone, max error 0.086 bits:
+    *
+    *   r(t)          = (N − df + 1) · 2²⁰ div (df + 1)
+    *   idf_mb(t)     = max(mlog2(r) − 20000, 0)                     [milli-bits]
+    *   rel_m(D)      = dl(D)·10⁶ div avgdl_m                        [dl/avgdl in milli]
+    *   norm_m(D)     = 1000 − b_m + (b_m · rel_m) div 1000
+    *   score_µ(D,t)  = idf_mb(t) · (tf · (k1_m + 1000) · 10⁶)
+    *                   div (tf · 1000 + (k1_m · norm_m) div 1000) div 1000
+    *
+    * Output: top-`k` docs by Σ score_µ (ties → lower doc id), with the
+    * score in integer micro-units.
+    *
+    * Scale: df/avgdl are aggregate-time constants; the term postings
+    * for the (tiny) query term set are semi-join-pruned before scoring,
+    * so cost is Σ df(query terms), never corpus-wide; the final top-k
+    * is a TakeOrdered, not a global sort.
+    */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+               queryTerms: Seq[String], k: Int): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    require(k >= 1, s"k must be >= 1, got $k")
+    val K1m = 1200L; val Bm = 750L
+    val toks = docs.select(col(idCol).as("id"),
+      explode(TextFns.tokens(col(textCol))).as("w"))
+    val dl = toks.groupBy("id").agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("n_toks"))
+      .select(col("n_docs"), expr("(n_toks * 1000) div n_docs").as("avgdl_m"))
+    val qt = toks.filter(col("w").isin(queryTerms: _*))
+    val tf = qt.groupBy("id", "w").agg(count(lit(1)).as("tf"))
+    val dfT = tf.groupBy("w").agg(count(lit(1)).as("df"))
+    // every division below is integer `div` — Spark's `/` on longs is
+    // DOUBLE division, whose truncation can disagree with floor at the
+    // representability edge; `div` is the exact engine-portable form
+    tf.join(broadcast(dfT), Seq("w"))
+      .join(dl, Seq("id"))
+      .crossJoin(broadcast(stats))
+      .withColumn("r", expr("((n_docs - df + 1) * 1048576) div (df + 1)"))
+      .withColumn("lb", expr("length(bin(r)) - 1"))
+      .withColumn("pw", expr("shiftleft(cast(1 as bigint), cast(lb as int))"))
+      .withColumn("idf_mb",
+        expr("greatest(cast(lb as bigint) * 1000 + ((r - pw) * 1000) div pw - 20000, 0)"))
+      .withColumn("rel_m", expr("(dl * 1000000) div avgdl_m"))
+      .withColumn("norm_m", expr(s"1000 - $Bm + ($Bm * rel_m) div 1000"))
+      .withColumn("score_u", expr(
+        s"idf_mb * ((tf * ${K1m + 1000} * 1000000) div (tf * 1000 + ($K1m * norm_m) div 1000)) div 1000"))
+      .groupBy(col("id").as(idCol))
+      .agg(sum(col("score_u")).as("score_u"), count(lit(1)).as("n_terms"))
+      .orderBy(col("score_u").desc, col(idCol))
+      .limit(k)
+  }
+}

@@ -44,8 +44,11 @@ final class GraftTable(spark: SparkSession, val path: String,
     */
   def createIfNotExists(schema: org.apache.spark.sql.types.StructType): this.type = {
     if (!exists) {
+      // overwrite: `exists` just said there is NO committed data here —
+      // at most an empty/partial directory from a crashed write, which
+      // this create recovers by replacing
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-        .write.partitionBy(partitionCol).parquet(path)
+        .write.mode(SaveMode.Overwrite).partitionBy(partitionCol).parquet(path)
       java.nio.file.Files.writeString(schemaSidecar, schema.json)
     }
     this
@@ -53,7 +56,23 @@ final class GraftTable(spark: SparkSession, val path: String,
 
   private def schemaSidecar = java.nio.file.Paths.get(path, "_graft_schema.json")
 
-  def exists: Boolean = new java.io.File(path).exists()
+  /** A table exists when its creation COMMITTED. `createIfNotExists`
+    * writes the schema sidecar last, so the sidecar is the commit
+    * marker; for externally-written tables (no sidecar) probe for
+    * parquet data or a `_SUCCESS` marker anywhere under the root — a
+    * bare directory left behind by a crashed write is NOT a table (it
+    * would otherwise suppress the re-import forever).
+    */
+  def exists: Boolean =
+    java.nio.file.Files.exists(schemaSidecar) || {
+      def probe(f: java.io.File): Boolean = {
+        val kids = Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
+        kids.exists(k => k.isFile &&
+          (k.getName.endsWith(".parquet") || k.getName == "_SUCCESS")) ||
+          kids.exists(k => k.isDirectory && probe(k))
+      }
+      probe(new java.io.File(path))
+    }
 
   def read: DataFrame =
     if (java.nio.file.Files.exists(schemaSidecar)) {

@@ -140,7 +140,11 @@ object Graph {
     def undirected(e: DataFrame): DataFrame =
       e.union(e.select(col("b").as("a"), col("a").as("b")))
 
-    // large-star: (v, m(u)) for every neighbor v > u
+    // large-star: (v, m(u)) for every neighbor v > u. No distinct here:
+    // its consumer is smallStar, whose min-aggregates are duplicate-
+    // insensitive and whose own output dedups — the input to each
+    // largeStar is a smallStar output, so duplicates never compound
+    // across rounds, and dropping the dedup saves a shuffle per round.
     def largeStar(e: DataFrame): DataFrame = {
       val und = undirected(e)
       val m = und.groupBy(col("a").as("u"))
@@ -148,7 +152,7 @@ object Graph {
       und.filter(col("b") > col("a"))
         .join(m, col("a") === col("u"))
         .select(col("b").as("a"), col("m").as("b"))
-        .filter(col("a") =!= col("b")).distinct()
+        .filter(col("a") =!= col("b"))
     }
 
     // small-star: (v, m̃(u)) for every neighbor v < u, plus (u, m̃(u))

@@ -123,4 +123,19 @@ class PlanSpec extends SparkSpec {
     val p = plan("q81_hll_distinct")
     assert("HashAggregate".r.findAllIn(p).size >= 2)
   }
+
+  test("q107: BM25 top-k is a TakeOrdered, never a global sort; tiny frames broadcast") {
+    val p = plan("q107_bm25_topk")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-k must use the bounded-heap TakeOrdered:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      "df/stats frames are broadcast-sized — no sort-merge joins expected")
+  }
+
+  test("q106: LM scoring aggregates are two-phase (map-side partials)") {
+    val p = plan("q106_lm_surprisal")
+    assert("HashAggregate".r.findAllIn(p).size >= 2)
+    assert(!p.contains("CartesianProduct"),
+      "the vocab-size scalar joins via broadcast, not a cartesian")
+  }
 }

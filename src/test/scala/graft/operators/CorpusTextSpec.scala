@@ -1,0 +1,79 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class CorpusTextSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("dropRepeatedSegments strips boilerplate lines shared across pages, keeps order") {
+    val docs = Seq(
+      (1L, "HOME | ABOUT\nunique article one\nfooter (c) site"),
+      (2L, "HOME | ABOUT\nanother story\nmore body text\nfooter (c) site"),
+      (3L, "HOME | ABOUT\nthird page body\nfooter (c) site"),
+      (4L, "only original content here")
+    ).toDF("doc_id", "text")
+    // nav + footer appear in 3 docs; with maxDf=2 both are dropped
+    val out = CorpusText.cleanSegments(docs, "doc_id", "text", "\n", maxDf = 2)
+      .as[(Long, Seq[String])].collect().toMap
+    assert(out(1L) == Seq("unique article one"))
+    assert(out(2L) == Seq("another story", "more body text"))
+    assert(out(4L) == Seq("only original content here"))
+    val stats = CorpusText.dropRepeatedSegments(docs, "doc_id", "text", "\n", 2)
+      .select("doc_id", "n_kept", "n_dropped")
+      .as[(Long, Long, Long)].collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(stats(2L) == ((2L, 2L)) && stats(4L) == ((1L, 0L)))
+  }
+
+  test("dropRepeatedSegments: a doc that is ALL boilerplate vanishes") {
+    val docs = Seq(
+      (1L, "nav\nbody a\nnav2"), (2L, "nav\nbody b\nnav2"), (3L, "nav\nnav2")
+    ).toDF("doc_id", "text")
+    val out = CorpusText.dropRepeatedSegments(docs, "doc_id", "text", "\n", 2)
+      .select("doc_id").as[Long].collect().toSet
+    assert(out == Set(1L, 2L))
+  }
+
+  test("bigramSurprisal: repeated bigrams cost fewer bits than rare ones; single-token docs drop") {
+    val docs = Seq(
+      (1L, "a b a b a b a b"),  // all (a,b)/(b,a) — high-count bigrams
+      (2L, "a b a b a b a b"),
+      (3L, "x q"),              // a bigram seen once — rare, expensive
+      (4L, "solo")              // no bigrams at all
+    ).toDF("doc_id", "text")
+    val out = CorpusText.bigramSurprisal(docs, "doc_id", "text")
+      .select("doc_id", "n_bigrams", "bits_per_bigram")
+      .as[(Long, Long, Double)].collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(!out.contains(4L))
+    assert(out(1L)._1 == 7L && out(3L)._1 == 1L)
+    assert(out(3L)._2 > out(1L)._2,
+      s"rare bigram must be more surprising: ${out(3L)._2} vs ${out(1L)._2}")
+  }
+
+  test("bm25TopK: rare-term docs outrank stopword-only docs; tf and length matter") {
+    val docs = Seq(
+      (1L, "needle in the corpus"),           // rare term once, short doc
+      (2L, "the the the the the the the the"),// stopword spam only
+      (3L, "needle needle and more needle"),  // rare term 3x
+      (4L, "the quick brown fox"),
+      (5L, "unrelated words entirely")
+    ).toDF("doc_id", "text")
+    val out = CorpusText.bm25TopK(docs, "doc_id", "text",
+        Seq("needle", "the"), k = 5)
+      .select("doc_id", "score_u").as[(Long, Long)].collect()
+    val order = out.map(_._1).toSeq
+    // both needle docs above every the-only doc; higher tf wins
+    assert(order.take(2) == Seq(3L, 1L), s"got $order")
+    assert(out.map(_._1).toSet.contains(2L))
+    assert(!order.contains(5L), "docs with no query term never appear")
+  }
+
+  test("bm25TopK and dropRepeatedSegments validate arguments") {
+    val docs = Seq((1L, "a")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException](
+      CorpusText.bm25TopK(docs, "doc_id", "text", Seq.empty, 5))
+    intercept[IllegalArgumentException](
+      CorpusText.bm25TopK(docs, "doc_id", "text", Seq("a"), 0))
+    intercept[IllegalArgumentException](
+      CorpusText.cleanSegments(docs, "doc_id", "text", "\n", 0))
+  }
+}

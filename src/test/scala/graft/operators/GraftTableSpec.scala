@@ -27,6 +27,18 @@ class GraftTableSpec extends SparkSpec {
     assert(t.read.columns.toSet == Set("day", "pk", "rk", "n"))
   }
 
+  test("exists: an empty directory from a crashed write is NOT a table") {
+    val t = freshTable()
+    assert(!t.exists)
+    // simulate a crashed write: the directory appears (even nested) but
+    // no parquet data and no schema sidecar were committed
+    Files.createDirectories(java.nio.file.Paths.get(t.path, "day=2021_01_01"))
+    assert(!t.exists)
+    // a committed create flips it
+    t.createIfNotExists(rows().schema)
+    assert(t.exists)
+  }
+
   test("importOnce appends only new partitions (U2)") {
     val t = freshTable().createIfNotExists(rows().schema)
     t.importOnce(rows(("d1", "p", "r1", 1), ("d2", "p", "r1", 2)))
