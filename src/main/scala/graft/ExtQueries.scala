@@ -334,6 +334,86 @@ object ExtQueries {
         FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rn FROM sims) r
         WHERE rn <= 3""")),
 
+    // SemDeDup (Abbas et al. 2023): IVF-cell assignment confines the
+    // pairwise cosine work, near-dup groups collapse to their min-id
+    // representative via connected components — the full semantic-dedup
+    // operator, composed from the verified assignment + CC pieces and
+    // hash-checked end to end (recursive-CTE closure on the oracle side).
+    QuerySpec("q109_semantic_dedup",
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        SimilaritySearch.semanticDedup(e, "vec_id", "embedding",
+            e.filter(col("vec_id") < 8), "vec_id", "embedding",
+            simThreshold = 0.4)
+          .select(col("vec_id"), col("cid"), col("rep"), col("kept"))
+      },
+      Some("""
+        WITH RECURSIVE n2 AS (
+          SELECT vec_id, SUM(CAST(floor(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 1000000000.0) AS BIGINT)) AS n2
+          FROM (SELECT vec_id, UNNEST(embedding) AS x FROM embeddings) t GROUP BY 1),
+        cent AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 8),
+        ael AS (
+          SELECT e.vec_id AS nid, c.cid, UNNEST(e.embedding) AS x, UNNEST(c.cvec) AS y
+          FROM embeddings e, cent c),
+        adots AS (
+          SELECT nid, cid, SUM(CAST(floor(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) * 1000000000.0) AS BIGINT)) AS dot
+          FROM ael GROUP BY 1, 2),
+        asims AS (
+          SELECT nid, cid,
+            CAST(dot AS DOUBLE) / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(c2.n2 AS DOUBLE))) AS csim
+          FROM adots JOIN n2 a ON nid = a.vec_id JOIN n2 c2 ON cid = c2.vec_id),
+        cells AS (
+          SELECT nid, cid FROM (
+            SELECT *, row_number() OVER (PARTITION BY nid ORDER BY csim DESC, cid) AS rn
+            FROM asims) WHERE rn = 1),
+        cpair AS (
+          SELECT a.nid AS ida, b.nid AS idb
+          FROM cells a JOIN cells b ON a.cid = b.cid AND a.nid < b.nid),
+        pel AS (
+          SELECT c.ida, c.idb, UNNEST(x.embedding) AS x, UNNEST(y.embedding) AS y
+          FROM cpair c JOIN embeddings x ON c.ida = x.vec_id
+                       JOIN embeddings y ON c.idb = y.vec_id),
+        pdots AS (
+          SELECT ida, idb, SUM(CAST(floor(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) * 1000000000.0) AS BIGINT)) AS dot
+          FROM pel GROUP BY 1, 2),
+        pairs AS (
+          SELECT ida, idb FROM pdots
+          JOIN n2 a ON ida = a.vec_id JOIN n2 b2 ON idb = b2.vec_id
+          WHERE CAST(dot AS DOUBLE) / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b2.n2 AS DOUBLE))) >= 0.4),
+        und AS (
+          SELECT ida AS a, idb AS b FROM pairs
+          UNION SELECT idb, ida FROM pairs),
+        reach AS (
+          SELECT a, b FROM und
+          UNION
+          SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a),
+        lbl AS (SELECT a AS id, least(a, min(b)) AS rep FROM reach GROUP BY a)
+        SELECT c.nid AS vec_id, c.cid,
+          COALESCE(l.rep, c.nid) AS rep,
+          COALESCE(l.rep, c.nid) = c.nid AS kept
+        FROM cells c LEFT JOIN lbl l ON c.nid = l.id""")),
+
+    // Temperature-flattened mixture sampling (the pretraining data-mix
+    // step): source mass ∝ √(share) (T=2 — the IEEE-exact power), doc
+    // draws are md5 hex-prefix string compares against the per-source
+    // integer quota threshold (q56's engine-portable idiom).
+    QuerySpec("q110_mixture_sample",
+      (s, dir) => operators.Sampling.mixtureSample(
+        Tables.documents(s, dir), "doc_id", "source", budget = 200L),
+      Some("""
+        WITH s AS (SELECT source, CAST(count(*) AS BIGINT) AS n_s FROM documents GROUP BY 1),
+        t AS (SELECT SUM(n_s) AS n_total FROM s),
+        w AS (
+          SELECT source, n_s,
+            CAST(floor(sqrt(CAST((n_s * 1000000000000) // n_total AS DOUBLE))) AS BIGINT) AS w_s
+          FROM s, t),
+        z AS (SELECT SUM(w_s) AS z FROM w)
+        SELECT d.doc_id, d.source, w.n_s, w.w_s,
+          (200 * w.w_s * 268435456) // (z.z * w.n_s) > 268435455 OR
+          substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 7) <
+            lpad(lower(to_hex((200 * w.w_s * 268435456) // (z.z * w.n_s))), 7, '0') AS kept
+        FROM documents d JOIN w ON d.source = w.source CROSS JOIN z""")),
+
     // embedding-cosine near-dup: sign-bucket blocking + exact fixed-point
     // cosine threshold — the semantic-dedup pass over an embedded corpus
     QuerySpec("q44_dedup_embedding",

@@ -113,6 +113,50 @@ object Sampling {
     * map-side, and the bottom-k runs as TakeOrdered (per-partition
     * top-k, never a global sort materialization).
     */
+  /** Temperature-flattened MIXTURE sampling across sources (the data-
+    * mixing step of LLM pretraining: upweight small sources, downweight
+    * the dominant crawl). Source s with n_s of N docs gets mass
+    * q_s ∝ √(n_s/N) — temperature T = 2, hard-wired, because √ is the
+    * one power IEEE-754 rounds EXACTLY (general pow differs across
+    * libm implementations and would break cross-engine determinism).
+    * Every doc then draws a deterministic 28-bit uniform — the first 7
+    * hex digits of md5(id), compared LEXICOGRAPHICALLY against the
+    * per-source threshold rendered as zero-padded hex (the q56
+    * hash-sample idiom: string compare avoids any hex→int conversion
+    * the oracle engine might lack):
+    *
+    *   keep ⟺ md5(id)[0,7) < hex₇((budget · w_s · 2²⁸) div (Z · n_s)),
+    *   w_s = ⌊√(n_s·10¹² div N)⌋,  Z = Σ w_s
+    *
+    * (thresholds ≥ 2²⁸ keep everything) — all integer arithmetic after
+    * the exact √, so the kept set is engine-portable. E[kept per
+    * source] ≈ budget · w_s / Z: the temperature-weighted allocation.
+    * Output: (id, source, kept) for every doc + the per-source quota
+    * columns for inspection.
+    *
+    * Scale: per-source stats are one tiny aggregate (broadcast back);
+    * the draw is a row-local codegen'd filter — the whole operator adds
+    * ZERO wide shuffles beyond the stats aggregate.
+    */
+  def mixtureSample(df: DataFrame, idCol: String, srcCol: String,
+                    budget: Long): DataFrame = {
+    require(budget >= 1, s"budget must be >= 1, got $budget")
+    val stats = df.groupBy(col(srcCol)).agg(count(lit(1)).as("n_s"))
+    val tot = stats.agg(sum(col("n_s")).as("n_total"))
+    val w = stats.crossJoin(broadcast(tot))
+      .withColumn("w_s",
+        expr("cast(floor(sqrt(cast((n_s * 1000000000000) div n_total as double))) as bigint)"))
+    val z = w.agg(sum(col("w_s")).as("z"))
+    df.select(col(idCol).as("id"), col(srcCol))
+      .join(broadcast(w), Seq(srcCol))
+      .crossJoin(broadcast(z))
+      .withColumn("thr", expr(s"($budget * w_s * 268435456) div (z * n_s)"))
+      .withColumn("kept", col("thr") > lit(268435455L) ||
+        substring(md5(col("id").cast("string")), 1, 7) <
+          lpad(lower(hex(col("thr"))), 7, "0"))
+      .select(col("id").as(idCol), col(srcCol), col("n_s"), col("w_s"), col("kept"))
+  }
+
   def weightedSample(df: DataFrame, idCol: String, weightCol: String,
                      k: Int, wCap: Int): DataFrame = {
     require(k >= 1, s"sample size k must be >= 1, got $k")

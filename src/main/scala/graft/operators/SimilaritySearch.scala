@@ -158,6 +158,53 @@ object SimilaritySearch {
       .toDF("qid", "nid", "sim", "rank")
   }
 
+  /** SemDeDup-style SEMANTIC deduplication (Abbas et al. 2023): assign
+    * every vector to its nearest centroid (the IVF cells — pairwise
+    * work is confined WITHIN cells, the paper's whole point), connect
+    * within-cell pairs whose cosine exceeds `simThreshold`, and collapse
+    * each connected near-dup group to its minimum-id representative.
+    * Output: one row per vector — (id, cid, rep, kept) with
+    * `kept = (rep == id)`; downstream keeps the `kept` rows.
+    *
+    * Scale: candidate volume is Σ cell² (the cells bound the quadratic
+    * term exactly like LSH buckets in [[bucketedTopK]]); the grouping is
+    * [[Graph.connectedComponents]] over the near-dup pairs (clique-like
+    * → 2-3 staged rounds). The threshold compares the same
+    * fixed-point-derived double both engines compute, so the decision
+    * is engine-exact.
+    */
+  def semanticDedup(points: DataFrame, idCol: String, vecCol: String,
+                    centroids: DataFrame, cidCol: String, cvecCol: String,
+                    simThreshold: Double): DataFrame = {
+    val cent = broadcast(centroids.select(col(cidCol).as("cid"),
+      col(cvecCol).as("cvec"), VectorFns.norm2Fixed9(col(cvecCol)).as("cn2")))
+    val pts = points.select(col(idCol).as("nid"), col(vecCol).as("nvec"),
+      VectorFns.norm2Fixed9(col(vecCol)).as("nn2"))
+    val cells = pts.join(cent)
+      .select(col("nid"), col("nvec"), col("nn2"), col("cid"),
+        VectorFns.cosineFrom(VectorFns.dotFixed9(col("nvec"), col("cvec")),
+          col("nn2"), col("cn2")).as("csim"))
+      .groupBy("nid")
+      .agg(max_by(struct(col("cid"), col("nvec"), col("nn2")),
+        struct(col("csim"), -col("cid"))).as("best"))
+      .select(col("nid"), col("best.cid").as("cid"),
+        col("best.nvec").as("nvec"), col("best.nn2").as("nn2"))
+    val a = cells.select(col("cid"), col("nid").as("ida"),
+      col("nvec").as("va"), col("nn2").as("n2a"))
+    val b = cells.select(col("cid"), col("nid").as("idb"),
+      col("nvec").as("vb"), col("nn2").as("n2b"))
+    val pairs = a.join(b, Seq("cid")).filter(col("ida") < col("idb"))
+      .filter(VectorFns.cosineFrom(VectorFns.dotFixed9(col("va"), col("vb")),
+        col("n2a"), col("n2b")) >= simThreshold)
+      .select(col("ida"), col("idb"))
+    val reps = Graph.connectedComponents(pairs, "ida", "idb")
+    cells.select(col("nid"), col("cid"))
+      .join(reps.withColumnRenamed("id", "nid"), Seq("nid"), "left")
+      .select(col("nid").as(idCol), col("cid"),
+        coalesce(col("cluster"), col("nid")).as("rep"))
+      .withColumn("kept", col("rep") === col(idCol))
+  }
+
   /** Recall@k of an approximate result against the exact result, both in
     * this object's (qid, nid, sim, rank) shape: per query, the fraction
     * of the exact top-k the approximate run also returned, macro-averaged

@@ -117,4 +117,40 @@ class SamplingSpec extends SparkSpec {
       .groupBy("g").agg(count(lit(1)).as("n")).as[(String, Long)].collect().toMap
     assert(out === Map("a" -> 2L, "b" -> 1L))
   }
+
+  test("mixtureSample flattens source shares toward √ and is deterministic") {
+    val s = spark
+    import s.implicits._
+    // dominant source 900 docs, rare source 100: raw shares 90%/10%,
+    // √-flattened masses 0.9487/0.3162 → quotas ~75%/25% of budget —
+    // the rare source must be sampled at well ABOVE its raw share
+    val df = ((1L to 900L).map(i => (i, "crawl")) ++
+      (1001L to 1100L).map(i => (i, "books"))).toSeq.toDF("doc_id", "source")
+    val out = Sampling.mixtureSample(df, "doc_id", "source", budget = 200L)
+    val kept = out.filter(col("kept")).groupBy("source")
+      .agg(count(lit(1)).as("n")).as[(String, Long)].collect().toMap
+    val crawlRate = kept("crawl") / 900.0
+    val booksRate = kept("books") / 100.0
+    assert(booksRate > 2 * crawlRate,
+      s"temperature must upweight the rare source: books=$booksRate crawl=$crawlRate")
+    // allocation lands near the √-flattened quota (75/25 ± sampling noise)
+    val total = kept.values.sum.toDouble
+    assert(kept("books") / total > 0.15 && kept("books") / total < 0.4, kept.toString)
+    // deterministic under repartitioning
+    val again = Sampling.mixtureSample(df.repartition(7), "doc_id", "source", 200L)
+      .filter(col("kept")).select("doc_id").as[Long].collect().sorted.toSeq
+    val first = out.filter(col("kept")).select("doc_id").as[Long].collect().sorted.toSeq
+    assert(first == again)
+  }
+
+  test("mixtureSample: a threshold at/above 2^28 keeps every doc of that source") {
+    val s = spark
+    import s.implicits._
+    // one source, budget ≥ population → quota threshold ≥ 2^28 → keep all
+    val df = (1L to 50L).map(i => (i, "only")).toSeq.toDF("doc_id", "source")
+    val out = Sampling.mixtureSample(df, "doc_id", "source", budget = 1000L)
+    assert(out.filter(col("kept")).count() == 50L)
+    intercept[IllegalArgumentException](
+      Sampling.mixtureSample(df, "doc_id", "source", 0L))
+  }
 }

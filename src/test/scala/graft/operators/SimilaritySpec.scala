@@ -97,6 +97,29 @@ class SimilaritySpec extends SparkSpec {
     assert(multi > single, s"on this seed multi-probe strictly improves recall")
   }
 
+  test("semanticDedup collapses within-cell near-dup groups to min-id reps") {
+    // centroids: x-axis (cid 100) and y-axis (cid 101). Near x-axis:
+    // {1,2} nearly parallel (near-dups) and 3 well-separated; near
+    // y-axis: 4 alone.
+    val data = Seq(
+      (1L, Array(1.0f, 0.02f, 0f, 0f)),
+      (2L, Array(1.0f, 0.03f, 0f, 0f)),   // ~parallel to 1 → same group
+      (3L, Array(0.6f, 0.4f, 0.6f, 0.0f)), // same cell, low sim to 1/2
+      (4L, Array(0.1f, 1.0f, 0f, 0f))
+    ).toDF("vec_id", "embedding")
+    val cent = Seq((100L, Array(1.0f, 0f, 0f, 0f)), (101L, Array(0f, 1.0f, 0f, 0f)))
+      .toDF("cid", "cvec")
+    val out = SimilaritySearch.semanticDedup(data, "vec_id", "embedding",
+        cent, "cid", "cvec", simThreshold = 0.95)
+      .select("vec_id", "cid", "rep", "kept")
+      .as[(Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(1L) == ((100L, 1L, true)))
+    assert(out(2L) == ((100L, 1L, false)), "2 collapses into 1's group")
+    assert(out(3L) == ((100L, 3L, true)), "low-sim cellmate survives as its own rep")
+    assert(out(4L) == ((101L, 4L, true)))
+  }
+
   test("cosine of a vector with itself is 1 within fixed-point tolerance") {
     val out = SimilaritySearch.bruteForceTopK(
       vecs, vecs.withColumn("vec_id", $"vec_id" + 100L), "vec_id", "embedding", k = 1)
