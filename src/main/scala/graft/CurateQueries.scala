@@ -518,6 +518,57 @@ object CurateQueries {
         FROM sc2 GROUP BY 1
         ORDER BY 2 DESC, 1 LIMIT 20""")),
 
+    // REAL image decode, end-to-end (the raster counterpart of q103):
+    // each doc synthesizes a complete 24-bit BI_RGB BMP (bottom-up BGR
+    // rows, 4-byte padding) from a closed-form pixel generator, the JVM
+    // codec decodes it, and per-image channel sums PLUS a position-
+    // weighted red sum come off the DECODED pixels — the weighted sum is
+    // the stat that breaks if row order (bottom-up) or byte order (BGR)
+    // is decoded wrong. The oracle replays the generator directly.
+    QuerySpec("q111_bmp_decode",
+      (s, dir) => {
+        import graft.multimodal.Multimodal
+        val docs = Tables.documents(s, dir).select(col("doc_id"))
+          .withColumn("w", (col("doc_id") % 5 + 2).cast("int"))
+          .withColumn("h", (col("doc_id") % 4 + 2).cast("int"))
+        // stored row j = logical row h-1-j; pixels BGR; rows padded to 4
+        val pixelData = expr("""
+          aggregate(
+            transform(sequence(0, h - 1), j ->
+              concat(
+                aggregate(
+                  transform(sequence(0, w - 1), x -> concat(
+                    unhex(lpad(hex(pmod(doc_id * 3 + x * 7  + (h - 1 - j) * 11, 256)), 2, '0')),
+                    unhex(lpad(hex(pmod(doc_id * 5 + x * 13 + (h - 1 - j) * 17, 256)), 2, '0')),
+                    unhex(lpad(hex(pmod(doc_id * 7 + x * 19 + (h - 1 - j) * 23, 256)), 2, '0')))),
+                  X'', (acc, e) -> concat(acc, e)),
+                substring(unhex('00000000'), 1, (4 - (w * 3) % 4) % 4))),
+            X'', (acc, e) -> concat(acc, e))""")
+        val media = Multimodal.asMediaTable(
+          docs.withColumn("payload",
+            Multimodal.synthBmp24(col("w"), col("h"), pixelData)),
+          "doc_id", "payload", "image/bmp")
+        Multimodal.bmpPixelStats(media).toDF()
+      },
+      Some("""
+        WITH g AS (
+          SELECT doc_id, doc_id % 5 + 2 AS w, doc_id % 4 + 2 AS h FROM documents),
+        px AS (
+          SELECT doc_id, w, h, x, y,
+            (doc_id * 7 + x * 19 + y * 23) % 256 AS r,
+            (doc_id * 5 + x * 13 + y * 17) % 256 AS gg,
+            (doc_id * 3 + x * 7  + y * 11) % 256 AS b
+          FROM g, UNNEST(range(0, w)) AS tx(x), UNNEST(range(0, h)) AS ty(y))
+        SELECT doc_id,
+          CAST(any_value(w) AS INTEGER) AS width,
+          CAST(any_value(h) AS INTEGER) AS height,
+          CAST(count(*) AS BIGINT) AS n_pixels,
+          CAST(SUM(r) AS BIGINT) AS sum_r,
+          CAST(SUM(gg) AS BIGINT) AS sum_g,
+          CAST(SUM(b) AS BIGINT) AS sum_b,
+          CAST(SUM(r * (x + w * y)) AS BIGINT) AS wsum_r
+        FROM px GROUP BY 1""")),
+
     // BPE tokenizer TRAINING (the learn side of q84/q85's apply side):
     // 8 byte-pair merges learned from corpus word frequencies, leftmost-
     // non-overlapping merge semantics, (count desc, pair) tie order. The

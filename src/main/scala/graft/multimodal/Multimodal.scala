@@ -177,6 +177,57 @@ object Multimodal {
     concat((0 until nBytes).map(i =>
       unhex(lpad(hex(pmod(shiftright(v, 8 * i), lit(256))), 2, "0"))): _*)
 
+  /** Synthesize a COMPLETE valid 24-bit BI_RGB BMP file from raw
+    * (already padded, bottom-up, BGR) `pixelData` binary — the image
+    * counterpart of [[synthWavPcm16]]: `BmpCodec.decode` round-trips it
+    * exactly, which is what the q111 oracle checks end to end.
+    */
+  def synthBmp24(width: Column, height: Column, pixelData: Column): Column = {
+    val n = octet_length(pixelData).cast("long")
+    concat(
+      lit("BM".getBytes("US-ASCII")), le(n + 54L, 4),              // magic + file size
+      le(lit(0L), 4), le(lit(54L), 4),                             // reserved + data offset
+      le(lit(40L), 4), le(width.cast("long"), 4),                  // info size + dims
+      le(height.cast("long"), 4),
+      le(lit(1L), 2), le(lit(24L), 2),                             // planes + bpp
+      le(lit(0L), 4), le(n, 4),                                    // BI_RGB + image size
+      le(lit(2835L), 4), le(lit(2835L), 4),                        // 72 dpi
+      le(lit(0L), 4), le(lit(0L), 4),                              // palette counts
+      pixelData)
+  }
+
+  /** Per-image statistics over DECODED BMP pixels — one row per doc:
+    * dimensions + integer channel sums + a POSITION-WEIGHTED red sum
+    * (Σ r(x,y)·(x + w·y) over logical coordinates), which is exactly the
+    * stat that breaks if the decoder gets the bottom-up row order or BGR
+    * byte order wrong. Undecodable payloads contribute no rows.
+    */
+  def bmpPixelStats(media: Dataset[MediaRow]): Dataset[BmpStats] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        BmpCodec.decode(r.payload).map { bmp =>
+          var sr = 0L; var sg = 0L; var sb = 0L; var wr = 0L
+          var i = 0
+          while (i < bmp.pixels.length) {
+            val p = bmp.pixels(i)
+            sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+            wr += ((p >> 16) & 0xff).toLong * i
+            i += 1
+          }
+          BmpStats(r.doc_id, bmp.width, bmp.height,
+            bmp.pixels.length.toLong, sr, sg, sb, wr)
+        }
+      }
+    }
+  }
+
+  /** One decoded image's statistics. */
+  final case class BmpStats(doc_id: Long, width: Int, height: Int,
+                            n_pixels: Long, sum_r: Long, sum_g: Long,
+                            sum_b: Long, wsum_r: Long)
+
   /** Synthesize a COMPLETE valid mono 16-bit PCM WAV file from an
     * `array<int>` sample column, as pure codegen'd SQL expressions —
     * RIFF header, fmt chunk, data chunk, two's-complement LE samples.

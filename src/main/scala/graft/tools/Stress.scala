@@ -127,6 +127,23 @@ object Stress {
           .filter(col("jaccard") >= 0.2)
         graft.operators.Graph.connectedComponents(pairs, "doc_a", "doc_b")
       }
+      // star-contraction CC on the same pair graph: per-round shuffle is
+      // bounded by rounds · (edges + nodes) like label propagation; the
+      // pass criterion is the same output-bound shape, with rounds
+      // capped O(log n) instead of diameter
+      measure(s"m$m ccstar") {
+        val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text", 4, 12, 3)
+          .filter(col("jaccard") >= 0.2)
+        graft.operators.Graph.connectedComponentsStar(pairs, "doc_a", "doc_b")
+      }
+      // segment dedup: segment-frequency table is vocabulary-sized; the
+      // probe join shuffle is linear in corpus segments
+      measure(s"m$m segdedup")(graft.operators.CorpusText.dropRepeatedSegments(
+        docs, "doc_id", "text", " ", maxDf = 400L * m))
+      // BM25: postings semi-join-pruned to the query terms — shuffle
+      // tracks Σ df(query terms), linear in corpus for fixed terms
+      measure(s"m$m bm25")(graft.operators.CorpusText.bm25TopK(
+        docs, "doc_id", "text", Seq("spark", "dup", "key"), 20))
       // stratified sample: shuffle must stay ~CONSTANT in M
       // (k · map-partitions · strata partial rows, independent of input)
       measure(s"m$m stratified")(graft.operators.Sampling.stratifiedSample(
