@@ -98,7 +98,7 @@ object IngestQueries {
         Fixtures.stage(s)
         import s.implicits._
         val genres = Pipelines.genresLoad(Fixtures.genresCsv(s))
-        Pipelines.epgImport(Fixtures.epgCsv(s), genres, s.emptyDataset[Recording].toDF)
+        Pipelines.epgImport(Fixtures.epgCsv(s), genres, s.emptyDataset[Recording].toDF())
           .select("PartitionKey", "RowKey", "Id", "beginn", "ende", "dauer",
             "sender", "titel", "genre_id", "genre", "language")
       },
@@ -131,11 +131,11 @@ object IngestQueries {
         import s.implicits._
         val genres = Pipelines.genresLoad(Fixtures.genresCsv(s))
         val recs = Pipelines.epgImport(Fixtures.epgCsv(s), genres,
-          s.emptyDataset[Recording].toDF)
+          s.emptyDataset[Recording].toDF())
         val toplist = OtrParsers.parseToplist(
           Fixtures.chunks(s, "toplist_chunks.txt").select("chunk").as[String])
         val tops = Pipelines.topRecordings(toplist, recs,
-          s.emptyDataset[Recording].toDF)
+          s.emptyDataset[Recording].toDF())
         val tracker = OtrParsers.parseTracker(
           Fixtures.chunks(s, "tracker_chunks.txt").select("chunk").as[String])
         val (matched, _) = Pipelines.torrentMatch(tracker, tops,

@@ -29,6 +29,17 @@ object VectorFns {
     * cancels in the cosine ratio.
     */
   def dotFixed9(a: Column, b: Column): Column =
+    // fused codegen expression — bit-identical to the composable
+    // aggregate(zip_with(...)) formulation (DotSpec proves it), ~4×
+    // faster: one primitive loop, no per-row intermediate array
+    graft.expr.FixedDot.fixedDot(a, b)
+
+  /** The composable HOF formulation of [[dotFixed9]] — kept as the
+    * reference implementation the fused expression is spec-checked
+    * against (and as the fallback if an engine lacks custom
+    * expressions).
+    */
+  def dotFixed9Hof(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b,
         (x, y) => floor(x.cast("double") * y.cast("double") * lit(1e9)).cast("long")),
