@@ -172,8 +172,8 @@ object IngestQueries {
     // just spec-covered. On these fixtures no EPG file spills rows into
     // the other day's partition and files carry no duplicate keys, so
     // the per-day guard admits both files and the combined-file replay
-    // is exact (the guard/tiebreak semantics themselves are exercised by
-    // RunSpec).
+    // is exact (the guard/tiebreak semantics themselves are exercised
+    // with synthetic spillover/dirty days in PipelinesSpec).
     QuerySpec("q102_etl_tick",
       (s, dir) => {
         Fixtures.stage(s)

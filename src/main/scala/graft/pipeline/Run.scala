@@ -41,10 +41,15 @@ object Run {
       }
     }.toSeq: _*)
 
-  /** One ETL tick over the fixture inputs. Returns the four tables. */
+  /** One ETL tick over the fixture inputs. Returns the four tables.
+    * `epgDay` injects the per-day CSV frame source (default: the
+    * checked-in fixtures) so the per-day guard and dirty-file tiebreak
+    * semantics are testable with synthetic days (`PipelinesSpec`).
+    */
   def tick(spark: SparkSession, base: String,
            startdate: Timestamp = Timestamp.valueOf("2021-03-01 00:00:00"),
-           epgDays: Seq[String] = Seq("2021_03_05", "2021_03_06"))
+           epgDays: Seq[String] = Seq("2021_03_05", "2021_03_06"),
+           epgDay: (SparkSession, String) => DataFrame = Fixtures.epgCsvDay)
       : (GraftTable, GraftTable, GraftTable, GraftTable) = {
     val keys = Seq("PartitionKey", "RowKey")
 
@@ -74,7 +79,7 @@ object Run {
         recsT.read.filter(col("PartitionKey") === day))
       if (!dayPresent)
         recsT.upsertReplace(
-          conform(Pipelines.epgRecords(Fixtures.epgCsvDay(spark, day), genres),
+          conform(Pipelines.epgRecords(epgDay(spark, day), genres),
             Recording.schema),
           tiebreak = Seq("beginn", "titel", "downloadlink"))
     }

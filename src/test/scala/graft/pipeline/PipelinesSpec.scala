@@ -123,4 +123,55 @@ class PipelinesSpec extends SparkSpec {
     Run.tick(spark, base)
     assert(state() == first, "second tick must be a state-level no-op")
   }
+
+  test("tick guard: a file's spillover row into the NEXT day suppresses that day's file (reference quirk)") {
+    val s = spark
+    import s.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_guard").toString
+    // day A's file carries an after-midnight row landing in day B's
+    // partition; the reference's table_isempty(PartitionKey) guard then
+    // sees day B non-empty and SKIPS day B's file entirely
+    def csvRow(id: String, beginn: String, titel: String) =
+      (id, beginn, "05.03.2021 23:59:00", "30", "ZDF", titel, "1", "de", s"http://dl/$id")
+    val dayA = Seq(
+      csvRow("2001", "05.03.2021 20:00:00", "A-normal"),
+      csvRow("2002", "06.03.2021 00:30:00", "A-spillover")).toDF(
+      "Id", "beginn", "ende", "dauer", "sender", "titel", "genre_id", "language", "downloadlink")
+    val dayB = Seq(csvRow("2003", "06.03.2021 21:00:00", "B-suppressed")).toDF(
+      "Id", "beginn", "ende", "dauer", "sender", "titel", "genre_id", "language", "downloadlink")
+    val (_, recsT, _, _) = Run.tick(spark, base,
+      epgDays = Seq("2021_03_05", "2021_03_06"),
+      epgDay = (_, day) => if (day == "2021_03_05") dayA else dayB)
+    val got = recsT.read.select("PartitionKey", "RowKey")
+      .as[(String, String)].collect().toSet
+    assert(got.contains(("2021_03_05", "2001")))
+    assert(got.contains(("2021_03_06", "2002")), "spillover row lands in day B's partition")
+    assert(!got.exists(_._2 == "2003"), "day B's own file must be suppressed by the guard")
+  }
+
+  test("tick tiebreak: duplicate (day, Id) rows in one dirty file resolve deterministically") {
+    val s = spark
+    import s.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_tie").toString
+    // same Id twice on the same day: winner = minimum (beginn, titel,
+    // downloadlink) — the payload total order upsertReplace applies
+    def row(beginn: String, titel: String, dl: String) =
+      ("3001", beginn, "05.03.2021 23:59:00", "30", "ZDF", titel, "1", "de", dl)
+    val dirty = Seq(
+      row("05.03.2021 20:00:00", "zz-later-title", "http://dl/z"),
+      row("05.03.2021 20:00:00", "aa-first-title", "http://dl/a")).toDF(
+      "Id", "beginn", "ende", "dauer", "sender", "titel", "genre_id", "language", "downloadlink")
+    val (_, recsT, _, _) = Run.tick(spark, base,
+      epgDays = Seq("D"), epgDay = (_, _) => dirty)
+    val rows = recsT.read.filter($"RowKey" === "3001")
+      .select("titel").as[String].collect().toSeq
+    assert(rows == Seq("aa-first-title"),
+      s"min (beginn, titel, downloadlink) must win deterministically, got $rows")
+    // and re-running with the duplicate rows REVERSED yields the same winner
+    val base2 = java.nio.file.Files.createTempDirectory("graft_tie2").toString
+    val (_, recsT2, _, _) = Run.tick(spark, base2,
+      epgDays = Seq("D"), epgDay = (_, _) => dirty.orderBy($"titel".desc))
+    assert(recsT2.read.filter($"RowKey" === "3001")
+      .select("titel").as[String].collect().toSeq == Seq("aa-first-title"))
+  }
 }
