@@ -140,7 +140,13 @@ object Sampling {
     */
   def mixtureSample(df: DataFrame, idCol: String, srcCol: String,
                     budget: Long): DataFrame = {
-    require(budget >= 1, s"budget must be >= 1, got $budget")
+    // Overflow domain: the threshold product budget·w_s·2²⁸ must stay in
+    // 64 bits; w_s ≤ 10⁶ by construction (√ of a ≤10¹² share), so
+    // budget ≤ 3·10⁷ guarantees ≤ 8·10¹⁸ < 2⁶³. Larger sampling jobs
+    // shard the budget (k shards of ≤ 3·10⁷, disjoint by a doc-hash
+    // band) rather than widening the arithmetic.
+    require(budget >= 1 && budget <= 30000000L,
+      s"budget must be in [1, 3e7] (see overflow domain note), got $budget")
     val stats = df.groupBy(col(srcCol)).agg(count(lit(1)).as("n_s"))
     val tot = stats.agg(sum(col("n_s")).as("n_total"))
     val w = stats.crossJoin(broadcast(tot))
