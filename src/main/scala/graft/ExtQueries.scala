@@ -94,6 +94,31 @@ object ExtQueries {
           min(doc_id) AS keeper_id, count(*) AS cluster_size
         FROM documents GROUP BY 1""")),
 
+    // INCREMENTAL exact dedup — the daily-crawl path: docs ≡0 mod 3
+    // stand in for the stored corpus fingerprint state; the rest arrive
+    // as the new batch and are admitted only if novel vs the state AND
+    // first-of-fingerprint within the batch. No corpus rescan.
+    QuerySpec("q113_dedup_increment",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val known = docs.filter(col("doc_id") % 3 === 0)
+          .select(TextFns.fingerprint(col("text")).as("fp")).distinct()
+        Dedup.dedupIncrement(
+            docs.filter(col("doc_id") % 3 =!= 0).select("doc_id", "text"),
+            "doc_id", "text", known, "fp")
+          .select(col("doc_id"), col("fp"))
+      },
+      Some("""
+        WITH f AS (
+          SELECT doc_id,
+            md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fp
+          FROM documents),
+        known AS (SELECT DISTINCT fp FROM f WHERE doc_id % 3 = 0),
+        batch AS (SELECT * FROM f WHERE doc_id % 3 <> 0),
+        winners AS (SELECT fp, min(doc_id) AS doc_id FROM batch GROUP BY 1)
+        SELECT w.doc_id, w.fp FROM winners w
+        WHERE NOT EXISTS (SELECT 1 FROM known k WHERE k.fp = w.fp)""")),
+
     // exact n-gram Jaccard near-dup via shingle blocking (df-capped)
     QuerySpec("q31_dedup_jaccard",
       (s, dir) => Dedup.jaccardPairs(Tables.documents(s, dir), "doc_id", "text",
@@ -392,6 +417,28 @@ object ExtQueries {
           COALESCE(l.rep, c.nid) AS rep,
           COALESCE(l.rep, c.nid) = c.nid AS kept
         FROM cells c LEFT JOIN lbl l ON c.nid = l.id""")),
+
+    // LEAKAGE-SAFE split: train/val/test drawn per near-dup CLUSTER
+    // (doc-level hash splits silently put 0.9-jaccard twins of test
+    // docs into train — the classic eval-contamination bug). Same
+    // minhash pair graph as q61, same split thresholds as q69; every
+    // doc inherits its cluster representative's draw.
+    QuerySpec("q112_leakage_safe_split",
+      (s, dir) => {
+        val pairs = Dedup.minhashLshPairs(Tables.documents(s, dir), "doc_id", "text",
+          n = 4, k = 12, rowsPerBand = 3).filter(col("jaccard") >= 0.2)
+        operators.Sampling.splitByCluster(
+          Tables.documents(s, dir).select("doc_id"), "doc_id",
+          pairs, "doc_a", "doc_b",
+          Seq("train" -> "e6", "val" -> "f3"), "test")
+      },
+      Some(s"""
+        WITH RECURSIVE $CC_LABELS_SQL
+        SELECT d.doc_id, COALESCE(l.cluster_id, d.doc_id) AS rep,
+          CASE WHEN md5(CAST(COALESCE(l.cluster_id, d.doc_id) AS VARCHAR)) < 'e6' THEN 'train'
+               WHEN md5(CAST(COALESCE(l.cluster_id, d.doc_id) AS VARCHAR)) < 'f3' THEN 'val'
+               ELSE 'test' END AS split
+        FROM documents d LEFT JOIN lbl l ON d.doc_id = l.doc_id""")),
 
     // Temperature-flattened mixture sampling (the pretraining data-mix
     // step): source mass ∝ √(share) (T=2 — the IEEE-exact power), doc

@@ -54,6 +54,29 @@ object Dedup {
     docs.groupBy(TextFns.fingerprint(col(textCol)).as("fp"))
       .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("cluster_size"))
 
+  /** INCREMENTAL exact dedup: admit only the rows of a NEW batch whose
+    * canonical fingerprint is (a) absent from the stored corpus
+    * fingerprint set and (b) not claimed by an earlier row (min id) of
+    * the same batch — the daily-crawl ingestion path, where re-hashing
+    * the whole corpus per batch ([[fingerprintClusters]]) would be a
+    * full rescan. Complements [[Incremental]]'s aggregate maintenance:
+    * here the maintained state is the fingerprint SET, which callers
+    * append the output's `fp` column to after each batch.
+    *
+    * Output: the admitted batch rows + their `fp`. Cost: one
+    * hash-aggregate over the batch + one anti-join against the state
+    * (batch-sized build side; the state side streams — at 100 TB the
+    * state table is bucketed by `fp` so the anti-join co-locates).
+    */
+  def dedupIncrement(batch: DataFrame, idCol: String, textCol: String,
+                     knownFps: DataFrame, fpCol: String): DataFrame = {
+    val withFp = batch.withColumn("fp", TextFns.fingerprint(col(textCol)))
+    val batchWinners = withFp.groupBy(col("fp"))
+      .agg(min(col(idCol)).as(idCol))
+    withFp.join(batchWinners, Seq("fp", idCol), "left_semi")
+      .join(knownFps.select(col(fpCol).as("fp")), Seq("fp"), "left_anti")
+  }
+
   /** Distinct word-n-gram shingles, exploded to (id, sh) posting rows.
     *
     * Built as posexplode + window `lead()` instead of a transform/slice

@@ -53,6 +53,33 @@ object Sampling {
     df.withColumn(outCol, labeled)
   }
 
+  /** LEAKAGE-SAFE dataset split: assign train/val/test at the near-dup
+    * CLUSTER level, not the document level — documents connected by
+    * `pairs` (a near-dup edge list, e.g. minhash-LSH verified pairs)
+    * all inherit the split of their cluster representative, so two
+    * near-duplicates can NEVER straddle train and test (the classic
+    * silent-eval-contamination bug of doc-level hash splits; held-out
+    * loss is meaningless when the training set contains a 0.9-jaccard
+    * twin of the test doc). Singleton docs split by their own id.
+    *
+    * Mechanics: [[Graph.connectedComponents]] labels the pair graph
+    * (clique-like → 2-3 staged rounds), docs left-join the labels
+    * (cluster rep = label, self for singletons), and [[splitByHash]]
+    * runs on the REP, so the whole cluster draws one ticket. Output:
+    * the input plus (rep, split). One extra shuffle vs doc-level
+    * splitting — the labels join.
+    */
+  def splitByCluster(df: DataFrame, idCol: String, pairs: DataFrame,
+                     aCol: String, bCol: String,
+                     splits: Seq[(String, String)], defaultLabel: String,
+                     outCol: String = "split"): DataFrame = {
+    val labels = Graph.connectedComponents(pairs, aCol, bCol)
+      .select(col("id").as(idCol), col("cluster").as("rep"))
+    val withRep = df.join(labels, Seq(idCol), "left")
+      .withColumn("rep", coalesce(col("rep"), col(idCol)))
+    splitByHash(withRep, "rep", splits, defaultLabel, outCol)
+  }
+
   /** Fixed-size stratified sample: the `k` rows with the smallest
     * (md5(id), id) per stratum — a deterministic uniform draw within
     * each stratum. Runs as a bounded-buffer min-k aggregate

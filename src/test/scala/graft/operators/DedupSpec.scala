@@ -111,4 +111,21 @@ class DedupSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Dedup.editDistancePairs(df, "id", "name", org.apache.spark.sql.functions.col("b"), -1))
   }
+
+  test("dedupIncrement: known fingerprints suppressed, batch winner is min id, novel admitted") {
+    val s = spark
+    import s.implicits._
+    // state knows the canonical form of "hello world"
+    val known = Seq(("hello world!!")).toDF("t")
+      .select(graft.functions.TextFns.fingerprint($"t").as("fp")).distinct()
+    val batch = Seq(
+      (5L, "Hello, WORLD"),   // dup of state (canonicalizes equal) → dropped
+      (7L, "fresh doc"),      // novel, later twin below
+      (6L, "fresh doc"),      // same fp, smaller id → the batch winner
+      (9L, "another novel")
+    ).toDF("doc_id", "text")
+    val got = Dedup.dedupIncrement(batch, "doc_id", "text", known, "fp")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(got == Seq(6L, 9L))
+  }
 }

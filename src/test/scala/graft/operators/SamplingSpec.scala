@@ -118,6 +118,28 @@ class SamplingSpec extends SparkSpec {
     assert(out === Map("a" -> 2L, "b" -> 1L))
   }
 
+  test("splitByCluster: near-dup pairs NEVER straddle splits; singletons match doc-level split") {
+    val s = spark
+    import s.implicits._
+    val docs = (1L to 300L).toDF("doc_id")
+    // chains of near-dups: (1,2),(2,3) one cluster; (10,11); rest singleton
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a", "b")
+    val out = Sampling.splitByCluster(docs, "doc_id", pairs, "a", "b",
+      Seq("train" -> "80", "val" -> "c0"), "test")
+    val m = out.select("doc_id", "rep", "split")
+      .as[(Long, Long, String)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    // every clustered doc carries its component minimum and ONE split
+    assert(Set(m(1L), m(2L), m(3L)).size == 1 && m(1L)._1 == 1L)
+    assert(m(10L) == m(11L) && m(10L)._1 == 10L)
+    // singletons: identical to the doc-level hash split
+    val solo = Sampling.splitByHash(docs.filter($"doc_id" === 42L), "doc_id",
+      Seq("train" -> "80", "val" -> "c0"), "test")
+      .select("split").as[String].collect().head
+    assert(m(42L) == ((42L, solo)))
+    // all three labels actually occur on 300 docs at these thresholds
+    assert(out.select("split").distinct().count() == 3)
+  }
+
   test("mixtureSample flattens source shares toward √ and is deterministic") {
     val s = spark
     import s.implicits._
