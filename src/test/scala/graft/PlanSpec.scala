@@ -138,4 +138,25 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"),
       "the vocab-size scalar joins via broadcast, not a cartesian")
   }
+
+  test("S9: scans are lazy until an action; a cached count memoizes (no file rescan)") {
+    // laziness: composing transforms on a declared table runs NO jobs
+    // (the read itself may run one footer/schema-inference job — that
+    // is metadata, not data)
+    val base = Tables.lineitem(spark, sf001)
+    val before = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    val df = base.filter(org.apache.spark.sql.functions.col("l_quantity") > 1.0)
+      .select("l_orderkey", "l_quantity")
+      .groupBy("l_orderkey").count()
+    assert(spark.sparkContext.statusTracker.getJobIdsForGroup(null).length == before,
+      "composing filter/project/aggregate must not launch a job")
+    // memoized count: after cache(), the second count reads the
+    // in-memory relation, not the parquet files
+    val cached = df.cache()
+    cached.count()
+    val second = cached.queryExecution.executedPlan.toString
+    assert(second.contains("InMemoryTableScan"),
+      s"second action must hit the cache, not the file scan:\n$second")
+    cached.unpersist()
+  }
 }
