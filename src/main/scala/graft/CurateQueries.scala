@@ -580,6 +580,85 @@ object CurateQueries {
         Tables.documents(s, dir), "doc_id", "text", merges = 8),
       Some(s"WITH $WORDS_SQL, ${operators.Bpe.oracleSql(8)}")),
 
+    // Capstone v2 — the ROUND-4 operator chain composed end to end:
+    // segment dedup (boilerplate stripping) → length floor → bigram-LM
+    // surprisal filter (≤ 6.5 bits/bigram, integer-exact compare) →
+    // LEAKAGE-SAFE train split (near-dup clusters over the CLEANED
+    // corpus draw one ticket) → fixed-length sequence packing. The
+    // oracle replays the whole chain — the minhash/CC fragment runs over
+    // a `words` CTE built from the kept tokens, proving the fragments
+    // compose over derived corpora, not just the raw table.
+    QuerySpec("q114_curation_v2",
+      (s, dir) => {
+        val segs = operators.CorpusText.cleanSegments(
+          Tables.documents(s, dir), "doc_id", "text", " ", maxDf = 390)
+        val cleaned = segs.filter(size(col("segs")) >= 30)
+          .select(col("id").as("doc_id"), array_join(col("segs"), " ").as("text"))
+        val surp = operators.CorpusText.bigramSurprisal(cleaned, "doc_id", "text")
+        val good = cleaned.join(
+          surp.filter(col("surprise_bits") * 10 <= col("n_bigrams") * 65)
+            .select("doc_id"), Seq("doc_id"), "left_semi")
+        val pairs = Dedup.minhashLshPairs(good, "doc_id", "text",
+          n = 4, k = 12, rowsPerBand = 3).filter(col("jaccard") >= 0.2)
+        val train = Sampling.splitByCluster(good, "doc_id", pairs,
+            "doc_a", "doc_b", Seq("train" -> "e6", "val" -> "f3"), "test")
+          .filter(col("split") === "train").select("doc_id", "text")
+        Tokenize.packSequences(train, "doc_id", "text", ctx = 128)
+      },
+      Some(s"""
+        WITH RECURSIVE $WORDS_SQL,
+        tok AS (
+          SELECT doc_id, i AS pos, w[CAST(i + 1 AS INTEGER)] AS term
+          FROM words, UNNEST(range(0, len(w))) AS t(i)
+          WHERE len(w) > 0),
+        dft AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+        ktok AS (
+          SELECT t.doc_id, t.pos, t.term
+          FROM tok t JOIN dft d ON t.term = d.term WHERE d.df <= 390),
+        cw AS (SELECT doc_id, list(term ORDER BY pos) AS w FROM ktok GROUP BY 1),
+        lw AS (SELECT * FROM cw WHERE len(w) >= 30),
+        ltok AS (
+          SELECT doc_id, i AS pos, w[CAST(i + 1 AS INTEGER)] AS term
+          FROM lw, UNNEST(range(0, len(w))) AS t(i)),
+        uni AS (SELECT term AS w1, count(*) AS c1 FROM ltok GROUP BY 1),
+        voc AS (SELECT count(*) AS v FROM uni),
+        big AS (
+          SELECT doc_id, term AS w1,
+            lead(term) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+          FROM ltok QUALIFY w2 IS NOT NULL),
+        pair AS (SELECT w1, w2, count(*) AS c12 FROM big GROUP BY 1, 2),
+        docsur AS (
+          SELECT b.doc_id, count(*) AS nb,
+            SUM((length(bin(u.c1 + v.v)) - 1) - (length(bin(p.c12 + 1)) - 1)) AS sb
+          FROM big b
+          JOIN pair p ON b.w1 = p.w1 AND b.w2 = p.w2
+          JOIN uni u ON b.w1 = u.w1
+          CROSS JOIN voc v
+          GROUP BY 1),
+        goodids AS (SELECT doc_id FROM docsur WHERE sb * 10 <= nb * 65),
+        -- REDEFINE the corpus the shared minhash/CC fragment consumes:
+        -- the cleaned, filtered token arrays (fragments read doc_id + w)
+        cwords AS (
+          SELECT l.doc_id, l.w FROM lw l JOIN goodids g ON l.doc_id = g.doc_id),
+        ${ExtQueries.CC_FROM_WORDS_SQL.replace("FROM words", "FROM cwords")},
+        train AS (
+          SELECT c.doc_id AS did, CAST(len(c.w) AS BIGINT) AS n
+          FROM cwords c LEFT JOIN lbl l ON c.doc_id = l.doc_id
+          WHERE md5(CAST(COALESCE(l.cluster_id, c.doc_id) AS VARCHAR)) < 'e6'),
+        sp AS (
+          SELECT did, n,
+            CAST(COALESCE(SUM(n) OVER (ORDER BY did
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start
+          FROM train),
+        b AS (
+          SELECT did, n, start, seq_id
+          FROM sp, UNNEST(range(start // 128, (start + n - 1) // 128 + 1)) AS t(seq_id))
+        SELECT CAST(seq_id AS BIGINT) AS seq_id,
+          CAST(SUM(LEAST(start + n, (seq_id + 1) * 128) - GREATEST(start, seq_id * 128)) AS BIGINT) AS n_tokens,
+          count(*) AS n_docs,
+          min(did) AS first_doc, max(did) AS last_doc
+        FROM b GROUP BY 1""")),
+
     // Capstone: the END-TO-END corpus curation pipeline as one composed
     // dataflow — quality filter (q37's criteria) → exact-dedup keepers
     // (q30) → deterministic train split (q69) → fixed-length sequence

@@ -26,21 +26,25 @@ object ExtQueries {
         list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> len(x) > 0) AS w
       FROM documents)"""
 
-  /** DuckDB fragment: distinct 4-gram shingle posting list (doc_id, sh).
-    * Shared with [[CurateQueries]].
+  /** DuckDB fragment: distinct 4-gram shingle posting list (doc_id, sh)
+    * over whatever `words(doc_id, w)` CTE precedes it — split out from
+    * [[SHINGLES_SQL]] so q114 can run the same pipeline over a CLEANED
+    * corpus by supplying its own `words` definition.
     */
-  private[graft] val SHINGLES_SQL = WORDS_SQL + """,
+  private[graft] val SHINGLES_FROM_WORDS_SQL = """
     sh AS (
       SELECT DISTINCT doc_id, sh FROM (
         SELECT doc_id, array_to_string(w[i:i+3], ' ') AS sh
         FROM words, UNNEST(range(1, len(w) - 2)) AS t(i)
         WHERE len(w) >= 4) x)"""
 
-  /** DuckDB fragment: the full MinHash-LSH candidate+verify pipeline
-    * (k=12, 3 rows/band), ending in `mh_pairs(doc_a, doc_b, shared, na,
-    * nb, jaccard)` — shared by q32 and the clustering queries q61/q62.
+  /** DuckDB fragment: distinct 4-gram shingle posting list (doc_id, sh).
+    * Shared with [[CurateQueries]].
     */
-  private[graft] val MINHASH_PAIRS_SQL = SHINGLES_SQL + """,
+  private[graft] val SHINGLES_SQL = WORDS_SQL + "," + SHINGLES_FROM_WORDS_SQL
+
+  /** The `words`-parametric tail of the MinHash-LSH pipeline. */
+  private[graft] val MINHASH_FROM_WORDS_SQL = SHINGLES_FROM_WORDS_SQL + """,
     mh AS (
       SELECT doc_id, i, min(md5(CAST(i AS VARCHAR) || ':' || sh)) AS mh
       FROM sh, UNNEST(range(0, 12)) AS t(i)
@@ -66,13 +70,17 @@ object ExtQueries {
         JOIN (SELECT doc_id, sz AS na FROM sizes) sa ON c.doc_a = sa.doc_id
         JOIN (SELECT doc_id, sz AS nb FROM sizes) sb ON c.doc_b = sb.doc_id)"""
 
-  /** DuckDB fragment (requires WITH RECURSIVE): connected components
-    * over the verified near-dup pairs (jaccard ≥ 0.2) via transitive
-    * closure, ending in `lbl(doc_id, cluster_id)` — cluster_id = the
-    * component's minimum doc id, matching [[graft.operators.Graph]]'s
-    * canonical representative.
+  /** DuckDB fragment: the full MinHash-LSH candidate+verify pipeline
+    * (k=12, 3 rows/band), ending in `mh_pairs(doc_a, doc_b, shared, na,
+    * nb, jaccard)` — shared by q32 and the clustering queries q61/q62.
     */
-  private val CC_LABELS_SQL = MINHASH_PAIRS_SQL + """,
+  private[graft] val MINHASH_PAIRS_SQL = WORDS_SQL + "," + MINHASH_FROM_WORDS_SQL
+
+  /** The `words`-parametric tail of the CC pipeline (requires WITH
+    * RECURSIVE): near-dup pairs (jaccard ≥ 0.2) → transitive closure →
+    * `lbl(doc_id, cluster_id)`.
+    */
+  private[graft] val CC_FROM_WORDS_SQL = MINHASH_FROM_WORDS_SQL + """,
     cc_edges AS (SELECT doc_a, doc_b FROM mh_pairs WHERE jaccard >= 0.2),
     und AS (
       SELECT doc_a AS a, doc_b AS b FROM cc_edges
@@ -83,6 +91,14 @@ object ExtQueries {
       SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a),
     lbl AS (
       SELECT a AS doc_id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a)"""
+
+  /** DuckDB fragment (requires WITH RECURSIVE): connected components
+    * over the verified near-dup pairs (jaccard ≥ 0.2) via transitive
+    * closure, ending in `lbl(doc_id, cluster_id)` — cluster_id = the
+    * component's minimum doc id, matching [[graft.operators.Graph]]'s
+    * canonical representative.
+    */
+  private val CC_LABELS_SQL = WORDS_SQL + "," + CC_FROM_WORDS_SQL
 
   val all: Seq[QuerySpec] = Seq(
 
