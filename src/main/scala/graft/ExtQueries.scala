@@ -100,6 +100,43 @@ object ExtQueries {
     */
   private val CC_LABELS_SQL = WORDS_SQL + "," + CC_FROM_WORDS_SQL
 
+  /** DuckDB replay of [[operators.Sampling.mixtureSampleT]]: HUGEINT
+    * share/threshold arithmetic (exact — no Int64 overflow), and the
+    * same float-seeded, integer-corrected nth root. DuckDB ROUNDS
+    * double→int casts where Spark truncates; the ±2 correction ladder
+    * is exactly what makes both engines land on the identical w_s.
+    */
+  private def mixtureTOracle(budget: Long, tNum: Int, tDen: Int): String = {
+    def powH(c: String): String =
+      (1 until tNum).foldLeft(s"CAST(($c) AS HUGEINT)")((a, _) => s"($a * ($c))")
+    val xvExpr =
+      (1 until tDen).foldLeft("CAST(share AS HUGEINT)")((a, _) => s"($a * share)")
+    val invT = 1.0 / tNum
+    val thr = s"(CAST($budget AS HUGEINT) * w.w_s * 268435456) // (CAST(z.z AS HUGEINT) * w.n_s)"
+    s"""
+      WITH s AS (SELECT source, CAST(count(*) AS BIGINT) AS n_s FROM documents GROUP BY 1),
+      t AS (SELECT SUM(n_s) AS n_total FROM s),
+      sh AS (SELECT source, n_s,
+               (CAST(n_s AS HUGEINT) * 1000000000000) // CAST(n_total AS HUGEINT) AS share
+             FROM s, t),
+      x AS (SELECT source, n_s, $xvExpr AS xv FROM sh),
+      r AS (SELECT source, n_s, xv,
+              CAST(floor(pow(CAST(xv AS DOUBLE), $invT)) AS BIGINT) AS r0 FROM x),
+      w AS (SELECT source, n_s,
+              CASE WHEN ${powH("r0 + 2")} <= xv THEN r0 + 2
+                   WHEN ${powH("r0 + 1")} <= xv THEN r0 + 1
+                   WHEN ${powH("r0")} <= xv THEN r0
+                   WHEN ${powH("r0 - 1")} <= xv THEN r0 - 1
+                   ELSE greatest(r0 - 2, 0) END AS w_s
+            FROM r),
+      z AS (SELECT SUM(w_s) AS z FROM w)
+      SELECT d.doc_id, d.source, w.n_s, w.w_s,
+        $thr > 268435455 OR
+        substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 7) <
+          lpad(lower(to_hex(CAST($thr AS BIGINT))), 7, '0') AS kept
+      FROM documents d JOIN w ON d.source = w.source CROSS JOIN z"""
+  }
+
   val all: Seq[QuerySpec] = Seq(
 
     // exact dedup: canonical-fingerprint hash-aggregate clusters
@@ -476,6 +513,21 @@ object ExtQueries {
           substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 7) <
             lpad(lower(to_hex((200 * w.w_s * 268435456) // (z.z * w.n_s))), 7, '0') AS kept
         FROM documents d JOIN w ON d.source = w.source CROSS JOIN z""")),
+
+    // Mixture sampling at arbitrary RATIONAL temperature: libm pow is
+    // not engine-portable, so w_s is the EXACT integer root
+    // ⌊(share^tDen)^(1/tNum)⌋ — float-seeded, decimal-corrected (the
+    // ±2 CASE ladder absorbs both pow's ulp error and the engines'
+    // different double→int cast rounding). The oracle replays the same
+    // ladder in HUGEINT.
+    QuerySpec("q117_mixture_t3",
+      (s, dir) => operators.Sampling.mixtureSampleT(
+        Tables.documents(s, dir), "doc_id", "source", budget = 200L, tNum = 3, tDen = 1),
+      Some(mixtureTOracle(budget = 200L, tNum = 3, tDen = 1))),
+    QuerySpec("q118_mixture_t15",
+      (s, dir) => operators.Sampling.mixtureSampleT(
+        Tables.documents(s, dir), "doc_id", "source", budget = 200L, tNum = 3, tDen = 2),
+      Some(mixtureTOracle(budget = 200L, tNum = 3, tDen = 2))),
 
     // embedding-cosine near-dup: sign-bucket blocking + exact fixed-point
     // cosine threshold — the semantic-dedup pass over an embedded corpus

@@ -26,7 +26,14 @@ import org.apache.spark.sql.types._
   * Element types: `array<float>` and `array<double>` (mixed allowed) —
   * per element everything widens to double first, exactly as the HOF
   * lambda's `cast("double")` did.
-  * Null array yields null; lengths may differ — shorter prefix wins.
+  *
+  * Null semantics match the HOF formulation on EVERY input, so the two
+  * are interchangeable: a null array yields null; unequal lengths yield
+  * null (zip_with pads the shorter side with null → the sum is null);
+  * a null ELEMENT on either side yields null (null product poisons the
+  * aggregate). The engine's vectors are non-null fixed-width, so the
+  * hot path never takes the null branches — they exist for contract
+  * fidelity, not speed.
   */
 case class FixedDot(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -49,14 +56,19 @@ case class FixedDot(left: Expression, right: Expression)
 
   override def dataType: DataType = LongType
 
+  // null even on non-null children: length mismatch / null element
+  override def nullable: Boolean = true
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
+    if (x.numElements() != y.numElements()) return null
     val lDouble = isDouble(left.dataType); val rDouble = isDouble(right.dataType)
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
     var acc = 0L
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       val xv = if (lDouble) x.getDouble(i) else x.getFloat(i).toDouble
       val yv = if (rDouble) y.getDouble(i) else y.getFloat(i).toDouble
       acc += math.floor(xv * yv * 1e9).toLong
@@ -75,12 +87,17 @@ case class FixedDot(left: Expression, right: Expression)
       val xs = get(a, i, isDouble(left.dataType))
       val ys = get(b, i, isDouble(right.dataType))
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |long $acc = 0L;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += (long) java.lang.Math.floor($xs * $ys * 1.0E9);
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $n = $a.numElements();
+         |  long $acc = 0L;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $acc += (long) java.lang.Math.floor($xs * $ys * 1.0E9);
+         |  }
+         |  if (!${ev.isNull}) { ${ev.value} = $acc; }
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
 

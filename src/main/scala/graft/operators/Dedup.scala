@@ -70,10 +70,19 @@ object Dedup {
     */
   def dedupIncrement(batch: DataFrame, idCol: String, textCol: String,
                      knownFps: DataFrame, fpCol: String): DataFrame = {
-    val withFp = batch.withColumn("fp", TextFns.fingerprint(col(textCol)))
-    val batchWinners = withFp.groupBy(col("fp"))
+    // Reprocessed / overlapping crawl chunks legitimately repeat rows, so
+    // the batch is NOT assumed id-unique: identical rows collapse via
+    // distinct(), and an id carrying variant texts keeps its min-fp
+    // variant — both deterministic, so each admitted id appears exactly
+    // once and appending the output's `fp` to the state appends no dups.
+    // (Same id + same fp + a differing payload column is the caller's
+    // contract violation — fingerprint identity must identify the row.)
+    val withFp = batch.withColumn("fp", TextFns.fingerprint(col(textCol))).distinct()
+    val idWinners = withFp.groupBy(col(idCol)).agg(min(col("fp")).as("fp"))
+    val oneRowPerId = withFp.join(idWinners, Seq(idCol, "fp"), "left_semi")
+    val batchWinners = oneRowPerId.groupBy(col("fp"))
       .agg(min(col(idCol)).as(idCol))
-    withFp.join(batchWinners, Seq("fp", idCol), "left_semi")
+    oneRowPerId.join(batchWinners, Seq("fp", idCol), "left_semi")
       .join(knownFps.select(col(fpCol).as("fp")), Seq("fp"), "left_anti")
   }
 

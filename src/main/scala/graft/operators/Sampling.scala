@@ -143,47 +143,93 @@ object Sampling {
   /** Temperature-flattened MIXTURE sampling across sources (the data-
     * mixing step of LLM pretraining: upweight small sources, downweight
     * the dominant crawl). Source s with n_s of N docs gets mass
-    * q_s ∝ √(n_s/N) — temperature T = 2, hard-wired, because √ is the
-    * one power IEEE-754 rounds EXACTLY (general pow differs across
-    * libm implementations and would break cross-engine determinism).
-    * Every doc then draws a deterministic 28-bit uniform — the first 7
-    * hex digits of md5(id), compared LEXICOGRAPHICALLY against the
-    * per-source threshold rendered as zero-padded hex (the q56
-    * hash-sample idiom: string compare avoids any hex→int conversion
-    * the oracle engine might lack):
+    * q_s ∝ (n_s/N)^(1/T) at temperature T = 2. Every doc then draws a
+    * deterministic 28-bit uniform — the first 7 hex digits of md5(id),
+    * compared LEXICOGRAPHICALLY against the per-source threshold
+    * rendered as zero-padded hex (the q56 hash-sample idiom: string
+    * compare avoids any hex→int conversion the oracle engine might
+    * lack):
     *
     *   keep ⟺ md5(id)[0,7) < hex₇((budget · w_s · 2²⁸) div (Z · n_s)),
-    *   w_s = ⌊√(n_s·10¹² div N)⌋,  Z = Σ w_s
+    *   w_s = iroot₂(n_s·10¹² div N),  Z = Σ w_s
     *
-    * (thresholds ≥ 2²⁸ keep everything) — all integer arithmetic after
-    * the exact √, so the kept set is engine-portable. E[kept per
-    * source] ≈ budget · w_s / Z: the temperature-weighted allocation.
-    * Output: (id, source, kept) for every doc + the per-source quota
-    * columns for inspection.
+    * (thresholds ≥ 2²⁸ keep everything) — all integer arithmetic, so
+    * the kept set is engine-portable. E[kept per source] ≈
+    * budget · w_s / Z: the temperature-weighted allocation. Output:
+    * (id, source, kept) for every doc + the per-source quota columns
+    * for inspection. Arbitrary rational T: [[mixtureSampleT]].
     *
     * Scale: per-source stats are one tiny aggregate (broadcast back);
     * the draw is a row-local codegen'd filter — the whole operator adds
     * ZERO wide shuffles beyond the stats aggregate.
     */
   def mixtureSample(df: DataFrame, idCol: String, srcCol: String,
-                    budget: Long): DataFrame = {
-    // Overflow domain: the threshold product budget·w_s·2²⁸ must stay in
-    // 64 bits; w_s ≤ 10⁶ by construction (√ of a ≤10¹² share), so
-    // budget ≤ 3·10⁷ guarantees ≤ 8·10¹⁸ < 2⁶³. Larger sampling jobs
-    // shard the budget (k shards of ≤ 3·10⁷, disjoint by a doc-hash
-    // band) rather than widening the arithmetic.
-    require(budget >= 1 && budget <= 30000000L,
-      s"budget must be in [1, 3e7] (see overflow domain note), got $budget")
+                    budget: Long): DataFrame =
+    mixtureSampleT(df, idCol, srcCol, budget, tNum = 2, tDen = 1)
+
+  /** [[mixtureSample]] at arbitrary RATIONAL temperature T = tNum/tDen
+    * ≥ 1 (e.g. 3/2, 3/1): source mass q_s ∝ (n_s/N)^(tDen/tNum),
+    * engine-exact. General pow can't be used directly — libm pow is not
+    * correctly rounded and differs across engines — so the weight is an
+    * exact INTEGER root: with share = n_s·10¹² div N,
+    *
+    *   w_s = ⌊(share^tDen)^(1/tNum)⌋
+    *
+    * computed as a float-seeded, integer-corrected nth root: seed
+    * r₀ = ⌊pow(X, 1/tNum)⌋ in double (within ~1 ulp on any libm, and
+    * engines may round vs truncate the cast differently — both absorbed
+    * by the correction), then pick the largest candidate
+    * c ∈ {r₀−2..r₀+2} with c^tNum ≤ X, the comparison done in
+    * Decimal(38,0) — exact, so every engine lands on the identical w_s
+    * regardless of its libm. All products run in Decimal(38,0):
+    * X = share^tDen ≤ 10^(12·tDen) ≤ 10³⁶ and the threshold product
+    * budget·w_s·2²⁸ ≤ 10³³ both fit with slack, so there is NO Int64
+    * overflow anywhere in the operator's domain — including the
+    * billion-document sources and large budgets a 100 TB corpus has.
+    *
+    * Quota monotonicity (MixtureSpec): raising T flattens — the rare
+    * source's share of Z strictly grows, the dominant source's shrinks.
+    */
+  def mixtureSampleT(df: DataFrame, idCol: String, srcCol: String,
+                     budget: Long, tNum: Int, tDen: Int): DataFrame = {
+    require(tNum >= 1 && tDen >= 1, s"temperature must be positive, got $tNum/$tDen")
+    require(tDen <= tNum, s"temperature T = tNum/tDen must be >= 1 (flattening), got $tNum/$tDen")
+    require(tNum <= 6 && tDen <= 3,
+      s"tNum <= 6 and tDen <= 3 keep share^tDen and candidate^tNum inside Decimal(38,0), got $tNum/$tDen")
+    // budget bounded by the corpus scale it allocates over; with the
+    // decimal threshold product (<= 1e12·1e12·2^28 ~ 2.7e32 < 1e38)
+    // there is no arithmetic constraint below 1e12.
+    require(budget >= 1 && budget <= 1000000000000L,
+      s"budget must be in [1, 1e12], got $budget")
+    val dec = "decimal(38,0)"
+    // exact integer share in [0, 1e12]; decimal keeps n_s·1e12 exact for
+    // ANY source size (Int64 would corrupt sources past ~9.2e6 docs)
+    val shareExpr =
+      s"cast(cast(n_s as $dec) * 1000000000000 as $dec) div cast(n_total as $dec)"
+    def powDec(c: String): String =
+      (1 until tNum).foldLeft(s"cast(($c) as $dec)")((a, _) => s"($a * ($c))")
+    val invT = 1.0 / tNum // shortest-repr double literal: parses identically everywhere
+    val rootExpr =
+      s"""case when ${powDec("r0 + 2")} <= xv then r0 + 2
+         |     when ${powDec("r0 + 1")} <= xv then r0 + 1
+         |     when ${powDec("r0")} <= xv then r0
+         |     when ${powDec("r0 - 1")} <= xv then r0 - 1
+         |     else greatest(r0 - 2, 0) end""".stripMargin
     val stats = df.groupBy(col(srcCol)).agg(count(lit(1)).as("n_s"))
     val tot = stats.agg(sum(col("n_s")).as("n_total"))
     val w = stats.crossJoin(broadcast(tot))
-      .withColumn("w_s",
-        expr("cast(floor(sqrt(cast((n_s * 1000000000000) div n_total as double))) as bigint)"))
+      .withColumn("share", expr(shareExpr))
+      .withColumn("xv", expr(
+        (1 until tDen).foldLeft(s"cast(share as $dec)")((a, _) => s"($a * share)")))
+      .withColumn("r0", expr(s"cast(pow(cast(xv as double), $invT) as bigint)"))
+      .withColumn("w_s", expr(rootExpr))
+      .drop("share", "xv", "r0")
     val z = w.agg(sum(col("w_s")).as("z"))
     df.select(col(idCol).as("id"), col(srcCol))
       .join(broadcast(w), Seq(srcCol))
       .crossJoin(broadcast(z))
-      .withColumn("thr", expr(s"($budget * w_s * 268435456) div (z * n_s)"))
+      .withColumn("thr", expr(
+        s"(cast($budget as $dec) * w_s * 268435456) div (cast(z as $dec) * n_s)"))
       .withColumn("kept", col("thr") > lit(268435455L) ||
         substring(md5(col("id").cast("string")), 1, 7) <
           lpad(lower(hex(col("thr"))), 7, "0"))

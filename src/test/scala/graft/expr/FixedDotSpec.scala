@@ -41,6 +41,29 @@ class FixedDotSpec extends SparkSpec {
     assert(n == null)
   }
 
+  test("HOF null semantics: unequal lengths → null, exactly like zip_with padding") {
+    val df = Seq((Array(1.0f, 2.0f, 3.0f), Array(1.0f, 2.0f))).toDF("a", "b")
+    val (fused, hof) = df
+      .select(FixedDot.fixedDot($"a", $"b"), VectorFns.dotFixed9Hof($"a", $"b"))
+      .as[(Option[Long], Option[Long])].collect().head
+    assert(hof.isEmpty, "HOF reference: padded null slot poisons the sum")
+    assert(fused == hof, "fused must agree with the HOF on length mismatch")
+  }
+
+  test("HOF null semantics: a null ELEMENT on either side → null") {
+    val df = spark.sql(
+      """select array(cast(1.5 as float), cast(null as float)) as a,
+        |       array(cast(2.0 as float), cast(3.0 as float)) as b""".stripMargin)
+    val (fused, hof) = df
+      .select(FixedDot.fixedDot(col("a"), col("b")), VectorFns.dotFixed9Hof(col("a"), col("b")))
+      .as[(Option[Long], Option[Long])].collect().head
+    assert(hof.isEmpty && fused == hof)
+    val (fused2, hof2) = df
+      .select(FixedDot.fixedDot(col("b"), col("a")), VectorFns.dotFixed9Hof(col("b"), col("a")))
+      .as[(Option[Long], Option[Long])].collect().head
+    assert(hof2.isEmpty && fused2 == hof2)
+  }
+
   test("the codegen and interpreted paths agree") {
     val df = Seq((Array(1.5f, -2.5f), Array(0.25f, 4.0f))).toDF("a", "b")
     val col = FixedDot.fixedDot($"a", $"b")

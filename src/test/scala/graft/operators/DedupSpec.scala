@@ -128,4 +128,29 @@ class DedupSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().sorted.toSeq
     assert(got == Seq(6L, 9L))
   }
+
+  test("dedupIncrement: a reprocessed chunk (repeated / variant rows per id) emits each id ONCE") {
+    val s = spark
+    import s.implicits._
+    val known = Seq(("seen before")).toDF("t")
+      .select(graft.functions.TextFns.fingerprint($"t").as("fp")).distinct()
+    val batch = Seq(
+      (1L, "alpha doc"),   // exact repeat of the row below
+      (1L, "alpha doc"),
+      (2L, "beta v1"),     // same id, variant texts → one deterministic row
+      (2L, "beta v2"),
+      (3L, "gamma doc")
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupIncrement(batch, "doc_id", "text", known, "fp")
+    val ids = out.select("doc_id").as[Long].collect().sorted.toSeq
+    assert(ids == Seq(1L, 2L, 3L), s"each admitted id exactly once, got $ids")
+    // the kept variant for id 2 is the min-fp one — deterministic, so
+    // appending out.fp to the state appends no duplicate fingerprints
+    val fps = out.select("fp").as[String].collect().toSeq
+    assert(fps.distinct.size == fps.size)
+    val minFp = batch.filter($"doc_id" === 2L)
+      .select(graft.functions.TextFns.fingerprint($"text").as("fp"))
+      .as[String].collect().min
+    assert(out.filter($"doc_id" === 2L).select("fp").as[String].collect().head == minFp)
+  }
 }

@@ -165,6 +165,81 @@ class SamplingSpec extends SparkSpec {
     assert(first == again)
   }
 
+  test("mixtureSampleT: T=2/1 is mixtureSample; quotas flatten MONOTONICALLY in T") {
+    val s = spark
+    import s.implicits._
+    val df = ((1L to 900L).map(i => (i, "crawl")) ++
+      (1001L to 1100L).map(i => (i, "books"))).toSeq.toDF("doc_id", "source")
+    val a = Sampling.mixtureSample(df, "doc_id", "source", 200L)
+    val b = Sampling.mixtureSampleT(df, "doc_id", "source", 200L, tNum = 2, tDen = 1)
+    assert(a.except(b).count() == 0 && b.except(a).count() == 0)
+    // the rare source's share of total mass Z strictly grows with T:
+    // T = 1 (raw shares) < 3/2 < 2 < 3
+    def booksShare(tn: Int, td: Int): Double = {
+      val w = Sampling.mixtureSampleT(df, "doc_id", "source", 200L, tn, td)
+        .select("source", "w_s").distinct()
+        .as[(String, Long)].collect().toMap
+      w("books").toDouble / (w("books") + w("crawl"))
+    }
+    val shares = Seq(booksShare(1, 1), booksShare(3, 2), booksShare(2, 1), booksShare(3, 1))
+    assert(shares == shares.sorted && shares.distinct == shares,
+      s"rare-source mass share must strictly increase with T, got $shares")
+    assert(math.abs(shares.head - 0.1) < 1e-9, "T=1 must reproduce raw shares")
+  }
+
+  test("mixtureSampleT: integer roots are EXACT on known powers") {
+    val s = spark
+    import s.implicits._
+    // single source → share = 1e12 exactly; w_s = (1e12·tDen-power)^(1/tNum)
+    val df = (1L to 10L).map(i => (i, "only")).toSeq.toDF("doc_id", "source")
+    def wOf(tn: Int, td: Int): Long =
+      Sampling.mixtureSampleT(df, "doc_id", "source", 5L, tn, td)
+        .select("w_s").distinct().as[Long].collect().head
+    assert(wOf(3, 1) == 10000L)          // cbrt(1e12)
+    assert(wOf(3, 2) == 100000000L)      // (1e24)^(1/3)
+    assert(wOf(2, 1) == 1000000L)        // sqrt(1e12)
+    assert(wOf(1, 1) == 1000000000000L)  // identity root
+    intercept[IllegalArgumentException]( // T < 1 (sharpening) out of contract
+      Sampling.mixtureSampleT(df, "doc_id", "source", 5L, 1, 2))
+  }
+
+  test("mixtureSample: a giant source past the old Int64 share domain gets exact quotas") {
+    val s = spark
+    import s.implicits._
+    // n_s·10¹² overflows Int64 once n_s > ~9.2e6 — the normal case for a
+    // dominant crawl source; the decimal path must stay exact (the old
+    // arithmetic silently produced a null w_s here)
+    val big = s.range(9300000L).select(col("id").as("doc_id"), lit("crawl").as("source"))
+    val small = s.range(9300000L, 9300010L)
+      .select(col("id").as("doc_id"), lit("books").as("source"))
+    val w = Sampling.mixtureSample(big.union(small), "doc_id", "source", 1000L)
+      .select("source", "w_s").distinct().as[(String, Long)].collect().toMap
+    def isqrt(x: BigInt): Long = {
+      var r = BigInt(math.sqrt(x.toDouble).toLong + 2)
+      while (r * r > x) r -= 1
+      r.toLong
+    }
+    val nTot = BigInt(9300010L)
+    val wCrawl = isqrt(BigInt(9300000L) * BigInt("1000000000000") / nTot)
+    val wBooks = isqrt(BigInt(10L) * BigInt("1000000000000") / nTot)
+    assert(w("crawl") == wCrawl && w("books") == wBooks)
+
+    // thr-product regression (ADVICE r4 high): budget·w_s·2²⁸ =
+    // 1e6·~1e6·2.68e8 ≈ 2.7e20 ≫ 2⁶³ — the old Int64 product wrapped
+    // negative, hex'd to 16 f's, lpad-truncated to 'fffffff', and kept
+    // ~EVERYTHING. The decimal threshold is exact: the crawl draw must
+    // be selective at ≈ budget·w_s/Z ≈ 999k of 9.3M, not all 9.3M.
+    val kept = Sampling.mixtureSample(big.union(small), "doc_id", "source", 1000000L)
+      .filter(col("kept")).groupBy("source").agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap
+    val z = wCrawl + wBooks
+    val thrCrawl = (BigInt(1000000L) * wCrawl * 268435456L) / (BigInt(z) * 9300000L)
+    val expCrawl = 9300000L * thrCrawl.toDouble / 268435456.0
+    assert(kept("books") == 10L, "tiny source's thr >= 2^28 keeps all of it")
+    assert(math.abs(kept("crawl") - expCrawl) < 5000,
+      s"crawl draw must be selective and exact-quota: got ${kept("crawl")}, expected ~$expCrawl")
+  }
+
   test("mixtureSample: a threshold at/above 2^28 keeps every doc of that source") {
     val s = spark
     import s.implicits._
