@@ -569,6 +569,48 @@ object CurateQueries {
           CAST(SUM(r * (x + w * y)) AS BIGINT) AS wsum_r
         FROM px GROUP BY 1""")),
 
+    // REAL PNG decode, end-to-end (BMP's compressed counterpart): each
+    // doc generates closed-form pixels DECLARATIVELY (so the oracle can
+    // replay the generator), the JVM encoder writes a complete valid
+    // PNG — real zlib, real CRCs, scanline filter type cycling
+    // (doc_id + y) % 5 so all five PNG filters appear — and
+    // PngCodec.decode (Inflater + the five inverse filters) must
+    // recover the exact pixels: the position-weighted red sum breaks on
+    // any filter, row-order, or byte-order mistake. PngCodecSpec
+    // independently cross-checks the decoder against ImageIO-written
+    // PNGs (real encoder, its own filter heuristics).
+    QuerySpec("q115_png_decode",
+      (s, dir) => {
+        import graft.multimodal.Multimodal
+        val docs = Tables.documents(s, dir).select(col("doc_id"))
+          .withColumn("w", (col("doc_id") % 5 + 2).cast("int"))
+          .withColumn("h", (col("doc_id") % 4 + 2).cast("int"))
+          .withColumn("pixels", expr("""
+            transform(sequence(0, w * h - 1), i ->
+              cast(pmod(doc_id * 7 + pmod(i, w) * 19 + (i div w) * 23, 256) * 65536
+                 + pmod(doc_id * 5 + pmod(i, w) * 13 + (i div w) * 17, 256) * 256
+                 + pmod(doc_id * 3 + pmod(i, w) * 7  + (i div w) * 11, 256) as int))"""))
+        Multimodal.pngPixelStats(Multimodal.synthPngMedia(docs)).toDF()
+      },
+      Some("""
+        WITH g AS (
+          SELECT doc_id, doc_id % 5 + 2 AS w, doc_id % 4 + 2 AS h FROM documents),
+        px AS (
+          SELECT doc_id, w, h, x, y,
+            (doc_id * 7 + x * 19 + y * 23) % 256 AS r,
+            (doc_id * 5 + x * 13 + y * 17) % 256 AS gg,
+            (doc_id * 3 + x * 7  + y * 11) % 256 AS b
+          FROM g, UNNEST(range(0, w)) AS tx(x), UNNEST(range(0, h)) AS ty(y))
+        SELECT doc_id,
+          CAST(any_value(w) AS INTEGER) AS width,
+          CAST(any_value(h) AS INTEGER) AS height,
+          CAST(count(*) AS BIGINT) AS n_pixels,
+          CAST(SUM(r) AS BIGINT) AS sum_r,
+          CAST(SUM(gg) AS BIGINT) AS sum_g,
+          CAST(SUM(b) AS BIGINT) AS sum_b,
+          CAST(SUM(r * (x + w * y)) AS BIGINT) AS wsum_r
+        FROM px GROUP BY 1""")),
+
     // BPE tokenizer TRAINING (the learn side of q84/q85's apply side):
     // 8 byte-pair merges learned from corpus word frequencies, leftmost-
     // non-overlapping merge semantics, (count desc, pair) tie order. The

@@ -228,6 +228,58 @@ object Multimodal {
                             n_pixels: Long, sum_r: Long, sum_g: Long,
                             sum_b: Long, wsum_r: Long)
 
+  /** Input row for [[synthPngMedia]]: dimensions + row-major 0xRRGGBB
+    * pixels (generated declaratively in the query so the oracle can
+    * replay the generator).
+    */
+  final case class PngSynthRow(doc_id: Long, w: Int, h: Int, pixels: Seq[Int])
+
+  /** Encode each row's pixel array as a COMPLETE valid PNG ([[PngCodec
+    * .encodeRgb]]: real zlib, real CRCs) with the scanline filter type
+    * CYCLING `(doc_id + y) % 5` — every image with ≥5 rows exercises
+    * all five PNG filters, so the decode side can't pass without all
+    * five inverse filters being right. Executor-side mapPartitions at
+    * the opaque-codec boundary, like the WAV/BMP paths.
+    */
+  def synthPngMedia(df: DataFrame): Dataset[MediaRow] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.as[PngSynthRow].mapPartitions { rows =>
+      rows.map { r =>
+        val payload = PngCodec.encodeRgb(r.w, r.h, r.pixels.toArray,
+          y => ((r.doc_id + y) % 5).toInt)
+        MediaRow(r.doc_id, "image/png", payload.length.toLong, payload)
+      }
+    }
+  }
+
+  /** Per-image statistics over DECODED PNG pixels — the raster stats of
+    * [[bmpPixelStats]] computed off the inflate+unfilter decode path:
+    * the position-weighted red sum breaks if any of the five inverse
+    * filters, the scanline order, or the RGB byte order is wrong.
+    * Undecodable payloads contribute no rows.
+    */
+  def pngPixelStats(media: Dataset[MediaRow]): Dataset[BmpStats] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        PngCodec.decode(r.payload).map { png =>
+          var sr = 0L; var sg = 0L; var sb = 0L; var wr = 0L
+          var i = 0
+          while (i < png.pixels.length) {
+            val p = png.pixels(i)
+            sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+            wr += ((p >> 16) & 0xff).toLong * i
+            i += 1
+          }
+          BmpStats(r.doc_id, png.width, png.height,
+            png.pixels.length.toLong, sr, sg, sb, wr)
+        }
+      }
+    }
+  }
+
   /** Synthesize a COMPLETE valid mono 16-bit PCM WAV file from an
     * `array<int>` sample column, as pure codegen'd SQL expressions —
     * RIFF header, fmt chunk, data chunk, two's-complement LE samples.
