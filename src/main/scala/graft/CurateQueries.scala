@@ -622,6 +622,17 @@ object CurateQueries {
         Tables.documents(s, dir), "doc_id", "text", merges = 8),
       Some(s"WITH $WORDS_SQL, ${operators.Bpe.oracleSql(8)}")),
 
+    // BATCHED BPE training — the production 30k-merge path: top-F pairs
+    // per round, anti-join admission (no conflict with any higher-
+    // ranked candidate's symbols or concat), ONE multi-pair rewrite per
+    // round. The oracle replays all rounds — ranking, admission rule,
+    // and rewrite — as generated chained CTEs; BpeSpec proves F=1
+    // degenerates to the sequential trainer exactly.
+    QuerySpec("q116_bpe_batch",
+      (s, dir) => operators.Bpe.trainBpeBatched(
+        Tables.documents(s, dir), "doc_id", "text", rounds = 3, f = 4),
+      Some(s"WITH $WORDS_SQL, ${operators.Bpe.oracleBatchSql(3, 4)}")),
+
     // Capstone v2 — the ROUND-4 operator chain composed end to end:
     // segment dedup (boilerplate stripping) → length floor → bigram-LM
     // surprisal filter (≤ 6.5 bits/bigram, integer-exact compare) →

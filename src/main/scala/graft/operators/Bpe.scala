@@ -29,9 +29,9 @@ import graft.functions.TextFns
   * Scale note: production BPE runs ~30k merges; at vocabulary scale
   * each round here costs one shuffle over the symbol table plus one
   * driver scalar, so the dataflow is sound but round-LATENCY-bound.
-  * The standard batching fix (apply the top-F non-interacting pairs per
-  * round) drops rounds by ~F× with identical results for
-  * non-overlapping pairs; out of scope for the demo surface.
+  * The batching fix is [[trainBpeBatched]]: apply the top-F
+  * non-interacting pairs per round — ~F× fewer rounds, same rewrite
+  * dataflow, and the 30k-merge tokenizer becomes ~30k/F round trips.
   */
 object Bpe {
 
@@ -97,12 +97,178 @@ object Bpe {
     ms.toDF("step", "lhs", "rhs", "pair_count")
   }
 
+  /** Does candidate pair `c` interact with higher-ranked candidate `h`?
+    * Interaction = their symbol sets {lhs, rhs, lhs||rhs} intersect —
+    * merging one could then create/destroy occurrences counted by the
+    * other, so they can't safely merge in the same round.
+    */
+  private def conflicts(h: (String, String), c: (String, String)): Boolean = {
+    val hs = Set(h._1, h._2, h._1 + h._2)
+    val cs = Set(c._1, c._2, c._1 + c._2)
+    hs.intersect(cs).nonEmpty
+  }
+
+  /** BATCHED BPE training: each of `rounds` rounds counts pairs ONCE,
+    * takes the top `f` by (count desc, lhs, rhs), admits every candidate
+    * that does not [[conflicts conflict]] with ANY higher-ranked
+    * candidate — admitted or not — and applies ALL admitted merges in a
+    * single rewrite pass. ~f× fewer round trips than [[trainBpe]]; with
+    * `f = 1` it IS trainBpe (rank-1 is always admitted, BpeSpec proves
+    * the merge tables equal).
+    *
+    * Why this exact admission rule (vs the greedy admitted-only
+    * variant): checking against all higher-ranked CANDIDATES is a pure
+    * anti-join on rank — deterministic, engine-replayable as SQL
+    * ([[oracleBatchSql]]), and still guarantees admitted pairs are
+    * pairwise non-interacting (for any two admitted pairs the lower-
+    * ranked one was checked against the higher-ranked one directly).
+    * Slightly conservative — a candidate conflicting only with a
+    * REJECTED higher rank also waits a round — which costs round count,
+    * never correctness.
+    *
+    * Why one rewrite pass is safe for symbol-disjoint pairs: a
+    * candidate occurrence of (a,b) at position i makes sym(i+1) = b, so
+    * a different admitted pair starting at i+1 would need its lhs = b —
+    * impossible when pairs share no symbols. Consecutive candidate
+    * positions therefore always belong to the SAME pair (the (a,a) run
+    * case), and the leftmost-non-overlapping odd-rank rule from the
+    * single-pair rewrite applies unchanged.
+    *
+    * Step numbers follow (round, rank) order, so the merge table is the
+    * sequential-application order within each batch.
+    */
+  def trainBpeBatched(docs: DataFrame, idCol: String, textCol: String,
+                      rounds: Int, f: Int): DataFrame = {
+    require(rounds >= 1 && rounds <= 1000, s"rounds must be in [1,1000], got $rounds")
+    require(f >= 1 && f <= 64, s"f must be in [1,64] (driver collects f rows/round), got $f")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val words = docs
+      .select(explode(TextFns.tokens(col(textCol))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("wc"))
+    val chars = words.select(col("word"), col("wc"),
+      posexplode(expr("filter(split(word, ''), s -> s != '')")).as(Seq("pos", "sym")))
+    var cur = Staging.stage(chars, "bpeb_0")
+    val learned = scala.collection.mutable.ArrayBuffer.empty[Merge]
+    var i = 0
+    var done = false
+    while (i < rounds && !done) {
+      val wn = Window.partitionBy("word").orderBy("pos")
+      val paired = cur.df.withColumn("nxt", lead(col("sym"), 1).over(wn))
+      val top = paired.filter(col("nxt").isNotNull)
+        .groupBy("sym", "nxt").agg(sum(col("wc")).as("cnt"))
+        .orderBy(col("cnt").desc, col("sym"), col("nxt"))
+        .limit(f).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      if (top.isEmpty) done = true
+      else {
+        val admitted = top.zipWithIndex.collect {
+          case ((a, b, cnt), rk)
+            if top.take(rk).forall(h => !conflicts((h._1, h._2), (a, b))) => (a, b, cnt)
+        }.toSeq
+        admitted.foreach { case (a, b, cnt) =>
+          learned += Merge(learned.size + 1, a, b, cnt)
+        }
+        val adm = admitted.map { case (a, b, _) => (a, b) }
+          .toDF("adm_a", "adm_b")
+        val cand = paired
+          .join(broadcast(adm),
+            col("sym") === col("adm_a") && col("nxt") === col("adm_b"), "left_semi")
+          .withColumn("grp", col("pos") - row_number().over(wn))
+          .withColumn("rn2", row_number().over(
+            Window.partitionBy("word", "grp").orderBy("pos")))
+          .filter(col("rn2") % 2 === 1)
+          .select(col("word"), col("pos"), lit(true).as("kept"))
+        val merged = paired.join(cand, Seq("word", "pos"), "left")
+          .withColumn("kept", coalesce(col("kept"), lit(false)))
+          .withColumn("prev_kept", lag(col("kept"), 1, false).over(wn))
+          .filter(!col("prev_kept"))
+          .select(col("word"), col("wc"),
+            (row_number().over(wn) - 1).as("pos"),
+            when(col("kept"), concat(col("sym"), col("nxt")))
+              .otherwise(col("sym")).as("sym"))
+        val staged = Staging.stage(merged, s"bpeb_${i + 1}")
+        cur.delete()
+        cur = staged
+        i += 1
+      }
+    }
+    cur.delete()
+    merge(spark, learned.toSeq)
+  }
+
   /** The DuckDB replay of [[trainBpe]] for `merges` rounds, generated as
     * a chained-CTE SQL string (each round = pair/best/cand/keep/rewrite
     * CTEs with the SAME window semantics) — kept next to the trainer so
     * the two formulations evolve together. `wordsCte` must provide
     * words(w) as in ExtQueries.WORDS_SQL.
     */
+  /** The DuckDB replay of [[trainBpeBatched]]: per round, the top-`f`
+    * pair ranking, the NOT-EXISTS anti-join admission rule (a candidate
+    * is admitted iff no higher-ranked candidate's {lhs, rhs, lhs||rhs}
+    * intersects its own), and the one-pass multi-pair rewrite. Steps
+    * are numbered in (round, rank) order, exactly as the trainer does.
+    */
+  def oracleBatchSql(rounds: Int, f: Int): String = {
+    val base = """
+      wrd AS (
+        SELECT word, CAST(count(*) AS BIGINT) AS wc FROM (
+          SELECT UNNEST(w) AS word FROM words) GROUP BY 1),
+      b0 AS (
+        SELECT word, wc, i AS pos, cs[CAST(i + 1 AS INTEGER)] AS sym FROM (
+          SELECT word, wc, list_filter(string_split(word, ''), x -> x <> '') AS cs
+          FROM wrd), UNNEST(range(0, len(cs))) AS t(i))"""
+    val roundsSql = (1 to rounds).map { k =>
+      val p = s"b${k - 1}"
+      s"""
+      fl$k AS (
+        SELECT word, wc, pos, sym,
+          lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt
+        FROM $p),
+      pc$k AS (
+        SELECT a, b, cnt, rk FROM (
+          SELECT a, b, cnt, row_number() OVER (ORDER BY cnt DESC, a, b) AS rk
+          FROM (
+            SELECT sym AS a, nxt AS b, SUM(wc) AS cnt
+            FROM fl$k WHERE nxt IS NOT NULL GROUP BY 1, 2))
+        WHERE rk <= $f),
+      adm$k AS (
+        SELECT c.a, c.b, c.cnt, c.rk FROM pc$k c
+        WHERE NOT EXISTS (
+          SELECT 1 FROM pc$k h WHERE h.rk < c.rk AND (
+            h.a IN (c.a, c.b, c.a || c.b) OR
+            h.b IN (c.a, c.b, c.a || c.b) OR
+            h.a || h.b IN (c.a, c.b, c.a || c.b)))),
+      cand$k AS (
+        SELECT fb.word, fb.pos,
+          fb.pos - row_number() OVER (PARTITION BY fb.word ORDER BY fb.pos) AS grp
+        FROM fl$k fb JOIN adm$k ad ON fb.sym = ad.a AND fb.nxt = ad.b),
+      keepb$k AS (
+        SELECT word, pos FROM (
+          SELECT word, pos,
+            row_number() OVER (PARTITION BY word, grp ORDER BY pos) AS rn2
+          FROM cand$k) WHERE rn2 % 2 = 1),
+      mb$k AS (
+        SELECT fb.word, fb.wc, fb.pos, fb.sym, fb.nxt,
+          (k.pos IS NOT NULL) AS kept
+        FROM fl$k fb LEFT JOIN keepb$k k ON fb.word = k.word AND fb.pos = k.pos),
+      b$k AS (
+        SELECT word, wc,
+          row_number() OVER (PARTITION BY word ORDER BY pos) - 1 AS pos,
+          CASE WHEN kept THEN sym || nxt ELSE sym END AS sym
+        FROM (
+          SELECT *, coalesce(lag(kept) OVER (PARTITION BY word ORDER BY pos), false) AS prev_kept
+          FROM mb$k)
+        WHERE NOT prev_kept)"""
+    }.mkString(",")
+    val unioned = (1 to rounds).map(k =>
+      s"SELECT $k AS rnd, rk, a, b, cnt FROM adm$k").mkString("\n        UNION ALL ")
+    base + "," + roundsSql + s"""
+        SELECT CAST(row_number() OVER (ORDER BY rnd, rk) AS INTEGER) AS step,
+          a AS lhs, b AS rhs, CAST(cnt AS BIGINT) AS pair_count
+        FROM ($unioned)"""
+  }
+
   def oracleSql(merges: Int): String = {
     val base = """
       wrd AS (

@@ -49,4 +49,55 @@ class BpeSpec extends SparkSpec {
       .as[(Int, String, String, Long)].collect().sortBy(_._1).toSeq
     assert(a == b)
   }
+
+  private def trainBatched(texts: Seq[String], rounds: Int, f: Int) =
+    Bpe.trainBpeBatched(texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text"), "doc_id", "text", rounds, f)
+      .as[(Int, String, String, Long)].collect().sortBy(_._1).toSeq
+
+  test("batched with f=1 IS the sequential trainer (rank-1 always admitted)") {
+    val texts = Seq("spark spork spark sprocket sprint spork lolo lol aaa")
+    assert(trainBatched(texts, 6, 1) == train(texts, 6).toSeq)
+  }
+
+  test("batched admits exactly the non-interacting prefix-checked pairs, per round") {
+    // 100x 'ppqq' + 90x 'rrss'. Round-1 ranking (cnt desc, a, b):
+    //   (p,p)100, (p,q)100, (q,q)100, (r,r)90, (r,s)90, (s,s)90
+    // admission vs ALL higher-ranked candidates:
+    //   (p,p) admit; (p,q) shares p; (q,q) shares q with (p,q);
+    //   (r,r) admit; (r,s) shares r; (s,s) shares s with (r,s)
+    val texts = Seq(Seq.fill(100)("ppqq").mkString(" "), Seq.fill(90)("rrss").mkString(" "))
+    val round1 = trainBatched(texts, 1, 6)
+    assert(round1.map(m => (m._2, m._3, m._4)) ==
+      Seq(("p", "p", 100L), ("r", "r", 90L)))
+    // round 2 over the rewritten state [pp,q,q] / [rr,s,s]:
+    //   (pp,q)100, (q,q)100, (rr,s)90, (s,s)90 → admit (pp,q) and (rr,s)
+    val round2 = trainBatched(texts, 2, 6)
+    assert(round2.map(m => (m._2, m._3, m._4)) ==
+      Seq(("p", "p", 100L), ("r", "r", 90L), ("pp", "q", 100L), ("rr", "s", 90L)))
+    // steps numbered in (round, rank) order
+    assert(round2.map(_._1) == Seq(1, 2, 3, 4))
+  }
+
+  test("batched multi-pair rewrite handles same-pair runs (the 'aaa' overlap rule)") {
+    // 'aaaa bb' x3: round 1 ranks (a,a)9, (b,b)3 — disjoint, both admitted;
+    // 'aaaa' must become [aa, aa] (leftmost-non-overlapping), 'bb' → [bb]
+    val texts = Seq(Seq.fill(3)("aaaa bb").mkString(" "))
+    val round1 = trainBatched(texts, 1, 4)
+    assert(round1.map(m => (m._2, m._3, m._4)) == Seq(("a", "a", 9L), ("b", "b", 3L)))
+    // round 2: state [aa,aa] / [bb] → top pair (aa,aa) count 3
+    val round2 = trainBatched(texts, 2, 4)
+    assert(round2.last._2 == "aa" && round2.last._3 == "aa" && round2.last._4 == 3L)
+  }
+
+  test("batched is deterministic under repartitioning") {
+    val texts = Seq("spark spork spark sprocket sprint spork")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val a = Bpe.trainBpeBatched(df, "doc_id", "text", 3, 4)
+      .as[(Int, String, String, Long)].collect().sortBy(_._1).toSeq
+    val b = Bpe.trainBpeBatched(df.repartition(7), "doc_id", "text", 3, 4)
+      .as[(Int, String, String, Long)].collect().sortBy(_._1).toSeq
+    assert(a == b)
+  }
 }
