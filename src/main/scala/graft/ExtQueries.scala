@@ -137,6 +137,37 @@ object ExtQueries {
       FROM documents d JOIN w ON d.source = w.source CROSS JOIN z"""
   }
 
+  /** Unrolled DuckDB replay of [[operators.Graph.pageRankDirected]] on
+    * the q119 synthetic digraph: per round, the dangling-mass scalar,
+    * the per-edge contribution sum, and the damped update — every
+    * division a BIGINT floor div, exactly as the operator computes.
+    */
+  private def pageRankDirectedOracle(iters: Int): String = {
+    val rounds = (1 to iters).map { k =>
+      val p = s"p${k - 1}"
+      s"""
+        d$k AS (SELECT coalesce(SUM(pr), 0) AS dang FROM $p WHERE outdeg = 0),
+        c$k AS (SELECT e.dst AS id, SUM(p.pr // p.outdeg) AS s
+                FROM e JOIN $p p ON e.src = p.id GROUP BY 1),
+        p$k AS (SELECT b.id,
+                  CAST(150000000 + (85 * (coalesce(c.s, 0) + d.dang // nn.n)) // 100 AS BIGINT) AS pr,
+                  b.outdeg
+                FROM $p b LEFT JOIN c$k c ON b.id = c.id CROSS JOIN d$k d CROSS JOIN nn)"""
+    }.mkString(",")
+    s"""
+        WITH e AS (
+          SELECT DISTINCT doc_id % 40 AS src, (doc_id * 3) % 57 AS dst
+          FROM documents WHERE doc_id % 40 <> (doc_id * 3) % 57),
+        nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+        od AS (SELECT src AS id, CAST(count(*) AS BIGINT) AS outdeg FROM e GROUP BY 1),
+        nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+        p0 AS (
+          SELECT nodes.id, CAST(1000000000 AS BIGINT) AS pr,
+            coalesce(od.outdeg, 0) AS outdeg
+          FROM nodes LEFT JOIN od ON nodes.id = od.id),$rounds
+        SELECT id, pr FROM p$iters"""
+  }
+
   val all: Seq[QuerySpec] = Seq(
 
     // exact dedup: canonical-fingerprint hash-aggregate clusters
@@ -902,6 +933,20 @@ object ExtQueries {
                FROM und u JOIN p2 p ON u.a = p.id JOIN deg d ON u.a = d.a GROUP BY 1),
         p3 AS (SELECT id, CAST(150000000 + (85 * s) // 100 AS BIGINT) AS pr FROM c3)
         SELECT id AS doc_id, pr FROM p3""")),
+
+    // DIRECTED PageRank with dangling-mass redistribution on a synthetic
+    // digraph with genuine sinks (nodes 40..56 appear only as dst):
+    // each round the sink mass is shared uniformly (D_t div N) before
+    // damping, all BIGINT floor divisions, so the unrolled-CTE oracle
+    // hash-matches. On symmetric edge sets this reduces to q83's
+    // undirected operator exactly (GraphSpec asserts the equality).
+    QuerySpec("q119_pagerank_directed",
+      (s, dir) => {
+        val e = Tables.documents(s, dir)
+          .select((col("doc_id") % 40).as("src"), ((col("doc_id") * 3) % 57).as("dst"))
+        graft.operators.Graph.pageRankDirected(e, "src", "dst", iterations = 4)
+      },
+      Some(pageRankDirectedOracle(4))),
 
     // Exact triangle count over the near-dup graph by degree-ordered
     // orientation (out-degrees bounded O(√E) — no hub blowup); the

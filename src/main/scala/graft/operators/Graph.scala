@@ -209,9 +209,9 @@ object Graph {
     * edge list + one map-side-combining sum — the same O(1)-plan-depth
     * staged-round shape as [[connectedComponents]]. Every node in an
     * undirected graph has degree ≥ 1, so there are no dangling-mass
-    * corrections to apply (directed graphs with sinks would need the
-    * standard dangling redistribution — out of scope for the similarity
-    * graphs this ranks).
+    * corrections to apply; directed graphs with sinks are
+    * [[pageRankDirected]], which adds the standard dangling
+    * redistribution and reduces to this on symmetric edge sets.
     *
     * The use here: rank documents by centrality in the near-dup
     * similarity graph — high-rank nodes are the "template" documents
@@ -242,6 +242,68 @@ object Graph {
     }
     val out = cur.df.select(col("id"), col("pr"))
     ust.delete()
+    out
+  }
+
+  /** DIRECTED PageRank with DANGLING-MASS redistribution — the general
+    * web-graph formulation [[pageRank]]'s undirected scope note names:
+    * a sink (out-degree 0) keeps absorbing rank unless its mass is
+    * returned to the graph, so each round the dangling sum D_t is
+    * shared uniformly across all N nodes BEFORE damping:
+    *
+    *   pr_{t+1}(v) = 15·SCALE div 100
+    *               + (85 · (Σ_{u→v} (pr_t(u) div outdeg(u)) + D_t div N)) div 100
+    *
+    * Same exact integer fixed-point discipline as [[pageRank]] (scale
+    * 10^9, BIGINT floor divisions only) — deterministic under any
+    * partitioning and replayable by an unrolled-CTE oracle (q119). On a
+    * SYMMETRIC edge set (both directions present) there are no sinks,
+    * D_t = 0, and this reduces to [[pageRank]] exactly — GraphSpec
+    * asserts the equality, so the undirected results are unchanged by
+    * construction.
+    *
+    * Per round: the same one-shuffle contribution join + map-side sum,
+    * plus a 1-row dangling aggregate broadcast back (a scalar, like the
+    * iterative convergence checks). N is a once-computed driver scalar.
+    * Rank-mass conservation (Σ pr ≈ N·SCALE, up to floor-division
+    * remainders) is the spec's invariant.
+    */
+  def pageRankDirected(edges: DataFrame, srcCol: String, dstCol: String,
+                       iterations: Int): DataFrame = {
+    require(iterations >= 1 && iterations <= 50,
+      s"iterations must be in [1, 50], got $iterations")
+    val Scale = 1000000000L
+    val e = edges.select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .filter(col("src") =!= col("dst")).distinct()
+    val est = Staging.stage(e, "prd_edges")
+    val ed = est.df
+    val nodes = ed.select(col("src").as("id"))
+      .union(ed.select(col("dst").as("id"))).distinct()
+    val outdeg = ed.groupBy(col("src").as("id")).agg(count(lit(1)).as("outdeg"))
+    val state0 = nodes.join(outdeg, Seq("id"), "left")
+      .select(col("id"), lit(Scale).as("pr"), coalesce(col("outdeg"), lit(0L)).as("outdeg"))
+    var cur = Staging.stage(state0, "prd_0")
+    val n = cur.df.count() // node count: fixed across rounds
+    for (i <- 1 to iterations) {
+      val dang = cur.df.filter(col("outdeg") === 0)
+        .agg(coalesce(sum(col("pr")), lit(0L)).as("dang"))
+      val contrib = ed
+        .join(cur.df.select(col("id").as("src"), col("pr"), col("outdeg")), Seq("src"))
+        .select(col("dst").as("id"), expr("pr div outdeg").as("w"))
+        .groupBy("id").agg(sum(col("w")).as("s"))
+      val next = cur.df.select("id", "outdeg")
+        .join(contrib, Seq("id"), "left")
+        .crossJoin(broadcast(dang))
+        .select(col("id"),
+          (lit(15L * Scale / 100) +
+            expr(s"(85 * (coalesce(s, 0) + dang div $n)) div 100")).as("pr"),
+          col("outdeg"))
+      val staged = Staging.stage(next, s"prd_$i")
+      cur.delete()
+      cur = staged
+    }
+    val out = cur.df.select(col("id"), col("pr"))
+    est.delete()
     out
   }
 

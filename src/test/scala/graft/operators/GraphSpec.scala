@@ -121,6 +121,53 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("pageRankDirected: a sink's mass redistributes — exact 2-node hand computation") {
+    val s = spark
+    import s.implicits._
+    // a→b, b is a sink. N=2, pr0 = (1e9, 1e9). Round 1:
+    //   dang = 1e9, share = 5e8
+    //   pr(a) = 1.5e8 + (85·(0 + 5e8)) div 100   = 575000000
+    //   pr(b) = 1.5e8 + (85·(1e9 + 5e8)) div 100 = 1425000000
+    // and mass 2e9 is conserved exactly.
+    val edges = Seq((1L, 2L)).toDF("a", "b")
+    val got = Graph.pageRankDirected(edges, "a", "b", 1)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 575000000L, 2L -> 1425000000L))
+  }
+
+  test("pageRankDirected reduces to undirected pageRank on a symmetric edge set") {
+    val s = spark
+    import s.implicits._
+    // undirected pageRank(E) treats each edge both ways; feeding BOTH
+    // directions to the directed operator gives no sinks, dang = 0, and
+    // identical integer updates — results must be equal, row for row
+    val und = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L)).toDF("a", "b")
+    val sym = und.union(und.select($"b".as("a"), $"a".as("b")))
+    val d = Graph.pageRankDirected(sym, "a", "b", 3).as[(Long, Long)].collect().sorted.toSeq
+    val u = Graph.pageRank(und, "a", "b", 3).as[(Long, Long)].collect().sorted.toSeq
+    assert(d == u)
+  }
+
+  test("pageRankDirected conserves rank mass up to floor remainders, deterministically") {
+    val s = spark
+    import s.implicits._
+    // digraph with two sinks (5, 6) and a hub; after any number of
+    // rounds Σpr stays within N·100 of N·SCALE (each node's update
+    // drops < 100 in the two floor divisions) — the invariant that
+    // breaks if dangling mass is simply lost
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (4L, 5L), (2L, 6L), (4L, 1L))
+      .toDF("a", "b")
+    val pr = Graph.pageRankDirected(edges, "a", "b", 5).as[(Long, Long)].collect()
+    val n = pr.length
+    val mass = pr.map(_._2).sum
+    assert(n == 6)
+    assert(math.abs(mass - n * 1000000000L) < n * 5 * 100L,
+      s"mass $mass drifted from ${n * 1000000000L}")
+    val again = Graph.pageRankDirected(edges.repartition(5), "a", "b", 5)
+      .as[(Long, Long)].collect().sorted.toSeq
+    assert(again == pr.sorted.toSeq)
+  }
+
   test("connectedComponentsStar converges in O(log n) rounds on a chain (label propagation needs n)") {
     val s = spark
     import s.implicits._
