@@ -144,6 +144,54 @@ object EventQueries {
           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
         FROM events GROUP BY 1""")),
 
+    // Streaming SESSION windows end-to-end: file stream → watermark →
+    // flatMapGroupsWithState sessionizer (30 min gap) → memory sink.
+    // Emission semantics are deterministic and the oracle replays them
+    // exactly: a session closed by a later same-user event in the batch
+    // is emitted immediately (equivalently: a next session exists); the
+    // final open session per user is emitted iff the terminal event-time
+    // watermark (global max ts − 1 h) strictly passes last_event + gap.
+    // This is the streaming form of q26 — same sessions, append-mode
+    // state machine instead of a batch window.
+    QuerySpec("q120_stream_session",
+      (s, dir) => {
+        GraftSession.tune(s)
+        import graft.streaming.Streams
+        val batchSchema = s.read.parquet(s"$dir/events.parquet").schema
+        val raw = s.readStream.schema(batchSchema)
+          .option("pathGlobFilter", "events.parquet").parquet(dir)
+        val withTs =
+          if (batchSchema("ts").dataType == org.apache.spark.sql.types.LongType)
+            raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+          else raw
+        import s.implicits._
+        val evts = withTs.select(col("user_id").cast("long").as("user_id"), col("ts"))
+          .withWatermark("ts", "1 hour")
+          .as[Streams.Evt]
+        Streams.runToCompletion(s,
+          Streams.sessionize(evts, gapMs = 30L * 60 * 1000).toDF(), "append")
+      },
+      Some("""
+        WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        mx AS (SELECT max(ts) AS m FROM e),
+        d AS (
+          SELECT *, CASE WHEN lag(ts) OVER w IS NULL
+                           OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        s AS (
+          SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+          FROM d),
+        sess AS (
+          SELECT user_id, min(ts) AS session_start, max(ts) AS last_ts,
+            count(*) AS n_events
+          FROM s GROUP BY user_id, sid),
+        nxt AS (
+          SELECT *, lead(session_start) OVER (PARTITION BY user_id ORDER BY session_start) AS next_start
+          FROM sess)
+        SELECT user_id, session_start, n_events FROM nxt, mx
+        WHERE next_start IS NOT NULL
+           OR m - INTERVAL 1 HOUR > last_ts + INTERVAL 30 MINUTE""")),
+
     // Stream-static join: the live event stream enriched against a
     // STATIC dimension (per-user first-seen cohort, computed batch-side)
     // via broadcast — the standard streaming-enrichment shape: the dim

@@ -28,16 +28,34 @@ object Streams {
   /** One user session as emitted by the custom stateful operator. */
   final case class SessionOut(user_id: Long, session_start: Timestamp, n_events: Long)
   final case class Evt(user_id: Long, ts: Timestamp)
+  /** Session buffer in epoch MICROS — `Timestamp.getTime` is only
+    * ms-precision and real event data carries micros; truncating would
+    * shift session boundaries (two events exactly `gap` apart minus a
+    * few hundred micros would wrongly split).
+    */
   final case class SessionBuf(start: Long, last: Long, n: Long)
+
+  private def toMicros(ts: Timestamp): Long =
+    ts.getTime * 1000L + (ts.getNanos % 1000000L) / 1000L
+
+  private def fromMicros(us: Long): Timestamp = {
+    val t = new Timestamp(Math.floorDiv(us, 1000L))
+    t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+    t
+  }
 
   /** Custom session state via flatMapGroupsWithState (the mechanism the
     * reference lacks entirely — bounded per-key state with timeout-driven
     * emission): a session closes when no event arrives for `gapMs`.
-    * Sessions are emitted on state timeout, so output is append-mode.
+    * Sessions closed by a later in-batch event emit immediately; the
+    * final open session emits when the event-time watermark passes
+    * last + gap (append-mode). All gap math runs at MICROsecond
+    * precision; only the coarse state-timeout registration is ms.
     */
   def sessionize(events: Dataset[Evt], gapMs: Long): Dataset[SessionOut] = {
     val spark = events.sparkSession
     import spark.implicits._
+    val gapUs = gapMs * 1000L
     events
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionBuf, SessionOut](
@@ -46,19 +64,21 @@ object Streams {
           if (state.hasTimedOut) {
             val s = state.get
             state.remove()
-            Iterator.single(SessionOut(uid, new Timestamp(s.start), s.n))
+            Iterator.single(SessionOut(uid, fromMicros(s.start), s.n))
           } else {
-            val sorted = evs.map(_.ts.getTime).toSeq.sorted
+            val sorted = evs.map(e => toMicros(e.ts)).toSeq.sorted
             val closed = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
             var buf = state.getOption.getOrElse(SessionBuf(sorted.head, sorted.head, 0))
             sorted.foreach { t =>
-              if (t - buf.last >= gapMs) {
-                closed += SessionOut(uid, new Timestamp(buf.start), buf.n)
+              if (t - buf.last >= gapUs) {
+                closed += SessionOut(uid, fromMicros(buf.start), buf.n)
                 buf = SessionBuf(t, t, 1)
               } else buf = buf.copy(last = t, n = buf.n + 1)
             }
             state.update(buf)
-            state.setTimeoutTimestamp(buf.last + gapMs)
+            // ceil to ms so the registered timeout never precedes the
+            // true micros deadline
+            state.setTimeoutTimestamp(Math.floorDiv(buf.last + gapUs + 999L, 1000L))
             closed.iterator
           }
       }
