@@ -65,22 +65,37 @@ object Staging {
   private val sessionId: String =
     s"jvm_${java.lang.ProcessHandle.current().pid()}_${java.util.UUID.randomUUID().toString.take(8)}"
 
-  /** Every session root this JVM has created; the single shutdown hook
-    * iterates the whole set.
+  /** Every session root this JVM has created, with the Hadoop
+    * configuration that can reach it (captured at registration — the
+    * SparkSession may already be stopped when the hook runs); the
+    * single shutdown hook iterates the whole map.
     */
-  private val roots = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private val roots = new java.util.concurrent.ConcurrentHashMap[
+    String, org.apache.hadoop.conf.Configuration]()
   private val hooked = new java.util.concurrent.atomic.AtomicBoolean(false)
 
-  private def registerRoot(dir: String): Unit = {
-    roots.add(dir)
+  private def registerRoot(dir: String,
+                           conf: org.apache.hadoop.conf.Configuration): Unit = {
+    roots.put(dir, conf)
     if (hooked.compareAndSet(false, true))
-      Runtime.getRuntime.addShutdownHook(new Thread(() => {
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
-        }
-        roots.forEach(d => rm(new java.io.File(d)))
-      }))
+      Runtime.getRuntime.addShutdownHook(new Thread(() => exitCleanup()))
   }
+
+  /** Delete every registered staging root through the HADOOP FS API —
+    * a `java.io.File` walk would silently no-op on a remote
+    * `graft.staging.dir` (HDFS/S3), leaving job-scoped storage hygiene
+    * to the caller. Best-effort per root: at JVM exit Hadoop's own
+    * shutdown hook may already have closed cached filesystems, and a
+    * failed delete must not block the remaining roots. Package-visible
+    * so StagingSpec can drive the hook body directly.
+    */
+  private[operators] def exitCleanup(): Unit =
+    roots.forEach { (dir, conf) =>
+      try {
+        val p = new org.apache.hadoop.fs.Path(dir)
+        p.getFileSystem(conf).delete(p, true): Unit
+      } catch { case scala.util.control.NonFatal(_) => () }
+    }
 
   /** Materialize `df` as a lineage-free barrier and return a frame
     * reading it back: staging parquet when `graft.staging.dir` is set
@@ -94,7 +109,7 @@ object Staging {
         val dir = s"$root/$sessionId"
         val path = s"$dir/${hint}_${java.util.UUID.randomUUID().toString.take(8)}"
         df.write.mode("overwrite").parquet(path)
-        registerRoot(dir)
+        registerRoot(dir, spark.sparkContext.hadoopConfiguration)
         Staged(spark.read.parquet(path), path)
       case None =>
         Staged(df.localCheckpoint(true), "")
