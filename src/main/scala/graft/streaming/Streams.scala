@@ -135,6 +135,23 @@ object Streams {
       try agg.writeStream.outputMode(mode).format("memory").queryName(qn).start()
       finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     q.processAllAvailable()
+    // Stabilization barrier: event-time TIMEOUTS fire in a no-data
+    // micro-batch AFTER the batch that advanced the watermark, and
+    // processAllAvailable can return in the gap before the engine
+    // schedules it — append-mode queries with state timeouts (q120's
+    // sessionizer) would then be missing their final emissions. Loop
+    // until the sink row count is stable across consecutive drains
+    // (complete-mode queries converge on the first extra iteration).
+    var prevCount = -1L
+    var curCount = spark.table(qn).count()
+    var tries = 0
+    while (curCount != prevCount && tries < 20) {
+      Thread.sleep(200)
+      q.processAllAvailable()
+      prevCount = curCount
+      curCount = spark.table(qn).count()
+      tries += 1
+    }
     // copy the sink out and RELEASE the query's session footprint: the
     // memory sink is the final aggregate of a completed bounded query —
     // driver-bounded by construction — so one collect lets us drop the

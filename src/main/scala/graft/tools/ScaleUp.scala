@@ -12,13 +12,19 @@ import graft.GraftSession
   * Replication is SALTED so corpus statistics scale LINEARLY instead of
   * manufacturing an artificial duplicate structure:
   *   - documents: replica i maps the 10 most frequent letters through a
-  *     rotation (translate) — token/char distributions are preserved,
-  *     but cross-replica shingle overlap vanishes, so dedup candidate
-  *     volume grows ~N× (not the N²× that exact replication would cause
-  *     — web-scale corpora do contain heavy duplication, but that regime
-  *     is its own benchmark, not a scaling run);
-  *   - embeddings: replica i rotates the vector by i positions — norms
-  *     preserved, directions new, so ANN cell/bucket occupancy scales;
+  *     rotation (translate), COMPOSED with a second rotation over the
+  *     10 next-frequent letters keyed by i/10 — salt period 100, so no
+  *     two replicas share text up to factor 100 (a single rotation
+  *     wraps at 10 and factors beyond it manufacture exact 10-cliques —
+  *     real web corpora DO look like that, but that duplication regime
+  *     is its own benchmark, not a linear scaling run). Token/char
+  *     distributions are preserved; cross-replica shingle overlap
+  *     vanishes, so dedup candidate volume grows ~N×;
+  *   - embeddings: replica i rotates the vector by i mod 64 positions
+  *     and NEGATES it for i ≥ 64 — norms preserved, all directions
+  *     distinct up to factor 128 (negation flips cosine sign, so
+  *     negated replicas are maximally far from their rotation twins),
+  *     so ANN cell/bucket occupancy scales;
   *   - events: user_id offset per replica (N× users, same time range);
   *   - orders/lineitem: orderkey offset per replica (N× facts over the
   *     same dimension tables — dims deliberately NOT scaled, the usual
@@ -31,6 +37,7 @@ object ScaleUp {
 
   private val Off = 10000000L
   private val Alpha = "etaoinsrhl"
+  private val Alpha2 = "dcumfpgwyb" // disjoint from Alpha: composition is a permutation
 
   def main(args: Array[String]): Unit = {
     val src = args.lift(0).getOrElse("/root/testdata/sf0.1")
@@ -49,21 +56,24 @@ object ScaleUp {
     def read(t: String) = spark.read.parquet(s"$src/$t.parquet")
     def write(df: DataFrame, t: String): Unit =
       df.write.mode("overwrite").parquet(s"$dst/$t.parquet")
-    def rot(i: Int): String = { val r = i % Alpha.length; Alpha.drop(r) + Alpha.take(r) }
+    def rot(a: String, i: Int): String = { val r = i % a.length; a.drop(r) + a.take(r) }
     def replicate(base: DataFrame)(variant: (DataFrame, Int) => DataFrame): DataFrame =
       (0 until n).map(i => variant(base, i)).reduce(_ unionByName _)
 
     write(replicate(read("documents")) { (d, i) =>
       d.select((col("doc_id") + i * Off).as("doc_id"),
-        translate(col("text"), Alpha, rot(i)).as("text"),
+        translate(translate(col("text"), Alpha, rot(Alpha, i)),
+          Alpha2, rot(Alpha2, i / 10)).as("text"),
         col("lang"), col("source"), col("n_chars"))
     }, "documents")
 
     write(replicate(read("embeddings")) { (d, i) =>
+      val r = i % 64
+      val rotated = s"concat(slice(embedding, $r + 1, size(embedding) - $r), " +
+        s"slice(embedding, 1, $r))"
+      val salted = if (i >= 64) s"transform($rotated, x -> -x)" else rotated
       d.select((col("vec_id") + i * Off).as("vec_id"),
-        expr(s"concat(slice(embedding, ${i % 8} + 1, size(embedding) - ${i % 8}), " +
-          s"slice(embedding, 1, ${i % 8}))").as("embedding"),
-        col("label"))
+        expr(salted).as("embedding"), col("label"))
     }, "embeddings")
 
     write(replicate(read("events")) { (d, i) =>
