@@ -441,6 +441,61 @@ object CurateQueries {
           md5(string_agg(k.term, ' ' ORDER BY k.pos)) AS clean_md5
         FROM kept k JOIN orig o ON k.doc_id = o.doc_id GROUP BY 1""")),
 
+    // EXACT-SUBSTRING span dedup (Lee et al. ExactSubstr): any 20-char
+    // window occurring >= 4 times anywhere in the corpus marks a span;
+    // chained marks merge to maximal spans, spans cut from the text.
+    // Catches boilerplate at ANY offset — no delimiter alignment needed
+    // (q105's limitation). The oracle replays positions → dup hashes →
+    // island merge → ordered string_agg reassembly; the cleaned-text
+    // md5 breaks if any span boundary, merge, or cut is off by one.
+    QuerySpec("q121_substring_dedup",
+      (s, dir) => operators.CorpusText.dropDuplicatedSpans(
+          Tables.documents(s, dir), "doc_id", "text", k = 20, minCount = 4)
+        .select(col("id").as("doc_id"), col("n_spans"), col("dup_chars"),
+          col("n_chars_clean"), col("clean_digest")),
+      Some("""
+        WITH d AS (SELECT doc_id AS id, text AS t FROM documents),
+        p AS (
+          SELECT id, i AS pos, md5(substr(t, CAST(i AS INTEGER), 20)) AS h
+          FROM d, UNNEST(range(1, length(t) - 19 + 1)) AS u(i)
+          WHERE length(t) >= 20),
+        dh AS (SELECT h FROM p GROUP BY h HAVING count(*) >= 4),
+        m AS (SELECT id, pos FROM p WHERE h IN (SELECT h FROM dh)),
+        mk AS (
+          SELECT id, pos,
+            CASE WHEN lag(pos) OVER (PARTITION BY id ORDER BY pos) IS NULL
+                   OR pos > lag(pos) OVER (PARTITION BY id ORDER BY pos) + 19
+                 THEN 1 ELSE 0 END AS newi
+          FROM m),
+        gi AS (
+          SELECT *, SUM(newi) OVER (PARTITION BY id ORDER BY pos
+                                    ROWS UNBOUNDED PRECEDING) AS isl
+          FROM mk),
+        sp AS (SELECT id, isl, min(pos) AS s, max(pos) + 19 AS e FROM gi GROUP BY 1, 2),
+        sg AS (
+          SELECT id, coalesce(lag(e) OVER (PARTITION BY id ORDER BY s), 0) + 1 AS fp,
+            s - 1 AS tp
+          FROM sp),
+        tails AS (SELECT id, max(e) + 1 AS fp FROM sp GROUP BY 1),
+        pieces AS (
+          SELECT sg.id, sg.fp,
+            substr(d.t, CAST(sg.fp AS INTEGER), CAST(sg.tp - sg.fp + 1 AS INTEGER)) AS piece
+          FROM sg JOIN d ON sg.id = d.id WHERE sg.tp >= sg.fp
+          UNION ALL
+          SELECT tl.id, tl.fp,
+            substr(d.t, CAST(tl.fp AS INTEGER), CAST(length(d.t) - tl.fp + 1 AS INTEGER))
+          FROM tails tl JOIN d ON tl.id = d.id WHERE tl.fp <= length(d.t)),
+        cleaned AS (SELECT id, string_agg(piece, '' ORDER BY fp) AS clean FROM pieces GROUP BY 1),
+        agg AS (SELECT id, CAST(count(*) AS INTEGER) AS n_spans,
+                  CAST(SUM(e - s + 1) AS BIGINT) AS dup_chars
+                FROM sp GROUP BY 1)
+        SELECT d.id AS doc_id,
+          coalesce(a.n_spans, 0) AS n_spans,
+          CAST(coalesce(a.dup_chars, 0) AS BIGINT) AS dup_chars,
+          CAST(length(CASE WHEN a.n_spans IS NULL THEN d.t ELSE coalesce(c.clean, '') END) AS INTEGER) AS n_chars_clean,
+          md5(CASE WHEN a.n_spans IS NULL THEN d.t ELSE coalesce(c.clean, '') END) AS clean_digest
+        FROM d LEFT JOIN agg a ON d.id = a.id LEFT JOIN cleaned c ON d.id = c.id""")),
+
     // Bigram LM surprisal scoring — the LM quality filter, trained on
     // the corpus itself, in integer log2 units (bit lengths, no floats
     // in any aggregate) so the score hash-matches cross-engine.

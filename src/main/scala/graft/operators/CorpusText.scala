@@ -49,6 +49,91 @@ object CorpusText {
         (col("n_orig") - col("n_kept")).as("n_dropped"), col("clean_md5"))
   }
 
+  /** EXACT-SUBSTRING span dedup (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better" — the ExactSubstr
+    * pass): any `k`-char window whose text occurs at least `minCount`
+    * times ANYWHERE in the corpus (across documents or repeated within
+    * one) marks a duplicated span; overlapping/chained marks merge into
+    * maximal spans, and each document's cleaned text is what remains
+    * after cutting every span. Finer-grained than [[
+    * dropRepeatedSegments]] (which needs the duplication to align with
+    * a delimiter): this catches boilerplate injected mid-line, license
+    * headers, and templated sentences at ANY offset.
+    *
+    * Output: one row per input doc — (id, n_spans, dup_chars,
+    * n_chars_clean, clean_digest, clean) with span-free docs passing
+    * through whole (n_spans = 0). `clean_digest` is md5 of the cleaned
+    * text, so the result is oracle-hashable; a fully-duplicated doc
+    * cleans to the empty string (digest of ''), mirroring CCNet's
+    * drop-empty convention downstream.
+    *
+    * Mechanics: positions explode to (id, pos, md5(window)); window
+    * hashes seen ≥ minCount times form the mark set (one aggregate +
+    * one semi-join); marks chain into islands with the classic
+    * gap-vs-k lag test + running sum; islands aggregate to (start,
+    * end) spans; cutting is ONE ordered higher-order fold per doc over
+    * its own (bounded) span list — no per-char shuffling.
+    *
+    * Scale: the position table is corpus-chars-sized — the same volume
+    * a tokenizer pass reads — and everything after the mark semi-join
+    * is per-doc-bounded. Per-position md5(substring) costs len·k
+    * bytes hashed; the 100 TB upgrade is a Karp-Rabin rolling-hash
+    * `Expression` (one multiply-add per position), which changes this
+    * constant, not the dataflow. The hash df table's hot keys are the
+    * duplicated windows themselves — bounded by minCount semantics,
+    * AQE-splittable like every blocked join here.
+    */
+  def dropDuplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
+                          k: Int, minCount: Long): DataFrame = {
+    require(k >= 2, s"window k must be >= 2, got $k")
+    require(minCount >= 2, s"minCount must be >= 2 (1 marks everything), got $minCount")
+    val parallelism = Dedup.fanout(docs.sparkSession)
+    val base = docs.select(col(idCol).as("id"), col(textCol).as("t"))
+    val pos = base.repartition(parallelism, col("id"))
+      .filter(length(col("t")) >= k)
+      .select(col("id"), explode(sequence(lit(1), length(col("t")) - (k - 1))).as("pos"),
+        col("t"))
+      .select(col("id"), col("pos"), md5(expr(s"substring(t, pos, $k)")).as("h"))
+    // two consumers (df count + mark probe) → stage once; the staged
+    // frame outlives this call because the result is lazy (the
+    // Dedup.staged convention — exit cleanup owns the lifetime)
+    val pst = Dedup.staged(pos, "span_pos")
+    val dupH = pst.groupBy("h").agg(count(lit(1)).as("c"))
+      .filter(col("c") >= minCount).select("h")
+    val marks = pst.join(dupH, Seq("h"), "left_semi").select("id", "pos")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("id").orderBy("pos")
+    val spans = marks
+      .withColumn("newi",
+        when(col("pos") > lag(col("pos"), 1, -2L * k).over(w) + (k - 1), 1).otherwise(0))
+      .withColumn("isl", sum(col("newi")).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .groupBy("id", "isl")
+      .agg(min(col("pos")).as("s"), (max(col("pos")) + (k - 1)).as("e"))
+    val spanAgg = spans.groupBy("id").agg(
+      sort_array(collect_list(struct(col("s"), col("e")))).as("sp"),
+      count(lit(1)).cast("int").as("n_spans"),
+      sum(col("e") - col("s") + 1).as("dup_chars"))
+    val out = base.join(spanAgg, Seq("id"), "left")
+      // one fold per doc: walk the ordered spans, keeping the text
+      // between the previous span's end and the next span's start
+      .withColumn("clean", expr(
+        """CASE WHEN sp IS NULL THEN t ELSE
+          |  aggregate(sp,
+          |    named_struct('acc', cast('' as string), 'p', cast(1 as bigint)),
+          |    (st, x) -> named_struct(
+          |      'acc', concat(st.acc, substring(t, cast(st.p as int), cast(x.s - st.p as int))),
+          |      'p', cast(x.e + 1 as bigint)),
+          |    st -> concat(st.acc,
+          |      substring(t, cast(st.p as int), cast(char_length(t) - st.p + 1 as int))))
+          |END""".stripMargin))
+    out.select(col("id"),
+      coalesce(col("n_spans"), lit(0)).as("n_spans"),
+      coalesce(col("dup_chars"), lit(0L)).as("dup_chars"),
+      length(col("clean")).as("n_chars_clean"),
+      md5(col("clean")).as("clean_digest"),
+      col("clean"))
+  }
+
   /** The segment-array form of [[dropRepeatedSegments]]: (id, segs) with
     * dropped segments removed, order preserved.
     */

@@ -76,4 +76,54 @@ class CorpusTextSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       CorpusText.cleanSegments(docs, "doc_id", "text", "\n", 0))
   }
+
+  test("dropDuplicatedSpans cuts a cross-doc shared substring EXACTLY, at any offset") {
+    val s = spark
+    import s.implicits._
+    val boiler = "SHARED-BOILERPLATE-SEGMENT-XYZ" // 30 chars
+    val a = "aaaa bbbb cccc " + boiler + " dddd eeee"
+    val b = "ffff gggg " + boiler + " hhhh iiii jjjj"
+    val docs = Seq((1L, a), (2L, b), (3L, "totally unique text here, nothing shared"))
+      .toDF("doc_id", "text")
+    val out = CorpusText.dropDuplicatedSpans(docs, "doc_id", "text", k = 20, minCount = 2)
+      .as[(Long, Int, Long, Int, String, String)].collect().sortBy(_._1)
+    // the shared substring is the boiler PLUS its flanking spaces (both
+    // docs put a space on each side — 32 shared chars); windows
+    // straddling past that carry unique context and must not extend
+    // the span further
+    assert(out(0)._6 == "aaaa bbbb cccc" + "dddd eeee")
+    assert(out(0)._2 == 1 && out(0)._3 == 32L)
+    assert(out(1)._6 == "ffff gggg" + "hhhh iiii jjjj")
+    assert(out(2)._2 == 0 && out(2)._6 == "totally unique text here, nothing shared")
+    // char accounting and digest consistency
+    out.foreach { r =>
+      assert(r._4 == r._6.length)
+      assert(r._3 + r._4 == (if (r._1 == 1) a.length else if (r._1 == 2) b.length else r._6.length))
+    }
+  }
+
+  test("dropDuplicatedSpans: WITHIN-doc repeats mark both occurrences; full dup cleans to ''") {
+    val s = spark
+    import s.implicits._
+    val rep = "REPEATED-CHUNK-ABCDEFG-0123" // 27 chars
+    val d = rep + " middle filler text " + rep
+    val twin = "identical-twin-document-text-01234567890"
+    val docs = Seq((1L, d), (2L, twin), (3L, twin)).toDF("doc_id", "text")
+    val out = CorpusText.dropDuplicatedSpans(docs, "doc_id", "text", k = 20, minCount = 2)
+      .as[(Long, Int, Long, Int, String, String)].collect().sortBy(_._1)
+    // doc 1: two disjoint spans, each exactly one `rep` occurrence
+    assert(out(0)._2 == 2 && out(0)._3 == 2L * rep.length)
+    assert(out(0)._6 == " middle filler text ")
+    // docs 2/3 duplicate each other entirely → every window repeats →
+    // the whole text is one span, cleaned to the empty string
+    assert(out(1)._2 == 1 && out(1)._6 == "" && out(1)._4 == 0)
+    assert(out(2)._6 == "")
+    // short docs (< k) pass through untouched
+    val tiny = CorpusText.dropDuplicatedSpans(
+      Seq((9L, "short"), (10L, "short")).toDF("doc_id", "text"), "doc_id", "text", 20, 2)
+      .as[(Long, Int, Long, Int, String, String)].collect()
+    assert(tiny.forall(r => r._2 == 0 && r._6 == "short"))
+    intercept[IllegalArgumentException](
+      CorpusText.dropDuplicatedSpans(docs, "doc_id", "text", 20, 1))
+  }
 }
