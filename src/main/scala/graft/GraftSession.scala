@@ -33,6 +33,13 @@ object GraftSession {
     // TIMESTAMP(NANOS) parquet columns surface as LongType instead of
     // erroring out (harness events table):
     c.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // Naive (isAdjustedToUTC=false) parquet timestamps read as plain
+    // TIMESTAMP in the UTC session, not TIMESTAMP_NTZ — the harness
+    // events table is naive micros, and NTZ columns reject event-time
+    // watermarks and epoch arithmetic (unix_micros). DuckDB reads the
+    // same bytes as naive TIMESTAMP, so both engines see identical
+    // wall-clock values.
+    c.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     // Partition-overwrite only rewrites the partitions present in the
     // incoming frame — the physical form of the reference's per-day
     // import-once upserts (reference `server/etl.py:71`).

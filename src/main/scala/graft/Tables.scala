@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Readers for the harness corpus (`/root/testdata/sf{N}/{name}.parquet`).
   *
@@ -28,9 +28,16 @@ object Tables {
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     val raw = table(spark, dir, "events")
-    if (raw.schema("ts").dataType == LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
+    raw.schema("ts").dataType match {
+      // TIMESTAMP(NANOS) parquet read raw via nanosAsLong
+      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      // naive micros read by an untuned session (GraftSession.tune
+      // disables NTZ inference; this covers foreign sessions) — the
+      // cast reinterprets the wall-clock value in the UTC session zone,
+      // the same instants the tuned read produces
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
   }
 
   def lineitem(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "lineitem")
