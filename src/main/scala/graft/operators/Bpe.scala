@@ -43,8 +43,21 @@ object Bpe {
     * tokenizer artifact. Stops early when no pair remains.
     */
   def trainBpe(docs: DataFrame, idCol: String, textCol: String, merges: Int): DataFrame = {
+    val (learned, fin) = trainCore(docs, textCol, merges)
+    fin.delete()
+    merge(docs.sparkSession, learned)
+  }
+
+  /** Sequential training loop, returning BOTH the learned merge list and
+    * the final STAGED symbolized vocabulary table (word, wc, pos, sym) —
+    * which IS the BPE encoding of every distinct corpus word after all
+    * merges. [[trainBpe]] keeps only the merges; [[encodeBpe]] keeps the
+    * symbol table (the per-word encoding cache) and joins it back to the
+    * corpus. Caller owns deleting the returned stage.
+    */
+  private def trainCore(docs: DataFrame, textCol: String,
+                        merges: Int): (Seq[Merge], Staging.Staged) = {
     require(merges >= 1 && merges <= 1000, s"merges must be in [1,1000], got $merges")
-    val spark = docs.sparkSession
     val words = docs
       .select(explode(TextFns.tokens(col(textCol))).as("word"))
       .groupBy("word").agg(count(lit(1)).as("wc"))
@@ -88,8 +101,45 @@ object Bpe {
         i += 1
       }
     }
-    cur.delete()
-    merge(spark, learned.toSeq)
+    (learned.toSeq, cur)
+  }
+
+  /** BPE ENCODE — the tokenizer APPLY side with merges learned by
+    * [[trainBpe]] on the same corpus: per document, the concatenation of
+    * each word's post-merge symbol sequence, in word order.
+    *
+    * Spark-first shape (how production tokenization actually scales):
+    * the merge loop runs on the DISTINCT-WORD symbol table only
+    * (vocabulary-sized rounds — the corpus is never rewritten), and the
+    * resulting per-word encoding cache joins back to the corpus token
+    * stream in ONE pass. A 100 TB corpus pays one tokenize+join, not
+    * `merges` rewrites; the cache is vocabulary-sized and shuffles on
+    * the word key (broadcastable when the vocab is small).
+    *
+    * Output: (id, n_tokens, toks_md5) where toks_md5 digests the
+    * U+001F-joined symbol stream — digest instead of the raw array so
+    * the result is oracle-hashable; [[BpeSpec]] asserts the underlying
+    * sequences. Documents with zero tokens emit no row (same as the
+    * words-CTE oracle convention).
+    */
+  def encodeBpe(docs: DataFrame, idCol: String, textCol: String, merges: Int): DataFrame = {
+    val (_, fin) = trainCore(docs, textCol, merges)
+    val wordToks = fin.df.groupBy("word")
+      .agg(sort_array(collect_list(struct(col("pos"), col("sym")))).as("ps"))
+      .select(col("word"),
+        transform(col("ps"), p => p("sym")).as("toks"),
+        size(col("ps")).as("nt"))
+    val docToks = docs.select(col(idCol).as("id"),
+      posexplode(TextFns.tokens(col(textCol))).as(Seq("wpos", "word")))
+    val out = docToks.join(wordToks, Seq("word"))
+      .groupBy("id")
+      .agg(sum(col("nt")).cast("long").as("n_tokens"),
+        md5(array_join(flatten(transform(
+          array_sort(collect_list(struct(col("wpos"), col("toks")))),
+          p => p("toks"))), "\u001F")).as("toks_md5"))
+    val staged = Staging.stage(out, "bpe_enc")
+    fin.delete()
+    staged.df
   }
 
   private def merge(spark: SparkSession, ms: Seq[Merge]): DataFrame = {
@@ -211,48 +261,48 @@ object Bpe {
     */
   def oracleBatchSql(rounds: Int, f: Int): String = {
     val base = """
-      wrd AS (
+      wrd AS MATERIALIZED (
         SELECT word, CAST(count(*) AS BIGINT) AS wc FROM (
           SELECT UNNEST(w) AS word FROM words) GROUP BY 1),
-      b0 AS (
+      b0 AS MATERIALIZED (
         SELECT word, wc, i AS pos, cs[CAST(i + 1 AS INTEGER)] AS sym FROM (
           SELECT word, wc, list_filter(string_split(word, ''), x -> x <> '') AS cs
           FROM wrd), UNNEST(range(0, len(cs))) AS t(i))"""
     val roundsSql = (1 to rounds).map { k =>
       val p = s"b${k - 1}"
       s"""
-      fl$k AS (
+      fl$k AS MATERIALIZED (
         SELECT word, wc, pos, sym,
           lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt
         FROM $p),
-      pc$k AS (
+      pc$k AS MATERIALIZED (
         SELECT a, b, cnt, rk FROM (
           SELECT a, b, cnt, row_number() OVER (ORDER BY cnt DESC, a, b) AS rk
           FROM (
             SELECT sym AS a, nxt AS b, SUM(wc) AS cnt
             FROM fl$k WHERE nxt IS NOT NULL GROUP BY 1, 2))
         WHERE rk <= $f),
-      adm$k AS (
+      adm$k AS MATERIALIZED (
         SELECT c.a, c.b, c.cnt, c.rk FROM pc$k c
         WHERE NOT EXISTS (
           SELECT 1 FROM pc$k h WHERE h.rk < c.rk AND (
             h.a IN (c.a, c.b, c.a || c.b) OR
             h.b IN (c.a, c.b, c.a || c.b) OR
             h.a || h.b IN (c.a, c.b, c.a || c.b)))),
-      cand$k AS (
+      cand$k AS MATERIALIZED (
         SELECT fb.word, fb.pos,
           fb.pos - row_number() OVER (PARTITION BY fb.word ORDER BY fb.pos) AS grp
         FROM fl$k fb JOIN adm$k ad ON fb.sym = ad.a AND fb.nxt = ad.b),
-      keepb$k AS (
+      keepb$k AS MATERIALIZED (
         SELECT word, pos FROM (
           SELECT word, pos,
             row_number() OVER (PARTITION BY word, grp ORDER BY pos) AS rn2
           FROM cand$k) WHERE rn2 % 2 = 1),
-      mb$k AS (
+      mb$k AS MATERIALIZED (
         SELECT fb.word, fb.wc, fb.pos, fb.sym, fb.nxt,
           (k.pos IS NOT NULL) AS kept
         FROM fl$k fb LEFT JOIN keepb$k k ON fb.word = k.word AND fb.pos = k.pos),
-      b$k AS (
+      b$k AS MATERIALIZED (
         SELECT word, wc,
           row_number() OVER (PARTITION BY word ORDER BY pos) - 1 AS pos,
           CASE WHEN kept THEN sym || nxt ELSE sym END AS sym
@@ -269,40 +319,45 @@ object Bpe {
         FROM ($unioned)"""
   }
 
-  def oracleSql(merges: Int): String = {
-    val base = """
-      wrd AS (
+  private val SEQ_BASE = """
+      wrd AS MATERIALIZED (
         SELECT word, CAST(count(*) AS BIGINT) AS wc FROM (
           SELECT UNNEST(w) AS word FROM words) GROUP BY 1),
-      s0 AS (
+      s0 AS MATERIALIZED (
         SELECT word, wc, i AS pos, cs[CAST(i + 1 AS INTEGER)] AS sym FROM (
           SELECT word, wc, list_filter(string_split(word, ''), x -> x <> '') AS cs
           FROM wrd), UNNEST(range(0, len(cs))) AS t(i))"""
-    val rounds = (1 to merges).map { k =>
+
+  /** The per-round CTE chain shared by [[oracleSql]] and
+    * [[oracleEncodeSql]]: fl/best/cand/keep/m/s CTEs per merge round,
+    * with the SAME window semantics as the trainer's rewrite.
+    */
+  private def seqRoundsSql(merges: Int): String =
+    (1 to merges).map { k =>
       val p = s"s${k - 1}"
       s"""
-      fl$k AS (
+      fl$k AS MATERIALIZED (
         SELECT word, wc, pos, sym,
           lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt
         FROM $p),
-      best$k AS (
+      best$k AS MATERIALIZED (
         SELECT sym AS a, nxt AS b, SUM(wc) AS cnt
         FROM fl$k WHERE nxt IS NOT NULL GROUP BY 1, 2
         ORDER BY cnt DESC, a, b LIMIT 1),
-      cand$k AS (
+      cand$k AS MATERIALIZED (
         SELECT word, pos,
           pos - row_number() OVER (PARTITION BY word ORDER BY pos) AS grp
         FROM fl$k, best$k WHERE sym = a AND nxt = b),
-      keep$k AS (
+      keep$k AS MATERIALIZED (
         SELECT word, pos FROM (
           SELECT word, pos,
             row_number() OVER (PARTITION BY word, grp ORDER BY pos) AS rn2
           FROM cand$k) WHERE rn2 % 2 = 1),
-      m$k AS (
+      m$k AS MATERIALIZED (
         SELECT f.word, f.wc, f.pos, f.sym, f.nxt,
           (k.pos IS NOT NULL) AS kept
         FROM fl$k f LEFT JOIN keep$k k ON f.word = k.word AND f.pos = k.pos),
-      s$k AS (
+      s$k AS MATERIALIZED (
         SELECT word, wc,
           row_number() OVER (PARTITION BY word ORDER BY pos) - 1 AS pos,
           CASE WHEN kept THEN sym || nxt ELSE sym END AS sym
@@ -311,9 +366,31 @@ object Bpe {
           FROM m$k)
         WHERE NOT prev_kept)"""
     }.mkString(",")
+
+  def oracleSql(merges: Int): String = {
     val out = (1 to merges).map(k =>
       s"SELECT CAST($k AS INTEGER) AS step, a AS lhs, b AS rhs, CAST(cnt AS BIGINT) AS pair_count FROM best$k")
       .mkString("\n        UNION ALL ")
-    base + "," + rounds + "\n        " + out
+    SEQ_BASE + "," + seqRoundsSql(merges) + "\n        " + out
   }
+
+  /** The DuckDB replay of [[encodeBpe]]: the training chain for `merges`
+    * rounds (s`merges` IS the per-word encoding), then the per-word
+    * symbol strings joined back to the per-doc token stream. `words`
+    * must provide (doc_id, w) as in ExtQueries.WORDS_SQL.
+    */
+  def oracleEncodeSql(merges: Int): String =
+    SEQ_BASE + "," + seqRoundsSql(merges) + s""",
+      wt AS MATERIALIZED (
+        SELECT word, CAST(count(*) AS BIGINT) AS nt,
+          string_agg(sym, chr(31) ORDER BY pos) AS wtok
+        FROM s$merges GROUP BY 1),
+      dt AS MATERIALIZED (
+        SELECT doc_id, i AS wpos, w[CAST(i + 1 AS INTEGER)] AS word
+        FROM words, UNNEST(range(0, len(w))) AS t(i)
+        WHERE len(w) > 0)
+      SELECT dt.doc_id AS id, CAST(SUM(wt.nt) AS BIGINT) AS n_tokens,
+        md5(string_agg(wt.wtok, chr(31) ORDER BY dt.wpos)) AS toks_md5
+      FROM dt JOIN wt ON dt.word = wt.word
+      GROUP BY 1"""
 }

@@ -100,4 +100,42 @@ class BpeSpec extends SparkSpec {
       .as[(Int, String, String, Long)].collect().sortBy(_._1).toSeq
     assert(a == b)
   }
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  private def encode(docs: Seq[(Long, String)], merges: Int) =
+    Bpe.encodeBpe(docs.toDF("doc_id", "text"), "doc_id", "text", merges)
+      .as[(Long, Long, String)].collect().sortBy(_._1).toSeq
+
+  test("encode applies the learned merges per document, in word order") {
+    // corpus 'ab ab' + 'ab': merge 1 = (a,b) → every 'ab' is ONE token
+    val out = encode(Seq((1L, "ab ab"), (2L, "ab")), 1)
+    assert(out == Seq(
+      (1L, 2L, md5hex("ab\u001Fab")),
+      (2L, 1L, md5hex("ab"))))
+  }
+
+  test("encode digests distinguish segmentations (separator carries boundaries)") {
+    // merge 1 here is (a,a): 'aaa' = [aa, a] (leftmost), 'a' = [a]
+    val out = encode(Seq((1L, "aaa a"), (2L, "aaa")), 1)
+    assert(out == Seq(
+      (1L, 3L, md5hex("aa\u001Fa\u001Fa")),
+      (2L, 2L, md5hex("aa\u001Fa"))))
+    // the separator is what makes [aa,a] and [a,aa] hash differently —
+    // an empty join would hash identical bytes for either segmentation
+    assert(md5hex("aa\u001Fa") != md5hex("a\u001Faa"))
+  }
+
+  test("encode is deterministic under repartitioning and skips empty docs") {
+    val docs = Seq((1L, "spark spork spark"), (2L, "  "), (3L, "sprocket sprint"))
+    val df = docs.toDF("doc_id", "text")
+    val a = Bpe.encodeBpe(df, "doc_id", "text", 4)
+      .as[(Long, Long, String)].collect().sortBy(_._1).toSeq
+    val b = Bpe.encodeBpe(df.repartition(5), "doc_id", "text", 4)
+      .as[(Long, Long, String)].collect().sortBy(_._1).toSeq
+    assert(a == b)
+    assert(a.map(_._1) == Seq(1L, 3L)) // whitespace-only doc emits no row
+  }
 }
