@@ -223,6 +223,88 @@ object SimilaritySearch {
         avg(col("n_hits").cast("double") / col("n_exact")).as("recall"))
   }
 
+  /** Deterministic product-quantization codebook from the `ksub`
+    * smallest-id corpus vectors: subspace `ms` of seed `i` becomes
+    * sub-centroid (ms, code=i). The init-only quantizer — production
+    * trains each subspace's codebook with [[Clustering]] k-means (its
+    * own offline job at 100 TB); this seed path is the deterministic,
+    * oracle-replayable stand-in, exactly like q50's IVF centroids.
+    * Output: (ms, code, cvec) with `cvec` the `subDim`-wide slice.
+    */
+  def pqSeedCodebook(corpus: DataFrame, idCol: String, vecCol: String,
+                     m: Int, subDim: Int, ksub: Int): DataFrame = {
+    val seeds = corpus.orderBy(col(idCol)).limit(ksub)
+      .select(col(idCol).as("sid"), col(vecCol).as("svec"))
+      .withColumn("code",
+        (row_number().over(Window.orderBy(col("sid"))) - 1).cast("int"))
+    seeds.withColumn("ms", explode(sequence(lit(0), lit(m - 1))))
+      .select(col("ms"), col("code"),
+        expr(s"slice(svec, ms * $subDim + 1, $subDim)").as("cvec"))
+  }
+
+  /** Per-(id, subspace) fixed-point squared-L2 distance to every
+    * sub-centroid: (`p`id, ms, code, d) with d = |sv|² + |cv|² − 2·sv·cv
+    * in the 1e9 fixed-point domain — exact integers, engine-identical.
+    * This one table is both the ENCODE argmin input (corpus side) and
+    * the ADC lookup table (query side).
+    */
+  private def pqDists(side: DataFrame, idCol: String, vecCol: String,
+                      codebook: DataFrame, m: Int, subDim: Int, p: String): DataFrame = {
+    val cb = broadcast(codebook.select(col("ms"), col("code"), col("cvec"),
+      VectorFns.norm2Fixed9(col("cvec")).as("cn2")))
+    side.select(col(idCol).as(s"${p}id"), col(vecCol).as("v"))
+      .withColumn("ms", explode(sequence(lit(0), lit(m - 1))))
+      .withColumn("sv", expr(s"slice(v, ms * $subDim + 1, $subDim)"))
+      .withColumn("sn2", VectorFns.norm2Fixed9(col("sv")))
+      .join(cb, Seq("ms"))
+      .select(col(s"${p}id"), col("ms"), col("code"),
+        (col("sn2") + col("cn2")
+          - lit(2L) * VectorFns.dotFixed9(col("sv"), col("cvec"))).as("d"))
+  }
+
+  /** Product-quantization ENCODE: each vector compresses to `m` codes
+    * (argmin sub-centroid per subspace, ties → smallest code). Output
+    * (id, codes: array<int>) — the stored ANN artifact. THIS is the PQ
+    * scale story: at d=64 float32 → m=8 byte codes the corpus shrinks
+    * ~32×, so the candidate scan runs against a table that fits in
+    * memory at sizes where raw vectors cannot. The fan-out
+    * (m·ksub rows per vector) collapses back to one row per vector
+    * before any exchange — broadcast codebook, map-side min_by, same
+    * discipline as [[ivfTopK]]'s assignment.
+    */
+  def pqEncode(corpus: DataFrame, idCol: String, vecCol: String,
+               codebook: DataFrame, m: Int, subDim: Int): DataFrame =
+    pqDists(corpus, idCol, vecCol, codebook, m, subDim, "n")
+      .groupBy("nid", "ms")
+      .agg(min_by(col("code"), struct(col("d"), col("code"))).as("code"))
+      .groupBy("nid")
+      .agg(transform(array_sort(collect_list(struct(col("ms"), col("code")))),
+        p => p("code")).as("codes"))
+      .select(col("nid").as(idCol), col("codes"))
+
+  /** Asymmetric-distance (ADC) top-k over PQ codes: the query side
+    * computes its m·ksub lookup table of EXACT sub-distances to every
+    * sub-centroid (queries stay uncompressed — the "asymmetric" in
+    * ADC), and each candidate's approximate distance is the sum of m
+    * integer lookups — no float math touches the corpus scan. The LUT
+    * (Q·m·ksub rows, tiny by contract) broadcasts; the codes table
+    * streams through a map-side join and the (qid, nid) partial sums
+    * combine before the exchange. Output (qid, nid, adist, rank) with
+    * adist the fixed-point approximate squared L2 (smaller = nearer).
+    */
+  def pqTopK(queries: DataFrame, corpusCodes: DataFrame, codebook: DataFrame,
+             idCol: String, vecCol: String, k: Int, m: Int, subDim: Int): DataFrame = {
+    val qlut = pqDists(queries, idCol, vecCol, codebook, m, subDim, "q")
+      .withColumnRenamed("d", "pd")
+    val probe = corpusCodes
+      .select(col(idCol).as("nid"), posexplode(col("codes")).as(Seq("ms", "code")))
+      .join(broadcast(qlut), Seq("ms", "code"))
+      .filter(col("qid") =!= col("nid"))
+      .groupBy("qid", "nid").agg(sum(col("pd")).as("adist"))
+    val w = Window.partitionBy("qid").orderBy(col("adist"), col("nid"))
+    probe.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   private def rank(sims: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy("qid").orderBy(col("sim_raw").desc, col("nid"))
     sims.withColumn("rank", row_number().over(w))
