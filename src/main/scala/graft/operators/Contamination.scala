@@ -43,4 +43,57 @@ object Contamination {
       .select(col("id"), col("n_shingles"), col("n_hits"),
         (col("n_hits") > 0).as("contaminated"))
   }
+
+  /** FUZZY decontamination: corpus documents that are NEAR-duplicates of
+    * a benchmark item — the hygiene pass [[ngramOverlap]]'s exact probe
+    * cannot do (a paraphrased or truncated eval item shares few exact
+    * n-grams but most of its shingle set). Cross-corpus MinHash-LSH:
+    * band signatures on both sides ([[Dedup.minhashBands]] — the same
+    * portable md5 construction as q32), candidates = (corpus, bench)
+    * pairs agreeing on ≥1 band, then EXACT-Jaccard verification at
+    * integer threshold `num/den` over the full shingle sets.
+    *
+    * Output: one row per verified (id, bench_id) pair with the overlap
+    * evidence — (id, bench_id, shared, n_doc, n_bench, jaccard).
+    * Callers drop every distinct `id`.
+    *
+    * Scale shape: the bench side is tiny by contract (eval suites), so
+    * its bands AND its postings broadcast — the corpus side computes
+    * signatures in one aggregate and never self-joins; candidates ≈
+    * corpus docs colliding with a bench band, and the verify join is
+    * semi-join-shrunk to those docs first. LSH recall < 1 by design
+    * (the banding curve); both engines replay the identical bands, so
+    * the result is still deterministic.
+    */
+  def fuzzyOverlap(corpus: DataFrame, bench: DataFrame, idCol: String,
+                   textCol: String, n: Int, k: Int, rowsPerBand: Int,
+                   num: Int, den: Int): DataFrame = {
+    require(k % rowsPerBand == 0,
+      s"k ($k) must be a multiple of rowsPerBand ($rowsPerBand)")
+    require(num >= 1 && den >= 1 && num <= den,
+      s"threshold must be a fraction in (0,1]: got $num/$den")
+    val csh = Dedup.staged(Dedup.shingleSet(corpus, idCol, textCol, n), "fuzzy_corpus_sh")
+    val bsh = Dedup.shingleSet(bench, idCol, textCol, n)
+    val cBands = Dedup.minhashBands(csh, k, rowsPerBand)
+    val bBands = Dedup.minhashBands(bsh, k, rowsPerBand)
+      .select(col("id").as("bench_id"), col("band"), col("sig"))
+    val cand = cBands.join(broadcast(bBands), Seq("band", "sig"))
+      .select(col("id"), col("bench_id")).distinct()
+    val candDocs = cand.select("id").distinct()
+    val shc = csh.join(broadcast(candDocs), Seq("id"), "left_semi")
+    val shared = shc
+      .join(broadcast(bsh.select(col("id").as("bench_id"), col("sh"))), Seq("sh"))
+      .groupBy("id", "bench_id").agg(count(lit(1)).as("shared"))
+      .join(cand, Seq("id", "bench_id"), "left_semi")
+    val cSizes = csh.groupBy("id").agg(count(lit(1)).as("n_doc"))
+    val bSizes = bsh.groupBy("id").agg(count(lit(1)).as("n_bench"))
+      .select(col("id").as("bench_id"), col("n_bench"))
+    shared
+      .join(cSizes, Seq("id"))
+      .join(broadcast(bSizes), Seq("bench_id"))
+      .filter(col("shared") * den >= (col("n_doc") + col("n_bench") - col("shared")) * num)
+      .select(col("id"), col("bench_id"), col("shared"), col("n_doc"), col("n_bench"),
+        (col("shared").cast("double")
+          / (col("n_doc") + col("n_bench") - col("shared"))).as("jaccard"))
+  }
 }

@@ -206,6 +206,33 @@ object Dedup {
         (col("shared").cast("double") / (col("na") + col("nb") - col("shared"))).as("jaccard"))
   }
 
+  /** (id, band, sig) LSH band signatures over a shingle posting table —
+    * shared by [[minhashLshPairs]] (self-join dedup) and
+    * [[Contamination.fuzzyOverlap]] (cross-corpus probe).
+    *
+    * All k minhashes in ONE aggregate: k conditional-min columns over
+    * the posting rows. No k-way explode — the k× row multiplication
+    * never exists, and min() combines map-side, so the only shuffle
+    * carries one partial row per (partition, id). (The earlier
+    * explode(k)+groupBy(id,i) form shuffled k× the posting table; at
+    * 100 TB that 12× shuffle IS the operator's cost.) Band signature =
+    * md5 of the band's minhashes in hash-index order, emitted as a
+    * small per-doc explode of k/rowsPerBand structs.
+    */
+  private[operators] def minhashBands(sh: DataFrame, k: Int, rowsPerBand: Int): DataFrame = {
+    val mhCols = (0 until k).map(i =>
+      min(md5(concat(lit(s"$i:"), col("sh")))).as(s"mh_$i"))
+    val sigs = sh.groupBy("id").agg(mhCols.head, mhCols.tail: _*)
+    val nBands = k / rowsPerBand
+    val bandStructs = array((0 until nBands).map { b =>
+      struct(lit(b).as("band"),
+        md5(concat_ws(",",
+          (0 until rowsPerBand).map(p => col(s"mh_${b * rowsPerBand + p}")): _*)).as("sig"))
+    }: _*)
+    sigs.select(col("id"), explode(bandStructs).as("bs"))
+      .select(col("id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+  }
+
   /** MinHash + LSH banding near-dup detection, engine-portable by
     * construction: hash i of a shingle is the md5 hex digest of
     * `"<i>:<shingle>"`, the minhash is the lexicographic MIN of those
@@ -225,25 +252,7 @@ object Dedup {
     // The posting table feeds four consumers (minhashes, sizes, both
     // verify sides): stage it once — see [[staged]].
     val sh = staged(shingleSet(docs, idCol, textCol, n), "minhash_postings")
-    // All k minhashes in ONE aggregate: k conditional-min columns over
-    // the posting rows. No k-way explode — the k× row multiplication
-    // never exists, and min() combines map-side, so the only shuffle
-    // carries one partial row per (partition, id). (The earlier
-    // explode(k)+groupBy(id,i) form shuffled k× the posting table; at
-    // 100 TB that 12× shuffle IS the operator's cost.)
-    val mhCols = (0 until k).map(i =>
-      min(md5(concat(lit(s"$i:"), col("sh")))).as(s"mh_$i"))
-    val sigs = sh.groupBy("id").agg(mhCols.head, mhCols.tail: _*)
-    // Band signature = md5 of the band's minhashes in hash-index order,
-    // emitted as a small per-doc explode of k/rowsPerBand structs.
-    val nBands = k / rowsPerBand
-    val bandStructs = array((0 until nBands).map { b =>
-      struct(lit(b).as("band"),
-        md5(concat_ws(",",
-          (0 until rowsPerBand).map(p => col(s"mh_${b * rowsPerBand + p}")): _*)).as("sig"))
-    }: _*)
-    val bands = sigs.select(col("id"), explode(bandStructs).as("bs"))
-      .select(col("id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+    val bands = minhashBands(sh, k, rowsPerBand)
     // Candidate pairs feed three consumers (candDocs, verify semi-join,
     // final left-outer) — but all three sit in the FINAL job, and the
     // candidate subtree ends in a distinct (an exchange), so runtime

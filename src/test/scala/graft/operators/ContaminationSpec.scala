@@ -32,4 +32,49 @@ class ContaminationSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), s"expected broadcast probe:\n$plan")
   }
+
+  test("fuzzyOverlap catches a truncated near-dup exact probes would score low") {
+    val s = spark
+    import s.implicits._
+    val words = (1 to 20).map(i => s"w$i")
+    val corpus = Seq(
+      (1L, words.mkString(" ")),                  // full doc: 17 4-gram shingles
+      (2L, "totally different text here five six seven eight")
+    ).toDF("id", "text")
+    // bench item = first 16 of the 20 words: 13 of the 17 shingles
+    val bench = Seq((9L, words.take(16).mkString(" "))).toDF("id", "text")
+    val out = Contamination.fuzzyOverlap(corpus, bench, "id", "text",
+        n = 4, k = 12, rowsPerBand = 3, num = 7, den = 10)
+      .as[(Long, Long, Long, Long, Long, Double)].collect().toSeq
+    // jaccard = 13 / (17 + 13 - 13) = 13/17 ≈ 0.765 ≥ 0.7, and a 13/17
+    // subset always shares the global minhash with prob; with 4 bands of
+    // 3 at J≈0.76 collision prob ≈ 0.97 — this fixture collides (pinned)
+    assert(out == Seq((1L, 9L, 13L, 17L, 13L, 13.0 / 17.0)))
+  }
+
+  test("fuzzyOverlap verify kills band collisions below the threshold") {
+    val s = spark
+    import s.implicits._
+    // same first 4 words → the two sides share exactly ONE shingle; if
+    // any band collides, exact verification must still reject the pair
+    val corpus = Seq((1L, "a b c d e f g h i j")).toDF("id", "text")
+    val bench = Seq((9L, "a b c d zz yy xx ww")).toDF("id", "text")
+    val out = Contamination.fuzzyOverlap(corpus, bench, "id", "text",
+      n = 4, k = 12, rowsPerBand = 3, num = 7, den = 10).collect()
+    assert(out.isEmpty)
+  }
+
+  test("fuzzyOverlap is deterministic under repartitioning") {
+    val s = spark
+    import s.implicits._
+    val words = (1 to 30).map(i => s"t$i")
+    val corpus = (1L to 6L).map(i =>
+      (i, words.drop(i.toInt % 3).mkString(" "))).toDF("id", "text")
+    val bench = Seq((99L, words.take(24).mkString(" "))).toDF("id", "text")
+    def run(c: org.apache.spark.sql.DataFrame) =
+      Contamination.fuzzyOverlap(c, bench, "id", "text",
+          n = 4, k = 12, rowsPerBand = 3, num = 5, den = 10)
+        .as[(Long, Long, Long, Long, Long, Double)].collect().toSeq.sorted
+    assert(run(corpus) == run(corpus.repartition(7)))
+  }
 }
