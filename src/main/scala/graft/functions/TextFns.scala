@@ -119,4 +119,27 @@ object TextFns {
     */
   def redactPii(c: Column): Column =
     regexp_replace(regexp_replace(c, EmailRe, "<EMAIL>"), PhoneRe, "<PHONE>")
+
+  /** HTML → text extraction (the step-0 of every web-crawl pipeline):
+    * drop script/style payloads and comments, strip remaining tags,
+    * decode the common entities, collapse whitespace. Deliberately
+    * restricted to regex constructs with identical semantics in Java
+    * regex and RE2 — inline (?is) flags, non-greedy spans, character
+    * classes; NO backreferences (RE2 lacks them, hence separate
+    * script/style patterns) — so a DuckDB oracle can replay the exact
+    * pipeline. Entity order matters: `&amp;` decodes LAST so
+    * `&amp;lt;` yields the literal text `&lt;`, and entities decode
+    * AFTER tag-stripping so a decoded `&lt;tag&gt;` stays visible text.
+    * All stages are codegen'd regexp_replace/replace — no UDF.
+    */
+  def stripHtml(c: Column): Column = {
+    val noScript = regexp_replace(c, "(?is)<script[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
+    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    val noTags = regexp_replace(noComment, "<[^>]+>", " ")
+    val decoded = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+        "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(noTags) { case (acc, (e, v)) => replace(acc, lit(e), lit(v)) }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
 }

@@ -63,4 +63,29 @@ class TextFnsSpec extends SparkSpec {
       .select(size(TextFns.tokens($"t")).as("n")).as[Int].collect().toSeq
     assert(got == Seq(3, 0, 0, 2, 1, 0))
   }
+
+  private def strip(html: String): String =
+    Seq(html).toDF("h").select(TextFns.stripHtml($"h")).as[String].collect().head
+
+  test("stripHtml: script/style/comment payloads vanish, tags strip, text stays") {
+    val got = strip("<html><head><style>p{x:1}</style>" +
+      "<script>if(1<2)alert(1)</script></head>" +
+      "<body><h1>Title</h1><p>body   text</p><!-- gone --></body></html>")
+    assert(got == "Title body text")
+  }
+
+  test("stripHtml: entities decode AFTER tags, &amp; decodes LAST") {
+    // &lt;b&gt; must survive as literal text '<b>' (not get tag-stripped),
+    // and &amp;lt; must yield the literal '&lt;' (not doubly decode)
+    assert(strip("<p>a &lt;b&gt; c</p>") == "a <b> c")
+    assert(strip("<p>x &amp;lt; y</p>") == "x &lt; y")
+    assert(strip("<p>A &amp; B&nbsp;&#39;q&#39; &quot;z&quot;</p>") ==
+      "A & B 'q' \"z\"")
+  }
+
+  test("stripHtml: non-greedy spans stop at the first closer") {
+    // two script blocks with real text between them — a greedy .* would
+    // swallow the middle text
+    assert(strip("<script>a()</script>keep<script>b()</script>") == "keep")
+  }
 }
