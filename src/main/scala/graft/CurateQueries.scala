@@ -19,7 +19,7 @@ import graft.operators.{Bloom, Contamination, Dedup, Incremental, Layout, Outlie
 object CurateQueries {
 
   import Agg.{sumDec4 => sum4}
-  import ExtQueries.{SHINGLES_SQL, WORDS_SQL}
+  import ExtQueries.{SHINGLES_FROM_WORDS_SQL, SHINGLES_SQL, WORDS_SQL}
 
   val all: Seq[QuerySpec] = Seq(
 
@@ -48,6 +48,62 @@ object CurateQueries {
         SELECT s.doc_id, s.n_shingles, COALESCE(h.n_hits, 0) AS n_hits,
           COALESCE(h.n_hits, 0) > 0 AS contaminated
         FROM sizes s LEFT JOIN hits h ON s.doc_id = h.doc_id""")),
+
+    // FUZZY decontamination: corpus docs that are NEAR-dups of a bench
+    // item (here: 4/5-word-prefix truncations of every 37th doc stand
+    // in for paraphrased eval items — exact-match probes like q70 can
+    // miss them). Cross-corpus MinHash-LSH (the q32 band construction)
+    // then exact-Jaccard verify at 7/10. Bench bands + postings
+    // broadcast; the corpus never self-joins.
+    QuerySpec("q124_fuzzy_decontaminate",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val bench = docs.filter(col("doc_id") % 37 === 0)
+          .withColumn("tk", graft.functions.TextFns.tokens(col("text")))
+          .select(col("doc_id"),
+            array_join(expr("slice(tk, 1, (size(tk) * 4) div 5)"), " ").as("text"))
+        Contamination.fuzzyOverlap(docs, bench, "doc_id", "text",
+            n = 4, k = 12, rowsPerBand = 3, num = 7, den = 10)
+          .select(col("id").as("doc_id"), col("bench_id"), col("shared"),
+            col("n_doc"), col("n_bench"), col("jaccard"))
+      },
+      Some(s"""
+        WITH $WORDS_SQL, $SHINGLES_FROM_WORDS_SQL,
+        bw AS (
+          SELECT doc_id AS bench_id, w[1:CAST((len(w) * 4) // 5 AS INTEGER)] AS bwl
+          FROM words WHERE doc_id % 37 = 0),
+        bsh AS MATERIALIZED (
+          SELECT DISTINCT bench_id, array_to_string(bwl[i:i+3], ' ') AS sh
+          FROM bw, UNNEST(range(1, len(bwl) - 2)) AS t(i)
+          WHERE len(bwl) >= 4),
+        cmh AS (
+          SELECT doc_id, i, min(md5(CAST(i AS VARCHAR) || ':' || sh)) AS mh
+          FROM sh, UNNEST(range(0, 12)) AS t(i) GROUP BY 1, 2),
+        cbands AS (
+          SELECT doc_id, i // 3 AS band, md5(string_agg(mh, ',' ORDER BY i)) AS sig
+          FROM cmh GROUP BY 1, 2),
+        bmh AS (
+          SELECT bench_id, i, min(md5(CAST(i AS VARCHAR) || ':' || sh)) AS mh
+          FROM bsh, UNNEST(range(0, 12)) AS t(i) GROUP BY 1, 2),
+        bbands AS (
+          SELECT bench_id, i // 3 AS band, md5(string_agg(mh, ',' ORDER BY i)) AS sig
+          FROM bmh GROUP BY 1, 2),
+        cand AS (
+          SELECT DISTINCT c.doc_id, b.bench_id
+          FROM cbands c JOIN bbands b ON c.band = b.band AND c.sig = b.sig),
+        shr AS (
+          SELECT s.doc_id, b.bench_id, count(*) AS shared
+          FROM sh s JOIN bsh b ON s.sh = b.sh GROUP BY 1, 2),
+        csz AS (SELECT doc_id, count(*) AS n_doc FROM sh GROUP BY 1),
+        bsz AS (SELECT bench_id, count(*) AS n_bench FROM bsh GROUP BY 1)
+        SELECT c.doc_id, c.bench_id, CAST(s2.shared AS BIGINT) AS shared,
+          CAST(cz.n_doc AS BIGINT) AS n_doc, CAST(bz.n_bench AS BIGINT) AS n_bench,
+          CAST(s2.shared AS DOUBLE) / (cz.n_doc + bz.n_bench - s2.shared) AS jaccard
+        FROM cand c
+        JOIN shr s2 ON c.doc_id = s2.doc_id AND c.bench_id = s2.bench_id
+        JOIN csz cz ON c.doc_id = cz.doc_id
+        JOIN bsz bz ON c.bench_id = bz.bench_id
+        WHERE s2.shared * 10 >= (cz.n_doc + bz.n_bench - s2.shared) * 7""")),
 
     // Fuzzy dedup by bounded edit distance over short strings, blocked
     // on (brand, head token): the near-identical-title pass.
@@ -218,6 +274,52 @@ object CurateQueries {
 
     // PII redaction: deterministic synthetic emails/phones injected into
     // the text, then scrubbed and counted — row-local regex chain.
+    // HTML → text extraction over a synthesized page per doc: the real
+    // text embeds in a full document with script/style payloads (the
+    // script body even contains a bare '<'), comments, entities, and an
+    // attribute-bearing div. Both engines build the IDENTICAL bytes and
+    // run the IDENTICAL RE2-safe pipeline (TextFns.stripHtml), so the
+    // cleaned-text md5 catches any stage slipping — tag-vs-entity
+    // order, non-greedy spans, whitespace collapse.
+    QuerySpec("q125_html_extract",
+      (s, dir) => {
+        val p1 = "<html><head><title>doc</title><style>p{color:red}</style>" +
+          "<script>if(1<2)alert(1)</script></head><body><h1>H &amp; T</h1><p>"
+        val p2 = "</p><!-- hidden --><div class=\"f\">&lt;tag&gt; " +
+          "&#39;q&#39;&nbsp;end</div></body></html>"
+        Tables.documents(s, dir)
+          .select(col("doc_id"), concat(lit(p1), col("text"), lit(p2)).as("html"))
+          .select(col("doc_id"), length(col("html")).as("n_chars_html"),
+            TextFns.stripHtml(col("html")).as("clean"))
+          .select(col("doc_id"), col("n_chars_html"),
+            length(col("clean")).as("n_chars_text"), md5(col("clean")).as("text_md5"))
+      },
+      Some("""
+        WITH h AS (
+          SELECT doc_id,
+            '<html><head><title>doc</title><style>p{color:red}</style>' ||
+            '<script>if(1<2)alert(1)</script></head><body><h1>H &amp; T</h1><p>' ||
+            text ||
+            '</p><!-- hidden --><div class="f">&lt;tag&gt; ' ||
+            '&#39;q&#39;&nbsp;end</div></body></html>' AS html
+          FROM documents),
+        c AS (
+          SELECT doc_id, html,
+            trim(regexp_replace(
+              replace(replace(replace(replace(replace(replace(
+                regexp_replace(regexp_replace(regexp_replace(regexp_replace(html,
+                  '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+                  '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+                  '(?s)<!--.*?-->', ' ', 'g'),
+                  '<[^>]+>', ' ', 'g'),
+                '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+                '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
+              '\s+', ' ', 'g')) AS clean
+          FROM h)
+        SELECT doc_id, CAST(length(html) AS INTEGER) AS n_chars_html,
+          CAST(length(clean) AS INTEGER) AS n_chars_text, md5(clean) AS text_md5
+        FROM c""")),
+
     QuerySpec("q78_pii_redact",
       (s, dir) => {
         val synth = concat(lit("contact "), substring(md5(col("text")), 1, 6),
@@ -687,6 +789,17 @@ object CurateQueries {
       (s, dir) => operators.Bpe.trainBpeBatched(
         Tables.documents(s, dir), "doc_id", "text", rounds = 3, f = 4),
       Some(s"WITH $WORDS_SQL, ${operators.Bpe.oracleBatchSql(3, 4)}")),
+
+    // BPE ENCODE — the tokenizer APPLY side: merges learned on this
+    // corpus (8 rounds), every word's post-merge symbol sequence cached
+    // at VOCABULARY scale, one join back to the corpus token stream.
+    // The oracle replays training AND the apply join; the per-doc
+    // toks_md5 digests the exact segmentation, so a wrong merge, a
+    // mis-ordered word, or a boundary slip all break the hash.
+    QuerySpec("q122_bpe_encode",
+      (s, dir) => operators.Bpe.encodeBpe(
+        Tables.documents(s, dir), "doc_id", "text", merges = 8),
+      Some(s"WITH $WORDS_SQL, ${operators.Bpe.oracleEncodeSql(8)}")),
 
     // Capstone v2 — the ROUND-4 operator chain composed end to end:
     // segment dedup (boilerplate stripping) → length floor → bigram-LM

@@ -443,6 +443,63 @@ object ExtQueries {
         FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rn FROM sims) r
         WHERE rn <= 3""")),
 
+    // Product-quantization ANN (Jégou et al. 2011): vectors compress to
+    // m=8 sub-codes (argmin sub-centroid per 8-dim subspace, seed
+    // codebook standing in for offline per-subspace k-means, like q50's
+    // centroids), queries score candidates by ADC — m integer lookups
+    // into the query's exact sub-distance table, no float math on the
+    // corpus scan. Fixed-point throughout, so encode AND probe
+    // hash-match DuckDB exactly.
+    QuerySpec("q123_knn_pq",
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        val cb = SimilaritySearch.pqSeedCodebook(e, "vec_id", "embedding",
+          m = 8, subDim = 8, ksub = 16)
+        val codes = SimilaritySearch.pqEncode(e, "vec_id", "embedding", cb,
+          m = 8, subDim = 8)
+        SimilaritySearch.pqTopK(e.filter(col("vec_id") < 8), codes, cb,
+          "vec_id", "embedding", k = 5, m = 8, subDim = 8)
+      },
+      Some("""
+        WITH seeds AS MATERIALIZED (
+          SELECT embedding AS svec,
+            CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS code
+          FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 16)),
+        cb AS MATERIALIZED (
+          SELECT ms, code, j, svec[CAST(ms * 8 + j + 1 AS INTEGER)] AS cx
+          FROM seeds, UNNEST(range(0, 8)) AS t(ms), UNNEST(range(0, 8)) AS u(j)),
+        cbn AS MATERIALIZED (
+          SELECT ms, code,
+            SUM(CAST(floor(CAST(cx AS DOUBLE) * CAST(cx AS DOUBLE) * 1000000000.0) AS BIGINT)) AS cn2
+          FROM cb GROUP BY 1, 2),
+        ce AS MATERIALIZED (
+          SELECT vec_id, ms, j, embedding[CAST(ms * 8 + j + 1 AS INTEGER)] AS x
+          FROM embeddings, UNNEST(range(0, 8)) AS t(ms), UNNEST(range(0, 8)) AS u(j)),
+        cen AS MATERIALIZED (
+          SELECT vec_id, ms,
+            SUM(CAST(floor(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 1000000000.0) AS BIGINT)) AS sn2
+          FROM ce GROUP BY 1, 2),
+        pdots AS MATERIALIZED (
+          SELECT e.vec_id, e.ms, c.code,
+            SUM(CAST(floor(CAST(e.x AS DOUBLE) * CAST(c.cx AS DOUBLE) * 1000000000.0) AS BIGINT)) AS dot
+          FROM ce e JOIN cb c ON e.ms = c.ms AND e.j = c.j GROUP BY 1, 2, 3),
+        dist AS MATERIALIZED (
+          SELECT p.vec_id, p.ms, p.code, n.sn2 + b.cn2 - 2 * p.dot AS d
+          FROM pdots p JOIN cen n ON p.vec_id = n.vec_id AND p.ms = n.ms
+                       JOIN cbn b ON p.ms = b.ms AND p.code = b.code),
+        codes AS MATERIALIZED (
+          SELECT vec_id, ms, code FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id, ms ORDER BY d, code) AS rn
+            FROM dist) WHERE rn = 1),
+        adc AS (
+          SELECT q.vec_id AS qid, n.vec_id AS nid, SUM(q.d) AS adist
+          FROM codes n JOIN dist q ON q.ms = n.ms AND q.code = n.code
+          WHERE q.vec_id < 8 AND q.vec_id <> n.vec_id
+          GROUP BY 1, 2)
+        SELECT qid, nid, CAST(adist AS BIGINT) AS adist, CAST(rn AS INTEGER) AS rank
+        FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY adist, nid) AS rn FROM adc)
+        WHERE rn <= 5""")),
+
     // SemDeDup (Abbas et al. 2023): IVF-cell assignment confines the
     // pairwise cosine work, near-dup groups collapse to their min-id
     // representative via connected components — the full semantic-dedup
