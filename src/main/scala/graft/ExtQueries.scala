@@ -76,6 +76,47 @@ object ExtQueries {
     */
   private[graft] val MINHASH_PAIRS_SQL = WORDS_SQL + "," + MINHASH_FROM_WORDS_SQL
 
+  /** DuckDB fragment: the PQ pipeline through the `adc` CTE — seed
+    * codebook (16 smallest-id vectors), element-wise fixed-point
+    * sub-distances, per-subspace argmin codes, and the ADC sum. Shared
+    * by q123 (ADC top-k) and q126 (ADC shortlist + exact re-rank).
+    */
+  private[graft] val PQ_ADC_SQL = """seeds AS MATERIALIZED (
+          SELECT embedding AS svec,
+            CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS code
+          FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 16)),
+        cb AS MATERIALIZED (
+          SELECT ms, code, j, svec[CAST(ms * 8 + j + 1 AS INTEGER)] AS cx
+          FROM seeds, UNNEST(range(0, 8)) AS t(ms), UNNEST(range(0, 8)) AS u(j)),
+        cbn AS MATERIALIZED (
+          SELECT ms, code,
+            SUM(CAST(floor(CAST(cx AS DOUBLE) * CAST(cx AS DOUBLE) * 1000000000.0) AS BIGINT)) AS cn2
+          FROM cb GROUP BY 1, 2),
+        ce AS MATERIALIZED (
+          SELECT vec_id, ms, j, embedding[CAST(ms * 8 + j + 1 AS INTEGER)] AS x
+          FROM embeddings, UNNEST(range(0, 8)) AS t(ms), UNNEST(range(0, 8)) AS u(j)),
+        cen AS MATERIALIZED (
+          SELECT vec_id, ms,
+            SUM(CAST(floor(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 1000000000.0) AS BIGINT)) AS sn2
+          FROM ce GROUP BY 1, 2),
+        pdots AS MATERIALIZED (
+          SELECT e.vec_id, e.ms, c.code,
+            SUM(CAST(floor(CAST(e.x AS DOUBLE) * CAST(c.cx AS DOUBLE) * 1000000000.0) AS BIGINT)) AS dot
+          FROM ce e JOIN cb c ON e.ms = c.ms AND e.j = c.j GROUP BY 1, 2, 3),
+        dist AS MATERIALIZED (
+          SELECT p.vec_id, p.ms, p.code, n.sn2 + b.cn2 - 2 * p.dot AS d
+          FROM pdots p JOIN cen n ON p.vec_id = n.vec_id AND p.ms = n.ms
+                       JOIN cbn b ON p.ms = b.ms AND p.code = b.code),
+        codes AS MATERIALIZED (
+          SELECT vec_id, ms, code FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id, ms ORDER BY d, code) AS rn
+            FROM dist) WHERE rn = 1),
+        adc AS (
+          SELECT q.vec_id AS qid, n.vec_id AS nid, SUM(q.d) AS adist
+          FROM codes n JOIN dist q ON q.ms = n.ms AND q.code = n.code
+          WHERE q.vec_id < 8 AND q.vec_id <> n.vec_id
+          GROUP BY 1, 2)"""
+
   /** The `words`-parametric tail of the CC pipeline (requires WITH
     * RECURSIVE): near-dup pairs (jaccard ≥ 0.2) → transitive closure →
     * `lbl(doc_id, cluster_id)`.
@@ -460,44 +501,49 @@ object ExtQueries {
         SimilaritySearch.pqTopK(e.filter(col("vec_id") < 8), codes, cb,
           "vec_id", "embedding", k = 5, m = 8, subDim = 8)
       },
-      Some("""
-        WITH seeds AS MATERIALIZED (
-          SELECT embedding AS svec,
-            CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS code
-          FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 16)),
-        cb AS MATERIALIZED (
-          SELECT ms, code, j, svec[CAST(ms * 8 + j + 1 AS INTEGER)] AS cx
-          FROM seeds, UNNEST(range(0, 8)) AS t(ms), UNNEST(range(0, 8)) AS u(j)),
-        cbn AS MATERIALIZED (
-          SELECT ms, code,
-            SUM(CAST(floor(CAST(cx AS DOUBLE) * CAST(cx AS DOUBLE) * 1000000000.0) AS BIGINT)) AS cn2
-          FROM cb GROUP BY 1, 2),
-        ce AS MATERIALIZED (
-          SELECT vec_id, ms, j, embedding[CAST(ms * 8 + j + 1 AS INTEGER)] AS x
-          FROM embeddings, UNNEST(range(0, 8)) AS t(ms), UNNEST(range(0, 8)) AS u(j)),
-        cen AS MATERIALIZED (
-          SELECT vec_id, ms,
-            SUM(CAST(floor(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 1000000000.0) AS BIGINT)) AS sn2
-          FROM ce GROUP BY 1, 2),
-        pdots AS MATERIALIZED (
-          SELECT e.vec_id, e.ms, c.code,
-            SUM(CAST(floor(CAST(e.x AS DOUBLE) * CAST(c.cx AS DOUBLE) * 1000000000.0) AS BIGINT)) AS dot
-          FROM ce e JOIN cb c ON e.ms = c.ms AND e.j = c.j GROUP BY 1, 2, 3),
-        dist AS MATERIALIZED (
-          SELECT p.vec_id, p.ms, p.code, n.sn2 + b.cn2 - 2 * p.dot AS d
-          FROM pdots p JOIN cen n ON p.vec_id = n.vec_id AND p.ms = n.ms
-                       JOIN cbn b ON p.ms = b.ms AND p.code = b.code),
-        codes AS MATERIALIZED (
-          SELECT vec_id, ms, code FROM (
-            SELECT *, row_number() OVER (PARTITION BY vec_id, ms ORDER BY d, code) AS rn
-            FROM dist) WHERE rn = 1),
-        adc AS (
-          SELECT q.vec_id AS qid, n.vec_id AS nid, SUM(q.d) AS adist
-          FROM codes n JOIN dist q ON q.ms = n.ms AND q.code = n.code
-          WHERE q.vec_id < 8 AND q.vec_id <> n.vec_id
-          GROUP BY 1, 2)
+      Some(s"""
+        WITH $PQ_ADC_SQL
         SELECT qid, nid, CAST(adist AS BIGINT) AS adist, CAST(rn AS INTEGER) AS rank
         FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY adist, nid) AS rn FROM adc)
+        WHERE rn <= 5""")),
+
+    // Two-stage PQ: ADC shortlist (20 deep, codes only) then EXACT
+    // fixed-point L2 re-rank of just those candidates — the standard
+    // deployment shape: full-precision math touches Q·shortlist rows,
+    // never the corpus. The oracle replays shortlist AND re-rank.
+    QuerySpec("q126_knn_pq_rerank",
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        val cb = SimilaritySearch.pqSeedCodebook(e, "vec_id", "embedding",
+          m = 8, subDim = 8, ksub = 16)
+        val codes = SimilaritySearch.pqEncode(e, "vec_id", "embedding", cb,
+          m = 8, subDim = 8)
+        SimilaritySearch.pqTopKRerank(e.filter(col("vec_id") < 8), codes, e, cb,
+          "vec_id", "embedding", k = 5, shortlist = 20, m = 8, subDim = 8)
+      },
+      Some(s"""
+        WITH $PQ_ADC_SQL,
+        short AS MATERIALIZED (
+          SELECT qid, nid FROM (
+            SELECT *, row_number() OVER (PARTITION BY qid ORDER BY adist, nid) AS rn
+            FROM adc) WHERE rn <= 20),
+        fn2 AS MATERIALIZED (
+          SELECT vec_id,
+            SUM(CAST(floor(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 1000000000.0) AS BIGINT)) AS n2
+          FROM (SELECT vec_id, UNNEST(embedding) AS x FROM embeddings) t GROUP BY 1),
+        rel AS (
+          SELECT s.qid, s.nid, UNNEST(q.embedding) AS x, UNNEST(e.embedding) AS y
+          FROM short s JOIN embeddings q ON s.qid = q.vec_id
+                       JOIN embeddings e ON s.nid = e.vec_id),
+        rdots AS (
+          SELECT qid, nid,
+            SUM(CAST(floor(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) * 1000000000.0) AS BIGINT)) AS dot
+          FROM rel GROUP BY 1, 2),
+        rr AS (
+          SELECT d.qid, d.nid, a.n2 + b.n2 - 2 * d.dot AS dist
+          FROM rdots d JOIN fn2 a ON d.qid = a.vec_id JOIN fn2 b ON d.nid = b.vec_id)
+        SELECT qid, nid, CAST(dist AS BIGINT) AS dist, CAST(rn AS INTEGER) AS rank
+        FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY dist, nid) AS rn FROM rr)
         WHERE rn <= 5""")),
 
     // SemDeDup (Abbas et al. 2023): IVF-cell assignment confines the

@@ -282,6 +282,84 @@ object SimilaritySearch {
         p => p("code")).as("codes"))
       .select(col("nid").as(idCol), col("codes"))
 
+  /** Per-subspace L2 Lloyd training of the PQ codebook — the quality
+    * lever over [[pqSeedCodebook]] (measured in `tools.Recall`). ALL
+    * subspaces train in ONE dataflow per iteration: sub-vectors explode
+    * once (staged — reused every round), assignment is a broadcast-join
+    * + map-side min_by per (point, subspace), and the update is a
+    * per-(subspace, code, dim) mean in the fixed-point domain (exact
+    * long sums — deterministic under any partitioning, same discipline
+    * as [[Clustering.kmeansStep]]). Shuffle per iteration is
+    * m·ksub·subDim partial rows, independent of corpus size. Empty
+    * codes drop (the standard empty-cluster rule).
+    */
+  def pqTrainCodebook(corpus: DataFrame, idCol: String, vecCol: String,
+                      m: Int, subDim: Int, ksub: Int, iters: Int): DataFrame = {
+    require(iters >= 0 && iters <= 100, s"iters must be in [0,100], got $iters")
+    val sub = Staging.stage(
+      corpus.select(col(idCol).as("pid"), col(vecCol).as("v"))
+        .withColumn("ms", explode(sequence(lit(0), lit(m - 1))))
+        .select(col("pid"), col("ms"),
+          expr(s"slice(v, ms * $subDim + 1, $subDim)").as("sv"))
+        .withColumn("sn2", VectorFns.norm2Fixed9(col("sv"))),
+      "pq_sub")
+    var cur = Staging.stage(
+      pqSeedCodebook(corpus, idCol, vecCol, m, subDim, ksub), "pq_cb_0")
+    for (i <- 1 to iters) {
+      val cb = broadcast(cur.df
+        .withColumn("cn2", VectorFns.norm2Fixed9(col("cvec"))))
+      val assigned = sub.df.join(cb, Seq("ms"))
+        .select(col("pid"), col("ms"), col("sv"), col("code"),
+          (col("sn2") + col("cn2")
+            - lit(2L) * VectorFns.dotFixed9(col("sv"), col("cvec"))).as("d"))
+        .groupBy("pid", "ms")
+        .agg(min_by(struct(col("code"), col("sv")), struct(col("d"), col("code"))).as("b"))
+        .select(col("ms"), col("b.code").as("code"), col("b.sv").as("sv"))
+      val next = assigned
+        .select(col("ms"), col("code"), posexplode(col("sv")).as(Seq("dim", "x")))
+        .select(col("ms"), col("code"), col("dim"),
+          floor(col("x").cast("double") * lit(1e9)).cast("long").as("x9"))
+        .groupBy("ms", "code", "dim")
+        .agg((sum(col("x9")).cast("double") / count(lit(1)) / lit(1e9)).as("mean_val"))
+        .groupBy("ms", "code")
+        .agg(transform(array_sort(collect_list(struct(col("dim"), col("mean_val")))),
+          s => s.getField("mean_val")).as("cvec"))
+      val staged = Staging.stage(next, s"pq_cb_$i")
+      cur.delete()
+      cur = staged
+    }
+    sub.delete()
+    cur.df
+  }
+
+  /** ADC shortlist + EXACT re-rank — the standard two-stage PQ
+    * deployment: [[pqTopK]] produces a `shortlist`-deep candidate list
+    * from codes alone, and only those candidates' raw vectors are
+    * fetched for an exact fixed-point L2 re-rank. The raw-vector read
+    * is bounded to Q·shortlist rows (broadcast of the shortlist against
+    * the corpus scan — the corpus never shuffles), so the expensive
+    * full-precision math touches a vanishing fraction of a 100 TB
+    * corpus while recall recovers most of the quantization loss
+    * (measured in `tools.Recall`).
+    */
+  def pqTopKRerank(queries: DataFrame, corpusCodes: DataFrame, corpus: DataFrame,
+                   codebook: DataFrame, idCol: String, vecCol: String,
+                   k: Int, shortlist: Int, m: Int, subDim: Int): DataFrame = {
+    require(shortlist >= k, s"shortlist ($shortlist) must be >= k ($k)")
+    val short = pqTopK(queries, corpusCodes, codebook, idCol, vecCol,
+      shortlist, m, subDim).select(col("qid"), col("nid"))
+    val qn = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"),
+      VectorFns.norm2Fixed9(col(vecCol)).as("qn2"))
+    val cn = corpus.select(col(idCol).as("nid"), col(vecCol).as("nv"),
+      VectorFns.norm2Fixed9(col(vecCol)).as("nn2"))
+    val fetched = cn.join(broadcast(short.join(qn, Seq("qid"))), Seq("nid"))
+      .select(col("qid"), col("nid"),
+        (col("qn2") + col("nn2")
+          - lit(2L) * VectorFns.dotFixed9(col("qv"), col("nv"))).as("dist"))
+    val w = Window.partitionBy("qid").orderBy(col("dist"), col("nid"))
+    fetched.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** Asymmetric-distance (ADC) top-k over PQ codes: the query side
     * computes its m·ksub lookup table of EXACT sub-distances to every
     * sub-centroid (queries stay uncompressed — the "asymmetric" in

@@ -43,6 +43,49 @@ object Recall {
         SimilaritySearch.ivfTopK(q, e, e.filter(col("vec_id") < 16),
           "vec_id", "embedding", "vec_id", k, nProbe))
     }
+    // PQ measures QUANTIZATION loss, so its baseline is the exact
+    // squared-L2 answer (PQ approximates L2; the cosine baseline would
+    // mix in metric mismatch on unnormalized vectors).
+    import graft.functions.VectorFns
+    import org.apache.spark.sql.expressions.Window
+    val qn = q.select(col("vec_id").as("qid"), col("embedding").as("qv"),
+      VectorFns.norm2Fixed9(col("embedding")).as("qn2"))
+    val cn = e.select(col("vec_id").as("nid"), col("embedding").as("nv"),
+      VectorFns.norm2Fixed9(col("embedding")).as("nn2"))
+    val wL2 = Window.partitionBy("qid").orderBy(col("d"), col("nid"))
+    val exactL2 = qn.join(cn, col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        (col("qn2") + col("nn2")
+          - lit(2L) * VectorFns.dotFixed9(col("qv"), col("nv"))).as("d"))
+      .withColumn("rank", row_number().over(wL2)).filter(col("rank") <= k)
+      .localCheckpoint(true)
+    def reportL2(name: String, approx: org.apache.spark.sql.DataFrame): Unit = {
+      val r = SimilaritySearch.recallAtK(approx, exactL2).collect()(0)
+      println(f"RECALL $name n_queries=${r.getLong(0)} recall@$k=${r.getDouble(1)}%.4f")
+    }
+    for (ksub <- Seq(16, 32, 64)) {
+      val cb = SimilaritySearch.pqSeedCodebook(e, "vec_id", "embedding",
+        m = 8, subDim = 8, ksub = ksub)
+      val codes = SimilaritySearch.pqEncode(e, "vec_id", "embedding", cb,
+        m = 8, subDim = 8)
+      reportL2(s"pq(m=8,ksub=$ksub,seed)-vs-L2",
+        SimilaritySearch.pqTopK(q, codes, cb, "vec_id", "embedding", k, m = 8, subDim = 8))
+    }
+    // the two production levers: trained codebooks, and ADC-shortlist +
+    // exact re-rank (full-precision math on Q·shortlist rows only)
+    for (iters <- Seq(2)) {
+      val cbT = SimilaritySearch.pqTrainCodebook(e, "vec_id", "embedding",
+        m = 8, subDim = 8, ksub = 64, iters = iters)
+      val codesT = SimilaritySearch.pqEncode(e, "vec_id", "embedding", cbT,
+        m = 8, subDim = 8)
+      reportL2(s"pq(m=8,ksub=64,lloyd=$iters)-vs-L2",
+        SimilaritySearch.pqTopK(q, codesT, cbT, "vec_id", "embedding", k, m = 8, subDim = 8))
+      for (shortlist <- Seq(25, 50)) {
+        reportL2(s"pq-rerank(ksub=64,lloyd=$iters,T=$shortlist)-vs-L2",
+          SimilaritySearch.pqTopKRerank(q, codesT, e, cbT, "vec_id", "embedding",
+            k, shortlist, m = 8, subDim = 8))
+      }
+    }
     spark.stop()
   }
 }

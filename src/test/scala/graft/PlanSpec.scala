@@ -14,7 +14,7 @@ class PlanSpec extends SparkSpec {
   test("q02: filter and projection are pushed into the parquet scan") {
     val p = plan("q02_filter_project_limit")
     assert(p.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThanOrEqual(l_quantity,49.0)]"))
-    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int,l_quantity:double,l_shipdate:timestamp_ntz>"))
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int,l_quantity:double,l_shipdate:timestamp>"))
   }
 
   test("q03: point lookup pushes the key predicate") {

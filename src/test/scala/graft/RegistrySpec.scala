@@ -29,7 +29,7 @@ class RegistrySpec extends AnyFunSuite {
     val sqlKeywords = Set("unnest", "range", "generate_series", "read_parquet")
     Queries.all.flatMap(q => q.oracle.map(q.name -> _)).foreach { case (name, sql) =>
       // strip CTE definitions: names introduced by WITH are legal targets
-      val cteNames = "(?i)([a-z_][a-z0-9_]*)\\s+AS\\s*\\(".r
+      val cteNames = "(?i)([a-z_][a-z0-9_]*)\\s+AS\\s*(?:MATERIALIZED\\s*)?\\(".r
         .findAllMatchIn(sql).map(_.group(1).toLowerCase).toSet
       tablePattern.findAllMatchIn(sql).map(_.group(1).toLowerCase).foreach { t =>
         assert(known.contains(t) || cteNames.contains(t) || sqlKeywords.contains(t)

@@ -50,6 +50,48 @@ class PqSpec extends SparkSpec {
     assert(top(3)._2 == 1L && top(3)._3 > top(2)._3)
   }
 
+  test("rerank sees the within-cell error ADC cannot, and keeps the exact twin first") {
+    val df = dfOf(base)
+    val cb = SimilaritySearch.pqSeedCodebook(df, "vec_id", "embedding", m = 2, subDim = 2, ksub = 2)
+    val codes = SimilaritySearch.pqEncode(df, "vec_id", "embedding", cb, m = 2, subDim = 2)
+    val top = SimilaritySearch.pqTopKRerank(df.filter(col("vec_id") === 0L), codes, df, cb,
+        "vec_id", "embedding", k = 4, shortlist = 4, m = 2, subDim = 2)
+      .as[(Long, Long, Long, Int)].collect().sortBy(_._4)
+    // exact re-rank: id 2 (true copy) stays dist 0; id 4 now shows its
+    // real nonzero distance (ADC scored both 0 — same codes as the query)
+    assert(top.map(_._2).toSeq == Seq(2L, 4L, 3L, 1L))
+    assert(top(0)._3 == 0L && top(1)._3 > 0L)
+  }
+
+  test("codebook training moves sub-centroids to cluster means (one Lloyd pass)") {
+    // per subspace, two tight groups; seeds (ids 0,1) both start in
+    // group 1, so Lloyd must pull code 1 toward the far group
+    val pts = Seq(
+      (0L, Seq(0f, 0f, 10f, 10f)),
+      (1L, Seq(1f, 1f, 11f, 11f)),
+      (2L, Seq(4f, 4f, 14f, 14f)),
+      (3L, Seq(5f, 5f, 15f, 15f)))
+    val df = dfOf(pts)
+    val cb1 = SimilaritySearch.pqTrainCodebook(df, "vec_id", "embedding",
+      m = 2, subDim = 2, ksub = 2, iters = 1)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2)).toMap
+    // assignment at seeds (0,0)/(1,1): id0→code0, ids 1,2,3→code1
+    // → code 0 stays (0,0); code 1 = mean{(1,1),(4,4),(5,5)} = (10/3, 10/3)
+    assert(cb1((0, 0)) == Seq(0.0, 0.0))
+    val c1 = cb1((0, 1))
+    assert(math.abs(c1.head - 10.0 / 3) < 1e-9 && math.abs(c1(1) - 10.0 / 3) < 1e-9)
+    // subspace 1 mirrors at +10
+    assert(cb1((1, 0)) == Seq(10.0, 10.0))
+    assert(math.abs(cb1((1, 1)).head - 40.0 / 3) < 1e-9)
+    // after convergence (2 iters) the groups split cleanly: re-encode
+    // assigns {0,1} to one code and {2,3} to the other in both subspaces
+    val cb2 = SimilaritySearch.pqTrainCodebook(df, "vec_id", "embedding",
+      m = 2, subDim = 2, ksub = 2, iters = 2)
+    val codes = SimilaritySearch.pqEncode(df, "vec_id", "embedding", cb2, m = 2, subDim = 2)
+      .as[(Long, Seq[Int])].collect().toMap
+    assert(codes(0L) == codes(1L) && codes(2L) == codes(3L) && codes(0L) != codes(2L))
+  }
+
   test("encode and search are deterministic under repartitioning") {
     val df = dfOf(base)
     val df7 = df.repartition(7)
