@@ -219,6 +219,54 @@ object EventQueries {
         SELECT f.cohort, count(*) AS n_events,
           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
         FROM events e JOIN f ON e.user_id = f.user_id
-        GROUP BY 1"""))
+        GROUP BY 1""")),
+
+    // STREAM-STREAM inner join — the missing member of the streaming
+    // family (q89 is stream-static): clicks joined to the same user's
+    // purchases within 6 hours, both sides watermarked, the time-range
+    // predicate bounding join state (Spark retains each side only until
+    // the other side's watermark passes the range). A real two-source
+    // Structured Streaming run; inner-join emissions are
+    // watermark-independent for on-time data, so the final sink equals
+    // the batch join the oracle runs. Gap arithmetic in integer
+    // epoch-micros (the q120 lesson: ms truncation shifts boundaries).
+    QuerySpec("q127_stream_stream_join",
+      (s, dir) => {
+        GraftSession.tune(s)
+        val batchSchema = s.read.parquet(s"$dir/events.parquet").schema
+        def src() = {
+          val raw = s.readStream.schema(batchSchema)
+            .option("pathGlobFilter", "events.parquet").parquet(dir)
+          if (batchSchema("ts").dataType == org.apache.spark.sql.types.LongType)
+            raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+          else raw
+        }
+        val clicks = src().filter(col("event_type") === "click")
+          .select(col("user_id"), col("event_id").as("click_id"),
+            col("ts").as("click_ts"))
+          .withWatermark("click_ts", "1 hour")
+        val buys = src().filter(col("event_type") === "purchase")
+          .select(col("user_id").as("b_user"), col("event_id").as("purchase_id"),
+            col("ts").as("purchase_ts"))
+          .withWatermark("purchase_ts", "1 hour")
+        val joined = clicks.join(buys,
+          col("user_id") === col("b_user") &&
+            col("purchase_ts") >= col("click_ts") &&
+            col("purchase_ts") <= col("click_ts") + expr("interval 6 hours"))
+          .select(col("user_id"), col("click_id"), col("purchase_id"),
+            (unix_micros(col("purchase_ts")) - unix_micros(col("click_ts"))).as("gap_us"))
+        graft.streaming.Streams.runToCompletion(s, joined, "append")
+      },
+      Some("""
+        WITH a AS (
+          SELECT user_id, event_id AS click_id, CAST(ts AS TIMESTAMP) AS cts
+          FROM events WHERE event_type = 'click'),
+        b AS (
+          SELECT user_id, event_id AS purchase_id, CAST(ts AS TIMESTAMP) AS pts
+          FROM events WHERE event_type = 'purchase')
+        SELECT a.user_id, a.click_id, b.purchase_id,
+          CAST(epoch_us(b.pts) - epoch_us(a.cts) AS BIGINT) AS gap_us
+        FROM a JOIN b ON a.user_id = b.user_id
+          AND b.pts >= a.cts AND b.pts <= a.cts + INTERVAL 6 HOUR"""))
   )
 }
