@@ -558,7 +558,7 @@ object CurateQueries {
       Some("""
         WITH d AS (SELECT doc_id AS id, text AS t FROM documents),
         p AS (
-          SELECT id, i AS pos, md5(substr(t, CAST(i AS INTEGER), 20)) AS h
+          SELECT id, i AS pos, substr(md5(substr(t, CAST(i AS INTEGER), 20)), 1, 16) AS h
           FROM d, UNNEST(range(1, length(t) - 19 + 1)) AS u(i)
           WHERE length(t) >= 20),
         dh AS (SELECT h FROM p GROUP BY h HAVING count(*) >= 4),

@@ -76,12 +76,18 @@ object CorpusText {
     *
     * Scale: the position table is corpus-chars-sized — the same volume
     * a tokenizer pass reads — and everything after the mark semi-join
-    * is per-doc-bounded. Per-position md5(substring) costs len·k
-    * bytes hashed; the 100 TB upgrade is a Karp-Rabin rolling-hash
-    * `Expression` (one multiply-add per position), which changes this
-    * constant, not the dataflow. The hash df table's hot keys are the
-    * duplicated windows themselves — bounded by minCount semantics,
-    * AQE-splittable like every blocked join here.
+    * is per-doc-bounded. The window hash is md5 TRUNCATED to 16 hex
+    * chars (64 bits): the position table is staged and shuffled, so
+    * hash width is most of its bytes, and truncation halves that
+    * volume; both engines truncate the same digest, so span decisions
+    * stay engine-identical (a 64-bit collision would merely merge two
+    * window groups — identically on both sides). Per-position
+    * md5(substring) costs len·k bytes hashed; the 100 TB upgrade is a
+    * Karp-Rabin rolling-hash `Expression` (one multiply-add per
+    * position), which changes this constant, not the dataflow. The
+    * hash df table's hot keys are the duplicated windows themselves —
+    * bounded by minCount semantics, AQE-splittable like every blocked
+    * join here.
     */
   def dropDuplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
                           k: Int, minCount: Long): DataFrame = {
@@ -93,7 +99,8 @@ object CorpusText {
       .filter(length(col("t")) >= k)
       .select(col("id"), explode(sequence(lit(1), length(col("t")) - (k - 1))).as("pos"),
         col("t"))
-      .select(col("id"), col("pos"), md5(expr(s"substring(t, pos, $k)")).as("h"))
+      .select(col("id"), col("pos"),
+        expr(s"substring(md5(substring(t, pos, $k)), 1, 16)").as("h"))
     // two consumers (df count + mark probe) → stage once; the staged
     // frame outlives this call because the result is lazy (the
     // Dedup.staged convention — exit cleanup owns the lifetime)
