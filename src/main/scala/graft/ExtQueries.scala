@@ -546,6 +546,50 @@ object ExtQueries {
         FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY dist, nid) AS rn FROM rr)
         WHERE rn <= 5""")),
 
+    // SEMANTIC decontamination: corpus vectors near a benchmark item's
+    // embedding (every 41st vector stands in for a leaked eval set —
+    // identity leaks surface at sim = 1.0). IVF-cell confinement as in
+    // q109; the bench side multi-probes its 2 nearest cells (recall
+    // knob on the tiny side only), the corpus stays single-cell.
+    QuerySpec("q128_semantic_decontaminate",
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        operators.Contamination.semanticOverlap(
+          e, e.filter(col("vec_id") % 41 === 0), "vec_id", "embedding",
+          e.filter(col("vec_id") < 8), "vec_id", "embedding",
+          simThreshold = 0.9, nProbe = 2)
+      },
+      Some("""
+        WITH n2 AS MATERIALIZED (
+          SELECT vec_id, SUM(CAST(floor(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 1000000000.0) AS BIGINT)) AS n2
+          FROM (SELECT vec_id, UNNEST(embedding) AS x FROM embeddings) t GROUP BY 1),
+        cent AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 8),
+        ael AS (
+          SELECT e.vec_id AS nid, c.cid, UNNEST(e.embedding) AS x, UNNEST(c.cvec) AS y
+          FROM embeddings e, cent c),
+        adots AS MATERIALIZED (
+          SELECT nid, cid, SUM(CAST(floor(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) * 1000000000.0) AS BIGINT)) AS dot
+          FROM ael GROUP BY 1, 2),
+        ranked AS MATERIALIZED (
+          SELECT nid, cid, row_number() OVER (PARTITION BY nid ORDER BY
+              CAST(dot AS DOUBLE) / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(c2.n2 AS DOUBLE))) DESC,
+              cid) AS rn
+          FROM adots JOIN n2 a ON nid = a.vec_id JOIN n2 c2 ON cid = c2.vec_id),
+        cells AS (SELECT nid, cid FROM ranked WHERE rn = 1),
+        bcells AS (SELECT nid AS bid, cid FROM ranked WHERE nid % 41 = 0 AND rn <= 2),
+        cand AS (SELECT c.nid, b.bid FROM cells c JOIN bcells b ON c.cid = b.cid),
+        pel AS (
+          SELECT c.nid, c.bid, UNNEST(x.embedding) AS x, UNNEST(y.embedding) AS y
+          FROM cand c JOIN embeddings x ON c.nid = x.vec_id
+                      JOIN embeddings y ON c.bid = y.vec_id),
+        pdots AS (
+          SELECT nid, bid, SUM(CAST(floor(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) * 1000000000.0) AS BIGINT)) AS dot
+          FROM pel GROUP BY 1, 2)
+        SELECT nid AS vec_id, bid AS bench_id,
+          CAST(dot AS DOUBLE) / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b2.n2 AS DOUBLE))) AS sim
+        FROM pdots JOIN n2 a ON nid = a.vec_id JOIN n2 b2 ON bid = b2.vec_id
+        WHERE CAST(dot AS DOUBLE) / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b2.n2 AS DOUBLE))) >= 0.9""")),
+
     // SemDeDup (Abbas et al. 2023): IVF-cell assignment confines the
     // pairwise cosine work, near-dup groups collapse to their min-id
     // representative via connected components — the full semantic-dedup

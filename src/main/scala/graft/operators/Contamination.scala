@@ -96,4 +96,58 @@ object Contamination {
         (col("shared").cast("double")
           / (col("n_doc") + col("n_bench") - col("shared"))).as("jaccard"))
   }
+
+  /** SEMANTIC decontamination — the third member of the family (exact
+    * n-gram [[ngramOverlap]], lexical-fuzzy [[fuzzyOverlap]], and this):
+    * corpus documents whose EMBEDDING is near a benchmark item's, which
+    * catches translations/rewrites that share almost no surface text.
+    *
+    * Same cell confinement as [[SimilaritySearch.semanticDedup]]: both
+    * sides assign to IVF cells (broadcast centroids, map-side argmax
+    * collapse before any exchange), and pairwise cosine runs only
+    * between a corpus vector's ONE cell and the bench items probing it.
+    * The bench side probes its `nProbe` nearest cells (the recall knob,
+    * on the TINY side only — the corpus stays single-cell, so a pair
+    * can arise from at most one probe). Bench cells broadcast into the
+    * pair join; the corpus never self-joins and never shuffles beyond
+    * its one assignment aggregate.
+    *
+    * Output: (id, bench_id, sim) for every pair at `simThreshold` or
+    * above — an exact leaked eval item surfaces at sim ≈ 1.0 (within
+    * one ulp: the fixed-point dot over √n2·√n2). The
+    * threshold compares the fixed-point-derived double both engines
+    * compute, so the decision is engine-exact.
+    */
+  def semanticOverlap(corpus: DataFrame, bench: DataFrame, idCol: String,
+                      vecCol: String, centroids: DataFrame, cidCol: String,
+                      cvecCol: String, simThreshold: Double, nProbe: Int): DataFrame = {
+    require(nProbe >= 1, s"nProbe must be >= 1, got $nProbe")
+    import graft.functions.VectorFns
+    val cent = broadcast(centroids.select(col(cidCol).as("cid"),
+      col(cvecCol).as("cvec"), VectorFns.norm2Fixed9(col(cvecCol)).as("cn2")))
+    def scored(df: DataFrame, p: String): DataFrame =
+      df.select(col(idCol).as(s"${p}id"), col(vecCol).as(s"${p}vec"),
+        VectorFns.norm2Fixed9(col(vecCol)).as(s"${p}n2"))
+        .join(cent)
+        .select(col(s"${p}id"), col(s"${p}vec"), col(s"${p}n2"), col("cid"),
+          VectorFns.cosineFrom(VectorFns.dotFixed9(col(s"${p}vec"), col("cvec")),
+            col(s"${p}n2"), col("cn2")).as("csim"))
+    val corpusCells = scored(corpus, "n")
+      .groupBy("nid")
+      .agg(max_by(struct(col("cid"), col("nvec"), col("nn2")),
+        struct(col("csim"), -col("cid"))).as("b"))
+      .select(col("nid"), col("b.cid").as("cid"),
+        col("b.nvec").as("nvec"), col("b.nn2").as("nn2"))
+    val wProbe = org.apache.spark.sql.expressions.Window
+      .partitionBy("bid").orderBy(col("csim").desc, col("cid"))
+    val benchCells = scored(bench, "b")
+      .withColumn("rn", row_number().over(wProbe)).filter(col("rn") <= nProbe)
+      .select(col("bid"), col("cid"), col("bvec"), col("bn2"))
+    corpusCells.join(broadcast(benchCells), Seq("cid"))
+      .select(col("nid"), col("bid"),
+        VectorFns.cosineFrom(VectorFns.dotFixed9(col("nvec"), col("bvec")),
+          col("nn2"), col("bn2")).as("sim"))
+      .filter(col("sim") >= simThreshold)
+      .select(col("nid").as(idCol), col("bid").as("bench_id"), col("sim"))
+  }
 }

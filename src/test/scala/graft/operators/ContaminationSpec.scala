@@ -64,6 +64,42 @@ class ContaminationSpec extends SparkSpec {
     assert(out.isEmpty)
   }
 
+  test("semanticOverlap finds identity leaks at sim 1.0 and respects the threshold") {
+    val s = spark
+    import s.implicits._
+    val corpus = Seq(
+      (1L, Seq(1f, 0f)),
+      (2L, Seq(0f, 1f)),
+      (3L, Seq(0.9f, 0.1f))).toDF("id", "vec")
+    val cent = Seq((0L, Seq(1f, 0f)), (1L, Seq(0f, 1f))).toDF("id", "vec")
+    val bench = Seq((9L, Seq(1f, 0f))).toDF("id", "vec")
+    val out = Contamination.semanticOverlap(corpus, bench, "id", "vec",
+        cent, "id", "vec", simThreshold = 0.95, nProbe = 1)
+      .as[(Long, Long, Double)].collect().toSeq.sorted
+    // the leaked item (id 1, identical) surfaces at sim ≈ 1.0 (the
+    // fixed-point dot over √n2·√n2 is within one ulp of 1, identically
+    // in every engine); id 3 (cos ≈ 0.994) passes; id 2 is in the
+    // other cell
+    assert(out.map(p => (p._1, p._2)) == Seq((1L, 9L), (3L, 9L)))
+    assert(math.abs(out.head._3 - 1.0) < 1e-12 && out(1)._3 > 0.95 && out(1)._3 < 0.999)
+  }
+
+  test("semanticOverlap multi-probe recovers matches across the bench item's cell boundary") {
+    val s = spark
+    import s.implicits._
+    // bench (0.8, 0.6) assigns to cell 0, but its 0.96-cosine neighbor
+    // (0.6, 0.8) lives in cell 1 — reachable only via the second probe
+    val corpus = Seq((1L, Seq(1f, 0f)), (2L, Seq(0.6f, 0.8f))).toDF("id", "vec")
+    val cent = Seq((0L, Seq(1f, 0f)), (1L, Seq(0f, 1f))).toDF("id", "vec")
+    val bench = Seq((9L, Seq(0.8f, 0.6f))).toDF("id", "vec")
+    def run(nProbe: Int) = Contamination.semanticOverlap(corpus, bench, "id", "vec",
+        cent, "id", "vec", simThreshold = 0.9, nProbe = nProbe)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(run(1).isEmpty)
+    val two = run(2)
+    assert(two.map(p => (p._1, p._2)) == Seq((2L, 9L)) && math.abs(two.head._3 - 0.96) < 1e-6)
+  }
+
   test("fuzzyOverlap is deterministic under repartitioning") {
     val s = spark
     import s.implicits._
