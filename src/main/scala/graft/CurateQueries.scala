@@ -768,6 +768,44 @@ object CurateQueries {
           CAST(SUM(r * (x + w * y)) AS BIGINT) AS wsum_r
         FROM px GROUP BY 1""")),
 
+    // REAL video-container metadata decode — the video member of the
+    // multimodal family (audio decodes samples, images decode pixels;
+    // video's honest decode surface is the ISO-BMFF container): each doc
+    // synthesizes a complete valid MP4 (ftyp + free + moov/mvhd +
+    // trak/tkhd per track + largesize mdat) with header VERSIONS varying
+    // by row — mvhd v1 on every 3rd doc, tkhd v1 on alternating tracks —
+    // and the box walker must recover brand, timescale, duration and
+    // per-track 16.16 dimensions from all four layouts. The oracle
+    // replays the closed-form generator; duration_ms is integer-exact.
+    QuerySpec("q129_mp4_meta",
+      (s, dir) => {
+        import graft.multimodal.Multimodal
+        val docs = Tables.documents(s, dir).select(col("doc_id"),
+          when(col("doc_id") % 2 === 0, "isom").otherwise("mp42").as("brand"),
+          (lit(600L) + (col("doc_id") % 5) * 400).as("timescale"),
+          (lit(1000L) + (col("doc_id") * 37) % 100000).as("duration"),
+          (col("doc_id") % 3 === 0).as("mvhd_v1"),
+          expr("transform(sequence(0, cast(doc_id % 3 as int)), t -> " +
+            "cast(16 * (4 + pmod(doc_id + 7 * t, 100)) as int))").as("tk_w"),
+          expr("transform(sequence(0, cast(doc_id % 3 as int)), t -> " +
+            "cast(9 * (4 + pmod(doc_id + 11 * t, 100)) as int))").as("tk_h"))
+        Multimodal.mp4TrackMeta(Multimodal.synthMp4Media(docs)).toDF()
+      },
+      Some("""
+        WITH g AS (
+          SELECT doc_id,
+            CASE WHEN doc_id % 2 = 0 THEN 'isom' ELSE 'mp42' END AS brand,
+            600 + (doc_id % 5) * 400 AS timescale,
+            1000 + (doc_id * 37) % 100000 AS duration
+          FROM documents)
+        SELECT doc_id, brand, CAST(timescale AS BIGINT) AS timescale,
+          CAST(duration AS BIGINT) AS duration_ticks,
+          CAST(duration * 1000 // timescale AS BIGINT) AS duration_ms,
+          CAST(t + 1 AS BIGINT) AS track_id,
+          CAST(16 * (4 + (doc_id + 7 * t) % 100) AS INTEGER) AS width,
+          CAST(9 * (4 + (doc_id + 11 * t) % 100) AS INTEGER) AS height
+        FROM g, UNNEST(range(0, doc_id % 3 + 1)) AS u(t)""")),
+
     // BPE tokenizer TRAINING (the learn side of q84/q85's apply side):
     // 8 byte-pair merges learned from corpus word frequencies, leftmost-
     // non-overlapping merge semantics, (count desc, pair) tie order. The

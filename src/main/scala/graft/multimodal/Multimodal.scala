@@ -280,6 +280,65 @@ object Multimodal {
     }
   }
 
+  /** Input row for [[synthMp4Media]]: movie-level fields + parallel
+    * per-track dimension arrays (generated declaratively in the query so
+    * the oracle can replay the generator; the encoder assigns track id
+    * `t + 1` to the t-th entry).
+    */
+  final case class Mp4SynthRow(doc_id: Long, brand: String, timescale: Long,
+                               duration: Long, mvhd_v1: Boolean,
+                               tk_w: Seq[Int], tk_h: Seq[Int])
+
+  /** Encode each row as a COMPLETE valid ISO-BMFF container
+    * ([[Mp4Meta.encode]]): ftyp + skipped `free` box + moov(mvhd +
+    * trak/tkhd per track) + a largesize mdat. Header layout VARIES by
+    * row — mvhd v1 when `mvhd_v1`, tkhd v1 when `(doc_id + t) % 2 == 0`
+    * — so a corpus exercises all four version layouts and the 64-bit
+    * box-size path, while decoded VALUES stay layout-independent.
+    */
+  def synthMp4Media(df: DataFrame): Dataset[MediaRow] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.as[Mp4SynthRow].mapPartitions { rows =>
+      rows.map { r =>
+        val tracks = r.tk_w.zip(r.tk_h).zipWithIndex.map {
+          case ((w, h), i) => Mp4Meta.Mp4Track(i + 1L, w, h)
+        }
+        val payload = Mp4Meta.encode(r.brand, r.timescale, r.duration, tracks,
+          mvhdV1 = r.mvhd_v1, tkhdV1 = i => (r.doc_id + i) % 2 == 0)
+        MediaRow(r.doc_id, "video/mp4", payload.length.toLong, payload)
+      }
+    }
+  }
+
+  /** One decoded (doc, track) row: movie header fields + this track's
+    * dimensions. `duration_ms` is integer-exact (ticks·1000 div
+    * timescale) so the row hash-matches a replayed oracle.
+    */
+  final case class Mp4TrackRow(doc_id: Long, brand: String, timescale: Long,
+                               duration_ticks: Long, duration_ms: Long,
+                               track_id: Long, width: Int, height: Int)
+
+  /** Per-track container metadata over DECODED ISO-BMFF boxes — one row
+    * per (doc, track). Undecodable payloads contribute no rows.
+    */
+  def mp4TrackMeta(media: Dataset[MediaRow]): Dataset[Mp4TrackRow] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        Mp4Meta.decode(r.payload).toSeq.flatMap { info =>
+          info.tracks.map { t =>
+            Mp4TrackRow(r.doc_id, info.majorBrand, info.timescale,
+              info.durationTicks,
+              Math.floorDiv(info.durationTicks * 1000L, info.timescale),
+              t.trackId, t.width, t.height)
+          }
+        }
+      }
+    }
+  }
+
   /** Synthesize a COMPLETE valid mono 16-bit PCM WAV file from an
     * `array<int>` sample column, as pure codegen'd SQL expressions —
     * RIFF header, fmt chunk, data chunk, two's-complement LE samples.
