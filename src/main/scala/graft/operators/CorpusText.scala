@@ -208,6 +208,80 @@ object CorpusText {
         col("surprise_bits").cast("double") / col("n_bigrams"))
   }
 
+  /** MILLI-BIT log2 for positive integer columns (the [[bm25TopK]]
+    * idiom, factored out): 1000·(L−1) + (x − 2^(L−1))·1000 div 2^(L−1)
+    * with L = bitlength(x) — linear interpolation between powers of
+    * two, pure integer ops, monotone, max error 0.086 bits.
+    */
+  private def mlog2Sql(x: String): String =
+    s"(cast(length(bin($x)) - 1 as bigint) * 1000" +
+      s" + (($x - shiftleft(cast(1 as bigint), length(bin($x)) - 1)) * 1000)" +
+      s" div shiftleft(cast(1 as bigint), length(bin($x)) - 1))"
+
+  /** Interpolated KNESER-NEY bigram LM surprisal — the production form
+    * of [[bigramSurprisal]]'s quality filter (CCNet scores with a
+    * KN-smoothed LM; add-one badly underestimates rare-but-real
+    * continuations). With discount D = `dQuarters`/4:
+    *
+    *   P(w2|w1) = max(c12 − D, 0)/c1  +  (D·N1+(w1·)/c1) · N1+(·w2)/B
+    *
+    * where N1+(w1·) = distinct continuations of w1, N1+(·w2) = distinct
+    * contexts of w2 (the "novel-continuation" probability that makes KN
+    * KN), and B = total distinct bigrams. Multiplying through by 4·c1·B
+    * keeps every term integral:
+    *
+    *   P = [max(4·c12 − dq·1, 0)·B + dq·N1+(w1·)·N1+(·w2)] / (4·c1·B)
+    *
+    * and the surprisal in MILLI-bits is mlog2(denominator) −
+    * mlog2(numerator) — integer end to end, so per-doc sums hash-match
+    * cross-engine under any partitioning (the float formulation cannot).
+    * Scored on the training corpus itself, every bigram has c12 ≥ 1, so
+    * the numerator is always positive.
+    *
+    * Output per doc: (id, n_bigrams, kn_mb, mb_per_bigram) — total and
+    * integer-mean milli-bits.
+    *
+    * Scale: four vocabulary-sized count tables (unigram, bigram,
+    * forward/backward continuation counts) + one 1-row broadcast B; the
+    * scoring stream joins each ONCE — same dataflow class as
+    * [[bigramSurprisal]], no pairwise or iterative stage anywhere.
+    * Numerators stay < 2^63 for corpora to ~10^8 tokens; past that the
+    * same expressions lift to Decimal(38,0) (the [[graft.operators
+    * .Sampling]] overflow discipline) without changing the dataflow.
+    */
+  def knSurprisal(docs: DataFrame, idCol: String, textCol: String,
+                  dQuarters: Int = 3): DataFrame = {
+    require(dQuarters >= 1 && dQuarters <= 3,
+      s"discount must be 1..3 quarters (D in (0,1)), got $dQuarters")
+    val toks = docs.select(col(idCol).as("id"),
+      posexplode(TextFns.tokens(col(textCol))).as(Seq("pos", "w")))
+    val bigr = toks.withColumn("w2",
+        lead(col("w"), 1).over(org.apache.spark.sql.expressions.Window
+          .partitionBy("id").orderBy("pos")))
+      .filter(col("w2").isNotNull)
+      .select(col("id"), col("w").as("w1"), col("w2"))
+    val pair = bigr.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    // context count c1 = Σ_w2 c12 (bigram-consistent, excludes each
+    // doc's final token — the KN convention for context totals)
+    val ctx = pair.groupBy("w1").agg(sum(col("c12")).as("c1"),
+      count(lit(1)).as("n1f"))
+    val cont = pair.groupBy("w2").agg(count(lit(1)).as("n1b"))
+    val totals = pair.agg(count(lit(1)).as("b"))
+    bigr.join(pair, Seq("w1", "w2"))
+      .join(ctx, Seq("w1"))
+      .join(cont, Seq("w2"))
+      .crossJoin(broadcast(totals))
+      .withColumn("num", expr(
+        s"greatest(4 * c12 - $dQuarters, cast(0 as bigint)) * b" +
+          s" + $dQuarters * n1f * n1b"))
+      .withColumn("den", expr("4 * c1 * b"))
+      .select(col("id"),
+        (expr(mlog2Sql("den")) - expr(mlog2Sql("num"))).as("mb"))
+      .groupBy(col("id").as(idCol))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("mb")).as("kn_mb"))
+      .withColumn("mb_per_bigram", expr("kn_mb div n_bigrams"))
+  }
+
   /** BM25 top-k keyword retrieval over the corpus, in FIXED-POINT
     * integer arithmetic end to end (k1 = 1.2 and b = 0.75 as
     * milli-units; one integer division per (doc, term)) — deterministic

@@ -49,6 +49,30 @@ class CorpusTextSpec extends SparkSpec {
       s"rare bigram must be more surprising: ${out(3L)._2} vs ${out(1L)._2}")
   }
 
+  test("knSurprisal: hand-computed interpolated KN on a 2-context corpus") {
+    // corpus: "a b a b a c" + "a b" → bigrams: (a,b)x3 (b,a)x2 (a,c)x1
+    // pair table: 3 distinct; ctx a: c1=4, n1f=2; ctx b: c1=2, n1f=1
+    // cont b: n1b=1; cont a: n1b=1; cont c: n1b=1; B=3
+    // P(b|a) = [ (4*3-3)*3 + 3*2*1 ] / (4*4*3) = 33/48
+    // P(a|b) = [ (4*2-3)*3 + 3*1*1 ] / (4*2*3) = 18/24
+    // P(c|a) = [ (4*1-3)*3 + 3*2*1 ] / (4*4*3) =  9/48
+    def mb(num: Long, den: Long): Long = {
+      def m(x: Long) = { val l = 63 - java.lang.Long.numberOfLeadingZeros(x)
+        l * 1000L + ((x - (1L << l)) * 1000L) / (1L << l) }
+      m(den) - m(num)
+    }
+    val docs = Seq((1L, "a b a b a c"), (2L, "a b")).toDF("doc_id", "text")
+    val out = CorpusText.knSurprisal(docs, "doc_id", "text")
+      .select("doc_id", "n_bigrams", "kn_mb", "mb_per_bigram")
+      .as[(Long, Long, Long, Long)].collect().map(t => t._1 -> t).toMap
+    val d1 = 2 * mb(33, 48) + 2 * mb(18, 24) + mb(9, 48) // a-b b-a a-b b-a a-c
+    assert(out(1L) == ((1L, 5L, d1, d1 / 5)))
+    assert(out(2L) == ((2L, 1L, mb(33, 48), mb(33, 48))))
+    // KN property: the novel-continuation term keeps a once-seen bigram
+    // with a PRODUCTIVE context cheaper than pure discounted MLE
+    assert(mb(9, 48) < mb(1, 16), "interpolation must soften the rare bigram")
+  }
+
   test("bm25TopK: rare-term docs outrank stopword-only docs; tf and length matter") {
     val docs = Seq(
       (1L, "needle in the corpus"),           // rare term once, short doc
