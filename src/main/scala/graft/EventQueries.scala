@@ -230,6 +230,76 @@ object EventQueries {
     // watermark-independent for on-time data, so the final sink equals
     // the batch join the oracle runs. Gap arithmetic in integer
     // epoch-micros (the q120 lesson: ms truncation shifts boundaries).
+    // STREAM-STREAM LEFT OUTER join — the state-eviction semantics q127's
+    // inner join never exercises: an unmatched click emits its
+    // null-extended row only when the global watermark proves no future
+    // purchase can land in its 6-hour window and the engine evicts the
+    // state. Determinism without replaying eviction micro-timing: clicks
+    // are bounded to the CLOSABLE region (ts ≤ min(max click, max
+    // purchase) − 8 h, computed batch-side; 8 h > 6 h window + 1 h
+    // watermark delay + engine rounding margins), applied AFTER the
+    // watermark node so the watermark still advances on the full stream
+    // — every kept click is therefore evicted by end-of-stream and the
+    // sink equals the batch LEFT JOIN under the same bound, which is
+    // what the oracle runs. The one driver-side value is a bounded
+    // scalar (the cutoff), per the engine's scalar-only collect rule.
+    QuerySpec("q131_stream_outer_join",
+      (s, dir) => {
+        GraftSession.tune(s)
+        val HOUR_US = 3600L * 1000000L
+        val batch = Tables.events(s, dir)
+        val cutUs = batch.agg(
+          (least(max(when(col("event_type") === "click", unix_micros(col("ts")))),
+            max(when(col("event_type") === "purchase", unix_micros(col("ts")))))
+            - lit(8L * HOUR_US)).as("cut"))
+          .head().getLong(0)
+        val batchSchema = s.read.parquet(s"$dir/events.parquet").schema
+        def src() = {
+          val raw = s.readStream.schema(batchSchema)
+            .option("pathGlobFilter", "events.parquet").parquet(dir)
+          if (batchSchema("ts").dataType == org.apache.spark.sql.types.LongType)
+            raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+          else raw
+        }
+        val clicks = src().withWatermark("ts", "1 hour")
+          .filter(col("event_type") === "click" &&
+            unix_micros(col("ts")) <= cutUs)
+          .select(col("user_id"), col("event_id").as("click_id"),
+            col("ts").as("click_ts"))
+        val buys = src().filter(col("event_type") === "purchase")
+          .select(col("user_id").as("b_user"), col("event_id").as("purchase_id"),
+            col("ts").as("purchase_ts"))
+          .withWatermark("purchase_ts", "1 hour")
+        val joined = clicks.join(buys,
+          col("user_id") === col("b_user") &&
+            col("purchase_ts") >= col("click_ts") &&
+            col("purchase_ts") <= col("click_ts") + expr("interval 6 hours"),
+          "left_outer")
+          .select(col("user_id"), col("click_id"), col("purchase_id"),
+            (unix_micros(col("purchase_ts")) - unix_micros(col("click_ts"))).as("gap_us"))
+        graft.streaming.Streams.runToCompletion(s, joined, "append")
+      },
+      Some("""
+        WITH e AS (
+          SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+          FROM events),
+        cut AS (
+          SELECT least(
+              max(CASE WHEN event_type = 'click' THEN ts END),
+              max(CASE WHEN event_type = 'purchase' THEN ts END))
+            - INTERVAL 8 HOUR AS c
+          FROM e),
+        a AS (
+          SELECT user_id, event_id AS click_id, ts AS cts
+          FROM e, cut WHERE event_type = 'click' AND ts <= c),
+        b AS (
+          SELECT user_id, event_id AS purchase_id, ts AS pts
+          FROM e WHERE event_type = 'purchase')
+        SELECT a.user_id, a.click_id, b.purchase_id,
+          CAST(epoch_us(b.pts) - epoch_us(a.cts) AS BIGINT) AS gap_us
+        FROM a LEFT JOIN b ON a.user_id = b.user_id
+          AND b.pts >= a.cts AND b.pts <= a.cts + INTERVAL 6 HOUR""")),
+
     QuerySpec("q127_stream_stream_join",
       (s, dir) => {
         GraftSession.tune(s)
