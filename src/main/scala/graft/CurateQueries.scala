@@ -885,6 +885,21 @@ object CurateQueries {
         Tables.documents(s, dir), "doc_id", "text", merges = 8),
       Some(s"WITH $WORDS_SQL, ${operators.Bpe.oracleEncodeSql(8)}")),
 
+    // UNIGRAM-LM tokenizer (SentencePiece family) — BPE's counterpart:
+    // per word, the MINIMUM-total-cost piece segmentation (Viterbi over
+    // the position DAG) under milli-bit unigram piece costs; vocab =
+    // all chars ∪ top-300 substrings (≤4 chars) by weighted count.
+    // State packs (cost, n_pieces) into one integer so min() IS the
+    // deterministic tie-break. The oracle replays candidate counting,
+    // vocab selection, costs, and ALL 16 DP rounds as chained
+    // MATERIALIZED CTEs — the dynamic program itself is under the hash
+    // gate. Words >16 chars are excluded by documented cap (both sides).
+    QuerySpec("q132_unigram_segment",
+      (s, dir) => operators.Unigram.unigramSegment(
+        Tables.documents(s, dir), "doc_id", "text",
+        vExtra = 300, maxPieceLen = 4, maxWordLen = 16),
+      Some(s"WITH $WORDS_SQL, ${operators.Unigram.oracleSql(300, 4, 16)}")),
+
     // Capstone v2 — the ROUND-4 operator chain composed end to end:
     // segment dedup (boilerplate stripping) → length floor → bigram-LM
     // surprisal filter (≤ 6.5 bits/bigram, integer-exact compare) →

@@ -213,7 +213,7 @@ object CorpusText {
     * with L = bitlength(x) — linear interpolation between powers of
     * two, pure integer ops, monotone, max error 0.086 bits.
     */
-  private def mlog2Sql(x: String): String =
+  private[operators] def mlog2Sql(x: String): String =
     s"(cast(length(bin($x)) - 1 as bigint) * 1000" +
       s" + (($x - shiftleft(cast(1 as bigint), length(bin($x)) - 1)) * 1000)" +
       s" div shiftleft(cast(1 as bigint), length(bin($x)) - 1))"
