@@ -629,6 +629,75 @@ object CurateQueries {
           CAST(SUM(bits) AS DOUBLE) / count(*) AS bits_per_bigram
         FROM sc GROUP BY 1""")),
 
+    // Character-distribution entropy in integer milli-bits — the cheap
+    // garbage detector (binary/base64 → near-uniform high entropy;
+    // padding/mashing → low; natural text in a stable band). One char
+    // explode + two aggregates + a doc-keyed join; hash-exact.
+    QuerySpec("q133_char_entropy",
+      (s, dir) => operators.CorpusText.charEntropy(
+        Tables.documents(s, dir), "doc_id", "text"),
+      Some {
+        def mlog2(x: String) =
+          s"((length(bin($x)) - 1) * 1000 + (($x - (CAST(1 AS BIGINT) << (length(bin($x)) - 1))) * 1000) // (CAST(1 AS BIGINT) << (length(bin($x)) - 1)))"
+        s"""
+        WITH hist AS (
+          SELECT doc_id, ch, CAST(count(*) AS BIGINT) AS c FROM (
+            SELECT doc_id, UNNEST(list_filter(string_split(text, ''), x -> x <> '')) AS ch
+            FROM documents) GROUP BY 1, 2),
+        tot AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n FROM hist GROUP BY 1),
+        mb AS (
+          SELECT h.doc_id, t.n, h.c * (${mlog2("t.n")} - ${mlog2("h.c")}) AS mb
+          FROM hist h JOIN tot t ON h.doc_id = t.doc_id)
+        SELECT doc_id, CAST(max(n) AS BIGINT) AS n_chars,
+          CAST(SUM(mb) AS BIGINT) AS ent_mb,
+          CAST(SUM(mb) // max(n) AS BIGINT) AS mb_per_char
+        FROM mb GROUP BY 1"""
+      }),
+
+    // Johnson-Lindenstrauss ±1 random projection over the embedding
+    // column, fixed-point exact: 64 dims → 8 coordinates p_k =
+    // Σ_i sign(i,k)·floor(v_i·1e9) with the sign matrix derived from
+    // md5("i_k") (Achlioptas-style Rademacher projection — engine-
+    // portable: any SQL engine regenerates the same matrix from its own
+    // md5). Row-local map over the scan — at 100 TB the projection
+    // shrinks vectors BEFORE any LSH shuffle. The sign-bucket code of
+    // the projected coords doubles as the coarse ANN partitioner.
+    QuerySpec("q134_jl_projection",
+      (s, dir) => {
+        import graft.functions.VectorFns
+        val k = 8
+        val proj = (0 until k).map(j =>
+          VectorFns.jlCoord(col("embedding"), dIn = 64, k = j).as(s"p$j"))
+        val bucket = (0 until k).map(j =>
+          when(col(s"p$j") > 0, 1 << j).otherwise(0)).reduce(_ + _)
+        Tables.embeddings(s, dir)
+          .select(col("vec_id") +: proj: _*)
+          .withColumn("bucket", bucket)
+      },
+      Some {
+        val pCols = (0 until 8).map(j =>
+          s"CAST(max(CASE WHEN k = $j THEN p END) AS BIGINT) AS p$j").mkString(",\n          ")
+        val bExpr = (0 until 8).map(j =>
+          s"CASE WHEN max(CASE WHEN k = $j THEN p END) > 0 THEN ${1 << j} ELSE 0 END")
+          .mkString(" + ")
+        s"""
+        WITH el AS (
+          SELECT vec_id, i, CAST(embedding[CAST(i + 1 AS INTEGER)] AS DOUBLE) AS x
+          FROM embeddings, UNNEST(range(0, len(embedding))) AS t(i)),
+        sgn AS (
+          SELECT i, k,
+            CASE WHEN substr(md5(i || '_' || k), 1, 1) IN ('0','1','2','3','4','5','6','7')
+              THEN 1 ELSE -1 END AS s
+          FROM UNNEST(range(0, 64)) AS u(i), UNNEST(range(0, 8)) AS v(k)),
+        pr AS (
+          SELECT vec_id, k, SUM(CAST(floor(x * 1e9) AS BIGINT) * s) AS p
+          FROM el JOIN sgn ON el.i = sgn.i GROUP BY 1, 2)
+        SELECT vec_id,
+          $pCols,
+          CAST($bExpr AS INTEGER) AS bucket
+        FROM pr GROUP BY 1"""
+      }),
+
     // Interpolated KNESER-NEY bigram LM surprisal (D=3/4) — the
     // production smoothing behind CCNet-style LM quality filters (q106's
     // add-one badly underestimates rare-but-real continuations; KN backs

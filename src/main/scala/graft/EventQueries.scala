@@ -115,6 +115,33 @@ object EventQueries {
         SELECT event_type, count(*) AS n_events
         FROM events GROUP BY 1""")),
 
+    // The WATERMARK-BOUNDED streaming dedup — q52's production variant:
+    // dropDuplicatesWithinWatermark keeps per-key state only until the
+    // event-time watermark passes key time + delay (O(window) state on
+    // an unbounded stream, vs q52's O(all keys ever)). Same doubled-
+    // delivery topology: every event arrives twice via a two-stream
+    // union, duplicates land well inside the 1 h window, and the drained
+    // complete-mode aggregate must equal the batch distinct counts.
+    QuerySpec("q135_stream_dedup_wm",
+      (s, dir) => {
+        GraftSession.tune(s)
+        val batchSchema = s.read.parquet(s"$dir/events.parquet").schema
+        def src() = {
+          val raw = s.readStream.schema(batchSchema)
+            .option("pathGlobFilter", "events.parquet").parquet(dir)
+          if (batchSchema("ts").dataType == org.apache.spark.sql.types.LongType)
+            raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+          else raw
+        }
+        val doubled = src().unionByName(src())
+        val agg = graft.streaming.Streams.dedupedCountsWithinWatermark(
+          doubled, "ts", "1 hour", Seq("event_id"), "event_type")
+        graft.streaming.Streams.runToCompletion(s, agg, "complete")
+      },
+      Some("""
+        SELECT event_type, count(*) AS n_events
+        FROM events GROUP BY 1""")),
+
     // Structured Streaming end-to-end: file source → watermark → windowed
     // agg → memory sink, driven to completion (Trigger.AvailableNow
     // semantics via processAllAvailable). Complete output mode, so the

@@ -61,6 +61,37 @@ object VectorFns {
   def dotDbl(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y), lit(0.0), (acc, x) => acc + x)
 
+  /** Deterministic ±1 entry of the Johnson-Lindenstrauss projection
+    * matrix: +1 iff the top bit of md5("i_k") is 0 (equivalently, first
+    * hex digit < '8') — an engine-portable pseudo-random sign any SQL
+    * engine reproduces with its own md5. A ±1 (Rademacher) matrix
+    * satisfies the JL lemma like a Gaussian one (Achlioptas 2003) and
+    * keeps the arithmetic integer-exact.
+    */
+  def jlSign(i: Int, k: Int): Int = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"${i}_${k}".getBytes("US-ASCII"))
+    if ((h(0) & 0x80) == 0) 1 else -1
+  }
+
+  /** One Johnson-Lindenstrauss projected coordinate, FIXED-POINT exact:
+    * p_k(v) = Σ_i sign(i,k) · floor(v_i · 1e9) — each element is floored
+    * once (IEEE, identical everywhere) and accumulated as a 64-bit
+    * integer, the [[dotFixed9]] discipline, so every engine lands on the
+    * identical value. Row-local (no explode, no shuffle): at 100 TB the
+    * projection is a free map stage over the embedding scan, shrinking
+    * d-dim vectors to k coordinates BEFORE any LSH/bucketing shuffle —
+    * the standard trick for making banded ANN affordable at scale.
+    * `dIn` must equal the stored embedding length.
+    */
+  def jlCoord(emb: Column, dIn: Int, k: Int): Column = {
+    val signs = array((0 until dIn).map(i => lit(jlSign(i, k).toLong)): _*)
+    aggregate(
+      zip_with(emb, signs,
+        (x, s) => floor(x.cast("double") * lit(1e9)).cast("long") * s),
+      lit(0L), (acc, x) => acc + x)
+  }
+
   /** Axis-aligned hyperplane sign bucket over the first `k` dimensions —
     * a deterministic LSH-style coarse partitioner for bucketed ANN
     * (each vector lands in one of 2^k buckets; search touches only its

@@ -208,6 +208,35 @@ object CorpusText {
         col("surprise_bits").cast("double") / col("n_bigrams"))
   }
 
+  /** Character-distribution ENTROPY per document, in MILLI-BITS — the
+    * classic cheap garbage detector (binary junk and base64 blobs score
+    * near-uniform-high; keyboard mashing and repeated-char padding score
+    * low; natural language sits in a stable band). Exact integer form of
+    * H = Σ (c/N)·log2(N/c):
+    *
+    *   ent_mb = Σ_ch c_ch · (mlog2(N) − mlog2(c_ch))   [then ÷N for the
+    *   per-char rate via integer div]
+    *
+    * so the score hash-matches cross-engine. Empty docs emit no row.
+    *
+    * Scale: one explode to the char stream (the same volume any
+    * tokenizer pass reads), two hash aggregates, one doc-keyed join —
+    * no vocabulary table even needed since the histogram key is
+    * (doc, char).
+    */
+  def charEntropy(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val hist = docs.select(col(idCol).as("id"),
+        explode(expr(s"filter(split($textCol, ''), s -> s != '')")).as("ch"))
+      .groupBy("id", "ch").agg(count(lit(1)).as("c"))
+    val tot = hist.groupBy("id").agg(sum(col("c")).as("n"))
+    hist.join(tot, Seq("id"))
+      .select(col("id"), col("n"),
+        (col("c") * (expr(mlog2Sql("n")) - expr(mlog2Sql("c")))).as("mb"))
+      .groupBy(col("id").as(idCol))
+      .agg(max(col("n")).as("n_chars"), sum(col("mb")).as("ent_mb"))
+      .withColumn("mb_per_char", expr("ent_mb div n_chars"))
+  }
+
   /** MILLI-BIT log2 for positive integer columns (the [[bm25TopK]]
     * idiom, factored out): 1000·(L−1) + (x − 2^(L−1))·1000 div 2^(L−1)
     * with L = bitlength(x) — linear interpolation between powers of

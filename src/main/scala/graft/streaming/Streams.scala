@@ -110,6 +110,21 @@ object Streams {
       .groupBy(col(groupCol))
       .agg(count(lit(1)).as("n_events"))
 
+  /** The WATERMARK-BOUNDED form of [[dedupedCounts]] — the production
+    * variant on an unbounded stream: per-key dedup state is EVICTED once
+    * the event-time watermark passes the key's event time plus the
+    * delay, so state is O(events in the watermark window), not O(all
+    * keys ever). Duplicates arriving within the window dedup exactly;
+    * `tsCol` must be the event-time column the caller watermarks on.
+    */
+  def dedupedCountsWithinWatermark(stream: DataFrame, tsCol: String,
+                                   lateness: String, keyCols: Seq[String],
+                                   groupCol: String): DataFrame =
+    stream.withWatermark(tsCol, lateness)
+      .dropDuplicatesWithinWatermark(keyCols)
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_events"))
+
   /** Drive a streaming query built from a bounded source to completion
     * and return the sink table (test/backfill harness).
     *

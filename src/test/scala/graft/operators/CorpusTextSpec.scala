@@ -73,6 +73,20 @@ class CorpusTextSpec extends SparkSpec {
     assert(mb(9, 48) < mb(1, 16), "interpolation must soften the rare bigram")
   }
 
+  test("charEntropy: uniform chars score max, single-char padding scores zero") {
+    val docs = Seq(
+      (1L, "abcd"),   // 4 distinct chars, uniform → exactly 2 bits/char
+      (2L, "aaaa"),   // one char → zero entropy
+      (3L, "")        // empty → no row
+    ).toDF("doc_id", "text")
+    val out = CorpusText.charEntropy(docs, "doc_id", "text")
+      .as[(Long, Long, Long, Long)].collect().map(t => t._1 -> t).toMap
+    // doc 1: each c=1, n=4 → 4 · (mlog2(4) − mlog2(1)) = 4·2000 = 8000
+    assert(out(1L) == ((1L, 4L, 8000L, 2000L)))
+    assert(out(2L) == ((2L, 4L, 0L, 0L)))
+    assert(!out.contains(3L))
+  }
+
   test("bm25TopK: rare-term docs outrank stopword-only docs; tf and length matter") {
     val docs = Seq(
       (1L, "needle in the corpus"),           // rare term once, short doc
