@@ -698,6 +698,54 @@ object CurateQueries {
         FROM pr GROUP BY 1"""
       }),
 
+    // ANN THROUGH the JL projection — q134 put to work: the q35 bucketed
+    // probe with buckets from 8 Rademacher projections instead of the
+    // first 8 raw axes (axis planes hash badly when leading dims are
+    // correlated; JL planes mix all 64). Same ~2^bits candidate cut,
+    // same co-located join; the oracle replays projection, bucketing,
+    // and the fixed-point cosine ranking end to end.
+    QuerySpec("q136_knn_jl_bucketed",
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        operators.SimilaritySearch.jlBucketedTopK(
+          e.filter(col("vec_id") < 32), e, "vec_id", "embedding",
+          k = 3, bits = 8, dIn = 64)
+      },
+      Some("""
+        WITH el AS (
+          SELECT vec_id, i, CAST(embedding[CAST(i + 1 AS INTEGER)] AS DOUBLE) AS x
+          FROM embeddings, UNNEST(range(0, len(embedding))) AS t(i)),
+        sgn AS (
+          SELECT i, k,
+            CASE WHEN substr(md5(i || '_' || k), 1, 1) IN ('0','1','2','3','4','5','6','7')
+              THEN 1 ELSE -1 END AS s
+          FROM UNNEST(range(0, 64)) AS u(i), UNNEST(range(0, 8)) AS v(k)),
+        pr AS (
+          SELECT vec_id, k, SUM(CAST(floor(x * 1e9) AS BIGINT) * s) AS p
+          FROM el JOIN sgn ON el.i = sgn.i GROUP BY 1, 2),
+        b AS (
+          SELECT e.vec_id, e.embedding, bk.bucket
+          FROM embeddings e JOIN (
+            SELECT vec_id,
+              SUM(CASE WHEN p > 0 THEN CAST(1 AS BIGINT) << CAST(k AS INTEGER) ELSE 0 END) AS bucket
+            FROM pr GROUP BY 1) bk ON e.vec_id = bk.vec_id),
+        n2 AS (
+          SELECT vec_id, SUM(CAST(floor(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 1000000000.0) AS BIGINT)) AS n2
+          FROM (SELECT vec_id, UNNEST(embedding) AS x FROM embeddings) t GROUP BY 1),
+        pairs AS (
+          SELECT q.vec_id AS qid, e.vec_id AS nid, q.embedding AS qe, e.embedding AS ne
+          FROM b q JOIN b e ON q.bucket = e.bucket
+          WHERE q.vec_id < 32 AND e.vec_id <> q.vec_id),
+        pel AS (SELECT qid, nid, UNNEST(qe) AS x, UNNEST(ne) AS y FROM pairs),
+        dots AS (SELECT qid, nid, SUM(CAST(floor(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) * 1000000000.0) AS BIGINT)) AS dot FROM pel GROUP BY 1, 2),
+        sims AS (
+          SELECT qid, nid,
+            CAST(dot AS DOUBLE) / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b2.n2 AS DOUBLE))) AS sim
+          FROM dots JOIN n2 a ON qid = a.vec_id JOIN n2 b2 ON nid = b2.vec_id)
+        SELECT qid, nid, sim, CAST(rn AS INTEGER) AS rank
+        FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rn FROM sims) r
+        WHERE rn <= 3""")),
+
     // Interpolated KNESER-NEY bigram LM surprisal (D=3/4) — the
     // production smoothing behind CCNet-style LM quality filters (q106's
     // add-one badly underestimates rare-but-real continuations; KN backs

@@ -80,6 +80,32 @@ object SimilaritySearch {
     rank(sims, k)
   }
 
+  /** JL-PROJECTED sign-bucket LSH top-k: the [[bucketedTopK]] probe with
+    * the bucket computed from `bits` Johnson-Lindenstrauss ±1
+    * projections ([[VectorFns.jlCoord]]) instead of the first `bits`
+    * raw axes. Axis-aligned planes hash badly when leading dimensions
+    * are correlated or low-variance (real embedding models concentrate
+    * energy unevenly); Rademacher planes mix ALL dimensions, so bucket
+    * occupancy stays balanced on any embedding geometry — same
+    * candidate-cut contract (~2^bits), same co-located join shape, and
+    * the projection itself is a row-local map on the scan.
+    */
+  def jlBucketedTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+                     vecCol: String, k: Int, bits: Int, dIn: Int): DataFrame = {
+    def jlBucket(v: org.apache.spark.sql.Column) =
+      (0 until bits).map(j =>
+        when(VectorFns.jlCoord(v, dIn, j) > 0, 1 << j).otherwise(0)).reduce(_ + _)
+    val q = withNorm(queries, idCol, vecCol, "q")
+      .withColumn("bucket", jlBucket(col("qvec")))
+    val c = withNorm(corpus, idCol, vecCol, "n")
+      .withColumn("bucket", jlBucket(col("nvec")))
+    val sims = q.join(c, Seq("bucket")).filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        VectorFns.cosineFrom(
+          VectorFns.dotFixed9(col("qvec"), col("nvec")), col("qn2"), col("nn2")).as("sim_raw"))
+    rank(sims, k)
+  }
+
   /** IVF (inverted-file) top-k: the data-DEPENDENT scale path, dual to
     * the hash-based buckets. `centroids` come from the caller (trained
     * offline — k-means or a coreset; at 100 TB centroid training is its
