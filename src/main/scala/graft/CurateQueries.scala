@@ -756,41 +756,46 @@ object CurateQueries {
     QuerySpec("q130_kn_surprisal",
       (s, dir) => operators.CorpusText.knSurprisal(
         Tables.documents(s, dir), "doc_id", "text", dQuarters = 3),
-      Some {
-        def mlog2(x: String) =
-          s"((length(bin($x)) - 1) * 1000 + (($x - (CAST(1 AS BIGINT) << (length(bin($x)) - 1))) * 1000) // (CAST(1 AS BIGINT) << (length(bin($x)) - 1)))"
-        s"""
+      Some(s"""
         WITH $WORDS_SQL,
         tok AS (
           SELECT doc_id, i AS pos, w[CAST(i + 1 AS INTEGER)] AS term
           FROM words, UNNEST(range(0, len(w))) AS t(i)
           WHERE len(w) > 0),
-        big AS (
-          SELECT doc_id, term AS w1,
-            lead(term) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
-          FROM tok QUALIFY w2 IS NOT NULL),
-        pair AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM big GROUP BY 1, 2),
-        ctx AS (
-          SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1,
-            CAST(count(*) AS BIGINT) AS n1f
-          FROM pair GROUP BY 1),
-        cont AS (SELECT w2, CAST(count(*) AS BIGINT) AS n1b FROM pair GROUP BY 1),
-        tot AS (SELECT CAST(count(*) AS BIGINT) AS b FROM pair),
+        ${operators.CorpusText.knOracleCtes(3)}
+        SELECT doc_id, n_bigrams, kn_mb, mb_per_bigram FROM kn""")),
+
+    // CCNet's head/middle/tail split: per language, rank docs by the KN
+    // score and cut at EXACT integer terciles (rank·3 vs n) — the bucket
+    // boundaries CCNet mixes with different sampling rates. Composes
+    // q130's scorer; the oracle replays the shared KN chain + window.
+    QuerySpec("q137_perplexity_buckets",
+      (s, dir) => operators.CorpusText.perplexityBuckets(
+        Tables.documents(s, dir), "doc_id", "text", "lang", dQuarters = 3),
+      Some(s"""
+        WITH $WORDS_SQL,
+        tok AS (
+          SELECT doc_id, i AS pos, w[CAST(i + 1 AS INTEGER)] AS term
+          FROM words, UNNEST(range(0, len(w))) AS t(i)
+          WHERE len(w) > 0),
+        ${operators.CorpusText.knOracleCtes(3)},
         sc AS (
-          SELECT bg.doc_id,
-            GREATEST(4 * p.c12 - 3, 0) * t.b + 3 * x.n1f * n.n1b AS num,
-            4 * x.c1 * t.b AS den
-          FROM big bg
-          JOIN pair p ON bg.w1 = p.w1 AND bg.w2 = p.w2
-          JOIN ctx x ON bg.w1 = x.w1
-          JOIN cont n ON bg.w2 = n.w2
-          CROSS JOIN tot t),
-        mb AS (SELECT doc_id, ${mlog2("den")} - ${mlog2("num")} AS mb FROM sc)
-        SELECT doc_id, count(*) AS n_bigrams,
-          CAST(SUM(mb) AS BIGINT) AS kn_mb,
-          CAST(SUM(mb) // count(*) AS BIGINT) AS mb_per_bigram
-        FROM mb GROUP BY 1"""
-      }),
+          SELECT d.lang, k.doc_id, k.mb_per_bigram
+          FROM kn k JOIN documents d ON k.doc_id = d.doc_id),
+        r AS (
+          SELECT lang, mb_per_bigram,
+            row_number() OVER (PARTITION BY lang ORDER BY mb_per_bigram, doc_id) AS rn,
+            count(*) OVER (PARTITION BY lang) AS n
+          FROM sc)
+        SELECT lang,
+          CASE WHEN rn * 3 <= n THEN 'head'
+               WHEN rn * 3 <= n * 2 THEN 'middle'
+               ELSE 'tail' END AS bucket,
+          count(*) AS n_docs,
+          CAST(min(mb_per_bigram) AS BIGINT) AS min_mb,
+          CAST(max(mb_per_bigram) AS BIGINT) AS max_mb,
+          CAST(SUM(mb_per_bigram) AS BIGINT) AS sum_mb
+        FROM r GROUP BY 1, 2""")),
 
     // BM25 keyword retrieval in fixed-point integer arithmetic (k1=1.2,
     // b=0.75 as milli-units, IDF as integer log2 bits): 'dup' is the

@@ -311,6 +311,72 @@ object CorpusText {
       .withColumn("mb_per_bigram", expr("kn_mb div n_bigrams"))
   }
 
+  /** CCNet's head/middle/tail PERPLEXITY BUCKETS, per language: docs
+    * rank by [[knSurprisal]] score within their language and split at
+    * exact integer terciles (rank·3 vs n — no float quantiles), the
+    * split CCNet uses to mix "cleanest third / middle / tail" with
+    * different sampling rates. Output per (lang, bucket): doc count and
+    * min/max/Σ of the per-bigram score. Per-language windows shuffle on
+    * the language key — the grouping CCNet itself imposes — so no
+    * global single-partition sort appears at scale.
+    */
+  def perplexityBuckets(docs: DataFrame, idCol: String, textCol: String,
+                        langCol: String, dQuarters: Int = 3): DataFrame = {
+    val scores = knSurprisal(docs, idCol, textCol, dQuarters)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy("mb_per_bigram", idCol)
+    val wn = org.apache.spark.sql.expressions.Window.partitionBy("lang")
+    scores.join(docs.select(col(idCol), col(langCol).as("lang")), Seq(idCol))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(wn))
+      .withColumn("bucket",
+        when(col("rn") * 3 <= col("n"), "head")
+          .when(col("rn") * 3 <= col("n") * 2, "middle")
+          .otherwise("tail"))
+      .groupBy("lang", "bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("mb_per_bigram")).as("min_mb"),
+        max(col("mb_per_bigram")).as("max_mb"),
+        sum(col("mb_per_bigram")).as("sum_mb"))
+  }
+
+  /** The DuckDB CTE chain replaying [[knSurprisal]] (requires a `tok`
+    * CTE of (doc_id, pos, term); ends in `kn`(doc_id, n_bigrams, kn_mb,
+    * mb_per_bigram)) — factored out so composing queries (q130, q137)
+    * share one replay.
+    */
+  def knOracleCtes(dQuarters: Int): String = {
+    def mlog2(x: String) =
+      s"((length(bin($x)) - 1) * 1000 + (($x - (CAST(1 AS BIGINT) << (length(bin($x)) - 1))) * 1000) // (CAST(1 AS BIGINT) << (length(bin($x)) - 1)))"
+    s"""
+        big AS (
+          SELECT doc_id, term AS w1,
+            lead(term) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+          FROM tok QUALIFY w2 IS NOT NULL),
+        pair AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM big GROUP BY 1, 2),
+        ctx AS (
+          SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1,
+            CAST(count(*) AS BIGINT) AS n1f
+          FROM pair GROUP BY 1),
+        cont AS (SELECT w2, CAST(count(*) AS BIGINT) AS n1b FROM pair GROUP BY 1),
+        tot AS (SELECT CAST(count(*) AS BIGINT) AS b FROM pair),
+        knsc AS (
+          SELECT bg.doc_id,
+            GREATEST(4 * p.c12 - $dQuarters, 0) * t.b + $dQuarters * x.n1f * n.n1b AS num,
+            4 * x.c1 * t.b AS den
+          FROM big bg
+          JOIN pair p ON bg.w1 = p.w1 AND bg.w2 = p.w2
+          JOIN ctx x ON bg.w1 = x.w1
+          JOIN cont n ON bg.w2 = n.w2
+          CROSS JOIN tot t),
+        knmb AS (SELECT doc_id, ${mlog2("den")} - ${mlog2("num")} AS mb FROM knsc),
+        kn AS (
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+            CAST(SUM(mb) AS BIGINT) AS kn_mb,
+            CAST(SUM(mb) // count(*) AS BIGINT) AS mb_per_bigram
+          FROM knmb GROUP BY 1)"""
+  }
+
   /** BM25 top-k keyword retrieval over the corpus, in FIXED-POINT
     * integer arithmetic end to end (k1 = 1.2 and b = 0.75 as
     * milli-units; one integer division per (doc, term)) — deterministic
