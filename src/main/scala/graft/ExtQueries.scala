@@ -266,6 +266,37 @@ object ExtQueries {
           JOIN (SELECT doc_id, sz AS nb FROM sizes) sb ON doc_b = sb.doc_id
         WHERE shared * 10 >= (na + nb - shared) * 1""")),
 
+    // ASYMMETRIC containment dedup — |A∩B|/|A| ≥ 6/10, the measure that
+    // catches quote-inclusion / subset duplicates Jaccard's union
+    // denominator dilutes away. Directed pairs; the unordered
+    // intersection is computed once and both directions tested from it.
+    QuerySpec("q138_dedup_containment",
+      (s, dir) => Dedup.containmentPairs(Tables.documents(s, dir), "doc_id", "text",
+        n = 4, dfCap = 100, num = 6, den = 10),
+      Some(s"""
+        WITH $SHINGLES_SQL,
+        kept AS (
+          SELECT doc_id, sh FROM (
+            SELECT doc_id, sh, count(*) OVER (PARTITION BY sh) AS df FROM sh) y
+          WHERE df <= 100),
+        sizes AS (SELECT doc_id, count(*) AS sz FROM kept GROUP BY 1),
+        shared AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+          FROM kept a JOIN kept b ON a.sh = b.sh AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+        sized AS (
+          SELECT doc_a, doc_b, shared, na, nb
+          FROM shared
+            JOIN (SELECT doc_id, sz AS na FROM sizes) sa ON doc_a = sa.doc_id
+            JOIN (SELECT doc_id, sz AS nb FROM sizes) sb ON doc_b = sb.doc_id)
+        SELECT doc_a, doc_b, shared, na, nb,
+          CAST(shared AS DOUBLE) / na AS containment
+        FROM sized WHERE shared * 10 >= na * 6
+        UNION ALL
+        SELECT doc_b AS doc_a, doc_a AS doc_b, shared, nb AS na, na AS nb,
+          CAST(shared AS DOUBLE) / nb AS containment
+        FROM sized WHERE shared * 10 >= nb * 6""")),
+
     // MinHash + LSH banding, engine-portable hashes, exact-Jaccard verify
     QuerySpec("q32_dedup_minhash_lsh",
       (s, dir) => Dedup.minhashLshPairs(Tables.documents(s, dir), "doc_id", "text",

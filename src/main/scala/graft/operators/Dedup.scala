@@ -154,6 +154,45 @@ object Dedup {
         (col("shared").cast("double") / (col("na") + col("nb") - col("shared"))).as("jaccard"))
   }
 
+  /** Exact n-gram CONTAINMENT pairs — the ASYMMETRIC near-dup measure
+    * |A∩B| / |A| (vs Jaccard's symmetric union denominator): a short
+    * document quoted wholesale inside a long one has high containment
+    * but low Jaccard (the long doc's extra shingles flood the union), so
+    * quote-inclusion / subset duplicates are exactly the pairs
+    * [[jaccardPairs]] misses. Directed: (doc_a, doc_b) means doc_a's
+    * capped shingle set is ≥ num/den contained in doc_b's; a pair can
+    * qualify in both directions (near-identical docs emit two rows).
+    *
+    * Same df-cap blocking and integer-threshold discipline as
+    * [[jaccardPairs]]; the unordered intersection is computed ONCE and
+    * both directions are tested from it, so the candidate volume is
+    * identical to the Jaccard operator's.
+    */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String, n: Int,
+                       dfCap: Int, num: Int, den: Int): DataFrame = {
+    require(num >= 1 && den >= num,
+      s"threshold num/den must be in (0, 1]: got $num/$den")
+    val sh = shingleSet(docs, idCol, textCol, n)
+    val rare = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= dfCap).select("sh")
+    val kept = staged(sh.join(rare, Seq("sh"), "left_semi"), "containment_postings")
+    val sizes = kept.groupBy("id").agg(count(lit(1)).as("sz"))
+    val a = kept.select(col("id").as("doc_a"), col("sh"))
+    val b = kept.select(col("id").as("doc_b"), col("sh"))
+    val shared = a.join(b, Seq("sh")).filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("shared"))
+      .join(sizes.select(col("id").as("doc_a"), col("sz").as("na")), Seq("doc_a"))
+      .join(sizes.select(col("id").as("doc_b"), col("sz").as("nb")), Seq("doc_b"))
+    val fwd = shared.filter(col("shared") * den >= col("na") * num)
+      .select(col("doc_a"), col("doc_b"), col("shared"), col("na"), col("nb"),
+        (col("shared").cast("double") / col("na")).as("containment"))
+    val rev = shared.filter(col("shared") * den >= col("nb") * num)
+      .select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b"), col("shared"),
+        col("nb").as("na"), col("na").as("nb"),
+        (col("shared").cast("double") / col("nb")).as("containment"))
+    fwd.unionByName(rev)
+  }
+
   /** Exact Jaccard near-dup pairs via PREFIX FILTERING (the
     * AllPairs/PPJoin principle): order every document's shingles by
     * global rarity (df asc, shingle asc — a total order, no dense rank

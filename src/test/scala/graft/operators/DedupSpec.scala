@@ -129,6 +129,23 @@ class DedupSpec extends SparkSpec {
     assert(got == Seq(6L, 9L))
   }
 
+  test("containmentPairs catches quote-inclusion that Jaccard misses, ONE direction only") {
+    // doc 1 is quoted wholesale inside doc 2, which is ~4x longer:
+    // containment(1→2) = 1.0 but Jaccard ≈ 1/4 — below a 6/10 bar
+    val quote = "alpha beta gamma delta epsilon zeta eta theta"
+    val long = quote + " " + (1 to 30).map(i => s"filler$i word$i more$i extra$i").mkString(" ")
+    val docs = Seq((1L, quote), (2L, long), (3L, "unrelated text entirely different content here")
+    ).toDF("doc_id", "text")
+    val cont = Dedup.containmentPairs(docs, "doc_id", "text",
+        n = 4, dfCap = 100, num = 6, den = 10)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(cont == Set((1L, 2L)), s"expected exactly the directed inclusion, got $cont")
+    val jac = Dedup.jaccardPairs(docs, "doc_id", "text",
+        n = 4, dfCap = 100, num = 6, den = 10)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(jac.isEmpty, s"Jaccard at the same 6/10 bar must miss the inclusion, got $jac")
+  }
+
   test("dedupIncrement: a reprocessed chunk (repeated / variant rows per id) emits each id ONCE") {
     val s = spark
     import s.implicits._
