@@ -1022,6 +1022,20 @@ object CurateQueries {
         vExtra = 300, maxPieceLen = 4, maxWordLen = 16),
       Some(s"WITH $WORDS_SQL, ${operators.Unigram.oracleSql(300, 4, 16)}")),
 
+    // ONE HARD-EM TRAINING ROUND of the unigram tokenizer — the
+    // SentencePiece trainer loop body: Viterbi E-step (path recovered by
+    // min-j predecessor reconstruction from the best table alone),
+    // usage-count M-step with add-one re-cost over the same vocabulary,
+    // then re-segmentation under the new costs. The oracle replays the
+    // ENTIRE loop — both DP chains, the ≤16 walk rounds, and the
+    // re-estimation — as one generated CTE program (~60 materialized
+    // CTEs), so the training iteration itself is under the hash gate.
+    QuerySpec("q139_unigram_em",
+      (s, dir) => operators.Unigram.unigramEmRound(
+        Tables.documents(s, dir), "doc_id", "text",
+        vExtra = 300, maxPieceLen = 4, maxWordLen = 16),
+      Some(s"WITH $WORDS_SQL, ${operators.Unigram.oracleEmSql(300, 4, 16)}")),
+
     // Capstone v2 — the ROUND-4 operator chain composed end to end:
     // segment dedup (boilerplate stripping) → length floor → bigram-LM
     // surprisal filter (≤ 6.5 bits/bigram, integer-exact compare) →

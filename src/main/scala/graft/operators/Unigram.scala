@@ -11,7 +11,9 @@ import graft.functions.TextFns
   * MINIMUM total cost (Viterbi over the word's position DAG). BPE is a
   * bottom-up merge greedy; unigram is a global optimum per word — the
   * two disagree on real corpora, so an engine claiming tokenizer
-  * coverage needs both.
+  * coverage needs both. [[unigramEmRound]] adds the TRAINING side: one
+  * hard-EM iteration (Viterbi E-step → piece-usage M-step → re-cost →
+  * re-segment), the loop SentencePiece's trainer runs.
   *
   * Engine-exact formulation (every engine lands on the identical
   * segmentation, no floats anywhere):
@@ -22,14 +24,19 @@ import graft.functions.TextFns
   *   - Viterbi state is ONE integer: comb = total_mb · 1000 + n_pieces
   *     (n_pieces < 1000 by the word-length bound), so `min(comb)` IS
   *     the lexicographic (cost, piece-count) tie-break — deterministic
-  *     under any partitioning and replayable as plain SQL `min`.
+  *     under any partitioning and replayable as plain SQL `min`;
+  *   - the E-step path is reconstructed by PREDECESSOR RECOVERY: at
+  *     each position k, the used edge is the min-j edge whose source
+  *     best-value reproduces best[k] — a pure function of the best
+  *     table, so both engines walk the identical path without the DP
+  *     ever materializing choices.
   *
   * Spark-first decomposition (the [[Bpe]] architecture): the corpus
   * collapses ONCE to (word, wc) — the only corpus-scale pass; vocab
-  * selection, the position-DAG edge table, and the DP all run at
-  * VOCABULARY scale; the per-word result joins back to the corpus
-  * token stream in one pass. The DP runs `maxWordLen` staged rounds
-  * (position k's best from positions k−P..k−1 — each round one
+  * selection, the position-DAG edge table, the DP, and the EM walk all
+  * run at VOCABULARY scale; the per-word result joins back to the
+  * corpus token stream in one pass. The DP runs `maxWordLen` staged
+  * rounds (position k's best from positions k−P..k−1 — each round one
   * vocabulary-sized join), O(1) plan depth via [[Staging]].
   *
   * Scale: a 100 TB corpus pays one tokenize + one join; rounds are
@@ -81,6 +88,66 @@ object Unigram {
       .select("piece", "cnt", "cost_mb")
   }
 
+  /** Position-DAG edge GEOMETRY: j --piece--> k for every substring at
+    * word offset j (0-based), k − j ≤ maxPieceLen. Vocabulary-sized.
+    */
+  private def edgeGeometry(words: DataFrame, maxPieceLen: Int): DataFrame =
+    words
+      .select(col("word"), explode(sequence(lit(1), length(col("word")))).as("s"))
+      .select(col("word"), col("s"),
+        explode(sequence(lit(1), lit(maxPieceLen))).as("l"))
+      .filter(col("s") + col("l") - 1 <= length(col("word")))
+      .select(col("word"), (col("s") - 1).as("j"), (col("s") + col("l") - 1).as("k"),
+        expr("substring(word, s, l)").as("piece"))
+
+  /** Viterbi over staged rounds: best(word, pos) as min comb; round k
+    * computes position k from positions k−P..k−1 (each a previously
+    * STAGED frame — O(1) plan depth, bounded lineage, the Bpe round
+    * discipline). Returns ALL per-position frames; caller owns deletion.
+    */
+  private def dpRounds(words: DataFrame, edges: DataFrame, maxWordLen: Int,
+                       maxPieceLen: Int, tag: String): Seq[Staging.Staged] = {
+    val b0 = Staging.stage(
+      words.select(col("word"), lit(0).as("pos"), lit(0L).as("comb")), s"${tag}_b0")
+    val bests = scala.collection.mutable.ArrayBuffer[Staging.Staged](b0)
+    for (k <- 1 to maxWordLen) {
+      val lo = math.max(0, k - maxPieceLen)
+      val prior = (lo until k).map(j => bests(j).df).reduce(_ unionByName _)
+      val bk = edges.filter(col("k") === k)
+        .join(prior, edges("word") === prior("word") && col("j") === col("pos"))
+        .groupBy(edges("word"))
+        .agg(min(expr("(comb div 1000 + cost_mb) * 1000 + comb % 1000 + 1")).as("comb"))
+        .select(col("word"), lit(k).as("pos"), col("comb"))
+      bests += Staging.stage(bk, s"${tag}_b$k")
+    }
+    bests.toSeq
+  }
+
+  /** Per-doc rollup of per-word segmentation results. */
+  private def rollup(docs: DataFrame, idCol: String, textCol: String,
+                     bests: Seq[Staging.Staged], words: DataFrame): DataFrame = {
+    val allBest = bests.map(_.df).reduce(_ unionByName _)
+    val seg = allBest.join(words, Seq("word"))
+      .filter(col("pos") === length(col("word")))
+      .select(col("word"), expr("comb div 1000").as("cost_mb"),
+        expr("comb % 1000").as("n_pieces"))
+    docs.select(col(idCol).as("id"),
+        explode(TextFns.tokens(col(textCol))).as("word"))
+      .join(seg, Seq("word"))
+      .groupBy(col("id").as(idCol))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_pieces")).as("n_pieces"),
+        sum(col("cost_mb")).as("mb_total"))
+  }
+
+  private def validate(vExtra: Int, maxPieceLen: Int, maxWordLen: Int): Unit = {
+    require(maxPieceLen >= 1 && maxPieceLen <= 8,
+      s"maxPieceLen must be in [1,8], got $maxPieceLen")
+    require(maxWordLen >= maxPieceLen && maxWordLen <= 64,
+      s"maxWordLen must be in [$maxPieceLen,64] (DP rounds = maxWordLen), got $maxWordLen")
+    require(vExtra >= 0 && vExtra <= 100000, s"vExtra out of range: $vExtra")
+  }
+
   /** Per-document unigram segmentation stats: (id, n_words, n_pieces,
     * mb_total) — token count after the length cap, total piece count,
     * and total segmentation cost in milli-bits. A digest-free scalar
@@ -89,76 +156,118 @@ object Unigram {
     */
   def unigramSegment(docs: DataFrame, idCol: String, textCol: String,
                      vExtra: Int, maxPieceLen: Int, maxWordLen: Int): DataFrame = {
-    require(maxPieceLen >= 1 && maxPieceLen <= 8,
-      s"maxPieceLen must be in [1,8], got $maxPieceLen")
-    require(maxWordLen >= maxPieceLen && maxWordLen <= 64,
-      s"maxWordLen must be in [$maxPieceLen,64] (DP rounds = maxWordLen), got $maxWordLen")
-    require(vExtra >= 0 && vExtra <= 100000, s"vExtra out of range: $vExtra")
+    validate(vExtra, maxPieceLen, maxWordLen)
     val words = wordTable(docs, textCol, maxWordLen)
     val vocab = vocabulary(words, vExtra, maxPieceLen)
-
-    // position-DAG edges: j --piece--> k for every vocab piece occurring
-    // at word offset j (0-based), k − j ≤ maxPieceLen. Vocabulary-sized.
     val edges = Staging.stage(
-      words
-        .select(col("word"), explode(sequence(lit(1), length(col("word")))).as("s"))
-        .select(col("word"), col("s"),
-          explode(sequence(lit(1), lit(maxPieceLen))).as("l"))
-        .filter(col("s") + col("l") - 1 <= length(col("word")))
-        .select(col("word"), (col("s") - 1).as("j"), (col("s") + col("l") - 1).as("k"),
-          expr("substring(word, s, l)").as("piece"))
+      edgeGeometry(words, maxPieceLen)
         .join(vocab.select(col("piece"), col("cost_mb")), Seq("piece"))
         .select("word", "j", "k", "cost_mb"),
       "uni_edges")
-
-    // Viterbi: best(word, pos) as min comb; round k computes position k
-    // from positions k−P..k−1 (each a previously STAGED frame — O(1)
-    // plan depth, bounded lineage, the Bpe round discipline)
-    val spark = docs.sparkSession
-    import spark.implicits._
-    val b0 = Staging.stage(
-      words.select(col("word"), lit(0).as("pos"), lit(0L).as("comb")), "uni_b0")
-    val bests = scala.collection.mutable.ArrayBuffer[Staging.Staged](b0)
-    for (k <- 1 to maxWordLen) {
-      val lo = math.max(0, k - maxPieceLen)
-      val prior = (lo until k).map(j => bests(j).df).reduce(_ unionByName _)
-      val bk = edges.df.filter(col("k") === k)
-        .join(prior, edges.df("word") === prior("word") && col("j") === col("pos"))
-        .groupBy(edges.df("word"))
-        .agg(min(expr("(comb div 1000 + cost_mb) * 1000 + comb % 1000 + 1")).as("comb"))
-        .select(col("word"), lit(k).as("pos"), col("comb"))
-      bests += Staging.stage(bk, s"uni_b$k")
-    }
-    val allBest = bests.map(_.df).reduce(_ unionByName _)
-    val seg = allBest.join(words, Seq("word"))
-      .filter(col("pos") === length(col("word")))
-      .select(col("word"), expr("comb div 1000").as("cost_mb"),
-        expr("comb % 1000").as("n_pieces"))
-    val docToks = docs.select(col(idCol).as("id"),
-      explode(TextFns.tokens(col(textCol))).as("word"))
-    val out = Staging.stage(
-      docToks.join(seg, Seq("word"))
-        .groupBy(col("id").as(idCol))
-        .agg(count(lit(1)).as("n_words"),
-          sum(col("n_pieces")).as("n_pieces"),
-          sum(col("cost_mb")).as("mb_total")),
-      "uni_out")
+    val bests = dpRounds(words, edges.df, maxWordLen, maxPieceLen, "uni")
+    val out = Staging.stage(rollup(docs, idCol, textCol, bests, words), "uni_out")
     (bests :+ edges).foreach(_.delete())
     out.df
   }
 
-  /** The DuckDB replay of [[unigramSegment]]: candidate counts, the
-    * char-∪-top-V vocabulary, milli-bit costs, the edge table, all
-    * `maxWordLen` DP rounds as chained MATERIALIZED CTEs (each round
-    * references up to `maxPieceLen` prior rounds — DuckDB would inline
-    * them exponentially otherwise, the q122 lesson), and the per-doc
-    * rollup. `words` must provide (doc_id, w) as in ExtQueries
-    * .WORDS_SQL.
+  /** ONE HARD-EM TRAINING ROUND (the SentencePiece trainer loop body):
+    *
+    *   E-step — Viterbi-segment every distinct word under the initial
+    *   substring-count costs, then recover each word's optimal path by
+    *   predecessor recovery (min-j achieving edge per position, walked
+    *   back from the word end in ≤ maxWordLen staged rounds);
+    *
+    *   M-step — piece usage = Σ word-frequency over path edges;
+    *   add-one-smoothed re-cost over the SAME vocabulary
+    *   (cost₁(p) = mlog2(T₁) − mlog2(usage+1), T₁ = Σ(usage+1)) — usage
+    *   concentrates mass on pieces the model actually selects, the EM
+    *   contraction;
+    *
+    *   then re-segment under the new costs.
+    *
+    * Output: per-doc stats of the POST-EM segmentation, same shape as
+    * [[unigramSegment]] — so the whole E-step/M-step/re-segment loop
+    * sits under one hash-checked result.
     */
-  def oracleSql(vExtra: Int, maxPieceLen: Int, maxWordLen: Int): String = {
-    def mlog2(x: String) =
-      s"((length(bin($x)) - 1) * 1000 + (($x - (CAST(1 AS BIGINT) << (length(bin($x)) - 1))) * 1000) // (CAST(1 AS BIGINT) << (length(bin($x)) - 1)))"
-    val base = s"""
+  def unigramEmRound(docs: DataFrame, idCol: String, textCol: String,
+                     vExtra: Int, maxPieceLen: Int, maxWordLen: Int): DataFrame = {
+    validate(vExtra, maxPieceLen, maxWordLen)
+    val words = Staging.stage(wordTable(docs, textCol, maxWordLen), "em_words")
+    val vocab0 = vocabulary(words.df, vExtra, maxPieceLen)
+    val geom = Staging.stage(edgeGeometry(words.df, maxPieceLen), "em_geom")
+    val edges0 = Staging.stage(
+      geom.df.join(vocab0.select(col("piece"), col("cost_mb")), Seq("piece"))
+        .select("word", "j", "k", "cost_mb"),
+      "em_edges0")
+    val bests0 = dpRounds(words.df, edges0.df, maxWordLen, maxPieceLen, "em0")
+    val allBest0 = bests0.map(_.df).reduce(_ unionByName _)
+
+    // predecessor recovery: for every settled (word, k), the used edge
+    // is the min-j edge whose source best reproduces best[k] exactly.
+    // (allBest0 appears on BOTH sides — dataset aliases disambiguate
+    // the self-join's shared attribute ids.)
+    val pred = Staging.stage(
+      edges0.df.as("E")
+        .join(allBest0.as("L"),
+          col("E.word") === col("L.word") && col("E.j") === col("L.pos"))
+        .join(allBest0.as("R"),
+          col("E.word") === col("R.word") && col("E.k") === col("R.pos"))
+        .filter(expr("(L.comb div 1000 + E.cost_mb) * 1000 + L.comb % 1000 + 1 = R.comb"))
+        .groupBy(col("E.word").as("word"), col("E.k").as("k"))
+        .agg(min(col("E.j")).as("j")),
+      "em_pred")
+
+    // walk back from each word's end; each round emits one used edge
+    var cur = Staging.stage(
+      words.df.select(col("word"), length(col("word")).as("pos")), "em_w0")
+    val usedFrames = scala.collection.mutable.ArrayBuffer.empty[Staging.Staged]
+    for (t <- 1 to maxWordLen) {
+      val step = cur.df.join(pred.df,
+          cur.df("word") === pred.df("word") && cur.df("pos") === pred.df("k"))
+        .select(cur.df("word"), pred.df("j"), pred.df("k"))
+      val staged = Staging.stage(step, s"em_u$t")
+      usedFrames += staged
+      cur.delete()
+      cur = Staging.stage(
+        staged.df.filter(col("j") > 0).select(col("word"), col("j").as("pos")),
+        s"em_w$t")
+    }
+    cur.delete()
+    val used = usedFrames.map(_.df).reduce(_ unionByName _)
+
+    // M-step: usage-weighted re-cost over the same vocabulary, add-one
+    val usage = used.join(words.df, Seq("word"))
+      .select(expr("substring(word, j + 1, k - j)").as("piece"), col("wc"))
+      .groupBy("piece").agg(sum(col("wc")).as("us"))
+    val withUse = vocab0.select("piece")
+      .join(usage, Seq("piece"), "left")
+      .select(col("piece"), (coalesce(col("us"), lit(0L)) + 1).as("u1"))
+    val tot1 = withUse.agg(sum(col("u1")).as("t"))
+    val vocab1 = withUse.crossJoin(broadcast(tot1))
+      .withColumn("cost_mb",
+        expr(CorpusText.mlog2Sql("t")) - expr(CorpusText.mlog2Sql("u1")))
+      .select("piece", "cost_mb")
+    val edges1 = Staging.stage(
+      geom.df.join(vocab1, Seq("piece")).select("word", "j", "k", "cost_mb"),
+      "em_edges1")
+
+    val bests1 = dpRounds(words.df, edges1.df, maxWordLen, maxPieceLen, "em1")
+    val out = Staging.stage(rollup(docs, idCol, textCol, bests1, words.df), "em_out")
+    (bests0 ++ bests1 ++ usedFrames ++
+      Seq(words, geom, edges0, edges1, pred)).foreach(_.delete())
+    out.df
+  }
+
+  // ---------------------------------------------------------------- SQL
+
+  private def mlog2(x: String) =
+    s"((length(bin($x)) - 1) * 1000 + (($x - (CAST(1 AS BIGINT) << (length(bin($x)) - 1))) * 1000) // (CAST(1 AS BIGINT) << (length(bin($x)) - 1)))"
+
+  /** Shared oracle base: capped word table, candidate counts, char-∪-
+    * top-V vocabulary, costs (`vc`), edge geometry (`eg`) and costed
+    * edges (`edges`).
+    */
+  private def baseSql(vExtra: Int, maxPieceLen: Int, maxWordLen: Int): String = s"""
       wrd AS MATERIALIZED (
         SELECT word, CAST(count(*) AS BIGINT) AS wc FROM (
           SELECT UNNEST(w) AS word FROM words)
@@ -179,34 +288,50 @@ object Unigram {
       tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS t FROM voc),
       vc AS MATERIALIZED (
         SELECT piece, ${mlog2("t")} - ${mlog2("cnt")} AS cost_mb FROM voc, tot),
+      eg AS MATERIALIZED (
+        SELECT word, s - 1 AS j, s + l - 1 AS k,
+          substr(word, CAST(s AS INTEGER), CAST(l AS INTEGER)) AS piece
+        FROM wrd, UNNEST(range(1, length(word) + 1)) AS u(s),
+          UNNEST(range(1, $maxPieceLen + 1)) AS v(l)
+        WHERE s + l - 1 <= length(word)),
       edges AS MATERIALIZED (
-        SELECT e.word, e.j, e.k, vc.cost_mb FROM (
-          SELECT word, s - 1 AS j, s + l - 1 AS k,
-            substr(word, CAST(s AS INTEGER), CAST(l AS INTEGER)) AS piece
-          FROM wrd, UNNEST(range(1, length(word) + 1)) AS u(s),
-            UNNEST(range(1, $maxPieceLen + 1)) AS v(l)
-          WHERE s + l - 1 <= length(word)) e
-        JOIN vc ON e.piece = vc.piece),
-      ub0 AS MATERIALIZED (SELECT word, 0 AS pos, CAST(0 AS BIGINT) AS comb FROM wrd)"""
+        SELECT e.word, e.j, e.k, vc.cost_mb FROM eg e JOIN vc ON e.piece = vc.piece)"""
+
+  /** DP-round CTE chain `<p>0..<p>maxWordLen` over edge table `edgeRel`
+    * (each round references up to `maxPieceLen` prior rounds —
+    * MATERIALIZED, or DuckDB inlines them exponentially: the q122
+    * lesson).
+    */
+  private def dpSql(edgeRel: String, p: String, maxPieceLen: Int,
+                    maxWordLen: Int): String = {
+    val b0 = s"""
+      ${p}0 AS MATERIALIZED (SELECT word, 0 AS pos, CAST(0 AS BIGINT) AS comb FROM wrd)"""
     val rounds = (1 to maxWordLen).map { k =>
       val lo = math.max(0, k - maxPieceLen)
-      val prior = (lo until k).map(j => s"SELECT * FROM ub$j")
+      val prior = (lo until k).map(j => s"SELECT * FROM $p$j")
         .mkString("\n          UNION ALL ")
       s"""
-      ub$k AS MATERIALIZED (
+      $p$k AS MATERIALIZED (
         SELECT e.word, $k AS pos,
           min((b.comb // 1000 + e.cost_mb) * 1000 + b.comb % 1000 + 1) AS comb
-        FROM edges e JOIN ($prior) b
+        FROM $edgeRel e JOIN ($prior) b
           ON e.word = b.word AND e.j = b.pos
         WHERE e.k = $k
         GROUP BY 1)"""
     }.mkString(",")
-    val allB = (0 to maxWordLen).map(k => s"SELECT * FROM ub$k")
+    b0 + "," + rounds
+  }
+
+  private def allbSql(p: String, maxWordLen: Int): String =
+    (0 to maxWordLen).map(k => s"SELECT * FROM $p$k")
       .mkString("\n          UNION ALL ")
-    base + "," + rounds + s""",
+
+  /** Per-doc rollup from the final DP chain `<p>*`. */
+  private def rollupSql(p: String, maxWordLen: Int): String = s"""
       seg AS MATERIALIZED (
         SELECT b.word, b.comb // 1000 AS cost_mb, b.comb % 1000 AS n_pieces
-        FROM ($allB) b JOIN wrd w ON b.word = w.word AND b.pos = length(w.word)),
+        FROM (${allbSql(p, maxWordLen)}) b
+        JOIN wrd w ON b.word = w.word AND b.pos = length(w.word)),
       dt AS MATERIALIZED (
         SELECT doc_id, w[CAST(i + 1 AS INTEGER)] AS word
         FROM words, UNNEST(range(0, len(w))) AS t(i)
@@ -216,5 +341,58 @@ object Unigram {
         CAST(SUM(seg.cost_mb) AS BIGINT) AS mb_total
       FROM dt JOIN seg ON dt.word = seg.word
       GROUP BY 1"""
+
+  /** The DuckDB replay of [[unigramSegment]]: candidate counts, the
+    * vocabulary, costs, edges, all DP rounds, and the per-doc rollup.
+    * `words` must provide (doc_id, w) as in ExtQueries.WORDS_SQL.
+    */
+  def oracleSql(vExtra: Int, maxPieceLen: Int, maxWordLen: Int): String =
+    baseSql(vExtra, maxPieceLen, maxWordLen) + "," +
+      dpSql("edges", "ub", maxPieceLen, maxWordLen) + "," +
+      rollupSql("ub", maxWordLen)
+
+  /** The DuckDB replay of [[unigramEmRound]]: the q132 chain, then
+    * predecessor recovery, the ≤ maxWordLen walk rounds, usage
+    * counting, add-one re-cost, the second DP, and the rollup — the
+    * full E-step/M-step/re-segment loop as one generated SQL program.
+    */
+  def oracleEmSql(vExtra: Int, maxPieceLen: Int, maxWordLen: Int): String = {
+    val walk = (1 to maxWordLen).map { t =>
+      s"""
+      emu$t AS MATERIALIZED (
+        SELECT w.word, p.j, p.k
+        FROM emw${t - 1} w JOIN pred p ON w.word = p.word AND w.pos = p.k),
+      emw$t AS MATERIALIZED (
+        SELECT word, j AS pos FROM emu$t WHERE j > 0)"""
+    }.mkString(",")
+    val usedUnion = (1 to maxWordLen).map(t => s"SELECT * FROM emu$t")
+      .mkString("\n          UNION ALL ")
+    baseSql(vExtra, maxPieceLen, maxWordLen) + "," +
+      dpSql("edges", "ub", maxPieceLen, maxWordLen) + s""",
+      allb AS MATERIALIZED (${allbSql("ub", maxWordLen)}),
+      pred AS MATERIALIZED (
+        SELECT e.word, e.k, min(e.j) AS j
+        FROM edges e
+        JOIN allb b ON e.word = b.word AND e.j = b.pos
+        JOIN allb c ON e.word = c.word AND e.k = c.pos
+        WHERE (b.comb // 1000 + e.cost_mb) * 1000 + b.comb % 1000 + 1 = c.comb
+        GROUP BY 1, 2),
+      emw0 AS MATERIALIZED (SELECT word, length(word) AS pos FROM wrd),""" +
+      walk + s""",
+      usage AS MATERIALIZED (
+        SELECT substr(uu.word, CAST(uu.j + 1 AS INTEGER), CAST(uu.k - uu.j AS INTEGER)) AS piece,
+          CAST(SUM(w.wc) AS BIGINT) AS us
+        FROM ($usedUnion) uu JOIN wrd w ON uu.word = w.word
+        GROUP BY 1),
+      wu AS MATERIALIZED (
+        SELECT v.piece, COALESCE(u.us, 0) + 1 AS u1
+        FROM voc v LEFT JOIN usage u ON v.piece = u.piece),
+      tot1 AS (SELECT CAST(SUM(u1) AS BIGINT) AS t FROM wu),
+      vc1 AS MATERIALIZED (
+        SELECT piece, ${mlog2("t")} - ${mlog2("u1")} AS cost_mb FROM wu, tot1),
+      edges1 AS MATERIALIZED (
+        SELECT e.word, e.j, e.k, vc1.cost_mb FROM eg e JOIN vc1 ON e.piece = vc1.piece),""" +
+      dpSql("edges1", "vb", maxPieceLen, maxWordLen) + "," +
+      rollupSql("vb", maxWordLen)
   }
 }

@@ -38,6 +38,28 @@ object Recall {
       report(s"multiprobe(bits=$bits)",
         SimilaritySearch.bucketedTopKMultiProbe(q, e, "vec_id", "embedding", k, bits))
     }
+    for (bits <- Seq(4, 6, 8)) {
+      report(s"jl-bucketed(bits=$bits)",
+        SimilaritySearch.jlBucketedTopK(q, e, "vec_id", "embedding", k, bits, dIn = 64))
+    }
+    // bucket-occupancy balance: axis-sign vs JL buckets. Report the
+    // max/mean occupancy ratio — the skew factor a co-located probe
+    // join actually pays (1.0 = perfectly balanced).
+    for (bits <- Seq(8)) {
+      import graft.functions.VectorFns
+      def skew(bucket: org.apache.spark.sql.Column): (Long, Double) = {
+        val occ = e.select(bucket.as("b")).groupBy("b").agg(count(lit(1)).as("c"))
+          .agg(count(lit(1)).as("nb"), max(col("c")).as("mx"), avg(col("c")).as("mean"))
+          .collect()(0)
+        (occ.getLong(0), occ.getLong(1) / occ.getDouble(2))
+      }
+      val (nbAxis, skAxis) = skew(VectorFns.signBucket(col("embedding"), bits))
+      val (nbJl, skJl) = skew((0 until bits).map(j =>
+        when(VectorFns.jlCoord(col("embedding"), 64, j) > 0, 1 << j).otherwise(0))
+        .reduce(_ + _))
+      println(f"OCCUPANCY axis(bits=$bits) buckets=$nbAxis max/mean=$skAxis%.2f")
+      println(f"OCCUPANCY jl(bits=$bits)   buckets=$nbJl max/mean=$skJl%.2f")
+    }
     for (nProbe <- Seq(2, 4, 8)) {
       report(s"ivf(C=16,nProbe=$nProbe)",
         SimilaritySearch.ivfTopK(q, e, e.filter(col("vec_id") < 16),

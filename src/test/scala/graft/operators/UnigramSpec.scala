@@ -47,6 +47,39 @@ class UnigramSpec extends SparkSpec {
     assert(out == 2L) // the 21-char word is dropped by the documented cap
   }
 
+  test("unigramEmRound: hand-computed full E/M/re-segment round") {
+    // corpus "ab ab" → words {ab: wc 2}; pieces a(2), b(2), ab(2); T=6;
+    // all costs mlog2(6)−mlog2(2) = 1500. Viterbi picks [ab]
+    // (1500·1000+1 < 3000·1000+2). E-step path uses 'ab' twice-weighted
+    // (wc=2) → usage {ab: 2}; M-step add-one: u1 = {a:1, b:1, ab:3},
+    // T1 = 5 → cost1(ab) = m(5)−m(3) = 2250−1500 = 750 (cheaper: the EM
+    // contraction), cost1(a)=cost1(b) = 2250 (pricier: unused).
+    // Re-segment: [ab] at 750 mb → doc total = 2 words · 750.
+    val docs = Seq((1L, "ab ab")).toDF("doc_id", "text")
+    val out = Unigram.unigramEmRound(docs, "doc_id", "text",
+      vExtra = 1, maxPieceLen = 2, maxWordLen = 4)
+      .as[(Long, Long, Long, Long)].collect().head
+    assert(out == ((1L, 2L, 2L, 1500L)))
+  }
+
+  test("unigramEmRound: usage re-costing flips a near-tie toward the used piece") {
+    // Two words compete: "abc"×4 can go [ab,c] or [a,bc]. Initial counts
+    // make one side win; after EM the used pieces get cheaper and the
+    // unused ones pricier, so the winner must persist (stability) and
+    // total cost must be representable. This guards the walk/usage
+    // plumbing on a word with an interior split choice.
+    val docs = Seq((1L, "abc abc abc abc bc bc")).toDF("doc_id", "text")
+    val before = Unigram.unigramSegment(docs, "doc_id", "text",
+      vExtra = 4, maxPieceLen = 2, maxWordLen = 4)
+      .as[(Long, Long, Long, Long)].collect().head
+    val after = Unigram.unigramEmRound(docs, "doc_id", "text",
+      vExtra = 4, maxPieceLen = 2, maxWordLen = 4)
+      .as[(Long, Long, Long, Long)].collect().head
+    assert(before._2 == after._2, "word count is invariant under re-costing")
+    assert(after._3 <= before._3,
+      s"EM must not fragment the segmentation: ${after._3} vs ${before._3}")
+  }
+
   test("argument validation") {
     val docs = Seq((1L, "a")).toDF("doc_id", "text")
     intercept[IllegalArgumentException] {
