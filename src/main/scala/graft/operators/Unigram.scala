@@ -105,28 +105,41 @@ object Unigram {
     * STAGED frame — O(1) plan depth, bounded lineage, the Bpe round
     * discipline). Returns ALL per-position frames; caller owns deletion.
     */
+  /** Per-position best frames plus the stages backing them. Every round
+    * is staged: each b_k is consumed by up to maxPieceLen later rounds
+    * AND the final union, so an unstaged round would be recomputed per
+    * consumer with nested plan growth. (A lazy-alternate variant was
+    * measured faster but trips Catalyst's Union constraint rewriting on
+    * the mixed staged/lazy unions — the staged form is the one that is
+    * robust across Spark versions.)
+    */
+  private final case class DpChain(frames: Seq[DataFrame], stages: Seq[Staging.Staged])
+
   private def dpRounds(words: DataFrame, edges: DataFrame, maxWordLen: Int,
-                       maxPieceLen: Int, tag: String): Seq[Staging.Staged] = {
+                       maxPieceLen: Int, tag: String): DpChain = {
     val b0 = Staging.stage(
       words.select(col("word"), lit(0).as("pos"), lit(0L).as("comb")), s"${tag}_b0")
-    val bests = scala.collection.mutable.ArrayBuffer[Staging.Staged](b0)
+    val frames = scala.collection.mutable.ArrayBuffer[DataFrame](b0.df)
+    val stages = scala.collection.mutable.ArrayBuffer[Staging.Staged](b0)
     for (k <- 1 to maxWordLen) {
       val lo = math.max(0, k - maxPieceLen)
-      val prior = (lo until k).map(j => bests(j).df).reduce(_ unionByName _)
+      val prior = (lo until k).map(j => frames(j)).reduce(_ unionByName _)
       val bk = edges.filter(col("k") === k)
         .join(prior, edges("word") === prior("word") && col("j") === col("pos"))
         .groupBy(edges("word"))
         .agg(min(expr("(comb div 1000 + cost_mb) * 1000 + comb % 1000 + 1")).as("comb"))
         .select(col("word"), lit(k).as("pos"), col("comb"))
-      bests += Staging.stage(bk, s"${tag}_b$k")
+      val s = Staging.stage(bk, s"${tag}_b$k")
+      stages += s
+      frames += s.df
     }
-    bests.toSeq
+    DpChain(frames.toSeq, stages.toSeq)
   }
 
   /** Per-doc rollup of per-word segmentation results. */
   private def rollup(docs: DataFrame, idCol: String, textCol: String,
-                     bests: Seq[Staging.Staged], words: DataFrame): DataFrame = {
-    val allBest = bests.map(_.df).reduce(_ unionByName _)
+                     bests: DpChain, words: DataFrame): DataFrame = {
+    val allBest = bests.frames.reduce(_ unionByName _)
     val seg = allBest.join(words, Seq("word"))
       .filter(col("pos") === length(col("word")))
       .select(col("word"), expr("comb div 1000").as("cost_mb"),
@@ -166,7 +179,7 @@ object Unigram {
       "uni_edges")
     val bests = dpRounds(words, edges.df, maxWordLen, maxPieceLen, "uni")
     val out = Staging.stage(rollup(docs, idCol, textCol, bests, words), "uni_out")
-    (bests :+ edges).foreach(_.delete())
+    (bests.stages :+ edges).foreach(_.delete())
     out.df
   }
 
@@ -200,7 +213,7 @@ object Unigram {
         .select("word", "j", "k", "cost_mb"),
       "em_edges0")
     val bests0 = dpRounds(words.df, edges0.df, maxWordLen, maxPieceLen, "em0")
-    val allBest0 = bests0.map(_.df).reduce(_ unionByName _)
+    val allBest0 = bests0.frames.reduce(_ unionByName _)
 
     // predecessor recovery: for every settled (word, k), the used edge
     // is the min-j edge whose source best reproduces best[k] exactly.
@@ -217,23 +230,29 @@ object Unigram {
         .agg(min(col("E.j")).as("j")),
       "em_pred")
 
-    // walk back from each word's end; each round emits one used edge
-    var cur = Staging.stage(
-      words.df.select(col("word"), length(col("word")).as("pos")), "em_w0")
-    val usedFrames = scala.collection.mutable.ArrayBuffer.empty[Staging.Staged]
+    // walk back from each word's end; each round emits one used edge.
+    // The walk is a LINEAR chain (unlike the DP's fan-in), so staging
+    // every round would pay ~maxWordLen jobs for nothing — stage every
+    // 4th round only (bounds the unstaged plan fan while cutting the
+    // job count 4×). Fresh aliases per round keep the repeated pred
+    // join unambiguous.
+    var cur: DataFrame = words.df.select(col("word"), length(col("word")).as("pos"))
+    val walkStages = scala.collection.mutable.ArrayBuffer.empty[Staging.Staged]
+    val usedFrames = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     for (t <- 1 to maxWordLen) {
-      val step = cur.df.join(pred.df,
-          cur.df("word") === pred.df("word") && cur.df("pos") === pred.df("k"))
-        .select(cur.df("word"), pred.df("j"), pred.df("k"))
-      val staged = Staging.stage(step, s"em_u$t")
-      usedFrames += staged
-      cur.delete()
-      cur = Staging.stage(
-        staged.df.filter(col("j") > 0).select(col("word"), col("j").as("pos")),
-        s"em_w$t")
+      val p = s"P$t"
+      val step = cur.as(s"C$t").join(pred.df.as(p),
+          col(s"C$t.word") === col(s"$p.word") && col(s"C$t.pos") === col(s"$p.k"))
+        .select(col(s"C$t.word").as("word"), col(s"$p.j").as("j"), col(s"$p.k").as("k"))
+      usedFrames += step
+      cur = step.filter(col("j") > 0).select(col("word"), col("j").as("pos"))
+      if (t % 4 == 0 && t < maxWordLen) {
+        val s = Staging.stage(cur, s"em_w$t")
+        walkStages += s
+        cur = s.df
+      }
     }
-    cur.delete()
-    val used = usedFrames.map(_.df).reduce(_ unionByName _)
+    val used = usedFrames.reduce(_ unionByName _)
 
     // M-step: usage-weighted re-cost over the same vocabulary, add-one
     val usage = used.join(words.df, Seq("word"))
@@ -253,7 +272,7 @@ object Unigram {
 
     val bests1 = dpRounds(words.df, edges1.df, maxWordLen, maxPieceLen, "em1")
     val out = Staging.stage(rollup(docs, idCol, textCol, bests1, words.df), "em_out")
-    (bests0 ++ bests1 ++ usedFrames ++
+    (bests0.stages ++ bests1.stages ++ walkStages ++
       Seq(words, geom, edges0, edges1, pred)).foreach(_.delete())
     out.df
   }
