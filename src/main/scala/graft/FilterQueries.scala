@@ -1,0 +1,300 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFns
+import graft.operators.{ContentFilter, Curriculum, CorpusText, Dedup, Graph, SimilaritySearch}
+
+/** Round-5 batch 3: the content-gate + corpus-ordering surface — the
+  * Gopher/MassiveText quality-rule battery, intra-document repetition
+  * rules, weighted blocklist filtering, stride-scheduled curriculum
+  * interleaving, k-core extraction on the dedup graph, and hybrid
+  * (BM25 × ANN) retrieval fused by reciprocal rank. Every query
+  * carries a full DuckDB oracle; all rule arithmetic is integer
+  * cross-multiplication so verdicts hash-match across engines.
+  */
+object FilterQueries {
+
+  import ExtQueries.{MINHASH_PAIRS_SQL, WORDS_SQL}
+
+  /** Both engines synthesize the same multi-line "page" per document
+    * (8-word lines; deterministic bullet / ellipsis / hash decoration
+    * keyed on doc_id + line index — the q125 declarative-synthesis
+    * pattern), so the line-based Gopher rules run against real
+    * multi-line text that each engine can reproduce bit-for-bit.
+    */
+  private val PAGE_SQL = s"""$WORDS_SQL,
+    pg AS (
+      SELECT doc_id,
+        array_to_string(list_transform(range(0, (len(w)+7)//8), i ->
+          (CASE WHEN (doc_id + i) % 3 = 0 THEN '- ' ELSE '' END) ||
+          array_to_string(w[i*8+1:i*8+8], ' ') ||
+          (CASE WHEN (doc_id + i) % 5 = 0 THEN ' ...' ELSE '' END) ||
+          (CASE WHEN (doc_id + i) % 7 = 0 THEN ' #' ELSE '' END)),
+        chr(10)) AS page
+      FROM words)"""
+
+  private def synthPage(docs: org.apache.spark.sql.DataFrame) =
+    docs.withColumn("w", TextFns.tokens(col("text")))
+      .withColumn("page", array_join(
+        transform(sequence(lit(0), expr("((size(w) + 7) div 8) - 1")),
+          i => concat(
+            when((col("doc_id") + i) % 3 === 0, lit("- ")).otherwise(lit("")),
+            array_join(slice(col("w"), i * lit(8) + 1, lit(8)), " "),
+            when((col("doc_id") + i) % 5 === 0, lit(" ...")).otherwise(lit("")),
+            when((col("doc_id") + i) % 7 === 0, lit(" #")).otherwise(lit("")))),
+        "\n"))
+
+  private val BLOCKLIST: Seq[(String, Long)] =
+    Seq("slow" -> 1L, "dup" -> 2L, "slow merge" -> 4L, "customer data" -> 8L)
+  private val BLOCK_THRESHOLD = 6L
+
+  val all: Seq[QuerySpec] = Seq(
+
+    // The Gopher quality-rule battery (word count, mean word length,
+    // symbol ratio, bullet/ellipsis line fractions, alphabetic-word
+    // fraction, required stopwords) over synthesized multi-line pages.
+    QuerySpec("q140_gopher_rules",
+      (s, dir) => ContentFilter.gopherStats(
+          synthPage(Tables.documents(s, dir)), "doc_id", "page")
+        .withColumnRenamed("id", "doc_id"),
+      Some(s"""
+        WITH $PAGE_SQL,
+        st AS (
+          SELECT doc_id,
+            list_filter(regexp_split_to_array(lower(trim(page)), '\\s+'), x -> len(x) > 0) AS pw,
+            CAST(length(page) - length(replace(page, chr(10), '')) + 1 AS BIGINT) AS n_lines,
+            CAST(length(regexp_replace(page, '\\s', '', 'g')) AS BIGINT) AS n_wordchars,
+            CAST((length(page) - length(replace(page, '#', '')))
+              + ((length(page) - length(replace(page, '...', ''))) // 3) AS BIGINT) AS n_symbols,
+            CAST(len(regexp_extract_all(page, '(?m)^- ')) AS BIGINT) AS n_bullet,
+            CAST(len(regexp_extract_all(page, '(?m)\\.\\.\\.$$')) AS BIGINT) AS n_ellipsis_lines,
+            CAST(len(regexp_extract_all(lower(page), '\\S*[a-z]\\S*')) AS BIGINT) AS n_alpha_words
+          FROM pg),
+        st2 AS (
+          SELECT doc_id, CAST(len(pw) AS BIGINT) AS n_words, n_lines, n_wordchars,
+            n_symbols, n_bullet, n_ellipsis_lines, n_alpha_words,
+            CAST(len(list_filter(['the','a','and','to','of','with','that','be'],
+              x -> list_contains(pw, x))) AS BIGINT) AS n_stop_found
+          FROM st),
+        r AS (
+          SELECT *,
+            CAST((CASE WHEN n_words >= 50 AND n_words <= 100000 THEN 0 ELSE 1 END)
+            + (CASE WHEN 3*n_words <= n_wordchars AND n_wordchars <= 10*n_words THEN 0 ELSE 1 END)
+            + (CASE WHEN 1000*n_symbols < 100*n_words THEN 0 ELSE 1 END)
+            + (CASE WHEN 1000*n_bullet < 900*n_lines THEN 0 ELSE 1 END)
+            + (CASE WHEN 1000*n_ellipsis_lines < 300*n_lines THEN 0 ELSE 1 END)
+            + (CASE WHEN 1000*n_alpha_words > 800*n_words THEN 0 ELSE 1 END)
+            + (CASE WHEN n_stop_found >= 2 THEN 0 ELSE 1 END) AS BIGINT) AS n_rules_failed
+          FROM st2)
+        SELECT doc_id, n_words, n_lines, n_wordchars, n_symbols, n_bullet,
+          n_ellipsis_lines, n_alpha_words, n_stop_found, n_rules_failed,
+          n_rules_failed = 0 AS keep
+        FROM r""")),
+
+    // Gopher intra-document repetition rules: top-coverage n-gram char
+    // share (n=2..4) + duplicated n-gram char share (n=5..10), exact
+    // milli-fractions, paper thresholds.
+    QuerySpec("q141_repetition_rules",
+      (s, dir) => ContentFilter.repetitionStats(
+          Tables.documents(s, dir), "doc_id", "text")
+        .withColumnRenamed("id", "doc_id"),
+      Some {
+        val wide = (2 to 4).map(n => s"max(CASE WHEN n = $n THEN top_u END) AS t$n") ++
+          (5 to 10).map(n => s"max(CASE WHEN n = $n THEN dup_u END) AS d$n")
+        val milli = (2 to 4).map(n => s"(1000 * COALESCE(t$n, 0)) // total AS top${n}_mb") ++
+          (5 to 10).map(n => s"(1000 * COALESCE(d$n, 0)) // total AS dup${n}_mb")
+        val thr = Map(2 -> 200, 3 -> 180, 4 -> 160, 5 -> 150, 6 -> 140, 7 -> 130,
+          8 -> 120, 9 -> 110, 10 -> 100)
+        val keep = ((2 to 4).map(n => s"top${n}_mb < ${thr(n)}") ++
+          (5 to 10).map(n => s"dup${n}_mb < ${thr(n)}")).mkString(" AND ")
+        s"""
+        WITH $WORDS_SQL,
+        base AS (
+          SELECT doc_id, w, CAST(length(array_to_string(w, ' ')) AS BIGINT) AS total
+          FROM words WHERE length(array_to_string(w, ' ')) > 0),
+        grams AS (
+          SELECT doc_id, total, n, array_to_string(w[i+1:i+n], ' ') AS g
+          FROM base,
+            UNNEST(range(2, 11)) AS tn(n),
+            UNNEST(range(0, greatest(len(w) - n + 1, 0))) AS ti(i)),
+        gc AS (
+          SELECT doc_id, total, n, g, CAST(count(*) AS BIGINT) AS cnt
+          FROM grams GROUP BY 1, 2, 3, 4),
+        pn AS (
+          SELECT doc_id, total, n,
+            max(cnt * length(g)) AS top_u,
+            sum(CASE WHEN cnt >= 2 THEN cnt * length(g) END) AS dup_u
+          FROM gc GROUP BY 1, 2, 3),
+        wide AS (
+          SELECT doc_id, total, ${wide.mkString(", ")}
+          FROM pn GROUP BY 1, 2),
+        m AS (SELECT doc_id, ${milli.mkString(", ")} FROM wide)
+        SELECT *, $keep AS keep FROM m"""
+      }),
+
+    // Weighted blocklist filter: exact word/phrase occurrence counts at
+    // token granularity (double-space padding makes adjacent matches
+    // non-overlapping), weighted score, threshold verdict.
+    QuerySpec("q142_blocklist",
+      (s, dir) => ContentFilter.blocklistScore(
+          Tables.documents(s, dir), "doc_id", "text", BLOCKLIST, BLOCK_THRESHOLD)
+        .withColumnRenamed("id", "doc_id"),
+      Some {
+        val cnts = BLOCKLIST.zipWithIndex.map { case ((p, _), i) =>
+          val pat = " " + p.trim.toLowerCase.split("\\s+").mkString("  ") + " "
+          s"CAST((length(t) - length(replace(t, '$pat', ''))) // ${pat.length} AS BIGINT) AS c$i"
+        }
+        val hits = BLOCKLIST.indices.map(i => s"c$i").mkString(" + ")
+        val score = BLOCKLIST.zipWithIndex.map { case ((_, w), i) => s"c$i * $w" }.mkString(" + ")
+        s"""
+        WITH $WORDS_SQL,
+        t AS (SELECT doc_id, ' ' || array_to_string(w, '  ') || ' ' AS t FROM words),
+        c AS (SELECT doc_id, ${cnts.mkString(", ")} FROM t)
+        SELECT doc_id, $hits AS n_hits, $score AS score,
+          ($score) >= $BLOCK_THRESHOLD AS blocked
+        FROM c"""
+      }),
+
+    // Stride-scheduled curriculum interleave: per-source hash-shuffled
+    // ranks, virtual time r*10^6 div w, global position via the
+    // two-phase bucket prefix sum — the oracle checks it EQUALS the
+    // naive global row_number over (v, source, rank).
+    QuerySpec("q143_interleave",
+      (s, dir) => Curriculum.interleaveStride(
+        Tables.documents(s, dir), "doc_id", "source",
+        expr("CAST(substring(source, 4) AS BIGINT) % 4 + 1"))
+        .withColumnRenamed("id", "doc_id"),
+      Some("""
+        WITH r AS (
+          SELECT doc_id, source,
+            CAST(substr(source, 4) AS BIGINT) % 4 + 1 AS w,
+            CAST(row_number() OVER (PARTITION BY source
+              ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS src_rank
+          FROM documents),
+        v AS (
+          SELECT doc_id, source, src_rank, (src_rank * 1000000) // w AS v FROM r)
+        SELECT doc_id, source, src_rank, v,
+          CAST(row_number() OVER (ORDER BY v, source, src_rank) AS BIGINT) AS pos
+        FROM v""")),
+
+    // k-core of the near-dup graph (minhash-LSH pairs at jaccard>=0.2):
+    // 5 fixed peeling rounds (idempotent past the fixpoint) replayed as
+    // a static chain of materialized CTEs.
+    QuerySpec("q144_kcore",
+      (s, dir) => {
+        val pairs = Dedup.minhashLshPairs(Tables.documents(s, dir), "doc_id", "text",
+          n = 4, k = 12, rowsPerBand = 3).filter(col("jaccard") >= 0.2)
+        Graph.kCore(pairs, "doc_a", "doc_b", k = 2, rounds = 5)
+          .select(col("id").as("doc_id"), col("core_deg"))
+      },
+      Some {
+        val rounds = (1 to 5).map { r =>
+          s"""d$r AS MATERIALIZED (
+            SELECT e.u, CAST(count(*) AS BIGINT) AS c FROM und e
+            JOIN a${r - 1} x ON e.u = x.u JOIN a${r - 1} y ON e.v = y.u
+            GROUP BY 1),
+          a$r AS MATERIALIZED (SELECT u FROM d$r WHERE c >= 2)"""
+        }.mkString(",\n")
+        s"""
+        WITH $MINHASH_PAIRS_SQL,
+        ce AS (
+          SELECT DISTINCT least(doc_a, doc_b) AS a, greatest(doc_a, doc_b) AS b
+          FROM mh_pairs WHERE jaccard >= 0.2 AND doc_a <> doc_b),
+        und AS (SELECT a AS u, b AS v FROM ce UNION ALL SELECT b AS u, a AS v FROM ce),
+        a0 AS MATERIALIZED (SELECT DISTINCT u FROM und),
+        $rounds
+        SELECT u AS doc_id, c AS core_deg FROM d5 WHERE c >= 2"""
+      }),
+
+    // Hybrid retrieval: BM25 top-20 (lexical) × exact-cosine top-20
+    // (semantic, query = embedding 7) fused by reciprocal rank
+    // (k0=60, integer micro-units), top-10 out.
+    QuerySpec("q145_hybrid_rrf",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val e = Tables.embeddings(s, dir)
+        // both retriever outputs are already k-bounded (20 rows); the
+        // unpartitioned rank window below therefore sorts 20 rows, not
+        // the corpus
+        val lex = CorpusText.bm25TopK(docs, "doc_id", "text",
+            Seq("spark", "slow", "vector"), k = 20)
+          .select(col("doc_id"),
+            row_number().over(Window.orderBy(col("score_u").desc, col("doc_id"))).as("rank"))
+        val sem = SimilaritySearch.bruteForceTopK(
+            e.filter(col("vec_id") === 7), e, "vec_id", "embedding", k = 20)
+          .select(col("nid").as("doc_id"), col("rank"))
+        SimilaritySearch.rrfFuse(lex, sem, "doc_id", k0 = 60, topK = 10)
+          .select(col("id"), coalesce(col("rank_a"), lit(0L)).as("rank_a"),
+            coalesce(col("rank_b"), lit(0L)).as("rank_b"), col("rrf_u"))
+      },
+      Some(s"""
+        WITH $WORDS_SQL,
+        tok AS (SELECT doc_id, UNNEST(w) AS term FROM words),
+        dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM tok GROUP BY 1),
+        stats AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_docs,
+            (SUM(dl) * 1000) // count(*) AS avgdl_m FROM dl),
+        tf AS (
+          SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+          FROM tok WHERE term IN ('spark', 'slow', 'vector') GROUP BY 1, 2),
+        dft AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        sc AS (
+          SELECT t.doc_id, t.tf,
+            ((s.n_docs - d.df + 1) * 1048576) // (d.df + 1) AS r,
+            (l.dl * 1000000) // s.avgdl_m AS rel_m
+          FROM tf t
+          JOIN dft d ON t.term = d.term
+          JOIN dl l ON t.doc_id = l.doc_id
+          CROSS JOIN stats s),
+        scm AS (
+          SELECT doc_id, tf, rel_m,
+            CAST(length(bin(r)) - 1 AS BIGINT) AS lb,
+            CAST(1 AS BIGINT) << (length(bin(r)) - 1) AS pw, r
+          FROM sc),
+        sci AS (
+          SELECT doc_id, tf, rel_m,
+            GREATEST(lb * 1000 + ((r - pw) * 1000) // pw - 20000, 0) AS idf_mb
+          FROM scm),
+        sc2 AS (
+          SELECT doc_id,
+            idf_mb * ((tf * 2200 * 1000000) //
+              (tf * 1000 + (1200 * (1000 - 750 + (750 * rel_m) // 1000)) // 1000)) // 1000 AS score_u
+          FROM sci),
+        lexs AS (
+          SELECT doc_id, CAST(SUM(score_u) AS BIGINT) AS score_u
+          FROM sc2 GROUP BY 1),
+        lex AS (
+          SELECT doc_id, rank_a FROM (
+            SELECT doc_id,
+              CAST(row_number() OVER (ORDER BY score_u DESC, doc_id) AS BIGINT) AS rank_a
+            FROM lexs) x WHERE rank_a <= 20),
+        n2 AS (
+          SELECT vec_id, SUM(CAST(floor(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 1000000000.0) AS BIGINT)) AS n2
+          FROM (SELECT vec_id, UNNEST(embedding) AS x FROM embeddings) t GROUP BY 1),
+        qpairs AS (
+          SELECT q.vec_id AS qid, e.vec_id AS nid, q.embedding AS qe, e.embedding AS ne
+          FROM embeddings q, embeddings e
+          WHERE q.vec_id = 7 AND e.vec_id <> q.vec_id),
+        el AS (SELECT qid, nid, UNNEST(qe) AS x, UNNEST(ne) AS y FROM qpairs),
+        dots AS (
+          SELECT qid, nid,
+            SUM(CAST(floor(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) * 1000000000.0) AS BIGINT)) AS dot
+          FROM el GROUP BY 1, 2),
+        sims AS (
+          SELECT qid, nid,
+            CAST(dot AS DOUBLE) / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) AS sim
+          FROM dots JOIN n2 a ON qid = a.vec_id JOIN n2 b ON nid = b.vec_id),
+        sem AS (
+          SELECT nid AS doc_id, rank_b FROM (
+            SELECT nid, CAST(row_number() OVER (ORDER BY sim DESC, nid) AS BIGINT) AS rank_b
+            FROM sims) x WHERE rank_b <= 20)
+        SELECT COALESCE(a.doc_id, b.doc_id) AS id,
+          COALESCE(a.rank_a, 0) AS rank_a, COALESCE(b.rank_b, 0) AS rank_b,
+          CAST(COALESCE(1000000 // (60 + a.rank_a), 0)
+            + COALESCE(1000000 // (60 + b.rank_b), 0) AS BIGINT) AS rrf_u
+        FROM lex a FULL OUTER JOIN sem b ON a.doc_id = b.doc_id
+        ORDER BY rrf_u DESC, id LIMIT 10"""))
+  )
+}

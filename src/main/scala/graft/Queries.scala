@@ -483,5 +483,6 @@ object Queries {
   /** Registry assembled by [[SparkEntry]]. */
   def all: Seq[QuerySpec] =
     core ++ EventQueries.all ++ ExtQueries.all ++ IngestQueries.all ++
-      RelQueries.all ++ CurateQueries.all ++ AnalyticsQueries.all ++ TokenQueries.all
+      RelQueries.all ++ CurateQueries.all ++ AnalyticsQueries.all ++ TokenQueries.all ++
+      FilterQueries.all
 }

@@ -346,4 +346,52 @@ object Graph {
     val out = closed.agg(count(lit(1)).as("n_triangles"))
     out
   }
+
+  /** k-core extraction by iterative peeling: repeatedly delete nodes
+    * whose degree within the surviving subgraph is < k; the fixpoint is
+    * the (unique, order-independent) maximal subgraph with minimum
+    * degree k — the standard "dense enough to matter" filter for dedup/
+    * similarity graphs (peripheral one-off matches peel away; cores
+    * survive).
+    *
+    * Runs EXACTLY `rounds` peeling rounds with no early exit: peeling
+    * is idempotent at the fixpoint, so a converged graph is unchanged
+    * by extra rounds, and a FIXED round count lets a SQL oracle replay
+    * the loop as a static chain of CTEs (the [[graft.operators.Bpe]]
+    * pattern). On clique-like near-dup graphs convergence takes 1-2
+    * rounds; raise `rounds` for stringy graphs (each round deletes at
+    * least the current lowest-degree shell).
+    *
+    * Per round: one semi-join of the staged edge list against the alive
+    * set per endpoint + one map-side-combining count — all shuffles on
+    * the node key, staged via [[Staging]] so plan depth stays O(1).
+    * Output: (id, core_deg) for surviving nodes, degree measured inside
+    * the surviving subgraph.
+    */
+  def kCore(edges: DataFrame, srcCol: String, dstCol: String,
+            k: Int, rounds: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val canon = edges.select(
+        least(col(srcCol), col(dstCol)).cast("long").as("a"),
+        greatest(col(srcCol), col(dstCol)).cast("long").as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val cst = Staging.stage(canon, "kcore_edges")
+    val und = cst.df.union(cst.df.select(col("b").as("a"), col("a").as("b")))
+    var alive = Staging.stage(und.select(col("a").as("id")).distinct(), "kcore_alive_0")
+    var deg: DataFrame = null
+    for (r <- 1 to rounds) {
+      val d = und
+        .join(alive.df.withColumnRenamed("id", "a"), Seq("a"), "left_semi")
+        .join(alive.df.withColumnRenamed("id", "b"), Seq("b"), "left_semi")
+        .groupBy(col("a").as("id")).agg(count(lit(1)).as("core_deg"))
+      val next = Staging.stage(d.filter(col("core_deg") >= k), s"kcore_alive_$r")
+      alive.delete()
+      alive = next
+      deg = next.df
+    }
+    val out = deg.select(col("id"), col("core_deg"))
+    cst.delete()
+    out
+  }
 }

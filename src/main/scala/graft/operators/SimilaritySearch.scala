@@ -415,4 +415,29 @@ object SimilaritySearch {
       .filter(col("rank") <= k)
       .select(col("qid"), col("nid"), col("sim_raw").as("sim"), col("rank"))
   }
+
+  /** Reciprocal-rank fusion (Cormack et al. 2009) of two ranked lists —
+    * the standard hybrid-retrieval combiner (lexical BM25 × semantic
+    * ANN): fused(d) = Σ_lists floor(10⁶ / (k₀ + rank_list(d))), summed
+    * over the lists that ranked d at all. Integer micro-units, so the
+    * fusion is engine-exact and rank-order deterministic (ties break on
+    * id).
+    *
+    * Inputs are (id, rank) lists ALREADY bounded to each retriever's
+    * top-k — RRF therefore joins two k-row frames: at any corpus scale
+    * the fusion stage is constant-sized, and the expensive work stays
+    * inside the retrievers where it is already blocked/bounded.
+    */
+  def rrfFuse(listA: DataFrame, listB: DataFrame, idCol: String,
+              k0: Int = 60, topK: Int = 10): DataFrame = {
+    require(k0 >= 1, s"k0 must be >= 1, got $k0")
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val a = listA.select(col(idCol).cast("long").as("id"), col("rank").cast("long").as("rank_a"))
+    val b = listB.select(col(idCol).cast("long").as("id"), col("rank").cast("long").as("rank_b"))
+    a.join(b, Seq("id"), "full_outer")
+      .select(col("id"), col("rank_a"), col("rank_b"),
+        (coalesce(expr(s"1000000 div ($k0 + rank_a)"), lit(0L)) +
+         coalesce(expr(s"1000000 div ($k0 + rank_b)"), lit(0L))).as("rrf_u"))
+      .orderBy(col("rrf_u").desc, col("id")).limit(topK)
+  }
 }

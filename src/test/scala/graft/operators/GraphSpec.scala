@@ -182,4 +182,43 @@ class GraphSpec extends SparkSpec {
     assert(rounds <= (math.log(n + 1) / math.log(2)).ceil.toInt + 4,
       s"took $rounds rounds")
   }
+
+  test("kCore peels a pendant chain off a triangle (k=2)") {
+    val s = spark
+    import s.implicits._
+    // triangle 1-2-3 plus chain 3-4-5: the 2-core is exactly the
+    // triangle, and reaching it takes TWO peeling rounds (5 dies first,
+    // then 4 — degree cascades are what the loop exists for)
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L)).toDF("a", "b")
+    val got = Graph.kCore(edges, "a", "b", k = 2, rounds = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+  }
+
+  test("kCore is idempotent past the fixpoint and k=1 keeps every non-isolated node") {
+    val s = spark
+    import s.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L), (6L, 7L)).toDF("a", "b")
+    val r3 = Graph.kCore(edges, "a", "b", k = 2, rounds = 3)
+      .as[(Long, Long)].collect().sorted.toSeq
+    val r8 = Graph.kCore(edges.repartition(5), "a", "b", k = 2, rounds = 8)
+      .as[(Long, Long)].collect().sorted.toSeq
+    assert(r3 == r8)
+    val k1 = Graph.kCore(edges, "a", "b", k = 1, rounds = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(k1.keySet === Set(1L, 2L, 3L, 4L, 5L, 6L, 7L))
+    assert(k1(5L) == 1L && k1(6L) == 1L && k1(3L) == 3L)
+  }
+
+  test("kCore of a clique is the whole clique with full degree") {
+    val s = spark
+    import s.implicits._
+    val nodes = 0L until 6L
+    val edges = (for (a <- nodes; b <- nodes if a < b) yield (a, b)).toDF("a", "b")
+    val got = Graph.kCore(edges, "a", "b", k = 5, rounds = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(got === nodes.map(_ -> 5L).toMap)
+    // k above the clique degree empties the core
+    assert(Graph.kCore(edges, "a", "b", k = 6, rounds = 2).count() == 0)
+  }
 }

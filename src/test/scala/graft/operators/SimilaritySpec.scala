@@ -127,4 +127,23 @@ class SimilaritySpec extends SparkSpec {
     val self = out.filter(r => r._2 == r._1 + 100L)
     assert(self.nonEmpty && self.forall(r => math.abs(r._3 - 1.0) < 1e-6))
   }
+
+  test("rrfFuse: hand-computed fusion, one-list docs, tie-break on id") {
+    val s = spark
+    import s.implicits._
+    val lex = Seq((10L, 1), (20L, 2), (30L, 3)).toDF("doc_id", "rank")
+    val sem = Seq((20L, 1), (40L, 2)).toDF("doc_id", "rank")
+    val out = SimilaritySearch.rrfFuse(lex, sem, "doc_id", k0 = 60, topK = 10)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("rrf_u")).toMap
+    assert(out(20L) == 1000000L / 62 + 1000000L / 61)  // both lists
+    assert(out(10L) == 1000000L / 61)                  // lex only
+    assert(out(40L) == 1000000L / 62)                  // sem only
+    assert(out(30L) == 1000000L / 63)
+    // order: 20 first (two lists), then 10 vs 40: 16393 > 16129
+    val order = SimilaritySearch.rrfFuse(lex, sem, "doc_id", 60, 10)
+      .select("id").as[Long].collect().toSeq
+    assert(order == Seq(20L, 10L, 40L, 30L))
+    // topK truncates after fusion
+    assert(SimilaritySearch.rrfFuse(lex, sem, "doc_id", 60, 2).count() == 2)
+  }
 }
