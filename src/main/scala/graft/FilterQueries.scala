@@ -50,6 +50,95 @@ object FilterQueries {
     Seq("slow" -> 1L, "dup" -> 2L, "slow merge" -> 4L, "customer data" -> 8L)
   private val BLOCK_THRESHOLD = 6L
 
+  /** Gopher-battery CTE chain (consumes `pg(doc_id, page)`), ending in
+    * `gq` — the q140 result shape. Shared with the q146 capstone.
+    */
+  private val GOPHER_SQL = """gst AS (
+      SELECT doc_id,
+        list_filter(regexp_split_to_array(lower(trim(page)), '\s+'), x -> len(x) > 0) AS pw,
+        CAST(length(page) - length(replace(page, chr(10), '')) + 1 AS BIGINT) AS n_lines,
+        CAST(length(regexp_replace(page, '\s', '', 'g')) AS BIGINT) AS n_wordchars,
+        CAST((length(page) - length(replace(page, '#', '')))
+          + ((length(page) - length(replace(page, '...', ''))) // 3) AS BIGINT) AS n_symbols,
+        CAST(len(regexp_extract_all(page, '(?m)^- ')) AS BIGINT) AS n_bullet,
+        CAST(len(regexp_extract_all(page, '(?m)\.\.\.$')) AS BIGINT) AS n_ellipsis_lines,
+        CAST(len(regexp_extract_all(lower(page), '\S*[a-z]\S*')) AS BIGINT) AS n_alpha_words
+      FROM pg),
+    gst2 AS (
+      SELECT doc_id, CAST(len(pw) AS BIGINT) AS n_words, n_lines, n_wordchars,
+        n_symbols, n_bullet, n_ellipsis_lines, n_alpha_words,
+        CAST(len(list_filter(['the','a','and','to','of','with','that','be'],
+          x -> list_contains(pw, x))) AS BIGINT) AS n_stop_found
+      FROM gst),
+    gq AS (
+      SELECT doc_id, n_words, n_lines, n_wordchars, n_symbols, n_bullet,
+        n_ellipsis_lines, n_alpha_words, n_stop_found, n_rules_failed,
+        n_rules_failed = 0 AS keep
+      FROM (
+        SELECT *,
+          CAST((CASE WHEN n_words >= 50 AND n_words <= 100000 THEN 0 ELSE 1 END)
+          + (CASE WHEN 3*n_words <= n_wordchars AND n_wordchars <= 10*n_words THEN 0 ELSE 1 END)
+          + (CASE WHEN 1000*n_symbols < 100*n_words THEN 0 ELSE 1 END)
+          + (CASE WHEN 1000*n_bullet < 900*n_lines THEN 0 ELSE 1 END)
+          + (CASE WHEN 1000*n_ellipsis_lines < 300*n_lines THEN 0 ELSE 1 END)
+          + (CASE WHEN 1000*n_alpha_words > 800*n_words THEN 0 ELSE 1 END)
+          + (CASE WHEN n_stop_found >= 2 THEN 0 ELSE 1 END) AS BIGINT) AS n_rules_failed
+        FROM gst2) x)"""
+
+  /** Repetition-rule CTE chain (consumes `words(doc_id, w)`), ending in
+    * `rq` — the q141 result shape. Shared with the q146 capstone.
+    */
+  private val REP_SQL = {
+    val wide = (2 to 4).map(n => s"max(CASE WHEN n = $n THEN top_u END) AS t$n") ++
+      (5 to 10).map(n => s"max(CASE WHEN n = $n THEN dup_u END) AS d$n")
+    val milli = (2 to 4).map(n => s"(1000 * COALESCE(t$n, 0)) // total AS top${n}_mb") ++
+      (5 to 10).map(n => s"(1000 * COALESCE(d$n, 0)) // total AS dup${n}_mb")
+    val thr = Map(2 -> 200, 3 -> 180, 4 -> 160, 5 -> 150, 6 -> 140, 7 -> 130,
+      8 -> 120, 9 -> 110, 10 -> 100)
+    val keep = ((2 to 4).map(n => s"top${n}_mb < ${thr(n)}") ++
+      (5 to 10).map(n => s"dup${n}_mb < ${thr(n)}")).mkString(" AND ")
+    s"""rbase AS (
+      SELECT doc_id, w, CAST(length(array_to_string(w, ' ')) AS BIGINT) AS total
+      FROM words WHERE length(array_to_string(w, ' ')) > 0),
+    rgrams AS (
+      SELECT doc_id, total, n, array_to_string(w[i+1:i+n], ' ') AS g
+      FROM rbase,
+        UNNEST(range(2, 11)) AS tn(n),
+        UNNEST(range(0, greatest(len(w) - n + 1, 0))) AS ti(i)),
+    rgc AS (
+      SELECT doc_id, total, n, g, CAST(count(*) AS BIGINT) AS cnt
+      FROM rgrams GROUP BY 1, 2, 3, 4),
+    rpn AS (
+      SELECT doc_id, total, n,
+        max(cnt * length(g)) AS top_u,
+        sum(CASE WHEN cnt >= 2 THEN cnt * length(g) END) AS dup_u
+      FROM rgc GROUP BY 1, 2, 3),
+    rwide AS (
+      SELECT doc_id, total, ${wide.mkString(", ")}
+      FROM rpn GROUP BY 1, 2),
+    rq AS (
+      SELECT *, $keep AS keep FROM (
+        SELECT doc_id, ${milli.mkString(", ")} FROM rwide) m)"""
+  }
+
+  /** Blocklist CTE chain (consumes `words(doc_id, w)`), ending in `bq`
+    * — the q142 result shape. Shared with the q146 capstone.
+    */
+  private val BLOCK_SQL = {
+    val cnts = BLOCKLIST.zipWithIndex.map { case ((p, _), i) =>
+      val pat = " " + p.trim.toLowerCase.split("\\s+").mkString("  ") + " "
+      s"CAST((length(t) - length(replace(t, '$pat', ''))) // ${pat.length} AS BIGINT) AS c$i"
+    }
+    val hits = BLOCKLIST.indices.map(i => s"c$i").mkString(" + ")
+    val score = BLOCKLIST.zipWithIndex.map { case ((_, w), i) => s"c$i * $w" }.mkString(" + ")
+    s"""bt AS (SELECT doc_id, ' ' || array_to_string(w, '  ') || ' ' AS t FROM words),
+    bc AS (SELECT doc_id, ${cnts.mkString(", ")} FROM bt),
+    bq AS (
+      SELECT doc_id, $hits AS n_hits, $score AS score,
+        ($score) >= $BLOCK_THRESHOLD AS blocked
+      FROM bc)"""
+  }
+
   val all: Seq[QuerySpec] = Seq(
 
     // The Gopher quality-rule battery (word count, mean word length,
@@ -61,37 +150,8 @@ object FilterQueries {
         .withColumnRenamed("id", "doc_id"),
       Some(s"""
         WITH $PAGE_SQL,
-        st AS (
-          SELECT doc_id,
-            list_filter(regexp_split_to_array(lower(trim(page)), '\\s+'), x -> len(x) > 0) AS pw,
-            CAST(length(page) - length(replace(page, chr(10), '')) + 1 AS BIGINT) AS n_lines,
-            CAST(length(regexp_replace(page, '\\s', '', 'g')) AS BIGINT) AS n_wordchars,
-            CAST((length(page) - length(replace(page, '#', '')))
-              + ((length(page) - length(replace(page, '...', ''))) // 3) AS BIGINT) AS n_symbols,
-            CAST(len(regexp_extract_all(page, '(?m)^- ')) AS BIGINT) AS n_bullet,
-            CAST(len(regexp_extract_all(page, '(?m)\\.\\.\\.$$')) AS BIGINT) AS n_ellipsis_lines,
-            CAST(len(regexp_extract_all(lower(page), '\\S*[a-z]\\S*')) AS BIGINT) AS n_alpha_words
-          FROM pg),
-        st2 AS (
-          SELECT doc_id, CAST(len(pw) AS BIGINT) AS n_words, n_lines, n_wordchars,
-            n_symbols, n_bullet, n_ellipsis_lines, n_alpha_words,
-            CAST(len(list_filter(['the','a','and','to','of','with','that','be'],
-              x -> list_contains(pw, x))) AS BIGINT) AS n_stop_found
-          FROM st),
-        r AS (
-          SELECT *,
-            CAST((CASE WHEN n_words >= 50 AND n_words <= 100000 THEN 0 ELSE 1 END)
-            + (CASE WHEN 3*n_words <= n_wordchars AND n_wordchars <= 10*n_words THEN 0 ELSE 1 END)
-            + (CASE WHEN 1000*n_symbols < 100*n_words THEN 0 ELSE 1 END)
-            + (CASE WHEN 1000*n_bullet < 900*n_lines THEN 0 ELSE 1 END)
-            + (CASE WHEN 1000*n_ellipsis_lines < 300*n_lines THEN 0 ELSE 1 END)
-            + (CASE WHEN 1000*n_alpha_words > 800*n_words THEN 0 ELSE 1 END)
-            + (CASE WHEN n_stop_found >= 2 THEN 0 ELSE 1 END) AS BIGINT) AS n_rules_failed
-          FROM st2)
-        SELECT doc_id, n_words, n_lines, n_wordchars, n_symbols, n_bullet,
-          n_ellipsis_lines, n_alpha_words, n_stop_found, n_rules_failed,
-          n_rules_failed = 0 AS keep
-        FROM r""")),
+        $GOPHER_SQL
+        SELECT * FROM gq""")),
 
     // Gopher intra-document repetition rules: top-coverage n-gram char
     // share (n=2..4) + duplicated n-gram char share (n=5..10), exact
@@ -100,39 +160,10 @@ object FilterQueries {
       (s, dir) => ContentFilter.repetitionStats(
           Tables.documents(s, dir), "doc_id", "text")
         .withColumnRenamed("id", "doc_id"),
-      Some {
-        val wide = (2 to 4).map(n => s"max(CASE WHEN n = $n THEN top_u END) AS t$n") ++
-          (5 to 10).map(n => s"max(CASE WHEN n = $n THEN dup_u END) AS d$n")
-        val milli = (2 to 4).map(n => s"(1000 * COALESCE(t$n, 0)) // total AS top${n}_mb") ++
-          (5 to 10).map(n => s"(1000 * COALESCE(d$n, 0)) // total AS dup${n}_mb")
-        val thr = Map(2 -> 200, 3 -> 180, 4 -> 160, 5 -> 150, 6 -> 140, 7 -> 130,
-          8 -> 120, 9 -> 110, 10 -> 100)
-        val keep = ((2 to 4).map(n => s"top${n}_mb < ${thr(n)}") ++
-          (5 to 10).map(n => s"dup${n}_mb < ${thr(n)}")).mkString(" AND ")
-        s"""
+      Some(s"""
         WITH $WORDS_SQL,
-        base AS (
-          SELECT doc_id, w, CAST(length(array_to_string(w, ' ')) AS BIGINT) AS total
-          FROM words WHERE length(array_to_string(w, ' ')) > 0),
-        grams AS (
-          SELECT doc_id, total, n, array_to_string(w[i+1:i+n], ' ') AS g
-          FROM base,
-            UNNEST(range(2, 11)) AS tn(n),
-            UNNEST(range(0, greatest(len(w) - n + 1, 0))) AS ti(i)),
-        gc AS (
-          SELECT doc_id, total, n, g, CAST(count(*) AS BIGINT) AS cnt
-          FROM grams GROUP BY 1, 2, 3, 4),
-        pn AS (
-          SELECT doc_id, total, n,
-            max(cnt * length(g)) AS top_u,
-            sum(CASE WHEN cnt >= 2 THEN cnt * length(g) END) AS dup_u
-          FROM gc GROUP BY 1, 2, 3),
-        wide AS (
-          SELECT doc_id, total, ${wide.mkString(", ")}
-          FROM pn GROUP BY 1, 2),
-        m AS (SELECT doc_id, ${milli.mkString(", ")} FROM wide)
-        SELECT *, $keep AS keep FROM m"""
-      }),
+        $REP_SQL
+        SELECT * FROM rq""")),
 
     // Weighted blocklist filter: exact word/phrase occurrence counts at
     // token granularity (double-space padding makes adjacent matches
@@ -141,21 +172,10 @@ object FilterQueries {
       (s, dir) => ContentFilter.blocklistScore(
           Tables.documents(s, dir), "doc_id", "text", BLOCKLIST, BLOCK_THRESHOLD)
         .withColumnRenamed("id", "doc_id"),
-      Some {
-        val cnts = BLOCKLIST.zipWithIndex.map { case ((p, _), i) =>
-          val pat = " " + p.trim.toLowerCase.split("\\s+").mkString("  ") + " "
-          s"CAST((length(t) - length(replace(t, '$pat', ''))) // ${pat.length} AS BIGINT) AS c$i"
-        }
-        val hits = BLOCKLIST.indices.map(i => s"c$i").mkString(" + ")
-        val score = BLOCKLIST.zipWithIndex.map { case ((_, w), i) => s"c$i * $w" }.mkString(" + ")
-        s"""
+      Some(s"""
         WITH $WORDS_SQL,
-        t AS (SELECT doc_id, ' ' || array_to_string(w, '  ') || ' ' AS t FROM words),
-        c AS (SELECT doc_id, ${cnts.mkString(", ")} FROM t)
-        SELECT doc_id, $hits AS n_hits, $score AS score,
-          ($score) >= $BLOCK_THRESHOLD AS blocked
-        FROM c"""
-      }),
+        $BLOCK_SQL
+        SELECT * FROM bq""")),
 
     // Stride-scheduled curriculum interleave: per-source hash-shuffled
     // ranks, virtual time r*10^6 div w, global position via the
@@ -295,6 +315,88 @@ object FilterQueries {
           CAST(COALESCE(1000000 // (60 + a.rank_a), 0)
             + COALESCE(1000000 // (60 + b.rank_b), 0) AS BIGINT) AS rrf_u
         FROM lex a FULL OUTER JOIN sem b ON a.doc_id = b.doc_id
-        ORDER BY rrf_u DESC, id LIMIT 10"""))
+        ORDER BY rrf_u DESC, id LIMIT 10""")),
+
+    // Capstone: the CONTENT-GATE chain composed end-to-end — Gopher
+    // battery (on the synthesized pages) ∧ repetition rules ∧ blocklist
+    // → survivors → stride-scheduled curriculum order. The composition
+    // itself is hash-checked: every gate's verdict must agree AND the
+    // final interleave runs over exactly the gated subset.
+    QuerySpec("q146_content_gate",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val gok = ContentFilter.gopherStats(synthPage(docs), "doc_id", "page")
+          .filter(col("keep")).select(col("id"))
+        val rok = ContentFilter.repetitionStats(docs, "doc_id", "text")
+          .filter(col("keep")).select(col("id"))
+        val bok = ContentFilter.blocklistScore(docs, "doc_id", "text",
+            BLOCKLIST, BLOCK_THRESHOLD)
+          .filter(!col("blocked")).select(col("id"))
+        val survivors = docs
+          .join(gok.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left_semi")
+          .join(rok.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left_semi")
+          .join(bok.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left_semi")
+        Curriculum.interleaveStride(survivors, "doc_id", "source",
+            expr("CAST(substring(source, 4) AS BIGINT) % 4 + 1"))
+          .withColumnRenamed("id", "doc_id")
+      },
+      Some(s"""
+        WITH $PAGE_SQL,
+        $GOPHER_SQL,
+        $REP_SQL,
+        $BLOCK_SQL,
+        surv AS (
+          SELECT d.doc_id, d.source
+          FROM documents d
+          JOIN gq g ON d.doc_id = g.doc_id AND g.keep
+          JOIN rq r ON d.doc_id = r.doc_id AND r.keep
+          JOIN bq b ON d.doc_id = b.doc_id AND NOT b.blocked),
+        rr AS (
+          SELECT doc_id, source,
+            CAST(substr(source, 4) AS BIGINT) % 4 + 1 AS w,
+            CAST(row_number() OVER (PARTITION BY source
+              ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS src_rank
+          FROM surv),
+        vv AS (
+          SELECT doc_id, source, src_rank, (src_rank * 1000000) // w AS v FROM rr)
+        SELECT doc_id, source, src_rank, v,
+          CAST(row_number() OVER (ORDER BY v, source, src_rank) AS BIGINT) AS pos
+        FROM vv""")),
+
+    // Multi-source BFS over the near-dup graph: minimum hop distance
+    // from the seed set (every 97th doc — stand-in for a trusted
+    // curated slice); 4 fixed relaxation rounds replayed as a static
+    // CTE chain. Unreached nodes emit no row.
+    QuerySpec("q147_bfs_hops",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
+          n = 4, k = 12, rowsPerBand = 3).filter(col("jaccard") >= 0.2)
+        Graph.bfsHops(pairs, "doc_a", "doc_b",
+            docs.filter(col("doc_id") % 97 === 0), "doc_id", rounds = 4)
+          .select(col("id").as("doc_id"), col("hops"))
+      },
+      Some {
+        val rounds = (1 to 4).map { r =>
+          s"""bd$r AS MATERIALIZED (
+            SELECT id, min(d) AS d FROM (
+              SELECT id, d FROM bd${r - 1}
+              UNION ALL
+              SELECT e.u AS id, x.d + 1 AS d
+              FROM bund e JOIN bd${r - 1} x ON e.v = x.id) t
+            GROUP BY 1)"""
+        }.mkString(",\n")
+        s"""
+        WITH $MINHASH_PAIRS_SQL,
+        bce AS (
+          SELECT DISTINCT least(doc_a, doc_b) AS a, greatest(doc_a, doc_b) AS b
+          FROM mh_pairs WHERE jaccard >= 0.2 AND doc_a <> doc_b),
+        bund AS (SELECT a AS u, b AS v FROM bce UNION ALL SELECT b AS u, a AS v FROM bce),
+        bd0 AS MATERIALIZED (
+          SELECT DISTINCT doc_id AS id, CAST(0 AS BIGINT) AS d
+          FROM documents WHERE doc_id % 97 = 0),
+        $rounds
+        SELECT id AS doc_id, d AS hops FROM bd4"""
+      })
   )
 }

@@ -394,4 +394,45 @@ object Graph {
     cst.delete()
     out
   }
+
+  /** Multi-source BFS hop distance: for every node reachable within
+    * `rounds` hops of ANY seed, the minimum hop count — the "distance
+    * from trusted/curated seeds" signal graph-based corpus curation
+    * ranks by (near-seed documents inherit trust; far ones get
+    * down-weighted). Nodes not reached within `rounds` hops emit no
+    * row (distance unknown, not infinite).
+    *
+    * Runs EXACTLY `rounds` relaxation rounds (idempotent once all
+    * shortest paths are found — distances only ever decrease), so a SQL
+    * oracle replays the loop as a static CTE chain. Per round: one
+    * shuffle join (frontier against the staged edge list) + one
+    * map-side-combining min — the [[connectedComponents]] round shape;
+    * distances propagate like labels but ADD one per hop.
+    */
+  def bfsHops(edges: DataFrame, srcCol: String, dstCol: String,
+              seeds: DataFrame, seedCol: String, rounds: Int): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val canon = edges.select(
+        least(col(srcCol), col(dstCol)).cast("long").as("a"),
+        greatest(col(srcCol), col(dstCol)).cast("long").as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val cst = Staging.stage(canon, "bfs_edges")
+    val und = cst.df.union(cst.df.select(col("b").as("a"), col("a").as("b")))
+    var cur = Staging.stage(
+      seeds.select(col(seedCol).cast("long").as("id")).distinct()
+        .withColumn("d", lit(0L)),
+      "bfs_d0")
+    for (r <- 1 to rounds) {
+      val relaxed = cur.df.unionByName(
+        und.join(cur.df.withColumnRenamed("id", "b2"), col("b") === col("b2"))
+          .select(col("a").as("id"), (col("d") + 1L).as("d")))
+      val next = Staging.stage(
+        relaxed.groupBy("id").agg(min(col("d")).as("d")), s"bfs_d$r")
+      cur.delete()
+      cur = next
+    }
+    val out = cur.df.select(col("id"), col("d").as("hops"))
+    cst.delete()
+    out
+  }
 }

@@ -210,6 +210,26 @@ class GraphSpec extends SparkSpec {
     assert(k1(5L) == 1L && k1(6L) == 1L && k1(3L) == 3L)
   }
 
+  test("bfsHops: min distance to any seed, round-bounded reach, off-graph seeds at 0") {
+    val s = spark
+    import s.implicits._
+    // path 1-2-3-4-5-6 plus seed 9 not in the graph
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L)).toDF("a", "b")
+    val seeds = Seq(1L, 9L).toDF("id")
+    val got = Graph.bfsHops(edges, "a", "b", seeds, "id", rounds = 3)
+      .as[(Long, Long)].collect().toMap
+    // 3 rounds reach hop 3; node 5 (hop 4) and 6 are absent
+    assert(got === Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L, 9L -> 0L))
+    // two seeds: distances take the MIN over seeds
+    val got2 = Graph.bfsHops(edges, "a", "b", Seq(1L, 6L).toDF("id"), "id", rounds = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got2 === Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 2L, 5L -> 1L, 6L -> 0L))
+    // idempotent past the fixpoint
+    val got3 = Graph.bfsHops(edges.repartition(5), "a", "b",
+      Seq(1L, 6L).toDF("id"), "id", rounds = 8).as[(Long, Long)].collect().toMap
+    assert(got3 === got2)
+  }
+
   test("kCore of a clique is the whole clique with full degree") {
     val s = spark
     import s.implicits._
