@@ -278,6 +278,99 @@ object IngestQueries {
           CAST(COALESCE(n_children, 0) AS INTEGER) AS n_children,
           COALESCE(child_digest, '') AS child_digest
         FROM orders LEFT JOIN k ON o_orderkey = l_orderkey
-        WHERE o_orderkey % 100 = 0"""))
+        WHERE o_orderkey % 100 = 0""")),
+
+    // ORC sink + source round trip: lineitem → ORC files → read back →
+    // aggregate. The aggregate runs over the RE-READ bytes, so type
+    // fidelity (bigint/double/varchar/timestamp) through the second
+    // columnar format is what's hash-checked; the oracle computes the
+    // same aggregate straight off the parquet. At scale ORC is the
+    // interchange path to Hive-era warehouses — same pushdown/pruning
+    // contract as the parquet scans (PlanSpec asserts parquet; ORC uses
+    // the identical DSv1 filter API).
+    QuerySpec("q148_orc_roundtrip",
+      (s, dir) => {
+        val base = java.nio.file.Files.createTempDirectory("graft_q148_").toString
+        s.read.parquet(s"$dir/lineitem.parquet")
+          .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"),
+            col("l_returnflag"), col("l_shipdate"))
+          .write.mode("overwrite").orc(s"$base/li_orc")
+        val back = s.read.orc(s"$base/li_orc")
+        val out = back.groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n_rows"),
+            graft.Agg.sumDec4(col("l_quantity")).as("sum_qty"),
+            graft.Agg.sumDec4(col("l_extendedprice")).as("sum_price"),
+            max(unix_micros(col("l_shipdate"))).as("max_ship_us"),
+            min(col("l_orderkey")).as("min_key"))
+        val snap = out.localCheckpoint(true)
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+        }
+        rm(new java.io.File(base))
+        snap
+      },
+      Some("""
+        SELECT l_returnflag, count(*) AS n_rows,
+          CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
+          max(epoch_us(CAST(l_shipdate AS TIMESTAMP))) AS max_ship_us,
+          min(l_orderkey) AS min_key
+        FROM lineitem GROUP BY 1""")),
+
+    // Streaming CDC materialization: the events stream upserts per-user
+    // running aggregates into a persisted GraftTable via foreachBatch —
+    // the standard "stream → keyed serving table" sink. Each batch
+    // merges COMMUTATIVELY (count/sum/max add to the stored row), so
+    // the final table state is independent of micro-batch boundaries;
+    // the oracle is the plain batch aggregate over all events. Only
+    // touched partitions rewrite per batch (GraftTable's dynamic
+    // partition overwrite), so per-tick cost scales with the batch's
+    // key footprint, not table size.
+    QuerySpec("q149_stream_upsert",
+      (s, dir) => {
+        GraftSession.tune(s)
+        val base = java.nio.file.Files.createTempDirectory("graft_q149_").toString
+        val batchSchema = s.read.parquet(s"$dir/events.parquet").schema
+        val raw = s.readStream.schema(batchSchema)
+          .option("pathGlobFilter", "events.parquet").parquet(dir)
+        val ev = if (batchSchema("ts").dataType == org.apache.spark.sql.types.LongType)
+          raw.withColumn("ts", timestamp_micros(expr("ts div 1000"))) else raw
+        val tblSchema = org.apache.spark.sql.types.StructType.fromDDL(
+          "user_id BIGINT, pk BIGINT, n_events BIGINT, sum_cents BIGINT, last_us BIGINT")
+        val t = new graft.operators.GraftTable(s, s"$base/user_stats",
+          Seq("user_id"), "pk")
+        t.createIfNotExists(tblSchema)
+        val q = ev.writeStream
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .option("checkpointLocation", s"$base/ckpt")
+          .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+            val inc = b.groupBy(col("user_id"))
+              .agg(count(lit(1)).as("i_n"),
+                sum(expr("CAST(round(value * 100) AS BIGINT)")).as("i_c"),
+                max(unix_micros(col("ts"))).as("i_l"))
+            val cur = t.read
+            val merged = inc.join(cur, Seq("user_id"), "left_outer")
+              .select(col("user_id"), (col("user_id") % 4).as("pk"),
+                (coalesce(col("n_events"), lit(0L)) + col("i_n")).as("n_events"),
+                (coalesce(col("sum_cents"), lit(0L)) + col("i_c")).as("sum_cents"),
+                greatest(coalesce(col("last_us"), lit(Long.MinValue)), col("i_l")).as("last_us"))
+            t.upsertReplace(merged)
+            ()
+          }.start()
+        q.awaitTermination()
+        val out = t.read.select(col("user_id"), col("n_events"),
+          col("sum_cents"), col("last_us"))
+        val snap = out.localCheckpoint(true)
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+        }
+        rm(new java.io.File(base))
+        snap
+      },
+      Some("""
+        SELECT user_id, count(*) AS n_events,
+          CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+          max(epoch_us(CAST(ts AS TIMESTAMP))) AS last_us
+        FROM events GROUP BY 1"""))
   )
 }
