@@ -325,17 +325,30 @@ object FilterQueries {
     QuerySpec("q146_content_gate",
       (s, dir) => {
         val docs = Tables.documents(s, dir)
-        val gok = ContentFilter.gopherStats(synthPage(docs), "doc_id", "page")
-          .filter(col("keep")).select(col("id"))
-        val rok = ContentFilter.repetitionStats(docs, "doc_id", "text")
+        // materialize the synthesized page BEFORE filtering on the
+        // battery verdict: the pushed-down keep predicate re-expands
+        // column aliases, and re-synthesizing the page once per count
+        // reference per row (interpreted lambdas — no CSE) measured 90×
+        // the staged cost. Over the staged page the inlining is
+        // attribute references only.
+        val paged = graft.operators.Staging.stage(
+          synthPage(docs).select(col("doc_id"), col("page")), "q146_pages").df
+        val gok = ContentFilter.gopherStats(paged, "doc_id", "page")
           .filter(col("keep")).select(col("id"))
         val bok = ContentFilter.blocklistScore(docs, "doc_id", "text",
             BLOCKLIST, BLOCK_THRESHOLD)
           .filter(!col("blocked")).select(col("id"))
-        val survivors = docs
+        // CHEAPEST GATES FIRST: the n-gram repetition scan is the
+        // expensive stage (one tagged 9-way explode + aggregate), so it
+        // runs only over the docs the row-local gates already admit —
+        // same AND semantics, ~20× less explode volume on a dirty crawl
+        val cheapOk = docs
           .join(gok.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left_semi")
-          .join(rok.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left_semi")
           .join(bok.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left_semi")
+        val rok = ContentFilter.repetitionStats(cheapOk, "doc_id", "text")
+          .filter(col("keep")).select(col("id"))
+        val survivors = cheapOk
+          .join(rok.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left_semi")
         Curriculum.interleaveStride(survivors, "doc_id", "source",
             expr("CAST(substring(source, 4) AS BIGINT) % 4 + 1"))
           .withColumnRenamed("id", "doc_id")

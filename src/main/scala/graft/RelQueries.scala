@@ -62,6 +62,39 @@ object RelQueries {
         FROM e JOIN c ON c.ct >= e.s AND c.ct < e.en
         GROUP BY 1""")),
 
+    // INTERVAL-OVERLAP join, keyless: error windows × signup windows
+    // that overlap in time, via the same bin-bucketed equi-join plan
+    // (both sides explode to bins; each pair kept once at its overlap-
+    // start bin — never a nested loop, never a distinct pass). Overlap
+    // duration in exact integer micros.
+    QuerySpec("q150_interval_overlap",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val errors = ev.filter(col("event_type") === "error")
+          .select(col("event_id").as("err_id"), col("ts").as("e_s"),
+            (col("ts") + expr("INTERVAL 10 MINUTES")).as("e_e"))
+        val signups = ev.filter(col("event_type") === "signup")
+          .select(col("event_id").as("sg_id"), col("ts").as("s_s"),
+            (col("ts") + expr("INTERVAL 30 MINUTES")).as("s_e"))
+        Relational.intervalOverlapPairs(errors, "e_s", "e_e",
+            signups, "s_s", "s_e", binSeconds = 600L)
+          .select(col("err_id"), col("sg_id"),
+            (unix_micros(least(col("e_e"), col("s_e"))) -
+              unix_micros(greatest(col("e_s"), col("s_s")))).as("overlap_us"))
+      },
+      Some("""
+        WITH e AS (
+          SELECT event_id AS err_id, CAST(ts AS TIMESTAMP) AS es,
+            CAST(ts AS TIMESTAMP) + INTERVAL 10 MINUTE AS ee
+          FROM events WHERE event_type = 'error'),
+        g AS (
+          SELECT event_id AS sg_id, CAST(ts AS TIMESTAMP) AS gs,
+            CAST(ts AS TIMESTAMP) + INTERVAL 30 MINUTE AS ge
+          FROM events WHERE event_type = 'signup')
+        SELECT err_id, sg_id,
+          CAST(epoch_us(least(ee, ge)) - epoch_us(greatest(es, gs)) AS BIGINT) AS overlap_us
+        FROM e JOIN g ON es < ge AND gs < ee""")),
+
     // SCD-2 dimension build: each customer's order-price history as
     // half-open validity intervals. One shuffle on the key, one window.
     QuerySpec("q55_scd2_history",

@@ -74,6 +74,15 @@ object ContentFilter {
         // constant list, not the document (array_contains per stopword)
         size(filter(lit(stopwords.toArray),
           x => array_contains(col("gw"), x))).cast("long").as("n_stop_found"))
+    // CALLER CONTRACT — pass a MATERIALIZED text column: a caller that
+    // filters on `keep` has the predicate pushed to the scan with every
+    // alias RE-EXPANDED (Catalyst's filter pushdown has no expression-
+    // cost guard), and because array lambdas evaluate interpreted (no
+    // codegen, no common-subexpression elimination) a DERIVED textCol
+    // (e.g. a synthesized page) would be re-computed once per count
+    // reference PER ROW — measured 90× wall on the q146 capstone. Over
+    // a stored/staged column the same inlining is harmless (attribute
+    // references, not expression trees). See Staging.stage.
     val rules = Seq(
       col("n_words") >= minWords && col("n_words") <= maxWords,
       lit(meanLo) * col("n_words") <= col("n_wordchars") &&

@@ -36,19 +36,24 @@ object Curriculum {
   /** @param weightCol integer weight per row (>=1), usually derived
     *                   from the source column or joined from a mix
     *                   config; equal weights reduce to round-robin.
+    *
+    * The ranked frame feeds BOTH the bucket-count branch and the final
+    * join, so it is staged once ([[Staging]]) — without that, the whole
+    * upstream pipeline (often an expensive multi-gate filter chain, see
+    * the q146 capstone) would evaluate twice.
     */
   def interleaveStride(docs: DataFrame, idCol: String, srcCol: String,
                        weightCol: Column, bucketWidth: Long = 50000000L): DataFrame = {
     require(bucketWidth >= 1L, s"bucketWidth must be >= 1, got $bucketWidth")
     import org.apache.spark.sql.expressions.Window
     val perSrc = Window.partitionBy(col("source")).orderBy(col("ord"), col("id"))
-    val ranked = docs
+    val ranked = Staging.stage(docs
       .select(col(idCol).cast("long").as("id"), col(srcCol).as("source"),
         weightCol.cast("long").as("w"),
         md5(col(idCol).cast("string")).as("ord"))
       .withColumn("src_rank", row_number().over(perSrc).cast("long"))
       .withColumn("v", expr(s"(src_rank * $RES) div w"))
-      .withColumn("bucket", expr(s"v div $bucketWidth"))
+      .withColumn("bucket", expr(s"v div $bucketWidth")), "interleave_ranked").df
     // phase 1: docs before each bucket (bucket table is tiny — the
     // window over it is bounded by v_max/bucketWidth, not corpus size)
     val bucketBase = ranked.groupBy("bucket").agg(count(lit(1)).as("n"))

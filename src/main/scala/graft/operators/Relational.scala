@@ -130,4 +130,44 @@ object Relational {
       .withColumn("is_current", col("valid_to").isNull)
       .select(col(key), col("valid_from"), col("valid_to"), col(valCol), col("is_current"))
   }
+
+  /** INTERVAL-OVERLAP join: pair every `left` interval with every
+    * `right` interval that overlaps it (half-open `[start, end)`
+    * semantics: overlap ⟺ `lStart < rEnd AND rStart < lEnd`) — the
+    * temporal join ([[rangeJoinPairs]] is its interval×point special
+    * case). No equi-key required.
+    *
+    * Same bin-bucketed equi-join plan — but BOTH sides explode to their
+    * bins, so an overlapping pair can share SEVERAL bins. Each pair is
+    * emitted EXACTLY ONCE without a distinct pass: the pair is kept
+    * only in the bin containing `greatest(lStart, rStart)` — the
+    * overlap's start, which lies in exactly one bin and is always a bin
+    * both sides exploded to. Candidate volume is Σ_bin |L∩bin|·|R∩bin|;
+    * a hot bin is plain equi-join skew AQE can split. Pick `binSeconds`
+    * near the typical interval length.
+    *
+    * Column names of the two inputs must be disjoint.
+    */
+  def intervalOverlapPairs(left: DataFrame, lStartCol: String, lEndCol: String,
+                           right: DataFrame, rStartCol: String, rEndCol: String,
+                           binSeconds: Long): DataFrame = {
+    require(binSeconds > 0)
+    val overlap = left.columns.toSet.intersect(right.columns.toSet)
+    require(overlap.isEmpty,
+      s"intervalOverlapPairs requires disjoint column names; both sides have: ${overlap.mkString(", ")}")
+    require(!left.columns.contains("__bin") && !right.columns.contains("__bin"),
+      "__bin is reserved by intervalOverlapPairs")
+    val binMicros = binSeconds * 1000000L
+    def binned(df: DataFrame, s: String, e: String) = df.withColumn("__bin",
+      explode(sequence(
+        floor(unix_micros(col(s)) / binMicros),
+        floor((unix_micros(col(e)) - 1) / binMicros))))
+    binned(left, lStartCol, lEndCol)
+      .join(binned(right, rStartCol, rEndCol), Seq("__bin"))
+      .filter(col(lStartCol) < col(rEndCol) && col(rStartCol) < col(lEndCol) &&
+        // anti-duplication anchor: keep the pair only in the bin that
+        // contains the overlap's start
+        floor(unix_micros(greatest(col(lStartCol), col(rStartCol))) / binMicros) === col("__bin"))
+      .drop("__bin")
+  }
 }

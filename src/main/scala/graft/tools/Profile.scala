@@ -22,6 +22,12 @@ object Profile {
     if (args.contains("--noaqe")) spark.conf.set("spark.sql.adaptive.enabled", "false")
     spark.sparkContext.setLogLevel("ERROR")
     val reg = Queries.all.map(q => q.name -> q.run).toMap
+    // --full: force EVERY output column through a hash aggregate.
+    // count() lets column pruning delete a projection-only query's
+    // whole expression tree (a row-local operator "benches" as a
+    // metadata row count) — the hash defeats pruning, like the driver's
+    // verify write does.
+    val full = args.contains("--full")
     names.foreach { n =>
       // time construction + execution: operators with eager staging
       // writes (Dedup.staged) do real work during construction, so
@@ -29,7 +35,11 @@ object Profile {
       val t0 = System.nanoTime()
       val df = reg(n)(spark, sfDir)
       if (doExplain) { println(s"==== $n"); df.explain("formatted") }
-      val cnt = df.count()
+      val cnt = if (full) {
+        import org.apache.spark.sql.functions.{col, count, lit, sum, xxhash64}
+        df.select(xxhash64(df.columns.map(col).toSeq: _*).as("__h"))
+          .agg(sum(col("__h")), count(lit(1))).collect()(0).getLong(1)
+      } else df.count()
       println(f"TIME $n ${(System.nanoTime() - t0) / 1e9}%.2f s  rows=$cnt")
       spark.catalog.clearCache()
     }

@@ -159,4 +159,25 @@ class PlanSpec extends SparkSpec {
       s"second action must hit the cache, not the file scan:\n$second")
     cached.unpersist()
   }
+
+  test("q140/q142: gopher battery and blocklist scoring are row-local — no Exchange") {
+    assert(!plan("q140_gopher_rules").contains("Exchange"),
+      "gopher rule battery must be one pass over the scan")
+    assert(!plan("q142_blocklist").contains("Exchange"),
+      "blocklist scoring must be one pass over the scan")
+  }
+
+  test("q141: repetition rules are ONE tagged explode + aggregates — a single gram scan") {
+    val p = plan("q141_repetition_rules")
+    // nine n-gram streams must come from one Generate, not nine scans
+    assert("Generate".r.findAllIn(p).length == 1, s"expected one explode:\n$p")
+    assert("(?m)Scan parquet".r.findAllIn(p).length == 1, s"expected one file scan:\n$p")
+  }
+
+  test("q145: RRF fusion joins two k-bounded lists — the corpus never reaches the fusion join") {
+    val p = plan("q145_hybrid_rrf")
+    // both retriever lists are rank-limited before the full-outer fusion
+    assert(p.contains("FullOuter") || p.contains("full_outer"), s"fusion must be full outer:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"BM25 side must stay TakeOrdered:\n$p")
+  }
 }

@@ -133,4 +133,35 @@ class RelationalSpec extends SparkSpec {
     assert(out(1).getAs[Boolean]("is_current"))
     assert(out(2).getAs[Boolean]("is_current"))
   }
+
+  test("intervalOverlapPairs: exactly-once pairs, half-open adjacency, bin spanning") {
+    val s = spark
+    import s.implicits._
+    val l = Seq(
+      (1L, ts("2024-01-01 10:00:00"), ts("2024-01-01 10:20:00")),  // spans 4 bins
+      (2L, ts("2024-01-01 11:00:00"), ts("2024-01-01 11:05:00"))
+    ).toDF("lid", "ls", "le")
+    val r = Seq(
+      (10L, ts("2024-01-01 10:15:00"), ts("2024-01-01 10:40:00")), // overlaps 1 across 2 shared bins
+      (11L, ts("2024-01-01 09:50:00"), ts("2024-01-01 10:30:00")), // CONTAINS 1 (4 shared bins)
+      (12L, ts("2024-01-01 10:20:00"), ts("2024-01-01 10:25:00")), // touches 1's end → NO (half-open)
+      (13L, ts("2024-01-01 11:04:59"), ts("2024-01-01 11:06:00"))  // 1s overlap with 2
+    ).toDF("rid", "rs", "re")
+    val got = Relational.intervalOverlapPairs(l, "ls", "le", r, "rs", "re", 300L)
+      .select("lid", "rid").as[(Long, Long)].collect().sorted.toSeq
+    assert(got === Seq((1L, 10L), (1L, 11L), (2L, 13L)))
+  }
+
+  test("intervalOverlapPairs buckets to an equi-join — no nested loop") {
+    val s = spark
+    import s.implicits._
+    val l = Seq((1L, ts("2024-01-01 10:00:00"), ts("2024-01-01 10:20:00"))).toDF("lid", "ls", "le")
+    val r = Seq((10L, ts("2024-01-01 10:15:00"), ts("2024-01-01 10:40:00"))).toDF("rid", "rs", "re")
+    val plan = Relational.intervalOverlapPairs(l, "ls", "le", r, "rs", "re", 300L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop"), s"overlap join must bucket to an equi-join:\n$plan")
+    intercept[IllegalArgumentException](
+      Relational.intervalOverlapPairs(l, "ls", "le", r.withColumnRenamed("rs", "ls"),
+        "ls", "re", 300L))
+  }
 }
