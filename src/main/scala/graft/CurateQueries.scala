@@ -974,6 +974,34 @@ object CurateQueries {
           CAST(9 * (4 + (doc_id + 11 * t) % 100) AS INTEGER) AS height
         FROM g, UNNEST(range(0, doc_id % 3 + 1)) AS u(t)""")),
 
+    // REAL JPEG frame-header decode — the marker-walk metadata surface
+    // (the entropy-coded scan needs a Huffman/DCT stack; dimensions,
+    // component count and baseline-vs-progressive live in the marker
+    // stream): each doc synthesizes a structurally valid JFIF stream
+    // (SOI/APP0/DQT/SOF/SOS/EOI) with baseline vs progressive SOF and
+    // 1- vs 3-component frames varying by row; the walker recovers all
+    // of it. The oracle replays the closed-form generator. The decoder
+    // is additionally cross-checked against ImageIO-written REAL JPEGs
+    // in JpegMetaSpec (independent encoder, real Huffman tables).
+    QuerySpec("q152_jpeg_meta",
+      (s, dir) => {
+        import graft.multimodal.Multimodal
+        val docs = Tables.documents(s, dir).select(col("doc_id"),
+          expr("CAST(16 * (1 + doc_id % 200) AS INT)").as("w"),
+          expr("CAST(9 * (1 + doc_id % 150) AS INT)").as("h"),
+          expr("CAST(CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 1 END AS INT)").as("ncomp"),
+          (col("doc_id") % 3 === 0).as("progressive"))
+        Multimodal.jpegMeta(Multimodal.synthJpegMedia(docs)).toDF()
+      },
+      Some("""
+        SELECT doc_id,
+          CAST(16 * (1 + doc_id % 200) AS INTEGER) AS width,
+          CAST(9 * (1 + doc_id % 150) AS INTEGER) AS height,
+          CAST(CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 1 END AS INTEGER) AS n_components,
+          doc_id % 3 = 0 AS progressive,
+          CAST(16 * (1 + doc_id % 200) AS BIGINT) * (9 * (1 + doc_id % 150)) AS n_pixels
+        FROM documents""")),
+
     // BPE tokenizer TRAINING (the learn side of q84/q85's apply side):
     // 8 byte-pair merges learned from corpus word frequencies, leftmost-
     // non-overlapping merge semantics, (count desc, pair) tie order. The

@@ -76,6 +76,34 @@ object ExtQueries {
     */
   private[graft] val MINHASH_PAIRS_SQL = WORDS_SQL + "," + MINHASH_FROM_WORDS_SQL
 
+  /** DuckDB fragment: the IVF cell-probe pipeline through `cand(qid,
+    * nid)` — centroid cosine scoring, corpus cell assignment (rn=1),
+    * query probes (rn ≤ 4, qid < 8). Shared by q50 (IVF + exact
+    * scoring) and q151 (IVF + PQ ADC scoring).
+    */
+  private[graft] val IVF_CAND_SQL = """n2 AS (
+          SELECT vec_id, SUM(CAST(floor(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 1000000000.0) AS BIGINT)) AS n2
+          FROM (SELECT vec_id, UNNEST(embedding) AS x FROM embeddings) t GROUP BY 1),
+        cent AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 16),
+        ael AS (
+          SELECT e.vec_id AS nid, c.cid, UNNEST(e.embedding) AS x, UNNEST(c.cvec) AS y
+          FROM embeddings e, cent c),
+        adots AS (
+          SELECT nid, cid, SUM(CAST(floor(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) * 1000000000.0) AS BIGINT)) AS dot
+          FROM ael GROUP BY 1, 2),
+        asims AS (
+          SELECT nid, cid,
+            CAST(dot AS DOUBLE) / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(c2.n2 AS DOUBLE))) AS csim
+          FROM adots JOIN n2 a ON nid = a.vec_id JOIN n2 c2 ON cid = c2.vec_id),
+        ranked AS (
+          SELECT *, row_number() OVER (PARTITION BY nid ORDER BY csim DESC, cid) AS rn
+          FROM asims),
+        cells AS (SELECT nid, cid FROM ranked WHERE rn = 1),
+        probes AS (SELECT nid AS qid, cid FROM ranked WHERE rn <= 4 AND nid < 8),
+        cand AS (
+          SELECT p.qid, s.nid FROM probes p JOIN cells s ON p.cid = s.cid
+          WHERE s.nid <> p.qid)"""
+
   /** DuckDB fragment: the PQ pipeline through the `adc` CTE — seed
     * codebook (16 smallest-id vectors), element-wise fixed-point
     * sub-distances, per-subspace argmin codes, and the ADC sum. Shared
@@ -477,29 +505,8 @@ object ExtQueries {
           e.filter(col("vec_id") < 8), e, e.filter(col("vec_id") < 16),
           "vec_id", "embedding", "vec_id", k = 3, nProbe = 4)
       },
-      Some("""
-        WITH n2 AS (
-          SELECT vec_id, SUM(CAST(floor(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 1000000000.0) AS BIGINT)) AS n2
-          FROM (SELECT vec_id, UNNEST(embedding) AS x FROM embeddings) t GROUP BY 1),
-        cent AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 16),
-        ael AS (
-          SELECT e.vec_id AS nid, c.cid, UNNEST(e.embedding) AS x, UNNEST(c.cvec) AS y
-          FROM embeddings e, cent c),
-        adots AS (
-          SELECT nid, cid, SUM(CAST(floor(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) * 1000000000.0) AS BIGINT)) AS dot
-          FROM ael GROUP BY 1, 2),
-        asims AS (
-          SELECT nid, cid,
-            CAST(dot AS DOUBLE) / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(c2.n2 AS DOUBLE))) AS csim
-          FROM adots JOIN n2 a ON nid = a.vec_id JOIN n2 c2 ON cid = c2.vec_id),
-        ranked AS (
-          SELECT *, row_number() OVER (PARTITION BY nid ORDER BY csim DESC, cid) AS rn
-          FROM asims),
-        cells AS (SELECT nid, cid FROM ranked WHERE rn = 1),
-        probes AS (SELECT nid AS qid, cid FROM ranked WHERE rn <= 4 AND nid < 8),
-        cand AS (
-          SELECT p.qid, s.nid FROM probes p JOIN cells s ON p.cid = s.cid
-          WHERE s.nid <> p.qid),
+      Some(s"""
+        WITH $IVF_CAND_SQL,
         el AS (
           SELECT c.qid, c.nid, UNNEST(q.embedding) AS x, UNNEST(e.embedding) AS y
           FROM cand c JOIN embeddings q ON c.qid = q.vec_id
@@ -537,6 +544,31 @@ object ExtQueries {
         SELECT qid, nid, CAST(adist AS BIGINT) AS adist, CAST(rn AS INTEGER) AS rank
         FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY adist, nid) AS rn FROM adc)
         WHERE rn <= 5""")),
+
+    // IVF-PQ composed — the PRODUCTION ANN architecture (FAISS
+    // `IVFx,PQy`): cells cut candidates ~C/nProbe×, PQ cuts bytes per
+    // candidate ~32×, a query's scan is ADC integer lookups over its
+    // probed cells only. The oracle composes the shared IVF candidate
+    // chain with the shared PQ ADC chain: brute ADC restricted to the
+    // probed-cell pairs IS the composed search.
+    QuerySpec("q151_knn_ivfpq",
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        val cb = SimilaritySearch.pqSeedCodebook(e, "vec_id", "embedding",
+          m = 8, subDim = 8, ksub = 16)
+        SimilaritySearch.ivfPqTopK(
+          e.filter(col("vec_id") < 8), e, e.filter(col("vec_id") < 16), cb,
+          "vec_id", "embedding", "vec_id", k = 3, nProbe = 4, m = 8, subDim = 8)
+      },
+      Some(s"""
+        WITH $IVF_CAND_SQL,
+        $PQ_ADC_SQL
+        SELECT qid, nid, CAST(adist AS BIGINT) AS adist, CAST(rank AS INTEGER) AS rank
+        FROM (
+          SELECT a.qid, a.nid, a.adist,
+            row_number() OVER (PARTITION BY a.qid ORDER BY a.adist, a.nid) AS rank
+          FROM adc a JOIN cand c ON a.qid = c.qid AND a.nid = c.nid) r
+        WHERE rank <= 3""")),
 
     // Two-stage PQ: ADC shortlist (20 deep, codes only) then EXACT
     // fixed-point L2 re-rank of just those candidates — the standard

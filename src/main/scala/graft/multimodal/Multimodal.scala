@@ -339,6 +339,46 @@ object Multimodal {
     }
   }
 
+  /** Per-row JPEG synthesis parameters for [[synthJpegMedia]]. */
+  final case class JpegSynthRow(doc_id: Long, w: Int, h: Int, ncomp: Int,
+                                progressive: Boolean)
+
+  /** Encode each row as a structurally valid JFIF marker stream
+    * ([[JpegMeta.encode]]) — baseline or progressive SOF varying by
+    * row, so a corpus exercises both frame layouts.
+    */
+  def synthJpegMedia(df: DataFrame): Dataset[MediaRow] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.as[JpegSynthRow].mapPartitions { rows =>
+      rows.map { r =>
+        val payload = JpegMeta.encode(r.w, r.h, r.ncomp, r.progressive)
+        MediaRow(r.doc_id, "image/jpeg", payload.length.toLong, payload)
+      }
+    }
+  }
+
+  /** One decoded JPEG frame header. */
+  final case class JpegMetaRow(doc_id: Long, width: Int, height: Int,
+                               n_components: Int, progressive: Boolean,
+                               n_pixels: Long)
+
+  /** Frame metadata over DECODED JPEG marker streams — one row per
+    * decodable payload; junk contributes no rows.
+    */
+  def jpegMeta(media: Dataset[MediaRow]): Dataset[JpegMetaRow] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        JpegMeta.decode(r.payload).map { i =>
+          JpegMetaRow(r.doc_id, i.width, i.height, i.nComponents,
+            i.progressive, i.width.toLong * i.height)
+        }
+      }
+    }
+  }
+
   /** Synthesize a COMPLETE valid mono 16-bit PCM WAV file from an
     * `array<int>` sample column, as pure codegen'd SQL expressions —
     * RIFF header, fmt chunk, data chunk, two's-complement LE samples.

@@ -409,6 +409,50 @@ object SimilaritySearch {
     probe.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** IVF-PQ composed search — the production ANN architecture (Jégou
+    * et al. 2011 as deployed: FAISS `IVFx,PQy`): the corpus is (a)
+    * partitioned into IVF cells by nearest centroid and (b) compressed
+    * to `m` PQ codes; a query probes its `nProbe` nearest cells and
+    * scores ONLY their members, by ADC table lookups — never touching a
+    * raw corpus vector. The two levers compose multiplicatively: cells
+    * cut candidates ~C/nProbe×, PQ cuts bytes-per-candidate ~32×, so
+    * the scan cost is (corpus/C·nProbe) · m integer adds per query.
+    * Both the cell assignment and the encode collapse their broadcast
+    * fan-outs BEFORE any exchange (the [[ivfTopK]] / [[pqEncode]]
+    * discipline); the ADC lookup table broadcasts (Q·m·ksub rows).
+    * Ranking is by exact integer ADC distance, ties on id.
+    */
+  def ivfPqTopK(queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
+                codebook: DataFrame, idCol: String, vecCol: String, cidCol: String,
+                k: Int, nProbe: Int, m: Int, subDim: Int): DataFrame = {
+    val cent = centroids.select(col(cidCol).as("cid"), col(vecCol).as("cvec"),
+      VectorFns.norm2Fixed9(col(vecCol)).as("cn2"))
+    def scored(side: DataFrame, p: String): DataFrame =
+      side.join(broadcast(cent))
+        .select(col(s"${p}id"), col("cid"),
+          VectorFns.cosineFrom(VectorFns.dotFixed9(col(s"${p}vec"), col("cvec")),
+            col(s"${p}n2"), col("cn2")).as("csim"))
+    val cells = scored(withNorm(corpus, idCol, vecCol, "n"), "n")
+      .groupBy("nid")
+      .agg(max_by(col("cid"), struct(col("csim"), -col("cid"))).as("cid"))
+    val wProbe = Window.partitionBy("qid").orderBy(col("csim").desc, col("cid"))
+    val probes = scored(withNorm(queries, idCol, vecCol, "q"), "q")
+      .withColumn("rn", row_number().over(wProbe)).filter(col("rn") <= nProbe)
+      .select(col("qid"), col("cid"))
+    val codes = pqEncode(corpus, idCol, vecCol, codebook, m, subDim)
+    val qlut = pqDists(queries, idCol, vecCol, codebook, m, subDim, "q")
+      .withColumnRenamed("d", "pd")
+    val cand = probes.join(cells, Seq("cid"))
+      .filter(col("qid") =!= col("nid")).select("qid", "nid")
+    val adc = cand
+      .join(codes.select(col(idCol).as("nid"), col("codes")), Seq("nid"))
+      .select(col("qid"), col("nid"), posexplode(col("codes")).as(Seq("ms", "code")))
+      .join(broadcast(qlut), Seq("qid", "ms", "code"))
+      .groupBy("qid", "nid").agg(sum(col("pd")).as("adist"))
+    val w = Window.partitionBy("qid").orderBy(col("adist"), col("nid"))
+    adc.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   private def rank(sims: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy("qid").orderBy(col("sim_raw").desc, col("nid"))
     sims.withColumn("rank", row_number().over(w))
