@@ -228,6 +228,40 @@ object AnalyticsQueries {
           FROM st),
         tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_rows FROM st)
         $body"""
+      }),
+
+    // One-pass data profiling (the ANALYZE-TABLE / data-catalog
+    // feature): per column — rows, nulls, exact distinct, min/max, and
+    // the modal value with frequency, through canonical string
+    // rendering (identical in both engines; binary collation both
+    // sides). The data is touched exactly once; per-column stats run
+    // over DISTINCT values only.
+    QuerySpec("q153_profile",
+      (s, dir) => graft.operators.Profiler.profile(
+        Tables.orders(s, dir),
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")),
+      Some {
+        val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+        val lf = cols.map(c =>
+          s"SELECT '$c' AS col_name, CAST($c AS VARCHAR) AS v FROM orders")
+          .mkString("\n          UNION ALL ")
+        s"""
+        WITH lf AS (
+          $lf),
+        bv AS (SELECT col_name, v, CAST(count(*) AS BIGINT) AS cnt FROM lf GROUP BY 1, 2),
+        st AS (
+          SELECT col_name, SUM(cnt) AS n_rows,
+            SUM(CASE WHEN v IS NULL THEN cnt ELSE 0 END) AS n_nulls,
+            count(CASE WHEN v IS NOT NULL THEN 1 END) AS n_distinct,
+            min(v) AS min_v, max(v) AS max_v
+          FROM bv GROUP BY 1),
+        tp AS (
+          SELECT col_name, v AS top_v, cnt AS top_n FROM (
+            SELECT *, row_number() OVER (PARTITION BY col_name ORDER BY cnt DESC, v) AS rn
+            FROM bv WHERE v IS NOT NULL) x WHERE rn = 1)
+        SELECT st.col_name, st.n_rows, st.n_nulls, st.n_distinct,
+          st.min_v, st.max_v, tp.top_v, tp.top_n
+        FROM st JOIN tp ON st.col_name = tp.col_name"""
       })
   )
 }

@@ -1196,6 +1196,40 @@ object ExtQueries {
         FROM shared
           JOIN (SELECT doc_id, sz AS na FROM sizes) sa ON doc_a = sa.doc_id
           JOIN (SELECT doc_id, sz AS nb FROM sizes) sb ON doc_b = sb.doc_id
-        WHERE shared * 2 >= (na + nb - shared) * 1"""))
+        WHERE shared * 2 >= (na + nb - shared) * 1""")),
+
+    // Per-node local clustering coefficient over the near-dup graph —
+    // the audit signal for CC-based dedup (clique-like clusters ≈ 1000
+    // milli, transitive chain artifacts ≈ 0). Triangles enumerate once
+    // via the degree-oriented wedge join, then explode to their three
+    // corners; degrees and the milli division are exact integers.
+    QuerySpec("q154_clustering_coeff",
+      (s, dir) => {
+        val pairs = Dedup.minhashLshPairs(Tables.documents(s, dir), "doc_id", "text",
+          n = 4, k = 12, rowsPerBand = 3).filter(col("jaccard") >= 0.2)
+        graft.operators.Graph.clusteringCoeff(pairs, "doc_a", "doc_b")
+          .select(col("id").as("doc_id"), col("deg"), col("n_tri"), col("coeff_mb"))
+      },
+      Some(s"""
+        WITH $MINHASH_PAIRS_SQL,
+        ed AS (
+          SELECT DISTINCT least(doc_a, doc_b) AS a, greatest(doc_a, doc_b) AS b
+          FROM mh_pairs WHERE jaccard >= 0.2 AND doc_a <> doc_b),
+        und AS (SELECT a AS u, b AS v FROM ed UNION ALL SELECT b AS u, a AS v FROM ed),
+        dg AS (SELECT u AS id, CAST(count(*) AS BIGINT) AS deg FROM und GROUP BY 1),
+        tri AS (
+          SELECT e1.a AS x, e1.b AS y, e2.b AS z
+          FROM ed e1 JOIN ed e2 ON e1.b = e2.a
+                     JOIN ed e3 ON e3.a = e1.a AND e3.b = e2.b),
+        tn AS (
+          SELECT id, CAST(count(*) AS BIGINT) AS n_tri FROM (
+            SELECT x AS id FROM tri
+            UNION ALL SELECT y AS id FROM tri
+            UNION ALL SELECT z AS id FROM tri) q GROUP BY 1)
+        SELECT d.id AS doc_id, d.deg, COALESCE(t.n_tri, 0) AS n_tri,
+          CASE WHEN d.deg >= 2
+               THEN (2000 * COALESCE(t.n_tri, 0)) // (d.deg * (d.deg - 1))
+               ELSE 0 END AS coeff_mb
+        FROM dg d LEFT JOIN tn t ON d.id = t.id"""))
   )
 }

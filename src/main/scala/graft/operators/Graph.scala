@@ -395,6 +395,50 @@ object Graph {
     out
   }
 
+  /** Per-node local clustering coefficient in exact milli units:
+    * `1000 · 2·tri(v) / (deg(v)·(deg(v)−1))` — how clique-like each
+    * node's neighborhood is. On a dedup graph this separates true
+    * duplicate CLUSTERS (coefficient → 1000: everything matches
+    * everything) from chain artifacts of transitive near-dup edges
+    * (coefficient → 0: a should-not-merge chain), the standard signal
+    * for auditing CC-based dedup before collapsing clusters.
+    *
+    * Triangles enumerate once each via the degree-ORIENTED wedge join
+    * ([[triangleCount]]'s O(√E) fan-out bound), then explode to their
+    * three corners for the per-node count; degrees and the division are
+    * exact integers. Nodes of degree < 2 report coefficient 0.
+    */
+  def clusteringCoeff(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val canon = edges.select(
+        least(col(srcCol), col(dstCol)).cast("long").as("a"),
+        greatest(col(srcCol), col(dstCol)).cast("long").as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val cst = Staging.stage(canon, "cc_coeff_edges")
+    val e = cst.df
+    val und = e.union(e.select(col("b").as("a"), col("a").as("b")))
+    val deg = und.groupBy(col("a").as("id")).agg(count(lit(1)).as("deg"))
+    val withDeg = und
+      .join(deg.withColumnRenamed("id", "a").withColumnRenamed("deg", "da"), Seq("a"))
+      .join(deg.withColumnRenamed("id", "b").withColumnRenamed("deg", "db"), Seq("b"))
+    val oriented = withDeg.filter(
+      col("da") < col("db") || (col("da") === col("db") && col("a") < col("b")))
+      .select(col("a").as("u"), col("b").as("v"))
+    val wedges = oriented.select(col("u"), col("v"))
+      .join(oriented.select(col("u"), col("v").as("w")), Seq("u"))
+      .filter(col("v") < col("w"))
+    val closed = wedges.join(
+      e.select(col("a").as("v"), col("b").as("w")), Seq("v", "w"), "left_semi")
+    val perNode = closed
+      .select(explode(array(col("u"), col("v"), col("w"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("n_tri"))
+    deg.join(perNode, Seq("id"), "left_outer")
+      .select(col("id"), col("deg"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"),
+        when(col("deg") >= 2L,
+          expr("(2000 * coalesce(n_tri, 0)) div (deg * (deg - 1))"))
+          .otherwise(lit(0L)).as("coeff_mb"))
+  }
+
   /** Multi-source BFS hop distance: for every node reachable within
     * `rounds` hops of ANY seed, the minimum hop count — the "distance
     * from trusted/curated seeds" signal graph-based corpus curation

@@ -230,6 +230,26 @@ class GraphSpec extends SparkSpec {
     assert(got3 === got2)
   }
 
+  test("clusteringCoeff: clique = 1000 milli, chain = 0, shared-edge case exact") {
+    val s = spark
+    import s.implicits._
+    // triangle 1-2-3 plus pendant 3-4: coefficients 1000,1000 for 1,2;
+    // node 3 has deg 3, 1 triangle -> 2000*1/(3*2) = 333; node 4 deg 1 -> 0
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("a", "b")
+    val got = Graph.clusteringCoeff(edges, "a", "b")
+      .select("id", "deg", "n_tri", "coeff_mb")
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, 2L, 1L, 1000L)))
+    assert(got(2L) == ((2L, 2L, 1L, 1000L)))
+    assert(got(3L) == ((3L, 3L, 1L, 333L)))
+    assert(got(4L) == ((4L, 1L, 0L, 0L)))
+    // K4: every node in 3 triangles, deg 3 -> coefficient 1000
+    val k4 = (for (a <- 0L to 3L; b <- 0L to 3L if a < b) yield (a, b)).toDF("a", "b")
+    val g4 = Graph.clusteringCoeff(k4, "a", "b")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(g4.forall(r => r._2 == 3L && r._3 == 3L && r._4 == 1000L))
+  }
+
   test("kCore of a clique is the whole clique with full degree") {
     val s = spark
     import s.implicits._
