@@ -44,6 +44,14 @@ object GraftSession {
     // incoming frame — the physical form of the reference's per-day
     // import-once upserts (reference `server/etl.py:71`).
     c.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    // Engine optimizer rule on a LIVE session (the driver hands us an
+    // already-built one, so the spark.sql.extensions hook is past):
+    // rewrite user-written HOF fixed-point dot products to the fused
+    // codegen'd FixedDot (~4×, semantics-identical incl. nulls). Build-
+    // time installs use graft.ext.GraftExtensions instead.
+    val extra = spark.experimental.extraOptimizations
+    if (!extra.contains(graft.ext.RewriteHofFixedDot))
+      spark.experimental.extraOptimizations = extra :+ graft.ext.RewriteHofFixedDot
     spark
   }
 

@@ -12,4 +12,14 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object Bridge {
   def toColumn(e: Expression): Column = ExpressionUtils.column(e)
   def toExpression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Surface the `private[sql]` optimizer-rule builders of a
+    * SparkSessionExtensions, so specs can assert what an extension
+    * registration actually installed.
+    */
+  def optimizerRules(ext: org.apache.spark.sql.SparkSessionExtensions,
+                     spark: org.apache.spark.sql.SparkSession)
+      : Seq[org.apache.spark.sql.catalyst.rules.Rule[
+        org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]] =
+    ext.buildOptimizerRules(spark)
 }
