@@ -327,6 +327,71 @@ object EventQueries {
         FROM a LEFT JOIN b ON a.user_id = b.user_id
           AND b.pts >= a.cts AND b.pts <= a.cts + INTERVAL 6 HOUR""")),
 
+    // Stream-stream FULL OUTER join — the last member of the streaming
+    // join family (q127 inner, q131 left outer): null emissions on
+    // state eviction fire from BOTH sides. Both streams are bounded to
+    // the closable region (ts <= min(max click, max purchase) − 8 h),
+    // so the terminal watermark passes every row's join window and the
+    // drained append sink equals the batch FULL JOIN exactly.
+    QuerySpec("q155_stream_full_outer_join",
+      (s, dir) => {
+        GraftSession.tune(s)
+        val HOUR_US = 3600L * 1000000L
+        val batch = Tables.events(s, dir)
+        val cutUs = batch.agg(
+          (least(max(when(col("event_type") === "click", unix_micros(col("ts")))),
+            max(when(col("event_type") === "purchase", unix_micros(col("ts")))))
+            - lit(8L * HOUR_US)).as("cut"))
+          .head().getLong(0)
+        val batchSchema = s.read.parquet(s"$dir/events.parquet").schema
+        def src() = {
+          val raw = s.readStream.schema(batchSchema)
+            .option("pathGlobFilter", "events.parquet").parquet(dir)
+          if (batchSchema("ts").dataType == org.apache.spark.sql.types.LongType)
+            raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+          else raw
+        }
+        val clicks = src().withWatermark("ts", "1 hour")
+          .filter(col("event_type") === "click" &&
+            unix_micros(col("ts")) <= cutUs)
+          .select(col("user_id"), col("event_id").as("click_id"),
+            col("ts").as("click_ts"))
+        val buys = src().withWatermark("ts", "1 hour")
+          .filter(col("event_type") === "purchase" &&
+            unix_micros(col("ts")) <= cutUs)
+          .select(col("user_id").as("b_user"), col("event_id").as("purchase_id"),
+            col("ts").as("purchase_ts"))
+        val joined = clicks.join(buys,
+          col("user_id") === col("b_user") &&
+            col("purchase_ts") >= col("click_ts") &&
+            col("purchase_ts") <= col("click_ts") + expr("interval 6 hours"),
+          "full_outer")
+          .select(coalesce(col("user_id"), col("b_user")).as("user_id"),
+            col("click_id"), col("purchase_id"),
+            (unix_micros(col("purchase_ts")) - unix_micros(col("click_ts"))).as("gap_us"))
+        graft.streaming.Streams.runToCompletion(s, joined, "append")
+      },
+      Some("""
+        WITH e AS (
+          SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+          FROM events),
+        cut AS (
+          SELECT least(
+              max(CASE WHEN event_type = 'click' THEN ts END),
+              max(CASE WHEN event_type = 'purchase' THEN ts END))
+            - INTERVAL 8 HOUR AS c
+          FROM e),
+        a AS (
+          SELECT user_id, event_id AS click_id, ts AS cts
+          FROM e, cut WHERE event_type = 'click' AND ts <= c),
+        b AS (
+          SELECT user_id, event_id AS purchase_id, ts AS pts
+          FROM e, cut WHERE event_type = 'purchase' AND ts <= c)
+        SELECT COALESCE(a.user_id, b.user_id) AS user_id, a.click_id, b.purchase_id,
+          CAST(epoch_us(b.pts) - epoch_us(a.cts) AS BIGINT) AS gap_us
+        FROM a FULL JOIN b ON a.user_id = b.user_id
+          AND b.pts >= a.cts AND b.pts <= a.cts + INTERVAL 6 HOUR""")),
+
     QuerySpec("q127_stream_stream_join",
       (s, dir) => {
         GraftSession.tune(s)
