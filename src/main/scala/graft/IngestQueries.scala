@@ -317,6 +317,42 @@ object IngestQueries {
           min(l_orderkey) AS min_key
         FROM lineitem GROUP BY 1""")),
 
+    // JSON-lines sink + source round trip (q148's ORC sibling — the
+    // interchange format of every crawl/annotation pipeline): documents
+    // → JSONL files → schema'd read back → per-language aggregate with
+    // a text digest, hash-checked against the parquet-direct oracle —
+    // string escaping and integer fidelity through the text format is
+    // what's exercised.
+    QuerySpec("q156_jsonl_roundtrip",
+      (s, dir) => {
+        val base = java.nio.file.Files.createTempDirectory("graft_q156_").toString
+        s.read.parquet(s"$dir/documents.parquet")
+          .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
+          .write.mode("overwrite").json(s"$base/docs_jsonl")
+        val schema = org.apache.spark.sql.types.StructType.fromDDL(
+          "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT")
+        val back = s.read.schema(schema).json(s"$base/docs_jsonl")
+        val out = back.groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("sum_chars"),
+            min(col("doc_id")).as("min_id"),
+            md5(concat_ws("|", sort_array(collect_list(
+              concat_ws(":", col("doc_id"), md5(col("text"))))))).as("docs_digest"))
+        val snap = out.localCheckpoint(true)
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+        }
+        rm(new java.io.File(base))
+        snap
+      },
+      Some("""
+        SELECT lang, count(*) AS n_docs,
+          CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+          min(doc_id) AS min_id,
+          md5(string_agg(CAST(doc_id AS VARCHAR) || ':' || md5(text), '|'
+            ORDER BY CAST(doc_id AS VARCHAR) || ':' || md5(text))) AS docs_digest
+        FROM documents GROUP BY 1""")),
+
     // Streaming CDC materialization: the events stream upserts per-user
     // running aggregates into a persisted GraftTable via foreachBatch —
     // the standard "stream → keyed serving table" sink. Each batch
