@@ -262,6 +262,50 @@ object AnalyticsQueries {
         SELECT st.col_name, st.n_rows, st.n_nulls, st.n_distinct,
           st.min_v, st.max_v, tp.top_v, tp.top_n
         FROM st JOIN tp ON st.col_name = tp.col_name"""
+      }),
+
+    // Cross-corpus overlap via HLL inclusion–exclusion (b=10): two
+    // overlapping corpus slices sketch INDEPENDENTLY (no join between
+    // them, 2·1024 rows of state), the union estimate comes from the
+    // bucket-wise-max merge, and |A∩B| ≈ est_a + est_b − est_union —
+    // the cheap pre-flight before any cross-corpus dedup /
+    // decontamination pass. Integer harmonic sums make even the
+    // estimates engine-exact.
+    QuerySpec("q157_hll_overlap",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        Sketches.hllIntersect(
+          docs.filter(col("doc_id") % 2 === 0),
+          docs.filter(col("doc_id") % 3 > 0),
+          "text", bits = 10)
+      },
+      Some {
+        // one q81-style state→estimate chain per corpus; the union
+        // state sketches the concatenated input (≡ hllMerge)
+        def chain(p: String, src: String) = s"""
+        h_$p AS (
+          SELECT CAST(concat('0x', substr(md5(k), 1, 15)) AS BIGINT) AS h
+          FROM $src),
+        st_$p AS (
+          SELECT h % 1024 AS bucket,
+            max(CASE WHEN h // 1024 = 0 THEN 51 ELSE 51 - length(bin(h // 1024)) END) AS rho
+          FROM h_$p GROUP BY 1),
+        e_$p AS (
+          SELECT CAST(count(*) AS BIGINT) AS m_$p,
+            0.7213 / (1 + 1.079 / 1024.0) * 1024 * 1024 * 2251799813685248.0
+              / (sum(CAST(1 AS BIGINT) << (51 - rho))
+                 + (1024 - count(*)) * (CAST(1 AS BIGINT) << 51)) AS est_$p
+          FROM st_$p)"""
+        s"""
+        WITH a_keys AS (SELECT text AS k FROM documents WHERE doc_id % 2 = 0),
+        b_keys AS (SELECT text AS k FROM documents WHERE doc_id % 3 > 0),
+        u_keys AS (SELECT k FROM a_keys UNION ALL SELECT k FROM b_keys),
+        ${chain("a", "a_keys")},
+        ${chain("b", "b_keys")},
+        ${chain("union", "u_keys")}
+        SELECT m_a, est_a, m_b, est_b, m_union, est_union,
+          est_a + est_b - est_union AS est_intersect
+        FROM e_a, e_b, e_union"""
       })
   )
 }

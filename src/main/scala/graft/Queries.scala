@@ -484,5 +484,5 @@ object Queries {
   def all: Seq[QuerySpec] =
     core ++ EventQueries.all ++ ExtQueries.all ++ IngestQueries.all ++
       RelQueries.all ++ CurateQueries.all ++ AnalyticsQueries.all ++ TokenQueries.all ++
-      FilterQueries.all
+      FilterQueries.all ++ MlQueries.all
 }

@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFns
+
+/** Hashed-feature LINEAR CLASSIFIER inference — the fastText-shaped
+  * model-scoring stage of production training-data pipelines (CCNet's
+  * fastText langid, FineWeb-Edu's educational-quality scorer, DCLM's
+  * quality classifier all run exactly this dataflow over every crawl
+  * document): bag of word unigrams + bigrams, feature-hashed into B
+  * buckets, scored against a (bucket, class) weight table, argmax per
+  * document with the runner-up margin as the confidence signal.
+  *
+  * 100 TB shape: the model is VOCABULARY-SIZED (B·C rows) and
+  * broadcasts; the corpus pays one tokenize, one row-local bigram
+  * zip, one explode, and two hash aggregations. Duplicate features
+  * collapse to (doc, bucket, count) BEFORE the ×C model join, so the
+  * joined row count is bounded by distinct-buckets-per-doc · C, not
+  * token count · C. Weights are integer milli-units: scores are exact
+  * long sums — associative, partitioning-independent, and
+  * hash-matchable against a SQL oracle (no float drift ever).
+  */
+object Classifier {
+
+  /** 60-bit md5 hash (15 hex digits → positive long) — the
+    * engine-portable hash discipline shared with [[Sketches]]. */
+  private def h60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** Per-document hashed feature counts: (id, bucket, cnt), one row per
+    * DISTINCT feature bucket. Features are word unigrams plus
+    * adjacent-pair bigrams ("a_b"), built row-locally from the token
+    * array (no self-join), hashed into [0, buckets).
+    */
+  def featureBuckets(docs: DataFrame, idCol: String, textCol: String,
+                     buckets: Int): DataFrame = {
+    require(buckets >= 2, s"need >= 2 hash buckets, got $buckets")
+    val n = size(col("w"))
+    val bigrams = when(n >= lit(2),
+      zip_with(slice(col("w"), lit(1), n - 1), slice(col("w"), lit(2), n - 1),
+        (a, b) => concat(a, lit("_"), b)))
+      .otherwise(array().cast("array<string>"))
+    docs.select(col(idCol), TextFns.tokens(col(textCol)).as("w"))
+      .select(col(idCol), explode(concat(col("w"), bigrams)).as("f"))
+      .select(col(idCol), (h60(col("f")) % buckets).as("bucket"))
+      .groupBy(col(idCol), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Deterministic md5-derived weight table — the TEST FIXTURE standing
+    * in for a trained model (a real deployment loads its trained
+    * weights into the same (bucket, cls, w) shape): milli-unit integers
+    * in [-1000, 1000], reproducible by any engine from its own md5.
+    */
+  def syntheticModel(spark: SparkSession, buckets: Int, nClasses: Int): DataFrame =
+    spark.range(buckets).select(col("id").as("bucket"))
+      .crossJoin(spark.range(nClasses).select(col("id").as("cls")))
+      .select(col("bucket"), col("cls"),
+        (h60(concat(col("bucket").cast("string"), lit(":"), col("cls").cast("string")))
+          % 2001 - 1000).as("w"))
+
+  /** Classifier inference: (id, pred_cls, best_score, margin) per
+    * document with at least one feature. `model` must cover every
+    * (bucket, cls) pair (so each doc scores exactly nClasses rows);
+    * ties break to the smallest class id. `margin` = best − runner-up
+    * score (exact integer confidence; requires nClasses ≥ 2).
+    */
+  def predict(docs: DataFrame, idCol: String, textCol: String,
+              model: DataFrame, buckets: Int): DataFrame = {
+    val scored = featureBuckets(docs, idCol, textCol, buckets)
+      .join(broadcast(model), Seq("bucket"))
+      .groupBy(col(idCol), col("cls"))
+      .agg(sum(col("cnt") * col("w")).as("score"))
+    // ranked is bounded by nClasses rows per doc — not a corpus-sized
+    // collect; struct ordering (score desc, -cls desc) = smallest-class
+    // tie-break, deterministic in both engines
+    scored.groupBy(col(idCol))
+      .agg(sort_array(collect_list(struct(col("score").as("s"),
+        (-col("cls")).as("nc"))), asc = false).as("ranked"))
+      .select(col(idCol),
+        (-col("ranked")(0)("nc")).as("pred_cls"),
+        col("ranked")(0)("s").as("best_score"),
+        (col("ranked")(0)("s") - col("ranked")(1)("s")).as("margin"))
+  }
+}

@@ -153,4 +153,41 @@ object Sketches {
           (lit(lo) + col("bucket") * lit(hi - lo) / n).as("edge"))
     }.reduce(_ unionByName _)
   }
+
+  // ------------------------------------------------- Cross-corpus overlap
+
+  /** CROSS-CORPUS OVERLAP estimation via HLL inclusion–exclusion:
+    * |A∩B| ≈ est(A) + est(B) − est(A∪B), where the union estimate comes
+    * from [[hllMerge]] (bucket-wise max — identical to sketching the
+    * concatenated input, which is what the oracle replays).
+    *
+    * This is the cheap pre-flight before any cross-corpus dedup or
+    * decontamination run: two corpus scans, 2·2^b rows of state, ZERO
+    * joins between the corpora — at 100 TB each side sketches where it
+    * lives (even in different jobs / days; states are mergeable rows)
+    * and the overlap decision costs a broadcast of ≤ m rows. A near-zero
+    * intersection estimate means the expensive MinHash/exact cross-join
+    * passes (q70/q124/q128) can be skipped entirely.
+    *
+    * One result row: per-side occupied buckets + estimates, the union
+    * estimate, and the inclusion–exclusion intersection estimate. Every
+    * number derives from exact integer state (the [[hllEstimate]]
+    * discipline), so the estimates hash-match the oracle. The
+    * intersection estimator inherits the raw-HLL error of all three
+    * terms — it can go slightly negative for disjoint inputs; callers
+    * clamp at 0 (kept unclamped here so the estimator's true output is
+    * what gets verified).
+    */
+  def hllIntersect(a: DataFrame, b: DataFrame, keyCol: String, bits: Int): DataFrame = {
+    def est(df: DataFrame, p: String): DataFrame =
+      hllEstimate(df, bits).select(
+        col("m_used").as(s"m_$p"), col("est_distinct").as(s"est_$p"))
+    val sa = hllState(a, keyCol, bits)
+    val sb = hllState(b, keyCol, bits)
+    est(sa, "a")
+      .crossJoin(broadcast(est(sb, "b")))
+      .crossJoin(broadcast(est(hllMerge(Seq(sa, sb)), "union")))
+      .withColumn("est_intersect",
+        col("est_a") + col("est_b") - col("est_union"))
+  }
 }

@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+
+class ClassifierSpec extends SparkSpec {
+
+  /** Same 60-bit md5 hash the operator computes, rolled independently. */
+  private def h60(s0: String): Long = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s0.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.substring(0, 15), 16)
+  }
+
+  test("featureBuckets emits uni+bigram occurrence counts at the md5 buckets") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((1L, "a b a")).toDF("id", "text")
+    val fb = Classifier.featureBuckets(docs, "id", "text", 1 << 20)
+      .as[(Long, Long, Long)].collect().toSeq
+    // features: a, b, a, a_b, b_a → 5 occurrences over 4 distinct
+    assert(fb.map(_._3).sum === 5L)
+    val expected = Map("a" -> 2L, "b" -> 1L, "a_b" -> 1L, "b_a" -> 1L)
+      .map { case (f, c) => (h60(f) % (1 << 20)) -> c }
+    assert(expected.size === 4, "test buckets must not collide")
+    assert(fb.map(r => r._2 -> r._3).toMap === expected)
+  }
+
+  test("single-word and empty docs produce no bigrams / no rows") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((1L, "solo"), (2L, "   "), (3L, "")).toDF("id", "text")
+    val fb = Classifier.featureBuckets(docs, "id", "text", 1 << 20)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(fb === Seq((1L, h60("solo") % (1 << 20), 1L)))
+  }
+
+  test("predict computes exact integer scores and breaks ties to the smallest class") {
+    val s = spark
+    import s.implicits._
+    val b = 1 << 20
+    val docs = Seq((1L, "x y"), (2L, "x x y")).toDF("id", "text")
+    val feats = Seq("x", "y", "x_y", "x_x")
+    val buckets = feats.map(f => f -> h60(f) % b).toMap
+    assert(buckets.values.toSet.size === 4, "test buckets must not collide")
+    // cls 0: every feature weighs 10; cls 1: x weighs 25, rest 0
+    val model = feats.flatMap(f =>
+      Seq((buckets(f), 0L, 10L), (buckets(f), 1L, if (f == "x") 25L else 0L)))
+      .toDF("bucket", "cls", "w")
+    val out = Classifier.predict(docs, "id", "text", model, b)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    // doc 1 (x, y, x_y): cls0 = 30, cls1 = 25 → pred 0, margin 5
+    // doc 2 (x, x, y, x_x, x_y): cls0 = 50, cls1 = 50 → tie → pred 0, margin 0
+    assert(out === Seq((1L, 0L, 30L, 5L), (2L, 0L, 50L, 0L)))
+  }
+
+  test("syntheticModel covers B·C rows with milli-unit weights") {
+    val s = spark
+    import s.implicits._
+    val m = Classifier.syntheticModel(spark, buckets = 64, nClasses = 3)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(m.size === 192)
+    assert(m.map(r => (r._1, r._2)).toSet.size === 192)
+    assert(m.forall(r => r._3 >= -1000 && r._3 <= 1000))
+  }
+
+  test("predict is partitioning-invariant (exact integer scores)") {
+    val s = spark
+    import s.implicits._
+    val docs = Tables.documents(spark, sf001).limit(50)
+    val model = Classifier.syntheticModel(spark, 256, 3)
+    val a = Classifier.predict(docs, "doc_id", "text", model, 256)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    val bOut = Classifier.predict(docs.repartition(7), "doc_id", "text", model, 256)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(a === bOut)
+  }
+}

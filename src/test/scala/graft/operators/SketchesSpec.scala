@@ -99,6 +99,33 @@ class SketchesSpec extends SparkSpec {
       Sketches.histogramState(df, "v", 0.0, 1.0, 4), 0.0, 1.0, 4, Seq(1.5)))
   }
 
+  test("hllIntersect recovers a known overlap within raw-HLL error") {
+    val s = spark
+    import s.implicits._
+    // |A|=6000, |B|=6000, |A∩B|=2000 (ids 4001..6000 shared)
+    val a = (1L to 6000L).toDF("id")
+    val b = (4001L to 10000L).toDF("id")
+    val r = Sketches.hllIntersect(a, b, "id", bits = 10)
+      .select("est_a", "est_b", "est_union", "est_intersect")
+      .as[(Double, Double, Double, Double)].collect().head
+    assert(math.abs(r._1 - 6000) / 6000 < 0.06, s"est_a ${r._1}")
+    assert(math.abs(r._2 - 6000) / 6000 < 0.06, s"est_b ${r._2}")
+    assert(math.abs(r._3 - 10000) / 10000 < 0.06, s"est_union ${r._3}")
+    // intersection compounds three raw estimates' error — wider band
+    assert(math.abs(r._4 - 2000) / 2000 < 0.25, s"est_intersect ${r._4}")
+  }
+
+  test("hllIntersect on disjoint corpora estimates ~0 overlap") {
+    val s = spark
+    import s.implicits._
+    val r = Sketches.hllIntersect(
+      (1L to 5000L).toDF("id"), (100001L to 105000L).toDF("id"), "id", 10)
+      .select("est_union", "est_intersect")
+      .as[(Double, Double)].collect().head
+    // |est_intersect| small relative to the union (may be negative)
+    assert(math.abs(r._2) / r._1 < 0.1, s"intersect ${r._2} vs union ${r._1}")
+  }
+
   test("cms state is bounded by d·w cells") {
     val s = spark
     import s.implicits._
