@@ -113,6 +113,45 @@ object MlQueries {
           CAST(sum(s.np) AS BIGINT) AS n_pieces,
           CAST(sum(s.cuts) AS BIGINT) AS cuts_sum
         FROM tok t JOIN seg s USING (word) GROUP BY 1"""
-      })
+      }),
+
+    // SQ8 scalar-quantized ANN (FAISS `SQ8` — the third vector
+    // compression besides raw and PQ): per-dimension byte codes from
+    // corpus min/max stats, reconstruction, and exact micro-unit
+    // squared-L2 against the reconstructed corpus; integral division
+    // with non-negative operands so trunc ≡ floor in both engines.
+    QuerySpec("q160_knn_sq8",
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        val st = operators.SimilaritySearch.sq8Stats(e, "embedding")
+        val codes = operators.SimilaritySearch.sq8Encode(e, "vec_id", "embedding", st)
+        operators.SimilaritySearch.sq8TopK(
+          e.filter(col("vec_id") < 8), codes, st, "vec_id", "embedding", k = 5)
+      },
+      Some("""
+        WITH fx AS MATERIALIZED (
+          SELECT vec_id, i AS dim,
+            CAST(floor(CAST(embedding[CAST(i + 1 AS INTEGER)] AS DOUBLE)
+              * 1000000000.0) AS BIGINT) AS fx
+          FROM embeddings, UNNEST(range(0, 64)) AS t(i)),
+        st AS MATERIALIZED (
+          SELECT dim, min(fx) AS mn, max(fx) AS mx FROM fx GROUP BY 1),
+        rec AS MATERIALIZED (
+          SELECT f.vec_id AS nid, f.dim,
+            s.mn + ((CASE WHEN s.mx = s.mn THEN 0
+                     ELSE ((f.fx - s.mn) * 255) // (s.mx - s.mn) END)
+                    * (s.mx - s.mn)) // 255 AS rfx
+          FROM fx f JOIN st s ON f.dim = s.dim),
+        qv AS (SELECT vec_id AS qid, dim, fx FROM fx WHERE vec_id < 8),
+        d AS (
+          SELECT q.qid, r.nid,
+            SUM(CAST(floor(abs(q.fx - r.rfx) / 1000.0) AS BIGINT)
+              * CAST(floor(abs(q.fx - r.rfx) / 1000.0) AS BIGINT)) AS d2
+          FROM qv q JOIN rec r ON q.dim = r.dim AND q.qid <> r.nid
+          GROUP BY 1, 2)
+        SELECT qid, nid, CAST(d2 AS BIGINT) AS d2, CAST(rn AS INTEGER) AS rank
+        FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY d2, nid) AS rn
+              FROM d)
+        WHERE rn <= 5"""))
   )
 }
