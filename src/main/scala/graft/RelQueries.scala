@@ -188,6 +188,49 @@ object RelQueries {
           CASE WHEN md5(CAST(doc_id AS VARCHAR)) < 'e6' THEN 'train'
                WHEN md5(CAST(doc_id AS VARCHAR)) < 'f3' THEN 'val'
                ELSE 'test' END AS split
-        FROM documents"""))
+        FROM documents""")),
+
+    // Snapshot diff (CDC between table versions — the Delta-CDF /
+    // audit feature): two declaratively derived orders snapshots
+    // (disjoint key drops + two update rules, so inserts, deletes,
+    // single- and double-column updates all occur) diffed by one
+    // co-partitioned full-outer join with per-column null-safe
+    // comparison — no rendered digests, no float-to-string traps.
+    QuerySpec("q161_snapshot_diff",
+      (s, dir) => {
+        val orders = Tables.orders(s, dir)
+        val oldSnap = orders.filter(col("o_orderkey") % 11 =!= 3)
+        val newSnap = orders.filter(col("o_orderkey") % 13 =!= 5)
+          .withColumn("o_totalprice",
+            when(col("o_orderkey") % 5 === 0, col("o_totalprice") + 1.0)
+              .otherwise(col("o_totalprice")))
+          .withColumn("o_orderstatus",
+            when(col("o_orderkey") % 17 === 0, lit("X"))
+              .otherwise(col("o_orderstatus")))
+        operators.Relational.tableDiff(oldSnap, newSnap, Seq("o_orderkey"))
+      },
+      Some {
+        val vcols = Seq("o_custkey", "o_orderstatus", "o_totalprice",
+          "o_orderdate", "o_orderpriority")
+        val anyDiff = vcols.map(c => s"o.$c IS DISTINCT FROM n.$c").mkString(" OR ")
+        val nChanged = vcols.map(c =>
+          s"CASE WHEN o.$c IS DISTINCT FROM n.$c THEN 1 ELSE 0 END").mkString(" + ")
+        s"""
+        WITH o AS (SELECT * FROM orders WHERE o_orderkey % 11 <> 3),
+        n AS (
+          SELECT o_orderkey, o_custkey,
+            CASE WHEN o_orderkey % 17 = 0 THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
+            CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1.0 ELSE o_totalprice END AS o_totalprice,
+            o_orderdate, o_orderpriority
+          FROM orders WHERE o_orderkey % 13 <> 5)
+        SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+          CASE WHEN n.o_orderkey IS NULL THEN 'delete'
+               WHEN o.o_orderkey IS NULL THEN 'insert'
+               ELSE 'update' END AS change,
+          CAST(CASE WHEN o.o_orderkey IS NULL OR n.o_orderkey IS NULL THEN 0
+               ELSE $nChanged END AS BIGINT) AS n_changed
+        FROM o FULL JOIN n ON o.o_orderkey = n.o_orderkey
+        WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL OR $anyDiff"""
+      })
   )
 }

@@ -170,4 +170,44 @@ object Relational {
         floor(unix_micros(greatest(col(lStartCol), col(rStartCol))) / binMicros) === col("__bin"))
       .drop("__bin")
   }
+
+  /** SNAPSHOT DIFF — change-data-capture between two versions of a
+    * keyed table (the Delta-Lake-CDF / audit feature: "what changed
+    * between corpus snapshot v1 and v2"): one row per changed key with
+    * change ∈ {insert, delete, update} and, for updates, the count of
+    * value columns that differ. Unchanged keys emit nothing.
+    *
+    * Comparison is per-column NULL-SAFE equality (`<=>`), never a
+    * rendered digest — no float/date-to-string portability trap, and
+    * NULL↔value transitions count as changes.
+    *
+    * 100 TB shape: ONE full-outer shuffle join co-partitioned on the
+    * key (both snapshots hash-partition the same way; with bucketed
+    * snapshot tables it is exchange-free), all comparisons row-local,
+    * output bounded by the churn, not the table. Both inputs must
+    * share the full schema.
+    */
+  def tableDiff(oldDf: DataFrame, newDf: DataFrame, keys: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "tableDiff needs at least one key column")
+    require(oldDf.columns.toSeq == newDf.columns.toSeq,
+      s"schema mismatch: ${oldDf.columns.toSeq} vs ${newDf.columns.toSeq}")
+    val valCols = oldDf.columns.filterNot(keys.contains).toSeq
+    require(valCols.nonEmpty, "tableDiff needs at least one non-key column")
+    def side(df: DataFrame, p: String) =
+      df.select(keys.map(col) ++ (lit(true).as(s"${p}_present") +:
+        valCols.map(c => col(c).as(s"${p}_$c"))): _*)
+    val same = valCols.map(c => col(s"o_$c") <=> col(s"n_$c")).reduce(_ && _)
+    val nChanged = valCols.map(c =>
+      when(col(s"o_$c") <=> col(s"n_$c"), 0L).otherwise(1L)).reduce(_ + _)
+    side(oldDf, "o").join(side(newDf, "n"), keys, "full_outer")
+      .withColumn("change",
+        when(col("n_present").isNull, lit("delete"))
+          .when(col("o_present").isNull, lit("insert"))
+          .when(same, lit(null).cast("string"))
+          .otherwise(lit("update")))
+      .filter(col("change").isNotNull)
+      .withColumn("n_changed",
+        when(col("change") === "update", nChanged).otherwise(lit(0L)))
+      .select(keys.map(col) :+ col("change") :+ col("n_changed"): _*)
+  }
 }

@@ -164,4 +164,39 @@ class RelationalSpec extends SparkSpec {
       Relational.intervalOverlapPairs(l, "ls", "le", r.withColumnRenamed("rs", "ls"),
         "ls", "re", 300L))
   }
+
+  test("tableDiff classifies inserts, deletes, updates and counts changed columns") {
+    val s = spark
+    import s.implicits._
+    val oldS = Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L))
+      .toDF("k", "s", "v")
+    val newS = Seq((2L, "b", 20L), (3L, "X", 31L), (4L, "d", 40L))
+      .toDF("k", "s", "v")
+    val got = Relational.tableDiff(oldS, newS, Seq("k"))
+      .as[(Long, String, Long)].collect().sortBy(_._1).toSeq
+    // key 2 unchanged → absent; key 3 changes both value columns
+    assert(got === Seq((1L, "delete", 0L), (3L, "update", 2L), (4L, "insert", 0L)))
+  }
+
+  test("tableDiff is null-safe: null↔value is a change, null↔null is not") {
+    val s = spark
+    import s.implicits._
+    val oldS = Seq((1L, Option.empty[String]), (2L, Option.empty[String]))
+      .toDF("k", "s")
+    val newS = Seq((1L, Option.empty[String]), (2L, Some("v")))
+      .toDF("k", "s")
+    val got = Relational.tableDiff(oldS, newS, Seq("k"))
+      .as[(Long, String, Long)].collect().toSeq
+    assert(got === Seq((2L, "update", 1L)))
+  }
+
+  test("tableDiff rejects schema mismatch and key-only tables") {
+    val s = spark
+    import s.implicits._
+    val a = Seq((1L, "x")).toDF("k", "s")
+    intercept[IllegalArgumentException](
+      Relational.tableDiff(a, a.withColumnRenamed("s", "t"), Seq("k")))
+    intercept[IllegalArgumentException](
+      Relational.tableDiff(a.select("k"), a.select("k"), Seq("k")))
+  }
 }
