@@ -306,6 +306,31 @@ object AnalyticsQueries {
         SELECT m_a, est_a, m_b, est_b, m_union, est_union,
           est_a + est_b - est_union AS est_intersect
         FROM e_a, e_b, e_union"""
-      })
+      }),
+
+    // Heavy hitters by sketch→exact escalation: CMS (d=4, w=64 —
+    // collisions on purpose) screens rows map-side; only candidate
+    // keys reach the exact count, which drops the sketch's false
+    // positives. Output is exact; the shuffle carries candidates only.
+    QuerySpec("q162_heavy_hitters",
+      (s, dir) => Sketches.heavyHitters(Tables.events(s, dir), "user_id",
+        d = 4, w = 64, minCount = 80L),
+      Some("""
+        WITH pos AS (
+          SELECT user_id, i AS r,
+            CAST(concat('0x', substr(md5(CAST(i AS VARCHAR) || ':'
+              || CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) % 64 AS c
+          FROM events, UNNEST(range(0, 4)) AS t(i)),
+        st AS (SELECT r, c, count(*) AS cnt FROM pos GROUP BY 1, 2),
+        kp AS (SELECT DISTINCT user_id, r, c FROM pos),
+        est AS (
+          SELECT kp.user_id, CAST(min(COALESCE(st.cnt, 0)) AS BIGINT) AS est
+          FROM kp LEFT JOIN st ON kp.r = st.r AND kp.c = st.c
+          GROUP BY 1),
+        ex AS (SELECT user_id, CAST(count(*) AS BIGINT) AS exact
+               FROM events GROUP BY 1)
+        SELECT est.user_id, est.est, ex.exact
+        FROM est JOIN ex ON est.user_id = ex.user_id
+        WHERE est.est >= 80 AND ex.exact >= 80"""))
   )
 }

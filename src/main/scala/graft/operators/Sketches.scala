@@ -154,6 +154,38 @@ object Sketches {
     }.reduce(_ unionByName _)
   }
 
+  /** HEAVY HITTERS via the sketch→exact ESCALATION (the two-pass
+    * pattern that makes exact heavy-key detection affordable when the
+    * key space is huge but heavy keys are few): pass 1 builds the
+    * count-min state; pass 2 screens each ROW by its key's CMS
+    * estimate (d broadcast map-side lookups + `least` — no shuffle)
+    * and only surviving rows reach the exact count, which then drops
+    * the sketch's false positives. CMS never underestimates, so no
+    * true heavy key is lost — the output is EXACT, but the exact
+    * aggregation shuffles only candidate-key rows, not the key space.
+    * Output (key, est, exact), both ≥ minCount.
+    */
+  def heavyHitters(df: DataFrame, keyCol: String, d: Int, w: Int,
+                   minCount: Long): DataFrame = {
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    val st = cmsState(df, keyCol, d, w)
+    var cur = df.select(col(keyCol))
+    val ests = (0 until d).map { i =>
+      val sti = broadcast(st.filter(col("r") === i)
+        .select(col("c").as(s"__c$i"), col("cnt").as(s"__cnt$i")))
+      cur = cur.withColumn(s"__c$i",
+        conv(substring(md5(concat(lit(s"$i:"), col(keyCol).cast("string"))), 1, 15), 16, 10)
+          .cast("long") % w)
+        .join(sti, Seq(s"__c$i"), "left")
+      coalesce(col(s"__cnt$i"), lit(0L))
+    }
+    cur.withColumn("est", least(ests: _*))
+      .filter(col("est") >= minCount)
+      .groupBy(col(keyCol))
+      .agg(min(col("est")).as("est"), count(lit(1)).as("exact"))
+      .filter(col("exact") >= minCount)
+  }
+
   // ------------------------------------------------- Cross-corpus overlap
 
   /** CROSS-CORPUS OVERLAP estimation via HLL inclusion–exclusion:

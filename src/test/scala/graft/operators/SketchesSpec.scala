@@ -126,6 +126,28 @@ class SketchesSpec extends SparkSpec {
     assert(math.abs(r._2) / r._1 < 0.1, s"intersect ${r._2} vs union ${r._1}")
   }
 
+  test("heavyHitters returns exact counts and survives forced collisions") {
+    val s = spark
+    import s.implicits._
+    // freq(k) = k for k = 1..40; w=8 forces heavy collisions
+    val rows = (1L to 40L).flatMap(k => Seq.fill(k.toInt)(k)).toDF("k")
+    val got = Sketches.heavyHitters(rows, "k", d = 3, w = 8, minCount = 30L)
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    // exact, no false positives/negatives: exactly keys 30..40, true counts
+    assert(got.map(r => r._1 -> r._3).toMap === (30L to 40L).map(k => k -> k).toMap)
+    // screen estimates are admissible upper bounds
+    assert(got.forall(r => r._2 >= r._3))
+  }
+
+  test("heavyHitters with a roomy sketch reports est == exact") {
+    val s = spark
+    import s.implicits._
+    val rows = (1L to 20L).flatMap(k => Seq.fill(if (k <= 2) 50 else 1)(k)).toDF("k")
+    val got = Sketches.heavyHitters(rows, "k", d = 4, w = 1024, minCount = 10L)
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got === Seq((1L, 50L, 50L), (2L, 50L, 50L)))
+  }
+
   test("cms state is bounded by d·w cells") {
     val s = spark
     import s.implicits._
