@@ -408,5 +408,54 @@ object IngestQueries {
           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
           max(epoch_us(CAST(ts AS TIMESTAMP))) AS last_us
         FROM events GROUP BY 1"""))
+    ,
+
+    // CSV sink + source round trip (completing the sink family:
+    // parquet / ORC q148 / JSONL q156 / CSV): documents plus a
+    // deliberately hostile derived column (embedded comma, quote, and
+    // NEWLINE) → CSV files with RFC-style doubled-quote escaping →
+    // multiLine schema'd read back → per-language digest aggregate
+    // hash-checked against the parquet-direct oracle. Quoting,
+    // escaping, record-spanning rows, and integer fidelity through the
+    // text format are what's exercised; a null sentinel keeps empty
+    // strings distinct from nulls both ways.
+    QuerySpec("q163_csv_roundtrip",
+      (s, dir) => {
+        val base = java.nio.file.Files.createTempDirectory("graft_q163_").toString
+        s.read.parquet(s"$dir/documents.parquet")
+          .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
+          .withColumn("gnarly", concat(col("lang"), lit(",\"q\"\n|"), col("source")))
+          .write.mode("overwrite")
+          .option("header", "true").option("escape", "\"")
+          .option("nullValue", "__NULL__")
+          .csv(s"$base/docs_csv")
+        val schema = org.apache.spark.sql.types.StructType.fromDDL(
+          "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT, gnarly STRING")
+        val back = s.read.schema(schema)
+          .option("header", "true").option("multiLine", "true").option("escape", "\"")
+          .option("nullValue", "__NULL__")
+          .csv(s"$base/docs_csv")
+        val out = back.groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("sum_chars"),
+            md5(concat_ws("|", sort_array(collect_list(concat_ws(":",
+              col("doc_id"), md5(col("text")), md5(col("gnarly"))))))).as("docs_digest"))
+        val snap = out.localCheckpoint(true)
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+        }
+        rm(new java.io.File(base))
+        snap
+      },
+      Some("""
+        WITH g AS (
+          SELECT doc_id, text, lang, n_chars,
+            lang || ',"q"' || chr(10) || '|' || source AS gnarly
+          FROM documents)
+        SELECT lang, count(*) AS n_docs,
+          CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+          md5(string_agg(CAST(doc_id AS VARCHAR) || ':' || md5(text) || ':' || md5(gnarly), '|'
+            ORDER BY CAST(doc_id AS VARCHAR) || ':' || md5(text) || ':' || md5(gnarly))) AS docs_digest
+        FROM g GROUP BY 1"""))
   )
 }
