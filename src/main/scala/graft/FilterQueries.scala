@@ -4,7 +4,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFns
-import graft.operators.{ContentFilter, Curriculum, CorpusText, Dedup, Graph, SimilaritySearch}
+import graft.operators.{ContentFilter, Curriculum, CorpusText, Dedup, Graph, Pii, SimilaritySearch}
 
 /** Round-5 batch 3: the content-gate + corpus-ordering surface — the
   * Gopher/MassiveText quality-rule battery, intra-document repetition
@@ -410,6 +410,67 @@ object FilterQueries {
           FROM documents WHERE doc_id % 97 = 0),
         $rounds
         SELECT id AS doc_id, d AS hops FROM bd4"""
+      }),
+
+    // PII scrubbing: each doc embeds in a synthesized page carrying
+    // emails, a credit card, IPs, and a phone number (declaratively —
+    // both engines build the identical page), then the four RE2-safe
+    // category patterns count and redact in fixed order; per-category
+    // counts plus the md5 of the fully redacted text pin every match
+    // boundary and replacement.
+    QuerySpec("q164_pii_scrub",
+      (s, dir) => {
+        val page = Tables.documents(s, dir).withColumn("page",
+          concat(
+            col("text"),
+            lit(" contact "), col("lang"), col("doc_id").cast("string"),
+            lit("@mail.example.com"),
+            when(col("doc_id") % 3 === 0, lit(" also bob@ex.org")).otherwise(lit("")),
+            lit(" ip "), (col("doc_id") % 256).cast("string"), lit(".0.113."),
+            (col("doc_id") % 200).cast("string"),
+            when(col("doc_id") % 4 === 1, lit(" 10.0.0.1")).otherwise(lit("")),
+            lit(" card 4111 1111 1111 "),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+            lit(" tel +1 (555) 010-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+        Pii.scrub(page, "page")
+          .select(col("doc_id"), col("n_email"), col("n_card"), col("n_ip"),
+            col("n_phone"), md5(col("clean")).as("clean_md5"))
+      },
+      Some {
+        val steps = Seq(
+          (Pii.EMAIL, "<EMAIL>", "n_email"), (Pii.CARD, "<CARD>", "n_card"),
+          (Pii.IP, "<IP>", "n_ip"), (Pii.PHONE, "<PHONE>", "n_phone"))
+        val chain = steps.zipWithIndex.map { case ((re, tok, cnt), i) =>
+          val prev = if (i == 0) "pg" else s"t$i"
+          val tcol = if (i == 0) "page" else "t"
+          val carried = steps.take(i).map(_._3) match {
+            case Nil => ""; case cs => cs.mkString("", ", ", ",")
+          }
+          s"""
+        t${i + 1} AS (
+          SELECT doc_id, $carried
+            CAST(len(regexp_extract_all($tcol, '$re')) AS INTEGER) AS $cnt,
+            regexp_replace($tcol, '$re', '$tok', 'g') AS t
+          FROM $prev)"""
+        }.mkString(",")
+        s"""
+        WITH pg AS (
+          SELECT doc_id,
+            text || ' contact ' || lang || CAST(doc_id AS VARCHAR)
+              || '@mail.example.com'
+              || CASE WHEN doc_id % 3 = 0 THEN ' also bob@ex.org' ELSE '' END
+              || ' ip ' || CAST(doc_id % 256 AS VARCHAR) || '.0.113.'
+              || CAST(doc_id % 200 AS VARCHAR)
+              || CASE WHEN doc_id % 4 = 1 THEN ' 10.0.0.1' ELSE '' END
+              || ' card 4111 1111 1111 '
+              || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+              || ' tel +1 (555) 010-'
+              || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS page
+          FROM documents),
+        $chain
+        SELECT doc_id, n_email, n_card, n_ip, n_phone, md5(t) AS clean_md5
+        FROM t4"""
       })
   )
 }
