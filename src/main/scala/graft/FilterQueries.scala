@@ -471,6 +471,42 @@ object FilterQueries {
         $chain
         SELECT doc_id, n_email, n_card, n_ip, n_phone, md5(t) AS clean_md5
         FROM t4"""
-      })
+      }),
+
+    // Intra-document line dedup (CCNet's within-page half — q105's
+    // segment dedup drops corpus-frequent lines; this drops repeats
+    // INSIDE one document, keeping first occurrences in order): docs
+    // re-lined into 4-word lines (small vocabulary → real intra-doc
+    // repeats), reconstruction digest pins order and content.
+    QuerySpec("q165_intradoc_line_dedup",
+      (s, dir) => {
+        val paged = Tables.documents(s, dir)
+          .withColumn("w", TextFns.tokens(col("text")))
+          .withColumn("page", array_join(
+            transform(sequence(lit(0), expr("((size(w) + 3) div 4) - 1")),
+              i => array_join(slice(col("w"), i * lit(4) + 1, lit(4)), " ")), "\n"))
+        CorpusText.dedupLinesWithinDoc(paged.select("doc_id", "page"), "doc_id", "page")
+          .select(col("doc_id"), col("n_lines"), col("n_kept"),
+            md5(col("clean")).as("clean_md5"))
+      },
+      Some(s"""
+        WITH $WORDS_SQL,
+        pg AS (
+          SELECT doc_id, array_to_string(list_transform(range(0, (len(w)+3)//4),
+            i -> array_to_string(w[i*4+1:i*4+4], ' ')), chr(10)) AS page
+          FROM words),
+        ln AS (
+          SELECT doc_id, i AS pos, l[CAST(i + 1 AS INTEGER)] AS line
+          FROM (SELECT doc_id, string_split(page, chr(10)) AS l FROM pg),
+            UNNEST(range(0, len(l))) AS t(i)),
+        k AS (
+          SELECT doc_id, pos, line,
+            min(pos) OVER (PARTITION BY doc_id, line) AS minp
+          FROM ln)
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines,
+          CAST(sum(CASE WHEN pos = minp THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+          md5(string_agg(CASE WHEN pos = minp THEN line END, chr(10)
+            ORDER BY pos)) AS clean_md5
+        FROM k GROUP BY 1"""))
   )
 }

@@ -437,4 +437,30 @@ object CorpusText {
       .orderBy(col("score_u").desc, col(idCol))
       .limit(k)
   }
+
+  /** INTRA-DOCUMENT line dedup (the other half of CCNet's line-level
+    * cleaning — [[segmentDedup]] drops lines frequent ACROSS the
+    * corpus; this drops REPEATS of a line WITHIN one document, keeping
+    * the first occurrence and reconstructing the text in original
+    * order): per doc, (id, n_lines, n_kept, clean).
+    *
+    * 100 TB shape: one shuffle on the doc id (lines of a doc
+    * co-locate), one window + one aggregate inside it; the collect_list
+    * is per-DOCUMENT (bounded by a doc's own line count — the natural
+    * unit), never corpus-scale. No cross-document state at all, so the
+    * operator parallelizes per-doc embarrassingly.
+    */
+  def dedupLinesWithinDoc(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("id"), col("line"))
+    docs.select(col(idCol).as("id"),
+        posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+      .withColumn("minp", min(col("pos")).over(w))
+      .groupBy(col("id").as(idCol))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("pos") === col("minp"), 1L).otherwise(0L)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(
+            when(col("pos") === col("minp"), struct(col("pos"), col("line"))))),
+          p => p("line")), "\n").as("clean"))
+  }
 }

@@ -164,4 +164,26 @@ class CorpusTextSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       CorpusText.dropDuplicatedSpans(docs, "doc_id", "text", 20, 1))
   }
+
+  test("dedupLinesWithinDoc keeps first occurrences in original order") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "nav\nreal content\nnav\nmore text\nreal content\nnav"),
+      (2L, "only\nunique\nlines")).toDF("id", "t")
+    val got = CorpusText.dedupLinesWithinDoc(docs, "id", "t")
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1).toSeq
+    assert(got === Seq(
+      (1L, 6L, 3L, "nav\nreal content\nmore text"),
+      (2L, 3L, 3L, "only\nunique\nlines")))
+  }
+
+  test("dedupLinesWithinDoc is per-document: same line in two docs survives in both") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((1L, "shared\nx"), (2L, "shared\ny")).toDF("id", "t")
+    val got = CorpusText.dedupLinesWithinDoc(docs, "id", "t")
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1).toSeq
+    assert(got.map(_._4) === Seq("shared\nx", "shared\ny"))
+  }
 }
