@@ -180,4 +180,30 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("FullOuter") || p.contains("full_outer"), s"fusion must be full outer:\n$p")
     assert(p.contains("TakeOrderedAndProject"), s"BM25 side must stay TakeOrdered:\n$p")
   }
+
+  test("q164: PII scrubbing is row-local — no Exchange, no Generate") {
+    val p = plan("q164_pii_scrub")
+    assert(!p.contains("Exchange"), s"PII scrub must be one pass over the scan:\n$p")
+    assert(!p.contains("Generate"), s"PII scrub must not explode:\n$p")
+  }
+
+  test("q158: classifier model joins broadcast — the corpus never shuffles for the model") {
+    val p = plan("q158_hashed_classifier")
+    assert(p.contains("BroadcastHashJoin"), s"model join must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"no sort-merge path for the model join:\n$p")
+  }
+
+  test("q162: heavy-hitter screen is broadcast lookups before the exact aggregate") {
+    val p = plan("q162_heavy_hitters")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 4,
+      s"all d sketch-row lookups must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"screen must not shuffle the fact side:\n$p")
+  }
+
+  test("q161: snapshot diff is ONE co-partitioned join — both sides share the key exchange") {
+    val p = plan("q161_snapshot_diff")
+    assert("(?m)SortMergeJoin|ShuffledHashJoin".r.findAllIn(p).size == 1,
+      s"diff must be exactly one shuffle join:\n$p")
+    assert(p.contains("FullOuter"), s"diff join must be full outer:\n$p")
+  }
 }
