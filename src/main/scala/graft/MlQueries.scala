@@ -152,6 +152,87 @@ object MlQueries {
         SELECT qid, nid, CAST(d2 AS BIGINT) AS d2, CAST(rn AS INTEGER) AS rank
         FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY d2, nid) AS rn
               FROM d)
-        WHERE rn <= 5"""))
+        WHERE rn <= 5""")),
+
+    // Content-defined chunking (Gear/FastCDC family): rolling-hash
+    // boundaries over the byte stream (h = 2h + gear[b] mod 2^30; cut on
+    // the HIGH bits, h < 2^24, the FastCDC rule → ~64-byte chunks). The mod-2^30 self-windowing
+    // makes h a 30-term windowed sum, so the oracle replays the
+    // recurrence with NO sequential scan. Executor-side loop at the
+    // opaque-byte boundary; chunk hashing composes declaratively.
+    QuerySpec("q166_cdc_chunks",
+      (s, dir) => operators.Chunking.cdcChunks(
+        Tables.documents(s, dir), "doc_id", "text", maskBits = 6)
+        .select(col("doc_id"), col("chunk_idx"), col("start"), col("len"),
+          md5(col("chunk")).as("chunk_md5")),
+      Some(CDC_SQL + """
+        SELECT doc_id, chunk_idx, start, len, md5(chunk) AS chunk_md5
+        FROM chunks""")),
+
+    // Chunk-store dedup ratio — what CDC exists FOR: content-defined
+    // chunks dedup by content hash across the whole corpus; unique
+    // bytes vs total bytes is the storage saving an edit-robust
+    // chunk store achieves. One corpus pass + chunk-hash aggregates.
+    QuerySpec("q167_cdc_dedup_ratio",
+      (s, dir) => {
+        val ch = operators.Chunking.cdcChunks(
+          Tables.documents(s, dir), "doc_id", "text", maskBits = 6)
+          .withColumn("h", md5(col("chunk")))
+        val uniq = ch.groupBy("h").agg(min(col("len")).as("l"))
+          .agg(sum(col("l")).as("unique_bytes"))
+        ch.agg(count(lit(1)).as("n_chunks"),
+            countDistinct(col("h")).as("n_unique"),
+            sum(col("len")).as("total_bytes"))
+          .crossJoin(broadcast(uniq))
+      },
+      Some(CDC_SQL + """
+        SELECT CAST(count(*) AS BIGINT) AS n_chunks,
+          CAST(count(DISTINCT md5(chunk)) AS BIGINT) AS n_unique,
+          CAST(sum(len) AS BIGINT) AS total_bytes,
+          (SELECT CAST(sum(l) AS BIGINT) FROM (
+            SELECT min(len) AS l FROM chunks GROUP BY md5(chunk))) AS unique_bytes
+        FROM chunks"""))
   )
+
+  /** DuckDB replay of [[operators.Chunking.cdcChunks]] at maskBits=6:
+    * gear values from md5, the rolling hash as its exact 30-term
+    * windowed closed form (2^k ≡ 0 mod 2^30 for k ≥ 30), boundary
+    * positions, and chunk reconstruction — ends in `chunks(doc_id,
+    * chunk_idx, start, len, chunk)`.
+    */
+  private lazy val CDC_SQL = """
+        WITH b AS (
+          SELECT doc_id, i AS pos,
+            ord(substr(text, CAST(i + 1 AS INTEGER), 1)) AS byte
+          FROM documents, UNNEST(range(0, length(text))) AS t(i)),
+        g AS (
+          SELECT doc_id, pos,
+            CAST(concat('0x', substr(md5('gear:' || CAST(byte AS VARCHAR)), 1, 15))
+              AS BIGINT) % 1073741824 AS gv
+          FROM b),
+        l AS (SELECT doc_id, list(gv ORDER BY pos) AS gl FROM g GROUP BY 1),
+        h AS (
+          SELECT doc_id, i AS pos,
+            CAST(list_sum(list_transform(range(0, 30), k ->
+              CASE WHEN i - k >= 0
+                THEN (gl[CAST(i - k + 1 AS INTEGER)]
+                      * (CAST(1 AS BIGINT) << CAST(k AS INTEGER))) % 1073741824
+                ELSE 0 END)) % 1073741824 AS BIGINT) AS h
+          FROM l, UNNEST(range(0, len(gl))) AS t(i)),
+        cuts AS (SELECT doc_id, pos + 1 AS e FROM h WHERE h < 16777216),
+        ends AS (
+          SELECT DISTINCT doc_id, e FROM (
+            SELECT doc_id, e FROM cuts
+            UNION ALL
+            SELECT doc_id, length(text) AS e FROM documents
+            WHERE length(text) > 0) x),
+        ch AS (
+          SELECT doc_id, e,
+            CAST(row_number() OVER (PARTITION BY doc_id ORDER BY e) - 1 AS BIGINT) AS chunk_idx,
+            CAST(COALESCE(lag(e) OVER (PARTITION BY doc_id ORDER BY e), 0) AS BIGINT) AS start
+          FROM ends),
+        chunks AS (
+          SELECT c.doc_id, c.chunk_idx, c.start, CAST(c.e - c.start AS BIGINT) AS len,
+            substr(d.text, CAST(c.start + 1 AS INTEGER), CAST(c.e - c.start AS INTEGER)) AS chunk
+          FROM ch c JOIN documents d USING (doc_id))"""
 }
