@@ -214,12 +214,18 @@ object Sketches {
     def est(df: DataFrame, p: String): DataFrame =
       hllEstimate(df, bits).select(
         col("m_used").as(s"m_$p"), col("est_distinct").as(s"est_$p"))
-    val sa = hllState(a, keyCol, bits)
-    val sb = hllState(b, keyCol, bits)
-    est(sa, "a")
-      .crossJoin(broadcast(est(sb, "b")))
-      .crossJoin(broadcast(est(hllMerge(Seq(sa, sb)), "union")))
-      .withColumn("est_intersect",
-        col("est_a") + col("est_b") - col("est_union"))
+    // each state feeds BOTH its own estimate and the merge — staged so
+    // every corpus is scanned exactly once (each state is ≤ 2^b rows)
+    val sa = Staging.stage(hllState(a, keyCol, bits), "hll_a")
+    val sb = Staging.stage(hllState(b, keyCol, bits), "hll_b")
+    val out = Staging.stage(
+      est(sa.df, "a")
+        .crossJoin(broadcast(est(sb.df, "b")))
+        .crossJoin(broadcast(est(hllMerge(Seq(sa.df, sb.df)), "union")))
+        .withColumn("est_intersect",
+          col("est_a") + col("est_b") - col("est_union")),
+      "hll_out")
+    Seq(sa, sb).foreach(_.delete())
+    out.df
   }
 }
