@@ -4,7 +4,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFns
-import graft.operators.{ContentFilter, Curriculum, CorpusText, Dedup, Graph, Pii, SimilaritySearch}
+import graft.operators.{Chunking, Classifier, ContentFilter, Curriculum, CorpusText, Dedup, Graph, Pii, SimilaritySearch, Staging}
 
 /** Round-5 batch 3: the content-gate + corpus-ordering surface — the
   * Gopher/MassiveText quality-rule battery, intra-document repetition
@@ -45,6 +45,26 @@ object FilterQueries {
             when((col("doc_id") + i) % 5 === 0, lit(" ...")).otherwise(lit("")),
             when((col("doc_id") + i) % 7 === 0, lit(" #")).otherwise(lit("")))),
         "\n"))
+
+  /** DuckDB replay of [[Pii.scrub]]: consumes `src(doc_id, textCol)`,
+    * emits CTEs t1..t4 where t4 carries n_email/n_card/n_ip/n_phone and
+    * `t` = the fully redacted text. Generated from [[Pii.STEPS]] so the
+    * oracle and the engine share the literal patterns and order.
+    */
+  private def piiChainSql(src: String, textCol: String): String =
+    Pii.STEPS.zipWithIndex.map { case ((re, tok, cnt), i) =>
+      val prev = if (i == 0) src else s"t$i"
+      val tcol = if (i == 0) textCol else "t"
+      val carried = Pii.STEPS.take(i).map(_._3) match {
+        case Nil => ""; case cs => cs.mkString("", ", ", ",")
+      }
+      s"""
+        t${i + 1} AS (
+          SELECT doc_id, $carried
+            CAST(len(regexp_extract_all($tcol, '$re')) AS INTEGER) AS $cnt,
+            regexp_replace($tcol, '$re', '$tok', 'g') AS t
+          FROM $prev)"""
+    }.mkString(",")
 
   private val BLOCKLIST: Seq[(String, Long)] =
     Seq("slow" -> 1L, "dup" -> 2L, "slow merge" -> 4L, "customer data" -> 8L)
@@ -438,22 +458,6 @@ object FilterQueries {
             col("n_phone"), md5(col("clean")).as("clean_md5"))
       },
       Some {
-        val steps = Seq(
-          (Pii.EMAIL, "<EMAIL>", "n_email"), (Pii.CARD, "<CARD>", "n_card"),
-          (Pii.IP, "<IP>", "n_ip"), (Pii.PHONE, "<PHONE>", "n_phone"))
-        val chain = steps.zipWithIndex.map { case ((re, tok, cnt), i) =>
-          val prev = if (i == 0) "pg" else s"t$i"
-          val tcol = if (i == 0) "page" else "t"
-          val carried = steps.take(i).map(_._3) match {
-            case Nil => ""; case cs => cs.mkString("", ", ", ",")
-          }
-          s"""
-        t${i + 1} AS (
-          SELECT doc_id, $carried
-            CAST(len(regexp_extract_all($tcol, '$re')) AS INTEGER) AS $cnt,
-            regexp_replace($tcol, '$re', '$tok', 'g') AS t
-          FROM $prev)"""
-        }.mkString(",")
         s"""
         WITH pg AS (
           SELECT doc_id,
@@ -468,7 +472,7 @@ object FilterQueries {
               || ' tel +1 (555) 010-'
               || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS page
           FROM documents),
-        $chain
+        ${piiChainSql("pg", "page")}
         SELECT doc_id, n_email, n_card, n_ip, n_phone, md5(t) AS clean_md5
         FROM t4"""
       }),
@@ -507,6 +511,110 @@ object FilterQueries {
           CAST(sum(CASE WHEN pos = minp THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
           md5(string_agg(CASE WHEN pos = minp THEN line END, chr(10)
             ORDER BY pos)) AS clean_md5
-        FROM k GROUP BY 1"""))
+        FROM k GROUP BY 1""")),
+
+    // COMPLIANCE + STORAGE capstone (the q114/q146 pattern over this
+    // batch's operators): synthesized pages with nav boilerplate + a
+    // PII contact line → Pii scrub → intra-doc line dedup (drops the
+    // repeated nav) → hashed-classifier gate (keep pred_cls ≠ 3) →
+    // CDC chunk-store dedup ratio over the surviving CLEAN corpus.
+    // One dataflow; the composition itself is what hash-matches.
+    QuerySpec("q168_compliance_capstone",
+      (s, dir) => {
+        val nav = "home about contact news"
+        val docs = Tables.documents(s, dir)
+        val paged = docs
+          .withColumn("w", TextFns.tokens(col("text")))
+          .withColumn("body", array_join(
+            transform(sequence(lit(0), expr("((size(w) + 3) div 4) - 1")),
+              i => array_join(slice(col("w"), i * lit(4) + 1, lit(4)), " ")), "\n"))
+          .withColumn("page", concat(
+            lit(nav), lit("\n"), col("body"), lit("\n"), lit(nav), lit("\n"),
+            lit("reach us "), col("lang"), col("doc_id").cast("string"),
+            lit("@mail.example.com tel +1 (555) 010-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+        val scrubbed = Staging.stage(
+          Pii.scrub(paged.select(col("doc_id"), col("page")), "page"), "cap_scrub")
+        val deduped = Staging.stage(
+          CorpusText.dedupLinesWithinDoc(
+            scrubbed.df.select(col("doc_id"), col("clean")), "doc_id", "clean"),
+          "cap_dedup")
+        val pred = Classifier.predict(deduped.df, "doc_id", "clean",
+          Classifier.syntheticModel(s, 4096, 4), 4096)
+        val surv = Staging.stage(
+          deduped.df.join(pred.filter(col("pred_cls") =!= 3).select("doc_id"),
+            Seq("doc_id")).select("doc_id", "clean"),
+          "cap_surv")
+        val chunks = Staging.stage(
+          Chunking.cdcChunks(surv.df, "doc_id", "clean", maskBits = 6)
+            .withColumn("h", md5(col("chunk"))),
+          "cap_chunks")
+        val out = Staging.stage(
+          docs.agg(count(lit(1)).as("n_docs"))
+            .crossJoin(broadcast(scrubbed.df.agg(
+              sum(col("n_email") + col("n_card") + col("n_ip") + col("n_phone"))
+                .as("n_pii"))))
+            .crossJoin(broadcast(deduped.df.agg(
+              sum(col("n_lines")).as("lines_total"), sum(col("n_kept")).as("lines_kept"))))
+            .crossJoin(broadcast(surv.df.agg(count(lit(1)).as("docs_kept"))))
+            .crossJoin(broadcast(chunks.df.agg(count(lit(1)).as("n_chunks"),
+              countDistinct(col("h")).as("n_unique"), sum(col("len")).as("total_bytes"))))
+            .crossJoin(broadcast(chunks.df.groupBy("h").agg(min(col("len")).as("l"))
+              .agg(sum(col("l")).as("unique_bytes")))),
+          "cap_out")
+        Seq(scrubbed, deduped, surv, chunks).foreach(_.delete())
+        out.df
+      },
+      Some(s"""
+        WITH $WORDS_SQL,
+        pg0 AS (
+          SELECT doc_id, lang, array_to_string(list_transform(range(0, (len(w)+3)//4),
+            i -> array_to_string(w[i*4+1:i*4+4], ' ')), chr(10)) AS body
+          FROM words),
+        pg AS (
+          SELECT doc_id,
+            'home about contact news' || chr(10) || body || chr(10)
+              || 'home about contact news' || chr(10)
+              || 'reach us ' || lang || CAST(doc_id AS VARCHAR)
+              || '@mail.example.com tel +1 (555) 010-'
+              || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS page
+          FROM pg0),
+        ${piiChainSql("pg", "page")},
+        cln AS (
+          SELECT doc_id, i AS pos, ll[CAST(i + 1 AS INTEGER)] AS line
+          FROM (SELECT doc_id, string_split(t, chr(10)) AS ll FROM t4),
+            UNNEST(range(0, len(ll))) AS u(i)),
+        kk AS (
+          SELECT doc_id, pos, line,
+            min(pos) OVER (PARTITION BY doc_id, line) AS minp
+          FROM cln),
+        dd AS (
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines,
+            CAST(sum(CASE WHEN pos = minp THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+            string_agg(CASE WHEN pos = minp THEN line END, chr(10)
+              ORDER BY pos) AS clean
+          FROM kk GROUP BY 1),
+        cw AS (
+          SELECT doc_id,
+            list_filter(regexp_split_to_array(lower(trim(clean)), '\\s+'),
+              x -> len(x) > 0) AS w
+          FROM dd),
+        ${MlQueries.classifierSql("cw")},
+        surv AS (
+          SELECT dd.doc_id, dd.clean FROM dd
+          JOIN (SELECT doc_id, cls FROM r WHERE rn = 1) p USING (doc_id)
+          WHERE p.cls <> 3),
+        ${MlQueries.cdcSql("surv", "clean")}
+        SELECT
+          (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_docs,
+          (SELECT CAST(sum(n_email + n_card + n_ip + n_phone) AS BIGINT) FROM t4) AS n_pii,
+          (SELECT CAST(sum(n_lines) AS BIGINT) FROM dd) AS lines_total,
+          (SELECT CAST(sum(n_kept) AS BIGINT) FROM dd) AS lines_kept,
+          (SELECT CAST(count(*) AS BIGINT) FROM surv) AS docs_kept,
+          (SELECT CAST(count(*) AS BIGINT) FROM chunks) AS n_chunks,
+          (SELECT CAST(count(DISTINCT md5(chunk)) AS BIGINT) FROM chunks) AS n_unique,
+          (SELECT CAST(sum(len) AS BIGINT) FROM chunks) AS total_bytes,
+          (SELECT CAST(sum(l2) AS BIGINT) FROM (
+            SELECT min(len) AS l2 FROM chunks GROUP BY md5(chunk)) x) AS unique_bytes"""))
   )
 }

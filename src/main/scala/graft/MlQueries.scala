@@ -27,29 +27,7 @@ object MlQueries {
         buckets = 4096),
       Some(s"""
         WITH $WORDS_SQL,
-        uni AS (SELECT doc_id, UNNEST(w) AS f FROM words),
-        bi AS (
-          SELECT doc_id,
-            w[CAST(i AS INTEGER)] || '_' || w[CAST(i + 1 AS INTEGER)] AS f
-          FROM words, UNNEST(range(1, len(w))) AS t(i)),
-        feats AS (SELECT doc_id, f FROM uni UNION ALL SELECT doc_id, f FROM bi),
-        fb AS (
-          SELECT doc_id,
-            CAST(concat('0x', substr(md5(f), 1, 15)) AS BIGINT) % 4096 AS bucket,
-            count(*) AS cnt
-          FROM feats GROUP BY 1, 2),
-        model AS (
-          SELECT CAST(b.range AS BIGINT) AS bucket, CAST(c.range AS BIGINT) AS cls,
-            CAST(concat('0x', substr(md5(CAST(b.range AS VARCHAR) || ':'
-              || CAST(c.range AS VARCHAR)), 1, 15)) AS BIGINT) % 2001 - 1000 AS w
-          FROM range(0, 4096) b, range(0, 4) c),
-        sc AS (
-          SELECT doc_id, cls, CAST(sum(cnt * w) AS BIGINT) AS score
-          FROM fb JOIN model USING (bucket) GROUP BY 1, 2),
-        r AS (
-          SELECT doc_id, cls, score,
-            row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, cls) AS rn
-          FROM sc)
+        ${classifierSql("words")}
         SELECT a.doc_id, a.cls AS pred_cls, a.score AS best_score,
           a.score - b.score AS margin
         FROM r a JOIN r b ON a.doc_id = b.doc_id AND a.rn = 1 AND b.rn = 2""")),
@@ -165,7 +143,7 @@ object MlQueries {
         Tables.documents(s, dir), "doc_id", "text", maskBits = 6)
         .select(col("doc_id"), col("chunk_idx"), col("start"), col("len"),
           md5(col("chunk")).as("chunk_md5")),
-      Some(CDC_SQL + """
+      Some("WITH " + cdcSql("documents", "text") + """
         SELECT doc_id, chunk_idx, start, len, md5(chunk) AS chunk_md5
         FROM chunks""")),
 
@@ -185,7 +163,7 @@ object MlQueries {
             sum(col("len")).as("total_bytes"))
           .crossJoin(broadcast(uniq))
       },
-      Some(CDC_SQL + """
+      Some("WITH " + cdcSql("documents", "text") + """
         SELECT CAST(count(*) AS BIGINT) AS n_chunks,
           CAST(count(DISTINCT md5(chunk)) AS BIGINT) AS n_unique,
           CAST(sum(len) AS BIGINT) AS total_bytes,
@@ -194,17 +172,49 @@ object MlQueries {
         FROM chunks"""))
   )
 
+
+  /** DuckDB replay of [[Classifier.predict]] at B=4096, C=4: consumes a
+    * CTE `src(doc_id, w)` (lowercased word array), emits uni/bi/feats/
+    * fb/model/sc/r where `r` carries (doc_id, cls, score, rn) ranked by
+    * (score desc, cls) — rn = 1 is the prediction. No leading WITH.
+    */
+  private[graft] def classifierSql(src: String): String = s"""
+        uni AS (SELECT doc_id, UNNEST(w) AS f FROM $src),
+        bi AS (
+          SELECT doc_id,
+            w[CAST(i AS INTEGER)] || '_' || w[CAST(i + 1 AS INTEGER)] AS f
+          FROM $src, UNNEST(range(1, len(w))) AS t(i)),
+        feats AS (SELECT doc_id, f FROM uni UNION ALL SELECT doc_id, f FROM bi),
+        fb AS (
+          SELECT doc_id,
+            CAST(concat('0x', substr(md5(f), 1, 15)) AS BIGINT) % 4096 AS bucket,
+            count(*) AS cnt
+          FROM feats GROUP BY 1, 2),
+        model AS (
+          SELECT CAST(b.range AS BIGINT) AS bucket, CAST(c.range AS BIGINT) AS cls,
+            CAST(concat('0x', substr(md5(CAST(b.range AS VARCHAR) || ':'
+              || CAST(c.range AS VARCHAR)), 1, 15)) AS BIGINT) % 2001 - 1000 AS w
+          FROM range(0, 4096) b, range(0, 4) c),
+        sc AS (
+          SELECT doc_id, cls, CAST(sum(cnt * w) AS BIGINT) AS score
+          FROM fb JOIN model USING (bucket) GROUP BY 1, 2),
+        r AS (
+          SELECT doc_id, cls, score,
+            row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, cls) AS rn
+          FROM sc)"""
+
   /** DuckDB replay of [[operators.Chunking.cdcChunks]] at maskBits=6:
     * gear values from md5, the rolling hash as its exact 30-term
     * windowed closed form (2^k ≡ 0 mod 2^30 for k ≥ 30), boundary
-    * positions, and chunk reconstruction — ends in `chunks(doc_id,
-    * chunk_idx, start, len, chunk)`.
+    * positions, and chunk reconstruction — CTEs ending in
+    * `chunks(doc_id, chunk_idx, start, len, chunk)`, parameterized on
+    * the source CTE/table and text column (no leading WITH).
     */
-  private lazy val CDC_SQL = """
-        WITH b AS (
+  private[graft] def cdcSql(src: String, textCol: String): String = s"""
+        b AS (
           SELECT doc_id, i AS pos,
-            ord(substr(text, CAST(i + 1 AS INTEGER), 1)) AS byte
-          FROM documents, UNNEST(range(0, length(text))) AS t(i)),
+            ord(substr($textCol, CAST(i + 1 AS INTEGER), 1)) AS byte
+          FROM $src, UNNEST(range(0, length($textCol))) AS t(i)),
         g AS (
           SELECT doc_id, pos,
             CAST(concat('0x', substr(md5('gear:' || CAST(byte AS VARCHAR)), 1, 15))
@@ -224,8 +234,8 @@ object MlQueries {
           SELECT DISTINCT doc_id, e FROM (
             SELECT doc_id, e FROM cuts
             UNION ALL
-            SELECT doc_id, length(text) AS e FROM documents
-            WHERE length(text) > 0) x),
+            SELECT doc_id, length($textCol) AS e FROM $src
+            WHERE length($textCol) > 0) x),
         ch AS (
           SELECT doc_id, e,
             CAST(row_number() OVER (PARTITION BY doc_id ORDER BY e) - 1 AS BIGINT) AS chunk_idx,
@@ -233,6 +243,6 @@ object MlQueries {
           FROM ends),
         chunks AS (
           SELECT c.doc_id, c.chunk_idx, c.start, CAST(c.e - c.start AS BIGINT) AS len,
-            substr(d.text, CAST(c.start + 1 AS INTEGER), CAST(c.e - c.start AS INTEGER)) AS chunk
-          FROM ch c JOIN documents d USING (doc_id))"""
+            substr(d.$textCol, CAST(c.start + 1 AS INTEGER), CAST(c.e - c.start AS INTEGER)) AS chunk
+          FROM ch c JOIN $src d USING (doc_id))"""
 }
