@@ -546,7 +546,7 @@ object FilterQueries {
             Seq("doc_id")).select("doc_id", "clean"),
           "cap_surv")
         val chunks = Staging.stage(
-          Chunking.cdcChunks(surv.df, "doc_id", "clean", maskBits = 6)
+          Chunking.cdcChunksCodegen(surv.df, "doc_id", "clean", maskBits = 6)
             .withColumn("h", md5(col("chunk"))),
           "cap_chunks")
         val out = Staging.stage(

@@ -139,7 +139,7 @@ object MlQueries {
     // recurrence with NO sequential scan. Executor-side loop at the
     // opaque-byte boundary; chunk hashing composes declaratively.
     QuerySpec("q166_cdc_chunks",
-      (s, dir) => operators.Chunking.cdcChunks(
+      (s, dir) => operators.Chunking.cdcChunksCodegen(
         Tables.documents(s, dir), "doc_id", "text", maskBits = 6)
         .select(col("doc_id"), col("chunk_idx"), col("start"), col("len"),
           md5(col("chunk")).as("chunk_md5")),
@@ -153,7 +153,7 @@ object MlQueries {
     // chunk store achieves. One corpus pass + chunk-hash aggregates.
     QuerySpec("q167_cdc_dedup_ratio",
       (s, dir) => {
-        val ch = operators.Chunking.cdcChunks(
+        val ch = operators.Chunking.cdcChunksCodegen(
           Tables.documents(s, dir), "doc_id", "text", maskBits = 6)
           .withColumn("h", md5(col("chunk")))
         val uniq = ch.groupBy("h").agg(min(col("len")).as("l"))

@@ -118,4 +118,33 @@ object Chunking {
       }
     }.toDF(idCol, "chunk_idx", "start", "len", "chunk")
   }
+
+  /** [[cdcChunks]] as a FULLY DECLARATIVE pipeline: the boundary scan is
+    * the codegen'd [[graft.expr.GearCuts]] expression (one native loop
+    * inside whole-stage codegen), starts derive row-locally from the
+    * cut array (no window, no shuffle), and chunks slice with
+    * `substring` — so the whole operator never crosses the typed
+    * mapPartitions boundary (no per-row deserialize/re-serialize).
+    *
+    * Identical output to [[cdcChunks]] for ASCII payloads (`CdcSpec`
+    * proves equality on the corpus); for non-ASCII UTF-8 the byte-
+    * offset contract needs the mapPartitions variant (`substring`
+    * counts characters, not bytes) — that asymmetry is the only reason
+    * both exist.
+    */
+  def cdcChunksCodegen(docs: DataFrame, idCol: String, textCol: String,
+                       maskBits: Int): DataFrame = {
+    require(maskBits >= 2 && maskBits <= 20,
+      s"maskBits must be in [2,20], got $maskBits")
+    val pairs = transform(col("__cuts"), (e, i) => struct(
+      i.cast("long").as("chunk_idx"),
+      when(i === 0, lit(0L)).otherwise(element_at(col("__cuts"), i)).as("start"),
+      e.as("e")))
+    docs.select(col(idCol), col(textCol).as("__t"))
+      .withColumn("__cuts", graft.expr.GearCuts.gearCuts(col("__t"), maskBits))
+      .select(col(idCol), col("__t"), explode(pairs).as("p"))
+      .select(col(idCol), col("p.chunk_idx").as("chunk_idx"),
+        col("p.start").as("start"), (col("p.e") - col("p.start")).as("len"),
+        expr("substring(__t, p.start + 1, p.e - p.start)").as("chunk"))
+  }
 }

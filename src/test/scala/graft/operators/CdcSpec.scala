@@ -55,6 +55,31 @@ class CdcSpec extends SparkSpec {
       s"shared content must produce shared chunk hashes: $h1 vs $h2")
   }
 
+  test("codegen variant is row-for-row identical to the mapPartitions loop") {
+    val s = spark
+    import s.implicits._
+    val docs = graft.Tables.documents(spark, sf001)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "chunk_idx", "start", "len", "chunk")
+        .as[(Long, Long, Long, Long, String)].collect().sorted.toSeq
+    assert(rows(Chunking.cdcChunksCodegen(docs, "doc_id", "text", 6)) ===
+      rows(Chunking.cdcChunks(docs, "doc_id", "text", 6)))
+    // edge shapes: empty, single byte, boundary-at-end
+    val edge = Seq((1L, ""), (2L, "x"), (3L, "abc " * 50)).toDF("doc_id", "text")
+    assert(rows(Chunking.cdcChunksCodegen(edge, "doc_id", "text", 3)) ===
+      rows(Chunking.cdcChunks(edge, "doc_id", "text", 3)))
+  }
+
+  test("codegen variant stays inside whole-stage codegen — no typed boundary") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((1L, "some text here")).toDF("doc_id", "text")
+    val plan = Chunking.cdcChunksCodegen(docs, "doc_id", "text", 6)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("MapPartitions"), s"no typed boundary expected:\n$plan")
+    assert(!plan.contains("DeserializeToObject"), s"no object conversion expected:\n$plan")
+  }
+
   test("gear table is deterministic and in range") {
     assert(Chunking.gearTable.length === 256)
     assert(Chunking.gearTable.forall(g => g >= 0 && g < (1L << 30)))
