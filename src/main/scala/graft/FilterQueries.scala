@@ -615,6 +615,57 @@ object FilterQueries {
           (SELECT CAST(count(DISTINCT md5(chunk)) AS BIGINT) FROM chunks) AS n_unique,
           (SELECT CAST(sum(len) AS BIGINT) FROM chunks) AS total_bytes,
           (SELECT CAST(sum(l2) AS BIGINT) FROM (
-            SELECT min(len) AS l2 FROM chunks GROUP BY md5(chunk)) x) AS unique_bytes"""))
+            SELECT min(len) AS l2 FROM chunks GROUP BY md5(chunk)) x) AS unique_bytes""")),
+
+    // Text canonicalization for dedup (the CCNet preprocessing pass):
+    // docs decorated with doc-dependent accents + punctuation (same
+    // underlying text → different raw bytes), then lowercase → explicit
+    // translate-table accent fold (NOT a library NFD pass — those
+    // differ across engines; a table cannot) → punctuation strip →
+    // whitespace collapse. Group sizes under the raw vs canonical key
+    // show exactly the duplicates canonicalization recovers.
+    QuerySpec("q169_canonicalize_dedup",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        // each doc carries its EVEN neighbor's text (pairs share base
+        // content — the corpus itself has no exact dups), decorated
+        // differently per parity: raw bytes differ, canonical forms
+        // collapse, so n_same_norm = 2 where n_same_raw = 1.
+        val base = docs.select(col("doc_id"))
+          .join(docs.select((col("doc_id")).as("bid"), col("text")),
+            col("bid") === expr("(doc_id div 2) * 2"))
+        val deco = base.withColumn("raw",
+          concat(
+            when(col("doc_id") % 2 === 0, translate(col("text"), "ea", "éà"))
+              .otherwise(col("text")),
+            when(col("doc_id") % 2 === 0, lit(" !!")).otherwise(lit(" ??"))))
+        val norm = deco.withColumn("norm", TextFns.canonicalize(col("raw")))
+        val wR = Window.partitionBy(col("raw"))
+        val wN = Window.partitionBy(col("norm"))
+        norm.select(col("doc_id"),
+          md5(col("raw")).as("raw_md5"), md5(col("norm")).as("norm_md5"),
+          count(lit(1)).over(wR).as("n_same_raw"),
+          count(lit(1)).over(wN).as("n_same_norm"))
+      },
+      Some(s"""
+        WITH base AS (
+          SELECT a.doc_id, b.text
+          FROM documents a JOIN documents b ON b.doc_id = (a.doc_id // 2) * 2),
+        deco AS (
+          SELECT doc_id,
+            (CASE WHEN doc_id % 2 = 0 THEN translate(text, 'ea', 'éà')
+                  ELSE text END)
+            || (CASE WHEN doc_id % 2 = 0 THEN ' !!' ELSE ' ??' END) AS raw
+          FROM base),
+        n AS (
+          SELECT doc_id, raw,
+            trim(regexp_replace(regexp_replace(
+              translate(lower(raw), '${TextFns.ACCENT_FROM}', '${TextFns.ACCENT_TO}'),
+              '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g')) AS norm
+          FROM deco)
+        SELECT doc_id, md5(raw) AS raw_md5, md5(norm) AS norm_md5,
+          CAST(count(*) OVER (PARTITION BY raw) AS BIGINT) AS n_same_raw,
+          CAST(count(*) OVER (PARTITION BY norm) AS BIGINT) AS n_same_norm
+        FROM n"""))
   )
 }

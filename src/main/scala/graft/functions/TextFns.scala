@@ -142,4 +142,26 @@ object TextFns {
       .foldLeft(noTags) { case (acc, (e, v)) => replace(acc, lit(e), lit(v)) }
     trim(regexp_replace(decoded, "\\s+", " "))
   }
+
+  /** Accent-fold map — an EXPLICIT latin-1/latin-extended table applied
+    * via `translate` (a single-char map both Spark and SQL engines
+    * implement with identical semantics), deliberately NOT an NFD/
+    * combining-mark pass: library Unicode normalizers differ across
+    * engines, an explicit table cannot.
+    */
+  val ACCENT_FROM = "àáâãäåèéêëìíîïòóôõöùúûüýçñšž"
+  val ACCENT_TO = "aaaaaaeeeeiiiiooooouuuuycnsz"
+
+  /** CCNet-style text CANONICALIZATION for dedup/langid: lowercase →
+    * accent fold → strip everything but [a-z0-9] and whitespace →
+    * collapse whitespace → trim. Two texts differing only in case,
+    * accents, or punctuation normalize to the same string — the key
+    * under which near-identical web pages become EXACT duplicates.
+    * Row-local codegen'd string ops.
+    */
+  def canonicalize(c: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(translate(lower(c), ACCENT_FROM, ACCENT_TO),
+        "[^a-z0-9\\s]", ""),
+      "\\s+", " "))
 }

@@ -88,4 +88,19 @@ class TextFnsSpec extends SparkSpec {
     // swallow the middle text
     assert(strip("<script>a()</script>keep<script>b()</script>") == "keep")
   }
+
+  test("canonicalize folds case, accents, punctuation, and whitespace") {
+    val s = spark
+    import s.implicits._
+    def canon(t: String): String =
+      Seq(t).toDF("t").select(TextFns.canonicalize(col("t"))).as[String].collect().head
+    // lowercasing runs BEFORE the fold, so uppercase accents fold too
+    assert(canon("Café,  RÉSUMÉ!?") == "cafe resume")
+    assert(canon("café résumé") == "cafe resume")
+    assert(canon("  a\t\nb   c!! ") == "a b c")
+    assert(canon("naïve señor škoda žába") == "naive senor skoda zaba")
+    assert(canon("!!!") == "")
+    // the accent table is well-formed
+    assert(TextFns.ACCENT_FROM.length == TextFns.ACCENT_TO.length)
+  }
 }
