@@ -456,6 +456,61 @@ object IngestQueries {
           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
           md5(string_agg(CAST(doc_id AS VARCHAR) || ':' || md5(text) || ':' || md5(gnarly), '|'
             ORDER BY CAST(doc_id AS VARCHAR) || ':' || md5(text) || ':' || md5(gnarly))) AS docs_digest
-        FROM g GROUP BY 1"""))
+        FROM g GROUP BY 1""")),
+
+    // Checkpoint KILL/RESTART recovery — the exactly-once contract a
+    // production ingest pipeline actually relies on: the events table
+    // staged as 8 input files, streamed one file per micro-batch into
+    // a parquet FileStreamSink; the query is STOPPED mid-run (after at
+    // least one committed batch), then a fresh query on the SAME
+    // checkpoint drains the rest. The sink's commit log excludes any
+    // uncommitted files from the killed attempt, so the re-read output
+    // aggregates to exactly the batch answer — independent of where
+    // the kill landed. The oracle is the plain batch aggregate.
+    QuerySpec("q170_checkpoint_recovery",
+      (s, dir) => {
+        GraftSession.tune(s)
+        val base = java.nio.file.Files.createTempDirectory("graft_q170_").toString
+        val ev0 = s.read.parquet(s"$dir/events.parquet")
+        ev0.repartition(8).write.mode("overwrite").parquet(s"$base/in")
+        val schema = s.read.parquet(s"$base/in").schema
+        def transformed = {
+          val raw = s.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1").parquet(s"$base/in")
+          val ev = if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
+            raw.withColumn("ts", timestamp_micros(expr("ts div 1000"))) else raw
+          ev.select(col("user_id"),
+            expr("CAST(round(value * 100) AS BIGINT)").as("cents"),
+            unix_micros(col("ts")).as("ts_us"))
+        }
+        def start() = transformed.writeStream.format("parquet")
+          .option("path", s"$base/out")
+          .option("checkpointLocation", s"$base/ckpt").start()
+        // phase 1: run until at least one batch commits, then kill
+        val q1 = start()
+        val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+        while (q1.recentProgress.map(_.numInputRows).sum < 1 &&
+               System.nanoTime() < deadline) Thread.sleep(50)
+        q1.stop(); q1.awaitTermination()
+        // phase 2: fresh query, same checkpoint — drains the remainder
+        val q2 = start()
+        q2.processAllAvailable(); q2.stop(); q2.awaitTermination()
+        // the sink's _spark_metadata log defines the committed set
+        val out = s.read.parquet(s"$base/out")
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_events"), sum(col("cents")).as("sum_cents"),
+            max(col("ts_us")).as("last_us"))
+        val snap = out.localCheckpoint(true)
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+        }
+        rm(new java.io.File(base))
+        snap
+      },
+      Some("""
+        SELECT user_id, count(*) AS n_events,
+          CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+          max(epoch_us(CAST(ts AS TIMESTAMP))) AS last_us
+        FROM events GROUP BY 1"""))
   )
 }
