@@ -169,9 +169,79 @@ object MlQueries {
           CAST(sum(len) AS BIGINT) AS total_bytes,
           (SELECT CAST(sum(l) AS BIGINT) FROM (
             SELECT min(len) AS l FROM chunks GROUP BY md5(chunk))) AS unique_bytes
-        FROM chunks"""))
+        FROM chunks""")),
+
+    // Hard-negative mining (the DPR/SimCSE contrastive-training stage):
+    // per query, the top-5 most-similar corpus vectors BELOW the 0.95
+    // near-duplicate ceiling — hardest candidates that are not copies.
+    QuerySpec("q171_hard_negatives",
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        operators.SimilaritySearch.hardNegatives(
+          e.filter(col("vec_id") < 8), e, "vec_id", "embedding",
+          k = 5, simCeilingMilli = 950)
+      },
+      Some(s"""
+        WITH $SIMS_SQL
+        SELECT qid, nid, sim, CAST(rn AS INTEGER) AS rank
+        FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rn
+              FROM sims WHERE sim * 1000 < 950) r
+        WHERE rn <= 5""")),
+
+    // Deterministic random-negative sampling: per query, 4 corpus
+    // vectors by an md5 draw over (qid, nid), excluding the query and
+    // its top-3 neighbors (random negatives that are secretly
+    // near-positives corrupt the contrastive loss). Pure hash ranking
+    // — engine- and partitioning-reproducible, no RNG state.
+    QuerySpec("q172_sampled_negatives",
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        operators.SimilaritySearch.sampleNegatives(
+          e.filter(col("vec_id") < 8), e, "vec_id", "embedding",
+          k = 4, excludeTopM = 3)
+      },
+      Some(s"""
+        WITH $SIMS_SQL,
+        near AS (
+          SELECT qid, nid FROM (
+            SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rn
+            FROM sims) x WHERE rn <= 3),
+        cand AS (
+          SELECT q.vec_id AS qid, e.vec_id AS nid
+          FROM embeddings q, embeddings e
+          WHERE q.vec_id < 8 AND e.vec_id <> q.vec_id),
+        an AS (
+          SELECT c.qid, c.nid FROM cand c
+          LEFT JOIN near n ON c.qid = n.qid AND c.nid = n.nid
+          WHERE n.qid IS NULL),
+        d AS (
+          SELECT qid, nid,
+            md5(CAST(qid AS VARCHAR) || ':' || CAST(nid AS VARCHAR)) AS draw
+          FROM an)
+        SELECT qid, nid, draw, CAST(rn AS INTEGER) AS rank
+        FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY draw, nid) AS rn
+              FROM d) r
+        WHERE rn <= 4"""))
   )
 
+
+  /** Shared oracle fragment: the q34 fixed-point cosine chain over
+    * queries vec_id < 8 vs the whole corpus, ending in
+    * `sims(qid, nid, sim)`.
+    */
+  private lazy val SIMS_SQL = """n2 AS (
+          SELECT vec_id, SUM(CAST(floor(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 1000000000.0) AS BIGINT)) AS n2
+          FROM (SELECT vec_id, UNNEST(embedding) AS x FROM embeddings) t GROUP BY 1),
+        pairs AS (
+          SELECT q.vec_id AS qid, e.vec_id AS nid, q.embedding AS qe, e.embedding AS ne
+          FROM embeddings q, embeddings e
+          WHERE q.vec_id < 8 AND e.vec_id <> q.vec_id),
+        el AS (SELECT qid, nid, UNNEST(qe) AS x, UNNEST(ne) AS y FROM pairs),
+        dots AS (SELECT qid, nid, SUM(CAST(floor(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) * 1000000000.0) AS BIGINT)) AS dot FROM el GROUP BY 1, 2),
+        sims AS (
+          SELECT qid, nid,
+            CAST(dot AS DOUBLE) / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) AS sim
+          FROM dots JOIN n2 a ON qid = a.vec_id JOIN n2 b ON nid = b.vec_id)"""
 
   /** DuckDB replay of [[Classifier.predict]] at B=4096, C=4: consumes a
     * CTE `src(doc_id, w)` (lowercased word array), emits uni/bi/feats/

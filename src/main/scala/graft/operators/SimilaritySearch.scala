@@ -526,6 +526,53 @@ object SimilaritySearch {
       .select(col("qid"), col("nid"), col("d2"), col("rank"))
   }
 
+  // --------------------------------------- Contrastive-training negatives
+
+  /** HARD-NEGATIVE MINING — the contrastive-training data stage (DPR /
+    * SimCSE style): per query, the top-k most similar corpus vectors
+    * whose similarity stays BELOW `simCeilingMilli`/1000 — the hardest
+    * candidates that are NOT near-duplicates (near-dups above the
+    * ceiling are positives/copies and would poison the negative set).
+    * Exact fixed-point similarities, rank ties on id. Declared Q·N
+    * baseline like [[bruteForceTopK]]; at scale the candidate pass
+    * swaps to any blocked ANN ([[ivfTopK]] etc.) with the same
+    * ceiling filter.
+    */
+  def hardNegatives(queries: DataFrame, corpus: DataFrame, idCol: String,
+                    vecCol: String, k: Int, simCeilingMilli: Int): DataFrame = {
+    val q = withNorm(queries, idCol, vecCol, "q")
+    val c = withNorm(corpus, idCol, vecCol, "n")
+    val sims = q.join(c, col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        VectorFns.cosineFrom(
+          VectorFns.dotFixed9(col("qvec"), col("nvec")), col("qn2"), col("nn2")).as("sim_raw"))
+      .filter(col("sim_raw") * 1000 < simCeilingMilli)
+    rank(sims, k)
+  }
+
+  /** Deterministic RANDOM-NEGATIVE sampling — the other half of a
+    * contrastive batch: per query, `k` corpus vectors chosen by an
+    * md5 draw over (qid, nid), EXCLUDING the query itself and its
+    * `excludeTopM` nearest neighbors (random negatives that are
+    * secretly near-positives corrupt the loss). Pure hash ranking —
+    * reproducible across engines, partitionings, and reruns; no RNG
+    * state anywhere.
+    */
+  def sampleNegatives(queries: DataFrame, corpus: DataFrame, idCol: String,
+                      vecCol: String, k: Int, excludeTopM: Int): DataFrame = {
+    val near = bruteForceTopK(queries, corpus, idCol, vecCol, excludeTopM)
+      .select(col("qid"), col("nid"))
+    val draws = queries.select(col(idCol).as("qid"))
+      .crossJoin(corpus.select(col(idCol).as("nid")))
+      .filter(col("qid") =!= col("nid"))
+      .join(near, Seq("qid", "nid"), "left_anti")
+      .withColumn("draw",
+        md5(concat(col("qid").cast("string"), lit(":"), col("nid").cast("string"))))
+    val w = Window.partitionBy("qid").orderBy(col("draw"), col("nid"))
+    draws.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("qid"), col("nid"), col("draw"), col("rank"))
+  }
+
   private def rank(sims: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy("qid").orderBy(col("sim_raw").desc, col("nid"))
     sims.withColumn("rank", row_number().over(w))

@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.SparkSpec
+import graft.{SparkSpec, Tables}
 
 class SimilaritySpec extends SparkSpec {
   import spark.implicits._
@@ -145,5 +145,37 @@ class SimilaritySpec extends SparkSpec {
     assert(order == Seq(20L, 10L, 40L, 30L))
     // topK truncates after fusion
     assert(SimilaritySearch.rrfFuse(lex, sem, "doc_id", 60, 2).count() == 2)
+  }
+
+  test("hardNegatives excludes everything at or above the similarity ceiling") {
+    val s = spark
+    import s.implicits._
+    // q=(1,0); near-dup at cos≈0.999, hard negative at cos≈0.6, easy at cos≈0
+    val vecs = Seq(
+      (0L, Seq(1.0f, 0.0f)), (1L, Seq(0.999f, 0.04f)),
+      (2L, Seq(0.6f, 0.8f)), (3L, Seq(0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val got = SimilaritySearch.hardNegatives(
+      vecs.filter($"vec_id" === 0), vecs, "vec_id", "embedding", 5, 950)
+      .select("nid", "rank").as[(Long, Int)].collect().sortBy(_._2).toSeq
+    assert(got.map(_._1) === Seq(2L, 3L), s"near-dup must be excluded: $got")
+  }
+
+  test("sampleNegatives never returns self or the excluded neighborhood, exactly k rows") {
+    val s = spark
+    import s.implicits._
+    val e = Tables.embeddings(spark, sf001).limit(100)
+    val got = SimilaritySearch.sampleNegatives(
+      e.filter($"vec_id" < 4), e, "vec_id", "embedding", k = 6, excludeTopM = 3)
+    val near = SimilaritySearch.bruteForceTopK(
+      e.filter($"vec_id" < 4), e, "vec_id", "embedding", 3)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    val rows = got.select("qid", "nid").as[(Long, Long)].collect().toSeq
+    assert(rows.groupBy(_._1).forall(_._2.size == 6))
+    assert(rows.forall { case (q, n) => q != n && !near((q, n)) })
+    // deterministic: rerun equals
+    val again = SimilaritySearch.sampleNegatives(
+      e.filter($"vec_id" < 4), e, "vec_id", "embedding", 6, 3)
+      .select("qid", "nid").as[(Long, Long)].collect().toSeq
+    assert(rows.sorted === again.sorted)
   }
 }
