@@ -221,7 +221,42 @@ object MlQueries {
         SELECT qid, nid, draw, CAST(rn AS INTEGER) AS rank
         FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY draw, nid) AS rn
               FROM d) r
-        WHERE rn <= 4"""))
+        WHERE rn <= 4""")),
+
+    // Incremental IVF index maintenance: the index is built in TWO
+    // batches (even ids first, odd ids appended later) with fixed
+    // centroids — assignment is per-vector, so append ≡ full rebuild,
+    // and the probe against the unioned index equals q50's one-shot
+    // search. The oracle replays assignment over the whole corpus: if
+    // the append path touched or re-assigned anything, the hash breaks.
+    QuerySpec("q173_ivf_incremental",
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        val cent = e.filter(col("vec_id") < 16)
+        val base = operators.SimilaritySearch.ivfAssign(
+          e.filter(col("vec_id") % 2 === 0), cent, "vec_id", "embedding", "vec_id")
+        val delta = operators.SimilaritySearch.ivfAssign(
+          e.filter(col("vec_id") % 2 === 1), cent, "vec_id", "embedding", "vec_id")
+        operators.SimilaritySearch.ivfTopKIndexed(
+          e.filter(col("vec_id") < 8), base.unionByName(delta), cent,
+          "vec_id", "embedding", "vec_id", k = 3, nProbe = 4)
+      },
+      Some(s"""
+        WITH ${ExtQueries.IVF_CAND_SQL},
+        el AS (
+          SELECT c.qid, c.nid, UNNEST(q.embedding) AS x, UNNEST(e.embedding) AS y
+          FROM cand c JOIN embeddings q ON c.qid = q.vec_id
+                      JOIN embeddings e ON c.nid = e.vec_id),
+        dots AS (
+          SELECT qid, nid, SUM(CAST(floor(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) * 1000000000.0) AS BIGINT)) AS dot
+          FROM el GROUP BY 1, 2),
+        qsims AS (
+          SELECT qid, nid,
+            CAST(dot AS DOUBLE) / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b2.n2 AS DOUBLE))) AS sim
+          FROM dots JOIN n2 a ON qid = a.vec_id JOIN n2 b2 ON nid = b2.vec_id)
+        SELECT qid, nid, sim, CAST(rn AS INTEGER) AS rank
+        FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rn FROM qsims) r
+        WHERE rn <= 3"""))
   )
 
 

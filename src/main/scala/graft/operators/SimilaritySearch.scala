@@ -122,38 +122,62 @@ object SimilaritySearch {
     * Ties break on centroid id, so assignment is total and the result
     * engine-reproducible (fixed-point cosine throughout).
     */
-  def ivfTopK(queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
-              idCol: String, vecCol: String, cidCol: String,
-              k: Int, nProbe: Int): DataFrame = {
+  private def ivfScored(side: DataFrame, centroids: DataFrame, vecCol: String,
+                        cidCol: String, p: String): DataFrame = {
     val cent = centroids.select(col(cidCol).as("cid"), col(vecCol).as("cvec"),
       VectorFns.norm2Fixed9(col(vecCol)).as("cn2"))
-    def scored(side: DataFrame, p: String): DataFrame =
-      side.join(broadcast(cent))
-        .select(col(s"${p}id"), col(s"${p}vec"), col(s"${p}n2"), col("cid"),
-          VectorFns.cosineFrom(VectorFns.dotFixed9(col(s"${p}vec"), col("cvec")),
-            col(s"${p}n2"), col("cn2")).as("csim"))
-    // corpus assignment: argmax as a map-side-combinable max_by — the
-    // C-way broadcast fan-out collapses back to one row per vector
-    // BEFORE any exchange (a window formulation would shuffle C× the
-    // corpus just to keep rn=1). Tie order (csim, -cid) is total.
-    val cells = scored(withNorm(corpus, idCol, vecCol, "n"), "n")
+    side.join(broadcast(cent))
+      .select(col(s"${p}id"), col(s"${p}vec"), col(s"${p}n2"), col("cid"),
+        VectorFns.cosineFrom(VectorFns.dotFixed9(col(s"${p}vec"), col("cvec")),
+          col(s"${p}n2"), col("cn2")).as("csim"))
+  }
+
+  /** IVF INDEX BUILD — per-vector cell assignment (nid, cid, nvec, nn2):
+    * argmax as a map-side-combinable max_by, so the C-way broadcast
+    * fan-out collapses back to one row per vector BEFORE any exchange
+    * (a window formulation would shuffle C× the corpus just to keep
+    * rn=1). Tie order (csim, -cid) is total. Assignment is PER-VECTOR
+    * (centroids fixed), so the index maintains INCREMENTALLY: a new
+    * batch assigns independently and unions onto the stored index —
+    * no rebuild, no touch of existing rows (q173 proves
+    * append ≡ full rebuild under the oracle).
+    */
+  def ivfAssign(corpus: DataFrame, centroids: DataFrame, idCol: String,
+                vecCol: String, cidCol: String): DataFrame =
+    ivfScored(withNorm(corpus, idCol, vecCol, "n"), centroids, vecCol, cidCol, "n")
       .groupBy("nid")
       .agg(max_by(struct(col("cid"), col("nvec"), col("nn2")),
         struct(col("csim"), -col("cid"))).as("best"))
       .select(col("nid"), col("best.cid").as("cid"),
         col("best.nvec").as("nvec"), col("best.nn2").as("nn2"))
+
+  /** IVF probe against a PREBUILT index (the [[ivfAssign]] shape) —
+    * the serving-time half: query probes its top-nProbe cells, scores
+    * only same-cell candidates.
+    */
+  def ivfTopKIndexed(queries: DataFrame, index: DataFrame, centroids: DataFrame,
+                     idCol: String, vecCol: String, cidCol: String,
+                     k: Int, nProbe: Int): DataFrame = {
     // query probes (top-nProbe cells) keep the window — the query side
     // is small by contract
     val wProbe = Window.partitionBy("qid").orderBy(col("csim").desc, col("cid"))
-    val probes = scored(withNorm(queries, idCol, vecCol, "q"), "q")
+    val probes = ivfScored(withNorm(queries, idCol, vecCol, "q"), centroids,
+        vecCol, cidCol, "q")
       .withColumn("rn", row_number().over(wProbe)).filter(col("rn") <= nProbe)
       .select(col("qid"), col("qvec"), col("qn2"), col("cid"))
-    val sims = probes.join(cells, Seq("cid")).filter(col("qid") =!= col("nid"))
+    val sims = probes.join(index, Seq("cid")).filter(col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"),
         VectorFns.cosineFrom(
           VectorFns.dotFixed9(col("qvec"), col("nvec")), col("qn2"), col("nn2")).as("sim_raw"))
     rank(sims, k)
   }
+
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
+              idCol: String, vecCol: String, cidCol: String,
+              k: Int, nProbe: Int): DataFrame =
+    ivfTopKIndexed(queries,
+      ivfAssign(corpus, centroids, idCol, vecCol, cidCol),
+      centroids, idCol, vecCol, cidCol, k, nProbe)
 
   /** Aggregator-based variant of the exact search: replaces the window
     * sort with the bounded-heap [[graft.expr.TopKAggregator]] — each
