@@ -41,57 +41,7 @@ object MlQueries {
       (s, dir) => operators.WordPiece.wordPieceSegment(
         Tables.documents(s, dir), "doc_id", "text",
         vExtra = 24, maxPieceLen = 4, maxWordLen = 16),
-      Some {
-        val rounds = (1 to 16).map { r =>
-          s"""
-        s$r AS MATERIALIZED (
-          SELECT word, pos, np, cuts FROM s${r - 1} WHERE pos = length(word)
-          UNION ALL
-          SELECT s.word, max(e.k) AS pos, s.np + 1 AS np,
-            s.cuts + (CAST(1 AS BIGINT) << max(e.k)) AS cuts
-          FROM s${r - 1} s JOIN eg e ON s.word = e.word AND e.j = s.pos
-          WHERE s.pos < length(s.word)
-          GROUP BY s.word, s.np, s.cuts)"""
-        }.mkString(",")
-        s"""
-        WITH $WORDS_SQL,
-        wt AS MATERIALIZED (
-          SELECT word, CAST(count(*) AS BIGINT) AS wc FROM (
-            SELECT UNNEST(w) AS word FROM words) x
-          WHERE length(word) <= 16 GROUP BY 1),
-        pr AS MATERIALIZED (
-          SELECT substr(word, CAST(s AS INTEGER), CAST(l AS INTEGER)) AS piece,
-            s > 1 AS is_cont, sum(wc) AS cnt
-          FROM wt, UNNEST(range(1, length(word) + 1)) AS ts(s),
-            UNNEST(range(1, 5)) AS tl(l)
-          WHERE s + l - 1 <= length(word)
-          GROUP BY 1, 2),
-        vmu AS (
-          SELECT piece, is_cont FROM pr WHERE length(piece) >= 2
-          ORDER BY cnt DESC, is_cont ASC, piece LIMIT 24),
-        voc AS MATERIALIZED (
-          SELECT piece, is_cont FROM pr WHERE length(piece) = 1
-          UNION ALL SELECT piece, is_cont FROM vmu),
-        eg AS MATERIALIZED (
-          SELECT e.word, e.j, e.k FROM (
-            SELECT word, s - 1 AS j, s + l - 1 AS k,
-              substr(word, CAST(s AS INTEGER), CAST(l AS INTEGER)) AS piece,
-              s > 1 AS is_cont
-            FROM wt, UNNEST(range(1, length(word) + 1)) AS ts(s),
-              UNNEST(range(1, 5)) AS tl(l)
-            WHERE s + l - 1 <= length(word)) e
-          JOIN voc ON e.piece = voc.piece AND e.is_cont = voc.is_cont),
-        s0 AS MATERIALIZED (
-          SELECT word, CAST(0 AS BIGINT) AS pos, CAST(0 AS BIGINT) AS np,
-            CAST(0 AS BIGINT) AS cuts FROM wt),
-        $rounds,
-        tok AS (SELECT doc_id, UNNEST(w) AS word FROM words),
-        seg AS (SELECT word, np, cuts FROM s16 WHERE pos = length(word))
-        SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_words,
-          CAST(sum(s.np) AS BIGINT) AS n_pieces,
-          CAST(sum(s.cuts) AS BIGINT) AS cuts_sum
-        FROM tok t JOIN seg s USING (word) GROUP BY 1"""
-      }),
+      Some(wordPieceOracleSql)),
 
     // SQ8 scalar-quantized ANN (FAISS `SQ8` — the third vector
     // compression besides raw and PQ): per-dimension byte codes from
@@ -256,9 +206,101 @@ object MlQueries {
           FROM dots JOIN n2 a ON qid = a.vec_id JOIN n2 b2 ON nid = b2.vec_id)
         SELECT qid, nid, sim, CAST(rn AS INTEGER) AS rank
         FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rn FROM qsims) r
-        WHERE rn <= 3"""))
+        WHERE rn <= 3""")),
+
+    // Tokenizer BAKE-OFF — the evaluation layer over the production
+    // tokenizer triple: BPE (8 learned merges), unigram-LM (Viterbi,
+    // 300-piece vocab), and WordPiece (greedy, 24-piece vocab) each
+    // encode the SAME corpus; total emitted units = the compression
+    // comparison tokenizer selection actually runs on. Each engine
+    // replays all three FULL chains (training included); DuckDB scopes
+    // each chain's CTEs inside its own parenthesized subquery.
+    QuerySpec("q174_tokenizer_bakeoff",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val wp = operators.WordPiece.wordPieceSegment(
+          docs, "doc_id", "text", vExtra = 24, maxPieceLen = 4, maxWordLen = 16)
+          .agg(sum(col("n_pieces")).as("n_units"))
+          .select(lit("wordpiece").as("tokenizer"), col("n_units"))
+        val uni = operators.Unigram.unigramSegment(
+          docs, "doc_id", "text", vExtra = 300, maxPieceLen = 4, maxWordLen = 16)
+          .agg(sum(col("n_pieces")).as("n_units"))
+          .select(lit("unigram").as("tokenizer"), col("n_units"))
+        val bpe = operators.Bpe.encodeBpe(docs, "doc_id", "text", merges = 8)
+          .agg(sum(col("n_tokens")).as("n_units"))
+          .select(lit("bpe").as("tokenizer"), col("n_units"))
+        wp.unionByName(uni).unionByName(bpe)
+      },
+      Some(s"""
+        SELECT 'wordpiece' AS tokenizer, CAST(sum(n_pieces) AS BIGINT) AS n_units
+        FROM ($wordPieceOracleSql) wp
+        UNION ALL
+        SELECT 'unigram', CAST(sum(n_pieces) AS BIGINT)
+        FROM (WITH $WORDS_SQL, ${operators.Unigram.oracleSql(300, 4, 16)}) un
+        UNION ALL
+        SELECT 'bpe', CAST(sum(n_tokens) AS BIGINT)
+        FROM (WITH $WORDS_SQL, ${operators.Bpe.oracleEncodeSql(8)}) bp"""))
   )
 
+
+
+  /** DuckDB replay of [[operators.WordPiece.wordPieceSegment]] at
+    * vExtra=24, maxPieceLen=4, maxWordLen=16 — full "WITH …" text
+    * (vocab selection + all 16 greedy rounds + rollup). Shared by q159
+    * and the q174 bake-off.
+    */
+  private[graft] lazy val wordPieceOracleSql: String = {
+
+        val rounds = (1 to 16).map { r =>
+          s"""
+        s$r AS MATERIALIZED (
+          SELECT word, pos, np, cuts FROM s${r - 1} WHERE pos = length(word)
+          UNION ALL
+          SELECT s.word, max(e.k) AS pos, s.np + 1 AS np,
+            s.cuts + (CAST(1 AS BIGINT) << max(e.k)) AS cuts
+          FROM s${r - 1} s JOIN eg e ON s.word = e.word AND e.j = s.pos
+          WHERE s.pos < length(s.word)
+          GROUP BY s.word, s.np, s.cuts)"""
+        }.mkString(",")
+        s"""
+        WITH $WORDS_SQL,
+        wt AS MATERIALIZED (
+          SELECT word, CAST(count(*) AS BIGINT) AS wc FROM (
+            SELECT UNNEST(w) AS word FROM words) x
+          WHERE length(word) <= 16 GROUP BY 1),
+        pr AS MATERIALIZED (
+          SELECT substr(word, CAST(s AS INTEGER), CAST(l AS INTEGER)) AS piece,
+            s > 1 AS is_cont, sum(wc) AS cnt
+          FROM wt, UNNEST(range(1, length(word) + 1)) AS ts(s),
+            UNNEST(range(1, 5)) AS tl(l)
+          WHERE s + l - 1 <= length(word)
+          GROUP BY 1, 2),
+        vmu AS (
+          SELECT piece, is_cont FROM pr WHERE length(piece) >= 2
+          ORDER BY cnt DESC, is_cont ASC, piece LIMIT 24),
+        voc AS MATERIALIZED (
+          SELECT piece, is_cont FROM pr WHERE length(piece) = 1
+          UNION ALL SELECT piece, is_cont FROM vmu),
+        eg AS MATERIALIZED (
+          SELECT e.word, e.j, e.k FROM (
+            SELECT word, s - 1 AS j, s + l - 1 AS k,
+              substr(word, CAST(s AS INTEGER), CAST(l AS INTEGER)) AS piece,
+              s > 1 AS is_cont
+            FROM wt, UNNEST(range(1, length(word) + 1)) AS ts(s),
+              UNNEST(range(1, 5)) AS tl(l)
+            WHERE s + l - 1 <= length(word)) e
+          JOIN voc ON e.piece = voc.piece AND e.is_cont = voc.is_cont),
+        s0 AS MATERIALIZED (
+          SELECT word, CAST(0 AS BIGINT) AS pos, CAST(0 AS BIGINT) AS np,
+            CAST(0 AS BIGINT) AS cuts FROM wt),
+        $rounds,
+        tok AS (SELECT doc_id, UNNEST(w) AS word FROM words),
+        seg AS (SELECT word, np, cuts FROM s16 WHERE pos = length(word))
+        SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+          CAST(sum(s.np) AS BIGINT) AS n_pieces,
+          CAST(sum(s.cuts) AS BIGINT) AS cuts_sum
+        FROM tok t JOIN seg s USING (word) GROUP BY 1"""
+  }
 
   /** Shared oracle fragment: the q34 fixed-point cosine chain over
     * queries vec_id < 8 vs the whole corpus, ending in
