@@ -1230,6 +1230,35 @@ object ExtQueries {
           CASE WHEN d.deg >= 2
                THEN (2000 * COALESCE(t.n_tri, 0)) // (d.deg * (d.deg - 1))
                ELSE 0 END AS coeff_mb
-        FROM dg d LEFT JOIN tn t ON d.id = t.id"""))
+        FROM dg d LEFT JOIN tn t ON d.id = t.id""")),
+
+    // Cluster-capped representative sampling — the diversity
+    // generalization of q62's single-keeper compaction: every doc
+    // joins its near-dup cluster (unclustered docs are their own),
+    // then each cluster keeps its first TWO members under a
+    // deterministic md5 draw — intra-cluster diversity without the
+    // duplication.
+    QuerySpec("q175_cluster_cap",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
+          n = 4, k = 12, rowsPerBand = 3).filter(col("jaccard") >= 0.2)
+        val labels = graft.operators.Graph.connectedComponents(pairs, "doc_a", "doc_b")
+          .select(col("id").as("doc_id"), col("cluster").as("cluster_id"))
+        val all = docs.select(col("doc_id")).join(labels, Seq("doc_id"), "left")
+          .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+        graft.operators.Sampling.capPerCluster(all, "doc_id", "cluster_id", m = 2)
+      },
+      Some(s"""
+        WITH RECURSIVE $CC_LABELS_SQL,
+        everyd AS (
+          SELECT d.doc_id, COALESCE(l.cluster_id, d.doc_id) AS cluster_id
+          FROM documents d LEFT JOIN lbl l ON d.doc_id = l.doc_id)
+        SELECT doc_id, cluster_id,
+          CAST(row_number() OVER (PARTITION BY cluster_id
+            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS INTEGER) AS pick_rank,
+          CAST(row_number() OVER (PARTITION BY cluster_id
+            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS INTEGER) <= 2 AS kept
+        FROM everyd"""))
   )
 }

@@ -114,6 +114,42 @@ object TokenQueries {
           CAST(count(*) AS BIGINT) AS n_postings,
           md5(string_agg(CAST(doc_id AS VARCHAR) || ':' || CAST(pos AS VARCHAR),
             ';' ORDER BY doc_id, pos)) AS postings_md5
-        FROM kept GROUP BY 1"""))
+        FROM kept GROUP BY 1""")),
+
+    // OOV-rate sweep — the vocabulary-sizing curve tokenizer selection
+    // reads: the corpus token stream scored against the frequency-
+    // ranked vocabulary at sizes 8/16/32/64 in ONE pass (rank each
+    // token once, explode the size axis), exact integer milli-rates.
+    QuerySpec("q176_oov_sweep",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val toks = docs.select(explode(TextFns.tokens(col("text"))).as("term"))
+        val vocab = Tokenize.vocabBuild(toks, "term", maxSize = 1000000)
+        toks.join(broadcast(vocab.select(col("term"), col("id"))), Seq("term"))
+          .select(col("id"), explode(array(lit(8L), lit(16L), lit(32L), lit(64L)))
+            .as("vocab_size"))
+          .groupBy(col("vocab_size"))
+          .agg(count(lit(1)).as("n_tokens"),
+            sum(when(col("id") >= col("vocab_size"), 1L).otherwise(0L)).as("n_oov"))
+          .withColumn("oov_milli",
+            expr("(1000 * n_oov) div n_tokens"))
+      },
+      Some(s"""
+        WITH $WORDS_SQL,
+        tok AS (SELECT UNNEST(w) AS term FROM words),
+        c AS (SELECT term, count(*) AS cnt FROM tok GROUP BY 1),
+        v AS (SELECT term,
+                CAST(row_number() OVER (ORDER BY cnt DESC, term) - 1 AS BIGINT) AS id
+              FROM c),
+        scored AS (
+          SELECT v.id, s.vs FROM tok t
+          JOIN v ON t.term = v.term,
+          UNNEST([8, 16, 32, 64]) AS s(vs))
+        SELECT CAST(vs AS BIGINT) AS vocab_size,
+          CAST(count(*) AS BIGINT) AS n_tokens,
+          CAST(sum(CASE WHEN id >= vs THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+          (1000 * CAST(sum(CASE WHEN id >= vs THEN 1 ELSE 0 END) AS BIGINT))
+            // CAST(count(*) AS BIGINT) AS oov_milli
+        FROM scored GROUP BY 1"""))
   )
 }

@@ -251,4 +251,21 @@ object Sampling {
       .orderBy(col("priority"), col(idCol))
       .limit(k)
   }
+
+  /** CLUSTER-CAPPED representative sampling — the diversity
+    * generalization of single-keeper compaction (q62 keeps 1 per
+    * near-dup cluster; real curation often keeps k > 1 for intra-
+    * cluster diversity): per cluster, rank members by a deterministic
+    * md5 draw (id tie-break) and keep the first `m`. Adds
+    * (pick_rank, kept); singleton clusters always survive. One shuffle
+    * on the cluster key; the window orders only within each cluster.
+    */
+  def capPerCluster(df: DataFrame, idCol: String, clusterCol: String,
+                    m: Int): DataFrame = {
+    require(m >= 1, s"cap must be >= 1, got $m")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col(clusterCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    df.withColumn("pick_rank", row_number().over(w))
+      .withColumn("kept", col("pick_rank") <= m)
+  }
 }

@@ -250,4 +250,25 @@ class SamplingSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Sampling.mixtureSample(df, "doc_id", "source", 0L))
   }
+
+  test("capPerCluster keeps exactly min(m, size) per cluster; singletons survive") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, 100L), (2L, 100L), (3L, 100L), (4L, 100L), // cluster of 4
+      (5L, 200L), (6L, 200L),                          // cluster of 2
+      (7L, 300L)).toDF("id", "cluster")                // singleton
+    val out = Sampling.capPerCluster(df, "id", "cluster", m = 2)
+      .select("id", "cluster", "pick_rank", "kept")
+      .as[(Long, Long, Int, Boolean)].collect().toSeq
+    val kept = out.filter(_._4).groupBy(_._2).view.mapValues(_.size).toMap
+    assert(kept === Map(100L -> 2, 200L -> 2, 300L -> 1))
+    // ranks are a permutation of 1..size within each cluster
+    assert(out.filter(_._2 == 100L).map(_._3).sorted === Seq(1, 2, 3, 4))
+    // deterministic across reruns and partitionings
+    val again = Sampling.capPerCluster(df.repartition(5), "id", "cluster", 2)
+      .select("id", "kept").as[(Long, Boolean)].collect().toMap
+    assert(out.map(r => r._1 -> r._4).toMap === again)
+    intercept[IllegalArgumentException](Sampling.capPerCluster(df, "id", "cluster", 0))
+  }
 }
