@@ -533,8 +533,13 @@ object FilterQueries {
             lit("reach us "), col("lang"), col("doc_id").cast("string"),
             lit("@mail.example.com tel +1 (555) 010-"),
             lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
-        val scrubbed = Staging.stage(
-          Pii.scrub(paged.select(col("doc_id"), col("page")), "page"), "cap_scrub")
+        // stage the SYNTHESIZED page before scrubbing: the page is an
+        // interpreted transform/array_join expression, and scrub's
+        // chained counts+replaces would re-expand it exponentially
+        // (the q146 pushdown-re-expansion lesson — measured 11×/decade
+        // before this barrier, ~3×/decade after)
+        val pages = Staging.stage(paged.select(col("doc_id"), col("page")), "cap_pages")
+        val scrubbed = Staging.stage(Pii.scrub(pages.df, "page"), "cap_scrub")
         val deduped = Staging.stage(
           CorpusText.dedupLinesWithinDoc(
             scrubbed.df.select(col("doc_id"), col("clean")), "doc_id", "clean"),
@@ -562,7 +567,7 @@ object FilterQueries {
             .crossJoin(broadcast(chunks.df.groupBy("h").agg(min(col("len")).as("l"))
               .agg(sum(col("l")).as("unique_bytes")))),
           "cap_out")
-        Seq(scrubbed, deduped, surv, chunks).foreach(_.delete())
+        Seq(pages, scrubbed, deduped, surv, chunks).foreach(_.delete())
         out.df
       },
       Some(s"""
