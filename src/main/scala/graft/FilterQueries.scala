@@ -544,7 +544,7 @@ object FilterQueries {
           CorpusText.dedupLinesWithinDoc(
             scrubbed.df.select(col("doc_id"), col("clean")), "doc_id", "clean"),
           "cap_dedup")
-        val pred = Classifier.predict(deduped.df, "doc_id", "clean",
+        val pred = Classifier.predictFused(deduped.df, "doc_id", "clean",
           Classifier.syntheticModel(s, 4096, 4), 4096)
         val surv = Staging.stage(
           deduped.df.join(pred.filter(col("pred_cls") =!= 3).select("doc_id"),

@@ -21,7 +21,7 @@ object MlQueries {
     // trained weights — same dataflow), argmax of exact integer sums
     // with the runner-up margin as confidence.
     QuerySpec("q158_hashed_classifier",
-      (s, dir) => Classifier.predict(
+      (s, dir) => Classifier.predictFused(
         Tables.documents(s, dir), "doc_id", "text",
         Classifier.syntheticModel(s, buckets = 4096, nClasses = 4),
         buckets = 4096),

@@ -35,7 +35,24 @@ object Classifier {
     * array (no self-join), hashed into [0, buckets).
     */
   def featureBuckets(docs: DataFrame, idCol: String, textCol: String,
-                     buckets: Int): DataFrame = {
+                     buckets: Int): DataFrame =
+    // fused codegen expression — bit-identical to the composable HOF
+    // formulation below (ClassifierSpec proves it): one native loop
+    // hashes unigrams + bigrams straight to buckets, replacing the
+    // interpreted zip_with bigram lambda + per-feature md5 Column
+    // chain that dominated the classifier profile
+    docs.select(col(idCol), TextFns.tokens(col(textCol)).as("w"))
+      .select(col(idCol),
+        explode(graft.expr.FeatureBuckets.featureBuckets(col("w"), buckets)).as("bucket"))
+      .groupBy(col(idCol), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** The composable Column formulation of [[featureBuckets]] — kept as
+    * the reference implementation the fused expression is spec-checked
+    * against (and the fallback for engines without custom expressions).
+    */
+  def featureBucketsHof(docs: DataFrame, idCol: String, textCol: String,
+                        buckets: Int): DataFrame = {
     require(buckets >= 2, s"need >= 2 hash buckets, got $buckets")
     val n = size(col("w"))
     val bigrams = when(n >= lit(2),
@@ -60,6 +77,41 @@ object Classifier {
       .select(col("bucket"), col("cls"),
         (h60(concat(col("bucket").cast("string"), lit(":"), col("cls").cast("string")))
           % 2001 - 1000).as("w"))
+
+  /** [[predict]] as the ACTUAL fastText serving architecture: the
+    * bounded (B·C) weight table collects to one flat long[] (the Bloom
+    * bounded-broadcast contract) and rides inside the codegen'd
+    * [[graft.expr.LinearScores]] expression, so every document's C
+    * scores AND the argmax/margin compute ROW-LOCALLY — inference is
+    * one corpus scan with ZERO exchanges (no feature explode, no
+    * (doc, bucket) aggregate, no model join). Bit-identical to
+    * [[predict]] (spec-proved); requires nClasses ≥ 2 and a complete
+    * model (every (bucket, cls) pair present).
+    */
+  def predictFused(docs: DataFrame, idCol: String, textCol: String,
+                   model: DataFrame, buckets: Int): DataFrame = {
+    val rows = model.select(col("bucket").cast("long"), col("cls").cast("long"),
+      col("w").cast("long")).collect()
+    val nClasses = (rows.iterator.map(_.getLong(1)).max + 1).toInt
+    require(nClasses >= 2, s"need >= 2 classes, got $nClasses")
+    require(rows.length == buckets * nClasses,
+      s"model must cover all ${buckets}x$nClasses (bucket, cls) pairs, got ${rows.length} rows")
+    val weights = new Array[Long](buckets * nClasses)
+    rows.foreach(r => weights(r.getLong(0).toInt * nClasses + r.getLong(1).toInt) = r.getLong(2))
+    val scores = graft.expr.LinearScores.linearScores(col("__w"), weights, buckets, nClasses)
+    // row-local argmax with smallest-class tie-break: array_position
+    // finds the FIRST occurrence of the max; the margin masks out that
+    // index and takes the max of the rest (C is small and fixed)
+    docs.select(col(idCol), TextFns.tokens(col(textCol)).as("__w"))
+      .filter(size(col("__w")) > 0)
+      .select(col(idCol), scores.as("__s"))
+      .withColumn("best_score", array_max(col("__s")))
+      .withColumn("pred_cls", array_position(col("__s"), col("best_score")) - 1)
+      .withColumn("margin", col("best_score") - array_max(
+        zip_with(col("__s"), sequence(lit(0L), lit(nClasses - 1L)),
+          (s, i) => when(i === col("pred_cls"), lit(Long.MinValue)).otherwise(s))))
+      .select(col(idCol), col("pred_cls"), col("best_score"), col("margin"))
+  }
 
   /** Classifier inference: (id, pred_cls, best_score, margin) per
     * document with at least one feature. `model` must cover every

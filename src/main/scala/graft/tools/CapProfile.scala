@@ -32,7 +32,7 @@ object CapProfile {
     val scrubbed = t("scrub")(Staging.stage(Pii.scrub(pages.df, "page"), "cp_scrub"))
     val deduped = t("linededup")(Staging.stage(
       CorpusText.dedupLinesWithinDoc(scrubbed.df.select(col("doc_id"), col("clean")), "doc_id", "clean"), "cp_dedup"))
-    val pred = Classifier.predict(deduped.df, "doc_id", "clean",
+    val pred = Classifier.predictFused(deduped.df, "doc_id", "clean",
       Classifier.syntheticModel(spark, 4096, 4), 4096)
     val surv = t("classify+join")(Staging.stage(
       deduped.df.join(pred.filter(col("pred_cls") =!= 3).select("doc_id"), Seq("doc_id"))

@@ -55,6 +55,41 @@ class ClassifierSpec extends SparkSpec {
     assert(out === Seq((1L, 0L, 30L, 5L), (2L, 0L, 50L, 0L)))
   }
 
+  test("fused featureBuckets is row-for-row identical to the HOF formulation") {
+    val s = spark
+    import s.implicits._
+    val docs = Tables.documents(spark, sf001)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Long)].collect().sorted.toSeq
+    assert(rows(Classifier.featureBuckets(docs, "doc_id", "text", 4096)) ===
+      rows(Classifier.featureBucketsHof(docs, "doc_id", "text", 4096)))
+    val edge = Seq((1L, "solo"), (2L, ""), (3L, "a b")).toDF("id", "text")
+    assert(rows(Classifier.featureBuckets(edge, "id", "text", 64)) ===
+      rows(Classifier.featureBucketsHof(edge, "id", "text", 64)))
+  }
+
+  test("predictFused is row-for-row identical to the composable predict") {
+    val s = spark
+    import s.implicits._
+    val docs = Tables.documents(spark, sf001)
+    val model = Classifier.syntheticModel(spark, 4096, 4)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Long, Long)].collect().sorted.toSeq
+    assert(rows(Classifier.predictFused(docs, "doc_id", "text", model, 4096)) ===
+      rows(Classifier.predict(docs, "doc_id", "text", model, 4096)))
+  }
+
+  test("predictFused plan has no exchange before the scores — inference is scan-local") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((1L, "a b c")).toDF("id", "text")
+    val model = Classifier.syntheticModel(spark, 64, 2)
+    val plan = Classifier.predictFused(docs, "id", "text", model, 64)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"fused inference must be one scan:\n$plan")
+    assert(!plan.contains("Join"), s"no model join expected:\n$plan")
+  }
+
   test("syntheticModel covers B·C rows with milli-unit weights") {
     val s = spark
     import s.implicits._
