@@ -239,7 +239,48 @@ object MlQueries {
         FROM (WITH $WORDS_SQL, ${operators.Unigram.oracleSql(300, 4, 16)}) un
         UNION ALL
         SELECT 'bpe', CAST(sum(n_tokens) AS BIGINT)
-        FROM (WITH $WORDS_SQL, ${operators.Bpe.oracleEncodeSql(8)}) bp"""))
+        FROM (WITH $WORDS_SQL, ${operators.Bpe.oracleEncodeSql(8)}) bp""")),
+
+    // IVF-SQ8 composed ANN (FAISS `IVFx,SQ8` — q151's sibling at the
+    // other compression point: 4× bytes at near-exact fidelity vs PQ's
+    // 32×): probed-cell candidates scored by exact micro-unit L2
+    // against SQ8-reconstructed codes. Oracle composes the shared IVF
+    // candidate chain with the shared SQ8 reconstruction chain.
+    QuerySpec("q177_knn_ivfsq8",
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        val st = operators.SimilaritySearch.sq8Stats(e, "embedding")
+        operators.SimilaritySearch.ivfSq8TopK(
+          e.filter(col("vec_id") < 8), e, e.filter(col("vec_id") < 16), st,
+          "vec_id", "embedding", "vec_id", k = 3, nProbe = 4)
+      },
+      Some(s"""
+        WITH ${ExtQueries.IVF_CAND_SQL},
+        fx AS MATERIALIZED (
+          SELECT vec_id, i AS dim,
+            CAST(floor(CAST(embedding[CAST(i + 1 AS INTEGER)] AS DOUBLE)
+              * 1000000000.0) AS BIGINT) AS fx
+          FROM embeddings, UNNEST(range(0, 64)) AS t(i)),
+        sst AS MATERIALIZED (
+          SELECT dim, min(fx) AS mn, max(fx) AS mx FROM fx GROUP BY 1),
+        rec AS MATERIALIZED (
+          SELECT f.vec_id AS nid, f.dim,
+            s.mn + ((CASE WHEN s.mx = s.mn THEN 0
+                     ELSE ((f.fx - s.mn) * 255) // (s.mx - s.mn) END)
+                    * (s.mx - s.mn)) // 255 AS rfx
+          FROM fx f JOIN sst s ON f.dim = s.dim),
+        qv AS (SELECT vec_id AS qid, dim, fx FROM fx WHERE vec_id < 8),
+        d AS (
+          SELECT c.qid, c.nid,
+            SUM(CAST(floor(abs(q.fx - r.rfx) / 1000.0) AS BIGINT)
+              * CAST(floor(abs(q.fx - r.rfx) / 1000.0) AS BIGINT)) AS d2
+          FROM cand c JOIN qv q ON q.qid = c.qid
+                      JOIN rec r ON r.nid = c.nid AND r.dim = q.dim
+          GROUP BY 1, 2)
+        SELECT qid, nid, CAST(d2 AS BIGINT) AS d2, CAST(rn AS INTEGER) AS rank
+        FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY d2, nid) AS rn
+              FROM d)
+        WHERE rn <= 3"""))
   )
 
 

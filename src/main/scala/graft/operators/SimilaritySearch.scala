@@ -151,6 +151,18 @@ object SimilaritySearch {
       .select(col("nid"), col("best.cid").as("cid"),
         col("best.nvec").as("nvec"), col("best.nn2").as("nn2"))
 
+  /** Query-side probe table (qid, qvec, qn2, cid): each query's
+    * top-nProbe cells. The window stays on the query side only — small
+    * by contract.
+    */
+  private def ivfProbes(queries: DataFrame, centroids: DataFrame, idCol: String,
+                        vecCol: String, cidCol: String, nProbe: Int): DataFrame = {
+    val wProbe = Window.partitionBy("qid").orderBy(col("csim").desc, col("cid"))
+    ivfScored(withNorm(queries, idCol, vecCol, "q"), centroids, vecCol, cidCol, "q")
+      .withColumn("rn", row_number().over(wProbe)).filter(col("rn") <= nProbe)
+      .select(col("qid"), col("qvec"), col("qn2"), col("cid"))
+  }
+
   /** IVF probe against a PREBUILT index (the [[ivfAssign]] shape) —
     * the serving-time half: query probes its top-nProbe cells, scores
     * only same-cell candidates.
@@ -158,18 +170,43 @@ object SimilaritySearch {
   def ivfTopKIndexed(queries: DataFrame, index: DataFrame, centroids: DataFrame,
                      idCol: String, vecCol: String, cidCol: String,
                      k: Int, nProbe: Int): DataFrame = {
-    // query probes (top-nProbe cells) keep the window — the query side
-    // is small by contract
-    val wProbe = Window.partitionBy("qid").orderBy(col("csim").desc, col("cid"))
-    val probes = ivfScored(withNorm(queries, idCol, vecCol, "q"), centroids,
-        vecCol, cidCol, "q")
-      .withColumn("rn", row_number().over(wProbe)).filter(col("rn") <= nProbe)
-      .select(col("qid"), col("qvec"), col("qn2"), col("cid"))
+    val probes = ivfProbes(queries, centroids, idCol, vecCol, cidCol, nProbe)
     val sims = probes.join(index, Seq("cid")).filter(col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"),
         VectorFns.cosineFrom(
           VectorFns.dotFixed9(col("qvec"), col("nvec")), col("qn2"), col("nn2")).as("sim_raw"))
     rank(sims, k)
+  }
+
+  /** IVF-SQ8 composed ANN — FAISS `IVFx,SQ8`, the sibling of
+    * [[ivfPqTopK]]: cells cut candidates ~C/nProbe×, SQ8 cuts
+    * bytes/candidate 4× at near-exact fidelity (vs PQ's 32× at real
+    * recall loss) — the middle point of the compression/recall
+    * trade-off. Candidates score by exact micro-unit squared-L2
+    * against the RECONSTRUCTED byte codes (the [[sq8TopK]]
+    * arithmetic), ranked ascending.
+    */
+  def ivfSq8TopK(queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
+                 stats: DataFrame, idCol: String, vecCol: String, cidCol: String,
+                 k: Int, nProbe: Int): DataFrame = {
+    val cells = ivfAssign(corpus, centroids, idCol, vecCol, cidCol)
+      .select(col("nid"), col("cid"))
+    val recon = sq8Recon(sq8Encode(corpus, idCol, vecCol, stats), idCol, stats)
+    val q = queries.select(col(idCol).as("qid"),
+      transform(col(vecCol),
+        x => floor(x.cast("double") * lit(1e9)).cast("long")).as("qfx"))
+    val probes = ivfProbes(queries, centroids, idCol, vecCol, cidCol, nProbe)
+      .select(col("qid"), col("cid"))
+    val du = zip_with(col("qfx"), col("rfx"),
+      (a, b) => floor(abs(a - b) / lit(1000.0)).cast("long"))
+    val d2 = aggregate(du, lit(0L), (acc, x) => acc + x * x)
+    val sims = probes.join(cells, Seq("cid"))
+      .filter(col("qid") =!= col("nid"))
+      .join(recon, Seq("nid")).join(q, Seq("qid"))
+      .select(col("qid"), col("nid"), d2.as("d2"))
+    val w = Window.partitionBy("qid").orderBy(col("d2"), col("nid"))
+    sims.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("qid"), col("nid"), col("d2"), col("rank"))
   }
 
   def ivfTopK(queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
