@@ -187,10 +187,10 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Generate"), s"PII scrub must not explode:\n$p")
   }
 
-  test("q158: classifier model joins broadcast — the corpus never shuffles for the model") {
+  test("q158: fused classifier inference is one scan — no Exchange, no model join at all") {
     val p = plan("q158_hashed_classifier")
-    assert(p.contains("BroadcastHashJoin"), s"model join must broadcast:\n$p")
-    assert(!p.contains("SortMergeJoin"), s"no sort-merge path for the model join:\n$p")
+    assert(!p.contains("Exchange"), s"fused inference must be scan-local:\n$p")
+    assert(!p.contains("Join"), s"the model rides inside the expression, never a join:\n$p")
   }
 
   test("q162: heavy-hitter screen is broadcast lookups before the exact aggregate") {
