@@ -894,6 +894,60 @@ object CurateQueries {
           CAST(SUM(r * (x + w * y)) AS BIGINT) AS wsum_r
         FROM px GROUP BY 1""")),
 
+    // Image RESIZE — the missing member of the multimodal quartet
+    // (decode / feature-extract / RESIZE / frame-sample): same
+    // synthesized BMPs as q111, decoded then nearest-neighbor resized
+    // to a fixed 4x3 thumbnail; the position-weighted stats run over
+    // the RESIZED pixels, and the oracle replays the NN source-index
+    // rule (floor(x2*w/w2), floor(y2*h/h2)) against the closed-form
+    // generator — no decode needed on the SQL side, which is exactly
+    // why the closed-form synthesis pattern exists.
+    QuerySpec("q178_bmp_resize",
+      (s, dir) => {
+        import graft.multimodal.Multimodal
+        val docs = Tables.documents(s, dir).select(col("doc_id"))
+          .withColumn("w", (col("doc_id") % 5 + 2).cast("int"))
+          .withColumn("h", (col("doc_id") % 4 + 2).cast("int"))
+        val pixelData = expr("""
+          aggregate(
+            transform(sequence(0, h - 1), j ->
+              concat(
+                aggregate(
+                  transform(sequence(0, w - 1), x -> concat(
+                    unhex(lpad(hex(pmod(doc_id * 3 + x * 7  + (h - 1 - j) * 11, 256)), 2, '0')),
+                    unhex(lpad(hex(pmod(doc_id * 5 + x * 13 + (h - 1 - j) * 17, 256)), 2, '0')),
+                    unhex(lpad(hex(pmod(doc_id * 7 + x * 19 + (h - 1 - j) * 23, 256)), 2, '0')))),
+                  X'', (acc, e) -> concat(acc, e)),
+                substring(unhex('00000000'), 1, (4 - (w * 3) % 4) % 4))),
+            X'', (acc, e) -> concat(acc, e))""")
+        val media = Multimodal.asMediaTable(
+          docs.withColumn("payload",
+            Multimodal.synthBmp24(col("w"), col("h"), pixelData)),
+          "doc_id", "payload", "image/bmp")
+        Multimodal.bmpResizedStats(media, w2 = 4, h2 = 3).toDF()
+      },
+      Some("""
+        WITH g AS (
+          SELECT doc_id, doc_id % 5 + 2 AS w, doc_id % 4 + 2 AS h FROM documents),
+        px2 AS (
+          SELECT doc_id, w, h, x2, y2,
+            (x2 * w) // 4 AS sx, (y2 * h) // 3 AS sy
+          FROM g, UNNEST(range(0, 4)) AS tx(x2), UNNEST(range(0, 3)) AS ty(y2)),
+        pv AS (
+          SELECT doc_id, x2, y2,
+            (doc_id * 7 + sx * 19 + sy * 23) % 256 AS r,
+            (doc_id * 5 + sx * 13 + sy * 17) % 256 AS gg,
+            (doc_id * 3 + sx * 7  + sy * 11) % 256 AS b
+          FROM px2)
+        SELECT doc_id,
+          CAST(4 AS INTEGER) AS width, CAST(3 AS INTEGER) AS height,
+          CAST(count(*) AS BIGINT) AS n_pixels,
+          CAST(SUM(r) AS BIGINT) AS sum_r,
+          CAST(SUM(gg) AS BIGINT) AS sum_g,
+          CAST(SUM(b) AS BIGINT) AS sum_b,
+          CAST(SUM(r * (x2 + 4 * y2)) AS BIGINT) AS wsum_r
+        FROM pv GROUP BY 1""")),
+
     // REAL PNG decode, end-to-end (BMP's compressed counterpart): each
     // doc generates closed-form pixels DECLARATIVELY (so the oracle can
     // replay the generator), the JVM encoder writes a complete valid

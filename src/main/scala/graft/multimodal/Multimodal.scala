@@ -228,6 +228,57 @@ object Multimodal {
                             n_pixels: Long, sum_r: Long, sum_g: Long,
                             sum_b: Long, wsum_r: Long)
 
+  /** Nearest-neighbor RESIZE of a row-major 0xRRGGBB pixel array:
+    * target (x2, y2) samples source (⌊x2·w/w2⌋, ⌊y2·h/h2⌋) — the
+    * standard integer NN rule, exact in both directions (up- and
+    * down-scale), closed-form replayable by a SQL oracle.
+    */
+  def resizeNearest(pixels: Array[Int], w: Int, h: Int,
+                    w2: Int, h2: Int): Array[Int] = {
+    val out = new Array[Int](w2 * h2)
+    var y2 = 0
+    while (y2 < h2) {
+      val sy = y2 * h / h2
+      var x2 = 0
+      while (x2 < w2) {
+        out(y2 * w2 + x2) = pixels(sy * w + x2 * w / w2)
+        x2 += 1
+      }
+      y2 += 1
+    }
+    out
+  }
+
+  /** The RESIZE member of the multimodal pipeline (decode /
+    * feature-extract / resize / frame-sample): decode each BMP, resize
+    * nearest-neighbor to (w2, h2), and emit the SAME position-weighted
+    * stats as [[bmpPixelStats]] — over the RESIZED pixels, so a wrong
+    * source-index rule, row order, or channel order anywhere in
+    * decode→resize breaks the hash. Executor-side at the opaque-codec
+    * boundary; undecodable payloads contribute no rows.
+    */
+  def bmpResizedStats(media: Dataset[MediaRow], w2: Int, h2: Int): Dataset[BmpStats] = {
+    require(w2 >= 1 && h2 >= 1, s"target dims must be >= 1, got ($w2, $h2)")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        BmpCodec.decode(r.payload).map { bmp =>
+          val px = resizeNearest(bmp.pixels, bmp.width, bmp.height, w2, h2)
+          var sr = 0L; var sg = 0L; var sb = 0L; var wr = 0L
+          var i = 0
+          while (i < px.length) {
+            val p = px(i)
+            sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+            wr += ((p >> 16) & 0xff).toLong * i
+            i += 1
+          }
+          BmpStats(r.doc_id, w2, h2, px.length.toLong, sr, sg, sb, wr)
+        }
+      }
+    }
+  }
+
   /** Input row for [[synthPngMedia]]: dimensions + row-major 0xRRGGBB
     * pixels (generated declaratively in the query so the oracle can
     * replay the generator).

@@ -128,4 +128,21 @@ class MultimodalSpec extends SparkSpec {
       .as[Option[Long]].collect()
     assert(out.toSeq === Seq(None))
   }
+
+  test("resizeNearest: hand cases for down- and up-scale, identity, single pixel") {
+    // 2x2 source: [A B; C D] (row-major)
+    val src = Array(0xA0, 0xB0, 0xC0, 0xD0)
+    // identity
+    assert(Multimodal.resizeNearest(src, 2, 2, 2, 2).toSeq === src.toSeq)
+    // downscale to 1x1 → top-left (floor rule)
+    assert(Multimodal.resizeNearest(src, 2, 2, 1, 1).toSeq === Seq(0xA0))
+    // upscale to 4x4 → each source pixel becomes a 2x2 block
+    assert(Multimodal.resizeNearest(src, 2, 2, 4, 4).toSeq === Seq(
+      0xA0, 0xA0, 0xB0, 0xB0,
+      0xA0, 0xA0, 0xB0, 0xB0,
+      0xC0, 0xC0, 0xD0, 0xD0,
+      0xC0, 0xC0, 0xD0, 0xD0))
+    // non-integral ratio: 3 wide → 2 wide picks x2*3/2 = columns 0, 1
+    assert(Multimodal.resizeNearest(Array(1, 2, 3), 3, 1, 2, 1).toSeq === Seq(1, 2))
+  }
 }
