@@ -280,7 +280,51 @@ object MlQueries {
         SELECT qid, nid, CAST(d2 AS BIGINT) AS d2, CAST(rn AS INTEGER) AS rank
         FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY d2, nid) AS rn
               FROM d)
-        WHERE rn <= 3"""))
+        WHERE rn <= 3""")),
+
+    // Trigram substring search (pg_trgm / code-search architecture —
+    // the query shape word indexes can't serve): candidates = docs
+    // containing ALL of the pattern's character trigrams (postings
+    // intersection, never a text scan), exact contains() verify on
+    // candidates only; verified=false rows ARE the trigram false
+    // positives, so the pruning behavior itself is hash-checked.
+    QuerySpec("q179_trigram_search",
+      (s, dir) => operators.CorpusText.trigramSearch(
+        Tables.documents(s, dir), "doc_id", "text", "batch stream"),
+      Some {
+        val pats = "batch stream".sliding(3).toSeq.distinct
+          .map(p => s"'$p'").mkString(", ")
+        s"""
+        WITH tr AS (
+          SELECT DISTINCT doc_id, substr(text, CAST(s AS INTEGER), 3) AS tri
+          FROM documents, UNNEST(range(1, length(text) - 1)) AS t(s)),
+        p AS (SELECT DISTINCT UNNEST([$pats]) AS tri),
+        cand AS (
+          SELECT doc_id FROM tr JOIN p USING (tri)
+          GROUP BY 1 HAVING count(*) = (SELECT count(*) FROM p))
+        SELECT c.doc_id AS id, contains(d.text, 'batch stream') AS verified
+        FROM cand c JOIN documents d USING (doc_id)"""
+      }),
+
+    // Positional phrase search over the inverted index: postings of
+    // each phrase word join on positional ADJACENCY — exact
+    // word-sequence matching with occurrence counts, no text rescans.
+    QuerySpec("q180_phrase_search",
+      (s, dir) => operators.CorpusText.phraseSearch(
+        Tables.documents(s, dir), "doc_id", "text",
+        Seq("part", "filter")),
+      Some(s"""
+        WITH $WORDS_SQL,
+        tok AS (
+          SELECT doc_id, i AS pos, w[CAST(i + 1 AS INTEGER)] AS term
+          FROM words, UNNEST(range(0, len(w))) AS t(i)),
+        m AS (
+          SELECT a.doc_id, a.pos FROM tok a
+          JOIN tok b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+                    AND b.term = 'filter'
+          WHERE a.term = 'part')
+        SELECT doc_id AS id, CAST(count(*) AS BIGINT) AS n_occurrences
+        FROM m GROUP BY 1"""))
   )
 
 

@@ -438,6 +438,71 @@ object CorpusText {
       .limit(k)
   }
 
+  /** TRIGRAM SUBSTRING SEARCH — the pg_trgm / code-search architecture
+    * for queries word indexes cannot serve (arbitrary substrings,
+    * including ones spanning word boundaries): the corpus indexes its
+    * distinct character 3-grams once (posting lists bounded by the
+    * trigram vocabulary, ≤ |alphabet|³ keys); a query probes only ITS
+    * OWN pattern's trigrams, candidates are docs containing ALL of
+    * them (an intersection-count semi-join — never a corpus text
+    * scan), and only candidates pay the exact `contains` verify.
+    * Output: (id, verified) for every candidate — the pruning ratio is
+    * visible, and verified=true is exactly the substring-match set.
+    *
+    * Patterns shorter than 3 chars degrade to the exact scan
+    * (documented; no trigram exists to probe).
+    */
+  def trigramSearch(docs: DataFrame, idCol: String, textCol: String,
+                    pattern: String): DataFrame = {
+    require(pattern.nonEmpty, "pattern must be non-empty")
+    if (pattern.length < 3)
+      return docs.filter(col(textCol).contains(pattern))
+        .select(col(idCol).as("id"), lit(true).as("verified"))
+    val pats = pattern.sliding(3).toSeq.distinct
+    val docTris = docs
+      .select(col(idCol).as("id"), col(textCol).as("t"),
+        explode(sequence(lit(1), length(col(textCol)) - 2)).as("s"))
+      .select(col("id"), expr("substring(t, s, 3)").as("tri"))
+      .distinct()
+    val patDf = docs.sparkSession.createDataFrame(pats.map(Tuple1(_))).toDF("tri")
+    val cands = docTris.join(broadcast(patDf), Seq("tri"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_hit"))
+      .filter(col("n_hit") === pats.size)
+      .select(col("id"))
+    // only candidates pay the text fetch + exact verify
+    cands.join(docs.select(col(idCol).as("id"), col(textCol).as("t")), Seq("id"))
+      .select(col("id"), col("t").contains(pattern).as("verified"))
+  }
+
+  /** POSITIONAL PHRASE SEARCH over the word stream — the inverted-index
+    * companion of [[trigramSearch]] for exact word-sequence queries:
+    * each phrase word's postings (doc, pos) join on positional
+    * ADJACENCY (p_{i+1} = p_i + 1), so only docs containing the words
+    * at consecutive positions survive; the corpus text is never
+    * rescanned. Output: (id, n_occurrences) per matching doc.
+    *
+    * Scale shape: postings are semi-join-pruned to the phrase's words
+    * before any join (the BM25 q107 discipline); the adjacency joins
+    * are |phrase|−1 equi-joins on (doc, pos) over those pruned lists.
+    */
+  def phraseSearch(docs: DataFrame, idCol: String, textCol: String,
+                   phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "phrase must be non-empty")
+    val toks = docs.select(col(idCol).as("id"),
+        posexplode(TextFns.tokens(col(textCol))).as(Seq("pos", "term")))
+    val first = toks.filter(col("term") === phrase.head)
+      .select(col("id"), col("pos"))
+    val matches = phrase.zipWithIndex.drop(1).foldLeft(first) {
+      case (acc, (w, i)) =>
+        acc.join(
+          toks.filter(col("term") === w)
+            .select(col("id"), (col("pos") - i).as("pos")),
+          Seq("id", "pos"))
+    }
+    matches.groupBy(col("id")).agg(count(lit(1)).as("n_occurrences"))
+  }
+
   /** INTRA-DOCUMENT line dedup (the other half of CCNet's line-level
     * cleaning — [[segmentDedup]] drops lines frequent ACROSS the
     * corpus; this drops REPEATS of a line WITHIN one document, keeping

@@ -178,6 +178,38 @@ class CorpusTextSpec extends SparkSpec {
       (2L, 3L, 3L, "only\nunique\nlines")))
   }
 
+  test("trigramSearch: all-trigram candidates, exact verify separates false positives") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "the batch stream runs"),   // true match
+      (2L, "batch scan then stream"),  // all trigrams of 'batch stream', not the substring
+      (3L, "nothing here")).toDF("id", "t")
+    val got = CorpusText.trigramSearch(docs, "id", "t", "batch stream")
+      .as[(Long, Boolean)].collect().sortBy(_._1).toSeq
+    assert(got === Seq((1L, true), (2L, false)))
+    // short patterns fall back to the exact scan ("the", "then", "here")
+    val short = CorpusText.trigramSearch(docs, "id", "t", "he")
+      .as[(Long, Boolean)].collect().sortBy(_._1).toSeq
+    assert(short === Seq((1L, true), (2L, true), (3L, true)))
+  }
+
+  test("phraseSearch counts exact adjacent occurrences only") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "a b a b a"),      // 'a b' twice
+      (2L, "a x b a"),        // words present, never adjacent
+      (3L, "b a")).toDF("id", "t")
+    val got = CorpusText.phraseSearch(docs, "id", "t", Seq("a", "b"))
+      .as[(Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got === Seq((1L, 2L)))
+    // three-word phrase with overlap semantics
+    val tri = CorpusText.phraseSearch(Seq((1L, "a a a a")).toDF("id", "t"),
+      "id", "t", Seq("a", "a", "a")).as[(Long, Long)].collect().toSeq
+    assert(tri === Seq((1L, 2L)))
+  }
+
   test("dedupLinesWithinDoc is per-document: same line in two docs survives in both") {
     val s = spark
     import s.implicits._
