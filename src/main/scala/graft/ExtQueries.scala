@@ -1259,6 +1259,35 @@ object ExtQueries {
             ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS INTEGER) AS pick_rank,
           CAST(row_number() OVER (PARTITION BY cluster_id
             ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS INTEGER) <= 2 AS kept
+        FROM everyd""")),
+
+    // Quality-aware dedup keeper — what production dedup actually does
+    // (RefinedWeb/FineWeb rule): each near-dup cluster keeps its
+    // LONGEST member (n_chars, id tie-break), never a random draw —
+    // dedup that improves average quality instead of sampling it.
+    QuerySpec("q181_best_keeper",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
+          n = 4, k = 12, rowsPerBand = 3).filter(col("jaccard") >= 0.2)
+        val labels = graft.operators.Graph.connectedComponents(pairs, "doc_a", "doc_b")
+          .select(col("id").as("doc_id"), col("cluster").as("cluster_id"))
+        val all = docs.select(col("doc_id"), col("n_chars"))
+          .join(labels, Seq("doc_id"), "left")
+          .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+        graft.operators.Sampling.keepBestPerCluster(
+          all, "doc_id", "cluster_id", "n_chars", m = 1)
+      },
+      Some(s"""
+        WITH RECURSIVE $CC_LABELS_SQL,
+        everyd AS (
+          SELECT d.doc_id, d.n_chars, COALESCE(l.cluster_id, d.doc_id) AS cluster_id
+          FROM documents d LEFT JOIN lbl l ON d.doc_id = l.doc_id)
+        SELECT doc_id, n_chars, cluster_id,
+          CAST(row_number() OVER (PARTITION BY cluster_id
+            ORDER BY n_chars DESC, doc_id) AS INTEGER) AS pick_rank,
+          CAST(row_number() OVER (PARTITION BY cluster_id
+            ORDER BY n_chars DESC, doc_id) AS INTEGER) <= 1 AS kept
         FROM everyd"""))
   )
 }

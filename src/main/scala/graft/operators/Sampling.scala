@@ -268,4 +268,20 @@ object Sampling {
     df.withColumn("pick_rank", row_number().over(w))
       .withColumn("kept", col("pick_rank") <= m)
   }
+
+  /** QUALITY-AWARE cluster keeper — what production dedup actually does
+    * (RefinedWeb/FineWeb keep the LONGEST / highest-quality member of
+    * each near-dup cluster, never a random one): per cluster, rank by
+    * (scoreCol desc, id asc) and keep the first `m`. Same one-shuffle
+    * window shape as [[capPerCluster]]; the draw is replaced by the
+    * quality signal.
+    */
+  def keepBestPerCluster(df: DataFrame, idCol: String, clusterCol: String,
+                         scoreCol: String, m: Int): DataFrame = {
+    require(m >= 1, s"cap must be >= 1, got $m")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col(clusterCol))
+      .orderBy(col(scoreCol).desc, col(idCol))
+    df.withColumn("pick_rank", row_number().over(w))
+      .withColumn("kept", col("pick_rank") <= m)
+  }
 }

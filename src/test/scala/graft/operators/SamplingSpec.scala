@@ -271,4 +271,17 @@ class SamplingSpec extends SparkSpec {
     assert(out.map(r => r._1 -> r._4).toMap === again)
     intercept[IllegalArgumentException](Sampling.capPerCluster(df, "id", "cluster", 0))
   }
+
+  test("keepBestPerCluster keeps the highest score, id tie-break, singletons survive") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, 100L, 10L), (2L, 100L, 30L), (3L, 100L, 30L), // tie at 30 → id 2 wins
+      (4L, 200L, 5L)).toDF("id", "cluster", "score")
+    val kept = Sampling.keepBestPerCluster(df, "id", "cluster", "score", m = 1)
+      .filter(col("kept")).select("id").as[Long].collect().toSet
+    assert(kept === Set(2L, 4L))
+    intercept[IllegalArgumentException](
+      Sampling.keepBestPerCluster(df, "id", "cluster", "score", 0))
+  }
 }
