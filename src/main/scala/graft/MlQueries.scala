@@ -324,7 +324,51 @@ object MlQueries {
                     AND b.term = 'filter'
           WHERE a.term = 'part')
         SELECT doc_id AS id, CAST(count(*) AS BIGINT) AS n_occurrences
-        FROM m GROUP BY 1"""))
+        FROM m GROUP BY 1""")),
+
+    // Span-level quality localization ("remove the worst paragraph",
+    // not "drop the doc"): each 5-bigram sliding span accumulates
+    // integer LM-surprisal bits; every doc reports its WORST span
+    // (max bits, earliest start). The q106 scoring chain + doc-keyed
+    // rolling windows; integer-exact throughout.
+    QuerySpec("q182_worst_span",
+      (s, dir) => operators.CorpusText.worstSurprisalSpan(
+        Tables.documents(s, dir), "doc_id", "text", window = 5),
+      Some(s"""
+        WITH $WORDS_SQL,
+        tok AS (
+          SELECT doc_id, i AS pos, w[CAST(i + 1 AS INTEGER)] AS term
+          FROM words, UNNEST(range(0, len(w))) AS t(i)
+          WHERE len(w) > 0),
+        uni AS (SELECT term AS w1, count(*) AS c1 FROM tok GROUP BY 1),
+        voc AS (SELECT count(*) AS v FROM uni),
+        big AS (
+          SELECT doc_id, pos, term AS w1,
+            lead(term) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+          FROM tok QUALIFY w2 IS NOT NULL),
+        sc AS (
+          SELECT b.doc_id, b.pos,
+            (length(bin(u.c1 + v.v)) - 1) - (length(bin(p.c12 + 1)) - 1) AS bits
+          FROM big b
+          JOIN (SELECT w1, w2, count(*) AS c12 FROM big GROUP BY 1, 2) p
+            ON b.w1 = p.w1 AND b.w2 = p.w2
+          JOIN uni u ON b.w1 = u.w1
+          CROSS JOIN voc v),
+        sp AS (
+          SELECT doc_id, pos,
+            SUM(bits) OVER (PARTITION BY doc_id ORDER BY pos
+              ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS span_bits,
+            COUNT(*) OVER (PARTITION BY doc_id ORDER BY pos
+              ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS n_in
+          FROM sc)
+        SELECT doc_id, CAST(pos AS BIGINT) AS span_start,
+          CAST(span_bits AS BIGINT) AS span_bits
+        FROM (
+          SELECT doc_id, pos, span_bits,
+            row_number() OVER (PARTITION BY doc_id
+              ORDER BY span_bits DESC, pos) AS rn
+          FROM sp WHERE n_in = 5) x
+        WHERE rn = 1"""))
   )
 
 

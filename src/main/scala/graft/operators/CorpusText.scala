@@ -208,6 +208,49 @@ object CorpusText {
         col("surprise_bits").cast("double") / col("n_bigrams"))
   }
 
+  /** SPAN-LEVEL quality localization — the fine-grained sibling of
+    * [[bigramSurprisal]]'s per-doc score ("remove the worst paragraph"
+    * filtering, not "drop the whole doc"): every `window`-bigram
+    * sliding span accumulates integer surprisal bits, and each doc
+    * reports its WORST span (max bits; earliest-start tie-break).
+    * Output: (id, span_start, span_bits); docs with fewer than
+    * window+1 tokens have no full span and drop.
+    *
+    * Scale: the scoring chain is [[bigramSurprisal]]'s (vocabulary-
+    * sized count tables, corpus joined twice); the rolling sum and the
+    * per-doc argmax are doc-keyed windows/aggregates — no cross-doc
+    * state.
+    */
+  def worstSurprisalSpan(docs: DataFrame, idCol: String, textCol: String,
+                         window: Int): DataFrame = {
+    require(window >= 1 && window <= 1000, s"window must be in [1,1000], got $window")
+    val toks = docs.select(col(idCol).as("id"),
+      posexplode(TextFns.tokens(col(textCol))).as(Seq("pos", "w")))
+    val uni = toks.groupBy(col("w").as("w1")).agg(count(lit(1)).as("c1"))
+    val vocab = uni.agg(count(lit(1)).as("v"))
+    val bigr = toks.withColumn("w2",
+        lead(col("w"), 1).over(org.apache.spark.sql.expressions.Window
+          .partitionBy("id").orderBy("pos")))
+      .filter(col("w2").isNotNull)
+      .select(col("id"), col("pos"), col("w").as("w1"), col("w2"))
+    val pair = bigr.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val scored = bigr.join(pair, Seq("w1", "w2"))
+      .join(uni, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .select(col("id"), col("pos"),
+        (log2i(col("c1") + col("v")) - log2i(col("c12") + 1)).as("bits"))
+    val wWin = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy("pos").rowsBetween(0, window - 1)
+    scored
+      .withColumn("span_bits", sum(col("bits")).over(wWin))
+      .withColumn("n_in", count(lit(1)).over(wWin))
+      .filter(col("n_in") === window)
+      .groupBy(col("id").as(idCol))
+      .agg(max(struct(col("span_bits"), (-col("pos")).as("np"))).as("m"))
+      .select(col(idCol), (-col("m.np")).cast("long").as("span_start"),
+        col("m.span_bits").as("span_bits"))
+  }
+
   /** Character-distribution ENTROPY per document, in MILLI-BITS — the
     * classic cheap garbage detector (binary junk and base64 blobs score
     * near-uniform-high; keyboard mashing and repeated-char padding score

@@ -210,6 +210,25 @@ class CorpusTextSpec extends SparkSpec {
     assert(tri === Seq((1L, 2L)))
   }
 
+  test("worstSurprisalSpan finds the rare-bigram region; short docs drop") {
+    val s = spark
+    import s.implicits._
+    // common bigrams everywhere except one doc's rare middle stretch
+    val common = "a b " * 10
+    val docs = Seq(
+      (1L, common.trim),                        // all common bigrams
+      (2L, (("a b " * 4) + "x q z w v " + ("a b " * 4)).trim), // rare middle
+      (3L, "a b")).toDF("id", "t")              // 1 bigram < window → drops
+    val got = CorpusText.worstSurprisalSpan(docs, "id", "t", window = 3)
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got.map(_._1) === Seq(1L, 2L))
+    val byId = got.map(r => r._1 -> r).toMap
+    // doc 2's worst span must start inside the rare stretch (positions 8..12)
+    assert(byId(2L)._2 >= 7 && byId(2L)._2 <= 12, s"worst span at ${byId(2L)._2}")
+    // and must out-score doc 1's best-possible (all-common) span
+    assert(byId(2L)._3 > byId(1L)._3)
+  }
+
   test("dedupLinesWithinDoc is per-document: same line in two docs survives in both") {
     val s = spark
     import s.implicits._
