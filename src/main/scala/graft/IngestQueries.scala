@@ -511,6 +511,43 @@ object IngestQueries {
         SELECT user_id, count(*) AS n_events,
           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
           max(epoch_us(CAST(ts AS TIMESTAMP))) AS last_us
+        FROM events GROUP BY 1""")),
+
+    // Table COMPACTION under the oracle — the small-files maintenance
+    // pass: per-user aggregates upserted in FIVE separate ticks (each
+    // rewriting touched partitions at task parallelism → many small
+    // files), then GraftTable.compact() collapses every partition to
+    // one file. The re-read content must equal the one-shot batch
+    // aggregate — compaction changes layout, never data.
+    QuerySpec("q184_table_compaction",
+      (s, dir) => {
+        GraftSession.tune(s)
+        val base = java.nio.file.Files.createTempDirectory("graft_q184_").toString
+        val ev = Tables.events(s, dir)
+        val agg = ev.groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_events"),
+            sum(expr("CAST(round(value * 100) AS BIGINT)")).as("sum_cents"),
+            max(unix_micros(col("ts"))).as("last_us"))
+          .withColumn("pk", col("user_id") % 4)
+        val t = new graft.operators.GraftTable(s, s"$base/t", Seq("user_id"), "pk")
+        t.createIfNotExists(org.apache.spark.sql.types.StructType.fromDDL(
+          "user_id BIGINT, n_events BIGINT, sum_cents BIGINT, last_us BIGINT, pk BIGINT"))
+        (0 until 5).foreach(i =>
+          t.upsertReplace(agg.filter(col("user_id") % 5 === i)))
+        t.compact()
+        val out = t.read.select(col("user_id"), col("n_events"),
+          col("sum_cents"), col("last_us"))
+        val snap = out.localCheckpoint(true)
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+        }
+        rm(new java.io.File(base))
+        snap
+      },
+      Some("""
+        SELECT user_id, count(*) AS n_events,
+          CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+          max(epoch_us(CAST(ts AS TIMESTAMP))) AS last_us
         FROM events GROUP BY 1"""))
   )
 }

@@ -368,7 +368,44 @@ object MlQueries {
             row_number() OVER (PARTITION BY doc_id
               ORDER BY span_bits DESC, pos) AS rn
           FROM sp WHERE n_in = 5) x
-        WHERE rn = 1"""))
+        WHERE rn = 1""")),
+
+    // Per-source DATASET CARD — the per-source report every corpus
+    // release publishes: doc/char/token volumes plus the classifier's
+    // class distribution, one row per source. Composes the fused
+    // classifier with row-local token counts; one grouped aggregate.
+    QuerySpec("q183_dataset_card",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val pred = Classifier.predictFused(docs, "doc_id", "text",
+          Classifier.syntheticModel(s, 4096, 4), 4096)
+        docs.join(pred.select(col("doc_id"), col("pred_cls")), Seq("doc_id"))
+          .withColumn("n_tok", size(functions.TextFns.tokens(col("text"))))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("sum_chars"),
+            sum(col("n_tok").cast("long")).as("sum_tokens"),
+            sum(when(col("pred_cls") === 0, 1L).otherwise(0L)).as("n_cls0"),
+            sum(when(col("pred_cls") === 1, 1L).otherwise(0L)).as("n_cls1"),
+            sum(when(col("pred_cls") === 2, 1L).otherwise(0L)).as("n_cls2"),
+            sum(when(col("pred_cls") === 3, 1L).otherwise(0L)).as("n_cls3"))
+      },
+      Some(s"""
+        WITH cw AS (
+          SELECT doc_id, source, n_chars,
+            list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+              x -> len(x) > 0) AS w
+          FROM documents),
+        ${classifierSql("cw")},
+        pred AS (SELECT doc_id, cls FROM r WHERE rn = 1)
+        SELECT source, count(*) AS n_docs,
+          CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+          CAST(sum(len(w)) AS BIGINT) AS sum_tokens,
+          CAST(sum(CASE WHEN cls = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_cls0,
+          CAST(sum(CASE WHEN cls = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_cls1,
+          CAST(sum(CASE WHEN cls = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_cls2,
+          CAST(sum(CASE WHEN cls = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_cls3
+        FROM cw JOIN pred USING (doc_id) GROUP BY 1"""))
   )
 
 

@@ -197,4 +197,30 @@ final class GraftTable(spark: SparkSession, val path: String,
     staged.delete()
     this
   }
+
+  /** COMPACTION — the small-files maintenance pass every incrementally
+    * upserted table eventually needs (each upsert tick rewrites touched
+    * partitions with the session's task parallelism, so a long-lived
+    * table accumulates many small files per partition): hash-cluster
+    * the whole table on the partition column so every partition
+    * directory rewrites as ONE file (all rows of a partition key land
+    * in one task). CONTENT-INVARIANT by construction — the rewrite
+    * stages the table through the same write barrier every mutation
+    * uses; only the file layout changes (q184 hash-checks the content,
+    * the spec checks the file-count collapse). At scale this is the
+    * per-partition OPTIMIZE job; `parallelism` bounds the rewrite's
+    * task width.
+    */
+  def compact(parallelism: Int = 16): this.type = {
+    require(parallelism >= 1, s"parallelism must be >= 1, got $parallelism")
+    writePartitions(read.repartition(parallelism, col(partitionCol)))
+  }
+
+  /** Data file count (diagnostic; used by the compaction spec). */
+  def dataFileCount: Int = {
+    def walk(f: java.io.File): Int =
+      if (f.isDirectory) Option(f.listFiles()).map(_.map(walk).sum).getOrElse(0)
+      else if (f.getName.endsWith(".parquet")) 1 else 0
+    walk(new java.io.File(path))
+  }
 }

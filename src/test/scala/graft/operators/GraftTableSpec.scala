@@ -135,4 +135,18 @@ class GraftTableSpec extends SparkSpec {
       assert(t.read.where(col("day") === "d2").count() == 1)
     } finally spark.conf.set(key, before)
   }
+
+  test("compact collapses fragmented partitions to one file each; content invariant") {
+    val t = freshTable().createIfNotExists(rows().schema)
+    // five separate upserts fragment the same partitions repeatedly
+    (1 to 5).foreach(i => t.importOnce(rows((s"d$i", "p", s"r$i", i))))
+    (1 to 5).foreach(i => t.upsertReplace(rows((s"d$i", "p", s"r$i", i * 10))))
+    val before = t.read.collect().map(_.toSeq).toSet
+    val filesBefore = t.dataFileCount
+    t.compact()
+    assert(t.read.collect().map(_.toSeq).toSet === before, "content must not change")
+    val filesAfter = t.dataFileCount
+    assert(filesAfter == 5, s"one file per partition expected, got $filesAfter")
+    assert(filesAfter <= filesBefore)
+  }
 }
