@@ -35,6 +35,17 @@ for name, sql in sorted(oracle.items()):
         got_rel = con.sql(f"SELECT * FROM '{outdir}/{name}/*.parquet'")
         got = canon(got_rel.fetchall(), got_rel.columns)
         exp_rel = con.sql(sql)
+        # Guard: the driver's canonicalizer renders HUGEINT/uncast-DECIMAL
+        # differently than BIGINT/DOUBLE (bit us in r1 decimal, r2 NTZ, r5
+        # HUGEINT). Fail loudly here so an uncast SUM() never reaches the
+        # driver.
+        bad_types = [(c, str(t)) for c, t in zip(exp_rel.columns, exp_rel.types)
+                     if "HUGEINT" in str(t).upper() or "DECIMAL" in str(t).upper()]
+        if bad_types:
+            print(f"FAIL {name}: oracle result has driver-unsafe types {bad_types}"
+                  f" — CAST to BIGINT/DOUBLE in the oracle SQL")
+            fail += 1
+            continue
         exp = canon(exp_rel.fetchall(), exp_rel.columns)
         if sorted(got_rel.columns) != sorted(exp_rel.columns):
             print(f"FAIL {name}: columns {sorted(got_rel.columns)} vs {sorted(exp_rel.columns)}")

@@ -250,8 +250,8 @@ object AnalyticsQueries {
           $lf),
         bv AS (SELECT col_name, v, CAST(count(*) AS BIGINT) AS cnt FROM lf GROUP BY 1, 2),
         st AS (
-          SELECT col_name, SUM(cnt) AS n_rows,
-            SUM(CASE WHEN v IS NULL THEN cnt ELSE 0 END) AS n_nulls,
+          SELECT col_name, CAST(SUM(cnt) AS BIGINT) AS n_rows,
+            CAST(SUM(CASE WHEN v IS NULL THEN cnt ELSE 0 END) AS BIGINT) AS n_nulls,
             count(CASE WHEN v IS NOT NULL THEN 1 END) AS n_distinct,
             min(v) AS min_v, max(v) AS max_v
           FROM bv GROUP BY 1),

@@ -39,7 +39,16 @@ object Bench {
     }.mkString("{", ",", "}")
     val total = succeeded.toSeq.map(best).sum
     val failJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failJson,"passes":2,"note":"per-query min of 2 passes","sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failJson,"passes":2,"note":"per-query min of 2 passes","sf":"$sfDir"}"""
+    println(line)
+    // ALSO write the JSON to its own file: the driver's log-tail parse
+    // has arrived clipped before (BENCH_r05 recorded "parsed": null) —
+    // a dedicated artifact can never be truncated by surrounding output
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), line + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $out: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

@@ -37,14 +37,17 @@ object FilterQueries {
 
   private def synthPage(docs: org.apache.spark.sql.DataFrame) =
     docs.withColumn("w", TextFns.tokens(col("text")))
-      .withColumn("page", array_join(
+      // zero-token guard: sequence(0, -1) is DESCENDING in Spark
+      // ([0,-1]) while the oracle's range(0, 0) is empty — an
+      // empty/whitespace-only doc must synthesize an empty page
+      .withColumn("page", when(size(col("w")) === 0, lit("")).otherwise(array_join(
         transform(sequence(lit(0), expr("((size(w) + 7) div 8) - 1")),
           i => concat(
             when((col("doc_id") + i) % 3 === 0, lit("- ")).otherwise(lit("")),
             array_join(slice(col("w"), i * lit(8) + 1, lit(8)), " "),
             when((col("doc_id") + i) % 5 === 0, lit(" ...")).otherwise(lit("")),
             when((col("doc_id") + i) % 7 === 0, lit(" #")).otherwise(lit("")))),
-        "\n"))
+        "\n")))
 
   /** DuckDB replay of [[Pii.scrub]]: consumes `src(doc_id, textCol)`,
     * emits CTEs t1..t4 where t4 carries n_email/n_card/n_ip/n_phone and
@@ -131,7 +134,7 @@ object FilterQueries {
     rpn AS (
       SELECT doc_id, total, n,
         max(cnt * length(g)) AS top_u,
-        sum(CASE WHEN cnt >= 2 THEN cnt * length(g) END) AS dup_u
+        CAST(sum(CASE WHEN cnt >= 2 THEN cnt * length(g) END) AS BIGINT) AS dup_u
       FROM rgc GROUP BY 1, 2, 3),
     rwide AS (
       SELECT doc_id, total, ${wide.mkString(", ")}
@@ -486,9 +489,11 @@ object FilterQueries {
       (s, dir) => {
         val paged = Tables.documents(s, dir)
           .withColumn("w", TextFns.tokens(col("text")))
-          .withColumn("page", array_join(
+          // zero-token guard: Spark's sequence(0, -1) is descending
+          // ([0,-1]) vs the oracle's empty range(0, 0)
+          .withColumn("page", when(size(col("w")) === 0, lit("")).otherwise(array_join(
             transform(sequence(lit(0), expr("((size(w) + 3) div 4) - 1")),
-              i => array_join(slice(col("w"), i * lit(4) + 1, lit(4)), " ")), "\n"))
+              i => array_join(slice(col("w"), i * lit(4) + 1, lit(4)), " ")), "\n")))
         CorpusText.dedupLinesWithinDoc(paged.select("doc_id", "page"), "doc_id", "page")
           .select(col("doc_id"), col("n_lines"), col("n_kept"),
             md5(col("clean")).as("clean_md5"))
@@ -525,9 +530,10 @@ object FilterQueries {
         val docs = Tables.documents(s, dir)
         val paged = docs
           .withColumn("w", TextFns.tokens(col("text")))
-          .withColumn("body", array_join(
+          // zero-token guard, same as q165: sequence(0, -1) descends
+          .withColumn("body", when(size(col("w")) === 0, lit("")).otherwise(array_join(
             transform(sequence(lit(0), expr("((size(w) + 3) div 4) - 1")),
-              i => array_join(slice(col("w"), i * lit(4) + 1, lit(4)), " ")), "\n"))
+              i => array_join(slice(col("w"), i * lit(4) + 1, lit(4)), " ")), "\n")))
           .withColumn("page", concat(
             lit(nav), lit("\n"), col("body"), lit("\n"), lit(nav), lit("\n"),
             lit("reach us "), col("lang"), col("doc_id").cast("string"),

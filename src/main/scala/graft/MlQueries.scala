@@ -405,10 +405,101 @@ object MlQueries {
           CAST(sum(CASE WHEN cls = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_cls1,
           CAST(sum(CASE WHEN cls = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_cls2,
           CAST(sum(CASE WHEN cls = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_cls3
-        FROM cw JOIN pred USING (doc_id) GROUP BY 1"""))
+        FROM cw JOIN pred USING (doc_id) GROUP BY 1""")),
+
+    // Perceptron TRAINING + fused inference — the full train→serve
+    // chain with no fixture anywhere: 3 batch averaged-perceptron
+    // rounds over language-labeled documents (B=64 hashed uni+bigram
+    // features, exact integer updates, summed snapshots), and the
+    // TRAINED weights drive the zero-shuffle codegen'd predictFused.
+    // The oracle replays every round as CTEs (the q159 discipline), so
+    // a single weight diverging anywhere in training breaks the hash.
+    QuerySpec("q185_perceptron_train",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+          .withColumn("lab",
+            when(col("lang") === "de", 0L).when(col("lang") === "en", 1L)
+              .when(col("lang") === "es", 2L).when(col("lang") === "fr", 3L)
+              .otherwise(4L))
+        val w = Classifier.trainPerceptron(docs, "doc_id", "text", "lab",
+          buckets = 64, nClasses = 5, rounds = 3)
+        Classifier.predictFused(docs, "doc_id", "text", w, buckets = 64)
+      },
+      Some(perceptronOracleSql))
   )
 
 
+
+  /** DuckDB replay of [[Classifier.trainPerceptron]] (B=64, C=5, 3
+    * rounds, labels = alphabetic language index) followed by scoring
+    * with the summed snapshot weights — the q185 oracle. Each round is
+    * a materialized CTE quartet (score, predict, misclassify, delta)
+    * exactly mirroring the engine's staged round barrier.
+    */
+  private[graft] lazy val perceptronOracleSql: String = {
+    val rounds = (1 to 3).map { r => s"""
+        s$r AS (
+          SELECT f.doc_id, w.cls, CAST(sum(f.cnt * w.w) AS BIGINT) AS score
+          FROM pfb f JOIN w${r - 1} w USING (bucket) GROUP BY 1, 2),
+        p$r AS (
+          SELECT doc_id, cls AS pred FROM (
+            SELECT doc_id, cls,
+              row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, cls) AS rn
+            FROM s$r) x WHERE rn = 1),
+        m$r AS (
+          SELECT p.doc_id, p.pred, l.lab
+          FROM p$r p JOIN lab l USING (doc_id) WHERE p.pred <> l.lab),
+        d$r AS (
+          SELECT bucket, cls, CAST(sum(dw) AS BIGINT) AS dw FROM (
+            SELECT f.bucket, m.lab AS cls, f.cnt AS dw
+            FROM pfb f JOIN m$r m USING (doc_id)
+            UNION ALL
+            SELECT f.bucket, m.pred AS cls, -f.cnt AS dw
+            FROM pfb f JOIN m$r m USING (doc_id)) u
+          GROUP BY 1, 2),
+        w$r AS MATERIALIZED (
+          SELECT w.bucket, w.cls, w.w + COALESCE(d.dw, 0) AS w
+          FROM w${r - 1} w LEFT JOIN d$r d USING (bucket, cls)),"""
+    }.mkString
+    s"""
+        WITH $WORDS_SQL,
+        lab AS (
+          SELECT doc_id, CASE lang WHEN 'de' THEN 0 WHEN 'en' THEN 1
+            WHEN 'es' THEN 2 WHEN 'fr' THEN 3 ELSE 4 END AS lab
+          FROM documents),
+        puni AS (SELECT doc_id, UNNEST(w) AS f FROM words),
+        pbi AS (
+          SELECT doc_id,
+            w[CAST(i AS INTEGER)] || '_' || w[CAST(i + 1 AS INTEGER)] AS f
+          FROM words, UNNEST(range(1, len(w))) AS t(i)),
+        pfb AS MATERIALIZED (
+          SELECT doc_id,
+            CAST(concat('0x', substr(md5(f), 1, 15)) AS BIGINT) % 64 AS bucket,
+            CAST(count(*) AS BIGINT) AS cnt
+          FROM (SELECT doc_id, f FROM puni
+                UNION ALL SELECT doc_id, f FROM pbi) ff
+          GROUP BY 1, 2),
+        w0 AS (
+          SELECT CAST(b.range AS BIGINT) AS bucket,
+            CAST(c.range AS BIGINT) AS cls, CAST(0 AS BIGINT) AS w
+          FROM range(0, 64) b, range(0, 5) c),
+        $rounds
+        wsum AS MATERIALIZED (
+          SELECT bucket, cls, CAST(sum(w) AS BIGINT) AS w
+          FROM (SELECT * FROM w1 UNION ALL SELECT * FROM w2
+                UNION ALL SELECT * FROM w3) ws
+          GROUP BY 1, 2),
+        fsc AS (
+          SELECT f.doc_id, w.cls, CAST(sum(f.cnt * w.w) AS BIGINT) AS score
+          FROM pfb f JOIN wsum w USING (bucket) GROUP BY 1, 2),
+        fr AS (
+          SELECT doc_id, cls, score,
+            row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, cls) AS rn
+          FROM fsc)
+        SELECT a.doc_id, a.cls AS pred_cls, a.score AS best_score,
+          a.score - b.score AS margin
+        FROM fr a JOIN fr b ON a.doc_id = b.doc_id AND a.rn = 1 AND b.rn = 2"""
+  }
 
   /** DuckDB replay of [[operators.WordPiece.wordPieceSegment]] at
     * vExtra=24, maxPieceLen=4, maxWordLen=16 — full "WITH …" text

@@ -125,8 +125,12 @@ object TokenQueries {
         val docs = Tables.documents(s, dir)
         val toks = docs.select(explode(TextFns.tokens(col("text"))).as("term"))
         val vocab = Tokenize.vocabBuild(toks, "term", maxSize = 1000000)
-        toks.join(broadcast(vocab.select(col("term"), col("id"))), Seq("term"))
-          .select(col("id"), explode(array(lit(8L), lit(16L), lit(32L), lit(64L)))
+        // left join: a term past the vocab cap is OOV at every sweep
+        // size (the oracle ranks the full vocabulary — an inner join
+        // would silently deflate n_tokens instead)
+        toks.join(broadcast(vocab.select(col("term"), col("id"))), Seq("term"), "left")
+          .select(coalesce(col("id"), lit(Long.MaxValue)).as("id"),
+            explode(array(lit(8L), lit(16L), lit(32L), lit(64L)))
             .as("vocab_size"))
           .groupBy(col("vocab_size"))
           .agg(count(lit(1)).as("n_tokens"),

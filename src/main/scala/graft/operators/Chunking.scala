@@ -127,24 +127,33 @@ object Chunking {
     * mapPartitions boundary (no per-row deserialize/re-serialize).
     *
     * Identical output to [[cdcChunks]] for ASCII payloads (`CdcSpec`
-    * proves equality on the corpus); for non-ASCII UTF-8 the byte-
-    * offset contract needs the mapPartitions variant (`substring`
-    * counts characters, not bytes) — that asymmetry is the only reason
-    * both exist.
+    * proves equality on the corpus). For non-ASCII UTF-8 the codegen
+    * slice would misalign (`substring` counts characters, the cut
+    * positions are bytes) — so rows where `length != octet_length` are
+    * ROUTED to the byte-correct [[cdcChunks]] branch at runtime and
+    * unioned back: callers get the byte-offset contract on any input,
+    * and the mapPartitions branch processes only the multibyte slice
+    * of the corpus (zero rows on an ASCII corpus). Both branches are
+    * shuffle-free row-local maps, so the union costs one extra pushed
+    * filter scan, not a shuffle.
     */
   def cdcChunksCodegen(docs: DataFrame, idCol: String, textCol: String,
                        maskBits: Int): DataFrame = {
     require(maskBits >= 2 && maskBits <= 20,
       s"maskBits must be in [2,20], got $maskBits")
+    val multibyte = coalesce(
+      length(col(textCol)) =!= octet_length(col(textCol)), lit(false))
     val pairs = transform(col("__cuts"), (e, i) => struct(
       i.cast("long").as("chunk_idx"),
       when(i === 0, lit(0L)).otherwise(element_at(col("__cuts"), i)).as("start"),
       e.as("e")))
-    docs.select(col(idCol), col(textCol).as("__t"))
+    val ascii = docs.filter(!multibyte)
+      .select(col(idCol).cast("long").as(idCol), col(textCol).as("__t"))
       .withColumn("__cuts", graft.expr.GearCuts.gearCuts(col("__t"), maskBits))
       .select(col(idCol), col("__t"), explode(pairs).as("p"))
       .select(col(idCol), col("p.chunk_idx").as("chunk_idx"),
         col("p.start").as("start"), (col("p.e") - col("p.start")).as("len"),
         expr("substring(__t, p.start + 1, p.e - p.start)").as("chunk"))
+    ascii.unionByName(cdcChunks(docs.filter(multibyte), idCol, textCol, maskBits))
   }
 }

@@ -113,6 +113,84 @@ object Classifier {
       .select(col(idCol), col("pred_cls"), col("best_score"), col("margin"))
   }
 
+  /** BATCH AVERAGED-PERCEPTRON TRAINING — the other half of the
+    * classifier family ([[predictFused]] serves what this trains; the
+    * md5 fixture in [[syntheticModel]] is no longer the only weight
+    * source). One round = one full pass with FROZEN weights: score
+    * every labeled document, and for each misclassified one push its
+    * feature counts toward the true class and away from the predicted
+    * class; all updates of a round aggregate into one (bucket, cls)
+    * delta and apply at the round barrier. Returned weights are the
+    * SUM over the R round snapshots — the integer-exact formulation of
+    * the averaged perceptron (argmax is invariant under the ×R scale,
+    * and exact long arithmetic means any engine lands on bit-identical
+    * weights; no learning-rate float anywhere).
+    *
+    * Spark-first shape, same staged-rounds discipline as
+    * [[Bpe.trainBpe]] (reference pattern `server/etl.py:27-73` has no
+    * training at all — this is extension surface): the corpus is
+    * featurized ONCE and staged; each round then touches only the
+    * staged (doc, bucket, cnt, label) table — one broadcast model
+    * join + two aggregates per round, O(1) plan depth via per-round
+    * staging of the B·C weight table. A 100 TB corpus pays R scans of
+    * its vocabulary-hashed feature table, never R re-tokenizations,
+    * and the shuffles are bounded by distinct (doc, cls) and (bucket,
+    * cls) — not token volume.
+    *
+    * @param labelCol integer class label in [0, nClasses)
+    * @return complete (bucket, cls, w) weight table — every pair
+    *         present, [[predictFused]]-ready
+    */
+  def trainPerceptron(docs: DataFrame, idCol: String, textCol: String,
+                      labelCol: String, buckets: Int, nClasses: Int,
+                      rounds: Int): DataFrame = {
+    require(nClasses >= 2, s"need >= 2 classes, got $nClasses")
+    require(rounds >= 1 && rounds <= 16, s"rounds must be in [1,16], got $rounds")
+    val spark = docs.sparkSession
+    val feats = Staging.stage(
+      featureBuckets(docs, idCol, textCol, buckets)
+        .join(docs.select(col(idCol), col(labelCol).cast("long").as("__lab")),
+          Seq(idCol)),
+      "perceptron_feats")
+    val grid = spark.range(buckets).select(col("id").as("bucket"))
+      .crossJoin(spark.range(nClasses).select(col("id").as("cls")))
+    def roundStep(w: DataFrame): DataFrame = {
+      val preds = feats.df.join(broadcast(w), Seq("bucket"))
+        .groupBy(col(idCol), col("__lab"), col("cls"))
+        .agg(sum(col("cnt") * col("w")).as("score"))
+        .groupBy(col(idCol), col("__lab"))
+        .agg(sort_array(collect_list(struct(col("score").as("s"),
+          (-col("cls")).as("nc"))), asc = false).as("r"))
+        .select(col(idCol), col("__lab"), (-col("r")(0)("nc")).as("__pred"))
+      val mis = preds.filter(col("__pred") =!= col("__lab"))
+      val delta = feats.df.join(mis.select(col(idCol), col("__lab").as("__l"),
+          col("__pred").as("__p")), Seq(idCol))
+        .select(col("bucket"), explode(array(
+          struct(col("__l").as("cls"), col("cnt").as("dw")),
+          struct(col("__p").as("cls"), (-col("cnt")).as("dw")))).as("u"))
+        .groupBy(col("bucket"), col("u.cls").as("cls"))
+        .agg(sum(col("u.dw")).as("dw"))
+      w.join(delta, Seq("bucket", "cls"), "left")
+        .select(col("bucket"), col("cls"),
+          (col("w") + coalesce(col("dw"), lit(0L))).as("w"))
+    }
+    var cur = Staging.stage(grid.withColumn("w", lit(0L)), "perceptron_w0")
+    val snaps = scala.collection.mutable.ArrayBuffer.empty[Staging.Staged]
+    (1 to rounds).foreach { r =>
+      val next = Staging.stage(roundStep(cur.df), s"perceptron_w$r")
+      if (snaps.isEmpty) cur.delete() // w0 is all zeros — not a snapshot
+      snaps += next
+      cur = next
+    }
+    val summed = Staging.stage(
+      snaps.map(_.df).reduce(_.unionByName(_))
+        .groupBy("bucket", "cls").agg(sum(col("w")).as("w")),
+      "perceptron_wsum")
+    snaps.foreach(_.delete())
+    feats.delete()
+    summed.df
+  }
+
   /** Classifier inference: (id, pred_cls, best_score, margin) per
     * document with at least one feature. `model` must cover every
     * (bucket, cls) pair (so each doc scores exactly nClasses rows);

@@ -193,16 +193,26 @@ object Relational {
       s"schema mismatch: ${oldDf.columns.toSeq} vs ${newDf.columns.toSeq}")
     val valCols = oldDf.columns.filterNot(keys.contains).toSeq
     require(valCols.nonEmpty, "tableDiff needs at least one non-key column")
+    // each side's values pack into ONE generated struct column — user
+    // value columns can never collide with the diff's bookkeeping names
+    // (a value column literally named "o_present" used to break the
+    // join resolution); only the two reserved names below are off
+    // limits, and only as KEY names
+    val (oSide, nSide) = ("__tdiff_o", "__tdiff_n")
+    require(!keys.contains(oSide) && !keys.contains(nSide),
+      s"key columns may not use the reserved names $oSide/$nSide")
     def side(df: DataFrame, p: String) =
-      df.select(keys.map(col) ++ (lit(true).as(s"${p}_present") +:
-        valCols.map(c => col(c).as(s"${p}_$c"))): _*)
-    val same = valCols.map(c => col(s"o_$c") <=> col(s"n_$c")).reduce(_ && _)
+      df.select(keys.map(col) :+ struct(valCols.map(col): _*).as(p): _*)
+    // a present row yields a non-null struct even if every value inside
+    // is null; only a missing full-outer side yields a null struct
+    val same = valCols.map(c =>
+      col(oSide)(c) <=> col(nSide)(c)).reduce(_ && _)
     val nChanged = valCols.map(c =>
-      when(col(s"o_$c") <=> col(s"n_$c"), 0L).otherwise(1L)).reduce(_ + _)
-    side(oldDf, "o").join(side(newDf, "n"), keys, "full_outer")
+      when(col(oSide)(c) <=> col(nSide)(c), 0L).otherwise(1L)).reduce(_ + _)
+    side(oldDf, oSide).join(side(newDf, nSide), keys, "full_outer")
       .withColumn("change",
-        when(col("n_present").isNull, lit("delete"))
-          .when(col("o_present").isNull, lit("insert"))
+        when(col(nSide).isNull, lit("delete"))
+          .when(col(oSide).isNull, lit("insert"))
           .when(same, lit(null).cast("string"))
           .otherwise(lit("update")))
       .filter(col("change").isNotNull)

@@ -618,20 +618,52 @@ object SimilaritySearch {
     * secretly near-positives corrupt the loss). Pure hash ranking —
     * reproducible across engines, partitionings, and reruns; no RNG
     * state anywhere.
+    *
+    * Cost contract (the 100 TB shape): the draw ranks by the md5 hash
+    * ASCENDING, so the winners per query are exactly the candidates in
+    * the lowest slice of the hash space — a filter on the draw's 32-bit
+    * prefix cuts the Q·N pair stream to ~64·(k+M) expected survivors
+    * per query BEFORE anything shuffles, so the window sorts Q·O(k)
+    * rows instead of Q·N. The pair enumeration itself stays a map-side
+    * broadcast nested loop (no shuffle, codegen'd), the same declared
+    * Q·N scan contract as [[bruteForceTopK]]'s exclusion pass. A
+    * per-query under-fill check (possible only with astronomically
+    * unlucky hashes or a corpus smaller than the slice) falls back to
+    * the unfiltered draw for just those queries, so the result is
+    * bit-identical to the naive global ranking at any N.
     */
   def sampleNegatives(queries: DataFrame, corpus: DataFrame, idCol: String,
                       vecCol: String, k: Int, excludeTopM: Int): DataFrame = {
     val near = bruteForceTopK(queries, corpus, idCol, vecCol, excludeTopM)
       .select(col("qid"), col("nid"))
-    val draws = queries.select(col(idCol).as("qid"))
-      .crossJoin(corpus.select(col(idCol).as("nid")))
+    val n = corpus.count()
+    // slice sized for ~64·(k+M)+256 expected survivors per query: the
+    // anti-join removes at most M of them, and P[< k survive] is
+    // Chernoff-negligible — the fallback branch exists for exactness,
+    // not for throughput.
+    val target = 64L * (k + excludeTopM) + 256L
+    val thr = math.min(0xFFFFFFFFL, (4294967296L * target) / math.max(n, 1L) + 1L)
+    val thrHex = f"$thr%08x"
+    def drawsOf(pairs: DataFrame) = pairs
       .filter(col("qid") =!= col("nid"))
-      .join(near, Seq("qid", "nid"), "left_anti")
       .withColumn("draw",
         md5(concat(col("qid").cast("string"), lit(":"), col("nid").cast("string"))))
+    val allPairs = queries.select(col(idCol).as("qid"))
+      .crossJoin(corpus.select(col(idCol).as("nid")))
     val w = Window.partitionBy("qid").orderBy(col("draw"), col("nid"))
-    draws.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    def ranked(draws: DataFrame) = draws
+      .join(near, Seq("qid", "nid"), "left_anti")
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
       .select(col("qid"), col("nid"), col("draw"), col("rank"))
+    val sliced = ranked(drawsOf(allPairs)
+      .filter(substring(col("draw"), 1, 8) <= lit(thrHex)))
+    if (thr >= 0xFFFFFFFFL) sliced // slice covers the whole hash space
+    else {
+      val short = sliced.groupBy("qid").agg(count(lit(1)).as("n_got"))
+        .filter(col("n_got") < k).select("qid")
+      sliced.join(broadcast(short), Seq("qid"), "left_anti")
+        .unionByName(ranked(drawsOf(allPairs.join(broadcast(short), Seq("qid")))))
+    }
   }
 
   private def rank(sims: DataFrame, k: Int): DataFrame = {

@@ -20,15 +20,30 @@ object Tokenize {
     * vocabulary; everything else later encodes as OOV.
     *
     * The global rank window runs on the POST-AGGREGATE frame (one row
-    * per distinct term — vocabulary-sized, not corpus-sized), so the
-    * single-partition sort it implies is bounded by |vocab|, which is
-    * the quantity a vocabulary build is bounded by anyway.
+    * per distinct term), and is additionally CUT to the terms that can
+    * still reach a rank below `maxSize` before it sorts: a raw web
+    * crawl's distinct-term tail (typos, junk, URLs) is orders of
+    * magnitude larger than any vocab cap, so sorting it globally would
+    * be the classic single-partition window trap. A count-histogram
+    * pass (tiny — one row per distinct count value) finds the smallest
+    * count `thr` whose strictly-greater counts still number < maxSize;
+    * any term below `thr` provably ranks >= maxSize and is dropped
+    * before the sort. The sorted frame is maxSize + |ties at thr| rows
+    * — vocabulary-sized — and the kept ids are bit-identical to the
+    * unfiltered global ranking.
     */
   def vocabBuild(toks: DataFrame, termCol: String, maxSize: Int): DataFrame = {
     require(maxSize >= 1, s"maxSize must be >= 1, got $maxSize")
     val counts = toks.groupBy(col(termCol).as("term")).agg(count(lit(1)).as("cnt"))
+    val wAbove = Window.orderBy(col("cnt").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val thr = counts.groupBy("cnt").agg(count(lit(1)).as("n"))
+      .withColumn("above", coalesce(sum(col("n")).over(wAbove), lit(0L)))
+      .filter(col("above") < maxSize)
+      .agg(min(col("cnt")).as("thr"))
     val w = Window.orderBy(col("cnt").desc, col("term"))
-    counts.withColumn("id", (row_number().over(w) - 1).cast("long"))
+    counts.join(broadcast(thr), col("cnt") >= col("thr")).drop("thr")
+      .withColumn("id", (row_number().over(w) - 1).cast("long"))
       .filter(col("id") < maxSize)
   }
 

@@ -20,9 +20,9 @@ object CapProfile {
     val docs = Tables.documents(spark, dir)
     val paged = docs
       .withColumn("w", TextFns.tokens(col("text")))
-      .withColumn("body", array_join(
+      .withColumn("body", when(size(col("w")) === 0, lit("")).otherwise(array_join(
         transform(sequence(lit(0), expr("((size(w) + 3) div 4) - 1")),
-          i => array_join(slice(col("w"), i * lit(4) + 1, lit(4)), " ")), "\n"))
+          i => array_join(slice(col("w"), i * lit(4) + 1, lit(4)), " ")), "\n")))
       .withColumn("page", concat(
         lit(nav), lit("\n"), col("body"), lit("\n"), lit(nav), lit("\n"),
         lit("reach us "), col("lang"), col("doc_id").cast("string"),

@@ -68,16 +68,30 @@ class CdcSpec extends SparkSpec {
     val edge = Seq((1L, ""), (2L, "x"), (3L, "abc " * 50)).toDF("doc_id", "text")
     assert(rows(Chunking.cdcChunksCodegen(edge, "doc_id", "text", 3)) ===
       rows(Chunking.cdcChunks(edge, "doc_id", "text", 3)))
+    // non-ASCII routes to the byte-correct branch: the union output
+    // must equal the mapPartitions loop on a MIXED corpus (umlauts,
+    // CJK, emoji — multibyte UTF-8 where char-slicing would misalign)
+    val mixed = Seq((1L, "plain ascii " * 30), (2L, "straße größe " * 30),
+      (3L, "日本語のテキスト " * 20), (4L, "emoji 🎉 mix " * 25))
+      .toDF("doc_id", "text")
+    assert(rows(Chunking.cdcChunksCodegen(mixed, "doc_id", "text", 4)) ===
+      rows(Chunking.cdcChunks(mixed, "doc_id", "text", 4)))
   }
 
-  test("codegen variant stays inside whole-stage codegen — no typed boundary") {
-    val s = spark
-    import s.implicits._
-    val docs = Seq((1L, "some text here")).toDF("doc_id", "text")
+  test("codegen variant: ascii hot path stays in whole-stage codegen, " +
+      "typed boundary only behind the multibyte filter") {
+    // parquet-backed source so nothing constant-folds away
+    val docs = graft.Tables.documents(spark, sf001).select("doc_id", "text")
     val plan = Chunking.cdcChunksCodegen(docs, "doc_id", "text", 6)
       .queryExecution.executedPlan.toString
-    assert(!plan.contains("MapPartitions"), s"no typed boundary expected:\n$plan")
-    assert(!plan.contains("DeserializeToObject"), s"no object conversion expected:\n$plan")
+    // '*(n)' is the executedPlan rendering of a WholeStageCodegen span
+    assert(plan.contains("*("), s"ascii path must codegen:\n$plan")
+    assert(plan.toLowerCase.contains("gearcuts") || plan.contains("gear_cuts"),
+      s"GearCuts expression expected on the hot path:\n$plan")
+    // the byte-correct fallback branch exists in the plan but is gated
+    // behind the multibyte filter — on an ASCII corpus it scans rows,
+    // finds none, and the typed boundary processes zero rows
+    assert(plan.contains("octet_length"), s"multibyte gate expected:\n$plan")
   }
 
   test("gear table is deterministic and in range") {

@@ -100,6 +100,42 @@ class ClassifierSpec extends SparkSpec {
     assert(m.forall(r => r._3 >= -1000 && r._3 <= 1000))
   }
 
+  test("trainPerceptron separates a toy set, covers the full grid, " +
+      "and is partitioning-invariant") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "apple apple banana", 0L), (2L, "apple fruit apple", 0L),
+      (3L, "dog dog cat", 1L), (4L, "dog bark dog", 1L),
+      (5L, "apple apple apple", 0L), (6L, "cat dog cat", 1L))
+      .toDF("doc_id", "text", "lab")
+    val w = Classifier.trainPerceptron(docs, "doc_id", "text", "lab",
+      buckets = 256, nClasses = 2, rounds = 4)
+    val wRows = w.as[(Long, Long, Long)].collect().sorted.toSeq
+    assert(wRows.size === 512, "every (bucket, cls) pair must be present")
+    assert(wRows.map(r => (r._1, r._2)).distinct.size === 512)
+    // the trained weights drive fused inference to a perfect fit
+    val preds = Classifier.predictFused(docs, "doc_id", "text", w, 256)
+      .select("doc_id", "pred_cls").as[(Long, Long)].collect().toMap
+    assert(preds === Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 1L,
+      5L -> 0L, 6L -> 1L))
+    // exact integer updates: identical weights under any partitioning
+    val w2 = Classifier.trainPerceptron(docs.repartition(5), "doc_id",
+      "text", "lab", buckets = 256, nClasses = 2, rounds = 4)
+      .as[(Long, Long, Long)].collect().sorted.toSeq
+    assert(wRows === w2)
+  }
+
+  test("trainPerceptron validates its parameters") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((1L, "a", 0L)).toDF("doc_id", "text", "lab")
+    intercept[IllegalArgumentException](
+      Classifier.trainPerceptron(docs, "doc_id", "text", "lab", 8, 1, 2))
+    intercept[IllegalArgumentException](
+      Classifier.trainPerceptron(docs, "doc_id", "text", "lab", 8, 2, 0))
+  }
+
   test("predict is partitioning-invariant (exact integer scores)") {
     val s = spark
     import s.implicits._

@@ -190,6 +190,23 @@ class RelationalSpec extends SparkSpec {
     assert(got === Seq((2L, "update", 1L)))
   }
 
+  test("tableDiff survives adversarial user column names") {
+    val s = spark
+    import s.implicits._
+    // value columns named 'present', 'x'/'o_x' used to collide with the
+    // side-renaming scheme; struct packing makes them just values
+    val oldS = Seq((1L, true, "a", "b")).toDF("k", "present", "x", "o_x")
+    val newS = Seq((1L, false, "a", "b"), (2L, true, "c", "d"))
+      .toDF("k", "present", "x", "o_x")
+    val got = Relational.tableDiff(oldS, newS, Seq("k"))
+      .as[(Long, String, Long)].collect().sortBy(_._1).toSeq
+    assert(got === Seq((1L, "update", 1L), (2L, "insert", 0L)))
+    // only the two generated struct names are reserved, and only as keys
+    intercept[IllegalArgumentException](Relational.tableDiff(
+      oldS.withColumnRenamed("k", "__tdiff_o"),
+      newS.withColumnRenamed("k", "__tdiff_o"), Seq("__tdiff_o")))
+  }
+
   test("tableDiff rejects schema mismatch and key-only tables") {
     val s = spark
     import s.implicits._

@@ -178,4 +178,35 @@ class SimilaritySpec extends SparkSpec {
       .select("qid", "nid").as[(Long, Long)].collect().toSeq
     assert(rows.sorted === again.sorted)
   }
+
+  test("sampleNegatives hash-slice path equals the naive global draw " +
+      "and is partition-stable") {
+    val s = spark
+    import s.implicits._
+    // corpus big enough that the 32-bit slice threshold actually cuts
+    // (target ≈ 576 of N = 5000 → ~88% of candidate pairs never reach
+    // the window) — the kept rows must still be bit-identical to the
+    // naive unfiltered ranking
+    val corpus = (0L until 5000L).map(i =>
+      (i, Seq((i % 17).toFloat, (i % 31).toFloat, 1.0f))).toDF("vec_id", "embedding")
+    val q = corpus.filter($"vec_id" < 5)
+    val got = SimilaritySearch.sampleNegatives(
+      q, corpus, "vec_id", "embedding", k = 3, excludeTopM = 2)
+      .select("qid", "nid", "rank").as[(Long, Long, Int)].collect().toSeq.sorted
+    val near = SimilaritySearch.bruteForceTopK(q, corpus, "vec_id", "embedding", 2)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    def md5hex(x: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val naive = (0L until 5L).flatMap { qi =>
+      (0L until 5000L).filter(n => n != qi && !near((qi, n)))
+        .map(n => (n, md5hex(s"$qi:$n")))
+        .sortBy { case (n, d) => (d, n) }.take(3).zipWithIndex
+        .map { case ((n, _), i) => (qi, n, i + 1) }
+    }.sorted
+    assert(got === naive, "slice-pruned draw must equal the global ranking")
+    val again = SimilaritySearch.sampleNegatives(
+      q.repartition(7), corpus.repartition(13), "vec_id", "embedding", 3, 2)
+      .select("qid", "nid", "rank").as[(Long, Long, Int)].collect().toSeq.sorted
+    assert(got === again, "draw must not depend on partitioning")
+  }
 }

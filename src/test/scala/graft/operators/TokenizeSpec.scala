@@ -17,6 +17,28 @@ class TokenizeSpec extends SparkSpec {
     assert(v.toSeq === Seq(("a", 3L, 0L), ("b", 3L, 1L), ("m", 2L, 2L)))
   }
 
+  test("vocabBuild cuts the long tail before the global sort when " +
+      "distinct-term count >> maxSize") {
+    val s = spark
+    import s.implicits._
+    // 20 hot terms with distinct counts + 5000 singleton junk terms:
+    // the histogram threshold must drop the junk before the rank
+    // window, and the kept ids must equal the unfiltered ranking
+    val hot = (0 until 20).flatMap(i => Seq.fill(100 - i)(f"hot_$i%02d"))
+    val junk = (0 until 5000).map(i => s"junk_$i")
+    val toks = (hot ++ junk).toDF("term")
+    val v10 = Tokenize.vocabBuild(toks, "term", maxSize = 10)
+      .as[(String, Long, Long)].collect().sortBy(_._3)
+    assert(v10.map(_._1).toSeq === (0 until 10).map(i => f"hot_$i%02d"))
+    assert(v10.map(_._2).toSeq === (0 until 10).map(i => (100 - i).toLong))
+    // cap lands INSIDE the count-1 tie group: lexicographically first
+    // junk terms fill the remaining slots ("junk_0" < "junk_1" < "junk_10")
+    val v22 = Tokenize.vocabBuild(toks, "term", maxSize = 22)
+      .as[(String, Long, Long)].collect().sortBy(_._3)
+    assert(v22.length === 22)
+    assert(v22.drop(20).map(_._1).toSeq === Seq("junk_0", "junk_1"))
+  }
+
   test("encodeDocs preserves token order and encodes OOV as -1") {
     val s = spark
     import s.implicits._
