@@ -272,6 +272,38 @@ object ExtQueries {
         SELECT w.doc_id, w.fp FROM winners w
         WHERE NOT EXISTS (SELECT 1 FROM known k WHERE k.fp = w.fp)""")),
 
+    // INCREMENTAL MinHash-LSH admission — q113's daily-crawl pattern
+    // for NEAR-dups: the corpus arrives in two id-ordered batches, each
+    // admitted against the accumulated band-signature state with no
+    // corpus rescan; the union of admissions must equal the ONE-SHOT
+    // smaller-id ranking over the whole corpus, which is what the
+    // oracle computes directly from the full band table (the q173
+    // append ≡ rebuild equivalence pattern).
+    QuerySpec("q187_dedup_increment_lsh",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir).select("doc_id", "text", "n_chars")
+        val (b1, b2) = (docs.filter(col("doc_id") < 250),
+          docs.filter(col("doc_id") >= 250))
+        val state0 = Dedup.lshBandState(docs.filter(lit(false)),
+          "doc_id", "text", n = 4, k = 12, rowsPerBand = 3)
+        val adm1 = Dedup.dedupIncrementLsh(b1, "doc_id", "text",
+          n = 4, k = 12, rowsPerBand = 3, knownBands = state0)
+        val state1 = Dedup.lshBandState(b1, "doc_id", "text",
+          n = 4, k = 12, rowsPerBand = 3)
+        val adm2 = Dedup.dedupIncrementLsh(b2, "doc_id", "text",
+          n = 4, k = 12, rowsPerBand = 3, knownBands = state1)
+        adm1.unionByName(adm2).select("doc_id", "n_chars")
+      },
+      Some(s"""
+        WITH $WORDS_SQL, $MINHASH_FROM_WORDS_SQL,
+        rej AS (
+          SELECT DISTINCT a.doc_id FROM bands a
+          JOIN bands b ON a.band = b.band AND a.sig = b.sig
+                      AND b.doc_id < a.doc_id)
+        SELECT d.doc_id, d.n_chars
+        FROM documents d LEFT JOIN rej r ON d.doc_id = r.doc_id
+        WHERE r.doc_id IS NULL""")),
+
     // exact n-gram Jaccard near-dup via shingle blocking (df-capped)
     QuerySpec("q31_dedup_jaccard",
       (s, dir) => Dedup.jaccardPairs(Tables.documents(s, dir), "doc_id", "text",

@@ -548,6 +548,69 @@ object IngestQueries {
         SELECT user_id, count(*) AS n_events,
           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
           max(epoch_us(CAST(ts AS TIMESTAMP))) AS last_us
-        FROM events GROUP BY 1"""))
+        FROM events GROUP BY 1""")),
+
+    // TIME TRAVEL under the oracle — the versioned-table CDC story:
+    // two upsert ticks (half the events, then the full recompute) on a
+    // GraftTable that keeps every version's file set; tableDiff runs
+    // between readAt(tick-1) and the live table — self-serve CDC with
+    // no caller-held snapshots. The oracle recomputes both tick states
+    // from the raw events and replays the diff classification.
+    QuerySpec("q186_time_travel_diff",
+      (s, dir) => {
+        GraftSession.tune(s)
+        val base = java.nio.file.Files.createTempDirectory("graft_q186_").toString
+        val ev = Tables.events(s, dir)
+        def agg(e: org.apache.spark.sql.DataFrame) = e.groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_events"),
+            sum(expr("CAST(round(value * 100) AS BIGINT)")).as("sum_cents"),
+            max(unix_micros(col("ts"))).as("last_us"))
+          .withColumn("pk", col("user_id") % 4)
+        val t = new graft.operators.GraftTable(s, s"$base/t", Seq("user_id"), "pk")
+        t.createIfNotExists(org.apache.spark.sql.types.StructType.fromDDL(
+          "user_id BIGINT, n_events BIGINT, sum_cents BIGINT, last_us BIGINT, pk BIGINT"))
+        t.upsertReplace(agg(ev.filter(unix_micros(col("ts")) % 2 === 0)))
+        val tick1 = t.currentVersion
+        t.upsertReplace(agg(ev))
+        val out = graft.operators.Relational.tableDiff(
+          t.readAt(tick1).drop("pk"), t.read.drop("pk"), Seq("user_id"))
+        val snap = out.localCheckpoint(true)
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+        }
+        rm(new java.io.File(base))
+        snap
+      },
+      Some("""
+        WITH e AS (
+          SELECT user_id, CAST(round(value * 100) AS BIGINT) AS cents,
+            epoch_us(CAST(ts AS TIMESTAMP)) AS us
+          FROM events),
+        a1 AS (
+          SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+            CAST(SUM(cents) AS BIGINT) AS sum_cents, max(us) AS last_us
+          FROM e WHERE us % 2 = 0 GROUP BY 1),
+        a2 AS (
+          SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+            CAST(SUM(cents) AS BIGINT) AS sum_cents, max(us) AS last_us
+          FROM e GROUP BY 1),
+        d AS (
+          SELECT COALESCE(a1.user_id, a2.user_id) AS user_id,
+            CASE WHEN a2.user_id IS NULL THEN 'delete'
+                 WHEN a1.user_id IS NULL THEN 'insert'
+                 WHEN a1.n_events = a2.n_events
+                  AND a1.sum_cents = a2.sum_cents
+                  AND a1.last_us = a2.last_us THEN NULL
+                 ELSE 'update' END AS change,
+            CASE WHEN a1.user_id IS NULL OR a2.user_id IS NULL THEN 0
+                 ELSE (CASE WHEN a1.n_events IS DISTINCT FROM a2.n_events
+                            THEN 1 ELSE 0 END)
+                    + (CASE WHEN a1.sum_cents IS DISTINCT FROM a2.sum_cents
+                            THEN 1 ELSE 0 END)
+                    + (CASE WHEN a1.last_us IS DISTINCT FROM a2.last_us
+                            THEN 1 ELSE 0 END) END AS n_changed
+          FROM a1 FULL JOIN a2 ON a1.user_id = a2.user_id)
+        SELECT user_id, change, CAST(n_changed AS BIGINT) AS n_changed
+        FROM d WHERE change IS NOT NULL"""))
   )
 }

@@ -86,6 +86,71 @@ object Dedup {
       .join(knownFps.select(col(fpCol).as("fp")), Seq("fp"), "left_anti")
   }
 
+  /** The (id, band, sig) LSH band-signature table of `docs` — the
+    * maintainable STATE for [[dedupIncrementLsh]], the near-dup
+    * counterpart of [[dedupIncrement]]'s fingerprint set. Callers
+    * append the state of EVERY batch doc (admitted or not) after each
+    * batch: a rejected doc still blocks its own later near-dups,
+    * exactly as it does in the one-shot smaller-id ranking. Docs with
+    * fewer than `n` tokens have no shingles, hence no signatures —
+    * they never collide and are always admitted (same as one-shot).
+    */
+  def lshBandState(docs: DataFrame, idCol: String, textCol: String,
+                   n: Int, k: Int, rowsPerBand: Int): DataFrame = {
+    require(k % rowsPerBand == 0,
+      s"k ($k) must be a multiple of rowsPerBand ($rowsPerBand)")
+    minhashBands(shingleSet(docs, idCol, textCol, n), k, rowsPerBand)
+  }
+
+  /** INCREMENTAL MinHash-LSH admission: admit only the rows of a NEW
+    * batch that are not LSH near-dup candidates of anything already
+    * seen — the daily-crawl ingestion path for NEAR-duplicates, where
+    * re-banding the whole corpus per batch ([[minhashLshPairs]]) would
+    * be a full rescan. The stored state is signatures only (a k/rpb-row
+    * table per doc — no shingles, no text), so admission is one
+    * (band, sig) join against the state plus one within-batch
+    * self-join; the corpus is never touched.
+    *
+    * Semantics (smaller-id-wins per collision edge): a batch doc is
+    * REJECTED iff it shares at least one band signature with the state
+    * or with a smaller-id doc of its own batch. When batches arrive in
+    * id order and the state accumulates every seen doc's bands
+    * ([[lshBandState]] contract), a multi-batch build admits exactly
+    * the docs the ONE-SHOT ranking over the union admits — q187 proves
+    * the equivalence under the oracle. Band-level admission is the
+    * deliberate contract (candidates are near-dups at the LSH
+    * threshold; there are no stored shingles to Jaccard-verify
+    * against) — the same screen/verify trade [[Contamination
+    * .fuzzyOverlap]] documents.
+    *
+    * @param knownBands (id, band, sig) state from [[lshBandState]];
+    *                   must not already contain this batch's ids
+    * @return the admitted batch rows, schema unchanged
+    */
+  def dedupIncrementLsh(batch: DataFrame, idCol: String, textCol: String,
+                        n: Int, k: Int, rowsPerBand: Int,
+                        knownBands: DataFrame): DataFrame = {
+    require(k % rowsPerBand == 0,
+      s"k ($k) must be a multiple of rowsPerBand ($rowsPerBand)")
+    // the band table feeds two consumers (state probe + intra self-join
+    // sides) — stage once, same discipline as minhashLshPairs' postings
+    val bands = staged(
+      minhashBands(shingleSet(batch, idCol, textCol, n), k, rowsPerBand),
+      "inc_lsh_bands")
+    val vsState = bands
+      .join(knownBands.select(col("id"), col("band"), col("sig")),
+        Seq("band", "sig"), "left_semi")
+      .select(col("id"))
+    val intra = bands
+      .join(bands.select(col("id").as("id_b"), col("band"), col("sig")),
+        Seq("band", "sig"))
+      .filter(col("id_b") < col("id"))
+      .select(col("id"))
+    val rejected = vsState.union(intra).distinct()
+      .withColumnRenamed("id", idCol)
+    batch.join(rejected, Seq(idCol), "left_anti")
+  }
+
   /** Distinct word-n-gram shingles, exploded to (id, sh) posting rows.
     *
     * Built as posexplode + window `lead()` instead of a transform/slice

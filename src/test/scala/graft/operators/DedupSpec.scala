@@ -170,4 +170,45 @@ class DedupSpec extends SparkSpec {
       .as[String].collect().min
     assert(out.filter($"doc_id" === 2L).select("fp").as[String].collect().head == minFp)
   }
+
+  test("dedupIncrementLsh: batch-by-batch admission equals the one-shot ranking") {
+    val s = spark
+    import s.implicits._
+    val docs = graft.Tables.documents(spark, sf001).select("doc_id", "text")
+    def empty = Dedup.lshBandState(docs.filter($"doc_id" < 0), "doc_id", "text", 4, 12, 3)
+    def admit(b: org.apache.spark.sql.DataFrame, st: org.apache.spark.sql.DataFrame) =
+      Dedup.dedupIncrementLsh(b, "doc_id", "text", 4, 12, 3, st)
+    // one-shot = a single batch against the empty state
+    val oneShot = admit(docs, empty).select("doc_id").as[Long].collect().sorted.toSeq
+    assert(oneShot.size < docs.count(), "the corpus must contain near-dups to reject")
+    // two id-ordered batches, state accumulating EVERY seen doc's bands
+    val (b1, b2) = (docs.filter($"doc_id" < 250), docs.filter($"doc_id" >= 250))
+    val twoBatch = (admit(b1, empty).select("doc_id").as[Long].collect() ++
+      admit(b2, Dedup.lshBandState(b1, "doc_id", "text", 4, 12, 3))
+        .select("doc_id").as[Long].collect()).sorted.toSeq
+    assert(twoBatch === oneShot, "append must equal rebuild")
+    // a different batch boundary lands on the same admissions
+    val (c1, c2) = (docs.filter($"doc_id" < 100), docs.filter($"doc_id" >= 100))
+    val other = (admit(c1, empty).select("doc_id").as[Long].collect() ++
+      admit(c2, Dedup.lshBandState(c1, "doc_id", "text", 4, 12, 3))
+        .select("doc_id").as[Long].collect()).sorted.toSeq
+    assert(other === oneShot, "admission must not depend on the batch boundary")
+  }
+
+  test("dedupIncrementLsh rejects an exact near-dup of a stored doc and admits fresh text") {
+    val s = spark
+    import s.implicits._
+    val stored = Seq((1L, "the quick brown fox jumps over the lazy dog again and again"))
+      .toDF("doc_id", "text")
+    val state = Dedup.lshBandState(stored, "doc_id", "text", 4, 12, 3)
+    val batch = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog again and again"), // dup of stored
+      (11L, "completely different content about training data pipelines at scale"),
+      (12L, "completely different content about training data pipelines at scale"), // dup of 11
+      (13L, "zz")) // < n tokens: no shingles, always admitted
+      .toDF("doc_id", "text")
+    val got = Dedup.dedupIncrementLsh(batch, "doc_id", "text", 4, 12, 3, state)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(got === Seq(11L, 13L))
+  }
 }

@@ -82,7 +82,7 @@ class GraftTableSpec extends SparkSpec {
     assert(got == Set(("d1", "r2")))
   }
 
-  test("deleteByKeys drops emptied partitions at metadata level — untouched partitions are not rewritten") {
+  test("deleteByKeys drops emptied partitions at manifest level — untouched partitions are not rewritten") {
     val t2 = freshTable().createIfNotExists(rows().schema)
     t2.importOnce(rows(("d1", "a", "r1", 1), ("d1", "a", "r2", 2),
       ("d2", "b", "r1", 3), ("d3", "c", "r1", 4)))
@@ -93,15 +93,24 @@ class GraftTableSpec extends SparkSpec {
         .map(f => (f.getName, f.lastModified)).toSet
     }
     val d3b = files2("d3")
+    val preDelete = t2.currentVersion
     // empties d2 entirely, partially deletes d1, leaves d3 untouched
     t2.deleteByKeys(Seq(("a", "r1"), ("b", "r1")).toDF("pk", "rk"))
-    assert(!new java.io.File(s"${t2.path}/day=d2").exists, "emptied partition dir must be dropped")
-    assert(files2("d3") == d3b, "untouched partition files must not be rewritten")
     assert(t2.read.select("day", "rk").as[(String, String)].collect().toSet
       == Set(("d1", "r2"), ("d3", "r1")))
+    assert(files2("d3") == d3b, "untouched partition files must not be rewritten")
+    // the emptied partition is INVISIBLE now but still time-travels
+    assert(t2.readAt(preDelete).filter($"day" === "d2").count() == 1)
+    // vacuum reclaims history: d2's files (referenced only by dropped
+    // versions) physically disappear, directory included
+    t2.vacuum(keepVersions = 1)
+    assert(!new java.io.File(s"${t2.path}/day=d2").exists,
+      "vacuumed emptied partition dir must be gone")
+    assert(t2.read.select("day", "rk").as[(String, String)].collect().toSet
+      == Set(("d1", "r2"), ("d3", "r1")), "vacuum must not change the live table")
   }
 
-  test("deleteByKeys on a NULL partition value: partial delete keeps survivors, full delete drops the default dir") {
+  test("deleteByKeys on a NULL partition value: partial delete keeps survivors, full delete empties the default partition") {
     val t = freshTable().createIfNotExists(rows().schema)
     t.importOnce(Seq((null.asInstanceOf[String], "p", "rA", 1),
       (null.asInstanceOf[String], "q", "rB", 2), ("d1", "z", "r1", 3))
@@ -111,10 +120,57 @@ class GraftTableSpec extends SparkSpec {
     // partial: only rA deleted — rB must SURVIVE in the null partition
     t.deleteByKeys(Seq(("p", "rA")).toDF("pk", "rk"))
     assert(t.read.filter($"day".isNull).select("rk").as[String].collect().toSeq == Seq("rB"))
-    // full: rB deleted too — now the default-partition dir is dropped
+    // full: rB deleted too — the null partition reads empty, and after
+    // vacuum its default dir is physically reclaimed
     t.deleteByKeys(Seq(("q", "rB")).toDF("pk", "rk"))
-    assert(!defaultDir.exists, "emptied null partition dir must be dropped")
+    assert(t.read.filter($"day".isNull).count() == 0)
+    t.vacuum(keepVersions = 1)
+    assert(!defaultDir.exists, "vacuumed null partition dir must be gone")
     assert(t.read.select("rk").as[String].collect().toSeq == Seq("r1"))
+  }
+
+  test("version history: every mutation commits a version, readAt time-travels, vacuum bounds it") {
+    val t = freshTable().createIfNotExists(rows().schema)
+    assert(t.currentVersion == 1L, "create commits the empty v1")
+    t.importOnce(rows(("d1", "p", "r1", 1), ("d2", "p", "r1", 2)))
+    val v2 = t.currentVersion
+    t.upsertReplace(rows(("d1", "p", "r1", 100)))
+    val v3 = t.currentVersion
+    t.deleteByKeys(Seq(("p", "r1")).toDF("pk", "rk"))
+    val v4 = t.currentVersion
+    assert(Seq(v2, v3, v4) == Seq(2L, 3L, 4L))
+    assert(t.readAt(1L).count() == 0)
+    assert(t.readAt(v2).select("day", "n").as[(String, Int)].collect().toMap
+      == Map("d1" -> 1, "d2" -> 2))
+    assert(t.readAt(v3).select("day", "n").as[(String, Int)].collect().toMap
+      == Map("d1" -> 100, "d2" -> 2))
+    assert(t.readAt(v4).count() == 0)
+    assert(t.read.count() == 0, "read == readAt(latest)")
+    // compaction preserves history: pre-compaction versions still read
+    t.importOnce(rows(("d3", "p", "r1", 7)))
+    t.compact()
+    assert(t.readAt(v3).select("day", "n").as[(String, Int)].collect().toMap
+      == Map("d1" -> 100, "d2" -> 2), "history must survive compaction")
+    // vacuum keeps only the latest; dropped versions stop resolving
+    t.vacuum(keepVersions = 1)
+    assert(t.versions.size == 1)
+    intercept[IllegalArgumentException](t.readAt(v3))
+    assert(t.read.select("day", "n").as[(String, Int)].collect().toMap
+      == Map("d3" -> 7))
+  }
+
+  test("legacy table without a version log upgrades in place on first mutation") {
+    val dir = Files.createTempDirectory("graft_legacy").toString + "/t"
+    // files written by plain Spark, no manifest, no sidecar
+    rows(("d1", "p", "r1", 1)).write.partitionBy("day").parquet(dir)
+    val t = new GraftTable(spark, dir, keys = Seq("pk", "rk"), partitionCol = "day")
+    assert(t.currentVersion == 0L)
+    assert(t.read.select("n").as[Int].collect().toSeq == Seq(1))
+    t.importOnce(rows(("d2", "p", "r1", 2)))
+    // baseline v1 = the legacy snapshot, v2 = the import
+    assert(t.currentVersion == 2L)
+    assert(t.readAt(1L).select("n").as[Int].collect().toSeq == Seq(1))
+    assert(t.read.select("n").as[Int].collect().toSet == Set(1, 2))
   }
 
   test("table writes do not mutate the session's partitionOverwriteMode") {
