@@ -425,10 +425,81 @@ object MlQueries {
           buckets = 64, nClasses = 5, rounds = 3)
         Classifier.predictFused(docs, "doc_id", "text", w, buckets = 64)
       },
-      Some(perceptronOracleSql))
+      Some(perceptronOracleSql)),
+
+    // Graph-based ANN — the OTHER production ANN architecture next to
+    // the IVF/PQ/SQ8 cell family (HNSW/NSG lineage): a degree-6 kNN
+    // graph as the index, then 3 beam-search hops from the min-id
+    // entry point, exact fixed-point cosine at every step so all
+    // engines walk the identical path. The oracle replays the graph
+    // build AND every hop as CTEs — a single frontier divergence
+    // anywhere in the walk breaks the hash.
+    QuerySpec("q188_graph_ann",
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        val g = operators.SimilaritySearch.knnGraph(e, "vec_id", "embedding",
+          degree = 6)
+        operators.SimilaritySearch.graphAnnTopK(
+          e.filter(col("vec_id") < 8), e, "vec_id", "embedding", g,
+          k = 3, beam = 4, hops = 3)
+      },
+      Some(graphAnnOracleSql))
   )
 
 
+
+  /** DuckDB replay of [[operators.SimilaritySearch.knnGraph]] (degree
+    * 6) + [[operators.SimilaritySearch.graphAnnTopK]] (beam 4, 3 hops,
+    * k 3, queries vec_id < 8) — the q188 oracle. `allsims` includes
+    * self-pairs (sim 1.0 pins an indexed query to its own neighborhood
+    * during the walk; excluded only from the final ranking).
+    */
+  private[graft] lazy val graphAnnOracleSql: String = {
+    val hops = (1 to 3).map { h => s"""
+        c$h AS (
+          SELECT DISTINCT qid, nid FROM (
+            SELECT f.qid, g.nbr AS nid FROM f${h - 1} f JOIN g ON f.nid = g.src
+            UNION ALL SELECT qid, nid FROM f${h - 1}) u),
+        f$h AS MATERIALIZED (
+          SELECT qid, nid, sim FROM (
+            SELECT c.qid, c.nid, s.sim,
+              row_number() OVER (PARTITION BY c.qid ORDER BY s.sim DESC, c.nid) AS rn
+            FROM c$h c JOIN allsims s ON s.qid = c.qid AND s.nid = c.nid) x
+          WHERE rn <= 4),"""
+    }.mkString
+    s"""
+        WITH n2a AS (
+          SELECT vec_id, SUM(CAST(floor(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 1000000000.0) AS BIGINT)) AS n2
+          FROM (SELECT vec_id, UNNEST(embedding) AS x FROM embeddings) t GROUP BY 1),
+        ap AS (
+          SELECT a.vec_id AS qid, b.vec_id AS nid,
+            a.embedding AS qe, b.embedding AS ne
+          FROM embeddings a, embeddings b),
+        ael AS (SELECT qid, nid, UNNEST(qe) AS x, UNNEST(ne) AS y FROM ap),
+        adots AS (
+          SELECT qid, nid,
+            SUM(CAST(floor(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) * 1000000000.0) AS BIGINT)) AS dot
+          FROM ael GROUP BY 1, 2),
+        allsims AS MATERIALIZED (
+          SELECT qid, nid,
+            CAST(dot AS DOUBLE) / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) AS sim
+          FROM adots JOIN n2a a ON qid = a.vec_id JOIN n2a b ON nid = b.vec_id),
+        g AS MATERIALIZED (
+          SELECT qid AS src, nid AS nbr FROM (
+            SELECT qid, nid,
+              row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rn
+            FROM allsims WHERE qid <> nid) x WHERE rn <= 6),
+        ent AS (SELECT min(vec_id) AS nid FROM embeddings),
+        f0 AS (
+          SELECT s.qid, s.nid, s.sim FROM allsims s JOIN ent e ON s.nid = e.nid
+          WHERE s.qid < 8),
+        $hops
+        r AS (
+          SELECT qid, nid, sim,
+            row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rn
+          FROM f3 WHERE qid <> nid)
+        SELECT qid, nid, sim, CAST(rn AS INTEGER) AS rank FROM r WHERE rn <= 3"""
+  }
 
   /** DuckDB replay of [[Classifier.trainPerceptron]] (B=64, C=5, 3
     * rounds, labels = alphabetic language index) followed by scoring

@@ -666,6 +666,81 @@ object SimilaritySearch {
     }
   }
 
+  // --------------------------------------------------- graph-based ANN
+
+  /** k-NN GRAPH construction — the index side of graph-based ANN (the
+    * HNSW/NSG architecture family): per corpus vector its `degree`
+    * most-similar neighbors, (src, nbr) edge rows. Built here with the
+    * exact [[bruteForceTopK]] pass (declared N² baseline, like every
+    * brute builder in this file); at corpus scale the build swaps to
+    * any blocked candidate source with the same output contract —
+    * IVF-probed candidates ([[ivfTopK]]) or NN-descent rounds — and the
+    * SEARCH below is unchanged, which is the point: the graph is the
+    * index artifact, the build is pluggable.
+    */
+  def knnGraph(corpus: DataFrame, idCol: String, vecCol: String,
+               degree: Int): DataFrame = {
+    require(degree >= 1, s"degree must be >= 1, got $degree")
+    bruteForceTopK(corpus, corpus, idCol, vecCol, degree)
+      .select(col("qid").as("src"), col("nid").as("nbr"))
+  }
+
+  /** BEAM SEARCH over a k-NN graph — the query side of graph-based ANN,
+    * completing the production-ANN architecture pair next to the
+    * IVF/PQ/SQ8 cell family: from a deterministic entry point (the
+    * minimum corpus id), each hop expands the frontier's graph
+    * neighbors, scores them exactly, and keeps the top-`beam` per query
+    * (ties on id); after `hops` rounds the frontier's top-k (self
+    * excluded) is the answer.
+    *
+    * Spark-first shape: fixed staged rounds at O(1) plan depth (the
+    * [[graft.operators.Graph.bfsHops]] discipline — one edges join +
+    * one bounded window per hop); per-query state is `beam` rows, per
+    * hop work is ≤ beam·degree sim evaluations, so search cost is
+    * independent of corpus size once the graph exists. The edges table
+    * shuffles on `src` — bucketed on it, the hop join is co-located.
+    * Exact fixed-point cosine everywhere, so every engine walks the
+    * IDENTICAL path (the oracle replays all hops as CTEs).
+    *
+    * Self-similarity (sim = 1.0) keeps an indexed query pinned at its
+    * own true neighborhood during the walk — excluded only from the
+    * final ranking, as a search for an indexed vector should be.
+    */
+  def graphAnnTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+                   vecCol: String, graph: DataFrame, k: Int, beam: Int,
+                   hops: Int): DataFrame = {
+    require(k >= 1 && beam >= k, s"need beam >= k >= 1, got beam=$beam k=$k")
+    require(hops >= 1 && hops <= 16, s"hops must be in [1,16], got $hops")
+    val q = withNorm(queries, idCol, vecCol, "q")
+    val c = withNorm(corpus, idCol, vecCol, "n")
+    val sim = VectorFns.cosineFrom(
+      VectorFns.dotFixed9(col("qvec"), col("nvec")), col("qn2"), col("nn2"))
+    def scored(pairs: DataFrame) = pairs // (qid, nid) → + exact sim
+      .join(c, Seq("nid")).join(q, Seq("qid"))
+      .select(col("qid"), col("nid"), sim.as("sim"))
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid"))
+    def topBeam(scoredPairs: DataFrame) = scoredPairs
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= beam)
+      .select("qid", "nid", "sim")
+    val entry = corpus.agg(min(col(idCol)).as("nid"))
+    var frontier = Staging.stage(
+      topBeam(scored(q.select(col("qid")).crossJoin(broadcast(entry)))),
+      "gann_f0")
+    (1 to hops).foreach { h =>
+      val cand = frontier.df.select(col("qid"), col("nid"))
+        .join(graph.select(col("src").as("nid"), col("nbr")), Seq("nid"))
+        .select(col("qid"), col("nbr").as("nid"))
+        .unionByName(frontier.df.select(col("qid"), col("nid")))
+        .distinct()
+      val next = Staging.stage(topBeam(scored(cand)), s"gann_f$h")
+      frontier.delete()
+      frontier = next
+    }
+    frontier.df.filter(col("qid") =!= col("nid"))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("qid"), col("nid"), col("sim"), col("rank"))
+  }
+
   private def rank(sims: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy("qid").orderBy(col("sim_raw").desc, col("nid"))
     sims.withColumn("rank", row_number().over(w))

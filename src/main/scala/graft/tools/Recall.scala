@@ -65,6 +65,17 @@ object Recall {
         SimilaritySearch.ivfTopK(q, e, e.filter(col("vec_id") < 16),
           "vec_id", "embedding", "vec_id", k, nProbe))
     }
+    // graph-based ANN: recall vs (degree, beam, hops) — the knob
+    // triple HNSW-family deployments tune; the graph is rebuilt per
+    // degree (index-side cost), beam/hops are query-side only
+    for (degree <- Seq(8, 16)) {
+      val g = SimilaritySearch.knnGraph(e, "vec_id", "embedding", degree)
+        .localCheckpoint(true)
+      for ((beam, hops) <- Seq((8, 3), (16, 4)))
+        report(s"graph(deg=$degree,beam=$beam,hops=$hops)",
+          SimilaritySearch.graphAnnTopK(q, e, "vec_id", "embedding", g,
+            k, beam, hops))
+    }
     // PQ measures QUANTIZATION loss, so its baseline is the exact
     // squared-L2 answer (PQ approximates L2; the cosine baseline would
     // mix in metric mismatch on unnormalized vectors).

@@ -179,6 +179,35 @@ class SimilaritySpec extends SparkSpec {
     assert(rows.sorted === again.sorted)
   }
 
+  test("graphAnnTopK on a complete graph equals brute force; " +
+      "beam search is partition-stable") {
+    val s = spark
+    import s.implicits._
+    val e = Tables.embeddings(spark, sf001).limit(40)
+    val q = e.filter($"vec_id" < 4)
+    // complete graph (degree = N-1): one hop reaches everything, so the
+    // walk must land exactly on the exhaustive answer
+    val complete = SimilaritySearch.knnGraph(e, "vec_id", "embedding", 39)
+    val got = SimilaritySearch.graphAnnTopK(q, e, "vec_id", "embedding",
+      complete, k = 3, beam = 40, hops = 1)
+      .select("qid", "nid", "rank").as[(Long, Long, Int)].collect().toSeq.sorted
+    val brute = SimilaritySearch.bruteForceTopK(q, e, "vec_id", "embedding", 3)
+      .select("qid", "nid", "rank").as[(Long, Long, Int)].collect().toSeq.sorted
+    assert(got === brute, "complete-graph beam search must be exhaustive")
+    // sparse graph: identical walk under any partitioning
+    val sparse = SimilaritySearch.knnGraph(e, "vec_id", "embedding", 4)
+    def walk(qs: org.apache.spark.sql.DataFrame,
+             cs: org.apache.spark.sql.DataFrame) =
+      SimilaritySearch.graphAnnTopK(qs, cs, "vec_id", "embedding", sparse,
+        k = 3, beam = 4, hops = 3)
+        .select("qid", "nid", "rank").as[(Long, Long, Int)].collect().toSeq.sorted
+    assert(walk(q, e) === walk(q.repartition(5), e.repartition(7)))
+    intercept[IllegalArgumentException](SimilaritySearch.graphAnnTopK(
+      q, e, "vec_id", "embedding", sparse, k = 5, beam = 4, hops = 1))
+    intercept[IllegalArgumentException](SimilaritySearch.graphAnnTopK(
+      q, e, "vec_id", "embedding", sparse, k = 1, beam = 2, hops = 0))
+  }
+
   test("sampleNegatives hash-slice path equals the naive global draw " +
       "and is partition-stable") {
     val s = spark

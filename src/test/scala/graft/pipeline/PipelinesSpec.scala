@@ -103,9 +103,13 @@ class PipelinesSpec extends SparkSpec {
   test("full tick over fixtures is idempotent and cascades the torrentless top") {
     val base = java.nio.file.Files.createTempDirectory("graft_run").toString
     def state() = {
-      val (g, r, t, z) = (spark.read.parquet(s"$base/genres"),
-        spark.read.parquet(s"$base/recordings"),
-        spark.read.parquet(s"$base/top"), spark.read.parquet(s"$base/torrents"))
+      // read through the table API: a versioned GraftTable's directory
+      // also holds HISTORY files (time travel) — a raw directory read
+      // is not the table
+      def tbl(name: String) = new graft.operators.GraftTable(spark,
+        s"$base/$name", Seq("PartitionKey", "RowKey"), "PartitionKey").read
+      val (g, r, t, z) = (tbl("genres"), tbl("recordings"),
+        tbl("top"), tbl("torrents"))
       (g.count(),
         r.select("PartitionKey", "RowKey").as[(String, String)].collect().toSet,
         t.select("RowKey").as[String].collect().toSet,
