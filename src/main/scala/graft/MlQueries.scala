@@ -443,7 +443,21 @@ object MlQueries {
           e.filter(col("vec_id") < 8), e, "vec_id", "embedding", g,
           k = 3, beam = 4, hops = 3)
       },
-      Some(graphAnnOracleSql))
+      Some(graphAnnOracleSql)),
+
+    // NN-descent graph BUILD (Dong et al. 2011) — the scale path q188's
+    // exact N² build swaps to: md5-derived bucket init (two salts,
+    // ~degree+1 nodes per bucket), then 2 refinement rounds where every
+    // two-hop neighbor over the symmetrized graph is proposed, scored
+    // exactly, and the top-degree kept. Round work is graph-local
+    // (N·(2d)² candidates) — the corpus never self-joins. The oracle
+    // replays init + both rounds; one mis-kept edge anywhere breaks
+    // the hash.
+    QuerySpec("q189_nn_descent",
+      (s, dir) => operators.SimilaritySearch.knnGraphDescent(
+        Tables.embeddings(s, dir), "vec_id", "embedding",
+        degree = 6, rounds = 2),
+      Some(nnDescentOracleSql))
   )
 
 
@@ -454,21 +468,14 @@ object MlQueries {
     * self-pairs (sim 1.0 pins an indexed query to its own neighborhood
     * during the walk; excluded only from the final ranking).
     */
-  private[graft] lazy val graphAnnOracleSql: String = {
-    val hops = (1 to 3).map { h => s"""
-        c$h AS (
-          SELECT DISTINCT qid, nid FROM (
-            SELECT f.qid, g.nbr AS nid FROM f${h - 1} f JOIN g ON f.nid = g.src
-            UNION ALL SELECT qid, nid FROM f${h - 1}) u),
-        f$h AS MATERIALIZED (
-          SELECT qid, nid, sim FROM (
-            SELECT c.qid, c.nid, s.sim,
-              row_number() OVER (PARTITION BY c.qid ORDER BY s.sim DESC, c.nid) AS rn
-            FROM c$h c JOIN allsims s ON s.qid = c.qid AND s.nid = c.nid) x
-          WHERE rn <= 4),"""
-    }.mkString
-    s"""
-        WITH n2a AS (
+  /** DuckDB fragment: exact fixed-point cosine over ALL embedding pairs
+    * INCLUDING self (sim(v,v) pins an indexed query to its own
+    * neighborhood during graph walks), ending in `allsims(qid, nid,
+    * sim)`. Shared by the q188 and q189 oracles. No leading WITH.
+    */
+  // lazy: `all` (declared first) forces the oracle lazy vals during
+  // object init, before later plain vals would be assigned
+  private[graft] lazy val ALLSIMS_SQL = """n2a AS (
           SELECT vec_id, SUM(CAST(floor(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 1000000000.0) AS BIGINT)) AS n2
           FROM (SELECT vec_id, UNNEST(embedding) AS x FROM embeddings) t GROUP BY 1),
         ap AS (
@@ -483,7 +490,23 @@ object MlQueries {
         allsims AS MATERIALIZED (
           SELECT qid, nid,
             CAST(dot AS DOUBLE) / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) AS sim
-          FROM adots JOIN n2a a ON qid = a.vec_id JOIN n2a b ON nid = b.vec_id),
+          FROM adots JOIN n2a a ON qid = a.vec_id JOIN n2a b ON nid = b.vec_id)"""
+
+  private[graft] lazy val graphAnnOracleSql: String = {
+    val hops = (1 to 3).map { h => s"""
+        c$h AS (
+          SELECT DISTINCT qid, nid FROM (
+            SELECT f.qid, g.nbr AS nid FROM f${h - 1} f JOIN g ON f.nid = g.src
+            UNION ALL SELECT qid, nid FROM f${h - 1}) u),
+        f$h AS MATERIALIZED (
+          SELECT qid, nid, sim FROM (
+            SELECT c.qid, c.nid, s.sim,
+              row_number() OVER (PARTITION BY c.qid ORDER BY s.sim DESC, c.nid) AS rn
+            FROM c$h c JOIN allsims s ON s.qid = c.qid AND s.nid = c.nid) x
+          WHERE rn <= 4),"""
+    }.mkString
+    s"""
+        WITH $ALLSIMS_SQL,
         g AS MATERIALIZED (
           SELECT qid AS src, nid AS nbr FROM (
             SELECT qid, nid,
@@ -499,6 +522,53 @@ object MlQueries {
             row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rn
           FROM f3 WHERE qid <> nid)
         SELECT qid, nid, sim, CAST(rn AS INTEGER) AS rank FROM r WHERE rn <= 3"""
+  }
+
+  /** DuckDB replay of [[operators.SimilaritySearch.knnGraphDescent]]
+    * (degree 6, 2 rounds) — the q189 oracle: bucket init (salts 0/1,
+    * bucket count = ⌊N/7⌋), per-round symmetrize → two-hop propose →
+    * exact-score → keep top-degree, final re-rank for output.
+    */
+  private[graft] lazy val nnDescentOracleSql: String = {
+    val rounds = (1 to 2).map { r => s"""
+        s$r AS (SELECT src, nbr FROM e${r - 1}
+                UNION SELECT nbr, src FROM e${r - 1}),
+        c$r AS (
+          SELECT DISTINCT src, nbr FROM (
+            SELECT a.src, b.nbr FROM s$r a JOIN s$r b ON a.nbr = b.src
+            WHERE b.nbr <> a.src
+            UNION ALL SELECT src, nbr FROM e${r - 1}) u),
+        e$r AS MATERIALIZED (
+          SELECT src, nbr FROM (
+            SELECT c.src, c.nbr,
+              row_number() OVER (PARTITION BY c.src ORDER BY s.sim DESC, c.nbr) AS rn
+            FROM c$r c JOIN allsims s ON s.qid = c.src AND s.nid = c.nbr) x
+          WHERE rn <= 6),"""
+    }.mkString
+    s"""
+        WITH $ALLSIMS_SQL,
+        bkt AS (
+          SELECT vec_id AS id, s,
+            CAST(concat('0x', substr(md5('nnd' || CAST(s AS VARCHAR) || ':'
+              || CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT)
+              % (SELECT greatest(count(*) // 7, 1) FROM embeddings) AS b
+          FROM embeddings, UNNEST(range(0, 2)) AS t(s)),
+        i0 AS (
+          SELECT DISTINCT a.id AS src, bb.id AS nbr
+          FROM bkt a JOIN bkt bb ON a.s = bb.s AND a.b = bb.b AND a.id <> bb.id),
+        e0 AS MATERIALIZED (
+          SELECT src, nbr FROM (
+            SELECT c.src, c.nbr,
+              row_number() OVER (PARTITION BY c.src ORDER BY s.sim DESC, c.nbr) AS rn
+            FROM i0 c JOIN allsims s ON s.qid = c.src AND s.nid = c.nbr) x
+          WHERE rn <= 6),
+        $rounds
+        fin AS (
+          SELECT c.src, c.nbr, s.sim,
+            row_number() OVER (PARTITION BY c.src ORDER BY s.sim DESC, c.nbr) AS rn
+          FROM e2 c JOIN allsims s ON s.qid = c.src AND s.nid = c.nbr)
+        SELECT src, nbr, sim, CAST(rn AS INTEGER) AS rank
+        FROM fin WHERE rn <= 6"""
   }
 
   /** DuckDB replay of [[Classifier.trainPerceptron]] (B=64, C=5, 3

@@ -685,6 +685,74 @@ object SimilaritySearch {
       .select(col("qid").as("src"), col("nid").as("nbr"))
   }
 
+  /** NN-DESCENT graph build (Dong et al., WWW 2011) — the SCALE path
+    * behind [[knnGraph]]'s declared-N² exact baseline: start from a
+    * deterministic md5-derived bucket graph and refine — each round
+    * proposes every TWO-HOP neighbor over the symmetrized current graph
+    * as a candidate, scores it exactly, and keeps the top-`degree` per
+    * node. The corpus never self-joins: round work is bounded by
+    * N·(2·degree)² graph-local candidate pairs, and rounds are staged
+    * at O(1) plan depth (the [[graphAnnTopK]] discipline).
+    *
+    * Init: two independent hash bucketings at ~(degree+1) nodes per
+    * bucket, complete within each bucket — a pseudo-random regular
+    * graph any engine rebuilds identically from its own md5 (two salts
+    * make an everywhere-isolated node e^(-2λ)-improbable). Everything
+    * downstream is deterministic: exact fixed-point cosine, ties on
+    * id — so the learned graph is hash-checkable (q189 replays init
+    * and every round as CTEs).
+    *
+    * Output: (src, nbr, sim, rank) — [[graphAnnTopK]] accepts it
+    * directly; `tools/Recall` measures search recall through the
+    * descent graph against the exact-graph walk.
+    */
+  def knnGraphDescent(corpus: DataFrame, idCol: String, vecCol: String,
+                      degree: Int, rounds: Int): DataFrame = {
+    require(degree >= 1, s"degree must be >= 1, got $degree")
+    require(rounds >= 1 && rounds <= 8, s"rounds must be in [1,8], got $rounds")
+    val c = withNorm(corpus, idCol, vecCol, "n")
+    val h60 = (x: org.apache.spark.sql.Column) =>
+      conv(substring(md5(x), 1, 15), 16, 10).cast("long")
+    val nCount = corpus.count()
+    val b = math.max(nCount / (degree + 1L), 1L)
+    def bucketed(salt: Int) = corpus.select(col(idCol).as("id"),
+      (h60(concat(lit(s"nnd$salt:"), col(idCol).cast("string"))) % b).as("bk"))
+    val init = (0 to 1).map { s =>
+      val x = bucketed(s)
+      x.join(x.select(col("id").as("id2"), col("bk")), Seq("bk"))
+        .filter(col("id") =!= col("id2"))
+        .select(col("id").as("src"), col("id2").as("nbr"))
+    }.reduce(_.unionByName(_)).distinct()
+    val sim = VectorFns.cosineFrom(
+      VectorFns.dotFixed9(col("svec"), col("nvec")), col("sn2"), col("nn2"))
+    def scoreRank(pairs: DataFrame) = pairs // (src, nbr) → + sim, rn
+      .join(c.select(col("nid").as("src"), col("nvec").as("svec"),
+        col("nn2").as("sn2")), Seq("src"))
+      .join(c.select(col("nid").as("nbr"), col("nvec"), col("nn2")), Seq("nbr"))
+      .select(col("src"), col("nbr"), sim.as("sim"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("src").orderBy(col("sim").desc, col("nbr"))))
+    def topDeg(pairs: DataFrame) =
+      scoreRank(pairs).filter(col("rn") <= degree).select("src", "nbr")
+    var edges = Staging.stage(topDeg(init), "nnd_e0")
+    (1 to rounds).foreach { r =>
+      val sym = edges.df
+        .unionByName(edges.df.select(col("nbr").as("src"), col("src").as("nbr")))
+        .distinct()
+      val cand = sym.join(sym.select(col("src").as("nbr"), col("nbr").as("hop2")),
+          Seq("nbr"))
+        .filter(col("hop2") =!= col("src"))
+        .select(col("src"), col("hop2").as("nbr"))
+        .unionByName(edges.df)
+        .distinct()
+      val next = Staging.stage(topDeg(cand), s"nnd_e$r")
+      edges.delete()
+      edges = next
+    }
+    scoreRank(edges.df).filter(col("rn") <= degree)
+      .select(col("src"), col("nbr"), col("sim"), col("rn").cast("int").as("rank"))
+  }
+
   /** BEAM SEARCH over a k-NN graph — the query side of graph-based ANN,
     * completing the production-ANN architecture pair next to the
     * IVF/PQ/SQ8 cell family: from a deterministic entry point (the

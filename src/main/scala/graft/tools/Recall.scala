@@ -76,6 +76,15 @@ object Recall {
           SimilaritySearch.graphAnnTopK(q, e, "vec_id", "embedding", g,
             k, beam, hops))
     }
+    // NN-descent build quality: search recall through the DESCENT graph
+    // (no N² build) vs through the exact graph, per refinement round
+    for (rounds <- Seq(1, 2, 3)) {
+      val gd = SimilaritySearch.knnGraphDescent(e, "vec_id", "embedding",
+        16, rounds).select(col("src"), col("nbr")).localCheckpoint(true)
+      report(s"graph-descent(deg=16,rounds=$rounds,beam=16,hops=4)",
+        SimilaritySearch.graphAnnTopK(q, e, "vec_id", "embedding", gd,
+          k, 16, 4))
+    }
     // PQ measures QUANTIZATION loss, so its baseline is the exact
     // squared-L2 answer (PQ approximates L2; the cosine baseline would
     // mix in metric mismatch on unnormalized vectors).

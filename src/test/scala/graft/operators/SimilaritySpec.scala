@@ -208,6 +208,38 @@ class SimilaritySpec extends SparkSpec {
       q, e, "vec_id", "embedding", sparse, k = 1, beam = 2, hops = 0))
   }
 
+  test("knnGraphDescent: degree >= N-1 converges to the exact graph; " +
+      "refinement is partition-stable") {
+    val s = spark
+    import s.implicits._
+    val e = Tables.embeddings(spark, sf001).limit(20)
+    // degree 19 on 20 nodes: the bucket count collapses to 1, init is
+    // the complete graph, and descent must return exactly knnGraph
+    val full = SimilaritySearch.knnGraphDescent(e, "vec_id", "embedding",
+      degree = 19, rounds = 1)
+      .select("src", "nbr").as[(Long, Long)].collect().toSeq.sorted
+    val exact = SimilaritySearch.knnGraph(e, "vec_id", "embedding", 19)
+      .select("src", "nbr").as[(Long, Long)].collect().toSeq.sorted
+    assert(full === exact, "complete-bucket descent must equal the exact graph")
+    // sparse: bounded degree, deterministic under partitioning
+    def run(cs: org.apache.spark.sql.DataFrame) =
+      SimilaritySearch.knnGraphDescent(cs, "vec_id", "embedding", 4, 2)
+        .select("src", "nbr", "rank").as[(Long, Long, Int)].collect().toSeq.sorted
+    val a = run(e)
+    assert(a === run(e.repartition(7)))
+    assert(a.groupBy(_._1).values.forall(_.size <= 4))
+    // descent graph plugs straight into the beam search
+    val g = SimilaritySearch.knnGraphDescent(e, "vec_id", "embedding", 4, 2)
+      .select("src", "nbr")
+    val hits = SimilaritySearch.graphAnnTopK(e.filter($"vec_id" < 2), e,
+      "vec_id", "embedding", g, k = 2, beam = 4, hops = 3)
+    assert(hits.count() === 4)
+    intercept[IllegalArgumentException](
+      SimilaritySearch.knnGraphDescent(e, "vec_id", "embedding", 0, 1))
+    intercept[IllegalArgumentException](
+      SimilaritySearch.knnGraphDescent(e, "vec_id", "embedding", 4, 0))
+  }
+
   test("sampleNegatives hash-slice path equals the naive global draw " +
       "and is partition-stable") {
     val s = spark
