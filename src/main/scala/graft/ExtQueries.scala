@@ -802,6 +802,55 @@ object ExtQueries {
         Tables.documents(s, dir), "doc_id", "source", budget = 200L, tNum = 3, tDen = 2),
       Some(mixtureTOracle(budget = 200L, tNum = 3, tDen = 2))),
 
+    // DATA-CONSTRAINED epoched mixture (Muennighoff 2023): budget 1200
+    // over 500 docs at T=2 flattening forces REPETITION — rare
+    // languages hit their 3-epoch cap and the unserved remainder
+    // waterfills back to sources with headroom over 3 exact integer
+    // rounds; materialization = full epochs for every doc + an
+    // md5-threshold fractional epoch. The oracle replays every
+    // waterfill round and the epoch explode.
+    QuerySpec("q191_epoched_mixture",
+      (s, dir) => operators.Sampling.epochedMixture(
+        Tables.documents(s, dir), "doc_id", "lang",
+        budget = 1200L, maxEpochs = 3),
+      Some {
+        val rounds = (1 to 3).map { k => s"""
+        z$k AS (
+          SELECT CAST(SUM(CASE WHEN served < n_s * 3 THEN w_s ELSE 0 END) AS BIGINT) AS z,
+            CAST(1200 - SUM(served) AS BIGINT) AS residual
+          FROM r${k - 1}),
+        r$k AS (
+          SELECT src, n_s, w_s,
+            served + least(
+              CASE WHEN served < n_s * 3 AND z > 0 AND residual > 0
+                   THEN (residual * w_s) // z ELSE 0 END,
+              n_s * 3 - served) AS served
+          FROM r${k - 1}, z$k),"""
+        }.mkString
+        s"""
+        WITH s AS (
+          SELECT lang AS src, CAST(count(*) AS BIGINT) AS n_s
+          FROM documents GROUP BY 1),
+        t AS (SELECT CAST(SUM(n_s) AS BIGINT) AS n FROM s),
+        r0 AS (
+          SELECT src, n_s,
+            CAST(floor(sqrt(CAST((n_s * 1000000000000) // t.n AS DOUBLE))) AS BIGINT) AS w_s,
+            CAST(0 AS BIGINT) AS served
+          FROM s, t),
+        ${rounds.stripSuffix(",")},
+        plan AS (
+          SELECT src, n_s, served, served // n_s AS full_e,
+            ((served % n_s) * 268435456) // n_s AS thr
+          FROM r3)
+        SELECT d.doc_id, d.lang, CAST(ep AS BIGINT) AS epoch,
+          p.n_s, p.served AS served_s
+        FROM documents d JOIN plan p ON d.lang = p.src,
+          UNNEST(range(1, p.full_e
+            + (CASE WHEN substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 7)
+                     < lpad(lower(to_hex(p.thr)), 7, '0')
+                    THEN 1 ELSE 0 END) + 1)) AS te(ep)"""
+      }),
+
     // embedding-cosine near-dup: sign-bucket blocking + exact fixed-point
     // cosine threshold — the semantic-dedup pass over an embedded corpus
     QuerySpec("q44_dedup_embedding",

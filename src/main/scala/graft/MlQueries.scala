@@ -428,17 +428,21 @@ object MlQueries {
       Some(perceptronOracleSql)),
 
     // Graph-based ANN — the OTHER production ANN architecture next to
-    // the IVF/PQ/SQ8 cell family (HNSW/NSG lineage): a degree-6 kNN
-    // graph as the index, then 3 beam-search hops from the min-id
-    // entry point, exact fixed-point cosine at every step so all
-    // engines walk the identical path. The oracle replays the graph
-    // build AND every hop as CTEs — a single frontier divergence
-    // anywhere in the walk breaks the hash.
+    // the IVF/PQ/SQ8 cell family (HNSW/NSG lineage): the NN-DESCENT
+    // graph as the index (the production shape — nobody has the exact
+    // N² graph at scale; q189 hash-checks the build on its own), then
+    // 3 beam-search hops from the min-id entry point, exact
+    // fixed-point cosine at every step so all engines walk the
+    // identical path. The oracle replays the descent build AND every
+    // hop as CTEs — a single frontier divergence anywhere breaks the
+    // hash. (Exact-graph search equivalence is spec-proved on the
+    // complete graph in SimilaritySpec.)
     QuerySpec("q188_graph_ann",
       (s, dir) => {
         val e = Tables.embeddings(s, dir)
-        val g = operators.SimilaritySearch.knnGraph(e, "vec_id", "embedding",
-          degree = 6)
+        val g = operators.SimilaritySearch.knnGraphDescent(
+          e, "vec_id", "embedding", degree = 6, rounds = 2)
+          .select(col("src"), col("nbr"))
         operators.SimilaritySearch.graphAnnTopK(
           e.filter(col("vec_id") < 8), e, "vec_id", "embedding", g,
           k = 3, beam = 4, hops = 3)
@@ -457,17 +461,74 @@ object MlQueries {
       (s, dir) => operators.SimilaritySearch.knnGraphDescent(
         Tables.embeddings(s, dir), "vec_id", "embedding",
         degree = 6, rounds = 2),
-      Some(nnDescentOracleSql))
+      Some(nnDescentOracleSql)),
+
+    // ROUND-6 CAPSTONE — the incremental curation tick, composing the
+    // round's systems in one dataflow: the corpus arrives in two
+    // id-ordered batches; each is admitted against the accumulated LSH
+    // band-signature state (no corpus rescan), gated by the fused
+    // classifier, and upserted into a VERSIONED GraftTable; the output
+    // is tableDiff between the empty v1 and the final state — the
+    // curated corpus as CDC inserts. One wrong admission, gate verdict,
+    // version commit, or diff row anywhere breaks the hash. (The LSH
+    // state accumulates EVERY batch doc's bands — the gate filters
+    // what is WRITTEN, never what blocks later near-dups — so
+    // admission stays ≡ the one-shot ranking the oracle computes.)
+    QuerySpec("q190_incremental_curation_tick",
+      (s, dir) => {
+        GraftSession.tune(s)
+        val docs = Tables.documents(s, dir)
+          .select("doc_id", "text", "lang", "n_chars")
+        val (b1, b2) = (docs.filter(col("doc_id") < 250),
+          docs.filter(col("doc_id") >= 250))
+        val state0 = operators.Dedup.lshBandState(
+          docs.filter(col("doc_id") < 0), "doc_id", "text", 4, 12, 3)
+        val adm1 = operators.Dedup.dedupIncrementLsh(
+          b1, "doc_id", "text", 4, 12, 3, state0)
+        val state1 = operators.Dedup.lshBandState(b1, "doc_id", "text", 4, 12, 3)
+        val adm2 = operators.Dedup.dedupIncrementLsh(
+          b2, "doc_id", "text", 4, 12, 3, state1)
+        val model = Classifier.syntheticModel(s, 4096, 4)
+        def gated(df: org.apache.spark.sql.DataFrame) = df.join(
+          Classifier.predictFused(df, "doc_id", "text", model, 4096)
+            .filter(col("pred_cls") < 3).select("doc_id"),
+          Seq("doc_id"), "left_semi")
+        val base = java.nio.file.Files.createTempDirectory("graft_q190_").toString
+        val t = new operators.GraftTable(s, s"$base/t",
+          Seq("doc_id"), "lang")
+        t.createIfNotExists(org.apache.spark.sql.types.StructType.fromDDL(
+          "doc_id BIGINT, n_chars BIGINT, lang STRING"))
+        t.upsertReplace(gated(adm1).select(col("doc_id"),
+          col("n_chars").cast("long").as("n_chars"), col("lang")))
+        t.upsertReplace(gated(adm2).select(col("doc_id"),
+          col("n_chars").cast("long").as("n_chars"), col("lang")))
+        val out = operators.Relational.tableDiff(
+          t.readAt(1L), t.read, Seq("doc_id"))
+        val snap = out.localCheckpoint(true)
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+        }
+        rm(new java.io.File(base))
+        snap
+      },
+      Some(s"""
+        WITH $WORDS_SQL, ${ExtQueries.MINHASH_FROM_WORDS_SQL},
+        lshrej AS (
+          SELECT DISTINCT a.doc_id FROM bands a
+          JOIN bands b ON a.band = b.band AND a.sig = b.sig
+                      AND b.doc_id < a.doc_id),
+        ${classifierSql("words")},
+        kept AS (
+          SELECT d.doc_id FROM documents d
+          LEFT JOIN lshrej j ON d.doc_id = j.doc_id
+          JOIN r ON r.doc_id = d.doc_id AND r.rn = 1 AND r.cls < 3
+          WHERE j.doc_id IS NULL)
+        SELECT doc_id, 'insert' AS change, CAST(0 AS BIGINT) AS n_changed
+        FROM kept"""))
   )
 
 
 
-  /** DuckDB replay of [[operators.SimilaritySearch.knnGraph]] (degree
-    * 6) + [[operators.SimilaritySearch.graphAnnTopK]] (beam 4, 3 hops,
-    * k 3, queries vec_id < 8) — the q188 oracle. `allsims` includes
-    * self-pairs (sim 1.0 pins an indexed query to its own neighborhood
-    * during the walk; excluded only from the final ranking).
-    */
   /** DuckDB fragment: exact fixed-point cosine over ALL embedding pairs
     * INCLUDING self (sim(v,v) pins an indexed query to its own
     * neighborhood during graph walks), ending in `allsims(qid, nid,
@@ -492,9 +553,16 @@ object MlQueries {
             CAST(dot AS DOUBLE) / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) AS sim
           FROM adots JOIN n2a a ON qid = a.vec_id JOIN n2a b ON nid = b.vec_id)"""
 
+  /** DuckDB replay of the q188 chain: NN-descent build
+    * ([[NND_EDGES_SQL]]) + [[operators.SimilaritySearch.graphAnnTopK]]
+    * (beam 4, 3 hops, k 3, queries vec_id < 8). `allsims` includes
+    * self-pairs (sim 1.0 pins an indexed query to its own neighborhood
+    * during the walk; excluded only from the final ranking). Hop CTEs
+    * are hc/f-prefixed — c1/c2 belong to the descent fragment.
+    */
   private[graft] lazy val graphAnnOracleSql: String = {
     val hops = (1 to 3).map { h => s"""
-        c$h AS (
+        hc$h AS (
           SELECT DISTINCT qid, nid FROM (
             SELECT f.qid, g.nbr AS nid FROM f${h - 1} f JOIN g ON f.nid = g.src
             UNION ALL SELECT qid, nid FROM f${h - 1}) u),
@@ -502,16 +570,13 @@ object MlQueries {
           SELECT qid, nid, sim FROM (
             SELECT c.qid, c.nid, s.sim,
               row_number() OVER (PARTITION BY c.qid ORDER BY s.sim DESC, c.nid) AS rn
-            FROM c$h c JOIN allsims s ON s.qid = c.qid AND s.nid = c.nid) x
+            FROM hc$h c JOIN allsims s ON s.qid = c.qid AND s.nid = c.nid) x
           WHERE rn <= 4),"""
     }.mkString
     s"""
         WITH $ALLSIMS_SQL,
-        g AS MATERIALIZED (
-          SELECT qid AS src, nid AS nbr FROM (
-            SELECT qid, nid,
-              row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rn
-            FROM allsims WHERE qid <> nid) x WHERE rn <= 6),
+        $NND_EDGES_SQL,
+        g AS (SELECT src, nbr FROM e2),
         ent AS (SELECT min(vec_id) AS nid FROM embeddings),
         f0 AS (
           SELECT s.qid, s.nid, s.sim FROM allsims s JOIN ent e ON s.nid = e.nid
@@ -529,7 +594,13 @@ object MlQueries {
     * bucket count = ⌊N/7⌋), per-round symmetrize → two-hop propose →
     * exact-score → keep top-degree, final re-rank for output.
     */
-  private[graft] lazy val nnDescentOracleSql: String = {
+  /** DuckDB fragment: the NN-descent edge table (degree 6, 2 rounds,
+    * bucket init with salts 0/1 at ⌊N/7⌋ buckets), ending in
+    * `e2(src, nbr)`. Consumes `allsims`. Shared by the q188 (search
+    * through the descent graph) and q189 (the build itself) oracles.
+    * No leading WITH.
+    */
+  private[graft] lazy val NND_EDGES_SQL: String = {
     val rounds = (1 to 2).map { r => s"""
         s$r AS (SELECT src, nbr FROM e${r - 1}
                 UNION SELECT nbr, src FROM e${r - 1}),
@@ -545,9 +616,7 @@ object MlQueries {
             FROM c$r c JOIN allsims s ON s.qid = c.src AND s.nid = c.nbr) x
           WHERE rn <= 6),"""
     }.mkString
-    s"""
-        WITH $ALLSIMS_SQL,
-        bkt AS (
+    s"""bkt AS (
           SELECT vec_id AS id, s,
             CAST(concat('0x', substr(md5('nnd' || CAST(s AS VARCHAR) || ':'
               || CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT)
@@ -562,14 +631,18 @@ object MlQueries {
               row_number() OVER (PARTITION BY c.src ORDER BY s.sim DESC, c.nbr) AS rn
             FROM i0 c JOIN allsims s ON s.qid = c.src AND s.nid = c.nbr) x
           WHERE rn <= 6),
-        $rounds
+        ${rounds.stripSuffix(",")}"""
+  }
+
+  private[graft] lazy val nnDescentOracleSql: String = s"""
+        WITH $ALLSIMS_SQL,
+        $NND_EDGES_SQL,
         fin AS (
           SELECT c.src, c.nbr, s.sim,
             row_number() OVER (PARTITION BY c.src ORDER BY s.sim DESC, c.nbr) AS rn
           FROM e2 c JOIN allsims s ON s.qid = c.src AND s.nid = c.nbr)
         SELECT src, nbr, sim, CAST(rn AS INTEGER) AS rank
         FROM fin WHERE rn <= 6"""
-  }
 
   /** DuckDB replay of [[Classifier.trainPerceptron]] (B=64, C=5, 3
     * rounds, labels = alphabetic language index) followed by scoring

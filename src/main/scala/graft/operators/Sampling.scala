@@ -236,6 +236,82 @@ object Sampling {
       .select(col("id").as(idCol), col(srcCol), col("n_s"), col("w_s"), col("kept"))
   }
 
+  /** DATA-CONSTRAINED epoched mixture (the Muennighoff et al. 2023
+    * regime: when the temperature-flattened allocation asks a source
+    * for more than it has, REPEAT it — up to `maxEpochs` — and
+    * redistribute what still cannot be served): bounded-round integer
+    * waterfilling over the per-source plan, then a row-local epoch
+    * materialization.
+    *
+    * Plan (exact Long arithmetic on the per-source table — a bounded
+    * metadata collect, like every model/plan table in this repo):
+    * T = 2 weights w_s = ⌊√(n_s·10¹² div N)⌋ (the [[mixtureSample]]
+    * weight); `rounds` waterfill rounds, each allocating the remaining
+    * budget ∝ w_s among sources below their n_s·maxEpochs cap, clipped
+    * to headroom. Integer-division dust and any residual after the
+    * fixed rounds go deliberately unserved — deterministic, and the
+    * oracle replays every round.
+    *
+    * Materialization (row-local, zero extra shuffles): each source's
+    * served budget splits into ⌊served/n_s⌋ FULL epochs every doc gets,
+    * plus a fractional epoch drawn by the md5-prefix threshold rule
+    * (expected-count fractional membership — the [[mixtureSample]]
+    * discipline, scale-free: no per-source top-frac selection, which
+    * would be an unbounded-k window at corpus scale).
+    *
+    * Output: one row per (doc, epoch): (id, src, epoch, n_s, served_s).
+    */
+  def epochedMixture(df: DataFrame, idCol: String, srcCol: String,
+                     budget: Long, maxEpochs: Int, rounds: Int = 3): DataFrame = {
+    require(budget >= 1 && budget <= 1000000000000L,
+      s"budget must be in [1, 1e12], got $budget")
+    require(maxEpochs >= 1 && maxEpochs <= 100,
+      s"maxEpochs must be in [1,100], got $maxEpochs")
+    require(rounds >= 1 && rounds <= 8, s"rounds must be in [1,8], got $rounds")
+    val spark = df.sparkSession
+    val stats = df.groupBy(col(srcCol).cast("string").as("src"))
+      .agg(count(lit(1)).as("n_s")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    val n = stats.map(_._2).sum
+    require(n > 0, "epochedMixture needs a non-empty corpus")
+    // w_s = ⌊√share⌋, float-seeded + integer-corrected so it equals the
+    // oracle's floor(sqrt(double)) at every representable share
+    val plan0 = stats.map { case (src, nS) =>
+      val share = (BigInt(nS) * BigInt(1000000000000L) / BigInt(n)).toLong
+      val w0 = math.sqrt(share.toDouble).toLong
+      val w = Seq(w0 + 1, w0, w0 - 1, w0 - 2)
+        .find(c => c >= 0 && BigInt(c) * BigInt(c) <= BigInt(share)).getOrElse(0L)
+      (src, nS, w, 0L) // (src, n_s, w_s, served)
+    }
+    val planFinal = (1 to rounds).foldLeft(plan0.toSeq) { (plan, _) =>
+      val residual = budget - plan.map(_._4).sum
+      val z = plan.filter(p => p._4 < p._2 * maxEpochs).map(_._3).sum
+      if (residual <= 0 || z <= 0) plan
+      else plan.map { case (src, nS, w, served) =>
+        val cap = nS * maxEpochs
+        val alloc = if (served < cap)
+          (BigInt(residual) * BigInt(w) / BigInt(z)).toLong else 0L
+        (src, nS, w, served + math.min(alloc, cap - served))
+      }
+    }
+    import spark.implicits._
+    val plan = planFinal.map { case (src, nS, w, served) =>
+      val thr = (BigInt(served % nS) * BigInt(268435456L) / BigInt(nS)).toLong
+      (src, nS, w, served, served / nS,
+        // 7-hex-digit threshold, the mixtureSample compare
+        String.format("%7s", java.lang.Long.toHexString(thr)).replace(' ', '0'))
+    }.toDF("src", "n_s", "w_s", "served_s", "full_e", "thr_hex")
+    df.select(col(idCol).as("id"), col(srcCol).cast("string").as("src"))
+      .join(broadcast(plan), Seq("src"))
+      .withColumn("epochs", col("full_e") +
+        when(substring(md5(col("id").cast("string")), 1, 7) < col("thr_hex"), 1L)
+          .otherwise(0L))
+      .filter(col("epochs") >= 1)
+      .select(col("id").as(idCol), col("src").as(srcCol),
+        explode(sequence(lit(1L), col("epochs"))).as("epoch"),
+        col("n_s"), col("served_s"))
+  }
+
   def weightedSample(df: DataFrame, idCol: String, weightCol: String,
                      k: Int, wCap: Int): DataFrame = {
     require(k >= 1, s"sample size k must be >= 1, got $k")

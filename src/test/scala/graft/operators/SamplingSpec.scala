@@ -284,4 +284,40 @@ class SamplingSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Sampling.keepBestPerCluster(df, "id", "cluster", "score", 0))
   }
+
+  test("epochedMixture: caps bind, budget is never exceeded, repetition happens, " +
+      "and the plan is partition-stable") {
+    val s = spark
+    import s.implicits._
+    // skewed corpus: a rare source (5 docs) and a dominant one (95)
+    val df = ((0L until 5L).map(i => (i, "rare")) ++
+      (100L until 195L).map(i => (i, "big"))).toDF("id", "src")
+    val out = Sampling.epochedMixture(df, "id", "src",
+      budget = 150L, maxEpochs = 4)
+    val perSrc = out.groupBy("src")
+      .agg(count(lit(1)).as("rows"), max("epoch").as("max_e"))
+      .as[(String, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    // the T=2 flattened ask for 'rare' exceeds 5·4 — it must be capped
+    // at exactly its 20-doc ceiling (full epochs of a capped source are
+    // exact, no fractional draw)
+    assert(perSrc("rare")._1 == 20L, s"rare source must serve its cap, got $perSrc")
+    assert(perSrc("rare")._2 == 4L)
+    assert(perSrc("big")._2 >= 1L)
+    // served plan never exceeds budget or caps
+    val served = out.select("src", "served_s").distinct()
+      .as[(String, Long)].collect().toMap
+    assert(served.values.sum <= 150L)
+    assert(served("rare") == 20L && served("big") <= 95L * 4)
+    // repetition: the whole point of the data-constrained regime
+    assert(out.filter($"epoch" >= 2).count() > 0)
+    // deterministic under partitioning
+    val again = Sampling.epochedMixture(df.repartition(7), "id", "src", 150L, 4)
+      .select("id", "src", "epoch").as[(Long, String, Long)].collect().toSeq.sorted
+    assert(again === out.select("id", "src", "epoch")
+      .as[(Long, String, Long)].collect().toSeq.sorted)
+    intercept[IllegalArgumentException](
+      Sampling.epochedMixture(df, "id", "src", 0L, 3))
+    intercept[IllegalArgumentException](
+      Sampling.epochedMixture(df, "id", "src", 10L, 0))
+  }
 }
