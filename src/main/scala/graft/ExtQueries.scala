@@ -304,6 +304,74 @@ object ExtQueries {
         FROM documents d LEFT JOIN rej r ON d.doc_id = r.doc_id
         WHERE r.doc_id IS NULL""")),
 
+    // STREAMING incremental LSH admission — q187's daily-crawl path
+    // run as an actual Structured Streaming ingestion: the corpus
+    // arrives as four id-ordered micro-batches (file source,
+    // maxFilesPerTrigger=1, modification times pinned); each
+    // foreachBatch admits against the band-signature state parquet and
+    // appends BOTH the admitted rows and the batch's full signatures
+    // (admitted or not — the q187 state contract). The drained result
+    // must equal the one-shot smaller-id ranking, replayed by the same
+    // oracle as q187.
+    QuerySpec("q192_stream_dedup_lsh",
+      (s, dir) => {
+        GraftSession.tune(s)
+        val base = java.nio.file.Files.createTempDirectory("graft_q192_").toString
+        val docs = Tables.documents(s, dir).select("doc_id", "text", "n_chars")
+        // four id-ordered arrival files with pinned mod times
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$base/in"))
+        (0 until 4).foreach { i =>
+          val tmp = s"$base/tmp$i"
+          docs.filter(col("doc_id") >= i * 125 && col("doc_id") < (i + 1) * 125)
+            .coalesce(1).write.parquet(tmp)
+          val part = new java.io.File(tmp).listFiles()
+            .find(_.getName.endsWith(".parquet")).get
+          val dst = new java.io.File(s"$base/in/b$i.parquet")
+          java.nio.file.Files.move(part.toPath, dst.toPath)
+          dst.setLastModified(1000000000000L + i * 60000L)
+          ()
+        }
+        // schema-stable empty state + admitted sinks
+        operators.Dedup.lshBandState(docs.filter(col("doc_id") < 0),
+          "doc_id", "text", 4, 12, 3)
+          .write.mode("overwrite").parquet(s"$base/state")
+        docs.filter(col("doc_id") < 0)
+          .write.mode("overwrite").parquet(s"$base/admitted")
+        val q = s.readStream.schema(docs.schema)
+          .option("maxFilesPerTrigger", 1).option("latestFirst", "false")
+          .parquet(s"$base/in")
+          .writeStream
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .option("checkpointLocation", s"$base/ckpt")
+          .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+            val batch = b.localCheckpoint(true)
+            val st = s.read.parquet(s"$base/state")
+            operators.Dedup.dedupIncrementLsh(batch, "doc_id", "text",
+                4, 12, 3, st)
+              .write.mode("append").parquet(s"$base/admitted")
+            operators.Dedup.lshBandState(batch, "doc_id", "text", 4, 12, 3)
+              .write.mode("append").parquet(s"$base/state")
+            ()
+          }.start()
+        q.awaitTermination()
+        val out = s.read.parquet(s"$base/admitted").select("doc_id", "n_chars")
+        val snap = out.localCheckpoint(true)
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+        }
+        rm(new java.io.File(base))
+        snap
+      },
+      Some(s"""
+        WITH $WORDS_SQL, $MINHASH_FROM_WORDS_SQL,
+        rej AS (
+          SELECT DISTINCT a.doc_id FROM bands a
+          JOIN bands b ON a.band = b.band AND a.sig = b.sig
+                      AND b.doc_id < a.doc_id)
+        SELECT d.doc_id, d.n_chars
+        FROM documents d LEFT JOIN rej r ON d.doc_id = r.doc_id
+        WHERE r.doc_id IS NULL""")),
+
     // exact n-gram Jaccard near-dup via shingle blocking (df-capped)
     QuerySpec("q31_dedup_jaccard",
       (s, dir) => Dedup.jaccardPairs(Tables.documents(s, dir), "doc_id", "text",

@@ -138,4 +138,52 @@ class PropertySpec extends SparkSpec {
       assert(zs.forall(z => z >= 0 && z < (1L << 16)))  // into the 16-bit grid
     }
   }
+
+  test("epochedMixture laws: served ≤ min(budget, Σcaps); epochs ≤ maxEpochs; " +
+      "full-epoch rows are exact multiples of n_s") {
+    val gen = Gen.listOfN(40, for {
+      id <- Gen.chooseNum(0L, 999L)
+      src <- Gen.oneOf("a", "b", "c")
+    } yield (id, src))
+    samples(gen, 3).foreach { rows =>
+      val df = rows.distinct.toDF("id", "src")
+      val maxE = 3
+      val out = Sampling.epochedMixture(df, "id", "src",
+        budget = 60L, maxEpochs = maxE).localCheckpoint(true)
+      val plan = out.select("src", "n_s", "served_s").distinct()
+        .as[(String, Long, Long)].collect()
+      val caps = plan.map(p => p._2 * maxE).sum
+      assert(plan.map(_._3).sum <= math.min(60L, caps))
+      assert(plan.forall(p => p._3 <= p._2 * maxE))
+      assert(out.agg(max("epoch")).as[Long].collect().head <= maxE)
+      // every doc of a source appears in each of its full epochs exactly once
+      val perEpoch = out.groupBy("src", "epoch").count()
+        .as[(String, Long, Long)].collect()
+      val nS = plan.map(p => p._1 -> p._2).toMap
+      val fullE = plan.map(p => p._1 -> p._3 / p._2).toMap
+      perEpoch.filter { case (s, e, _) => e <= fullE(s) }
+        .foreach { case (s, _, c) => assert(c == nS(s)) }
+    }
+  }
+
+  test("versioned GraftTable law: readAt(v) is immutable under later mutations") {
+    val pairs = samples(rowGen, 3)
+    pairs.foreach { rows =>
+      val dir = java.nio.file.Files.createTempDirectory("graft_prop_v").toString + "/t"
+      val t = new GraftTable(spark, dir, Seq("pk", "rk"), "day")
+        .createIfNotExists(
+          Seq.empty[(String, String, String, Int)].toDF("day", "pk", "rk", "n").schema)
+      val df = rows.map { case (pk, rk, n, s) => (s"d$n", pk, rk, n) }
+        .toDF("day", "pk", "rk", "n")
+      t.upsertReplace(df)
+      val v = t.currentVersion
+      val before = t.readAt(v).collect().map(_.toString).sorted.toSeq
+      // arbitrary later churn: delete half the keys, compact, add rows
+      t.deleteByKeys(df.filter($"n" % 2 === 0).select("pk", "rk").distinct())
+      t.compact()
+      t.insertIfAbsent(Seq(("dx", "px", "rx", 99)).toDF("day", "pk", "rk", "n"))
+      val after = t.readAt(v).collect().map(_.toString).sorted.toSeq
+      assert(after === before, "history must be immutable")
+    }
+  }
 }
