@@ -318,11 +318,13 @@ object ExtQueries {
         GraftSession.tune(s)
         val base = java.nio.file.Files.createTempDirectory("graft_q192_").toString
         val docs = Tables.documents(s, dir).select("doc_id", "text", "n_chars")
-        // four id-ordered arrival files with pinned mod times
+        // four id-ordered arrival files with pinned mod times; range
+        // width from max(doc_id) so EVERY doc streams at any SF
+        val step = docs.agg(max(col("doc_id"))).collect()(0).getLong(0) / 4 + 1
         java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$base/in"))
         (0 until 4).foreach { i =>
           val tmp = s"$base/tmp$i"
-          docs.filter(col("doc_id") >= i * 125 && col("doc_id") < (i + 1) * 125)
+          docs.filter(col("doc_id") >= i * step && col("doc_id") < (i + 1) * step)
             .coalesce(1).write.parquet(tmp)
           val part = new java.io.File(tmp).listFiles()
             .find(_.getName.endsWith(".parquet")).get
