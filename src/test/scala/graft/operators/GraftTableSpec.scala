@@ -159,6 +159,18 @@ class GraftTableSpec extends SparkSpec {
       == Map("d3" -> 7))
   }
 
+  test("partition pruning and column pruning survive the manifest read") {
+    val t = freshTable().createIfNotExists(rows().schema)
+    t.importOnce(rows(("d1", "a", "r1", 1), ("d2", "b", "r1", 2), ("d3", "c", "r1", 3)))
+    val q = t.read.filter($"day" === "d2").select("n")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(day"),
+      s"day filter must prune partitions in the explicit-file scan:\n$plan")
+    assert(!plan.contains("ReadSchema: struct<day"),
+      s"projection must prune columns:\n$plan")
+    assert(q.as[Int].collect().toSeq == Seq(2))
+  }
+
   test("legacy table without a version log upgrades in place on first mutation") {
     val dir = Files.createTempDirectory("graft_legacy").toString + "/t"
     // files written by plain Spark, no manifest, no sidecar
