@@ -1269,6 +1269,26 @@ object CurateQueries {
           SELECT doc_id, weight, min(h) AS priority
           FROM draws GROUP BY 1, 2)
         SELECT doc_id, weight, priority FROM pri
-        ORDER BY priority, doc_id LIMIT 50"""))
+        ORDER BY priority, doc_id LIMIT 50""")),
+
+    // SHARD MANIFEST — the last-mile artifact of a corpus release: docs
+    // assigned to 8 shards by a deterministic md5 draw (expected-
+    // balanced, no global sort), each shard summarized by count, char
+    // volume, and an XOR-of-row-hashes content digest (commutative →
+    // map-side combine; flips if any doc's membership, id, or text
+    // changes anywhere in the corpus).
+    QuerySpec("q193_shard_manifest",
+      (s, dir) => operators.Layout.shardManifest(
+        Tables.documents(s, dir), "doc_id", "text", k = 8),
+      Some("""
+        SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+          CAST(SUM(length(text)) AS BIGINT) AS sum_chars,
+          CAST(bit_xor(h) AS BIGINT) AS xor_digest
+        FROM (
+          SELECT CAST(concat('0x', substr(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 8 AS shard,
+            text,
+            CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || ':' || md5(text)), 1, 15)) AS BIGINT) AS h
+          FROM documents) x
+        GROUP BY 1"""))
   )
 }

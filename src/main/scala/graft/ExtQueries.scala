@@ -76,6 +76,50 @@ object ExtQueries {
     */
   private[graft] val MINHASH_PAIRS_SQL = WORDS_SQL + "," + MINHASH_FROM_WORDS_SQL
 
+  /** DuckDB replay of [[operators.Sampling.epochedMixtureBy]] over
+    * documents grouped by `lang` — per-source mass = SUM(`weightSql`),
+    * `maxE`-capped integer waterfilling over 3 unrolled rounds, then
+    * the full-epoch + md5-threshold-fractional explode. Shared by q191
+    * (weight 1 = docs) and q194 (weight n_chars).
+    */
+  private def epochedOracleSql(weightSql: String, budget: Long, maxE: Int): String = {
+    val rounds = (1 to 3).map { k => s"""
+        z$k AS (
+          SELECT CAST(SUM(CASE WHEN served < n_s * $maxE THEN w_s ELSE 0 END) AS BIGINT) AS z,
+            CAST($budget - SUM(served) AS BIGINT) AS residual
+          FROM r${k - 1}),
+        r$k AS (
+          SELECT src, n_s, w_s,
+            served + least(
+              CASE WHEN served < n_s * $maxE AND z > 0 AND residual > 0
+                   THEN (residual * w_s) // z ELSE 0 END,
+              n_s * $maxE - served) AS served
+          FROM r${k - 1}, z$k),"""
+    }.mkString
+    s"""
+        WITH s AS (
+          SELECT lang AS src, CAST(SUM($weightSql) AS BIGINT) AS n_s
+          FROM documents GROUP BY 1),
+        t AS (SELECT CAST(SUM(n_s) AS BIGINT) AS n FROM s),
+        r0 AS (
+          SELECT src, n_s,
+            CAST(floor(sqrt(CAST((n_s * 1000000000000) // t.n AS DOUBLE))) AS BIGINT) AS w_s,
+            CAST(0 AS BIGINT) AS served
+          FROM s, t),
+        ${rounds.stripSuffix(",")},
+        plan AS (
+          SELECT src, n_s, served, served // n_s AS full_e,
+            ((served % n_s) * 268435456) // n_s AS thr
+          FROM r3)
+        SELECT d.doc_id, d.lang, CAST(ep AS BIGINT) AS epoch,
+          p.n_s, p.served AS served_s
+        FROM documents d JOIN plan p ON d.lang = p.src,
+          UNNEST(range(1, p.full_e
+            + (CASE WHEN substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 7)
+                     < lpad(lower(to_hex(p.thr)), 7, '0')
+                    THEN 1 ELSE 0 END) + 1)) AS te(ep)"""
+  }
+
   /** DuckDB fragment: the IVF cell-probe pipeline through `cand(qid,
     * nid)` — centroid cosine scoring, corpus cell assignment (rn=1),
     * query probes (rn ≤ 4, qid < 8). Shared by q50 (IVF + exact
@@ -883,43 +927,17 @@ object ExtQueries {
       (s, dir) => operators.Sampling.epochedMixture(
         Tables.documents(s, dir), "doc_id", "lang",
         budget = 1200L, maxEpochs = 3),
-      Some {
-        val rounds = (1 to 3).map { k => s"""
-        z$k AS (
-          SELECT CAST(SUM(CASE WHEN served < n_s * 3 THEN w_s ELSE 0 END) AS BIGINT) AS z,
-            CAST(1200 - SUM(served) AS BIGINT) AS residual
-          FROM r${k - 1}),
-        r$k AS (
-          SELECT src, n_s, w_s,
-            served + least(
-              CASE WHEN served < n_s * 3 AND z > 0 AND residual > 0
-                   THEN (residual * w_s) // z ELSE 0 END,
-              n_s * 3 - served) AS served
-          FROM r${k - 1}, z$k),"""
-        }.mkString
-        s"""
-        WITH s AS (
-          SELECT lang AS src, CAST(count(*) AS BIGINT) AS n_s
-          FROM documents GROUP BY 1),
-        t AS (SELECT CAST(SUM(n_s) AS BIGINT) AS n FROM s),
-        r0 AS (
-          SELECT src, n_s,
-            CAST(floor(sqrt(CAST((n_s * 1000000000000) // t.n AS DOUBLE))) AS BIGINT) AS w_s,
-            CAST(0 AS BIGINT) AS served
-          FROM s, t),
-        ${rounds.stripSuffix(",")},
-        plan AS (
-          SELECT src, n_s, served, served // n_s AS full_e,
-            ((served % n_s) * 268435456) // n_s AS thr
-          FROM r3)
-        SELECT d.doc_id, d.lang, CAST(ep AS BIGINT) AS epoch,
-          p.n_s, p.served AS served_s
-        FROM documents d JOIN plan p ON d.lang = p.src,
-          UNNEST(range(1, p.full_e
-            + (CASE WHEN substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 7)
-                     < lpad(lower(to_hex(p.thr)), 7, '0')
-                    THEN 1 ELSE 0 END) + 1)) AS te(ep)"""
-      }),
+      Some(epochedOracleSql(weightSql = "1", budget = 1200L, maxE = 3))),
+
+    // the same data-constrained regime with the budget in the unit real
+    // training runs use — CHAR/token mass per source instead of docs:
+    // n_s = Σ n_chars, caps and waterfilling in chars, fractional epoch
+    // still a per-doc md5 draw (expectation-exact in served chars)
+    QuerySpec("q194_epoched_mixture_chars",
+      (s, dir) => operators.Sampling.epochedMixtureBy(
+        Tables.documents(s, dir), "doc_id", "lang", col("n_chars"),
+        budget = 450000L, maxEpochs = 3),
+      Some(epochedOracleSql(weightSql = "n_chars", budget = 450000L, maxE = 3))),
 
     // embedding-cosine near-dup: sign-bucket blocking + exact fixed-point
     // cosine threshold — the semantic-dedup pass over an embedded corpus

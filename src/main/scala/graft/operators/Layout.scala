@@ -44,4 +44,44 @@ object Layout {
     require(numPartitions >= 1, s"numPartitions must be >= 1, got $numPartitions")
     df.repartitionByRange(numPartitions, z).sortWithinPartitions(z)
   }
+
+  private def h60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** Deterministic shard assignment for a training-data release: shard
+    * = md5-derived 60-bit hash of the id, mod `k`. Expected-balanced
+    * (Poisson — measured max/mean occupancy in `LayoutSpec`), row-local
+    * and scale-free: no global sort, no round-robin coordination, and
+    * any engine recomputes the identical assignment from its own md5 —
+    * which is what lets a consumer re-derive "which shard holds doc X"
+    * without the manifest.
+    */
+  def shardAssign(df: DataFrame, idCol: String, k: Int): DataFrame = {
+    require(k >= 1 && k <= 1000000, s"k must be in [1, 1e6], got $k")
+    df.withColumn("shard",
+      h60(concat(lit("shard:"), col(idCol).cast("string"))) % k)
+  }
+
+  /** The SHARD MANIFEST a corpus release publishes next to its files:
+    * per shard, the doc count, character volume, and a content digest.
+    * The digest is the XOR of each row's 60-bit id:text hash —
+    * commutative and combine-map-side (one aggregation shuffle of k
+    * rows per map partition; no per-shard collect, no ordered
+    * string_agg over corpus-sized groups — the scale trap a "digest of
+    * the concatenation" would be), and it flips if ANY doc's text,
+    * membership, or id changes. (XOR, not SUM: no overflow semantics
+    * to align across engines.)
+    *
+    * Output: (shard, n_docs, sum_chars, xor_digest), k rows.
+    */
+  def shardManifest(df: DataFrame, idCol: String, textCol: String,
+                    k: Int): DataFrame =
+    shardAssign(df, idCol, k)
+      .select(col("shard"),
+        length(col(textCol)).cast("long").as("nc"),
+        h60(concat(col(idCol).cast("string"), lit(":"),
+          md5(col(textCol)))).as("h"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum(col("nc")).as("sum_chars"),
+        expr("bit_xor(h)").as("xor_digest"))
 }

@@ -262,7 +262,24 @@ object Sampling {
     * Output: one row per (doc, epoch): (id, src, epoch, n_s, served_s).
     */
   def epochedMixture(df: DataFrame, idCol: String, srcCol: String,
-                     budget: Long, maxEpochs: Int, rounds: Int = 3): DataFrame = {
+                     budget: Long, maxEpochs: Int, rounds: Int = 3): DataFrame =
+    epochedMixtureBy(df, idCol, srcCol, lit(1L), budget, maxEpochs, rounds)
+
+  /** [[epochedMixture]] with the budget and per-source masses measured
+    * in an arbitrary per-row WEIGHT (token or char counts — the unit
+    * real training budgets use — instead of docs): n_s = Σ weight over
+    * the source, caps = n_s·maxEpochs, and the waterfill allocates
+    * weight units. The fractional epoch stays a per-DOC md5-threshold
+    * draw, so the served weight of the partial epoch is
+    * expectation-exact (Σ wᵢ·frac/n_s = frac) — the scale-free
+    * discipline; an exactly-weighted partial epoch would need a
+    * per-source weighted prefix selection, an unbounded sort at corpus
+    * scale. Budgets above 1e12 should switch to a coarser unit
+    * (thousands of tokens) — the plan arithmetic is capped there.
+    */
+  def epochedMixtureBy(df: DataFrame, idCol: String, srcCol: String,
+                       weight: org.apache.spark.sql.Column, budget: Long,
+                       maxEpochs: Int, rounds: Int = 3): DataFrame = {
     require(budget >= 1 && budget <= 1000000000000L,
       s"budget must be in [1, 1e12], got $budget")
     require(maxEpochs >= 1 && maxEpochs <= 100,
@@ -270,7 +287,7 @@ object Sampling {
     require(rounds >= 1 && rounds <= 8, s"rounds must be in [1,8], got $rounds")
     val spark = df.sparkSession
     val stats = df.groupBy(col(srcCol).cast("string").as("src"))
-      .agg(count(lit(1)).as("n_s")).collect()
+      .agg(sum(weight.cast("long")).as("n_s")).collect()
       .map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
     val n = stats.map(_._2).sum
     require(n > 0, "epochedMixture needs a non-empty corpus")

@@ -45,4 +45,32 @@ class LayoutSpec extends SparkSpec {
     intercept[IllegalArgumentException](Layout.zValue(lit(1L), lit(1L), 0))
     intercept[IllegalArgumentException](Layout.zValue(lit(1L), lit(1L), 32))
   }
+
+  test("shardManifest: shards partition the corpus, stay balanced, and the " +
+      "digest isolates a single-doc change to its shard") {
+    val s = spark
+    import s.implicits._
+    val docs = graft.Tables.documents(spark, sf001).select("doc_id", "text")
+    val m = Layout.shardManifest(docs, "doc_id", "text", 8)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(m.map(_._1) == (0L to 7L), "every shard present")
+    assert(m.map(_._2).sum == docs.count(), "shards partition the corpus")
+    val counts = m.map(_._2.toDouble)
+    assert(counts.max / (counts.sum / 8) < 1.6,
+      s"md5 assignment should be Poisson-balanced, got $counts")
+    // mutate ONE doc's text: exactly one shard's digest flips, and only
+    // its sum_chars moves
+    val mutated = docs.withColumn("text",
+      when(col("doc_id") === 7L, concat(col("text"), lit("!"))).otherwise(col("text")))
+    val m2 = Layout.shardManifest(mutated, "doc_id", "text", 8)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    val changed = m.zip(m2).filter { case (a, b) => a != b }
+    assert(changed.size == 1, s"exactly one shard must change, got $changed")
+    assert(changed.head._1._2 == changed.head._2._2, "doc count unchanged")
+    assert(changed.head._2._3 == changed.head._1._3 + 1, "one extra char")
+    // assignment and digest are partition-stable
+    val m3 = Layout.shardManifest(docs.repartition(7), "doc_id", "text", 8)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(m3 == m)
+  }
 }

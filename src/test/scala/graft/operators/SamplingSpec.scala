@@ -320,4 +320,23 @@ class SamplingSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Sampling.epochedMixture(df, "id", "src", 10L, 0))
   }
+
+  test("epochedMixtureBy: weight mass, not doc count, drives the plan") {
+    val s = spark
+    import s.implicits._
+    // 'heavy': 2 docs of 500 units; 'light': 10 docs of 1 unit
+    val df = (Seq((1L, "heavy", 500L), (2L, "heavy", 500L)) ++
+      (10L until 20L).map(i => (i, "light", 1L))).toDF("id", "src", "w")
+    val out = Sampling.epochedMixtureBy(df, "id", "src", col("w"),
+      budget = 1030L, maxEpochs = 2)
+    val plan = out.select("src", "n_s", "served_s").distinct()
+      .as[(String, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(plan("heavy")._1 == 1000L && plan("light")._1 == 10L,
+      s"masses must be weight sums, got $plan")
+    // light's flattened ask blows past its 20-unit cap → capped exactly
+    assert(plan("light")._2 == 20L, s"light must cap at 2 epochs, got $plan")
+    assert(plan("heavy")._2 <= 2000L)
+    assert(out.filter($"src" === "light" && $"epoch" === 2).count() == 10,
+      "a capped source serves every doc in every epoch")
+  }
 }
