@@ -331,6 +331,38 @@ object AnalyticsQueries {
                FROM events GROUP BY 1)
         SELECT est.user_id, est.est, ex.exact
         FROM est JOIN ex ON est.user_id = ex.user_id
-        WHERE est.est >= 80 AND ex.exact >= 80"""))
+        WHERE est.est >= 80 AND ex.exact >= 80""")),
+
+    // EXACT milli-quantile profiling — q153's other half (the ANALYZE
+    // histogram): q‰ = the smallest value whose cumulative count
+    // reaches q·n/1000 (type-1 quantile — a value FROM the data, no
+    // interpolation, so every engine lands on the identical double);
+    // the integer cross-multiplied rank compare and distinct-value-only
+    // windows keep it exact and scale-shaped like the profiler.
+    QuerySpec("q195_profile_quantiles",
+      (s, dir) => graft.operators.Profiler.quantiles(
+        Tables.lineitem(s, dir),
+        Seq("l_quantity", "l_extendedprice", "l_discount"),
+        qMilli = Seq(250, 500, 900, 990)),
+      Some {
+        val lf = Seq("l_quantity", "l_extendedprice", "l_discount").map(c =>
+          s"SELECT '$c' AS col_name, CAST($c AS DOUBLE) AS v FROM lineitem")
+          .mkString("\n          UNION ALL ")
+        s"""
+        WITH lf AS (
+          $lf),
+        vc AS (
+          SELECT col_name, v, CAST(count(*) AS BIGINT) AS cnt
+          FROM lf WHERE v IS NOT NULL GROUP BY 1, 2),
+        cum AS (
+          SELECT col_name, v,
+            SUM(cnt) OVER (PARTITION BY col_name ORDER BY v) AS cum,
+            SUM(cnt) OVER (PARTITION BY col_name) AS n
+          FROM vc)
+        SELECT col_name, CAST(q AS BIGINT) AS q_milli, min(v) AS v
+        FROM cum, UNNEST([250, 500, 900, 990]) AS t(q)
+        WHERE cum * 1000 >= q * n
+        GROUP BY 1, 2"""
+      })
   )
 }

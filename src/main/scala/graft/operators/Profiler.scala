@@ -41,4 +41,35 @@ object Profiler {
       .select(col("col_name"), col("v").as("top_v"), col("cnt").as("top_n"))
     stats.join(top, Seq("col_name"))
   }
+
+  /** EXACT milli-quantiles per numeric column — the profiler's other
+    * half (`ANALYZE` histograms): q‰ is the SMALLEST value whose
+    * cumulative count reaches ⌈q·n/1000⌉ (the type-1 / lower quantile —
+    * a value FROM the data, no interpolation arithmetic, so any engine
+    * lands on the identical answer; the comparison `cum·1000 ≥ q·n` is
+    * pure integers). Same scale shape as [[profile]]: data touched once
+    * into (col, value) counts, every window runs over DISTINCT values
+    * only, output is |cols|·|qs| rows.
+    */
+  def quantiles(df: DataFrame, cols: Seq[String],
+                qMilli: Seq[Int]): DataFrame = {
+    require(cols.nonEmpty, "cols must be non-empty")
+    require(qMilli.nonEmpty && qMilli.forall(q => q >= 1 && q <= 1000),
+      s"quantiles must be in [1,1000] milli, got $qMilli")
+    val missing = cols.filterNot(df.columns.contains)
+    require(missing.isEmpty, s"unknown columns: ${missing.mkString(", ")}")
+    val longFmt = cols.map(c =>
+        df.select(lit(c).as("col_name"), col(c).cast("double").as("v")))
+      .reduce(_.unionByName(_))
+    val vc = longFmt.filter(col("v").isNotNull)
+      .groupBy("col_name", "v").agg(count(lit(1)).as("cnt"))
+    val cum = vc
+      .withColumn("cum", sum(col("cnt")).over(
+        Window.partitionBy("col_name").orderBy("v")))
+      .withColumn("n", sum(col("cnt")).over(Window.partitionBy("col_name")))
+    cum.select(col("col_name"), col("v"), col("cum"), col("n"),
+        explode(array(qMilli.map(q => lit(q.toLong)): _*)).as("q_milli"))
+      .filter(col("cum") * 1000 >= col("q_milli") * col("n"))
+      .groupBy("col_name", "q_milli").agg(min(col("v")).as("v"))
+  }
 }

@@ -30,4 +30,25 @@ class ProfilerSpec extends SparkSpec {
     assert(r.getAs[String]("top_v") == "x" && r.getAs[Long]("top_n") == 2L)
     intercept[IllegalArgumentException](Profiler.profile(df, Seq("nope")))
   }
+
+  test("quantiles: type-1 semantics on ties and nulls, hand-checked, partition-stable") {
+    val s = spark
+    import s.implicits._
+    // a: 1,1,1,2,10 (n=5) → p500 needs cum ≥ 2.5 → first value with
+    // cum ≥ 3 is 1; p800 needs cum ≥ 4 → 2; p1000 → 10. b has nulls
+    // (dropped from both n and cum): 5,7 → p500 → 5.
+    val df = Seq(
+      (Some(1.0), Some(5.0)), (Some(1.0), None), (Some(1.0), Some(7.0)),
+      (Some(2.0), None), (Some(10.0), None)).toDF("a", "b")
+    val got = Profiler.quantiles(df, Seq("a", "b"), Seq(500, 800, 1000))
+      .as[(String, Long, Double)].collect().toSet
+    assert(got === Set(
+      ("a", 500L, 1.0), ("a", 800L, 2.0), ("a", 1000L, 10.0),
+      ("b", 500L, 5.0), ("b", 800L, 7.0), ("b", 1000L, 7.0)))
+    val again = Profiler.quantiles(df.repartition(5), Seq("a", "b"),
+      Seq(500, 800, 1000)).as[(String, Long, Double)].collect().toSet
+    assert(again === got)
+    intercept[IllegalArgumentException](Profiler.quantiles(df, Seq("a"), Seq(0)))
+    intercept[IllegalArgumentException](Profiler.quantiles(df, Seq("a"), Nil))
+  }
 }
