@@ -16,8 +16,12 @@ import org.apache.spark.sql.functions._
   * Scale: the long-format explode is corpus × |cols| rows (cols is a
   * bounded operator argument), the (col, value) count aggregate
   * combines map-side (a hot value is partial-aggregated before its
-  * exchange), and the per-column stats + top-value window run over
-  * DISTINCT values only — the full data is touched exactly once.
+  * exchange), and everything downstream is a plain aggregate over the
+  * distinct-value table — NO window anywhere, so no stage ever
+  * collapses a column's distinct set into one partition (a continuous
+  * column's distinct count ≈ its row count, so "distinct values only"
+  * is not a bound — the trap [[Tokenize]]'s vocabBuild and the old
+  * top-value window both fell into).
   */
 object Profiler {
 
@@ -35,10 +39,15 @@ object Profiler {
       count(when(col("v").isNotNull, lit(1))).as("n_distinct"),
       min(col("v")).as("min_v"),
       max(col("v")).as("max_v"))
-    val wTop = Window.partitionBy("col_name").orderBy(col("cnt").desc, col("v"))
+    // modal value: min_by over the ordering struct (-cnt, v) — exactly
+    // the old `row_number() OVER (ORDER BY cnt DESC, v)` winner, but as
+    // a map-side-combining aggregate instead of a per-column
+    // single-partition window sort of the whole distinct-value table
     val top = byVal.filter(col("v").isNotNull)
-      .withColumn("rn", row_number().over(wTop)).filter(col("rn") === 1)
-      .select(col("col_name"), col("v").as("top_v"), col("cnt").as("top_n"))
+      .groupBy("col_name")
+      .agg(min_by(struct(col("v"), col("cnt")),
+        struct((-col("cnt")).as("nc"), col("v").as("tv"))).as("t"))
+      .select(col("col_name"), col("t.v").as("top_v"), col("t.cnt").as("top_n"))
     stats.join(top, Seq("col_name"))
   }
 
@@ -47,29 +56,74 @@ object Profiler {
     * cumulative count reaches ⌈q·n/1000⌉ (the type-1 / lower quantile —
     * a value FROM the data, no interpolation arithmetic, so any engine
     * lands on the identical answer; the comparison `cum·1000 ≥ q·n` is
-    * pure integers). Same scale shape as [[profile]]: data touched once
-    * into (col, value) counts, every window runs over DISTINCT values
-    * only, output is |cols|·|qs| rows.
+    * pure integers).
+    *
+    * Scale shape — a TWO-PHASE PREFIX SUM (the [[Curriculum]]
+    * discipline), because a `SUM() OVER (PARTITION BY col ORDER BY v)`
+    * would sort a column's ENTIRE distinct-value set in one task (for a
+    * continuous column that is the corpus): the distinct values
+    * range-bucket by an equi-width split of [min, max]; phase 1
+    * cumulates per-BUCKET counts (a window over ≤ |cols|·`buckets`
+    * rows) and binds each (col, q) target rank to the single bucket
+    * whose prefix range crosses it; phase 2 cumulates values WITHIN
+    * candidate buckets only (each window partition holds
+    * ~distinct/`buckets` values, and only ≤ |qs| buckets per column are
+    * touched). Data is read once into (col, value) counts; every later
+    * stage is distinct-value scale or smaller.
+    *
+    * Skew caveat: equi-width buckets degrade when nearly all distinct
+    * values crowd into one bucket's value range next to a far outlier —
+    * raise `buckets` (cost is the phase-1 table, |cols|·buckets rows)
+    * or pre-transform the column. [[Sketches.histogramQuantiles]] is
+    * the approximate/streaming tier when exactness is not required.
     */
-  def quantiles(df: DataFrame, cols: Seq[String],
-                qMilli: Seq[Int]): DataFrame = {
+  def quantiles(df: DataFrame, cols: Seq[String], qMilli: Seq[Int],
+                buckets: Int = 4096): DataFrame = {
     require(cols.nonEmpty, "cols must be non-empty")
     require(qMilli.nonEmpty && qMilli.forall(q => q >= 1 && q <= 1000),
       s"quantiles must be in [1,1000] milli, got $qMilli")
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
     val missing = cols.filterNot(df.columns.contains)
     require(missing.isEmpty, s"unknown columns: ${missing.mkString(", ")}")
     val longFmt = cols.map(c =>
         df.select(lit(c).as("col_name"), col(c).cast("double").as("v")))
       .reduce(_.unionByName(_))
-    val vc = longFmt.filter(col("v").isNotNull)
-      .groupBy("col_name", "v").agg(count(lit(1)).as("cnt"))
-    val cum = vc
-      .withColumn("cum", sum(col("cnt")).over(
-        Window.partitionBy("col_name").orderBy("v")))
-      .withColumn("n", sum(col("cnt")).over(Window.partitionBy("col_name")))
-    cum.select(col("col_name"), col("v"), col("cum"), col("n"),
-        explode(array(qMilli.map(q => lit(q.toLong)): _*)).as("q_milli"))
-      .filter(col("cum") * 1000 >= col("q_milli") * col("n"))
+    // the distinct-value table feeds the range stats, the bucket counts
+    // and the within-bucket cumulate — stage once (one corpus scan)
+    val vc = Staging.stage(longFmt.filter(col("v").isNotNull)
+      .groupBy("col_name", "v").agg(count(lit(1)).as("cnt")), "prof_vc").df
+    val rng = vc.groupBy("col_name").agg(
+      min(col("v")).as("lo"), max(col("v")).as("hi"), sum(col("cnt")).as("n"))
+    // deterministic monotone range bucket; NaN (sorts above everything)
+    // clamps to the last bucket via the coalesce
+    val bucketed = vc.join(broadcast(rng), Seq("col_name"))
+      .withColumn("bk", coalesce(
+        when(col("hi") <= col("lo"), lit(0L)).otherwise(
+          least(greatest(floor((col("v") - col("lo")) / (col("hi") - col("lo"))
+            * buckets), lit(0L)), lit(buckets - 1L))).cast("long"),
+        lit(buckets - 1L)))
+      .select("col_name", "v", "cnt", "bk")
+    // phase 1: bucket counts + exclusive prefix (window over the BUCKET
+    // table only)
+    val bc = bucketed.groupBy("col_name", "bk").agg(sum(col("cnt")).as("bn"))
+    val base = bc.withColumn("base", coalesce(sum(col("bn")).over(
+      Window.partitionBy("col_name").orderBy("bk")
+        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    // each (col, q) target binds to the ONE bucket whose prefix range
+    // crosses rank ⌈q·n/1000⌉ (integer cross-multiplied compare)
+    val targets = rng.select(col("col_name"), col("n"),
+      explode(array(qMilli.map(q => lit(q.toLong)): _*)).as("q_milli"))
+    val cand = targets.join(base, Seq("col_name"))
+      .filter(col("base") * 1000 < col("q_milli") * col("n") &&
+        (col("base") + col("bn")) * 1000 >= col("q_milli") * col("n"))
+      .select(col("col_name"), col("q_milli"), col("n"), col("bk"), col("base"))
+    // phase 2: cumulate only inside candidate buckets (≤ |qs| per col)
+    val hot = cand.select("col_name", "bk").distinct()
+    val inb = bucketed.join(broadcast(hot), Seq("col_name", "bk"))
+      .withColumn("cum_in", sum(col("cnt")).over(
+        Window.partitionBy("col_name", "bk").orderBy("v")))
+    cand.join(inb, Seq("col_name", "bk"))
+      .filter((col("base") + col("cum_in")) * 1000 >= col("q_milli") * col("n"))
       .groupBy("col_name", "q_milli").agg(min(col("v")).as("v"))
   }
 }

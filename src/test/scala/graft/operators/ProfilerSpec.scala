@@ -51,4 +51,75 @@ class ProfilerSpec extends SparkSpec {
     intercept[IllegalArgumentException](Profiler.quantiles(df, Seq("a"), Seq(0)))
     intercept[IllegalArgumentException](Profiler.quantiles(df, Seq("a"), Nil))
   }
+
+  private def expectedQ(vals: Seq[Double], qs: Seq[Int]): Map[Long, Double] = {
+    val sorted = vals.sorted
+    val n = sorted.size.toLong
+    qs.map { q =>
+      // smallest value whose cumulative count satisfies cum*1000 >= q*n
+      val idx = sorted.indices.find(i => (i + 1L) * 1000 >= q * n).get
+      q.toLong -> sorted(idx)
+    }.toMap
+  }
+
+  test("quantiles: continuous high-cardinality column matches brute force; few buckets too") {
+    val s = spark
+    import s.implicits._
+    // 10k DISTINCT doubles in shuffled order — the regime where the old
+    // per-column single-partition window sorted the whole column in one
+    // task; correctness must hold at any bucket count
+    val vals = (1 to 10000).map(i => (i * 2654435761L % 10007) + i / 10000.0)
+    val df = vals.toDF("x")
+    val qs = Seq(1, 250, 500, 900, 990, 1000)
+    val exp = expectedQ(vals, qs)
+    for (b <- Seq(1, 7, 4096)) {
+      val got = Profiler.quantiles(df, Seq("x"), qs, buckets = b)
+        .as[(String, Long, Double)].collect()
+        .map { case (_, q, v) => q -> v }.toMap
+      assert(got === exp, s"buckets=$b")
+    }
+  }
+
+  test("quantiles: skewed range (outlier crowds one bucket) and ties across bucket edges") {
+    val s = spark
+    import s.implicits._
+    // nearly all mass in [0,1] plus a 1e9 outlier: equi-width buckets
+    // degrade to one hot bucket — must stay CORRECT regardless
+    val skew = (1 to 999).map(_ / 1000.0) :+ 1e9
+    val qs = Seq(500, 999, 1000)
+    val got = Profiler.quantiles(skew.toDF("x"), Seq("x"), qs, buckets = 64)
+      .as[(String, Long, Double)].collect().map { case (_, q, v) => q -> v }.toMap
+    assert(got === expectedQ(skew, qs))
+    // heavy ties: value repeated enough that a target rank lands mid-run
+    val ties = Seq.fill(50)(1.0) ++ Seq.fill(50)(2.0) ++ Seq.fill(50)(3.0)
+    val got2 = Profiler.quantiles(ties.toDF("x"), Seq("x"), Seq(333, 334, 667, 1000),
+        buckets = 2)
+      .as[(String, Long, Double)].collect().map { case (_, q, v) => q -> v }.toMap
+    assert(got2 === expectedQ(ties, Seq(333, 334, 667, 1000)))
+  }
+
+  test("quantiles plan: no per-column window over the value table (two-phase shape)") {
+    val s = spark
+    import s.implicits._
+    val df = (1 to 100).map(_.toDouble).toDF("x")
+    val plan = Profiler.quantiles(df, Seq("x"), Seq(500))
+      .queryExecution.executedPlan.toString
+    // the trap shape: a window partitioned ONLY by col_name and ordered
+    // by the raw value — that sorts a column's whole distinct set in one
+    // task; the fixed plan orders col_name-partitions by BUCKET and
+    // value-windows are co-partitioned by (col_name, bk)
+    assert(!"windowspecdefinition\\(col_name#\\d+, v#".r.findFirstIn(plan).isDefined,
+      "found a per-column window ordered by raw value:\n" + plan)
+    assert("windowspecdefinition\\(col_name#\\d+, bk#\\d+L, v#\\d+".r
+      .findFirstIn(plan).isDefined, "missing the (col_name, bk) value window:\n" + plan)
+  }
+
+  test("profile plan: modal value via aggregate, no window at all") {
+    val s = spark
+    import s.implicits._
+    val df = (1 to 100).map(i => (i % 7).toString).toDF("x")
+    val plan = Profiler.profile(df, Seq("x")).queryExecution.executedPlan.toString
+    assert(!plan.contains("windowspecdefinition"),
+      "profile must not plan any window:\n" + plan)
+  }
 }
