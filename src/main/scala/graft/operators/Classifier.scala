@@ -152,6 +152,15 @@ object Classifier {
         .join(docs.select(col(idCol), col(labelCol).cast("long").as("__lab")),
           Seq(idCol)),
       "perceptron_feats")
+    // an out-of-range/null label would SILENTLY corrupt training: its
+    // positive update drops out of the (bucket, cls) grid left-join
+    // while its negative push against the predicted class still lands —
+    // fail loudly instead (one cheap scan of the staged feature table)
+    val badLabels = feats.df.filter(col("__lab").isNull ||
+      col("__lab") < 0 || col("__lab") >= nClasses).count()
+    require(badLabels == 0L,
+      s"$badLabels feature rows have a null or out-of-range label " +
+        s"(labelCol must be an integer in [0, $nClasses))")
     val grid = spark.range(buckets).select(col("id").as("bucket"))
       .crossJoin(spark.range(nClasses).select(col("id").as("cls")))
     def roundStep(w: DataFrame): DataFrame = {

@@ -288,7 +288,15 @@ object Sampling {
     val spark = df.sparkSession
     val stats = df.groupBy(col(srcCol).cast("string").as("src"))
       .agg(sum(weight.cast("long")).as("n_s")).collect()
-      .map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+      .map(r => (r.getString(0), if (r.isNullAt(1)) 0L else r.getLong(1)))
+      .sortBy(_._1)
+    // every source's mass must be POSITIVE: served/n_s and served%n_s
+    // divide by it, and a zero/negative sum (all-null or negative
+    // weights) would throw mid-plan or build a nonsense mixture
+    stats.foreach { case (src, nS) =>
+      require(nS > 0,
+        s"source '$src' has non-positive total weight $nS — weights must " +
+          "be non-negative with a positive per-source sum") }
     val n = stats.map(_._2).sum
     require(n > 0, "epochedMixture needs a non-empty corpus")
     // w_s = ⌊√share⌋, float-seeded + integer-corrected so it equals the

@@ -659,8 +659,15 @@ object SimilaritySearch {
       .filter(substring(col("draw"), 1, 8) <= lit(thrHex)))
     if (thr >= 0xFFFFFFFFL) sliced // slice covers the whole hash space
     else {
-      val short = sliced.groupBy("qid").agg(count(lit(1)).as("n_got"))
-        .filter(col("n_got") < k).select("qid")
+      // under-filled = FEWER than k survivors, including ZERO: left-join
+      // the full query set against the per-qid counts so a query whose
+      // every candidate hashed above the slice (no group row at all)
+      // still falls back — without it such a query would silently return
+      // no negatives, breaking the bit-identical-at-any-N contract
+      val short = queries.select(col(idCol).as("qid"))
+        .join(sliced.groupBy("qid").agg(count(lit(1)).as("n_got")),
+          Seq("qid"), "left")
+        .filter(coalesce(col("n_got"), lit(0L)) < k).select("qid")
       sliced.join(broadcast(short), Seq("qid"), "left_anti")
         .unionByName(ranked(drawsOf(allPairs.join(broadcast(short), Seq("qid")))))
     }

@@ -136,6 +136,19 @@ class ClassifierSpec extends SparkSpec {
       Classifier.trainPerceptron(docs, "doc_id", "text", "lab", 8, 2, 0))
   }
 
+  test("trainPerceptron rejects out-of-range and null labels (silent-corruption guard)") {
+    val s = spark
+    import s.implicits._
+    val outOfRange = Seq((1L, "a b", 0L), (2L, "c d", 5L)).toDF("doc_id", "text", "lab")
+    val e = intercept[IllegalArgumentException](
+      Classifier.trainPerceptron(outOfRange, "doc_id", "text", "lab", 8, 2, 1))
+    assert(e.getMessage.contains("out-of-range"))
+    val withNull = Seq((1L, "a b", Some(0L)), (2L, "c d", None))
+      .toDF("doc_id", "text", "lab")
+    intercept[IllegalArgumentException](
+      Classifier.trainPerceptron(withNull, "doc_id", "text", "lab", 8, 2, 1))
+  }
+
   test("predict is partitioning-invariant (exact integer scores)") {
     val s = spark
     import s.implicits._

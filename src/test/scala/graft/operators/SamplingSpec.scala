@@ -339,4 +339,20 @@ class SamplingSpec extends SparkSpec {
     assert(out.filter($"src" === "light" && $"epoch" === 2).count() == 10,
       "a capped source serves every doc in every epoch")
   }
+
+  test("epochedMixtureBy rejects a source with non-positive weight mass") {
+    val s = spark
+    import s.implicits._
+    // 'dead' sums to 0 — would divide by zero in the waterfill plan
+    val df = Seq((1L, "live", 10L), (2L, "dead", 0L)).toDF("id", "src", "w")
+    val e = intercept[IllegalArgumentException](
+      Sampling.epochedMixtureBy(df, "id", "src", col("w"),
+        budget = 5L, maxEpochs = 1))
+    assert(e.getMessage.contains("dead"))
+    // negative weights pulling a source's sum below zero fail the same way
+    val neg = Seq((1L, "a", 5L), (2L, "a", -9L)).toDF("id", "src", "w")
+    intercept[IllegalArgumentException](
+      Sampling.epochedMixtureBy(neg, "id", "src", col("w"),
+        budget = 5L, maxEpochs = 1))
+  }
 }
