@@ -33,18 +33,63 @@ object GraftTable {
       .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
       .sortBy(bucketCols.head, bucketCols.tail: _*)
       .saveAsTable(table)
+
+  /** Full checkpoint manifest every this-many versions; between
+    * checkpoints each commit appends a DELTA manifest (drops + adds),
+    * so replaying any version touches at most this many log files.
+    */
+  private[operators] val CheckpointEvery = 8
 }
 
+/** Thrown when a commit loses the optimistic-concurrency race: another
+  * writer committed the same next version first. The loser's data files
+  * are cleaned up before the throw; callers re-read the table (their
+  * snapshot is stale) and retry the whole mutation.
+  */
+final class CommitConflictException(message: String)
+  extends RuntimeException(message)
+
 /** @note VERSIONED: every mutation commits a new manifest under
-  *       `_graft_log/` listing the data files LIVE in that version;
+  *       `_graft_log/` describing the data files LIVE in that version;
   *       data files are only ever ADDED, never deleted by a mutation
   *       (the Delta/Iceberg discipline — replaced files stay on disk
   *       for [[GraftTable.readAt]] time travel until [[GraftTable.vacuum]]
-  *       reclaims them). Single writer per table, as in the reference's
-  *       orchestrator model.
+  *       reclaims them).
+  *
+  *       COMMIT SHAPE (the 100 TB contract): a mutation's commit I/O is
+  *       O(files written by THAT commit), never O(table files) — new
+  *       files are written into a per-commit staging directory (so
+  *       "what did I add" is one small-directory listing, not a
+  *       full-table walk) and moved into their partition directories;
+  *       the manifest committed is a DELTA (`{dropped partitions,
+  *       added files}`) with a periodic full checkpoint every
+  *       [[GraftTable.CheckpointEvery]] versions bounding replay depth.
+  *       The only full tree walk left is the one-time legacy-table
+  *       baseline upgrade.
+  *
+  *       CONCURRENCY: optimistic, single-winner. Each mutation snapshots
+  *       the current version at entry and commits version base+1 via an
+  *       atomic exclusive hard-link — if another writer committed base+1
+  *       first, the link fails, the loser's freshly-added data files are
+  *       deleted (they are in no manifest, so nothing is orphaned) and a
+  *       [[CommitConflictException]] tells the caller to re-read and
+  *       retry. Exactly one writer wins any version; manifests are never
+  *       overwritten.
+  *
+  *       SCHEMA EVOLUTION: a mutation whose rows carry NEW columns
+  *       evolves the table schema in place (new columns appended
+  *       nullable); old versions and old files read through the evolved
+  *       schema with nulls for the missing columns. A mutation MISSING
+  *       table columns is padded with typed nulls — the reference's own
+  *       permissive-schema intent (`storage/azurestoragewrapper.py:
+  *       137-138`) applied to the versioned table. Key and partition
+  *       columns are always required; an overlapping column with a
+  *       DIFFERENT type is rejected (no type evolution).
   */
 final class GraftTable(spark: SparkSession, val path: String,
                        val keys: Seq[String], val partitionCol: String) {
+
+  import GraftTable.CheckpointEvery
 
   /** Idempotent create (K1): materializes the table directory, a
     * schema sidecar, and version 1 (the empty manifest) once. (An empty
@@ -59,7 +104,7 @@ final class GraftTable(spark: SparkSession, val path: String,
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
         .write.mode(SaveMode.Overwrite).partitionBy(partitionCol).parquet(path)
       java.nio.file.Files.writeString(schemaSidecar, schema.json)
-      commitManifest(Seq.empty)
+      commitEntries(0L, Seq.empty)
     }
     this
   }
@@ -85,12 +130,12 @@ final class GraftTable(spark: SparkSession, val path: String,
   /** Latest committed version (0 = no version log yet). */
   def currentVersion: Long = versions.lastOption.getOrElse(0L)
 
-  /** Relative data-file paths LIVE in `v` (manifest must exist). */
-  private def manifestFiles(v: Long): Seq[String] = {
+  /** The manifest's raw string entries (paths, or delta markers). */
+  private def rawEntries(v: Long): Seq[String] = {
     val p = manifestPath(v)
     require(java.nio.file.Files.exists(p), s"version $v has no manifest at $p")
     val txt = java.nio.file.Files.readString(p)
-    // manifest format: {"version":N,"files":["rel/path", ...]} with \-escaped
+    // manifest format: {"version":N,"files":["entry", ...]} with \-escaped
     // quotes/backslashes in paths (Hive %-escaping keeps them rare)
     val body = txt.substring(txt.indexOf('[') + 1, txt.lastIndexOf(']'))
     if (body.trim.isEmpty) Seq.empty
@@ -99,26 +144,97 @@ final class GraftTable(spark: SparkSession, val path: String,
         .replace("\\\"", "\"").replace("\\\\", "\\"))
   }
 
-  /** Atomically commit the next version's manifest; returns its number. */
-  private def commitManifest(files: Seq[String]): Long = {
-    java.nio.file.Files.createDirectories(logDir)
-    val v = currentVersion + 1
-    def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
-    val json = files.sorted.map(f => "\"" + esc(f) + "\"")
-      .mkString(s"""{"version":$v,"files":[""", ",", "]}")
-    val tmp = logDir.resolve(s".tmp_v$v")
-    java.nio.file.Files.writeString(tmp, json)
-    java.nio.file.Files.move(tmp, manifestPath(v),
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    v
+  private def isDelta(entries: Seq[String]): Boolean =
+    entries.headOption.contains("#delta")
+
+  /** Relative data-file paths LIVE in `v`: replay the delta chain back
+    * to the nearest full checkpoint (≤ [[GraftTable.CheckpointEvery]]
+    * manifests) and apply forward. Never touches the data tree.
+    */
+  private def manifestFiles(v: Long): Seq[String] = {
+    var at = v
+    var cur = rawEntries(at)
+    val deltas = scala.collection.mutable.ListBuffer.empty[Seq[String]]
+    while (isDelta(cur)) {
+      deltas.prepend(cur)
+      at -= 1
+      cur = rawEntries(at)
+    }
+    var live = cur
+    deltas.foreach { d =>
+      val drops = d.collect { case e if e.startsWith("-") => e.drop(1) }
+      val adds = d.collect { case e if e.startsWith("+") => e.drop(1) }
+      live = live.filterNot(f => drops.exists(dir => f.startsWith(dir + "/"))) ++ adds
+    }
+    live
   }
 
-  /** Every committed data file under the table root, path-relative. */
+  /** Atomically commit version `base`+1. The hard link is the OCC
+    * gate: link creation onto an existing target fails atomically, so
+    * of two racing writers exactly one commits base+1 and the other
+    * gets [[CommitConflictException]] (fallback: exclusive move, for
+    * filesystems without hard links).
+    */
+  private def commitEntries(base: Long, entries: Seq[String]): Long = {
+    java.nio.file.Files.createDirectories(logDir)
+    val v = base + 1
+    def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
+    val json = entries.map(f => "\"" + esc(f) + "\"")
+      .mkString(s"""{"version":$v,"files":[""", ",", "]}")
+    val tmp = logDir.resolve(
+      s".tmp_v${v}_${java.util.UUID.randomUUID().toString.take(8)}")
+    java.nio.file.Files.writeString(tmp, json)
+    try {
+      try java.nio.file.Files.createLink(manifestPath(v), tmp)
+      catch {
+        case _: UnsupportedOperationException =>
+          java.nio.file.Files.move(tmp, manifestPath(v))
+      }
+      v
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new CommitConflictException(
+          s"table $path: version $v was committed by another writer " +
+            s"(this mutation read version $base) — re-read and retry")
+    } finally {
+      java.nio.file.Files.deleteIfExists(tmp); ()
+    }
+  }
+
+  /** Commit `base`+1 as a delta (or a full checkpoint every
+    * [[GraftTable.CheckpointEvery]] versions): files under `dropDirs`
+    * leave the live set, `added` join it.
+    */
+  private def commitDelta(base: Long, dropDirs: Seq[String],
+                          added: Seq[String]): Long = {
+    val v = base + 1
+    if (v % CheckpointEvery == 0) {
+      val prev = manifestFiles(base)
+      val full = prev.filterNot(f => dropDirs.exists(d => f.startsWith(d + "/"))) ++ added
+      commitEntries(base, full.sorted)
+    } else
+      commitEntries(base, "#delta" +:
+        (dropDirs.sorted.map("-" + _) ++ added.sorted.map("+" + _)))
+  }
+
+  /** Diagnostic: how many FULL data-tree walks this instance has done.
+    * For a table created through [[createIfNotExists]] this must stay 0
+    * forever — only the one-time legacy-baseline upgrade walks.
+    * (Asserted by `GraftTableSpec`: commit I/O is independent of table
+    * file count.)
+    */
+  private[operators] var fullTreeWalks: Long = 0L
+
+  /** Every committed data file under the table root, path-relative.
+    * ONLY for the legacy-table baseline upgrade — a full tree walk is
+    * O(all files ever written) and is never part of a commit.
+    */
   private def listDataFiles(): Seq[String] = {
+    fullTreeWalks += 1
     val root = java.nio.file.Paths.get(path)
     def walk(f: java.io.File): Seq[String] =
       if (f.isDirectory) {
-        if (f.getName == "_graft_log") Seq.empty
+        if (f.getName.startsWith("_")) Seq.empty // _graft_log, _graft_staging
         else Option(f.listFiles()).getOrElse(Array.empty).toSeq.flatMap(walk)
       } else if (f.getName.endsWith(".parquet"))
         Seq(root.relativize(f.toPath).toString)
@@ -126,11 +242,14 @@ final class GraftTable(spark: SparkSession, val path: String,
     walk(new java.io.File(path))
   }
 
-  /** Upgrade a legacy table (files but no log) in place: its current
-    * physical listing becomes version 1, so history starts at "now".
+  /** The version this mutation reads against; upgrades a legacy table
+    * (files but no log) in place first — its physical listing becomes
+    * version 1, so history starts at "now".
     */
-  private def ensureBaseline(): Unit =
-    if (currentVersion == 0L) { commitManifest(listDataFiles()); () }
+  private def ensureBaselineVersion(): Long = {
+    val v = currentVersion
+    if (v > 0L) v else commitEntries(0L, listDataFiles().sorted)
+  }
 
   /** The Hive directory name for a partition VALUE (None = null). */
   private def partitionDirName(v: Option[String]): String = v match {
@@ -157,19 +276,38 @@ final class GraftTable(spark: SparkSession, val path: String,
       withSchema.parquet(files.map(f => s"$path/$f"): _*)
     }
 
-  /** TIME TRAVEL: the table exactly as of committed version `v`. */
+  /** TIME TRAVEL: the table exactly as of committed version `v` —
+    * through the CURRENT schema (columns added since `v` read as null).
+    */
   def readAt(v: Long): DataFrame = readFiles(manifestFiles(v))
 
   /** Reclaim history: keep the last `keepVersions` manifests, delete
     * every data file referenced ONLY by dropped manifests. The
     * storage-cost bound a versioned table needs — history is otherwise
-    * unbounded (every upsert tick keeps its replaced files).
+    * unbounded (every upsert tick keeps its replaced files). The oldest
+    * KEPT manifest is first materialized as a full checkpoint (its
+    * delta chain may reference dropped manifests).
     */
   def vacuum(keepVersions: Int = 1): this.type = {
     require(keepVersions >= 1, s"keepVersions must be >= 1, got $keepVersions")
     val vs = versions
     val (drop, keep) = vs.splitAt(math.max(0, vs.size - keepVersions))
     if (drop.nonEmpty) {
+      // re-anchor the oldest kept version: resolve it THROUGH the
+      // soon-dropped chain, then rewrite its manifest as a full listing
+      // (content-identical — same live set, no longer delta-encoded)
+      val kMin = keep.head
+      if (isDelta(rawEntries(kMin))) {
+        val full = manifestFiles(kMin).sorted
+        def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
+        val json = full.map(f => "\"" + esc(f) + "\"")
+          .mkString(s"""{"version":$kMin,"files":[""", ",", "]}")
+        val tmp = logDir.resolve(s".tmp_ckpt_v$kMin")
+        java.nio.file.Files.writeString(tmp, json)
+        java.nio.file.Files.move(tmp, manifestPath(kMin),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      }
       val liveSet = keep.flatMap(manifestFiles).toSet
       val dead = drop.flatMap(manifestFiles).toSet -- liveSet
       dead.foreach { f =>
@@ -183,7 +321,7 @@ final class GraftTable(spark: SparkSession, val path: String,
       // prune now-empty partition directories (an all-history partition
       // leaves an empty dir behind once its files are reclaimed)
       def prune(f: java.io.File): Boolean = { // true = f was removed
-        if (!f.isDirectory || f.getName == "_graft_log") false
+        if (!f.isDirectory || f.getName.startsWith("_")) false
         else {
           Option(f.listFiles()).getOrElse(Array.empty).foreach(prune)
           val empty = Option(f.listFiles()).forall(_.isEmpty)
@@ -197,37 +335,66 @@ final class GraftTable(spark: SparkSession, val path: String,
     this
   }
 
-  /** Append-only write + manifest commit: write `df`'s rows as NEW
-    * files, then commit a manifest where every file under a TOUCHED
-    * partition from the previous version is replaced by the new files
-    * (an emptied partition simply contributes none — no directory
-    * deletion, the old files stay for time travel). `touchedVals` must
-    * cover every partition value whose content `df` redefines.
+  /** Write `df`'s rows as NEW files and return their table-relative
+    * paths — WITHOUT walking the table: the write lands in a per-commit
+    * staging directory (so the added-file list is one listing of a
+    * directory this commit owns), and each file then moves into its
+    * partition directory under a commit-unique name. O(files written),
+    * independent of table size.
     */
-  private def commitRewrite(df: DataFrame,
-                            touchedVals: Seq[Option[String]]): this.type = {
-    ensureBaseline()
-    val before = listDataFiles().toSet
-    if (!df.isEmpty)
-      df.write.mode(SaveMode.Append).partitionBy(partitionCol).parquet(path)
-    val added = listDataFiles().filterNot(before)
-    val touchedDirs = touchedVals.map(partitionDirName).toSet
-    val kept = manifestFiles(currentVersion)
-      .filterNot(f => touchedDirs.exists(d => f.startsWith(d + "/")))
-    commitManifest(kept ++ added)
+  private def writeCommitFiles(df: DataFrame): Seq[String] = {
+    if (df.isEmpty) return Seq.empty
+    val nonce = java.util.UUID.randomUUID().toString.take(8)
+    val stage = java.nio.file.Paths.get(path, "_graft_staging", s"c_$nonce")
+    df.write.mode(SaveMode.Overwrite).partitionBy(partitionCol)
+      .parquet(stage.toString)
+    val moved = scala.collection.mutable.ListBuffer.empty[String]
+    def walk(f: java.io.File): Unit =
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(walk)
+      else if (f.getName.endsWith(".parquet")) {
+        val rel = stage.relativize(f.toPath) // e.g. day=X/part-....parquet
+        val dir = rel.getParent.toString
+        val name = s"c$nonce-${f.getName}"
+        val target = java.nio.file.Paths.get(path, dir, name)
+        java.nio.file.Files.createDirectories(target.getParent)
+        // plain same-volume move; the .crc checksum sibling stays behind
+        // (it is name-bound) and dies with the staging dir — absent crc
+        // simply skips the local-FS checksum on read
+        java.nio.file.Files.move(f.toPath, target)
+        moved += s"$dir/$name"
+      }
+    walk(stage.toFile)
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    rm(stage.toFile)
+    moved.toSeq
+  }
+
+  /** Append-only write + delta commit: write `df`'s rows as NEW files,
+    * then commit a manifest where every file under a TOUCHED partition
+    * from version `base` is replaced by the new files (an emptied
+    * partition simply contributes none — no directory deletion, the old
+    * files stay for time travel). On a lost OCC race the added files
+    * are deleted (they are in no manifest) and the conflict propagates.
+    */
+  private def commitRewrite(df: DataFrame, touchedVals: Seq[Option[String]],
+                            base: Long): this.type = {
+    val added = writeCommitFiles(df)
+    try commitDelta(base, touchedVals.map(partitionDirName), added)
+    catch {
+      case e: CommitConflictException =>
+        added.foreach { f =>
+          java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(path, f)); ()
+        }
+        throw e
+    }
     this
   }
 
-  /** Append-only append + manifest commit (no partition replaced). */
-  private def commitAppend(df: DataFrame): this.type = {
-    ensureBaseline()
-    val before = listDataFiles().toSet
-    if (!df.isEmpty)
-      df.write.mode(SaveMode.Append).partitionBy(partitionCol).parquet(path)
-    val added = listDataFiles().filterNot(before)
-    commitManifest(manifestFiles(currentVersion) ++ added)
-    this
-  }
+  /** Append-only append + delta commit (no partition replaced). */
+  private def commitAppend(df: DataFrame, base: Long): this.type =
+    commitRewrite(df, Seq.empty, base)
 
   /** The partition VALUES (as Hive directory strings) present in `df` —
     * metadata-scale collect, bounded by the partition count.
@@ -237,6 +404,54 @@ final class GraftTable(spark: SparkSession, val path: String,
       .collect().map(r => Option(r.getString(0))).toSeq
 
   private def schemaSidecar = java.nio.file.Paths.get(path, "_graft_schema.json")
+
+  private def sidecarSchemaOpt: Option[org.apache.spark.sql.types.StructType] =
+    if (java.nio.file.Files.exists(schemaSidecar))
+      Some(org.apache.spark.sql.types.DataType
+        .fromJson(java.nio.file.Files.readString(schemaSidecar))
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+    else None
+
+  /** SCHEMA-EVOLVE + ALIGN a mutation's rows to the table: new columns
+    * append to the sidecar as nullable (old files/versions read them as
+    * null); table columns the mutation lacks are padded with typed
+    * nulls; overlapping columns must type-match exactly. Key and
+    * partition columns are always required. Returns `df` projected to
+    * the evolved column order. No-op for legacy tables without a
+    * sidecar.
+    */
+  private def conform(df: DataFrame): DataFrame = sidecarSchemaOpt match {
+    case None => df
+    case Some(cur) =>
+      (keys :+ partitionCol).foreach(c => require(df.columns.contains(c),
+        s"mutation rows must carry key/partition column '$c'"))
+      val curByName = cur.fields.map(f => f.name -> f).toMap
+      df.schema.fields.filter(f => curByName.contains(f.name)).foreach { f =>
+        require(curByName(f.name).dataType == f.dataType,
+          s"column '${f.name}' has type ${f.dataType.simpleString} but the " +
+            s"table stores ${curByName(f.name).dataType.simpleString} — " +
+            "no type evolution")
+      }
+      val newFields = df.schema.fields.filterNot(f => curByName.contains(f.name))
+        .map(f => org.apache.spark.sql.types.StructField(f.name, f.dataType,
+          nullable = true))
+      val evolved =
+        if (newFields.isEmpty) cur
+        else {
+          val s2 = org.apache.spark.sql.types.StructType(cur.fields ++ newFields)
+          val tmp = java.nio.file.Paths.get(path,
+            s"._graft_schema_tmp_${java.util.UUID.randomUUID().toString.take(8)}")
+          java.nio.file.Files.writeString(tmp, s2.json)
+          java.nio.file.Files.move(tmp, schemaSidecar,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          s2
+        }
+      val dfCols = df.columns.toSet
+      df.select(evolved.fields.toSeq.map(f =>
+        if (dfCols.contains(f.name)) col(f.name)
+        else lit(null).cast(f.dataType).as(f.name)): _*)
+  }
 
   /** A table exists when its creation COMMITTED. `createIfNotExists`
     * writes the schema sidecar last, so the sidecar is the commit
@@ -251,41 +466,52 @@ final class GraftTable(spark: SparkSession, val path: String,
         val kids = Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
         kids.exists(k => k.isFile &&
           (k.getName.endsWith(".parquet") || k.getName == "_SUCCESS")) ||
-          kids.exists(k => k.isDirectory && probe(k))
+          kids.exists(k => k.isDirectory && !k.getName.startsWith("_") && probe(k))
       }
       probe(new java.io.File(path))
     }
 
-  def read: DataFrame =
-    if (currentVersion > 0L) readAt(currentVersion)
+  def read: DataFrame = {
+    val v = currentVersion
+    if (v > 0L) readAt(v)
     else if (java.nio.file.Files.exists(schemaSidecar)) {
       val schema = org.apache.spark.sql.types.DataType
         .fromJson(java.nio.file.Files.readString(schemaSidecar))
         .asInstanceOf[org.apache.spark.sql.types.StructType]
       spark.read.schema(schema).parquet(path)
     } else spark.read.parquet(path)
+  }
 
   /** Append rows for partitions not yet present (U2 import-once): the
     * existence check prunes to partition values, the write appends only
-    * the new partitions.
+    * the new partitions. Null-safe on the partition value — rows of the
+    * Hive default (null) partition import once like any other.
     */
   def importOnce(incoming: DataFrame): this.type = {
-    val existing = read.select(partitionCol).distinct()
-    val fresh = incoming.join(existing, Seq(partitionCol), "left_anti")
-    commitAppend(fresh)
+    val base = ensureBaselineVersion()
+    val inc = conform(incoming)
+    val existing = readAt(base).select(col(partitionCol).as("__tp")).distinct()
+    val fresh = inc.join(existing, col(partitionCol) <=> col("__tp"), "left_anti")
+    commitAppend(fresh, base)
   }
 
   /** Key-level upsert-REPLACE (K4): merge updates into the stored table,
-    * rewriting ONLY the partitions the updates touch (dynamic partition
-    * overwrite — untouched day directories are never read or written).
+    * rewriting ONLY the partitions the updates touch (untouched day
+    * directories are never read or written). The touched-partition join
+    * is NULL-SAFE — upserting into the Hive default (null) partition
+    * must rewrite that partition's existing rows, not silently drop
+    * them when the manifest swaps its files.
     */
   def upsertReplace(updates: DataFrame, tiebreak: Seq[String] = Nil): this.type = {
-    val touched = updates.select(partitionCol).distinct()
-    val current = read.join(touched, Seq(partitionCol), "left_semi")
+    val base = ensureBaselineVersion()
+    val up = conform(updates)
+    val touched = up.select(col(partitionCol).as("__tp")).distinct()
+    val current = readAt(base)
+      .join(touched, col(partitionCol) <=> col("__tp"), "left_semi")
     val merged = KeyedTable.upsertReplace(
-      current.withColumn("__v", lit(1)), updates.withColumn("__v", lit(2)),
+      current.withColumn("__v", lit(1)), up.withColumn("__v", lit(2)),
       keys, "__v", tiebreak).drop("__v")
-    writePartitions(merged.select(current.columns.map(col).toSeq: _*))
+    writePartitions(merged.select(current.columns.map(col).toSeq: _*), base)
   }
 
   /** Insert-if-absent (K8): append only rows whose key is not yet
@@ -293,17 +519,24 @@ final class GraftTable(spark: SparkSession, val path: String,
     * cheap and idempotent at any scale (reference `server/etl.py:148-149`).
     */
   def insertIfAbsent(inserts: DataFrame): this.type = {
-    val fresh = inserts.join(read.select(keys.map(col).toSeq: _*).distinct(),
+    val base = ensureBaselineVersion()
+    val ins = conform(inserts)
+    val fresh = ins.join(readAt(base).select(keys.map(col).toSeq: _*).distinct(),
       keys, "left_anti")
-    commitAppend(fresh)
+    commitAppend(fresh, base)
   }
 
-  /** Key-level upsert-MERGE (K3, non-default columns win). */
+  /** Key-level upsert-MERGE (K3, non-default columns win). Null-safe on
+    * the touched-partition value, like [[upsertReplace]].
+    */
   def upsertMerge(updates: DataFrame, defaults: Map[String, Any]): this.type = {
-    val touched = updates.select(partitionCol).distinct()
-    val current = read.join(touched, Seq(partitionCol), "left_semi")
-    val merged = KeyedTable.upsertMerge(current, updates, keys, defaults)
-    writePartitions(merged.select(current.columns.map(col).toSeq: _*))
+    val base = ensureBaselineVersion()
+    val up = conform(updates)
+    val touched = up.select(col(partitionCol).as("__tp")).distinct()
+    val current = readAt(base)
+      .join(touched, col(partitionCol) <=> col("__tp"), "left_semi")
+    val merged = KeyedTable.upsertMerge(current, up, keys, defaults)
+    writePartitions(merged.select(current.columns.map(col).toSeq: _*), base)
   }
 
   /** Keyed DELETE (K5): anti-join rewrite of only the touched
@@ -315,7 +548,8 @@ final class GraftTable(spark: SparkSession, val path: String,
     * partition count), not data-scale.
     */
   def deleteByKeys(deleteKeys: DataFrame): this.type = {
-    val touched = read.join(deleteKeys, keys, "left_semi")
+    val base = ensureBaselineVersion()
+    val touched = readAt(base).join(deleteKeys, keys, "left_semi")
       .select(partitionCol).distinct()
     // partition-value joins must be NULL-SAFE: a null partition value is
     // legal (Hive default partition), and a null-unsafe semi join would
@@ -323,26 +557,26 @@ final class GraftTable(spark: SparkSession, val path: String,
     // manifest still drops the partition's old files — i.e. delete rows
     // it was never asked to delete
     val tp = touched.withColumnRenamed(partitionCol, "__tp")
-    val current = read.join(tp, col(partitionCol) <=> col("__tp"), "left_semi")
+    val current = readAt(base).join(tp, col(partitionCol) <=> col("__tp"), "left_semi")
     val remaining = KeyedTable.deleteByKeys(current, deleteKeys, keys)
     // stage once: the remaining rows feed the append write, and the
     // touched values collect feeds the manifest — one computation
     val staged = Staging.stage(remaining, "delete_barrier")
-    commitRewrite(staged.df, partitionValsOf(touched))
+    commitRewrite(staged.df, partitionValsOf(touched), base)
     staged.delete()
     this
   }
 
-  /** Rewrite touched partitions as a NEW VERSION: the rows append as
+  /** Rewrite touched partitions as a NEW VERSION: the rows land as
     * fresh files and the manifest swaps the touched partitions' old
     * files for them — the files the input plan reads are never deleted
     * (they now belong to history), so recomputation after an executor
     * loss is always safe. Staged once because both the write and the
     * touched-partition collect consume the plan.
     */
-  private def writePartitions(df: DataFrame): this.type = {
+  private def writePartitions(df: DataFrame, base: Long): this.type = {
     val staged = Staging.stage(df, "write_barrier")
-    commitRewrite(staged.df, partitionValsOf(staged.df))
+    commitRewrite(staged.df, partitionValsOf(staged.df), base)
     staged.delete()
     this
   }
@@ -362,7 +596,8 @@ final class GraftTable(spark: SparkSession, val path: String,
     */
   def compact(parallelism: Int = 16): this.type = {
     require(parallelism >= 1, s"parallelism must be >= 1, got $parallelism")
-    writePartitions(read.repartition(parallelism, col(partitionCol)))
+    val base = ensureBaselineVersion()
+    writePartitions(readAt(base).repartition(parallelism, col(partitionCol)), base)
   }
 
   /** LIVE data file count — the current version's manifest size for a
@@ -372,10 +607,12 @@ final class GraftTable(spark: SparkSession, val path: String,
     */
   def dataFileCount: Int =
     if (currentVersion > 0L) manifestFiles(currentVersion).size
-    else {
-      def walk(f: java.io.File): Int =
-        if (f.isDirectory) Option(f.listFiles()).map(_.map(walk).sum).getOrElse(0)
-        else if (f.getName.endsWith(".parquet")) 1 else 0
-      walk(new java.io.File(path))
-    }
+    else listDataFiles().size
+
+  // test seams for the OCC spec: run a rewrite against an EXPLICIT base
+  // version, simulating a writer whose read snapshot went stale
+  private[operators] def commitRewriteAt(df: DataFrame,
+                                         touchedVals: Seq[Option[String]],
+                                         base: Long): this.type =
+    commitRewrite(df, touchedVals, base)
 }

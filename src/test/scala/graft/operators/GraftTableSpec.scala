@@ -217,4 +217,121 @@ class GraftTableSpec extends SparkSpec {
     assert(filesAfter == 5, s"one file per partition expected, got $filesAfter")
     assert(filesAfter <= filesBefore)
   }
+
+  test("commit I/O is independent of table file count: no full tree walk, delta manifests, periodic checkpoint") {
+    val t = freshTable().createIfNotExists(rows().schema)
+    // accumulate many files/versions; a created table must NEVER walk
+    // the data tree — added files come from the per-commit staging dir
+    (1 to 12).foreach(i => t.upsertReplace(rows((s"d${i % 3}", "p", s"r$i", i))))
+    assert(t.fullTreeWalks == 0L,
+      s"commits walked the full data tree ${t.fullTreeWalks} times")
+    // manifest shapes: full at v8 (checkpoint cadence), delta elsewhere
+    def manifestText(v: Long) = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(t.path, "_graft_log", f"v$v%06d.json"))
+    assert(!manifestText(8L).contains("#delta"), "v8 must be a full checkpoint")
+    assert(manifestText(7L).contains("#delta") && manifestText(13L).contains("#delta"),
+      "between checkpoints commits must be deltas")
+    // delta replay across the checkpoint boundary reconstructs exactly
+    // the files on disk that are live — and read() sees every row
+    val got = t.read.select("day", "rk", "n").as[(String, String, Int)]
+      .collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(got == (1 to 12).map(i => (s"d${i % 3}", s"r$i") -> i).toMap)
+    // every manifest-listed file exists; no live file is listed twice
+    val live = t.readAt(t.currentVersion)
+    assert(live.count() == 12)
+  }
+
+  test("schema evolution: new columns append nullable, old versions project null, missing columns pad") {
+    val t = freshTable().createIfNotExists(rows().schema)
+    t.importOnce(rows(("d1", "p", "r1", 1)))
+    val v1 = t.currentVersion
+    // upsert with a NEW column 'extra' → schema evolves in place
+    t.upsertReplace(Seq(("d1", "p", "r2", 2, "hello"), ("d2", "q", "r9", 3, "world"))
+      .toDF("day", "pk", "rk", "n", "extra"))
+    // partitioned scans emit data columns then the partition column
+    assert(t.read.columns.toSet == Set("day", "pk", "rk", "n", "extra"))
+    val got = t.read.select("rk", "extra").as[(String, Option[String])]
+      .collect().toMap
+    assert(got == Map("r1" -> None, "r2" -> Some("hello"), "r9" -> Some("world")),
+      "pre-evolution rows must read the new column as null")
+    // TIME TRAVEL across the evolution boundary: the old version reads
+    // through the evolved schema with nulls
+    assert(t.readAt(v1).columns.toSet == Set("day", "pk", "rk", "n", "extra"))
+    assert(t.readAt(v1).select("extra").as[Option[String]].collect().toSeq
+      == Seq(None))
+    // a later mutation MISSING the evolved column pads it with null
+    t.upsertReplace(rows(("d2", "p", "r10", 9)))
+    assert(t.read.filter($"rk" === "r10").select("extra")
+      .as[Option[String]].collect().toSeq == Seq(None))
+    assert(t.read.filter($"rk" === "r9").select("extra")
+      .as[Option[String]].collect().toSeq == Seq(Some("world")),
+      "an update without the evolved column must not clobber same-partition stored values")
+    assert(t.read.filter($"rk" === "r2").select("extra")
+      .as[Option[String]].collect().toSeq == Seq(Some("hello")),
+      "padding a missing column must not clobber stored values in other rows")
+    // guard rails: type change rejected; key/partition columns required
+    intercept[IllegalArgumentException](t.upsertReplace(
+      Seq(("d1", "p", "r1", "not-an-int")).toDF("day", "pk", "rk", "n")))
+    intercept[IllegalArgumentException](t.upsertReplace(
+      Seq(("p", "r1", 5)).toDF("pk", "rk", "n")))
+  }
+
+  test("optimistic concurrency: of two writers on the same base exactly one wins; loser's files are not orphaned") {
+    val t = freshTable().createIfNotExists(rows().schema)
+    t.importOnce(rows(("d1", "p", "r1", 1)))
+    val base = t.currentVersion
+    // writer A commits normally
+    t.upsertReplace(rows(("d1", "p", "r1", 100)))
+    assert(t.currentVersion == base + 1)
+    // writer B raced: same read snapshot (base), commits after A — the
+    // exclusive manifest link must fail and B's data files must be
+    // cleaned up (they are in no manifest)
+    val before = t.read.collect().map(_.toSeq).toSet
+    val b = new GraftTable(spark, t.path, t.keys, t.partitionCol)
+    val e = intercept[CommitConflictException](
+      b.commitRewriteAt(rows(("d1", "p", "r1", 999)), Seq(Some("d1")), base))
+    assert(e.getMessage.contains("another writer"))
+    assert(t.currentVersion == base + 1, "loser must not advance the version")
+    assert(t.read.collect().map(_.toSeq).toSet == before,
+      "loser must not change the live table")
+    // no orphans: every parquet file on disk is referenced by some
+    // kept manifest (B deleted its freshly-written files on conflict)
+    val onDisk = {
+      def walk(f: java.io.File): Seq[String] =
+        if (f.isDirectory) {
+          if (f.getName.startsWith("_")) Seq.empty
+          else Option(f.listFiles()).getOrElse(Array.empty).toSeq.flatMap(walk)
+        } else if (f.getName.endsWith(".parquet"))
+          Seq(java.nio.file.Paths.get(t.path).relativize(f.toPath).toString)
+        else Seq.empty
+      walk(new java.io.File(t.path)).toSet
+    }
+    val referenced = t.versions.flatMap(v => t.readAt(v).inputFiles.map(p =>
+      java.nio.file.Paths.get(t.path).relativize(
+        java.nio.file.Paths.get(new java.net.URI(p).getPath)).toString)).toSet
+    assert(onDisk == referenced,
+      s"orphaned files on disk: ${(onDisk -- referenced).mkString(", ")}")
+  }
+
+  test("upsertReplace into the NULL partition keeps that partition's unrelated rows (null-safe touched join)") {
+    val t = freshTable().createIfNotExists(rows().schema)
+    t.importOnce(Seq((null.asInstanceOf[String], "p", "rA", 1),
+      (null.asInstanceOf[String], "q", "rB", 2), ("d1", "z", "r1", 3))
+      .toDF("day", "pk", "rk", "n"))
+    // upsert touches ONLY the null partition's rA; rB must survive the
+    // partition's manifest-level file swap
+    t.upsertReplace(Seq((null.asInstanceOf[String], "p", "rA", 100))
+      .toDF("day", "pk", "rk", "n"))
+    val got = t.read.filter($"day".isNull).select("rk", "n")
+      .as[(String, Int)].collect().toMap
+    assert(got == Map("rA" -> 100, "rB" -> 2),
+      "null-partition survivors were lost by a null-unsafe touched join")
+    assert(t.read.filter($"day" === "d1").count() == 1)
+    // same for upsertMerge
+    t.upsertMerge(Seq((null.asInstanceOf[String], "q", "rB", 0))
+      .toDF("day", "pk", "rk", "n"), defaults = Map("n" -> 0))
+    val got2 = t.read.filter($"day".isNull).select("rk", "n")
+      .as[(String, Int)].collect().toMap
+    assert(got2 == Map("rA" -> 100, "rB" -> 2))
+  }
 }
