@@ -611,6 +611,79 @@ object IngestQueries {
                             THEN 1 ELSE 0 END) END AS n_changed
           FROM a1 FULL JOIN a2 ON a1.user_id = a2.user_id)
         SELECT user_id, change, CAST(n_changed AS BIGINT) AS n_changed
-        FROM d WHERE change IS NOT NULL"""))
+        FROM d WHERE change IS NOT NULL""")),
+
+    // SCHEMA EVOLUTION under the oracle: tick 1 writes the narrow
+    // schema; tick 2's upsert carries a NEW column (sum_cents) → the
+    // table evolves in place (new column nullable); tick 3's upsert is
+    // MISSING the evolved column → padded with null, replacing its
+    // keys' stored values (REPLACE semantics). The output reads BOTH
+    // the live table and a TIME TRAVEL of tick 1 through the evolved
+    // schema (its rows project sum_cents = null). The oracle replays
+    // the three key-level replaces as full-join chains.
+    QuerySpec("q196_schema_evolution",
+      (s, dir) => {
+        GraftSession.tune(s)
+        val base = java.nio.file.Files.createTempDirectory("graft_q196_").toString
+        val ev = Tables.events(s, dir)
+        val us = unix_micros(col("ts"))
+        val cents = expr("CAST(round(value * 100) AS BIGINT)")
+        val t = new graft.operators.GraftTable(s, s"$base/t", Seq("user_id"), "pk")
+        t.createIfNotExists(org.apache.spark.sql.types.StructType.fromDDL(
+          "user_id BIGINT, n_events BIGINT, pk BIGINT"))
+        t.upsertReplace(ev.filter(us % 2 === 0).groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_events"))
+          .withColumn("pk", col("user_id") % 4))
+        val tick1 = t.currentVersion
+        t.upsertReplace(ev.filter(col("user_id") % 3 === 0).groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_events"), sum(cents).as("sum_cents"))
+          .withColumn("pk", col("user_id") % 4))
+        t.upsertReplace(ev.filter(col("user_id") % 5 === 1).groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_events"))
+          .withColumn("pk", col("user_id") % 4))
+        val out = t.readAt(tick1)
+          .select(lit("t1").as("at"), col("user_id"), col("n_events"), col("sum_cents"))
+          .unionByName(t.read
+            .select(lit("live").as("at"), col("user_id"), col("n_events"), col("sum_cents")))
+        val snap = out.localCheckpoint(true)
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+        }
+        rm(new java.io.File(base))
+        snap
+      },
+      Some("""
+        WITH e AS (
+          SELECT user_id, CAST(round(value * 100) AS BIGINT) AS cents,
+            epoch_us(CAST(ts AS TIMESTAMP)) AS us
+          FROM events),
+        a1 AS (
+          SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
+          FROM e WHERE us % 2 = 0 GROUP BY 1),
+        a2 AS (
+          SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+            CAST(sum(cents) AS BIGINT) AS sum_cents
+          FROM e WHERE user_id % 3 = 0 GROUP BY 1),
+        a3 AS (
+          SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
+          FROM e WHERE user_id % 5 = 1 GROUP BY 1),
+        t1 AS (
+          SELECT user_id, n_events, CAST(NULL AS BIGINT) AS sum_cents FROM a1),
+        t2 AS (
+          SELECT COALESCE(a2.user_id, t1.user_id) AS user_id,
+            COALESCE(a2.n_events, t1.n_events) AS n_events,
+            CASE WHEN a2.user_id IS NOT NULL THEN a2.sum_cents
+                 ELSE t1.sum_cents END AS sum_cents
+          FROM t1 FULL JOIN a2 ON t1.user_id = a2.user_id),
+        t3 AS (
+          SELECT COALESCE(a3.user_id, t2.user_id) AS user_id,
+            COALESCE(a3.n_events, t2.n_events) AS n_events,
+            CASE WHEN a3.user_id IS NOT NULL THEN CAST(NULL AS BIGINT)
+                 ELSE t2.sum_cents END AS sum_cents
+          FROM t2 FULL JOIN a3 ON t2.user_id = a3.user_id)
+        SELECT 't1' AS at, user_id, n_events, CAST(NULL AS BIGINT) AS sum_cents
+        FROM a1
+        UNION ALL
+        SELECT 'live' AS at, user_id, n_events, sum_cents FROM t3"""))
   )
 }
