@@ -524,7 +524,27 @@ object MlQueries {
           JOIN r ON r.doc_id = d.doc_id AND r.rn = 1 AND r.cls < 3
           WHERE j.doc_id IS NULL)
         SELECT doc_id, 'insert' AS change, CAST(0 AS BIGINT) AS n_changed
-        FROM kept"""))
+        FROM kept""")),
+
+    // MULTI-ENTRY graph ANN — the small-beam recall fix over q188's
+    // single min-id entry: each query seeds its walk at the
+    // representative member (highest centroid-sim, smaller id on tie)
+    // of its 2 nearest IVF cells (centroids = vec_id < 16), then walks
+    // the same NN-descent graph. The oracle replays assignment,
+    // representatives, probes, seeds, and both hops — one wrong seed or
+    // frontier row anywhere breaks the hash.
+    QuerySpec("q197_graph_ann_seeded",
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        val g = operators.SimilaritySearch.knnGraphDescent(
+          e, "vec_id", "embedding", degree = 6, rounds = 2)
+          .select(col("src"), col("nbr"))
+        operators.SimilaritySearch.graphAnnTopKSeeded(
+          e.filter(col("vec_id") < 8), e, e.filter(col("vec_id") < 16),
+          "vec_id", "embedding", "vec_id", g,
+          nProbe = 2, k = 3, beam = 4, hops = 2)
+      },
+      Some(graphAnnSeededOracleSql))
   )
 
 
@@ -632,6 +652,58 @@ object MlQueries {
             FROM i0 c JOIN allsims s ON s.qid = c.src AND s.nid = c.nbr) x
           WHERE rn <= 6),
         ${rounds.stripSuffix(",")}"""
+  }
+
+  /** DuckDB replay of [[operators.SimilaritySearch.graphAnnTopKSeeded]]
+    * (centroids vec_id < 16, nProbe 2, beam 4, 2 hops, k 3, queries
+    * vec_id < 8) through the NN-descent graph — the q197 oracle.
+    * Centroid sims come straight from `allsims` (centroids ARE corpus
+    * vectors here); `casgn` ranks each vector's centroids, `cells` is
+    * the winning assignment, `reps` the per-cell representative, and
+    * the hop CTEs mirror the q188 walk from the seed frontier.
+    */
+  private[graft] lazy val graphAnnSeededOracleSql: String = {
+    val hops = (1 to 2).map { h => s"""
+        hc$h AS (
+          SELECT DISTINCT qid, nid FROM (
+            SELECT f.qid, g.nbr AS nid FROM f${h - 1} f JOIN g ON f.nid = g.src
+            UNION ALL SELECT qid, nid FROM f${h - 1}) u),
+        f$h AS MATERIALIZED (
+          SELECT qid, nid, sim FROM (
+            SELECT c.qid, c.nid, s.sim,
+              row_number() OVER (PARTITION BY c.qid ORDER BY s.sim DESC, c.nid) AS rn
+            FROM hc$h c JOIN allsims s ON s.qid = c.qid AND s.nid = c.nid) x
+          WHERE rn <= 4),"""
+    }.mkString
+    s"""
+        WITH $ALLSIMS_SQL,
+        $NND_EDGES_SQL,
+        g AS (SELECT src, nbr FROM e2),
+        casgn AS (
+          SELECT qid AS v, nid AS cid, sim AS csim,
+            row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rn
+          FROM allsims WHERE nid < 16),
+        cells AS (SELECT v, cid, csim FROM casgn WHERE rn = 1),
+        reps AS (
+          SELECT cid, v AS nid FROM (
+            SELECT cid, v,
+              row_number() OVER (PARTITION BY cid ORDER BY csim DESC, v) AS rn2
+            FROM cells) x WHERE rn2 = 1),
+        probes AS (SELECT v AS qid, cid FROM casgn WHERE rn <= 2 AND v < 8),
+        seeds AS (
+          SELECT DISTINCT p.qid, r.nid FROM probes p JOIN reps r ON p.cid = r.cid),
+        f0 AS MATERIALIZED (
+          SELECT qid, nid, sim FROM (
+            SELECT s.qid, s.nid, a.sim,
+              row_number() OVER (PARTITION BY s.qid ORDER BY a.sim DESC, s.nid) AS rn
+            FROM seeds s JOIN allsims a ON a.qid = s.qid AND a.nid = s.nid) x
+          WHERE rn <= 4),
+        $hops
+        r AS (
+          SELECT qid, nid, sim,
+            row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rn
+          FROM f2 WHERE qid <> nid)
+        SELECT qid, nid, sim, CAST(rn AS INTEGER) AS rank FROM r WHERE rn <= 3"""
   }
 
   private[graft] lazy val nnDescentOracleSql: String = s"""

@@ -791,34 +791,96 @@ object SimilaritySearch {
     */
   def graphAnnTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
                    vecCol: String, graph: DataFrame, k: Int, beam: Int,
-                   hops: Int): DataFrame = {
+                   hops: Int,
+                   maxBroadcastFrontier: Long = 4000000L): DataFrame = {
     require(k >= 1 && beam >= k, s"need beam >= k >= 1, got beam=$beam k=$k")
     require(hops >= 1 && hops <= 16, s"hops must be in [1,16], got $hops")
     val q = withNorm(queries, idCol, vecCol, "q")
+    // deterministic single entry point: the minimum corpus id (1 row —
+    // always broadcastable); [[graphAnnTopKSeeded]] is the recall fix
+    val entry = corpus.agg(min(col(idCol)).as("nid"))
+    val entries = q.select(col("qid")).crossJoin(broadcast(entry))
+    graphWalk(q, corpus, idCol, vecCol, graph, k, beam, hops, entries,
+      maxBroadcastFrontier)
+  }
+
+  /** MULTI-ENTRY graph-ANN search — [[graphAnnTopK]] seeded from IVF
+    * centroids instead of the global min-id: each query enters the walk
+    * at the REPRESENTATIVE member (highest centroid-sim, smaller id on
+    * ties) of its `nProbe` nearest cells. A single far entry point is
+    * exactly what floors small-beam recall (measured 0.169 at
+    * deg=8/beam=8 from min-id); nearest-cell seeds start every walk in
+    * the query's own region — the role HNSW's upper layers / IVF-seeded
+    * NSG entry points play in production graph indexes.
+    *
+    * Scale shape: the cell assignment is one corpus scan + map-side
+    * max_by (the [[ivfAssign]] shape — at serving time build it once
+    * and reuse; it is index metadata, |corpus| rows, its `reps`
+    * reduction |centroids| rows). Probes are query-side only. The walk
+    * itself is [[graphAnnTopK]]'s: per-hop work ≤ Q·beam·degree sims,
+    * corpus-size-independent once graph + assignment exist.
+    */
+  def graphAnnTopKSeeded(queries: DataFrame, corpus: DataFrame,
+                         centroids: DataFrame, idCol: String, vecCol: String,
+                         cidCol: String, graph: DataFrame, nProbe: Int,
+                         k: Int, beam: Int, hops: Int,
+                         maxBroadcastFrontier: Long = 4000000L): DataFrame = {
+    require(k >= 1 && beam >= k, s"need beam >= k >= 1, got beam=$beam k=$k")
+    require(hops >= 1 && hops <= 16, s"hops must be in [1,16], got $hops")
+    require(nProbe >= 1, s"nProbe must be >= 1, got $nProbe")
+    val q = withNorm(queries, idCol, vecCol, "q")
+    // cell assignment WITH the winning centroid sim (ivfAssign drops it)
+    val asg = ivfScored(withNorm(corpus, idCol, vecCol, "n"), centroids,
+        vecCol, cidCol, "n")
+      .groupBy("nid")
+      .agg(max_by(struct(col("cid"), col("csim")),
+        struct(col("csim"), -col("cid"))).as("b"))
+      .select(col("nid"), col("b.cid").as("cid"), col("b.csim").as("csim"))
+    // one representative per cell: its member closest to the centroid
+    val reps = asg.groupBy("cid")
+      .agg(max_by(col("nid"), struct(col("csim"), -col("nid"))).as("nid"))
+    val probes = ivfProbes(queries, centroids, idCol, vecCol, cidCol, nProbe)
+      .select(col("qid"), col("cid"))
+    val entries = probes.join(reps, Seq("cid")).select("qid", "nid").distinct()
+    graphWalk(q, corpus, idCol, vecCol, graph, k, beam, hops, entries,
+      maxBroadcastFrontier)
+  }
+
+  /** The shared beam-search walk behind both graph-ANN entries.
+    *
+    * BROADCAST CONTRACT (the caller-contract pattern of
+    * `ContentFilter`): the frontier is Q·beam rows and is re-broadcast
+    * every hop — the hint that keeps the corpus/graph streaming
+    * map-side (un-hinted, the 100× corpus shuffled the 1.2M-edge graph
+    * every hop: 86.7 s vs ~38 s). That is only safe while Q·beam stays
+    * driver-sized, so the hint is SIZE-GATED: above
+    * `maxBroadcastFrontier` (default 4M rows ≈ tens of MB) the walk
+    * falls back to plain shuffle joins — same rows, same hashes, no
+    * driver OOM — and a large query batch should instead be split into
+    * bounded sub-batches to win the hint back.
+    */
+  private def graphWalk(q: DataFrame, corpus: DataFrame, idCol: String,
+                        vecCol: String, graph: DataFrame, k: Int, beam: Int,
+                        hops: Int, entries: DataFrame,
+                        maxBroadcastFrontier: Long): DataFrame = {
     // corpus norms feed every hop's scoring join — stage once instead
     // of re-scanning (and re-aggregating 64-dim norms) per hop
     val cStage = Staging.stage(withNorm(corpus, idCol, vecCol, "n"), "gann_norms")
     val c = cStage.df
+    val useHint = q.count() * beam <= maxBroadcastFrontier
+    def hintB(df: DataFrame) = if (useHint) broadcast(df) else df
     val sim = VectorFns.cosineFrom(
       VectorFns.dotFixed9(col("qvec"), col("nvec")), col("qn2"), col("nn2"))
-    // the pair/frontier side is Q·beam·degree rows — BROADCAST it so
-    // every hop streams the corpus/graph map-side instead of shuffling
-    // the big side (at the 100× corpus the un-hinted hop joins shuffled
-    // the 1.2M-edge graph every hop — measured 86.7 s for the whole
-    // query; hinted, the walk costs barely more than the graph build)
-    def scored(pairs: DataFrame) = broadcast(pairs) // (qid, nid) → + sim
-      .join(c, Seq("nid")).join(broadcast(q), Seq("qid"))
+    def scored(pairs: DataFrame) = hintB(pairs) // (qid, nid) → + sim
+      .join(c, Seq("nid")).join(hintB(q), Seq("qid"))
       .select(col("qid"), col("nid"), sim.as("sim"))
     val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid"))
     def topBeam(scoredPairs: DataFrame) = scoredPairs
       .withColumn("rn", row_number().over(w)).filter(col("rn") <= beam)
       .select("qid", "nid", "sim")
-    val entry = corpus.agg(min(col(idCol)).as("nid"))
-    var frontier = Staging.stage(
-      topBeam(scored(q.select(col("qid")).crossJoin(broadcast(entry)))),
-      "gann_f0")
+    var frontier = Staging.stage(topBeam(scored(entries)), "gann_f0")
     (1 to hops).foreach { h =>
-      val cand = broadcast(frontier.df.select(col("qid"), col("nid")))
+      val cand = hintB(frontier.df.select(col("qid"), col("nid")))
         .join(graph.select(col("src").as("nid"), col("nbr")), Seq("nid"))
         .select(col("qid"), col("nbr").as("nid"))
         .unionByName(frontier.df.select(col("qid"), col("nid")))

@@ -71,10 +71,17 @@ object Recall {
     for (degree <- Seq(8, 16)) {
       val g = SimilaritySearch.knnGraph(e, "vec_id", "embedding", degree)
         .localCheckpoint(true)
-      for ((beam, hops) <- Seq((8, 3), (16, 4)))
+      for ((beam, hops) <- Seq((8, 3), (16, 4))) {
         report(s"graph(deg=$degree,beam=$beam,hops=$hops)",
           SimilaritySearch.graphAnnTopK(q, e, "vec_id", "embedding", g,
             k, beam, hops))
+        // IVF-seeded entries vs the min-id entry on the SAME graph: the
+        // small-beam recall floor is entry-point distance
+        report(s"graph-seeded(deg=$degree,beam=$beam,hops=$hops,C=16,nProbe=2)",
+          SimilaritySearch.graphAnnTopKSeeded(q, e,
+            e.filter(col("vec_id") < 16), "vec_id", "embedding", "vec_id",
+            g, 2, k, beam, hops))
+      }
     }
     // NN-descent build quality: search recall through the DESCENT graph
     // (no N² build) vs through the exact graph, per refinement round

@@ -208,6 +208,35 @@ class SimilaritySpec extends SparkSpec {
       q, e, "vec_id", "embedding", sparse, k = 1, beam = 2, hops = 0))
   }
 
+  test("graphAnnTopKSeeded on a complete graph equals brute force; " +
+      "broadcast fallback path is hash-identical") {
+    val s = spark
+    import s.implicits._
+    val e = Tables.embeddings(spark, sf001).limit(40)
+    val q = e.filter($"vec_id" < 4)
+    val cent = e.filter($"vec_id" < 8)
+    val complete = SimilaritySearch.knnGraph(e, "vec_id", "embedding", 39)
+    val got = SimilaritySearch.graphAnnTopKSeeded(q, e, cent, "vec_id",
+      "embedding", "vec_id", complete, nProbe = 2, k = 3, beam = 40, hops = 1)
+      .select("qid", "nid", "rank").as[(Long, Long, Int)].collect().toSeq.sorted
+    val brute = SimilaritySearch.bruteForceTopK(q, e, "vec_id", "embedding", 3)
+      .select("qid", "nid", "rank").as[(Long, Long, Int)].collect().toSeq.sorted
+    assert(got === brute, "complete-graph seeded beam search must be exhaustive")
+    // the size-gated broadcast fallback (frontier bound 0 → plain
+    // shuffle joins) must produce the identical walk for BOTH variants
+    val sparse = SimilaritySearch.knnGraph(e, "vec_id", "embedding", 4)
+    def seeded(bound: Long) = SimilaritySearch.graphAnnTopKSeeded(
+      q, e, cent, "vec_id", "embedding", "vec_id", sparse,
+      nProbe = 2, k = 3, beam = 4, hops = 3, maxBroadcastFrontier = bound)
+      .select("qid", "nid", "rank").as[(Long, Long, Int)].collect().toSeq.sorted
+    assert(seeded(0L) === seeded(4000000L))
+    def minId(bound: Long) = SimilaritySearch.graphAnnTopK(
+      q, e, "vec_id", "embedding", sparse,
+      k = 3, beam = 4, hops = 3, maxBroadcastFrontier = bound)
+      .select("qid", "nid", "rank").as[(Long, Long, Int)].collect().toSeq.sorted
+    assert(minId(0L) === minId(4000000L))
+  }
+
   test("knnGraphDescent: degree >= N-1 converges to the exact graph; " +
       "refinement is partition-stable") {
     val s = spark
