@@ -137,9 +137,20 @@ object Dedup {
     val bands = staged(
       minhashBands(shingleSet(batch, idCol, textCol, n), k, rowsPerBand),
       "inc_lsh_bands")
-    val vsState = bands
-      .join(knownBands.select(col("id"), col("band"), col("sig")),
-        Seq("band", "sig"), "left_semi")
+    // PROBE SHAPE (the 100 TB contract): the state side is unbounded
+    // (every doc ever admitted keeps its signatures forever) while the
+    // batch side is one tick — so the state must NEVER shuffle. A plain
+    // `bands LEFT SEMI state` would build/exchange the state side;
+    // instead the state streams MAP-SIDE against a broadcast of the
+    // batch's distinct (band, sig) keys (bounded by per-tick batch
+    // size — the caller contract), reducing to the tiny hot-key
+    // intersection, which then semi-joins back onto the batch bands.
+    // Per-tick state cost: one map-side scan, zero state exchange.
+    val batchKeys = bands.select(col("band"), col("sig")).distinct()
+    val hot = knownBands.select(col("band"), col("sig"))
+      .join(broadcast(batchKeys), Seq("band", "sig"), "left_semi")
+      .distinct()
+    val vsState = bands.join(broadcast(hot), Seq("band", "sig"), "left_semi")
       .select(col("id"))
     val intra = bands
       .join(bands.select(col("id").as("id_b"), col("band"), col("sig")),
