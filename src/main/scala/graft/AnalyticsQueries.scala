@@ -363,6 +363,71 @@ object AnalyticsQueries {
         FROM cum, UNNEST([250, 500, 900, 990]) AS t(q)
         WHERE cum * 1000 >= q * n
         GROUP BY 1, 2"""
+      }),
+
+    // Q-DIGEST quantile sketch (Shrivastava 2004) — the rank-space tier
+    // next to q195's exact quantiles and q94's value-space histogram:
+    // 2^16-leaf dyadic tree, deterministic bottom-up compression
+    // (parent absorbs children while the combined count stays below
+    // n/k), answers from the cumulative over the sketch's upper-bound
+    // order. The oracle replays ALL 16 compression levels as CTEs —
+    // one mis-merged node anywhere breaks the hash.
+    QuerySpec("q198_qdigest_quantiles",
+      (s, dir) => {
+        val st = Sketches.qdigestState(Tables.lineitem(s, dir),
+          "l_extendedprice", lo = 0.0, hi = 200000.0, k = 256)
+        Sketches.qdigestQuantile(st, lo = 0.0, hi = 200000.0,
+          qMilli = Seq(250, 500, 900, 990))
+      },
+      Some {
+        val passes = (16 to 1 by -1).map { l =>
+          val loId = 1L << l
+          val hiId = 1L << (l + 1)
+          s"""
+        g$l AS (
+          SELECT c.pid, c.ccnt + COALESCE(p.cnt, 0) AS comb
+          FROM (SELECT id // 2 AS pid, CAST(SUM(cnt) AS BIGINT) AS ccnt
+                FROM cur$l WHERE id >= $loId AND id < $hiId GROUP BY 1) c
+          LEFT JOIN cur$l p ON p.id = c.pid),
+        cur${l - 1} AS MATERIALIZED (
+          SELECT id, cnt FROM cur$l
+          WHERE (id < $loId OR id >= $hiId)
+            AND id NOT IN (SELECT pid FROM g$l WHERE comb < (SELECT t FROM thr))
+          UNION ALL
+          SELECT id, cnt FROM cur$l
+          WHERE id >= $loId AND id < $hiId
+            AND (id // 2) IN (SELECT pid FROM g$l WHERE comb >= (SELECT t FROM thr))
+          UNION ALL
+          SELECT pid AS id, comb AS cnt FROM g$l
+          WHERE comb < (SELECT t FROM thr)),"""
+        }.mkString
+        s"""
+        WITH lf AS (
+          SELECT CAST(least(greatest(floor((l_extendedprice - 0.0) * 65536
+              / (200000.0 - 0.0)), 0.0), 65535.0) AS BIGINT) + 65536 AS id
+          FROM lineitem WHERE l_extendedprice IS NOT NULL),
+        cur16 AS MATERIALIZED (
+          SELECT id, CAST(count(*) AS BIGINT) AS cnt FROM lf GROUP BY 1),
+        thr AS (
+          SELECT greatest(CAST(sum(cnt) AS BIGINT) // 256, 1) AS t FROM cur16),
+        ntot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM cur16),
+        $passes
+        nodes AS (
+          SELECT id, cnt,
+            (id + 1) * (65536 // CAST(pow(2.0, CAST(length(bin(id)) - 1
+              AS DOUBLE)) AS BIGINT)) - 65536 AS ub,
+            CAST(length(bin(id)) - 1 AS BIGINT) AS lvl
+          FROM cur0),
+        cq AS (
+          SELECT ub, SUM(cnt) OVER (ORDER BY ub, lvl DESC, id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          FROM nodes)
+        SELECT CAST(q_milli AS BIGINT) AS q_milli,
+          CAST(min(ub) AS BIGINT) AS ub,
+          0.0 + CAST(min(ub) AS DOUBLE) * (200000.0 - 0.0) / 65536 AS v_est
+        FROM cq, UNNEST([250, 500, 900, 990]) AS tq(q_milli), ntot
+        WHERE cum * 1000 >= q_milli * ntot.n
+        GROUP BY 1"""
       })
   )
 }

@@ -50,5 +50,10 @@ object Bench {
       System.err.println(s"[bench] could not write $out: ${e.getMessage}")
     }
     spark.stop()
+    // re-print AFTER spark.stop(): anything Spark's shutdown logs to
+    // stdout lands between the two prints, so the LAST stdout line is
+    // always the intact JSON — the thing the driver's tail-parse reads
+    println(line)
+    System.out.flush()
   }
 }

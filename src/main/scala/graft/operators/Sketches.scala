@@ -154,6 +154,123 @@ object Sketches {
     }.reduce(_ unionByName _)
   }
 
+  // -------------------------------------------------- q-digest sketch
+
+  /** Q-DIGEST quantile sketch (Shrivastava et al., SenSys 2004) — the
+    * RANK-SPACE tier of the quantile ladder: [[Profiler.quantiles]] is
+    * exact, [[histogramState]] bounds error in VALUE space (one bucket
+    * width — useless under skew), the q-digest bounds error in RANK
+    * space (≤ L·n/k with L=16 tree levels), so a hot value simply earns
+    * a deep node. Chosen over KLL/t-digest deliberately: their
+    * randomized, merge-order-sensitive compactions cannot be replayed
+    * engine-exactly, while the q-digest's state is pure ADDITIVE counts
+    * on a fixed dyadic tree with a deterministic bottom-up compression —
+    * order-insensitive, mergeable, and the oracle replays every level.
+    *
+    * Universe: values clamp into 2^16 leaves over [lo, hi) (the
+    * [[histogramState]] edge-clamp convention); tree nodes are
+    * heap-numbered (root 1, leaves 2^16+leaf). Compression (canonical
+    * rule, bottom-up level by level): a parent whose children-sum plus
+    * own count stays BELOW t = max(n/k, 1) absorbs its children. State
+    * size is O(k·L) regardless of input size.
+    *
+    * Scale shape: one corpus scan into ≤ 2^16 leaf counts (map-side
+    * combining groupBy); every compression pass is a sketch-sized frame
+    * staged at O(1) plan depth. Merge = bucket-wise count sum +
+    * recompress at the merged n — no raw data touched.
+    */
+  def qdigestState(df: DataFrame, valCol: String, lo: Double, hi: Double,
+                   k: Int): DataFrame = {
+    require(k >= 2, s"compression factor k must be >= 2, got $k")
+    require(hi > lo, s"need hi > lo, got [$lo, $hi)")
+    val leaf = least(greatest(floor((col(valCol) - lo) * 65536 / (hi - lo)),
+      lit(0.0)), lit(65535.0)).cast("long")
+    val leaves = df.filter(col(valCol).isNotNull)
+      .select((leaf + 65536L).as("id")).groupBy("id")
+      .agg(count(lit(1)).as("cnt"))
+    qdigestCompress(leaves, k)
+  }
+
+  /** Merge q-digest states (additive counts) and recompress at the
+    * merged total — the distributed/streaming combine step. Merging is
+    * commutative by construction: the recompression sees only the
+    * summed count map, never the merge order.
+    */
+  def qdigestMerge(states: Seq[DataFrame], k: Int): DataFrame = {
+    require(states.nonEmpty, "qdigestMerge needs at least one state")
+    qdigestCompress(
+      states.reduce(_ unionByName _).groupBy("id").agg(sum(col("cnt")).as("cnt")),
+      k)
+  }
+
+  private def qdigestCompress(nodes: DataFrame, k: Int): DataFrame = {
+    // n is sketch metadata (sum over ≤ 2^16 rows) — the threshold is a
+    // plan literal, deterministic on any engine
+    val n = nodes.agg(sum(col("cnt"))).collect()(0) match {
+      case r if r.isNullAt(0) => 0L
+      case r => r.getLong(0)
+    }
+    val t = math.max(n / k, 1L)
+    var cur = Staging.stage(nodes, "qd_c16")
+    (16 to 1 by -1).foreach { l =>
+      val lowId = 1L << l
+      val highId = 1L << (l + 1)
+      val children = cur.df.filter(col("id") >= lowId && col("id") < highId)
+      val others = cur.df.filter(col("id") < lowId || col("id") >= highId)
+      val g = children.groupBy(expr("id div 2").as("pid"))
+        .agg(sum(col("cnt")).as("ccnt"))
+        .join(others.select(col("id").as("pid"), col("cnt").as("pcnt")),
+          Seq("pid"), "left")
+        .withColumn("comb", col("ccnt") + coalesce(col("pcnt"), lit(0L)))
+      val next = others
+        .join(g.filter(col("comb") < t).select(col("pid").as("id")),
+          Seq("id"), "left_anti")
+        .unionByName(children.withColumn("pid", expr("id div 2"))
+          .join(g.filter(col("comb") >= t).select("pid"), Seq("pid"), "left_semi")
+          .drop("pid"))
+        .unionByName(g.filter(col("comb") < t)
+          .select(col("pid").as("id"), col("comb").as("cnt")))
+      val staged = Staging.stage(next, s"qd_c${l - 1}")
+      cur.delete()
+      cur = staged
+    }
+    cur.df
+  }
+
+  /** Quantile answers from a q-digest: nodes sort by their EXCLUSIVE
+    * upper leaf bound (ties: deeper node first), the cumulative count
+    * runs over the SKETCH rows only (≤ O(k·L)), and q‰ answers with the
+    * first node whose cumulative reaches ⌈q·n/1000⌉ — est = the node's
+    * upper value edge. True rank of the answer is within L·n/k below
+    * the target (compression moves counts only UP the tree, never
+    * right), the bound `QdigestSpec` checks against the exact
+    * [[Profiler.quantiles]].
+    */
+  def qdigestQuantile(state: DataFrame, lo: Double, hi: Double,
+                      qMilli: Seq[Int]): DataFrame = {
+    require(qMilli.nonEmpty && qMilli.forall(q => q >= 1 && q <= 1000),
+      s"quantiles must be in [1,1000] milli, got $qMilli")
+    require(hi > lo, s"need hi > lo, got [$lo, $hi)")
+    val lvl = (length(expr("bin(id)")) - 1).cast("long")
+    // exclusive upper leaf bound: (id+1) · 2^(16−level) − 2^16, with
+    // 2^level from the binary-rendering length (exact in both engines)
+    val ub = expr("(id + 1) * (65536 div CAST(pow(2.0D, " +
+      "CAST(length(bin(id)) - 1 AS DOUBLE)) AS BIGINT)) - 65536")
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("ub"), col("lvl").desc, col("id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val tot = state.agg(sum(col("cnt")).as("n_rows"))
+    val cum = state.select(col("id"), col("cnt"), lvl.as("lvl"), ub.as("ub"))
+      .withColumn("cum", sum(col("cnt")).over(w))
+      .crossJoin(broadcast(tot))
+    cum.select(col("ub"), col("cum"), col("n_rows"),
+        explode(array(qMilli.map(q => lit(q.toLong)): _*)).as("q_milli"))
+      .filter(col("cum") * 1000 >= col("q_milli") * col("n_rows"))
+      .groupBy(col("q_milli")).agg(min(col("ub")).as("ub"))
+      .select(col("q_milli"), col("ub"),
+        (lit(lo) + col("ub").cast("double") * (hi - lo) / 65536).as("v_est"))
+  }
+
   /** HEAVY HITTERS via the sketch→exact ESCALATION (the two-pass
     * pattern that makes exact heavy-key detection affordable when the
     * key space is huge but heavy keys are few): pass 1 builds the
