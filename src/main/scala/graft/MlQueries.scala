@@ -544,7 +544,22 @@ object MlQueries {
           "vec_id", "embedding", "vec_id", g,
           nProbe = 2, k = 3, beam = 4, hops = 2)
       },
-      Some(graphAnnSeededOracleSql))
+      Some(graphAnnSeededOracleSql)),
+
+    // DSIR data selection (Xie et al. 2023) — importance-weighted
+    // selection toward a TARGET corpus (here: the English slice) from
+    // the raw pool, under two add-one-smoothed bag-of-hashed-ngrams
+    // models; log-ratios in MILLI-BIT integer log2 (the BM25/KN
+    // discipline) so the scores — and therefore the selected set —
+    // hash-match across engines. Top-50 by (score, id).
+    QuerySpec("q199_dsir_select",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        operators.Sampling.dsirSelect(
+          docs, docs.filter(col("lang") === "en"),
+          "doc_id", "text", buckets = 4096, k = 50)
+      },
+      Some(dsirOracleSql))
   )
 
 
@@ -704,6 +719,60 @@ object MlQueries {
             row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rn
           FROM f2 WHERE qid <> nid)
         SELECT qid, nid, sim, CAST(rn AS INTEGER) AS rank FROM r WHERE rn <= 3"""
+  }
+
+  /** DuckDB replay of [[operators.Sampling.dsirSelect]] (buckets 4096,
+    * target = lang 'en', k = 50) — the q199 oracle: hashed uni+bigram
+    * feature counts (the perceptron-oracle feature chain at B=4096),
+    * add-one-smoothed per-bucket counts over the full grid, milli-bit
+    * integer log2 ratios, per-doc weighted sums, top-50.
+    */
+  private[graft] lazy val dsirOracleSql: String = {
+    def mlog2(x: String) =
+      s"((length(bin($x)) - 1) * 1000 + (($x - (CAST(1 AS BIGINT) << " +
+        s"(length(bin($x)) - 1))) * 1000) // (CAST(1 AS BIGINT) << " +
+        s"(length(bin($x)) - 1)))"
+    s"""
+        WITH $WORDS_SQL,
+        puni AS (SELECT doc_id, UNNEST(w) AS f FROM words),
+        pbi AS (
+          SELECT doc_id,
+            w[CAST(i AS INTEGER)] || '_' || w[CAST(i + 1 AS INTEGER)] AS f
+          FROM words, UNNEST(range(1, len(w))) AS t(i)),
+        feats AS MATERIALIZED (
+          SELECT doc_id,
+            CAST(concat('0x', substr(md5(f), 1, 15)) AS BIGINT) % 4096 AS bucket,
+            CAST(count(*) AS BIGINT) AS cnt
+          FROM (SELECT doc_id, f FROM puni
+                UNION ALL SELECT doc_id, f FROM pbi) ff
+          GROUP BY 1, 2),
+        craw AS (SELECT bucket, CAST(SUM(cnt) AS BIGINT) AS c FROM feats GROUP BY 1),
+        ctgt AS (
+          SELECT f.bucket, CAST(SUM(f.cnt) AS BIGINT) AS c
+          FROM feats f JOIN documents d ON f.doc_id = d.doc_id
+          WHERE d.lang = 'en' GROUP BY 1),
+        st AS (
+          SELECT CAST(g.range AS BIGINT) AS bucket,
+            COALESCE(t.c, 0) + 1 AS ct, COALESCE(r.c, 0) + 1 AS cr
+          FROM range(0, 4096) g
+          LEFT JOIN ctgt t ON g.range = t.bucket
+          LEFT JOIN craw r ON g.range = r.bucket),
+        tots AS (
+          SELECT CAST(SUM(ct) AS BIGINT) AS nt, CAST(SUM(cr) AS BIGINT) AS nr
+          FROM st),
+        sc AS (
+          SELECT bucket,
+            ${mlog2("ct")} - ${mlog2("cr")} - ${mlog2("nt")} + ${mlog2("nr")} AS s_mb
+          FROM st, tots),
+        ds AS (
+          SELECT f.doc_id, CAST(SUM(f.cnt * s.s_mb) AS BIGINT) AS dsir_mb,
+            CAST(SUM(f.cnt) AS BIGINT) AS n_feat
+          FROM feats f JOIN sc s ON f.bucket = s.bucket
+          GROUP BY 1)
+        SELECT doc_id, dsir_mb, n_feat, CAST(rn AS INTEGER) AS rank
+        FROM (SELECT *, row_number() OVER (ORDER BY dsir_mb DESC, doc_id) AS rn
+              FROM ds) r
+        WHERE rn <= 50"""
   }
 
   private[graft] lazy val nnDescentOracleSql: String = s"""

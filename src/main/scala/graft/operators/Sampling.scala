@@ -385,4 +385,76 @@ object Sampling {
     df.withColumn("pick_rank", row_number().over(w))
       .withColumn("kept", col("pick_rank") <= m)
   }
+
+  /** DSIR — Data Selection via Importance Resampling (Xie et al.,
+    * NeurIPS 2023), the targeted-pretraining selection stage: score
+    * every raw document by how much its hashed n-gram profile looks
+    * like a TARGET corpus rather than the raw pool, under two
+    * bag-of-hashed-ngrams models:
+    *
+    *   score(x) = Σ_b cnt_b(x) · [log p̂_tgt(b) − log p̂_raw(b)]
+    *
+    * with add-one smoothing over the `buckets` hashed features
+    * (uni+bigram, [[Classifier.featureBuckets]] — the same feature
+    * space the classifier gate uses). Logs are MILLI-BIT integer log2
+    * ([[CorpusText.mlog2Sql]], the BM25/KN discipline): pure integer
+    * ops, monotone, ≤ 0.086-bit error — so scores are engine-exact and
+    * partitioning-independent, where a float log formulation could
+    * never hash-match.
+    *
+    * Scale shape: both corpora featurize once (row-local codegen
+    * hashing + one map-side-combining count each); the per-bucket
+    * log-ratio table is `buckets` rows (broadcast); a doc's score is
+    * one broadcast join + per-doc sum — no shuffle carries more than
+    * the feature-count tables. Docs with zero tokens have no features
+    * and drop out (they carry no evidence either way).
+    *
+    * Output: (id, dsir_mb, n_feat) — milli-bit log-ratio score and the
+    * doc's feature mass (callers often length-normalize).
+    */
+  def dsirScores(raw: DataFrame, target: DataFrame, idCol: String,
+                 textCol: String, buckets: Int): DataFrame = {
+    require(buckets >= 2 && buckets <= (1 << 20),
+      s"buckets must be in [2, 2^20], got $buckets")
+    val spark = raw.sparkSession
+    val fr = Classifier.featureBuckets(raw, idCol, textCol, buckets)
+    val ft = Classifier.featureBuckets(target, idCol, textCol, buckets)
+    val rawCnt = fr.groupBy("bucket").agg(sum(col("cnt")).as("c_raw"))
+    val tgtCnt = ft.groupBy("bucket").agg(sum(col("cnt")).as("c_tgt"))
+    val grid = spark.range(buckets).select(col("id").as("bucket"))
+    val st = grid.join(tgtCnt, Seq("bucket"), "left")
+      .join(rawCnt, Seq("bucket"), "left")
+      .select(col("bucket"),
+        (coalesce(col("c_tgt"), lit(0L)) + 1L).as("ct"),
+        (coalesce(col("c_raw"), lit(0L)) + 1L).as("cr"))
+    val tots = st.agg(sum(col("ct")).as("nt"), sum(col("cr")).as("nr"))
+    import CorpusText.mlog2Sql
+    val scoreTbl = st.crossJoin(broadcast(tots))
+      .select(col("bucket"),
+        (expr(mlog2Sql("ct")) - expr(mlog2Sql("cr"))
+          - expr(mlog2Sql("nt")) + expr(mlog2Sql("nr"))).as("s_mb"))
+    fr.join(broadcast(scoreTbl), Seq("bucket"))
+      .groupBy(col(idCol))
+      .agg(sum(col("cnt") * col("s_mb")).as("dsir_mb"),
+        sum(col("cnt")).as("n_feat"))
+  }
+
+  /** Top-k DSIR selection: rank [[dsirScores]] by (score desc, id) and
+    * keep `k` — the deterministic selection variant (the md5-draw
+    * resampling DSIR describes needs Gumbel floats that no two engines
+    * compute identically; top-k on the integer score is the
+    * reproducible form, and at selection ratios below ~1/10 the two
+    * pick nearly identical sets). The global sort is a bounded TopK
+    * (orderBy.limit), never a full sort; the rank window runs over the
+    * k survivors only.
+    */
+  def dsirSelect(raw: DataFrame, target: DataFrame, idCol: String,
+                 textCol: String, buckets: Int, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("dsir_mb").desc, col(idCol))
+    dsirScores(raw, target, idCol, textCol, buckets)
+      .orderBy(col("dsir_mb").desc, col(idCol)).limit(k)
+      .withColumn("rank", row_number().over(w))
+  }
 }

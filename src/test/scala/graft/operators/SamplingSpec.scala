@@ -355,4 +355,37 @@ class SamplingSpec extends SparkSpec {
       Sampling.epochedMixtureBy(neg, "id", "src", col("w"),
         budget = 5L, maxEpochs = 1))
   }
+
+  test("dsirScores ranks target-like docs above pool-like docs; partition-stable") {
+    val s = spark
+    import s.implicits._
+    // target speaks alpha/beta; the raw pool is half target-like, half
+    // gamma/delta boilerplate — DSIR must separate them cleanly
+    val target = (100L until 110L).map(i => (i, "alpha beta alpha beta"))
+      .toDF("doc_id", "text")
+    val raw = ((0L until 5L).map(i => (i, "alpha beta alpha")) ++
+      (10L until 15L).map(i => (i, "gamma delta gamma")) :+
+      ((20L, "")) // zero tokens → no features → absent from scores
+      ).toDF("doc_id", "text")
+    val scored = Sampling.dsirScores(raw, target, "doc_id", "text", buckets = 256)
+      .as[(Long, Long, Long)].collect()
+      .map { case (id, mb, nf) => id -> ((mb, nf)) }.toMap
+    assert(!scored.contains(20L), "token-free docs carry no evidence")
+    val alphaMin = (0L until 5L).map(i => scored(i)._1).min
+    val gammaMax = (10L until 15L).map(i => scored(i)._1).max
+    assert(alphaMin > gammaMax,
+      s"every target-like doc must outscore every pool-like doc ($scored)")
+    // selection: exactly k, ranked, and the winners are the target-like docs
+    val sel = Sampling.dsirSelect(raw, target, "doc_id", "text", 256, k = 5)
+      .select("doc_id", "rank").as[(Long, Int)].collect().toSeq
+    assert(sel.map(_._1).toSet == (0L until 5L).toSet)
+    assert(sel.map(_._2).sorted == Seq(1, 2, 3, 4, 5))
+    // determinism under partitioning
+    val again = Sampling.dsirScores(raw.repartition(7), target.repartition(3),
+      "doc_id", "text", 256).as[(Long, Long, Long)].collect()
+      .map { case (id, mb, nf) => id -> ((mb, nf)) }.toMap
+    assert(again == scored)
+    intercept[IllegalArgumentException](
+      Sampling.dsirScores(raw, target, "doc_id", "text", 1))
+  }
 }
