@@ -559,7 +559,29 @@ object MlQueries {
           docs, docs.filter(col("lang") === "en"),
           "doc_id", "text", buckets = 4096, k = 50)
       },
-      Some(dsirOracleSql))
+      Some(dsirOracleSql)),
+
+    // TWO-LAYER HIERARCHICAL graph ANN — the HNSW layer architecture:
+    // layer 1 = every 4th vector with its own exact deg-4 graph; the
+    // query walks the small layer (beam 2, 2 hops from the min layer-1
+    // id) and its winners seed the beam-4 walk over the NN-descent
+    // full graph. The oracle replays the layer-1 graph build, both
+    // layer-1 hops, the seeding, and both layer-0 hops.
+    QuerySpec("q200_graph_ann_hier",
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        val l1 = e.filter(col("vec_id") % 4 === 0)
+        val g0 = operators.SimilaritySearch.knnGraphDescent(
+          e, "vec_id", "embedding", degree = 6, rounds = 2)
+          .select(col("src"), col("nbr"))
+        val g1 = operators.SimilaritySearch.knnGraph(
+          l1, "vec_id", "embedding", degree = 4)
+        operators.SimilaritySearch.graphAnnTopKHier(
+          e.filter(col("vec_id") < 8), e, "vec_id", "embedding",
+          g0, g1, l1.select("vec_id"),
+          k = 3, beam1 = 2, hops1 = 2, beam = 4, hops = 2)
+      },
+      Some(graphAnnHierOracleSql))
   )
 
 
@@ -773,6 +795,72 @@ object MlQueries {
         FROM (SELECT *, row_number() OVER (ORDER BY dsir_mb DESC, doc_id) AS rn
               FROM ds) r
         WHERE rn <= 50"""
+  }
+
+  /** DuckDB replay of [[operators.SimilaritySearch.graphAnnTopKHier]]
+    * (layer 1 = vec_id % 4 = 0 with an exact deg-4 graph, beam1 2 /
+    * hops1 2 from min layer-1 id; layer 0 = NN-descent graph, beam 4 /
+    * hops 2, k 3, queries vec_id < 8) — the q200 oracle. u-prefixed
+    * CTEs are the layer-1 walk; hc/f the layer-0 walk.
+    */
+  private[graft] lazy val graphAnnHierOracleSql: String = {
+    val l1hops = (1 to 2).map { h => s"""
+        uc$h AS (
+          SELECT DISTINCT qid, nid FROM (
+            SELECT f.qid, g1.nbr AS nid FROM uf${h - 1} f JOIN l1s g1 ON f.nid = g1.src
+            UNION ALL SELECT qid, nid FROM uf${h - 1}) u),
+        uf$h AS MATERIALIZED (
+          SELECT qid, nid, sim FROM (
+            SELECT c.qid, c.nid, s.sim,
+              row_number() OVER (PARTITION BY c.qid ORDER BY s.sim DESC, c.nid) AS rn
+            FROM uc$h c JOIN allsims s ON s.qid = c.qid AND s.nid = c.nid) x
+          WHERE rn <= 2),"""
+    }.mkString
+    val l0hops = (1 to 2).map { h => s"""
+        hc$h AS (
+          SELECT DISTINCT qid, nid FROM (
+            SELECT f.qid, g.nbr AS nid FROM f${h - 1} f JOIN g ON f.nid = g.src
+            UNION ALL SELECT qid, nid FROM f${h - 1}) u),
+        f$h AS MATERIALIZED (
+          SELECT qid, nid, sim FROM (
+            SELECT c.qid, c.nid, s.sim,
+              row_number() OVER (PARTITION BY c.qid ORDER BY s.sim DESC, c.nid) AS rn
+            FROM hc$h c JOIN allsims s ON s.qid = c.qid AND s.nid = c.nid) x
+          WHERE rn <= 4),"""
+    }.mkString
+    s"""
+        WITH $ALLSIMS_SQL,
+        $NND_EDGES_SQL,
+        g AS (SELECT src, nbr FROM e2),
+        l1 AS (SELECT vec_id AS id FROM embeddings WHERE vec_id % 4 = 0),
+        l1s AS (
+          SELECT qid AS src, nid AS nbr FROM (
+            SELECT s.qid, s.nid,
+              row_number() OVER (PARTITION BY s.qid ORDER BY s.sim DESC, s.nid) AS rn
+            FROM allsims s JOIN l1 a ON s.qid = a.id JOIN l1 b ON s.nid = b.id
+            WHERE s.qid <> s.nid) x WHERE rn <= 4),
+        ent1 AS (SELECT min(id) AS nid FROM l1),
+        uf0 AS (
+          SELECT s.qid, s.nid, s.sim FROM allsims s JOIN ent1 e ON s.nid = e.nid
+          WHERE s.qid < 8),
+        $l1hops
+        l1res AS (
+          SELECT qid, nid FROM (
+            SELECT qid, nid,
+              row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rn
+            FROM uf2 WHERE qid <> nid) x WHERE rn <= 2),
+        f0 AS MATERIALIZED (
+          SELECT qid, nid, sim FROM (
+            SELECT c.qid, c.nid, s.sim,
+              row_number() OVER (PARTITION BY c.qid ORDER BY s.sim DESC, c.nid) AS rn
+            FROM l1res c JOIN allsims s ON s.qid = c.qid AND s.nid = c.nid) x
+          WHERE rn <= 4),
+        $l0hops
+        r AS (
+          SELECT qid, nid, sim,
+            row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rn
+          FROM f2 WHERE qid <> nid)
+        SELECT qid, nid, sim, CAST(rn AS INTEGER) AS rank FROM r WHERE rn <= 3"""
   }
 
   private[graft] lazy val nnDescentOracleSql: String = s"""

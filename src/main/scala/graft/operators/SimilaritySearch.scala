@@ -846,6 +846,43 @@ object SimilaritySearch {
       maxBroadcastFrontier)
   }
 
+  /** TWO-LAYER HIERARCHICAL graph ANN — the HNSW layer architecture
+    * itself (upper layer = a sparse deterministic sample of the corpus
+    * with its own kNN graph; search walks the small layer first and
+    * uses its winners as entry points into the full graph), completing
+    * the entry-point ladder: min-id ([[graphAnnTopK]]) → IVF seeds
+    * ([[graphAnnTopKSeeded]]) → learned-layer seeds (this). Unlike the
+    * IVF seeding it needs NO centroid training — the upper layer is
+    * any deterministic id-rule subset, and its graph is tiny (|L1|
+    * nodes), so the layer-1 walk costs beam1·degree1 sims/hop against
+    * a graph that often fits in one executor.
+    *
+    * Both walks are [[graphAnnTopK]]'s staged beam search (same
+    * size-gated broadcast contract); layer-1 candidates only ever
+    * reference layer-1 nodes (its graph is closed over the subset), so
+    * scoring runs against the shared corpus norm table.
+    *
+    * @param graph1 kNN edges over `layer1`'s nodes only
+    * @param layer1 the upper-layer node ids (one `idCol` column)
+    */
+  def graphAnnTopKHier(queries: DataFrame, corpus: DataFrame, idCol: String,
+                       vecCol: String, graph0: DataFrame, graph1: DataFrame,
+                       layer1: DataFrame, k: Int, beam1: Int, hops1: Int,
+                       beam: Int, hops: Int,
+                       maxBroadcastFrontier: Long = 4000000L): DataFrame = {
+    require(k >= 1 && beam >= k, s"need beam >= k >= 1, got beam=$beam k=$k")
+    require(beam1 >= 1, s"beam1 must be >= 1, got $beam1")
+    require(hops >= 1 && hops <= 16, s"hops must be in [1,16], got $hops")
+    require(hops1 >= 1 && hops1 <= 16, s"hops1 must be in [1,16], got $hops1")
+    val q = withNorm(queries, idCol, vecCol, "q")
+    val entry1 = layer1.agg(min(col(idCol)).as("nid"))
+    val e1 = q.select(col("qid")).crossJoin(broadcast(entry1))
+    val l1 = graphWalk(q, corpus, idCol, vecCol, graph1, beam1, beam1, hops1,
+      e1, maxBroadcastFrontier)
+    graphWalk(q, corpus, idCol, vecCol, graph0, k, beam, hops,
+      l1.select("qid", "nid"), maxBroadcastFrontier)
+  }
+
   /** The shared beam-search walk behind both graph-ANN entries.
     *
     * BROADCAST CONTRACT (the caller-contract pattern of

@@ -81,6 +81,15 @@ object Recall {
           SimilaritySearch.graphAnnTopKSeeded(q, e,
             e.filter(col("vec_id") < 16), "vec_id", "embedding", "vec_id",
             g, 2, k, beam, hops))
+        // hierarchical 2-layer walk on the SAME layer-0 graph (layer 1
+        // = every 4th vector, exact deg-8 upper graph)
+        val l1 = e.filter(col("vec_id") % 4 === 0)
+        val g1 = SimilaritySearch.knnGraph(l1, "vec_id", "embedding", 8)
+          .localCheckpoint(true)
+        report(s"graph-hier(deg=$degree,beam=$beam,hops=$hops,l1=1/4,deg1=8)",
+          SimilaritySearch.graphAnnTopKHier(q, e, "vec_id", "embedding",
+            g, g1, l1.select("vec_id"), k, beam1 = beam, hops1 = 2,
+            beam = beam, hops = hops))
       }
     }
     // NN-descent build quality: search recall through the DESCENT graph

@@ -237,6 +237,36 @@ class SimilaritySpec extends SparkSpec {
     assert(minId(0L) === minId(4000000L))
   }
 
+  test("graphAnnTopKHier: complete layer-0 graph equals brute force; walk is partition-stable") {
+    val s = spark
+    import s.implicits._
+    val e = Tables.embeddings(spark, sf001).limit(40)
+    val q = e.filter($"vec_id" < 4)
+    val l1 = e.filter($"vec_id" % 4 === 0)
+    val g1 = SimilaritySearch.knnGraph(l1, "vec_id", "embedding", 4)
+      .localCheckpoint(true)
+    // complete layer-0 graph + beam >= N: whatever layer 1 seeds, one
+    // layer-0 hop reaches everything — must equal the exhaustive answer
+    val complete = SimilaritySearch.knnGraph(e, "vec_id", "embedding", 39)
+    val got = SimilaritySearch.graphAnnTopKHier(q, e, "vec_id", "embedding",
+      complete, g1, l1.select("vec_id"),
+      k = 3, beam1 = 2, hops1 = 2, beam = 40, hops = 1)
+      .select("qid", "nid", "rank").as[(Long, Long, Int)].collect().toSeq.sorted
+    val brute = SimilaritySearch.bruteForceTopK(q, e, "vec_id", "embedding", 3)
+      .select("qid", "nid", "rank").as[(Long, Long, Int)].collect().toSeq.sorted
+    assert(got === brute, "complete-graph hierarchical search must be exhaustive")
+    // sparse graphs: identical two-layer walk under any partitioning
+    val sparse = SimilaritySearch.knnGraph(e, "vec_id", "embedding", 4)
+      .localCheckpoint(true)
+    def walk(qs: org.apache.spark.sql.DataFrame,
+             cs: org.apache.spark.sql.DataFrame) =
+      SimilaritySearch.graphAnnTopKHier(qs, cs, "vec_id", "embedding",
+        sparse, g1, l1.select("vec_id"),
+        k = 3, beam1 = 2, hops1 = 2, beam = 4, hops = 2)
+        .select("qid", "nid", "rank").as[(Long, Long, Int)].collect().toSeq.sorted
+    assert(walk(q, e) === walk(q.repartition(5), e.repartition(7)))
+  }
+
   test("knnGraphDescent: degree >= N-1 converges to the exact graph; " +
       "refinement is partition-stable") {
     val s = spark
