@@ -39,6 +39,27 @@ object GraftTable {
     * so replaying any version touches at most this many log files.
     */
   private[operators] val CheckpointEvery = 8
+
+  /** Run `body` (a table mutation, or several) retrying on lost
+    * optimistic-concurrency races — each retry re-enters the mutation,
+    * which re-reads the table at its NEW current version, so the merge
+    * semantics apply against the winner's state (never a stale
+    * snapshot). Throws the last [[CommitConflictException]] after
+    * `maxAttempts`.
+    */
+  def retryOnConflict[T](maxAttempts: Int = 5)(body: => T): T = {
+    require(maxAttempts >= 1, s"maxAttempts must be >= 1, got $maxAttempts")
+    var attempt = 1
+    while (true) {
+      try return body
+      catch {
+        case e: CommitConflictException =>
+          if (attempt >= maxAttempts) throw e
+          attempt += 1
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
 }
 
 /** Thrown when a commit loses the optimistic-concurrency race: another
@@ -291,6 +312,7 @@ final class GraftTable(spark: SparkSession, val path: String,
   def vacuum(keepVersions: Int = 1): this.type = {
     require(keepVersions >= 1, s"keepVersions must be >= 1, got $keepVersions")
     val vs = versions
+    if (vs.isEmpty) return this
     val (drop, keep) = vs.splitAt(math.max(0, vs.size - keepVersions))
     if (drop.nonEmpty) {
       // re-anchor the oldest kept version: resolve it THROUGH the
@@ -318,20 +340,39 @@ final class GraftTable(spark: SparkSession, val path: String,
         java.nio.file.Files.deleteIfExists(crc); ()
       }
       drop.foreach { v => java.nio.file.Files.deleteIfExists(manifestPath(v)); () }
-      // prune now-empty partition directories (an all-history partition
-      // leaves an empty dir behind once its files are reclaimed)
-      def prune(f: java.io.File): Boolean = { // true = f was removed
-        if (!f.isDirectory || f.getName.startsWith("_")) false
-        else {
-          Option(f.listFiles()).getOrElse(Array.empty).foreach(prune)
-          val empty = Option(f.listFiles()).forall(_.isEmpty)
-          if (empty && f.toPath != java.nio.file.Paths.get(path)) f.delete()
-          else false
-        }
-      }
-      Option(new java.io.File(path).listFiles()).getOrElse(Array.empty)
-        .foreach(prune)
     }
+    // ORPHAN SWEEP — the crash-recovery half of vacuum: a commit that
+    // died between moving its files and linking its manifest left
+    // invisible data files (in no manifest — correct, but storage leaks
+    // forever). Vacuum is the maintenance op that may walk the tree:
+    // delete every data file no KEPT manifest references, and clear
+    // stale `_graft_staging/` dirs. Caller contract (already implied by
+    // vacuum's file deletion): no writer is active during vacuum.
+    val live = keep.flatMap(manifestFiles).toSet
+    listDataFiles().filterNot(live).foreach { f =>
+      val p = java.nio.file.Paths.get(path, f)
+      java.nio.file.Files.deleteIfExists(p)
+      val crc = p.resolveSibling("." + p.getFileName.toString + ".crc")
+      java.nio.file.Files.deleteIfExists(crc); ()
+    }
+    def rmTree(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rmTree)); f.delete(); ()
+    }
+    Option(java.nio.file.Paths.get(path, "_graft_staging").toFile.listFiles())
+      .foreach(_.foreach(rmTree))
+    // prune now-empty partition directories (an all-history partition
+    // leaves an empty dir behind once its files are reclaimed)
+    def prune(f: java.io.File): Boolean = { // true = f was removed
+      if (!f.isDirectory || f.getName.startsWith("_")) false
+      else {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(prune)
+        val empty = Option(f.listFiles()).forall(_.isEmpty)
+        if (empty && f.toPath != java.nio.file.Paths.get(path)) f.delete()
+        else false
+      }
+    }
+    Option(new java.io.File(path).listFiles()).getOrElse(Array.empty)
+      .foreach(prune)
     this
   }
 

@@ -313,6 +313,38 @@ class GraftTableSpec extends SparkSpec {
       s"orphaned files on disk: ${(onDisk -- referenced).mkString(", ")}")
   }
 
+  test("vacuum sweeps orphans from crashed commits; retryOnConflict re-runs losers") {
+    val t = freshTable().createIfNotExists(rows().schema)
+    t.importOnce(rows(("d1", "p", "r1", 1), ("d2", "q", "r2", 2)))
+    val before = t.read.collect().map(_.toSeq).toSet
+    // simulate a commit that died between moving its files and linking
+    // its manifest: a data file in a partition dir that NO manifest
+    // references, plus a stale staging dir
+    val orphan = java.nio.file.Paths.get(t.path, "day=d1", "c_dead-orphan.parquet")
+    java.nio.file.Files.writeString(orphan, "not really parquet")
+    val staleStage = java.nio.file.Paths.get(t.path, "_graft_staging", "c_dead")
+    java.nio.file.Files.createDirectories(staleStage)
+    java.nio.file.Files.writeString(staleStage.resolve("part-0.parquet"), "x")
+    // invisible to reads (not in any manifest) but leaking storage
+    assert(t.read.collect().map(_.toSeq).toSet == before)
+    t.vacuum(keepVersions = 10) // nothing to drop — the sweep alone runs
+    assert(!java.nio.file.Files.exists(orphan), "orphan data file must be swept")
+    assert(!java.nio.file.Files.exists(staleStage), "stale staging dir must be swept")
+    assert(t.read.collect().map(_.toSeq).toSet == before, "live data untouched")
+    // retryOnConflict: a loser that re-runs succeeds; exhaustion rethrows
+    var failures = 2
+    val got = GraftTable.retryOnConflict(maxAttempts = 3) {
+      if (failures > 0) { failures -= 1; throw new CommitConflictException("race") }
+      42
+    }
+    assert(got == 42 && failures == 0)
+    intercept[CommitConflictException](GraftTable.retryOnConflict(maxAttempts = 2) {
+      throw new CommitConflictException("always")
+    })
+    intercept[IllegalArgumentException](
+      GraftTable.retryOnConflict(maxAttempts = 0)(1))
+  }
+
   test("upsertReplace into the NULL partition keeps that partition's unrelated rows (null-safe touched join)") {
     val t = freshTable().createIfNotExists(rows().schema)
     t.importOnce(Seq((null.asInstanceOf[String], "p", "rA", 1),
