@@ -428,6 +428,36 @@ object AnalyticsQueries {
         FROM cq, UNNEST([250, 500, 900, 990]) AS tq(q_milli), ntot
         WHERE cum * 1000 >= q_milli * ntot.n
         GROUP BY 1"""
-      })
+      }),
+
+    // Per-GROUP HLL — "distinct users per event type" at corpus scale
+    // (the classic distinct-per-day shape): one sketch row-set per
+    // group, ≤ |groups|·1024 state rows, one map-side-combining
+    // aggregate; estimates from the same exact-integer harmonic sum as
+    // q81/q157, now grouped.
+    QuerySpec("q201_hll_by_group",
+      (s, dir) => Sketches.hllEstimateBy(
+        Sketches.hllStateBy(Tables.events(s, dir), "event_type", "user_id",
+          b = 10), b = 10),
+      Some("""
+        WITH h AS (
+          SELECT event_type AS grp,
+            CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+              AS BIGINT) AS h
+          FROM events),
+        st AS (
+          SELECT grp, h % 1024 AS bucket,
+            max(CASE WHEN h // 1024 = 0 THEN 51
+                ELSE 51 - length(bin(h // 1024)) END) AS rho
+          FROM h GROUP BY 1, 2),
+        e AS (
+          SELECT grp, CAST(count(*) AS BIGINT) AS m_used,
+            CAST(sum(CAST(1 AS BIGINT) << (51 - rho)) AS BIGINT) AS s_used
+          FROM st GROUP BY 1)
+        SELECT grp, m_used,
+          CAST(s_used + (1024 - m_used) * (CAST(1 AS BIGINT) << 51) AS BIGINT) AS s,
+          0.7213 / (1 + 1.079 / 1024.0) * 1024 * 1024 * 2251799813685248.0
+            / (s_used + (1024 - m_used) * (CAST(1 AS BIGINT) << 51)) AS est_distinct
+        FROM e"""))
   )
 }

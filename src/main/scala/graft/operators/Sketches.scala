@@ -70,6 +70,49 @@ object Sketches {
         (lit(alphaM2) * lit((1L << maxExp).toDouble) / col("s")).as("est_distinct"))
   }
 
+  /** Per-GROUP HyperLogLog state — "distinct keys per group" at corpus
+    * scale (distinct users per day, distinct URLs per domain): one
+    * [[hllState]] row-set per group key, ≤ |groups|·m rows total, still
+    * one map-side-combining aggregate. Merge with [[hllMergeBy]];
+    * estimate with [[hllEstimateBy]]. The group column travels as
+    * `grp`.
+    */
+  def hllStateBy(df: DataFrame, grpCol: String, keyCol: String,
+                 b: Int): DataFrame = {
+    require(b >= 4 && b <= 16, s"bucket bits b must be in [4, 16], got $b")
+    val m = 1 << b
+    val maxRho = 60 - b + 1
+    df.select(col(grpCol).as("grp"), h60(col(keyCol)).as("h"))
+      .select(col("grp"), (col("h") % m).as("bucket"),
+        expr(s"h div $m").as("suffix"))
+      .groupBy("grp", "bucket")
+      .agg(max(when(col("suffix") === 0, lit(maxRho))
+        .otherwise(lit(maxRho) - length(bin(col("suffix"))))).as("rho"))
+  }
+
+  /** Union of per-group HLL states (group+bucket-wise max). */
+  def hllMergeBy(states: Seq[DataFrame]): DataFrame = {
+    require(states.nonEmpty, "hllMergeBy needs at least one state")
+    states.reduce(_ unionByName _)
+      .groupBy("grp", "bucket").agg(max(col("rho")).as("rho"))
+  }
+
+  /** Per-group raw HLL estimates — [[hllEstimate]]'s arithmetic, one
+    * output row per group: (grp, m_used, s, est_distinct).
+    */
+  def hllEstimateBy(state: DataFrame, b: Int): DataFrame = {
+    val m = 1 << b
+    val maxExp = 60 - b + 1
+    val alphaM2 = 0.7213 / (1 + 1.079 / m) * m * m
+    state.groupBy("grp")
+      .agg(count(lit(1)).as("m_used"),
+        sum(expr(s"shiftleft(cast(1 as bigint), $maxExp - rho)")).as("s_used"))
+      .select(col("grp"), col("m_used"),
+        (col("s_used") + (lit(m.toLong) - col("m_used")) * lit(1L << maxExp)).as("s"))
+      .select(col("grp"), col("m_used"), col("s"),
+        (lit(alphaM2) * lit((1L << maxExp).toDouble) / col("s")).as("est_distinct"))
+  }
+
   // --------------------------------------------------------- Count-min
 
   /** Count-min sketch state over a key column: d rows × w columns of

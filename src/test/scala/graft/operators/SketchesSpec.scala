@@ -148,6 +148,29 @@ class SketchesSpec extends SparkSpec {
     assert(got === Seq((1L, 50L, 50L), (2L, 50L, 50L)))
   }
 
+  test("hllStateBy: per-group estimates track per-group truth; merge == union state") {
+    val s = spark
+    import s.implicits._
+    // group a: 2000 distinct keys, group b: 200 — estimates must track
+    // each group's OWN cardinality
+    // both groups above the raw estimator's ~2.5·m validity floor
+    val df = ((1L to 8000L).map(i => ("a", i)) ++
+      (1L to 3000L).map(i => ("b", i + 100000L))).toDF("g", "k")
+    val est = Sketches.hllEstimateBy(Sketches.hllStateBy(df, "g", "k", b = 10), b = 10)
+      .select("grp", "est_distinct").as[(String, Double)].collect().toMap
+    assert(math.abs(est("a") - 8000) / 8000.0 < 0.10, s"a: ${est("a")}")
+    assert(math.abs(est("b") - 3000) / 3000.0 < 0.15, s"b: ${est("b")}")
+    // merging two half-states equals the state of the union (max is
+    // associative — EXACT, not approximate)
+    val h1 = Sketches.hllStateBy(df.filter($"k" % 2 === 0), "g", "k", 10)
+    val h2 = Sketches.hllStateBy(df.filter($"k" % 2 === 1), "g", "k", 10)
+    val merged = Sketches.hllMergeBy(Seq(h1, h2))
+      .as[(String, Long, Int)].collect().toSet
+    val whole = Sketches.hllStateBy(df, "g", "k", 10)
+      .as[(String, Long, Int)].collect().toSet
+    assert(merged === whole)
+  }
+
   test("cms state is bounded by d·w cells") {
     val s = spark
     import s.implicits._
