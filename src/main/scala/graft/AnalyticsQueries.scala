@@ -458,6 +458,74 @@ object AnalyticsQueries {
           CAST(s_used + (1024 - m_used) * (CAST(1 AS BIGINT) << 51) AS BIGINT) AS s,
           0.7213 / (1 + 1.079 / 1024.0) * 1024 * 1024 * 2251799813685248.0
             / (s_used + (1024 - m_used) * (CAST(1 AS BIGINT) << 51)) AS est_distinct
-        FROM e"""))
+        FROM e""")),
+
+    // Per-GROUP q-digest — q198's sketch per group key (quantity
+    // quantiles per returnflag): per-group thresholds n_g/k drive the
+    // same deterministic 16-level compression, every window partitioned
+    // by group. The oracle replays all 16 grouped levels.
+    QuerySpec("q202_qdigest_by_group",
+      (s, dir) => Sketches.qdigestQuantileBy(
+        Sketches.qdigestStateBy(Tables.lineitem(s, dir), "l_returnflag",
+          "l_quantity", lo = 0.0, hi = 64.0, k = 64),
+        lo = 0.0, hi = 64.0, qMilli = Seq(250, 500, 900, 990)),
+      Some {
+        val passes = (16 to 1 by -1).map { l =>
+          val loId = 1L << l
+          val hiId = 1L << (l + 1)
+          s"""
+        g$l AS (
+          SELECT c.grp, c.pid, c.ccnt + COALESCE(p.cnt, 0) AS comb, t.t
+          FROM (SELECT grp, id // 2 AS pid, CAST(SUM(cnt) AS BIGINT) AS ccnt
+                FROM cur$l WHERE id >= $loId AND id < $hiId GROUP BY 1, 2) c
+          LEFT JOIN cur$l p ON p.grp = c.grp AND p.id = c.pid
+          JOIN thr t ON t.grp = c.grp),
+        cur${l - 1} AS MATERIALIZED (
+          SELECT s.grp, s.id, s.cnt FROM cur$l s
+          WHERE (s.id < $loId OR s.id >= $hiId)
+            AND NOT EXISTS (SELECT 1 FROM g$l g
+              WHERE g.comb < g.t AND g.grp = s.grp AND g.pid = s.id)
+          UNION ALL
+          SELECT s.grp, s.id, s.cnt FROM cur$l s
+          WHERE s.id >= $loId AND s.id < $hiId
+            AND EXISTS (SELECT 1 FROM g$l g
+              WHERE g.comb >= g.t AND g.grp = s.grp AND g.pid = s.id // 2)
+          UNION ALL
+          SELECT grp, pid AS id, comb AS cnt FROM g$l WHERE comb < t),"""
+        }.mkString
+        s"""
+        WITH lf AS (
+          SELECT l_returnflag AS grp,
+            CAST(least(greatest(floor((l_quantity - 0.0) * 65536
+              / (64.0 - 0.0)), 0.0), 65535.0) AS BIGINT) + 65536 AS id
+          FROM lineitem WHERE l_quantity IS NOT NULL),
+        cur16 AS MATERIALIZED (
+          SELECT grp, id, CAST(count(*) AS BIGINT) AS cnt FROM lf GROUP BY 1, 2),
+        thr AS (
+          SELECT grp, greatest(CAST(sum(cnt) AS BIGINT) // 64, 1) AS t
+          FROM cur16 GROUP BY 1),
+        ntot AS (
+          SELECT grp, CAST(sum(cnt) AS BIGINT) AS n FROM cur16 GROUP BY 1),
+        $passes
+        nodes AS (
+          SELECT grp, id, cnt,
+            (id + 1) * (65536 // CAST(pow(2.0, CAST(length(bin(id)) - 1
+              AS DOUBLE)) AS BIGINT)) - 65536 AS ub,
+            CAST(length(bin(id)) - 1 AS BIGINT) AS lvl
+          FROM cur0),
+        cq AS (
+          SELECT grp, ub, SUM(cnt) OVER (PARTITION BY grp
+            ORDER BY ub, lvl DESC, id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          FROM nodes)
+        SELECT cq.grp, CAST(q_milli AS BIGINT) AS q_milli,
+          CAST(min(ub) AS BIGINT) AS ub,
+          0.0 + CAST(min(ub) AS DOUBLE) * (64.0 - 0.0) / 65536 AS v_est
+        FROM cq
+        JOIN ntot ON ntot.grp = cq.grp,
+          UNNEST([250, 500, 900, 990]) AS tq(q_milli)
+        WHERE cum * 1000 >= q_milli * ntot.n
+        GROUP BY 1, 2"""
+      })
   )
 }

@@ -223,14 +223,26 @@ object Sketches {
     * recompress at the merged n — no raw data touched.
     */
   def qdigestState(df: DataFrame, valCol: String, lo: Double, hi: Double,
-                   k: Int): DataFrame = {
+                   k: Int): DataFrame =
+    qdigestStateBy(df.withColumn("__g", lit("")), "__g", valCol, lo, hi, k)
+      .drop("grp")
+
+  /** Per-GROUP q-digest state — one sketch per group key (the
+    * ANALYZE-per-partition shape: per-day / per-language quantiles at
+    * corpus scale). State ≤ |groups|·O(k·L) rows; the per-group
+    * threshold n_g/k is a metadata-scale frame broadcast into each
+    * compression pass, so nothing is collected and every pass is a
+    * grouped sketch-sized frame. The group column travels as `grp`.
+    */
+  def qdigestStateBy(df: DataFrame, grpCol: String, valCol: String,
+                     lo: Double, hi: Double, k: Int): DataFrame = {
     require(k >= 2, s"compression factor k must be >= 2, got $k")
     require(hi > lo, s"need hi > lo, got [$lo, $hi)")
     val leaf = least(greatest(floor((col(valCol) - lo) * 65536 / (hi - lo)),
       lit(0.0)), lit(65535.0)).cast("long")
     val leaves = df.filter(col(valCol).isNotNull)
-      .select((leaf + 65536L).as("id")).groupBy("id")
-      .agg(count(lit(1)).as("cnt"))
+      .select(col(grpCol).as("grp"), (leaf + 65536L).as("id"))
+      .groupBy("grp", "id").agg(count(lit(1)).as("cnt"))
     qdigestCompress(leaves, k)
   }
 
@@ -242,41 +254,52 @@ object Sketches {
   def qdigestMerge(states: Seq[DataFrame], k: Int): DataFrame = {
     require(states.nonEmpty, "qdigestMerge needs at least one state")
     qdigestCompress(
-      states.reduce(_ unionByName _).groupBy("id").agg(sum(col("cnt")).as("cnt")),
+      states.map(_.withColumn("grp", lit("")))
+        .reduce(_ unionByName _)
+        .groupBy("grp", "id").agg(sum(col("cnt")).as("cnt")),
+      k).drop("grp")
+  }
+
+  /** Merge per-group q-digest states (group+node-wise sum + recompress). */
+  def qdigestMergeBy(states: Seq[DataFrame], k: Int): DataFrame = {
+    require(states.nonEmpty, "qdigestMergeBy needs at least one state")
+    qdigestCompress(
+      states.reduce(_ unionByName _)
+        .groupBy("grp", "id").agg(sum(col("cnt")).as("cnt")),
       k)
   }
 
   private def qdigestCompress(nodes: DataFrame, k: Int): DataFrame = {
-    // n is sketch metadata (sum over ≤ 2^16 rows) — the threshold is a
-    // plan literal, deterministic on any engine
-    val n = nodes.agg(sum(col("cnt"))).collect()(0) match {
-      case r if r.isNullAt(0) => 0L
-      case r => r.getLong(0)
-    }
-    val t = math.max(n / k, 1L)
+    // per-group thresholds t_g = max(n_g/k, 1): metadata-scale
+    // (|groups| rows), staged once and broadcast into every pass
+    val thr = Staging.stage(nodes.groupBy("grp")
+      .agg(greatest(expr(s"sum(cnt) div $k"), lit(1L)).as("t")), "qd_thr")
     var cur = Staging.stage(nodes, "qd_c16")
     (16 to 1 by -1).foreach { l =>
       val lowId = 1L << l
       val highId = 1L << (l + 1)
       val children = cur.df.filter(col("id") >= lowId && col("id") < highId)
       val others = cur.df.filter(col("id") < lowId || col("id") >= highId)
-      val g = children.groupBy(expr("id div 2").as("pid"))
+      val g = children.groupBy(col("grp"), expr("id div 2").as("pid"))
         .agg(sum(col("cnt")).as("ccnt"))
-        .join(others.select(col("id").as("pid"), col("cnt").as("pcnt")),
-          Seq("pid"), "left")
+        .join(others.select(col("grp"), col("id").as("pid"), col("cnt").as("pcnt")),
+          Seq("grp", "pid"), "left")
+        .join(broadcast(thr.df), Seq("grp"))
         .withColumn("comb", col("ccnt") + coalesce(col("pcnt"), lit(0L)))
       val next = others
-        .join(g.filter(col("comb") < t).select(col("pid").as("id")),
-          Seq("id"), "left_anti")
+        .join(g.filter(col("comb") < col("t"))
+          .select(col("grp"), col("pid").as("id")), Seq("grp", "id"), "left_anti")
         .unionByName(children.withColumn("pid", expr("id div 2"))
-          .join(g.filter(col("comb") >= t).select("pid"), Seq("pid"), "left_semi")
+          .join(g.filter(col("comb") >= col("t")).select("grp", "pid"),
+            Seq("grp", "pid"), "left_semi")
           .drop("pid"))
-        .unionByName(g.filter(col("comb") < t)
-          .select(col("pid").as("id"), col("comb").as("cnt")))
+        .unionByName(g.filter(col("comb") < col("t"))
+          .select(col("grp"), col("pid").as("id"), col("comb").as("cnt")))
       val staged = Staging.stage(next, s"qd_c${l - 1}")
       cur.delete()
       cur = staged
     }
+    thr.delete()
     cur.df
   }
 
@@ -311,6 +334,36 @@ object Sketches {
       .filter(col("cum") * 1000 >= col("q_milli") * col("n_rows"))
       .groupBy(col("q_milli")).agg(min(col("ub")).as("ub"))
       .select(col("q_milli"), col("ub"),
+        (lit(lo) + col("ub").cast("double") * (hi - lo) / 65536).as("v_est"))
+  }
+
+  /** Per-group quantile answers from a [[qdigestStateBy]] state — the
+    * [[qdigestQuantile]] extraction with every window PARTITIONED by
+    * `grp` (each partition is one group's O(k·L)-row sketch, so the
+    * cumulative never concentrates more than a sketch in one task).
+    * Output (grp, q_milli, ub, v_est).
+    */
+  def qdigestQuantileBy(state: DataFrame, lo: Double, hi: Double,
+                        qMilli: Seq[Int]): DataFrame = {
+    require(qMilli.nonEmpty && qMilli.forall(q => q >= 1 && q <= 1000),
+      s"quantiles must be in [1,1000] milli, got $qMilli")
+    require(hi > lo, s"need hi > lo, got [$lo, $hi)")
+    val lvl = (length(expr("bin(id)")) - 1).cast("long")
+    val ub = expr("(id + 1) * (65536 div CAST(pow(2.0D, " +
+      "CAST(length(bin(id)) - 1 AS DOUBLE)) AS BIGINT)) - 65536")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("grp")
+      .orderBy(col("ub"), col("lvl").desc, col("id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val tot = state.groupBy("grp").agg(sum(col("cnt")).as("n_rows"))
+    val cum = state.select(col("grp"), col("id"), col("cnt"),
+        lvl.as("lvl"), ub.as("ub"))
+      .withColumn("cum", sum(col("cnt")).over(w))
+      .join(broadcast(tot), Seq("grp"))
+    cum.select(col("grp"), col("ub"), col("cum"), col("n_rows"),
+        explode(array(qMilli.map(q => lit(q.toLong)): _*)).as("q_milli"))
+      .filter(col("cum") * 1000 >= col("q_milli") * col("n_rows"))
+      .groupBy(col("grp"), col("q_milli")).agg(min(col("ub")).as("ub"))
+      .select(col("grp"), col("q_milli"), col("ub"),
         (lit(lo) + col("ub").cast("double") * (hi - lo) / 65536).as("v_est"))
   }
 

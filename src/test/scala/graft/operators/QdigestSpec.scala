@@ -78,6 +78,32 @@ class QdigestSpec extends SparkSpec {
     }
   }
 
+  test("grouped sketch: each group answers from its OWN distribution; groups never mix") {
+    val s = spark
+    import s.implicits._
+    // group a is 0..999, group b is 5000..5999 — disjoint ranges, so a
+    // cross-group leak would be instantly visible in the answers
+    val df = ((0 until 1000).map(i => ("a", i.toDouble)) ++
+      (0 until 1000).map(i => ("b", 5000.0 + i))).toDF("g", "v")
+    val st = Sketches.qdigestStateBy(df, "g", "v", 0.0, 65536.0, k = 1 << 20)
+    val got = Sketches.qdigestQuantileBy(st, 0.0, 65536.0, Seq(500, 1000))
+      .select("grp", "q_milli", "v_est").as[(String, Long, Double)]
+      .collect().map { case (g, q, v) => (g, q) -> v }.toMap
+    // uncompressed identity leaves: answer = exact value + 1 (upper edge)
+    assert(got(("a", 500L)) == 500.0 && got(("a", 1000L)) == 1000.0)
+    assert(got(("b", 500L)) == 5500.0 && got(("b", 1000L)) == 6000.0)
+    // per-group merge: half-states recombine order-insensitively
+    val h1 = Sketches.qdigestStateBy(df.filter($"v" % 2 === 0), "g", "v",
+      0.0, 65536.0, 1024).localCheckpoint(true)
+    val h2 = Sketches.qdigestStateBy(df.filter($"v" % 2 === 1), "g", "v",
+      0.0, 65536.0, 1024).localCheckpoint(true)
+    val ab = Sketches.qdigestMergeBy(Seq(h1, h2), 1024)
+      .as[(String, Long, Long)].collect().toSeq.sorted
+    val ba = Sketches.qdigestMergeBy(Seq(h2, h1), 1024)
+      .as[(String, Long, Long)].collect().toSeq.sorted
+    assert(ab === ba)
+  }
+
   test("validation: bad k, bad range, bad quantiles rejected") {
     val df = Seq(1.0).toDF("v")
     intercept[IllegalArgumentException](
