@@ -939,6 +939,60 @@ object ExtQueries {
         budget = 450000L, maxEpochs = 3),
       Some(epochedOracleSql(weightSql = "n_chars", budget = 450000L, maxE = 3))),
 
+    // DoReMi-style domain reweighting (deterministic multiplicative
+    // weights): per-language type-token ratio as the difficulty proxy;
+    // 3 rounds of w <- normalize(w * 2^(eta*excess/1000)) in milli-bit
+    // integer arithmetic (2^x on the |excess| magnitude, sign choosing
+    // multiply vs divide — no negative integer division, the
+    // cross-engine trap). The oracle replays loss, every round's
+    // weighted average, update, and renormalization.
+    QuerySpec("q203_domain_reweight",
+      (s, dir) => {
+        val loss = Tables.documents(s, dir)
+          .select(col("lang"),
+            explode(graft.functions.TextFns.tokens(col("text"))).as("t"))
+          .groupBy("lang")
+          .agg(expr("count(DISTINCT t) * 1000 div count(1)").as("loss"))
+          .select(col("lang").as("src"), col("loss"))
+        operators.Sampling.domainReweight(loss, "src", "loss",
+          rounds = 3, etaMilli = 500)
+      },
+      Some {
+        def pw(x: String) =
+          s"((1000 + least($x, 15000) % 1000) * (CAST(1 AS BIGINT) << (least($x, 15000) // 1000)))"
+        val rounds = (1 to 3).map { i => s"""
+        a$i AS (SELECT CAST(SUM(w * loss) // 1000000 AS BIGINT) AS avg FROM r${i - 1}),
+        u$i AS (
+          SELECT src, loss,
+            CASE WHEN loss >= a.avg THEN
+              w * ${pw("500 * (loss - a.avg) // 1000")} // 1000
+            ELSE
+              w * 1000 // ${pw("500 * (a.avg - loss) // 1000")}
+            END AS wu
+          FROM r${i - 1}, a$i a),
+        t$i AS (SELECT CAST(SUM(wu) AS BIGINT) AS tot FROM u$i),
+        r$i AS MATERIALIZED (
+          SELECT src, loss, CAST(wu * 1000000 // t.tot AS BIGINT) AS w
+          FROM u$i, t$i t),"""
+        }.mkString
+        s"""
+        WITH $WORDS_SQL,
+        l AS (
+          SELECT lang AS src,
+            CAST(count(DISTINCT t) * 1000 // count(*) AS BIGINT) AS loss
+          FROM (SELECT lang, UNNEST(w) AS t FROM words) tw GROUP BY 1),
+        r0 AS (
+          SELECT src, loss,
+            CAST(1000000 // (SELECT count(*) FROM l) AS BIGINT) AS w
+          FROM l),
+        ${rounds.stripSuffix(",")}
+        SELECT src, CAST(1 AS BIGINT) AS round, loss AS loss_milli, w AS w_micro FROM r1
+        UNION ALL
+        SELECT src, CAST(2 AS BIGINT), loss, w FROM r2
+        UNION ALL
+        SELECT src, CAST(3 AS BIGINT), loss, w FROM r3"""
+      }),
+
     // embedding-cosine near-dup: sign-bucket blocking + exact fixed-point
     // cosine threshold — the semantic-dedup pass over an embedded corpus
     QuerySpec("q44_dedup_embedding",

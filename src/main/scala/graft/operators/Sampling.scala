@@ -386,6 +386,66 @@ object Sampling {
       .withColumn("kept", col("pick_rank") <= m)
   }
 
+  /** DOREMI-STYLE DOMAIN REWEIGHTING (Xie et al. 2023's outer loop,
+    * deterministic form) — multiplicative-weights over corpus domains
+    * driven by per-domain excess loss: each round,
+    *
+    *   w_s ← normalize( w_s · 2^(η·(loss_s − avg_w(loss))/1000) )
+    *
+    * so domains the proxy model finds HARDER than the weighted average
+    * gain mixture share. The 2^x lives in MILLI-bit integer arithmetic
+    * (the [[CorpusText.mlog2Sql]] family: 2^(m/1000) ≈
+    * (1000 + m%1000)·2^(m/1000) /1000, applied to the |excess| with the
+    * sign choosing multiply vs divide — negative integer division never
+    * happens, the cross-engine trap), so every round's weights are
+    * engine-exact. The exponent clamps at 15000 milli-bits (2^15) per
+    * round.
+    *
+    * Losses are whatever the caller's proxy produces (per-domain
+    * perceptron error mass, surprisal, OOV rate…) in non-negative
+    * MILLI units. The per-domain loss table is metadata-scale, so the
+    * rounds run driver-side exactly like [[epochedMixtureBy]]'s
+    * waterfill plan; the result joins back onto data by `src`.
+    *
+    * @return one row per (src, round): (src, round, loss_milli,
+    *         w_micro) with Σ_s w_micro ≈ 1e6 per round
+    */
+  def domainReweight(losses: DataFrame, srcCol: String, lossCol: String,
+                     rounds: Int, etaMilli: Long): DataFrame = {
+    require(rounds >= 1 && rounds <= 16, s"rounds must be in [1,16], got $rounds")
+    require(etaMilli >= 1 && etaMilli <= 4000,
+      s"etaMilli must be in [1,4000], got $etaMilli")
+    val spark = losses.sparkSession
+    val ls = losses
+      .select(col(srcCol).cast("string"), col(lossCol).cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    require(ls.nonEmpty, "domainReweight needs at least one domain")
+    ls.foreach { case (s, l) =>
+      require(l >= 0, s"domain '$s' has negative loss $l — losses are milli-units >= 0") }
+    def pow2m(xm: Long): Long = // 2^(xm/1000) in milli units, xm >= 0
+      (1000L + xm % 1000L) << (xm / 1000L)
+    var w = ls.map(_ => 1000000L / ls.size)
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long, Long)]
+    (1 to rounds).foreach { r =>
+      val avg = ls.indices.map(i => w(i) * ls(i)._2).sum / 1000000L
+      val wu = ls.indices.map { i =>
+        val loss = ls(i)._2
+        if (loss >= avg) {
+          val xm = math.min(etaMilli * (loss - avg) / 1000L, 15000L)
+          w(i) * pow2m(xm) / 1000L
+        } else {
+          val xm = math.min(etaMilli * (avg - loss) / 1000L, 15000L)
+          w(i) * 1000L / pow2m(xm)
+        }
+      }
+      val tot = wu.sum
+      w = wu.map(x => x * 1000000L / tot).toArray
+      ls.indices.foreach(i => out += ((ls(i)._1, r.toLong, ls(i)._2, w(i))))
+    }
+    import spark.implicits._
+    out.toSeq.toDF("src", "round", "loss_milli", "w_micro")
+  }
+
   /** DSIR — Data Selection via Importance Resampling (Xie et al.,
     * NeurIPS 2023), the targeted-pretraining selection stage: score
     * every raw document by how much its hashed n-gram profile looks

@@ -356,6 +356,39 @@ class SamplingSpec extends SparkSpec {
         budget = 5L, maxEpochs = 1))
   }
 
+  test("domainReweight: harder domains gain share monotonically, equal losses stay uniform") {
+    val s = spark
+    import s.implicits._
+    val loss = Seq(("hard", 2000L), ("easy", 1000L), ("mid", 1500L))
+      .toDF("src", "loss")
+    val out = Sampling.domainReweight(loss, "src", "loss", rounds = 4,
+        etaMilli = 1000)
+      .as[(String, Long, Long, Long)].collect()
+      .groupBy(_._1).map { case (k, v) => k -> v.sortBy(_._2).map(_._4).toSeq }
+    // the hardest domain's share strictly grows, the easiest strictly
+    // shrinks; each round's weights sum to ~1e6 (floor rounding)
+    assert(out("hard") == out("hard").sorted &&
+      out("hard").distinct.size == 4, s"hard must grow: ${out("hard")}")
+    assert(out("easy") == out("easy").sorted.reverse &&
+      out("easy").distinct.size == 4, s"easy must shrink: ${out("easy")}")
+    (0 until 4).foreach { r =>
+      val tot = out.values.map(_(r)).sum
+      assert(tot > 999990L && tot <= 1000000L, s"round $r total $tot")
+    }
+    // equal losses: excess is 0 everywhere, weights stay exactly uniform
+    val eq = Sampling.domainReweight(
+      Seq(("a", 700L), ("b", 700L)).toDF("src", "loss"), "src", "loss", 3, 500)
+      .as[(String, Long, Long, Long)].collect()
+    assert(eq.forall(_._4 == 500000L), eq.mkString(","))
+    // validation
+    intercept[IllegalArgumentException](Sampling.domainReweight(
+      Seq(("a", -1L)).toDF("src", "loss"), "src", "loss", 1, 500))
+    intercept[IllegalArgumentException](Sampling.domainReweight(
+      loss, "src", "loss", 0, 500))
+    intercept[IllegalArgumentException](Sampling.domainReweight(
+      loss, "src", "loss", 1, 0))
+  }
+
   test("dsirScores ranks target-like docs above pool-like docs; partition-stable") {
     val s = spark
     import s.implicits._
