@@ -615,9 +615,20 @@ final class GraftTable(spark: SparkSession, val path: String,
     * loss is always safe. Staged once because both the write and the
     * touched-partition collect consume the plan.
     */
-  private def writePartitions(df: DataFrame, base: Long): this.type = {
+  private def writePartitions(df: DataFrame, base: Long,
+                              clusterBy: Seq[String] = Nil): this.type = {
     val staged = Staging.stage(df, "write_barrier")
-    commitRewrite(staged.df, partitionValsOf(staged.df), base)
+    // the cluster sort must sit BETWEEN the barrier and the write: the
+    // partitioned write requires an ordering on the partition column,
+    // and a staged frame carries no ordering metadata — so a
+    // pre-staging sort would be re-sorted (unstably) at write time,
+    // while (partitionCol, clusterBy...) here satisfies the writer's
+    // requirement prefix and survives into the files
+    val toWrite =
+      if (clusterBy.isEmpty) staged.df
+      else staged.df.sortWithinPartitions(
+        (partitionCol +: clusterBy).map(col): _*)
+    commitRewrite(toWrite, partitionValsOf(staged.df), base)
     staged.delete()
     this
   }
@@ -635,10 +646,21 @@ final class GraftTable(spark: SparkSession, val path: String,
     * per-partition OPTIMIZE job; `parallelism` bounds the rewrite's
     * task width.
     */
-  def compact(parallelism: Int = 16): this.type = {
+  def compact(parallelism: Int = 16): this.type = compact(parallelism, Nil)
+
+  /** [[compact]] with intra-file CLUSTERING: each partition's rewritten
+    * file is sorted by `clusterBy`, so parquet row-group min/max stats
+    * become selective on those columns and a later filtered scan skips
+    * row groups — the OPTIMIZE ... ZORDER intent (single-column sort
+    * here; compose [[Layout.zValue]] into a column for multi-dim).
+    * Content-invariant like the plain compaction: only the physical
+    * order inside files changes.
+    */
+  def compact(parallelism: Int, clusterBy: Seq[String]): this.type = {
     require(parallelism >= 1, s"parallelism must be >= 1, got $parallelism")
     val base = ensureBaselineVersion()
-    writePartitions(readAt(base).repartition(parallelism, col(partitionCol)), base)
+    writePartitions(readAt(base).repartition(parallelism, col(partitionCol)),
+      base, clusterBy)
   }
 
   /** LIVE data file count — the current version's manifest size for a

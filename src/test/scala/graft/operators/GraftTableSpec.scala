@@ -313,6 +313,28 @@ class GraftTableSpec extends SparkSpec {
       s"orphaned files on disk: ${(onDisk -- referenced).mkString(", ")}")
   }
 
+  test("clustered compaction sorts inside each partition file; content invariant") {
+    val s = spark
+    import s.implicits._
+    val t = freshTable().createIfNotExists(rows().schema)
+    // interleaved rk order across two upserts → unsorted files
+    t.importOnce(rows(("d1", "p", "r9", 9), ("d1", "p", "r1", 1)))
+    t.upsertReplace(rows(("d1", "p", "r5", 5), ("d1", "q", "r3", 3)))
+    val before = t.read.collect().map(_.toSeq).toSet
+    t.compact(parallelism = 4, clusterBy = Seq("rk"))
+    assert(t.read.collect().map(_.toSeq).toSet === before, "content must not change")
+    assert(t.dataFileCount == 1)
+    // drop history so the partition dir holds only the LIVE rewritten
+    // file, which must be physically sorted by rk (parquet preserves
+    // row order within a file)
+    t.vacuum(keepVersions = 1)
+    val file = new java.io.File(s"${t.path}/day=d1").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val inFile = s.read.parquet(file.getPath).select("rk").as[String]
+      .collect().toSeq
+    assert(inFile == inFile.sorted, s"file rows must be rk-sorted: $inFile")
+  }
+
   test("vacuum sweeps orphans from crashed commits; retryOnConflict re-runs losers") {
     val t = freshTable().createIfNotExists(rows().schema)
     t.importOnce(rows(("d1", "p", "r1", 1), ("d2", "q", "r2", 2)))
