@@ -32,7 +32,11 @@ object Profiler {
     val longFmt = cols.map(c =>
         df.select(lit(c).as("col_name"), col(c).cast("string").as("v")))
       .reduce(_.unionByName(_))
-    val byVal = longFmt.groupBy("col_name", "v").agg(count(lit(1)).as("cnt"))
+    // the distinct-value table feeds BOTH the stats and the modal-value
+    // aggregates — stage once so the corpus is scanned exactly once
+    val byVal = Staging.stage(
+      longFmt.groupBy("col_name", "v").agg(count(lit(1)).as("cnt")),
+      "prof_byval").df
     val stats = byVal.groupBy("col_name").agg(
       sum(col("cnt")).as("n_rows"),
       sum(when(col("v").isNull, col("cnt")).otherwise(0L)).as("n_nulls"),
