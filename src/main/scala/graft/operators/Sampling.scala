@@ -477,7 +477,11 @@ object Sampling {
     require(buckets >= 2 && buckets <= (1 << 20),
       s"buckets must be in [2, 2^20], got $buckets")
     val spark = raw.sparkSession
-    val fr = Classifier.featureBuckets(raw, idCol, textCol, buckets)
+    // the raw-corpus feature table feeds BOTH the per-bucket counts and
+    // the final score join — stage once so the raw corpus tokenizes
+    // exactly once (the target side has a single consumer)
+    val fr = Staging.stage(
+      Classifier.featureBuckets(raw, idCol, textCol, buckets), "dsir_fr").df
     val ft = Classifier.featureBuckets(target, idCol, textCol, buckets)
     val rawCnt = fr.groupBy("bucket").agg(sum(col("cnt")).as("c_raw"))
     val tgtCnt = ft.groupBy("bucket").agg(sum(col("cnt")).as("c_tgt"))
