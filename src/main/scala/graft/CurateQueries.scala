@@ -519,6 +519,50 @@ object CurateQueries {
           CAST(max(v) AS INTEGER) AS s_max
         FROM s GROUP BY 1, 4""")),
 
+    // SILENCE SEGMENTATION over real decoded WAV (the ASR-pipeline
+    // silence-trim / clip-extraction step): amplitude-modulated synth
+    // clips (every third 8-sample frame quiet), frames classified by
+    // integer mean-abs threshold, consecutive active frames merged to
+    // maximal segments (gaps-and-islands). The oracle replays the
+    // generator, framing, threshold, and island merge — a hash match
+    // proves the codec round-trip AND the segmentation.
+    QuerySpec("q204_wav_silence_segments",
+      (s, dir) => {
+        import graft.multimodal.Multimodal
+        val docs = Tables.documents(s, dir).select(col("doc_id"))
+        val n = (col("doc_id") % 50 + 20).cast("int")
+        val samples = transform(sequence(lit(0), n - 1), i =>
+          ((pmod(col("doc_id") * 31 + i * 17, lit(400)) - 200) *
+            when(pmod(shiftright(i, 3).cast("long") + col("doc_id"), lit(3)) === 0,
+              lit(1)).otherwise(lit(50))).cast("int"))
+        val media = Multimodal.asMediaTable(
+          docs.withColumn("payload",
+            Multimodal.synthWavPcm16(lit(8000), samples)),
+          "doc_id", "payload", "audio/wav")
+        Multimodal.wavSilenceSegments(media, frameSize = 8, thrMilli = 1000000L)
+      },
+      Some("""
+        WITH s AS (
+          SELECT doc_id, i AS pos,
+            (((doc_id * 31 + i * 17) % 400) - 200)
+              * (CASE WHEN (i // 8 + doc_id) % 3 = 0 THEN 1 ELSE 50 END) AS v
+          FROM documents, UNNEST(range(0, doc_id % 50 + 20)) AS t(i)),
+        f AS (
+          SELECT doc_id, pos // 8 AS frame_id,
+            CAST(count(*) AS BIGINT) AS n, CAST(sum(abs(v)) AS BIGINT) AS abs_sum
+          FROM s GROUP BY 1, 2),
+        act AS (SELECT * FROM f WHERE abs_sum * 1000 >= 1000000 * n),
+        isl AS (
+          SELECT doc_id, frame_id, abs_sum,
+            frame_id - row_number() OVER (PARTITION BY doc_id ORDER BY frame_id)
+              AS island
+          FROM act)
+        SELECT doc_id, CAST(min(frame_id) AS BIGINT) AS start_frame,
+          CAST(max(frame_id) AS BIGINT) AS end_frame,
+          CAST(count(*) AS BIGINT) AS n_frames,
+          CAST(sum(abs_sum) AS BIGINT) AS energy
+        FROM isl GROUP BY doc_id, island""")),
+
     // Line-level dedup (CCNet/RefinedWeb boilerplate removal) at word
     // granularity on this corpus: segments occurring in > 390 of the
     // docs are dropped everywhere, surviving segments reassemble in

@@ -169,6 +169,56 @@ object Multimodal {
                             frame_id: Long, n_samples: Long, s_sum: Long,
                             s_min: Int, s_max: Int)
 
+  /** One decoded frame's absolute-amplitude mass (the VAD feature). */
+  final case class WavAbsFrame(doc_id: Long, frame_id: Long,
+                               n_samples: Long, abs_sum: Long)
+
+  /** SILENCE SEGMENTATION over decoded WAV PCM — the clip-extraction
+    * step speech/audio training pipelines run before anything else
+    * (trim silence, keep voiced runs): tile each clip into
+    * `frameSize`-sample frames, mark a frame ACTIVE when its mean
+    * absolute amplitude reaches `thrMilli`/1000 (integer
+    * cross-multiplied — partial tail frames compare correctly), and
+    * merge consecutive active frames into maximal segments via the
+    * gaps-and-islands rule (island = frame_id − row_number, one
+    * per-doc window bounded by frames-per-clip). Output one row per
+    * segment: (doc_id, start_frame, end_frame, n_frames, energy).
+    *
+    * The decode stays at the [[wavFrameStats]] mapPartitions codec
+    * boundary (the repo's one sanctioned imperative seam); everything
+    * after the per-frame abs-sums is declarative and engine-exact.
+    */
+  def wavSilenceSegments(media: Dataset[MediaRow], frameSize: Int,
+                         thrMilli: Long): DataFrame = {
+    require(frameSize >= 1, s"frameSize must be >= 1, got $frameSize")
+    require(thrMilli >= 0, s"thrMilli must be >= 0, got $thrMilli")
+    val spark = media.sparkSession
+    import spark.implicits._
+    val frames = media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        WavCodec.decode(r.payload).toSeq.flatMap { pcm =>
+          WavCodec.sampleWindows(pcm.samples, frameSize, frameSize).zipWithIndex
+            .map { case (w, i) =>
+              WavAbsFrame(r.doc_id, i.toLong, w.length.toLong,
+                w.map(s => math.abs(s.toLong)).sum)
+            }
+        }
+      }
+    }.toDF()
+    val active = frames
+      .filter(col("abs_sum") * 1000 >= lit(thrMilli) * col("n_samples"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("frame_id")
+    active
+      .withColumn("island", col("frame_id") - row_number().over(w))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("frame_id")).as("start_frame"),
+        max(col("frame_id")).as("end_frame"),
+        count(lit(1)).as("n_frames"),
+        sum(col("abs_sum")).as("energy"))
+      .select("doc_id", "start_frame", "end_frame", "n_frames", "energy")
+  }
+
   /** Little-endian byte rendering of the low `nBytes` bytes of an
     * integer column — the RIFF encoding primitive (PNG's synth path is
     * big-endian; WAV is LE throughout).

@@ -122,6 +122,32 @@ class MultimodalSpec extends SparkSpec {
       == ((1L, 50L, 50, 50)))
   }
 
+  test("wavSilenceSegments merges consecutive active frames, keeps partial tails honest") {
+    // frames of 4: [loud, quiet, loud, loud, quiet-tail(2)] →
+    // segments {0} and {2,3}; threshold mean|v| >= 1000
+    val xs = Seq.fill(4)(2000) ++ Seq.fill(4)(1) ++
+      Seq.fill(4)(-3000) ++ Seq.fill(4)(1500) ++ Seq(2, -2)
+    val synth = Seq((9L, xs)).toDF("doc_id", "xs")
+      .select($"doc_id", Multimodal.synthWavPcm16(lit(8000), $"xs").as("payload"))
+    val m = Multimodal.asMediaTable(synth, "doc_id", "payload", "audio/wav")
+    val segs = Multimodal.wavSilenceSegments(m, frameSize = 4, thrMilli = 1000000L)
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._2).toSeq
+    assert(segs == Seq(
+      (9L, 0L, 0L, 1L, 8000L),     // 4 × |2000|
+      (9L, 2L, 3L, 2L, 18000L)))   // 4 × 3000 + 4 × 1500
+    // a partial tail frame LOUD enough must still be active: mean of
+    // (5000, 5000) over 2 samples passes where a full-frame sum rule
+    // would miss it
+    val xs2 = Seq.fill(4)(1) ++ Seq(5000, 5000)
+    val m2 = Multimodal.asMediaTable(
+      Seq((1L, xs2)).toDF("doc_id", "xs")
+        .select($"doc_id", Multimodal.synthWavPcm16(lit(8000), $"xs").as("payload")),
+      "doc_id", "payload", "audio/wav")
+    val segs2 = Multimodal.wavSilenceSegments(m2, 4, 1000000L)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(segs2 == Seq((1L, 1L, 1L, 1L, 10000L)))
+  }
+
   test("pngWidth is null on non-PNG payloads") {
     val out = Seq("FFD8FFE0").toDF("hx")
       .select(Multimodal.pngWidth(unhex(col("hx"))))
