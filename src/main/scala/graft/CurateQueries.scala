@@ -320,6 +320,72 @@ object CurateQueries {
           CAST(length(clean) AS INTEGER) AS n_chars_text, md5(clean) AS text_md5
         FROM c""")),
 
+    // MAIN-CONTENT block extraction (the trafilatura/jusText role,
+    // between q125's tag strip and the text filters): pages synthesized
+    // with nav/menu/footer blocks that are nearly ALL anchor text plus
+    // one real content block; blocks split at block-tag boundaries,
+    // scored by text length and integer link density, kept blocks
+    // digest in page order. Both engines build identical bytes and run
+    // the identical RE2-safe split/strip/extract pipeline.
+    QuerySpec("q205_main_content",
+      (s, dir) => {
+        val p1 = "<div class=\"nav\"><a href=\"/\">Home</a> " +
+          "<a href=\"/about\">About us</a> <a href=\"/contact\">Contact</a>" +
+          "</div><p>"
+        val p2 = "</p><ul><li><a href=\"/a\">Archive</a></li>" +
+          "<li><a href=\"/b\">Blog</a></li></ul><div>tiny</div>" +
+          "<footer><a href=\"/legal\">Legal notice terms</a></footer>"
+        operators.CorpusText.mainContentBlocks(
+          Tables.documents(s, dir).select(col("doc_id"),
+            concat(lit(p1), col("text"), lit(p2)).as("html")),
+          "doc_id", "html", minChars = 10, maxLinkMilli = 300)
+      },
+      Some {
+        def strip(x: String) =
+          s"""trim(regexp_replace(
+            replace(replace(replace(replace(replace(replace(
+              regexp_replace(regexp_replace(regexp_replace(regexp_replace($x,
+                '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+                '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+                '(?s)<!--.*?-->', ' ', 'g'),
+                '<[^>]+>', ' ', 'g'),
+              '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+              '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
+            '\\s+', ' ', 'g'))"""
+        s"""
+        WITH pages AS (
+          SELECT doc_id,
+            '<div class="nav"><a href="/">Home</a> <a href="/about">About us</a> <a href="/contact">Contact</a></div><p>'
+            || text ||
+            '</p><ul><li><a href="/a">Archive</a></li><li><a href="/b">Blog</a></li></ul><div>tiny</div><footer><a href="/legal">Legal notice terms</a></footer>'
+            AS html
+          FROM documents),
+        sp AS (
+          SELECT doc_id, regexp_split_to_array(html,
+            '(?i)</?(?:p|div|li|h[1-6]|br|td|th|tr|ul|ol|table|section|article|header|footer|nav)[^>]*>') AS f
+          FROM pages),
+        b AS (
+          SELECT doc_id, i AS pos, f[CAST(i + 1 AS INTEGER)] AS raw
+          FROM sp, UNNEST(range(0, len(f))) AS t(i)),
+        c AS (
+          SELECT doc_id, pos, ${strip("raw")} AS btext,
+            ${strip("COALESCE(array_to_string(regexp_extract_all(raw, '(?is)<a[^>]*>(.*?)</a>', 1), ' '), '')")} AS ltext
+          FROM b),
+        k AS (
+          SELECT doc_id, pos, btext,
+            CAST(length(btext) AS BIGINT) AS tlen,
+            CAST(length(ltext) AS BIGINT) AS llen
+          FROM c),
+        kk AS (
+          SELECT *, tlen >= 10 AND llen * 1000 <= 300 * tlen AS kept FROM k)
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_blocks,
+          CAST(count(*) FILTER (kept) AS BIGINT) AS n_kept,
+          CAST(COALESCE(sum(tlen) FILTER (kept), 0) AS BIGINT) AS kept_chars,
+          md5(COALESCE(string_agg(btext, ' ' ORDER BY pos) FILTER (kept), ''))
+            AS content_md5
+        FROM kk GROUP BY 1"""
+      }),
+
     QuerySpec("q78_pii_redact",
       (s, dir) => {
         val synth = concat(lit("contact "), substring(md5(col("text")), 1, 6),

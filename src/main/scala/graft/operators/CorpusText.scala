@@ -571,4 +571,53 @@ object CorpusText {
             when(col("pos") === col("minp"), struct(col("pos"), col("line"))))),
           p => p("line")), "\n").as("clean"))
   }
+
+  /** Block-tag boundary pattern for [[mainContentBlocks]] — RE2-safe
+    * (inline flag, non-capturing group, character class; no
+    * backreferences) so the oracle splits identically.
+    */
+  private[graft] val BlockSplitRe =
+    "(?i)</?(?:p|div|li|h[1-6]|br|td|th|tr|ul|ol|table|section|article|header|footer|nav)[^>]*>"
+
+  /** MAIN-CONTENT extraction (the trafilatura/jusText/Boilerpipe role —
+    * what CCNet-style pipelines run between raw HTML and text filters):
+    * split each page at block-level tag boundaries, score every block
+    * by TEXT LENGTH and LINK DENSITY (anchor-text chars ·1000 / text
+    * chars — nav/menu/footer blocks are nearly all link text), and keep
+    * blocks with ≥ `minChars` of text at ≤ `maxLinkMilli` density. The
+    * integer cross-multiplied density and the shared [[TextFns
+    * .stripHtml]] pipeline keep every verdict engine-exact. Anchor text
+    * is measured over the block's `<a>…</a>` inner spans joined by a
+    * single space (so n anchors contribute n−1 separator chars — the
+    * documented metric).
+    *
+    * Output one row per doc: total/kept block counts, kept text chars,
+    * and the md5 of the kept blocks' texts in page order (the q105
+    * digest discipline). Everything is row-local until the per-DOC
+    * aggregate (collect_list bounded by a page's own block count).
+    */
+  def mainContentBlocks(docs: DataFrame, idCol: String, htmlCol: String,
+                        minChars: Int, maxLinkMilli: Int): DataFrame = {
+    require(minChars >= 1, s"minChars must be >= 1, got $minChars")
+    require(maxLinkMilli >= 0 && maxLinkMilli <= 1000,
+      s"maxLinkMilli must be in [0,1000], got $maxLinkMilli")
+    val blocks = docs.select(col(idCol).as("id"),
+      posexplode(split(col(htmlCol), BlockSplitRe)).as(Seq("pos", "raw")))
+    val scored = blocks
+      .withColumn("btext", TextFns.stripHtml(col("raw")))
+      .withColumn("tlen", length(col("btext")).cast("long"))
+      .withColumn("llen", length(TextFns.stripHtml(array_join(
+        expr("regexp_extract_all(raw, '(?is)<a[^>]*>(.*?)</a>', 1)"), " ")))
+        .cast("long"))
+      .withColumn("kept", col("tlen") >= minChars &&
+        col("llen") * 1000 <= lit(maxLinkMilli.toLong) * col("tlen"))
+    scored.groupBy(col("id").as(idCol))
+      .agg(count(lit(1)).as("n_blocks"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("kept"), col("tlen")).otherwise(0L)).as("kept_chars"),
+        md5(array_join(transform(
+          array_sort(collect_list(
+            when(col("kept"), struct(col("pos"), col("btext"))))),
+          p => p("btext")), " ")).as("content_md5"))
+  }
 }

@@ -237,4 +237,37 @@ class CorpusTextSpec extends SparkSpec {
       .as[(Long, Long, Long, String)].collect().sortBy(_._1).toSeq
     assert(got.map(_._4) === Seq("shared\nx", "shared\ny"))
   }
+
+  test("mainContentBlocks: link-dense nav dies, real text survives, short blocks die, order kept") {
+    val s = spark
+    import s.implicits._
+    val html = "<div><a href=\"/\">Home page</a> <a href=\"/b\">Blog roll</a></div>" +
+      "<p>first real paragraph of content</p>" +
+      "<div>tiny</div>" +
+      "<p>second longer paragraph with an inline <a href=\"/x\">link</a> in it</p>"
+    val docs = Seq((1L, html)).toDF("id", "h")
+    val out = CorpusText.mainContentBlocks(docs, "id", "h",
+        minChars = 10, maxLinkMilli = 300)
+      .as[(Long, Long, Long, Long, String)].collect().head
+    val (_, nBlocks, nKept, keptChars, digest) = out
+    // nav: text 19 chars but ~19 link chars → 1000 milli → dropped;
+    // tiny: 4 chars → dropped; paragraph 2: link "link" = 4 of 51 chars
+    // ≈ 78 milli → kept
+    assert(nKept == 2L, s"blocks=$nBlocks kept=$nKept")
+    val expected = java.security.MessageDigest.getInstance("MD5")
+      .digest(("first real paragraph of content " +
+        "second longer paragraph with an inline link in it").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(digest == expected, "kept blocks must digest in page order")
+    assert(keptChars ==
+      "first real paragraph of content".length +
+        "second longer paragraph with an inline link in it".length)
+    // a page that is ALL boilerplate keeps nothing and digests empty
+    val none = CorpusText.mainContentBlocks(
+      Seq((2L, "<div><a href=\"/\">Home page link</a></div>")).toDF("id", "h"),
+      "id", "h", 10, 300)
+      .as[(Long, Long, Long, Long, String)].collect().head
+    assert(none._3 == 0L && none._4 == 0L &&
+      none._5 == "d41d8cd98f00b204e9800998ecf8427e")
+  }
 }
