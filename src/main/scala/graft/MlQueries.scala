@@ -581,7 +581,66 @@ object MlQueries {
           g0, g1, l1.select("vec_id"),
           k = 3, beam1 = 2, hops1 = 2, beam = 4, hops = 2)
       },
-      Some(graphAnnHierOracleSql))
+      Some(graphAnnHierOracleSql)),
+
+    // LATE-INTERACTION re-rank (ColBERT MaxSim) — the rerank tier of
+    // the retrieval ladder: a cosine top-10 shortlist re-scored by
+    // sum-of-max sub-vector dots (the 64-dim embedding as 8 token
+    // vectors of 8 dims), exact fixed-point everywhere. The oracle
+    // replays the shortlist AND every (qi, dj) sub-dot.
+    QuerySpec("q206_late_interaction",
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        val q = e.filter(col("vec_id") < 8)
+        val short = operators.SimilaritySearch.bruteForceTopK(
+          q, e, "vec_id", "embedding", k = 10).select("qid", "nid")
+        operators.SimilaritySearch.lateInteractionRerank(
+          q, e, short, "vec_id", "embedding", m = 8, subDim = 8, k = 3)
+      },
+      Some("""
+        WITH n2 AS (
+          SELECT vec_id, SUM(CAST(floor(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 1000000000.0) AS BIGINT)) AS n2
+          FROM (SELECT vec_id, UNNEST(embedding) AS x FROM embeddings) t GROUP BY 1),
+        el AS (
+          SELECT q.vec_id AS qid, e.vec_id AS nid,
+            UNNEST(q.embedding) AS x, UNNEST(e.embedding) AS y
+          FROM embeddings q, embeddings e
+          WHERE q.vec_id < 8 AND e.vec_id <> q.vec_id),
+        dots AS (
+          SELECT qid, nid,
+            SUM(CAST(floor(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) * 1000000000.0) AS BIGINT)) AS dot
+          FROM el GROUP BY 1, 2),
+        sims AS (
+          SELECT qid, nid,
+            CAST(dot AS DOUBLE) / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) AS sim
+          FROM dots JOIN n2 a ON qid = a.vec_id JOIN n2 b ON nid = b.vec_id),
+        short AS (
+          SELECT qid, nid FROM (
+            SELECT qid, nid,
+              row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rn
+            FROM sims) x WHERE rn <= 10),
+        sd AS (
+          SELECT s.qid, s.nid, qi, dj,
+            CAST(SUM(CAST(floor(
+              CAST(q.embedding[CAST(qi * 8 + t + 1 AS INTEGER)] AS DOUBLE)
+              * CAST(d.embedding[CAST(dj * 8 + t + 1 AS INTEGER)] AS DOUBLE)
+              * 1000000000.0) AS BIGINT)) AS BIGINT) AS sdot
+          FROM short s
+          JOIN embeddings q ON q.vec_id = s.qid
+          JOIN embeddings d ON d.vec_id = s.nid,
+            UNNEST(range(0, 8)) AS a(qi), UNNEST(range(0, 8)) AS b(dj),
+            UNNEST(range(0, 8)) AS c(t)
+          GROUP BY 1, 2, 3, 4),
+        mx AS (
+          SELECT qid, nid, qi, max(sdot) AS mx FROM sd GROUP BY 1, 2, 3),
+        sc AS (
+          SELECT qid, nid, CAST(SUM(mx) AS BIGINT) AS li_score
+          FROM mx GROUP BY 1, 2)
+        SELECT qid, nid, li_score, CAST(rn AS INTEGER) AS rank
+        FROM (SELECT *, row_number() OVER (PARTITION BY qid
+                ORDER BY li_score DESC, nid) AS rn
+              FROM sc) r
+        WHERE rn <= 3"""))
   )
 
 

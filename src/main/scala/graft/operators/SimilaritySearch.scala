@@ -934,6 +934,45 @@ object SimilaritySearch {
       .select(col("qid"), col("nid"), col("sim"), col("rank"))
   }
 
+  /** LATE-INTERACTION re-rank (the ColBERT MaxSim architecture — the
+    * rerank tier of the retrieval ladder after BM25 / dense ANN / RRF
+    * hybrid): treat each vector as `m` sub-vectors of `subDim` dims
+    * (token-embedding granularity) and score a candidate by
+    * Σ_i max_j ⟨q_i, d_j⟩ — every query sub-vector matches its best
+    * document sub-vector. Runs over a FIRST-STAGE SHORTLIST only
+    * ((qid, nid) pairs from any retriever), so the m² sub-dot fan-out
+    * is |shortlist|·m² rows — bounded by the stage-1 contract, never
+    * corpus-scale. Exact fixed-point dots keep every engine on the
+    * identical ranking.
+    */
+  def lateInteractionRerank(queries: DataFrame, corpus: DataFrame,
+                            shortlist: DataFrame, idCol: String,
+                            vecCol: String, m: Int, subDim: Int,
+                            k: Int): DataFrame = {
+    require(m >= 1 && subDim >= 1, s"need m, subDim >= 1, got m=$m subDim=$subDim")
+    require(k >= 1, s"k must be >= 1, got $k")
+    val qs = queries.select(col(idCol).as("qid"), col(vecCol).as("qvec"))
+      .withColumn("qi", explode(sequence(lit(0), lit(m - 1))))
+      .select(col("qid"), col("qi"),
+        expr(s"slice(qvec, qi * $subDim + 1, $subDim)").as("qsub"))
+    val ds = corpus.select(col(idCol).as("nid"), col(vecCol).as("nvec"))
+      .withColumn("dj", explode(sequence(lit(0), lit(m - 1))))
+      .select(col("nid"), col("dj"),
+        expr(s"slice(nvec, dj * $subDim + 1, $subDim)").as("dsub"))
+    val sub = shortlist.select(col("qid"), col("nid"))
+      .join(qs, Seq("qid")).join(ds, Seq("nid"))
+      .select(col("qid"), col("nid"), col("qi"), col("dj"),
+        VectorFns.dotFixed9(col("qsub"), col("dsub")).as("d"))
+    sub.groupBy(col("qid"), col("nid"), col("qi"))
+      .agg(max(col("d")).as("mx"))
+      .groupBy(col("qid"), col("nid"))
+      .agg(sum(col("mx")).as("li_score"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("qid").orderBy(col("li_score").desc, col("nid"))))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("nid"), col("li_score"), col("rank"))
+  }
+
   private def rank(sims: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy("qid").orderBy(col("sim_raw").desc, col("nid"))
     sims.withColumn("rank", row_number().over(w))

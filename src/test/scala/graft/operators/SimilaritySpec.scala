@@ -267,6 +267,28 @@ class SimilaritySpec extends SparkSpec {
     assert(walk(q, e) === walk(q.repartition(5), e.repartition(7)))
   }
 
+  test("lateInteractionRerank: hand-computed MaxSim scores and ranking") {
+    val s = spark
+    import s.implicits._
+    // q = [1,2 | 3,4]; A = [1,0 | 0,2]; B = [2,2 | 1,1] (m=2, subDim=2)
+    // maxsim(q,A) = max(1,4)+max(3,8) = 12 (×1e9)
+    // maxsim(q,B) = max(6,3)+max(14,7) = 20 (×1e9) → B ranks first
+    val q = Seq((100L, Seq(1f, 2f, 3f, 4f))).toDF("vec_id", "embedding")
+    val c = Seq((1L, Seq(1f, 0f, 0f, 2f)), (2L, Seq(2f, 2f, 1f, 1f)))
+      .toDF("vec_id", "embedding")
+    val short = Seq((100L, 1L), (100L, 2L)).toDF("qid", "nid")
+    val got = SimilaritySearch.lateInteractionRerank(q, c, short,
+        "vec_id", "embedding", m = 2, subDim = 2, k = 2)
+      .as[(Long, Long, Long, Int)].collect().sortBy(_._4).toSeq
+    assert(got == Seq((100L, 2L, 20000000000L, 1), (100L, 1L, 12000000000L, 2)))
+    // partition stability
+    val again = SimilaritySearch.lateInteractionRerank(q.repartition(3),
+        c.repartition(2), short.repartition(2),
+        "vec_id", "embedding", 2, 2, 2)
+      .as[(Long, Long, Long, Int)].collect().sortBy(_._4).toSeq
+    assert(again == got)
+  }
+
   test("knnGraphDescent: degree >= N-1 converges to the exact graph; " +
       "refinement is partition-stable") {
     val s = spark
