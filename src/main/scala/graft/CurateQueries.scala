@@ -229,6 +229,36 @@ object CurateQueries {
           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_o_totalprice
         FROM orders GROUP BY 1""")),
 
+    // Incremental JOIN-VIEW maintenance (q75's sibling for joins): the
+    // orders⋈lineitem view built from a first tick plus the delta-join
+    // rule Δ(A⋈B) = ΔA⋈B_new ∪ A_old⋈ΔB — A_old⋈B_old is never
+    // re-run. Splits are deliberately CROSSWISE (orders by key parity,
+    // lineitem by line number) so all three delta quadrants are
+    // non-empty. The aggregated view must equal the one-shot join.
+    QuerySpec("q207_incremental_join",
+      (s, dir) => {
+        val o = Tables.orders(s, dir)
+          .select(col("o_orderkey"), col("o_orderpriority"))
+        val l = Tables.lineitem(s, dir)
+          .select(col("l_orderkey").as("o_orderkey"), col("l_linenumber"),
+            col("l_quantity"))
+        val (o1, o2) = (o.filter(col("o_orderkey") % 2 === 0),
+          o.filter(col("o_orderkey") % 2 === 1))
+        val (l1, l2) = (l.filter(col("l_linenumber") <= 2),
+          l.filter(col("l_linenumber") > 2))
+        val view = o1.join(l1, Seq("o_orderkey"))
+          .unionByName(operators.Incremental.joinDelta(
+            o1, o2, l1, l2, Seq("o_orderkey")))
+        view.groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n_pairs"),
+            sum(expr("CAST(round(l_quantity) AS BIGINT)")).as("sum_qty"))
+      },
+      Some("""
+        SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_pairs,
+          CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        GROUP BY 1""")),
+
     // Z-order (Morton) layout key over price band × day-of-cycle: the
     // two-dimensional file-clustering key, pure row-local arithmetic.
     QuerySpec("q76_zorder_layout",

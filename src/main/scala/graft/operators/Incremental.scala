@@ -52,4 +52,29 @@ object Incremental {
       measures.flatMap(m => Seq(
         col(s"_sum_$m").cast("double").as(s"sum_$m"),
         (col(s"_sum_$m").cast("double") / col("_cnt")).as(s"avg_$m")))): _*)
+
+  /** Incremental JOIN-VIEW maintenance for APPEND-ONLY inputs — the
+    * delta-join rule materialized views run on:
+    *
+    *   Δ(A⋈B) = ΔA ⋈ (B ∪ ΔB)  ∪  A_old ⋈ ΔB
+    *
+    * (each new pair has its A-row new, or its A-row old and B-row new —
+    * exactly once, so the union needs no dedup). Appending the returned
+    * delta to the stored view gives exactly the full `A_new ⋈ B_new` —
+    * without ever re-running `A_old ⋈ B_old` (q207 proves the
+    * equivalence under the oracle).
+    *
+    * At 100 TB both probes are DELTA-sized on one side: ΔA against B
+    * (co-located if B is bucketed on the keys) and ΔB against A_old —
+    * the tick cost scales with the day's arrivals, not the view.
+    * Updates/deletes need the CDC tier ([[Relational.tableDiff]] +
+    * keyed rewrite) — this is the append-only fast path.
+    */
+  def joinDelta(aOld: DataFrame, deltaA: DataFrame,
+                bOld: DataFrame, deltaB: DataFrame,
+                keys: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "joinDelta needs at least one join key")
+    deltaA.join(bOld.unionByName(deltaB), keys)
+      .unionByName(aOld.join(deltaB, keys))
+  }
 }

@@ -51,4 +51,24 @@ class IncrementalSpec extends SparkSpec {
       Incremental.state(df, Seq("g"), Seq("v")), Seq("g"), Seq("v")))
     assert(out === Seq(("a", 2L, 3.0, 1.5), ("b", 1L, 5.0, 5.0)))
   }
+
+  test("joinDelta: old view + delta equals the full join, each pair exactly once") {
+    val s = spark
+    import s.implicits._
+    // all four quadrants populated: old⋈old, new⋈old, old⋈new, new⋈new
+    val aOld = Seq((1, "ao1"), (2, "ao2")).toDF("k", "a")
+    val dA = Seq((1, "an1"), (3, "an3")).toDF("k", "a")
+    val bOld = Seq((1, "bo1"), (3, "bo3")).toDF("k", "b")
+    val dB = Seq((1, "bn1"), (2, "bn2")).toDF("k", "b")
+    val view = aOld.join(bOld, Seq("k"))
+      .unionByName(Incremental.joinDelta(aOld, dA, bOld, dB, Seq("k")))
+      .as[(Int, String, String)].collect().toSeq.sorted
+    val full = aOld.unionByName(dA).join(bOld.unionByName(dB), Seq("k"))
+      .as[(Int, String, String)].collect().toSeq.sorted
+    assert(view === full, "maintained view must equal the one-shot join")
+    assert(view.size === view.distinct.size, "no pair may appear twice")
+    // empty deltas contribute nothing
+    val empty = Incremental.joinDelta(aOld, dA.limit(0), bOld, dB.limit(0), Seq("k"))
+    assert(empty.count() == 0L)
+  }
 }
