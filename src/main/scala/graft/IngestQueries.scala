@@ -613,6 +613,41 @@ object IngestQueries {
         SELECT user_id, change, CAST(n_changed AS BIGINT) AS n_changed
         FROM d WHERE change IS NOT NULL""")),
 
+    // FILE-LEVEL CDC read under the oracle: tick 1 seeds every
+    // partition (even-timestamp aggregate over all users), tick 2
+    // upserts the FULL aggregate for users in partitions 0-1 only;
+    // readChangesSince(tick1) resolves purely from the manifest diff
+    // and must return exactly the post-tick-2 state of the touched
+    // partitions — untouched partitions contribute nothing.
+    QuerySpec("q208_cdc_read_changes",
+      (s, dir) => {
+        GraftSession.tune(s)
+        val base = java.nio.file.Files.createTempDirectory("graft_q208_").toString
+        val ev = Tables.events(s, dir)
+        val us = unix_micros(col("ts"))
+        def agg(e: org.apache.spark.sql.DataFrame) = e.groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_events"))
+          .withColumn("pk", col("user_id") % 8)
+        val t = new graft.operators.GraftTable(s, s"$base/t", Seq("user_id"), "pk")
+        t.createIfNotExists(org.apache.spark.sql.types.StructType.fromDDL(
+          "user_id BIGINT, n_events BIGINT, pk BIGINT"))
+        t.upsertReplace(agg(ev.filter(us % 2 === 0)))
+        val tick1 = t.currentVersion
+        t.upsertReplace(agg(ev.filter(col("user_id") % 8 < 2)))
+        val out = t.readChangesSince(tick1)
+          .select(col("user_id"), col("n_events"), col("pk"))
+        val snap = out.localCheckpoint(true)
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+        }
+        rm(new java.io.File(base))
+        snap
+      },
+      Some("""
+        SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+          CAST(user_id % 8 AS BIGINT) AS pk
+        FROM events WHERE user_id % 8 < 2 GROUP BY 1""")),
+
     // SCHEMA EVOLUTION under the oracle: tick 1 writes the narrow
     // schema; tick 2's upsert carries a NEW column (sum_cents) → the
     // table evolves in place (new column nullable); tick 3's upsert is

@@ -302,6 +302,25 @@ final class GraftTable(spark: SparkSession, val path: String,
     */
   def readAt(v: Long): DataFrame = readFiles(manifestFiles(v))
 
+  /** FILE-LEVEL CDC (the Delta change-data-feed-lite read): the rows of
+    * every data file that entered the live set AFTER version `since` —
+    * i.e. the post-mutation state of each partition touched since then,
+    * resolved purely from the manifest diff (metadata-only; no data is
+    * scanned to decide what changed, and untouched partitions are never
+    * read). Under REPLACE semantics these are exactly the current rows
+    * of the touched partitions; for ROW-level change classification
+    * (insert/update/delete) diff against [[readAt]] with
+    * [[Relational.tableDiff]] — that is the exact tier, this is the
+    * cheap incremental-consumption feed.
+    */
+  def readChangesSince(since: Long): DataFrame = {
+    val cur = currentVersion
+    require(since >= 1 && since <= cur,
+      s"since must be a committed version in [1, $cur], got $since")
+    val old = manifestFiles(since).toSet
+    readFiles(manifestFiles(cur).filterNot(old))
+  }
+
   /** Reclaim history: keep the last `keepVersions` manifests, delete
     * every data file referenced ONLY by dropped manifests. The
     * storage-cost bound a versioned table needs — history is otherwise

@@ -313,6 +313,25 @@ class GraftTableSpec extends SparkSpec {
       s"orphaned files on disk: ${(onDisk -- referenced).mkString(", ")}")
   }
 
+  test("readChangesSince: manifest-diff CDC feeds only touched partitions; empty at head") {
+    val s = spark
+    import s.implicits._
+    val t = freshTable().createIfNotExists(rows().schema)
+    t.importOnce(rows(("d1", "p", "r1", 1), ("d2", "q", "r2", 2)))
+    val v2 = t.currentVersion
+    // touch ONLY d1: changes since v2 must be d1's full post-state —
+    // the untouched d2 contributes nothing
+    t.upsertReplace(rows(("d1", "p", "r9", 9)))
+    val got = t.readChangesSince(v2).select("day", "rk", "n")
+      .as[(String, String, Int)].collect().toSet
+    assert(got == Set(("d1", "r1", 1), ("d1", "r9", 9)),
+      s"changes must be the touched partition's new files only, got $got")
+    // at the head there are no changes; out-of-range versions rejected
+    assert(t.readChangesSince(t.currentVersion).count() == 0L)
+    intercept[IllegalArgumentException](t.readChangesSince(0L))
+    intercept[IllegalArgumentException](t.readChangesSince(t.currentVersion + 1))
+  }
+
   test("clustered compaction sorts inside each partition file; content invariant") {
     val s = spark
     import s.implicits._
