@@ -648,6 +648,68 @@ object IngestQueries {
           CAST(user_id % 8 AS BIGINT) AS pk
         FROM events WHERE user_id % 8 < 2 GROUP BY 1""")),
 
+    // INCREMENTAL DOWNSTREAM MAINTENANCE — the CDC feed consumed (the
+    // composition q208's read exists for): a keyed source table
+    // receives two upsert ticks; after each, a downstream per-partition
+    // aggregate table refreshes ONLY from readChangesSince (the
+    // manifest-diff feed), recomputing and replacing exactly the
+    // touched partitions' aggregate rows. The final downstream state
+    // must equal the direct aggregate over the source's final rows —
+    // though no downstream tick ever read an untouched partition.
+    QuerySpec("q209_incremental_downstream",
+      (s, dir) => {
+        GraftSession.tune(s)
+        val base = java.nio.file.Files.createTempDirectory("graft_q209_").toString
+        val ev = Tables.events(s, dir)
+        val us = unix_micros(col("ts"))
+        val rows = ev.select(col("event_id"), col("user_id"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("cents"),
+          (col("user_id") % 8).as("pk"), us.as("us"))
+        val src = new graft.operators.GraftTable(s, s"$base/src",
+          Seq("event_id"), "pk")
+        src.createIfNotExists(org.apache.spark.sql.types.StructType.fromDDL(
+          "event_id BIGINT, user_id BIGINT, cents BIGINT, pk BIGINT, us BIGINT"))
+        val down = new graft.operators.GraftTable(s, s"$base/down",
+          Seq("pk"), "pk")
+        down.createIfNotExists(org.apache.spark.sql.types.StructType.fromDDL(
+          "pk BIGINT, n_events BIGINT, sum_cents BIGINT"))
+        def refresh(since: Long): Unit = {
+          val cdc = src.readChangesSince(since)
+          down.upsertReplace(cdc.groupBy(col("pk"))
+            .agg(count(lit(1)).as("n_events"), sum(col("cents")).as("sum_cents"))
+            .select("pk", "n_events", "sum_cents"))
+          ()
+        }
+        val v0 = src.currentVersion
+        src.upsertReplace(rows.filter(col("us") % 2 === 0).drop("us"))
+        refresh(v0)
+        val v1 = src.currentVersion
+        src.upsertReplace(rows.filter(col("us") % 2 === 1 &&
+          col("user_id") % 8 < 3).drop("us"))
+        refresh(v1)
+        val out = down.read.select("pk", "n_events", "sum_cents")
+        val snap = out.localCheckpoint(true)
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+        }
+        rm(new java.io.File(base))
+        snap
+      },
+      Some("""
+        WITH e AS (
+          SELECT event_id, user_id,
+            CAST(round(value * 100) AS BIGINT) AS cents,
+            epoch_us(CAST(ts AS TIMESTAMP)) AS us
+          FROM events),
+        pick AS (
+          SELECT * FROM e WHERE us % 2 = 0
+          UNION ALL
+          SELECT * FROM e WHERE us % 2 = 1 AND user_id % 8 < 3)
+        SELECT CAST(user_id % 8 AS BIGINT) AS pk,
+          CAST(count(*) AS BIGINT) AS n_events,
+          CAST(SUM(cents) AS BIGINT) AS sum_cents
+        FROM pick GROUP BY 1""")),
+
     // SCHEMA EVOLUTION under the oracle: tick 1 writes the narrow
     // schema; tick 2's upsert carries a NEW column (sum_cents) → the
     // table evolves in place (new column nullable); tick 3's upsert is
