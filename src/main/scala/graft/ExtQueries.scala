@@ -348,6 +348,54 @@ object ExtQueries {
         FROM documents d LEFT JOIN rej r ON d.doc_id = r.doc_id
         WHERE r.doc_id IS NULL""")),
 
+    // INCREMENTAL SimHash admission — q187's sibling for the
+    // Hamming-distance near-dup definition: two id-ordered batches
+    // admitted against the accumulated 8-byte-per-doc signature state
+    // (which never shuffles in the probe) must equal the one-shot
+    // smaller-id ranking. Oracle replays signatures, single-band
+    // blocking (recall-equivalent for h<=1, the q33 precedent), the
+    // Hamming filter, and the smaller-id rejection.
+    QuerySpec("q210_dedup_increment_simhash",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir).select("doc_id", "text", "n_chars")
+        val (b1, b2) = (docs.filter(col("doc_id") < 250),
+          docs.filter(col("doc_id") >= 250))
+        val state0 = Dedup.simhashSignatures(docs.filter(lit(false)),
+          "doc_id", "text")
+        val adm1 = Dedup.dedupIncrementSimhash(b1, "doc_id", "text",
+          maxHamming = 1, knownSigs = state0)
+        val state1 = Dedup.simhashSignatures(b1, "doc_id", "text")
+        val adm2 = Dedup.dedupIncrementSimhash(b2, "doc_id", "text",
+          maxHamming = 1, knownSigs = state1)
+        adm1.unionByName(adm2).select("doc_id", "n_chars")
+      },
+      Some(s"""
+        WITH $WORDS_SQL,
+        toks AS (
+          SELECT DISTINCT doc_id, md5(t) AS h
+          FROM (SELECT doc_id, UNNEST(w) AS t FROM words) x),
+        votes AS (
+          SELECT doc_id, b,
+            SUM(CASE WHEN substr(h, b + 1, 1) IN ('1','3','5','7','9','b','d','f')
+                     THEN 1 ELSE -1 END) AS vote
+          FROM toks, UNNEST(range(0, 32)) AS t(b)
+          GROUP BY 1, 2),
+        sig AS (
+          SELECT doc_id,
+            CAST(SUM(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
+          FROM votes GROUP BY 1),
+        sbanded AS (
+          SELECT doc_id, simhash, k, (simhash >> (k * 8)) & 255 AS bandval
+          FROM sig, UNNEST(range(0, 4)) AS t(k)),
+        rej AS (
+          SELECT DISTINCT a.doc_id FROM sbanded a
+          JOIN sbanded b ON a.k = b.k AND a.bandval = b.bandval
+                        AND b.doc_id < a.doc_id
+          WHERE bit_count(xor(a.simhash, b.simhash)) <= 1)
+        SELECT d.doc_id, d.n_chars
+        FROM documents d LEFT JOIN rej r ON d.doc_id = r.doc_id
+        WHERE r.doc_id IS NULL""")),
+
     // STREAMING incremental LSH admission — q187's daily-crawl path
     // run as an actual Structured Streaming ingestion: the corpus
     // arrives as four id-ordered micro-batches (file source,

@@ -493,10 +493,16 @@ object Dedup {
     * hash aggregate over the token postings — not by exploding each
     * token into 32 bit rows, which would multiply the shuffle volume 32×.
     */
-  def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int): DataFrame = {
-    // validate BEFORE the eager staging write below does any work
-    require(maxHamming <= 3, s"4-band blocking covers maxHamming <= 3, got $maxHamming")
+  /** The (id, simhash) 32-bit signature table — the maintainable STATE
+    * for [[dedupIncrementSimhash]] (the SimHash counterpart of
+    * [[lshBandState]]): bit j of a token's hash is the low bit of hex
+    * digit j of md5(token), votes summed in ONE hash aggregate (never a
+    * 32× bit explode). Callers append every batch doc's signature after
+    * each batch — a rejected doc still blocks its own later near-dups.
+    * Docs with zero tokens have no signature and are always admitted.
+    */
+  def simhashSignatures(docs: DataFrame, idCol: String,
+                        textCol: String): DataFrame = {
     val parallelism = fanout(docs.sparkSession)
     val toks = docs.repartition(parallelism, col(idCol))
       .select(col(idCol).as("id"), explode(TextFns.tokens(col(textCol))).as("t"))
@@ -508,13 +514,19 @@ object Dedup {
       sum(when(substring(col("h"), j + 1, 1).isin(oddHex: _*), 1).otherwise(-1)).as(s"v_$j"))
     val sigExpr = (0 until 32).map(j =>
       when(col(s"v_$j") > 0, lit(1L << j)).otherwise(lit(0L))).reduce(_ + _)
+    toks.groupBy("id").agg(voteCols.head, voteCols.tail: _*)
+      .select(col("id"), sigExpr.as("simhash"))
+  }
+
+  def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int): DataFrame = {
+    require(maxHamming <= 3, s"4-band blocking covers maxHamming <= 3, got $maxHamming")
     // Feeds both sides of the band self-join — but that is ONE job, and
     // the two sides' plans are identical up to the band explode, so
     // Spark's ReuseExchange computes the signature subtree once within
     // it. No staging write needed (staging earns its parquet round-trip
     // only when consumers run as SEPARATE jobs — see [[staged]]).
-    val sig = toks.groupBy("id").agg(voteCols.head, voteCols.tail: _*)
-      .select(col("id"), sigExpr.as("simhash"))
+    val sig = simhashSignatures(docs, idCol, textCol)
     // Blocking key: with 4 bands, `maxHamming` flips can dirty at most
     // `maxHamming` bands, so pairs within range agree on ≥ 4-maxHamming
     // bands. For maxHamming ≤ 2 that guarantees an agreeing PAIR of
@@ -545,5 +557,56 @@ object Dedup {
       .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("int"))
       .filter(col("hamming") <= maxHamming)
       .select("doc_a", "doc_b", "hamming").distinct()
+  }
+
+  /** INCREMENTAL SimHash admission — [[dedupIncrementLsh]]'s sibling
+    * for the Hamming-distance near-dup definition: a batch doc is
+    * REJECTED iff its 32-bit signature is within `maxHamming` of any
+    * signature already in the state or of a smaller-id batch member.
+    * With id-ordered batches and the [[simhashSignatures]]
+    * accumulate-everything contract, a multi-batch build admits exactly
+    * the one-shot smaller-id ranking (q210 proves it under the oracle).
+    *
+    * Probe shape mirrors the LSH one: the unbounded state NEVER
+    * shuffles — it bands row-locally on its own scan, semi-joins
+    * map-side against a broadcast of the batch's (band, value) keys
+    * (bounded by per-tick batch size), and only the hot rows reach the
+    * Hamming check. State is one 8-byte signature per doc.
+    */
+  def dedupIncrementSimhash(batch: DataFrame, idCol: String, textCol: String,
+                            maxHamming: Int, knownSigs: DataFrame): DataFrame = {
+    require(maxHamming <= 3, s"4-band blocking covers maxHamming <= 3, got $maxHamming")
+    val sigs = staged(simhashSignatures(batch, idCol, textCol), "inc_sh_sigs")
+    val bandKeys =
+      if (maxHamming <= 2) for (k1 <- 0 until 4; k2 <- k1 + 1 until 4) yield k1 * 4 + k2
+      else 16 until 20
+    val bandvalExpr =
+      if (maxHamming <= 2)
+        "(((simhash >> ((bp div 4) * 8)) & 255) << 8) | ((simhash >> ((bp % 4) * 8)) & 255)"
+      else "(simhash >> ((bp - 16) * 8)) & 255"
+    def banded(df: DataFrame) = df
+      .select(col("id"), col("simhash"), explode(array(bandKeys.map(lit): _*)).as("bp"))
+      .withColumn("bandval", expr(bandvalExpr))
+    val bBand = banded(sigs)
+    val batchKeys = bBand.select("bp", "bandval").distinct()
+    val hotState = banded(knownSigs.select(col("id"), col("simhash")))
+      .join(broadcast(batchKeys), Seq("bp", "bandval"), "left_semi")
+    val vsState = bBand.join(
+        hotState.select(col("bp"), col("bandval"), col("simhash").as("sig_s")),
+        Seq("bp", "bandval"))
+      .filter(bit_count(col("simhash").bitwiseXOR(col("sig_s"))).cast("int")
+        <= maxHamming)
+      .select(col("id"))
+    val intra = bBand.join(
+        bBand.select(col("id").as("id_b"), col("bp"), col("bandval"),
+          col("simhash").as("sig_b")),
+        Seq("bp", "bandval"))
+      .filter(col("id_b") < col("id"))
+      .filter(bit_count(col("simhash").bitwiseXOR(col("sig_b"))).cast("int")
+        <= maxHamming)
+      .select(col("id"))
+    val rejected = vsState.union(intra).distinct()
+      .withColumnRenamed("id", idCol)
+    batch.join(rejected, Seq(idCol), "left_anti")
   }
 }

@@ -195,6 +195,24 @@ class DedupSpec extends SparkSpec {
     assert(other === oneShot, "admission must not depend on the batch boundary")
   }
 
+  test("dedupIncrementSimhash: batch-by-batch admission equals the one-shot ranking") {
+    val s = spark
+    import s.implicits._
+    val docs = graft.Tables.documents(spark, sf001).select("doc_id", "text")
+    def empty = Dedup.simhashSignatures(docs.filter($"doc_id" < 0), "doc_id", "text")
+    def admit(b: org.apache.spark.sql.DataFrame, st: org.apache.spark.sql.DataFrame) =
+      Dedup.dedupIncrementSimhash(b, "doc_id", "text", 1, st)
+    val oneShot = admit(docs, empty).select("doc_id").as[Long].collect().sorted.toSeq
+    assert(oneShot.size < docs.count(), "the corpus must contain near-dups to reject")
+    for (cut <- Seq(250L, 100L)) {
+      val (b1, b2) = (docs.filter($"doc_id" < cut), docs.filter($"doc_id" >= cut))
+      val twoBatch = (admit(b1, empty).select("doc_id").as[Long].collect() ++
+        admit(b2, Dedup.simhashSignatures(b1, "doc_id", "text"))
+          .select("doc_id").as[Long].collect()).sorted.toSeq
+      assert(twoBatch === oneShot, s"cut=$cut: append must equal rebuild")
+    }
+  }
+
   test("dedupIncrementLsh rejects an exact near-dup of a stored doc and admits fresh text") {
     val s = spark
     import s.implicits._
