@@ -340,6 +340,117 @@ object FilterQueries {
         FROM lex a FULL OUTER JOIN sem b ON a.doc_id = b.doc_id
         ORDER BY rrf_u DESC, id LIMIT 10""")),
 
+    // THREE-RETRIEVER fusion — the full retrieval ladder composed:
+    // BM25 top-20 (lexical) × exact-cosine top-20 (dense) × MaxSim
+    // late-interaction re-rank of the cosine shortlist (q206's tier),
+    // fused by N-list reciprocal rank with the agreement count. One
+    // wrong rank in ANY retriever breaks the fused hash.
+    QuerySpec("q211_hybrid_rrf3",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val e = Tables.embeddings(s, dir)
+        val q7 = e.filter(col("vec_id") === 7)
+        val lex = CorpusText.bm25TopK(docs, "doc_id", "text",
+            Seq("spark", "slow", "vector"), k = 20)
+          .select(col("doc_id"),
+            row_number().over(Window.orderBy(col("score_u").desc, col("doc_id"))).as("rank"))
+        val sem = SimilaritySearch.bruteForceTopK(
+            q7, e, "vec_id", "embedding", k = 20)
+        val maxsim = SimilaritySearch.lateInteractionRerank(
+            q7, e, sem.select("qid", "nid"), "vec_id", "embedding",
+            m = 8, subDim = 8, k = 20)
+          .select(col("nid").as("doc_id"), col("rank"))
+        SimilaritySearch.rrfFuseN(
+          Seq(lex, sem.select(col("nid").as("doc_id"), col("rank")), maxsim),
+          "doc_id", k0 = 60, topK = 10)
+      },
+      Some(s"""
+        WITH $WORDS_SQL,
+        tok AS (SELECT doc_id, UNNEST(w) AS term FROM words),
+        dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM tok GROUP BY 1),
+        stats AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_docs,
+            (SUM(dl) * 1000) // count(*) AS avgdl_m FROM dl),
+        tf AS (
+          SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+          FROM tok WHERE term IN ('spark', 'slow', 'vector') GROUP BY 1, 2),
+        dft AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        sc AS (
+          SELECT t.doc_id, t.tf,
+            ((s.n_docs - d.df + 1) * 1048576) // (d.df + 1) AS r,
+            (l.dl * 1000000) // s.avgdl_m AS rel_m
+          FROM tf t
+          JOIN dft d ON t.term = d.term
+          JOIN dl l ON t.doc_id = l.doc_id
+          CROSS JOIN stats s),
+        scm AS (
+          SELECT doc_id, tf, rel_m,
+            CAST(length(bin(r)) - 1 AS BIGINT) AS lb,
+            CAST(1 AS BIGINT) << (length(bin(r)) - 1) AS pw, r
+          FROM sc),
+        sci AS (
+          SELECT doc_id, tf, rel_m,
+            GREATEST(lb * 1000 + ((r - pw) * 1000) // pw - 20000, 0) AS idf_mb
+          FROM scm),
+        sc2 AS (
+          SELECT doc_id,
+            idf_mb * ((tf * 2200 * 1000000) //
+              (tf * 1000 + (1200 * (1000 - 750 + (750 * rel_m) // 1000)) // 1000)) // 1000 AS score_u
+          FROM sci),
+        lexs AS (
+          SELECT doc_id, CAST(SUM(score_u) AS BIGINT) AS score_u
+          FROM sc2 GROUP BY 1),
+        lex AS (
+          SELECT doc_id, rank FROM (
+            SELECT doc_id,
+              CAST(row_number() OVER (ORDER BY score_u DESC, doc_id) AS BIGINT) AS rank
+            FROM lexs) x WHERE rank <= 20),
+        n2 AS (
+          SELECT vec_id, SUM(CAST(floor(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 1000000000.0) AS BIGINT)) AS n2
+          FROM (SELECT vec_id, UNNEST(embedding) AS x FROM embeddings) t GROUP BY 1),
+        qpairs AS (
+          SELECT q.vec_id AS qid, e.vec_id AS nid, q.embedding AS qe, e.embedding AS ne
+          FROM embeddings q, embeddings e
+          WHERE q.vec_id = 7 AND e.vec_id <> q.vec_id),
+        el AS (SELECT qid, nid, UNNEST(qe) AS x, UNNEST(ne) AS y FROM qpairs),
+        dots AS (
+          SELECT qid, nid,
+            SUM(CAST(floor(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) * 1000000000.0) AS BIGINT)) AS dot
+          FROM el GROUP BY 1, 2),
+        sims AS (
+          SELECT qid, nid,
+            CAST(dot AS DOUBLE) / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) AS sim
+          FROM dots JOIN n2 a ON qid = a.vec_id JOIN n2 b ON nid = b.vec_id),
+        sem AS (
+          SELECT nid AS doc_id, rank FROM (
+            SELECT nid, CAST(row_number() OVER (ORDER BY sim DESC, nid) AS BIGINT) AS rank
+            FROM sims) x WHERE rank <= 20),
+        sd AS (
+          SELECT s.doc_id AS nid, qi, dj,
+            CAST(SUM(CAST(floor(
+              CAST(q.embedding[CAST(qi * 8 + t + 1 AS INTEGER)] AS DOUBLE)
+              * CAST(d.embedding[CAST(dj * 8 + t + 1 AS INTEGER)] AS DOUBLE)
+              * 1000000000.0) AS BIGINT)) AS BIGINT) AS sdot
+          FROM sem s
+          JOIN embeddings q ON q.vec_id = 7
+          JOIN embeddings d ON d.vec_id = s.doc_id,
+            UNNEST(range(0, 8)) AS a(qi), UNNEST(range(0, 8)) AS b(dj),
+            UNNEST(range(0, 8)) AS c(t)
+          GROUP BY 1, 2, 3),
+        mx AS (SELECT nid, qi, max(sdot) AS mx FROM sd GROUP BY 1, 2),
+        lisc AS (SELECT nid, CAST(SUM(mx) AS BIGINT) AS li_score FROM mx GROUP BY 1),
+        li AS (
+          SELECT nid AS doc_id, rank FROM (
+            SELECT nid, CAST(row_number() OVER (ORDER BY li_score DESC, nid) AS BIGINT) AS rank
+            FROM lisc) x WHERE rank <= 20)
+        SELECT id, CAST(SUM(1000000 // (60 + rank)) AS BIGINT) AS rrf_u,
+          CAST(count(*) AS BIGINT) AS n_lists
+        FROM (SELECT doc_id AS id, rank FROM lex
+              UNION ALL SELECT doc_id, rank FROM sem
+              UNION ALL SELECT doc_id, rank FROM li) u
+        GROUP BY 1
+        ORDER BY rrf_u DESC, id LIMIT 10""")),
+
     // Capstone: the CONTENT-GATE chain composed end-to-end — Gopher
     // battery (on the synthesized pages) ∧ repetition rules ∧ blocklist
     // → survivors → stride-scheduled curriculum order. The composition

@@ -992,6 +992,27 @@ object SimilaritySearch {
     * the fusion stage is constant-sized, and the expensive work stays
     * inside the retrievers where it is already blocked/bounded.
     */
+  /** N-LIST reciprocal-rank fusion — [[rrfFuse]] generalized to any
+    * number of retrievers (lexical BM25 × dense ANN × MaxSim rerank ×
+    * …): fused(d) = Σ_lists ⌊10⁶/(k₀+rank_l(d))⌋ over the lists that
+    * ranked d, plus how many did (`n_lists` — the agreement signal).
+    * Inputs are (id, rank) lists already bounded to each retriever's
+    * top-k, so the fusion joins Σk rows at any corpus scale.
+    */
+  def rrfFuseN(lists: Seq[DataFrame], idCol: String,
+               k0: Int = 60, topK: Int = 10): DataFrame = {
+    require(lists.size >= 2, s"need >= 2 ranked lists, got ${lists.size}")
+    require(k0 >= 1, s"k0 must be >= 1, got $k0")
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    lists.map(l => l.select(col(idCol).cast("long").as("id"),
+        col("rank").cast("long").as("rank")))
+      .reduce(_ unionByName _)
+      .groupBy("id")
+      .agg(sum(expr(s"1000000 div ($k0 + rank)")).as("rrf_u"),
+        count(lit(1)).as("n_lists"))
+      .orderBy(col("rrf_u").desc, col("id")).limit(topK)
+  }
+
   def rrfFuse(listA: DataFrame, listB: DataFrame, idCol: String,
               k0: Int = 60, topK: Int = 10): DataFrame = {
     require(k0 >= 1, s"k0 must be >= 1, got $k0")
