@@ -781,6 +781,46 @@ object IngestQueries {
         SELECT 't1' AS at, user_id, n_events, CAST(NULL AS BIGINT) AS sum_cents
         FROM a1
         UNION ALL
-        SELECT 'live' AS at, user_id, n_events, sum_cents FROM t3"""))
+        SELECT 'live' AS at, user_id, n_events, sum_cents FROM t3""")),
+
+    // ZONE-MAP DATA SKIPPING under the oracle: four insert-if-absent
+    // ticks land cents-banded files (append-only, so each file's
+    // [min,max] stays tight), a fifth tick replays band 1 with altered
+    // values (absent-only semantics must keep the originals), then the
+    // stats-pruned range scan reads ONLY files whose zone maps may
+    // intersect [2000, 2999] — result ≡ the plain filter, which is what
+    // the oracle checks (the file-skip itself is spec-asserted).
+    QuerySpec("q212_stats_pruned_scan",
+      (s, dir) => {
+        GraftSession.tune(s)
+        val base = java.nio.file.Files.createTempDirectory("graft_q212_").toString
+        val ev = Tables.events(s, dir)
+        val rows = ev.select(col("event_id"), col("user_id"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+          .withColumn("pk", col("user_id") % 4)
+        val band = least(floor(col("cents") / 5000), lit(3))
+        val t = new graft.operators.GraftTable(s, s"$base/t",
+          Seq("event_id"), "pk", statsCols = Seq("cents"))
+        t.createIfNotExists(org.apache.spark.sql.types.StructType.fromDDL(
+          "event_id BIGINT, user_id BIGINT, cents BIGINT, pk BIGINT"))
+        for (b <- 0 to 3) t.insertIfAbsent(rows.filter(band === b))
+        // key-present replay: must insert nothing
+        t.insertIfAbsent(rows.filter(band === 1)
+          .withColumn("cents", col("cents") + 7))
+        val out = t.readWhereBetween("cents", 2000, 2999)
+          .select("event_id", "user_id", "cents", "pk")
+        val snap = out.localCheckpoint(true)
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+        }
+        rm(new java.io.File(base))
+        snap
+      },
+      Some("""
+        SELECT event_id, user_id,
+          CAST(round(value * 100) AS BIGINT) AS cents,
+          CAST(user_id % 4 AS BIGINT) AS pk
+        FROM events
+        WHERE CAST(round(value * 100) AS BIGINT) BETWEEN 2000 AND 2999"""))
   )
 }

@@ -70,6 +70,16 @@ object GraftTable {
 final class CommitConflictException(message: String)
   extends RuntimeException(message)
 
+/** Per-file zone map for one column: null count and the canonical
+  * min/max (None = the file has no non-null value for the column, so
+  * NO range predicate on it can match any of the file's rows).
+  */
+private[operators] final case class ColStats(
+  tag: Char, nulls: Long, min: Option[String], max: Option[String])
+
+/** Per-file statistics carried in the stats log (`_graft_log/sNNNNNN.txt`). */
+private[operators] final case class FileStats(rows: Long, cols: Map[String, ColStats])
+
 /** @note VERSIONED: every mutation commits a new manifest under
   *       `_graft_log/` describing the data files LIVE in that version;
   *       data files are only ever ADDED, never deleted by a mutation
@@ -108,7 +118,8 @@ final class CommitConflictException(message: String)
   *       DIFFERENT type is rejected (no type evolution).
   */
 final class GraftTable(spark: SparkSession, val path: String,
-                       val keys: Seq[String], val partitionCol: String) {
+                       val keys: Seq[String], val partitionCol: String,
+                       val statsCols: Seq[String] = Nil) {
 
   import GraftTable.CheckpointEvery
 
@@ -151,19 +162,26 @@ final class GraftTable(spark: SparkSession, val path: String,
   /** Latest committed version (0 = no version log yet). */
   def currentVersion: Long = versions.lastOption.getOrElse(0L)
 
-  /** The manifest's raw string entries (paths, or delta markers). */
-  private def rawEntries(v: Long): Seq[String] = {
-    val p = manifestPath(v)
-    require(java.nio.file.Files.exists(p), s"version $v has no manifest at $p")
-    val txt = java.nio.file.Files.readString(p)
-    // manifest format: {"version":N,"files":["entry", ...]} with \-escaped
-    // quotes/backslashes in paths (Hive %-escaping keeps them rare)
-    val body = txt.substring(txt.indexOf('[') + 1, txt.lastIndexOf(']'))
-    if (body.trim.isEmpty) Seq.empty
-    else body.split("\",\\s*\"").toSeq
-      .map(_.stripPrefix("\"").stripSuffix("\"")
-        .replace("\\\"", "\"").replace("\\\\", "\\"))
-  }
+  /** Parse a log file's string-array body (manifest or stats): format
+    * `{"version":N,"files":["entry", ...]}` with \-escaped quotes/
+    * backslashes in paths (Hive %-escaping keeps them rare). None if
+    * the file does not exist.
+    */
+  private def parseEntryFile(p: java.nio.file.Path): Option[Seq[String]] =
+    if (!java.nio.file.Files.exists(p)) None
+    else {
+      val txt = java.nio.file.Files.readString(p)
+      val body = txt.substring(txt.indexOf('[') + 1, txt.lastIndexOf(']'))
+      Some(if (body.trim.isEmpty) Seq.empty
+      else body.split("\",\\s*\"").toSeq
+        .map(_.stripPrefix("\"").stripSuffix("\"")
+          .replace("\\\"", "\"").replace("\\\\", "\\")))
+    }
+
+  /** The manifest's raw string entries (paths, or delta/marker entries). */
+  private def rawEntries(v: Long): Seq[String] =
+    parseEntryFile(manifestPath(v)).getOrElse(
+      throw new IllegalArgumentException(s"version $v has no manifest at ${manifestPath(v)}"))
 
   private def isDelta(entries: Seq[String]): Boolean =
     entries.headOption.contains("#delta")
@@ -171,6 +189,8 @@ final class GraftTable(spark: SparkSession, val path: String,
   /** Relative data-file paths LIVE in `v`: replay the delta chain back
     * to the nearest full checkpoint (≤ [[GraftTable.CheckpointEvery]]
     * manifests) and apply forward. Never touches the data tree.
+    * Entries starting with `#` are commit METADATA (delta marker,
+    * deletion-vector and transaction markers), never live files.
     */
   private def manifestFiles(v: Long): Seq[String] = {
     var at = v
@@ -181,13 +201,37 @@ final class GraftTable(spark: SparkSession, val path: String,
       at -= 1
       cur = rawEntries(at)
     }
-    var live = cur
+    var live = cur.filterNot(_.startsWith("#"))
     deltas.foreach { d =>
       val drops = d.collect { case e if e.startsWith("-") => e.drop(1) }
       val adds = d.collect { case e if e.startsWith("+") => e.drop(1) }
       live = live.filterNot(f => drops.exists(dir => f.startsWith(dir + "/"))) ++ adds
     }
     live
+  }
+
+  /** STREAMING-SINK IDEMPOTENCY STATE (the Delta `SetTransaction`
+    * discipline): the highest batch id committed per writer app, replayed
+    * from `#txn:` manifest markers. Full checkpoints carry the latest
+    * marker per app forward, so resolution is bounded by the same ≤
+    * [[GraftTable.CheckpointEvery]] log reads as [[manifestFiles]].
+    */
+  private def txnState(v: Long): Map[String, Long] = {
+    if (v <= 0L) return Map.empty
+    var at = v
+    var cur = rawEntries(at)
+    val chain = scala.collection.mutable.ListBuffer(cur)
+    while (isDelta(cur)) {
+      at -= 1
+      cur = rawEntries(at)
+      chain.prepend(cur)
+    }
+    // earliest-to-latest; later markers for the same app win
+    chain.toSeq.flatMap(_.collect {
+      case e if e.startsWith("#txn:") =>
+        val parts = e.stripPrefix("#txn:").split(":", 2)
+        parts(0) -> parts(1).toLong
+    }).foldLeft(Map.empty[String, Long]) { case (m, (app, b)) => m + (app -> b) }
   }
 
   /** Atomically commit version `base`+1. The hard link is the OCC
@@ -224,18 +268,262 @@ final class GraftTable(spark: SparkSession, val path: String,
 
   /** Commit `base`+1 as a delta (or a full checkpoint every
     * [[GraftTable.CheckpointEvery]] versions): files under `dropDirs`
-    * leave the live set, `added` join it.
+    * leave the live set, `added` join it. `markers` are `#`-prefixed
+    * metadata entries committed WITH this version (deletion-vector /
+    * transaction markers — atomic with the manifest, the Delta-action
+    * discipline); full checkpoints additionally carry the latest `#txn:`
+    * marker per app forward so idempotency state survives checkpointing.
     */
   private def commitDelta(base: Long, dropDirs: Seq[String],
-                          added: Seq[String]): Long = {
+                          added: Seq[String],
+                          markers: Seq[String] = Nil): Long = {
     val v = base + 1
     if (v % CheckpointEvery == 0) {
       val prev = manifestFiles(base)
       val full = prev.filterNot(f => dropDirs.exists(d => f.startsWith(d + "/"))) ++ added
-      commitEntries(base, full.sorted)
+      val newTxnApps = markers.collect {
+        case e if e.startsWith("#txn:") => e.stripPrefix("#txn:").split(":", 2)(0)
+      }.toSet
+      val carried = txnState(base).collect {
+        case (app, b) if !newTxnApps.contains(app) => s"#txn:$app:$b"
+      }.toSeq
+      commitEntries(base, (carried ++ markers).sorted ++ full.sorted)
     } else
-      commitEntries(base, "#delta" +:
-        (dropDirs.sorted.map("-" + _) ++ added.sorted.map("+" + _)))
+      commitEntries(base, "#delta" +: (markers.sorted ++
+        dropDirs.sorted.map("-" + _) ++ added.sorted.map("+" + _)))
+  }
+
+  // ------------------------------------------- file statistics (zone maps)
+  //
+  // When `statsCols` is non-empty every commit also records per-file
+  // min/max/null-count ZONE MAPS for those columns (the Delta/Iceberg
+  // data-skipping discipline): collected by one Spark job over JUST the
+  // commit's files (O(commit data), never O(table)), persisted in a
+  // stats log that mirrors the manifest chain (deltas + a full
+  // checkpoint every CheckpointEvery versions, so resolution is bounded
+  // the same way), and consulted by [[readWhereBetween]] to prune files
+  // whose [min,max] cannot intersect a range predicate — metadata-only
+  // skipping BEFORE any data is read. Pair with
+  // [[compact(parallelism:Int,clusterBy:Seq[String])*]] clustering to
+  // make the zone maps selective. A missing stats file (crash window,
+  // legacy commit) degrades safely: its files are simply unprunable.
+
+  private def statsPath(v: Long) = logDir.resolve(f"s$v%06d.txt")
+
+  private def b64e(s: String) = java.util.Base64.getEncoder
+    .encodeToString(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  private def b64d(s: String) = new String(
+    java.util.Base64.getDecoder.decode(s), java.nio.charset.StandardCharsets.UTF_8)
+
+  /** Stats type tag for a column type; None = not zone-mappable. */
+  private def statTag(dt: org.apache.spark.sql.types.DataType): Option[Char] = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case ByteType | ShortType | IntegerType | LongType => Some('l')
+      case FloatType | DoubleType => Some('d')
+      case StringType => Some('s')
+      case BooleanType => Some('b')
+      case DateType => Some('D')
+      case TimestampType => Some('t')
+      case _ => None
+    }
+  }
+
+  /** Canonical typed form for extrema: integral → long, fractional →
+    * double, date → epoch days, timestamp → epoch micros — engine-
+    * neutral values that serialize and compare exactly.
+    */
+  private def canonTyped(c: org.apache.spark.sql.Column, tag: Char) = tag match {
+    case 'l' => c.cast("long")
+    case 'd' => c.cast("double")
+    case 's' => c
+    case 'b' => c.cast("int")
+    case 'D' => datediff(c, to_date(lit("1970-01-01"))).cast("long")
+    case 't' => unix_micros(c)
+  }
+
+  /** One stats-log entry: `b64(rel);rows` then `b64(col);tag;nulls;
+    * b64(min);b64(max)` per column — base64 + digits + ';' only, so the
+    * manifest file format needs no new escaping.
+    */
+  private def encodeStats(rel: String, fs: FileStats): String = {
+    val cols = fs.cols.toSeq.sortBy(_._1).map { case (c, cs) =>
+      Seq(b64e(c), cs.tag.toString, cs.nulls.toString,
+        cs.min.map(b64e).getOrElse(""), cs.max.map(b64e).getOrElse("")).mkString(";")
+    }
+    (Seq(b64e(rel), fs.rows.toString) ++ cols).mkString(";")
+  }
+
+  private def decodeStats(entry: String): (String, FileStats) = {
+    val t = entry.split(";", -1)
+    val cols = t.drop(2).grouped(5).collect { case Array(c, tg, nl, mn, mx) =>
+      b64d(c) -> ColStats(tg.head, nl.toLong,
+        if (mn.isEmpty) None else Some(b64d(mn)),
+        if (mx.isEmpty) None else Some(b64d(mx)))
+    }.toMap
+    b64d(t(0)) -> FileStats(t(1).toLong, cols)
+  }
+
+  /** Zone maps for `added` (table-relative paths): one job over the
+    * commit's own files, one result row per file.
+    */
+  private def collectStatsEntries(added: Seq[String]): Seq[String] = {
+    if (statsCols.isEmpty || added.isEmpty) return Nil
+    val schema = sidecarSchemaOpt.getOrElse(return Nil)
+    val tagged = schema.fields.toSeq
+      .filter(f => statsCols.contains(f.name) && f.name != partitionCol)
+      .flatMap(f => statTag(f.dataType).map(t => f.name -> t))
+    if (tagged.isEmpty) return Nil
+    val nonPart = org.apache.spark.sql.types.StructType(
+      schema.fields.filterNot(_.name == partitionCol))
+    val byBase = added.map(f => f.split('/').last -> f).toMap
+    val aggs = tagged.flatMap { case (c, t) =>
+      val cc = canonTyped(col(c), t)
+      Seq(min(cc).cast("string").as(s"__mn$c"), max(cc).cast("string").as(s"__mx$c"),
+        sum(col(c).isNull.cast("long")).as(s"__nl$c"))
+    }
+    val got = spark.read.schema(nonPart).parquet(added.map(f => s"$path/$f"): _*)
+      .groupBy(input_file_name().as("__f"))
+      .agg(count(lit(1)).as("__rows"), aggs: _*)
+      .collect()
+    got.toSeq.flatMap { r =>
+      byBase.get(r.getString(0).split('/').last).map { rel =>
+        val cols = tagged.zipWithIndex.map { case ((c, t), i) =>
+          c -> ColStats(t, r.getLong(4 + 3 * i),
+            Option(r.getString(2 + 3 * i)), Option(r.getString(3 + 3 * i)))
+        }.toMap
+        encodeStats(rel, FileStats(r.getLong(1), cols))
+      }
+    }
+  }
+
+  /** Stats of every live-or-recent file as of `v`: replay the stats log
+    * back to the nearest full stats checkpoint (missing files — crash
+    * windows, stats-free commits — are skipped; their files are simply
+    * unprunable). Entries for dead files are harmless: lookups are by
+    * live path.
+    */
+  private def replayStats(v: Long): Map[String, FileStats] = {
+    val oldest = versions.headOption.getOrElse(return Map.empty)
+    var at = v
+    var done = false
+    val chain = scala.collection.mutable.ListBuffer.empty[Seq[String]]
+    while (!done && at >= oldest) {
+      parseEntryFile(statsPath(at)).foreach { es =>
+        chain.prepend(es)
+        if (es.headOption.contains("#sfull")) done = true
+      }
+      at -= 1
+    }
+    chain.toSeq.flatMap(_.filterNot(_.startsWith("#")).map(decodeStats)).toMap
+  }
+
+  /** Persist the winner's stats for committed version `v` (atomic move;
+    * a crash before this lands degrades to "commit without stats").
+    * Checkpoint versions consolidate the full live stats set, bounding
+    * [[replayStats]] like the manifest checkpoint bounds [[manifestFiles]].
+    */
+  private def writeStatsFile(v: Long, newEntries: Seq[String]): Unit = {
+    if (statsCols.isEmpty) return
+    val (kind, entries) =
+      if (v % CheckpointEvery == 0) {
+        val live = manifestFiles(v).toSet
+        val newRel = newEntries.map(e => decodeStats(e)._1).toSet
+        val carried = replayStats(v - 1).collect {
+          case (rel, fs) if live.contains(rel) && !newRel.contains(rel) =>
+            encodeStats(rel, fs)
+        }.toSeq
+        ("#sfull", carried.sorted ++ newEntries.sorted)
+      } else ("#sdelta", newEntries.sorted)
+    val json = (kind +: entries).map(e => "\"" + e + "\"")
+      .mkString(s"""{"version":$v,"files":[""", ",", "]}")
+    val tmp = logDir.resolve(
+      s".tmp_s${v}_${java.util.UUID.randomUUID().toString.take(8)}")
+    java.nio.file.Files.writeString(tmp, json)
+    java.nio.file.Files.move(tmp, statsPath(v),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    ()
+  }
+
+  private def cmpCanon(tag: Char, a: String, b: String): Int = tag match {
+    case 'd' => java.lang.Double.compare(a.toDouble, b.toDouble)
+    case 's' => java.util.Arrays.compareUnsigned(
+      a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      b.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    case _ => java.lang.Long.compare(a.toLong, b.toLong) // l, b, D, t
+  }
+
+  /** Canonical form of a caller-supplied bound, by stats tag. */
+  private def canonValue(x: Any, tag: Char): String = (tag, x) match {
+    case ('l', n: Number) => n.longValue.toString
+    case ('d', n: Number) => n.doubleValue.toString
+    case ('s', s: String) => s
+    case ('b', b: Boolean) => if (b) "1" else "0"
+    case ('D', d: java.sql.Date) => d.toLocalDate.toEpochDay.toString
+    case ('D', d: java.time.LocalDate) => d.toEpochDay.toString
+    case ('D', n: Number) => n.longValue.toString
+    case ('t', ts: java.sql.Timestamp) =>
+      val i = ts.toInstant; (i.getEpochSecond * 1000000L + i.getNano / 1000).toString
+    case ('t', i: java.time.Instant) =>
+      (i.getEpochSecond * 1000000L + i.getNano / 1000).toString
+    case ('t', n: Number) => n.longValue.toString
+    case _ => throw new IllegalArgumentException(
+      s"bound $x (${x.getClass.getSimpleName}) does not fit stats type '$tag'")
+  }
+
+  /** The bound as a Spark literal of the column's type (a Long bound on
+    * a date/timestamp column is canonical days/micros).
+    */
+  private def litOf(x: Any, tag: Char): org.apache.spark.sql.Column = (tag, x) match {
+    case ('t', n: Number) => timestamp_micros(lit(n.longValue))
+    case ('D', n: Number) => date_add(to_date(lit("1970-01-01")), lit(n.intValue))
+    case _ => lit(x)
+  }
+
+  private def tagOf(c: String): Char = {
+    val schema = sidecarSchemaOpt.getOrElse(throw new IllegalStateException(
+      s"table $path has no schema sidecar — stats reads need a created table"))
+    val f = schema.fields.find(_.name == c).getOrElse(
+      throw new IllegalArgumentException(s"no column '$c' in table $path"))
+    statTag(f.dataType).getOrElse(throw new IllegalArgumentException(
+      s"column '$c' (${f.dataType.simpleString}) is not zone-mappable"))
+  }
+
+  /** Live files that MAY hold a row with `c` in [lo, hi]: a file is
+    * pruned when its zone map proves no intersection (or proves the
+    * column all-null — a range predicate matches no null). Files
+    * without stats always survive.
+    */
+  private[operators] def candidateFiles(c: String, lo: Any, hi: Any): Seq[String] = {
+    val v = currentVersion
+    val files = manifestFiles(v)
+    val tag = tagOf(c)
+    val (loC, hiC) = (canonValue(lo, tag), canonValue(hi, tag))
+    val stats = replayStats(v)
+    files.filter { fl =>
+      stats.get(fl).flatMap(_.cols.get(c)) match {
+        case None => true
+        case Some(cs) => (cs.min, cs.max) match {
+          case (Some(mn), Some(mx)) =>
+            cmpCanon(tag, mx, loC) >= 0 && cmpCanon(tag, mn, hiC) <= 0
+          case _ => false // no non-null value in the file
+        }
+      }
+    }
+  }
+
+  /** STATS-PRUNED RANGE SCAN: rows with `c` between `lo` and `hi`
+    * (inclusive), reading ONLY the files whose zone maps may intersect
+    * the range — the data-skipping read. Result ≡ `read.filter(...)` by
+    * construction (pruning is conservative; the residual filter still
+    * applies). Bounds accept natural Scala/Java types, or canonical
+    * longs (days/micros) for date/timestamp columns.
+    */
+  def readWhereBetween(c: String, lo: Any, hi: Any): DataFrame = {
+    val tag = tagOf(c)
+    readFiles(candidateFiles(c, lo, hi))
+      .filter(col(c) >= litOf(lo, tag) && col(c) <= litOf(hi, tag))
   }
 
   /** Diagnostic: how many FULL data-tree walks this instance has done.
@@ -339,7 +627,12 @@ final class GraftTable(spark: SparkSession, val path: String,
       // (content-identical — same live set, no longer delta-encoded)
       val kMin = keep.head
       if (isDelta(rawEntries(kMin))) {
-        val full = manifestFiles(kMin).sorted
+        // preserve this version's own non-txn markers (e.g. its `#dv:`
+        // reference) and the txn idempotency state accumulated up to it
+        val own = rawEntries(kMin).filter(e => e.startsWith("#") &&
+          e != "#delta" && !e.startsWith("#txn:"))
+        val txns = txnState(kMin).map { case (app, b) => s"#txn:$app:$b" }.toSeq
+        val full = (own ++ txns).sorted ++ manifestFiles(kMin).sorted
         def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
         val json = full.map(f => "\"" + esc(f) + "\"")
           .mkString(s"""{"version":$kMin,"files":[""", ",", "]}")
@@ -348,6 +641,23 @@ final class GraftTable(spark: SparkSession, val path: String,
         java.nio.file.Files.move(tmp, manifestPath(kMin),
           java.nio.file.StandardCopyOption.REPLACE_EXISTING,
           java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      }
+      // re-anchor the stats log too: a full stats checkpoint at the
+      // oldest kept version (restricted to files live in ANY kept
+      // version), so replay never needs the soon-dropped stats files
+      if (statsCols.nonEmpty) {
+        val liveAny = keep.flatMap(manifestFiles).toSet
+        val snap = replayStats(keep.last).collect {
+          case (rel, fs) if liveAny.contains(rel) => encodeStats(rel, fs)
+        }.toSeq.sorted
+        val json = ("#sfull" +: snap).map(e => "\"" + e + "\"")
+          .mkString(s"""{"version":$kMin,"files":[""", ",", "]}")
+        val tmp = logDir.resolve(s".tmp_s_ckpt_v$kMin")
+        java.nio.file.Files.writeString(tmp, json)
+        java.nio.file.Files.move(tmp, statsPath(kMin),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        ()
       }
       val liveSet = keep.flatMap(manifestFiles).toSet
       val dead = drop.flatMap(manifestFiles).toSet -- liveSet
@@ -358,7 +668,10 @@ final class GraftTable(spark: SparkSession, val path: String,
         val crc = p.resolveSibling("." + p.getFileName.toString + ".crc")
         java.nio.file.Files.deleteIfExists(crc); ()
       }
-      drop.foreach { v => java.nio.file.Files.deleteIfExists(manifestPath(v)); () }
+      drop.foreach { v =>
+        java.nio.file.Files.deleteIfExists(manifestPath(v))
+        java.nio.file.Files.deleteIfExists(statsPath(v)); ()
+      }
     }
     // ORPHAN SWEEP — the crash-recovery half of vacuum: a commit that
     // died between moving its files and linking its manifest left
@@ -439,10 +752,13 @@ final class GraftTable(spark: SparkSession, val path: String,
     * are deleted (they are in no manifest) and the conflict propagates.
     */
   private def commitRewrite(df: DataFrame, touchedVals: Seq[Option[String]],
-                            base: Long): this.type = {
+                            base: Long, markers: Seq[String] = Nil): this.type = {
     val added = writeCommitFiles(df)
-    try commitDelta(base, touchedVals.map(partitionDirName), added)
-    catch {
+    val statsEntries = collectStatsEntries(added) // pre-commit: O(commit data)
+    try {
+      val v = commitDelta(base, touchedVals.map(partitionDirName), added, markers)
+      writeStatsFile(v, statsEntries)
+    } catch {
       case e: CommitConflictException =>
         added.foreach { f =>
           java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(path, f)); ()

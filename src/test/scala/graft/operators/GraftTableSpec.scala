@@ -407,4 +407,71 @@ class GraftTableSpec extends SparkSpec {
       .as[(String, Int)].collect().toMap
     assert(got2 == Map("rA" -> 100, "rB" -> 2))
   }
+
+  // ---------------------------------------------- zone maps (data skipping)
+
+  private def statsTable(): GraftTable = {
+    val dir = Files.createTempDirectory("graft_stats").toString + "/t"
+    new GraftTable(spark, dir, keys = Seq("pk", "rk"), partitionCol = "day",
+      statsCols = Seq("n", "rk"))
+  }
+
+  test("zone maps: readWhereBetween ≡ read.filter, with files actually pruned") {
+    val t = statsTable().createIfNotExists(rows().schema)
+    t.importOnce(rows(("d1", "p", "r1", 1), ("d1", "p", "r2", 5), ("d2", "p", "r1", 103)))
+    t.upsertReplace(rows(("d3", "p", "r1", 205), ("d3", "p", "r2", 209)))
+    t.upsertReplace(rows(("d2", "p", "r2", 107)))
+    val full = t.read.filter(col("n") >= 100 && col("n") <= 110)
+      .collect().map(_.toSeq).toSet
+    assert(t.readWhereBetween("n", 100, 110).collect().map(_.toSeq).toSet == full)
+    val cand = t.candidateFiles("n", 100, 110)
+    assert(cand.size < t.dataFileCount,
+      s"pruning must drop files: ${cand.size} of ${t.dataFileCount}")
+    assert(!cand.exists(_.startsWith("day=d3/")),
+      s"the d3 commit (n in [205,209]) must be fully pruned: $cand")
+  }
+
+  test("zone maps: string pruning works across a manifest/stats checkpoint") {
+    val t = statsTable().createIfNotExists(rows().schema)
+    for (i <- 1 to 10) // versions cross the v8 full checkpoint
+      t.upsertReplace(rows((s"d$i", "p", f"r$i%02d", i)))
+    assert(t.readWhereBetween("rk", "r03", "r04")
+      .select("rk").as[String].collect().toSet == Set("r03", "r04"))
+    val cand = t.candidateFiles("rk", "r03", "r04")
+    assert(cand.nonEmpty && cand.size < t.dataFileCount)
+    assert(cand.forall(f => f.startsWith("day=d3/") || f.startsWith("day=d4/")),
+      s"only d3/d4 files may survive: $cand")
+  }
+
+  test("zone maps: an all-null stats column prunes its files for any range") {
+    val t = statsTable().createIfNotExists(rows().schema)
+    t.importOnce(Seq(("d1", "p", "r1"), ("d1", "p", "r2")).toDF("day", "pk", "rk")
+      .withColumn("n", lit(null).cast("int")))
+    t.importOnce(rows(("d2", "p", "r1", 7)))
+    val cand = t.candidateFiles("n", 0, 1000000)
+    assert(cand.nonEmpty && cand.forall(_.startsWith("day=d2/")),
+      s"all-null files must prune (a range matches no null): $cand")
+    assert(t.readWhereBetween("n", 0, 1000000).count() == 1)
+  }
+
+  test("zone maps: vacuum re-anchors stats — pruning survives history reclaim") {
+    val t = statsTable().createIfNotExists(rows().schema)
+    t.importOnce(rows(("d1", "p", "r1", 1)))
+    t.upsertReplace(rows(("d2", "p", "r1", 100)))
+    t.upsertReplace(rows(("d3", "p", "r1", 200)))
+    t.vacuum(1)
+    val cand = t.candidateFiles("n", 90, 110)
+    assert(cand.nonEmpty && cand.forall(_.startsWith("day=d2/")),
+      s"post-vacuum pruning must still work: $cand")
+    assert(t.readWhereBetween("n", 90, 110).select("n").as[Int].collect().toSeq
+      == Seq(100))
+  }
+
+  test("zone maps: a stats-free table never prunes but reads correctly") {
+    val t = freshTable().createIfNotExists(rows().schema)
+    t.importOnce(rows(("d1", "p", "r1", 1), ("d2", "p", "r1", 100)))
+    assert(t.readWhereBetween("n", 50, 150)
+      .select("n").as[Int].collect().toSeq == Seq(100))
+    assert(t.candidateFiles("n", 50, 150).size == t.dataFileCount)
+  }
 }
