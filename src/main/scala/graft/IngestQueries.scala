@@ -821,6 +821,91 @@ object IngestQueries {
           CAST(round(value * 100) AS BIGINT) AS cents,
           CAST(user_id % 4 AS BIGINT) AS pk
         FROM events
-        WHERE CAST(round(value * 100) AS BIGINT) BETWEEN 2000 AND 2999"""))
+        WHERE CAST(round(value * 100) AS BIGINT) BETWEEN 2000 AND 2999""")),
+
+    // DELETION VECTORS under the oracle: two row-level deletes mark
+    // (file, row-position) pairs without rewriting a single data file;
+    // a later upsert of partition pk=1 re-inserts ALL its keys (cents+1)
+    // — including previously DV-deleted ones, the REPLACE semantics —
+    // while the other partitions keep their vector filtering. The final
+    // read must thread the version-gated anti-join through every one of
+    // those states.
+    QuerySpec("q213_deletion_vectors",
+      (s, dir) => {
+        GraftSession.tune(s)
+        val base = java.nio.file.Files.createTempDirectory("graft_q213_").toString
+        val ev = Tables.events(s, dir)
+        val rows = ev.select(col("event_id"), col("user_id"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+          .withColumn("pk", col("user_id") % 4)
+        val t = new graft.operators.GraftTable(s, s"$base/t", Seq("event_id"), "pk")
+        t.createIfNotExists(org.apache.spark.sql.types.StructType.fromDDL(
+          "event_id BIGINT, user_id BIGINT, cents BIGINT, pk BIGINT"))
+        t.upsertReplace(rows)
+        t.deleteWhere(col("cents") % 10 === 3)
+        t.deleteWhere(col("user_id") % 7 === 2)
+        t.upsertReplace(rows.filter(col("pk") === 1)
+          .withColumn("cents", col("cents") + 1))
+        val out = t.read.select("event_id", "user_id", "cents", "pk")
+        val snap = out.localCheckpoint(true)
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+        }
+        rm(new java.io.File(base))
+        snap
+      },
+      Some("""
+        WITH e AS (
+          SELECT event_id, user_id,
+            CAST(round(value * 100) AS BIGINT) AS cents,
+            CAST(user_id % 4 AS BIGINT) AS pk
+          FROM events)
+        SELECT event_id, user_id,
+          CASE WHEN pk = 1 THEN cents + 1 ELSE cents END AS cents, pk
+        FROM e
+        WHERE pk = 1 OR NOT (cents % 10 = 3 OR user_id % 7 = 2)""")),
+
+    // EXACTLY-ONCE SINK under the oracle: three overlapping batch
+    // upserts with per-batch values, then batch 1 is DELIVERED AGAIN
+    // (the at-least-once retry) carrying poisoned values — the txn
+    // marker recorded atomically with batch 2's commit must skip it, so
+    // the final state shows each key's LAST legitimate batch only.
+    QuerySpec("q214_exactly_once_sink",
+      (s, dir) => {
+        GraftSession.tune(s)
+        val base = java.nio.file.Files.createTempDirectory("graft_q214_").toString
+        val ev = Tables.events(s, dir)
+        val us = unix_micros(col("ts"))
+        val rows = ev.select(col("event_id"), col("user_id"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("cents"),
+          (us % 3).as("m"))
+          .withColumn("pk", col("user_id") % 4)
+        val t = new graft.operators.GraftTable(s, s"$base/t", Seq("event_id"), "pk")
+        t.createIfNotExists(org.apache.spark.sql.types.StructType.fromDDL(
+          "event_id BIGINT, user_id BIGINT, cents BIGINT, pk BIGINT"))
+        def batch(b: Long, df: org.apache.spark.sql.DataFrame): Boolean =
+          t.upsertReplaceBatch("q214", b, df.select("event_id", "user_id", "cents", "pk"))
+        batch(0, rows.filter(col("m") === 0))
+        batch(1, rows.filter(col("m") <= 1).withColumn("cents", col("cents") + 10))
+        batch(2, rows.filter(col("m") >= 1).withColumn("cents", col("cents") + 20))
+        // the retry: batch 1 again, poisoned — MUST be skipped
+        val applied = batch(1, rows.filter(col("m") <= 1)
+          .withColumn("cents", col("cents") + 999))
+        require(!applied, "replayed batch must be skipped")
+        val out = t.read.select("event_id", "user_id", "cents", "pk")
+        val snap = out.localCheckpoint(true)
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+        }
+        rm(new java.io.File(base))
+        snap
+      },
+      Some("""
+        SELECT event_id, user_id,
+          CAST(round(value * 100) AS BIGINT)
+            + CASE WHEN epoch_us(CAST(ts AS TIMESTAMP)) % 3 = 0 THEN 10
+                   ELSE 20 END AS cents,
+          CAST(user_id % 4 AS BIGINT) AS pk
+        FROM events"""))
   )
 }

@@ -522,7 +522,7 @@ final class GraftTable(spark: SparkSession, val path: String,
     */
   def readWhereBetween(c: String, lo: Any, hi: Any): DataFrame = {
     val tag = tagOf(c)
-    readFiles(candidateFiles(c, lo, hi))
+    readResolved(candidateFiles(c, lo, hi), currentVersion)
       .filter(col(c) >= litOf(lo, tag) && col(c) <= litOf(hi, tag))
   }
 
@@ -585,10 +585,118 @@ final class GraftTable(spark: SparkSession, val path: String,
       withSchema.parquet(files.map(f => s"$path/$f"): _*)
     }
 
-  /** TIME TRAVEL: the table exactly as of committed version `v` —
-    * through the CURRENT schema (columns added since `v` read as null).
+  // ------------------------------------------------ deletion vectors
+  //
+  // Row-level DELETE without rewriting a single data file (the Delta
+  // deletion-vector discipline): a delete commit records the matching
+  // rows' (file, row-position) pairs as a small parquet under
+  // `_graft_log/dv/vNNNNNN_<nonce>/` and commits ONLY a `#dv:` marker —
+  // atomic with the manifest, O(matched rows) I/O, untouched at any
+  // table size. Reads anti-join the applicable vectors (version-gated,
+  // so time travel before the delete still sees the rows) against the
+  // scan's own `_metadata.row_index`; a DV dir whose marker never
+  // committed (crashed delete) is never applied and is swept by vacuum.
+  // Partition rewrites purge their partitions' vectors physically (the
+  // rewritten files carry no deleted rows; stale vectors reference dead
+  // files and no-op). CDC caveat, documented: a DV-only commit adds no
+  // files, so [[readChangesSince]] does not surface it — use
+  // [[deleteByKeys]] where downstream consumers follow the change feed.
+
+  private def dvRoot = logDir.resolve("dv")
+
+  /** DV dirs applicable at version `v`: committed (marker present in
+    * their version's manifest) and version ≤ `v`.
     */
-  def readAt(v: Long): DataFrame = readFiles(manifestFiles(v))
+  private def applicableDvDirs(v: Long): Seq[java.nio.file.Path] = {
+    val kids = Option(dvRoot.toFile.listFiles()).getOrElse(Array.empty)
+    kids.toSeq.filter(f => f.isDirectory && f.getName.startsWith("v"))
+      .flatMap { f =>
+        f.getName.drop(1).split("_", 2) match {
+          case Array(ver, nonce) if ver.nonEmpty && ver.forall(_.isDigit) =>
+            val vl = ver.toLong
+            if (vl <= v && java.nio.file.Files.exists(manifestPath(vl)) &&
+              rawEntries(vl).contains(s"#dv:$nonce")) Some(f.toPath)
+            else None
+          case _ => None
+        }
+      }
+  }
+
+  /** Scan `files` with the DV join columns: the file's table-relative
+    * path (`partitionDir/basename` — basenames alone collide across a
+    * commit's partition dirs, which share one task numbering) and the
+    * row's position in it.
+    */
+  private def readFilesWithMeta(files: Seq[String]): DataFrame = {
+    val parts = split(col("_metadata.file_path"), "/")
+    readFiles(files).select(col("*"),
+      concat_ws("/", element_at(parts, -2), element_at(parts, -1)).as("__dvf"),
+      col("_metadata.row_index").as("__dvi"))
+  }
+
+  private def readDv(dirs: Seq[java.nio.file.Path]): DataFrame =
+    spark.read.schema("file STRING, ri BIGINT").parquet(dirs.map(_.toString): _*)
+
+  /** `files` as of version `v` with the applicable deletion vectors
+    * subtracted — the single resolved-read path under [[readAt]],
+    * [[readChangesSince]] and [[readWhereBetween]]. No vectors → plain
+    * scan, zero overhead.
+    */
+  private def readResolved(files: Seq[String], v: Long): DataFrame = {
+    val dvs = applicableDvDirs(v)
+    if (dvs.isEmpty || files.isEmpty) readFiles(files)
+    else {
+      val dv = readDv(dvs)
+      val base = readFilesWithMeta(files)
+      base.join(dv, base("__dvf") === dv("file") && base("__dvi") === dv("ri"),
+        "left_anti").drop("__dvf", "__dvi")
+    }
+  }
+
+  /** ROW-LEVEL DELETE as a deletion-vector commit: rows of the CURRENT
+    * state matching `cond` stop being visible from the new version on,
+    * with O(matched rows) write I/O and zero data files rewritten or
+    * added. A no-match delete commits nothing. Returns this table.
+    */
+  def deleteWhere(cond: org.apache.spark.sql.Column): this.type = {
+    val base = ensureBaselineVersion()
+    val files = manifestFiles(base)
+    if (files.isEmpty) return this
+    val dvs = applicableDvDirs(base)
+    val scan = readFilesWithMeta(files)
+    val already =
+      if (dvs.isEmpty) scan
+      else {
+        val dv = readDv(dvs)
+        scan.join(dv, scan("__dvf") === dv("file") && scan("__dvi") === dv("ri"),
+          "left_anti")
+      }
+    val matched = already.filter(cond)
+      .select(col("__dvf").as("file"), col("__dvi").as("ri"))
+    val nonce = java.util.UUID.randomUUID().toString.take(8)
+    val stage = dvRoot.resolve(s".stage_$nonce")
+    matched.write.mode(SaveMode.Overwrite).parquet(stage.toString)
+    val n = spark.read.schema("file STRING, ri BIGINT")
+      .parquet(stage.toString).count()
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    if (n == 0) { rm(stage.toFile); return this }
+    val target = dvRoot.resolve(f"v${base + 1}%06d_$nonce")
+    java.nio.file.Files.move(stage, target)
+    try commitDelta(base, Nil, Nil, markers = Seq(s"#dv:$nonce"))
+    catch {
+      case e: CommitConflictException => rm(target.toFile); throw e
+    }
+    this
+  }
+
+  /** TIME TRAVEL: the table exactly as of committed version `v` —
+    * through the CURRENT schema (columns added since `v` read as null),
+    * with the deletion vectors committed by `v` applied (and later ones
+    * not).
+    */
+  def readAt(v: Long): DataFrame = readResolved(manifestFiles(v), v)
 
   /** FILE-LEVEL CDC (the Delta change-data-feed-lite read): the rows of
     * every data file that entered the live set AFTER version `since` —
@@ -606,7 +714,7 @@ final class GraftTable(spark: SparkSession, val path: String,
     require(since >= 1 && since <= cur,
       s"since must be a committed version in [1, $cur], got $since")
     val old = manifestFiles(since).toSet
-    readFiles(manifestFiles(cur).filterNot(old))
+    readResolved(manifestFiles(cur).filterNot(old), cur)
   }
 
   /** Reclaim history: keep the last `keepVersions` manifests, delete
@@ -620,19 +728,37 @@ final class GraftTable(spark: SparkSession, val path: String,
     require(keepVersions >= 1, s"keepVersions must be >= 1, got $keepVersions")
     val vs = versions
     if (vs.isEmpty) return this
+    def rmTree(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rmTree)); f.delete(); ()
+    }
     val (drop, keep) = vs.splitAt(math.max(0, vs.size - keepVersions))
     if (drop.nonEmpty) {
       // re-anchor the oldest kept version: resolve it THROUGH the
       // soon-dropped chain, then rewrite its manifest as a full listing
       // (content-identical — same live set, no longer delta-encoded)
       val kMin = keep.head
-      if (isDelta(rawEntries(kMin))) {
-        // preserve this version's own non-txn markers (e.g. its `#dv:`
-        // reference) and the txn idempotency state accumulated up to it
+      // merge every deletion vector committed at or before kMin into
+      // ONE dir anchored there (their own manifests are about to drop;
+      // rows for dead files are kept — they no-op and compaction purges)
+      val dvMerge = applicableDvDirs(kMin)
+      val mergedMarker =
+        if (dvMerge.isEmpty) None
+        else {
+          val nonce = java.util.UUID.randomUUID().toString.take(8)
+          val stage = dvRoot.resolve(s".stage_$nonce")
+          readDv(dvMerge)
+            .write.mode(SaveMode.Overwrite).parquet(stage.toString)
+          java.nio.file.Files.move(stage, dvRoot.resolve(f"v$kMin%06d_$nonce"))
+          Some(s"#dv:$nonce")
+        }
+      if (isDelta(rawEntries(kMin)) || mergedMarker.nonEmpty) {
+        // preserve this version's own markers (its old `#dv:` refs are
+        // superseded by the merged one) and the accumulated txn state
         val own = rawEntries(kMin).filter(e => e.startsWith("#") &&
-          e != "#delta" && !e.startsWith("#txn:"))
+          e != "#delta" && !e.startsWith("#txn:") && !e.startsWith("#dv:"))
         val txns = txnState(kMin).map { case (app, b) => s"#txn:$app:$b" }.toSeq
-        val full = (own ++ txns).sorted ++ manifestFiles(kMin).sorted
+        val full = (own ++ txns ++ mergedMarker.toSeq).sorted ++
+          manifestFiles(kMin).sorted
         def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
         val json = full.map(f => "\"" + esc(f) + "\"")
           .mkString(s"""{"version":$kMin,"files":[""", ",", "]}")
@@ -642,6 +768,7 @@ final class GraftTable(spark: SparkSession, val path: String,
           java.nio.file.StandardCopyOption.REPLACE_EXISTING,
           java.nio.file.StandardCopyOption.ATOMIC_MOVE)
       }
+      dvMerge.foreach(p => rmTree(p.toFile))
       // re-anchor the stats log too: a full stats checkpoint at the
       // oldest kept version (restricted to files live in ANY kept
       // version), so replay never needs the soon-dropped stats files
@@ -687,11 +814,23 @@ final class GraftTable(spark: SparkSession, val path: String,
       val crc = p.resolveSibling("." + p.getFileName.toString + ".crc")
       java.nio.file.Files.deleteIfExists(crc); ()
     }
-    def rmTree(f: java.io.File): Unit = {
-      Option(f.listFiles()).foreach(_.foreach(rmTree)); f.delete(); ()
-    }
     Option(java.nio.file.Paths.get(path, "_graft_staging").toFile.listFiles())
       .foreach(_.foreach(rmTree))
+    // deletion-vector orphan sweep: a dir whose `#dv:` marker never
+    // committed (crashed delete, lost OCC race, merged-away ref) or
+    // whose version is gone is invisible to every read — reclaim it
+    val curV = versions.lastOption.getOrElse(0L)
+    Option(dvRoot.toFile.listFiles()).getOrElse(Array.empty).foreach { f =>
+      val committed = f.isDirectory && f.getName.startsWith("v") &&
+        (f.getName.drop(1).split("_", 2) match {
+          case Array(ver, nonce) if ver.nonEmpty && ver.forall(_.isDigit) =>
+            val vl = ver.toLong
+            vl <= curV && java.nio.file.Files.exists(manifestPath(vl)) &&
+              rawEntries(vl).contains(s"#dv:$nonce")
+          case _ => false
+        })
+      if (!committed) rmTree(f)
+    }
     // prune now-empty partition directories (an all-history partition
     // leaves an empty dir behind once its files are reclaimed)
     def prune(f: java.io.File): Boolean = { // true = f was removed
@@ -878,7 +1017,11 @@ final class GraftTable(spark: SparkSession, val path: String,
     * must rewrite that partition's existing rows, not silently drop
     * them when the manifest swaps its files.
     */
-  def upsertReplace(updates: DataFrame, tiebreak: Seq[String] = Nil): this.type = {
+  def upsertReplace(updates: DataFrame, tiebreak: Seq[String] = Nil): this.type =
+    doUpsertReplace(updates, tiebreak, Nil)
+
+  private def doUpsertReplace(updates: DataFrame, tiebreak: Seq[String],
+                              markers: Seq[String]): this.type = {
     val base = ensureBaselineVersion()
     val up = conform(updates)
     val touched = up.select(col(partitionCol).as("__tp")).distinct()
@@ -887,7 +1030,34 @@ final class GraftTable(spark: SparkSession, val path: String,
     val merged = KeyedTable.upsertReplace(
       current.withColumn("__v", lit(1)), up.withColumn("__v", lit(2)),
       keys, "__v", tiebreak).drop("__v")
-    writePartitions(merged.select(current.columns.map(col).toSeq: _*), base)
+    writePartitions(merged.select(current.columns.map(col).toSeq: _*), base,
+      markers = markers)
+  }
+
+  /** Latest batch id committed by writer `appId` (-1 = none) — the
+    * idempotency read for exactly-once streaming sinks.
+    */
+  def txnVersion(appId: String): Long =
+    txnState(currentVersion).getOrElse(b64e(appId), -1L)
+
+  /** IDEMPOTENT keyed upsert for exactly-once streaming sinks (the
+    * Delta `txn`-action discipline): applies `updates` as an
+    * [[upsertReplace]] and records (appId, batchId) ATOMICALLY with the
+    * commit — in the same manifest, so no crash window can apply a
+    * batch without recording it or vice versa. A batch at or below the
+    * recorded id is skipped (returns false): a `foreachBatch` sink that
+    * calls this replays safely after any failure/restart, turning
+    * Structured Streaming's at-least-once batch delivery into
+    * exactly-once table updates. Full checkpoints and vacuum carry the
+    * txn state forward; OCC retries re-read it, so a raced replay still
+    * skips.
+    */
+  def upsertReplaceBatch(appId: String, batchId: Long, updates: DataFrame,
+                         tiebreak: Seq[String] = Nil): Boolean = {
+    val base = ensureBaselineVersion()
+    if (batchId <= txnState(base).getOrElse(b64e(appId), -1L)) return false
+    doUpsertReplace(updates, tiebreak, Seq(s"#txn:${b64e(appId)}:$batchId"))
+    true
   }
 
   /** Insert-if-absent (K8): append only rows whose key is not yet
@@ -951,7 +1121,8 @@ final class GraftTable(spark: SparkSession, val path: String,
     * touched-partition collect consume the plan.
     */
   private def writePartitions(df: DataFrame, base: Long,
-                              clusterBy: Seq[String] = Nil): this.type = {
+                              clusterBy: Seq[String] = Nil,
+                              markers: Seq[String] = Nil): this.type = {
     val staged = Staging.stage(df, "write_barrier")
     // the cluster sort must sit BETWEEN the barrier and the write: the
     // partitioned write requires an ordering on the partition column,
@@ -963,7 +1134,7 @@ final class GraftTable(spark: SparkSession, val path: String,
       if (clusterBy.isEmpty) staged.df
       else staged.df.sortWithinPartitions(
         (partitionCol +: clusterBy).map(col): _*)
-    commitRewrite(toWrite, partitionValsOf(staged.df), base)
+    commitRewrite(toWrite, partitionValsOf(staged.df), base, markers)
     staged.delete()
     this
   }

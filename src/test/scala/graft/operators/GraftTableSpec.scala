@@ -474,4 +474,83 @@ class GraftTableSpec extends SparkSpec {
       .select("n").as[Int].collect().toSeq == Seq(100))
     assert(t.candidateFiles("n", 50, 150).size == t.dataFileCount)
   }
+
+  // ---------------------------------------------- deletion vectors
+
+  test("deleteWhere: row-level delete, zero data files touched, time travel intact") {
+    val t = freshTable().createIfNotExists(rows().schema)
+    t.importOnce(rows(("d1", "p", "r1", 1), ("d1", "p", "r2", 2), ("d2", "p", "r1", 3)))
+    val filesBefore = t.dataFileCount
+    val vBefore = t.currentVersion
+    t.deleteWhere(col("n") === 2)
+    assert(t.currentVersion == vBefore + 1, "a DV delete commits a version")
+    assert(t.dataFileCount == filesBefore, "a DV delete must add/remove no data files")
+    assert(t.read.select("n").as[Int].collect().toSet == Set(1, 3))
+    assert(t.readAt(vBefore).select("n").as[Int].collect().toSet == Set(1, 2, 3),
+      "the pre-delete version must still see the row")
+  }
+
+  test("deleteWhere: no-match is a no-op; deletes compose; rewrites do not resurrect") {
+    val t = freshTable().createIfNotExists(rows().schema)
+    t.importOnce(rows(("d1", "p", "r1", 1), ("d1", "p", "r2", 2),
+      ("d2", "p", "r1", 3), ("d2", "p", "r2", 4)))
+    val v1 = t.currentVersion
+    t.deleteWhere(col("n") === 99)
+    assert(t.currentVersion == v1, "a no-match delete must not commit a version")
+    t.deleteWhere(col("n") === 1)
+    t.deleteWhere(col("n") === 4)
+    assert(t.read.select("n").as[Int].collect().toSet == Set(2, 3))
+    // rewriting d1 materializes its DV away; the deleted row must not resurrect
+    t.upsertReplace(rows(("d1", "p", "r9", 9)))
+    assert(t.read.select("n").as[Int].collect().toSet == Set(2, 3, 9))
+    assert(t.read.filter($"day" === "d2").select("n").as[Int].collect().toSet == Set(3),
+      "the untouched partition keeps its vector filtering")
+  }
+
+  test("deleteWhere: vacuum merges vectors + sweeps orphans; zone-map reads respect DVs") {
+    val t = statsTable().createIfNotExists(rows().schema)
+    t.importOnce(rows(("d1", "p", "r1", 10), ("d1", "p", "r2", 20), ("d2", "p", "r1", 30)))
+    t.deleteWhere(col("n") === 20)
+    t.deleteWhere(col("n") === 30)
+    val orphan = java.nio.file.Paths.get(t.path, "_graft_log", "dv", "v000099_deadbeef")
+    java.nio.file.Files.createDirectories(orphan)
+    t.vacuum(1)
+    assert(!java.nio.file.Files.exists(orphan), "orphan dv dir must be swept")
+    assert(t.read.select("n").as[Int].collect().toSet == Set(10))
+    assert(t.readWhereBetween("n", 0, 100).select("n").as[Int].collect().toSet
+      == Set(10), "the stats-pruned read must subtract merged vectors")
+    val dvDirs = Option(java.nio.file.Paths.get(t.path, "_graft_log", "dv")
+      .toFile.listFiles()).get.filter(_.isDirectory)
+    assert(dvDirs.length == 1, s"vectors must merge to one dir: ${dvDirs.mkString(",")}")
+  }
+
+  test("upsertReplaceBatch: exactly-once per (app, batch) — replays skip atomically") {
+    val t = freshTable().createIfNotExists(rows().schema)
+    assert(t.upsertReplaceBatch("app", 0, rows(("d1", "p", "r1", 1))))
+    assert(!t.upsertReplaceBatch("app", 0, rows(("d1", "p", "r1", 999))),
+      "a replayed batch must be skipped")
+    assert(t.read.select("n").as[Int].collect().toSeq == Seq(1))
+    assert(t.upsertReplaceBatch("app", 1, rows(("d1", "p", "r1", 2))))
+    assert(t.txnVersion("app") == 1L && t.txnVersion("other") == -1L)
+    assert(t.upsertReplaceBatch("other", 0, rows(("d2", "p", "r1", 7))),
+      "apps are independent")
+    // state survives full checkpoints (≥8 versions) and vacuum
+    for (i <- 2 to 10)
+      assert(t.upsertReplaceBatch("app", i.toLong, rows(("d1", "p", "r1", i))))
+    t.vacuum(1)
+    assert(!t.upsertReplaceBatch("app", 10, rows(("d1", "p", "r1", 0))),
+      "txn state must survive vacuum")
+    assert(t.read.filter($"day" === "d1").select("n").as[Int].collect().toSeq
+      == Seq(10))
+  }
+
+  test("deleteWhere: compaction purges deleted rows physically; content invariant") {
+    val t = freshTable().createIfNotExists(rows().schema)
+    t.importOnce(rows(("d1", "p", "r1", 1), ("d1", "p", "r2", 2)))
+    t.deleteWhere(col("n") === 1)
+    t.compact()
+    assert(t.read.select("n").as[Int].collect().toSeq == Seq(2))
+    t.vacuum(1) // merged vector now references only dead files — a no-op
+    assert(t.read.select("n").as[Int].collect().toSeq == Seq(2))
+  }
 }
