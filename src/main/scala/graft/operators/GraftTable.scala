@@ -60,6 +60,7 @@ object GraftTable {
     }
     throw new IllegalStateException("unreachable")
   }
+
 }
 
 /** Thrown when a commit loses the optimistic-concurrency race: another
@@ -116,6 +117,25 @@ private[operators] final case class FileStats(rows: Long, cols: Map[String, ColS
   *       137-138`) applied to the versioned table. Key and partition
   *       columns are always required; an overlapping column with a
   *       DIFFERENT type is rejected (no type evolution).
+  *
+  *       ZONE MAPS (opt-in via `statsCols`): commits record per-file
+  *       min/max/null-count for the named columns in a stats log that
+  *       mirrors the manifest chain; [[readWhereBetween]] prunes files
+  *       whose ranges cannot intersect a predicate BEFORE reading any
+  *       data — the Delta/Iceberg data-skipping tier on top of
+  *       partition pruning and parquet row-group stats.
+  *
+  *       DELETION VECTORS: [[deleteWhere]] commits row-level deletes as
+  *       (file, row-position) vectors — no data file rewritten — which
+  *       every read subtracts version-gated via `_metadata.row_index`;
+  *       rewrites/compaction purge them physically, vacuum merges and
+  *       sweeps them. NOT visible to [[readChangesSince]] (a DV commit
+  *       adds no files) — use [[deleteByKeys]] under CDC consumers.
+  *
+  *       EXACTLY-ONCE SINK: [[upsertReplaceBatch]] records (appId,
+  *       batchId) atomically with the commit (`#txn:` markers, the
+  *       Delta SetTransaction discipline) and skips replayed batches,
+  *       making at-least-once `foreachBatch` delivery exactly-once.
   */
 final class GraftTable(spark: SparkSession, val path: String,
                        val keys: Seq[String], val partitionCol: String,
@@ -376,7 +396,9 @@ final class GraftTable(spark: SparkSession, val path: String,
     if (tagged.isEmpty) return Nil
     val nonPart = org.apache.spark.sql.types.StructType(
       schema.fields.filterNot(_.name == partitionCol))
-    val byBase = added.map(f => f.split('/').last -> f).toMap
+    // key by partitionDir/basename — basenames ALONE collide across a
+    // commit's partition dirs (they share one task numbering)
+    val byRel = added.map(f => f.split('/').takeRight(2).mkString("/") -> f).toMap
     val aggs = tagged.flatMap { case (c, t) =>
       val cc = canonTyped(col(c), t)
       Seq(min(cc).cast("string").as(s"__mn$c"), max(cc).cast("string").as(s"__mx$c"),
@@ -387,7 +409,7 @@ final class GraftTable(spark: SparkSession, val path: String,
       .agg(count(lit(1)).as("__rows"), aggs: _*)
       .collect()
     got.toSeq.flatMap { r =>
-      byBase.get(r.getString(0).split('/').last).map { rel =>
+      byRel.get(r.getString(0).split('/').takeRight(2).mkString("/")).map { rel =>
         val cols = tagged.zipWithIndex.map { case ((c, t), i) =>
           c -> ColStats(t, r.getLong(4 + 3 * i),
             Option(r.getString(2 + 3 * i)), Option(r.getString(3 + 3 * i)))
@@ -495,8 +517,10 @@ final class GraftTable(spark: SparkSession, val path: String,
     * column all-null — a range predicate matches no null). Files
     * without stats always survive.
     */
-  private[operators] def candidateFiles(c: String, lo: Any, hi: Any): Seq[String] = {
-    val v = currentVersion
+  def candidateFiles(c: String, lo: Any, hi: Any): Seq[String] =
+    candidateFilesAt(c, lo, hi, currentVersion)
+
+  private def candidateFilesAt(c: String, lo: Any, hi: Any, v: Long): Seq[String] = {
     val files = manifestFiles(v)
     val tag = tagOf(c)
     val (loC, hiC) = (canonValue(lo, tag), canonValue(hi, tag))
@@ -522,7 +546,8 @@ final class GraftTable(spark: SparkSession, val path: String,
     */
   def readWhereBetween(c: String, lo: Any, hi: Any): DataFrame = {
     val tag = tagOf(c)
-    readResolved(candidateFiles(c, lo, hi), currentVersion)
+    val v = currentVersion // one snapshot for both file list and vectors
+    readResolved(candidateFilesAt(c, lo, hi, v), v)
       .filter(col(c) >= litOf(lo, tag) && col(c) <= litOf(hi, tag))
   }
 

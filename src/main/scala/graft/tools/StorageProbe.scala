@@ -1,0 +1,98 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.{GraftSession, Tables}
+import graft.operators.GraftTable
+
+/** Dev/round tool: cost shapes of the round-7 storage features.
+  *
+  *   1. ZONE-MAP SKIPPING — a cents-banded table (8 insert-if-absent
+  *      ticks, statsCols=cents): files pruned + wall for the
+  *      stats-pruned range scan vs the plain full-scan filter.
+  *   2. DELETION-VECTOR DELETE — wall for a tiny `deleteWhere` vs the
+  *      equivalent `deleteByKeys` partition rewrite on an identical
+  *      table, plus the post-DV read overhead (the anti-join tax).
+  *
+  * Each timing is the min of two passes (host interference windows).
+  * Usage: StorageProbe <sfDir>
+  */
+object StorageProbe {
+  private def minOf2(body: => Unit): Double = {
+    def once = { val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9 }
+    math.min(once, once)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    GraftSession.tune(spark)
+    spark.sparkContext.setLogLevel("ERROR")
+    val base = java.nio.file.Files.createTempDirectory("graft_storageprobe").toString
+
+    val rows = Tables.events(spark, sfDir).select(col("event_id"), col("user_id"),
+      expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .withColumn("pk", col("user_id") % 4)
+      .localCheckpoint(true)
+    val nBands = 8
+    val band = least(floor(col("cents") / 3000), lit(nBands - 1L))
+
+    def build(name: String, stats: Seq[String]): GraftTable = {
+      val t = new GraftTable(spark, s"$base/$name", Seq("event_id"), "pk", stats)
+      t.createIfNotExists(org.apache.spark.sql.types.StructType.fromDDL(
+        "event_id BIGINT, user_id BIGINT, cents BIGINT, pk BIGINT"))
+      for (b <- 0 until nBands) t.insertIfAbsent(rows.filter(band === b))
+      t
+    }
+
+    // 1. zone-map skipping
+    val t1 = build("skip", Seq("cents"))
+    val live = t1.dataFileCount
+    val cand = t1.candidateFiles("cents", 2000, 2999).size
+    val tPruned = minOf2(t1.readWhereBetween("cents", 2000, 2999).count())
+    val tFull = minOf2(
+      t1.read.filter(col("cents").between(2000, 2999)).count())
+    println(f"SKIP   files $cand%d/$live%d   pruned=$tPruned%.3f s   full=$tFull%.3f s")
+
+    // 2. deletion-vector delete vs keyed partition rewrite — a mutation
+    // can't repeat on the same table (the 2nd pass would be a no-op),
+    // so each variant times once on each of two fresh builds, min taken
+    val delKeys = rows.filter(col("event_id") % 1000 === 0)
+      .select("event_id").localCheckpoint(true)
+    def onceOn(name: String)(m: GraftTable => Unit): Double = {
+      val t = build(name, Nil)
+      val t0 = System.nanoTime()
+      m(t)
+      (System.nanoTime() - t0) / 1e9
+    }
+    val t2 = build("dv0", Nil)
+    val tDv = math.min(
+      { val t0 = System.nanoTime()
+        t2.deleteWhere(col("event_id") % 1000 === 0)
+        (System.nanoTime() - t0) / 1e9 },
+      onceOn("dv1")(_.deleteWhere(col("event_id") % 1000 === 0)))
+    val t3 = build("keyed0", Nil)
+    val tKeyed = math.min(
+      { val t0 = System.nanoTime()
+        t3.deleteByKeys(delKeys)
+        (System.nanoTime() - t0) / 1e9 },
+      onceOn("keyed1")(_.deleteByKeys(delKeys)))
+    val tReadDv = minOf2(t2.read.count())
+    val tReadPlain = minOf2(t3.read.count())
+    println(f"DELETE dv=$tDv%.3f s   keyedRewrite=$tKeyed%.3f s   " +
+      f"readWithDv=$tReadDv%.3f s   readPlain=$tReadPlain%.3f s")
+    println(s"counts: dvTable=${t2.read.count()} keyedTable=${t3.read.count()}")
+
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    rm(new java.io.File(base))
+    spark.stop()
+  }
+}

@@ -427,8 +427,11 @@ class GraftTableSpec extends SparkSpec {
     val cand = t.candidateFiles("n", 100, 110)
     assert(cand.size < t.dataFileCount,
       s"pruning must drop files: ${cand.size} of ${t.dataFileCount}")
-    assert(!cand.exists(_.startsWith("day=d3/")),
-      s"the d3 commit (n in [205,209]) must be fully pruned: $cand")
+    // d1 (n in [1,5]) and d3 (n in [205,209]) prune ENTIRELY — including
+    // d1, written in the SAME commit as a d2 file (per-partition stats
+    // must not collide on shared part-file basenames)
+    assert(cand.nonEmpty && cand.forall(_.startsWith("day=d2/")),
+      s"only d2 files may survive [100,110]: $cand")
   }
 
   test("zone maps: string pruning works across a manifest/stats checkpoint") {
