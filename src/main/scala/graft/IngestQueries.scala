@@ -906,6 +906,77 @@ object IngestQueries {
             + CASE WHEN epoch_us(CAST(ts AS TIMESTAMP)) % 3 = 0 THEN 10
                    ELSE 20 END AS cents,
           CAST(user_id % 4 AS BIGINT) AS pk
-        FROM events"""))
+        FROM events""")),
+
+    // GENERAL MERGE INTO under the oracle: one atomic commit carrying a
+    // conditional DELETE (first clause), a conditional UPDATE (second —
+    // clause ORDER is load-bearing: rows hitting the delete condition
+    // never reach the update), matched rows NO clause claims (kept
+    // unchanged), and a conditional INSERT of never-seen keys. The SQL
+    // replays the exact clause ladder with a LEFT JOIN + CASE and the
+    // insert as an anti-join — one wrong clause decision anywhere breaks
+    // the hash.
+    QuerySpec("q215_merge_into",
+      (s, dir) => {
+        GraftSession.tune(s)
+        val base = java.nio.file.Files.createTempDirectory("graft_q215_").toString
+        val ev = Tables.events(s, dir)
+        val rows = ev.select(col("event_id"), col("user_id"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+          .withColumn("pk", col("user_id") % 4)
+        val t = new graft.operators.GraftTable(s, s"$base/t", Seq("event_id"), "pk")
+        t.createIfNotExists(org.apache.spark.sql.types.StructType.fromDDL(
+          "event_id BIGINT, user_id BIGINT, cents BIGINT, pk BIGINT"))
+        t.upsertReplace(rows)
+        import graft.operators.GraftTable.{src, MatchedDelete, MatchedUpdate}
+        val matchedSrc = rows.filter(col("user_id") % 3 === 0)
+          .select(col("event_id"), col("user_id"), (col("cents") + 7).as("v"))
+        val insertSrc = rows.filter(col("user_id") % 5 === 0)
+          .select((-(col("event_id") + 1)).as("event_id"),
+            col("user_id"), col("cents").as("v"))
+        t.merge(matchedSrc.unionByName(insertSrc),
+          matched = Seq(
+            MatchedDelete(src("v") % 10 === 3),
+            MatchedUpdate(src("v") % 2 === 0,
+              Map("cents" -> (src("v") + col("cents"))))),
+          notMatchedInsert = Some((src("v") % 7 =!= 2, Map(
+            "event_id" -> src("event_id"), "user_id" -> src("user_id"),
+            "cents" -> src("v"), "pk" -> (src("user_id") % 4)))))
+        val out = t.read.select("event_id", "user_id", "cents", "pk")
+        val snap = out.localCheckpoint(true)
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+        }
+        rm(new java.io.File(base))
+        snap
+      },
+      Some("""
+        WITH e AS (
+          SELECT event_id, user_id,
+            CAST(round(value * 100) AS BIGINT) AS cents,
+            CAST(user_id % 4 AS BIGINT) AS pk
+          FROM events),
+        s AS (
+          SELECT event_id, user_id, cents + 7 AS v
+          FROM e WHERE user_id % 3 = 0
+          UNION ALL
+          SELECT -(event_id + 1) AS event_id, user_id, cents AS v
+          FROM e WHERE user_id % 5 = 0),
+        m AS (
+          SELECT e.event_id, e.user_id,
+            CASE WHEN s.event_id IS NOT NULL AND NOT (s.v % 10 = 3)
+                      AND s.v % 2 = 0
+                 THEN s.v + e.cents ELSE e.cents END AS cents,
+            e.pk
+          FROM e LEFT JOIN s ON e.event_id = s.event_id
+          WHERE s.event_id IS NULL OR NOT (s.v % 10 = 3)),
+        i AS (
+          SELECT s.event_id, s.user_id, s.v AS cents,
+            CAST(s.user_id % 4 AS BIGINT) AS pk
+          FROM s LEFT JOIN e ON s.event_id = e.event_id
+          WHERE e.event_id IS NULL AND NOT (s.v % 7 = 2))
+        SELECT event_id, user_id, cents, pk FROM m
+        UNION ALL
+        SELECT event_id, user_id, cents, pk FROM i"""))
   )
 }

@@ -61,6 +61,28 @@ object GraftTable {
     throw new IllegalStateException("unreachable")
   }
 
+  /** Source-side column reference for [[GraftTable.merge]] clause
+    * expressions: inside a clause condition or assignment, target
+    * columns are bare names and source columns are `src("name")`.
+    */
+  def src(name: String): org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.col(s"__s_$name")
+
+  /** A WHEN MATCHED clause of [[GraftTable.merge]]. Clauses are
+    * evaluated IN ORDER per matched row; the first whose condition
+    * holds fires, later clauses never see the row (ANSI/Delta MERGE
+    * semantics). A matched row no clause claims stays unchanged.
+    */
+  sealed trait MatchedClause
+  /** UPDATE SET: assigned columns take their expression (over target
+    * bare names + [[src]] names), unassigned columns keep their value.
+    */
+  final case class MatchedUpdate(
+    cond: org.apache.spark.sql.Column,
+    set: Map[String, org.apache.spark.sql.Column]) extends MatchedClause
+  /** DELETE: the matched row is removed. */
+  final case class MatchedDelete(
+    cond: org.apache.spark.sql.Column) extends MatchedClause
 }
 
 /** Thrown when a commit loses the optimistic-concurrency race: another
@@ -1108,6 +1130,123 @@ final class GraftTable(spark: SparkSession, val path: String,
       .join(touched, col(partitionCol) <=> col("__tp"), "left_semi")
     val merged = KeyedTable.upsertMerge(current, up, keys, defaults)
     writePartitions(merged.select(current.columns.map(col).toSeq: _*), base)
+  }
+
+  /** General MERGE INTO (the ANSI / Delta `MERGE` statement — the one
+    * mutation the specialized paths ([[upsertReplace]], [[upsertMerge]],
+    * [[insertIfAbsent]], [[deleteByKeys]]) cannot compose: conditional
+    * update/delete/insert in ONE atomic commit):
+    *
+    * {{{
+    *   t.merge(source,
+    *     matched = Seq(
+    *       MatchedDelete(src("op") === "del"),
+    *       MatchedUpdate(src("cents") > col("cents"),
+    *         Map("cents" -> src("cents")))),
+    *     notMatchedInsert = Some((src("op") =!= "del",
+    *       Map("event_id" -> src("event_id"), ...))))
+    * }}}
+    *
+    *   - ON is key equality (the table's `keys`; SQL semantics — null
+    *     keys never match, a null-key source row is "not matched").
+    *   - `matched` clauses evaluate IN ORDER per matched target row;
+    *     the first whose condition holds fires (update applies its
+    *     assignments, delete drops the row); no hit → row unchanged.
+    *     Conditions/assignments see target columns by bare name and
+    *     source columns via [[GraftTable.src]].
+    *   - `notMatchedInsert` inserts source rows matching no target key
+    *     whose condition holds; unassigned table columns pad typed
+    *     null. Assignments may only use [[GraftTable.src]] names.
+    *   - The source must be key-UNIQUE (one source row per target row
+    *     — Delta's multiple-match error, checked up front), so the
+    *     merge is deterministic under any partitioning.
+    *
+    * Scale shape: only partitions holding a MATCHED key rewrite
+    * (untouched partitions are never read); the not-matched anti-join
+    * scans the table's key columns only (column-pruned, the
+    * [[insertIfAbsent]] discipline); an update assigning the partition
+    * column moves the row — it lands as an append to its new
+    * partition, the old partition rewrites without it. Atomic + OCC
+    * like every mutation: one manifest commit, losers clean up.
+    */
+  def merge(source: DataFrame, matched: Seq[GraftTable.MatchedClause],
+            notMatchedInsert: Option[(org.apache.spark.sql.Column,
+                                      Map[String, org.apache.spark.sql.Column])] = None): this.type = {
+    import GraftTable.{MatchedDelete, MatchedUpdate}
+    require(matched.nonEmpty || notMatchedInsert.nonEmpty,
+      "merge needs at least one clause")
+    val base = ensureBaselineVersion()
+    val tgt = readAt(base)
+    val tableCols = tgt.columns.toSeq
+    val typeOf = tgt.schema.fields.map(f => f.name -> f.dataType).toMap
+    val badAssign = (matched.collect { case MatchedUpdate(_, set) => set.keys }
+      .flatten ++ notMatchedInsert.toSeq.flatMap(_._2.keys))
+      .filterNot(typeOf.contains)
+    require(badAssign.isEmpty,
+      s"merge assigns columns not in the table: ${badAssign.mkString(", ")}")
+    require(keys.forall(source.columns.contains),
+      s"merge source must carry the key columns ${keys.mkString(", ")}")
+
+    val sPref = source.select(
+      source.columns.toSeq.map(c => col(c).as(s"__s_$c")): _*)
+      .localCheckpoint(true) // consumed 3× (dup guard, matched join, anti)
+    val dup = sPref.groupBy(keys.map(k => col(s"__s_$k")): _*)
+      .count().filter(col("count") > 1).limit(1).count()
+    require(dup == 0L,
+      "merge source has duplicate keys — one source row may match a " +
+        "target row (the ANSI/Delta multiple-match error); de-duplicate first")
+
+    // partitions holding a matched key rewrite; everything else is
+    // untouched (clause-less matched side: nothing can change, so no
+    // partition rewrites — an insert-only merge is a pure append)
+    val matchedKeys = sPref.select(keys.map(k => col(s"__s_$k").as(k)): _*).distinct()
+    val touched =
+      (if (matched.isEmpty) tgt.limit(0) else tgt.join(matchedKeys, keys.toSeq, "left_semi"))
+        .select(col(partitionCol)).distinct().localCheckpoint(true)
+    val tp = touched.withColumnRenamed(partitionCol, "__tp")
+    val current = tgt.join(tp, col(partitionCol) <=> col("__tp"), "left_semi")
+
+    val joined = current.join(sPref,
+      keys.map(k => col(k) === col(s"__s_$k")).reduce(_ && _), "left")
+    // matched ⇒ the join equality held ⇒ every __s_ key is non-null
+    val isMatched = col(s"__s_${keys.head}").isNotNull
+    val action = matched.zipWithIndex.foldLeft(
+      when(lit(false), lit(-1))) { case (acc, (cl, i)) =>
+      val c = cl match {
+        case MatchedUpdate(c0, _) => c0
+        case MatchedDelete(c0)    => c0
+      }
+      acc.when(isMatched && coalesce(c, lit(false)), lit(i))
+    }.otherwise(lit(-1))
+    val acted = joined.withColumn("__act", action)
+    val deleteIdx = matched.zipWithIndex.collect { case (MatchedDelete(_), i) => i }
+    val kept =
+      if (deleteIdx.isEmpty) acted
+      else acted.filter(!col("__act").isin(deleteIdx: _*))
+    val updates = matched.zipWithIndex.collect { case (MatchedUpdate(_, set), i) => (i, set) }
+    val survivors = kept.select(tableCols.map { c =>
+      updates.filter(_._2.contains(c)).foldLeft(when(lit(false), lit(null))) {
+        case (acc, (i, set)) => acc.when(col("__act") === i, set(c).cast(typeOf(c)))
+      }.otherwise(col(c)).as(c)
+    }: _*)
+
+    val written = notMatchedInsert match {
+      case None => survivors
+      case Some((cond, set)) =>
+        // key-column-only scan of the whole table — the insertIfAbsent shape
+        val tgtKeys = tgt.select(keys.map(k => col(k).as(s"__s_$k")): _*).distinct()
+        val ins = sPref.join(tgtKeys, keys.map(k => s"__s_$k").toSeq, "left_anti")
+          .filter(coalesce(cond, lit(false)))
+          .select(tableCols.map { c =>
+            set.get(c).map(_.cast(typeOf(c)))
+              .getOrElse(lit(null).cast(typeOf(c))).as(c)
+          }: _*)
+        survivors.unionByName(ins)
+    }
+    val staged = Staging.stage(written, "merge_barrier")
+    commitRewrite(staged.df, partitionValsOf(touched), base)
+    staged.delete()
+    this
   }
 
   /** Keyed DELETE (K5): anti-join rewrite of only the touched

@@ -556,4 +556,109 @@ class GraftTableSpec extends SparkSpec {
     t.vacuum(1) // merged vector now references only dead files — a no-op
     assert(t.read.select("n").as[Int].collect().toSeq == Seq(2))
   }
+
+  import GraftTable.{MatchedDelete, MatchedUpdate, src}
+
+  test("merge: update + delete + insert in ONE atomic commit; unmatched and unclaimed rows keep") {
+    val t = freshTable().createIfNotExists(rows().schema)
+    t.importOnce(rows(("d1", "p", "r1", 1), ("d1", "p", "r2", 2),
+      ("d1", "p", "r3", 3), ("d2", "p", "r4", 4)))
+    val v0 = t.currentVersion
+    // source: r1 → delete, r2 → update (cond holds), r3 → matched but NO
+    // clause fires, r9 → insert, r8 → insert cond fails
+    val source = Seq(("p", "r1", "del", 0), ("p", "r2", "upd", 20),
+      ("p", "r3", "upd", -1), ("p", "r9", "ins", 9), ("p", "r8", "del", 8))
+      .toDF("pk", "rk", "op", "v")
+    t.merge(source,
+      matched = Seq(
+        MatchedDelete(src("op") === "del"),
+        MatchedUpdate(src("op") === "upd" && src("v") > col("n"),
+          Map("n" -> (src("v") + col("n"))))),
+      notMatchedInsert = Some((src("op") =!= "del",
+        Map("day" -> lit("d9"), "pk" -> src("pk"), "rk" -> src("rk"),
+          "n" -> src("v")))))
+    val got = t.read.select("day", "rk", "n").as[(String, String, Int)]
+      .collect().map(r => r._2 -> (r._1, r._3)).toMap
+    assert(got == Map("r2" -> (("d1", 22)), "r3" -> (("d1", 3)),
+      "r4" -> (("d2", 4)), "r9" -> (("d9", 9))))
+    assert(t.currentVersion == v0 + 1, "one merge = one commit")
+    // pre-merge state time-travels
+    assert(t.readAt(v0).count() == 4)
+  }
+
+  test("merge: clauses fire in order — first hit wins") {
+    def run(clauses: Seq[GraftTable.MatchedClause]): Seq[Int] = {
+      val t = freshTable().createIfNotExists(rows().schema)
+      t.importOnce(rows(("d1", "p", "r1", 1)))
+      t.merge(Seq(("p", "r1", 100)).toDF("pk", "rk", "v"), matched = clauses)
+      t.read.select("n").as[Int].collect().toSeq
+    }
+    // both clause conditions hold on the row; order decides
+    assert(run(Seq(MatchedDelete(lit(true)),
+      MatchedUpdate(lit(true), Map("n" -> src("v"))))) == Seq())
+    assert(run(Seq(MatchedUpdate(lit(true), Map("n" -> src("v"))),
+      MatchedDelete(lit(true)))) == Seq(100))
+  }
+
+  test("merge: duplicate source keys and unknown assignment columns are rejected") {
+    val t = freshTable().createIfNotExists(rows().schema)
+    t.importOnce(rows(("d1", "p", "r1", 1)))
+    val dup = Seq(("p", "r1", 1), ("p", "r1", 2)).toDF("pk", "rk", "v")
+    intercept[IllegalArgumentException] {
+      t.merge(dup, matched = Seq(MatchedUpdate(lit(true), Map("n" -> src("v")))))
+    }
+    intercept[IllegalArgumentException] {
+      t.merge(Seq(("p", "r1", 1)).toDF("pk", "rk", "v"),
+        matched = Seq(MatchedUpdate(lit(true), Map("nope" -> src("v")))))
+    }
+  }
+
+  test("merge: only matched partitions rewrite; insert-only merge rewrites nothing") {
+    val t = freshTable().createIfNotExists(rows().schema)
+    t.importOnce(rows(("d1", "p", "r1", 1), ("d2", "p", "r2", 2)))
+    def files(day: String) = {
+      val d = new java.io.File(s"${t.path}/day=$day")
+      if (!d.exists) Set.empty[(String, Long)]
+      else d.listFiles.filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getName, f.lastModified)).toSet
+    }
+    val (d1a, d2a) = (files("d1"), files("d2"))
+    // insert-only merge: NO partition rewrites, rows append
+    t.merge(Seq(("p", "r5", 5)).toDF("pk", "rk", "v"), matched = Nil,
+      notMatchedInsert = Some((lit(true),
+        Map("day" -> lit("d1"), "pk" -> src("pk"), "rk" -> src("rk"), "n" -> src("v")))))
+    assert(files("d1").intersect(d1a) == d1a, "insert-only merge must keep d1's files")
+    assert(files("d2") == d2a)
+    // matched merge touching only d1: d2's files stay put
+    t.merge(Seq(("p", "r1", 10)).toDF("pk", "rk", "v"),
+      matched = Seq(MatchedUpdate(lit(true), Map("n" -> src("v")))))
+    assert(files("d2") == d2a, "untouched partition must not rewrite")
+    assert(t.read.select("rk", "n").as[(String, Int)].collect().toMap
+      == Map("r1" -> 10, "r2" -> 2, "r5" -> 5))
+  }
+
+  test("merge: partition-moving update relocates the row; emptied partition drops") {
+    val t = freshTable().createIfNotExists(rows().schema)
+    t.importOnce(rows(("d1", "p", "r1", 1), ("d2", "p", "r2", 2)))
+    t.merge(Seq(("p", "r1")).toDF("pk", "rk"),
+      matched = Seq(MatchedUpdate(lit(true), Map("day" -> lit("d7")))))
+    val got = t.read.select("day", "rk").as[(String, String)].collect().toSet
+    assert(got == Set(("d7", "r1"), ("d2", "r2")))
+    // d1 lost its only row: gone from the live manifest
+    assert(t.read.filter($"day" === "d1").count() == 0)
+  }
+
+  test("merge: null-key source rows never match; unassigned insert columns pad null") {
+    val t = freshTable().createIfNotExists(rows().schema)
+    t.importOnce(rows(("d1", "p", "r1", 1)))
+    val source = Seq((Some("p"), Some("r1"), 50), (None, None, 60))
+      .toDF("pk", "rk", "v")
+    t.merge(source,
+      matched = Seq(MatchedUpdate(lit(true), Map("n" -> src("v")))),
+      notMatchedInsert = Some((lit(true),
+        Map("day" -> lit("dX"), "pk" -> src("pk"), "rk" -> src("rk")))))
+    val got = t.read.select("day", "n").as[(String, Option[Int])].collect().toSet
+    // the null-key row INSERTS (SQL: not matched), with n padded null
+    assert(got == Set(("d1", Some(50)), ("dX", None)))
+  }
 }
