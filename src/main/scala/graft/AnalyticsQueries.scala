@@ -526,6 +526,59 @@ object AnalyticsQueries {
           UNNEST([250, 500, 900, 990]) AS tq(q_milli)
         WHERE cum * 1000 >= q_milli * ntot.n
         GROUP BY 1, 2"""
-      })
+      }),
+
+    // Grouped simple OLS regression — the regression sibling of q96's
+    // grouped Pearson: exact fixed-point moment sums, closed-form
+    // slope / intercept / r² as one identical IEEE chain per engine.
+    QuerySpec("q216_grouped_ols",
+      (s, dir) => Analytics.groupedOls(Tables.lineitem(s, dir),
+        "l_returnflag", col("l_quantity"), col("l_extendedprice")),
+      Some("""
+        WITH b AS (
+          SELECT l_returnflag,
+            CAST(floor(l_quantity * 10000.0) AS BIGINT) AS xi,
+            CAST(floor(l_extendedprice * 10000.0) AS BIGINT) AS yi
+          FROM lineitem),
+        a AS (
+          SELECT l_returnflag, count(*) AS n_rows,
+            CAST(SUM(xi) AS DOUBLE) AS sx, CAST(SUM(yi) AS DOUBLE) AS sy,
+            CAST(SUM(xi * xi) AS DOUBLE) AS sxx,
+            CAST(SUM(yi * yi) AS DOUBLE) AS syy,
+            CAST(SUM(xi * yi) AS DOUBLE) AS sxy
+          FROM b GROUP BY 1)
+        SELECT l_returnflag, n_rows,
+          (n_rows * sxy - sx * sy) / (n_rows * sxx - sx * sx) AS slope,
+          (sy - (n_rows * sxy - sx * sy) / (n_rows * sxx - sx * sx) * sx)
+            / n_rows AS intercept,
+          (n_rows * sxy - sx * sy) * (n_rows * sxy - sx * sy)
+            / ((n_rows * sxx - sx * sx) * (n_rows * syy - sy * sy)) AS r2
+        FROM a""")),
+
+    // Time-decayed feature sums (the feature-store EWMA shape) in the
+    // exact bucket-granular integer form: per (key, 6h bucket), every
+    // source bucket's exact sum contributes >>(elapsed buckets) — the
+    // oracle replays the whole decay triangle as a banded self-join.
+    QuerySpec("q217_decayed_sums",
+      (s, dir) => {
+        val ev = Tables.events(s, dir).select(
+          (col("user_id") % 32).as("k"), unix_micros(col("ts")).as("tus"),
+          expr("abs(CAST(round(value * 100) AS BIGINT))").as("cents"))
+        Analytics.decayedSums(ev, "k", "tus", "cents",
+          bucketMicros = 21600000000L, maxLookback = 40)
+      },
+      Some("""
+        WITH e AS (
+          SELECT CAST(user_id % 32 AS BIGINT) AS k,
+            epoch_us(CAST(ts AS TIMESTAMP)) AS tus,
+            abs(CAST(round(value * 100) AS BIGINT)) AS cents
+          FROM events),
+        b AS (
+          SELECT k, tus // 21600000000 AS b, CAST(sum(cents) AS BIGINT) AS s
+          FROM e GROUP BY 1, 2)
+        SELECT t.k, t.b AS bucket,
+          CAST(sum(s.s >> CAST(t.b - s.b AS INT)) AS BIGINT) AS decayed
+        FROM b t JOIN b s ON s.k = t.k AND s.b BETWEEN t.b - 40 AND t.b
+        GROUP BY 1, 2"""))
   )
 }

@@ -106,4 +106,89 @@ object Analytics {
       .withColumn("v_ff", last(col("vmax"), ignoreNulls = true).over(w))
       .select(col("k").as(keyCol), col("b").as("bucket"), col("n_events"), col("v_ff"))
   }
+
+  /** Grouped simple OLS regression (y = slope·x + intercept per group)
+    * with EXACT integer moment sums — the regression sibling of the
+    * grouped Pearson correlation (q96): inputs quantize to fixed-point
+    * longs (⌊x·scale⌋, one deterministic IEEE op each), the five moment
+    * sums accumulate exactly in DECIMAL(38,0) (order-independent, so
+    * the result is partitioning-invariant), and the closed-form
+    * solution is one identical chain of IEEE double ops in any engine:
+    *
+    *   slope     = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)
+    *   intercept = (Σy − slope·Σx) / n          (in quantized units)
+    *   r²        = (n·Σxy − Σx·Σy)² / ((n·Σx² − (Σx)²)(n·Σy² − (Σy)²))
+    *
+    * slope and r² are scale-invariant (the quantization cancels);
+    * intercept is in the quantized unit (÷scale for raw units). A group
+    * with zero x-variance yields non-finite values — filter first.
+    *
+    * Scale shape: ONE map-side-combining aggregate over the data (five
+    * sums + a count per group), then row-local arithmetic on the
+    * group-count-sized result — the same cost as any grouped sum at
+    * 100 TB; no second pass, no window, no collect.
+    */
+  def groupedOls(df: DataFrame, groupCol: String,
+                 xCol: org.apache.spark.sql.Column,
+                 yCol: org.apache.spark.sql.Column,
+                 scale: Double = 10000.0): DataFrame = {
+    val xi = floor(xCol * scale).cast("long")
+    val yi = floor(yCol * scale).cast("long")
+    def exact(c: org.apache.spark.sql.Column) =
+      sum(c.cast("decimal(38,0)")).cast("double")
+    val covN = col("n_rows") * col("sxy") - col("sx") * col("sy")
+    val varXN = col("n_rows") * col("sxx") - col("sx") * col("sx")
+    val varYN = col("n_rows") * col("syy") - col("sy") * col("sy")
+    val slope = covN / varXN
+    df.select(col(groupCol), xi.as("xi"), yi.as("yi"))
+      .groupBy(groupCol)
+      .agg(count(lit(1)).as("n_rows"),
+        exact(col("xi")).as("sx"), exact(col("yi")).as("sy"),
+        exact(col("xi") * col("xi")).as("sxx"),
+        exact(col("yi") * col("yi")).as("syy"),
+        exact(col("xi") * col("yi")).as("sxy"))
+      .select(col(groupCol), col("n_rows"), slope.as("slope"),
+        ((col("sy") - slope * col("sx")) / col("n_rows")).as("intercept"),
+        (covN * covN / (varXN * varYN)).as("r2"))
+  }
+
+  /** Time-decayed feature sums — the feature-store EWMA shape ("user
+    * activity with a half-life"), in an exactly-reproducible integer
+    * form: events bucket to ⌊ts/bucketWidth⌋, and the decayed sum AT
+    * bucket B is Σ over source buckets b ∈ [B−maxLookback, B] of
+    * (bucket-sum(b) >> (B−b)) — each bucket's exact integer sum halves
+    * per elapsed bucket (arithmetic shift = floor halving, identical in
+    * every engine), so the decay is bucket-granular with half-life =
+    * bucketWidth. Emits one row per (key, bucket) that has events.
+    *
+    * Scale shape: one grouped sum to bucket level (corpus-sized input,
+    * bucket-sized output), then a row-local explode of each bucket to
+    * its ≤ maxLookback+1 target buckets with the shift applied AT
+    * explode time (bounded fan-out — never a range join, never a
+    * window), one grouped sum at bucket level, and a semi-join back to
+    * real buckets. Everything shuffles on the key — co-locatable.
+    * maxLookback=40 makes the window lossless for values below ~2⁴⁰
+    * per bucket (contributions shift to zero before the cap bites).
+    */
+  def decayedSums(df: DataFrame, keyCol: String, tsMicrosCol: String,
+                  valCol: String, bucketMicros: Long,
+                  maxLookback: Int = 40): DataFrame = {
+    require(bucketMicros > 0, s"bucketMicros must be positive, got $bucketMicros")
+    require(maxLookback >= 0 && maxLookback < 63,
+      s"maxLookback must be in [0, 62], got $maxLookback")
+    val sums = df
+      .groupBy(col(keyCol).as("k"),
+        expr(s"$tsMicrosCol DIV $bucketMicros").as("b"))
+      .agg(sum(col(valCol)).cast("long").as("s"))
+    val real = sums.select(col("k"), col("b").as("tb"))
+    sums
+      .select(col("k"), col("b"), col("s"),
+        explode(expr(s"sequence(b, b + $maxLookback)")).as("tb"))
+      .select(col("k"), col("tb"),
+        expr("shiftright(s, CAST(tb - b AS INT))").as("c"))
+      .groupBy("k", "tb")
+      .agg(sum(col("c")).as("decayed"))
+      .join(real, Seq("k", "tb"), "left_semi")
+      .select(col("k").as(keyCol), col("tb").as("bucket"), col("decayed"))
+  }
 }

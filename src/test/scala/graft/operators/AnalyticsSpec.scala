@@ -140,4 +140,82 @@ class AnalyticsSpec extends SparkSpec {
     assert(out(("1970-01-02", 1L)) === 1L) // u3
     assert(out.size === 5)
   }
+
+  test("groupedOls recovers an exact linear relation; r² = 1") {
+    val s = spark; import s.implicits._
+    import org.apache.spark.sql.functions.col
+    // y = 3x + 5 exactly, two groups with different x ranges
+    val df = (1 to 20).map(i => ("a", i.toDouble, 3.0 * i + 5.0)) ++
+      (1 to 20).map(i => ("b", (i + 100).toDouble, 3.0 * (i + 100) + 5.0))
+    val out = Analytics.groupedOls(df.toDF("g", "x", "y"), "g",
+      col("x"), col("y"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    for (g <- Seq("a", "b")) {
+      val (slope, intercept, r2) = out(g)
+      assert(math.abs(slope - 3.0) < 1e-9, s"$g slope $slope")
+      // intercept is in quantized units (×10⁴)
+      assert(math.abs(intercept / 10000.0 - 5.0) < 1e-6, s"$g intercept $intercept")
+      assert(math.abs(r2 - 1.0) < 1e-12, s"$g r2 $r2")
+    }
+  }
+
+  test("groupedOls matches a driver-side least-squares fit on noisy data") {
+    val s = spark; import s.implicits._
+    import org.apache.spark.sql.functions.col
+    // deterministic pseudo-noise
+    val pts = (1 to 500).map { i =>
+      val x = i.toDouble / 7.0
+      val noise = ((i * 2654435761L) % 1000).toDouble / 500.0 - 1.0
+      (x, 2.5 * x + noise)
+    }
+    val out = Analytics.groupedOls(
+      pts.map { case (x, y) => ("g", x, y) }.toDF("g", "x", "y"), "g",
+      col("x"), col("y")).collect().head
+    // brute-force fit over the SAME quantized values
+    val q = pts.map { case (x, y) =>
+      (math.floor(x * 10000.0), math.floor(y * 10000.0)) }
+    val n = q.size.toDouble
+    val (sx, sy) = (q.map(_._1).sum, q.map(_._2).sum)
+    val sxx = q.map(p => p._1 * p._1).sum
+    val sxy = q.map(p => p._1 * p._2).sum
+    val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    val icpt = (sy - slope * sx) / n
+    assert(math.abs(out.getDouble(2) - slope) < 1e-9 * math.abs(slope))
+    assert(math.abs(out.getDouble(3) - icpt) < 1e-6 * math.abs(icpt).max(1.0))
+    assert(out.getDouble(4) > 0.99 && out.getDouble(4) < 1.0) // strong but noisy
+  }
+
+  test("decayedSums equals the brute-force decay triangle; partitioning-invariant") {
+    val s = spark; import s.implicits._
+    // key A: values in buckets 0,1,3 (gap at 2); key B: one bucket
+    val rows = Seq(("A", 5L, 100L), ("A", 7L, 3L), ("A", 15L, 40L),
+      ("A", 31L, 9L), ("B", 12L, 77L))
+    def run(parts: Int) = Analytics.decayedSums(
+      rows.toDF("k", "tus", "v").repartition(parts), "k", "tus", "v",
+      bucketMicros = 10L, maxLookback = 40)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val got = run(1)
+    // bucket sums: A → {0: 103, 1: 40, 3: 9}; B → {1: 77}
+    assert(got == Map(
+      ("A", 0L) -> 103L,
+      ("A", 1L) -> (103L / 2 + 40L),            // 91
+      ("A", 3L) -> (103L / 8 + 40L / 4 + 9L),   // 12 + 10 + 9 = 31
+      ("B", 1L) -> 77L))
+    assert(run(7) == got, "decay must be partitioning-invariant")
+  }
+
+  test("decayedSums drops contributions beyond maxLookback; shifts floor exactly") {
+    val s = spark; import s.implicits._
+    val rows = Seq(("k", 0L, 1000L), ("k", 50L, 1L)) // buckets 0 and 5
+    val got = Analytics.decayedSums(rows.toDF("k", "tus", "v"),
+      "k", "tus", "v", bucketMicros = 10L, maxLookback = 3)
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    // bucket 5 is 5 > maxLookback=3 buckets past bucket 0: no carry-over
+    assert(got == Map(0L -> 1000L, 5L -> 1L))
+    val g2 = Analytics.decayedSums(rows.toDF("k", "tus", "v"),
+      "k", "tus", "v", bucketMicros = 10L, maxLookback = 5)
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(g2 == Map(0L -> 1000L, 5L -> (1000L / 32 + 1L))) // 31 + 1
+  }
 }
