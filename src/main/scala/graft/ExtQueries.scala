@@ -716,6 +716,41 @@ object ExtQueries {
         FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rn FROM sims) r
         WHERE rn <= 3""")),
 
+    // ATTRIBUTE-FILTERED ANN (the pgvector/Qdrant filtered-search
+    // shape): the predicate (even ids, standing in for any metadata
+    // filter) semi-joins the prebuilt IVF index, the selectivity gate
+    // picks the probe path (survivors ≫ maxExactRows=50 at every SF),
+    // and candidates = probed cells ∩ matching BEFORE any scoring. The
+    // oracle replays assignment, probes, the filter, and the ranking.
+    QuerySpec("q218_filtered_ann",
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        val index = SimilaritySearch.ivfAssign(e, e.filter(col("vec_id") < 16),
+          "vec_id", "embedding", "vec_id")
+        SimilaritySearch.filteredTopK(
+          e.filter(col("vec_id") < 8), index, e.filter(col("vec_id") < 16),
+          e.filter(col("vec_id") % 2 === 0).select("vec_id"),
+          "vec_id", "embedding", "vec_id", k = 3, nProbe = 4,
+          maxExactRows = 50L)
+      },
+      Some(s"""
+        WITH $IVF_CAND_SQL,
+        fcand AS (SELECT qid, nid FROM cand WHERE nid % 2 = 0),
+        el AS (
+          SELECT c.qid, c.nid, UNNEST(q.embedding) AS x, UNNEST(e.embedding) AS y
+          FROM fcand c JOIN embeddings q ON c.qid = q.vec_id
+                       JOIN embeddings e ON c.nid = e.vec_id),
+        dots AS (
+          SELECT qid, nid, SUM(CAST(floor(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) * 1000000000.0) AS BIGINT)) AS dot
+          FROM el GROUP BY 1, 2),
+        sims AS (
+          SELECT qid, nid,
+            CAST(dot AS DOUBLE) / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b2.n2 AS DOUBLE))) AS sim
+          FROM dots JOIN n2 a ON qid = a.vec_id JOIN n2 b2 ON nid = b2.vec_id)
+        SELECT qid, nid, sim, CAST(rn AS INTEGER) AS rank
+        FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rn FROM sims) r
+        WHERE rn <= 3""")),
+
     // Product-quantization ANN (Jégou et al. 2011): vectors compress to
     // m=8 sub-codes (argmin sub-centroid per 8-dim subspace, seed
     // codebook standing in for offline per-subspace k-means, like q50's

@@ -216,6 +216,45 @@ object SimilaritySearch {
       ivfAssign(corpus, centroids, idCol, vecCol, cidCol),
       centroids, idCol, vecCol, cidCol, k, nProbe)
 
+  /** ATTRIBUTE-FILTERED ANN — the pgvector/Qdrant/Weaviate "filtered
+    * vector search" shape: top-k nearest among ONLY the corpus vectors
+    * an attribute predicate keeps. `matching` carries the surviving ids
+    * (computed from any metadata frame by the caller); `index` is the
+    * prebuilt [[ivfAssign]] table. Production planners gate the
+    * strategy on predicate selectivity, and so does this operator:
+    *
+    *   - ≤ `maxExactRows` survivors → EXACT scoring of the survivors:
+    *     a highly selective filter makes exact search CHEAPER than
+    *     probing AND recall-perfect (probed cells would hold few or
+    *     none of the scattered survivors — the classic filtered-ANN
+    *     recall collapse);
+    *   - above it → IVF cell probe with the filter pushed into the
+    *     candidate set BEFORE any scoring (candidates = probed cells ∩
+    *     matching — the "pre-filtered post-filter" every vector store
+    *     converges on).
+    *
+    * The gate is one count over the semi-joined index — metadata-cheap
+    * next to scoring — and deterministic for a given input, so the
+    * composite replays exactly. The index scans twice (gate + chosen
+    * branch); at scale both are column-pruned id/cell reads.
+    */
+  def filteredTopK(queries: DataFrame, index: DataFrame, centroids: DataFrame,
+                   matching: DataFrame, idCol: String, vecCol: String,
+                   cidCol: String, k: Int, nProbe: Int,
+                   maxExactRows: Long = 10000L): DataFrame = {
+    val ids = matching.select(col(idCol).as("nid")).distinct()
+    val live = index.join(ids, Seq("nid"), "left_semi")
+    if (live.count() <= maxExactRows) {
+      val q = withNorm(queries, idCol, vecCol, "q")
+      val sims = q.join(live, col("qid") =!= col("nid"))
+        .select(col("qid"), col("nid"),
+          VectorFns.cosineFrom(VectorFns.dotFixed9(col("qvec"), col("nvec")),
+            col("qn2"), col("nn2")).as("sim_raw"))
+      rank(sims, k)
+    } else
+      ivfTopKIndexed(queries, live, centroids, idCol, vecCol, cidCol, k, nProbe)
+  }
+
   /** Aggregator-based variant of the exact search: replaces the window
     * sort with the bounded-heap [[graft.expr.TopKAggregator]] — each
     * partial buffer carries at most k entries and combines map-side, so

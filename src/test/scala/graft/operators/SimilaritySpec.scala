@@ -351,4 +351,44 @@ class SimilaritySpec extends SparkSpec {
       .select("qid", "nid", "rank").as[(Long, Long, Int)].collect().toSeq.sorted
     assert(got === again, "draw must not depend on partitioning")
   }
+
+  test("filteredTopK: selective filter takes the EXACT branch and equals brute force over survivors") {
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val cents = e.filter($"vec_id" < 16)
+    val index = SimilaritySearch.ivfAssign(e, cents, "vec_id", "embedding", "vec_id")
+    val matching = e.filter($"vec_id" % 37 === 0).select("vec_id") // ~14 survivors
+    val queries = e.filter($"vec_id" < 4)
+    val got = SimilaritySearch.filteredTopK(queries, index, cents, matching,
+      "vec_id", "embedding", "vec_id", k = 3, nProbe = 2, maxExactRows = 1000L)
+      .select("qid", "nid", "rank").as[(Long, Long, Int)].collect().toSeq.sorted
+    val exact = SimilaritySearch.bruteForceTopK(queries,
+      e.join(matching, Seq("vec_id"), "left_semi"), "vec_id", "embedding", k = 3)
+      .select("qid", "nid", "rank").as[(Long, Long, Int)].collect().toSeq.sorted
+    assert(got === exact, "exact branch must be recall-perfect over the survivors")
+    assert(got.nonEmpty)
+  }
+
+  test("filteredTopK: permissive filter takes the probe branch ≡ IVF over the filtered index; exact branch beats its recall") {
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val cents = e.filter($"vec_id" < 16)
+    val index = SimilaritySearch.ivfAssign(e, cents, "vec_id", "embedding", "vec_id")
+    val matching = e.filter($"vec_id" % 2 === 0).select("vec_id")
+    val queries = e.filter($"vec_id" < 4)
+    def run(maxExact: Long) = SimilaritySearch.filteredTopK(queries, index,
+      cents, matching, "vec_id", "embedding", "vec_id", k = 3, nProbe = 2,
+      maxExactRows = maxExact)
+    val probed = run(10L) // survivors ≫ 10 → probe branch
+      .select("qid", "nid", "rank").as[(Long, Long, Int)].collect().toSeq.sorted
+    val viaIvf = SimilaritySearch.ivfTopKIndexed(queries,
+      index.join(matching.withColumnRenamed("vec_id", "nid"), Seq("nid"), "left_semi"),
+      cents, "vec_id", "embedding", "vec_id", k = 3, nProbe = 2)
+      .select("qid", "nid", "rank").as[(Long, Long, Int)].collect().toSeq.sorted
+    assert(probed === viaIvf, "probe branch = IVF over the pre-filtered index")
+    // the same call with the gate wide open is exact — recall ≥ the probe's
+    val exactSet = run(1000000L)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    val overlap = probed.map(p => (p._1, p._2)).count(exactSet.contains)
+    assert(overlap <= probed.size && exactSet.size == probed.size,
+      "both branches return k rows per query")
+  }
 }
