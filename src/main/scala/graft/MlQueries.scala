@@ -427,6 +427,26 @@ object MlQueries {
       },
       Some(perceptronOracleSql)),
 
+    // NAIVE BAYES train + serve — the counting member of the
+    // classifier-training family (fit = ONE grouped count; mergeable,
+    // incrementally refreshable): add-one smoothed milli-bit log2
+    // weights + priors over the same language labels as q185, then
+    // per-doc argmax with margin. The oracle replays counts, the full
+    // smoothed grid, priors, and the scoring — integer end to end.
+    QuerySpec("q219_naive_bayes",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+          .withColumn("lab",
+            when(col("lang") === "de", 0L).when(col("lang") === "en", 1L)
+              .when(col("lang") === "es", 2L).when(col("lang") === "fr", 3L)
+              .otherwise(4L))
+        val (model, priors) = Classifier.trainNaiveBayes(docs, "doc_id",
+          "text", "lab", buckets = 64, nClasses = 5)
+        Classifier.predictNaiveBayes(docs, "doc_id", "text", model, priors,
+          buckets = 64)
+      },
+      Some(naiveBayesOracleSql)),
+
     // Graph-based ANN — the OTHER production ANN architecture next to
     // the IVF/PQ/SQ8 cell family (HNSW/NSG lineage): the NN-DESCENT
     // graph as the index (the production shape — nobody has the exact
@@ -800,6 +820,76 @@ object MlQueries {
             row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rn
           FROM f2 WHERE qid <> nid)
         SELECT qid, nid, sim, CAST(rn AS INTEGER) AS rank FROM r WHERE rn <= 3"""
+  }
+
+  /** DuckDB replay of [[operators.Classifier.trainNaiveBayes]] +
+    * [[operators.Classifier.predictNaiveBayes]] (B=64, C=5, language
+    * labels) — the q219 oracle: hashed uni+bigram feature counts, the
+    * add-one-smoothed milli-bit weight grid + priors, per-doc scores,
+    * argmax with margin.
+    */
+  private[graft] lazy val naiveBayesOracleSql: String = {
+    def mlog2(x: String) =
+      s"(CAST(length(bin($x)) - 1 AS BIGINT) * 1000 + (($x - (CAST(1 AS BIGINT) << " +
+        s"(length(bin($x)) - 1))) * 1000) // (CAST(1 AS BIGINT) << " +
+        s"(length(bin($x)) - 1)))"
+    s"""
+        WITH $WORDS_SQL,
+        lab AS (
+          SELECT doc_id, CASE lang WHEN 'de' THEN 0 WHEN 'en' THEN 1
+            WHEN 'es' THEN 2 WHEN 'fr' THEN 3 ELSE 4 END AS lab
+          FROM documents),
+        puni AS (SELECT doc_id, UNNEST(w) AS f FROM words),
+        pbi AS (
+          SELECT doc_id,
+            w[CAST(i AS INTEGER)] || '_' || w[CAST(i + 1 AS INTEGER)] AS f
+          FROM words, UNNEST(range(1, len(w))) AS t(i)),
+        pfb AS MATERIALIZED (
+          SELECT doc_id,
+            CAST(concat('0x', substr(md5(f), 1, 15)) AS BIGINT) % 64 AS bucket,
+            CAST(count(*) AS BIGINT) AS cnt
+          FROM (SELECT doc_id, f FROM puni
+                UNION ALL SELECT doc_id, f FROM pbi) ff
+          GROUP BY 1, 2),
+        fc AS (
+          SELECT l.lab AS cls, p.bucket, CAST(SUM(p.cnt) AS BIGINT) AS fc
+          FROM pfb p JOIN lab l USING (doc_id) GROUP BY 1, 2),
+        tt AS (SELECT cls, CAST(SUM(fc) AS BIGINT) AS tot FROM fc GROUP BY 1),
+        grid AS (
+          SELECT CAST(b.range AS BIGINT) AS bucket, CAST(c.range AS BIGINT) AS cls
+          FROM range(64) b, range(5) c),
+        fcg AS (
+          SELECT g.bucket, g.cls, COALESCE(fc.fc, 0) + 1 AS fc1,
+            COALESCE(tt.tot, 0) + 64 AS totb
+          FROM grid g LEFT JOIN fc ON g.bucket = fc.bucket AND g.cls = fc.cls
+                      LEFT JOIN tt ON g.cls = tt.cls),
+        mdl AS MATERIALIZED (
+          SELECT bucket, cls,
+            ${mlog2("fc1")} - ${mlog2("totb")} AS w
+          FROM fcg),
+        pcn AS (
+          SELECT CAST(c.range AS BIGINT) AS cls,
+            COALESCE(pc.nc, 0) + 1 AS nc1, nn.nn + 5 AS nnc
+          FROM range(5) c
+          LEFT JOIN (SELECT lab AS cls, CAST(count(*) AS BIGINT) AS nc
+                     FROM lab GROUP BY 1) pc ON c.range = pc.cls
+          CROSS JOIN (SELECT CAST(count(*) AS BIGINT) AS nn FROM lab) nn),
+        pri AS (
+          SELECT cls, ${mlog2("nc1")} - ${mlog2("nnc")} AS prior FROM pcn),
+        sc AS (
+          SELECT p.doc_id, m.cls, CAST(SUM(p.cnt * m.w) AS BIGINT) AS lk
+          FROM pfb p JOIN mdl m USING (bucket) GROUP BY 1, 2),
+        scp AS (
+          SELECT s.doc_id, s.cls, s.lk + r.prior AS score
+          FROM sc s JOIN pri r USING (cls)),
+        rk AS (
+          SELECT doc_id, cls, score,
+            row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, cls) AS rn
+          FROM scp)
+        SELECT a.doc_id, a.cls AS pred_cls, CAST(a.score AS BIGINT) AS best_score,
+          CAST(a.score - b.score AS BIGINT) AS margin
+        FROM rk a JOIN rk b ON a.doc_id = b.doc_id AND b.rn = 2
+        WHERE a.rn = 1"""
   }
 
   /** DuckDB replay of [[operators.Sampling.dsirSelect]] (buckets 4096,

@@ -200,6 +200,89 @@ object Classifier {
     summed.df
   }
 
+  /** MULTINOMIAL NAIVE BAYES training — the counting member of the
+    * classifier-training family next to the mistake-driven perceptron
+    * ([[trainPerceptron]]): the entire fit is ONE grouped count over
+    * the hashed feature table (plus a doc count for priors), which
+    * makes it the cheapest trainable quality/language gate and the
+    * only one whose training is embarrassingly mergeable (counts are
+    * additive — shard fits combine by summation; incremental refresh
+    * is adding the new batch's counts).
+    *
+    * Add-one smoothed, in exact MILLI-BIT integer log2 (the BM25/KN/
+    * DSIR discipline — no float log anywhere, so the trained weights
+    * and every downstream score are engine- and partitioning-exact):
+    *
+    *   w(b, c)  = mlog2(fc(b,c) + 1) − mlog2(tot(c) + buckets)
+    *   prior(c) = mlog2(n(c) + 1) − mlog2(N + nClasses)
+    *
+    * Returns (model, priors): `model` is the COMPLETE (bucket, cls, w)
+    * grid — [[predictFused]]-compatible where uniform priors suffice —
+    * and `priors` is (cls, prior). Null/out-of-range labels fail
+    * loudly (the [[trainPerceptron]] discipline).
+    */
+  def trainNaiveBayes(docs: DataFrame, idCol: String, textCol: String,
+                      labelCol: String, buckets: Int,
+                      nClasses: Int): (DataFrame, DataFrame) = {
+    require(nClasses >= 2, s"need >= 2 classes, got $nClasses")
+    val spark = docs.sparkSession
+    val labels = docs.select(col(idCol), col(labelCol).cast("long").as("__lab"))
+    val bad = labels.filter(col("__lab").isNull ||
+      col("__lab") < 0 || col("__lab") >= nClasses).count()
+    require(bad == 0L,
+      s"$bad documents have a null or out-of-range label " +
+        s"(labelCol must be an integer in [0, $nClasses))")
+    val fc = featureBuckets(docs, idCol, textCol, buckets)
+      .join(labels, Seq(idCol))
+      .groupBy(col("__lab").as("cls"), col("bucket"))
+      .agg(sum("cnt").as("fc"))
+    val tot = fc.groupBy("cls").agg(sum("fc").as("tot"))
+    val grid = spark.range(buckets).select(col("id").as("bucket"))
+      .crossJoin(spark.range(nClasses).select(col("id").as("cls")))
+    val model = grid.join(fc, Seq("bucket", "cls"), "left")
+      .join(tot, Seq("cls"), "left")
+      .select(col("bucket"), col("cls"),
+        (coalesce(col("fc"), lit(0L)) + 1L).as("fc1"),
+        (coalesce(col("tot"), lit(0L)) + buckets.toLong).as("totb"))
+      .select(col("bucket"), col("cls"),
+        (expr(CorpusText.mlog2Sql("fc1")) -
+          expr(CorpusText.mlog2Sql("totb"))).as("w"))
+    val priors = spark.range(nClasses).select(col("id").as("cls"))
+      .join(labels.groupBy(col("__lab").as("cls"))
+        .agg(count(lit(1)).as("nc")), Seq("cls"), "left")
+      .crossJoin(broadcast(labels.agg(count(lit(1)).as("nn"))))
+      .select(col("cls"), (coalesce(col("nc"), lit(0L)) + 1L).as("nc1"),
+        (col("nn") + nClasses.toLong).as("nnc"))
+      .select(col("cls"),
+        (expr(CorpusText.mlog2Sql("nc1")) -
+          expr(CorpusText.mlog2Sql("nnc"))).as("prior"))
+    (model, priors)
+  }
+
+  /** NAIVE BAYES inference over a [[trainNaiveBayes]] fit: per-class
+    * score = prior + Σ_features cnt·w in exact milli-bit integers, then
+    * a bounded per-doc argmax (ties to the smallest class). Same plan
+    * shape as [[predict]] plus one broadcast prior join — the model and
+    * priors are metadata-sized, the corpus is touched once.
+    */
+  def predictNaiveBayes(docs: DataFrame, idCol: String, textCol: String,
+                        model: DataFrame, priors: DataFrame,
+                        buckets: Int): DataFrame = {
+    val scored = featureBuckets(docs, idCol, textCol, buckets)
+      .join(broadcast(model), Seq("bucket"))
+      .groupBy(col(idCol), col("cls"))
+      .agg(sum(col("cnt") * col("w")).as("like"))
+      .join(broadcast(priors), Seq("cls"))
+      .select(col(idCol), col("cls"), (col("like") + col("prior")).as("score"))
+    scored.groupBy(col(idCol))
+      .agg(sort_array(collect_list(struct(col("score").as("s"),
+        (-col("cls")).as("nc"))), asc = false).as("ranked"))
+      .select(col(idCol),
+        (-col("ranked")(0)("nc")).as("pred_cls"),
+        col("ranked")(0)("s").as("best_score"),
+        (col("ranked")(0)("s") - col("ranked")(1)("s")).as("margin"))
+  }
+
   /** Classifier inference: (id, pred_cls, best_score, margin) per
     * document with at least one feature. `model` must cover every
     * (bucket, cls) pair (so each doc scores exactly nClasses rows);

@@ -160,4 +160,40 @@ class ClassifierSpec extends SparkSpec {
       .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
     assert(a === bOut)
   }
+
+  test("trainNaiveBayes separates a disjoint-vocabulary toy set; grid complete; priors favor the bigger class") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "aa aa bb", 0L), (2L, "aa bb bb", 0L), (3L, "bb aa", 0L),
+      (4L, "cc dd cc", 1L), (5L, "dd cc", 1L)).toDF("doc_id", "text", "lab")
+    val (model, priors) = Classifier.trainNaiveBayes(docs, "doc_id", "text",
+      "lab", buckets = 128, nClasses = 2)
+    assert(model.count() === 256L, "model must cover the full B*C grid")
+    assert(priors.count() === 2L)
+    val preds = Classifier.predictNaiveBayes(docs, "doc_id", "text", model,
+      priors, 128).select("doc_id", "pred_cls")
+      .as[(Long, Long)].collect().toMap
+    assert(preds === Map(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 1L, 5L -> 1L))
+    // class 0 has 3 docs, class 1 has 2 → its prior is strictly larger
+    val p = priors.as[(Long, Long)].collect().toMap
+    assert(p(0L) > p(1L), s"bigger class must carry the bigger prior: $p")
+  }
+
+  test("trainNaiveBayes is partitioning-invariant and rejects bad labels") {
+    val s = spark
+    import s.implicits._
+    val docs = Tables.documents(spark, sf001).limit(80)
+      .withColumn("lab", when(col("lang") === "en", 0L).otherwise(1L))
+    def run(d: org.apache.spark.sql.DataFrame) = {
+      val (m, p) = Classifier.trainNaiveBayes(d, "doc_id", "text", "lab", 64, 2)
+      Classifier.predictNaiveBayes(d, "doc_id", "text", m, p, 64)
+        .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    }
+    assert(run(docs) === run(docs.repartition(13)))
+    val bad = Seq((1L, "a b", 0L), (2L, "c d", 7L)).toDF("doc_id", "text", "lab")
+    val e = intercept[IllegalArgumentException](
+      Classifier.trainNaiveBayes(bad, "doc_id", "text", "lab", 8, 2))
+    assert(e.getMessage.contains("out-of-range"))
+  }
 }
