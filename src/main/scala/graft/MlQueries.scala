@@ -447,6 +447,26 @@ object MlQueries {
       },
       Some(naiveBayesOracleSql)),
 
+    // DECISION-TREE training + serving — the third trainable classifier
+    // family (axis-split rules over quantized quality signals): depth-2
+    // CART with exact integer milli-Gini split selection on token-count
+    // and chars-per-token features, English-vs-rest labels. The oracle
+    // replays BOTH levels' count→cumulate→score→argmax chains and the
+    // routing — one wrong split or leaf anywhere breaks the hash.
+    QuerySpec("q220_decision_tree",
+      (s, dir) => {
+        val base = Tables.documents(s, dir)
+          .withColumn("w", graft.functions.TextFns.tokens(col("text")))
+          .select(col("doc_id"),
+            when(col("lang") === "en", 1L).otherwise(0L).as("lab"),
+            expr("CAST(least(size(w) DIV 8, 63) AS BIGINT)").as("f0"),
+            expr("CAST(least(n_chars DIV (size(w) + 1), 31) AS BIGINT)").as("f1"))
+        val nodes = Classifier.trainDecisionTree(base, "doc_id", "lab",
+          Seq("f0", "f1"), depth = 2, nClasses = 2)
+        Classifier.applyTree(base, "doc_id", Seq("f0", "f1"), nodes, depth = 2)
+      },
+      Some(decisionTreeOracleSql)),
+
     // Graph-based ANN — the OTHER production ANN architecture next to
     // the IVF/PQ/SQ8 cell family (HNSW/NSG lineage): the NN-DESCENT
     // graph as the index (the production shape — nobody has the exact
@@ -890,6 +910,75 @@ object MlQueries {
           CAST(a.score - b.score AS BIGINT) AS margin
         FROM rk a JOIN rk b ON a.doc_id = b.doc_id AND b.rn = 2
         WHERE a.rn = 1"""
+  }
+
+  /** DuckDB replay of [[operators.Classifier.trainDecisionTree]] +
+    * [[operators.Classifier.applyTree]] (depth 2, binary labels,
+    * features f0 = token-count bin, f1 = chars-per-token bin) — the
+    * q220 oracle. Each level x: long-format feature values, (node,
+    * feature, value, class) counts, left-cumulative counts against the
+    * full class list, milli-Gini scores with non-negative floor
+    * divisions, per-node argmax (score desc, feature asc, value asc),
+    * and the heap-indexed reassignment. Leaves take the majority label
+    * with ties to the smaller class.
+    */
+  private[graft] lazy val decisionTreeOracleSql: String = {
+    def lvl(x: Int) = s"""
+        l$x AS (SELECT node, lab, 0 AS fi, f0 AS v FROM a$x
+                UNION ALL SELECT node, lab, 1 AS fi, f1 FROM a$x),
+        c$x AS (SELECT node, fi, v, lab, CAST(count(*) AS BIGINT) AS c
+                FROM l$x GROUP BY 1, 2, 3, 4),
+        t$x AS (SELECT node, fi, lab, CAST(SUM(c) AS BIGINT) AS tc
+                FROM c$x GROUP BY 1, 2, 3),
+        d$x AS (SELECT DISTINCT node, fi, v FROM c$x),
+        u$x AS (
+          SELECT d.node, d.fi, d.v, t.lab, t.tc,
+            CAST(COALESCE(SUM(s.c), 0) AS BIGINT) AS cc
+          FROM d$x d JOIN t$x t ON d.node = t.node AND d.fi = t.fi
+          LEFT JOIN c$x s ON s.node = d.node AND s.fi = d.fi
+            AND s.lab = t.lab AND s.v <= d.v
+          GROUP BY 1, 2, 3, 4, 5),
+        s$x AS (
+          SELECT node, fi, v,
+            CAST(SUM(cc) AS BIGINT) AS nl, CAST(SUM(cc * cc) AS BIGINT) AS al,
+            CAST(SUM(tc - cc) AS BIGINT) AS nr,
+            CAST(SUM((tc - cc) * (tc - cc)) AS BIGINT) AS ar
+          FROM u$x GROUP BY 1, 2, 3),
+        g$x AS (
+          SELECT node, fi, v, al * 1000 // nl + ar * 1000 // nr AS score
+          FROM s$x WHERE nr > 0),
+        b$x AS (
+          SELECT node, fi AS bfi, v AS bthr FROM (
+            SELECT node, fi, v,
+              row_number() OVER (PARTITION BY node ORDER BY score DESC, fi, v) AS rn
+            FROM g$x) z WHERE rn = 1),
+        a${x + 1} AS MATERIALIZED (
+          SELECT a.doc_id, a.lab, a.f0, a.f1,
+            CASE WHEN b.node IS NULL THEN a.node
+                 ELSE a.node * 2 + CASE WHEN (CASE WHEN b.bfi = 0 THEN a.f0
+                                              ELSE a.f1 END) > b.bthr
+                                   THEN 1 ELSE 0 END
+            END AS node
+          FROM a$x a LEFT JOIN b$x b ON a.node = b.node),"""
+    s"""
+        WITH $WORDS_SQL,
+        a1 AS (
+          SELECT doc_id,
+            CAST(CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS BIGINT) AS lab,
+            CAST(least(len(w) // 8, 63) AS BIGINT) AS f0,
+            CAST(least(n_chars // (len(w) + 1), 31) AS BIGINT) AS f1,
+            CAST(1 AS BIGINT) AS node
+          FROM words),
+        ${lvl(1)}
+        ${lvl(2)}
+        lv AS (SELECT node, lab, CAST(count(*) AS BIGINT) AS c
+               FROM a3 GROUP BY 1, 2),
+        pr AS (SELECT node, lab AS pred FROM (
+          SELECT node, lab,
+            row_number() OVER (PARTITION BY node ORDER BY c DESC, lab) AS rn
+          FROM lv) z WHERE rn = 1)
+        SELECT a.doc_id, a.node AS leaf, p.pred AS pred_cls
+        FROM a3 a JOIN pr p ON a.node = p.node"""
   }
 
   /** DuckDB replay of [[operators.Sampling.dsirSelect]] (buckets 4096,

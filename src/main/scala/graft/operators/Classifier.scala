@@ -259,6 +259,140 @@ object Classifier {
     (model, priors)
   }
 
+  /** CART-style fixed-depth DECISION-TREE training with EXACT integer
+    * Gini — the third trainable classifier family (mistake-driven
+    * perceptron, counting Naive Bayes, and now the axis-split tree: the
+    * interpretable quality-gate shape — "keep docs with ≥ W words AND
+    * ≤ R link ratio" rules are exactly depth-2 trees over quality
+    * signals). Features must be INTEGER-VALUED and low-cardinality
+    * (quantize/bucketize first — the q83 discipline); every node at
+    * every level splits on the (feature, threshold) maximizing the
+    * milli-unit Gini gain score
+    *
+    *   score(f, t) = 1000·Σ_c cntL_c² div n_L + 1000·Σ_c cntR_c² div n_R
+    *
+    * (monotone in the negative weighted impurity; pure integer floor
+    * divisions of non-negative counts, so every engine picks the
+    * identical split; ties → smallest feature index, then smallest
+    * threshold). Splits are `value ≤ t` left / `> t` right; a node with
+    * no valid candidate (single distinct value on every feature) stays
+    * a leaf. Nodes are heap-indexed (root 1, children 2n/2n+1).
+    *
+    * Returns the node table: internal rows (node, fi, thr, pred=null),
+    * leaf rows (node, null, null, pred = majority label, ties to the
+    * smaller class). Serve with [[applyTree]].
+    *
+    * Scale shape: each level touches the corpus ONCE (a row-local m-way
+    * posexplode, then one (node, feature, value, label) count whose
+    * output is bounded by nodes·m·bins·classes — metadata, not corpus);
+    * the cumulative/score/argmax chain runs entirely on that bounded
+    * table (the ≤-join fans out bins× on it, never on data). Per-level
+    * assignment is one broadcast join against ≤ 2^level split rows.
+    * Corpus cost = depth scans, independent of bins·classes.
+    */
+  def trainDecisionTree(docs: DataFrame, idCol: String, labelCol: String,
+                        featureCols: Seq[String], depth: Int,
+                        nClasses: Int): DataFrame = {
+    require(depth >= 1 && depth <= 4, s"depth must be in [1,4], got $depth")
+    require(featureCols.nonEmpty && featureCols.size <= 16,
+      s"need 1..16 feature columns, got ${featureCols.size}")
+    require(nClasses >= 2, s"need >= 2 classes, got $nClasses")
+    val base = docs.select(col(idCol).as("__id"),
+      col(labelCol).cast("long").as("__lab"),
+      array(featureCols.map(c => col(c).cast("long")): _*).as("__fv"))
+    val bad = base.filter(col("__lab").isNull || col("__lab") < 0 ||
+      col("__lab") >= nClasses || exists(col("__fv"), v => v.isNull)).count()
+    require(bad == 0L,
+      s"$bad rows have a null/out-of-range label or a null feature")
+    var assign = Staging.stage(base.withColumn("__node", lit(1L)), "tree_a0")
+    val levelSplits = scala.collection.mutable.ArrayBuffer.empty[Staging.Staged]
+    (1 to depth).foreach { level =>
+      val longF = assign.df.select(col("__node"), col("__lab"),
+        posexplode(col("__fv")).as(Seq("fi", "v")))
+      val cnt = longF.groupBy("__node", "fi", "v", "__lab")
+        .agg(count(lit(1)).as("c"))
+      val tot = cnt.groupBy("__node", "fi", "__lab").agg(sum("c").as("tc"))
+      val cand = cnt.select("__node", "fi", "v").distinct()
+      val cnt2 = cnt.select(col("__node").as("n2"), col("fi").as("fi2"),
+        col("__lab").as("lab2"), col("v").as("sv"), col("c").as("sc"))
+      // per (node, feature, candidate, class): left-cumulative count —
+      // built against the FULL class list (tot) so absent classes carry
+      // cc=0 into the right-side impurity
+      val cum = cand.join(tot, Seq("__node", "fi"))
+        .join(cnt2, col("__node") === col("n2") && col("fi") === col("fi2") &&
+          col("__lab") === col("lab2") && col("sv") <= col("v"), "left")
+        .groupBy(col("__node"), col("fi"), col("v"), col("__lab"), col("tc"))
+        .agg(coalesce(sum(col("sc")), lit(0L)).as("cc"))
+      val scores = cum.groupBy("__node", "fi", "v")
+        .agg(sum("cc").as("nl"), sum(col("cc") * col("cc")).as("al"),
+          sum(col("tc") - col("cc")).as("nr"),
+          sum((col("tc") - col("cc")) * (col("tc") - col("cc"))).as("ar"))
+        .filter(col("nr") > 0)
+        .select(col("__node"), col("fi"), col("v"),
+          (expr("al * 1000 DIV nl") + expr("ar * 1000 DIV nr")).as("score"))
+      val best = Staging.stage(
+        scores.groupBy("__node")
+          .agg(max_by(struct(col("fi"), col("v")),
+            struct(col("score"), -col("fi"), -col("v"))).as("b"))
+          .select(col("__node"), col("b.fi").cast("long").as("bfi"),
+            col("b.v").as("bthr")),
+        s"tree_best$level")
+      levelSplits += best
+      val next = Staging.stage(
+        assign.df.join(broadcast(best.df), Seq("__node"), "left")
+          .withColumn("__node",
+            when(col("bfi").isNull, col("__node"))
+              .otherwise(col("__node") * 2 +
+                when(element_at(col("__fv"), (col("bfi") + 1).cast("int"))
+                  > col("bthr"), 1L).otherwise(0L)))
+          .drop("bfi", "bthr"),
+        s"tree_a$level")
+      assign.delete()
+      assign = next
+    }
+    val leaves = assign.df.groupBy("__node", "__lab")
+      .agg(count(lit(1)).as("c"))
+      .groupBy("__node")
+      .agg(max_by(col("__lab"), struct(col("c"), -col("__lab"))).as("pred"))
+      .select(col("__node").as("node"), lit(null).cast("long").as("fi"),
+        lit(null).cast("long").as("thr"), col("pred"))
+    val internals = levelSplits.map(_.df
+      .select(col("__node").as("node"), col("bfi").as("fi"),
+        col("bthr").as("thr"), lit(null).cast("long").as("pred")))
+      .reduce(_.unionByName(_))
+    val nodes = Staging.stage(internals.unionByName(leaves), "tree_nodes")
+    levelSplits.foreach(_.delete())
+    assign.delete()
+    nodes.df
+  }
+
+  /** Route rows through a [[trainDecisionTree]] node table: `depth`
+    * broadcast joins against the (tiny) split rows, then the leaf's
+    * majority label. Returns (id, leaf, pred_cls). Rows are never
+    * shuffled — serving is depth row-local map joins.
+    */
+  def applyTree(docs: DataFrame, idCol: String, featureCols: Seq[String],
+                nodes: DataFrame, depth: Int): DataFrame = {
+    val splits = nodes.filter(col("fi").isNotNull)
+      .select(col("node").as("__node"), col("fi"), col("thr"))
+    var cur = docs.select(col(idCol),
+      array(featureCols.map(c => col(c).cast("long")): _*).as("__fv"))
+      .withColumn("__node", lit(1L))
+    (1 to depth).foreach { _ =>
+      cur = cur.join(broadcast(splits), Seq("__node"), "left")
+        .withColumn("__node",
+          when(col("fi").isNull, col("__node"))
+            .otherwise(col("__node") * 2 +
+              when(element_at(col("__fv"), (col("fi") + 1).cast("int"))
+                > col("thr"), 1L).otherwise(0L)))
+        .drop("fi", "thr")
+    }
+    cur.join(broadcast(nodes.filter(col("pred").isNotNull)
+        .select(col("node").as("__node"), col("pred"))),
+      Seq("__node"), "left")
+      .select(col(idCol), col("__node").as("leaf"), col("pred").as("pred_cls"))
+  }
+
   /** NAIVE BAYES inference over a [[trainNaiveBayes]] fit: per-class
     * score = prior + Σ_features cnt·w in exact milli-bit integers, then
     * a bounded per-doc argmax (ties to the smallest class). Same plan

@@ -196,4 +196,61 @@ class ClassifierSpec extends SparkSpec {
       Classifier.trainNaiveBayes(bad, "doc_id", "text", "lab", 8, 2))
     assert(e.getMessage.contains("out-of-range"))
   }
+
+  test("trainDecisionTree: a separable stump finds the exact threshold") {
+    val s = spark
+    import s.implicits._
+    val rows = Seq((1L, 1L, 0L), (2L, 2L, 0L), (3L, 3L, 1L), (4L, 4L, 1L))
+      .toDF("id", "f0", "lab")
+    val nodes = Classifier.trainDecisionTree(rows, "id", "lab", Seq("f0"),
+      depth = 1, nClasses = 2)
+    val split = nodes.filter(col("fi").isNotNull)
+      .select("node", "fi", "thr").as[(Long, Long, Long)].collect().toSeq
+    assert(split === Seq((1L, 0L, 2L)), s"must split at f0 <= 2: $split")
+    val preds = Classifier.applyTree(rows, "id", Seq("f0"), nodes, depth = 1)
+      .select("id", "leaf", "pred_cls").as[(Long, Long, Long)].collect().toSet
+    assert(preds === Set((1L, 2L, 0L), (2L, 2L, 0L), (3L, 3L, 1L), (4L, 3L, 1L)))
+  }
+
+  test("trainDecisionTree: depth 2 solves XOR that no single split can") {
+    val s = spark
+    import s.implicits._
+    // 3 copies of each XOR corner so counts are unambiguous
+    val rows = (for {
+      r <- 0 until 3; a <- 0 to 1; b <- 0 to 1
+    } yield ((r * 4 + a * 2 + b).toLong, a.toLong, b.toLong, (a ^ b).toLong))
+      .toDF("id", "f0", "f1", "lab")
+    val nodes = Classifier.trainDecisionTree(rows, "id", "lab",
+      Seq("f0", "f1"), depth = 2, nClasses = 2)
+    val preds = Classifier.applyTree(rows, "id", Seq("f0", "f1"), nodes, 2)
+      .join(rows, Seq("id"))
+      .filter(col("pred_cls") =!= col("lab")).count()
+    assert(preds === 0L, "depth-2 tree must fit XOR exactly")
+    assert(nodes.filter(col("fi").isNotNull).count() === 3L, "3 internal nodes")
+  }
+
+  test("trainDecisionTree: constant features yield a root leaf; bad labels rejected; partitioning-invariant") {
+    val s = spark
+    import s.implicits._
+    val const = Seq((1L, 5L, 0L), (2L, 5L, 1L), (3L, 5L, 1L))
+      .toDF("id", "f0", "lab")
+    val nodes = Classifier.trainDecisionTree(const, "id", "lab", Seq("f0"), 2, 2)
+    assert(nodes.filter(col("fi").isNotNull).count() === 0L)
+    val out = Classifier.applyTree(const, "id", Seq("f0"), nodes, 2)
+      .select("leaf", "pred_cls").as[(Long, Long)].collect().toSet
+    assert(out === Set((1L, 1L)), "all rows stay at the root, majority = 1")
+    intercept[IllegalArgumentException](Classifier.trainDecisionTree(
+      Seq((1L, 1L, 9L)).toDF("id", "f0", "lab"), "id", "lab", Seq("f0"), 1, 2))
+    // partitioning invariance on real data
+    val docs = Tables.documents(spark, sf001).limit(120)
+      .select(col("doc_id"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("lab"),
+        expr("CAST(least(length(text) DIV 256, 31) AS BIGINT)").as("f0"),
+        expr("CAST(least(n_chars DIV 512, 31) AS BIGINT)").as("f1"))
+    def fit(d: org.apache.spark.sql.DataFrame) =
+      Classifier.trainDecisionTree(d, "doc_id", "lab", Seq("f0", "f1"), 2, 2)
+        .as[(Long, Option[Long], Option[Long], Option[Long])]
+        .collect().sortBy(_._1).toSeq
+    assert(fit(docs) === fit(docs.repartition(11)))
+  }
 }
