@@ -467,6 +467,56 @@ object MlQueries {
       },
       Some(decisionTreeOracleSql)),
 
+    // K-FOLD CROSS-VALIDATION MODEL SWEEP — the model-selection layer
+    // over the trainable classifier family: deterministic md5 folds
+    // (k=2), each model trained on the out-fold and scored on the
+    // held-out fold, emitting (model, fold, n_eval, n_correct). Folds
+    // by hash = the leakage-free split discipline (q-split family);
+    // the oracle replays BOTH folds' FULL trainings (Naive Bayes
+    // counts→grid→priors→argmax and the two-level tree selection) plus
+    // the held-out scoring — a single wrong weight, split, or fold
+    // assignment anywhere breaks the hash.
+    QuerySpec("q221_cv_model_sweep",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+          .withColumn("lab5",
+            when(col("lang") === "de", 0L).when(col("lang") === "en", 1L)
+              .when(col("lang") === "es", 2L).when(col("lang") === "fr", 3L)
+              .otherwise(4L))
+          .withColumn("lab2", when(col("lang") === "en", 1L).otherwise(0L))
+          .withColumn("w", graft.functions.TextFns.tokens(col("text")))
+          .withColumn("f0", expr("CAST(least(size(w) DIV 8, 63) AS BIGINT)"))
+          .withColumn("f1",
+            expr("CAST(least(n_chars DIV (size(w) + 1), 31) AS BIGINT)"))
+          .withColumn("fold",
+            conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+              .cast("long") % 2)
+        def acc(preds: org.apache.spark.sql.DataFrame, truth: String,
+                ev: org.apache.spark.sql.DataFrame, model: String,
+                f: Int) =
+          preds.join(ev.select(col("doc_id"), col(truth)), Seq("doc_id"))
+            .agg(count(lit(1)).as("n_eval"),
+              sum(when(col("pred_cls") === col(truth), 1L).otherwise(0L))
+                .as("n_correct"))
+            .select(lit(model).as("model"), lit(f.toLong).as("fold"),
+              col("n_eval"), col("n_correct"))
+        val parts = (0 to 1).flatMap { f =>
+          val tr = docs.filter(col("fold") =!= f)
+          val ev = docs.filter(col("fold") === f)
+          val (m, p) = Classifier.trainNaiveBayes(tr, "doc_id", "text",
+            "lab5", buckets = 64, nClasses = 5)
+          val nb = acc(Classifier.predictNaiveBayes(ev, "doc_id", "text",
+            m, p, 64), "lab5", ev, "naive_bayes", f)
+          val nodes = Classifier.trainDecisionTree(tr, "doc_id", "lab2",
+            Seq("f0", "f1"), depth = 2, nClasses = 2)
+          val tree = acc(Classifier.applyTree(ev, "doc_id",
+            Seq("f0", "f1"), nodes, 2), "lab2", ev, "tree", f)
+          Seq(nb, tree)
+        }
+        parts.reduce(_.unionByName(_))
+      },
+      Some(cvSweepOracleSql)),
+
     // Graph-based ANN — the OTHER production ANN architecture next to
     // the IVF/PQ/SQ8 cell family (HNSW/NSG lineage): the NN-DESCENT
     // graph as the index (the production shape — nobody has the exact
@@ -910,6 +960,161 @@ object MlQueries {
           CAST(a.score - b.score AS BIGINT) AS margin
         FROM rk a JOIN rk b ON a.doc_id = b.doc_id AND b.rn = 2
         WHERE a.rn = 1"""
+  }
+
+  /** DuckDB replay of the q221 cross-validation sweep: per fold f ∈
+    * {0, 1}, the FULL Naive-Bayes fit (counts → smoothed grid → priors)
+    * on fold≠f and its argmax scoring on fold=f, plus the FULL
+    * two-level decision-tree selection on fold≠f with the held-out
+    * routing — folded into per-model accuracy rows.
+    */
+  private[graft] lazy val cvSweepOracleSql: String = {
+    def mlog2(x: String) =
+      s"(CAST(length(bin($x)) - 1 AS BIGINT) * 1000 + (($x - (CAST(1 AS BIGINT) << " +
+        s"(length(bin($x)) - 1))) * 1000) // (CAST(1 AS BIGINT) << " +
+        s"(length(bin($x)) - 1)))"
+    def nb(f: Int) = s"""
+        fcn$f AS (
+          SELECT m.lab5 AS cls, p.bucket, CAST(SUM(p.cnt) AS BIGINT) AS fc
+          FROM pfb p JOIN meta m USING (doc_id)
+          WHERE m.fold <> $f GROUP BY 1, 2),
+        ttn$f AS (SELECT cls, CAST(SUM(fc) AS BIGINT) AS tot FROM fcn$f GROUP BY 1),
+        mgn$f AS (
+          SELECT g.bucket, g.cls, COALESCE(fc.fc, 0) + 1 AS fc1,
+            COALESCE(tt.tot, 0) + 64 AS totb
+          FROM grid g LEFT JOIN fcn$f fc ON g.bucket = fc.bucket AND g.cls = fc.cls
+                      LEFT JOIN ttn$f tt ON g.cls = tt.cls),
+        mdn$f AS MATERIALIZED (
+          SELECT bucket, cls, ${mlog2("fc1")} - ${mlog2("totb")} AS w FROM mgn$f),
+        pcn$f AS (
+          SELECT CAST(c.range AS BIGINT) AS cls,
+            COALESCE(pc.nc, 0) + 1 AS nc1, nn.nn + 5 AS nnc
+          FROM range(5) c
+          LEFT JOIN (SELECT lab5 AS cls, CAST(count(*) AS BIGINT) AS nc
+                     FROM meta WHERE fold <> $f GROUP BY 1) pc ON c.range = pc.cls
+          CROSS JOIN (SELECT CAST(count(*) AS BIGINT) AS nn
+                      FROM meta WHERE fold <> $f) nn),
+        prin$f AS (SELECT cls, ${mlog2("nc1")} - ${mlog2("nnc")} AS prior FROM pcn$f),
+        scn$f AS (
+          SELECT p.doc_id, d.cls, CAST(SUM(p.cnt * d.w) AS BIGINT) AS lk
+          FROM pfb p JOIN mdn$f d USING (bucket) JOIN meta m USING (doc_id)
+          WHERE m.fold = $f GROUP BY 1, 2),
+        scpn$f AS (
+          SELECT s.doc_id, s.cls, s.lk + r.prior AS score
+          FROM scn$f s JOIN prin$f r USING (cls)),
+        prdn$f AS (
+          SELECT doc_id, cls AS pred FROM (
+            SELECT doc_id, cls,
+              row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, cls) AS rn
+            FROM scpn$f) z WHERE rn = 1),
+        accn$f AS (
+          SELECT 'naive_bayes' AS model, CAST($f AS BIGINT) AS fold,
+            CAST(count(*) AS BIGINT) AS n_eval,
+            CAST(SUM(CASE WHEN p.pred = m.lab5 THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_correct
+          FROM prdn$f p JOIN meta m USING (doc_id)),"""
+    def treeLvl(f: Int, x: Int) = s"""
+        l${x}t$f AS (SELECT node, lab, 0 AS fi, f0 AS v FROM a${x}t$f
+                UNION ALL SELECT node, lab, 1 AS fi, f1 FROM a${x}t$f),
+        c${x}t$f AS (SELECT node, fi, v, lab, CAST(count(*) AS BIGINT) AS c
+                FROM l${x}t$f GROUP BY 1, 2, 3, 4),
+        t${x}t$f AS (SELECT node, fi, lab, CAST(SUM(c) AS BIGINT) AS tc
+                FROM c${x}t$f GROUP BY 1, 2, 3),
+        d${x}t$f AS (SELECT DISTINCT node, fi, v FROM c${x}t$f),
+        u${x}t$f AS (
+          SELECT d.node, d.fi, d.v, t.lab, t.tc,
+            CAST(COALESCE(SUM(s.c), 0) AS BIGINT) AS cc
+          FROM d${x}t$f d JOIN t${x}t$f t ON d.node = t.node AND d.fi = t.fi
+          LEFT JOIN c${x}t$f s ON s.node = d.node AND s.fi = d.fi
+            AND s.lab = t.lab AND s.v <= d.v
+          GROUP BY 1, 2, 3, 4, 5),
+        s${x}t$f AS (
+          SELECT node, fi, v,
+            CAST(SUM(cc) AS BIGINT) AS nl, CAST(SUM(cc * cc) AS BIGINT) AS al,
+            CAST(SUM(tc - cc) AS BIGINT) AS nr,
+            CAST(SUM((tc - cc) * (tc - cc)) AS BIGINT) AS ar
+          FROM u${x}t$f GROUP BY 1, 2, 3),
+        g${x}t$f AS (
+          SELECT node, fi, v, al * 1000 // nl + ar * 1000 // nr AS score
+          FROM s${x}t$f WHERE nr > 0),
+        b${x}t$f AS (
+          SELECT node, fi AS bfi, v AS bthr FROM (
+            SELECT node, fi, v,
+              row_number() OVER (PARTITION BY node ORDER BY score DESC, fi, v) AS rn
+            FROM g${x}t$f) z WHERE rn = 1),
+        a${x + 1}t$f AS MATERIALIZED (
+          SELECT a.doc_id, a.lab, a.f0, a.f1,
+            CASE WHEN b.node IS NULL THEN a.node
+                 ELSE a.node * 2 + CASE WHEN (CASE WHEN b.bfi = 0 THEN a.f0
+                                              ELSE a.f1 END) > b.bthr
+                                   THEN 1 ELSE 0 END
+            END AS node
+          FROM a${x}t$f a LEFT JOIN b${x}t$f b ON a.node = b.node),"""
+    def route(f: Int, x: Int) = s"""
+        e${x + 1}t$f AS (
+          SELECT e.doc_id, e.lab, e.f0, e.f1,
+            CASE WHEN b.node IS NULL THEN e.node
+                 ELSE e.node * 2 + CASE WHEN (CASE WHEN b.bfi = 0 THEN e.f0
+                                              ELSE e.f1 END) > b.bthr
+                                   THEN 1 ELSE 0 END
+            END AS node
+          FROM e${x}t$f e LEFT JOIN b${x}t$f b ON e.node = b.node),"""
+    def tree(f: Int) = s"""
+        a1t$f AS (
+          SELECT doc_id, lab2 AS lab, f0, f1, CAST(1 AS BIGINT) AS node
+          FROM meta WHERE fold <> $f),
+        ${treeLvl(f, 1)}
+        ${treeLvl(f, 2)}
+        lvt$f AS (SELECT node, lab, CAST(count(*) AS BIGINT) AS c
+                  FROM a3t$f GROUP BY 1, 2),
+        prt$f AS (SELECT node, lab AS pred FROM (
+          SELECT node, lab,
+            row_number() OVER (PARTITION BY node ORDER BY c DESC, lab) AS rn
+          FROM lvt$f) z WHERE rn = 1),
+        e1t$f AS (
+          SELECT doc_id, lab2 AS lab, f0, f1, CAST(1 AS BIGINT) AS node
+          FROM meta WHERE fold = $f),
+        ${route(f, 1)}
+        ${route(f, 2)}
+        acct$f AS (
+          SELECT 'tree' AS model, CAST($f AS BIGINT) AS fold,
+            CAST(count(*) AS BIGINT) AS n_eval,
+            CAST(SUM(CASE WHEN p.pred = e.lab THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_correct
+          FROM e3t$f e JOIN prt$f p ON e.node = p.node),"""
+    s"""
+        WITH $WORDS_SQL,
+        meta AS MATERIALIZED (
+          SELECT doc_id,
+            CAST(CASE lang WHEN 'de' THEN 0 WHEN 'en' THEN 1 WHEN 'es' THEN 2
+              WHEN 'fr' THEN 3 ELSE 4 END AS BIGINT) AS lab5,
+            CAST(CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS BIGINT) AS lab2,
+            CAST(least(len(w) // 8, 63) AS BIGINT) AS f0,
+            CAST(least(n_chars // (len(w) + 1), 31) AS BIGINT) AS f1,
+            CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+              AS BIGINT) % 2 AS fold
+          FROM words),
+        puni AS (SELECT doc_id, UNNEST(w) AS f FROM words),
+        pbi AS (
+          SELECT doc_id,
+            w[CAST(i AS INTEGER)] || '_' || w[CAST(i + 1 AS INTEGER)] AS f
+          FROM words, UNNEST(range(1, len(w))) AS t(i)),
+        pfb AS MATERIALIZED (
+          SELECT doc_id,
+            CAST(concat('0x', substr(md5(f), 1, 15)) AS BIGINT) % 64 AS bucket,
+            CAST(count(*) AS BIGINT) AS cnt
+          FROM (SELECT doc_id, f FROM puni
+                UNION ALL SELECT doc_id, f FROM pbi) ff
+          GROUP BY 1, 2),
+        grid AS (
+          SELECT CAST(b.range AS BIGINT) AS bucket, CAST(c.range AS BIGINT) AS cls
+          FROM range(64) b, range(5) c),
+        ${nb(0)}
+        ${tree(0)}
+        ${nb(1)}
+        ${tree(1).stripSuffix(",")}
+        SELECT * FROM accn0 UNION ALL SELECT * FROM acct0
+        UNION ALL SELECT * FROM accn1 UNION ALL SELECT * FROM acct1"""
   }
 
   /** DuckDB replay of [[operators.Classifier.trainDecisionTree]] +
