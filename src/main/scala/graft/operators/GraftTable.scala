@@ -93,6 +93,13 @@ object GraftTable {
 final class CommitConflictException(message: String)
   extends RuntimeException(message)
 
+/** Thrown when a mutation's rows (or, at [[GraftTable.addCheck]] time,
+  * the existing table) violate a CHECK constraint. Raised BEFORE any
+  * file or manifest lands, so a failed mutation leaves no trace.
+  */
+final class CheckViolationException(message: String)
+  extends RuntimeException(message)
+
 /** Per-file zone map for one column: null count and the canonical
   * min/max (None = the file has no non-null value for the column, so
   * NO range predicate on it can match any of the file's rows).
@@ -939,6 +946,7 @@ final class GraftTable(spark: SparkSession, val path: String,
     */
   private def commitRewrite(df: DataFrame, touchedVals: Seq[Option[String]],
                             base: Long, markers: Seq[String] = Nil): this.type = {
+    enforceChecks(df) // throws BEFORE anything lands — O(commit rows)
     val added = writeCommitFiles(df)
     val statsEntries = collectStatsEntries(added) // pre-commit: O(commit data)
     try {
@@ -1013,6 +1021,74 @@ final class GraftTable(spark: SparkSession, val path: String,
       df.select(evolved.fields.toSeq.map(f =>
         if (dfCols.contains(f.name)) col(f.name)
         else lit(null).cast(f.dataType).as(f.name)): _*)
+  }
+
+  private def checksSidecar = java.nio.file.Paths.get(path, "_graft_checks.json")
+
+  /** The table's CHECK constraints: name → SQL boolean expression over
+    * a row. ANSI semantics — a row VIOLATES a check only when the
+    * expression evaluates to FALSE (null/unknown passes).
+    */
+  def checks: Map[String, String] =
+    if (!java.nio.file.Files.exists(checksSidecar)) Map.empty
+    else java.nio.file.Files.readAllLines(checksSidecar).toArray.toSeq
+      .map(_.toString).filter(_.nonEmpty)
+      .map { line =>
+        val Array(n, e) = line.split("\t", 2)
+        new String(java.util.Base64.getDecoder.decode(n), "UTF-8") ->
+          new String(java.util.Base64.getDecoder.decode(e), "UTF-8")
+      }.toMap
+
+  private def writeChecks(cs: Map[String, String]): Unit = {
+    val enc = (s: String) => java.util.Base64.getEncoder
+      .encodeToString(s.getBytes("UTF-8"))
+    val tmp = java.nio.file.Paths.get(path,
+      s"._graft_checks_tmp_${java.util.UUID.randomUUID().toString.take(8)}")
+    java.nio.file.Files.writeString(tmp,
+      cs.toSeq.sortBy(_._1).map { case (n, e) => s"${enc(n)}\t${enc(e)}" }
+        .mkString("\n"))
+    java.nio.file.Files.move(tmp, checksSidecar,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** ADD a CHECK constraint (the Delta `ALTER TABLE ADD CONSTRAINT`
+    * discipline): the EXISTING table is validated first — a violating
+    * table rejects the constraint — then every future mutation enforces
+    * it on the rows it writes BEFORE anything lands (a violating
+    * mutation throws [[CheckViolationException]] and commits nothing:
+    * no files, no version). Enforcement costs one extra pass over the
+    * commit's rows — O(commit), never O(table).
+    */
+  def addCheck(name: String, predicate: String): this.type = {
+    require(name.nonEmpty && !name.contains("\t"), s"bad check name '$name'")
+    val bad = read.filter(!coalesce(expr(predicate), lit(true))).limit(1).count()
+    if (bad > 0)
+      throw new CheckViolationException(
+        s"existing rows violate check '$name' ($predicate) — constraint not added")
+    writeChecks(checks + (name -> predicate))
+    this
+  }
+
+  /** Drop a CHECK constraint by name (no-op if absent). */
+  def dropCheck(name: String): this.type = { writeChecks(checks - name); this }
+
+  /** Enforce every CHECK on the rows a commit is about to write: one
+    * combined-predicate probe job; on violation a second (failure-path
+    * only) pass names the broken constraint.
+    */
+  private def enforceChecks(df: DataFrame): Unit = {
+    val cs = checks
+    if (cs.isEmpty) return
+    val anyBad = cs.values.map(p => !coalesce(expr(p), lit(true))).reduce(_ || _)
+    if (df.filter(anyBad).limit(1).count() > 0) {
+      val broken = cs.find { case (_, p) =>
+        df.filter(!coalesce(expr(p), lit(true))).limit(1).count() > 0
+      }.get
+      throw new CheckViolationException(
+        s"mutation rows violate check '${broken._1}' (${broken._2}) — " +
+          "nothing was committed")
+    }
   }
 
   /** A table exists when its creation COMMITTED. `createIfNotExists`

@@ -648,6 +648,52 @@ class GraftTableSpec extends SparkSpec {
     assert(t.read.filter($"day" === "d1").count() == 0)
   }
 
+  test("check constraints: violating mutations abort atomically; ANSI null passes; drop re-allows") {
+    val t = freshTable().createIfNotExists(rows().schema)
+    t.importOnce(rows(("d1", "p", "r1", 5)))
+    t.addCheck("n_positive", "n > 0")
+    val v0 = t.currentVersion
+    val files0 = t.dataFileCount
+    intercept[CheckViolationException] {
+      t.upsertReplace(rows(("d1", "p", "r2", -1)))
+    }
+    assert(t.currentVersion == v0, "failed mutation must not commit a version")
+    assert(t.dataFileCount == files0, "failed mutation must not land files")
+    // the violating batch also never leaked invisible files on disk
+    def parquetCount(f: java.io.File): Int =
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty).map(parquetCount).sum
+      else if (f.getName.endsWith(".parquet") && !f.getPath.contains("_graft_log")) 1
+      else 0
+    assert(parquetCount(new java.io.File(t.path)) == files0)
+    // ANSI: null is UNKNOWN, not a violation
+    val s = spark; import s.implicits._
+    t.upsertReplace(Seq(("d1", "p", "r3", Option.empty[Int]))
+      .toDF("day", "pk", "rk", "n"))
+    assert(t.read.count() == 2)
+    // a passing mutation commits; dropping the check re-allows violations
+    t.upsertReplace(rows(("d1", "p", "r4", 1)))
+    t.dropCheck("n_positive")
+    t.upsertReplace(rows(("d1", "p", "r5", -7)))
+    assert(t.read.count() == 4)
+  }
+
+  test("check constraints: addCheck validates the existing table; merge enforces too") {
+    val t = freshTable().createIfNotExists(rows().schema)
+    t.importOnce(rows(("d1", "p", "r1", -3)))
+    intercept[CheckViolationException] { t.addCheck("pos", "n > 0") }
+    assert(t.checks.isEmpty)
+    t.addCheck("small", "n < 100") // existing rows satisfy this one
+    assert(t.checks == Map("small" -> "n < 100"))
+    val s = spark; import s.implicits._
+    intercept[CheckViolationException] {
+      t.merge(Seq(("p", "r1", 500)).toDF("pk", "rk", "v"),
+        matched = Seq(MatchedUpdate(lit(true), Map("n" -> src("v")))))
+    }
+    assert(t.read.select("n").as[Int].collect().toSeq == Seq(-3),
+      "failed merge must leave the table untouched")
+  }
+
   test("merge: null-key source rows never match; unassigned insert columns pad null") {
     val t = freshTable().createIfNotExists(rows().schema)
     t.importOnce(rows(("d1", "p", "r1", 1)))
