@@ -154,6 +154,53 @@ object TokenQueries {
           CAST(sum(CASE WHEN id >= vs THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
           (1000 * CAST(sum(CASE WHEN id >= vs THEN 1 ELSE 0 END) AS BIGINT))
             // CAST(count(*) AS BIGINT) AS oov_milli
-        FROM scored GROUP BY 1"""))
+        FROM scored GROUP BY 1""")),
+
+    // Co-occurrence + PMI collocations — the GloVe/word2vec-SGNS
+    // statistics layer: row-local skip-gram pairs (window 3, unordered),
+    // hapax-pruned counts, exact milli-bit PMI against unigram and
+    // pair totals, per-word top-3 partners. The oracle replays pair
+    // extraction positionally, the pruning, and the integer scoring.
+    QuerySpec("q222_pmi_collocations",
+      (s, dir) => graft.operators.Cooccur.pmiCollocations(
+        Tables.documents(s, dir), "doc_id", "text",
+        window = 3, minCount = 5L, k = 3),
+      Some {
+        def mlog2(x: String) =
+          s"(CAST(length(bin($x)) - 1 AS BIGINT) * 1000 + (($x - (CAST(1 AS BIGINT) << " +
+            s"(length(bin($x)) - 1))) * 1000) // (CAST(1 AS BIGINT) << " +
+            s"(length(bin($x)) - 1)))"
+        s"""
+        WITH $WORDS_SQL,
+        pos AS MATERIALIZED (
+          SELECT doc_id, CAST(i AS BIGINT) AS i, w[CAST(i AS INTEGER)] AS x
+          FROM words, UNNEST(range(1, len(w) + 1)) AS t(i)),
+        pr AS (
+          SELECT least(p1.x, p2.x) AS a, greatest(p1.x, p2.x) AS b
+          FROM pos p1 JOIN pos p2 ON p1.doc_id = p2.doc_id
+            AND p2.i > p1.i AND p2.i <= p1.i + 3),
+        cab AS (SELECT a, b, CAST(count(*) AS BIGINT) AS c_ab
+                FROM pr GROUP BY 1, 2),
+        pp AS (SELECT a, b, c_ab FROM cab WHERE c_ab >= 5),
+        uni AS (SELECT x AS t, CAST(count(*) AS BIGINT) AS c_t
+                FROM pos GROUP BY 1),
+        tot AS (
+          SELECT (SELECT CAST(SUM(c_ab) AS BIGINT) FROM pp) AS p_tot,
+                 (SELECT CAST(SUM(c_t) AS BIGINT) FROM uni) AS n_tot),
+        sc AS (
+          SELECT p.a, p.b, p.c_ab,
+            ${mlog2("p.c_ab")} + 2 * ${mlog2("t.n_tot")} - ${mlog2("t.p_tot")}
+              - ${mlog2("ua.c_t")} - ${mlog2("ub.c_t")} AS pmi_mb
+          FROM pp p JOIN uni ua ON p.a = ua.t JOIN uni ub ON p.b = ub.t
+          CROSS JOIN tot t),
+        sym AS (
+          SELECT a, b, c_ab, pmi_mb FROM sc
+          UNION ALL
+          SELECT b AS a, a AS b, c_ab, pmi_mb FROM sc WHERE a <> b)
+        SELECT a, b, c_ab, pmi_mb, CAST(rn AS INTEGER) AS rank
+        FROM (SELECT *, row_number() OVER (PARTITION BY a
+                ORDER BY pmi_mb DESC, b) AS rn FROM sym) z
+        WHERE rn <= 3"""
+      })
   )
 }
