@@ -579,6 +579,101 @@ object AnalyticsQueries {
         SELECT t.k, t.b AS bucket,
           CAST(sum(s.s >> CAST(t.b - s.b AS INT)) AS BIGINT) AS decayed
         FROM b t JOIN b s ON s.k = t.k AND s.b BETWEEN t.b - 40 AND t.b
-        GROUP BY 1, 2"""))
+        GROUP BY 1, 2""")),
+
+    // Distribution DRIFT between two VERSIONS of a GraftTable — the PSI
+    // monitor composed with time travel: tick 2 shifts a third of the
+    // cents values, and the drift report buckets BOTH snapshots over
+    // the reference's range (integer ppm + milli-bit log2, engine-exact
+    // even though PSI is classically a float). user_id doesn't shift —
+    // its contributions must come out (near-)zero; the oracle replays
+    // snapshots, bucketing, smoothing, and the integer scoring.
+    QuerySpec("q223_distribution_drift",
+      (s, dir) => {
+        GraftSession.tune(s)
+        val base = java.nio.file.Files.createTempDirectory("graft_q223_").toString
+        val ev = Tables.events(s, dir)
+        val rows = ev.select(col("event_id"), col("user_id"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+          .withColumn("pk", col("user_id") % 4)
+        val t = new graft.operators.GraftTable(s, s"$base/t", Seq("event_id"), "pk")
+        t.createIfNotExists(org.apache.spark.sql.types.StructType.fromDDL(
+          "event_id BIGINT, user_id BIGINT, cents BIGINT, pk BIGINT"))
+        t.upsertReplace(rows)
+        val v1 = t.currentVersion
+        t.upsertReplace(rows.filter(col("user_id") % 3 === 0)
+          .withColumn("cents", col("cents") + 2500))
+        val out = graft.operators.Profiler.distributionDrift(
+          t.readAt(v1), t.read, Seq("cents", "user_id"), buckets = 10)
+        val snap = out.localCheckpoint(true)
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+        }
+        rm(new java.io.File(base))
+        snap
+      },
+      Some {
+        def mlog2(x: String) =
+          s"(CAST(length(bin($x)) - 1 AS BIGINT) * 1000 + (($x - (CAST(1 AS BIGINT) << " +
+            s"(length(bin($x)) - 1))) * 1000) // (CAST(1 AS BIGINT) << " +
+            s"(length(bin($x)) - 1)))"
+        s"""
+        WITH e AS (
+          SELECT event_id, user_id,
+            CAST(round(value * 100) AS BIGINT) AS cents
+          FROM events),
+        cur AS (
+          SELECT user_id,
+            CASE WHEN user_id % 3 = 0 THEN cents + 2500 ELSE cents END AS cents
+          FROM e),
+        lr AS (
+          SELECT 'cents' AS col_name, CAST(cents AS DOUBLE) AS v FROM e
+          UNION ALL SELECT 'user_id', CAST(user_id AS DOUBLE) FROM e),
+        lc AS (
+          SELECT 'cents' AS col_name, CAST(cents AS DOUBLE) AS v FROM cur
+          UNION ALL SELECT 'user_id', CAST(user_id AS DOUBLE) FROM cur),
+        rng AS (
+          SELECT col_name, min(v) AS lo, max(v) AS hi
+          FROM lr WHERE v IS NOT NULL GROUP BY 1),
+        cr AS (
+          SELECT l.col_name,
+            CAST(CASE WHEN r.hi <= r.lo THEN 0.0
+                 ELSE least(greatest(floor((l.v - r.lo) * 10 / (r.hi - r.lo)),
+                   0.0), 9.0) END AS BIGINT) AS bk,
+            CAST(count(*) AS BIGINT) AS c
+          FROM lr l JOIN rng r ON l.col_name = r.col_name
+          WHERE l.v IS NOT NULL GROUP BY 1, 2),
+        cc AS (
+          SELECT l.col_name,
+            CAST(CASE WHEN r.hi <= r.lo THEN 0.0
+                 ELSE least(greatest(floor((l.v - r.lo) * 10 / (r.hi - r.lo)),
+                   0.0), 9.0) END AS BIGINT) AS bk,
+            CAST(count(*) AS BIGINT) AS c
+          FROM lc l JOIN rng r ON l.col_name = r.col_name
+          WHERE l.v IS NOT NULL GROUP BY 1, 2),
+        grid AS (
+          SELECT r.col_name, CAST(b.range AS BIGINT) AS bk
+          FROM rng r, range(10) b),
+        tp AS (SELECT col_name, CAST(SUM(c) AS BIGINT) AS t FROM cr GROUP BY 1),
+        tq AS (SELECT col_name, CAST(SUM(c) AS BIGINT) AS t FROM cc GROUP BY 1),
+        pp AS (
+          SELECT g.col_name, g.bk,
+            greatest(((COALESCE(cr.c, 0) + 1) * 1000000)
+              // (COALESCE(tp.t, 0) + 10), 1) AS p_ppm
+          FROM grid g
+          LEFT JOIN cr ON g.col_name = cr.col_name AND g.bk = cr.bk
+          LEFT JOIN tp ON g.col_name = tp.col_name),
+        qq AS (
+          SELECT g.col_name, g.bk,
+            greatest(((COALESCE(cc.c, 0) + 1) * 1000000)
+              // (COALESCE(tq.t, 0) + 10), 1) AS q_ppm
+          FROM grid g
+          LEFT JOIN cc ON g.col_name = cc.col_name AND g.bk = cc.bk
+          LEFT JOIN tq ON g.col_name = tq.col_name)
+        SELECT p.col_name, p.bk, p.p_ppm, q.q_ppm,
+          (p.p_ppm - q.q_ppm) * (${mlog2("p.p_ppm")} - ${mlog2("q.q_ppm")})
+            AS contrib
+        FROM pp p JOIN qq q ON p.col_name = q.col_name AND p.bk = q.bk"""
+      })
   )
 }

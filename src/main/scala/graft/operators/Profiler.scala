@@ -130,4 +130,71 @@ object Profiler {
       .filter((col("base") + col("cum_in")) * 1000 >= col("q_milli") * col("n"))
       .groupBy("col_name", "q_milli").agg(min(col("v")).as("v"))
   }
+
+  /** Distribution DRIFT between two snapshots — the population-
+    * stability-index (PSI) monitor data platforms run between a
+    * reference window and the current one (or two versions of the same
+    * table: pair with `GraftTable.readAt`): per column, equi-width
+    * buckets over the REFERENCE's [min, max] (out-of-range current
+    * values clamp into the edge buckets — the standard PSI convention,
+    * so a shifted distribution piles up at an edge instead of escaping
+    * the monitor), add-one-smoothed counts on BOTH sides, integer ppm
+    * fractions (floored, clamped to ≥ 1 so the log is defined), and the
+    * per-bucket contribution
+    *
+    *   contrib = (p_ppm − q_ppm) · (mlog2(p_ppm) − mlog2(q_ppm))
+    *
+    * (p = reference, q = current; the factors share sign, so every
+    * contribution is ≥ 0; milli-bit × ppm integers end to end — the
+    * drift score itself is engine- and partitioning-exact, unlike any
+    * float-log PSI). Σ contrib per column is the PSI in mb·ppm; the
+    * classic 0.1 / 0.25 nats alert thresholds scale by 1000·10⁶/ln 2.
+    *
+    * Scale shape: one scan per side into per-(col, bucket) counts
+    * (map-side combine; |cols|·buckets result rows), then row-local
+    * arithmetic on the bucket grid — drift over 100 TB costs two
+    * column-pruned scans and moves only bucket-count metadata.
+    */
+  def distributionDrift(reference: DataFrame, current: DataFrame,
+                        cols: Seq[String], buckets: Int = 10): DataFrame = {
+    require(cols.nonEmpty, "cols must be non-empty")
+    require(buckets >= 2, s"need >= 2 buckets, got $buckets")
+    val missing = cols.filterNot(c =>
+      reference.columns.contains(c) && current.columns.contains(c))
+    require(missing.isEmpty, s"unknown columns: ${missing.mkString(", ")}")
+    def longFmt(df: DataFrame) = cols.map(c =>
+        df.select(lit(c).as("col_name"), col(c).cast("double").as("v")))
+      .reduce(_.unionByName(_)).filter(col("v").isNotNull)
+    val rng = longFmt(reference).groupBy("col_name")
+      .agg(min(col("v")).as("lo"), max(col("v")).as("hi"))
+    def counts(df: DataFrame, name: String) =
+      longFmt(df).join(broadcast(rng), Seq("col_name"))
+        .withColumn("bk", coalesce(
+          when(col("hi") <= col("lo"), lit(0L)).otherwise(
+            least(greatest(floor((col("v") - col("lo")) * buckets
+              / (col("hi") - col("lo"))), lit(0L)), lit(buckets - 1L)))
+            .cast("long"),
+          lit(buckets - 1L)))
+        .groupBy("col_name", "bk").agg(count(lit(1)).as(name))
+    val grid = rng.select("col_name").crossJoin(
+      reference.sparkSession.range(buckets).select(col("id").as("bk")))
+    def ppm(side: DataFrame, c: String, out: String) = {
+      val tot = side.groupBy("col_name").agg(sum(col(c)).as("t"))
+      grid.join(side, Seq("col_name", "bk"), "left")
+        .join(tot, Seq("col_name"), "left")
+        .select(col("col_name"), col("bk"),
+          ((coalesce(col(c), lit(0L)) + 1L) * 1000000L).as("num"),
+          (coalesce(col("t"), lit(0L)) + buckets).as("den"))
+        // integer floor division: both operands non-negative
+        .select(col("col_name"), col("bk"),
+          greatest(expr("num DIV den"), lit(1L)).as(out))
+    }
+    val p = ppm(counts(reference, "cr"), "cr", "p_ppm")
+    val q = ppm(counts(current, "cc"), "cc", "q_ppm")
+    p.join(q, Seq("col_name", "bk"))
+      .select(col("col_name"), col("bk"), col("p_ppm"), col("q_ppm"),
+        ((col("p_ppm") - col("q_ppm")) *
+          (expr(CorpusText.mlog2Sql("p_ppm")) -
+            expr(CorpusText.mlog2Sql("q_ppm")))).as("contrib"))
+  }
 }

@@ -122,4 +122,41 @@ class ProfilerSpec extends SparkSpec {
     assert(!plan.contains("windowspecdefinition"),
       "profile must not plan any window:\n" + plan)
   }
+
+  test("distributionDrift: identical snapshots score zero; a shift scores > 0 on the shifted column only") {
+    val s = spark; import s.implicits._
+    val ref = (1 to 200).map(i => (i.toLong % 50, (i % 7).toLong))
+      .toDF("a", "b")
+    val sameDrift = Profiler.distributionDrift(ref, ref, Seq("a", "b"), 10)
+      .agg(org.apache.spark.sql.functions.sum("contrib")).as[Long].collect().head
+    assert(sameDrift === 0L, "identical distributions must have zero PSI")
+    // shift column a hard; leave b identical
+    val cur = ref.withColumn("a",
+      org.apache.spark.sql.functions.col("a") + 40L)
+    val drift = Profiler.distributionDrift(ref, cur, Seq("a", "b"), 10)
+      .groupBy("col_name")
+      .agg(org.apache.spark.sql.functions.sum("contrib").as("psi"))
+      .as[(String, Long)].collect().toMap
+    assert(drift("a") > 0L, s"shifted column must drift: $drift")
+    assert(drift("b") === 0L, s"unshifted column must not: $drift")
+    assert(drift("a") > 100000L, s"a hard shift should be loud: $drift")
+  }
+
+  test("distributionDrift: out-of-range current values clamp into edge buckets; partitioning-invariant") {
+    val s = spark; import s.implicits._
+    val ref = (0 to 99).map(i => Tuple1(i.toLong)).toDF("x")
+    val cur = (0 to 99).map(i => Tuple1(i.toLong + 1000L)).toDF("x")
+    val rows = Profiler.distributionDrift(ref, cur, Seq("x"), 10)
+      .as[(String, Long, Long, Long, Long)].collect()
+    // every current value exceeds the reference max → all mass clamps
+    // into the LAST bucket
+    val qMap = rows.map(r => r._2 -> r._4).toMap
+    assert(qMap(9L) === 918181L, s"clamped mass must land in bucket 9: $qMap")
+    // empty buckets still smooth to (0+1)*1e6 div (100+10)
+    assert((0L to 8L).forall(b => qMap(b) === 9090L), s"others smoothed: $qMap")
+    val again = Profiler.distributionDrift(ref.repartition(7),
+      cur.repartition(5), Seq("x"), 10)
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(rows.sortBy(_._2).toSeq === again.sortBy(_._2).toSeq)
+  }
 }
