@@ -977,6 +977,45 @@ object IngestQueries {
           WHERE e.event_id IS NULL AND NOT (s.v % 7 = 2))
         SELECT event_id, user_id, cents, pk FROM m
         UNION ALL
-        SELECT event_id, user_id, cents, pk FROM i"""))
+        SELECT event_id, user_id, cents, pk FROM i""")),
+
+    // FILE-LEVEL BLOOM INDEX under the oracle: banded ingestion with
+    // bloomCols=cents, then a POINT LOOKUP on a data-derived value (the
+    // smallest event's cents — never hardcoded) that reads only files
+    // whose bloom may contain it. Result ≡ the plain equality filter;
+    // the file-skip behavior itself is spec-asserted.
+    QuerySpec("q224_bloom_point_lookup",
+      (s, dir) => {
+        GraftSession.tune(s)
+        val base = java.nio.file.Files.createTempDirectory("graft_q224_").toString
+        val ev = Tables.events(s, dir)
+        val rows = ev.select(col("event_id"), col("user_id"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+          .withColumn("pk", col("user_id") % 4)
+        val band = least(floor(col("cents") / 5000), lit(3))
+        val t = new graft.operators.GraftTable(s, s"$base/t",
+          Seq("event_id"), "pk", bloomCols = Seq("cents"))
+        t.createIfNotExists(org.apache.spark.sql.types.StructType.fromDDL(
+          "event_id BIGINT, user_id BIGINT, cents BIGINT, pk BIGINT"))
+        for (b <- 0 to 3) t.insertIfAbsent(rows.filter(band === b))
+        val k = rows.orderBy("event_id").select("cents").limit(1)
+          .collect()(0).getLong(0)
+        val out = t.readWhereEquals("cents", k)
+          .select("event_id", "user_id", "cents", "pk")
+        val snap = out.localCheckpoint(true)
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+        }
+        rm(new java.io.File(base))
+        snap
+      },
+      Some("""
+        WITH e AS (
+          SELECT event_id, user_id,
+            CAST(round(value * 100) AS BIGINT) AS cents,
+            CAST(user_id % 4 AS BIGINT) AS pk
+          FROM events)
+        SELECT event_id, user_id, cents, pk FROM e
+        WHERE cents = (SELECT cents FROM e ORDER BY event_id LIMIT 1)"""))
   )
 }

@@ -168,9 +168,20 @@ private[operators] final case class FileStats(rows: Long, cols: Map[String, ColS
   */
 final class GraftTable(spark: SparkSession, val path: String,
                        val keys: Seq[String], val partitionCol: String,
-                       val statsCols: Seq[String] = Nil) {
+                       val statsCols: Seq[String] = Nil,
+                       val bloomCols: Seq[String] = Nil,
+                       val bloomBits: Int = 1024) {
 
   import GraftTable.CheckpointEvery
+
+  require(bloomBits % 64 == 0 && bloomBits >= 64 && bloomBits <= (1 << 20),
+    s"bloomBits must be a multiple of 64 in [64, 2^20], got $bloomBits")
+  /** Hash count for the per-file Bloom index (the [[Bloom]] discipline:
+    * position i of value x = first 8 md5 hex digits of "i:<canonical x>"
+    * mod bloomBits — deterministic in any engine and recomputable
+    * driver-side for the lookup probe).
+    */
+  private val BloomK = 3
 
   /** Idempotent create (K1): materializes the table directory, a
     * schema sidecar, and version 1 (the empty manifest) once. (An empty
@@ -417,34 +428,75 @@ final class GraftTable(spark: SparkSession, val path: String,
     * commit's own files, one result row per file.
     */
   private def collectStatsEntries(added: Seq[String]): Seq[String] = {
-    if (statsCols.isEmpty || added.isEmpty) return Nil
+    if ((statsCols.isEmpty && bloomCols.isEmpty) || added.isEmpty) return Nil
     val schema = sidecarSchemaOpt.getOrElse(return Nil)
     val tagged = schema.fields.toSeq
       .filter(f => statsCols.contains(f.name) && f.name != partitionCol)
       .flatMap(f => statTag(f.dataType).map(t => f.name -> t))
-    if (tagged.isEmpty) return Nil
+    val bloomTagged = schema.fields.toSeq
+      .filter(f => bloomCols.contains(f.name) && f.name != partitionCol)
+      .flatMap(f => statTag(f.dataType).map(t => f.name -> t))
+    if (tagged.isEmpty && bloomTagged.isEmpty) return Nil
     val nonPart = org.apache.spark.sql.types.StructType(
       schema.fields.filterNot(_.name == partitionCol))
     // key by partitionDir/basename — basenames ALONE collide across a
     // commit's partition dirs (they share one task numbering)
     val byRel = added.map(f => f.split('/').takeRight(2).mkString("/") -> f).toMap
-    val aggs = tagged.flatMap { case (c, t) =>
+    val words = bloomBits / 64
+    // per-row Bloom mask per bitmap word (bit_or'd per file below): the
+    // row's k md5 positions each light one bit; nulls hash to null → no
+    // bits — computed as explicit columns so the per-file agg is plain
+    val base = spark.read.schema(nonPart).parquet(added.map(f => s"$path/$f"): _*)
+    val withMasks = bloomTagged.foldLeft(base) { case (d, (c, t)) =>
+      val canon = canonTyped(col(c), t).cast("string")
+      val withPos = (0 until BloomK).foldLeft(d) { case (dd, i) =>
+        dd.withColumn(s"__bp__${c}__$i",
+          conv(substring(md5(concat(lit(s"$i:"), canon)), 1, 8), 16, 10)
+            .cast("long") % bloomBits)
+      }
+      (0 until words).foldLeft(withPos) { case (d2, w) =>
+        val terms = (0 until BloomK).map(i =>
+          s"(CASE WHEN `__bp__${c}__$i` DIV 64 = $w THEN " +
+            s"shiftleft(CAST(1 AS BIGINT), CAST(`__bp__${c}__$i` % 64 AS INT)) " +
+            "ELSE CAST(0 AS BIGINT) END)")
+        d2.withColumn(s"__bw__${c}__$w", expr(terms.mkString(" | ")))
+      }
+    }
+    val statAggs = tagged.flatMap { case (c, t) =>
       val cc = canonTyped(col(c), t)
       Seq(min(cc).cast("string").as(s"__mn$c"), max(cc).cast("string").as(s"__mx$c"),
         sum(col(c).isNull.cast("long")).as(s"__nl$c"))
     }
-    val got = spark.read.schema(nonPart).parquet(added.map(f => s"$path/$f"): _*)
+    val bloomAggs = bloomTagged.flatMap { case (c, _) =>
+      (0 until words).map(w =>
+        expr(s"bit_or(`__bw__${c}__$w`)").as(s"__bb__${c}__$w"))
+    }
+    val got = withMasks
       .groupBy(input_file_name().as("__f"))
-      .agg(count(lit(1)).as("__rows"), aggs: _*)
+      .agg(count(lit(1)).as("__rows"), (statAggs ++ bloomAggs): _*)
       .collect()
     got.toSeq.flatMap { r =>
-      byRel.get(r.getString(0).split('/').takeRight(2).mkString("/")).map { rel =>
-        val cols = tagged.zipWithIndex.map { case ((c, t), i) =>
-          c -> ColStats(t, r.getLong(4 + 3 * i),
-            Option(r.getString(2 + 3 * i)), Option(r.getString(3 + 3 * i)))
-        }.toMap
-        encodeStats(rel, FileStats(r.getLong(1), cols))
-      }
+      byRel.get(r.getString(0).split('/').takeRight(2).mkString("/")).toSeq
+        .flatMap { rel =>
+          val statEntry =
+            if (tagged.isEmpty) Nil
+            else {
+              val cols = tagged.zipWithIndex.map { case ((c, t), i) =>
+                c -> ColStats(t, r.getLong(4 + 3 * i),
+                  Option(r.getString(2 + 3 * i)), Option(r.getString(3 + 3 * i)))
+              }.toMap
+              Seq(encodeStats(rel, FileStats(r.getLong(1), cols)))
+            }
+          val off = 2 + 3 * tagged.size
+          val bloomEntries = bloomTagged.zipWithIndex.map { case ((c, _), bi) =>
+            val ws = (0 until words).map { w =>
+              val cell = r.get(off + bi * words + w)
+              if (cell == null) 0L else cell.asInstanceOf[Long]
+            }
+            encodeBloom(rel, c, ws)
+          }
+          statEntry ++ bloomEntries
+        }
     }
   }
 
@@ -454,8 +506,8 @@ final class GraftTable(spark: SparkSession, val path: String,
     * unprunable). Entries for dead files are harmless: lookups are by
     * live path.
     */
-  private def replayStats(v: Long): Map[String, FileStats] = {
-    val oldest = versions.headOption.getOrElse(return Map.empty)
+  private def statChainEntries(v: Long): Seq[String] = {
+    val oldest = versions.headOption.getOrElse(return Nil)
     var at = v
     var done = false
     val chain = scala.collection.mutable.ListBuffer.empty[Seq[String]]
@@ -466,8 +518,35 @@ final class GraftTable(spark: SparkSession, val path: String,
       }
       at -= 1
     }
-    chain.toSeq.flatMap(_.filterNot(_.startsWith("#")).map(decodeStats)).toMap
+    chain.toSeq.flatten.filterNot(_.startsWith("#"))
   }
+
+  private def replayStats(v: Long): Map[String, FileStats] =
+    statChainEntries(v).filterNot(_.startsWith("!")).map(decodeStats).toMap
+
+  /** (file, column) → Bloom words as of `v` (same chain walk/override
+    * semantics as [[replayStats]]; missing blooms degrade to
+    * unprunable).
+    */
+  private def replayBlooms(v: Long): Map[(String, String), Array[Long]] =
+    statChainEntries(v).filter(_.startsWith("!")).map(decodeBloom).toMap
+
+  /** Bloom entry: `!;b64(rel);b64(col);w0;...;w(bloomBits/64 - 1)` —
+    * rides the stats log's format and escaping unchanged (legacy
+    * readers skip on the '!' prefix).
+    */
+  private def encodeBloom(rel: String, c: String, words: Seq[Long]): String =
+    (Seq("!", b64e(rel), b64e(c)) ++ words.map(_.toString)).mkString(";")
+
+  private def decodeBloom(entry: String): ((String, String), Array[Long]) = {
+    val t = entry.split(";", -1)
+    (b64d(t(1)), b64d(t(2))) -> t.drop(3).map(_.toLong)
+  }
+
+  /** Table-relative file path a stats-log entry describes (both kinds). */
+  private def relOfStatEntry(entry: String): String =
+    if (entry.startsWith("!")) b64d(entry.split(";", -1)(1))
+    else b64d(entry.split(";", -1)(0))
 
   /** Persist the winner's stats for committed version `v` (atomic move;
     * a crash before this lands degrades to "commit without stats").
@@ -475,14 +554,16 @@ final class GraftTable(spark: SparkSession, val path: String,
     * [[replayStats]] like the manifest checkpoint bounds [[manifestFiles]].
     */
   private def writeStatsFile(v: Long, newEntries: Seq[String]): Unit = {
-    if (statsCols.isEmpty) return
+    if (statsCols.isEmpty && bloomCols.isEmpty) return
     val (kind, entries) =
       if (v % CheckpointEvery == 0) {
         val live = manifestFiles(v).toSet
-        val newRel = newEntries.map(e => decodeStats(e)._1).toSet
+        val newRel = newEntries.map(relOfStatEntry).toSet
+        def keep(rel: String) = live.contains(rel) && !newRel.contains(rel)
         val carried = replayStats(v - 1).collect {
-          case (rel, fs) if live.contains(rel) && !newRel.contains(rel) =>
-            encodeStats(rel, fs)
+          case (rel, fs) if keep(rel) => encodeStats(rel, fs)
+        }.toSeq ++ replayBlooms(v - 1).collect {
+          case ((rel, c), ws) if keep(rel) => encodeBloom(rel, c, ws.toSeq)
         }.toSeq
         ("#sfull", carried.sorted ++ newEntries.sorted)
       } else ("#sdelta", newEntries.sorted)
@@ -578,6 +659,52 @@ final class GraftTable(spark: SparkSession, val path: String,
     val v = currentVersion // one snapshot for both file list and vectors
     readResolved(candidateFilesAt(c, lo, hi, v), v)
       .filter(col(c) >= litOf(lo, tag) && col(c) <= litOf(hi, tag))
+  }
+
+  /** Live files that MAY hold a row with `c` = `x`: zone-map range
+    * pruning (when `c` is in `statsCols`) PLUS the per-file BLOOM test
+    * (when `c` is in `bloomCols`) — the value's k md5 positions are
+    * recomputed driver-side from the same canonical rendering the
+    * commit hashed, and a file whose bitmap misses ANY bit cannot hold
+    * the value. Files without a bloom degrade to the zone-map verdict.
+    */
+  def candidateFilesEquals(c: String, x: Any): Seq[String] = {
+    val v = currentVersion
+    candidateFilesEqualsAt(c, x, v)
+  }
+
+  private def candidateFilesEqualsAt(c: String, x: Any, v: Long): Seq[String] = {
+    val tag = tagOf(c)
+    val canon = canonValue(x, tag)
+    val ranged = candidateFilesAt(c, x, x, v)
+    val blooms = replayBlooms(v)
+    if (blooms.isEmpty) return ranged
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val pos = (0 until BloomK).map { i =>
+      val h = md.digest(s"$i:$canon".getBytes("UTF-8"))
+        .take(4).map("%02x".format(_)).mkString
+      (java.lang.Long.parseLong(h, 16) % bloomBits).toInt
+    }
+    ranged.filter { fl =>
+      blooms.get((fl, c)) match {
+        case None => true // no bloom recorded — unprunable
+        case Some(ws) => pos.forall(p => (ws(p / 64) & (1L << (p % 64))) != 0L)
+      }
+    }
+  }
+
+  /** BLOOM-PRUNED POINT LOOKUP: rows with `c` = `x`, reading only files
+    * whose Bloom index (and zone map, if both are enabled) may contain
+    * the value — the Delta bloom-filter-index feature for selective
+    * equality predicates on NON-clustered columns, where min/max ranges
+    * are too wide to prune. Result ≡ `read.filter(col(c) === x)` (the
+    * residual filter drops Bloom false positives).
+    */
+  def readWhereEquals(c: String, x: Any): DataFrame = {
+    val tag = tagOf(c)
+    val v = currentVersion
+    readResolved(candidateFilesEqualsAt(c, x, v), v)
+      .filter(col(c) <=> litOf(x, tag))
   }
 
   /** Diagnostic: how many FULL data-tree walks this instance has done.
@@ -826,11 +953,13 @@ final class GraftTable(spark: SparkSession, val path: String,
       // re-anchor the stats log too: a full stats checkpoint at the
       // oldest kept version (restricted to files live in ANY kept
       // version), so replay never needs the soon-dropped stats files
-      if (statsCols.nonEmpty) {
+      if (statsCols.nonEmpty || bloomCols.nonEmpty) {
         val liveAny = keep.flatMap(manifestFiles).toSet
-        val snap = replayStats(keep.last).collect {
+        val snap = (replayStats(keep.last).collect {
           case (rel, fs) if liveAny.contains(rel) => encodeStats(rel, fs)
-        }.toSeq.sorted
+        }.toSeq ++ replayBlooms(keep.last).collect {
+          case ((rel, c), ws) if liveAny.contains(rel) => encodeBloom(rel, c, ws.toSeq)
+        }.toSeq).sorted
         val json = ("#sfull" +: snap).map(e => "\"" + e + "\"")
           .mkString(s"""{"version":$kMin,"files":[""", ",", "]}")
         val tmp = logDir.resolve(s".tmp_s_ckpt_v$kMin")

@@ -648,6 +648,54 @@ class GraftTableSpec extends SparkSpec {
     assert(t.read.filter($"day" === "d1").count() == 0)
   }
 
+  test("bloom index: point lookups skip files; result equals the plain filter; string columns too") {
+    val s = spark; import s.implicits._
+    val dir = Files.createTempDirectory("graft_bloom").toString + "/t"
+    val t = new GraftTable(s, dir, keys = Seq("pk", "rk"), partitionCol = "day",
+      bloomCols = Seq("n", "rk"))
+    t.createIfNotExists(rows().schema)
+    // 8 ticks, disjoint value bands → every file's bloom is selective
+    for (b <- 0 until 8)
+      t.insertIfAbsent((0 until 40).map(i =>
+        ("d" + (b % 2), "p" + b, s"rk_${b}_$i", b * 1000 + i)).toDF("day", "pk", "rk", "n"))
+    val total = t.dataFileCount
+    assert(total >= 8)
+    // n = 3007 lives only in band 3's files
+    val cand = t.candidateFilesEquals("n", 3007)
+    assert(cand.size < total, s"bloom must skip files: ${cand.size} of $total")
+    val got = t.readWhereEquals("n", 3007).select("rk").as[String].collect().toSeq
+    assert(got == Seq("rk_3_7"))
+    // equality on the string column prunes too
+    val candS = t.candidateFilesEquals("rk", "rk_5_11")
+    assert(candS.size < total)
+    assert(t.readWhereEquals("rk", "rk_5_11").count() == 1)
+    // a value NOWHERE in the table: typically every file prunes
+    assert(t.readWhereEquals("n", 999999).count() == 0)
+  }
+
+  test("bloom index: survives checkpoints and vacuum; bloom-free tables never prune but read correctly") {
+    val s = spark; import s.implicits._
+    val dir = Files.createTempDirectory("graft_bloom2").toString + "/t"
+    val t = new GraftTable(s, dir, keys = Seq("pk", "rk"), partitionCol = "day",
+      bloomCols = Seq("n"))
+    t.createIfNotExists(rows().schema)
+    for (b <- 0 until 10) // crosses the 8-version full checkpoint
+      t.insertIfAbsent(Seq(("d" + b, "p", s"r$b", b * 100)).toDF("day", "pk", "rk", "n"))
+    val total = t.dataFileCount
+    assert(t.candidateFilesEquals("n", 300).size < total,
+      "pruning must survive the stats checkpoint")
+    assert(t.readWhereEquals("n", 300).count() == 1)
+    t.vacuum(1)
+    assert(t.candidateFilesEquals("n", 300).size < t.dataFileCount
+      || t.dataFileCount == 1, "pruning must survive vacuum re-anchor")
+    assert(t.readWhereEquals("n", 300).count() == 1)
+    // bloom-free table: no pruning, same answers
+    val t2 = freshTable().createIfNotExists(rows().schema)
+    t2.importOnce(rows(("d1", "p", "r1", 5), ("d2", "p", "r2", 6)))
+    assert(t2.candidateFilesEquals("n", 5).size == t2.dataFileCount)
+    assert(t2.readWhereEquals("n", 5).count() == 1)
+  }
+
   test("check constraints: violating mutations abort atomically; ANSI null passes; drop re-allows") {
     val t = freshTable().createIfNotExists(rows().schema)
     t.importOnce(rows(("d1", "p", "r1", 5)))
