@@ -1016,6 +1016,112 @@ object IngestQueries {
             CAST(user_id % 4 AS BIGINT) AS pk
           FROM events)
         SELECT event_id, user_id, cents, pk FROM e
-        WHERE cents = (SELECT cents FROM e ORDER BY event_id LIMIT 1)"""))
+        WHERE cents = (SELECT cents FROM e ORDER BY event_id LIMIT 1)""")),
+
+    // ROUND-7 STORAGE CAPSTONE — every production feature of the table
+    // layer composed into ONE versioned history: CHECK constraint (a
+    // poisoned mutation must abort WITHOUT trace — its absence is
+    // hash-checked), general MERGE (update/delete/insert), row-level
+    // deletion vectors, an exactly-once batch upsert whose REPLAYED
+    // delivery must skip, clustered compaction (content-invariant), a
+    // zone-map+bloom pruned range read of the final state, and time
+    // travel back across all of it. One wrong clause, vector, txn
+    // marker, or version anywhere breaks the hash.
+    QuerySpec("q225_storage_capstone",
+      (s, dir) => {
+        GraftSession.tune(s)
+        val base = java.nio.file.Files.createTempDirectory("graft_q225_").toString
+        val ev = Tables.events(s, dir)
+        val rows = ev.select(col("event_id"), col("user_id"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+          .withColumn("pk", col("user_id") % 4)
+        val t = new graft.operators.GraftTable(s, s"$base/t",
+          Seq("event_id"), "pk", statsCols = Seq("cents"),
+          bloomCols = Seq("cents"))
+        t.createIfNotExists(org.apache.spark.sql.types.StructType.fromDDL(
+          "event_id BIGINT, user_id BIGINT, cents BIGINT, pk BIGINT"))
+        t.addCheck("pk_range", "pk BETWEEN 0 AND 3")
+        t.upsertReplace(rows)
+        val v1 = t.currentVersion
+        // the poisoned mutation: violates the check, must abort clean
+        val poisoned = try {
+          t.upsertReplace(rows.limit(1).withColumn("pk", lit(9L))); false
+        } catch { case _: graft.operators.CheckViolationException => true }
+        require(poisoned, "check violation must abort")
+        require(t.currentVersion == v1, "aborted mutation must not commit")
+        import graft.operators.GraftTable.{src, MatchedDelete, MatchedUpdate}
+        val matchedSrc = rows.filter(col("user_id") % 3 === 0)
+          .select(col("event_id"), col("user_id"), (col("cents") + 7).as("v"))
+        val insertSrc = rows.filter(col("user_id") % 7 === 1)
+          .select((-(col("event_id") + 1)).as("event_id"),
+            col("user_id"), col("cents").as("v"))
+        t.merge(matchedSrc.unionByName(insertSrc),
+          matched = Seq(
+            MatchedDelete(src("v") % 10 === 3),
+            MatchedUpdate(src("v") % 2 === 0,
+              Map("cents" -> (src("v") + col("cents"))))),
+          notMatchedInsert = Some((src("v") % 3 =!= 1, Map(
+            "event_id" -> src("event_id"), "user_id" -> src("user_id"),
+            "cents" -> src("v"), "pk" -> (src("user_id") % 4)))))
+        t.deleteWhere(col("cents") % 97 === 13)
+        val batch = rows.filter(col("user_id") % 11 === 5)
+          .withColumn("cents", col("cents") + 1000)
+        require(t.upsertReplaceBatch("cap", 1, batch.select(
+          "event_id", "user_id", "cents", "pk")))
+        // the at-least-once replay, poisoned — must SKIP
+        require(!t.upsertReplaceBatch("cap", 1, batch
+          .withColumn("cents", col("cents") + 9999).select(
+            "event_id", "user_id", "cents", "pk")))
+        t.compact(4, clusterBy = Seq("cents")) // content-invariant
+        val out = t.readWhereBetween("cents", 2000, 4999)
+          .select(lit("range").as("at"), col("event_id"), col("user_id"),
+            col("cents"), col("pk"))
+          .unionByName(t.readAt(v1).filter(col("user_id") % 13 === 2)
+            .select(lit("travel").as("at"), col("event_id"), col("user_id"),
+              col("cents"), col("pk")))
+        val snap = out.localCheckpoint(true)
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+        }
+        rm(new java.io.File(base))
+        snap
+      },
+      Some("""
+        WITH e AS (
+          SELECT event_id, user_id,
+            CAST(round(value * 100) AS BIGINT) AS cents,
+            CAST(user_id % 4 AS BIGINT) AS pk
+          FROM events),
+        s AS (
+          SELECT event_id, user_id, cents + 7 AS v
+          FROM e WHERE user_id % 3 = 0
+          UNION ALL
+          SELECT -(event_id + 1) AS event_id, user_id, cents AS v
+          FROM e WHERE user_id % 7 = 1),
+        m AS (
+          SELECT e.event_id, e.user_id,
+            CASE WHEN s.event_id IS NOT NULL AND NOT (s.v % 10 = 3)
+                      AND s.v % 2 = 0
+                 THEN s.v + e.cents ELSE e.cents END AS cents,
+            e.pk
+          FROM e LEFT JOIN s ON e.event_id = s.event_id
+          WHERE s.event_id IS NULL OR NOT (s.v % 10 = 3)
+          UNION ALL
+          SELECT s.event_id, s.user_id, s.v AS cents,
+            CAST(s.user_id % 4 AS BIGINT) AS pk
+          FROM s LEFT JOIN e ON s.event_id = e.event_id
+          WHERE e.event_id IS NULL AND NOT (s.v % 3 = 1)),
+        d AS (SELECT * FROM m WHERE NOT (cents % 97 = 13)),
+        b AS (
+          SELECT event_id, user_id, cents + 1000 AS cents, pk
+          FROM e WHERE user_id % 11 = 5),
+        f AS (
+          SELECT * FROM d WHERE event_id NOT IN (SELECT event_id FROM b)
+          UNION ALL SELECT * FROM b)
+        SELECT 'range' AS at, event_id, user_id, cents, pk FROM f
+        WHERE cents BETWEEN 2000 AND 4999
+        UNION ALL
+        SELECT 'travel' AS at, event_id, user_id, cents, pk FROM e
+        WHERE user_id % 13 = 2"""))
   )
 }
