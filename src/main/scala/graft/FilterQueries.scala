@@ -788,6 +788,43 @@ object FilterQueries {
         SELECT doc_id, md5(raw) AS raw_md5, md5(norm) AS norm_md5,
           CAST(count(*) OVER (PARTITION BY raw) AS BIGINT) AS n_same_raw,
           CAST(count(*) OVER (PARTITION BY norm) AS BIGINT) AS n_same_norm
-        FROM n"""))
+        FROM n""")),
+
+    // K-ANONYMIZATION (Sweeney) — the privacy release gate next to the
+    // q160 PII scrub: quasi-identifiers (user_id, cents) coarsen in
+    // lockstep through a 3-level generalization ladder, the smallest
+    // level whose minimum class size reaches k=5 is chosen (coarsest as
+    // fallback), residual classes below k suppress. The oracle replays
+    // all three levels, the minimum-size choice, and the suppression.
+    QuerySpec("q227_k_anonymize",
+      (s, dir) => {
+        val ev = Tables.events(s, dir).select(col("user_id"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+        Pii.kAnonymize(ev,
+          Seq("user_id" -> Seq(1L, 16L, 256L),
+            "cents" -> Seq(100L, 1000L, 10000L)), k = 5L)
+      },
+      Some("""
+        WITH e AS (
+          SELECT user_id, CAST(round(value * 100) AS BIGINT) AS cents
+          FROM events),
+        lv AS (
+          SELECT 0 AS level, user_id // 1 AS g_user_id,
+            cents // 100 AS g_cents FROM e
+          UNION ALL
+          SELECT 1, user_id // 16, cents // 1000 FROM e
+          UNION ALL
+          SELECT 2, user_id // 256, cents // 10000 FROM e),
+        sizes AS (
+          SELECT level, g_user_id, g_cents,
+            CAST(count(*) AS BIGINT) AS n_rows
+          FROM lv GROUP BY 1, 2, 3),
+        mins AS (SELECT level, min(n_rows) AS mn FROM sizes GROUP BY 1),
+        ch AS (
+          SELECT COALESCE(min(CASE WHEN mn >= 5 THEN level END), 2) AS lvl
+          FROM mins)
+        SELECT CAST(s.level AS BIGINT) AS level, s.g_user_id, s.g_cents,
+          s.n_rows
+        FROM sizes s, ch WHERE s.level = ch.lvl AND s.n_rows >= 5"""))
   )
 }

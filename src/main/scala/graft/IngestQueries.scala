@@ -1122,6 +1122,60 @@ object IngestQueries {
         WHERE cents BETWEEN 2000 AND 4999
         UNION ALL
         SELECT 'travel' AS at, event_id, user_id, cents, pk FROM e
-        WHERE user_id % 13 = 2"""))
+        WHERE user_id % 13 = 2""")),
+
+    // DELETE-AWARE INCREMENTAL VIEW MAINTENANCE under the oracle: a
+    // grouped (count, sum) view bootstrapped at v1, then maintained
+    // PURELY from the v1→head snapshot diff across an UPDATE tick that
+    // MOVES rows between groups (the group key derives from the updated
+    // value) and a DELETE tick — the oracle computes the direct
+    // aggregate of the final state, which the maintained view must
+    // equal without ever rescanning unchanged keys.
+    QuerySpec("q226_ivm_with_deletes",
+      (s, dir) => {
+        GraftSession.tune(s)
+        val base = java.nio.file.Files.createTempDirectory("graft_q226_").toString
+        val ev = Tables.events(s, dir)
+        val rows = ev.select(col("event_id"), col("user_id"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+          .withColumn("pk", col("user_id") % 4)
+        val t = new graft.operators.GraftTable(s, s"$base/t", Seq("event_id"), "pk")
+        t.createIfNotExists(org.apache.spark.sql.types.StructType.fromDDL(
+          "event_id BIGINT, user_id BIGINT, cents BIGINT, pk BIGINT"))
+        t.upsertReplace(rows)
+        val v1 = t.currentVersion
+        // update tick: moves rows across g = cents DIV 3000 groups
+        t.upsertReplace(rows.filter(col("user_id") % 4 === 1)
+          .withColumn("cents", col("cents") + 4500))
+        // delete tick
+        t.deleteByKeys(rows.filter(col("user_id") % 6 === 2).select("event_id"))
+        def withG(df: org.apache.spark.sql.DataFrame) =
+          df.withColumn("g", expr("cents DIV 3000"))
+        val view1 = withG(t.readAt(v1)).groupBy("g")
+          .agg(count(lit(1)).as("n_rows"), sum("cents").as("sum_v"))
+        val out = graft.operators.Incremental.maintainGroupAgg(
+          view1, withG(t.readAt(v1)), withG(t.read),
+          keys = Seq("event_id"), g = "g", v = "cents")
+        val snap = out.localCheckpoint(true)
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+        }
+        rm(new java.io.File(base))
+        snap
+      },
+      Some("""
+        WITH e AS (
+          SELECT event_id, user_id,
+            CAST(round(value * 100) AS BIGINT) AS cents
+          FROM events),
+        s2 AS (
+          SELECT event_id,
+            CASE WHEN user_id % 4 = 1 THEN cents + 4500 ELSE cents END AS cents,
+            user_id
+          FROM e),
+        s3 AS (SELECT * FROM s2 WHERE NOT (user_id % 6 = 2))
+        SELECT cents // 3000 AS g, count(*) AS n_rows,
+          CAST(SUM(cents) AS BIGINT) AS sum_v
+        FROM s3 GROUP BY 1"""))
   )
 }

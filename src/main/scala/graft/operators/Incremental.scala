@@ -77,4 +77,62 @@ object Incremental {
     deltaA.join(bOld.unionByName(deltaB), keys)
       .unionByName(aOld.join(deltaB, keys))
   }
+
+  /** DELETE-AWARE incremental aggregate-view maintenance — the general
+    * IVM rule for `SELECT g, count(*), sum(v) GROUP BY g` under
+    * arbitrary churn (the tier above [[state]]/[[merge]]'s append-only
+    * folds and q139's insert deltas): given the view at the OLD
+    * snapshot and both snapshots of the base table,
+    *
+    *   1. diff the snapshots on the key (one co-partitioned full-outer
+    *      join — exchange-free over bucketed snapshots; with a
+    *      versioned [[GraftTable]] feed the snapshots are `readAt`
+    *      frames, so the diff reads only what the manifests name),
+    *   2. every CHANGED row emits signed contributions: its old
+    *      incarnation (−1, −v) to its old group, its new incarnation
+    *      (+1, +v) to its new group — an update that MOVES groups
+    *      maintains both sides correctly; unchanged rows emit nothing,
+    *   3. fold the group-summed delta into the view, dropping groups
+    *      whose count reaches zero.
+    *
+    * Result ≡ the direct aggregate of the new snapshot (q226 proves it
+    * under the oracle after replace AND delete ticks). Cost: one diff
+    * join + a churn-bounded aggregate + a view-sized merge — never a
+    * rescan of the base table's unchanged keys.
+    *
+    * `view` must be (g, n_rows, sum_v); null groups and null values are
+    * legal (null v contributes 0 to the sum, like SQL SUM).
+    */
+  def maintainGroupAgg(view: DataFrame, oldSnap: DataFrame,
+                       newSnap: DataFrame, keys: Seq[String],
+                       g: String, v: String): DataFrame = {
+    require(keys.nonEmpty, "maintainGroupAgg needs key columns")
+    def side(df: DataFrame, p: String) =
+      df.select(keys.map(col) :+
+        struct(col(g).as("g"), col(v).cast("long").as("v")).as(p): _*)
+    val (o, n) = ("__ivm_o", "__ivm_n")
+    val changed = side(oldSnap, o).join(side(newSnap, n), keys, "full_outer")
+      .filter(!(col(o) <=> col(n))) // presence or any value differs
+    val contrib = changed.select(explode(array(
+        struct(col(o)("g").as("g"),
+          when(col(o).isNull, 0L).otherwise(-1L).as("dn"),
+          when(col(o).isNull, 0L)
+            .otherwise(-coalesce(col(o)("v"), lit(0L))).as("dv")),
+        struct(col(n)("g").as("g"),
+          when(col(n).isNull, 0L).otherwise(1L).as("dn"),
+          when(col(n).isNull, 0L)
+            .otherwise(coalesce(col(n)("v"), lit(0L))).as("dv")))).as("c"))
+      .select(col("c.g"), col("c.dn"), col("c.dv"))
+      .filter(col("dn") =!= 0L)
+      .groupBy("g").agg(sum("dn").as("dn"), sum("dv").as("dv"))
+    val delta = contrib.withColumnRenamed("g", "__dg")
+    view.select(col(g).as("__vg"), col("n_rows"), col("sum_v"))
+      .join(delta, col("__vg") <=> col("__dg"), "full_outer")
+      .select(coalesce(col("__vg"), col("__dg")).as(g),
+        (coalesce(col("n_rows"), lit(0L)) + coalesce(col("dn"), lit(0L)))
+          .as("n_rows"),
+        (coalesce(col("sum_v"), lit(0L)) + coalesce(col("dv"), lit(0L)))
+          .as("sum_v"))
+      .filter(col("n_rows") > 0)
+  }
 }

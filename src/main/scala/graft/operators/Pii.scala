@@ -50,4 +50,50 @@ object Pii {
     out.withColumn("clean", cur)
       .drop(STEPS.map(s => s"__${s._3}"): _*)
   }
+
+  /** K-ANONYMIZATION by global generalization + residual suppression —
+    * the privacy-compliance release gate (Sweeney 2002; the "can this
+    * quasi-identifier combination single someone out" audit): every
+    * quasi-identifier column carries a generalization LADDER of bucket
+    * granularities (level ℓ renders the column as `value div
+    * ladder(ℓ)`; all columns coarsen in lockstep), the operator picks
+    * the SMALLEST level whose minimum equivalence-class size reaches
+    * `k` (falling back to the coarsest), and any residual class still
+    * below `k` at that level is SUPPRESSED — so the output satisfies
+    * k-anonymity by construction. Returns one row per surviving class:
+    * (level, <generalized qi columns>, n_rows).
+    *
+    * Deterministic end to end (integer floor buckets of non-negative
+    * values, level choice from exact counts). Scale shape: ONE corpus
+    * scan with a row-local ≤|ladder|× explode, one grouped count
+    * (bounded by levels × distinct class tuples), then metadata-scale
+    * min/choice arithmetic — the level pick is a broadcast of one row.
+    */
+  def kAnonymize(df: DataFrame, qis: Seq[(String, Seq[Long])],
+                 k: Long): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(qis.nonEmpty, "need at least one quasi-identifier")
+    val levels = qis.head._2.size
+    require(levels >= 1 && qis.forall(_._2.size == levels),
+      "every quasi-identifier needs the same ladder length")
+    require(qis.forall(_._2.forall(_ >= 1)), "granularities must be >= 1")
+    val gCols = qis.map(_._1)
+    // level-exploded generalized tuples, row-locally
+    val lv = df.select(gCols.map(col): _*)
+      .select(explode(array((0 until levels).map { l =>
+        struct(lit(l.toLong).as("level") +:
+          qis.map { case (c, ladder) =>
+            expr(s"CAST(`$c` AS BIGINT) DIV ${ladder(l)}").as(s"g_$c")
+          }: _*)
+      }: _*)).as("t"))
+      .select(col("t.level") +: gCols.map(c => col(s"t.g_$c")): _*)
+    val sizes = lv.groupBy(col("level") +: gCols.map(c => col(s"g_$c")): _*)
+      .agg(count(lit(1)).as("n_rows"))
+    val chosen = sizes.groupBy("level").agg(min(col("n_rows")).as("mn"))
+      .agg(coalesce(min(when(col("mn") >= k, col("level"))),
+        lit(levels - 1L)).as("lvl"))
+    sizes.join(broadcast(chosen), col("level") === col("lvl"))
+      .filter(col("n_rows") >= k) // residual suppression
+      .select(col("level") +: gCols.map(c => col(s"g_$c")) :+ col("n_rows"): _*)
+  }
 }

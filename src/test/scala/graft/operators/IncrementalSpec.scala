@@ -71,4 +71,53 @@ class IncrementalSpec extends SparkSpec {
     val empty = Incremental.joinDelta(aOld, dA.limit(0), bOld, dB.limit(0), Seq("k"))
     assert(empty.count() == 0L)
   }
+
+  private def asView(df: DataFrame) = df.groupBy("g")
+    .agg(count(lit(1)).as("n_rows"), sum("v").as("sum_v"))
+
+  private def viewMap(df: DataFrame) =
+    df.collect().map(r => Option(r.get(0)).map(_.toString) ->
+      ((r.getLong(1), r.getLong(2)))).toMap
+
+  test("maintainGroupAgg: inserts, deletes, group-moving updates, and null groups all fold exactly") {
+    val s = spark
+    import s.implicits._
+    val oldSnap = Seq(
+      (1L, Some("a"), 10L), (2L, Some("a"), 20L), (3L, Some("b"), 30L),
+      (4L, Option.empty[String], 40L), (5L, Some("c"), 50L))
+      .toDF("k", "g", "v")
+    val newSnap = Seq(
+      (1L, Some("a"), 11L),              // value update in place
+      (2L, Some("b"), 20L),              // MOVES a → b
+      (4L, Option.empty[String], 45L),   // null-group update
+      (6L, Some("d"), 60L),              // insert into a NEW group
+      (7L, Some("b"), 7L))               // plain insert; 3 unchanged, 5 deleted
+      .toDF("k", "g", "v")
+    val got = viewMap(Incremental.maintainGroupAgg(
+      asView(oldSnap), oldSnap, newSnap, Seq("k"), "g", "v"))
+    assert(got === viewMap(asView(newSnap)),
+      "maintained view must equal the direct aggregate")
+    // group c died (its only row deleted) — it must be GONE, not (0, 0)
+    assert(!got.contains(Some("c")))
+    assert(got(None) === ((1L, 45L)))
+  }
+
+  test("maintainGroupAgg: no-op diff returns the view unchanged; partitioning-invariant") {
+    val s = spark
+    import s.implicits._
+    val snap = (1 to 100).map(i => (i.toLong, Some(s"g${i % 7}"), i.toLong))
+      .toDF("k", "g", "v")
+    val view = asView(snap)
+    val same = viewMap(Incremental.maintainGroupAgg(view, snap, snap,
+      Seq("k"), "g", "v"))
+    assert(same === viewMap(view))
+    val newSnap = snap.filter(col("k") % 3 =!= 0)
+      .union(Seq((200L, Some("g0"), 9L)).toDF("k", "g", "v"))
+    val a = viewMap(Incremental.maintainGroupAgg(view, snap, newSnap,
+      Seq("k"), "g", "v"))
+    val b = viewMap(Incremental.maintainGroupAgg(view, snap.repartition(11),
+      newSnap.repartition(5), Seq("k"), "g", "v"))
+    assert(a === b)
+    assert(a === viewMap(asView(newSnap)))
+  }
 }

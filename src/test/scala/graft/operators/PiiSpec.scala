@@ -41,4 +41,35 @@ class PiiSpec extends SparkSpec {
     assert((got._2, got._4) === ((1, 1)))
     assert(got._5 === "<CARD> and <PHONE>")
   }
+
+  test("kAnonymize picks the smallest level satisfying k; exact classes") {
+    val s = spark
+    import s.implicits._
+    // ages 10..13 + 20..23, one row each: exact level (gran 1) has
+    // singletons; gran 10 groups them into two classes of 4
+    val df = (Seq(10, 11, 12, 13, 20, 21, 22, 23)).map(a => Tuple1(a.toLong))
+      .toDF("age")
+    val out = Pii.kAnonymize(df, Seq("age" -> Seq(1L, 10L)), k = 4L)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(out === Set((1L, 1L, 4L), (1L, 2L, 4L)),
+      s"level 1, classes 1 and 2 with 4 rows each: $out")
+  }
+
+  test("kAnonymize suppresses residual violators at the fallback level; validates ladders") {
+    val s = spark
+    import s.implicits._
+    // even at the coarsest level, value 990 is alone → suppressed;
+    // k can NEVER be met at any level so the fallback (last) level is used
+    val df = (Seq(1, 2, 3, 11, 12, 990)).map(a => Tuple1(a.toLong)).toDF("age")
+    val out = Pii.kAnonymize(df, Seq("age" -> Seq(1L, 100L)), k = 5L)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(out === Set((1L, 0L, 5L)),
+      s"the five small ages survive at gran 100; 990 suppresses: $out")
+    intercept[IllegalArgumentException] {
+      Pii.kAnonymize(df, Seq("age" -> Seq(1L, 10L), "x" -> Seq(1L)), 2L)
+    }
+    intercept[IllegalArgumentException] {
+      Pii.kAnonymize(df, Seq("age" -> Seq(0L)), 2L)
+    }
+  }
 }
