@@ -1176,6 +1176,61 @@ object IngestQueries {
         s3 AS (SELECT * FROM s2 WHERE NOT (user_id % 6 = 2))
         SELECT cents // 3000 AS g, count(*) AS n_rows,
           CAST(SUM(cents) AS BIGINT) AS sum_v
-        FROM s3 GROUP BY 1"""))
+        FROM s3 GROUP BY 1""")),
+
+    // RESTORE / rollback under the oracle: a DV delete and an upsert
+    // build a head state, restore(v1) rolls the live table back —
+    // resurrecting the DV-deleted rows, the hard part — a post-restore
+    // tick mutates normally, and the PRE-RESTORE head stays
+    // time-travelable. Both states replayed in SQL; a resurrection
+    // failure or a history loss anywhere breaks the hash.
+    QuerySpec("q228_restore",
+      (s, dir) => {
+        GraftSession.tune(s)
+        val base = java.nio.file.Files.createTempDirectory("graft_q228_").toString
+        val ev = Tables.events(s, dir)
+        val rows = ev.select(col("event_id"), col("user_id"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+          .withColumn("pk", col("user_id") % 4)
+        val t = new graft.operators.GraftTable(s, s"$base/t", Seq("event_id"), "pk")
+        t.createIfNotExists(org.apache.spark.sql.types.StructType.fromDDL(
+          "event_id BIGINT, user_id BIGINT, cents BIGINT, pk BIGINT"))
+        t.upsertReplace(rows)
+        val v1 = t.currentVersion
+        t.deleteWhere(col("cents") % 11 === 7)
+        t.upsertReplace(rows.filter(col("user_id") % 5 === 0)
+          .withColumn("cents", col("cents") + 100))
+        val head = t.currentVersion
+        t.restore(v1)
+        t.upsertReplace(rows.filter(col("user_id") % 7 === 0)
+          .withColumn("cents", col("cents") + 5))
+        val out = t.readAt(head)
+          .select(lit("head").as("at"), col("event_id"), col("user_id"),
+            col("cents"), col("pk"))
+          .unionByName(t.read
+            .select(lit("live").as("at"), col("event_id"), col("user_id"),
+              col("cents"), col("pk")))
+        val snap = out.localCheckpoint(true)
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+        }
+        rm(new java.io.File(base))
+        snap
+      },
+      Some("""
+        WITH e AS (
+          SELECT event_id, user_id,
+            CAST(round(value * 100) AS BIGINT) AS cents,
+            CAST(user_id % 4 AS BIGINT) AS pk
+          FROM events)
+        SELECT 'head' AS at, event_id, user_id, cents + 100 AS cents, pk
+        FROM e WHERE user_id % 5 = 0
+        UNION ALL
+        SELECT 'head' AS at, event_id, user_id, cents, pk
+        FROM e WHERE NOT (user_id % 5 = 0) AND NOT (cents % 11 = 7)
+        UNION ALL
+        SELECT 'live' AS at, event_id, user_id,
+          CASE WHEN user_id % 7 = 0 THEN cents + 5 ELSE cents END AS cents, pk
+        FROM e"""))
   )
 }

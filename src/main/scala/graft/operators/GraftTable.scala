@@ -872,6 +872,55 @@ final class GraftTable(spark: SparkSession, val path: String,
     this
   }
 
+  /** RESTORE to version `v` as a NEW commit (the Delta `RESTORE` /
+    * rollback statement): the target version's state becomes the live
+    * state again while ALL history — including the pre-restore head —
+    * stays time-travelable; nothing is deleted. Metadata-only wherever
+    * possible: the target's files re-enter the manifest BY REFERENCE;
+    * only files a LATER deletion vector touches re-land physically (a
+    * metadata re-add would resurrect the file but leave the later
+    * vector still applying to it — its deleted rows would stay
+    * invisible instead of coming back). Zone maps / blooms of
+    * referenced files are still in the stats log; rewritten files
+    * collect fresh ones. CHECK constraints are not re-validated — the
+    * restored state is a previously committed one. OCC like any
+    * mutation; at 100 TB a restore is one manifest commit plus at most
+    * the DV'd files' rewrite.
+    */
+  def restore(v: Long): this.type = {
+    val base = ensureBaselineVersion()
+    require(versions.contains(v), s"version $v does not exist for table $path")
+    if (v == base) return this
+    val target = manifestFiles(v)
+    val laterDvs = applicableDvDirs(Long.MaxValue).filter { p =>
+      p.getFileName.toString.drop(1).split("_", 2)(0).toLong > v
+    }
+    val touchedByLater: Set[String] =
+      if (laterDvs.isEmpty) Set.empty
+      else readDv(laterDvs).select("file").distinct()
+        .collect().map(_.getString(0)).toSet // bounded by DV'd-file count
+    val (rewrite, keep) = target.partition(touchedByLater.contains)
+    val newFiles =
+      if (rewrite.isEmpty) Seq.empty[String]
+      else writeCommitFiles(readResolved(rewrite, v))
+    val statsEntries = collectStatsEntries(newFiles)
+    // the restore REPLACES the whole live state: every partition dir of
+    // the current head or the target drops, then the target re-adds
+    val dropDirs = (manifestFiles(base) ++ target)
+      .map(f => f.split('/').dropRight(1).mkString("/")).distinct
+    try {
+      val nv = commitDelta(base, dropDirs, keep ++ newFiles)
+      writeStatsFile(nv, statsEntries)
+    } catch {
+      case e: CommitConflictException =>
+        newFiles.foreach { f =>
+          java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(path, f)); ()
+        }
+        throw e
+    }
+    this
+  }
+
   /** TIME TRAVEL: the table exactly as of committed version `v` —
     * through the CURRENT schema (columns added since `v` read as null),
     * with the deletion vectors committed by `v` applied (and later ones

@@ -648,6 +648,48 @@ class GraftTableSpec extends SparkSpec {
     assert(t.read.filter($"day" === "d1").count() == 0)
   }
 
+  test("restore: rolls back to any version as a NEW commit; history intact; metadata-only without later DVs") {
+    val t = freshTable().createIfNotExists(rows().schema)
+    t.importOnce(rows(("d1", "p", "r1", 1), ("d2", "p", "r2", 2)))
+    val v2 = t.currentVersion
+    def files(day: String) = {
+      val d = new java.io.File(s"${t.path}/day=$day")
+      if (!d.exists) Set.empty[(String, Long)]
+      else d.listFiles.filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getName, f.lastModified)).toSet
+    }
+    val d1v2 = files("d1")
+    t.upsertReplace(rows(("d1", "p", "r1", 100), ("d3", "p", "r9", 9)))
+    val head = t.currentVersion
+    t.restore(v2)
+    assert(t.currentVersion == head + 1, "restore is itself a commit")
+    assert(t.read.select("rk", "n").as[(String, Int)].collect().toMap
+      == Map("r1" -> 1, "r2" -> 2), "live state = the restored version")
+    // no later DVs → purely metadata: d1's ORIGINAL files are live again
+    assert(files("d1").intersect(d1v2) == d1v2, "restore must not copy data")
+    // the pre-restore head still time-travels
+    assert(t.readAt(head).select("rk", "n").as[(String, Int)].collect().toMap
+      == Map("r1" -> 100, "r2" -> 2, "r9" -> 9))
+    // and the table keeps mutating normally after a restore
+    t.upsertReplace(rows(("d2", "p", "r2", 22)))
+    assert(t.read.select("rk", "n").as[(String, Int)].collect().toMap
+      == Map("r1" -> 1, "r2" -> 22))
+  }
+
+  test("restore: rows deleted by a LATER deletion vector come back (affected files re-land)") {
+    val t = freshTable().createIfNotExists(rows().schema)
+    t.importOnce(rows(("d1", "p", "r1", 1), ("d1", "p", "r2", 2), ("d2", "p", "r3", 3)))
+    val v2 = t.currentVersion
+    t.deleteWhere(col("n") === 2) // DV at v3 touches d1's file
+    assert(t.read.count() == 2)
+    t.restore(v2)
+    assert(t.read.select("rk").as[String].collect().toSet
+      == Set("r1", "r2", "r3"), "DV-deleted row must resurrect")
+    // restore-of-restore: back to the post-delete state
+    t.restore(v2 + 1)
+    assert(t.read.select("rk").as[String].collect().toSet == Set("r1", "r3"))
+  }
+
   test("bloom index: point lookups skip files; result equals the plain filter; string columns too") {
     val s = spark; import s.implicits._
     val dir = Files.createTempDirectory("graft_bloom").toString + "/t"
