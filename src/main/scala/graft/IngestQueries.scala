@@ -1231,6 +1231,41 @@ object IngestQueries {
         UNION ALL
         SELECT 'live' AS at, event_id, user_id,
           CASE WHEN user_id % 7 = 0 THEN cents + 5 ELSE cents END AS cents, pk
-        FROM e"""))
+        FROM e""")),
+
+    // RANGE-CLUSTERING COMPACTION under the oracle: four interleaved
+    // ticks (each spans the FULL cents range — zone maps prune nothing),
+    // then compactRange re-cuts every partition into range-disjoint
+    // files and the same pruned scan reads a handful of them. Result ≡
+    // the plain filter; the selectivity flip is spec-asserted.
+    QuerySpec("q229_range_cluster_scan",
+      (s, dir) => {
+        GraftSession.tune(s)
+        val base = java.nio.file.Files.createTempDirectory("graft_q229_").toString
+        val ev = Tables.events(s, dir)
+        val rows = ev.select(col("event_id"), col("user_id"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+          .withColumn("pk", col("user_id") % 4)
+        val t = new graft.operators.GraftTable(s, s"$base/t",
+          Seq("event_id"), "pk", statsCols = Seq("cents"))
+        t.createIfNotExists(org.apache.spark.sql.types.StructType.fromDDL(
+          "event_id BIGINT, user_id BIGINT, cents BIGINT, pk BIGINT"))
+        for (b <- 0 to 3) t.insertIfAbsent(rows.filter(col("event_id") % 4 === b))
+        t.compactRange(32, Seq("cents"))
+        val out = t.readWhereBetween("cents", 2000, 2999)
+          .select("event_id", "user_id", "cents", "pk")
+        val snap = out.localCheckpoint(true)
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+        }
+        rm(new java.io.File(base))
+        snap
+      },
+      Some("""
+        SELECT event_id, user_id,
+          CAST(round(value * 100) AS BIGINT) AS cents,
+          CAST(user_id % 4 AS BIGINT) AS pk
+        FROM events
+        WHERE CAST(round(value * 100) AS BIGINT) BETWEEN 2000 AND 2999"""))
   )
 }

@@ -1587,6 +1587,29 @@ final class GraftTable(spark: SparkSession, val path: String,
       base, clusterBy)
   }
 
+  /** RANGE-CLUSTERING compaction — the `OPTIMIZE` shape that makes
+    * FILE-LEVEL zone maps selective (plain [[compact]] collapses each
+    * partition to ONE file, so file-level skipping degenerates to
+    * partition pruning; this one re-cuts each partition into ~`buckets`
+    * range-disjoint files on `rangeBy`): the whole table
+    * range-repartitions on (partitionCol, rangeBy...), so every output
+    * file holds one partition's contiguous `rangeBy` sub-range, and a
+    * later [[readWhereBetween]] on those columns prunes to the files
+    * whose range actually intersects. Each file is additionally sorted
+    * on `rangeBy` (parquet row-group stats — the third skipping tier).
+    * CONTENT-INVARIANT like every compaction: only layout changes
+    * (range boundaries come from Spark's range sampler, so exact file
+    * cuts may vary between runs — the zone maps adapt, the data never
+    * changes).
+    */
+  def compactRange(buckets: Int, rangeBy: Seq[String]): this.type = {
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    require(rangeBy.nonEmpty, "compactRange needs range columns")
+    val base = ensureBaselineVersion()
+    writePartitions(readAt(base).repartitionByRange(buckets,
+      (partitionCol +: rangeBy).map(col): _*), base, clusterBy = rangeBy)
+  }
+
   /** LIVE data file count — the current version's manifest size for a
     * versioned table (historical files don't count; they are storage,
     * not table). Physical walk only for legacy no-log tables.

@@ -648,6 +648,36 @@ class GraftTableSpec extends SparkSpec {
     assert(t.read.filter($"day" === "d1").count() == 0)
   }
 
+  test("compactRange re-cuts partitions into range-disjoint files; zone maps turn selective; content invariant") {
+    val s = spark; import s.implicits._
+    val dir = Files.createTempDirectory("graft_crange").toString + "/t"
+    val t = new GraftTable(s, dir, keys = Seq("pk", "rk"), partitionCol = "day",
+      statsCols = Seq("n"))
+    t.createIfNotExists(rows().schema)
+    // 4 ticks, each spanning the FULL n range in both partitions →
+    // every file's [min,max] covers everything, zone maps prune NOTHING
+    for (tk <- 0 until 4)
+      // repartition(1): ONE file per partition per tick, each spanning
+      // the full n range (the local Seq would otherwise slice into
+      // accidentally range-banded task files)
+      t.insertIfAbsent((0 until 25).flatMap(i => Seq(
+        ("d0", "p", s"a${tk}_$i", tk + 4 * i),
+        ("d1", "p", s"b${tk}_$i", tk + 4 * i))).toDF("day", "pk", "rk", "n")
+        .repartition(1))
+    val before = t.read.select("day", "rk", "n").as[(String, String, Int)]
+      .collect().toSet
+    assert(t.candidateFiles("n", 0, 9).size == t.dataFileCount,
+      "interleaved layout must be unprunable")
+    t.compactRange(8, Seq("n"))
+    assert(t.read.select("day", "rk", "n").as[(String, String, Int)]
+      .collect().toSet == before, "compaction must not change content")
+    val cand = t.candidateFiles("n", 0, 9)
+    assert(cand.size < t.dataFileCount / 2,
+      s"range clustering must make zone maps selective: ${cand.size} of ${t.dataFileCount}")
+    assert(t.readWhereBetween("n", 0, 9).count() ==
+      before.count(r => r._3 <= 9).toLong)
+  }
+
   test("restore: rolls back to any version as a NEW commit; history intact; metadata-only without later DVs") {
     val t = freshTable().createIfNotExists(rows().schema)
     t.importOnce(rows(("d1", "p", "r1", 1), ("d2", "p", "r2", 2)))
