@@ -1266,6 +1266,98 @@ object IngestQueries {
           CAST(round(value * 100) AS BIGINT) AS cents,
           CAST(user_id % 4 AS BIGINT) AS pk
         FROM events
-        WHERE CAST(round(value * 100) AS BIGINT) BETWEEN 2000 AND 2999"""))
+        WHERE CAST(round(value * 100) AS BIGINT) BETWEEN 2000 AND 2999""")),
+
+    // STREAMING CDC APPLY, exactly-once — the round's statement surface
+    // composed with Structured Streaming: a change feed (conditional
+    // update / delete / insert ops) arrives as three micro-batch files,
+    // each foreachBatch applies its batch through mergeBatch (the
+    // txn-marked MERGE), and then the WHOLE FEED IS REDELIVERED through
+    // a fresh checkpoint — at-least-once, the real failure mode. The
+    // update clause is `cents += delta`, deliberately NON-idempotent:
+    // if a single replayed batch applies twice, the hash breaks. The
+    // oracle replays the one-shot CDC outcome.
+    QuerySpec("q230_stream_merge_cdc",
+      (s, dir) => {
+        GraftSession.tune(s)
+        val base = java.nio.file.Files.createTempDirectory("graft_q230_").toString
+        val ev = Tables.events(s, dir)
+        val rows = ev.select(col("event_id"), col("user_id"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+          .withColumn("pk", col("user_id") % 4)
+        val t = new graft.operators.GraftTable(s, s"$base/t", Seq("event_id"), "pk")
+        t.createIfNotExists(org.apache.spark.sql.types.StructType.fromDDL(
+          "event_id BIGINT, user_id BIGINT, cents BIGINT, pk BIGINT"))
+        t.upsertReplace(rows)
+        // disjoint-key change feed: updates (u%3=0), deletes (u%9=4 ⊂
+        // u%3=1), inserts (fresh negative keys)
+        val upd = rows.filter(col("user_id") % 3 === 0)
+          .select(col("event_id"), col("user_id"), lit("upd").as("op"),
+            lit(7L).as("delta"), col("cents").as("v"))
+        val del = rows.filter(col("user_id") % 9 === 4)
+          .select(col("event_id"), col("user_id"), lit("del").as("op"),
+            lit(0L).as("delta"), lit(0L).as("v"))
+        val ins = rows.filter(col("user_id") % 7 === 2)
+          .select((-(col("event_id") + 1)).as("event_id"), col("user_id"),
+            lit("ins").as("op"), lit(0L).as("delta"), col("cents").as("v"))
+        val ops = upd.unionByName(del).unionByName(ins)
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$base/in"))
+        (0 until 3).foreach { i =>
+          val tmp = s"$base/tmp$i"
+          ops.filter(abs(col("event_id")) % 3 === i).coalesce(1).write.parquet(tmp)
+          val part = new java.io.File(tmp).listFiles()
+            .find(_.getName.endsWith(".parquet")).get
+          val dst = new java.io.File(s"$base/in/b$i.parquet")
+          java.nio.file.Files.move(part.toPath, dst.toPath)
+          dst.setLastModified(1000000000000L + i * 60000L)
+          ()
+        }
+        import graft.operators.GraftTable.{src, MatchedDelete, MatchedUpdate}
+        def runStream(ckpt: String): Unit = {
+          val q = s.readStream.schema(ops.schema)
+            .option("maxFilesPerTrigger", 1).option("latestFirst", "false")
+            .parquet(s"$base/in")
+            .writeStream
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .option("checkpointLocation", ckpt)
+            .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+              graft.operators.GraftTable.retryOnConflict() {
+                t.mergeBatch("cdc", id, b,
+                  matched = Seq(
+                    MatchedDelete(src("op") === "del"),
+                    MatchedUpdate(src("op") === "upd",
+                      Map("cents" -> (col("cents") + src("delta"))))),
+                  notMatchedInsert = Some((src("op") === "ins", Map(
+                    "event_id" -> src("event_id"), "user_id" -> src("user_id"),
+                    "cents" -> src("v"), "pk" -> (src("user_id") % 4)))))
+              }
+              ()
+            }.start()
+          q.awaitTermination()
+        }
+        runStream(s"$base/ckpt1")
+        // the at-least-once redelivery: same feed, FRESH checkpoint —
+        // every batch replays with an already-recorded id and must skip
+        runStream(s"$base/ckpt2")
+        val out = t.read.select("event_id", "user_id", "cents", "pk")
+        val snap = out.localCheckpoint(true)
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+        }
+        rm(new java.io.File(base))
+        snap
+      },
+      Some("""
+        WITH e AS (
+          SELECT event_id, user_id,
+            CAST(round(value * 100) AS BIGINT) AS cents,
+            CAST(user_id % 4 AS BIGINT) AS pk
+          FROM events)
+        SELECT event_id, user_id,
+          CASE WHEN user_id % 3 = 0 THEN cents + 7 ELSE cents END AS cents, pk
+        FROM e WHERE NOT (user_id % 9 = 4)
+        UNION ALL
+        SELECT -(event_id + 1) AS event_id, user_id, cents, pk
+        FROM e WHERE user_id % 7 = 2"""))
   )
 }

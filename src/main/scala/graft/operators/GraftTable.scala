@@ -1183,18 +1183,7 @@ final class GraftTable(spark: SparkSession, val path: String,
       val newFields = df.schema.fields.filterNot(f => curByName.contains(f.name))
         .map(f => org.apache.spark.sql.types.StructField(f.name, f.dataType,
           nullable = true))
-      val evolved =
-        if (newFields.isEmpty) cur
-        else {
-          val s2 = org.apache.spark.sql.types.StructType(cur.fields ++ newFields)
-          val tmp = java.nio.file.Paths.get(path,
-            s"._graft_schema_tmp_${java.util.UUID.randomUUID().toString.take(8)}")
-          java.nio.file.Files.writeString(tmp, s2.json)
-          java.nio.file.Files.move(tmp, schemaSidecar,
-            java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-          s2
-        }
+      val evolved = evolveSidecar(cur, newFields.toSeq)
       val dfCols = df.columns.toSet
       df.select(evolved.fields.toSeq.map(f =>
         if (dfCols.contains(f.name)) col(f.name)
@@ -1268,6 +1257,24 @@ final class GraftTable(spark: SparkSession, val path: String,
           "nothing was committed")
     }
   }
+
+  /** Append `newFields` (nullable) to the schema sidecar atomically;
+    * returns the evolved schema (no-op when empty).
+    */
+  private def evolveSidecar(cur: org.apache.spark.sql.types.StructType,
+                            newFields: Seq[org.apache.spark.sql.types.StructField])
+      : org.apache.spark.sql.types.StructType =
+    if (newFields.isEmpty) cur
+    else {
+      val s2 = org.apache.spark.sql.types.StructType(cur.fields ++ newFields)
+      val tmp = java.nio.file.Paths.get(path,
+        s"._graft_schema_tmp_${java.util.UUID.randomUUID().toString.take(8)}")
+      java.nio.file.Files.writeString(tmp, s2.json)
+      java.nio.file.Files.move(tmp, schemaSidecar,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      s2
+    }
 
   /** A table exists when its creation COMMITTED. `createIfNotExists`
     * writes the schema sidecar last, so the sidecar is the commit
@@ -1425,19 +1432,47 @@ final class GraftTable(spark: SparkSession, val path: String,
     */
   def merge(source: DataFrame, matched: Seq[GraftTable.MatchedClause],
             notMatchedInsert: Option[(org.apache.spark.sql.Column,
-                                      Map[String, org.apache.spark.sql.Column])] = None): this.type = {
+                                      Map[String, org.apache.spark.sql.Column])] = None,
+            allowSchemaEvolution: Boolean = false): this.type =
+    doMerge(source, matched, notMatchedInsert, allowSchemaEvolution, Nil)
+
+  /** IDEMPOTENT [[merge]] for exactly-once streaming CDC apply — the
+    * [[upsertReplaceBatch]] discipline generalized to the full MERGE
+    * statement: (appId, batchId) commits atomically with the merge's
+    * manifest (`#txn:` marker), a batch at or below the recorded id
+    * skips (returns false), so a `foreachBatch` sink that applies
+    * change batches as conditional upsert/delete/insert survives
+    * at-least-once redelivery with exactly-once table effects.
+    */
+  def mergeBatch(appId: String, batchId: Long, source: DataFrame,
+                 matched: Seq[GraftTable.MatchedClause],
+                 notMatchedInsert: Option[(org.apache.spark.sql.Column,
+                                           Map[String, org.apache.spark.sql.Column])] = None,
+                 allowSchemaEvolution: Boolean = false): Boolean = {
+    val base = ensureBaselineVersion()
+    if (batchId <= txnState(base).getOrElse(b64e(appId), -1L)) return false
+    doMerge(source, matched, notMatchedInsert, allowSchemaEvolution,
+      Seq(s"#txn:${b64e(appId)}:$batchId"))
+    true
+  }
+
+  private def doMerge(source: DataFrame, matched: Seq[GraftTable.MatchedClause],
+                      notMatchedInsert: Option[(org.apache.spark.sql.Column,
+                                                Map[String, org.apache.spark.sql.Column])],
+                      allowSchemaEvolution: Boolean,
+                      markers: Seq[String]): this.type = {
     import GraftTable.{MatchedDelete, MatchedUpdate}
     require(matched.nonEmpty || notMatchedInsert.nonEmpty,
       "merge needs at least one clause")
     val base = ensureBaselineVersion()
     val tgt = readAt(base)
-    val tableCols = tgt.columns.toSeq
-    val typeOf = tgt.schema.fields.map(f => f.name -> f.dataType).toMap
-    val badAssign = (matched.collect { case MatchedUpdate(_, set) => set.keys }
-      .flatten ++ notMatchedInsert.toSeq.flatMap(_._2.keys))
-      .filterNot(typeOf.contains)
-    require(badAssign.isEmpty,
-      s"merge assigns columns not in the table: ${badAssign.mkString(", ")}")
+    val typeOf0 = tgt.schema.fields.map(f => f.name -> f.dataType).toMap
+    val assignments = (matched.collect { case MatchedUpdate(_, set) => set.toSeq }
+      .flatten ++ notMatchedInsert.toSeq.flatMap(_._2.toSeq))
+    val badAssign = assignments.map(_._1).distinct.filterNot(typeOf0.contains)
+    require(badAssign.isEmpty || allowSchemaEvolution,
+      s"merge assigns columns not in the table: ${badAssign.mkString(", ")} " +
+        "(pass allowSchemaEvolution = true to evolve)")
     require(keys.forall(source.columns.contains),
       s"merge source must carry the key columns ${keys.mkString(", ")}")
 
@@ -1462,6 +1497,22 @@ final class GraftTable(spark: SparkSession, val path: String,
 
     val joined = current.join(sPref,
       keys.map(k => col(k) === col(s"__s_$k")).reduce(_ && _), "left")
+
+    // SCHEMA EVOLUTION (opt-in): unknown assigned columns append
+    // nullable, typed by resolving their FIRST assignment expression
+    // against the joined frame; existing rows and files project null
+    val newFields = badAssign.map { c =>
+      val e = assignments.find(_._1 == c).get._2
+      org.apache.spark.sql.types.StructField(c,
+        joined.select(e.as(c)).schema.head.dataType, nullable = true)
+    }
+    if (newFields.nonEmpty)
+      evolveSidecar(sidecarSchemaOpt.getOrElse(
+        org.apache.spark.sql.types.StructType(tgt.schema.fields)), newFields)
+    val tableCols = tgt.columns.toSeq ++ badAssign
+    val typeOf = typeOf0 ++ newFields.map(f => f.name -> f.dataType)
+    val isNew = badAssign.toSet
+
     // matched ⇒ the join equality held ⇒ every __s_ key is non-null
     val isMatched = col(s"__s_${keys.head}").isNotNull
     val action = matched.zipWithIndex.foldLeft(
@@ -1479,9 +1530,10 @@ final class GraftTable(spark: SparkSession, val path: String,
       else acted.filter(!col("__act").isin(deleteIdx: _*))
     val updates = matched.zipWithIndex.collect { case (MatchedUpdate(_, set), i) => (i, set) }
     val survivors = kept.select(tableCols.map { c =>
+      val keepVal = if (isNew(c)) lit(null).cast(typeOf(c)) else col(c)
       updates.filter(_._2.contains(c)).foldLeft(when(lit(false), lit(null))) {
         case (acc, (i, set)) => acc.when(col("__act") === i, set(c).cast(typeOf(c)))
-      }.otherwise(col(c)).as(c)
+      }.otherwise(keepVal).as(c)
     }: _*)
 
     val written = notMatchedInsert match {
@@ -1498,7 +1550,7 @@ final class GraftTable(spark: SparkSession, val path: String,
         survivors.unionByName(ins)
     }
     val staged = Staging.stage(written, "merge_barrier")
-    commitRewrite(staged.df, partitionValsOf(touched), base)
+    commitRewrite(staged.df, partitionValsOf(touched), base, markers)
     staged.delete()
     this
   }

@@ -814,6 +814,42 @@ class GraftTableSpec extends SparkSpec {
       "failed merge must leave the table untouched")
   }
 
+  test("merge schema evolution: assigned new columns append nullable; old rows and versions project null") {
+    val t = freshTable().createIfNotExists(rows().schema)
+    t.importOnce(rows(("d1", "p", "r1", 1), ("d1", "p", "r2", 2)))
+    val v0 = t.currentVersion
+    t.merge(Seq(("p", "r1", "hot")).toDF("pk", "rk", "tag"),
+      matched = Seq(MatchedUpdate(lit(true), Map("tag" -> src("tag")))),
+      notMatchedInsert = None, allowSchemaEvolution = true)
+    val got = t.read.select("rk", "tag").as[(String, Option[String])]
+      .collect().toMap
+    assert(got === Map("r1" -> Some("hot"), "r2" -> None))
+    // time travel BEFORE the evolution reads the new column as null
+    assert(t.readAt(v0).select("tag").as[Option[String]].collect().toSet
+      === Set(None))
+    // inserts may carry the new column too
+    t.merge(Seq(("p", "r9", "new")).toDF("pk", "rk", "tag"), matched = Nil,
+      notMatchedInsert = Some((lit(true), Map("day" -> lit("d1"),
+        "pk" -> src("pk"), "rk" -> src("rk"), "tag" -> src("tag")))),
+      allowSchemaEvolution = true)
+    assert(t.read.filter($"rk" === "r9").select("tag").as[Option[String]]
+      .collect().toSeq === Seq(Some("new")))
+  }
+
+  test("mergeBatch: exactly-once merge per (app, batch); replays skip atomically") {
+    val t = freshTable().createIfNotExists(rows().schema)
+    t.importOnce(rows(("d1", "p", "r1", 1)))
+    def apply(b: Long, n: Int) = t.mergeBatch("cdc", b,
+      Seq(("p", "r1", n)).toDF("pk", "rk", "v"),
+      matched = Seq(MatchedUpdate(lit(true), Map("n" -> src("v")))))
+    assert(apply(0, 10))
+    assert(apply(1, 20))
+    assert(!apply(1, 999), "replayed batch must skip")
+    assert(!apply(0, 888), "older batch must skip")
+    assert(t.read.select("n").as[Int].collect().toSeq == Seq(20))
+    assert(t.txnVersion("cdc") == 1L)
+  }
+
   test("merge: null-key source rows never match; unassigned insert columns pad null") {
     val t = freshTable().createIfNotExists(rows().schema)
     t.importOnce(rows(("d1", "p", "r1", 1)))
