@@ -1358,6 +1358,58 @@ object IngestQueries {
         FROM e WHERE NOT (user_id % 9 = 4)
         UNION ALL
         SELECT -(event_id + 1) AS event_id, user_id, cents, pk
-        FROM e WHERE user_id % 7 = 2"""))
+        FROM e WHERE user_id % 7 = 2""")),
+
+    // Z-ORDER TABLE MAINTENANCE under the oracle — the 2-D data-skipping
+    // story: a stored Morton key zv = zValue(user_id, cents) clusters the
+    // table via compactRange, and then range scans on EITHER underlying
+    // dimension prune files through their own zone maps (one clustering,
+    // two pruned axes — the OPTIMIZE ... ZORDER BY promise). Both pruned
+    // reads ≡ plain filters; the user_id band derives from the data.
+    QuerySpec("q231_zorder_table_scan",
+      (s, dir) => {
+        GraftSession.tune(s)
+        val base = java.nio.file.Files.createTempDirectory("graft_q231_").toString
+        val ev = Tables.events(s, dir)
+        val rows = ev.select(col("event_id"), col("user_id"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+          .withColumn("zv",
+            graft.operators.Layout.zValue(col("user_id"), col("cents"), 16))
+          .withColumn("pk", col("user_id") % 4)
+        val t = new graft.operators.GraftTable(s, s"$base/t",
+          Seq("event_id"), "pk", statsCols = Seq("user_id", "cents"))
+        t.createIfNotExists(org.apache.spark.sql.types.StructType.fromDDL(
+          "event_id BIGINT, user_id BIGINT, cents BIGINT, zv BIGINT, pk BIGINT"))
+        for (b <- 0 to 3) t.insertIfAbsent(rows.filter(col("event_id") % 4 === b))
+        t.compactRange(32, Seq("zv"))
+        val r = rows.agg(min("user_id"), max("user_id")).collect()(0)
+        val (uLo, uHi) = (r.getLong(0), r.getLong(0) + (r.getLong(1) - r.getLong(0)) / 8)
+        val out = t.readWhereBetween("cents", 2000, 2999)
+          .select(lit("c").as("dim"), col("event_id"), col("user_id"),
+            col("cents"), col("pk"))
+          .unionByName(t.readWhereBetween("user_id", uLo, uHi)
+            .select(lit("u").as("dim"), col("event_id"), col("user_id"),
+              col("cents"), col("pk")))
+        val snap = out.localCheckpoint(true)
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+        }
+        rm(new java.io.File(base))
+        snap
+      },
+      Some("""
+        WITH e AS (
+          SELECT event_id, user_id,
+            CAST(round(value * 100) AS BIGINT) AS cents,
+            CAST(user_id % 4 AS BIGINT) AS pk
+          FROM events),
+        r AS (SELECT min(user_id) AS lo,
+                min(user_id) + (max(user_id) - min(user_id)) // 8 AS hi
+              FROM e)
+        SELECT 'c' AS dim, event_id, user_id, cents, pk FROM e
+        WHERE cents BETWEEN 2000 AND 2999
+        UNION ALL
+        SELECT 'u' AS dim, e.event_id, e.user_id, e.cents, e.pk
+        FROM e, r WHERE e.user_id BETWEEN r.lo AND r.hi"""))
   )
 }

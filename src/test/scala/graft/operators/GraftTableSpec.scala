@@ -678,6 +678,32 @@ class GraftTableSpec extends SparkSpec {
       before.count(r => r._3 <= 9).toLong)
   }
 
+  test("z-order clustering prunes BOTH underlying dimensions from one compactRange") {
+    val s = spark; import s.implicits._
+    val dir = Files.createTempDirectory("graft_zord").toString + "/t"
+    val t = new GraftTable(s, dir, keys = Seq("k"), partitionCol = "day",
+      statsCols = Seq("x", "y"))
+    t.createIfNotExists(Seq.empty[(String, Long, Long, Long, Long)]
+      .toDF("day", "k", "x", "y", "zv").schema)
+    // 64 points on an 8×8 grid, interleaved arrival (full-range files)
+    for (tk <- 0 until 4)
+      t.insertIfAbsent((0 until 16).map { i =>
+        // 5 and 3 are coprime to 8 → each tick's x and y SPAN 0..7
+        val (x, y) = ((i * 5 + tk) % 8, (i * 3 + tk) % 8)
+        ("d0", (tk * 16 + i).toLong, x.toLong, y.toLong, 0L)
+      }.toDF("day", "k", "x", "y", "zv")
+        .withColumn("zv", Layout.zValue(col("x"), col("y"), 3))
+        .repartition(1))
+    assert(t.candidateFiles("x", 0, 1).size == t.dataFileCount)
+    t.compactRange(8, Seq("zv"))
+    val cx = t.candidateFiles("x", 0, 1).size
+    val cy = t.candidateFiles("y", 0, 1).size
+    assert(cx < t.dataFileCount && cy < t.dataFileCount,
+      s"both dims must prune after z-order: x=$cx y=$cy of ${t.dataFileCount}")
+    assert(t.readWhereBetween("x", 0, 1).count() ==
+      t.read.filter($"x" <= 1).count())
+  }
+
   test("restore: rolls back to any version as a NEW commit; history intact; metadata-only without later DVs") {
     val t = freshTable().createIfNotExists(rows().schema)
     t.importOnce(rows(("d1", "p", "r1", 1), ("d2", "p", "r2", 2)))
