@@ -186,4 +186,57 @@ class PropertySpec extends SparkSpec {
       assert(after === before, "history must be immutable")
     }
   }
+
+  test("merge equals a driver-side reference implementation on arbitrary tables and sources") {
+    import GraftTable.{src, MatchedDelete, MatchedUpdate}
+    // fixed clause set over random data: delete v%5=0, else update n:=v
+    // where v%3=0, else keep; insert unmatched where v%2=0
+    val tableGen: Gen[List[(String, String, String, Int)]] =
+      Gen.listOfN(10, for {
+        day <- Gen.oneOf("d1", "d2")
+        pk <- Gen.oneOf("p1", "p2")
+        rk <- Gen.oneOf("r1", "r2", "r3", "r4", "r5")
+        n <- Gen.chooseNum(0, 50)
+      } yield (day, pk, rk, n))
+    val srcGen: Gen[List[(String, String, Int)]] =
+      Gen.listOfN(8, for {
+        pk <- Gen.oneOf("p1", "p2", "p9")
+        rk <- Gen.oneOf("r1", "r2", "r3", "r6", "r7")
+        v <- Gen.chooseNum(0, 50)
+      } yield (pk, rk, v))
+    samples(tableGen, 4).zip(samples(srcGen, 4)).foreach { case (rows0, src0) =>
+      val rows = rows0.distinctBy(r => (r._2, r._3)) // table keyed (pk, rk)
+      val srcRows = src0.distinctBy(r => (r._1, r._2)) // merge needs key-unique
+      val dir = java.nio.file.Files.createTempDirectory("graft_pmerge").toString + "/t"
+      val t = new GraftTable(spark, dir, keys = Seq("pk", "rk"), partitionCol = "day")
+      t.createIfNotExists(Seq.empty[(String, String, String, Int)]
+        .toDF("day", "pk", "rk", "n").schema)
+      t.importOnce(rows.toDF("day", "pk", "rk", "n"))
+      t.merge(srcRows.toDF("pk", "rk", "v"),
+        matched = Seq(
+          MatchedDelete(src("v") % 5 === 0),
+          MatchedUpdate(src("v") % 3 === 0, Map("n" -> src("v")))),
+        notMatchedInsert = Some((src("v") % 2 === 0, Map(
+          "day" -> lit("dz"), "pk" -> src("pk"), "rk" -> src("rk"),
+          "n" -> src("v")))))
+      val got = t.read.select("day", "pk", "rk", "n")
+        .as[(String, String, String, Int)].collect().toSet
+      // reference: plain Scala over the same inputs
+      val byKey = srcRows.map(r => (r._1, r._2) -> r._3).toMap
+      val kept = rows.flatMap { case (day, pk, rk, n) =>
+        byKey.get((pk, rk)) match {
+          case Some(v) if v % 5 == 0 => None
+          case Some(v) if v % 3 == 0 => Some((day, pk, rk, v))
+          case _ => Some((day, pk, rk, n))
+        }
+      }
+      val tableKeys = rows.map(r => (r._2, r._3)).toSet
+      val ins = srcRows.collect {
+        case (pk, rk, v) if !tableKeys((pk, rk)) && v % 2 == 0 =>
+          ("dz", pk, rk, v)
+      }
+      assert(got === (kept ++ ins).toSet,
+        s"merge must equal the reference on rows=$rows src=$srcRows")
+    }
+  }
 }
