@@ -239,4 +239,39 @@ class PropertySpec extends SparkSpec {
         s"merge must equal the reference on rows=$rows src=$srcRows")
     }
   }
+
+  test("restore(v) reproduces readAt(v) under random mutation sequences (DV interplay included)") {
+    val opGen: Gen[List[Int]] = Gen.listOfN(5, Gen.chooseNum(0, 3))
+    samples(opGen, 4).zipWithIndex.foreach { case (opsList, run) =>
+      val dir = java.nio.file.Files.createTempDirectory("graft_prest").toString + "/t"
+      val t = new GraftTable(spark, dir, keys = Seq("pk", "rk"), partitionCol = "day")
+      t.createIfNotExists(Seq.empty[(String, String, String, Int)]
+        .toDF("day", "pk", "rk", "n").schema)
+      t.importOnce((0 until 12).map(i =>
+        ("d" + (i % 3), "p", "r" + i, i * 7 + run)).toDF("day", "pk", "rk", "n"))
+      opsList.zipWithIndex.foreach { case (op, step) =>
+        val s0 = 13 + step * 3 + run
+        op match {
+          case 0 => t.upsertReplace(Seq(("d" + (s0 % 3), "p", "r" + (s0 % 14), s0))
+            .toDF("day", "pk", "rk", "n"))
+          case 1 => t.deleteWhere(col("n") % 4 === (s0 % 4))
+          case 2 => t.deleteByKeys(Seq(("p", "r" + (s0 % 14))).toDF("pk", "rk"))
+          case 3 => t.insertIfAbsent(Seq(("d" + (s0 % 3), "p", "r" + (s0 % 20), s0))
+            .toDF("day", "pk", "rk", "n"))
+        }
+      }
+      // restore to a mid-history version and compare against the
+      // PRE-restore time-travel read of the same version
+      val vs = t.versions
+      val target = vs(vs.size / 2)
+      val want = t.readAt(target).collect().map(_.toString).sorted.toSeq
+      t.restore(target)
+      val got = t.read.collect().map(_.toString).sorted.toSeq
+      assert(got === want,
+        s"restore($target) after ops=$opsList must equal readAt($target)")
+      // and the restored table keeps mutating sanely
+      t.insertIfAbsent(Seq(("dq", "p", "rq", 1)).toDF("day", "pk", "rk", "n"))
+      assert(t.read.count() == want.size + 1)
+    }
+  }
 }
