@@ -50,10 +50,15 @@ object Bench {
       System.err.println(s"[bench] could not write $out: ${e.getMessage}")
     }
     spark.stop()
-    // re-print AFTER spark.stop(): anything Spark's shutdown logs to
-    // stdout lands between the two prints, so the LAST stdout line is
-    // always the intact JSON — the thing the driver's tail-parse reads
-    println(line)
+    // The driver's tail-parse reads only the last ~2,000 characters of
+    // stdout, and the full per-query map (~8 KB for 229 queries) can
+    // never survive that window whole — BENCH_r05/r07 arrived
+    // "parsed": null. So the LAST line is a COMPACT summary (total, n,
+    // failed — no per-query map); the full per-query line lives in
+    // bench_out.json above. Printed after spark.stop() so no shutdown
+    // logging can land after it.
+    val compact = s"""{"metric":"total","value":$total,"unit":"sec","n":${succeeded.size},"failed":$failJson,"passes":2,"note":"per-query min of 2 passes; per-query map in bench_out.json","sf":"$sfDir"}"""
+    println(compact)
     System.out.flush()
   }
 }

@@ -134,8 +134,14 @@ object Analytics {
                  scale: Double = 10000.0): DataFrame = {
     val xi = floor(xCol * scale).cast("long")
     val yi = floor(yCol * scale).cast("long")
+    // moment PRODUCTS promote to decimal BEFORE multiplying: a Long×Long
+    // product wraps silently (non-ANSI) above ~3e9·scale, while
+    // decimal(38,0)×decimal(38,0) holds any long pair exactly
+    // (|long|² < 8.6e37 < 10³⁸)
     def exact(c: org.apache.spark.sql.Column) =
       sum(c.cast("decimal(38,0)")).cast("double")
+    def exactProd(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      sum(a.cast("decimal(38,0)") * b.cast("decimal(38,0)")).cast("double")
     val covN = col("n_rows") * col("sxy") - col("sx") * col("sy")
     val varXN = col("n_rows") * col("sxx") - col("sx") * col("sx")
     val varYN = col("n_rows") * col("syy") - col("sy") * col("sy")
@@ -144,9 +150,9 @@ object Analytics {
       .groupBy(groupCol)
       .agg(count(lit(1)).as("n_rows"),
         exact(col("xi")).as("sx"), exact(col("yi")).as("sy"),
-        exact(col("xi") * col("xi")).as("sxx"),
-        exact(col("yi") * col("yi")).as("syy"),
-        exact(col("xi") * col("yi")).as("sxy"))
+        exactProd(col("xi"), col("xi")).as("sxx"),
+        exactProd(col("yi"), col("yi")).as("syy"),
+        exactProd(col("xi"), col("yi")).as("sxy"))
       .select(col(groupCol), col("n_rows"), slope.as("slope"),
         ((col("sy") - slope * col("sx")) / col("n_rows")).as("intercept"),
         (covN * covN / (varXN * varYN)).as("r2"))

@@ -83,6 +83,11 @@ object GraftTable {
   /** DELETE: the matched row is removed. */
   final case class MatchedDelete(
     cond: org.apache.spark.sql.Column) extends MatchedClause
+
+  /** A persisted per-(file, column) Bloom filter with its geometry:
+    * modulus = 64 × words.length bits, `k` hash probes.
+    */
+  private[operators] final case class BloomEntry(k: Int, words: Array[Long])
 }
 
 /** Thrown when a commit loses the optimistic-concurrency race: another
@@ -424,8 +429,13 @@ final class GraftTable(spark: SparkSession, val path: String,
     b64d(t(0)) -> FileStats(t(1).toLong, cols)
   }
 
-  /** Zone maps for `added` (table-relative paths): one job over the
-    * commit's own files, one result row per file.
+  /** Zone maps + Bloom filters for `added` (table-relative paths).
+    * MIN/MAX/NULL-COUNT comes from the parquet FOOTERS of the files the
+    * commit just wrote — the writer already computed per-row-group
+    * statistics, so harvesting them reads zero data pages and removes
+    * the per-commit read amplification of re-scanning committed data.
+    * Blooms (when enabled) still need one aggregation job, but it is
+    * column-pruned to the indexed columns only.
     */
   private def collectStatsEntries(added: Seq[String]): Seq[String] = {
     if ((statsCols.isEmpty && bloomCols.isEmpty) || added.isEmpty) return Nil
@@ -437,16 +447,127 @@ final class GraftTable(spark: SparkSession, val path: String,
       .filter(f => bloomCols.contains(f.name) && f.name != partitionCol)
       .flatMap(f => statTag(f.dataType).map(t => f.name -> t))
     if (tagged.isEmpty && bloomTagged.isEmpty) return Nil
+    val statEntries =
+      if (tagged.isEmpty) Nil else footerStatsEntries(added, tagged)
+    val bloomEntries =
+      if (bloomTagged.isEmpty) Nil else bloomEntriesJob(added, bloomTagged, schema)
+    statEntries ++ bloomEntries
+  }
+
+  /** Per-file zone maps harvested from parquet footers (no data read):
+    * row count from the block metadata, min/max/null-count merged
+    * across the file's row groups. Conservative by construction — a
+    * column whose footer statistics are missing, untrustworthy
+    * (unknown null count on a value-less chunk, NaN double bounds,
+    * INT96 timestamps) or type-incompatible is simply OMITTED for that
+    * file, which degrades to unprunable, never to a wrong prune.
+    * Truncated binary min/max (parquet lowers the min / raises the max
+    * when it truncates) stay valid range bounds. At 100 TB the same
+    * harvest distributes trivially (footers are O(KB) metadata reads);
+    * driver-side here matches the commit's O(files-written) scale.
+    */
+  private def footerStatsEntries(added: Seq[String],
+                                 tagged: Seq[(String, Char)]): Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    val conf = spark.sessionState.newHadoopConf()
+    added.flatMap { f =>
+      val rel = f.split('/').takeRight(2).mkString("/")
+      scala.util.Try {
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromPath(new org.apache.hadoop.fs.Path(s"$path/$f"), conf)
+        val rdr = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try {
+          val blocks = rdr.getFooter.getBlocks.asScala.toSeq
+          val rows = blocks.map(_.getRowCount).sum
+          val cols = tagged.flatMap { case (c, t) =>
+            footerColStats(blocks, c, t).map(c -> _)
+          }.toMap
+          if (cols.isEmpty) None else Some(encodeStats(rel, FileStats(rows, cols)))
+        } finally rdr.close()
+      }.toOption.flatten
+    }
+  }
+
+  /** One column's ColStats from a file's row-group footers, or None if
+    * any row group's statistics cannot be trusted for pruning.
+    */
+  private def footerColStats(
+      blocks: Seq[org.apache.parquet.hadoop.metadata.BlockMetaData],
+      name: String, tag: Char): Option[ColStats] = {
+    import scala.jdk.CollectionConverters._
+    var nulls = 0L
+    var mn: Option[String] = None
+    var mx: Option[String] = None
+    for (b <- blocks) {
+      val cc = b.getColumns.asScala.find(_.getPath.toDotString == name)
+        .getOrElse(return None) // column absent from this block
+      val st = cc.getStatistics
+      if (st == null || !st.isNumNullsSet) return None
+      nulls += st.getNumNulls
+      if (st.hasNonNullValue) {
+        val lo = footerCanon(st.genericGetMin, cc, tag).getOrElse(return None)
+        val hi = footerCanon(st.genericGetMax, cc, tag).getOrElse(return None)
+        mn = Some(mn.filter(m => cmpCanon(tag, m, lo) <= 0).getOrElse(lo))
+        mx = Some(mx.filter(m => cmpCanon(tag, m, hi) >= 0).getOrElse(hi))
+      } else if (st.getNumNulls != cc.getValueCount) {
+        // values exist but no min/max recorded — unprunable, not all-null
+        return None
+      }
+    }
+    Some(ColStats(tag, nulls, mn, mx)) // mn/mx None ⇒ proven all-null
+  }
+
+  /** A footer statistics value in the canonical engine-neutral form of
+    * [[canonTyped]], or None when the physical/logical type cannot
+    * represent the tag exactly (e.g. INT96 timestamps, NaN bounds).
+    */
+  private def footerCanon(
+      v: Any, cc: org.apache.parquet.hadoop.metadata.ColumnChunkMetaData,
+      tag: Char): Option[String] = {
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    (tag, v) match {
+      case ('l', n: Number) => Some(n.longValue.toString)
+      case ('d', n: Number) =>
+        val d = n.doubleValue
+        if (java.lang.Double.isNaN(d)) None else Some(d.toString)
+      case ('s', b: org.apache.parquet.io.api.Binary) =>
+        Some(b.toStringUsingUTF8)
+      case ('b', bo: java.lang.Boolean) => Some(if (bo) "1" else "0")
+      case ('D', n: Number) => Some(n.longValue.toString) // INT32 epoch days
+      case ('t', n: Number) =>
+        cc.getPrimitiveType.getLogicalTypeAnnotation match {
+          case ts: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+            ts.getUnit match {
+              case LogicalTypeAnnotation.TimeUnit.MICROS =>
+                Some(n.longValue.toString)
+              case LogicalTypeAnnotation.TimeUnit.MILLIS =>
+                Some((n.longValue * 1000L).toString)
+              case _ => None // NANOS surface as raw longs ('l'), not 't'
+            }
+          case _ => None // INT96: deprecated, unordered statistics
+        }
+      case _ => None
+    }
+  }
+
+  /** Per-file Bloom bitmaps: one aggregation job over the commit's own
+    * files, COLUMN-PRUNED to the indexed columns (the per-row masks are
+    * the only data read). Keyed by partitionDir/basename — basenames
+    * alone collide across a commit's partition dirs (they share one
+    * task numbering).
+    */
+  private def bloomEntriesJob(added: Seq[String],
+                              bloomTagged: Seq[(String, Char)],
+                              schema: org.apache.spark.sql.types.StructType): Seq[String] = {
     val nonPart = org.apache.spark.sql.types.StructType(
       schema.fields.filterNot(_.name == partitionCol))
-    // key by partitionDir/basename — basenames ALONE collide across a
-    // commit's partition dirs (they share one task numbering)
     val byRel = added.map(f => f.split('/').takeRight(2).mkString("/") -> f).toMap
     val words = bloomBits / 64
     // per-row Bloom mask per bitmap word (bit_or'd per file below): the
     // row's k md5 positions each light one bit; nulls hash to null → no
     // bits — computed as explicit columns so the per-file agg is plain
     val base = spark.read.schema(nonPart).parquet(added.map(f => s"$path/$f"): _*)
+      .select(bloomTagged.map { case (c, _) => col(c) }: _*)
     val withMasks = bloomTagged.foldLeft(base) { case (d, (c, t)) =>
       val canon = canonTyped(col(c), t).cast("string")
       val withPos = (0 until BloomK).foldLeft(d) { case (dd, i) =>
@@ -462,40 +583,24 @@ final class GraftTable(spark: SparkSession, val path: String,
         d2.withColumn(s"__bw__${c}__$w", expr(terms.mkString(" | ")))
       }
     }
-    val statAggs = tagged.flatMap { case (c, t) =>
-      val cc = canonTyped(col(c), t)
-      Seq(min(cc).cast("string").as(s"__mn$c"), max(cc).cast("string").as(s"__mx$c"),
-        sum(col(c).isNull.cast("long")).as(s"__nl$c"))
-    }
     val bloomAggs = bloomTagged.flatMap { case (c, _) =>
       (0 until words).map(w =>
         expr(s"bit_or(`__bw__${c}__$w`)").as(s"__bb__${c}__$w"))
     }
     val got = withMasks
       .groupBy(input_file_name().as("__f"))
-      .agg(count(lit(1)).as("__rows"), (statAggs ++ bloomAggs): _*)
+      .agg(bloomAggs.head, bloomAggs.tail: _*)
       .collect()
     got.toSeq.flatMap { r =>
       byRel.get(r.getString(0).split('/').takeRight(2).mkString("/")).toSeq
         .flatMap { rel =>
-          val statEntry =
-            if (tagged.isEmpty) Nil
-            else {
-              val cols = tagged.zipWithIndex.map { case ((c, t), i) =>
-                c -> ColStats(t, r.getLong(4 + 3 * i),
-                  Option(r.getString(2 + 3 * i)), Option(r.getString(3 + 3 * i)))
-              }.toMap
-              Seq(encodeStats(rel, FileStats(r.getLong(1), cols)))
-            }
-          val off = 2 + 3 * tagged.size
-          val bloomEntries = bloomTagged.zipWithIndex.map { case ((c, _), bi) =>
+          bloomTagged.zipWithIndex.map { case ((c, _), bi) =>
             val ws = (0 until words).map { w =>
-              val cell = r.get(off + bi * words + w)
+              val cell = r.get(1 + bi * words + w)
               if (cell == null) 0L else cell.asInstanceOf[Long]
             }
-            encodeBloom(rel, c, ws)
+            encodeBloom(rel, c, BloomK, ws)
           }
-          statEntry ++ bloomEntries
         }
     }
   }
@@ -524,23 +629,33 @@ final class GraftTable(spark: SparkSession, val path: String,
   private def replayStats(v: Long): Map[String, FileStats] =
     statChainEntries(v).filterNot(_.startsWith("!")).map(decodeStats).toMap
 
-  /** (file, column) → Bloom words as of `v` (same chain walk/override
+  /** (file, column) → Bloom filter as of `v` (same chain walk/override
     * semantics as [[replayStats]]; missing blooms degrade to
     * unprunable).
     */
-  private def replayBlooms(v: Long): Map[(String, String), Array[Long]] =
+  private def replayBlooms(v: Long): Map[(String, String), GraftTable.BloomEntry] =
     statChainEntries(v).filter(_.startsWith("!")).map(decodeBloom).toMap
 
-  /** Bloom entry: `!;b64(rel);b64(col);w0;...;w(bloomBits/64 - 1)` —
-    * rides the stats log's format and escaping unchanged (legacy
-    * readers skip on the '!' prefix).
+  /** Bloom entry v2: `!2;b64(rel);b64(col);k;w0;...;w(bits/64 - 1)` —
+    * the filter GEOMETRY travels with the entry (bits = 64·wordCount,
+    * hash count k explicit), so a table reopened with a different
+    * `bloomBits`/k still probes each entry with the modulus and hash
+    * count it was BUILT with — never a false prune, never an
+    * out-of-bounds word index. Legacy v1 entries (`!;rel;col;w...`)
+    * decode with bits = 64·wordCount (exact: the writer's modulus was
+    * its word count × 64 by construction) and the historical k = 3.
     */
-  private def encodeBloom(rel: String, c: String, words: Seq[Long]): String =
-    (Seq("!", b64e(rel), b64e(c)) ++ words.map(_.toString)).mkString(";")
+  private def encodeBloom(rel: String, c: String, k: Int, words: Seq[Long]): String =
+    (Seq("!2", b64e(rel), b64e(c), k.toString) ++ words.map(_.toString)).mkString(";")
 
-  private def decodeBloom(entry: String): ((String, String), Array[Long]) = {
+  private def decodeBloom(entry: String): ((String, String), GraftTable.BloomEntry) = {
     val t = entry.split(";", -1)
-    (b64d(t(1)), b64d(t(2))) -> t.drop(3).map(_.toLong)
+    if (t(0) == "!2")
+      (b64d(t(1)), b64d(t(2))) ->
+        GraftTable.BloomEntry(t(3).toInt, t.drop(4).map(_.toLong))
+    else // legacy v1: words only; geometry recovered from the word count
+      (b64d(t(1)), b64d(t(2))) ->
+        GraftTable.BloomEntry(3, t.drop(3).map(_.toLong))
   }
 
   /** Table-relative file path a stats-log entry describes (both kinds). */
@@ -563,7 +678,8 @@ final class GraftTable(spark: SparkSession, val path: String,
         val carried = replayStats(v - 1).collect {
           case (rel, fs) if keep(rel) => encodeStats(rel, fs)
         }.toSeq ++ replayBlooms(v - 1).collect {
-          case ((rel, c), ws) if keep(rel) => encodeBloom(rel, c, ws.toSeq)
+          case ((rel, c), be) if keep(rel) =>
+            encodeBloom(rel, c, be.k, be.words.toSeq)
         }.toSeq
         ("#sfull", carried.sorted ++ newEntries.sorted)
       } else ("#sdelta", newEntries.sorted)
@@ -680,15 +796,25 @@ final class GraftTable(spark: SparkSession, val path: String,
     val blooms = replayBlooms(v)
     if (blooms.isEmpty) return ranged
     val md = java.security.MessageDigest.getInstance("MD5")
-    val pos = (0 until BloomK).map { i =>
-      val h = md.digest(s"$i:$canon".getBytes("UTF-8"))
-        .take(4).map("%02x".format(_)).mkString
-      (java.lang.Long.parseLong(h, 16) % bloomBits).toInt
-    }
+    // positions are computed per ENTRY geometry (its own modulus and
+    // hash count — persisted with the entry), NOT this instance's
+    // bloomBits: a table reopened with different parameters must probe
+    // each filter exactly as it was built. Memoized per distinct
+    // geometry (one md5 round per (k, bits) pair).
+    val posCache = scala.collection.mutable.Map.empty[(Int, Int), Seq[Int]]
+    def posFor(k: Int, bits: Int): Seq[Int] =
+      posCache.getOrElseUpdate((k, bits), (0 until k).map { i =>
+        val h = md.digest(s"$i:$canon".getBytes("UTF-8"))
+          .take(4).map("%02x".format(_)).mkString
+        (java.lang.Long.parseLong(h, 16) % bits).toInt
+      })
     ranged.filter { fl =>
       blooms.get((fl, c)) match {
         case None => true // no bloom recorded — unprunable
-        case Some(ws) => pos.forall(p => (ws(p / 64) & (1L << (p % 64))) != 0L)
+        case Some(be) =>
+          val ws = be.words
+          posFor(be.k, ws.length * 64)
+            .forall(p => (ws(p / 64) & (1L << (p % 64))) != 0L)
       }
     }
   }
@@ -1007,7 +1133,8 @@ final class GraftTable(spark: SparkSession, val path: String,
         val snap = (replayStats(keep.last).collect {
           case (rel, fs) if liveAny.contains(rel) => encodeStats(rel, fs)
         }.toSeq ++ replayBlooms(keep.last).collect {
-          case ((rel, c), ws) if liveAny.contains(rel) => encodeBloom(rel, c, ws.toSeq)
+          case ((rel, c), be) if liveAny.contains(rel) =>
+            encodeBloom(rel, c, be.k, be.words.toSeq)
         }.toSeq).sorted
         val json = ("#sfull" +: snap).map(e => "\"" + e + "\"")
           .mkString(s"""{"version":$kMin,"files":[""", ",", "]}")
@@ -1119,30 +1246,98 @@ final class GraftTable(spark: SparkSession, val path: String,
     * then commit a manifest where every file under a TOUCHED partition
     * from version `base` is replaced by the new files (an emptied
     * partition simply contributes none — no directory deletion, the old
-    * files stay for time travel). On a lost OCC race the added files
-    * are deleted (they are in no manifest) and the conflict propagates.
+    * files stay for time travel).
+    *
+    * LOST OCC RACE: when `partitionScoped` is true (the mutation's
+    * logical read-set is contained in the partitions it writes — the
+    * upsert/import tick paths), the loser first runs LOGICAL CONFLICT
+    * DETECTION ([[logicalRetryBase]]): if every interleaved commit
+    * provably touched only DISJOINT partitions, the already-written
+    * files are still a correct post-state and are re-committed against
+    * the new head — no data re-write, no wasted I/O, disjoint writers
+    * scale instead of serializing. Any doubt falls back to the original
+    * behavior: delete the added files (they are in no manifest) and
+    * propagate the conflict for a full re-run. This is Delta's
+    * WriteSerializable tier: a disjoint interleaved commit is ordered
+    * AFTER this mutation's reads even though it committed first.
     */
   private def commitRewrite(df: DataFrame, touchedVals: Seq[Option[String]],
-                            base: Long, markers: Seq[String] = Nil): this.type = {
+                            base: Long, markers: Seq[String] = Nil,
+                            partitionScoped: Boolean = false): this.type = {
     enforceChecks(df) // throws BEFORE anything lands — O(commit rows)
     val added = writeCommitFiles(df)
-    val statsEntries = collectStatsEntries(added) // pre-commit: O(commit data)
-    try {
-      val v = commitDelta(base, touchedVals.map(partitionDirName), added, markers)
-      writeStatsFile(v, statsEntries)
-    } catch {
-      case e: CommitConflictException =>
-        added.foreach { f =>
-          java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(path, f)); ()
-        }
-        throw e
+    val statsEntries = collectStatsEntries(added) // pre-commit: O(commit metadata)
+    val dropDirs = touchedVals.map(partitionDirName)
+    val myDirs = (dropDirs ++
+      added.map(f => f.split('/').dropRight(1).mkString("/"))).distinct
+    var b = base
+    while (true) {
+      try {
+        val v = commitDelta(b, dropDirs, added, markers)
+        writeStatsFile(v, statsEntries)
+        return this
+      } catch {
+        case e: CommitConflictException =>
+          val retryAt =
+            if (partitionScoped) logicalRetryBase(b, myDirs, markers) else None
+          retryAt match {
+            case Some(nb) => b = nb // re-commit the same files, no re-write
+            case None =>
+              added.foreach { f =>
+                java.nio.file.Files.deleteIfExists(
+                  java.nio.file.Paths.get(path, f)); ()
+              }
+              throw e
+          }
+      }
     }
     this
   }
 
-  /** Append-only append + delta commit (no partition replaced). */
-  private def commitAppend(df: DataFrame, base: Long): this.type =
-    commitRewrite(df, Seq.empty, base)
+  /** After a lost OCC race: the new base to re-commit against if every
+    * commit that interleaved in (`base`, head] is a DELTA commit whose
+    * touched partition set is disjoint from `myDirs` and which carries
+    * no deletion-vector marker (a DV deletes rows in unknown
+    * partitions) and no `#txn:` marker for an app this commit also
+    * marks (the idempotency read would have decided differently).
+    * None on any doubt — including a full checkpoint manifest, whose
+    * touched set is not recorded — meaning: full retry.
+    */
+  private def logicalRetryBase(base: Long, myDirs: Seq[String],
+                               markers: Seq[String]): Option[Long] = {
+    val cur = currentVersion
+    if (cur <= base) return None
+    val mySet = myDirs.toSet
+    val myTxnApps = markers.collect {
+      case m if m.startsWith("#txn:") => m.stripPrefix("#txn:").split(":", 2)(0)
+    }.toSet
+    def parentDir(f: String) = f.split('/').dropRight(1).mkString("/")
+    val ok = (base + 1 to cur).forall { v =>
+      parseEntryFile(manifestPath(v)) match {
+        case None => false // mid-commit window — retry conservatively
+        case Some(es) if !isDelta(es) => false // checkpoint: unknown scope
+        case Some(es) => es.forall {
+          case "#delta" => true
+          case e if e.startsWith("#dv:") => false
+          case e if e.startsWith("#txn:") =>
+            !myTxnApps.contains(e.stripPrefix("#txn:").split(":", 2)(0))
+          case e if e.startsWith("#") => false // unknown marker: conservative
+          case e if e.startsWith("-") => !mySet.contains(e.drop(1))
+          case e if e.startsWith("+") => !mySet.contains(parentDir(e.drop(1)))
+          case _ => false
+        }
+      }
+    }
+    if (ok) Some(cur) else None
+  }
+
+  /** Append-only append + delta commit (no partition replaced).
+    * `partitionScoped` = the caller's read-set is contained in the
+    * partitions being appended (importOnce's existence probe).
+    */
+  private def commitAppend(df: DataFrame, base: Long,
+                           partitionScoped: Boolean = false): this.type =
+    commitRewrite(df, Seq.empty, base, partitionScoped = partitionScoped)
 
   /** The partition VALUES (as Hive directory strings) present in `df` —
     * metadata-scale collect, bounded by the partition count.
@@ -1233,12 +1428,22 @@ final class GraftTable(spark: SparkSession, val path: String,
     if (bad > 0)
       throw new CheckViolationException(
         s"existing rows violate check '$name' ($predicate) — constraint not added")
-    writeChecks(checks + (name -> predicate))
+    // the sidecar read-modify-write is serialized (concurrent
+    // addCheck/dropCheck cannot lose each other's update). DDL caveat,
+    // documented: the validation scan above is NOT transactional with
+    // the sidecar write — a mutation committing in between could land
+    // rows violating the new constraint, which is then only enforced
+    // going forward (Delta has the same ADD CONSTRAINT window). Run DDL
+    // without concurrent writers.
+    withSidecarLock { writeChecks(checks + (name -> predicate)) }
     this
   }
 
   /** Drop a CHECK constraint by name (no-op if absent). */
-  def dropCheck(name: String): this.type = { writeChecks(checks - name); this }
+  def dropCheck(name: String): this.type = {
+    withSidecarLock { writeChecks(checks - name) }
+    this
+  }
 
   /** Enforce every CHECK on the rows a commit is about to write: one
     * combined-predicate probe job; on violation a second (failure-path
@@ -1258,21 +1463,62 @@ final class GraftTable(spark: SparkSession, val path: String,
     }
   }
 
-  /** Append `newFields` (nullable) to the schema sidecar atomically;
-    * returns the evolved schema (no-op when empty).
+  /** Serialize sidecar read-modify-writes: same-JVM writers queue on an
+    * interned per-path monitor, cross-process writers on an exclusive
+    * file lock (a JVM throws OverlappingFileLockException rather than
+    * block on its own lock, hence the monitor first). On an object
+    * store the same contract needs a conditional put / lease — the lock
+    * file is the local-FS stand-in.
     */
-  private def evolveSidecar(cur: org.apache.spark.sql.types.StructType,
+  private def withSidecarLock[T](body: => T): T =
+    (path + "#_graft_schema").intern.synchronized {
+      val lockPath = java.nio.file.Paths.get(path, "._graft_schema.lock")
+      val ch = java.nio.channels.FileChannel.open(lockPath,
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.WRITE)
+      try {
+        val l = ch.lock()
+        try body finally { l.release() }
+      } finally ch.close()
+    }
+
+  /** Append `newFields` (nullable) to the schema sidecar atomically and
+    * return the resulting schema (no-op when empty). MERGE-BY-UNION
+    * under [[withSidecarLock]]: the sidecar is RE-READ inside the lock
+    * and the append goes on top of whatever is there NOW — so a
+    * concurrent writer's freshly-appended fields are never dropped by a
+    * stale read-modify-write (writer A evolves +X, writer B holding the
+    * pre-A schema evolves +Y ⇒ the sidecar ends with both X and Y, in
+    * commit order), and B's projection pads null for X like any reader.
+    * A same-name append with a DIFFERENT type than the (possibly
+    * concurrent) existing field is rejected — silently writing files
+    * typed T2 under a sidecar typed T1 would corrupt every read.
+    */
+  private[operators] def evolveSidecar(cur: org.apache.spark.sql.types.StructType,
                             newFields: Seq[org.apache.spark.sql.types.StructField])
       : org.apache.spark.sql.types.StructType =
     if (newFields.isEmpty) cur
-    else {
-      val s2 = org.apache.spark.sql.types.StructType(cur.fields ++ newFields)
-      val tmp = java.nio.file.Paths.get(path,
-        s"._graft_schema_tmp_${java.util.UUID.randomUUID().toString.take(8)}")
-      java.nio.file.Files.writeString(tmp, s2.json)
-      java.nio.file.Files.move(tmp, schemaSidecar,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    else withSidecarLock {
+      val fresh = sidecarSchemaOpt.getOrElse(cur)
+      val freshBy = fresh.fields.map(f => f.name -> f).toMap
+      newFields.foreach { f =>
+        freshBy.get(f.name).foreach { g =>
+          require(g.dataType == f.dataType,
+            s"column '${f.name}' was concurrently evolved to type " +
+              s"${g.dataType.simpleString}; this mutation carries " +
+              s"${f.dataType.simpleString} — no type evolution")
+        }
+      }
+      val toAdd = newFields.filterNot(f => freshBy.contains(f.name))
+      val s2 = org.apache.spark.sql.types.StructType(fresh.fields ++ toAdd)
+      if (toAdd.nonEmpty) {
+        val tmp = java.nio.file.Paths.get(path,
+          s"._graft_schema_tmp_${java.util.UUID.randomUUID().toString.take(8)}")
+        java.nio.file.Files.writeString(tmp, s2.json)
+        java.nio.file.Files.move(tmp, schemaSidecar,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      }
       s2
     }
 
@@ -1315,7 +1561,9 @@ final class GraftTable(spark: SparkSession, val path: String,
     val inc = conform(incoming)
     val existing = readAt(base).select(col(partitionCol).as("__tp")).distinct()
     val fresh = inc.join(existing, col(partitionCol) <=> col("__tp"), "left_anti")
-    commitAppend(fresh, base)
+    // partitionScoped: the logical read was "do MY partitions exist" —
+    // an interleaved commit not touching them cannot change the answer
+    commitAppend(fresh, base, partitionScoped = true)
   }
 
   /** Key-level upsert-REPLACE (K4): merge updates into the stored table,
@@ -1338,8 +1586,11 @@ final class GraftTable(spark: SparkSession, val path: String,
     val merged = KeyedTable.upsertReplace(
       current.withColumn("__v", lit(1)), up.withColumn("__v", lit(2)),
       keys, "__v", tiebreak).drop("__v")
+    // partitionScoped: this mutation reads exactly the partitions it
+    // rewrites — losers against disjoint-partition winners re-commit
+    // their files instead of re-running the merge
     writePartitions(merged.select(current.columns.map(col).toSeq: _*), base,
-      markers = markers)
+      markers = markers, partitionScoped = true)
   }
 
   /** Latest batch id committed by writer `appId` (-1 = none) — the
@@ -1390,7 +1641,8 @@ final class GraftTable(spark: SparkSession, val path: String,
     val current = readAt(base)
       .join(touched, col(partitionCol) <=> col("__tp"), "left_semi")
     val merged = KeyedTable.upsertMerge(current, up, keys, defaults)
-    writePartitions(merged.select(current.columns.map(col).toSeq: _*), base)
+    writePartitions(merged.select(current.columns.map(col).toSeq: _*), base,
+      partitionScoped = true)
   }
 
   /** General MERGE INTO (the ANSI / Delta `MERGE` statement — the one
@@ -1479,7 +1731,14 @@ final class GraftTable(spark: SparkSession, val path: String,
     val sPref = source.select(
       source.columns.toSeq.map(c => col(c).as(s"__s_$c")): _*)
       .localCheckpoint(true) // consumed 3× (dup guard, matched join, anti)
-    val dup = sPref.groupBy(keys.map(k => col(s"__s_$k")): _*)
+    // a source row with ANY null key can never match a target row (SQL
+    // null-key semantics) — it is a legitimate not-matched insert
+    // candidate, so it is EXCLUDED from the multiple-match guard (the
+    // ANSI/Delta rule only forbids two source rows matching the same
+    // target row)
+    val dup = sPref
+      .filter(keys.map(k => col(s"__s_$k").isNotNull).reduce(_ && _))
+      .groupBy(keys.map(k => col(s"__s_$k")): _*)
       .count().filter(col("count") > 1).limit(1).count()
     require(dup == 0L,
       "merge source has duplicate keys — one source row may match a " +
@@ -1592,7 +1851,8 @@ final class GraftTable(spark: SparkSession, val path: String,
     */
   private def writePartitions(df: DataFrame, base: Long,
                               clusterBy: Seq[String] = Nil,
-                              markers: Seq[String] = Nil): this.type = {
+                              markers: Seq[String] = Nil,
+                              partitionScoped: Boolean = false): this.type = {
     val staged = Staging.stage(df, "write_barrier")
     // the cluster sort must sit BETWEEN the barrier and the write: the
     // partitioned write requires an ordering on the partition column,
@@ -1604,7 +1864,8 @@ final class GraftTable(spark: SparkSession, val path: String,
       if (clusterBy.isEmpty) staged.df
       else staged.df.sortWithinPartitions(
         (partitionCol +: clusterBy).map(col): _*)
-    commitRewrite(toWrite, partitionValsOf(staged.df), base, markers)
+    commitRewrite(toWrite, partitionValsOf(staged.df), base, markers,
+      partitionScoped = partitionScoped)
     staged.delete()
     this
   }
@@ -1675,6 +1936,7 @@ final class GraftTable(spark: SparkSession, val path: String,
   // version, simulating a writer whose read snapshot went stale
   private[operators] def commitRewriteAt(df: DataFrame,
                                          touchedVals: Seq[Option[String]],
-                                         base: Long): this.type =
-    commitRewrite(df, touchedVals, base)
+                                         base: Long,
+                                         partitionScoped: Boolean = false): this.type =
+    commitRewrite(df, touchedVals, base, partitionScoped = partitionScoped)
 }

@@ -1,0 +1,184 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, StructField}
+
+import graft.SparkSpec
+
+/** Regression specs for the round-7 advisor findings: schema-sidecar
+  * evolution under concurrent writers (merge-by-union, never
+  * last-writer-wins), Bloom-index geometry persistence across reopens
+  * with different parameters, and MERGE's null-key source rows being
+  * insert candidates rather than duplicate-key errors.
+  */
+class GraftTableAdviceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def dir() = Files.createTempDirectory("graft_advice").toString + "/t"
+
+  private def rows(t: (String, String, String, Int)*) =
+    t.toSeq.toDF("day", "pk", "rk", "n")
+
+  test("sidecar evolution merges by union: a stale writer cannot drop a " +
+    "concurrent writer's column") {
+    val p = dir()
+    val t = new GraftTable(spark, p, keys = Seq("pk", "rk"), partitionCol = "day")
+    t.createIfNotExists(rows().schema)
+    t.importOnce(rows(("d1", "p", "r1", 1)))
+    val stale = t.read.schema // snapshot BEFORE either evolution
+
+    // writer A evolves +x through a real mutation
+    t.upsertReplace(rows(("d1", "p", "r1", 2)).withColumn("x", lit(7)))
+    assert(t.read.columns.contains("x"))
+
+    // writer B holds the PRE-A schema and evolves +y directly against it
+    // (the stale read-modify-write the advisor flagged): the union write
+    // must preserve A's x
+    val evolved = t.evolveSidecar(
+      org.apache.spark.sql.types.StructType(
+        stale.fields.filterNot(_.name == "x")),
+      Seq(StructField("y", IntegerType, nullable = true)))
+    assert(evolved.fieldNames.contains("x"),
+      "concurrent writer A's column x was dropped by B's stale sidecar write")
+    assert(evolved.fieldNames.contains("y"))
+    // and the table still reads A's committed data for x
+    val got = t.read.select("x").as[Int].collect().toSeq
+    assert(got == Seq(7))
+
+    // a same-name re-append with a DIFFERENT type is rejected loudly
+    intercept[IllegalArgumentException] {
+      t.evolveSidecar(evolved,
+        Seq(StructField("x", org.apache.spark.sql.types.StringType, nullable = true)))
+    }
+  }
+
+  test("bloom geometry travels with the entry: reopening with different " +
+    "bloomBits neither false-prunes nor overflows") {
+    val p = dir()
+    val mk = (bits: Int) => new GraftTable(spark, p, keys = Seq("pk", "rk"),
+      partitionCol = "day", bloomCols = Seq("rk"), bloomBits = bits)
+    val t = mk(1024)
+    t.createIfNotExists(rows().schema)
+    t.importOnce(rows(
+      ("d1", "p", "r1", 1), ("d1", "p", "r2", 2),
+      ("d2", "p", "r3", 3), ("d2", "p", "r4", 4)))
+
+    val expect = t.read.filter(col("rk") === "r3")
+      .select("day", "n").as[(String, Int)].collect().toSet
+    assert(expect.nonEmpty)
+
+    // SMALLER modulus at reopen: positions mod 256 differ from the
+    // entry's mod-1024 positions — probing with the instance's bits
+    // would false-prune the file holding r3
+    val small = mk(256)
+    assert(small.readWhereEquals("rk", "r3")
+      .select("day", "n").as[(String, Int)].collect().toSet == expect)
+
+    // LARGER modulus at reopen: a mod-4096 position over a 16-word
+    // array would throw ArrayIndexOutOfBounds if the entry's own
+    // geometry were ignored
+    val big = mk(4096)
+    assert(big.readWhereEquals("rk", "r3")
+      .select("day", "n").as[(String, Int)].collect().toSet == expect)
+    // and real pruning still happens under the entry geometry: only the
+    // d2 file can hold r3
+    assert(big.candidateFilesEquals("rk", "r3").size <
+      big.dataFileCount)
+  }
+
+  test("OCC logical conflict detection: disjoint-partition losers re-commit " +
+    "their files without re-running; overlapping ones still fully retry") {
+    val p = dir()
+    val t = new GraftTable(spark, p, keys = Seq("pk", "rk"), partitionCol = "day")
+    t.createIfNotExists(rows().schema)
+    t.importOnce(rows(("d1", "p", "r1", 1), ("d2", "p", "r1", 2)))
+    val base = t.currentVersion
+
+    // writer A wins the race on partition d1
+    t.upsertReplace(rows(("d1", "p", "r1", 100)))
+    assert(t.currentVersion == base + 1)
+
+    // writer B raced on DISJOINT partition d2 with a stale base: with
+    // partitionScoped the loser must detect disjointness and re-commit
+    // its already-written files — no exception, version advances
+    val b = new GraftTable(spark, p, t.keys, t.partitionCol)
+    b.commitRewriteAt(rows(("d2", "p", "r1", 200)), Seq(Some("d2")), base,
+      partitionScoped = true)
+    assert(t.currentVersion == base + 2, "disjoint loser must commit base+2")
+    val got = t.read.select("day", "n").as[(String, Int)].collect().toMap
+    assert(got == Map("d1" -> 100, "d2" -> 200),
+      "both writers' content must land")
+    // no duplicate/orphan files: on-disk tree == union of manifests
+    val onDisk = {
+      def walk(f: java.io.File): Seq[String] =
+        if (f.isDirectory) {
+          if (f.getName.startsWith("_")) Seq.empty
+          else Option(f.listFiles()).getOrElse(Array.empty).toSeq.flatMap(walk)
+        } else if (f.getName.endsWith(".parquet"))
+          Seq(java.nio.file.Paths.get(p).relativize(f.toPath).toString)
+        else Seq.empty
+      walk(new java.io.File(p)).toSet
+    }
+    val referenced = t.versions.flatMap(v => t.readAt(v).inputFiles.map(q =>
+      java.nio.file.Paths.get(p).relativize(
+        java.nio.file.Paths.get(q.stripPrefix("file:"))).toString)).toSet
+    assert(onDisk == referenced,
+      s"orphans or missing files: ${(onDisk -- referenced) ++ (referenced -- onDisk)}")
+
+    // writer C raced on the SAME partition d1 that interleaved writer A
+    // rewrote (stale base BEFORE A's commit) → still a hard conflict,
+    // files cleaned up (the pre-existing guarantee, unchanged)
+    val preC = t.read.collect().map(_.toSeq).toSet
+    val c = new GraftTable(spark, p, t.keys, t.partitionCol)
+    intercept[CommitConflictException](
+      c.commitRewriteAt(rows(("d1", "p", "r1", 999)), Seq(Some("d1")),
+        base, partitionScoped = true))
+    assert(t.currentVersion == base + 2)
+    assert(t.read.collect().map(_.toSeq).toSet == preC)
+
+    // an interleaved DELETION-VECTOR commit poisons the logical check
+    // (its touched partitions are unknown) → hard conflict even for a
+    // "disjoint" partition
+    val base2 = t.currentVersion
+    t.deleteWhere(col("day") === "d1" && col("n") === 100)
+    assert(t.currentVersion == base2 + 1)
+    intercept[CommitConflictException](
+      new GraftTable(spark, p, t.keys, t.partitionCol)
+        .commitRewriteAt(rows(("d2", "p", "r9", 9)), Seq(Some("d2")), base2,
+          partitionScoped = true))
+  }
+
+  test("merge: null-key source rows are insert candidates, not duplicates") {
+    val p = dir()
+    val t = new GraftTable(spark, p, keys = Seq("pk", "rk"), partitionCol = "day")
+    t.createIfNotExists(rows().schema)
+    t.importOnce(rows(("d1", "a", "r1", 1)))
+
+    // TWO source rows with a null key: under SQL null-key semantics
+    // neither can match any target row — both are not-matched insert
+    // candidates, and the multiple-match guard must not reject them
+    val src = Seq(
+      ("d1", "a", Option("r1"), 10),   // matches → update
+      ("d1", "b", Option.empty[String], 20), // null key → insert
+      ("d2", "c", Option.empty[String], 30)) // null key → insert
+      .toDF("day", "pk", "rk", "n")
+    t.merge(src,
+      matched = Seq(GraftTable.MatchedUpdate(lit(true),
+        Map("n" -> GraftTable.src("n")))),
+      notMatchedInsert = Some((lit(true), Map(
+        "day" -> GraftTable.src("day"), "pk" -> GraftTable.src("pk"),
+        "rk" -> GraftTable.src("rk"), "n" -> GraftTable.src("n")))))
+    val got = t.read.select("pk", "n").as[(String, Int)].collect().toMap
+    assert(got == Map("a" -> 10, "b" -> 20, "c" -> 30))
+
+    // genuinely duplicate NON-null keys still reject
+    intercept[IllegalArgumentException] {
+      t.merge(Seq(("d1", "a", "r1", 1), ("d9", "a", "r1", 2))
+        .toDF("day", "pk", "rk", "n"),
+        matched = Seq(GraftTable.MatchedUpdate(lit(true),
+          Map("n" -> GraftTable.src("n")))))
+    }
+  }
+}
