@@ -1410,6 +1410,77 @@ object IngestQueries {
         WHERE cents BETWEEN 2000 AND 2999
         UNION ALL
         SELECT 'u' AS dim, e.event_id, e.user_id, e.cents, e.pk
-        FROM e, r WHERE e.user_id BETWEEN r.lo AND r.hi"""))
+        FROM e, r WHERE e.user_id BETWEEN r.lo AND r.hi""")),
+
+    // ROW-LEVEL CDC under the oracle — readChangesRowsSince classifies
+    // every net change between two versions with a _change_type column,
+    // resolved from the manifest diff + a key join over TOUCHED files
+    // only. The history exercises every class: tick 1 rewrites
+    // partitions 0-1 (updates emit pre+post image, fresh keys emit
+    // insert, IDENTICALLY-rewritten rows emit NOTHING), a keyed delete
+    // drops partition 2 (delete), and a deletion-vector delete on
+    // partition 3 (no file enters or leaves the live set) must still
+    // surface its vectored rows as deletes. Untouched partitions 4-7
+    // are never read and emit nothing.
+    QuerySpec("q232_row_cdc",
+      (s, dir) => {
+        GraftSession.tune(s)
+        val base = java.nio.file.Files.createTempDirectory("graft_q232_").toString
+        val ev = Tables.events(s, dir)
+        val us = unix_micros(col("ts"))
+        def agg(e: org.apache.spark.sql.DataFrame) = e.groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_events"),
+            sum(expr("CAST(round(value * 100) AS BIGINT)")).as("sum_cents"))
+          .withColumn("pk", col("user_id") % 8)
+        val t = new graft.operators.GraftTable(s, s"$base/t", Seq("user_id"), "pk")
+        t.createIfNotExists(org.apache.spark.sql.types.StructType.fromDDL(
+          "user_id BIGINT, n_events BIGINT, sum_cents BIGINT, pk BIGINT"))
+        t.upsertReplace(agg(ev.filter(us % 2 === 0)))
+        val since = t.currentVersion
+        t.upsertReplace(agg(ev.filter(col("user_id") % 8 < 2)))
+        t.deleteByKeys(t.readAt(since).filter(col("pk") === 2).select("user_id"))
+        t.deleteWhere(col("pk") === 3 && col("sum_cents") % 2 === 1)
+        val out = t.readChangesRowsSince(since)
+          .select(col("user_id"), col("n_events"), col("sum_cents"),
+            col("pk"), col("_change_type"))
+        val snap = out.localCheckpoint(true)
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+        }
+        rm(new java.io.File(base))
+        snap
+      },
+      Some("""
+        WITH e AS (
+          SELECT user_id, CAST(round(value * 100) AS BIGINT) AS cents,
+            epoch_us(CAST(ts AS TIMESTAMP)) AS us
+          FROM events),
+        a1 AS (
+          SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+            CAST(sum(cents) AS BIGINT) AS sum_cents,
+            CAST(user_id % 8 AS BIGINT) AS pk
+          FROM e WHERE us % 2 = 0 GROUP BY 1),
+        a2 AS (
+          SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+            CAST(sum(cents) AS BIGINT) AS sum_cents,
+            CAST(user_id % 8 AS BIGINT) AS pk
+          FROM e GROUP BY 1)
+        SELECT user_id, n_events, sum_cents, pk, 'insert' AS _change_type
+        FROM a2 WHERE pk < 2 AND user_id NOT IN (SELECT user_id FROM a1)
+        UNION ALL
+        SELECT a1.user_id, a1.n_events, a1.sum_cents, a1.pk, 'update_preimage'
+        FROM a1 JOIN a2 USING (user_id)
+        WHERE a1.pk < 2 AND (a1.n_events <> a2.n_events
+          OR a1.sum_cents <> a2.sum_cents)
+        UNION ALL
+        SELECT a2.user_id, a2.n_events, a2.sum_cents, a2.pk, 'update_postimage'
+        FROM a1 JOIN a2 USING (user_id)
+        WHERE a1.pk < 2 AND (a1.n_events <> a2.n_events
+          OR a1.sum_cents <> a2.sum_cents)
+        UNION ALL
+        SELECT user_id, n_events, sum_cents, pk, 'delete' FROM a1 WHERE pk = 2
+        UNION ALL
+        SELECT user_id, n_events, sum_cents, pk, 'delete' FROM a1
+        WHERE pk = 3 AND sum_cents % 2 = 1"""))
   )
 }

@@ -1073,6 +1073,86 @@ final class GraftTable(spark: SparkSession, val path: String,
     readResolved(manifestFiles(cur).filterNot(old), cur)
   }
 
+  /** ROW-LEVEL CDC (the Delta change-data-feed classification): every
+    * row change between version `since` and the current version, with a
+    * `_change_type` column ∈ {insert, update_preimage, update_postimage,
+    * delete} — the feed incremental consumers actually want.
+    *
+    * Resolved from the MANIFEST DIFF plus a key join restricted to the
+    * touched files only: rows of files that LEFT the live set (as
+    * visible at `since`) full-outer-join rows of files that ENTERED it
+    * (as visible now) on the table keys (null-safe) — left-only =
+    * delete, right-only = insert, both-with-any-column-change = one
+    * pre- and one post-image row, both-identical = nothing (so a
+    * compaction or restore that rewrites identical content emits no
+    * changes). Deletion-vector commits in the range add delete rows for
+    * the vectored positions of files live at BOTH ends (a DV on a file
+    * that was later rewritten is already covered by the file diff).
+    * Untouched partitions are never read; the join is bounded by the
+    * touched files' rows. Requires the TABLE-GLOBAL keyed contract (one
+    * row per key per version across all partitions — the merge /
+    * insertIfAbsent / deleteByKeys discipline); a partition-moving
+    * update then classifies as pre+post image, not delete+insert.
+    */
+  def readChangesRowsSince(since: Long): DataFrame = {
+    val cur = currentVersion
+    require(since >= 1 && since <= cur,
+      s"since must be a committed version in [1, $cur], got $since")
+    val oldFiles = manifestFiles(since)
+    val newFiles = manifestFiles(cur)
+    val oldSet = oldFiles.toSet
+    val newSet = newFiles.toSet
+    val dropped = oldFiles.filterNot(newSet)
+    val added = newFiles.filterNot(oldSet)
+    val cols = readResolved(Seq.empty, cur).columns.toSeq // sidecar order
+    val a = readResolved(dropped, since)
+      .select(cols.map(c => col(c).as(s"__a_$c")): _*)
+      .withColumn("__a_present", lit(1))
+    val b = readResolved(added, cur)
+      .select(cols.map(c => col(c).as(s"__b_$c")): _*)
+      .withColumn("__b_present", lit(1))
+    val j = a.join(b,
+      keys.map(k => col(s"__a_$k") <=> col(s"__b_$k")).reduce(_ && _),
+      "full_outer")
+    val both = col("__a_present").isNotNull && col("__b_present").isNotNull
+    val changed = cols.map(c => !(col(s"__a_$c") <=> col(s"__b_$c"))).reduce(_ || _)
+    // one pass: each joined row explodes to its 0/1/2 change rows
+    val tags = when(col("__a_present").isNull, array(lit("insert")))
+      .when(col("__b_present").isNull, array(lit("delete")))
+      .when(both && changed,
+        array(lit("update_preimage"), lit("update_postimage")))
+      .otherwise(array().cast("array<string>"))
+    val fileDiff = j.select(explode(tags).as("_change_type") +:
+      (cols.map(c => col(s"__a_$c")) ++ cols.map(c => col(s"__b_$c"))): _*)
+      .select(cols.map(c =>
+        when(col("_change_type").isin("delete", "update_preimage"),
+          col(s"__a_$c")).otherwise(col(s"__b_$c")).as(c)) :+
+        col("_change_type"): _*)
+    // deletion vectors committed in (since, cur] on files live at both
+    // ends: their positions are delete pre-images (positions are
+    // disjoint from earlier vectors by construction — deleteWhere only
+    // vectors still-visible rows)
+    val rangeDvs = applicableDvDirs(cur).filter { p =>
+      p.getFileName.toString.drop(1).split("_", 2)(0).toLong > since
+    }
+    if (rangeDvs.isEmpty) fileDiff
+    else {
+      val common = oldSet.intersect(newSet)
+      val dv = readDv(rangeDvs)
+      val dvFiles = dv.select("file").distinct().collect()
+        .map(_.getString(0)).filter(common.contains).toSeq // bounded by DV'd-file count
+      if (dvFiles.isEmpty) fileDiff
+      else {
+        val scan = readFilesWithMeta(dvFiles)
+        val dvDeletes = scan.join(dv,
+            scan("__dvf") === dv("file") && scan("__dvi") === dv("ri"),
+            "left_semi")
+          .select(cols.map(col) :+ lit("delete").as("_change_type"): _*)
+        fileDiff.unionByName(dvDeletes)
+      }
+    }
+  }
+
   /** Reclaim history: keep the last `keepVersions` manifests, delete
     * every data file referenced ONLY by dropped manifests. The
     * storage-cost bound a versioned table needs — history is otherwise

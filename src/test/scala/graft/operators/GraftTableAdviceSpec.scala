@@ -150,6 +150,40 @@ class GraftTableAdviceSpec extends SparkSpec {
           partitionScoped = true))
   }
 
+  test("readChangesRowsSince: classifies insert/update/delete; identical " +
+    "rewrites (compaction) emit nothing; DV deletes surface") {
+    val p = dir()
+    val t = new GraftTable(spark, p, keys = Seq("pk", "rk"), partitionCol = "day")
+    t.createIfNotExists(rows().schema)
+    t.importOnce(rows(("d1", "p", "r1", 1), ("d1", "p", "r2", 2),
+      ("d2", "p", "r21", 3), ("d3", "p", "r31", 4)))
+    val since = t.currentVersion
+
+    // compaction only: identical content rewritten → empty feed
+    t.compact(2)
+    assert(t.readChangesRowsSince(since).count() == 0,
+      "identical-content rewrite must emit no changes")
+
+    // update r1, insert r9 (partition d1); keyed delete of r21 (d2); DV
+    // delete of r31 — no file enters or leaves d3's live set
+    t.upsertReplace(rows(("d1", "p", "r1", 100), ("d1", "p", "r9", 9)))
+    t.deleteByKeys(Seq(("p", "r21")).toDF("pk", "rk"))
+    assert(t.read.filter(col("day") === "d2").count() == 0,
+      "keyed delete should drop the d2 row")
+    t.deleteWhere(col("day") === "d3")
+    val feed = t.readChangesRowsSince(since)
+      .select("day", "rk", "n", "_change_type")
+      .as[(String, String, Int, String)].collect().toSet
+    assert(feed == Set(
+      ("d1", "r1", 1, "update_preimage"),
+      ("d1", "r1", 100, "update_postimage"),
+      ("d1", "r9", 9, "insert"),
+      ("d2", "r21", 3, "delete"),
+      ("d3", "r31", 4, "delete")), s"got $feed")
+    // untouched rows (d1/r2 unchanged value through the rewrite) absent
+    assert(!feed.exists(f => f._2 == "r2"))
+  }
+
   test("merge: null-key source rows are insert candidates, not duplicates") {
     val p = dir()
     val t = new GraftTable(spark, p, keys = Seq("pk", "rk"), partitionCol = "day")
