@@ -1481,6 +1481,149 @@ object IngestQueries {
         SELECT user_id, n_events, sum_cents, pk, 'delete' FROM a1 WHERE pk = 2
         UNION ALL
         SELECT user_id, n_events, sum_cents, pk, 'delete' FROM a1
-        WHERE pk = 3 AND sum_cents % 2 = 1"""))
+        WHERE pk = 3 AND sum_cents % 2 = 1""")),
+
+    // SQL-ADDRESSABLE TABLE under the oracle — the DSv2 catalog
+    // (graft.sources.GraftCatalog): the whole query text is pure
+    // spark.sql against a registered table name. Branch 1 is a
+    // zone-map-banded range scan (the readWhereBetween machinery
+    // applied as FILE PRUNING inside the parquet scan — plan-asserted
+    // in GraftCatalogSpec); branch 2 is VERSION AS OF time travel to
+    // the pre-tick-2 state. The two insert ticks are key-disjoint
+    // (event_id parity), so the replay is exact even with duplicate
+    // source ids.
+    QuerySpec("q233_sql_catalog",
+      (s, dir) => {
+        GraftSession.tune(s)
+        val base = java.nio.file.Files.createTempDirectory("graft_q233_").toString
+        val ev = Tables.events(s, dir)
+        val rows = ev.select(col("event_id"), col("user_id"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+          .withColumn("pk", col("user_id") % 4)
+        val t = new graft.operators.GraftTable(s, s"$base/db/events",
+          Seq("event_id"), "pk", statsCols = Seq("cents"))
+        t.createIfNotExists(org.apache.spark.sql.types.StructType.fromDDL(
+          "event_id BIGINT, user_id BIGINT, cents BIGINT, pk BIGINT"))
+        t.insertIfAbsent(rows.filter(col("event_id") % 2 === 0))
+        val v1 = t.currentVersion
+        t.insertIfAbsent(rows)
+        t.compactRange(16, Seq("cents"))
+        graft.operators.GraftTableMeta.annotate(t)
+        val cat = s"gcat_${java.util.UUID.randomUUID().toString.take(8)}"
+          .replace("-", "_")
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.root", base)
+        val out = s.sql(s"""
+          SELECT 'band' AS dim, event_id, user_id, cents, pk
+          FROM $cat.db.events WHERE cents BETWEEN 2000 AND 2999
+          UNION ALL
+          SELECT 'v1' AS dim, event_id, user_id, cents, pk
+          FROM $cat.db.events VERSION AS OF $v1 WHERE user_id % 4 = 1""")
+        val snap = out.localCheckpoint(true)
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+        }
+        rm(new java.io.File(base))
+        snap
+      },
+      Some("""
+        WITH e AS (
+          SELECT event_id, user_id,
+            CAST(round(value * 100) AS BIGINT) AS cents,
+            CAST(user_id % 4 AS BIGINT) AS pk
+          FROM events)
+        SELECT 'band' AS dim, event_id, user_id, cents, pk FROM e
+        WHERE cents BETWEEN 2000 AND 2999
+        UNION ALL
+        SELECT 'v1' AS dim, event_id, user_id, cents, pk FROM e
+        WHERE event_id % 2 = 0 AND user_id % 4 = 1""")),
+
+    // STREAMING TABLE SOURCE under the oracle — readStream.table over
+    // the registered catalog table, offsets = commit versions. Run 1
+    // (fresh checkpoint) drains the FULL SNAPSHOT of the table as of
+    // stream start; the stream stops, three more upsert ticks commit;
+    // run 2 recovers from the checkpoint and drains ONLY the manifest
+    // diff (the post-state of the partitions ticks 3-5 touched — the
+    // exactly-once incremental consumer loop, reference runetl.py:39-66
+    // generalized). Untouched partitions are never re-emitted (their
+    // absence from run 2 is part of the hash).
+    QuerySpec("q234_table_stream",
+      (s, dir) => {
+        GraftSession.tune(s)
+        import s.implicits._
+        val base = java.nio.file.Files.createTempDirectory("graft_q234_").toString
+        val ev = Tables.events(s, dir)
+        val us = unix_micros(col("ts"))
+        def agg(e: org.apache.spark.sql.DataFrame) = e.groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_events"),
+            sum(expr("CAST(round(value * 100) AS BIGINT)")).as("sum_cents"))
+          .withColumn("pk", col("user_id") % 8)
+        val t = new graft.operators.GraftTable(s, s"$base/db/ua",
+          Seq("user_id"), "pk")
+        t.createIfNotExists(org.apache.spark.sql.types.StructType.fromDDL(
+          "user_id BIGINT, n_events BIGINT, sum_cents BIGINT, pk BIGINT"))
+        t.upsertReplace(agg(ev.filter(us % 2 === 0)))
+        t.upsertReplace(agg(ev).filter(col("pk") < 2))
+        graft.operators.GraftTableMeta.annotate(t)
+        val cat = s"gcat_${java.util.UUID.randomUUID().toString.take(8)}"
+          .replace("-", "_")
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.root", base)
+        val ckpt = java.nio.file.Files.createTempDirectory("graft_q234_ck").toString
+        def drain(run: String): Seq[(String, Long, Long, Long, Long)] = {
+          val acc = new java.util.concurrent.ConcurrentLinkedQueue[
+            (String, Long, Long, Long, Long)]()
+          val q = s.readStream.table(s"$cat.db.ua").writeStream
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .option("checkpointLocation", ckpt)
+            .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+              df.select("user_id", "n_events", "sum_cents", "pk").collect()
+                .foreach(r => acc.add((run, r.getLong(0), r.getLong(1),
+                  r.getLong(2), r.getLong(3)))); ()
+            }
+            .start()
+          q.awaitTermination(120000)
+          scala.jdk.CollectionConverters.CollectionHasAsScala(acc).asScala.toSeq
+        }
+        val run1 = drain("snapshot")
+        // three commits while the stream is down
+        t.upsertReplace(agg(ev).filter(col("pk") === 2))
+        t.upsertReplace(agg(ev).filter(col("pk") === 3))
+        t.upsertReplace(agg(ev).filter(col("pk") === 4)
+          .withColumn("n_events", col("n_events") + 100))
+        val run2 = drain("diff")
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+        }
+        rm(new java.io.File(base)); rm(new java.io.File(ckpt))
+        (run1 ++ run2).toDF("run", "user_id", "n_events", "sum_cents", "pk")
+          .localCheckpoint(true)
+      },
+      Some("""
+        WITH e AS (
+          SELECT user_id, CAST(round(value * 100) AS BIGINT) AS cents,
+            epoch_us(CAST(ts AS TIMESTAMP)) AS us
+          FROM events),
+        a1 AS (
+          SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+            CAST(sum(cents) AS BIGINT) AS sum_cents,
+            CAST(user_id % 8 AS BIGINT) AS pk
+          FROM e WHERE us % 2 = 0 GROUP BY 1),
+        a2 AS (
+          SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+            CAST(sum(cents) AS BIGINT) AS sum_cents,
+            CAST(user_id % 8 AS BIGINT) AS pk
+          FROM e GROUP BY 1)
+        SELECT 'snapshot' AS run, user_id, n_events, sum_cents, pk
+        FROM a2 WHERE pk < 2
+        UNION ALL
+        SELECT 'snapshot' AS run, user_id, n_events, sum_cents, pk
+        FROM a1 WHERE pk >= 2
+        UNION ALL
+        SELECT 'diff' AS run, user_id, n_events, sum_cents, pk
+        FROM a2 WHERE pk IN (2, 3)
+        UNION ALL
+        SELECT 'diff' AS run, user_id, n_events + 100, sum_cents, pk
+        FROM a2 WHERE pk = 4"""))
   )
 }

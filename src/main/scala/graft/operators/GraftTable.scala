@@ -833,6 +833,71 @@ final class GraftTable(spark: SparkSession, val path: String,
       .filter(col(c) <=> litOf(x, tag))
   }
 
+  // ------------------------------------------- catalog/scan metadata API
+  //
+  // The read-side metadata surface the DSv2 catalog layer
+  // (`graft.sources.GraftCatalog` + the `org.apache.spark.sql.graft`
+  // scan bridge) builds SQL scans from: live-file listing per version,
+  // deletion-vector presence, and conservative zone-map/Bloom file
+  // pruning with open bounds. All metadata-only — no data reads.
+
+  /** Table-relative data files LIVE at version `v` (the manifest
+    * replay, ≤ CheckpointEvery log reads).
+    */
+  def liveFilesAt(v: Long): Seq[String] = manifestFiles(v)
+
+  /** True when committed deletion vectors apply to a file LIVE at
+    * version `v` — reads that bypass [[readResolved]] (e.g. a plain
+    * parquet scan over the live files) would resurrect deleted rows and
+    * must not run. Vectors referencing only dead files (their
+    * partitions were since rewritten/compacted) are no-ops and don't
+    * block. Cost: one small scan of the vector parquets' `file` column,
+    * only when vector dirs exist at all.
+    */
+  def hasDeletionVectorsAt(v: Long): Boolean = {
+    val dvs = applicableDvDirs(v)
+    if (dvs.isEmpty) return false
+    val live = manifestFiles(v).toSet
+    readDv(dvs).select("file").distinct().collect()
+      .exists(r => live.contains(r.getString(0))) // bounded by DV'd-file count
+  }
+
+  /** Files at `v` that MAY hold a row with `c` in [lo, hi] (either
+    * bound optional; None = unbounded). CONSERVATIVE: a column that is
+    * not zone-mapped (or a file without stats) survives; only a zone
+    * map PROVING non-intersection prunes. Inclusive bounds — callers
+    * with strict predicates pass the same bound (a superset is always
+    * safe).
+    */
+  def candidateFilesRangeAt(c: String, lo: Option[Any], hi: Option[Any],
+                            v: Long): Seq[String] = {
+    val files = manifestFiles(v)
+    if (lo.isEmpty && hi.isEmpty) return files
+    val tag = scala.util.Try(tagOf(c)).getOrElse(return files)
+    val loC = lo.map(canonValue(_, tag))
+    val hiC = hi.map(canonValue(_, tag))
+    val stats = replayStats(v)
+    files.filter { fl =>
+      stats.get(fl).flatMap(_.cols.get(c)) match {
+        case None => true
+        case Some(cs) => (cs.min, cs.max) match {
+          case (Some(mn), Some(mx)) =>
+            hiC.forall(h => cmpCanon(tag, mn, h) <= 0) &&
+              loC.forall(l => cmpCanon(tag, mx, l) >= 0)
+          case _ => false // no non-null value — no range predicate matches
+        }
+      }
+    }
+  }
+
+  /** Files at `v` that MAY hold a row with `c` = `x` (zone map + Bloom;
+    * conservative like [[candidateFilesRangeAt]]). Public form of the
+    * point-lookup pruning for the catalog scan layer.
+    */
+  def candidateFilesEqualsVersioned(c: String, x: Any, v: Long): Seq[String] =
+    scala.util.Try(candidateFilesEqualsAt(c, x, v))
+      .getOrElse(manifestFiles(v))
+
   /** Diagnostic: how many FULL data-tree walks this instance has done.
     * For a table created through [[createIfNotExists]] this must stay 0
     * forever — only the one-time legacy-baseline upgrade walks.

@@ -1,0 +1,277 @@
+package org.apache.spark.sql.graft
+
+import java.util.concurrent.atomic.AtomicLong
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability}
+import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.execution.datasources.InMemoryFileIndex
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder
+import org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.operators.GraftTable
+
+/** DSv2 read path for [[graft.operators.GraftTable]] — the bridge that
+  * makes a versioned graft table a first-class SQL citizen:
+  *
+  *   - the scan IS Spark's own vectorized parquet scan
+  *     ([[ParquetScanBuilder]]): partition pruning, column pruning,
+  *     parquet row-group pushdown and whole-stage codegen all come from
+  *     the engine, not re-implementations;
+  *   - the table's OWN metadata tiers ride inside the scan via
+  *     [[GraftPrunedFileIndex]]: the file index lists exactly the LIVE
+  *     files of the requested version (time travel = a different live
+  *     set), and `listFiles` drops files the zone maps / Bloom index
+  *     prove irrelevant for the pushed data filters — Delta-style data
+  *     skipping expressed as a FileIndex, where every DSv2 file source
+  *     already applies it;
+  *   - streaming: the same table is a micro-batch source whose offsets
+  *     are COMMIT VERSIONS; each batch plans the manifest diff between
+  *     two versions (the [[graft.operators.GraftTable.readChangesSince]]
+  *     increment) through the same parquet machinery.
+  *
+  * Deletion vectors: a plain parquet scan cannot subtract them, so a
+  * version with applicable vectors REFUSES the SQL read path loudly
+  * (compaction or any rewrite purges the vectors and restores it) —
+  * correctness is never silently wrong. The Scala read API
+  * ([[GraftTable.read]]) always resolves them.
+  */
+object GraftSqlRead {
+
+  /** Pruning observability for plan specs: files surviving / total live
+    * files of the LAST listFiles call that applied stats pruning.
+    */
+  val lastPlannedFiles = new AtomicLong(-1)
+  val lastTotalFiles = new AtomicLong(-1)
+
+  private[graft] def emptyOptions =
+    new CaseInsensitiveStringMap(java.util.Collections.emptyMap[String, String]())
+
+  def table(spark: SparkSession, gt: GraftTable, version: Long): Table =
+    new GraftSqlTable(spark, gt, version)
+
+  /** Catalyst literal → the external value [[GraftTable]]'s canonical
+    * stats comparators accept (UTF8String → String; date/timestamp
+    * literals are already canonical days/micros numbers).
+    */
+  private[graft] def externalValue(l: Literal): Option[Any] = l.value match {
+    case null => None
+    case u: UTF8String => Some(u.toString)
+    case other => Some(other)
+  }
+}
+
+/** A [[graft.operators.GraftTable]] version exposed as a DSv2 table. */
+final class GraftSqlTable(spark: SparkSession, val gt: GraftTable,
+                          val pinnedVersion: Long)
+    extends Table with SupportsRead {
+
+  /** Sidecar schema (metadata only — building the empty frame plans no
+    * job).
+    */
+  val tableSchema: StructType = gt.read.schema
+
+  override def name: String = s"graft.`${gt.path}`@v$pinnedVersion"
+  override def schema: StructType = tableSchema
+  override def partitioning: Array[Transform] =
+    Array(Expressions.identity(gt.partitionCol))
+  override def capabilities: java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    require(!gt.hasDeletionVectorsAt(pinnedVersion),
+      s"table ${gt.path} has deletion vectors applicable at version $pinnedVersion: " +
+        "the SQL scan path cannot subtract row-level deletes — run compact() " +
+        "(or any rewrite of the affected partitions) to purge them, or read " +
+        "through the Scala API (GraftTable.read/readAt)")
+    new GraftScanBuilder(spark, gt, pinnedVersion, tableSchema)
+  }
+}
+
+/** Delegates the entire pushdown protocol to Spark's parquet scan
+  * builder over a pruning file index; wraps the built scan only to add
+  * the micro-batch stream surface.
+  */
+final class GraftScanBuilder(spark: SparkSession, gt: GraftTable,
+                             version: Long, tableSchema: StructType)
+    extends ScanBuilder with SupportsPushDownCatalystFilters
+    with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
+
+  private val dataSchema = StructType(
+    tableSchema.fields.filterNot(_.name == gt.partitionCol))
+  private val fileIndex =
+    new GraftPrunedFileIndex(spark, gt, version, tableSchema)
+  private val inner = ParquetScanBuilder(spark, fileIndex, tableSchema,
+    dataSchema, GraftSqlRead.emptyOptions)
+
+  override def pushFilters(filters: Seq[Expression]): Seq[Expression] =
+    inner.pushFilters(filters)
+  override def pushedFilters: Array[org.apache.spark.sql.connector.expressions.filter.Predicate] =
+    inner.pushedFilters
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    inner.pruneColumns(requiredSchema)
+  override def build(): Scan =
+    new GraftScan(spark, gt, tableSchema, inner.build())
+}
+
+/** Batch behavior = the wrapped parquet scan; micro-batch = version
+  * offsets over the commit log.
+  */
+final class GraftScan(spark: SparkSession, gt: GraftTable,
+                      tableSchema: StructType, inner: Scan)
+    extends Scan {
+  override def readSchema(): StructType = inner.readSchema()
+  override def toBatch: Batch = inner.toBatch
+  override def description(): String = s"GraftScan(${gt.path}) -> ${inner.description()}"
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new GraftMicroBatchStream(spark, gt, tableSchema)
+}
+
+/** Offsets are commit versions; `v` means "everything live at version v
+  * has been emitted".
+  */
+final case class GraftOffset(v: Long) extends Offset {
+  override def json(): String = v.toString
+}
+
+/** Micro-batch source tailing the commit log: batch (a, b] = the files
+  * that ENTERED the live set between versions a and b (the manifest
+  * diff — under replace semantics, the post-state of every touched
+  * partition), planned and read through Spark's parquet reader factory.
+  * The first batch from a fresh checkpoint is the full snapshot
+  * ((0, head] = every live file). Offsets are persisted by the engine;
+  * a restarted stream resumes at its last committed version and drains
+  * only what committed since — exactly-once end-to-end when the sink is
+  * idempotent (e.g. [[GraftTable.mergeBatch]] /
+  * [[GraftTable.upsertReplaceBatch]]).
+  */
+final class GraftMicroBatchStream(spark: SparkSession, gt: GraftTable,
+                                  tableSchema: StructType)
+    extends MicroBatchStream {
+
+  private val dataSchema = StructType(
+    tableSchema.fields.filterNot(_.name == gt.partitionCol))
+
+  private def scanFor(files: Seq[String]): Scan = {
+    val fi = new InMemoryFileIndex(spark,
+      files.map(f => new Path(s"${gt.path}/$f")),
+      Map("basePath" -> gt.path), Some(tableSchema))
+    ParquetScanBuilder(spark, fi, tableSchema, dataSchema,
+      GraftSqlRead.emptyOptions).build()
+  }
+
+  override def latestOffset(): Offset = GraftOffset(gt.currentVersion)
+  override def initialOffset(): Offset = GraftOffset(0L)
+  override def deserializeOffset(json: String): Offset =
+    GraftOffset(json.trim.toLong)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[GraftOffset].v
+    val e = end.asInstanceOf[GraftOffset].v
+    if (e <= s) return Array.empty
+    require(!gt.hasDeletionVectorsAt(e),
+      s"table ${gt.path} has deletion vectors applicable at version $e: the " +
+        "streaming scan cannot subtract row-level deletes — compact first")
+    val old = if (s == 0L) Set.empty[String] else gt.liveFilesAt(s).toSet
+    val added = gt.liveFilesAt(e).filterNot(old)
+    if (added.isEmpty) Array.empty
+    else scanFor(added).toBatch.planInputPartitions()
+  }
+
+  override def createReaderFactory(): org.apache.spark.sql.connector.read.PartitionReaderFactory = {
+    val v = gt.currentVersion
+    val live = if (v > 0) gt.liveFilesAt(v) else Seq.empty
+    scanFor(live).toBatch.createReaderFactory()
+  }
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+/** An [[InMemoryFileIndex]] fixed to ONE version's live files, with the
+  * table's zone-map/Bloom pruning applied to the pushed data filters in
+  * `listFiles` — so Delta-style data skipping happens exactly where
+  * every Spark file source applies partition pruning, and the planned
+  * scan reads only files that may satisfy the predicates. Conservative:
+  * only supported (attribute ⋈ literal) conjuncts prune; everything
+  * else passes through (the residual filters run anyway).
+  */
+final class GraftPrunedFileIndex(spark: SparkSession, gt: GraftTable,
+                                 version: Long, tableSchema: StructType)
+    extends InMemoryFileIndex(spark,
+      gt.liveFilesAt(version).map(f => new Path(s"${gt.path}/$f")),
+      Map("basePath" -> gt.path), Some(tableSchema)) {
+
+  private val prunable: Set[String] = (gt.statsCols ++ gt.bloomCols).toSet
+
+  /** Candidate (table-relative) files for one conjunct, or None if the
+    * conjunct does not constrain a prunable column in a supported form.
+    */
+  private def candidates(e: Expression): Option[Set[String]] = {
+    def eq(c: String, l: Literal): Option[Set[String]] =
+      if (!prunable.contains(c)) None
+      else GraftSqlRead.externalValue(l).map(v =>
+        gt.candidateFilesEqualsVersioned(c, v, version).toSet)
+    def range(c: String, lo: Option[Literal], hi: Option[Literal]): Option[Set[String]] =
+      if (!prunable.contains(c)) None
+      else {
+        val loV = lo.flatMap(GraftSqlRead.externalValue)
+        val hiV = hi.flatMap(GraftSqlRead.externalValue)
+        if (loV.isEmpty && hiV.isEmpty) None
+        else Some(gt.candidateFilesRangeAt(c, loV, hiV, version).toSet)
+      }
+    e match {
+      case EqualTo(a: AttributeReference, l: Literal) => eq(a.name, l)
+      case EqualTo(l: Literal, a: AttributeReference) => eq(a.name, l)
+      case EqualNullSafe(a: AttributeReference, l: Literal) if l.value != null =>
+        eq(a.name, l)
+      case EqualNullSafe(l: Literal, a: AttributeReference) if l.value != null =>
+        eq(a.name, l)
+      // strict bounds pass the same bound inclusively — superset, safe
+      case GreaterThan(a: AttributeReference, l: Literal) => range(a.name, Some(l), None)
+      case GreaterThanOrEqual(a: AttributeReference, l: Literal) => range(a.name, Some(l), None)
+      case LessThan(a: AttributeReference, l: Literal) => range(a.name, None, Some(l))
+      case LessThanOrEqual(a: AttributeReference, l: Literal) => range(a.name, None, Some(l))
+      case GreaterThan(l: Literal, a: AttributeReference) => range(a.name, None, Some(l))
+      case GreaterThanOrEqual(l: Literal, a: AttributeReference) => range(a.name, None, Some(l))
+      case LessThan(l: Literal, a: AttributeReference) => range(a.name, Some(l), None)
+      case LessThanOrEqual(l: Literal, a: AttributeReference) => range(a.name, Some(l), None)
+      case In(a: AttributeReference, vs) if vs.nonEmpty && vs.forall(_.isInstanceOf[Literal]) =>
+        val sets = vs.map(v => eq(a.name, v.asInstanceOf[Literal]))
+        if (sets.exists(_.isEmpty)) None
+        else Some(sets.flatMap(_.get).toSet) // union over the IN list
+      case And(x, y) =>
+        (candidates(x), candidates(y)) match {
+          case (Some(a), Some(b)) => Some(a.intersect(b))
+          case (a, b) => a.orElse(b)
+        }
+      case _ => None
+    }
+  }
+
+  override def listFiles(partitionFilters: Seq[Expression],
+                         dataFilters: Seq[Expression])
+      : Seq[org.apache.spark.sql.execution.datasources.PartitionDirectory] = {
+    val base = super.listFiles(partitionFilters, dataFilters)
+    val perConjunct = dataFilters.flatMap(candidates)
+    if (perConjunct.isEmpty) return base
+    val keep = perConjunct.reduce(_ intersect _)
+    def relOf(p: Path): String =
+      s"${p.getParent.getName}/${p.getName}"
+    val pruned = base.map(pd =>
+      pd.copy(files = pd.files.filter(f => keep.contains(relOf(f.getPath)))))
+    GraftSqlRead.lastTotalFiles.set(base.map(_.files.size.toLong).sum)
+    GraftSqlRead.lastPlannedFiles.set(pruned.map(_.files.size.toLong).sum)
+    pruned
+  }
+}
