@@ -88,6 +88,51 @@ object GraftTable {
     * modulus = 64 × words.length bits, `k` hash probes.
     */
   private[operators] final case class BloomEntry(k: Int, words: Array[Long])
+
+  /** One column's zone map as a PARQUET CHECKPOINT column (see
+    * [[CkptRow]]): canonical min/max strings (null/null with a non-null
+    * struct = proven all-null), tag = the stats type tag.
+    */
+  private[operators] final case class CkptCol(tag: String, nulls: Long,
+                                              mn: String, mx: String)
+
+  /** One column's Bloom filter in the parquet checkpoint. */
+  private[operators] final case class CkptBloom(k: Int, words: Seq[Long])
+
+  /** One live file in a PARQUET CHECKPOINT MANIFEST: every
+    * [[CheckpointEvery]]-th version persists the full live set as a
+    * parquet table (file path, row count, zone maps and Bloom filters
+    * AS COLUMNS) instead of a driver-serialized JSON list — so at any
+    * table size, opening the table reads parquet metadata, checkpoint
+    * construction is DataFrame ops over the previous checkpoint plus
+    * ≤ [[CheckpointEvery]] small deltas (the driver never materializes
+    * the live set to build one), and data skipping evaluates as a
+    * DISTRIBUTED filter over the checkpoint before any file path is
+    * collected. The Delta-parquet-checkpoint discipline. `rows` = -1
+    * when unknown (stats-free commit); empty maps = no stats recorded.
+    */
+  private[operators] final case class CkptRow(file: String, rows: Long,
+                                              stats: Map[String, CkptCol],
+                                              blooms: Map[String, CkptBloom])
+
+  /** JVM-wide cache of collected checkpoint file lists, keyed by the
+    * immutable (table path, version, nonce) identity of a committed
+    * checkpoint — one parquet read per checkpoint per JVM, LRU-bounded.
+    */
+  private val ckptListCache =
+    new java.util.LinkedHashMap[(String, Long, String), Seq[String]](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, Long, String), Seq[String]]): Boolean =
+        size > 64
+    }
+
+  private[operators] def cachedCkptList(key: (String, Long, String))
+                                       (load: => Seq[String]): Seq[String] =
+    ckptListCache.synchronized {
+      val got = ckptListCache.get(key)
+      if (got != null) got
+      else { val v = load; ckptListCache.put(key, v); v }
+    }
 }
 
 /** Thrown when a commit loses the optimistic-concurrency race: another
@@ -255,7 +300,9 @@ final class GraftTable(spark: SparkSession, val path: String,
     * to the nearest full checkpoint (≤ [[GraftTable.CheckpointEvery]]
     * manifests) and apply forward. Never touches the data tree.
     * Entries starting with `#` are commit METADATA (delta marker,
-    * deletion-vector and transaction markers), never live files.
+    * deletion-vector / transaction / checkpoint markers), never live
+    * files. A `#ckpt:<nonce>` base resolves its file list from the
+    * parquet checkpoint (collected once per JVM, cached).
     */
   private def manifestFiles(v: Long): Seq[String] = {
     var at = v
@@ -266,13 +313,117 @@ final class GraftTable(spark: SparkSession, val path: String,
       at -= 1
       cur = rawEntries(at)
     }
-    var live = cur.filterNot(_.startsWith("#"))
+    val baseAt = at
+    var live = cur.collectFirst {
+      case e if e.startsWith("#ckpt:") => e.stripPrefix("#ckpt:")
+    } match {
+      case Some(nonce) =>
+        GraftTable.cachedCkptList((path, baseAt, nonce)) {
+          spark.read.schema(ckptSchema)
+            .parquet(ckptDirFor(baseAt, nonce).toString)
+            .select("file").collect().map(_.getString(0)).toSeq.sorted
+        }
+      case None => cur.filterNot(_.startsWith("#"))
+    }
     deltas.foreach { d =>
       val drops = d.collect { case e if e.startsWith("-") => e.drop(1) }
       val adds = d.collect { case e if e.startsWith("+") => e.drop(1) }
       live = live.filterNot(f => drops.exists(dir => f.startsWith(dir + "/"))) ++ adds
     }
     live
+  }
+
+  // ------------------------------------------ parquet checkpoint manifests
+
+  private def ckptRoot = logDir.resolve("ckpt")
+  private def ckptDirFor(v: Long, nonce: String) =
+    ckptRoot.resolve(f"v$v%06d_$nonce")
+
+  private lazy val ckptEncoder =
+    org.apache.spark.sql.Encoders.product[GraftTable.CkptRow]
+  private lazy val ckptSchema = ckptEncoder.schema
+
+  private def toCkptDF(rows: Seq[GraftTable.CkptRow]): DataFrame =
+    spark.createDataset(rows)(ckptEncoder).toDF()
+
+  /** Checkpoint rows for `files` with whatever of this commit's encoded
+    * stats/bloom `entries` describe them (missing stats ⇒ empty maps —
+    * unprunable, never wrong).
+    */
+  private def ckptRowsFor(files: Seq[String],
+                          entries: Seq[String]): Seq[GraftTable.CkptRow] = {
+    val stats = entries.filterNot(_.startsWith("!")).map(decodeStats).toMap
+    val blooms = entries.filter(_.startsWith("!")).map(decodeBloom)
+      .groupBy(_._1._1)
+    files.map { f =>
+      val fs = stats.get(f)
+      val bl = blooms.getOrElse(f, Seq.empty).map { case ((_, c), be) =>
+        c -> GraftTable.CkptBloom(be.k, be.words.toSeq)
+      }.toMap
+      GraftTable.CkptRow(f, fs.map(_.rows).getOrElse(-1L),
+        fs.map(_.cols.map { case (c, cs) =>
+          c -> GraftTable.CkptCol(cs.tag.toString, cs.nulls,
+            cs.min.orNull, cs.max.orNull)
+        }).getOrElse(Map.empty),
+        bl)
+    }
+  }
+
+  /** True when `v`'s delta chain bottoms out on a parquet checkpoint —
+    * the snapshot/pruning DataFrame path applies; legacy all-JSON
+    * chains keep the driver-map path.
+    */
+  private def hasCkptBase(v: Long): Boolean = {
+    var at = v
+    var cur = rawEntries(at)
+    while (isDelta(cur)) { at -= 1; cur = rawEntries(at) }
+    cur.exists(_.startsWith("#ckpt:"))
+  }
+
+  /** The live set at `v` as a DataFrame of [[GraftTable.CkptRow]]s:
+    * nearest checkpoint parquet (or, for a legacy full-JSON base, its
+    * driver entries + legacy stats maps) composed with ≤
+    * [[GraftTable.CheckpointEvery]] delta manifests — drops are a
+    * filter, adds a union of commit-sized local rows with their delta
+    * stats. The driver never materializes the full live set; data
+    * skipping filters THIS frame before any path is collected, and the
+    * next checkpoint writes it back out. O(live files) work happens in
+    * the cluster, not the driver.
+    */
+  private def snapshotDF(v: Long): DataFrame = {
+    var at = v
+    var cur = rawEntries(at)
+    val deltas = scala.collection.mutable.ListBuffer.empty[(Long, Seq[String])]
+    while (isDelta(cur)) {
+      deltas.prepend((at, cur))
+      at -= 1
+      cur = rawEntries(at)
+    }
+    val base = cur.collectFirst {
+      case e if e.startsWith("#ckpt:") => e.stripPrefix("#ckpt:")
+    } match {
+      case Some(nonce) =>
+        spark.read.schema(ckptSchema).parquet(ckptDirFor(at, nonce).toString)
+      case None => // legacy full-JSON base: one-time driver materialization
+        val files = cur.filterNot(_.startsWith("#"))
+        val st = replayStats(at)
+        val bl = replayBlooms(at)
+        val entries = st.map { case (rel, fs) => encodeStats(rel, fs) }.toSeq ++
+          bl.map { case ((rel, c), be) => encodeBloom(rel, c, be.k, be.words.toSeq) }
+        toCkptDF(ckptRowsFor(files, entries))
+    }
+    deltas.foldLeft(base) { case (df, (dv, entries)) =>
+      val drops = entries.collect { case e if e.startsWith("-") => e.drop(1) }
+      val adds = entries.collect { case e if e.startsWith("+") => e.drop(1) }
+      val statsEnts = parseEntryFile(statsPath(dv)).getOrElse(Seq.empty)
+        .filterNot(_.startsWith("#"))
+      val dropped =
+        if (drops.isEmpty) df
+        else df.filter(!drops.map(d => col("file").startsWith(d + "/"))
+          .reduce(_ || _))
+      if (adds.isEmpty) dropped
+      else dropped.unionByName(toCkptDF(ckptRowsFor(adds, statsEnts)))
+    }
   }
 
   /** STREAMING-SINK IDEMPOTENCY STATE (the Delta `SetTransaction`
@@ -331,31 +482,65 @@ final class GraftTable(spark: SparkSession, val path: String,
     }
   }
 
-  /** Commit `base`+1 as a delta (or a full checkpoint every
+  /** Commit `base`+1 as a delta (or a PARQUET CHECKPOINT every
     * [[GraftTable.CheckpointEvery]] versions): files under `dropDirs`
     * leave the live set, `added` join it. `markers` are `#`-prefixed
     * metadata entries committed WITH this version (deletion-vector /
     * transaction markers — atomic with the manifest, the Delta-action
-    * discipline); full checkpoints additionally carry the latest `#txn:`
-    * marker per app forward so idempotency state survives checkpointing.
+    * discipline). This commit's zone-map/Bloom `statsEntries` land in
+    * the stats log (delta commits) or as checkpoint columns.
+    *
+    * A checkpoint version writes the full live set — with per-file
+    * stats and Bloom words as COLUMNS — as a parquet table under
+    * `_graft_log/ckpt/` (built from the previous snapshot DataFrame, so
+    * the driver never materializes the live list), and its JSON
+    * manifest carries only markers plus `#ckpt:<nonce>`: O(1) driver
+    * JSON at any table size, with the latest `#txn:` marker per app
+    * carried forward so idempotency state survives checkpointing. A
+    * losing OCC writer deletes its checkpoint dir (it is referenced by
+    * no manifest); a crash before the manifest link leaves an orphan
+    * dir that vacuum sweeps.
     */
   private def commitDelta(base: Long, dropDirs: Seq[String],
                           added: Seq[String],
-                          markers: Seq[String] = Nil): Long = {
+                          markers: Seq[String] = Nil,
+                          statsEntries: Seq[String] = Nil): Long = {
     val v = base + 1
     if (v % CheckpointEvery == 0) {
-      val prev = manifestFiles(base)
-      val full = prev.filterNot(f => dropDirs.exists(d => f.startsWith(d + "/"))) ++ added
+      val prev = snapshotDF(base)
+      val dropped =
+        if (dropDirs.isEmpty) prev
+        else prev.filter(!dropDirs.map(d => col("file").startsWith(d + "/"))
+          .reduce(_ || _))
+      val snap =
+        if (added.isEmpty) dropped
+        else dropped.unionByName(toCkptDF(ckptRowsFor(added, statsEntries)))
+      val nonce = java.util.UUID.randomUUID().toString.take(8)
+      java.nio.file.Files.createDirectories(ckptRoot)
+      snap.write.mode(SaveMode.Overwrite)
+        .parquet(ckptDirFor(v, nonce).toString)
       val newTxnApps = markers.collect {
         case e if e.startsWith("#txn:") => e.stripPrefix("#txn:").split(":", 2)(0)
       }.toSet
       val carried = txnState(base).collect {
         case (app, b) if !newTxnApps.contains(app) => s"#txn:$app:$b"
       }.toSeq
-      commitEntries(base, (carried ++ markers).sorted ++ full.sorted)
-    } else
-      commitEntries(base, "#delta" +: (markers.sorted ++
+      try commitEntries(base,
+        (carried ++ markers :+ s"#ckpt:$nonce").sorted)
+      catch {
+        case e: CommitConflictException =>
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+          }
+          rm(ckptDirFor(v, nonce).toFile)
+          throw e
+      }
+    } else {
+      val nv = commitEntries(base, "#delta" +: (markers.sorted ++
         dropDirs.sorted.map("-" + _) ++ added.sorted.map("+" + _)))
+      writeStatsDelta(nv, statsEntries)
+      nv
+    }
   }
 
   // ------------------------------------------- file statistics (zone maps)
@@ -663,27 +848,16 @@ final class GraftTable(spark: SparkSession, val path: String,
     if (entry.startsWith("!")) b64d(entry.split(";", -1)(1))
     else b64d(entry.split(";", -1)(0))
 
-  /** Persist the winner's stats for committed version `v` (atomic move;
-    * a crash before this lands degrades to "commit without stats").
-    * Checkpoint versions consolidate the full live stats set, bounding
-    * [[replayStats]] like the manifest checkpoint bounds [[manifestFiles]].
+  /** Persist a DELTA commit's stats entries for version `v` (atomic
+    * move; a crash before this lands degrades to "commit without
+    * stats"). Checkpoint versions carry their stats as PARQUET COLUMNS
+    * of the checkpoint manifest instead ([[commitDelta]]) — no
+    * driver-side full stats file exists anymore; legacy `#sfull` files
+    * still parse for pre-checkpoint history.
     */
-  private def writeStatsFile(v: Long, newEntries: Seq[String]): Unit = {
-    if (statsCols.isEmpty && bloomCols.isEmpty) return
-    val (kind, entries) =
-      if (v % CheckpointEvery == 0) {
-        val live = manifestFiles(v).toSet
-        val newRel = newEntries.map(relOfStatEntry).toSet
-        def keep(rel: String) = live.contains(rel) && !newRel.contains(rel)
-        val carried = replayStats(v - 1).collect {
-          case (rel, fs) if keep(rel) => encodeStats(rel, fs)
-        }.toSeq ++ replayBlooms(v - 1).collect {
-          case ((rel, c), be) if keep(rel) =>
-            encodeBloom(rel, c, be.k, be.words.toSeq)
-        }.toSeq
-        ("#sfull", carried.sorted ++ newEntries.sorted)
-      } else ("#sdelta", newEntries.sorted)
-    val json = (kind +: entries).map(e => "\"" + e + "\"")
+  private def writeStatsDelta(v: Long, newEntries: Seq[String]): Unit = {
+    if (newEntries.isEmpty) return
+    val json = ("#sdelta" +: newEntries.sorted).map(e => "\"" + e + "\"")
       .mkString(s"""{"version":$v,"files":[""", ",", "]}")
     val tmp = logDir.resolve(
       s".tmp_s${v}_${java.util.UUID.randomUUID().toString.take(8)}")
@@ -746,7 +920,73 @@ final class GraftTable(spark: SparkSession, val path: String,
   def candidateFiles(c: String, lo: Any, hi: Any): Seq[String] =
     candidateFilesAt(c, lo, hi, currentVersion)
 
+  // ---------------------------------- distributed data-skipping (DF path)
+  //
+  // When the version's chain bottoms on a parquet checkpoint, pruning
+  // evaluates as a FILTER over the snapshot DataFrame — the zone-map
+  // intersection test and the Bloom probe run in the cluster, and only
+  // the CANDIDATE file paths are ever collected to the driver. Legacy
+  // all-JSON chains keep the driver-map path below.
+
+  private def dfZoneKeep(c: String, tag: Char, loC: Option[String],
+                         hiC: Option[String]): org.apache.spark.sql.Column = {
+    val st = element_at(col("stats"), c)
+    def typed(x: org.apache.spark.sql.Column) = tag match {
+      case 'd' => x.cast("double")
+      case 's' => x // Spark string compare = unsigned UTF-8 bytes, same as cmpCanon
+      case _ => x.cast("long") // l, b, D, t canonicals are integral strings
+    }
+    def litOfCanon(s: String) = tag match {
+      case 'd' => lit(s.toDouble)
+      case 's' => lit(s)
+      case _ => lit(s.toLong)
+    }
+    val mn = st.getField("mn")
+    val mx = st.getField("mx")
+    val intersects = Seq(
+      hiC.map(h => typed(mn) <= litOfCanon(h)),
+      loC.map(l => typed(mx) >= litOfCanon(l))).flatten
+      .reduceOption(_ && _).getOrElse(lit(true))
+    st.isNull || (mn.isNotNull && mx.isNotNull && intersects)
+  }
+
+  private def dfCandidatesRange(c: String, lo: Option[Any], hi: Option[Any],
+                                v: Long): Seq[String] = {
+    val tag = tagOf(c)
+    snapshotDF(v)
+      .filter(dfZoneKeep(c, tag, lo.map(canonValue(_, tag)),
+        hi.map(canonValue(_, tag))))
+      .select("file").collect().map(_.getString(0)).toSeq.sorted
+  }
+
+  /** Equality pruning on the snapshot frame: zone intersection plus the
+    * per-file Bloom probe with each ENTRY'S OWN geometry (bits =
+    * 64·size(words), probes bounded by the entry's k) — files without a
+    * bloom pass. `shiftleft` must be the SQL form: the Column-API
+    * variant only takes literal shifts.
+    */
+  private def dfCandidatesEquals(c: String, x: Any, v: Long): Seq[String] = {
+    val tag = tagOf(c)
+    val canon = canonValue(x, tag)
+    var df = snapshotDF(v)
+      .filter(dfZoneKeep(c, tag, Some(canon), Some(canon)))
+      .withColumn("__bw", element_at(col("blooms"), c))
+    for (i <- 0 until BloomK)
+      df = df.withColumn(s"__p$i",
+        conv(substring(md5(concat(lit(s"$i:"), lit(canon))), 1, 8), 16, 10)
+          .cast("long") %
+          (size(col("__bw").getField("words")).cast("long") * lit(64L)))
+    val probeOk = (0 until BloomK).map(i =>
+      expr(s"(__bw.k <= $i) OR ((element_at(__bw.words, " +
+        s"CAST(__p$i DIV 64 AS INT) + 1) & " +
+        s"shiftleft(CAST(1 AS BIGINT), CAST(__p$i % 64 AS INT))) != 0)"))
+      .reduce(_ && _)
+    df.filter(col("__bw").isNull || probeOk)
+      .select("file").collect().map(_.getString(0)).toSeq.sorted
+  }
+
   private def candidateFilesAt(c: String, lo: Any, hi: Any, v: Long): Seq[String] = {
+    if (hasCkptBase(v)) return dfCandidatesRange(c, Some(lo), Some(hi), v)
     val files = manifestFiles(v)
     val tag = tagOf(c)
     val (loC, hiC) = (canonValue(lo, tag), canonValue(hi, tag))
@@ -790,6 +1030,7 @@ final class GraftTable(spark: SparkSession, val path: String,
   }
 
   private def candidateFilesEqualsAt(c: String, x: Any, v: Long): Seq[String] = {
+    if (hasCkptBase(v)) return dfCandidatesEquals(c, x, v)
     val tag = tagOf(c)
     val canon = canonValue(x, tag)
     val ranged = candidateFilesAt(c, x, x, v)
@@ -871,9 +1112,11 @@ final class GraftTable(spark: SparkSession, val path: String,
     */
   def candidateFilesRangeAt(c: String, lo: Option[Any], hi: Option[Any],
                             v: Long): Seq[String] = {
+    if (lo.isEmpty && hi.isEmpty) return manifestFiles(v)
+    if (scala.util.Try(tagOf(c)).isFailure) return manifestFiles(v)
+    if (hasCkptBase(v)) return dfCandidatesRange(c, lo, hi, v)
     val files = manifestFiles(v)
-    if (lo.isEmpty && hi.isEmpty) return files
-    val tag = scala.util.Try(tagOf(c)).getOrElse(return files)
+    val tag = tagOf(c)
     val loC = lo.map(canonValue(_, tag))
     val hiC = hi.map(canonValue(_, tag))
     val stats = replayStats(v)
@@ -1100,8 +1343,7 @@ final class GraftTable(spark: SparkSession, val path: String,
     val dropDirs = (manifestFiles(base) ++ target)
       .map(f => f.split('/').dropRight(1).mkString("/")).distinct
     try {
-      val nv = commitDelta(base, dropDirs, keep ++ newFiles)
-      writeStatsFile(nv, statsEntries)
+      commitDelta(base, dropDirs, keep ++ newFiles, statsEntries = statsEntries)
     } catch {
       case e: CommitConflictException =>
         newFiles.foreach { f =>
@@ -1252,16 +1494,31 @@ final class GraftTable(spark: SparkSession, val path: String,
           java.nio.file.Files.move(stage, dvRoot.resolve(f"v$kMin%06d_$nonce"))
           Some(s"#dv:$nonce")
         }
-      if (isDelta(rawEntries(kMin)) || mergedMarker.nonEmpty) {
+      // re-anchor as a PARQUET CHECKPOINT: snapshotDF resolves kMin
+      // THROUGH the soon-dropped chain (stats and blooms included as
+      // columns), so neither dropped manifests nor dropped stats files
+      // are ever needed again. A kMin that is already a checkpoint only
+      // rewrites its JSON when the DV merge changed its markers.
+      val kEntries = rawEntries(kMin)
+      val alreadyCkpt = !isDelta(kEntries) && kEntries.exists(_.startsWith("#ckpt:"))
+      if (!alreadyCkpt || mergedMarker.nonEmpty) {
         // preserve this version's own markers (its old `#dv:` refs are
         // superseded by the merged one) and the accumulated txn state
-        val own = rawEntries(kMin).filter(e => e.startsWith("#") &&
-          e != "#delta" && !e.startsWith("#txn:") && !e.startsWith("#dv:"))
+        val own = kEntries.filter(e => e.startsWith("#") &&
+          e != "#delta" && !e.startsWith("#txn:") && !e.startsWith("#dv:") &&
+          !e.startsWith("#ckpt:"))
         val txns = txnState(kMin).map { case (app, b) => s"#txn:$app:$b" }.toSeq
-        val full = (own ++ txns ++ mergedMarker.toSeq).sorted ++
-          manifestFiles(kMin).sorted
-        def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
-        val json = full.map(f => "\"" + esc(f) + "\"")
+        val ckptMarker =
+          if (alreadyCkpt) kEntries.find(_.startsWith("#ckpt:")).get
+          else {
+            val nonce = java.util.UUID.randomUUID().toString.take(8)
+            java.nio.file.Files.createDirectories(ckptRoot)
+            snapshotDF(kMin).write.mode(SaveMode.Overwrite)
+              .parquet(ckptDirFor(kMin, nonce).toString)
+            s"#ckpt:$nonce"
+          }
+        val full = (own ++ txns ++ mergedMarker.toSeq :+ ckptMarker).sorted
+        val json = full.map(f => "\"" + f + "\"")
           .mkString(s"""{"version":$kMin,"files":[""", ",", "]}")
         val tmp = logDir.resolve(s".tmp_ckpt_v$kMin")
         java.nio.file.Files.writeString(tmp, json)
@@ -1270,26 +1527,6 @@ final class GraftTable(spark: SparkSession, val path: String,
           java.nio.file.StandardCopyOption.ATOMIC_MOVE)
       }
       dvMerge.foreach(p => rmTree(p.toFile))
-      // re-anchor the stats log too: a full stats checkpoint at the
-      // oldest kept version (restricted to files live in ANY kept
-      // version), so replay never needs the soon-dropped stats files
-      if (statsCols.nonEmpty || bloomCols.nonEmpty) {
-        val liveAny = keep.flatMap(manifestFiles).toSet
-        val snap = (replayStats(keep.last).collect {
-          case (rel, fs) if liveAny.contains(rel) => encodeStats(rel, fs)
-        }.toSeq ++ replayBlooms(keep.last).collect {
-          case ((rel, c), be) if liveAny.contains(rel) =>
-            encodeBloom(rel, c, be.k, be.words.toSeq)
-        }.toSeq).sorted
-        val json = ("#sfull" +: snap).map(e => "\"" + e + "\"")
-          .mkString(s"""{"version":$kMin,"files":[""", ",", "]}")
-        val tmp = logDir.resolve(s".tmp_s_ckpt_v$kMin")
-        java.nio.file.Files.writeString(tmp, json)
-        java.nio.file.Files.move(tmp, statsPath(kMin),
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-        ()
-      }
       val liveSet = keep.flatMap(manifestFiles).toSet
       val dead = drop.flatMap(manifestFiles).toSet -- liveSet
       dead.foreach { f =>
@@ -1301,7 +1538,10 @@ final class GraftTable(spark: SparkSession, val path: String,
       }
       drop.foreach { v =>
         java.nio.file.Files.deleteIfExists(manifestPath(v))
-        java.nio.file.Files.deleteIfExists(statsPath(v)); ()
+        java.nio.file.Files.deleteIfExists(statsPath(v))
+        // checkpoint parquets of dropped versions
+        Option(ckptRoot.toFile.listFiles()).getOrElse(Array.empty)
+          .filter(_.getName.startsWith(f"v$v%06d_")).foreach(rmTree)
       }
     }
     // ORPHAN SWEEP — the crash-recovery half of vacuum: a commit that
@@ -1320,6 +1560,21 @@ final class GraftTable(spark: SparkSession, val path: String,
     }
     Option(java.nio.file.Paths.get(path, "_graft_staging").toFile.listFiles())
       .foreach(_.foreach(rmTree))
+    // checkpoint orphan sweep: a ckpt dir whose `#ckpt:` marker never
+    // committed (crashed checkpoint, lost OCC race) or whose version is
+    // gone is referenced by no manifest — reclaim it
+    val curV0 = versions.lastOption.getOrElse(0L)
+    Option(ckptRoot.toFile.listFiles()).getOrElse(Array.empty).foreach { f =>
+      val committed = f.isDirectory && f.getName.startsWith("v") &&
+        (f.getName.drop(1).split("_", 2) match {
+          case Array(ver, nonce) if ver.nonEmpty && ver.forall(_.isDigit) =>
+            val vl = ver.toLong
+            vl <= curV0 && java.nio.file.Files.exists(manifestPath(vl)) &&
+              rawEntries(vl).contains(s"#ckpt:$nonce")
+          case _ => false
+        })
+      if (!committed) rmTree(f)
+    }
     // deletion-vector orphan sweep: a dir whose `#dv:` marker never
     // committed (crashed delete, lost OCC race, merged-away ref) or
     // whose version is gone is invisible to every read — reclaim it
@@ -1418,8 +1673,7 @@ final class GraftTable(spark: SparkSession, val path: String,
     var b = base
     while (true) {
       try {
-        val v = commitDelta(b, dropDirs, added, markers)
-        writeStatsFile(v, statsEntries)
+        commitDelta(b, dropDirs, added, markers, statsEntries)
         return this
       } catch {
         case e: CommitConflictException =>

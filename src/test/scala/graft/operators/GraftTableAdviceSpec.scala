@@ -184,6 +184,44 @@ class GraftTableAdviceSpec extends SparkSpec {
     assert(!feed.exists(f => f._2 == "r2"))
   }
 
+  test("checkpoint manifests are parquet: the JSON carries only markers " +
+    "(O(1) at any table size); replay, stats pruning and time travel " +
+    "work through the checkpoint") {
+    val p = dir()
+    val t = new GraftTable(spark, p, keys = Seq("pk", "rk"),
+      partitionCol = "day", statsCols = Seq("n"))
+    t.createIfNotExists(rows().schema)
+    // 9 commits → versions 2..10 cross the every-8th checkpoint at v8
+    for (i <- 1 to 9)
+      t.upsertReplace(rows((s"d${i % 3}", "p", s"r$i", i)))
+    assert(t.currentVersion == 10L)
+    val ckptJson = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(p, "_graft_log", "v000008.json"))
+    // the checkpoint JSON lists NO data files — only #-markers
+    val entries = ckptJson.substring(ckptJson.indexOf('[') + 1, ckptJson.lastIndexOf(']'))
+      .split("\",\\s*\"").map(_.stripPrefix("\"").stripSuffix("\"")).toSeq
+    assert(entries.forall(_.startsWith("#")),
+      s"checkpoint manifest must carry only markers, got $entries")
+    assert(entries.exists(_.startsWith("#ckpt:")))
+    // live replay through the checkpoint + later deltas
+    val got = t.read.select("rk", "n").as[(String, Int)].collect().toMap
+    assert(got == (1 to 9).map(i => s"r$i" -> i).toMap)
+    // time travel BELOW the checkpoint still works (delta chain down)
+    assert(t.readAt(5).select("rk").as[String].collect().toSet ==
+      (1 to 4).map(i => s"r$i").toSet)
+    // stats ride the checkpoint columns: pruning still prunes
+    val cand = t.candidateFiles("n", 9, 9)
+    assert(cand.size < t.dataFileCount,
+      s"zone pruning through the checkpoint: ${cand.size} of ${t.dataFileCount}")
+    assert(t.readWhereBetween("n", 9, 9).select("rk").as[String]
+      .collect().toSeq == Seq("r9"))
+    // vacuum re-anchors on a checkpoint and sweeps history
+    t.vacuum(keepVersions = 2)
+    assert(t.read.select("rk", "n").as[(String, Int)].collect().toMap == got)
+    assert(t.readWhereBetween("n", 9, 9).select("rk").as[String]
+      .collect().toSeq == Seq("r9"))
+  }
+
   test("merge: null-key source rows are insert candidates, not duplicates") {
     val p = dir()
     val t = new GraftTable(spark, p, keys = Seq("pk", "rk"), partitionCol = "day")
