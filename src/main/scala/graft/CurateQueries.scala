@@ -1088,6 +1088,90 @@ object CurateQueries {
           CAST(SUM(r * (x2 + 4 * y2)) AS BIGINT) AS wsum_r
         FROM pv GROUP BY 1""")),
 
+    // IMAGE PERCEPTUAL NEAR-DUP (dHash) under the oracle — the visual
+    // member of the near-dup family next to MinHash/SimHash/embedding
+    // text dedup: each doc synthesizes an 18×16 grayscale BMP whose
+    // pattern is shared by its GROUP (doc_id % 97) plus a ~3-pixel
+    // per-doc perturbation, the decoder + dHash compress it to a 64-bit
+    // gradient fingerprint (9×8 box means, exact integer
+    // cross-multiplied comparisons), and banded blocking (4×16-bit
+    // bands) generates candidate pairs whose full Hamming distance ≤ 6
+    // marks near-duplicates — same-group variants cluster, different
+    // groups don't (whatever pairs the arithmetic yields, the oracle
+    // replays bit-for-bit from the closed-form generator: box sums,
+    // bits, band packing, banded self-join, xor popcount).
+    QuerySpec("q235_image_dhash_neardup",
+      (s, dir) => {
+        import graft.multimodal.Multimodal
+        val docs = Tables.documents(s, dir).select(col("doc_id"))
+          .withColumn("g", col("doc_id") % 97)
+          .withColumn("w", lit(18).cast("int"))
+          .withColumn("h", lit(16).cast("int"))
+        // grayscale: r = g = b = v (so the oracle's gray is 1000·v);
+        // stored row j = logical row h-1-j (bottom-up), BGR, padded
+        val vExpr = (xE: String, yE: String) =>
+          s"pmod(g * 37 + ($xE) * ($xE) * 7 + ($yE) * 13 + " +
+            s"($xE) * ($yE) * (pmod(g, 5) + 1), 200) + " +
+            s"(CASE WHEN pmod(doc_id * 31 + ($xE) * 17 + ($yE) * 19, 97) = 0 " +
+            "THEN 3 ELSE 0 END)"
+        val chan = s"unhex(lpad(hex(${vExpr("x", "h - 1 - j")}), 2, '0'))"
+        val pixelData = expr(s"""
+          aggregate(
+            transform(sequence(0, h - 1), j ->
+              concat(
+                aggregate(
+                  transform(sequence(0, w - 1), x ->
+                    concat($chan, $chan, $chan)),
+                  X'', (acc, e) -> concat(acc, e)),
+                substring(unhex('00000000'), 1, (4 - (w * 3) % 4) % 4))),
+            X'', (acc, e) -> concat(acc, e))""")
+        val media = Multimodal.asMediaTable(
+          docs.withColumn("payload",
+            Multimodal.synthBmp24(col("w"), col("h"), pixelData)),
+          "doc_id", "payload", "image/bmp")
+        Multimodal.dHashNearDupPairs(Multimodal.bmpDHash(media), maxDist = 6)
+      },
+      Some("""
+        WITH d AS (SELECT doc_id, doc_id % 97 AS g FROM documents),
+        px AS (
+          SELECT doc_id, x, y,
+            (g * 37 + x * x * 7 + y * 13 + x * y * (g % 5 + 1)) % 200
+              + CASE WHEN (doc_id * 31 + x * 17 + y * 19) % 97 = 0
+                     THEN 3 ELSE 0 END AS v
+          FROM d, UNNEST(range(0, 18)) AS tx(x), UNNEST(range(0, 16)) AS ty(y)),
+        box AS (
+          SELECT doc_id, x // 2 AS bx, y // 2 AS by, SUM(1000 * v) AS sm
+          FROM px GROUP BY 1, 2, 3),
+        bits AS (
+          SELECT l.doc_id, l.bx AS gx, l.by AS gy,
+            CASE WHEN l.sm < r.sm THEN 1 ELSE 0 END AS bit
+          FROM box l JOIN box r
+            ON l.doc_id = r.doc_id AND l.by = r.by AND r.bx = l.bx + 1
+          WHERE l.bx < 8),
+        bands AS (
+          SELECT doc_id,
+            CAST(SUM(CASE WHEN gy IN (0, 1) THEN bit << (gx + 8 * (gy % 2)) ELSE 0 END) AS INTEGER) AS b0,
+            CAST(SUM(CASE WHEN gy IN (2, 3) THEN bit << (gx + 8 * (gy % 2)) ELSE 0 END) AS INTEGER) AS b1,
+            CAST(SUM(CASE WHEN gy IN (4, 5) THEN bit << (gx + 8 * (gy % 2)) ELSE 0 END) AS INTEGER) AS b2,
+            CAST(SUM(CASE WHEN gy IN (6, 7) THEN bit << (gx + 8 * (gy % 2)) ELSE 0 END) AS INTEGER) AS b3
+          FROM bits GROUP BY 1),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bands a JOIN bands b ON a.doc_id < b.doc_id AND
+            (a.b0 = b.b0 OR a.b1 = b.b1 OR a.b2 = b.b2 OR a.b3 = b.b3))
+        SELECT c.doc_a, c.doc_b,
+          CAST(bit_count(CAST(xor(a.b0, b.b0) AS BIGINT))
+             + bit_count(CAST(xor(a.b1, b.b1) AS BIGINT))
+             + bit_count(CAST(xor(a.b2, b.b2) AS BIGINT))
+             + bit_count(CAST(xor(a.b3, b.b3) AS BIGINT)) AS INTEGER) AS dist
+        FROM cand c
+        JOIN bands a ON a.doc_id = c.doc_a
+        JOIN bands b ON b.doc_id = c.doc_b
+        WHERE bit_count(CAST(xor(a.b0, b.b0) AS BIGINT))
+            + bit_count(CAST(xor(a.b1, b.b1) AS BIGINT))
+            + bit_count(CAST(xor(a.b2, b.b2) AS BIGINT))
+            + bit_count(CAST(xor(a.b3, b.b3) AS BIGINT)) <= 6""")),
+
     // REAL PNG decode, end-to-end (BMP's compressed counterpart): each
     // doc generates closed-form pixels DECLARATIVELY (so the oracle can
     // replay the generator), the JVM encoder writes a complete valid

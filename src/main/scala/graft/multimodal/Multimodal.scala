@@ -503,4 +503,108 @@ object Multimodal {
       unhex(lit("64617461")), le(dataSize.cast("long"), 4),        // "data" + size
       body)
   }
+
+  /** A 64-bit image DIFFERENCE HASH as four 16-bit bands — the
+    * perceptual fingerprint for visual near-duplicate detection.
+    * Band k covers grid rows 2k and 2k+1 (bit position (gy % 2)·8 + gx)
+    * and doubles as the BLOCKING key: a near-identical image pair
+    * (small Hamming distance) agrees on at least one band by
+    * pigeonhole, exactly the SimHash banded-candidate discipline. Four
+    * ints also keep the encoding overflow-safe cross-engine (a literal
+    * 2⁶³ bit would overflow BIGINT in a SQL replica).
+    */
+  final case class DHash(doc_id: Long, b0: Int, b1: Int, b2: Int, b3: Int)
+
+  /** dHash over the DECODED BMP pixels (aHash/dHash/pHash family;
+    * dHash = Krawetz's difference hash): integer gray
+    * (299·r + 587·g + 114·b) is box-summed onto a 9×8 grid (box (bx,
+    * by) = pixels with ⌊x·9/w⌋ = bx, ⌊y·8/h⌋ = by — exact area
+    * partition for ANY dimensions), and bit (gx, gy) = 1 iff the mean
+    * gray of box (gx, gy) is strictly below its right neighbor,
+    * compared EXACTLY by cross-multiplied sums (sumL·nR < sumR·nL — no
+    * division, no floats, replayable in any engine). Gradient
+    * comparison makes the hash invariant to global brightness shifts —
+    * the property that makes it a perceptual hash rather than a
+    * checksum. Executor-side at the opaque-codec boundary like every
+    * decoder; undecodable payloads and images smaller than the grid
+    * (some box empty) contribute no rows.
+    */
+  def bmpDHash(media: Dataset[MediaRow]): Dataset[DHash] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        BmpCodec.decode(r.payload).flatMap { bmp =>
+          val (gw, gh) = (9, 8)
+          val sums = new Array[Long](gw * gh)
+          val counts = new Array[Long](gw * gh)
+          var y = 0
+          while (y < bmp.height) {
+            val by = y * gh / bmp.height
+            var x = 0
+            while (x < bmp.width) {
+              val bx = x * gw / bmp.width
+              val p = bmp.pixels(y * bmp.width + x)
+              val gray = 299L * ((p >> 16) & 0xff) +
+                587L * ((p >> 8) & 0xff) + 114L * (p & 0xff)
+              sums(by * gw + bx) += gray
+              counts(by * gw + bx) += 1
+              x += 1
+            }
+            y += 1
+          }
+          if (counts.exists(_ == 0L)) None // image smaller than the grid
+          else {
+            val bands = new Array[Int](4)
+            var gy = 0
+            while (gy < gh) {
+              var gx = 0
+              while (gx < gw - 1) {
+                val l = gy * gw + gx
+                val bit = sums(l) * counts(l + 1) < sums(l + 1) * counts(l)
+                if (bit) bands(gy / 2) |= 1 << ((gy % 2) * 8 + gx)
+                gx += 1
+              }
+              gy += 1
+            }
+            Some(DHash(r.doc_id, bands(0), bands(1), bands(2), bands(3)))
+          }
+        }
+      }
+    }
+  }
+
+  /** VISUAL NEAR-DUPLICATE PAIRS over dHash bands — the image member of
+    * the near-dup family (exact / MinHash / SimHash / embedding):
+    * candidates are pairs agreeing on ANY of the four bands (banded
+    * blocking — the self-join runs per (band, signature) bucket, never
+    * all-pairs; Σ bucket² bounds the quadratic exactly like the SimHash
+    * path in [[graft.operators.Dedup]]), survivors have full 64-bit
+    * Hamming distance ≤ `maxDist`. A pair with distance ≤ 15 agrees on
+    * some band by pigeonhole, so blocking loses nothing at any sane
+    * threshold. Returns (doc_a, doc_b, dist) with doc_a < doc_b.
+    */
+  def dHashNearDupPairs(h: Dataset[DHash], maxDist: Int): DataFrame = {
+    require(maxDist >= 0 && maxDist <= 15,
+      s"banded blocking guarantees recall only for maxDist <= 15, got $maxDist")
+    val hd = h.toDF()
+    val bands = hd.select(col("doc_id"),
+      posexplode(array(col("b0"), col("b1"), col("b2"), col("b3")))
+        .as(Seq("band", "sig")))
+    val cand = bands.as("x").join(bands.as("y"),
+      col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val a = hd.select(col("doc_id").as("doc_a"), col("b0").as("a0"),
+      col("b1").as("a1"), col("b2").as("a2"), col("b3").as("a3"))
+    val b = hd.select(col("doc_id").as("doc_b"), col("b0").as("c0"),
+      col("b1").as("c1"), col("b2").as("c2"), col("b3").as("c3"))
+    cand.join(a, Seq("doc_a")).join(b, Seq("doc_b"))
+      .withColumn("dist",
+        expr("CAST(bit_count(a0 ^ c0) + bit_count(a1 ^ c1) + " +
+          "bit_count(a2 ^ c2) + bit_count(a3 ^ c3) AS INT)"))
+      .filter(col("dist") <= maxDist)
+      .select(col("doc_a"), col("doc_b"), col("dist"))
+  }
 }

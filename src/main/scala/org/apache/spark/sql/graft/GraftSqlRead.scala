@@ -157,10 +157,19 @@ final case class GraftOffset(v: Long) extends Offset {
   */
 final class GraftMicroBatchStream(spark: SparkSession, gt: GraftTable,
                                   tableSchema: StructType)
-    extends MicroBatchStream {
+    extends MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
   private val dataSchema = StructType(
     tableSchema.fields.filterNot(_.name == gt.partitionCol))
+
+  /** Trigger.AvailableNow contract: pin "available" at trigger time —
+    * versions committed after this point wait for the next run.
+    */
+  @volatile private var availableNowCap: Option[Long] = None
+  override def prepareForTriggerAvailableNow(): Unit = {
+    availableNowCap = Some(gt.currentVersion)
+  }
 
   private def scanFor(files: Seq[String]): Scan = {
     val fi = new InMemoryFileIndex(spark,
@@ -170,7 +179,16 @@ final class GraftMicroBatchStream(spark: SparkSession, gt: GraftTable,
       GraftSqlRead.emptyOptions).build()
   }
 
-  override def latestOffset(): Offset = GraftOffset(gt.currentVersion)
+  override def latestOffset(): Offset =
+    GraftOffset(availableNowCap.getOrElse(gt.currentVersion))
+
+  /** SupportsAdmissionControl form (required by the AvailableNow
+    * trait): no rate limiting — every committed version up to the cap
+    * is available.
+    */
+  override def latestOffset(start: Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset =
+    latestOffset()
   override def initialOffset(): Offset = GraftOffset(0L)
   override def deserializeOffset(json: String): Offset =
     GraftOffset(json.trim.toLong)
