@@ -1624,6 +1624,56 @@ object IngestQueries {
         FROM a2 WHERE pk IN (2, 3)
         UNION ALL
         SELECT 'diff' AS run, user_id, n_events + 100, sum_cents, pk
-        FROM a2 WHERE pk = 4"""))
+        FROM a2 WHERE pk = 4""")),
+
+    // PURE-SQL WRITE LIFECYCLE under the oracle — every statement is
+    // spark.sql text against the catalog: CREATE TABLE (DDL with keys/
+    // statsCols properties), two INSERT INTO ... SELECT ticks
+    // (event-parity disjoint, so raw-row replay is exact), a DELETE
+    // FROM with a compound predicate (partition rewrite — the table
+    // stays SQL-scannable), and a final banded SELECT whose range
+    // predicate rides the zone-map file pruning. The reference user's
+    // whole loop — create, load, correct, query — without one line of
+    // library code.
+    QuerySpec("q236_sql_write_lifecycle",
+      (s, dir) => {
+        GraftSession.tune(s)
+        val base = java.nio.file.Files.createTempDirectory("graft_q236_").toString
+        Tables.events(s, dir).createOrReplaceTempView("q236_events")
+        val cat = s"gcat_${java.util.UUID.randomUUID().toString.take(8)}"
+          .replace("-", "_")
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.root", base)
+        s.sql(s"""CREATE TABLE $cat.db.ev (
+            event_id BIGINT, user_id BIGINT, cents BIGINT, pk BIGINT)
+          PARTITIONED BY (pk)
+          TBLPROPERTIES ('keys'='event_id', 'statsCols'='cents')""")
+        s.sql(s"""INSERT INTO $cat.db.ev (event_id, user_id, cents, pk)
+          SELECT event_id, user_id, CAST(round(value * 100) AS BIGINT),
+            user_id % 4
+          FROM q236_events WHERE event_id % 2 = 0""")
+        s.sql(s"""INSERT INTO $cat.db.ev (event_id, user_id, cents, pk)
+          SELECT event_id, user_id, CAST(round(value * 100) AS BIGINT),
+            user_id % 4
+          FROM q236_events WHERE event_id % 2 = 1""")
+        s.sql(s"DELETE FROM $cat.db.ev WHERE cents < 1000 AND pk = 2")
+        val out = s.sql(s"""SELECT event_id, user_id, cents, pk
+          FROM $cat.db.ev WHERE cents BETWEEN 0 AND 4999""")
+        val snap = out.localCheckpoint(true)
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+        }
+        rm(new java.io.File(base))
+        snap
+      },
+      Some("""
+        WITH e AS (
+          SELECT event_id, user_id,
+            CAST(round(value * 100) AS BIGINT) AS cents,
+            CAST(user_id % 4 AS BIGINT) AS pk
+          FROM events)
+        SELECT event_id, user_id, cents, pk FROM e
+        WHERE NOT (cents < 1000 AND pk = 2)
+          AND cents BETWEEN 0 AND 4999"""))
   )
 }

@@ -2018,6 +2018,66 @@ final class GraftTable(spark: SparkSession, val path: String,
     true
   }
 
+  /** Plain APPEND — the SQL `INSERT INTO` semantics: rows land as new
+    * files in one atomic commit with NO key matching (duplicate keys
+    * are the caller's concern, as in Delta); schema-evolves/conforms
+    * like every mutation, CHECK constraints enforced. Untouched
+    * partitions never read.
+    */
+  def append(rows: DataFrame): this.type = {
+    val base = ensureBaselineVersion()
+    commitAppend(conform(rows), base)
+  }
+
+  /** Full-table OVERWRITE — the SQL `INSERT OVERWRITE` semantics:
+    * every currently-live partition's files leave the manifest and the
+    * new rows land, in ONE atomic commit; the old state stays
+    * time-travelable. The dropped-partition set comes from the
+    * manifest's directory names (metadata-only — bounded by the
+    * partition count, no data read).
+    */
+  def overwriteAll(rows: DataFrame): this.type = {
+    val base = ensureBaselineVersion()
+    val df = conform(rows)
+    val curVals: Seq[Option[String]] = manifestFiles(base)
+      .map(f => f.split('/').dropRight(1).mkString("/")).distinct
+      .map { dir =>
+        val raw = dir.stripPrefix(s"$partitionCol=")
+        if (raw == "__HIVE_DEFAULT_PARTITION__") None
+        else Some(org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+          .unescapePathName(raw))
+      }
+    val newVals = partitionValsOf(df)
+    commitRewrite(df, (curVals ++ newVals).distinct, base)
+  }
+
+  /** Predicate DELETE by PARTITION REWRITE — the SQL `DELETE FROM`
+    * semantics without deletion vectors: rows where `cond` is TRUE are
+    * removed (null/unknown keeps, ANSI), only partitions holding a
+    * matching row rewrite. Chosen for the SQL path because a DV commit
+    * would make the table refuse subsequent SQL SCANS until compaction;
+    * the Scala API keeps [[deleteWhere]] (O(matched) DV commits) for
+    * callers who own their read path.
+    */
+  def deleteWhereRewrite(cond: org.apache.spark.sql.Column): this.type = {
+    val base = ensureBaselineVersion()
+    val matched = coalesce(cond, lit(false))
+    val touchedVals = partitionValsOf(readAt(base).filter(matched))
+    if (touchedVals.isEmpty) return this // no match — no commit
+    val touched = spark.createDataset(touchedVals.map(_.orNull))(
+      org.apache.spark.sql.Encoders.STRING).toDF("__tp")
+    val current = readAt(base)
+      .join(touched, col(partitionCol).cast("string") <=> col("__tp"), "left_semi")
+    val remaining = current.filter(!matched)
+    // touchedVals drives the manifest drop (a fully-deleted partition
+    // contributes no surviving rows, so it must NOT come from the
+    // remaining frame), the staged remaining rows drive the write
+    val staged = Staging.stage(remaining, "delete_where_barrier")
+    commitRewrite(staged.df, touchedVals, base)
+    staged.delete()
+    this
+  }
+
   /** Insert-if-absent (K8): append only rows whose key is not yet
     * present — never reads back or rewrites existing files, so it is
     * cheap and idempotent at any scale (reference `server/etl.py:148-149`).

@@ -68,25 +68,162 @@ object GraftSqlRead {
     case u: UTF8String => Some(u.toString)
     case other => Some(other)
   }
+
+  /** V2 `Predicate` → a [[org.apache.spark.sql.Column]] over the
+    * table's bare column names — the DELETE FROM translation. None for
+    * anything outside the supported subset (comparisons, null tests,
+    * IN, AND/OR/NOT, ALWAYS_TRUE/FALSE); the caller then rejects the
+    * whole statement rather than half-applying it.
+    */
+  def predicateColumn(
+      p: org.apache.spark.sql.connector.expressions.filter.Predicate)
+      : Option[org.apache.spark.sql.Column] = {
+    import org.apache.spark.sql.connector.expressions.filter.{And => VAnd, Not => VNot, Or => VOr}
+    import org.apache.spark.sql.connector.expressions.{Expression => VExpr, NamedReference}
+    import org.apache.spark.sql.functions.{col => fcol, lit => flit}
+    def operand(e: VExpr): Option[org.apache.spark.sql.Column] = e match {
+      case n: NamedReference => Some(fcol(n.fieldNames.mkString(".")))
+      case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
+        Some(flit(org.apache.spark.sql.catalyst.CatalystTypeConverters
+          .convertToScala(l.value, l.dataType)))
+      case _ => None
+    }
+    def bin(f: (org.apache.spark.sql.Column, org.apache.spark.sql.Column) =>
+        org.apache.spark.sql.Column): Option[org.apache.spark.sql.Column] =
+      p.children().toSeq match {
+        case Seq(a, b) =>
+          for (ca <- operand(a); cb <- operand(b)) yield f(ca, cb)
+        case _ => None
+      }
+    p match {
+      case a: VAnd =>
+        for (l <- predicateColumn(a.left()); r <- predicateColumn(a.right()))
+          yield l && r
+      case o: VOr =>
+        for (l <- predicateColumn(o.left()); r <- predicateColumn(o.right()))
+          yield l || r
+      case n: VNot => predicateColumn(n.child()).map(!_)
+      case _ => p.name() match {
+        case "ALWAYS_TRUE" => Some(flit(true))
+        case "ALWAYS_FALSE" => Some(flit(false))
+        case "=" => bin(_ === _)
+        case "<=>" => bin(_ <=> _)
+        case "<>" => bin(_ =!= _)
+        case "<" => bin(_ < _)
+        case "<=" => bin(_ <= _)
+        case ">" => bin(_ > _)
+        case ">=" => bin(_ >= _)
+        case "IS_NULL" =>
+          p.children().toSeq match {
+            case Seq(a) => operand(a).map(_.isNull)
+            case _ => None
+          }
+        case "IS_NOT_NULL" =>
+          p.children().toSeq match {
+            case Seq(a) => operand(a).map(_.isNotNull)
+            case _ => None
+          }
+        case "IN" =>
+          p.children().toSeq match {
+            case head +: rest if rest.nonEmpty =>
+              val vals = rest.map(operand)
+              if (vals.exists(_.isEmpty)) None
+              else operand(head).map(_.isin(vals.flatten.map(c => c): _*))
+            case _ => None
+          }
+        case _ => None
+      }
+    }
+  }
 }
 
-/** A [[graft.operators.GraftTable]] version exposed as a DSv2 table. */
+/** A [[graft.operators.GraftTable]] version exposed as a DSv2 table:
+  * batch + streaming reads, `INSERT INTO` (append), `INSERT OVERWRITE`
+  * (full replace — one atomic commit, history stays time-travelable)
+  * and `DELETE FROM` (partition rewrite of matched partitions — NOT a
+  * deletion-vector commit, so the table stays SQL-scannable right
+  * after). Keyed mutations (upsert/MERGE) stay on the Scala API —
+  * they are statement-shaped, not INSERT-shaped.
+  */
 final class GraftSqlTable(spark: SparkSession, val gt: GraftTable,
                           val pinnedVersion: Long)
-    extends Table with SupportsRead {
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDeleteV2 {
 
   /** Sidecar schema (metadata only — building the empty frame plans no
     * job).
     */
   val tableSchema: StructType = gt.read.schema
 
-  override def name: String = s"graft.`${gt.path}`@v$pinnedVersion"
+  // no dots/backticks: some engine paths parse the name as an attribute
+  override def name: String =
+    s"graft:${gt.path.replace('.', '_')}@v$pinnedVersion"
   override def schema: StructType = tableSchema
   override def partitioning: Array[Transform] =
     Array(Expressions.identity(gt.partitionCol))
   override def capabilities: java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
-      TableCapability.MICRO_BATCH_READ)
+      TableCapability.MICRO_BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE,
+      TableCapability.TRUNCATE)
+
+  private def requireHead(op: String): Unit =
+    require(pinnedVersion == gt.currentVersion,
+      s"$op targets a time-travel snapshot (v$pinnedVersion, head is " +
+        s"v${gt.currentVersion}) — writes go to the live table only")
+
+  /** INSERT INTO appends; INSERT OVERWRITE (which requires
+    * `spark.sql.sources.partitionOverwriteMode=static` for the
+    * statement — the dynamic mode plans a v2 dynamic-partition write
+    * this V1-backed table rejects with the engine's clear capability
+    * error) replaces the whole table in one commit.
+    */
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder = {
+    requireHead("INSERT")
+    new org.apache.spark.sql.connector.write.WriteBuilder
+      with org.apache.spark.sql.connector.write.SupportsTruncate {
+      private var overwrite = false
+      override def truncate(): org.apache.spark.sql.connector.write.WriteBuilder = {
+        overwrite = true; this
+      }
+      override def build(): org.apache.spark.sql.connector.write.Write =
+        new org.apache.spark.sql.connector.write.V1Write {
+          override def toInsertableRelation: org.apache.spark.sql.sources.InsertableRelation =
+            new org.apache.spark.sql.sources.InsertableRelation {
+              override def insert(data: org.apache.spark.sql.DataFrame,
+                                  ov: Boolean): Unit = {
+                if (overwrite || ov) gt.overwriteAll(data)
+                else gt.append(data)
+                ()
+              }
+            }
+        }
+    }
+  }
+
+  /** DELETE FROM support: only predicates fully translatable to table
+    * columns are accepted (the analyzer errors otherwise — never a
+    * silent partial delete).
+    */
+  override def canDeleteWhere(
+      predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate])
+      : Boolean = predicates.forall(p => GraftSqlRead.predicateColumn(p).isDefined)
+
+  override def deleteWhere(
+      predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate])
+      : Unit = {
+    requireHead("DELETE")
+    val cond = predicates.toSeq.map(p => GraftSqlRead.predicateColumn(p).getOrElse(
+      throw new UnsupportedOperationException(
+        s"unsupported DELETE predicate: ${p.describe()}")))
+      .reduceOption(_ && _)
+      .getOrElse(org.apache.spark.sql.functions.lit(true))
+    gt.deleteWhereRewrite(cond)
+    ()
+  }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     require(!gt.hasDeletionVectorsAt(pinnedVersion),

@@ -116,6 +116,47 @@ class GraftCatalogSpec extends SparkSpec {
       == Seq("r2"))
   }
 
+  test("SQL writes: INSERT INTO appends, INSERT OVERWRITE replaces " +
+    "atomically, DELETE FROM rewrites matched partitions and the table " +
+    "stays SQL-scannable; time-travel snapshots reject writes") {
+    val (cat, root) = freshCatalog()
+    val t = seed(root)
+    // schema order is (data cols..., partition col) — write by NAME
+    spark.sql(s"INSERT INTO $cat.db.t (day, pk, rk, n) VALUES " +
+      "('d1', 'p', 'r1', 1), ('d2', 'p', 'r2', 2)")
+    assert(spark.sql(s"SELECT rk, n FROM $cat.db.t").as[(String, Long)]
+      .collect().toSet == Set("r1" -> 1L, "r2" -> 2L))
+    spark.sql(s"INSERT INTO $cat.db.t (day, pk, rk, n) VALUES ('d1', 'p', 'r3', 3)")
+    val v2 = t.currentVersion
+    assert(spark.sql(s"SELECT count(*) FROM $cat.db.t").as[Long].head() == 3L)
+
+    // DELETE FROM: matched rows go, others stay; table still scans
+    spark.sql(s"DELETE FROM $cat.db.t WHERE n >= 2 AND day = 'd1'")
+    assert(spark.sql(s"SELECT rk FROM $cat.db.t").as[String].collect().toSet
+      == Set("r1", "r2"))
+    // history intact: pre-delete state travels
+    assert(spark.sql(s"SELECT count(*) FROM $cat.db.t VERSION AS OF $v2")
+      .as[Long].head() == 3L)
+
+    // INSERT OVERWRITE replaces the whole table in one commit (static
+    // overwrite mode — the dynamic default plans a v2 dynamic write
+    // this V1-backed table rejects)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+    try
+      spark.sql(s"INSERT OVERWRITE $cat.db.t (day, pk, rk, n) VALUES ('d9', 'p', 'r9', 9)")
+    finally
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    assert(spark.sql(s"SELECT rk, n FROM $cat.db.t").as[(String, Long)]
+      .collect().toSet == Set("r9" -> 9L))
+    assert(spark.sql(s"SELECT count(*) FROM $cat.db.t VERSION AS OF $v2")
+      .as[Long].head() == 3L, "overwrite must not destroy history")
+
+    // a DELETE whose predicate matches nothing commits nothing
+    val vBefore = t.currentVersion
+    spark.sql(s"DELETE FROM $cat.db.t WHERE n = 12345")
+    assert(t.currentVersion == vBefore)
+  }
+
   test("streaming source tails the commit log: snapshot first, then only " +
     "the manifest diff after a restart") {
     val (cat, root) = freshCatalog()
