@@ -654,8 +654,11 @@ final class GraftTable(spark: SparkSession, val path: String,
   private def footerStatsEntries(added: Seq[String],
                                  tagged: Seq[(String, Char)]): Seq[String] = {
     import scala.jdk.CollectionConverters._
+    import scala.collection.parallel.CollectionConverters._
     val conf = spark.sessionState.newHadoopConf()
-    added.flatMap { f =>
+    // footer opens are independent ~KB metadata reads; a commit's file
+    // list is small but each local open costs ~10-30 ms — overlap them
+    added.par.flatMap { f =>
       val rel = f.split('/').takeRight(2).mkString("/")
       scala.util.Try {
         val in = org.apache.parquet.hadoop.util.HadoopInputFile
@@ -670,7 +673,7 @@ final class GraftTable(spark: SparkSession, val path: String,
           if (cols.isEmpty) None else Some(encodeStats(rel, FileStats(rows, cols)))
         } finally rdr.close()
       }.toOption.flatten
-    }
+    }.seq.toSeq
   }
 
   /** One column's ColStats from a file's row-group footers, or None if

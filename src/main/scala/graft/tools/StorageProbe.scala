@@ -89,6 +89,46 @@ object StorageProbe {
       f"readWithDv=$tReadDv%.3f s   readPlain=$tReadPlain%.3f s")
     println(s"counts: dvTable=${t2.read.count()} keyedTable=${t3.read.count()}")
 
+    // 3. CHECKPOINT PATH (round 8): the skip table above crossed the
+    // every-8th parquet checkpoint (9 commits). Measure what the r7
+    // verdict's driver-cliff findings asked for:
+    //   - table-open cost on a FRESH instance (manifest resolution =
+    //     ckpt parquet collect + deltas, cached thereafter),
+    //   - the distributed candidate pruning on the checkpoint frame,
+    //   - delta-commit vs checkpoint-commit wall (the parquet
+    //     checkpoint's construction cost),
+    //   - commit wall with footer-harvested stats vs a stats-free
+    //     commit (the removed read amplification's residual).
+    val freshOpen = minOf2 {
+      new GraftTable(spark, s"$base/skip", Seq("event_id"), "pk",
+        Seq("cents")).read.count(); ()
+    }
+    val prunedDfWall = minOf2 {
+      t1.candidateFiles("cents", 2000, 2999); ()
+    }
+    println(f"CKPT   freshOpen=$freshOpen%.3f s   dfPrune=$prunedDfWall%.3f s" +
+      f"   (files $cand%d/$live%d)")
+    def commitWall(name: String, stats: Seq[String], ticks: Int): Seq[Double] = {
+      val t = new GraftTable(spark, s"$base/$name", Seq("event_id"), "pk", stats)
+      t.createIfNotExists(org.apache.spark.sql.types.StructType.fromDDL(
+        "event_id BIGINT, user_id BIGINT, cents BIGINT, pk BIGINT"))
+      (0 until ticks).map { i =>
+        val batch = rows.filter(col("event_id") % ticks === i)
+        val t0 = System.nanoTime()
+        t.insertIfAbsent(batch)
+        (System.nanoTime() - t0) / 1e9
+      }
+    }
+    val withStats = commitWall("cstats", Seq("cents"), 10)
+    val noStats = commitWall("cplain", Nil, 10)
+    def fmt(xs: Seq[Double]) = xs.map(x => f"$x%.2f").mkString(" ")
+    println(s"COMMIT ticks with footer stats: ${fmt(withStats)}")
+    println(s"COMMIT ticks without stats:     ${fmt(noStats)}")
+    // create = v1, ticks commit v2..v11 → the parquet checkpoint lands
+    // on tick index 6 (version 8)
+    println(f"COMMIT ckpt-tick (v8, with stats) = ${withStats(6)}%.2f s vs " +
+      f"median delta-tick = ${withStats.sorted.apply(5)}%.2f s")
+
     def rm(f: java.io.File): Unit = {
       Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
     }

@@ -266,12 +266,28 @@ final class GraftScanBuilder(spark: SparkSession, gt: GraftTable,
   */
 final class GraftScan(spark: SparkSession, gt: GraftTable,
                       tableSchema: StructType, inner: Scan)
-    extends Scan {
+    extends Scan
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
   override def readSchema(): StructType = inner.readSchema()
   override def toBatch: Batch = inner.toBatch
   override def description(): String = s"GraftScan(${gt.path}) -> ${inner.description()}"
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new GraftMicroBatchStream(spark, gt, tableSchema)
+
+  /** Size/row statistics forwarded from the parquet scan (post-pruning
+    * file sizes) — without this, the wrapper would hide the estimate
+    * and broadcast-join planning on catalog tables would fall back to
+    * defaults.
+    */
+  override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics =
+    inner match {
+      case s: org.apache.spark.sql.connector.read.SupportsReportStatistics =>
+        s.estimateStatistics()
+      case _ => new org.apache.spark.sql.connector.read.Statistics {
+        override def sizeInBytes(): java.util.OptionalLong = java.util.OptionalLong.empty()
+        override def numRows(): java.util.OptionalLong = java.util.OptionalLong.empty()
+      }
+    }
 }
 
 /** Offsets are commit versions; `v` means "everything live at version v
