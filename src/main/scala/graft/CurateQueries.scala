@@ -1091,7 +1091,9 @@ object CurateQueries {
     // IMAGE PERCEPTUAL NEAR-DUP (dHash) under the oracle — the visual
     // member of the near-dup family next to MinHash/SimHash/embedding
     // text dedup: each doc synthesizes an 18×16 grayscale BMP whose
-    // pattern is shared by its GROUP (doc_id % 97) plus a ~3-pixel
+    // pattern is shared by its GROUP (doc_id div 5 — constant group
+    // size, so the near-dup pair count scales LINEARLY with the
+    // corpus, the shape a real curation run has) plus a ~3-pixel
     // per-doc perturbation, the decoder + dHash compress it to a 64-bit
     // gradient fingerprint (9×8 box means, exact integer
     // cross-multiplied comparisons), and banded blocking (4×16-bit
@@ -1104,27 +1106,34 @@ object CurateQueries {
       (s, dir) => {
         import graft.multimodal.Multimodal
         val docs = Tables.documents(s, dir).select(col("doc_id"))
-          .withColumn("g", col("doc_id") % 97)
+          .withColumn("g", expr("doc_id DIV 5"))
           .withColumn("w", lit(18).cast("int"))
           .withColumn("h", lit(16).cast("int"))
         // grayscale: r = g = b = v (so the oracle's gray is 1000·v);
         // stored row j = logical row h-1-j (bottom-up), BGR, padded
+        // group-dependent GRADIENT STRUCTURE (coefficients, not just an
+        // offset): distinct groups must differ in >6 of the 64 gradient
+        // signs or everything cross-pairs
         val vExpr = (xE: String, yE: String) =>
-          s"pmod(g * 37 + ($xE) * ($xE) * 7 + ($yE) * 13 + " +
+          s"pmod(g * 37 + ($xE) * ($xE) * (pmod(g, 7) + 3) + " +
+            s"($yE) * (pmod(g, 11) + 5) + " +
             s"($xE) * ($yE) * (pmod(g, 5) + 1), 200) + " +
             s"(CASE WHEN pmod(doc_id * 31 + ($xE) * 17 + ($yE) * 19, 97) = 0 " +
             "THEN 3 ELSE 0 END)"
-        val chan = s"unhex(lpad(hex(${vExpr("x", "h - 1 - j")}), 2, '0'))"
+        // grayscale ⇒ one v per pixel, REPEATED as the 3 equal BGR hex
+        // bytes; rows join as hex strings and decode with ONE unhex —
+        // ~6× fewer interpreted-HOF evaluations than per-channel
+        // concat chains (the q146 lesson)
         val pixelData = expr(s"""
-          aggregate(
+          unhex(array_join(
             transform(sequence(0, h - 1), j ->
               concat(
-                aggregate(
+                array_join(
                   transform(sequence(0, w - 1), x ->
-                    concat($chan, $chan, $chan)),
-                  X'', (acc, e) -> concat(acc, e)),
-                substring(unhex('00000000'), 1, (4 - (w * 3) % 4) % 4))),
-            X'', (acc, e) -> concat(acc, e))""")
+                    repeat(lpad(hex(${vExpr("x", "h - 1 - j")}), 2, '0'), 3)),
+                  ''),
+                repeat('00', (4 - (w * 3) % 4) % 4))),
+            ''))""")
         val media = Multimodal.asMediaTable(
           docs.withColumn("payload",
             Multimodal.synthBmp24(col("w"), col("h"), pixelData)),
@@ -1132,10 +1141,11 @@ object CurateQueries {
         Multimodal.dHashNearDupPairs(Multimodal.bmpDHash(media), maxDist = 6)
       },
       Some("""
-        WITH d AS (SELECT doc_id, doc_id % 97 AS g FROM documents),
+        WITH d AS (SELECT doc_id, doc_id // 5 AS g FROM documents),
         px AS (
           SELECT doc_id, x, y,
-            (g * 37 + x * x * 7 + y * 13 + x * y * (g % 5 + 1)) % 200
+            (g * 37 + x * x * (g % 7 + 3) + y * (g % 11 + 5)
+              + x * y * (g % 5 + 1)) % 200
               + CASE WHEN (doc_id * 31 + x * 17 + y * 19) % 97 = 0
                      THEN 3 ELSE 0 END AS v
           FROM d, UNNEST(range(0, 18)) AS tx(x), UNNEST(range(0, 16)) AS ty(y)),

@@ -587,7 +587,10 @@ object Multimodal {
   def dHashNearDupPairs(h: Dataset[DHash], maxDist: Int): DataFrame = {
     require(maxDist >= 0 && maxDist <= 15,
       s"banded blocking guarantees recall only for maxDist <= 15, got $maxDist")
-    val hd = h.toDF()
+    // the hash frame feeds THREE consumers (band explode + both sides
+    // of the distance join) — stage it once or the decode+hash chain
+    // upstream recomputes per consumer (the q188 lesson)
+    val hd = graft.operators.Staging.stage(h.toDF(), "dhash").df
     val bands = hd.select(col("doc_id"),
       posexplode(array(col("b0"), col("b1"), col("b2"), col("b3")))
         .as(Seq("band", "sig")))

@@ -150,6 +150,27 @@ class GraftTableAdviceSpec extends SparkSpec {
           partitionScoped = true))
   }
 
+  test("OCC logical retry stays conservative across an interleaved " +
+    "CHECKPOINT manifest (its touched set is unrecorded)") {
+    val p = dir()
+    val t = new GraftTable(spark, p, keys = Seq("pk", "rk"), partitionCol = "day")
+    t.createIfNotExists(rows().schema)
+    // drive the version counter to 7 so the interleaved winner commits
+    // the every-8th parquet checkpoint
+    for (i <- 1 to 6) t.upsertReplace(rows((s"d$i", "p", "r1", i)))
+    assert(t.currentVersion == 7L)
+    val base = t.currentVersion
+    t.upsertReplace(rows(("d1", "p", "r1", 100))) // v8 = checkpoint
+    assert(t.currentVersion == 8L)
+    // disjoint-partition loser: the interleaved manifest is a
+    // checkpoint → no touched set to validate against → hard conflict
+    intercept[CommitConflictException](
+      new GraftTable(spark, p, t.keys, t.partitionCol)
+        .commitRewriteAt(rows(("d2", "p", "r1", 200)), Seq(Some("d2")), base,
+          partitionScoped = true))
+    assert(t.currentVersion == 8L)
+  }
+
   test("readChangesRowsSince: classifies insert/update/delete; identical " +
     "rewrites (compaction) emit nothing; DV deletes surface") {
     val p = dir()
