@@ -1182,6 +1182,70 @@ object CurateQueries {
             + bit_count(CAST(xor(a.b2, b.b2) AS BIGINT))
             + bit_count(CAST(xor(a.b3, b.b3) AS BIGINT)) <= 6""")),
 
+    // AUDIO PERCEPTUAL NEAR-DUP (envelope dHash) — the audio member of
+    // the near-dup family, completing text/image/audio: each doc
+    // synthesizes a 1040-sample PCM16 WAV (group-shared wrapped
+    // quadratic envelope + sparse per-doc amplitude pokes), the REAL
+    // RIFF codec decodes it, the 65-frame amplitude envelope compresses
+    // to 64 gradient-sign bits (gain-invariant, integer
+    // cross-multiplied), and the SAME banded pairing as the image path
+    // (the DHash band encoding is modality-agnostic) yields near-dup
+    // pairs the oracle replays end to end: frame sums → bits → bands →
+    // banded join → xor popcount.
+    QuerySpec("q238_audio_envelope_neardup",
+      (s, dir) => {
+        import graft.multimodal.Multimodal
+        val docs = Tables.documents(s, dir).select(col("doc_id"))
+          .withColumn("g", expr("doc_id DIV 5"))
+          .withColumn("samples", expr("""
+            transform(sequence(0, 1039), i -> CAST(
+              pmod(g * 31 + i * i * (pmod(g, 5) + 1) + i * (pmod(g, 9) + 2), 20000)
+              + (CASE WHEN pmod(doc_id * 37 + i * 13, 257) = 0
+                      THEN 500 ELSE 0 END) AS INT))"""))
+        val media = Multimodal.asMediaTable(
+          docs.withColumn("payload",
+            Multimodal.synthWavPcm16(lit(16000), col("samples"))),
+          "doc_id", "payload", "audio/wav")
+        Multimodal.dHashNearDupPairs(
+          Multimodal.wavEnvelopeDHash(media), maxDist = 6)
+      },
+      Some("""
+        WITH d AS (SELECT doc_id, doc_id // 5 AS g FROM documents),
+        sm AS (
+          SELECT doc_id, i // 16 AS f,
+            SUM((g * 31 + i * i * (g % 5 + 1) + i * (g % 9 + 2)) % 20000
+              + CASE WHEN (doc_id * 37 + i * 13) % 257 = 0
+                     THEN 500 ELSE 0 END) AS sm
+          FROM d, UNNEST(range(0, 1040)) AS t(i) GROUP BY 1, 2),
+        bits AS (
+          SELECT l.doc_id, l.f AS b,
+            CASE WHEN l.sm < r.sm THEN 1 ELSE 0 END AS bit
+          FROM sm l JOIN sm r ON l.doc_id = r.doc_id AND r.f = l.f + 1
+          WHERE l.f < 64),
+        bands AS (
+          SELECT doc_id,
+            CAST(SUM(CASE WHEN b < 16 THEN bit << (b % 16) ELSE 0 END) AS INTEGER) AS b0,
+            CAST(SUM(CASE WHEN b >= 16 AND b < 32 THEN bit << (b % 16) ELSE 0 END) AS INTEGER) AS b1,
+            CAST(SUM(CASE WHEN b >= 32 AND b < 48 THEN bit << (b % 16) ELSE 0 END) AS INTEGER) AS b2,
+            CAST(SUM(CASE WHEN b >= 48 THEN bit << (b % 16) ELSE 0 END) AS INTEGER) AS b3
+          FROM bits GROUP BY 1),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bands a JOIN bands b ON a.doc_id < b.doc_id AND
+            (a.b0 = b.b0 OR a.b1 = b.b1 OR a.b2 = b.b2 OR a.b3 = b.b3))
+        SELECT c.doc_a, c.doc_b,
+          CAST(bit_count(CAST(xor(a.b0, b.b0) AS BIGINT))
+             + bit_count(CAST(xor(a.b1, b.b1) AS BIGINT))
+             + bit_count(CAST(xor(a.b2, b.b2) AS BIGINT))
+             + bit_count(CAST(xor(a.b3, b.b3) AS BIGINT)) AS INTEGER) AS dist
+        FROM cand c
+        JOIN bands a ON a.doc_id = c.doc_a
+        JOIN bands b ON b.doc_id = c.doc_b
+        WHERE bit_count(CAST(xor(a.b0, b.b0) AS BIGINT))
+            + bit_count(CAST(xor(a.b1, b.b1) AS BIGINT))
+            + bit_count(CAST(xor(a.b2, b.b2) AS BIGINT))
+            + bit_count(CAST(xor(a.b3, b.b3) AS BIGINT)) <= 6""")),
+
     // REAL PNG decode, end-to-end (BMP's compressed counterpart): each
     // doc generates closed-form pixels DECLARATIVELY (so the oracle can
     // replay the generator), the JVM encoder writes a complete valid

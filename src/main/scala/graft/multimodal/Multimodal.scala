@@ -489,9 +489,14 @@ object Multimodal {
   def synthWavPcm16(sampleRate: Column, samples: Column): Column = {
     val n = size(samples)
     val dataSize = n * 2
-    val body = aggregate(
-      transform(samples, s => le(pmod(s.cast("long"), lit(65536L)), 2)),
-      lit(Array.emptyByteArray), (acc, x) => concat(acc, x))
+    // PCM body as ONE hex string per row + a single unhex — a per-sample
+    // binary fold costs thousands of interpreted concats per clip (the
+    // q146/q235 lesson); little-endian int16 = hex byte pair swapped
+    val body = unhex(array_join(
+      transform(samples, s => {
+        val h = lpad(hex(pmod(s.cast("long"), lit(65536L))), 4, "0")
+        concat(substring(h, 3, 2), substring(h, 1, 2))
+      }), ""))
     concat(
       unhex(lit("52494646")), le((dataSize + 36).cast("long"), 4), // "RIFF" + file size
       unhex(lit("57415645")),                                      // "WAVE"
@@ -566,6 +571,51 @@ object Multimodal {
                 gx += 1
               }
               gy += 1
+            }
+            Some(DHash(r.doc_id, bands(0), bands(1), bands(2), bands(3)))
+          }
+        }
+      }
+    }
+  }
+
+  /** AUDIO ENVELOPE dHash — the audio member of the near-dup family
+    * (the [[bmpDHash]] discipline applied to decoded PCM): the clip's
+    * amplitude envelope is box-summed onto 65 frames (frame f = samples
+    * with ⌊i·65/n⌋ = f — exact partition for any length), and bit f =
+    * 1 iff frame f's mean |amplitude| is strictly below frame f+1's,
+    * compared exactly by cross-multiplied sums. Gradient comparison
+    * makes the hash invariant to uniform gain, the audio analogue of
+    * dHash's brightness invariance. 64 bits as four 16-bit bands
+    * ([[DHash]]), so [[dHashNearDupPairs]] serves audio unchanged.
+    * Undecodable payloads and clips shorter than 65 samples contribute
+    * no rows.
+    */
+  def wavEnvelopeDHash(media: Dataset[MediaRow]): Dataset[DHash] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val frames = 65
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        WavCodec.decode(r.payload).flatMap { pcm =>
+          val n = pcm.samples.length
+          if (n < frames) None
+          else {
+            val sums = new Array[Long](frames)
+            val counts = new Array[Long](frames)
+            var i = 0
+            while (i < n) {
+              val f = (i.toLong * frames / n).toInt
+              sums(f) += math.abs(pcm.samples(i).toLong)
+              counts(f) += 1
+              i += 1
+            }
+            val bands = new Array[Int](4)
+            var b = 0
+            while (b < frames - 1) {
+              if (sums(b) * counts(b + 1) < sums(b + 1) * counts(b))
+                bands(b / 16) |= 1 << (b % 16)
+              b += 1
             }
             Some(DHash(r.doc_id, bands(0), bands(1), bands(2), bands(3)))
           }

@@ -77,6 +77,28 @@ class DHashSpec extends SparkSpec {
       (bands(0), bands(1), bands(2), bands(3)))
   }
 
+  test("wavEnvelopeDHash: identical clips hash equal; uniform gain is " +
+    "invariant; a different envelope differs; short clips drop") {
+    def clip(id: Long, f: Int => Int) = (id, (0 until 1040).map(f))
+    val clips = Seq(
+      clip(1L, i => (i * i * 3 + i * 7) % 12000),
+      clip(2L, i => (i * i * 3 + i * 7) % 12000),          // identical
+      clip(3L, i => ((i * i * 3 + i * 7) % 12000) * 2),     // gain ×2, < 32768
+      clip(4L, i => (11999 - (i * i * 3 + i * 7) % 12000)), // inverted envelope
+      (5L, (0 until 32).map(_ * 100)))                      // shorter than 65 frames
+    val df = clips.toDF("doc_id", "samples")
+      .withColumn("payload", Multimodal.synthWavPcm16(lit(8000),
+        expr("transform(samples, s -> CAST(s AS INT))")))
+    val media = Multimodal.asMediaTable(df, "doc_id", "payload", "audio/wav")
+    val h = Multimodal.wavEnvelopeDHash(media).collect()
+      .map(d => d.doc_id -> d).toMap
+    assert(h.keySet == Set(1L, 2L, 3L, 4L), "short clip must drop")
+    assert(h(1L).copy(doc_id = 0) == h(2L).copy(doc_id = 0))
+    assert(h(1L).copy(doc_id = 0) == h(3L).copy(doc_id = 0),
+      "uniform gain must not change envelope gradient signs")
+    assert(h(1L).copy(doc_id = 0) != h(4L).copy(doc_id = 0))
+  }
+
   test("dHashNearDupPairs: perturbed variant pairs with its original; " +
     "unrelated image does not; images below grid size drop") {
     def pattern(x: Int, y: Int) = gray((x * x * 5 + y * 9 + 3 * x * y) % 190)
