@@ -3,9 +3,13 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
-  * The queries/oracle registry lives in [[Queries]] (core relational),
-  * [[EventQueries]] (JSON + event-time windows/streaming) and
-  * [[ExtQueries]] (dedup / similarity / text analysis / multimodal).
+  * The queries/oracle registry (236 entries) lives in [[Queries]] (core
+  * relational), [[EventQueries]] (JSON + event-time windows/streaming),
+  * [[ExtQueries]] (dedup / similarity / text analysis), [[RelQueries]],
+  * [[AnalyticsQueries]], [[TokenQueries]], [[FilterQueries]],
+  * [[MlQueries]], [[CurateQueries]] (curation + multimodal) and
+  * [[IngestQueries]] (the GraftTable storage layer, the DSv2 catalog
+  * SQL/streaming surface and the ingestion capstones).
   */
 object SparkEntry {
 
