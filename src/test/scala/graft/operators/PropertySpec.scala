@@ -274,4 +274,57 @@ class PropertySpec extends SparkSpec {
       assert(t.read.count() == want.size + 1)
     }
   }
+
+  test("readChangesRowsSince(v) equals the reference state diff under " +
+    "random mutation sequences (upsert/keyed-delete/DV-delete/insert)") {
+    // day is a FUNCTION of the key (keys never move partitions), so the
+    // table-global keyed contract the feed requires holds throughout
+    def dayOf(r: Int) = "d" + (r % 3)
+    val opGen: Gen[List[Int]] = Gen.listOfN(5, Gen.chooseNum(0, 3))
+    samples(opGen, 4).zipWithIndex.foreach { case (opsList, run) =>
+      val dir = java.nio.file.Files.createTempDirectory("graft_pcdc").toString + "/t"
+      val t = new GraftTable(spark, dir, keys = Seq("pk", "rk"), partitionCol = "day")
+      t.createIfNotExists(Seq.empty[(String, String, String, Int)]
+        .toDF("day", "pk", "rk", "n").schema)
+      t.importOnce((0 until 12).map(i =>
+        (dayOf(i), "p", "r" + i, i * 7 + run)).toDF("day", "pk", "rk", "n"))
+      def snap() = t.read.collect().map(r2 =>
+        (r2.getAs[String]("pk"), r2.getAs[String]("rk")) ->
+          (r2.getAs[String]("day"), r2.getAs[Int]("n"))).toMap
+      // (version, state) after every op — a no-match deleteWhere
+      // commits nothing, so versions must be RECORDED, not inferred
+      val states = scala.collection.mutable.ListBuffer(
+        (t.currentVersion, snap()))
+      opsList.zipWithIndex.foreach { case (op, step) =>
+        val s0 = 13 + step * 3 + run
+        val r = s0 % 18
+        op match {
+          case 0 => t.upsertReplace(Seq((dayOf(r), "p", "r" + r, s0))
+            .toDF("day", "pk", "rk", "n"))
+          case 1 => t.deleteByKeys(Seq(("p", "r" + (s0 % 12))).toDF("pk", "rk"))
+          case 2 => t.deleteWhere(col("n") % 5 === (s0 % 5))
+          case 3 => t.insertIfAbsent(Seq((dayOf(r), "p", "r" + r, s0 + 100))
+            .toDF("day", "pk", "rk", "n"))
+        }
+        states += ((t.currentVersion, snap()))
+      }
+      // compare the feed against the reference diff for EVERY since
+      (0 until states.size - 1).foreach { i =>
+        val (since, old) = states(i)
+        val cur = states.last._2
+        val want = (cur.keySet -- old.keySet).map(k =>
+          (k, cur(k), "insert")) ++
+          (old.keySet -- cur.keySet).map(k => (k, old(k), "delete")) ++
+          old.keySet.intersect(cur.keySet).filter(k => old(k) != cur(k))
+            .flatMap(k => Seq((k, old(k), "update_preimage"),
+              (k, cur(k), "update_postimage")))
+        val got = t.readChangesRowsSince(since).collect().map(r2 =>
+          (((r2.getAs[String]("pk"), r2.getAs[String]("rk")),
+            (r2.getAs[String]("day"), r2.getAs[Int]("n")),
+            r2.getAs[String]("_change_type")))).toSet
+        assert(got === want.toSet,
+          s"feed since=$since ops=$opsList step=$i: got $got want $want")
+      }
+    }
+  }
 }

@@ -155,6 +155,13 @@ class GraftCatalogSpec extends SparkSpec {
     val vBefore = t.currentVersion
     spark.sql(s"DELETE FROM $cat.db.t WHERE n = 12345")
     assert(t.currentVersion == vBefore)
+
+    // TRUNCATE TABLE routes through deleteWhere(ALWAYS_TRUE): table
+    // empties, history stays travelable
+    spark.sql(s"TRUNCATE TABLE $cat.db.t")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.db.t").as[Long].head() == 0L)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.db.t VERSION AS OF $v2")
+      .as[Long].head() == 3L)
   }
 
   test("streaming source tails the commit log: snapshot first, then only " +
