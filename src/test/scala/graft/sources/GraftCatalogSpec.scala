@@ -101,6 +101,23 @@ class GraftCatalogSpec extends SparkSpec {
       .map(_.getString(1)).contains("ev"))
   }
 
+  test("empty table and post-evolution SELECT: zero live files still " +
+    "resolves the full schema; evolved columns read as null via SQL") {
+    val (cat, root) = freshCatalog()
+    val t = seed(root)
+    // empty table: partition column cannot be INFERRED from zero files
+    val empty = spark.sql(s"SELECT * FROM $cat.db.t")
+    assert(empty.columns.toSet == Set("day", "pk", "rk", "n"))
+    assert(empty.count() == 0)
+    // evolution mid-history: new column lands; old rows project null
+    t.importOnce(Seq(("d1", "p", "r1", 1L)).toDF("day", "pk", "rk", "n"))
+    t.upsertReplace(Seq(("d2", "p", "r2", 2L, "x"))
+      .toDF("day", "pk", "rk", "n", "tag"))
+    val got = spark.sql(s"SELECT rk, tag FROM $cat.db.t")
+      .as[(String, Option[String])].collect().toMap
+    assert(got == Map("r1" -> None, "r2" -> Some("x")))
+  }
+
   test("deletion vectors refuse the SQL scan path loudly; compaction " +
     "purges and restores it") {
     val (cat, root) = freshCatalog()
