@@ -1097,7 +1097,7 @@ object CurateQueries {
     // per-doc perturbation, the decoder + dHash compress it to a 64-bit
     // gradient fingerprint (9×8 box means, exact integer
     // cross-multiplied comparisons), and banded blocking (4×16-bit
-    // bands) generates candidate pairs whose full Hamming distance ≤ 6
+    // bands) generates candidate pairs whose full Hamming distance ≤ 3
     // marks near-duplicates — same-group variants cluster, different
     // groups don't (whatever pairs the arithmetic yields, the oracle
     // replays bit-for-bit from the closed-form generator: box sums,
@@ -1138,7 +1138,7 @@ object CurateQueries {
           docs.withColumn("payload",
             Multimodal.synthBmp24(col("w"), col("h"), pixelData)),
           "doc_id", "payload", "image/bmp")
-        Multimodal.dHashNearDupPairs(Multimodal.bmpDHash(media), maxDist = 6)
+        Multimodal.dHashNearDupPairs(Multimodal.bmpDHash(media), maxDist = 3)
       },
       Some("""
         WITH d AS (SELECT doc_id, doc_id // 5 AS g FROM documents),
@@ -1180,7 +1180,7 @@ object CurateQueries {
         WHERE bit_count(CAST(xor(a.b0, b.b0) AS BIGINT))
             + bit_count(CAST(xor(a.b1, b.b1) AS BIGINT))
             + bit_count(CAST(xor(a.b2, b.b2) AS BIGINT))
-            + bit_count(CAST(xor(a.b3, b.b3) AS BIGINT)) <= 6""")),
+            + bit_count(CAST(xor(a.b3, b.b3) AS BIGINT)) <= 3""")),
 
     // AUDIO PERCEPTUAL NEAR-DUP (envelope dHash) — the audio member of
     // the near-dup family, completing text/image/audio: each doc
@@ -1207,7 +1207,7 @@ object CurateQueries {
             Multimodal.synthWavPcm16(lit(16000), col("samples"))),
           "doc_id", "payload", "audio/wav")
         Multimodal.dHashNearDupPairs(
-          Multimodal.wavEnvelopeDHash(media), maxDist = 6)
+          Multimodal.wavEnvelopeDHash(media), maxDist = 3)
       },
       Some("""
         WITH d AS (SELECT doc_id, doc_id // 5 AS g FROM documents),
@@ -1244,7 +1244,7 @@ object CurateQueries {
         WHERE bit_count(CAST(xor(a.b0, b.b0) AS BIGINT))
             + bit_count(CAST(xor(a.b1, b.b1) AS BIGINT))
             + bit_count(CAST(xor(a.b2, b.b2) AS BIGINT))
-            + bit_count(CAST(xor(a.b3, b.b3) AS BIGINT)) <= 6""")),
+            + bit_count(CAST(xor(a.b3, b.b3) AS BIGINT)) <= 3""")),
 
     // REAL PNG decode, end-to-end (BMP's compressed counterpart): each
     // doc generates closed-form pixels DECLARATIVELY (so the oracle can

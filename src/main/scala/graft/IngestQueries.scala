@@ -198,10 +198,7 @@ object IngestQueries {
           .unionByName(rd(t.read, "top")).unionByName(zd)
         // snapshot BEFORE deleting the scratch tables the plan reads
         val snap = out.localCheckpoint(true)
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
-        }
-        rm(new java.io.File(base))
+        graft.operators.Fs.deleteTree(base)
         snap
       },
       Some(s"""
@@ -303,10 +300,7 @@ object IngestQueries {
             max(unix_micros(col("l_shipdate"))).as("max_ship_us"),
             min(col("l_orderkey")).as("min_key"))
         val snap = out.localCheckpoint(true)
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
-        }
-        rm(new java.io.File(base))
+        graft.operators.Fs.deleteTree(base)
         snap
       },
       Some("""
@@ -339,10 +333,7 @@ object IngestQueries {
             md5(concat_ws("|", sort_array(collect_list(
               concat_ws(":", col("doc_id"), md5(col("text"))))))).as("docs_digest"))
         val snap = out.localCheckpoint(true)
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
-        }
-        rm(new java.io.File(base))
+        graft.operators.Fs.deleteTree(base)
         snap
       },
       Some("""
@@ -397,10 +388,7 @@ object IngestQueries {
         val out = t.read.select(col("user_id"), col("n_events"),
           col("sum_cents"), col("last_us"))
         val snap = out.localCheckpoint(true)
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
-        }
-        rm(new java.io.File(base))
+        graft.operators.Fs.deleteTree(base)
         snap
       },
       Some("""
@@ -441,10 +429,7 @@ object IngestQueries {
             md5(concat_ws("|", sort_array(collect_list(concat_ws(":",
               col("doc_id"), md5(col("text")), md5(col("gnarly"))))))).as("docs_digest"))
         val snap = out.localCheckpoint(true)
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
-        }
-        rm(new java.io.File(base))
+        graft.operators.Fs.deleteTree(base)
         snap
       },
       Some("""
@@ -501,10 +486,7 @@ object IngestQueries {
           .agg(count(lit(1)).as("n_events"), sum(col("cents")).as("sum_cents"),
             max(col("ts_us")).as("last_us"))
         val snap = out.localCheckpoint(true)
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
-        }
-        rm(new java.io.File(base))
+        graft.operators.Fs.deleteTree(base)
         snap
       },
       Some("""
@@ -538,10 +520,7 @@ object IngestQueries {
         val out = t.read.select(col("user_id"), col("n_events"),
           col("sum_cents"), col("last_us"))
         val snap = out.localCheckpoint(true)
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
-        }
-        rm(new java.io.File(base))
+        graft.operators.Fs.deleteTree(base)
         snap
       },
       Some("""
@@ -575,10 +554,7 @@ object IngestQueries {
         val out = graft.operators.Relational.tableDiff(
           t.readAt(tick1).drop("pk"), t.read.drop("pk"), Seq("user_id"))
         val snap = out.localCheckpoint(true)
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
-        }
-        rm(new java.io.File(base))
+        graft.operators.Fs.deleteTree(base)
         snap
       },
       Some("""
@@ -637,10 +613,7 @@ object IngestQueries {
         val out = t.readChangesSince(tick1)
           .select(col("user_id"), col("n_events"), col("pk"))
         val snap = out.localCheckpoint(true)
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
-        }
-        rm(new java.io.File(base))
+        graft.operators.Fs.deleteTree(base)
         snap
       },
       Some("""
@@ -689,10 +662,7 @@ object IngestQueries {
         refresh(v1)
         val out = down.read.select("pk", "n_events", "sum_cents")
         val snap = out.localCheckpoint(true)
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
-        }
-        rm(new java.io.File(base))
+        graft.operators.Fs.deleteTree(base)
         snap
       },
       Some("""
@@ -743,10 +713,7 @@ object IngestQueries {
           .unionByName(t.read
             .select(lit("live").as("at"), col("user_id"), col("n_events"), col("sum_cents")))
         val snap = out.localCheckpoint(true)
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
-        }
-        rm(new java.io.File(base))
+        graft.operators.Fs.deleteTree(base)
         snap
       },
       Some("""
@@ -810,10 +777,7 @@ object IngestQueries {
         val out = t.readWhereBetween("cents", 2000, 2999)
           .select("event_id", "user_id", "cents", "pk")
         val snap = out.localCheckpoint(true)
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
-        }
-        rm(new java.io.File(base))
+        graft.operators.Fs.deleteTree(base)
         snap
       },
       Some("""
@@ -848,10 +812,7 @@ object IngestQueries {
           .withColumn("cents", col("cents") + 1))
         val out = t.read.select("event_id", "user_id", "cents", "pk")
         val snap = out.localCheckpoint(true)
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
-        }
-        rm(new java.io.File(base))
+        graft.operators.Fs.deleteTree(base)
         snap
       },
       Some("""
@@ -894,10 +855,7 @@ object IngestQueries {
         require(!applied, "replayed batch must be skipped")
         val out = t.read.select("event_id", "user_id", "cents", "pk")
         val snap = out.localCheckpoint(true)
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
-        }
-        rm(new java.io.File(base))
+        graft.operators.Fs.deleteTree(base)
         snap
       },
       Some("""
@@ -944,10 +902,7 @@ object IngestQueries {
             "cents" -> src("v"), "pk" -> (src("user_id") % 4)))))
         val out = t.read.select("event_id", "user_id", "cents", "pk")
         val snap = out.localCheckpoint(true)
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
-        }
-        rm(new java.io.File(base))
+        graft.operators.Fs.deleteTree(base)
         snap
       },
       Some("""
@@ -1003,10 +958,7 @@ object IngestQueries {
         val out = t.readWhereEquals("cents", k)
           .select("event_id", "user_id", "cents", "pk")
         val snap = out.localCheckpoint(true)
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
-        }
-        rm(new java.io.File(base))
+        graft.operators.Fs.deleteTree(base)
         snap
       },
       Some("""
@@ -1080,10 +1032,7 @@ object IngestQueries {
             .select(lit("travel").as("at"), col("event_id"), col("user_id"),
               col("cents"), col("pk")))
         val snap = out.localCheckpoint(true)
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
-        }
-        rm(new java.io.File(base))
+        graft.operators.Fs.deleteTree(base)
         snap
       },
       Some("""
@@ -1157,10 +1106,7 @@ object IngestQueries {
           view1, withG(t.readAt(v1)), withG(t.read),
           keys = Seq("event_id"), g = "g", v = "cents")
         val snap = out.localCheckpoint(true)
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
-        }
-        rm(new java.io.File(base))
+        graft.operators.Fs.deleteTree(base)
         snap
       },
       Some("""
@@ -1211,10 +1157,7 @@ object IngestQueries {
             .select(lit("live").as("at"), col("event_id"), col("user_id"),
               col("cents"), col("pk")))
         val snap = out.localCheckpoint(true)
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
-        }
-        rm(new java.io.File(base))
+        graft.operators.Fs.deleteTree(base)
         snap
       },
       Some("""
@@ -1255,10 +1198,7 @@ object IngestQueries {
         val out = t.readWhereBetween("cents", 2000, 2999)
           .select("event_id", "user_id", "cents", "pk")
         val snap = out.localCheckpoint(true)
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
-        }
-        rm(new java.io.File(base))
+        graft.operators.Fs.deleteTree(base)
         snap
       },
       Some("""
@@ -1341,10 +1281,7 @@ object IngestQueries {
         runStream(s"$base/ckpt2")
         val out = t.read.select("event_id", "user_id", "cents", "pk")
         val snap = out.localCheckpoint(true)
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
-        }
-        rm(new java.io.File(base))
+        graft.operators.Fs.deleteTree(base)
         snap
       },
       Some("""
@@ -1391,10 +1328,7 @@ object IngestQueries {
             .select(lit("u").as("dim"), col("event_id"), col("user_id"),
               col("cents"), col("pk")))
         val snap = out.localCheckpoint(true)
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
-        }
-        rm(new java.io.File(base))
+        graft.operators.Fs.deleteTree(base)
         snap
       },
       Some("""
@@ -1444,10 +1378,7 @@ object IngestQueries {
           .select(col("user_id"), col("n_events"), col("sum_cents"),
             col("pk"), col("_change_type"))
         val snap = out.localCheckpoint(true)
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
-        }
-        rm(new java.io.File(base))
+        graft.operators.Fs.deleteTree(base)
         snap
       },
       Some("""
@@ -1520,10 +1451,7 @@ object IngestQueries {
           SELECT 'v1' AS dim, event_id, user_id, cents, pk
           FROM $cat.db.events VERSION AS OF $v1 WHERE user_id % 4 = 1""")
         val snap = out.localCheckpoint(true)
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
-        }
-        rm(new java.io.File(base))
+        graft.operators.Fs.deleteTree(base)
         snap
       },
       Some("""
@@ -1582,7 +1510,8 @@ object IngestQueries {
                   r.getLong(2), r.getLong(3)))); ()
             }
             .start()
-          q.awaitTermination(120000)
+          require(q.awaitTermination(300000),
+            "q234 stream drain timed out — partial batch would corrupt the result")
           scala.jdk.CollectionConverters.CollectionHasAsScala(acc).asScala.toSeq
         }
         val run1 = drain("snapshot")
@@ -1592,10 +1521,8 @@ object IngestQueries {
         t.upsertReplace(agg(ev).filter(col("pk") === 4)
           .withColumn("n_events", col("n_events") + 100))
         val run2 = drain("diff")
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
-        }
-        rm(new java.io.File(base)); rm(new java.io.File(ckpt))
+        graft.operators.Fs.deleteTree(base)
+        graft.operators.Fs.deleteTree(ckpt)
         (run1 ++ run2).toDF("run", "user_id", "n_events", "sum_cents", "pk")
           .localCheckpoint(true)
       },
@@ -1660,10 +1587,7 @@ object IngestQueries {
         val out = s.sql(s"""SELECT event_id, user_id, cents, pk
           FROM $cat.db.ev WHERE cents BETWEEN 0 AND 4999""")
         val snap = out.localCheckpoint(true)
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
-        }
-        rm(new java.io.File(base))
+        graft.operators.Fs.deleteTree(base)
         snap
       },
       Some("""
@@ -1724,7 +1648,9 @@ object IngestQueries {
               ()
             }
             .start()
-          q.awaitTermination(180000)
+          require(q.awaitTermination(300000),
+            "q237 stream drain timed out — partial batch would corrupt the result")
+          ()
         }
         val ckpt1 = s"$base/ckpt1"
         src.upsertReplace(rows.filter(col("us") % 2 === 0).drop("us"))
@@ -1741,10 +1667,7 @@ object IngestQueries {
         drain(s"$base/ckpt2")
         val out = down.read.select("pk", "n_events", "sum_cents")
         val snap = out.localCheckpoint(true)
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
-        }
-        rm(new java.io.File(base))
+        graft.operators.Fs.deleteTree(base)
         snap
       },
       Some("""

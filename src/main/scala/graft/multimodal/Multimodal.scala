@@ -630,13 +630,16 @@ object Multimodal {
     * blocking — the self-join runs per (band, signature) bucket, never
     * all-pairs; Σ bucket² bounds the quadratic exactly like the SimHash
     * path in [[graft.operators.Dedup]]), survivors have full 64-bit
-    * Hamming distance ≤ `maxDist`. A pair with distance ≤ 15 agrees on
-    * some band by pigeonhole, so blocking loses nothing at any sane
-    * threshold. Returns (doc_a, doc_b, dist) with doc_a < doc_b.
+    * Hamming distance ≤ `maxDist`. PIGEONHOLE: ≤ 3 differing bits over
+    * 4 disjoint bands leave at least one band untouched, so blocking is
+    * LOSSLESS exactly for maxDist ≤ 3 (distance 4 can place one flip in
+    * every band) — the same bound the SimHash near-dup path enforces.
+    * Returns (doc_a, doc_b, dist) with doc_a < doc_b.
     */
   def dHashNearDupPairs(h: Dataset[DHash], maxDist: Int): DataFrame = {
-    require(maxDist >= 0 && maxDist <= 15,
-      s"banded blocking guarantees recall only for maxDist <= 15, got $maxDist")
+    require(maxDist >= 0 && maxDist <= 3,
+      "4-band blocking guarantees recall only for maxDist <= 3 " +
+        s"(pigeonhole over disjoint bands), got $maxDist")
     // the hash frame feeds THREE consumers (band explode + both sides
     // of the distance join) — stage it once or the decode+hash chain
     // upstream recomputes per consumer (the q188 lesson)

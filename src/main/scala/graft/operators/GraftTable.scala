@@ -127,12 +127,17 @@ object GraftTable {
     }
 
   private[operators] def cachedCkptList(key: (String, Long, String))
-                                       (load: => Seq[String]): Seq[String] =
-    ckptListCache.synchronized {
-      val got = ckptListCache.get(key)
-      if (got != null) got
-      else { val v = load; ckptListCache.put(key, v); v }
-    }
+                                       (load: => Seq[String]): Seq[String] = {
+    val hit = ckptListCache.synchronized(ckptListCache.get(key))
+    if (hit != null) return hit
+    // load OUTSIDE the monitor — it runs a Spark collect, and holding
+    // the JVM-global lock through it would stall every other table's
+    // cache hits; a racing duplicate load is harmless (same immutable
+    // checkpoint content)
+    val v = load
+    ckptListCache.synchronized(ckptListCache.put(key, v))
+    v
+  }
 }
 
 /** Thrown when a commit loses the optimistic-concurrency race: another
@@ -529,10 +534,7 @@ final class GraftTable(spark: SparkSession, val path: String,
         (carried ++ markers :+ s"#ckpt:$nonce").sorted)
       catch {
         case e: CommitConflictException =>
-          def rm(f: java.io.File): Unit = {
-            Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-          }
-          rm(ckptDirFor(v, nonce).toFile)
+          Fs.deleteTree(ckptDirFor(v, nonce))
           throw e
       }
     } else {
@@ -1296,15 +1298,12 @@ final class GraftTable(spark: SparkSession, val path: String,
     matched.write.mode(SaveMode.Overwrite).parquet(stage.toString)
     val n = spark.read.schema("file STRING, ri BIGINT")
       .parquet(stage.toString).count()
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-    }
-    if (n == 0) { rm(stage.toFile); return this }
+    if (n == 0) { Fs.deleteTree(stage); return this }
     val target = dvRoot.resolve(f"v${base + 1}%06d_$nonce")
     java.nio.file.Files.move(stage, target)
     try commitDelta(base, Nil, Nil, markers = Seq(s"#dv:$nonce"))
     catch {
-      case e: CommitConflictException => rm(target.toFile); throw e
+      case e: CommitConflictException => Fs.deleteTree(target); throw e
     }
     this
   }
@@ -1638,10 +1637,7 @@ final class GraftTable(spark: SparkSession, val path: String,
         moved += s"$dir/$name"
       }
     walk(stage.toFile)
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-    }
-    rm(stage.toFile)
+    Fs.deleteTree(stage)
     moved.toSeq
   }
 
@@ -1666,7 +1662,8 @@ final class GraftTable(spark: SparkSession, val path: String,
     */
   private def commitRewrite(df: DataFrame, touchedVals: Seq[Option[String]],
                             base: Long, markers: Seq[String] = Nil,
-                            partitionScoped: Boolean = false): this.type = {
+                            partitionScoped: Boolean = false,
+                            blindRetry: Boolean = false): this.type = {
     enforceChecks(df) // throws BEFORE anything lands — O(commit rows)
     val added = writeCommitFiles(df)
     val statsEntries = collectStatsEntries(added) // pre-commit: O(commit metadata)
@@ -1681,7 +1678,9 @@ final class GraftTable(spark: SparkSession, val path: String,
       } catch {
         case e: CommitConflictException =>
           val retryAt =
-            if (partitionScoped) logicalRetryBase(b, myDirs, markers) else None
+            if (blindRetry) Some(currentVersion) // empty read-set: always safe
+            else if (partitionScoped) logicalRetryBase(b, myDirs, markers)
+            else None
           retryAt match {
             case Some(nb) => b = nb // re-commit the same files, no re-write
             case None =>
@@ -2029,7 +2028,10 @@ final class GraftTable(spark: SparkSession, val path: String,
     */
   def append(rows: DataFrame): this.type = {
     val base = ensureBaselineVersion()
-    commitAppend(conform(rows), base)
+    // blind append: EMPTY read-set — a lost OCC race always re-commits
+    // the already-written files against the new head, so concurrent
+    // INSERTs never spuriously conflict (the Delta append discipline)
+    commitRewrite(conform(rows), Seq.empty, base, blindRetry = true)
   }
 
   /** Full-table OVERWRITE — the SQL `INSERT OVERWRITE` semantics:
@@ -2399,6 +2401,8 @@ final class GraftTable(spark: SparkSession, val path: String,
   private[operators] def commitRewriteAt(df: DataFrame,
                                          touchedVals: Seq[Option[String]],
                                          base: Long,
-                                         partitionScoped: Boolean = false): this.type =
-    commitRewrite(df, touchedVals, base, partitionScoped = partitionScoped)
+                                         partitionScoped: Boolean = false,
+                                         blindRetry: Boolean = false): this.type =
+    commitRewrite(df, touchedVals, base, partitionScoped = partitionScoped,
+      blindRetry = blindRetry)
 }

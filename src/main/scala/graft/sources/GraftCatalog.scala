@@ -130,10 +130,7 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
   override def dropTable(ident: Identifier): Boolean = {
     val dir = Paths.get(dirOf(ident.namespace, ident.name))
     if (!Files.isDirectory(dir)) return false
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-    }
-    rm(dir.toFile)
+    graft.operators.Fs.deleteTree(dir)
     true
   }
 
@@ -187,10 +184,7 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
     if (!empty && !cascade)
       throw new IllegalStateException(
         s"namespace ${namespace.mkString(".")} is not empty")
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-    }
-    rm(d.toFile)
+    graft.operators.Fs.deleteTree(d)
     true
   }
 }

@@ -129,10 +129,7 @@ object StorageProbe {
     println(f"COMMIT ckpt-tick (v8, with stats) = ${withStats(6)}%.2f s vs " +
       f"median delta-tick = ${withStats.sorted.apply(5)}%.2f s")
 
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-    }
-    rm(new java.io.File(base))
+    graft.operators.Fs.deleteTree(base)
     spark.stop()
   }
 }

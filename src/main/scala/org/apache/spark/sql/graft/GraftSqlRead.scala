@@ -231,7 +231,8 @@ final class GraftSqlTable(spark: SparkSession, val gt: GraftTable,
         "the SQL scan path cannot subtract row-level deletes — run compact() " +
         "(or any rewrite of the affected partitions) to purge them, or read " +
         "through the Scala API (GraftTable.read/readAt)")
-    new GraftScanBuilder(spark, gt, pinnedVersion, tableSchema)
+    new GraftScanBuilder(spark, gt, pinnedVersion, tableSchema,
+      ignoreDeletes = options.getBoolean("ignoreDeletes", false))
   }
 }
 
@@ -240,7 +241,8 @@ final class GraftSqlTable(spark: SparkSession, val gt: GraftTable,
   * the micro-batch stream surface.
   */
 final class GraftScanBuilder(spark: SparkSession, gt: GraftTable,
-                             version: Long, tableSchema: StructType)
+                             version: Long, tableSchema: StructType,
+                             ignoreDeletes: Boolean = false)
     extends ScanBuilder with SupportsPushDownCatalystFilters
     with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
 
@@ -258,21 +260,22 @@ final class GraftScanBuilder(spark: SparkSession, gt: GraftTable,
   override def pruneColumns(requiredSchema: StructType): Unit =
     inner.pruneColumns(requiredSchema)
   override def build(): Scan =
-    new GraftScan(spark, gt, tableSchema, inner.build())
+    new GraftScan(spark, gt, tableSchema, inner.build(), ignoreDeletes)
 }
 
 /** Batch behavior = the wrapped parquet scan; micro-batch = version
   * offsets over the commit log.
   */
 final class GraftScan(spark: SparkSession, gt: GraftTable,
-                      tableSchema: StructType, inner: Scan)
+                      tableSchema: StructType, inner: Scan,
+                      ignoreDeletes: Boolean = false)
     extends Scan
     with org.apache.spark.sql.connector.read.SupportsReportStatistics {
   override def readSchema(): StructType = inner.readSchema()
   override def toBatch: Batch = inner.toBatch
   override def description(): String = s"GraftScan(${gt.path}) -> ${inner.description()}"
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new GraftMicroBatchStream(spark, gt, tableSchema)
+    new GraftMicroBatchStream(spark, gt, tableSchema, ignoreDeletes)
 
   /** Size/row statistics forwarded from the parquet scan (post-pruning
     * file sizes) — without this, the wrapper would hide the estimate
@@ -309,7 +312,8 @@ final case class GraftOffset(v: Long) extends Offset {
   * [[GraftTable.upsertReplaceBatch]]).
   */
 final class GraftMicroBatchStream(spark: SparkSession, gt: GraftTable,
-                                  tableSchema: StructType)
+                                  tableSchema: StructType,
+                                  ignoreDeletes: Boolean = false)
     extends MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
@@ -354,7 +358,26 @@ final class GraftMicroBatchStream(spark: SparkSession, gt: GraftTable,
       s"table ${gt.path} has deletion vectors applicable at version $e: the " +
         "streaming scan cannot subtract row-level deletes — compact first")
     val old = if (s == 0L) Set.empty[String] else gt.liveFilesAt(s).toSet
-    val added = gt.liveFilesAt(e).filterNot(old)
+    val live = gt.liveFilesAt(e)
+    val added = live.filterNot(old)
+    // a commit that DROPS a partition's files without re-adding any
+    // (DELETE FROM / TRUNCATE / a keyed delete emptying it) cannot be
+    // represented by a file-diff batch: the consumer would silently
+    // keep the deleted rows. Refuse loudly unless the reader opted in
+    // (.option("ignoreDeletes", true) — the Delta streaming contract).
+    if (!ignoreDeletes && s > 0L) {
+      def dirOf(f: String) = f.split('/').dropRight(1).mkString("/")
+      val liveSet = live.toSet
+      val droppedDirs = old.filterNot(liveSet).map(dirOf)
+      val addedDirs = added.map(dirOf).toSet
+      val deleteOnly = droppedDirs -- addedDirs
+      require(deleteOnly.isEmpty,
+        s"table ${gt.path}: versions ($s, $e] removed partition(s) " +
+          s"${deleteOnly.mkString(", ")} without rewriting them — the " +
+          "file-diff stream cannot emit row deletions; consume deletes " +
+          "via readChangesRowsSince, or pass .option(\"ignoreDeletes\", " +
+          "\"true\") to skip them")
+    }
     if (added.isEmpty) Array.empty
     else scanFor(added).toBatch.planInputPartitions()
   }

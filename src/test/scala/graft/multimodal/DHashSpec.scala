@@ -114,9 +114,9 @@ class DHashSpec extends SparkSpec {
       bmpOf(4L, 4, 3, pattern))
     val hashes = Multimodal.bmpDHash(mediaOf(imgs))
     assert(hashes.collect().map(_.doc_id).toSet == Set(1L, 2L, 3L))
-    val pairs = Multimodal.dHashNearDupPairs(hashes, maxDist = 6)
+    val pairs = Multimodal.dHashNearDupPairs(hashes, maxDist = 3)
       .as[(Long, Long, Int)].collect().toSet
-    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 <= 6),
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 <= 3),
       s"near-identical pair missing: $pairs")
     assert(!pairs.exists(p => p._2 == 3L || p._1 == 3L),
       s"unrelated image paired: $pairs")

@@ -150,6 +150,24 @@ class GraftTableAdviceSpec extends SparkSpec {
           partitionScoped = true))
   }
 
+  test("blind append (empty read-set) always re-commits on a lost race — " +
+    "even into the SAME partition") {
+    val p = dir()
+    val t = new GraftTable(spark, p, keys = Seq("pk", "rk"), partitionCol = "day")
+    t.createIfNotExists(rows().schema)
+    t.importOnce(rows(("d1", "p", "r1", 1)))
+    val base = t.currentVersion
+    t.upsertReplace(rows(("d1", "p", "r1", 100))) // interleaved winner on d1
+    // loser appends INTO d1 from the stale base: an append's read-set is
+    // empty, so it must re-commit its files, not conflict
+    new GraftTable(spark, p, t.keys, t.partitionCol)
+      .commitRewriteAt(rows(("d1", "p", "r9", 9)), Seq.empty, base,
+        blindRetry = true)
+    assert(t.currentVersion == base + 2)
+    assert(t.read.select("rk", "n").as[(String, Int)].collect().toMap ==
+      Map("r1" -> 100, "r9" -> 9))
+  }
+
   test("OCC logical retry stays conservative across an interleaved " +
     "CHECKPOINT manifest (its touched set is unrecorded)") {
     val p = dir()

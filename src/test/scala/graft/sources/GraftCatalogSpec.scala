@@ -181,6 +181,42 @@ class GraftCatalogSpec extends SparkSpec {
       .as[Long].head() == 3L)
   }
 
+  test("streaming refuses delete-only commits loudly; ignoreDeletes opts " +
+    "into skipping them") {
+    val (cat, root) = freshCatalog()
+    val t = seed(root)
+    t.importOnce(Seq(("d1", "p", "r1", 1L), ("d2", "p", "r2", 2L))
+      .toDF("day", "pk", "rk", "n"))
+    val ckpt = Files.createTempDirectory("graft_stream_del").toString
+    def drain(ignoreDeletes: Boolean): Set[String] = {
+      val acc = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+      val rdr = spark.readStream
+        .option("ignoreDeletes", ignoreDeletes.toString)
+        .table(s"$cat.db.t")
+      val q = rdr.writeStream
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          df.select("rk").collect().foreach(r => acc.add(r.getString(0))); ()
+        }
+        .start()
+      q.awaitTermination(60000)
+      scala.jdk.CollectionConverters.CollectionHasAsScala(acc).asScala.toSet
+    }
+    assert(drain(ignoreDeletes = false) == Set("r1", "r2")) // snapshot
+    // a delete-only commit (partition d2 dropped, nothing re-added)
+    t.deleteByKeys(Seq(("p", "r2")).toDF("pk", "rk"))
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException](
+      drain(ignoreDeletes = false))
+    assert(e.getCause.getMessage.contains("removed partition"),
+      e.getCause.getMessage)
+    // opted in: the delete-only commit is skipped, the stream advances
+    assert(drain(ignoreDeletes = true) == Set.empty)
+    // and a NORMAL rewrite after it still flows
+    t.upsertReplace(Seq(("d1", "p", "r1", 10L)).toDF("day", "pk", "rk", "n"))
+    assert(drain(ignoreDeletes = false) == Set("r1"))
+  }
+
   test("streaming source tails the commit log: snapshot first, then only " +
     "the manifest diff after a restart") {
     val (cat, root) = freshCatalog()
