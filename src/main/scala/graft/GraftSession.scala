@@ -40,6 +40,11 @@ object GraftSession {
     // same bytes as naive TIMESTAMP, so both engines see identical
     // wall-clock values.
     c.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    // Footer-harvested commit stats (GraftTable zone maps) trust parquet
+    // min/max only for TIMESTAMP_MICROS/MILLIS annotations; INT96 (a
+    // settable legacy output type) has no usable footer ordering, which
+    // would silently disable timestamp pruning. Pin the modern encoding.
+    c.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     // Partition-overwrite only rewrites the partitions present in the
     // incoming frame — the physical form of the reference's per-day
     // import-once upserts (reference `server/etl.py:71`).

@@ -40,6 +40,16 @@ object GraftTable {
     */
   private[operators] val CheckpointEvery = 8
 
+  /** Vacuum's orphan sweep only reclaims uncommitted ckpt/DV sidecar
+    * dirs OLDER than this (dir mtime): a concurrent writer stages its
+    * sidecar before linking the manifest marker, and deleting the
+    * staged dir would make the committed version unreadable. 10 min
+    * comfortably exceeds any single commit's stage→link window.
+    * Mutable (package-private) only so tests can exercise both sides
+    * of the gate without sleeping.
+    */
+  @volatile private[operators] var orphanGraceMs: Long = 10L * 60 * 1000
+
   /** Run `body` (a table mutation, or several) retrying on lost
     * optimistic-concurrency races — each retry re-enters the mutation,
     * which re-reads the table at its NEW current version, so the merge
@@ -227,7 +237,7 @@ final class GraftTable(spark: SparkSession, val path: String,
                        val bloomCols: Seq[String] = Nil,
                        val bloomBits: Int = 1024) {
 
-  import GraftTable.CheckpointEvery
+  import GraftTable.{CheckpointEvery, orphanGraceMs}
 
   require(bloomBits % 64 == 0 && bloomBits >= 64 && bloomBits <= (1 << 20),
     s"bloomBits must be a multiple of 64 in [64, 2^20], got $bloomBits")
@@ -966,26 +976,31 @@ final class GraftTable(spark: SparkSession, val path: String,
 
   /** Equality pruning on the snapshot frame: zone intersection plus the
     * per-file Bloom probe with each ENTRY'S OWN geometry (bits =
-    * 64·size(words), probes bounded by the entry's k) — files without a
-    * bloom pass. `shiftleft` must be the SQL form: the Column-API
-    * variant only takes literal shifts.
+    * 64·size(words), probe count = the entry's own stored k — exactly
+    * the driver path's `posFor(be.k, …)`, so the two pruning paths can
+    * never diverge if BloomK changes) — files without a bloom pass.
+    * `shiftleft` must be the SQL form: the Column-API variant only
+    * takes literal shifts.
     */
   private def dfCandidatesEquals(c: String, x: Any, v: Long): Seq[String] = {
     val tag = tagOf(c)
     val canon = canonValue(x, tag)
-    var df = snapshotDF(v)
+    val df = snapshotDF(v)
       .filter(dfZoneKeep(c, tag, Some(canon), Some(canon)))
       .withColumn("__bw", element_at(col("blooms"), c))
-    for (i <- 0 until BloomK)
-      df = df.withColumn(s"__p$i",
-        conv(substring(md5(concat(lit(s"$i:"), lit(canon))), 1, 8), 16, 10)
-          .cast("long") %
-          (size(col("__bw").getField("words")).cast("long") * lit(64L)))
-    val probeOk = (0 until BloomK).map(i =>
-      expr(s"(__bw.k <= $i) OR ((element_at(__bw.words, " +
-        s"CAST(__p$i DIV 64 AS INT) + 1) & " +
-        s"shiftleft(CAST(1 AS BIGINT), CAST(__p$i % 64 AS INT))) != 0)"))
-      .reduce(_ && _)
+      .withColumn("__canon", lit(canon))
+    // Per-entry geometry in one pass: probe positions i ∈ [0, __bw.k)
+    // via the same md5("i:canon") first-8-hex-chars hash as the driver
+    // path, modulo THIS entry's bit width.
+    val pos = "CAST(conv(substring(md5(concat(cast(i AS STRING), ':', " +
+      "__canon)), 1, 8), 16, 10) AS BIGINT) % " +
+      "(CAST(size(__bw.words) AS BIGINT) * 64)"
+    // k <= 0 never occurs in written entries, but sequence(0, -1) would
+    // walk backwards — guard to degrade to unprunable instead.
+    val probeOk = expr(
+      s"__bw.k <= 0 OR forall(sequence(0, __bw.k - 1), i -> " +
+        s"(element_at(__bw.words, CAST(($pos) DIV 64 AS INT) + 1) & " +
+        s"shiftleft(CAST(1 AS BIGINT), CAST(($pos) % 64 AS INT))) != 0)")
     df.filter(col("__bw").isNull || probeOk)
       .select("file").collect().map(_.getString(0)).toSeq.sorted
   }
@@ -1562,36 +1577,36 @@ final class GraftTable(spark: SparkSession, val path: String,
     }
     Option(java.nio.file.Paths.get(path, "_graft_staging").toFile.listFiles())
       .foreach(_.foreach(rmTree))
-    // checkpoint orphan sweep: a ckpt dir whose `#ckpt:` marker never
-    // committed (crashed checkpoint, lost OCC race) or whose version is
-    // gone is referenced by no manifest — reclaim it
-    val curV0 = versions.lastOption.getOrElse(0L)
-    Option(ckptRoot.toFile.listFiles()).getOrElse(Array.empty).foreach { f =>
-      val committed = f.isDirectory && f.getName.startsWith("v") &&
-        (f.getName.drop(1).split("_", 2) match {
-          case Array(ver, nonce) if ver.nonEmpty && ver.forall(_.isDigit) =>
-            val vl = ver.toLong
-            vl <= curV0 && java.nio.file.Files.exists(manifestPath(vl)) &&
-              rawEntries(vl).contains(s"#ckpt:$nonce")
-          case _ => false
-        })
-      if (!committed) rmTree(f)
+    // checkpoint / deletion-vector orphan sweeps: a sidecar dir whose
+    // `#ckpt:`/`#dv:` marker never committed (crashed writer, lost OCC
+    // race) or whose version is gone is referenced by no manifest —
+    // reclaim it. AGE-GATED: a concurrent writer stages its sidecar dir
+    // BEFORE linking the marker, so an un-gated sweep would delete an
+    // in-flight dir and the writer would then commit a marker pointing
+    // at nothing — every version from there to the next checkpoint
+    // unreadable. Only dirs older than `orphanGraceMs` (dir mtime) are
+    // eligible; any plausibly-in-flight dir survives until the next
+    // vacuum. (The KEPT-manifest file sweep above needs no gate: a
+    // crashed commit's data files are re-staged, never re-linked.)
+    val sweepNow = System.currentTimeMillis()
+    def sweepOrphans(root: java.nio.file.Path, marker: String,
+                     curV: Long): Unit = {
+      Option(root.toFile.listFiles()).getOrElse(Array.empty).foreach { f =>
+        val committed = f.isDirectory && f.getName.startsWith("v") &&
+          (f.getName.drop(1).split("_", 2) match {
+            case Array(ver, nonce) if ver.nonEmpty && ver.forall(_.isDigit) =>
+              val vl = ver.toLong
+              vl <= curV && java.nio.file.Files.exists(manifestPath(vl)) &&
+                rawEntries(vl).contains(s"#$marker:$nonce")
+            case _ => false
+          })
+        if (!committed && sweepNow - f.lastModified() >= orphanGraceMs)
+          rmTree(f)
+      }
     }
-    // deletion-vector orphan sweep: a dir whose `#dv:` marker never
-    // committed (crashed delete, lost OCC race, merged-away ref) or
-    // whose version is gone is invisible to every read — reclaim it
     val curV = versions.lastOption.getOrElse(0L)
-    Option(dvRoot.toFile.listFiles()).getOrElse(Array.empty).foreach { f =>
-      val committed = f.isDirectory && f.getName.startsWith("v") &&
-        (f.getName.drop(1).split("_", 2) match {
-          case Array(ver, nonce) if ver.nonEmpty && ver.forall(_.isDigit) =>
-            val vl = ver.toLong
-            vl <= curV && java.nio.file.Files.exists(manifestPath(vl)) &&
-              rawEntries(vl).contains(s"#dv:$nonce")
-          case _ => false
-        })
-      if (!committed) rmTree(f)
-    }
+    sweepOrphans(ckptRoot, "ckpt", curV)
+    sweepOrphans(dvRoot, "dv", curV)
     // prune now-empty partition directories (an all-history partition
     // leaves an empty dir behind once its files are reclaimed)
     def prune(f: java.io.File): Boolean = { // true = f was removed

@@ -21,15 +21,68 @@ object GraftTableMeta {
     java.nio.file.Paths.get(path, "_graft_meta.json")
 
   private def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
-  private def unesc(s: String) = s.replace("\\\"", "\"").replace("\\\\", "\\")
 
   private def arr(xs: Seq[String]) =
     xs.map(x => "\"" + esc(x) + "\"").mkString("[", ",", "]")
 
-  private def parseArr(body: String): Seq[String] =
-    if (body.trim.isEmpty) Seq.empty
-    else body.split("\",\\s*\"").toSeq
-      .map(s => unesc(s.stripPrefix("\"").stripSuffix("\"")))
+  /** Lex the flat single-object JSON this module writes into key →
+    * raw-value pairs, honoring backslash escapes inside string
+    * literals — so column names containing `]`, `",` or `"` (which
+    * `write` escapes correctly) round-trip instead of silently
+    * corrupting. Values are either a string literal, an array of
+    * string literals, or an int.
+    */
+  private def lexObject(txt: String): Map[String, Either[String, Seq[String]]] = {
+    var i = 0
+    val n = txt.length
+    def skipWs(): Unit = while (i < n && txt(i).isWhitespace) i += 1
+    def expect(c: Char): Unit = {
+      skipWs()
+      require(i < n && txt(i) == c, s"bad _graft_meta.json: expected '$c' at $i")
+      i += 1
+    }
+    // one string literal starting at txt(i) == '"'; returns the UNESCAPED value
+    def str(): String = {
+      expect('"')
+      val sb = new StringBuilder
+      while (i < n && txt(i) != '"') {
+        if (txt(i) == '\\' && i + 1 < n) { sb.append(txt(i + 1)); i += 2 }
+        else { sb.append(txt(i)); i += 1 }
+      }
+      require(i < n, "bad _graft_meta.json: unterminated string")
+      i += 1 // closing quote
+      sb.toString
+    }
+    val out = scala.collection.mutable.Map.empty[String, Either[String, Seq[String]]]
+    expect('{')
+    skipWs()
+    while (i < n && txt(i) != '}') {
+      val key = str()
+      expect(':')
+      skipWs()
+      val value: Either[String, Seq[String]] =
+        if (txt(i) == '[') {
+          i += 1; skipWs()
+          val items = scala.collection.mutable.ArrayBuffer.empty[String]
+          while (i < n && txt(i) != ']') {
+            items += str()
+            skipWs()
+            if (i < n && txt(i) == ',') { i += 1; skipWs() }
+          }
+          expect(']')
+          Right(items.toSeq)
+        } else if (txt(i) == '"') Left(str())
+        else { // bare scalar (int)
+          val start = i
+          while (i < n && txt(i) != ',' && txt(i) != '}') i += 1
+          Left(txt.substring(start, i).trim)
+        }
+      out(key) = value
+      skipWs()
+      if (i < n && txt(i) == ',') { i += 1; skipWs() }
+    }
+    out.toMap
+  }
 
   /** Write (or replace) the sidecar atomically. */
   def write(path: String, m: GraftTableMeta): Unit = {
@@ -46,29 +99,24 @@ object GraftTableMeta {
     ()
   }
 
-  /** The sidecar, if present. Field extraction by labelled scan of the
-    * single-object JSON this module writes (same hand-rolled discipline
-    * as the manifest format — no JSON library dependency).
+  /** The sidecar, if present. Parsed by an escape-aware lexer over the
+    * single-object JSON this module writes (no JSON library
+    * dependency) — names containing quotes, brackets or `",` sequences
+    * round-trip exactly as `write` escaped them.
     */
   def read(path: String): Option[GraftTableMeta] = {
     val p = sidecar(path)
     if (!java.nio.file.Files.exists(p)) return None
-    val txt = java.nio.file.Files.readString(p)
-    def field(name: String): String = {
-      val at = txt.indexOf(s""""$name":""")
-      require(at >= 0, s"bad _graft_meta.json: missing $name")
-      txt.substring(at + name.length + 3)
+    val fields = lexObject(java.nio.file.Files.readString(p))
+    def arrField(name: String): Seq[String] = fields.get(name) match {
+      case Some(Right(xs)) => xs
+      case other => sys.error(s"bad _graft_meta.json: $name = $other")
     }
-    def arrField(name: String): Seq[String] = {
-      val rest = field(name)
-      parseArr(rest.substring(rest.indexOf('[') + 1, rest.indexOf(']')))
+    def strField(name: String): String = fields.get(name) match {
+      case Some(Left(s)) => s
+      case other => sys.error(s"bad _graft_meta.json: $name = $other")
     }
-    def strField(name: String): String = {
-      val rest = field(name).dropWhile(_ != '"').drop(1)
-      unesc(rest.substring(0, rest.indexOf('"')))
-    }
-    def intField(name: String): Int =
-      field(name).takeWhile(_.isDigit).toInt
+    def intField(name: String): Int = strField(name).toInt
     Some(GraftTableMeta(arrField("keys"), strField("partitionCol"),
       arrField("statsCols"), arrField("bloomCols"), intField("bloomBits")))
   }

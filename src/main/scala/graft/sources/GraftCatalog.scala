@@ -129,7 +129,12 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   override def dropTable(ident: Identifier): Boolean = {
     val dir = Paths.get(dirOf(ident.namespace, ident.name))
-    if (!Files.isDirectory(dir)) return false
+    // only remove directories that ARE graft tables (the same
+    // _graft_meta.json predicate tableExists/listTables use) — DROP
+    // TABLE on an identifier that happens to name an arbitrary
+    // directory under the catalog root must not delete it
+    if (!Files.isDirectory(dir) ||
+      !Files.exists(dir.resolve("_graft_meta.json"))) return false
     graft.operators.Fs.deleteTree(dir)
     true
   }
@@ -180,10 +185,18 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
   override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
     val d = nsDir(namespace)
     if (!Files.isDirectory(d)) return false
-    val empty = Option(d.toFile.listFiles()).forall(_.isEmpty)
-    if (!empty && !cascade)
+    val children = Option(d.toFile.listFiles()).getOrElse(Array.empty)
+    if (children.nonEmpty && !cascade)
       throw new IllegalStateException(
         s"namespace ${namespace.mkString(".")} is not empty")
+    // cascade only reclaims graft tables; refuse if a non-table
+    // directory is nested here (same guard as dropTable)
+    val strangers = children.filter(c => c.isDirectory &&
+      !Files.exists(c.toPath.resolve("_graft_meta.json")))
+    if (strangers.nonEmpty)
+      throw new IllegalStateException(
+        s"namespace ${namespace.mkString(".")} contains non-graft-table " +
+          s"directories: ${strangers.map(_.getName).mkString(", ")}")
     graft.operators.Fs.deleteTree(d)
     true
   }

@@ -292,4 +292,61 @@ class GraftTableAdviceSpec extends SparkSpec {
           Map("n" -> GraftTable.src("n")))))
     }
   }
+
+  test("footer-harvested stats prune TIMESTAMP and DATE zone maps " +
+    "(TIMESTAMP_MICROS pinned by GraftSession.tune)") {
+    val p = dir()
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    def dt(s: String) = java.sql.Date.valueOf(s)
+    val t = new GraftTable(spark, p, keys = Seq("pk"), partitionCol = "day",
+      statsCols = Seq("at", "dt"))
+    val df = Seq(
+      ("d1", "a", ts("2024-01-01 00:00:00"), dt("2024-01-01"), 1),
+      ("d1", "b", ts("2024-01-02 00:00:00"), dt("2024-01-02"), 2),
+      ("d2", "c", ts("2024-06-01 00:00:00"), dt("2024-06-01"), 3),
+      ("d2", "d", ts("2024-06-02 00:00:00"), dt("2024-06-02"), 4))
+      .toDF("day", "pk", "at", "dt", "n")
+    t.createIfNotExists(df.schema)
+    t.importOnce(df)
+    assert(t.dataFileCount == 2)
+    // timestamp range covering only d1 must prune the d2 file — this is
+    // exactly what breaks if footers were written INT96 (footerCanon
+    // returns None → no stats → no pruning)
+    val cand = t.candidateFiles("at",
+      ts("2024-01-01 00:00:00"), ts("2024-01-03 00:00:00"))
+    assert(cand.size == 1, s"timestamp zone map did not prune: $cand")
+    assert(t.readWhereBetween("at", ts("2024-01-01 00:00:00"),
+      ts("2024-01-03 00:00:00")).select("n").as[Int].collect().toSet == Set(1, 2))
+    // same for DATE (INT32 epoch days in the footer)
+    val candD = t.candidateFiles("dt", dt("2024-05-01"), dt("2024-07-01"))
+    assert(candD.size == 1, s"date zone map did not prune: $candD")
+    assert(t.readWhereBetween("dt", dt("2024-05-01"), dt("2024-07-01"))
+      .select("n").as[Int].collect().toSet == Set(3, 4))
+  }
+
+  test("DF-path bloom probe at checkpoint-backed versions honors each " +
+    "entry's own geometry (mixed-bits history, reopened instance)") {
+    val p = dir()
+    val mk = (bits: Int) => new GraftTable(spark, p, keys = Seq("pk", "rk"),
+      partitionCol = "day", bloomCols = Seq("rk"), bloomBits = bits)
+    val a = mk(1024)
+    a.createIfNotExists(rows().schema)
+    a.importOnce(rows(("d1", "p", "r1", 1), ("d1", "p", "r2", 2)))
+    // a second writer under DIFFERENT bits: its entries carry mod-256
+    mk(256).upsertReplace(rows(("d2", "p", "r3", 3)))
+    // enough commits to roll a parquet checkpoint (CheckpointEvery=8),
+    // so equality pruning takes the snapshot-frame (DF) path
+    for (i <- 0 until 8)
+      mk(512).upsertReplace(rows((s"e$i", "p", s"x$i", 100 + i)))
+    // reopened with yet another modulus: the DF probe must use each
+    // entry's stored k/bits, never the instance's
+    val t = mk(4096)
+    assert(t.readWhereEquals("rk", "r3").select("n").as[Int].collect().toSet
+      == Set(3), "DF-path bloom probe false-pruned or mis-probed")
+    assert(t.candidateFilesEquals("rk", "r3").size < t.dataFileCount,
+      "DF-path bloom probe stopped pruning")
+    // value present in the FIRST writer's mod-1024 entries
+    assert(t.readWhereEquals("rk", "r1").select("n").as[Int].collect().toSet
+      == Set(1))
+  }
 }

@@ -517,8 +517,18 @@ class GraftTableSpec extends SparkSpec {
     t.deleteWhere(col("n") === 30)
     val orphan = java.nio.file.Paths.get(t.path, "_graft_log", "dv", "v000099_deadbeef")
     java.nio.file.Files.createDirectories(orphan)
+    // a FRESH orphan (inside the grace window) must survive: it may be
+    // a concurrent writer's staged-but-not-yet-linked sidecar dir
     t.vacuum(1)
-    assert(!java.nio.file.Files.exists(orphan), "orphan dv dir must be swept")
+    assert(java.nio.file.Files.exists(orphan),
+      "orphan dv dir inside the grace window must NOT be swept")
+    // past the grace window it is reclaimable
+    val saved = GraftTable.orphanGraceMs
+    try {
+      GraftTable.orphanGraceMs = 0L
+      t.vacuum(1)
+    } finally GraftTable.orphanGraceMs = saved
+    assert(!java.nio.file.Files.exists(orphan), "aged orphan dv dir must be swept")
     assert(t.read.select("n").as[Int].collect().toSet == Set(10))
     assert(t.readWhereBetween("n", 0, 100).select("n").as[Int].collect().toSet
       == Set(10), "the stats-pruned read must subtract merged vectors")

@@ -254,4 +254,49 @@ class GraftCatalogSpec extends SparkSpec {
       s"restart must drain only the manifest diff, got $diff")
     assert(!diff.exists(_._1 == "r1"), "untouched partition re-emitted")
   }
+
+  test("DROP TABLE only deletes graft tables: a stranger directory under " +
+    "the catalog root survives; cascade refuses it") {
+    val (cat, root) = freshCatalog()
+    seed(root)
+    // an arbitrary directory that merely LOOKS like a table identifier
+    val stranger = java.nio.file.Paths.get(root, "db", "not_a_table")
+    Files.createDirectories(stranger)
+    Files.writeString(stranger.resolve("precious.txt"), "do not delete")
+    spark.sql(s"DROP TABLE IF EXISTS $cat.db.not_a_table")
+    assert(Files.exists(stranger.resolve("precious.txt")),
+      "DROP TABLE deleted a non-table directory")
+    // the catalog-level guard directly (SQL may short-circuit on
+    // tableExists before reaching dropTable)
+    val tc = spark.sessionState.catalogManager.catalog(cat)
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+    assert(!tc.dropTable(org.apache.spark.sql.connector.catalog.Identifier
+      .of(Array("db"), "not_a_table")), "dropTable returned true for a non-table")
+    assert(Files.exists(stranger.resolve("precious.txt")),
+      "catalog dropTable deleted a non-table directory")
+    // cascade drop of the namespace refuses while the stranger is nested
+    intercept[Exception] {
+      spark.sql(s"DROP NAMESPACE $cat.db CASCADE")
+    }
+    assert(Files.exists(stranger.resolve("precious.txt")))
+    // real tables still drop
+    spark.sql(s"DROP TABLE $cat.db.t")
+    assert(!Files.isDirectory(java.nio.file.Paths.get(root, "db", "t")))
+  }
+
+  test("meta sidecar round-trips hostile column names (quotes, brackets, " +
+    "comma-quote sequences)") {
+    val dir = Files.createTempDirectory("graft_meta").toString + "/t"
+    val nasty = GraftTableMeta(
+      keys = Seq("""k"1""", "k]2"), partitionCol = """p"[,"col""",
+      statsCols = Seq("""a",b"""), bloomCols = Seq("""c\"d""", "e"),
+      bloomBits = 256)
+    GraftTableMeta.write(dir, nasty)
+    assert(GraftTableMeta.read(dir).contains(nasty),
+      s"round-trip corrupted: ${GraftTableMeta.read(dir)}")
+    // plain names unchanged
+    val plain = GraftTableMeta(Seq("pk", "rk"), "day", Seq("n"), Nil, 1024)
+    GraftTableMeta.write(dir, plain)
+    assert(GraftTableMeta.read(dir).contains(plain))
+  }
 }
