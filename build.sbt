@@ -15,7 +15,7 @@ run / fork := true
 // [info]-prefixes forked stdout and appends a [success] banner, which
 // breaks that contract — emit raw stdout and no banner instead.
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
-ThisBuild / showSuccess := false
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -57,6 +57,13 @@ object GraftSession {
     val extra = spark.experimental.extraOptimizations
     if (!extra.contains(graft.ext.RewriteHofFixedDot))
       spark.experimental.extraOptimizations = extra :+ graft.ext.RewriteHofFixedDot
+    // SQL MERGE INTO / UPDATE over graft catalog tables: experimental
+    // strategies plan ahead of the built-ins, claiming the resolved
+    // command before BasicOperators rejects it as unsupported.
+    val strats = spark.experimental.extraStrategies
+    if (!strats.contains(org.apache.spark.sql.graft.GraftRowLevelSqlStrategy))
+      spark.experimental.extraStrategies =
+        strats :+ org.apache.spark.sql.graft.GraftRowLevelSqlStrategy
     spark
   }
 

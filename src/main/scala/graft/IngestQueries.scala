@@ -1683,6 +1683,136 @@ object IngestQueries {
         SELECT CAST(user_id % 8 AS BIGINT) AS pk,
           CAST(count(*) AS BIGINT) AS n_events,
           CAST(SUM(cents) AS BIGINT) AS sum_cents
-        FROM pick GROUP BY 1"""))
+        FROM pick GROUP BY 1""")),
+
+    // SQL MERGE INTO — the reference's core write semantic (keyed
+    // upsert-merge, storage/azurestoragewrapper.py:237-258) as ONE SQL
+    // statement, all FOUR clause families in a single atomic commit:
+    // conditional DELETE, ordered UPDATE (first-hit-wins), conditional
+    // INSERT, and WHEN NOT MATCHED BY SOURCE. Planned by
+    // GraftRowLevelSqlStrategy onto GraftTable.merge's clause ladder,
+    // so only partitions holding a claimed row rewrite. The oracle
+    // replays the statement as a relational state diff (DuckDB has no
+    // MERGE): matched rows via join, by-source rows via anti-join,
+    // inserts via anti-join the other way. Source is key-unique by
+    // GROUP BY (the ANSI multiple-match precondition); the target keeps
+    // raw duplicate event_ids — every copy of a matched key updates,
+    // the ANSI 1:N target side.
+    QuerySpec("q239_sql_merge",
+      (s, dir) => {
+        GraftSession.tune(s)
+        val base = java.nio.file.Files.createTempDirectory("graft_q239_").toString
+        Tables.events(s, dir).createOrReplaceTempView("q239_events")
+        val cat = s"gcat_${java.util.UUID.randomUUID().toString.take(8)}"
+          .replace("-", "_")
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.root", base)
+        s.sql(s"""CREATE TABLE $cat.db.m (
+            event_id BIGINT, user_id BIGINT, cents BIGINT, pk BIGINT)
+          PARTITIONED BY (pk)
+          TBLPROPERTIES ('keys'='event_id', 'statsCols'='cents')""")
+        s.sql(s"""INSERT INTO $cat.db.m (event_id, user_id, cents, pk)
+          SELECT event_id, user_id, CAST(round(value * 100) AS BIGINT),
+            user_id % 4
+          FROM q239_events WHERE event_id % 2 = 0""")
+        s.sql("""CREATE OR REPLACE TEMP VIEW q239_src AS
+          SELECT event_id, CAST(max(user_id) AS BIGINT) AS user_id,
+            CAST(max(CAST(round(value * 100) AS BIGINT)) + 17 AS BIGINT) AS cents,
+            CAST(max(user_id) % 4 AS BIGINT) AS pk
+          FROM q239_events WHERE event_id % 3 = 0 GROUP BY event_id""")
+        s.sql(s"""MERGE INTO $cat.db.m t USING q239_src s
+          ON t.event_id = s.event_id
+          WHEN MATCHED AND s.cents < 2000 THEN DELETE
+          WHEN MATCHED THEN UPDATE SET cents = s.cents, user_id = s.user_id
+          WHEN NOT MATCHED AND s.pk <> 3 THEN
+            INSERT (event_id, user_id, cents, pk)
+            VALUES (s.event_id, s.user_id, s.cents, s.pk)
+          WHEN NOT MATCHED BY SOURCE AND t.cents > 9000 THEN
+            UPDATE SET cents = t.cents - 9000""")
+        val out = s.sql(s"SELECT event_id, user_id, cents, pk FROM $cat.db.m")
+        val snap = out.localCheckpoint(true)
+        graft.operators.Fs.deleteTree(base)
+        snap
+      },
+      Some("""
+        WITH e AS (
+          SELECT event_id, user_id,
+            CAST(round(value * 100) AS BIGINT) AS cents,
+            CAST(user_id % 4 AS BIGINT) AS pk
+          FROM events),
+        tgt AS (SELECT * FROM e WHERE event_id % 2 = 0),
+        src AS (
+          SELECT event_id, CAST(max(user_id) AS BIGINT) AS user_id,
+            CAST(max(cents) + 17 AS BIGINT) AS cents,
+            CAST(max(user_id) % 4 AS BIGINT) AS pk
+          FROM e WHERE event_id % 3 = 0 GROUP BY event_id),
+        matched AS (
+          SELECT t.event_id, s.user_id AS s_user, s.cents AS s_cents,
+            t.user_id, t.cents, t.pk
+          FROM tgt t JOIN src s ON t.event_id = s.event_id),
+        upd AS (
+          SELECT event_id, s_user AS user_id, s_cents AS cents, pk
+          FROM matched WHERE s_cents >= 2000),
+        by_source AS (
+          SELECT t.event_id, t.user_id,
+            CASE WHEN t.cents > 9000 THEN t.cents - 9000 ELSE t.cents END AS cents,
+            t.pk
+          FROM tgt t
+          WHERE t.event_id NOT IN (SELECT event_id FROM src)),
+        ins AS (
+          SELECT s.event_id, s.user_id, s.cents, s.pk FROM src s
+          WHERE s.event_id NOT IN (SELECT event_id FROM tgt) AND s.pk <> 3)
+        SELECT event_id, user_id, cents, pk FROM upd
+        UNION ALL SELECT event_id, user_id, cents, pk FROM by_source
+        UNION ALL SELECT event_id, user_id, cents, pk FROM ins""")),
+
+    // SQL UPDATE — predicate update as one statement, incl. a second
+    // PARTITION-MOVING update (SET pk = …): matching rows relocate to
+    // their new partition, untouched partitions keep their files.
+    // Both statements plan through GraftRowLevelSqlStrategy onto
+    // GraftTable.updateWhere (touched-partition rewrite, no-match =
+    // no commit). Oracle: two stacked CASE projections.
+    QuerySpec("q240_sql_update",
+      (s, dir) => {
+        GraftSession.tune(s)
+        val base = java.nio.file.Files.createTempDirectory("graft_q240_").toString
+        Tables.events(s, dir).createOrReplaceTempView("q240_events")
+        val cat = s"gcat_${java.util.UUID.randomUUID().toString.take(8)}"
+          .replace("-", "_")
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.root", base)
+        s.sql(s"""CREATE TABLE $cat.db.u (
+            event_id BIGINT, user_id BIGINT, cents BIGINT, pk BIGINT)
+          PARTITIONED BY (pk)
+          TBLPROPERTIES ('keys'='event_id', 'statsCols'='cents')""")
+        s.sql(s"""INSERT INTO $cat.db.u (event_id, user_id, cents, pk)
+          SELECT event_id, user_id, CAST(round(value * 100) AS BIGINT),
+            user_id % 4
+          FROM q240_events WHERE event_id % 2 = 0""")
+        s.sql(s"""UPDATE $cat.db.u SET cents = cents * 2, user_id = user_id + 1
+          WHERE cents BETWEEN 1000 AND 4999 AND pk <> 2""")
+        s.sql(s"UPDATE $cat.db.u SET pk = (pk + 1) % 4 WHERE cents < 500")
+        val out = s.sql(s"SELECT event_id, user_id, cents, pk FROM $cat.db.u")
+        val snap = out.localCheckpoint(true)
+        graft.operators.Fs.deleteTree(base)
+        snap
+      },
+      Some("""
+        WITH e AS (
+          SELECT event_id, user_id,
+            CAST(round(value * 100) AS BIGINT) AS cents,
+            CAST(user_id % 4 AS BIGINT) AS pk
+          FROM events WHERE event_id % 2 = 0),
+        u1 AS (
+          SELECT event_id,
+            CASE WHEN cents BETWEEN 1000 AND 4999 AND pk <> 2
+              THEN user_id + 1 ELSE user_id END AS user_id,
+            CASE WHEN cents BETWEEN 1000 AND 4999 AND pk <> 2
+              THEN cents * 2 ELSE cents END AS cents,
+            pk
+          FROM e)
+        SELECT event_id, user_id, cents,
+          CASE WHEN cents < 500 THEN (pk + 1) % 4 ELSE pk END AS pk
+        FROM u1"""))
   )
 }

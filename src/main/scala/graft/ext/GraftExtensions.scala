@@ -93,6 +93,9 @@ object RewriteHofFixedDot extends Rule[LogicalPlan] {
   * GraftExtensions)` or `--conf spark.sql.extensions=graft.ext.GraftExtensions`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => RewriteHofFixedDot)
+    ext.injectPlannerStrategy(_ =>
+      org.apache.spark.sql.graft.GraftRowLevelSqlStrategy)
+  }
 }

@@ -2098,6 +2098,41 @@ final class GraftTable(spark: SparkSession, val path: String,
     this
   }
 
+  /** Predicate UPDATE (the ANSI `UPDATE t SET c = e WHERE p`
+    * statement): rows matching `cond` take their assigned expressions
+    * (over bare target column names), every other row — and every
+    * untouched PARTITION'S files — stays byte-for-byte. Assigning the
+    * partition column moves matching rows to their new partition (the
+    * [[merge]] partition-move discipline). No match → no commit, like
+    * [[deleteWhereRewrite]]. SQL-reachable as `UPDATE cat.db.t SET …`
+    * through [[org.apache.spark.sql.graft.GraftRowLevelSql]].
+    */
+  def updateWhere(cond: org.apache.spark.sql.Column,
+                  set: Map[String, org.apache.spark.sql.Column]): this.type = {
+    require(set.nonEmpty, "updateWhere needs at least one assignment")
+    val base = ensureBaselineVersion()
+    val tgt = readAt(base)
+    val typeOf = tgt.schema.fields.map(f => f.name -> f.dataType).toMap
+    val bad = set.keys.filterNot(typeOf.contains)
+    require(bad.isEmpty,
+      s"updateWhere assigns columns not in the table: ${bad.mkString(", ")}")
+    val matched = coalesce(cond, lit(false))
+    val touchedVals = partitionValsOf(tgt.filter(matched))
+    if (touchedVals.isEmpty) return this // no match — no commit
+    val touched = spark.createDataset(touchedVals.map(_.orNull))(
+      org.apache.spark.sql.Encoders.STRING).toDF("__tp")
+    val current = tgt
+      .join(touched, col(partitionCol).cast("string") <=> col("__tp"), "left_semi")
+    val updated = current.select(tgt.columns.toSeq.map { c =>
+      set.get(c).map(e => when(matched, e.cast(typeOf(c))).otherwise(col(c)))
+        .getOrElse(col(c)).as(c)
+    }: _*)
+    val staged = Staging.stage(updated, "update_where_barrier")
+    commitRewrite(staged.df, touchedVals, base)
+    staged.delete()
+    this
+  }
+
   /** Insert-if-absent (K8): append only rows whose key is not yet
     * present — never reads back or rewrites existing files, so it is
     * cheap and idempotent at any scale (reference `server/etl.py:148-149`).
@@ -2149,6 +2184,11 @@ final class GraftTable(spark: SparkSession, val path: String,
     *   - `notMatchedInsert` inserts source rows matching no target key
     *     whose condition holds; unassigned table columns pad typed
     *     null. Assignments may only use [[GraftTable.src]] names.
+    *   - `notMatchedBySource` clauses (ANSI WHEN NOT MATCHED BY SOURCE)
+    *     evaluate IN ORDER on target rows NO source key matches;
+    *     conditions and assignments may reference TARGET columns only
+    *     (the ANSI restriction — [[GraftTable.src]] values are null on
+    *     this side). Only partitions holding a claimed row rewrite.
     *   - The source must be key-UNIQUE (one source row per target row
     *     — Delta's multiple-match error, checked up front), so the
     *     merge is deterministic under any partitioning.
@@ -2164,8 +2204,10 @@ final class GraftTable(spark: SparkSession, val path: String,
   def merge(source: DataFrame, matched: Seq[GraftTable.MatchedClause],
             notMatchedInsert: Option[(org.apache.spark.sql.Column,
                                       Map[String, org.apache.spark.sql.Column])] = None,
-            allowSchemaEvolution: Boolean = false): this.type =
-    doMerge(source, matched, notMatchedInsert, allowSchemaEvolution, Nil)
+            allowSchemaEvolution: Boolean = false,
+            notMatchedBySource: Seq[GraftTable.MatchedClause] = Nil): this.type =
+    doMerge(source, matched, notMatchedInsert, allowSchemaEvolution, Nil,
+      notMatchedBySource)
 
   /** IDEMPOTENT [[merge]] for exactly-once streaming CDC apply — the
     * [[upsertReplaceBatch]] discipline generalized to the full MERGE
@@ -2179,11 +2221,12 @@ final class GraftTable(spark: SparkSession, val path: String,
                  matched: Seq[GraftTable.MatchedClause],
                  notMatchedInsert: Option[(org.apache.spark.sql.Column,
                                            Map[String, org.apache.spark.sql.Column])] = None,
-                 allowSchemaEvolution: Boolean = false): Boolean = {
+                 allowSchemaEvolution: Boolean = false,
+                 notMatchedBySource: Seq[GraftTable.MatchedClause] = Nil): Boolean = {
     val base = ensureBaselineVersion()
     if (batchId <= txnState(base).getOrElse(b64e(appId), -1L)) return false
     doMerge(source, matched, notMatchedInsert, allowSchemaEvolution,
-      Seq(s"#txn:${b64e(appId)}:$batchId"))
+      Seq(s"#txn:${b64e(appId)}:$batchId"), notMatchedBySource)
     true
   }
 
@@ -2191,14 +2234,17 @@ final class GraftTable(spark: SparkSession, val path: String,
                       notMatchedInsert: Option[(org.apache.spark.sql.Column,
                                                 Map[String, org.apache.spark.sql.Column])],
                       allowSchemaEvolution: Boolean,
-                      markers: Seq[String]): this.type = {
+                      markers: Seq[String],
+                      notMatchedBySource: Seq[GraftTable.MatchedClause] = Nil)
+      : this.type = {
     import GraftTable.{MatchedDelete, MatchedUpdate}
-    require(matched.nonEmpty || notMatchedInsert.nonEmpty,
-      "merge needs at least one clause")
+    require(matched.nonEmpty || notMatchedInsert.nonEmpty ||
+      notMatchedBySource.nonEmpty, "merge needs at least one clause")
     val base = ensureBaselineVersion()
     val tgt = readAt(base)
     val typeOf0 = tgt.schema.fields.map(f => f.name -> f.dataType).toMap
     val assignments = (matched.collect { case MatchedUpdate(_, set) => set.toSeq }
+      .flatten ++ notMatchedBySource.collect { case MatchedUpdate(_, set) => set.toSeq }
       .flatten ++ notMatchedInsert.toSeq.flatMap(_._2.toSeq))
     val badAssign = assignments.map(_._1).distinct.filterNot(typeOf0.contains)
     require(badAssign.isEmpty || allowSchemaEvolution,
@@ -2225,11 +2271,27 @@ final class GraftTable(spark: SparkSession, val path: String,
 
     // partitions holding a matched key rewrite; everything else is
     // untouched (clause-less matched side: nothing can change, so no
-    // partition rewrites — an insert-only merge is a pure append)
+    // partition rewrites — an insert-only merge is a pure append).
+    // WHEN NOT MATCHED BY SOURCE widens the touched set to partitions
+    // holding an UNMATCHED row some by-source clause claims — the
+    // clause conditions reference target columns only (ANSI), so they
+    // evaluate on the bare target frame.
     val matchedKeys = sPref.select(keys.map(k => col(s"__s_$k").as(k)): _*).distinct()
-    val touched =
+    val matchedTouched =
       (if (matched.isEmpty) tgt.limit(0) else tgt.join(matchedKeys, keys.toSeq, "left_semi"))
-        .select(col(partitionCol)).distinct().localCheckpoint(true)
+        .select(col(partitionCol))
+    val nmbsTouched =
+      if (notMatchedBySource.isEmpty) tgt.limit(0).select(col(partitionCol))
+      else {
+        val anyCond = notMatchedBySource.map {
+          case MatchedUpdate(c, _) => c
+          case MatchedDelete(c)    => c
+        }.map(c => coalesce(c, lit(false))).reduce(_ || _)
+        tgt.join(matchedKeys, keys.toSeq, "left_anti").filter(anyCond)
+          .select(col(partitionCol))
+      }
+    val touched = matchedTouched.union(nmbsTouched)
+      .distinct().localCheckpoint(true)
     val tp = touched.withColumnRenamed(partitionCol, "__tp")
     val current = tgt.join(tp, col(partitionCol) <=> col("__tp"), "left_semi")
 
@@ -2251,22 +2313,31 @@ final class GraftTable(spark: SparkSession, val path: String,
     val typeOf = typeOf0 ++ newFields.map(f => f.name -> f.dataType)
     val isNew = badAssign.toSet
 
-    // matched ⇒ the join equality held ⇒ every __s_ key is non-null
+    // matched ⇒ the join equality held ⇒ every __s_ key is non-null.
+    // The clause ladder is ONE ordered list: matched clauses guard on
+    // isMatched, not-matched-by-source clauses on !isMatched — disjoint
+    // row sets, so each family keeps its own ANSI first-hit-wins order.
     val isMatched = col(s"__s_${keys.head}").isNotNull
-    val action = matched.zipWithIndex.foldLeft(
-      when(lit(false), lit(-1))) { case (acc, (cl, i)) =>
+    val allClauses = matched.map((_, true)) ++ notMatchedBySource.map((_, false))
+    val action = allClauses.zipWithIndex.foldLeft(
+      when(lit(false), lit(-1))) { case (acc, ((cl, onMatch), i)) =>
       val c = cl match {
         case MatchedUpdate(c0, _) => c0
         case MatchedDelete(c0)    => c0
       }
-      acc.when(isMatched && coalesce(c, lit(false)), lit(i))
+      val guard = if (onMatch) isMatched else !isMatched
+      acc.when(guard && coalesce(c, lit(false)), lit(i))
     }.otherwise(lit(-1))
     val acted = joined.withColumn("__act", action)
-    val deleteIdx = matched.zipWithIndex.collect { case (MatchedDelete(_), i) => i }
+    val deleteIdx = allClauses.zipWithIndex.collect {
+      case ((MatchedDelete(_), _), i) => i
+    }
     val kept =
       if (deleteIdx.isEmpty) acted
       else acted.filter(!col("__act").isin(deleteIdx: _*))
-    val updates = matched.zipWithIndex.collect { case (MatchedUpdate(_, set), i) => (i, set) }
+    val updates = allClauses.zipWithIndex.collect {
+      case ((MatchedUpdate(_, set), _), i) => (i, set)
+    }
     val survivors = kept.select(tableCols.map { c =>
       val keepVal = if (isNew(c)) lit(null).cast(typeOf(c)) else col(c)
       updates.filter(_._2.contains(c)).foldLeft(when(lit(false), lit(null))) {

@@ -1,0 +1,251 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.classic.{Dataset, SparkSession => ClassicSession}
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy}
+import org.apache.spark.sql.execution.datasources.v2.{DataSourceV2Relation, DataSourceV2ScanRelation, V2CommandExec}
+import org.apache.spark.sql.functions.{coalesce, lit, when}
+
+import graft.operators.GraftTable
+
+/** SQL `MERGE INTO` and `UPDATE` for graft tables — the reference's
+  * core write semantic (keyed upsert-merge,
+  * `storage/azurestoragewrapper.py:237-258`) as ONE SQL statement.
+  *
+  * Spark 4 resolves `MergeIntoTable` / `UpdateTable` fully (assignments
+  * typed and cast, attributes bound) and only rejects them at PHYSICAL
+  * planning when the table lacks `SupportsRowLevelOperations`
+  * (`SparkStrategies.scala:1099-1102`). [[GraftRowLevelSqlStrategy]]
+  * plans them first, translating the resolved command onto
+  * [[GraftTable.merge]]'s clause ladder / [[GraftTable.updateWhere]] —
+  * so the SQL statement gets EXACTLY the Scala API's semantics and
+  * physical shape: only partitions holding a claimed row rewrite,
+  * untouched partitions keep their files byte-for-byte, one atomic
+  * OCC commit.
+  *
+  * Restrictions (each rejected loudly, never silently degraded):
+  *   - ON must be a conjunction of `target-key = source-expression`
+  *     equalities covering exactly the table's keys — the keyed-merge
+  *     contract. Arbitrary ON predicates need a join-shaped rewrite
+  *     that cannot reuse the key-pruned partition-scoped plan.
+  *   - No subqueries inside clause conditions or assignments.
+  *   - Nested-field assignments (`SET s.a.b = …`) are not supported.
+  */
+object GraftRowLevelSql {
+
+  /** Strip alias wrappers down to the relation. */
+  @scala.annotation.tailrec
+  private def stripAlias(p: LogicalPlan): LogicalPlan = p match {
+    case SubqueryAlias(_, child) => stripAlias(child)
+    case other => other
+  }
+
+  /** The graft DSv2 table under `p`, if that is what `p` is. */
+  private[graft] def graftTarget(p: LogicalPlan): Option[GraftSqlTable] =
+    stripAlias(p) match {
+      case r: DataSourceV2Relation => r.table match {
+        case t: GraftSqlTable => Some(t)
+        case _ => None
+      }
+      case s: DataSourceV2ScanRelation => s.relation.table match {
+        case t: GraftSqlTable => Some(t)
+        case _ => None
+      }
+      case _ => None
+    }
+
+  private def targetOutput(p: LogicalPlan): Seq[Attribute] =
+    stripAlias(p) match {
+      case r: DataSourceV2Relation => r.output
+      case s: DataSourceV2ScanRelation => s.output
+      case other => other.output
+    }
+
+  private def fail(msg: String): Nothing =
+    throw new UnsupportedOperationException(s"graft SQL row-level op: $msg")
+
+  private def checkNoSubquery(e: Expression, where: String): Unit =
+    if (e.exists(_.isInstanceOf[SubqueryExpression]))
+      fail(s"subqueries are not supported in $where")
+
+  /** Remap attribute references to the name space of
+    * [[GraftTable.merge]]'s joined frame: target columns by bare name,
+    * source columns as `__s_<name>` (the [[GraftTable.src]] prefix).
+    */
+  private def remap(e: Expression, tgt: Map[ExprId, String],
+                    src: Map[ExprId, String], where: String): Column = {
+    checkNoSubquery(e, where)
+    Bridge.toColumn(e.transform {
+      case a: AttributeReference if tgt.contains(a.exprId) =>
+        UnresolvedAttribute.quoted(tgt(a.exprId))
+      case a: AttributeReference if src.contains(a.exprId) =>
+        UnresolvedAttribute.quoted(s"__s_${src(a.exprId)}")
+      case a: AttributeReference =>
+        fail(s"$where references $a, which is neither the target nor the source")
+    })
+  }
+
+  private def assignMap(assigns: Seq[Assignment], tgt: Map[ExprId, String],
+                        src: Map[ExprId, String], where: String)
+      : Map[String, Column] = {
+    val pairs = assigns.map {
+      case Assignment(k: AttributeReference, v) if tgt.contains(k.exprId) =>
+        tgt(k.exprId) -> remap(v, tgt, src, where)
+      case Assignment(k, _) =>
+        fail(s"$where assigns to $k — only top-level target columns are assignable")
+    }
+    val dup = pairs.map(_._1).diff(pairs.map(_._1).distinct)
+    if (dup.nonEmpty) fail(s"$where assigns ${dup.distinct.mkString(", ")} twice")
+    pairs.toMap
+  }
+
+  /** ANSI multi-clause WHEN NOT MATCHED THEN INSERT → the single
+    * (condition, assignments) form [[GraftTable.merge]] takes:
+    * first-hit-wins per column, overall condition = OR of clauses.
+    */
+  private def composeInserts(clauses: Seq[(Column, Map[String, Column])])
+      : (Column, Map[String, Column]) = clauses match {
+    case Seq(one) => one
+    case many =>
+      val cond = many.map(c => coalesce(c._1, lit(false))).reduce(_ || _)
+      val cols = many.flatMap(_._2.keys).distinct
+      val set = cols.map { c =>
+        c -> many.foldRight(lit(null)) { case ((ci, si), acc) =>
+          when(coalesce(ci, lit(false)), si.getOrElse(c, lit(null))).otherwise(acc)
+        }
+      }.toMap
+      (cond, set)
+  }
+
+  def runMerge(spark: ClassicSession, m: MergeIntoTable): Unit = {
+    val st = graftTarget(m.targetTable).getOrElse(
+      fail("MERGE target is not a graft table"))
+    val gt = st.gt
+    require(st.pinnedVersion == gt.currentVersion,
+      s"MERGE INTO targets a time-travel snapshot (v${st.pinnedVersion}, " +
+        s"head is v${gt.currentVersion}) — writes go to the live table only")
+    val tgtN = targetOutput(m.targetTable).map(a => a.exprId -> a.name).toMap
+    val srcOut = m.sourceTable.output
+    val srcN = srcOut.map(a => a.exprId -> a.name).toMap
+    if (srcOut.map(_.name).distinct.size != srcOut.size)
+      fail(s"MERGE source has duplicate column names — alias them apart")
+
+    // ON: a conjunction of target-key = source-expression equalities
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case x => Seq(x)
+    }
+    def srcOnly(e: Expression) = e.references.forall(a => srcN.contains(a.exprId))
+    val keyPairs: Seq[(String, Expression)] = conjuncts(m.mergeCondition).map {
+      case EqualTo(a: AttributeReference, b)
+          if tgtN.contains(a.exprId) && srcOnly(b) => tgtN(a.exprId) -> b
+      case EqualTo(a, b: AttributeReference)
+          if tgtN.contains(b.exprId) && srcOnly(a) => tgtN(b.exprId) -> a
+      case other => fail("ON must be a conjunction of <target key> = " +
+        s"<source expression> equalities over the table keys " +
+        s"(${gt.keys.mkString(", ")}); got: ${other.sql}")
+    }
+    val onCols = keyPairs.map(_._1)
+    if (onCols.distinct.size != onCols.size)
+      fail(s"ON equates a key twice: ${onCols.diff(onCols.distinct).mkString(", ")}")
+    if (onCols.toSet != gt.keys.toSet)
+      fail(s"ON must cover exactly the table keys ${gt.keys.mkString(", ")}; " +
+        s"got ${onCols.mkString(", ")}")
+
+    // the source frame [[GraftTable.merge]] receives: the source plan's
+    // columns, plus each key materialized under its target name when the
+    // ON maps it through an expression
+    var srcDf = Dataset.ofRows(spark, m.sourceTable)
+    keyPairs.foreach { case (k, e) =>
+      val already = e match {
+        case a: AttributeReference => srcN(a.exprId) == k
+        case _ => false
+      }
+      if (!already) {
+        if (srcDf.columns.contains(k))
+          fail(s"ON maps key '$k' to ${e.sql}, but the source already has a " +
+            s"column named '$k' — alias it apart")
+        checkNoSubquery(e, "the ON condition")
+        srcDf = srcDf.withColumn(k, Bridge.toColumn(e.transform {
+          case a: AttributeReference => UnresolvedAttribute.quoted(srcN(a.exprId))
+        }))
+      }
+    }
+
+    def clauses(actions: Seq[MergeAction], where: String): Seq[GraftTable.MatchedClause] =
+      actions.map {
+        case UpdateAction(cond, assigns, _) => GraftTable.MatchedUpdate(
+          cond.map(remap(_, tgtN, srcN, s"$where UPDATE condition")).getOrElse(lit(true)),
+          assignMap(assigns, tgtN, srcN, s"$where UPDATE"))
+        case DeleteAction(cond) => GraftTable.MatchedDelete(
+          cond.map(remap(_, tgtN, srcN, s"$where DELETE condition")).getOrElse(lit(true)))
+        case other => fail(s"unsupported $where action: $other")
+      }
+    val matched = clauses(m.matchedActions, "WHEN MATCHED")
+    val nmbs = clauses(m.notMatchedBySourceActions, "WHEN NOT MATCHED BY SOURCE")
+    val inserts = m.notMatchedActions.map {
+      case InsertAction(cond, assigns) =>
+        (cond.map(remap(_, tgtN, srcN, "WHEN NOT MATCHED condition")).getOrElse(lit(true)),
+          assignMap(assigns, tgtN, srcN, "WHEN NOT MATCHED INSERT"))
+      case other => fail(s"unsupported WHEN NOT MATCHED action: $other")
+    }
+    val insert = if (inserts.isEmpty) None else Some(composeInserts(inserts))
+
+    gt.merge(srcDf, matched, insert,
+      allowSchemaEvolution = m.withSchemaEvolution, notMatchedBySource = nmbs)
+    ()
+  }
+
+  def runUpdate(spark: ClassicSession, u: UpdateTable): Unit = {
+    val st = graftTarget(u.table).getOrElse(
+      fail("UPDATE target is not a graft table"))
+    val gt = st.gt
+    require(st.pinnedVersion == gt.currentVersion,
+      s"UPDATE targets a time-travel snapshot (v${st.pinnedVersion}, " +
+        s"head is v${gt.currentVersion}) — writes go to the live table only")
+    val tgtN = targetOutput(u.table).map(a => a.exprId -> a.name).toMap
+    val none = Map.empty[ExprId, String]
+    val cond = u.condition.map(remap(_, tgtN, none, "the UPDATE WHERE clause"))
+      .getOrElse(lit(true))
+    gt.updateWhere(cond, assignMap(u.assignments, tgtN, none, "UPDATE SET"))
+    ()
+  }
+}
+
+/** Physical command node: runs the translated merge/update on the
+  * driver (the mutation itself is distributed Spark jobs inside
+  * [[GraftTable]]); returns no rows.
+  */
+case class GraftRowLevelExec(@transient cmd: LogicalPlan)
+    extends V2CommandExec with org.apache.spark.sql.execution.LeafExecNode {
+  override def output: Seq[Attribute] = Nil
+  override def run(): Seq[InternalRow] = {
+    cmd match {
+      case m: MergeIntoTable => GraftRowLevelSql.runMerge(session, m)
+      case u: UpdateTable => GraftRowLevelSql.runUpdate(session, u)
+      case other => throw new IllegalStateException(s"not a row-level command: $other")
+    }
+    Nil
+  }
+  override def simpleString(maxFields: Int): String =
+    s"GraftRowLevelExec ${cmd.nodeName}"
+}
+
+/** Planner strategy: claim MERGE INTO / UPDATE over graft tables before
+  * `BasicOperators` rejects them. Installed by `GraftSession.tune`
+  * (live sessions) and `graft.ext.GraftExtensions` (build-time) —
+  * experimental strategies run ahead of the built-ins.
+  */
+object GraftRowLevelSqlStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case m: MergeIntoTable if GraftRowLevelSql.graftTarget(m.targetTable).isDefined =>
+      GraftRowLevelExec(m) :: Nil
+    case u: UpdateTable if GraftRowLevelSql.graftTarget(u.table).isDefined =>
+      GraftRowLevelExec(u) :: Nil
+    case _ => Nil
+  }
+}
