@@ -1813,6 +1813,59 @@ object IngestQueries {
           FROM e)
         SELECT event_id, user_id, cents,
           CASE WHEN cents < 500 THEN (pk + 1) % 4 ELSE pk END AS pk
-        FROM u1"""))
+        FROM u1""")),
+
+    // DV-TOLERANT SQL READS: two row-level deleteWhere commits land as
+    // deletion vectors (zero files rewritten), and the table STAYS pure-
+    // SQL-readable — the scan subtracts the vectors in-flight
+    // (GraftDvBatch: DV'd files re-read whole + position-filtered,
+    // clean files keep the pushed-filter read). The SELECT carries a
+    // range predicate, so residual filter re-evaluation over the
+    // unpushed DV reads is under the oracle too; a second SELECT with
+    // VERSION AS OF pins the pre-delete state through the same SQL
+    // path. Delta serves DVs in SQL; so do we.
+    QuerySpec("q241_sql_dv_read",
+      (s, dir) => {
+        GraftSession.tune(s)
+        val base = java.nio.file.Files.createTempDirectory("graft_q241_").toString
+        Tables.events(s, dir).createOrReplaceTempView("q241_events")
+        val cat = s"gcat_${java.util.UUID.randomUUID().toString.take(8)}"
+          .replace("-", "_")
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.root", base)
+        s.sql(s"""CREATE TABLE $cat.db.dv (
+            event_id BIGINT, user_id BIGINT, cents BIGINT, pk BIGINT)
+          PARTITIONED BY (pk)
+          TBLPROPERTIES ('keys'='event_id', 'statsCols'='cents')""")
+        s.sql(s"""INSERT INTO $cat.db.dv (event_id, user_id, cents, pk)
+          SELECT event_id, user_id, CAST(round(value * 100) AS BIGINT),
+            user_id % 4
+          FROM q241_events""")
+        val gt = graft.operators.GraftTableMeta.open(s, s"$base/db/dv").get
+        val v0 = gt.currentVersion
+        gt.deleteWhere(col("cents") % 7 === 3)  // DV commit 1
+        gt.deleteWhere(col("user_id") % 5 === 0 && col("cents") > 5000) // DV commit 2
+        val live = s.sql(s"""SELECT event_id, user_id, cents, pk
+          FROM $cat.db.dv WHERE cents BETWEEN 100 AND 8999""")
+        val before = s.sql(s"""SELECT CAST(count(*) AS BIGINT) AS n_before
+          FROM $cat.db.dv VERSION AS OF $v0""")
+        val out = live.crossJoin(before)
+        val snap = out.localCheckpoint(true)
+        graft.operators.Fs.deleteTree(base)
+        snap
+      },
+      Some("""
+        WITH e AS (
+          SELECT event_id, user_id,
+            CAST(round(value * 100) AS BIGINT) AS cents,
+            CAST(user_id % 4 AS BIGINT) AS pk
+          FROM events),
+        kept AS (
+          SELECT * FROM e
+          WHERE NOT (cents % 7 = 3)
+            AND NOT (user_id % 5 = 0 AND cents > 5000))
+        SELECT event_id, user_id, cents, pk,
+          (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_before
+        FROM kept WHERE cents BETWEEN 100 AND 8999"""))
   )
 }

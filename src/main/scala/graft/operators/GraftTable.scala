@@ -1288,6 +1288,43 @@ final class GraftTable(spark: SparkSession, val path: String,
     }
   }
 
+  /** The deletion vectors applicable at version `v`, as table-relative
+    * file path → SORTED row positions — the driver-side form the DSv2
+    * scan ships into its per-file reader wrappers
+    * ([[org.apache.spark.sql.graft.GraftDvBatch]]). Bounded by rows
+    * deleted since the affected partitions last rewrote (compaction and
+    * every rewrite purge vectors), the same transient O(deleted-rows)
+    * set the Delta reader materializes per file.
+    */
+  def dvEntriesAt(v: Long): Map[String, Array[Long]] = {
+    val dirs = applicableDvDirs(v)
+    if (dirs.isEmpty) return Map.empty
+    readDv(dirs).groupBy("file")
+      .agg(sort_array(collect_list(col("ri"))).as("ris"))
+      .collect()
+      .map(r => r.getString(0) ->
+        r.getSeq[Long](1).toArray)
+      .toMap
+  }
+
+  /** True if any deletion-vector COMMIT landed in versions (s, e] —
+    * i.e. the range contains row-level deletes a file-diff stream
+    * cannot represent.
+    */
+  def hasDvCommitsInRange(s: Long, e: Long): Boolean = {
+    val kids = Option(dvRoot.toFile.listFiles()).getOrElse(Array.empty)
+    kids.exists { f =>
+      f.isDirectory && f.getName.startsWith("v") &&
+        (f.getName.drop(1).split("_", 2) match {
+          case Array(ver, nonce) if ver.nonEmpty && ver.forall(_.isDigit) =>
+            val vl = ver.toLong
+            vl > s && vl <= e && java.nio.file.Files.exists(manifestPath(vl)) &&
+              rawEntries(vl).contains(s"#dv:$nonce")
+          case _ => false
+        })
+    }
+  }
+
   /** ROW-LEVEL DELETE as a deletion-vector commit: rows of the CURRENT
     * state matching `cond` stop being visible from the new version on,
     * with O(matched rows) write I/O and zero data files rewritten or

@@ -1,0 +1,162 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory}
+import org.apache.spark.sql.execution.datasources.{FilePartition, PartitionedFile}
+
+/** Deletion-vector subtraction INSIDE the DSv2 scan — what lets a
+  * version with live vectors stay SQL-readable instead of refusing
+  * (the Delta DV reader discipline, re-expressed over Spark's own
+  * parquet reader factory):
+  *
+  *   - Files WITHOUT vectors keep the inner scan's partition grouping,
+  *     splits and pushed parquet filters; they read through the inner
+  *     factory's ROW path (one scan cannot mix row and columnar
+  *     partitions), so the only bulk overhead is the vectorization
+  *     loss while vectors exist.
+  *   - Each file WITH vector entries is re-planned as ONE whole-file
+  *     partition (start 0, full length) read through a CLEAN reader
+  *     factory (same pruned columns, NO pushed parquet filters — row-
+  *     group/page skipping would desynchronize position counting), and
+  *     its reader drops the vector's row positions while counting.
+  *     The dropped positions travel INSIDE the partition — each task
+  *     ships only its own file's vector, never the full set. Data
+  *     filters still apply bit-exactly: DSv2 file sources always
+  *     re-evaluate data filters above the scan (parquet pushdown is
+  *     best-effort), so the unpushed read changes I/O, not results.
+  *
+  * Vectors are transient by design — compaction and every partition
+  * rewrite purge them — so the row-based whole-file read is the
+  * temporary tax of recent row-level deletes, not the steady state.
+  */
+object GraftDvRead {
+
+  /** Table-relative path (`partitionDir/basename`) of a planned file —
+    * the key deletion vectors are recorded under.
+    */
+  def relPath(f: PartitionedFile): String = {
+    val p = f.toPath
+    s"${p.getParent.getName}/${p.getName}"
+  }
+
+  /** Regroup the inner batch's planned partitions: slices of DV'd files
+    * collapse to one whole-file [[GraftDvInputPartition]] each; clean
+    * slices keep their grouping.
+    */
+  def plan(inner: Array[InputPartition],
+           dv: Map[String, Array[Long]]): Array[InputPartition] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[InputPartition]
+    val dvFiles = scala.collection.mutable.LinkedHashMap.empty[String, PartitionedFile]
+    var idx = 0
+    inner.foreach {
+      case fp: FilePartition =>
+        val (dvd, clean) = fp.files.partition(f => dv.contains(relPath(f)))
+        if (clean.nonEmpty) {
+          // row-marked, not passed through: Spark's scan exec refuses
+          // to mix row-based and columnar partitions in one scan, and
+          // the DV'd files are inherently row-based
+          out += GraftRowInputPartition(FilePartition(idx, clean))
+          idx += 1
+        }
+        dvd.foreach { s =>
+          val r = relPath(s)
+          if (!dvFiles.contains(r))
+            dvFiles(r) = s.copy(start = 0L, length = s.fileSize)
+        }
+      case other => // not a file partition — pass through untouched
+        out += other
+    }
+    dvFiles.foreach { case (r, pf) =>
+      out += GraftDvInputPartition(FilePartition(idx, Array(pf)), dv(r))
+      idx += 1
+    }
+    out.toArray
+  }
+}
+
+/** One whole DV'd file plus the SORTED row positions its reader must
+  * drop.
+  */
+final case class GraftDvInputPartition(file: FilePartition,
+                                       drop: Array[Long])
+    extends InputPartition {
+  override def preferredLocations(): Array[String] = file.preferredLocations()
+}
+
+/** An un-deleted partition of a DV'd scan, row-marked so the whole
+  * scan stays homogeneous (no row/columnar mixing). Reads through the
+  * inner (filter-pushed) factory's row path.
+  */
+final case class GraftRowInputPartition(file: FilePartition)
+    extends InputPartition {
+  override def preferredLocations(): Array[String] = file.preferredLocations()
+}
+
+/** Batch wrapper: clean partitions flow through the inner (filter-
+  * pushed, vectorized) scan; DV'd files read whole through the clean
+  * factory with position filtering.
+  */
+final class GraftDvBatch(inner: Batch, clean: => Batch,
+                         dv: Map[String, Array[Long]]) extends Batch {
+  override def planInputPartitions(): Array[InputPartition] =
+    GraftDvRead.plan(inner.planInputPartitions(), dv)
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftDvReaderFactory(inner.createReaderFactory(),
+      clean.createReaderFactory())
+}
+
+final class GraftDvReaderFactory(inner: PartitionReaderFactory,
+                                 clean: PartitionReaderFactory)
+    extends PartitionReaderFactory {
+
+  // Position counting is inherently row-based, and Spark's scan exec
+  // refuses to MIX row-based and columnar partitions in one scan — so
+  // every partition of a DV'd scan arrives row-marked (GraftDvRead.plan)
+  // and reads row-based. The vectorization loss is the transient tax of
+  // recent row-level deletes: compaction or any partition rewrite
+  // purges the vectors and restores the columnar path (asserted in
+  // GraftCatalogSpec). Partitions of DV-free scans/batches pass through
+  // unmarked and keep the inner factory's columnar decision.
+  override def supportColumnarReads(partition: InputPartition): Boolean =
+    partition match {
+      case _: GraftDvInputPartition | _: GraftRowInputPartition => false
+      case p => inner.supportColumnarReads(p)
+    }
+
+  override def createColumnarReader(partition: InputPartition)
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
+    inner.createColumnarReader(partition)
+
+  override def createReader(partition: InputPartition)
+      : PartitionReader[InternalRow] = partition match {
+    case d: GraftDvInputPartition =>
+      new GraftDvFilteredReader(clean.createReader(d.file), d.drop)
+    case r: GraftRowInputPartition => inner.createReader(r.file)
+    case p => inner.createReader(p)
+  }
+}
+
+/** Drops the (sorted) `drop` positions while counting rows from 0 — the
+  * whole-file unpushed read guarantees the count IS the row index.
+  */
+final class GraftDvFilteredReader(inner: PartitionReader[InternalRow],
+                                  drop: Array[Long])
+    extends PartitionReader[InternalRow] {
+  private var pos = -1L
+  private var di = 0
+  private var cur: InternalRow = _
+
+  override def next(): Boolean = {
+    while (inner.next()) {
+      pos += 1
+      while (di < drop.length && drop(di) < pos) di += 1
+      if (di >= drop.length || drop(di) != pos) {
+        cur = inner.get()
+        return true
+      }
+    }
+    false
+  }
+  override def get(): InternalRow = cur
+  override def close(): Unit = inner.close()
+}

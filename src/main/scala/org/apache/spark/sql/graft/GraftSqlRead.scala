@@ -39,11 +39,12 @@ import graft.operators.GraftTable
   *     two versions (the [[graft.operators.GraftTable.readChangesSince]]
   *     increment) through the same parquet machinery.
   *
-  * Deletion vectors: a plain parquet scan cannot subtract them, so a
-  * version with applicable vectors REFUSES the SQL read path loudly
-  * (compaction or any rewrite purges the vectors and restores it) —
-  * correctness is never silently wrong. The Scala read API
-  * ([[GraftTable.read]]) always resolves them.
+  * Deletion vectors are served INSIDE the scan ([[GraftDvBatch]]):
+  * files without vectors keep the vectorized filter-pushed read
+  * untouched; each DV'd file re-plans as one whole-file row-based read
+  * that drops the vector's positions while counting — SQL results are
+  * bit-identical to the Scala read API ([[GraftTable.read]]), which
+  * resolves vectors via the `_metadata.row_index` anti-join.
   */
 object GraftSqlRead {
 
@@ -225,15 +226,9 @@ final class GraftSqlTable(spark: SparkSession, val gt: GraftTable,
     ()
   }
 
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
-    require(!gt.hasDeletionVectorsAt(pinnedVersion),
-      s"table ${gt.path} has deletion vectors applicable at version $pinnedVersion: " +
-        "the SQL scan path cannot subtract row-level deletes — run compact() " +
-        "(or any rewrite of the affected partitions) to purge them, or read " +
-        "through the Scala API (GraftTable.read/readAt)")
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(spark, gt, pinnedVersion, tableSchema,
       ignoreDeletes = options.getBoolean("ignoreDeletes", false))
-  }
 }
 
 /** Delegates the entire pushdown protocol to Spark's parquet scan
@@ -252,15 +247,31 @@ final class GraftScanBuilder(spark: SparkSession, gt: GraftTable,
     new GraftPrunedFileIndex(spark, gt, version, tableSchema)
   private val inner = ParquetScanBuilder(spark, fileIndex, tableSchema,
     dataSchema, GraftSqlRead.emptyOptions)
+  private var prunedSchema: Option[StructType] = None
 
   override def pushFilters(filters: Seq[Expression]): Seq[Expression] =
     inner.pushFilters(filters)
   override def pushedFilters: Array[org.apache.spark.sql.connector.expressions.filter.Predicate] =
     inner.pushedFilters
-  override def pruneColumns(requiredSchema: StructType): Unit =
+  override def pruneColumns(requiredSchema: StructType): Unit = {
+    prunedSchema = Some(requiredSchema)
     inner.pruneColumns(requiredSchema)
-  override def build(): Scan =
-    new GraftScan(spark, gt, tableSchema, inner.build(), ignoreDeletes)
+  }
+  override def build(): Scan = {
+    // versions with live deletion vectors subtract them inside the
+    // scan ([[GraftDvBatch]]): DV'd files re-read whole through a scan
+    // with NO pushed parquet filters (identical column pruning), so
+    // position counting matches `_metadata.row_index` exactly
+    val dv = gt.dvEntriesAt(version)
+    val clean = if (dv.isEmpty) None else Some {
+      val b = ParquetScanBuilder(spark, fileIndex, tableSchema,
+        dataSchema, GraftSqlRead.emptyOptions)
+      prunedSchema.foreach(b.pruneColumns)
+      b.build()
+    }
+    new GraftScan(spark, gt, tableSchema, inner.build(), ignoreDeletes,
+      clean, dv)
+  }
 }
 
 /** Batch behavior = the wrapped parquet scan; micro-batch = version
@@ -268,11 +279,16 @@ final class GraftScanBuilder(spark: SparkSession, gt: GraftTable,
   */
 final class GraftScan(spark: SparkSession, gt: GraftTable,
                       tableSchema: StructType, inner: Scan,
-                      ignoreDeletes: Boolean = false)
+                      ignoreDeletes: Boolean = false,
+                      cleanScan: Option[Scan] = None,
+                      dv: Map[String, Array[Long]] = Map.empty)
     extends Scan
     with org.apache.spark.sql.connector.read.SupportsReportStatistics {
   override def readSchema(): StructType = inner.readSchema()
-  override def toBatch: Batch = inner.toBatch
+  override def toBatch: Batch = cleanScan match {
+    case Some(c) if dv.nonEmpty => new GraftDvBatch(inner.toBatch, c.toBatch, dv)
+    case _ => inner.toBatch
+  }
   override def description(): String = s"GraftScan(${gt.path}) -> ${inner.description()}"
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new GraftMicroBatchStream(spark, gt, tableSchema, ignoreDeletes)
@@ -354,9 +370,18 @@ final class GraftMicroBatchStream(spark: SparkSession, gt: GraftTable,
     val s = start.asInstanceOf[GraftOffset].v
     val e = end.asInstanceOf[GraftOffset].v
     if (e <= s) return Array.empty
-    require(!gt.hasDeletionVectorsAt(e),
-      s"table ${gt.path} has deletion vectors applicable at version $e: the " +
-        "streaming scan cannot subtract row-level deletes — compact first")
+    // deletion-vector commits INSIDE the batch range delete rows of
+    // already-emitted files — a file-diff stream cannot retract them
+    // (the delete-only-commit contract below, row-level form). Vectors
+    // from BEFORE the stream position — including every vector under a
+    // FRESH stream's snapshot batch (s = 0, nothing emitted yet) — are
+    // fine: the snapshot/added files subtract them in-scan like any
+    // batch read.
+    require(s == 0L || !gt.hasDvCommitsInRange(s, e) || ignoreDeletes,
+      s"table ${gt.path}: versions ($s, $e] contain deletion-vector " +
+        "commits — the file-diff stream cannot emit row deletions; " +
+        "consume deletes via readChangesRowsSince, or pass " +
+        ".option(\"ignoreDeletes\", \"true\") to skip them")
     val old = if (s == 0L) Set.empty[String] else gt.liveFilesAt(s).toSet
     val live = gt.liveFilesAt(e)
     val added = live.filterNot(old)
@@ -379,13 +404,25 @@ final class GraftMicroBatchStream(spark: SparkSession, gt: GraftTable,
           "\"true\") to skip them")
     }
     if (added.isEmpty) Array.empty
-    else scanFor(added).toBatch.planInputPartitions()
+    else {
+      val parts = scanFor(added).toBatch.planInputPartitions()
+      // vectors applicable at `e` restricted to THIS batch's files:
+      // a snapshot batch over a DV'd table subtracts exactly what the
+      // batch read subtracts
+      val addedSet = added.toSet
+      val dv = gt.dvEntriesAt(e).filter { case (f, _) => addedSet.contains(f) }
+      if (dv.isEmpty) parts else GraftDvRead.plan(parts, dv)
+    }
   }
 
   override def createReaderFactory(): org.apache.spark.sql.connector.read.PartitionReaderFactory = {
     val v = gt.currentVersion
     val live = if (v > 0) gt.liveFilesAt(v) else Seq.empty
-    scanFor(live).toBatch.createReaderFactory()
+    val f = scanFor(live).toBatch.createReaderFactory()
+    // streaming scans push no parquet filters, so the same factory
+    // serves both partition kinds (position counting needs no clean
+    // variant)
+    new GraftDvReaderFactory(f, f)
   }
 
   override def commit(end: Offset): Unit = ()

@@ -118,19 +118,69 @@ class GraftCatalogSpec extends SparkSpec {
     assert(got == Map("r1" -> None, "r2" -> Some("x")))
   }
 
-  test("deletion vectors refuse the SQL scan path loudly; compaction " +
-    "purges and restores it") {
+  test("deletion vectors are served IN-SCAN on the SQL path: SELECT " +
+    "equals the Scala read, filters and time travel included") {
     val (cat, root) = freshCatalog()
     val t = seed(root)
-    t.importOnce(Seq(("d1", "p", "r1", 1L), ("d1", "p", "r2", 2L))
-      .toDF("day", "pk", "rk", "n"))
-    t.deleteWhere(col("rk") === "r1")
-    val e = intercept[Exception](
-      spark.sql(s"SELECT * FROM $cat.db.t").collect())
-    assert(e.getMessage.contains("deletion vectors"), e.getMessage)
-    t.compact(1) // rewrite purges the vectors
-    assert(spark.sql(s"SELECT rk FROM $cat.db.t").as[String].collect().toSeq
-      == Seq("r2"))
+    t.importOnce((0L until 40L).map(i =>
+      (s"d${i % 2}", "p", s"r$i", i)).toDF("day", "pk", "rk", "n"))
+    val vBefore = t.currentVersion
+    t.deleteWhere(col("n") % 4 === 1)   // DV commit #1
+    t.deleteWhere(col("n") === 38L)     // DV commit #2, same files
+    def sqlSet(q: String) = spark.sql(q).as[(String, Long)].collect().toSet
+    val viaScala = t.read.select("rk", "n").as[(String, Long)].collect().toSet
+    assert(sqlSet(s"SELECT rk, n FROM $cat.db.t") == viaScala,
+      "SQL scan over a DV'd version must equal the Scala DV-resolved read")
+    assert(viaScala.size == 29, "10 + 1 rows deleted")
+    // a pushed data filter over the DV'd scan: the clean whole-file
+    // read re-evaluates residual filters bit-exactly
+    assert(sqlSet(s"SELECT rk, n FROM $cat.db.t WHERE n BETWEEN 10 AND 20")
+      == viaScala.filter(r => r._2 >= 10 && r._2 <= 20))
+    // time travel BEFORE the deletes sees every row, through SQL
+    assert(spark.sql(
+      s"SELECT count(*) FROM $cat.db.t VERSION AS OF $vBefore")
+      .as[Long].head() == 40L)
+    // compaction purges the vectors; results unchanged
+    t.compact(1)
+    assert(sqlSet(s"SELECT rk, n FROM $cat.db.t") == viaScala)
+  }
+
+  test("streaming over deletion vectors: a DV'd SNAPSHOT drains " +
+    "subtracted; a mid-stream DV commit refuses unless ignoreDeletes") {
+    val (cat, root) = freshCatalog()
+    val t = seed(root)
+    t.importOnce(Seq(("d1", "p", "r1", 1L), ("d1", "p", "r2", 2L),
+      ("d2", "p", "r3", 3L)).toDF("day", "pk", "rk", "n"))
+    t.deleteWhere(col("rk") === "r1") // vector BEFORE the stream starts
+    def drain(ckpt: String, ignoreDeletes: Boolean): Set[(String, Long)] = {
+      val acc = new java.util.concurrent.ConcurrentLinkedQueue[(String, Long)]()
+      val reader = spark.readStream
+      val q = (if (ignoreDeletes) reader.option("ignoreDeletes", "true") else reader)
+        .table(s"$cat.db.t").writeStream
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          df.select("rk", "n").collect()
+            .foreach(r => acc.add((r.getString(0), r.getLong(1)))); ()
+        }
+        .start()
+      q.awaitTermination(60000)
+      assert(!q.isActive)
+      scala.jdk.CollectionConverters.CollectionHasAsScala(acc).asScala.toSet
+    }
+    val ckpt = Files.createTempDirectory("graft_dv_stream").toString
+    assert(drain(s"$ckpt/a", ignoreDeletes = false)
+      == Set("r2" -> 2L, "r3" -> 3L),
+      "the snapshot batch must subtract pre-existing vectors")
+    // a DV commit while the stream is down: resuming must refuse…
+    t.deleteWhere(col("rk") === "r3")
+    val e = intercept[Exception](drain(s"$ckpt/a", ignoreDeletes = false))
+    assert(e.getMessage.contains("deletion-vector") ||
+      Option(e.getCause).exists(_.getMessage.contains("deletion-vector")),
+      s"got: ${e.getMessage}")
+    // …and ignoreDeletes opts in to skipping them (no rows re-emitted:
+    // the DV commit added no files)
+    assert(drain(s"$ckpt/a", ignoreDeletes = true).isEmpty)
   }
 
   test("SQL writes: INSERT INTO appends, INSERT OVERWRITE replaces " +
