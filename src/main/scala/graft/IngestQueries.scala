@@ -1866,6 +1866,106 @@ object IngestQueries {
             AND NOT (user_id % 5 = 0 AND cents > 5000))
         SELECT event_id, user_id, cents, pk,
           (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_before
-        FROM kept WHERE cents BETWEEN 100 AND 8999"""))
+        FROM kept WHERE cents BETWEEN 100 AND 8999""")),
+
+    // CDC-MODE STREAMING under the oracle — the q232 mutation history
+    // (partition rewrites → update pre/post images + inserts, a keyed
+    // partition-dropping delete, a deletion-vector delete) consumed
+    // through the catalog's `__changes` STREAM instead of the batch
+    // API: run 1 drains the seeded snapshot as 'insert' rows (the Delta
+    // CDF convention), the three commits land while the stream is DOWN,
+    // and run 2 recovers from the checkpoint and emits exactly the net
+    // row-level change feed of the range — including the delete-only
+    // and DV commits the file-diff stream refuses. Oracle = snapshot
+    // rows + the q232 state-diff replay.
+    QuerySpec("q242_cdc_stream",
+      (s, dir) => {
+        GraftSession.tune(s)
+        val base = java.nio.file.Files.createTempDirectory("graft_q242_").toString
+        val ev = Tables.events(s, dir)
+        val us = unix_micros(col("ts"))
+        def agg(e: org.apache.spark.sql.DataFrame) = e.groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_events"),
+            sum(expr("CAST(round(value * 100) AS BIGINT)")).as("sum_cents"))
+          .withColumn("pk", col("user_id") % 8)
+        val t = new graft.operators.GraftTable(s, s"$base/db/agg",
+          Seq("user_id"), "pk")
+        t.createIfNotExists(org.apache.spark.sql.types.StructType.fromDDL(
+          "user_id BIGINT, n_events BIGINT, sum_cents BIGINT, pk BIGINT"))
+        graft.operators.GraftTableMeta.annotate(t)
+        val cat = s"gcat_${java.util.UUID.randomUUID().toString.take(8)}"
+          .replace("-", "_")
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.root", base)
+        val acc = new java.util.concurrent.ConcurrentLinkedQueue[
+          (String, Long, Long, Long, Long, String)]()
+        def drain(run: String): Unit = {
+          val q = s.readStream.table(s"$cat.db.agg__changes").writeStream
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .option("checkpointLocation", s"$base/ckpt")
+            .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+              df.select("user_id", "n_events", "sum_cents", "pk", "_change_type")
+                .collect().foreach(r => acc.add((run, r.getLong(0), r.getLong(1),
+                  r.getLong(2), r.getLong(3), r.getString(4))))
+              ()
+            }
+            .start()
+          require(q.awaitTermination(300000),
+            "q242 stream drain timed out — partial batch would corrupt the result")
+          ()
+        }
+        t.upsertReplace(agg(ev.filter(us % 2 === 0)))
+        drain("snap") // snapshot-as-inserts
+        val since = t.currentVersion
+        t.upsertReplace(agg(ev.filter(col("user_id") % 8 < 2)))
+        t.deleteByKeys(t.readAt(since).filter(col("pk") === 2).select("user_id"))
+        t.deleteWhere(col("pk") === 3 && col("sum_cents") % 2 === 1)
+        drain("diff") // recovery drains exactly the change feed
+        import scala.jdk.CollectionConverters._
+        import s.implicits._
+        val out = acc.asScala.toSeq
+          .toDF("run", "user_id", "n_events", "sum_cents", "pk", "_change_type")
+        val snap = out.localCheckpoint(true)
+        graft.operators.Fs.deleteTree(base)
+        snap
+      },
+      Some("""
+        WITH e AS (
+          SELECT user_id, CAST(round(value * 100) AS BIGINT) AS cents,
+            epoch_us(CAST(ts AS TIMESTAMP)) AS us
+          FROM events),
+        a1 AS (
+          SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+            CAST(sum(cents) AS BIGINT) AS sum_cents,
+            CAST(user_id % 8 AS BIGINT) AS pk
+          FROM e WHERE us % 2 = 0 GROUP BY 1),
+        a2 AS (
+          SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+            CAST(sum(cents) AS BIGINT) AS sum_cents,
+            CAST(user_id % 8 AS BIGINT) AS pk
+          FROM e GROUP BY 1)
+        SELECT 'snap' AS run, user_id, n_events, sum_cents, pk,
+          'insert' AS _change_type FROM a1
+        UNION ALL
+        SELECT 'diff', user_id, n_events, sum_cents, pk, 'insert'
+        FROM a2 WHERE pk < 2 AND user_id NOT IN (SELECT user_id FROM a1)
+        UNION ALL
+        SELECT 'diff', a1.user_id, a1.n_events, a1.sum_cents, a1.pk,
+          'update_preimage'
+        FROM a1 JOIN a2 USING (user_id)
+        WHERE a1.pk < 2 AND (a1.n_events <> a2.n_events
+          OR a1.sum_cents <> a2.sum_cents)
+        UNION ALL
+        SELECT 'diff', a2.user_id, a2.n_events, a2.sum_cents, a2.pk,
+          'update_postimage'
+        FROM a1 JOIN a2 USING (user_id)
+        WHERE a1.pk < 2 AND (a1.n_events <> a2.n_events
+          OR a1.sum_cents <> a2.sum_cents)
+        UNION ALL
+        SELECT 'diff', user_id, n_events, sum_cents, pk, 'delete'
+        FROM a1 WHERE pk = 2
+        UNION ALL
+        SELECT 'diff', user_id, n_events, sum_cents, pk, 'delete'
+        FROM a1 WHERE pk = 3 AND sum_cents % 2 = 1"""))
   )
 }

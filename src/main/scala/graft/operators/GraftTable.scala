@@ -1455,10 +1455,20 @@ final class GraftTable(spark: SparkSession, val path: String,
     * insertIfAbsent / deleteByKeys discipline); a partition-moving
     * update then classifies as pre+post image, not delete+insert.
     */
-  def readChangesRowsSince(since: Long): DataFrame = {
-    val cur = currentVersion
+  def readChangesRowsSince(since: Long): DataFrame =
+    readChangesRowsBetween(since, currentVersion)
+
+  /** [[readChangesRowsSince]] between two pinned versions — the
+    * increment a CDC STREAM batch emits per offset range
+    * ([[org.apache.spark.sql.graft.GraftCdcMicroBatchStream]]): change
+    * rows of versions (since, until].
+    */
+  def readChangesRowsBetween(since: Long, until: Long): DataFrame = {
+    val cur = until
     require(since >= 1 && since <= cur,
       s"since must be a committed version in [1, $cur], got $since")
+    require(cur <= currentVersion,
+      s"until must be a committed version, got $cur (head ${currentVersion})")
     val oldFiles = manifestFiles(since)
     val newFiles = manifestFiles(cur)
     val oldSet = oldFiles.toSet
@@ -1614,6 +1624,14 @@ final class GraftTable(spark: SparkSession, val path: String,
     }
     Option(java.nio.file.Paths.get(path, "_graft_staging").toFile.listFiles())
       .foreach(_.foreach(rmTree))
+    // crashed CDC streams' staged batch dirs (committed batches reclaim
+    // their own staging) — age-gated: a LIVE stream's current batch may
+    // be mid-read during vacuum
+    Option(java.nio.file.Paths.get(path, "_graft_cdc").toFile.listFiles())
+      .foreach(_.foreach { f =>
+        if (System.currentTimeMillis() - f.lastModified() >= orphanGraceMs)
+          rmTree(f)
+      })
     // checkpoint / deletion-vector orphan sweeps: a sidecar dir whose
     // `#ckpt:`/`#dv:` marker never committed (crashed writer, lost OCC
     // race) or whose version is gone is referenced by no manifest —

@@ -80,6 +80,15 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
         ident: org.apache.spark.sql.connector.catalog.Identifier))
 
   override def loadTable(ident: Identifier): Table = {
+    // `<name>__changes` is the table's CDC feed (the Iceberg
+    // metadata-table idiom): a streaming-only relation emitting
+    // _change_type rows per version increment
+    if (ident.name.endsWith("__changes")) {
+      val base = Identifier.of(ident.namespace,
+        ident.name.stripSuffix("__changes"))
+      if (tableExists(base))
+        return new org.apache.spark.sql.graft.GraftCdcTable(spark, open(base))
+    }
     val gt = open(ident)
     org.apache.spark.sql.graft.GraftSqlRead.table(spark, gt, gt.currentVersion)
   }

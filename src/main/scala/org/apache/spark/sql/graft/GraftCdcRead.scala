@@ -1,0 +1,142 @@
+package org.apache.spark.sql.graft
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.execution.datasources.InMemoryFileIndex
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.operators.GraftTable
+
+/** CDC-MODE STREAMING (the Delta `readChangeFeed` semantic, exposed the
+  * Iceberg way — as a `<table>__changes` metadata table on the
+  * catalog): each micro-batch emits the ROW-LEVEL change feed of its
+  * version range — `_change_type` ∈ insert / delete / update_preimage /
+  * update_postimage ([[GraftTable.readChangesRowsBetween]], the q232
+  * classification) — so DELETE-only commits and deletion-vector commits
+  * stream as explicit delete rows instead of refusing the file-diff
+  * source. The first batch from a fresh checkpoint emits the snapshot
+  * as inserts (the Delta CDF convention).
+  *
+  * Execution shape: the change frame of a range is a key full-outer
+  * join, which the DSv2 partition protocol cannot express directly —
+  * each batch STAGES its change rows as parquet under
+  * `_graft_cdc/` (O(changed rows), distributed write) and plans the
+  * batch as a plain parquet scan over the staged files; committed
+  * batches' staging reclaims on `commit(end)`, crashed runs' leftovers
+  * are age-gated away by vacuum. Batch (non-streaming) SQL reads of the
+  * changes table are rejected — use `readChangesRowsSince` in Scala.
+  */
+final class GraftCdcTable(spark: SparkSession, gt: GraftTable)
+    extends Table with SupportsRead {
+
+  val cdcSchema: StructType = StructType(
+    gt.read.schema.fields :+ StructField("_change_type", StringType, nullable = false))
+
+  override def name: String = s"graft_cdc:${gt.path.replace('.', '_')}"
+  override def schema: StructType = cdcSchema
+  override def capabilities: java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new Scan {
+        override def readSchema(): StructType = cdcSchema
+        override def toBatch: Batch =
+          throw new UnsupportedOperationException(
+            s"the changes table of ${gt.path} is streaming-only — for a " +
+              "batch change feed use GraftTable.readChangesRowsSince")
+        override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+          new GraftCdcMicroBatchStream(spark, gt, cdcSchema)
+      }
+    }
+}
+
+final class GraftCdcMicroBatchStream(spark: SparkSession, gt: GraftTable,
+                                     cdcSchema: StructType)
+    extends MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+
+  @volatile private var availableNowCap: Option[Long] = None
+  override def prepareForTriggerAvailableNow(): Unit = {
+    availableNowCap = Some(gt.currentVersion)
+  }
+
+  override def latestOffset(): Offset =
+    GraftOffset(availableNowCap.getOrElse(gt.currentVersion))
+  override def latestOffset(start: Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset =
+    latestOffset()
+  override def initialOffset(): Offset = GraftOffset(0L)
+  override def deserializeOffset(json: String): Offset =
+    GraftOffset(json.trim.toLong)
+
+  private def cdcRoot = new Path(gt.path, "_graft_cdc")
+  private def stageDir(s: Long, e: Long) =
+    new Path(cdcRoot, s"v${s}_v$e").toString
+
+  // staged ranges of THIS run, reclaimed as their batches commit
+  private val staged =
+    scala.collection.mutable.Map.empty[Long, String] // endVersion -> dir
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[GraftOffset].v
+    val e = end.asInstanceOf[GraftOffset].v
+    if (e <= s) return Array.empty
+    val cols = cdcSchema.fields.map(_.name).toSeq
+    val df =
+      if (s == 0L) // snapshot-as-inserts (fresh checkpoint)
+        gt.readAt(e).withColumn("_change_type", lit("insert"))
+      else gt.readChangesRowsBetween(s, e)
+    val dir = stageDir(s, e)
+    // The engine may plan the same batch more than once; an overwrite
+    // would swap file names under an earlier plan's partitions. The
+    // change frame of a pinned (s, e] is deterministic, so a COMPLETE
+    // staging (_SUCCESS present) is simply reused; only absent or
+    // partial (crashed) stagings write.
+    val done = java.nio.file.Files.exists(java.nio.file.Paths
+      .get(new Path(dir).toUri.getPath, "_SUCCESS"))
+    if (!done)
+      df.select(cols.map(col): _*)
+        .write.mode("overwrite").parquet(dir)
+    staged.synchronized { staged(e) = dir }
+    scanOver(dir).toBatch.planInputPartitions()
+  }
+
+  private def scanOver(dir: String): Scan = {
+    val fi = new InMemoryFileIndex(spark, Seq(new Path(dir)),
+      Map.empty[String, String], Some(cdcSchema))
+    ParquetScanBuilder(spark, fi, cdcSchema, cdcSchema,
+      GraftSqlRead.emptyOptions).build()
+  }
+
+  override def createReaderFactory(): org.apache.spark.sql.connector.read.PartitionReaderFactory = {
+    // parquet reader factories are partition-agnostic: one built over
+    // the staging root serves every batch's staged files
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(gt.path, "_graft_cdc"))
+    scanOver(cdcRoot.toString).toBatch.createReaderFactory()
+  }
+
+  override def commit(end: Offset): Unit = {
+    val e = end.asInstanceOf[GraftOffset].v
+    val done = staged.synchronized {
+      val d = staged.filter(_._1 <= e); d.keys.foreach(staged.remove); d.values.toSeq
+    }
+    done.foreach(d => graft.operators.Fs.deleteTree(java.nio.file.Paths.get(d)))
+  }
+
+  // the engine does not guarantee commit() for the FINAL batch of a run
+  // (AvailableNow stops right after) — reclaim everything this run
+  // staged: a committed batch never replans, an uncommitted one
+  // restages idempotently on restart
+  override def stop(): Unit = {
+    val all = staged.synchronized { val d = staged.values.toSeq; staged.clear(); d }
+    all.foreach(d => graft.operators.Fs.deleteTree(java.nio.file.Paths.get(d)))
+  }
+}

@@ -305,6 +305,56 @@ class GraftCatalogSpec extends SparkSpec {
     assert(!diff.exists(_._1 == "r1"), "untouched partition re-emitted")
   }
 
+  test("CDC streaming (`t__changes`): drains a mutation history WITH " +
+    "deletes as _change_type rows; restart resumes mid-history; batch " +
+    "read refuses") {
+    val (cat, root) = freshCatalog()
+    val t = seed(root)
+    t.importOnce(Seq(("d1", "p", "r1", 1L), ("d2", "p", "r2", 2L))
+      .toDF("day", "pk", "rk", "n"))
+    def drain(ckpt: String): Set[(String, Long, String)] = {
+      val acc = new java.util.concurrent.ConcurrentLinkedQueue[(String, Long, String)]()
+      val q = spark.readStream.table(s"$cat.db.t__changes").writeStream
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          df.select("rk", "n", "_change_type").collect()
+            .foreach(r => acc.add((r.getString(0), r.getLong(1), r.getString(2)))); ()
+        }
+        .start()
+      q.awaitTermination(120000)
+      assert(!q.isActive)
+      scala.jdk.CollectionConverters.CollectionHasAsScala(acc).asScala.toSet
+    }
+    val ckpt = Files.createTempDirectory("graft_cdc_stream").toString + "/c"
+    // run 1: fresh checkpoint → snapshot as inserts
+    assert(drain(ckpt) == Set(("r1", 1L, "insert"), ("r2", 2L, "insert")))
+    // three commits while the stream is down: an update, a ROW-LEVEL
+    // DV delete (file-diff streams refuse this), and an insert
+    t.upsertReplace(Seq(("d1", "p", "r1", 10L)).toDF("day", "pk", "rk", "n"))
+    t.deleteWhere(col("rk") === "r2")
+    t.importOnce(Seq(("d3", "p", "r3", 3L)).toDF("day", "pk", "rk", "n"))
+    val diff = drain(ckpt)
+    assert(diff == Set(
+      ("r1", 1L, "update_preimage"), ("r1", 10L, "update_postimage"),
+      ("r2", 2L, "delete"),
+      ("r3", 3L, "insert")), s"got $diff")
+    // committed batches reclaim their staging
+    val leftovers = Option(java.nio.file.Paths.get(t.path, "_graft_cdc")
+      .toFile.listFiles()).map(_.length).getOrElse(0)
+    assert(leftovers == 0, s"$leftovers staged CDC dirs leaked")
+    // a partition-dropping DELETE also streams — as delete rows
+    t.deleteByKeys(Seq(("r3")).toDF("rk").withColumn("pk", lit("p"))
+      .select("pk", "rk"))
+    assert(drain(ckpt) == Set(("r3", 3L, "delete")))
+    // batch SQL over the changes table refuses loudly (the engine's
+    // capability check fires before our scan's own refusal)
+    val e = intercept[Exception](
+      spark.sql(s"SELECT * FROM $cat.db.t__changes").collect())
+    assert(e.getMessage.contains("streaming-only") ||
+      e.getMessage.contains("does not support batch scan"), e.getMessage)
+  }
+
   test("DROP TABLE only deletes graft tables: a stranger directory under " +
     "the catalog root survives; cascade refuses it") {
     val (cat, root) = freshCatalog()
