@@ -50,6 +50,12 @@ object GraftTable {
     */
   @volatile private[operators] var orphanGraceMs: Long = 10L * 60 * 1000
 
+  /** Diagnostic: distributed snapshot-frame pruning JOBS executed
+    * (checkpoint-backed candidate pruning). `GraftCatalogSpec` asserts
+    * an `IN (k values)` statement costs ONE, not k.
+    */
+  val snapshotPruneJobs = new java.util.concurrent.atomic.AtomicLong(0)
+
   /** Run `body` (a table mutation, or several) retrying on lost
     * optimistic-concurrency races — each retry re-enters the mutation,
     * which re-reads the table at its NEW current version, so the merge
@@ -968,42 +974,56 @@ final class GraftTable(spark: SparkSession, val path: String,
   private def dfCandidatesRange(c: String, lo: Option[Any], hi: Option[Any],
                                 v: Long): Seq[String] = {
     val tag = tagOf(c)
+    GraftTable.snapshotPruneJobs.incrementAndGet()
     snapshotDF(v)
       .filter(dfZoneKeep(c, tag, lo.map(canonValue(_, tag)),
         hi.map(canonValue(_, tag))))
       .select("file").collect().map(_.getString(0)).toSeq.sorted
   }
 
-  /** Equality pruning on the snapshot frame: zone intersection plus the
-    * per-file Bloom probe with each ENTRY'S OWN geometry (bits =
-    * 64·size(words), probe count = the entry's own stored k — exactly
-    * the driver path's `posFor(be.k, …)`, so the two pruning paths can
-    * never diverge if BloomK changes) — files without a bloom pass.
-    * `shiftleft` must be the SQL form: the Column-API variant only
-    * takes literal shifts.
+  /** Equality pruning on the snapshot frame, for ONE OR MANY values in
+    * a SINGLE Spark job (an `IN (k values)` statement costs one
+    * planning pass, not k): a file survives when ANY value intersects
+    * its zone map AND passes its Bloom probe. Probes use each ENTRY'S
+    * OWN geometry (bits = 64·size(words), probe count = the entry's
+    * stored k — exactly the driver path's `posFor(be.k, …)`, so the
+    * two pruning paths can never diverge if BloomK changes); files
+    * without a bloom pass. `shiftleft` must be the SQL form: the
+    * Column-API variant only takes literal shifts.
     */
-  private def dfCandidatesEquals(c: String, x: Any, v: Long): Seq[String] = {
+  private def dfCandidatesEqualsAny(c: String, xs: Seq[Any], v: Long): Seq[String] = {
     val tag = tagOf(c)
-    val canon = canonValue(x, tag)
-    val df = snapshotDF(v)
-      .filter(dfZoneKeep(c, tag, Some(canon), Some(canon)))
-      .withColumn("__bw", element_at(col("blooms"), c))
-      .withColumn("__canon", lit(canon))
-    // Per-entry geometry in one pass: probe positions i ∈ [0, __bw.k)
-    // via the same md5("i:canon") first-8-hex-chars hash as the driver
-    // path, modulo THIS entry's bit width.
-    val pos = "CAST(conv(substring(md5(concat(cast(i AS STRING), ':', " +
-      "__canon)), 1, 8), 16, 10) AS BIGINT) % " +
-      "(CAST(size(__bw.words) AS BIGINT) * 64)"
-    // k <= 0 never occurs in written entries, but sequence(0, -1) would
-    // walk backwards — guard to degrade to unprunable instead.
-    val probeOk = expr(
-      s"__bw.k <= 0 OR forall(sequence(0, __bw.k - 1), i -> " +
-        s"(element_at(__bw.words, CAST(($pos) DIV 64 AS INT) + 1) & " +
-        s"shiftleft(CAST(1 AS BIGINT), CAST(($pos) % 64 AS INT))) != 0)")
-    df.filter(col("__bw").isNull || probeOk)
+    val canons = xs.map(canonValue(_, tag)).distinct
+    // stage every canon as a column first (SQL lambdas can reference
+    // columns by name — never string-embed a user value)
+    var df = snapshotDF(v).withColumn("__bw", element_at(col("blooms"), c))
+    canons.zipWithIndex.foreach { case (canon, i) =>
+      df = df.withColumn(s"__c$i", lit(canon))
+    }
+    val conds = canons.indices.map { i =>
+      val canon = canons(i)
+      // per-entry geometry: probe positions j ∈ [0, __bw.k) via the
+      // same md5("j:canon") first-8-hex-chars hash as the driver path,
+      // modulo THIS entry's bit width
+      val pos = s"CAST(conv(substring(md5(concat(cast(j AS STRING), ':', " +
+        s"__c$i)), 1, 8), 16, 10) AS BIGINT) % " +
+        "(CAST(size(__bw.words) AS BIGINT) * 64)"
+      // k <= 0 never occurs in written entries, but sequence(0, -1)
+      // would walk backwards — guard to degrade to unprunable instead
+      val probeOk = expr(
+        s"__bw.k <= 0 OR forall(sequence(0, __bw.k - 1), j -> " +
+          s"(element_at(__bw.words, CAST(($pos) DIV 64 AS INT) + 1) & " +
+          s"shiftleft(CAST(1 AS BIGINT), CAST(($pos) % 64 AS INT))) != 0)")
+      dfZoneKeep(c, tagOf(c), Some(canon), Some(canon)) &&
+        (col("__bw").isNull || probeOk)
+    }
+    GraftTable.snapshotPruneJobs.incrementAndGet()
+    df.filter(conds.reduce(_ || _))
       .select("file").collect().map(_.getString(0)).toSeq.sorted
   }
+
+  private def dfCandidatesEquals(c: String, x: Any, v: Long): Seq[String] =
+    dfCandidatesEqualsAny(c, Seq(x), v)
 
   private def candidateFilesAt(c: String, lo: Any, hi: Any, v: Long): Seq[String] = {
     if (hasCkptBase(v)) return dfCandidatesRange(c, Some(lo), Some(hi), v)
@@ -1160,6 +1180,20 @@ final class GraftTable(spark: SparkSession, val path: String,
   def candidateFilesEqualsVersioned(c: String, x: Any, v: Long): Seq[String] =
     scala.util.Try(candidateFilesEqualsAt(c, x, v))
       .getOrElse(manifestFiles(v))
+
+  /** Files that MAY hold `c` = any of `xs` — the `IN (…)` pruning
+    * entry point ([[org.apache.spark.sql.graft.GraftPrunedFileIndex]]).
+    * At checkpoint-backed versions the whole value list evaluates in
+    * ONE snapshot-frame job ([[dfCandidatesEqualsAny]]); the driver
+    * path unions the per-value probes over the already-materialized
+    * stats/bloom replay (no jobs either way). Unprunable → all files.
+    */
+  def candidateFilesEqualsAnyVersioned(c: String, xs: Seq[Any], v: Long): Seq[String] =
+    scala.util.Try {
+      if (xs.isEmpty) Seq.empty[String]
+      else if (hasCkptBase(v)) dfCandidatesEqualsAny(c, xs, v)
+      else xs.flatMap(x => candidateFilesEqualsAt(c, x, v)).distinct.sorted
+    }.getOrElse(manifestFiles(v))
 
   /** Diagnostic: how many FULL data-tree walks this instance has done.
     * For a table created through [[createIfNotExists]] this must stay 0
@@ -1965,6 +1999,20 @@ final class GraftTable(spark: SparkSession, val path: String,
     * concurrent) existing field is rejected — silently writing files
     * typed T2 under a sidecar typed T1 would corrupt every read.
     */
+  /** `ALTER TABLE ADD COLUMNS` — append nullable columns to the schema
+    * sidecar (the lock-safe merge-by-union evolution the write path
+    * uses): existing files and versions project typed null for them,
+    * no data rewrites. Same-name re-adds with a different type reject.
+    */
+  def addColumns(fields: Seq[org.apache.spark.sql.types.StructField])
+      : org.apache.spark.sql.types.StructType = {
+    require(fields.nonEmpty, "addColumns needs at least one column")
+    require(fields.forall(_.nullable),
+      "added columns must be nullable — existing rows project null")
+    evolveSidecar(org.apache.spark.sql.types.StructType(read.schema.fields),
+      fields)
+  }
+
   private[operators] def evolveSidecar(cur: org.apache.spark.sql.types.StructType,
                             newFields: Seq[org.apache.spark.sql.types.StructField])
       : org.apache.spark.sql.types.StructType =

@@ -131,10 +131,33 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
     org.apache.spark.sql.graft.GraftSqlRead.table(spark, gt, gt.currentVersion)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "GraftCatalog: schema evolves on the write path (mutations carrying " +
-        "new columns); ALTER TABLE is not supported")
+  /** `ALTER TABLE ADD COLUMNS` maps onto the lock-safe sidecar
+    * evolution (merge-by-union — concurrent writers cannot lose the
+    * column): existing files and versions project typed null, zero
+    * data rewrites. Every other change class (RENAME / DROP / type
+    * changes) stays rejected by design — they would reinterpret
+    * already-written files.
+    */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val gt = open(ident)
+    val adds = changes.map {
+      case a: TableChange.AddColumn =>
+        require(a.fieldNames.length == 1,
+          s"GraftCatalog: nested ADD COLUMNS (${a.fieldNames.mkString(".")}) " +
+            "is not supported")
+        require(a.isNullable,
+          s"GraftCatalog: added column ${a.fieldNames.head} must be nullable " +
+            "— existing rows project null")
+        org.apache.spark.sql.types.StructField(a.fieldNames.head, a.dataType,
+          nullable = true)
+      case other => throw new UnsupportedOperationException(
+        s"GraftCatalog: unsupported ALTER TABLE change $other — only ADD " +
+          "COLUMNS (nullable, top-level) is supported; schema otherwise " +
+          "evolves on the write path")
+    }
+    gt.addColumns(adds)
+    org.apache.spark.sql.graft.GraftSqlRead.table(spark, gt, gt.currentVersion)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val dir = Paths.get(dirOf(ident.namespace, ident.name))

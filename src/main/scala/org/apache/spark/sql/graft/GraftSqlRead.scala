@@ -478,9 +478,29 @@ final class GraftPrunedFileIndex(spark: SparkSession, gt: GraftTable,
       case LessThan(l: Literal, a: AttributeReference) => range(a.name, Some(l), None)
       case LessThanOrEqual(l: Literal, a: AttributeReference) => range(a.name, Some(l), None)
       case In(a: AttributeReference, vs) if vs.nonEmpty && vs.forall(_.isInstanceOf[Literal]) =>
-        val sets = vs.map(v => eq(a.name, v.asInstanceOf[Literal]))
-        if (sets.exists(_.isEmpty)) None
-        else Some(sets.flatMap(_.get).toSet) // union over the IN list
+        if (!prunable.contains(a.name)) None
+        else {
+          val vals = vs.map(v => GraftSqlRead.externalValue(v.asInstanceOf[Literal]))
+          if (vals.exists(_.isEmpty)) None
+          else Some(gt.candidateFilesEqualsAnyVersioned(a.name,
+            vals.map(_.get), version).toSet) // ONE pruning job for the whole list
+        }
+      // large IN lists arrive InSet-converted (optimizer threshold);
+      // bounded lists prune in the same single pass, oversized ones
+      // stay unpruned rather than ballooning the planning expression
+      case s: InSet if s.child.isInstanceOf[AttributeReference] &&
+          s.hset.size <= 256 =>
+        val a = s.child.asInstanceOf[AttributeReference]
+        if (!prunable.contains(a.name)) None
+        else {
+          val vals = s.hset.toSeq.filter(_ != null).map {
+            case u: UTF8String => u.toString
+            case other => other
+          }
+          if (vals.isEmpty) Some(Set.empty[String])
+          else Some(gt.candidateFilesEqualsAnyVersioned(a.name, vals,
+            version).toSet)
+        }
       case And(x, y) =>
         (candidates(x), candidates(y)) match {
           case (Some(a), Some(b)) => Some(a.intersect(b))
@@ -490,11 +510,21 @@ final class GraftPrunedFileIndex(spark: SparkSession, gt: GraftTable,
     }
   }
 
+  // one scan's planning asks listFiles more than once (statistics,
+  // then partitions) — memoize the candidate sets per canonicalized
+  // filter set so each distinct predicate costs at most one pruning
+  // job per scan
+  private val candidateCache =
+    scala.collection.mutable.Map.empty[Seq[Expression], Seq[Set[String]]]
+
   override def listFiles(partitionFilters: Seq[Expression],
                          dataFilters: Seq[Expression])
       : Seq[org.apache.spark.sql.execution.datasources.PartitionDirectory] = {
     val base = super.listFiles(partitionFilters, dataFilters)
-    val perConjunct = dataFilters.flatMap(candidates)
+    val perConjunct = candidateCache.synchronized {
+      candidateCache.getOrElseUpdate(dataFilters.map(_.canonicalized),
+        dataFilters.flatMap(candidates))
+    }
     if (perConjunct.isEmpty) return base
     val keep = perConjunct.reduce(_ intersect _)
     def relOf(p: Path): String =

@@ -355,6 +355,52 @@ class GraftCatalogSpec extends SparkSpec {
       e.getMessage.contains("does not support batch scan"), e.getMessage)
   }
 
+  test("IN-list pruning at a checkpoint-backed version costs ONE " +
+    "snapshot job for the whole value list; files still prune") {
+    val (cat, root) = freshCatalog()
+    val t = seed(root)
+    val rows = (0L until 400L).map(i => (s"d${i % 2}", "p", s"r$i", i))
+      .toDF("day", "pk", "rk", "n")
+    t.importOnce(rows)
+    t.compactRange(8, Seq("n")) // 8 range-disjoint files on n
+    // roll past a checkpoint so equality pruning takes the DF path
+    for (i <- 0 until 8)
+      t.upsertReplace(Seq((s"e$i", "p", s"x$i", 1000L + i)).toDF("day", "pk", "rk", "n"))
+    val before = GraftTable.snapshotPruneJobs.get()
+    val got = spark.sql(
+      s"SELECT rk, n FROM $cat.db.t WHERE n IN (5, 105, 205)")
+      .as[(String, Long)].collect().toSet
+    assert(got == Set(("r5", 5L), ("r105", 105L), ("r205", 205L)))
+    val jobs = GraftTable.snapshotPruneJobs.get() - before
+    assert(jobs == 1L, s"IN (3 values) cost $jobs pruning jobs, expected 1")
+    assert(GraftSqlRead.lastPlannedFiles.get() < GraftSqlRead.lastTotalFiles.get(),
+      s"IN pruning stopped skipping files: planned ${GraftSqlRead.lastPlannedFiles.get()}" +
+        s" of ${GraftSqlRead.lastTotalFiles.get()}")
+  }
+
+  test("ALTER TABLE ADD COLUMNS evolves the sidecar: old rows project " +
+    "typed null via SQL; new writes carry the column; non-ADD rejects") {
+    val (cat, root) = freshCatalog()
+    val t = seed(root)
+    t.importOnce(Seq(("d1", "p", "r1", 1L)).toDF("day", "pk", "rk", "n"))
+    spark.sql(s"ALTER TABLE $cat.db.t ADD COLUMNS (score DOUBLE, tag STRING)")
+    // evolved schema visible through the catalog; old rows null
+    val row = spark.sql(s"SELECT rk, score, tag FROM $cat.db.t").collect().head
+    assert(row.getString(0) == "r1" && row.isNullAt(1) && row.isNullAt(2))
+    // new writes carry it (explicit column list; partition col last)
+    spark.sql(s"INSERT INTO $cat.db.t (day, pk, rk, n, score, tag) " +
+      "VALUES ('d2', 'p', 'r2', 2, 0.5, 'x')")
+    assert(spark.sql(s"SELECT tag FROM $cat.db.t WHERE rk = 'r2'")
+      .as[String].collect().toSeq == Seq("x"))
+    // same-name different-type re-add rejects; RENAME rejects
+    intercept[Exception](
+      spark.sql(s"ALTER TABLE $cat.db.t ADD COLUMNS (score STRING)"))
+    intercept[Exception](
+      spark.sql(s"ALTER TABLE $cat.db.t RENAME COLUMN n TO m"))
+    assert(spark.table(s"$cat.db.t").columns.toSet ==
+      Set("day", "pk", "rk", "n", "score", "tag"))
+  }
+
   test("DROP TABLE only deletes graft tables: a stranger directory under " +
     "the catalog root survives; cascade refuses it") {
     val (cat, root) = freshCatalog()
