@@ -1966,6 +1966,69 @@ object IngestQueries {
         FROM a1 WHERE pk = 2
         UNION ALL
         SELECT 'diff', user_id, n_events, sum_cents, pk, 'delete'
-        FROM a1 WHERE pk = 3 AND sum_cents % 2 = 1"""))
+        FROM a1 WHERE pk = 3 AND sum_cents % 2 = 1""")),
+
+    // UNPARTITIONED TABLE, full SQL lifecycle — CREATE TABLE without
+    // PARTITIONED BY gets ONE synthetic partition (a hidden derived
+    // __gp column every write maintains; the catalog hides it from the
+    // schema): the first-touch DDL shape a new user types, carried
+    // through INSERT ticks, predicate UPDATE, DELETE FROM, and a keyed
+    // MERGE — all pure SQL text, all on the same single-partition
+    // manifest machinery. Oracle: the statement sequence replayed as
+    // stacked relational transforms.
+    QuerySpec("q243_sql_unpartitioned",
+      (s, dir) => {
+        GraftSession.tune(s)
+        val base = java.nio.file.Files.createTempDirectory("graft_q243_").toString
+        Tables.events(s, dir).createOrReplaceTempView("q243_events")
+        val cat = s"gcat_${java.util.UUID.randomUUID().toString.take(8)}"
+          .replace("-", "_")
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.root", base)
+        s.sql(s"""CREATE TABLE $cat.db.flat (
+            event_id BIGINT, user_id BIGINT, cents BIGINT)
+          TBLPROPERTIES ('keys'='event_id', 'statsCols'='cents')""")
+        s.sql(s"""INSERT INTO $cat.db.flat (event_id, user_id, cents)
+          SELECT event_id, user_id, CAST(round(value * 100) AS BIGINT)
+          FROM q243_events WHERE event_id % 2 = 0""")
+        s.sql(s"""INSERT INTO $cat.db.flat (event_id, user_id, cents)
+          SELECT event_id, user_id, CAST(round(value * 100) AS BIGINT)
+          FROM q243_events WHERE event_id % 2 = 1""")
+        s.sql(s"UPDATE $cat.db.flat SET cents = cents + 5 WHERE user_id % 3 = 0")
+        s.sql(s"DELETE FROM $cat.db.flat WHERE cents < 200")
+        s.sql("""CREATE OR REPLACE TEMP VIEW q243_src AS
+          SELECT event_id, CAST(max(user_id) AS BIGINT) AS user_id,
+            CAST(9999 AS BIGINT) AS cents
+          FROM q243_events WHERE event_id % 11 = 0 GROUP BY event_id""")
+        s.sql(s"""MERGE INTO $cat.db.flat t USING q243_src s
+          ON t.event_id = s.event_id
+          WHEN MATCHED THEN UPDATE SET cents = s.cents
+          WHEN NOT MATCHED THEN INSERT (event_id, user_id, cents)
+            VALUES (s.event_id, s.user_id, s.cents)""")
+        val out = s.sql(s"SELECT event_id, user_id, cents FROM $cat.db.flat")
+        val snap = out.localCheckpoint(true)
+        graft.operators.Fs.deleteTree(base)
+        snap
+      },
+      Some("""
+        WITH e AS (
+          SELECT event_id, user_id,
+            CAST(round(value * 100) AS BIGINT) AS cents
+          FROM events),
+        u1 AS (
+          SELECT event_id, user_id,
+            CASE WHEN user_id % 3 = 0 THEN cents + 5 ELSE cents END AS cents
+          FROM e),
+        d1 AS (SELECT * FROM u1 WHERE cents >= 200),
+        src AS (
+          SELECT event_id, CAST(max(user_id) AS BIGINT) AS user_id,
+            CAST(9999 AS BIGINT) AS cents
+          FROM e WHERE event_id % 11 = 0 GROUP BY event_id)
+        SELECT t.event_id, t.user_id,
+          CASE WHEN s.event_id IS NOT NULL THEN s.cents ELSE t.cents END AS cents
+        FROM d1 t LEFT JOIN src s ON t.event_id = s.event_id
+        UNION ALL
+        SELECT s.event_id, s.user_id, s.cents FROM src s
+        WHERE s.event_id NOT IN (SELECT event_id FROM d1)"""))
   )
 }

@@ -56,6 +56,15 @@ object GraftTable {
     */
   val snapshotPruneJobs = new java.util.concurrent.atomic.AtomicLong(0)
 
+  /** Reserved partition-column name that switches a table to SYNTHETIC
+    * partitioning: every write derives the value from `partitionSrc`
+    * (one constant partition when empty — the unpartitioned-table
+    * shape; a composite of the source columns otherwise). The SQL
+    * catalog hides the column and uses this mode for `CREATE TABLE`
+    * without `PARTITIONED BY` / with multiple partition columns.
+    */
+  val SyntheticPartition = "__gp"
+
   /** Run `body` (a table mutation, or several) retrying on lost
     * optimistic-concurrency races — each retry re-enters the mutation,
     * which re-reads the table at its NEW current version, so the merge
@@ -241,7 +250,8 @@ final class GraftTable(spark: SparkSession, val path: String,
                        val keys: Seq[String], val partitionCol: String,
                        val statsCols: Seq[String] = Nil,
                        val bloomCols: Seq[String] = Nil,
-                       val bloomBits: Int = 1024) {
+                       val bloomBits: Int = 1024,
+                       val partitionSrc: Seq[String] = Nil) {
 
   import GraftTable.{CheckpointEvery, orphanGraceMs}
 
@@ -254,12 +264,43 @@ final class GraftTable(spark: SparkSession, val path: String,
     */
   private val BloomK = 3
 
+  /** SYNTHETIC PARTITIONING: a table created with `partitionCol` =
+    * [[GraftTable.SyntheticPartition]] ("__gp") manages the partition
+    * value ITSELF — every write path derives it deterministically from
+    * `partitionSrc` ("all" when empty = one single partition, the
+    * unpartitioned-table shape; a null-safe composite of the source
+    * columns otherwise = multi-column partitioning composed into ONE
+    * path level, so the whole single-level manifest/DV/zone machinery
+    * applies unchanged). Derivation OVERWRITES any caller-provided
+    * value: partition-value consistency is what keeps keyed
+    * replace-semantics rewrites exact (a stale value would strand the
+    * old row outside the touched set). The column is internal: the SQL
+    * catalog hides it from the table schema.
+    */
+  private def synthetic = partitionCol == GraftTable.SyntheticPartition
+  private def deriveGp(df: DataFrame): DataFrame =
+    if (!synthetic) df
+    else {
+      val v =
+        if (partitionSrc.isEmpty) lit("all")
+        else concat_ws("\u0001", partitionSrc.map(c =>
+          coalesce(col(c).cast("string"), lit("\u0002"))): _*)
+      df.withColumn(partitionCol, v)
+    }
+
   /** Idempotent create (K1): materializes the table directory, a
     * schema sidecar, and version 1 (the empty manifest) once. (An empty
     * partitioned parquet write produces no data files, so the sidecar is
     * what lets `read` work pre-first-row.)
     */
-  def createIfNotExists(schema: org.apache.spark.sql.types.StructType): this.type = {
+  def createIfNotExists(schema0: org.apache.spark.sql.types.StructType): this.type = {
+    // synthetic tables carry their derived partition column internally
+    val schema =
+      if (synthetic && !schema0.fieldNames.contains(partitionCol))
+        org.apache.spark.sql.types.StructType(schema0.fields :+
+          org.apache.spark.sql.types.StructField(partitionCol,
+            org.apache.spark.sql.types.StringType, nullable = true))
+      else schema0
     if (!exists) {
       // overwrite: `exists` just said there is NO committed data here —
       // at most an empty/partial directory from a crashed write, which
@@ -1868,9 +1909,10 @@ final class GraftTable(spark: SparkSession, val path: String,
     * the evolved column order. No-op for legacy tables without a
     * sidecar.
     */
-  private def conform(df: DataFrame): DataFrame = sidecarSchemaOpt match {
-    case None => df
+  private def conform(df0: DataFrame): DataFrame = sidecarSchemaOpt match {
+    case None => deriveGp(df0)
     case Some(cur) =>
+      val df = deriveGp(df0) // synthetic tables always (re)derive __gp
       (keys :+ partitionCol).foreach(c => require(df.columns.contains(c),
         s"mutation rows must carry key/partition column '$c'"))
       val curByName = cur.fields.map(f => f.name -> f).toMap
@@ -2230,7 +2272,9 @@ final class GraftTable(spark: SparkSession, val path: String,
       set.get(c).map(e => when(matched, e.cast(typeOf(c))).otherwise(col(c)))
         .getOrElse(col(c)).as(c)
     }: _*)
-    val staged = Staging.stage(updated, "update_where_barrier")
+    // synthetic tables re-derive __gp: assigning a partition-source
+    // column moves the row
+    val staged = Staging.stage(deriveGp(updated), "update_where_barrier")
     commitRewrite(staged.df, touchedVals, base)
     staged.delete()
     this
@@ -2461,7 +2505,10 @@ final class GraftTable(spark: SparkSession, val path: String,
           }: _*)
         survivors.unionByName(ins)
     }
-    val staged = Staging.stage(written, "merge_barrier")
+    // synthetic tables re-derive __gp over the final frame: inserts pad
+    // it null, and a clause assigning a partition-source column must
+    // MOVE the row (the partition-moving-update discipline)
+    val staged = Staging.stage(deriveGp(written), "merge_barrier")
     commitRewrite(staged.df, partitionValsOf(touched), base, markers)
     staged.delete()
     this

@@ -13,7 +13,8 @@ import org.apache.spark.sql.SparkSession
   */
 final case class GraftTableMeta(keys: Seq[String], partitionCol: String,
                                 statsCols: Seq[String], bloomCols: Seq[String],
-                                bloomBits: Int)
+                                bloomBits: Int,
+                                partitionSrc: Seq[String] = Nil)
 
 object GraftTableMeta {
 
@@ -88,7 +89,7 @@ object GraftTableMeta {
   def write(path: String, m: GraftTableMeta): Unit = {
     val json = s"""{"keys":${arr(m.keys)},"partitionCol":"${esc(m.partitionCol)}",""" +
       s""""statsCols":${arr(m.statsCols)},"bloomCols":${arr(m.bloomCols)},""" +
-      s""""bloomBits":${m.bloomBits}}"""
+      s""""bloomBits":${m.bloomBits},"partitionSrc":${arr(m.partitionSrc)}}"""
     val tmp = java.nio.file.Paths.get(path,
       s"._graft_meta_tmp_${java.util.UUID.randomUUID().toString.take(8)}")
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(path))
@@ -117,14 +118,20 @@ object GraftTableMeta {
       case other => sys.error(s"bad _graft_meta.json: $name = $other")
     }
     def intField(name: String): Int = strField(name).toInt
+    // absent in pre-synthetic-partitioning sidecars → Nil
+    val partitionSrc = fields.get("partitionSrc") match {
+      case Some(Right(xs)) => xs
+      case _ => Seq.empty[String]
+    }
     Some(GraftTableMeta(arrField("keys"), strField("partitionCol"),
-      arrField("statsCols"), arrField("bloomCols"), intField("bloomBits")))
+      arrField("statsCols"), arrField("bloomCols"), intField("bloomBits"),
+      partitionSrc))
   }
 
   /** Record `t`'s configuration so the catalog can load it by name. */
   def annotate(t: GraftTable): GraftTable = {
     write(t.path, GraftTableMeta(t.keys, t.partitionCol, t.statsCols,
-      t.bloomCols, t.bloomBits))
+      t.bloomCols, t.bloomBits, t.partitionSrc))
     t
   }
 
@@ -133,5 +140,5 @@ object GraftTableMeta {
     */
   def open(spark: SparkSession, path: String): Option[GraftTable] =
     read(path).map(m => new GraftTable(spark, path, m.keys, m.partitionCol,
-      m.statsCols, m.bloomCols, m.bloomBits))
+      m.statsCols, m.bloomCols, m.bloomBits, m.partitionSrc))
 }

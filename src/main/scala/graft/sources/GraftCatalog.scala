@@ -113,9 +113,20 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
           .mkString("."))
     val partCols = partitions.toSeq.flatMap(t => t.references.toSeq
       .flatMap(_.fieldNames.toSeq))
-    require(partCols.size == 1 &&
-      partitions.forall(_.name == "identity"),
-      "GraftCatalog tables need exactly one identity PARTITIONED BY column")
+    require(partitions.forall(_.name == "identity"),
+      "GraftCatalog supports identity PARTITIONED BY columns only")
+    require(!schema.fieldNames.contains(GraftTable.SyntheticPartition),
+      s"column name ${GraftTable.SyntheticPartition} is reserved")
+    partCols.foreach(c => require(schema.fieldNames.contains(c),
+      s"PARTITIONED BY column '$c' is not in the table schema"))
+    // zero partition columns → one synthetic partition (unpartitioned
+    // table); several → composed into one synthetic path level; one →
+    // plain physical partitioning
+    val (pcol, psrc) = partCols match {
+      case Seq(one) => (one, Seq.empty[String])
+      case Seq() => (GraftTable.SyntheticPartition, Seq.empty[String])
+      case many => (GraftTable.SyntheticPartition, many)
+    }
     def csv(k: String) = Option(properties.get(k)).toSeq
       .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
     val keys = csv("keys")
@@ -124,8 +135,8 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
     val bloomBits = Option(properties.get("bloomBits")).map(_.toInt).getOrElse(1024)
     val dir = dirOf(ident.namespace, ident.name)
     Files.createDirectories(Paths.get(dir).getParent)
-    val gt = new GraftTable(spark, dir, keys, partCols.head,
-      csv("statsCols"), csv("bloomCols"), bloomBits)
+    val gt = new GraftTable(spark, dir, keys, pcol,
+      csv("statsCols"), csv("bloomCols"), bloomBits, psrc)
     gt.createIfNotExists(schema)
     GraftTableMeta.annotate(gt)
     org.apache.spark.sql.graft.GraftSqlRead.table(spark, gt, gt.currentVersion)

@@ -36,7 +36,10 @@ final class GraftCdcTable(spark: SparkSession, gt: GraftTable)
     extends Table with SupportsRead {
 
   val cdcSchema: StructType = StructType(
-    gt.read.schema.fields :+ StructField("_change_type", StringType, nullable = false))
+    gt.read.schema.fields
+      .filterNot(f => gt.partitionCol == GraftTable.SyntheticPartition &&
+        f.name == gt.partitionCol) :+ // synthetic __gp stays hidden
+      StructField("_change_type", StringType, nullable = false))
 
   override def name: String = s"graft_cdc:${gt.path.replace('.', '_')}"
   override def schema: StructType = cdcSchema

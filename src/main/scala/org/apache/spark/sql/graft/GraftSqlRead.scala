@@ -153,16 +153,24 @@ final class GraftSqlTable(spark: SparkSession, val gt: GraftTable,
     with org.apache.spark.sql.connector.catalog.SupportsDeleteV2 {
 
   /** Sidecar schema (metadata only — building the empty frame plans no
-    * job).
+    * job). Synthetic tables hide their derived `__gp` partition column:
+    * SQL users never see or write it.
     */
-  val tableSchema: StructType = gt.read.schema
+  val tableSchema: StructType = {
+    val full = gt.read.schema
+    if (gt.partitionCol == GraftTable.SyntheticPartition)
+      StructType(full.fields.filterNot(_.name == gt.partitionCol))
+    else full
+  }
 
   // no dots/backticks: some engine paths parse the name as an attribute
   override def name: String =
     s"graft:${gt.path.replace('.', '_')}@v$pinnedVersion"
   override def schema: StructType = tableSchema
   override def partitioning: Array[Transform] =
-    Array(Expressions.identity(gt.partitionCol))
+    if (gt.partitionCol == GraftTable.SyntheticPartition)
+      gt.partitionSrc.map(Expressions.identity).toArray // logical partitioning
+    else Array(Expressions.identity(gt.partitionCol))
   override def capabilities: java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ,
@@ -243,8 +251,11 @@ final class GraftScanBuilder(spark: SparkSession, gt: GraftTable,
 
   private val dataSchema = StructType(
     tableSchema.fields.filterNot(_.name == gt.partitionCol))
+  // the file index needs the FULL schema (it types the partition dirs,
+  // incl. a synthetic table's hidden __gp); the scan builder gets the
+  // PUBLIC one, so readSchema never surfaces the hidden column
   private val fileIndex =
-    new GraftPrunedFileIndex(spark, gt, version, tableSchema)
+    new GraftPrunedFileIndex(spark, gt, version, gt.read.schema)
   private val inner = ParquetScanBuilder(spark, fileIndex, tableSchema,
     dataSchema, GraftSqlRead.emptyOptions)
   private var prunedSchema: Option[StructType] = None
@@ -345,11 +356,16 @@ final class GraftMicroBatchStream(spark: SparkSession, gt: GraftTable,
   }
 
   private def scanFor(files: Seq[String]): Scan = {
+    // index over the FULL schema (types the partition dirs, incl. a
+    // synthetic table's hidden __gp); prune to the PUBLIC schema so the
+    // stream's rows match the table schema exactly
     val fi = new InMemoryFileIndex(spark,
       files.map(f => new Path(s"${gt.path}/$f")),
-      Map("basePath" -> gt.path), Some(tableSchema))
-    ParquetScanBuilder(spark, fi, tableSchema, dataSchema,
-      GraftSqlRead.emptyOptions).build()
+      Map("basePath" -> gt.path), Some(gt.read.schema))
+    val b = ParquetScanBuilder(spark, fi, tableSchema, dataSchema,
+      GraftSqlRead.emptyOptions)
+    b.pruneColumns(tableSchema)
+    b.build()
   }
 
   override def latestOffset(): Offset =

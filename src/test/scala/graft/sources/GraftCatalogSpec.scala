@@ -401,6 +401,62 @@ class GraftCatalogSpec extends SparkSpec {
       Set("day", "pk", "rk", "n", "score", "tag"))
   }
 
+  test("CREATE TABLE without PARTITIONED BY: full SQL lifecycle on one " +
+    "synthetic partition; the hidden __gp column never surfaces") {
+    val (cat, root) = freshCatalog()
+    spark.sql(s"""CREATE TABLE $cat.db.u (id BIGINT, v STRING)
+      TBLPROPERTIES ('keys'='id')""")
+    spark.sql(s"INSERT INTO $cat.db.u (id, v) VALUES (1, 'a'), (2, 'b')")
+    spark.sql(s"INSERT INTO $cat.db.u (id, v) VALUES (3, 'c')")
+    assert(spark.table(s"$cat.db.u").columns.toSeq == Seq("id", "v"),
+      "the synthetic partition column leaked into the schema")
+    assert(spark.sql(s"SELECT * FROM $cat.db.u").columns.toSeq == Seq("id", "v"))
+    spark.sql(s"UPDATE $cat.db.u SET v = 'B' WHERE id = 2")
+    spark.sql(s"DELETE FROM $cat.db.u WHERE id = 1")
+    Seq((3L, "C"), (4L, "d")).toDF("id", "v").createOrReplaceTempView("u_src")
+    spark.sql(s"""MERGE INTO $cat.db.u t USING u_src s ON t.id = s.id
+      WHEN MATCHED THEN UPDATE SET v = s.v
+      WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id, s.v)""")
+    assert(spark.sql(s"SELECT id, v FROM $cat.db.u")
+      .as[(Long, String)].collect().toSet ==
+      Set((2L, "B"), (3L, "C"), (4L, "d")))
+    // Scala API sees one derived partition; keyed semantics exact
+    val gt = GraftTableMeta.open(spark, s"$root/db/u").get
+    assert(gt.read.select(GraftTable.SyntheticPartition).distinct()
+      .as[String].collect().toSeq == Seq("all"))
+    gt.upsertReplace(Seq((4L, "D")).toDF("id", "v"))
+    assert(spark.sql(s"SELECT v FROM $cat.db.u WHERE id = 4")
+      .as[String].collect().toSeq == Seq("D"), "replace upsert must not duplicate")
+  }
+
+  test("CREATE TABLE with MULTIPLE partition columns composes them into " +
+    "one synthetic path level; keyed mutations move rows consistently") {
+    val (cat, root) = freshCatalog()
+    spark.sql(s"""CREATE TABLE $cat.db.m (id BIGINT, day STRING,
+        region STRING, v BIGINT)
+      PARTITIONED BY (day, region) TBLPROPERTIES ('keys'='id')""")
+    spark.sql(s"INSERT INTO $cat.db.m (id, day, region, v) VALUES " +
+      "(1, 'd1', 'eu', 10), (2, 'd1', 'us', 20), (3, 'd2', 'eu', 30), " +
+      "(4, 'd2', NULL, 40)")
+    assert(spark.table(s"$cat.db.m").columns.toSeq ==
+      Seq("id", "day", "region", "v"))
+    val gt = GraftTableMeta.open(spark, s"$root/db/m").get
+    // one physical partition per (day, region) combination, null-safe
+    assert(gt.read.select(GraftTable.SyntheticPartition).distinct().count() == 4)
+    // an UPDATE assigning a partition-source column MOVES the row —
+    // the derived value must follow, or a later keyed rewrite strands it
+    spark.sql(s"UPDATE $cat.db.m SET day = 'd9' WHERE id = 1")
+    val moved = gt.read.filter($"id" === 1L)
+      .select(GraftTable.SyntheticPartition).as[String].collect()
+    assert(moved.length == 1 && moved.head.startsWith("d9"),
+      s"derived partition did not follow the update: ${moved.toSeq}")
+    // keyed replace on the moved row: exactly one copy survives
+    gt.upsertReplace(Seq((1L, "d9", "eu", 11L)).toDF("id", "day", "region", "v"))
+    assert(spark.sql(s"SELECT v FROM $cat.db.m WHERE id = 1")
+      .as[Long].collect().toSeq == Seq(11L))
+    assert(spark.sql(s"SELECT count(*) FROM $cat.db.m").as[Long].head() == 4L)
+  }
+
   test("DROP TABLE only deletes graft tables: a stranger directory under " +
     "the catalog root survives; cascade refuses it") {
     val (cat, root) = freshCatalog()
