@@ -587,8 +587,16 @@ final class GraftTable(spark: SparkSession, val path: String,
       val carried = txnState(base).collect {
         case (app, b) if !newTxnApps.contains(app) => s"#txn:$app:$b"
       }.toSeq
+      // the checkpoint manifest ALSO records this commit's own delta
+      // (+files / -dirs, marked complete by #cdelta): range-diff
+      // consumers (the streaming source) replay O(changed files) per
+      // batch without resolving either endpoint's live list, even
+      // across checkpoint versions. manifestFiles ignores these (the
+      // #ckpt base wins); legacy checkpoints lack #cdelta and make the
+      // range fall back to the live diff.
       try commitEntries(base,
-        (carried ++ markers :+ s"#ckpt:$nonce").sorted)
+        (carried ++ markers ++ dropDirs.sorted.map("-" + _) ++
+          added.sorted.map("+" + _) :+ s"#cdelta" :+ s"#ckpt:$nonce").sorted)
       catch {
         case e: CommitConflictException =>
           Fs.deleteTree(ckptDirFor(v, nonce))
@@ -1382,6 +1390,50 @@ final class GraftTable(spark: SparkSession, val path: String,
       .toMap
   }
 
+  /** True if version `v`'s manifest is still retained (vacuum drops
+    * old history) — the streaming resume-below-horizon check.
+    */
+  def hasVersion(v: Long): Boolean =
+    java.nio.file.Files.exists(manifestPath(v))
+
+  /** Net file changes of versions (s, e], replayed from the DELTA
+    * manifests ALONE — O(changed files) per streaming batch, no
+    * live-list materialization at either endpoint. Checkpoint versions
+    * written by this code carry their own delta (`#cdelta` + entries);
+    * a legacy checkpoint in range → None (caller falls back to the
+    * live diff).
+    *
+    * Returns (addedLive, deleteOnlyDirs): files that entered the live
+    * set in the range and survive at `e` (a restore re-landing a
+    * pre-range file re-emits it — the replace-semantics post-state),
+    * and partition dirs dropped in the range with no surviving adds
+    * beneath them (the delete-only-commit guard's input).
+    */
+  def fileChangesInRange(s: Long, e: Long): Option[(Seq[String], Set[String])] = {
+    require(s >= 0 && e >= s, s"bad range ($s, $e]")
+    val added = scala.collection.mutable.LinkedHashSet.empty[String]
+    val droppedEver = scala.collection.mutable.Set.empty[String]
+    var v = s + 1
+    while (v <= e) {
+      val entries = rawEntries(v)
+      val isCkpt = entries.exists(_.startsWith("#ckpt:"))
+      if (isCkpt && !entries.contains("#cdelta"))
+        return None // legacy checkpoint: its delta was not recorded
+      val drops = entries.collect { case x if x.startsWith("-") => x.drop(1) }
+      val adds = entries.collect { case x if x.startsWith("+") => x.drop(1) }
+      if (drops.nonEmpty) {
+        added.filterInPlace(f => !drops.exists(d => f.startsWith(d + "/")))
+        droppedEver ++= drops
+      }
+      added ++= adds
+      v += 1
+    }
+    val addedLive = added.toSeq
+    val deleteOnly = droppedEver.toSet
+      .filter(d => !addedLive.exists(_.startsWith(d + "/")))
+    Some((addedLive, deleteOnly))
+  }
+
   /** True if any deletion-vector COMMIT landed in versions (s, e] —
     * i.e. the range contains row-level deletes a file-diff stream
     * cannot represent.
@@ -1644,8 +1696,8 @@ final class GraftTable(spark: SparkSession, val path: String,
         // preserve this version's own markers (its old `#dv:` refs are
         // superseded by the merged one) and the accumulated txn state
         val own = kEntries.filter(e => e.startsWith("#") &&
-          e != "#delta" && !e.startsWith("#txn:") && !e.startsWith("#dv:") &&
-          !e.startsWith("#ckpt:"))
+          e != "#delta" && e != "#cdelta" && !e.startsWith("#txn:") &&
+          !e.startsWith("#dv:") && !e.startsWith("#ckpt:"))
         val txns = txnState(kMin).map { case (app, b) => s"#txn:$app:$b" }.toSeq
         val ckptMarker =
           if (alreadyCkpt) kEntries.find(_.startsWith("#ckpt:")).get

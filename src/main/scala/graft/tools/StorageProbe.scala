@@ -129,6 +129,29 @@ object StorageProbe {
     println(f"COMMIT ckpt-tick (v8, with stats) = ${withStats(6)}%.2f s vs " +
       f"median delta-tick = ${withStats.sorted.apply(5)}%.2f s")
 
+    // 4. STREAM BATCH PLANNING (round 9): per-batch planning cost must
+    // be O(changed files), not O(live files) — fileChangesInRange
+    // replays only the (s, e] delta manifests, vs the old shape that
+    // resolved BOTH endpoints' live lists. Grow the live-file count
+    // ~8× and compare the wall of planning a 1-commit batch.
+    def streamPlanProbe(nParts: Int): (Int, Double, Double) = {
+      val t = new GraftTable(spark, s"$base/stream$nParts", Seq("event_id"), "pk")
+      t.createIfNotExists(org.apache.spark.sql.types.StructType.fromDDL(
+        "event_id BIGINT, user_id BIGINT, cents BIGINT, pk BIGINT"))
+      val wide = rows.withColumn("pk", col("user_id") % nParts)
+      for (i <- 0 until 12) // 12 commits, one partition slice each
+        t.insertIfAbsent(wide.filter(col("pk") % 12 === i % 12))
+      val head = t.currentVersion
+      val tDelta = minOf2 { t.fileChangesInRange(head - 1, head); () }
+      val tLive = minOf2 { t.liveFilesAt(head); () }
+      (t.dataFileCount, tDelta, tLive)
+    }
+    for (n <- Seq(8, 64, 256)) {
+      val (files, tDelta, tLive) = streamPlanProbe(n)
+      println(f"STREAM live=$files%4d files   batchPlan(delta)=" +
+        f"${tDelta * 1000}%8.2f ms   liveList=${tLive * 1000}%8.2f ms")
+    }
+
     graft.operators.Fs.deleteTree(base)
     spark.stop()
   }

@@ -91,6 +91,10 @@ final class GraftCdcMicroBatchStream(spark: SparkSession, gt: GraftTable,
     val s = start.asInstanceOf[GraftOffset].v
     val e = end.asInstanceOf[GraftOffset].v
     if (e <= s) return Array.empty
+    require(s == 0L || gt.hasVersion(s),
+      s"table ${gt.path}: CDC stream resume offset $s predates the vacuum " +
+        "horizon — its history was reclaimed; restart from a fresh " +
+        "checkpoint (full snapshot) or stop vacuuming under live streams")
     val cols = cdcSchema.fields.map(_.name).toSeq
     val df =
       if (s == 0L) // snapshot-as-inserts (fresh checkpoint)

@@ -386,6 +386,12 @@ final class GraftMicroBatchStream(spark: SparkSession, gt: GraftTable,
     val s = start.asInstanceOf[GraftOffset].v
     val e = end.asInstanceOf[GraftOffset].v
     if (e <= s) return Array.empty
+    // an offset older than the vacuum horizon has no manifests left —
+    // fail with the real cause, not a missing-file read error
+    require(s == 0L || gt.hasVersion(s),
+      s"table ${gt.path}: stream resume offset $s predates the vacuum " +
+        "horizon — its history was reclaimed; restart from a fresh " +
+        "checkpoint (full snapshot) or stop vacuuming under live streams")
     // deletion-vector commits INSIDE the batch range delete rows of
     // already-emitted files — a file-diff stream cannot retract them
     // (the delete-only-commit contract below, row-level form). Vectors
@@ -398,27 +404,34 @@ final class GraftMicroBatchStream(spark: SparkSession, gt: GraftTable,
         "commits — the file-diff stream cannot emit row deletions; " +
         "consume deletes via readChangesRowsSince, or pass " +
         ".option(\"ignoreDeletes\", \"true\") to skip them")
-    val old = if (s == 0L) Set.empty[String] else gt.liveFilesAt(s).toSet
-    val live = gt.liveFilesAt(e)
-    val added = live.filterNot(old)
+    // Per-batch planning is O(changed files): the (s, e] delta
+    // manifests record adds/drops directly (checkpoint versions carry
+    // their own #cdelta) — neither endpoint's live list materializes.
+    // Fallbacks: the snapshot batch (s = 0) IS the live list by
+    // definition; a legacy (pre-#cdelta) checkpoint in range diffs the
+    // two live lists like before.
+    val (added, deleteOnlyDirs) =
+      if (s == 0L) (gt.liveFilesAt(e), Set.empty[String])
+      else gt.fileChangesInRange(s, e).getOrElse {
+        val old = gt.liveFilesAt(s).toSet
+        val live = gt.liveFilesAt(e)
+        val add = live.filterNot(old)
+        def dirOf(f: String) = f.split('/').dropRight(1).mkString("/")
+        ((add: Seq[String]),
+          (old -- live.toSet).map(dirOf) -- add.map(dirOf).toSet)
+      }
     // a commit that DROPS a partition's files without re-adding any
     // (DELETE FROM / TRUNCATE / a keyed delete emptying it) cannot be
     // represented by a file-diff batch: the consumer would silently
     // keep the deleted rows. Refuse loudly unless the reader opted in
     // (.option("ignoreDeletes", true) — the Delta streaming contract).
-    if (!ignoreDeletes && s > 0L) {
-      def dirOf(f: String) = f.split('/').dropRight(1).mkString("/")
-      val liveSet = live.toSet
-      val droppedDirs = old.filterNot(liveSet).map(dirOf)
-      val addedDirs = added.map(dirOf).toSet
-      val deleteOnly = droppedDirs -- addedDirs
-      require(deleteOnly.isEmpty,
+    if (!ignoreDeletes && s > 0L)
+      require(deleteOnlyDirs.isEmpty,
         s"table ${gt.path}: versions ($s, $e] removed partition(s) " +
-          s"${deleteOnly.mkString(", ")} without rewriting them — the " +
+          s"${deleteOnlyDirs.mkString(", ")} without rewriting them — the " +
           "file-diff stream cannot emit row deletions; consume deletes " +
           "via readChangesRowsSince, or pass .option(\"ignoreDeletes\", " +
           "\"true\") to skip them")
-    }
     if (added.isEmpty) Array.empty
     else {
       val parts = scanFor(added).toBatch.planInputPartitions()
@@ -431,7 +444,11 @@ final class GraftMicroBatchStream(spark: SparkSession, gt: GraftTable,
     }
   }
 
-  override def createReaderFactory(): org.apache.spark.sql.connector.read.PartitionReaderFactory = {
+  // built ONCE per run (parquet reader factories are partition-
+  // agnostic — schemas + conf only), not per batch: no live listing on
+  // the batch path
+  private lazy val cachedFactory
+      : org.apache.spark.sql.connector.read.PartitionReaderFactory = {
     val v = gt.currentVersion
     val live = if (v > 0) gt.liveFilesAt(v) else Seq.empty
     val f = scanFor(live).toBatch.createReaderFactory()
@@ -440,6 +457,9 @@ final class GraftMicroBatchStream(spark: SparkSession, gt: GraftTable,
     // variant)
     new GraftDvReaderFactory(f, f)
   }
+
+  override def createReaderFactory(): org.apache.spark.sql.connector.read.PartitionReaderFactory =
+    cachedFactory
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()

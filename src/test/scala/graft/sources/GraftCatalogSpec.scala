@@ -457,6 +457,50 @@ class GraftCatalogSpec extends SparkSpec {
     assert(spark.sql(s"SELECT count(*) FROM $cat.db.m").as[Long].head() == 4L)
   }
 
+  test("streaming batch planned from DELTA manifests: a range CROSSING a " +
+    "parquet checkpoint drains exactly the diff; resume below the " +
+    "vacuum horizon fails with the real cause") {
+    val (cat, root) = freshCatalog()
+    val t = seed(root)
+    t.importOnce(Seq(("d1", "p", "r1", 1L)).toDF("day", "pk", "rk", "n"))
+    def drain(ckpt: String): Set[(String, Long)] = {
+      val acc = new java.util.concurrent.ConcurrentLinkedQueue[(String, Long)]()
+      val q = spark.readStream.table(s"$cat.db.t").writeStream
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          df.select("rk", "n").collect()
+            .foreach(r => acc.add((r.getString(0), r.getLong(1)))); ()
+        }
+        .start()
+      q.awaitTermination(120000)
+      assert(!q.isActive)
+      scala.jdk.CollectionConverters.CollectionHasAsScala(acc).asScala.toSet
+    }
+    val ckpt = Files.createTempDirectory("graft_delta_stream").toString + "/c"
+    assert(drain(ckpt) == Set("r1" -> 1L))
+    val sOff = t.currentVersion
+    // commits v3..v9 while the stream is down — v8 rolls a parquet
+    // checkpoint, so the (2, 9] batch range CROSSES it; the #cdelta
+    // entries keep the delta replay exact
+    for (i <- 0 until 7)
+      t.upsertReplace(Seq((s"e$i", "p", s"x$i", 100L + i)).toDF("day", "pk", "rk", "n"))
+    assert(t.currentVersion >= 8 && sOff < 8, "test must cross the v8 checkpoint")
+    val diff = drain(ckpt)
+    assert(diff == (0 until 7).map(i => (s"x$i", 100L + i)).toSet,
+      s"range crossing a checkpoint mis-drained: $diff")
+    // fileChangesInRange is what planned it (no legacy fallback)
+    assert(t.fileChangesInRange(sOff, t.currentVersion).isDefined,
+      "the checkpoint manifest lost its #cdelta record")
+    // vacuum past the stream's offset → resume fails with 'horizon'
+    t.upsertReplace(Seq(("zz", "p", "zz", 999L)).toDF("day", "pk", "rk", "n"))
+    t.vacuum(1)
+    val e = intercept[Exception](drain(ckpt))
+    assert(e.getMessage.contains("vacuum horizon") ||
+      Option(e.getCause).exists(_.getMessage.contains("vacuum horizon")),
+      s"got: ${e.getMessage}")
+  }
+
   test("DROP TABLE only deletes graft tables: a stranger directory under " +
     "the catalog root survives; cascade refuses it") {
     val (cat, root) = freshCatalog()
