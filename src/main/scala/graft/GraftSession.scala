@@ -40,11 +40,13 @@ object GraftSession {
     // same bytes as naive TIMESTAMP, so both engines see identical
     // wall-clock values.
     c.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-    // Footer-harvested commit stats (GraftTable zone maps) trust parquet
-    // min/max only for TIMESTAMP_MICROS/MILLIS annotations; INT96 (a
-    // settable legacy output type) has no usable footer ordering, which
-    // would silently disable timestamp pruning. Pin the modern encoding.
-    c.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    // NOTE deliberately NOT pinned here: spark.sql.parquet.
+    // outputTimestampType. GraftTable scopes TIMESTAMP_MICROS around
+    // its OWN data-file writes (footer-harvested zone maps need the
+    // modern annotation — INT96 has no usable footer ordering), while
+    // the session default stays untouched: a global pin changes how
+    // EVERY parquet this session writes renders in non-Spark readers
+    // (instant-typed MICROS reads back as timestamptz).
     // Partition-overwrite only rewrites the partitions present in the
     // incoming frame — the physical form of the reference's per-day
     // import-once upserts (reference `server/etl.py:71`).

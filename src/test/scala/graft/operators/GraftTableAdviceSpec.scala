@@ -223,9 +223,9 @@ class GraftTableAdviceSpec extends SparkSpec {
     assert(!feed.exists(f => f._2 == "r2"))
   }
 
-  test("checkpoint manifests are parquet: the JSON carries only markers " +
-    "(O(1) at any table size); replay, stats pruning and time travel " +
-    "work through the checkpoint") {
+  test("checkpoint manifests are parquet: the JSON carries markers plus " +
+    "only THIS commit's own delta (O(commit), never O(live)); replay, " +
+    "stats pruning and time travel work through the checkpoint") {
     val p = dir()
     val t = new GraftTable(spark, p, keys = Seq("pk", "rk"),
       partitionCol = "day", statsCols = Seq("n"))
@@ -236,12 +236,22 @@ class GraftTableAdviceSpec extends SparkSpec {
     assert(t.currentVersion == 10L)
     val ckptJson = java.nio.file.Files.readString(
       java.nio.file.Paths.get(p, "_graft_log", "v000008.json"))
-    // the checkpoint JSON lists NO data files — only #-markers
+    // the checkpoint JSON lists NO live set — only #-markers plus the
+    // COMMIT'S OWN delta (#cdelta record, round 9: what lets streaming
+    // ranges cross checkpoints in O(changed files)). v8 touched one
+    // partition: its entries are bounded by that commit, not the table.
     val entries = ckptJson.substring(ckptJson.indexOf('[') + 1, ckptJson.lastIndexOf(']'))
       .split("\",\\s*\"").map(_.stripPrefix("\"").stripSuffix("\"")).toSeq
-    assert(entries.forall(_.startsWith("#")),
-      s"checkpoint manifest must carry only markers, got $entries")
+    assert(entries.forall(e => e.startsWith("#") ||
+      e.startsWith("+") || e.startsWith("-")),
+      s"checkpoint manifest must carry only markers + own delta, got $entries")
     assert(entries.exists(_.startsWith("#ckpt:")))
+    assert(entries.contains("#cdelta"),
+      "checkpoint manifests must mark their delta record complete")
+    val adds = entries.filter(_.startsWith("+"))
+    val drops = entries.filter(_.startsWith("-"))
+    assert(adds.size == 1 && drops == Seq("-day=d1"),
+      s"the #cdelta record must be THIS commit's delta alone: $entries")
     // live replay through the checkpoint + later deltas
     val got = t.read.select("rk", "n").as[(String, Int)].collect().toMap
     assert(got == (1 to 9).map(i => s"r$i" -> i).toMap)
