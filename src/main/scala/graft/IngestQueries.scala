@@ -2029,6 +2029,77 @@ object IngestQueries {
         FROM d1 t LEFT JOIN src s ON t.event_id = s.event_id
         UNION ALL
         SELECT s.event_id, s.user_id, s.cents FROM src s
-        WHERE s.event_id NOT IN (SELECT event_id FROM d1)"""))
+        WHERE s.event_id NOT IN (SELECT event_id FROM d1)""")),
+
+    // BATCH CHANGE FEED AS SQL — `SELECT … FROM t__changes VERSION AS
+    // OF v` is the Delta `table_changes(t, v)` semantic on the catalog:
+    // the q232 mutation history (partition rewrites → update pre/post
+    // images + inserts, a keyed partition-dropping delete, a deletion-
+    // vector delete) read back as ONE SQL statement over the anchored
+    // changes table. Same oracle as q232 — the SQL path must be
+    // bit-identical to readChangesRowsSince.
+    QuerySpec("q244_sql_changes",
+      (s, dir) => {
+        GraftSession.tune(s)
+        val base = java.nio.file.Files.createTempDirectory("graft_q244_").toString
+        val ev = Tables.events(s, dir)
+        val us = unix_micros(col("ts"))
+        def agg(e: org.apache.spark.sql.DataFrame) = e.groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_events"),
+            sum(expr("CAST(round(value * 100) AS BIGINT)")).as("sum_cents"))
+          .withColumn("pk", col("user_id") % 8)
+        val t = new graft.operators.GraftTable(s, s"$base/db/agg",
+          Seq("user_id"), "pk")
+        t.createIfNotExists(org.apache.spark.sql.types.StructType.fromDDL(
+          "user_id BIGINT, n_events BIGINT, sum_cents BIGINT, pk BIGINT"))
+        graft.operators.GraftTableMeta.annotate(t)
+        val cat = s"gcat_${java.util.UUID.randomUUID().toString.take(8)}"
+          .replace("-", "_")
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.root", base)
+        t.upsertReplace(agg(ev.filter(us % 2 === 0)))
+        val since = t.currentVersion
+        t.upsertReplace(agg(ev.filter(col("user_id") % 8 < 2)))
+        t.deleteByKeys(t.readAt(since).filter(col("pk") === 2).select("user_id"))
+        t.deleteWhere(col("pk") === 3 && col("sum_cents") % 2 === 1)
+        val out = s.sql(s"""SELECT user_id, n_events, sum_cents, pk,
+            _change_type
+          FROM $cat.db.agg__changes VERSION AS OF $since""")
+        val snap = out.localCheckpoint(true)
+        graft.operators.Fs.deleteTree(base)
+        snap
+      },
+      Some("""
+        WITH e AS (
+          SELECT user_id, CAST(round(value * 100) AS BIGINT) AS cents,
+            epoch_us(CAST(ts AS TIMESTAMP)) AS us
+          FROM events),
+        a1 AS (
+          SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+            CAST(sum(cents) AS BIGINT) AS sum_cents,
+            CAST(user_id % 8 AS BIGINT) AS pk
+          FROM e WHERE us % 2 = 0 GROUP BY 1),
+        a2 AS (
+          SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+            CAST(sum(cents) AS BIGINT) AS sum_cents,
+            CAST(user_id % 8 AS BIGINT) AS pk
+          FROM e GROUP BY 1)
+        SELECT user_id, n_events, sum_cents, pk, 'insert' AS _change_type
+        FROM a2 WHERE pk < 2 AND user_id NOT IN (SELECT user_id FROM a1)
+        UNION ALL
+        SELECT a1.user_id, a1.n_events, a1.sum_cents, a1.pk, 'update_preimage'
+        FROM a1 JOIN a2 USING (user_id)
+        WHERE a1.pk < 2 AND (a1.n_events <> a2.n_events
+          OR a1.sum_cents <> a2.sum_cents)
+        UNION ALL
+        SELECT a2.user_id, a2.n_events, a2.sum_cents, a2.pk, 'update_postimage'
+        FROM a1 JOIN a2 USING (user_id)
+        WHERE a1.pk < 2 AND (a1.n_events <> a2.n_events
+          OR a1.sum_cents <> a2.sum_cents)
+        UNION ALL
+        SELECT user_id, n_events, sum_cents, pk, 'delete' FROM a1 WHERE pk = 2
+        UNION ALL
+        SELECT user_id, n_events, sum_cents, pk, 'delete' FROM a1
+        WHERE pk = 3 AND sum_cents % 2 = 1"""))
   )
 }

@@ -1398,6 +1398,26 @@ final class GraftTable(spark: SparkSession, val path: String,
   def hasVersion(v: Long): Boolean =
     java.nio.file.Files.exists(manifestPath(v))
 
+  /** `TIMESTAMP AS OF` resolution: the LATEST version committed at or
+    * before `microsUtc` (manifest link mtimes are the commit clock —
+    * the Delta convention). Errors when the timestamp predates the
+    * retained history (vacuumed or before v1): silently resolving to
+    * a later state would be a wrong answer.
+    */
+  def versionAtTimestamp(microsUtc: Long): Long = {
+    val ms = microsUtc / 1000L
+    val vs = versions
+    val at = vs.filter(v =>
+      java.nio.file.Files.getLastModifiedTime(manifestPath(v)).toMillis <= ms)
+    require(at.nonEmpty,
+      s"table $path: no version committed at or before " +
+        s"${java.time.Instant.ofEpochMilli(ms)} — earliest retained is " +
+        vs.headOption.map(v => s"v$v @ " + java.time.Instant.ofEpochMilli(
+          java.nio.file.Files.getLastModifiedTime(manifestPath(v)).toMillis))
+          .getOrElse("<empty>"))
+    at.max
+  }
+
   /** Net file changes of versions (s, e], replayed from the DELTA
     * manifests ALONE — O(changed files) per streaming batch, no
     * live-list materialization at either endpoint. Checkpoint versions

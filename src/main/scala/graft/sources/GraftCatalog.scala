@@ -93,15 +93,41 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
     org.apache.spark.sql.graft.GraftSqlRead.table(spark, gt, gt.currentVersion)
   }
 
-  /** `VERSION AS OF v` time travel — the pinned version's live set. */
+  /** `VERSION AS OF v` time travel — the pinned version's live set. On
+    * a `<name>__changes` identifier it instead anchors a BATCH change
+    * feed: every `_change_type` row since version v (the Delta
+    * `table_changes` semantic).
+    */
   override def loadTable(ident: Identifier, version: String): Table = {
+    def parse(gt: GraftTable): Long = {
+      val v = scala.util.Try(version.trim.toLong).getOrElse(
+        throw new IllegalArgumentException(
+          s"GraftCatalog versions are commit numbers, got '$version'"))
+      require(gt.versions.contains(v),
+        s"version $v does not exist for table ${gt.path}")
+      v
+    }
+    if (ident.name.endsWith("__changes")) {
+      val base = Identifier.of(ident.namespace,
+        ident.name.stripSuffix("__changes"))
+      if (tableExists(base)) {
+        val gt = open(base)
+        return new org.apache.spark.sql.graft.GraftCdcTable(spark, gt,
+          batchSince = Some(parse(gt)))
+      }
+    }
     val gt = open(ident)
-    val v = scala.util.Try(version.trim.toLong).getOrElse(
-      throw new IllegalArgumentException(
-        s"GraftCatalog versions are commit numbers, got '$version'"))
-    require(gt.versions.contains(v),
-      s"version $v does not exist for table ${gt.path}")
-    org.apache.spark.sql.graft.GraftSqlRead.table(spark, gt, v)
+    org.apache.spark.sql.graft.GraftSqlRead.table(spark, gt, parse(gt))
+  }
+
+  /** `TIMESTAMP AS OF t` time travel: the latest version committed at
+    * or before `t` (micros since epoch; manifest mtimes are the commit
+    * clock).
+    */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
+    val gt = open(ident)
+    org.apache.spark.sql.graft.GraftSqlRead.table(spark, gt,
+      gt.versionAtTimestamp(timestampMicros))
   }
 
   override def createTable(ident: Identifier, schema: StructType,

@@ -32,7 +32,8 @@ import graft.operators.GraftTable
   * are age-gated away by vacuum. Batch (non-streaming) SQL reads of the
   * changes table are rejected — use `readChangesRowsSince` in Scala.
   */
-final class GraftCdcTable(spark: SparkSession, gt: GraftTable)
+final class GraftCdcTable(spark: SparkSession, gt: GraftTable,
+                          batchSince: Option[Long] = None)
     extends Table with SupportsRead {
 
   val cdcSchema: StructType = StructType(
@@ -41,23 +42,55 @@ final class GraftCdcTable(spark: SparkSession, gt: GraftTable)
         f.name == gt.partitionCol) :+ // synthetic __gp stays hidden
       StructField("_change_type", StringType, nullable = false))
 
-  override def name: String = s"graft_cdc:${gt.path.replace('.', '_')}"
+  // `VERSION AS OF v` on the changes table anchors a BATCH change feed:
+  // "every change since version v" (the Delta table_changes semantic),
+  // with the end pinned at load time for a stable result
+  private val batchUntil: Long = gt.currentVersion
+
+  override def name: String = s"graft_cdc:${gt.path.replace('.', '_')}" +
+    batchSince.map(v => s"@since$v").getOrElse("")
   override def schema: StructType = cdcSchema
   override def capabilities: java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+    if (batchSince.isDefined) java.util.EnumSet.of(TableCapability.BATCH_READ)
+    else java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder {
       override def build(): Scan = new Scan {
         override def readSchema(): StructType = cdcSchema
-        override def toBatch: Batch =
-          throw new UnsupportedOperationException(
-            s"the changes table of ${gt.path} is streaming-only — for a " +
-              "batch change feed use GraftTable.readChangesRowsSince")
+        override def toBatch: Batch = batchSince match {
+          case Some(since) =>
+            // stage the (since, until] change frame and serve it as a
+            // plain parquet batch — the same execution shape as one
+            // stream micro-batch; the staged dir is reclaimed by
+            // vacuum's age-gated sweep (batch scans get no commit hook)
+            val cols = cdcSchema.fields.map(_.name).toSeq
+            val dir = new Path(new Path(gt.path, "_graft_cdc"),
+              s"batch_${java.util.UUID.randomUUID().toString.take(8)}").toString
+            gt.readChangesRowsBetween(since, batchUntil)
+              .select(cols.map(org.apache.spark.sql.functions.col): _*)
+              .write.mode("overwrite").parquet(dir)
+            GraftCdcMicroBatchStream.scanOver(spark, cdcSchema, dir).toBatch
+          case None =>
+            throw new UnsupportedOperationException(
+              s"the changes table of ${gt.path} is streaming-only without " +
+                "an anchor — SELECT … VERSION AS OF <v> reads the batch " +
+                "change feed since version v (Scala: readChangesRowsSince)")
+        }
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
           new GraftCdcMicroBatchStream(spark, gt, cdcSchema)
       }
     }
+}
+
+object GraftCdcMicroBatchStream {
+  private[graft] def scanOver(spark: SparkSession, cdcSchema: StructType,
+                              dir: String): Scan = {
+    val fi = new InMemoryFileIndex(spark, Seq(new Path(dir)),
+      Map.empty[String, String], Some(cdcSchema))
+    ParquetScanBuilder(spark, fi, cdcSchema, cdcSchema,
+      GraftSqlRead.emptyOptions).build()
+  }
 }
 
 final class GraftCdcMicroBatchStream(spark: SparkSession, gt: GraftTable,
@@ -115,12 +148,8 @@ final class GraftCdcMicroBatchStream(spark: SparkSession, gt: GraftTable,
     scanOver(dir).toBatch.planInputPartitions()
   }
 
-  private def scanOver(dir: String): Scan = {
-    val fi = new InMemoryFileIndex(spark, Seq(new Path(dir)),
-      Map.empty[String, String], Some(cdcSchema))
-    ParquetScanBuilder(spark, fi, cdcSchema, cdcSchema,
-      GraftSqlRead.emptyOptions).build()
-  }
+  private def scanOver(dir: String): Scan =
+    GraftCdcMicroBatchStream.scanOver(spark, cdcSchema, dir)
 
   override def createReaderFactory(): org.apache.spark.sql.connector.read.PartitionReaderFactory = {
     // parquet reader factories are partition-agnostic: one built over

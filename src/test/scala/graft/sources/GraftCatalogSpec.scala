@@ -501,6 +501,71 @@ class GraftCatalogSpec extends SparkSpec {
       s"got: ${e.getMessage}")
   }
 
+  test("CTAS + TRUNCATE: CREATE TABLE AS SELECT lands through the " +
+    "catalog + V1 write; TRUNCATE TABLE empties in one commit with " +
+    "history intact") {
+    val (cat, root) = freshCatalog()
+    Seq(("d1", "a", 1L), ("d2", "b", 2L), ("d2", "c", 3L))
+      .toDF("day", "pk", "n").createOrReplaceTempView("ctas_src")
+    spark.sql(s"""CREATE TABLE $cat.db.c TBLPROPERTIES ('keys'='pk')
+      PARTITIONED BY (day) AS SELECT day, pk, n FROM ctas_src""")
+    assert(spark.sql(s"SELECT pk, n FROM $cat.db.c")
+      .as[(String, Long)].collect().toSet == Set(("a", 1L), ("b", 2L), ("c", 3L)))
+    // unpartitioned CTAS too (synthetic partition)
+    spark.sql(s"""CREATE TABLE $cat.db.c2 TBLPROPERTIES ('keys'='pk')
+      AS SELECT pk, n FROM ctas_src""")
+    assert(spark.table(s"$cat.db.c2").columns.toSeq == Seq("pk", "n"))
+    assert(spark.sql(s"SELECT count(*) FROM $cat.db.c2").as[Long].head() == 3L)
+    // TRUNCATE = one commit; the pre-truncate state stays time-travelable
+    val gt = GraftTableMeta.open(spark, s"$root/db/c").get
+    val v = gt.currentVersion
+    spark.sql(s"TRUNCATE TABLE $cat.db.c")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.db.c").as[Long].head() == 0L)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.db.c VERSION AS OF $v")
+      .as[Long].head() == 3L)
+  }
+
+  test("TIMESTAMP AS OF resolves to the latest version committed at or " +
+    "before the instant; pre-history timestamps reject") {
+    val (cat, root) = freshCatalog()
+    val t = seed(root)
+    t.importOnce(Seq(("d1", "p", "r1", 1L)).toDF("day", "pk", "rk", "n"))
+    Thread.sleep(1100) // manifest mtime granularity is a second on some FS
+    val betweenMs = System.currentTimeMillis()
+    Thread.sleep(1100)
+    t.upsertReplace(Seq(("d1", "p", "r1", 2L)).toDF("day", "pk", "rk", "n"))
+    val asOf = java.time.Instant.ofEpochMilli(betweenMs)
+      .toString.replace("T", " ").stripSuffix("Z")
+    assert(spark.sql(
+      s"SELECT n FROM $cat.db.t TIMESTAMP AS OF '$asOf'")
+      .as[Long].collect().toSeq == Seq(1L),
+      "TIMESTAMP AS OF must pin the pre-update version")
+    assert(spark.sql(s"SELECT n FROM $cat.db.t").as[Long].collect().toSeq
+      == Seq(2L))
+    val e = intercept[Exception](spark.sql(
+      s"SELECT * FROM $cat.db.t TIMESTAMP AS OF '1999-01-01 00:00:00'").collect())
+    assert(e.getMessage.contains("no version committed"), e.getMessage)
+  }
+
+  test("batch change feed: SELECT … FROM t__changes VERSION AS OF v " +
+    "equals readChangesRowsSince(v)") {
+    val (cat, root) = freshCatalog()
+    val t = seed(root)
+    t.importOnce(Seq(("d1", "p", "r1", 1L), ("d2", "p", "r2", 2L))
+      .toDF("day", "pk", "rk", "n"))
+    val since = t.currentVersion
+    t.upsertReplace(Seq(("d1", "p", "r1", 10L)).toDF("day", "pk", "rk", "n"))
+    t.deleteWhere(col("rk") === "r2")
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.select("rk", "n", "_change_type")
+        .as[(String, Long, String)].collect().toSet
+    val viaSql = norm(spark.sql(
+      s"SELECT * FROM $cat.db.t__changes VERSION AS OF $since"))
+    assert(viaSql == norm(t.readChangesRowsSince(since)))
+    assert(viaSql == Set(("r1", 1L, "update_preimage"),
+      ("r1", 10L, "update_postimage"), ("r2", 2L, "delete")), s"got $viaSql")
+  }
+
   test("DROP TABLE only deletes graft tables: a stranger directory under " +
     "the catalog root survives; cascade refuses it") {
     val (cat, root) = freshCatalog()
