@@ -1734,10 +1734,16 @@ final class GraftTable(spark: SparkSession, val path: String,
         val json = full.map(f => "\"" + f + "\"")
           .mkString(s"""{"version":$kMin,"files":[""", ",", "]}")
         val tmp = logDir.resolve(s".tmp_ckpt_v$kMin")
+        // manifest mtimes are the COMMIT clock (TIMESTAMP AS OF /
+        // versionAtTimestamp) — the rewrite must keep the original
+        // commit instant, not stamp vacuum time
+        val commitTime = java.nio.file.Files.getLastModifiedTime(manifestPath(kMin))
         java.nio.file.Files.writeString(tmp, json)
         java.nio.file.Files.move(tmp, manifestPath(kMin),
           java.nio.file.StandardCopyOption.REPLACE_EXISTING,
           java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        java.nio.file.Files.setLastModifiedTime(manifestPath(kMin), commitTime)
+        ()
       }
       dvMerge.foreach(p => rmTree(p.toFile))
       val liveSet = keep.flatMap(manifestFiles).toSet
@@ -2484,6 +2490,22 @@ final class GraftTable(spark: SparkSession, val path: String,
     import GraftTable.{MatchedDelete, MatchedUpdate}
     require(matched.nonEmpty || notMatchedInsert.nonEmpty ||
       notMatchedBySource.nonEmpty, "merge needs at least one clause")
+    // by-source clauses may reference TARGET columns only (ANSI): a
+    // src() reference in a CONDITION fails to resolve on the bare
+    // target frame (loud), but in an ASSIGNMENT it would silently
+    // evaluate to null on the not-matched join side — reject up front
+    notMatchedBySource.foreach { cl =>
+      val exprs = cl match {
+        case MatchedUpdate(c, set) => c +: set.values.toSeq
+        case MatchedDelete(c)      => Seq(c)
+      }
+      val srcRefs = exprs.flatMap(c =>
+        org.apache.spark.sql.graft.Bridge.attrNames(c, _.startsWith("__s_")))
+        .distinct
+      require(srcRefs.isEmpty,
+        "notMatchedBySource clauses may reference TARGET columns only " +
+          s"(ANSI) — found source references: ${srcRefs.mkString(", ")}")
+    }
     val base = ensureBaselineVersion()
     val tgt = readAt(base)
     val typeOf0 = tgt.schema.fields.map(f => f.name -> f.dataType).toMap

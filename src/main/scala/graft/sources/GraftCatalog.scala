@@ -143,6 +143,12 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
       "GraftCatalog supports identity PARTITIONED BY columns only")
     require(!schema.fieldNames.contains(GraftTable.SyntheticPartition),
       s"column name ${GraftTable.SyntheticPartition} is reserved")
+    // `<name>__changes` is the CDC-feed identifier of `<name>` — a real
+    // table by that name would be unreachable (loadTable routes it to
+    // the base table's feed)
+    require(!ident.name.endsWith("__changes"),
+      s"table name ${ident.name} is reserved: the __changes suffix " +
+        "addresses a table's CDC feed")
     partCols.foreach(c => require(schema.fieldNames.contains(c),
       s"PARTITIONED BY column '$c' is not in the table schema"))
     // zero partition columns → one synthetic partition (unpartitioned
@@ -185,6 +191,12 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
         require(a.isNullable,
           s"GraftCatalog: added column ${a.fieldNames.head} must be nullable " +
             "— existing rows project null")
+        // sidecar evolution APPENDS; honoring FIRST/AFTER would
+        // reinterpret positional consumers of already-written files —
+        // reject rather than silently appending
+        require(a.position() == null,
+          s"GraftCatalog: ADD COLUMNS ${a.fieldNames.head} with a position " +
+            "(FIRST/AFTER) is not supported — columns append at the end")
         org.apache.spark.sql.types.StructField(a.fieldNames.head, a.dataType,
           nullable = true)
       case other => throw new UnsupportedOperationException(
@@ -209,6 +221,9 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
   }
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    require(!newIdent.name.endsWith("__changes"),
+      s"table name ${newIdent.name} is reserved: the __changes suffix " +
+        "addresses a table's CDC feed")
     val from = Paths.get(dirOf(oldIdent.namespace, oldIdent.name))
     val to = Paths.get(dirOf(newIdent.namespace, newIdent.name))
     if (!Files.isDirectory(from))

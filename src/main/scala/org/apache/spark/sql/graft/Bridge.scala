@@ -13,6 +13,31 @@ object Bridge {
   def toColumn(e: Expression): Column = ExpressionUtils.column(e)
   def toExpression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Names of unresolved attribute references in `c` matching `p` —
+    * walked over the COLUMN NODE tree (Spark 4 converts Column →
+    * catalyst Expression lazily via ColumnNodeExpression, so the
+    * catalyst-side collect sees no attributes until resolution).
+    * Case-class product recursion covers every node shape.
+    */
+  def attrNames(c: Column, p: String => Boolean): Seq[String] = {
+    def walk(x: Any): Seq[String] = x match {
+      case ua: org.apache.spark.sql.internal.UnresolvedAttribute =>
+        val n = ua.nameParts.mkString(".")
+        if (p(n)) Seq(n) else Nil
+      case e: Expression => // pre-built catalyst subtree inside a node
+        e.collect {
+          case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+              if p(a.name) => a.name
+          case a: org.apache.spark.sql.catalyst.expressions.AttributeReference
+              if p(a.name) => a.name
+        }
+      case pr: Product => pr.productIterator.toSeq.flatMap(walk)
+      case it: Iterable[_] => it.toSeq.flatMap(walk)
+      case _ => Nil
+    }
+    walk(c.node).distinct
+  }
+
   /** Surface the `private[sql]` optimizer-rule builders of a
     * SparkSessionExtensions, so specs can assert what an extension
     * registration actually installed.

@@ -62,14 +62,21 @@ final class GraftCdcTable(spark: SparkSession, gt: GraftTable,
           case Some(since) =>
             // stage the (since, until] change frame and serve it as a
             // plain parquet batch — the same execution shape as one
-            // stream micro-batch; the staged dir is reclaimed by
-            // vacuum's age-gated sweep (batch scans get no commit hook)
+            // stream micro-batch. The dir is DETERMINISTIC per range
+            // and never stream-deleted (batch scans get no commit
+            // hook): repeated polls of the same range reuse one
+            // staging instead of accumulating, concurrent identical
+            // queries share it safely, and vacuum's age-gated sweep
+            // reclaims ranges the head has moved past.
             val cols = cdcSchema.fields.map(_.name).toSeq
             val dir = new Path(new Path(gt.path, "_graft_cdc"),
-              s"batch_${java.util.UUID.randomUUID().toString.take(8)}").toString
-            gt.readChangesRowsBetween(since, batchUntil)
-              .select(cols.map(org.apache.spark.sql.functions.col): _*)
-              .write.mode("overwrite").parquet(dir)
+              s"batch_v${since}_v$batchUntil").toString
+            val done = java.nio.file.Files.exists(java.nio.file.Paths
+              .get(new Path(dir).toUri.getPath, "_SUCCESS"))
+            if (!done)
+              gt.readChangesRowsBetween(since, batchUntil)
+                .select(cols.map(org.apache.spark.sql.functions.col): _*)
+                .write.mode("overwrite").parquet(dir)
             GraftCdcMicroBatchStream.scanOver(spark, cdcSchema, dir).toBatch
           case None =>
             throw new UnsupportedOperationException(
@@ -113,8 +120,14 @@ final class GraftCdcMicroBatchStream(spark: SparkSession, gt: GraftTable,
     GraftOffset(json.trim.toLong)
 
   private def cdcRoot = new Path(gt.path, "_graft_cdc")
+  // per-STREAM-INSTANCE nonce: two concurrent CDC streams with
+  // coinciding offsets must not share a staging dir (one's commit()
+  // would delete files the other is mid-reading); replans WITHIN this
+  // instance still reuse (same nonce + _SUCCESS). A restart is a new
+  // instance — its predecessor's dirs age out via vacuum.
+  private val streamNonce = java.util.UUID.randomUUID().toString.take(8)
   private def stageDir(s: Long, e: Long) =
-    new Path(cdcRoot, s"v${s}_v$e").toString
+    new Path(cdcRoot, s"v${s}_v${e}_$streamNonce").toString
 
   // staged ranges of THIS run, reclaimed as their batches commit
   private val staged =

@@ -272,16 +272,19 @@ final class GraftScanBuilder(spark: SparkSession, gt: GraftTable,
     // versions with live deletion vectors subtract them inside the
     // scan ([[GraftDvBatch]]): DV'd files re-read whole through a scan
     // with NO pushed parquet filters (identical column pruning), so
-    // position counting matches `_metadata.row_index` exactly
-    val dv = gt.dvEntriesAt(version)
-    val clean = if (dv.isEmpty) None else Some {
+    // position counting matches `_metadata.row_index` exactly.
+    // LAZY: the DV map is a distributed read + driver collect — only a
+    // BATCH consumer pays it (toBatch); a scan used as a micro-batch
+    // stream resolves its own per-batch vectors instead.
+    lazy val dv = gt.dvEntriesAt(version)
+    lazy val clean = if (dv.isEmpty) None else Some {
       val b = ParquetScanBuilder(spark, fileIndex, tableSchema,
         dataSchema, GraftSqlRead.emptyOptions)
       prunedSchema.foreach(b.pruneColumns)
       b.build()
     }
     new GraftScan(spark, gt, tableSchema, inner.build(), ignoreDeletes,
-      clean, dv)
+      () => clean, () => dv)
   }
 }
 
@@ -291,14 +294,17 @@ final class GraftScanBuilder(spark: SparkSession, gt: GraftTable,
 final class GraftScan(spark: SparkSession, gt: GraftTable,
                       tableSchema: StructType, inner: Scan,
                       ignoreDeletes: Boolean = false,
-                      cleanScan: Option[Scan] = None,
-                      dv: Map[String, Array[Long]] = Map.empty)
+                      cleanScan: () => Option[Scan] = () => None,
+                      dv: () => Map[String, Array[Long]] = () => Map.empty)
     extends Scan
     with org.apache.spark.sql.connector.read.SupportsReportStatistics {
   override def readSchema(): StructType = inner.readSchema()
-  override def toBatch: Batch = cleanScan match {
-    case Some(c) if dv.nonEmpty => new GraftDvBatch(inner.toBatch, c.toBatch, dv)
-    case _ => inner.toBatch
+  override def toBatch: Batch = {
+    val d = dv()
+    cleanScan() match {
+      case Some(c) if d.nonEmpty => new GraftDvBatch(inner.toBatch, c.toBatch, d)
+      case _ => inner.toBatch
+    }
   }
   override def description(): String = s"GraftScan(${gt.path}) -> ${inner.description()}"
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =

@@ -545,6 +545,30 @@ class GraftCatalogSpec extends SparkSpec {
     val e = intercept[Exception](spark.sql(
       s"SELECT * FROM $cat.db.t TIMESTAMP AS OF '1999-01-01 00:00:00'").collect())
     assert(e.getMessage.contains("no version committed"), e.getMessage)
+    // vacuum rewrites the oldest kept manifest — the commit CLOCK must
+    // survive the rewrite or retained instants falsely reject
+    t.vacuum(2)
+    assert(spark.sql(
+      s"SELECT n FROM $cat.db.t TIMESTAMP AS OF '$asOf'")
+      .as[Long].collect().toSeq == Seq(1L),
+      "vacuum's manifest rewrite lost the commit timestamp")
+  }
+
+  test("reserved names and positions reject: CREATE/RENAME to *__changes; " +
+    "positioned ADD COLUMNS") {
+    val (cat, root) = freshCatalog()
+    seed(root)
+    val e1 = intercept[Exception](spark.sql(
+      s"""CREATE TABLE $cat.db.t__changes (id BIGINT, v STRING)
+        TBLPROPERTIES ('keys'='id')"""))
+    assert(e1.getMessage.contains("reserved"), e1.getMessage)
+    val e2 = intercept[Exception](spark.sql(
+      s"ALTER TABLE $cat.db.t RENAME TO db.x__changes"))
+    assert(e2.getMessage.contains("reserved"), e2.getMessage)
+    val e3 = intercept[Exception](spark.sql(
+      s"ALTER TABLE $cat.db.t ADD COLUMNS (z INT FIRST)"))
+    assert(e3.getMessage.contains("FIRST/AFTER") ||
+      e3.getMessage.contains("position"), e3.getMessage)
   }
 
   test("batch change feed: SELECT … FROM t__changes VERSION AS OF v " +

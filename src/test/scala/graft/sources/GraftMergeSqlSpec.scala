@@ -197,6 +197,23 @@ class GraftMergeSqlSpec extends SparkSpec {
     assert(state(t) == Map("a" -> 100L, "c" -> 1003L, "d" -> 1004L))
   }
 
+  test("Scala merge API: notMatchedBySource assignments referencing " +
+    "src() reject up front (they would silently assign null)") {
+    val dir = Files.createTempDirectory("graft_nmbs3").toString + "/t"
+    val t = new GraftTable(spark, dir, keys = Seq("pk"), partitionCol = "day")
+    t.createIfNotExists(
+      Seq.empty[(String, String, Long)].toDF("day", "pk", "n").schema)
+    t.importOnce(Seq(("d1", "a", 1L), ("d2", "b", 2L)).toDF("day", "pk", "n"))
+    val src = Seq(("d1", "a", 100L)).toDF("day", "pk", "n")
+    val e = intercept[IllegalArgumentException] {
+      t.merge(src, matched = Nil,
+        notMatchedBySource = Seq(GraftTable.MatchedUpdate(lit(true),
+          Map("n" -> GraftTable.src("n")))))
+    }
+    assert(e.getMessage.contains("TARGET columns only"), e.getMessage)
+    assert(state(t) == Map("a" -> 1L, "b" -> 2L), "a rejected merge mutated")
+  }
+
   test("Scala merge API: notMatchedBySource alone (no matched clause) " +
     "touches only the partitions a clause claims") {
     val dir = Files.createTempDirectory("graft_nmbs2").toString + "/t"
