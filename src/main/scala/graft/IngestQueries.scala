@@ -2100,6 +2100,98 @@ object IngestQueries {
         SELECT user_id, n_events, sum_cents, pk, 'delete' FROM a1 WHERE pk = 2
         UNION ALL
         SELECT user_id, n_events, sum_cents, pk, 'delete' FROM a1
-        WHERE pk = 3 AND sum_cents % 2 = 1"""))
+        WHERE pk = 3 AND sum_cents % 2 = 1""")),
+
+    // CDC PIPELINE CAPSTONE — the reference consumer loop with ROW-
+    // LEVEL DELETES end to end: a keyed source table's `__changes`
+    // STREAM (q242's feed) maintains a downstream REPLICA through the
+    // exactly-once mergeBatch sink — postimages/inserts upsert, delete
+    // rows DELETE (the clause the file-diff stream fundamentally cannot
+    // drive). Run 1 applies the snapshot-as-inserts; the q232 mutation
+    // history (rewrites + keyed partition delete + DV delete) lands
+    // while the stream is down; run 2 recovers and applies the net
+    // change batch; a third run through a FRESH checkpoint redelivers
+    // from scratch and the (app, batchId) txn state SKIPS it — the
+    // replica survives at-least-once redelivery with a NON-idempotent
+    // clause ladder. Oracle: the replica must equal the source's final
+    // state, replayed relationally.
+    QuerySpec("q245_cdc_pipeline",
+      (s, dir) => {
+        GraftSession.tune(s)
+        val base = java.nio.file.Files.createTempDirectory("graft_q245_").toString
+        val ev = Tables.events(s, dir)
+        val us = unix_micros(col("ts"))
+        def agg(e: org.apache.spark.sql.DataFrame) = e.groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_events"),
+            sum(expr("CAST(round(value * 100) AS BIGINT)")).as("sum_cents"))
+          .withColumn("pk", col("user_id") % 8)
+        val ddl = org.apache.spark.sql.types.StructType.fromDDL(
+          "user_id BIGINT, n_events BIGINT, sum_cents BIGINT, pk BIGINT")
+        val src = new graft.operators.GraftTable(s, s"$base/db/src",
+          Seq("user_id"), "pk")
+        src.createIfNotExists(ddl)
+        graft.operators.GraftTableMeta.annotate(src)
+        val down = new graft.operators.GraftTable(s, s"$base/db/down",
+          Seq("user_id"), "pk")
+        down.createIfNotExists(ddl)
+        val cat = s"gcat_${java.util.UUID.randomUUID().toString.take(8)}"
+          .replace("-", "_")
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.root", base)
+        import graft.operators.GraftTable.{MatchedDelete, MatchedUpdate, src => S}
+        def drain(ckpt: String): Unit = {
+          val q = s.readStream.table(s"$cat.db.src__changes").writeStream
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .option("checkpointLocation", ckpt)
+            .foreachBatch { (df: org.apache.spark.sql.DataFrame, batchId: Long) =>
+              down.mergeBatch("q245", batchId,
+                df.filter(col("_change_type") =!= "update_preimage"),
+                matched = Seq(
+                  MatchedDelete(S("_change_type") === "delete"),
+                  MatchedUpdate(lit(true), Map(
+                    "n_events" -> S("n_events"), "sum_cents" -> S("sum_cents"),
+                    "pk" -> S("pk")))),
+                notMatchedInsert = Some((S("_change_type") =!= "delete", Map(
+                  "user_id" -> S("user_id"), "n_events" -> S("n_events"),
+                  "sum_cents" -> S("sum_cents"), "pk" -> S("pk")))))
+              ()
+            }
+            .start()
+          require(q.awaitTermination(300000),
+            "q245 stream drain timed out — partial batch would corrupt the result")
+          ()
+        }
+        src.upsertReplace(agg(ev.filter(us % 2 === 0)))
+        drain(s"$base/ckpt1") // snapshot-as-inserts seeds the replica
+        val since = src.currentVersion
+        src.upsertReplace(agg(ev.filter(col("user_id") % 8 < 2)))
+        src.deleteByKeys(src.readAt(since).filter(col("pk") === 2).select("user_id"))
+        src.deleteWhere(col("pk") === 3 && col("sum_cents") % 2 === 1)
+        drain(s"$base/ckpt1") // recovery applies the net change batch
+        drain(s"$base/ckpt2") // full redelivery — txn state skips it
+        val out = down.read.select("user_id", "n_events", "sum_cents", "pk")
+        val snap = out.localCheckpoint(true)
+        graft.operators.Fs.deleteTree(base)
+        snap
+      },
+      Some("""
+        WITH e AS (
+          SELECT user_id, CAST(round(value * 100) AS BIGINT) AS cents,
+            epoch_us(CAST(ts AS TIMESTAMP)) AS us
+          FROM events),
+        a1 AS (
+          SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+            CAST(sum(cents) AS BIGINT) AS sum_cents,
+            CAST(user_id % 8 AS BIGINT) AS pk
+          FROM e WHERE us % 2 = 0 GROUP BY 1),
+        a2 AS (
+          SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+            CAST(sum(cents) AS BIGINT) AS sum_cents,
+            CAST(user_id % 8 AS BIGINT) AS pk
+          FROM e GROUP BY 1)
+        SELECT user_id, n_events, sum_cents, pk FROM a2 WHERE pk < 2
+        UNION ALL
+        SELECT user_id, n_events, sum_cents, pk FROM a1
+        WHERE pk >= 3 AND NOT (pk = 3 AND sum_cents % 2 = 1)"""))
   )
 }

@@ -1398,6 +1398,33 @@ final class GraftTable(spark: SparkSession, val path: String,
   def hasVersion(v: Long): Boolean =
     java.nio.file.Files.exists(manifestPath(v))
 
+  /** Commit history as a DataFrame (the `DESCRIBE HISTORY` surface):
+    * one row per retained version — commit instant (the manifest
+    * mtime, the same clock `TIMESTAMP AS OF` resolves against), kind
+    * (delta / checkpoint / base), files added, partition dirs dropped,
+    * and the `#`-marker kinds carried. Metadata-scale: bounded by the
+    * version count, never touches data files.
+    */
+  def history: DataFrame = {
+    val rows = versions.map { v =>
+      val entries = rawEntries(v)
+      val kind =
+        if (entries.exists(_.startsWith("#ckpt:"))) "checkpoint"
+        else if (isDelta(entries)) "delta"
+        else "base"
+      val adds = entries.count(_.startsWith("+"))
+      val drops = entries.count(_.startsWith("-"))
+      val markers = entries.filter(e => e.startsWith("#") && e != "#delta" &&
+        e != "#cdelta").map(_.drop(1).split(":", 2)(0)).distinct.sorted
+      val ms = java.nio.file.Files.getLastModifiedTime(manifestPath(v)).toMillis
+      (v, new java.sql.Timestamp(ms), kind, adds.toLong, drops.toLong,
+        markers.toSeq)
+    }
+    import spark.implicits._
+    rows.toDF("version", "commit_ts", "kind", "files_added",
+      "partitions_dropped", "markers")
+  }
+
   /** `TIMESTAMP AS OF` resolution: the LATEST version committed at or
     * before `microsUtc` (manifest link mtimes are the commit clock —
     * the Delta convention). Errors when the timestamp predates the

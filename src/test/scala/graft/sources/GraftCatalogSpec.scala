@@ -554,6 +554,33 @@ class GraftCatalogSpec extends SparkSpec {
       "vacuum's manifest rewrite lost the commit timestamp")
   }
 
+  test("history: one metadata row per retained version — kind, commit " +
+    "clock, delta sizes, markers; vacuum truncates it") {
+    val (_, root) = freshCatalog()
+    val t = seed(root)
+    t.importOnce(Seq(("d1", "p", "r1", 1L)).toDF("day", "pk", "rk", "n"))
+    t.deleteWhere(col("rk") === "r1")
+    for (i <- 0 until 6)
+      t.upsertReplace(Seq((s"e$i", "p", s"x$i", i.toLong)).toDF("day", "pk", "rk", "n"))
+    val h = t.history.orderBy("version")
+      .select("version", "kind", "files_added", "partitions_dropped", "markers")
+      .collect()
+    assert(h.map(_.getLong(0)).toSeq == t.versions, "one row per version")
+    assert(h.head.getString(1) == "base") // v1 = createIfNotExists
+    assert(h.exists(_.getString(1) == "checkpoint"), "v8 rolled a checkpoint")
+    val dv = h.find(_.getSeq[String](4).contains("dv")).get
+    assert(dv.getLong(2) == 0 && dv.getLong(3) == 0,
+      "a DV commit adds and drops nothing")
+    val imp = h(1) // the importOnce delta
+    assert(imp.getString(1) == "delta" && imp.getLong(2) == 1L)
+    // commit clock is monotone non-decreasing
+    val ts = t.history.orderBy("version").select("commit_ts")
+      .collect().map(_.getTimestamp(0).getTime)
+    assert(ts.zip(ts.tail).forall { case (a, b) => a <= b })
+    t.vacuum(2)
+    assert(t.history.count() == 2, "vacuum truncates history")
+  }
+
   test("reserved names and positions reject: CREATE/RENAME to *__changes; " +
     "positioned ADD COLUMNS") {
     val (cat, root) = freshCatalog()
