@@ -581,6 +581,33 @@ class GraftCatalogSpec extends SparkSpec {
     assert(t.history.count() == 2, "vacuum truncates history")
   }
 
+  test("CDC stream resume below the vacuum horizon fails with the real " +
+    "cause, not a missing-manifest read error") {
+    val (cat, root) = freshCatalog()
+    val t = seed(root)
+    t.importOnce(Seq(("d1", "p", "r1", 1L)).toDF("day", "pk", "rk", "n"))
+    val ckpt = Files.createTempDirectory("graft_cdc_hzn").toString + "/c"
+    def drain(): Unit = {
+      val q = spark.readStream.table(s"$cat.db.t__changes").writeStream
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          df.count(); ()
+        }
+        .start()
+      q.awaitTermination(60000)
+      assert(!q.isActive)
+    }
+    drain() // offset now at v2
+    for (i <- 0 until 3)
+      t.upsertReplace(Seq((s"e$i", "p", s"x$i", i.toLong)).toDF("day", "pk", "rk", "n"))
+    t.vacuum(1) // horizon moves past the stream's offset
+    val e = intercept[Exception](drain())
+    assert(e.getMessage.contains("vacuum horizon") ||
+      Option(e.getCause).exists(_.getMessage.contains("vacuum horizon")),
+      s"got: ${e.getMessage}")
+  }
+
   test("reserved names and positions reject: CREATE/RENAME to *__changes; " +
     "positioned ADD COLUMNS") {
     val (cat, root) = freshCatalog()
