@@ -225,12 +225,18 @@ final class GraftSqlTable(spark: SparkSession, val gt: GraftTable,
       predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate])
       : Unit = {
     requireHead("DELETE")
-    val cond = predicates.toSeq.map(p => GraftSqlRead.predicateColumn(p).getOrElse(
+    val conds = predicates.toSeq.map(p => GraftSqlRead.predicateColumn(p).getOrElse(
       throw new UnsupportedOperationException(
         s"unsupported DELETE predicate: ${p.describe()}")))
-      .reduceOption(_ && _)
-      .getOrElse(org.apache.spark.sql.functions.lit(true))
-    gt.deleteWhereRewrite(cond)
+    // whole-table deletes (TRUNCATE / no predicate) drop every
+    // partition at the MANIFEST level — no vectors, no files written;
+    // selective predicates record a DELETION VECTOR (O(matched rows),
+    // zero rewrites) — affordable since round 9 because the SQL scan
+    // serves vectors in-flight instead of refusing
+    if (predicates.isEmpty || predicates.forall(_.name() == "ALWAYS_TRUE"))
+      gt.deleteWhereRewrite(org.apache.spark.sql.functions.lit(true))
+    else
+      gt.deleteWhere(conds.reduce(_ && _))
     ()
   }
 

@@ -197,10 +197,17 @@ class GraftCatalogSpec extends SparkSpec {
     val v2 = t.currentVersion
     assert(spark.sql(s"SELECT count(*) FROM $cat.db.t").as[Long].head() == 3L)
 
-    // DELETE FROM: matched rows go, others stay; table still scans
+    // DELETE FROM: matched rows go, others stay; since round 9 a
+    // selective delete is a DELETION-VECTOR commit (zero files
+    // rewritten — the DV-tolerant scan subtracts in-flight)
+    val filesBefore = t.dataFileCount
     spark.sql(s"DELETE FROM $cat.db.t WHERE n >= 2 AND day = 'd1'")
     assert(spark.sql(s"SELECT rk FROM $cat.db.t").as[String].collect().toSet
       == Set("r1", "r2"))
+    assert(t.dataFileCount == filesBefore,
+      "a selective SQL DELETE must not rewrite or drop data files")
+    assert(t.hasDeletionVectorsAt(t.currentVersion),
+      "a selective SQL DELETE must land as a deletion vector")
     // history intact: pre-delete state travels
     assert(spark.sql(s"SELECT count(*) FROM $cat.db.t VERSION AS OF $v2")
       .as[Long].head() == 3L)
