@@ -145,6 +145,28 @@ class GraftCatalogSpec extends SparkSpec {
     assert(sqlSet(s"SELECT rk, n FROM $cat.db.t") == viaScala)
   }
 
+  test("deletion vectors under FILE SPLITTING: slices of a DV'd file " +
+    "collapse to one whole-file read; clean slices keep their grouping") {
+    val (cat, root) = freshCatalog()
+    val t = seed(root)
+    t.importOnce((0L until 2000L).map(i => (s"d${i % 2}", "p", s"r$i", i))
+      .toDF("day", "pk", "rk", "n"))
+    t.deleteWhere(col("n") % 3 === 0 && col("n") < 1000)
+    val expect = t.read.select("rk", "n").as[(String, Long)].collect().toSet
+    // force multi-slice planning: every parquet here is far larger
+    // than 1 KB, so without the whole-file collapse the position
+    // counting would start mid-file and desynchronize
+    val saved = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try {
+      spark.conf.set("spark.sql.files.maxPartitionBytes", "1024")
+      val got = spark.sql(s"SELECT rk, n FROM $cat.db.t")
+        .as[(String, Long)].collect().toSet
+      assert(got == expect,
+        s"split-file DV read diverged: ${got.size} vs ${expect.size} rows")
+      assert(got.size == 2000 - 334, "334 rows deleted (n%3==0, n<1000)")
+    } finally spark.conf.set("spark.sql.files.maxPartitionBytes", saved)
+  }
+
   test("streaming over deletion vectors: a DV'd SNAPSHOT drains " +
     "subtracted; a mid-stream DV commit refuses unless ignoreDeletes") {
     val (cat, root) = freshCatalog()
