@@ -1457,6 +1457,17 @@ final class GraftTable(spark: SparkSession, val path: String,
     * pre-range file re-emits it — the replace-semantics post-state),
     * and partition dirs dropped in the range with no surviving adds
     * beneath them (the delete-only-commit guard's input).
+    *
+    * LEGACY-ONLY divergence, accepted and documented: a file that was
+    * live at `s`, dropped, and re-added AT THE SAME PATH within the
+    * range is re-emitted here (the delta replay cannot know it predates
+    * `s` without materializing live(s) — the exact cost this path
+    * exists to avoid), while the legacy-checkpoint fallback's live-set
+    * diff (`live(e) -- live(s)`) excludes it. Both are correct for an
+    * idempotent consumer — the consumer already holds those rows either
+    * way — the emitted row sets just differ on this (restore-shaped,
+    * rare) case depending on whether a pre-#cdelta checkpoint forced
+    * the fallback.
     */
   def fileChangesInRange(s: Long, e: Long): Option[(Seq[String], Set[String])] = {
     require(s >= 0 && e >= s, s"bad range ($s, $e]")
@@ -2349,10 +2360,13 @@ final class GraftTable(spark: SparkSession, val path: String,
   /** Predicate DELETE by PARTITION REWRITE — the SQL `DELETE FROM`
     * semantics without deletion vectors: rows where `cond` is TRUE are
     * removed (null/unknown keeps, ANSI), only partitions holding a
-    * matching row rewrite. Chosen for the SQL path because a DV commit
-    * would make the table refuse subsequent SQL SCANS until compaction;
-    * the Scala API keeps [[deleteWhere]] (O(matched) DV commits) for
-    * callers who own their read path.
+    * matching row rewrite. The physical-rewrite alternative to
+    * [[deleteWhere]] (O(matched-rows) DV commits — since round 9 the
+    * default for selective SQL `DELETE FROM` too, because the SQL scan
+    * serves vectors in-flight): a rewrite pays partition-sized I/O now
+    * but leaves no vectors behind, so it suits whole-table/whole-
+    * partition deletes and callers who want the columnar read path
+    * back immediately instead of after compaction.
     */
   def deleteWhereRewrite(cond: org.apache.spark.sql.Column): this.type = {
     val base = ensureBaselineVersion()

@@ -34,9 +34,13 @@ import graft.operators.{GraftTable, GraftTableMeta}
   * Reads plan through Spark's own vectorized parquet scan over the
   * version's live files with zone-map/Bloom skipping applied as file
   * pruning inside the scan (see `org.apache.spark.sql.graft
-  * .GraftSqlRead`). Writes stay on the Scala API (upserts / MERGE /
-  * delete are statement-shaped, not INSERT-shaped); `alterTable` is
-  * unsupported — schema evolution happens on the write path.
+  * .GraftSqlRead`). The SQL statement surface covers the write side
+  * too: `INSERT INTO`/`INSERT OVERWRITE`/`TRUNCATE` via the V1 write
+  * bridge, `DELETE FROM` via `SupportsDeleteV2` (deletion-vector
+  * commits for selective predicates), `MERGE INTO`/`UPDATE` via
+  * `GraftRowLevelSqlStrategy` onto the keyed clause ladder, and
+  * `ALTER TABLE ADD COLUMNS` via the sidecar schema evolution below —
+  * every other ALTER class stays rejected by design.
   */
 final class GraftCatalog extends TableCatalog with SupportsNamespaces {
 

@@ -65,18 +65,47 @@ final class GraftCdcTable(spark: SparkSession, gt: GraftTable,
             // stream micro-batch. The dir is DETERMINISTIC per range
             // and never stream-deleted (batch scans get no commit
             // hook): repeated polls of the same range reuse one
-            // staging instead of accumulating, concurrent identical
-            // queries share it safely, and vacuum's age-gated sweep
-            // reclaims ranges the head has moved past.
+            // staging instead of accumulating, and vacuum's age-gated
+            // sweep reclaims ranges the head has moved past. Writers
+            // NEVER write the deterministic name directly: each stages
+            // under a private tmp dir and atomically RENAMES it in, so
+            // its presence implies a complete file set — two concurrent
+            // first readers race the rename, the loser discards its tmp
+            // and reuses the winner's (identical, the range is pinned).
             val cols = cdcSchema.fields.map(_.name).toSeq
-            val dir = new Path(new Path(gt.path, "_graft_cdc"),
+            val parent = new Path(gt.path, "_graft_cdc")
+            val dir = new Path(parent,
               s"batch_v${since}_v$batchUntil").toString
-            val done = java.nio.file.Files.exists(java.nio.file.Paths
-              .get(new Path(dir).toUri.getPath, "_SUCCESS"))
-            if (!done)
+            val dirPath = java.nio.file.Paths.get(new Path(dir).toUri.getPath)
+            // a dir WITHOUT _SUCCESS is a crashed legacy (pre-rename-
+            // discipline) staging: nothing can be mid-reading it (scans
+            // only ever plan over complete stagings), reclaim and restage
+            if (java.nio.file.Files.exists(dirPath) &&
+              !java.nio.file.Files.exists(dirPath.resolve("_SUCCESS")))
+              graft.operators.Fs.deleteTree(dirPath)
+            if (!java.nio.file.Files.exists(dirPath)) {
+              val tmp = java.nio.file.Paths.get(
+                new Path(parent, s".btmp_${java.util.UUID.randomUUID()
+                  .toString.take(8)}").toUri.getPath)
               gt.readChangesRowsBetween(since, batchUntil)
                 .select(cols.map(org.apache.spark.sql.functions.col): _*)
-                .write.mode("overwrite").parquet(dir)
+                .write.mode("overwrite").parquet(tmp.toString)
+              try java.nio.file.Files.move(tmp, dirPath,
+                java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+              catch { // lost the rename race — the winner's staging serves
+                case _: java.nio.file.FileAlreadyExistsException |
+                     _: java.nio.file.DirectoryNotEmptyException |
+                     _: java.nio.file.AccessDeniedException =>
+                  graft.operators.Fs.deleteTree(tmp)
+              }
+            } else {
+              // refresh the reuse clock: vacuum's orphan sweep is
+              // age-gated on dir mtime, and a poll must not have its
+              // files reclaimed mid-scan because the staging is old
+              java.nio.file.Files.setLastModifiedTime(dirPath,
+                java.nio.file.attribute.FileTime.fromMillis(
+                  System.currentTimeMillis()))
+            }
             GraftCdcMicroBatchStream.scanOver(spark, cdcSchema, dir).toBatch
           case None =>
             throw new UnsupportedOperationException(
