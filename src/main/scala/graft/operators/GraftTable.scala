@@ -1374,22 +1374,85 @@ final class GraftTable(spark: SparkSession, val path: String,
   }
 
   /** The deletion vectors applicable at version `v`, as table-relative
-    * file path → SORTED row positions — the driver-side form the DSv2
-    * scan ships into its per-file reader wrappers
-    * ([[org.apache.spark.sql.graft.GraftDvBatch]]). Bounded by rows
-    * deleted since the affected partitions last rewrote (compaction and
-    * every rewrite purge vectors), the same transient O(deleted-rows)
-    * set the Delta reader materializes per file.
+    * data-file path → path of a small SIDECAR file holding that file's
+    * sorted positions (big-endian longs) — the form the DSv2 scan ships
+    * into its per-file reader wrappers
+    * ([[org.apache.spark.sql.graft.GraftDvBatch]]), which load their own
+    * file's positions TASK-side. The driver holds O(#DV'd files) path
+    * strings; the positions themselves never transit the driver or the
+    * task closures (the Delta discipline — DV *files* ship by
+    * reference, tasks read them). Sidecars are staged ONCE per
+    * applicable-vector-set (deterministic key over the committed DV dir
+    * names) by a DISTRIBUTED repartition-by-file job, atomically
+    * renamed into place (concurrent planners race the rename, the loser
+    * reuses the winner's identical staging), reused until vacuum merges
+    * or compaction purges the vectors, and age-swept as caches by
+    * vacuum. Positions are bounded per TASK by its own file's deleted
+    * rows — transient until the partition next rewrites.
     */
-  def dvEntriesAt(v: Long): Map[String, Array[Long]] = {
+  def dvPointersAt(v: Long): Map[String, String] = {
     val dirs = applicableDvDirs(v)
     if (dirs.isEmpty) return Map.empty
-    readDv(dirs).groupBy("file")
-      .agg(sort_array(collect_list(col("ri"))).as("ris"))
-      .collect()
-      .map(r => r.getString(0) ->
-        r.getSeq[Long](1).toArray)
-      .toMap
+    val key = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      dirs.map(_.getFileName.toString).sorted
+        .foreach(n => md.update(n.getBytes("UTF-8")))
+      md.digest().take(8).map("%02x".format(_)).mkString
+    }
+    val resolvedRoot = dvRoot.resolve("_resolved")
+    val target = resolvedRoot.resolve(key)
+    if (!java.nio.file.Files.isDirectory(target)) {
+      java.nio.file.Files.createDirectories(resolvedRoot)
+      val tmp = resolvedRoot.resolve(
+        s".tmp_${java.util.UUID.randomUUID().toString.take(8)}")
+      java.nio.file.Files.createDirectories(tmp)
+      val tmpStr = tmp.toString
+      // one sidecar per DV'd data file: repartition co-locates each
+      // file's entries in one task, the within-partition sort makes
+      // them contiguous and ordered, the task streams them out as raw
+      // longs (URL-encoded name: relative paths contain '/'). Local-FS
+      // java.nio here for the same reason the manifest log uses it; on
+      // shared storage this write goes through the Hadoop FS API.
+      readDv(dirs).repartition(col("file")).sortWithinPartitions("file", "ri")
+        .foreachPartition { it: Iterator[org.apache.spark.sql.Row] =>
+          var curFile: String = null
+          var out: java.io.DataOutputStream = null
+          var last = Long.MinValue
+          def closeOut(): Unit = if (out != null) { out.close(); out = null }
+          it.foreach { r =>
+            val f = r.getString(0)
+            val ri = r.getLong(1)
+            if (f != curFile) {
+              closeOut(); curFile = f; last = Long.MinValue
+              val enc = java.net.URLEncoder.encode(f, "UTF-8")
+              out = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
+                java.nio.file.Files.newOutputStream(
+                  java.nio.file.Paths.get(tmpStr, s"$enc.pos"))))
+            }
+            if (ri != last) { out.writeLong(ri); last = ri }
+          }
+          closeOut()
+        }
+      try java.nio.file.Files.move(tmp, target,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      catch { // lost the staging race — the winner's set is identical
+        case _: java.nio.file.FileAlreadyExistsException |
+             _: java.nio.file.DirectoryNotEmptyException |
+             _: java.nio.file.AccessDeniedException => Fs.deleteTree(tmp)
+      }
+    } else {
+      // refresh the cache clock so vacuum's age-gated sweep cannot
+      // reclaim a staging a concurrent scan just planned over
+      java.nio.file.Files.setLastModifiedTime(target,
+        java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
+      ()
+    }
+    Option(target.toFile.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".pos"))
+      .map { f =>
+        java.net.URLDecoder.decode(f.getName.stripSuffix(".pos"), "UTF-8") ->
+          f.getAbsolutePath
+      }.toMap
   }
 
   /** True if version `v`'s manifest is still retained (vacuum drops
@@ -1839,7 +1902,9 @@ final class GraftTable(spark: SparkSession, val path: String,
     val sweepNow = System.currentTimeMillis()
     def sweepOrphans(root: java.nio.file.Path, marker: String,
                      curV: Long): Unit = {
-      Option(root.toFile.listFiles()).getOrElse(Array.empty).foreach { f =>
+      Option(root.toFile.listFiles()).getOrElse(Array.empty)
+        .filterNot(_.getName == "_resolved") // cache tree: swept per-CHILD below
+        .foreach { f =>
         val committed = f.isDirectory && f.getName.startsWith("v") &&
           (f.getName.drop(1).split("_", 2) match {
             case Array(ver, nonce) if ver.nonEmpty && ver.forall(_.isDigit) =>
@@ -1855,6 +1920,15 @@ final class GraftTable(spark: SparkSession, val path: String,
     val curV = versions.lastOption.getOrElse(0L)
     sweepOrphans(ckptRoot, "ckpt", curV)
     sweepOrphans(dvRoot, "dv", curV)
+    // resolved-DV sidecar stagings (`_resolved/<key>`) are pure caches —
+    // regenerated on demand from the committed vector dirs — so they
+    // sweep purely by age: planners touch the dir mtime on every reuse,
+    // keeping any staging a live scan may still be reading inside the
+    // grace window. Crashed `.tmp_*` stagings sweep the same way.
+    Option(dvRoot.resolve("_resolved").toFile.listFiles())
+      .foreach(_.foreach { f =>
+        if (sweepNow - f.lastModified() >= orphanGraceMs) rmTree(f)
+      })
     // prune now-empty partition directories (an all-history partition
     // leaves an empty dir behind once its files are reclaimed)
     def prune(f: java.io.File): Boolean = { // true = f was removed

@@ -19,9 +19,12 @@ import org.apache.spark.sql.execution.datasources.{FilePartition, PartitionedFil
   *     factory (same pruned columns, NO pushed parquet filters — row-
   *     group/page skipping would desynchronize position counting), and
   *     its reader drops the vector's row positions while counting.
-  *     The dropped positions travel INSIDE the partition — each task
-  *     ships only its own file's vector, never the full set. Data
-  *     filters still apply bit-exactly: DSv2 file sources always
+  *     The partition ships only the PATH of its file's position
+  *     sidecar ([[graft.operators.GraftTable.dvPointersAt]]); the
+  *     reader loads the sorted positions TASK-side at open — position
+  *     data never transits the driver or the task closures, so a
+  *     billion-row delete costs the driver O(#DV'd files) strings.
+  *     Data filters still apply bit-exactly: DSv2 file sources always
   *     re-evaluate data filters above the scan (parquet pushdown is
   *     best-effort), so the unpushed read changes I/O, not results.
   *
@@ -40,11 +43,11 @@ object GraftDvRead {
   }
 
   /** Regroup the inner batch's planned partitions: slices of DV'd files
-    * collapse to one whole-file [[GraftDvInputPartition]] each; clean
-    * slices keep their grouping.
+    * collapse to one whole-file [[GraftDvInputPartition]] each (carrying
+    * its position-sidecar path); clean slices keep their grouping.
     */
   def plan(inner: Array[InputPartition],
-           dv: Map[String, Array[Long]]): Array[InputPartition] = {
+           dv: Map[String, String]): Array[InputPartition] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[InputPartition]
     val dvFiles = scala.collection.mutable.LinkedHashMap.empty[String, PartitionedFile]
     var idx = 0
@@ -74,11 +77,12 @@ object GraftDvRead {
   }
 }
 
-/** One whole DV'd file plus the SORTED row positions its reader must
-  * drop.
+/** One whole DV'd file plus the path of the sidecar holding the SORTED
+  * row positions its reader must drop (loaded task-side — the partition
+  * itself stays O(1) regardless of deleted-row count).
   */
 final case class GraftDvInputPartition(file: FilePartition,
-                                       drop: Array[Long])
+                                       dvPath: String)
     extends InputPartition {
   override def preferredLocations(): Array[String] = file.preferredLocations()
 }
@@ -97,7 +101,7 @@ final case class GraftRowInputPartition(file: FilePartition)
   * factory with position filtering.
   */
 final class GraftDvBatch(inner: Batch, clean: => Batch,
-                         dv: Map[String, Array[Long]]) extends Batch {
+                         dv: Map[String, String]) extends Batch {
   override def planInputPartitions(): Array[InputPartition] =
     GraftDvRead.plan(inner.planInputPartitions(), dv)
   override def createReaderFactory(): PartitionReaderFactory =
@@ -130,23 +134,39 @@ final class GraftDvReaderFactory(inner: PartitionReaderFactory,
   override def createReader(partition: InputPartition)
       : PartitionReader[InternalRow] = partition match {
     case d: GraftDvInputPartition =>
-      new GraftDvFilteredReader(clean.createReader(d.file), d.drop)
+      new GraftDvFilteredReader(clean.createReader(d.file), d.dvPath)
     case r: GraftRowInputPartition => inner.createReader(r.file)
     case p => inner.createReader(p)
   }
 }
 
-/** Drops the (sorted) `drop` positions while counting rows from 0 — the
-  * whole-file unpushed read guarantees the count IS the row index.
+/** Drops the sidecar's (sorted) positions while counting rows from 0 —
+  * the whole-file unpushed read guarantees the count IS the row index.
+  * The sidecar (big-endian longs, written by
+  * [[graft.operators.GraftTable.dvPointersAt]]'s distributed staging)
+  * loads lazily at first `next()`, task-side.
   */
 final class GraftDvFilteredReader(inner: PartitionReader[InternalRow],
-                                  drop: Array[Long])
+                                  dvPath: String)
     extends PartitionReader[InternalRow] {
   private var pos = -1L
   private var di = 0
   private var cur: InternalRow = _
+  private var drop: Array[Long] = _
+
+  private def loadDrop(): Unit = {
+    val p = java.nio.file.Paths.get(dvPath)
+    val n = (java.nio.file.Files.size(p) / 8).toInt
+    val out = new Array[Long](n)
+    val in = new java.io.DataInputStream(new java.io.BufferedInputStream(
+      java.nio.file.Files.newInputStream(p)))
+    try { var i = 0; while (i < n) { out(i) = in.readLong(); i += 1 } }
+    finally in.close()
+    drop = out
+  }
 
   override def next(): Boolean = {
+    if (drop == null) loadDrop()
     while (inner.next()) {
       pos += 1
       while (di < drop.length && drop(di) < pos) di += 1

@@ -279,10 +279,10 @@ final class GraftScanBuilder(spark: SparkSession, gt: GraftTable,
     // scan ([[GraftDvBatch]]): DV'd files re-read whole through a scan
     // with NO pushed parquet filters (identical column pruning), so
     // position counting matches `_metadata.row_index` exactly.
-    // LAZY: the DV map is a distributed read + driver collect — only a
-    // BATCH consumer pays it (toBatch); a scan used as a micro-batch
-    // stream resolves its own per-batch vectors instead.
-    lazy val dv = gt.dvEntriesAt(version)
+    // LAZY: resolving the DV pointer map may run the one-time sidecar
+    // staging job — only a BATCH consumer pays it (toBatch); a scan
+    // used as a micro-batch stream resolves its own per-batch vectors.
+    lazy val dv = gt.dvPointersAt(version)
     lazy val clean = if (dv.isEmpty) None else Some {
       val b = ParquetScanBuilder(spark, fileIndex, tableSchema,
         dataSchema, GraftSqlRead.emptyOptions)
@@ -301,7 +301,7 @@ final class GraftScan(spark: SparkSession, gt: GraftTable,
                       tableSchema: StructType, inner: Scan,
                       ignoreDeletes: Boolean = false,
                       cleanScan: () => Option[Scan] = () => None,
-                      dv: () => Map[String, Array[Long]] = () => Map.empty)
+                      dv: () => Map[String, String] = () => Map.empty)
     extends Scan
     with org.apache.spark.sql.connector.read.SupportsReportStatistics {
   override def readSchema(): StructType = inner.readSchema()
@@ -451,7 +451,7 @@ final class GraftMicroBatchStream(spark: SparkSession, gt: GraftTable,
       // a snapshot batch over a DV'd table subtracts exactly what the
       // batch read subtracts
       val addedSet = added.toSet
-      val dv = gt.dvEntriesAt(e).filter { case (f, _) => addedSet.contains(f) }
+      val dv = gt.dvPointersAt(e).filter { case (f, _) => addedSet.contains(f) }
       if (dv.isEmpty) parts else GraftDvRead.plan(parts, dv)
     }
   }

@@ -167,6 +167,45 @@ class GraftCatalogSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.files.maxPartitionBytes", saved)
   }
 
+  test("deletion-vector partitions ship POINTERS, not positions: plan " +
+    "size is independent of deleted-row count; sidecar staging is reused") {
+    val (cat, root) = freshCatalog()
+    val t = seed(root)
+    t.importOnce((0L until 20000L).map(i => (s"d${i % 2}", "p", s"r$i", i))
+      .toDF("day", "pk", "rk", "n"))
+    t.deleteWhere(col("n") % 2 === 1) // 10,000 deleted positions
+    // driver-side form: relative file path -> sidecar PATH string,
+    // bounded by DV'd-file count — never a position array
+    val ptrs = t.dvPointersAt(t.currentVersion)
+    assert(ptrs.nonEmpty && ptrs.values.forall(p =>
+      java.nio.file.Files.exists(java.nio.file.Paths.get(p))))
+    // a second resolution REUSES the staged set (deterministic key)
+    assert(t.dvPointersAt(t.currentVersion) == ptrs)
+    val resolved = java.nio.file.Paths.get(root, "db/t/_graft_log/dv/_resolved")
+    assert(Option(resolved.toFile.listFiles()).get.count(_.isDirectory) == 1,
+      "repeated planning must reuse one sidecar staging, not accumulate")
+    // the planned DV partitions serialize O(1): a pointer, not 10k longs
+    val tbl = GraftSqlRead.table(spark, t, t.currentVersion)
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.SupportsRead]
+    val parts = tbl.newScanBuilder(new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+      java.util.Collections.emptyMap[String, String]())).build().toBatch.planInputPartitions()
+    val dvParts = parts.collect {
+      case p: org.apache.spark.sql.graft.GraftDvInputPartition => p }
+    assert(dvParts.nonEmpty, "a DV'd version must plan DV partitions")
+    def serSize(o: AnyRef): Int = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val oos = new java.io.ObjectOutputStream(bos)
+      oos.writeObject(o); oos.close(); bos.size()
+    }
+    dvParts.foreach(p => assert(serSize(p) < 10 * 1024,
+      s"DV partition serialized ${serSize(p)} B — positions are leaking " +
+        "into the plan instead of staying task-side"))
+    // and the read is still exact
+    assert(spark.sql(s"SELECT count(*) FROM $cat.db.t").as[Long].head() == 10000L)
+    assert(spark.sql(s"SELECT sum(n) FROM $cat.db.t").as[Long].head() ==
+      (0L until 20000L by 2).sum)
+  }
+
   test("streaming over deletion vectors: a DV'd SNAPSHOT drains " +
     "subtracted; a mid-stream DV commit refuses unless ignoreDeletes") {
     val (cat, root) = freshCatalog()
