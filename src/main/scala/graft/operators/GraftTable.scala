@@ -1246,6 +1246,67 @@ final class GraftTable(spark: SparkSession, val path: String,
       else xs.flatMap(x => candidateFilesEqualsAt(c, x, v)).distinct.sorted
     }.getOrElse(manifestFiles(v))
 
+  /** Files at `v` that MAY hold `c` = any of `xs`, pruned by ZONE MAPS
+    * ONLY in one pass over the SORTED value set — the large-IN-list
+    * form ([[PredicatePruning.BloomProbeMaxValues]]): per-value Bloom
+    * probes would balloon the planning expression (checkpoint path) or
+    * cost k md5 rounds (driver path), while "does any value land in
+    * [min, max]" is one binary search per file against one sorted
+    * array, at any list size. Superset of the Bloom-probed result —
+    * conservative, the residual IN still runs. Unprunable → all files.
+    */
+  def candidateFilesInSortedVersioned(c: String, xs: Seq[Any], v: Long): Seq[String] =
+    scala.util.Try {
+      if (xs.isEmpty) Seq.empty[String]
+      else {
+        val tag = tagOf(c)
+        val canons = xs.map(canonValue(_, tag)).distinct
+        if (hasCkptBase(v)) {
+          // ONE snapshot-frame job: a single sorted-array literal and a
+          // higher-order `exists` per file — expression size O(1) in k
+          GraftTable.snapshotPruneJobs.incrementAndGet()
+          val valsCol = tag match {
+            case 'd' => lit(canons.map(_.toDouble).sorted.toArray)
+            case 's' => lit(canons.sorted.toArray)
+            case _ => lit(canons.map(_.toLong).sorted.toArray)
+          }
+          val st = element_at(col("stats"), c)
+          def typed(x: org.apache.spark.sql.Column) = tag match {
+            case 'd' => x.cast("double")
+            case 's' => x
+            case _ => x.cast("long")
+          }
+          val mn = st.getField("mn")
+          val mx = st.getField("mx")
+          val keep = st.isNull || (mn.isNotNull && mx.isNotNull &&
+            org.apache.spark.sql.functions.exists(valsCol,
+              x => x >= typed(mn) && x <= typed(mx)))
+          snapshotDF(v).filter(keep)
+            .select("file").collect().map(_.getString(0)).toSeq.sorted
+        } else {
+          val sorted = canons.sortWith(cmpCanon(tag, _, _) < 0).toIndexedSeq
+          val stats = replayStats(v)
+          manifestFiles(v).filter { fl =>
+            stats.get(fl).flatMap(_.cols.get(c)) match {
+              case None => true
+              case Some(cs) => (cs.min, cs.max) match {
+                case (Some(mn), Some(mx)) =>
+                  // smallest value >= mn; a hit iff it is also <= mx
+                  var lo = 0
+                  var hi = sorted.length
+                  while (lo < hi) {
+                    val m = (lo + hi) >>> 1
+                    if (cmpCanon(tag, sorted(m), mn) < 0) lo = m + 1 else hi = m
+                  }
+                  lo < sorted.length && cmpCanon(tag, sorted(lo), mx) <= 0
+                case _ => false // no non-null value in the file
+              }
+            }
+          }
+        }
+      }
+    }.getOrElse(manifestFiles(v))
+
   /** Diagnostic: how many FULL data-tree walks this instance has done.
     * For a table created through [[createIfNotExists]] this must stay 0
     * forever — only the one-time legacy-baseline upgrade walks.
@@ -1582,8 +1643,15 @@ final class GraftTable(spark: SparkSession, val path: String,
     */
   def deleteWhere(cond: org.apache.spark.sql.Column): this.type = {
     val base = ensureBaselineVersion()
-    val files = manifestFiles(base)
-    if (files.isEmpty) return this
+    val live = manifestFiles(base)
+    if (live.isEmpty) return this
+    // matched-row discovery reads CANDIDATE files only: the table's own
+    // zone-map/Bloom tiers restrict the scan when `cond`'s conjuncts
+    // are prunable (a delete on a stats-tracked column touches the
+    // files that may hold it, not 100% of the table)
+    val files = PredicatePruning.mutationCandidates(this, cond,
+      readAt(base), live, base)
+    if (files.isEmpty) return this // zone maps prove no row matches
     val dvs = applicableDvDirs(base)
     val scan = readFilesWithMeta(files)
     val already =
@@ -2445,7 +2513,12 @@ final class GraftTable(spark: SparkSession, val path: String,
   def deleteWhereRewrite(cond: org.apache.spark.sql.Column): this.type = {
     val base = ensureBaselineVersion()
     val matched = coalesce(cond, lit(false))
-    val touchedVals = partitionValsOf(readAt(base).filter(matched))
+    // touched-partition discovery over CANDIDATE files only (zone-map/
+    // Bloom pruned when the predicate allows); the rewrite itself still
+    // reads every row of the touched partitions, as it must
+    val discover = PredicatePruning.mutationCandidates(this, cond,
+      readAt(base), manifestFiles(base), base)
+    val touchedVals = partitionValsOf(readResolved(discover, base).filter(matched))
     if (touchedVals.isEmpty) return this // no match — no commit
     val touched = spark.createDataset(touchedVals.map(_.orNull))(
       org.apache.spark.sql.Encoders.STRING).toDF("__tp")
@@ -2480,7 +2553,12 @@ final class GraftTable(spark: SparkSession, val path: String,
     require(bad.isEmpty,
       s"updateWhere assigns columns not in the table: ${bad.mkString(", ")}")
     val matched = coalesce(cond, lit(false))
-    val touchedVals = partitionValsOf(tgt.filter(matched))
+    // touched-partition discovery through the skipping indexes, like
+    // [[deleteWhereRewrite]] — an UPDATE on a stats-tracked column
+    // reads candidate files only to find its partitions
+    val discover = PredicatePruning.mutationCandidates(this, cond,
+      tgt, manifestFiles(base), base)
+    val touchedVals = partitionValsOf(readResolved(discover, base).filter(matched))
     if (touchedVals.isEmpty) return this // no match — no commit
     val touched = spark.createDataset(touchedVals.map(_.orNull))(
       org.apache.spark.sql.Encoders.STRING).toDF("__tp")

@@ -491,72 +491,16 @@ final class GraftPrunedFileIndex(spark: SparkSession, gt: GraftTable,
       gt.liveFilesAt(version).map(f => new Path(s"${gt.path}/$f")),
       Map("basePath" -> gt.path), Some(tableSchema)) {
 
-  private val prunable: Set[String] = (gt.statsCols ++ gt.bloomCols).toSet
-
   /** Candidate (table-relative) files for one conjunct, or None if the
     * conjunct does not constrain a prunable column in a supported form.
+    * The translation ladder is SHARED with the mutation planners
+    * ([[graft.operators.PredicatePruning]]): equality/range/IN through
+    * the zone-map+Bloom tiers — IN/InSet lists up to
+    * `BloomProbeMaxValues` Bloom-probe in ONE job, larger lists prune
+    * in one sorted zone-map pass (no cap, expression size O(1)).
     */
-  private def candidates(e: Expression): Option[Set[String]] = {
-    def eq(c: String, l: Literal): Option[Set[String]] =
-      if (!prunable.contains(c)) None
-      else GraftSqlRead.externalValue(l).map(v =>
-        gt.candidateFilesEqualsVersioned(c, v, version).toSet)
-    def range(c: String, lo: Option[Literal], hi: Option[Literal]): Option[Set[String]] =
-      if (!prunable.contains(c)) None
-      else {
-        val loV = lo.flatMap(GraftSqlRead.externalValue)
-        val hiV = hi.flatMap(GraftSqlRead.externalValue)
-        if (loV.isEmpty && hiV.isEmpty) None
-        else Some(gt.candidateFilesRangeAt(c, loV, hiV, version).toSet)
-      }
-    e match {
-      case EqualTo(a: AttributeReference, l: Literal) => eq(a.name, l)
-      case EqualTo(l: Literal, a: AttributeReference) => eq(a.name, l)
-      case EqualNullSafe(a: AttributeReference, l: Literal) if l.value != null =>
-        eq(a.name, l)
-      case EqualNullSafe(l: Literal, a: AttributeReference) if l.value != null =>
-        eq(a.name, l)
-      // strict bounds pass the same bound inclusively — superset, safe
-      case GreaterThan(a: AttributeReference, l: Literal) => range(a.name, Some(l), None)
-      case GreaterThanOrEqual(a: AttributeReference, l: Literal) => range(a.name, Some(l), None)
-      case LessThan(a: AttributeReference, l: Literal) => range(a.name, None, Some(l))
-      case LessThanOrEqual(a: AttributeReference, l: Literal) => range(a.name, None, Some(l))
-      case GreaterThan(l: Literal, a: AttributeReference) => range(a.name, None, Some(l))
-      case GreaterThanOrEqual(l: Literal, a: AttributeReference) => range(a.name, None, Some(l))
-      case LessThan(l: Literal, a: AttributeReference) => range(a.name, Some(l), None)
-      case LessThanOrEqual(l: Literal, a: AttributeReference) => range(a.name, Some(l), None)
-      case In(a: AttributeReference, vs) if vs.nonEmpty && vs.forall(_.isInstanceOf[Literal]) =>
-        if (!prunable.contains(a.name)) None
-        else {
-          val vals = vs.map(v => GraftSqlRead.externalValue(v.asInstanceOf[Literal]))
-          if (vals.exists(_.isEmpty)) None
-          else Some(gt.candidateFilesEqualsAnyVersioned(a.name,
-            vals.map(_.get), version).toSet) // ONE pruning job for the whole list
-        }
-      // large IN lists arrive InSet-converted (optimizer threshold);
-      // bounded lists prune in the same single pass, oversized ones
-      // stay unpruned rather than ballooning the planning expression
-      case s: InSet if s.child.isInstanceOf[AttributeReference] &&
-          s.hset.size <= 256 =>
-        val a = s.child.asInstanceOf[AttributeReference]
-        if (!prunable.contains(a.name)) None
-        else {
-          val vals = s.hset.toSeq.filter(_ != null).map {
-            case u: UTF8String => u.toString
-            case other => other
-          }
-          if (vals.isEmpty) Some(Set.empty[String])
-          else Some(gt.candidateFilesEqualsAnyVersioned(a.name, vals,
-            version).toSet)
-        }
-      case And(x, y) =>
-        (candidates(x), candidates(y)) match {
-          case (Some(a), Some(b)) => Some(a.intersect(b))
-          case (a, b) => a.orElse(b)
-        }
-      case _ => None
-    }
-  }
+  private def candidates(e: Expression): Option[Set[String]] =
+    graft.operators.PredicatePruning.candidates(gt, e, version)
 
   // one scan's planning asks listFiles more than once (statistics,
   // then partitions) — memoize the candidate sets per canonicalized
