@@ -2192,6 +2192,56 @@ object IngestQueries {
         SELECT user_id, n_events, sum_cents, pk FROM a2 WHERE pk < 2
         UNION ALL
         SELECT user_id, n_events, sum_cents, pk FROM a1
-        WHERE pk >= 3 AND NOT (pk = 3 AND sum_cents % 2 = 1)"""))
+        WHERE pk >= 3 AND NOT (pk = 3 AND sum_cents % 2 = 1)""")),
+
+    // SQL DELETE WITH AN IN SUBQUERY (round 10): `DELETE FROM t WHERE
+    // k IN (SELECT …) AND <residual>` — the statement the plain
+    // SupportsDeleteV2 path cannot translate to source filters.
+    // GraftRowLevelSqlStrategy claims the DeleteFromTable command,
+    // materializes the uncorrelated subquery ONCE, and routes to
+    // GraftTable.deleteWhereIn: the membership test runs as a
+    // DISTRIBUTED semi-join (never a collected IN list), the residual
+    // prunes the discovery scan through the cents zone maps, and the
+    // commit is the same O(matched-rows) deletion vector as any
+    // selective SQL DELETE — the post-delete SELECT reads through the
+    // DV-tolerant scan. Oracle: replay the delete as a filter (DuckDB).
+    QuerySpec("q246_sql_delete_subquery",
+      (s, dir) => {
+        GraftSession.tune(s)
+        val base = java.nio.file.Files.createTempDirectory("graft_q246_").toString
+        Tables.events(s, dir).createOrReplaceTempView("q246_events")
+        val cat = s"gcat_${java.util.UUID.randomUUID().toString.take(8)}"
+          .replace("-", "_")
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.root", base)
+        s.sql(s"""CREATE TABLE $cat.db.d (
+            event_id BIGINT, user_id BIGINT, cents BIGINT, pk BIGINT)
+          PARTITIONED BY (pk)
+          TBLPROPERTIES ('keys'='event_id', 'statsCols'='cents')""")
+        s.sql(s"""INSERT INTO $cat.db.d (event_id, user_id, cents, pk)
+          SELECT event_id, user_id, CAST(round(value * 100) AS BIGINT),
+            user_id % 4
+          FROM q246_events WHERE event_id % 2 = 0""")
+        s.sql("""CREATE OR REPLACE TEMP VIEW q246_del AS
+          SELECT event_id FROM q246_events WHERE event_id % 5 = 0""")
+        s.sql(s"""DELETE FROM $cat.db.d
+          WHERE event_id IN (SELECT event_id FROM q246_del)
+            AND cents >= 1000""")
+        val out = s.sql(s"SELECT event_id, user_id, cents, pk FROM $cat.db.d")
+        val snap = out.localCheckpoint(true)
+        graft.operators.Fs.deleteTree(base)
+        snap
+      },
+      Some("""
+        WITH e AS (
+          SELECT event_id, user_id,
+            CAST(round(value * 100) AS BIGINT) AS cents,
+            CAST(user_id % 4 AS BIGINT) AS pk
+          FROM events),
+        tgt AS (SELECT * FROM e WHERE event_id % 2 = 0),
+        del AS (SELECT DISTINCT event_id FROM e WHERE event_id % 5 = 0)
+        SELECT event_id, user_id, cents, pk FROM tgt
+        WHERE NOT (cents >= 1000 AND
+          event_id IN (SELECT event_id FROM del))"""))
   )
 }

@@ -1641,7 +1641,23 @@ final class GraftTable(spark: SparkSession, val path: String,
     * with O(matched rows) write I/O and zero data files rewritten or
     * added. A no-match delete commits nothing. Returns this table.
     */
-  def deleteWhere(cond: org.apache.spark.sql.Column): this.type = {
+  def deleteWhere(cond: org.apache.spark.sql.Column): this.type =
+    deleteWhereIn(cond, Nil)
+
+  /** [[deleteWhere]] with additional IN-SET constraints: a row is
+    * deleted when `cond` holds AND, for each `(column, values)` pair,
+    * the row's column value appears in the values frame's single
+    * column — the `DELETE FROM t WHERE … AND c IN (SELECT …)` shape
+    * ([[org.apache.spark.sql.graft.GraftRowLevelSql]] routes the SQL
+    * statement here). Each constraint executes as a DISTRIBUTED
+    * semi-join against the materialized subquery frame — never a
+    * collected IN list — so an arbitrarily large key set costs one
+    * shuffle (or a broadcast when small), and the commit stays the
+    * same O(matched-rows) deletion vector. SQL IN-null semantics hold:
+    * a null column value never matches (row kept).
+    */
+  def deleteWhereIn(cond: org.apache.spark.sql.Column,
+                    inSets: Seq[(String, DataFrame)]): this.type = {
     val base = ensureBaselineVersion()
     val live = manifestFiles(base)
     if (live.isEmpty) return this
@@ -1661,7 +1677,13 @@ final class GraftTable(spark: SparkSession, val path: String,
         scan.join(dv, scan("__dvf") === dv("file") && scan("__dvi") === dv("ri"),
           "left_anti")
       }
-    val matched = already.filter(cond)
+    val matched = inSets.foldLeft(already.filter(cond)) { case (m, (c, vals)) =>
+      require(vals.columns.length == 1,
+        s"deleteWhereIn: the values frame for '$c' must have exactly one " +
+          s"column, got ${vals.columns.mkString(", ")}")
+      require(c != "__inv", "deleteWhereIn: column name __inv is reserved")
+      m.join(vals.toDF("__inv"), col(c) === col("__inv"), "left_semi")
+    }
       .select(col("__dvf").as("file"), col("__dvi").as("ri"))
     val nonce = java.util.UUID.randomUUID().toString.take(8)
     val stage = dvRoot.resolve(s".stage_$nonce")
@@ -2544,7 +2566,21 @@ final class GraftTable(spark: SparkSession, val path: String,
     * through [[org.apache.spark.sql.graft.GraftRowLevelSql]].
     */
   def updateWhere(cond: org.apache.spark.sql.Column,
-                  set: Map[String, org.apache.spark.sql.Column]): this.type = {
+                  set: Map[String, org.apache.spark.sql.Column]): this.type =
+    updateWhereIn(cond, set, Nil)
+
+  /** [[updateWhere]] with additional IN-SET constraints, like
+    * [[deleteWhereIn]]: a row takes its assignments when `cond` holds
+    * AND each constrained column's value appears in its values frame —
+    * the `UPDATE t SET … WHERE … AND c IN (SELECT …)` shape. Membership
+    * evaluates as a distributed left join against the DISTINCT values
+    * (distinct keeps the join 1:1 — a duplicated subquery value must
+    * not duplicate target rows); discovery semi-joins the same frames
+    * so only partitions holding a fully-matched row rewrite.
+    */
+  def updateWhereIn(cond: org.apache.spark.sql.Column,
+                    set: Map[String, org.apache.spark.sql.Column],
+                    inSets: Seq[(String, DataFrame)]): this.type = {
     require(set.nonEmpty, "updateWhere needs at least one assignment")
     val base = ensureBaselineVersion()
     val tgt = readAt(base)
@@ -2552,18 +2588,38 @@ final class GraftTable(spark: SparkSession, val path: String,
     val bad = set.keys.filterNot(typeOf.contains)
     require(bad.isEmpty,
       s"updateWhere assigns columns not in the table: ${bad.mkString(", ")}")
-    val matched = coalesce(cond, lit(false))
+    inSets.foreach { case (c, vals) =>
+      require(vals.columns.length == 1,
+        s"updateWhereIn: the values frame for '$c' must have exactly one " +
+          s"column, got ${vals.columns.mkString(", ")}")
+      require(typeOf.contains(c),
+        s"updateWhereIn constrains a column not in the table: $c")
+    }
+    var matched = coalesce(cond, lit(false))
     // touched-partition discovery through the skipping indexes, like
     // [[deleteWhereRewrite]] — an UPDATE on a stats-tracked column
     // reads candidate files only to find its partitions
     val discover = PredicatePruning.mutationCandidates(this, cond,
       tgt, manifestFiles(base), base)
-    val touchedVals = partitionValsOf(readResolved(discover, base).filter(matched))
+    val probe = inSets.foldLeft(readResolved(discover, base).filter(matched)) {
+      case (p, (c, vals)) =>
+        p.join(vals.toDF("__inv"), col(c) === col("__inv"), "left_semi")
+    }
+    val touchedVals = partitionValsOf(probe)
     if (touchedVals.isEmpty) return this // no match — no commit
     val touched = spark.createDataset(touchedVals.map(_.orNull))(
       org.apache.spark.sql.Encoders.STRING).toDF("__tp")
-    val current = tgt
+    var current = tgt
       .join(touched, col(partitionCol).cast("string") <=> col("__tp"), "left_semi")
+    inSets.zipWithIndex.foreach { case ((c, vals), i) =>
+      val mk = s"__gin$i"
+      current = current.join(
+        vals.toDF("__inv").distinct().withColumn(mk, lit(true)),
+        col(c) === col("__inv"), "left_outer").drop("__inv")
+      matched = matched && coalesce(col(mk), lit(false))
+    }
+    // the select below projects exactly tgt's columns — membership
+    // markers drop with it
     val updated = current.select(tgt.columns.toSeq.map { c =>
       set.get(c).map(e => when(matched, e.cast(typeOf(c))).otherwise(col(c)))
         .getOrElse(col(c)).as(c)

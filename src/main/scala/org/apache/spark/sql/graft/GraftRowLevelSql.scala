@@ -72,6 +72,42 @@ object GraftRowLevelSql {
     if (e.exists(_.isInstanceOf[SubqueryExpression]))
       fail(s"subqueries are not supported in $where")
 
+  /** Split a DELETE/UPDATE condition into (plain residual Column over
+    * bare target names, IN-SET constraints): each conjunct of the form
+    * `<target column> IN (<uncorrelated single-column subquery>)`
+    * materializes its subquery plan as a DataFrame and routes to
+    * [[GraftTable.deleteWhereIn]]/[[GraftTable.updateWhereIn]]'s
+    * distributed semi-join — the `WHERE k IN (SELECT …)` statement a
+    * real user writes in week one. Every other subquery shape (NOT IN,
+    * EXISTS, correlated, scalar) fails loudly rather than degrading.
+    */
+  private def splitSubqueryCondition(spark: ClassicSession, cond: Expression,
+      tgtN: Map[ExprId, String], where: String)
+      : (Column, Seq[(String, org.apache.spark.sql.DataFrame)]) = {
+    def conj(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conj(l) ++ conj(r)
+      case x => Seq(x)
+    }
+    val none = Map.empty[ExprId, String]
+    val (subs, plain) = conj(cond).partition(
+      _.exists(_.isInstanceOf[SubqueryExpression]))
+    val inSets = subs.map {
+      case InSubquery(Seq(a: AttributeReference), lq: ListQuery)
+          if tgtN.contains(a.exprId) =>
+        if (lq.outerAttrs.nonEmpty || lq.joinCond.nonEmpty)
+          fail(s"correlated subqueries are not supported in $where")
+        if (lq.plan.output.size != 1)
+          fail(s"the IN subquery in $where must select exactly one column")
+        tgtN(a.exprId) -> Dataset.ofRows(spark, lq.plan).toDF()
+      case other => fail(s"unsupported subquery conjunct in $where: " +
+        s"${other.sql} — supported: <target column> IN (<uncorrelated " +
+        "single-column subquery>)")
+    }
+    val residual = plain.map(remap(_, tgtN, none, where))
+      .reduceOption(_ && _).getOrElse(lit(true))
+    (residual, inSets)
+  }
+
   /** Remap attribute references to the name space of
     * [[GraftTable.merge]]'s joined frame: target columns by bare name,
     * source columns as `__s_<name>` (the [[GraftTable.src]] prefix).
@@ -209,9 +245,35 @@ object GraftRowLevelSql {
         s"head is v${gt.currentVersion}) — writes go to the live table only")
     val tgtN = targetOutput(u.table).map(a => a.exprId -> a.name).toMap
     val none = Map.empty[ExprId, String]
-    val cond = u.condition.map(remap(_, tgtN, none, "the UPDATE WHERE clause"))
-      .getOrElse(lit(true))
-    gt.updateWhere(cond, assignMap(u.assignments, tgtN, none, "UPDATE SET"))
+    val (cond, inSets) = u.condition
+      .map(splitSubqueryCondition(spark, _, tgtN, "the UPDATE WHERE clause"))
+      .getOrElse((lit(true), Nil))
+    gt.updateWhereIn(cond, assignMap(u.assignments, tgtN, none, "UPDATE SET"),
+      inSets)
+    ()
+  }
+
+  /** SQL `DELETE FROM` with SUBQUERY predicates — the shape the plain
+    * `SupportsDeleteV2` path cannot translate to source filters
+    * (`DELETE FROM t WHERE k IN (SELECT …)`). Claimed at physical
+    * planning only when a subquery is present (subquery-free deletes
+    * keep the existing capability path), decomposed by
+    * [[splitSubqueryCondition]], and executed as
+    * [[GraftTable.deleteWhereIn]] — the same O(matched-rows)
+    * deletion-vector commit as any selective SQL DELETE, with the
+    * subquery materialized once and semi-joined distributed.
+    */
+  def runDelete(spark: ClassicSession, d: DeleteFromTable): Unit = {
+    val st = graftTarget(d.table).getOrElse(
+      fail("DELETE target is not a graft table"))
+    val gt = st.gt
+    require(st.pinnedVersion == gt.currentVersion,
+      s"DELETE targets a time-travel snapshot (v${st.pinnedVersion}, " +
+        s"head is v${gt.currentVersion}) — writes go to the live table only")
+    val tgtN = targetOutput(d.table).map(a => a.exprId -> a.name).toMap
+    val (cond, inSets) =
+      splitSubqueryCondition(spark, d.condition, tgtN, "the DELETE WHERE clause")
+    gt.deleteWhereIn(cond, inSets)
     ()
   }
 }
@@ -227,6 +289,7 @@ case class GraftRowLevelExec(@transient cmd: LogicalPlan)
     cmd match {
       case m: MergeIntoTable => GraftRowLevelSql.runMerge(session, m)
       case u: UpdateTable => GraftRowLevelSql.runUpdate(session, u)
+      case d: DeleteFromTable => GraftRowLevelSql.runDelete(session, d)
       case other => throw new IllegalStateException(s"not a row-level command: $other")
     }
     Nil
@@ -246,6 +309,12 @@ object GraftRowLevelSqlStrategy extends SparkStrategy {
       GraftRowLevelExec(m) :: Nil
     case u: UpdateTable if GraftRowLevelSql.graftTarget(u.table).isDefined =>
       GraftRowLevelExec(u) :: Nil
+    // only SUBQUERY deletes: translatable predicates keep the
+    // SupportsDeleteV2 capability path (incl. its metadata-only tiers)
+    case d: DeleteFromTable
+        if GraftRowLevelSql.graftTarget(d.table).isDefined &&
+          d.condition.exists(_.isInstanceOf[SubqueryExpression]) =>
+      GraftRowLevelExec(d) :: Nil
     case _ => Nil
   }
 }

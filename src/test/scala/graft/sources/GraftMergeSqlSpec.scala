@@ -176,6 +176,48 @@ class GraftMergeSqlSpec extends SparkSpec {
       .collect().toSeq == Seq(2L))
   }
 
+  test("DELETE FROM with an IN subquery plans through the row-level " +
+    "strategy: deletion-vector commit, distributed semi-join, residual " +
+    "conjuncts honored; unsupported subquery shapes reject loudly") {
+    val (cat, root) = freshCatalog()
+    val t = seed(root)
+    Seq("a", "z", "nope").toDF("k").createOrReplaceTempView("msql_delkeys")
+    spark.sql(s"DELETE FROM $cat.db.t WHERE pk IN " +
+      "(SELECT k FROM msql_delkeys) AND n < 9")
+    // a (n=1, in set) deleted; z (n=9) kept by the residual; b/x not in set
+    assert(state(t) == Map("x" -> 7L, "b" -> 2L, "z" -> 9L))
+    // the commit is an O(matched) deletion vector, not a rewrite
+    assert(t.hasDeletionVectorsAt(t.currentVersion),
+      "a subquery DELETE must land as a deletion-vector commit")
+    // NOT IN and correlated EXISTS reject loudly, nothing commits
+    val v = t.currentVersion
+    val e1 = intercept[Exception](spark.sql(
+      s"DELETE FROM $cat.db.t WHERE pk NOT IN (SELECT k FROM msql_delkeys)"))
+    assert(e1.getMessage.toLowerCase.contains("subquer"), e1.getMessage)
+    val e2 = intercept[Exception](spark.sql(
+      s"DELETE FROM $cat.db.t WHERE EXISTS " +
+        "(SELECT 1 FROM msql_delkeys d WHERE d.k = pk)"))
+    assert(e2.getMessage.toLowerCase.contains("subquer"), e2.getMessage)
+    assert(t.currentVersion == v, "a rejected DELETE must not commit")
+  }
+
+  test("UPDATE with an IN subquery constrains matched rows via a " +
+    "distributed membership join; untouched partitions keep their files") {
+    val (cat, root) = freshCatalog()
+    val t = seed(root)
+    val before = filesWithMtimes(t.path)
+    Seq("a", "b").toDF("k").createOrReplaceTempView("msql_updkeys")
+    spark.sql(s"UPDATE $cat.db.t SET n = n + 100 WHERE pk IN " +
+      "(SELECT k FROM msql_updkeys) AND n < 2")
+    // a (n=1, in set): updated; b (n=2): residual fails; x/z: not in set
+    assert(state(t) == Map("a" -> 101L, "x" -> 7L, "b" -> 2L, "z" -> 9L))
+    val after = filesWithMtimes(t.path)
+    before.filter { case (f, _) =>
+      f.startsWith("day=d2") || f.startsWith("day=d3") }.foreach { case (f, m) =>
+      assert(after.get(f).contains(m), s"subquery UPDATE rewrote untouched $f")
+    }
+  }
+
   test("Scala merge API: notMatchedBySource clauses fire in order on " +
     "unmatched target rows only; source refs stay out") {
     val dir = Files.createTempDirectory("graft_nmbs").toString + "/t"
