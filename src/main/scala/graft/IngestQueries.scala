@@ -2242,6 +2242,69 @@ object IngestQueries {
         del AS (SELECT DISTINCT event_id FROM e WHERE event_id % 5 = 0)
         SELECT event_id, user_id, cents, pk FROM tgt
         WHERE NOT (cents >= 1000 AND
-          event_id IN (SELECT event_id FROM del))"""))
+          event_id IN (SELECT event_id FROM del))""")),
+
+    // SQL MERGE WITH A NON-KEY ON RESIDUAL (round 10): `ON t.k = s.k
+    // AND t.cents >= 500` — the common ANSI composite ON. The residual
+    // FOLDS into every matched clause (GraftRowLevelSql): a key match
+    // failing it takes no action and its partition keeps its files;
+    // inserts stay key-based (the documented ANSI caveat — a
+    // residual-failing source row is NOT re-inserted). Oracle: left
+    // join with the residual in the CASE, key-based anti-join inserts.
+    QuerySpec("q247_sql_merge_residual",
+      (s, dir) => {
+        GraftSession.tune(s)
+        val base = java.nio.file.Files.createTempDirectory("graft_q247_").toString
+        Tables.events(s, dir).createOrReplaceTempView("q247_events")
+        val cat = s"gcat_${java.util.UUID.randomUUID().toString.take(8)}"
+          .replace("-", "_")
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.root", base)
+        s.sql(s"""CREATE TABLE $cat.db.m (
+            event_id BIGINT, user_id BIGINT, cents BIGINT, pk BIGINT)
+          PARTITIONED BY (pk)
+          TBLPROPERTIES ('keys'='event_id', 'statsCols'='cents')""")
+        s.sql(s"""INSERT INTO $cat.db.m (event_id, user_id, cents, pk)
+          SELECT event_id, user_id, CAST(round(value * 100) AS BIGINT),
+            user_id % 4
+          FROM q247_events WHERE event_id % 2 = 0""")
+        s.sql("""CREATE OR REPLACE TEMP VIEW q247_src AS
+          SELECT event_id, CAST(max(user_id) AS BIGINT) AS user_id,
+            CAST(max(CAST(round(value * 100) AS BIGINT)) + 17 AS BIGINT) AS cents,
+            CAST(max(user_id) % 4 AS BIGINT) AS pk
+          FROM q247_events WHERE event_id % 3 = 0 GROUP BY event_id""")
+        s.sql(s"""MERGE INTO $cat.db.m t USING q247_src s
+          ON t.event_id = s.event_id AND t.cents >= 500
+          WHEN MATCHED THEN UPDATE SET cents = s.cents, user_id = s.user_id
+          WHEN NOT MATCHED THEN
+            INSERT (event_id, user_id, cents, pk)
+            VALUES (s.event_id, s.user_id, s.cents, s.pk)""")
+        val out = s.sql(s"SELECT event_id, user_id, cents, pk FROM $cat.db.m")
+        val snap = out.localCheckpoint(true)
+        graft.operators.Fs.deleteTree(base)
+        snap
+      },
+      Some("""
+        WITH e AS (
+          SELECT event_id, user_id,
+            CAST(round(value * 100) AS BIGINT) AS cents,
+            CAST(user_id % 4 AS BIGINT) AS pk
+          FROM events),
+        tgt AS (SELECT * FROM e WHERE event_id % 2 = 0),
+        src AS (
+          SELECT event_id, CAST(max(user_id) AS BIGINT) AS user_id,
+            CAST(max(cents) + 17 AS BIGINT) AS cents,
+            CAST(max(user_id) % 4 AS BIGINT) AS pk
+          FROM e WHERE event_id % 3 = 0 GROUP BY event_id)
+        SELECT t.event_id,
+          CASE WHEN s.event_id IS NOT NULL AND t.cents >= 500
+            THEN s.user_id ELSE t.user_id END AS user_id,
+          CASE WHEN s.event_id IS NOT NULL AND t.cents >= 500
+            THEN s.cents ELSE t.cents END AS cents,
+          t.pk
+        FROM tgt t LEFT JOIN src s ON t.event_id = s.event_id
+        UNION ALL
+        SELECT s.event_id, s.user_id, s.cents, s.pk FROM src s
+        WHERE s.event_id NOT IN (SELECT event_id FROM tgt)"""))
   )
 }

@@ -28,10 +28,17 @@ import graft.operators.GraftTable
   * OCC commit.
   *
   * Restrictions (each rejected loudly, never silently degraded):
-  *   - ON must be a conjunction of `target-key = source-expression`
+  *   - ON must CONTAIN a conjunction of `target-key = source-expression`
   *     equalities covering exactly the table's keys — the keyed-merge
-  *     contract. Arbitrary ON predicates need a join-shaped rewrite
-  *     that cannot reuse the key-pruned partition-scoped plan.
+  *     contract. ADDITIONAL (non-key) conjuncts are accepted by FOLDING
+  *     them into every matched clause's condition: a key-matched pair
+  *     failing the residual takes NO action. Documented ANSI caveat:
+  *     ANSI would re-classify such pairs as NOT matched — the source
+  *     row would become an insert candidate and the target row
+  *     "not matched by source" — while the fold leaves both untouched;
+  *     inserts stay key-based. Because of that, a residual combined
+  *     with WHEN NOT MATCHED BY SOURCE is rejected rather than
+  *     silently misclassifying.
   *   - No subqueries inside clause conditions or assignments.
   *   - Nested-field assignments (`SET s.a.b = …`) are not supported.
   */
@@ -170,27 +177,48 @@ object GraftRowLevelSql {
     if (srcOut.map(_.name).distinct.size != srcOut.size)
       fail(s"MERGE source has duplicate column names — alias them apart")
 
-    // ON: a conjunction of target-key = source-expression equalities
+    // ON: key equalities (covering exactly the table keys) plus an
+    // optional RESIDUAL of further conjuncts, folded into the matched
+    // clauses below
     def conjuncts(e: Expression): Seq[Expression] = e match {
       case And(l, r) => conjuncts(l) ++ conjuncts(r)
       case x => Seq(x)
     }
     def srcOnly(e: Expression) = e.references.forall(a => srcN.contains(a.exprId))
-    val keyPairs: Seq[(String, Expression)] = conjuncts(m.mergeCondition).map {
+    val keyPairsBuf = scala.collection.mutable.ArrayBuffer.empty[(String, Expression)]
+    val residuals = scala.collection.mutable.ArrayBuffer.empty[Expression]
+    conjuncts(m.mergeCondition).foreach {
       case EqualTo(a: AttributeReference, b)
-          if tgtN.contains(a.exprId) && srcOnly(b) => tgtN(a.exprId) -> b
+          if tgtN.contains(a.exprId) && srcOnly(b) &&
+            gt.keys.contains(tgtN(a.exprId)) &&
+            !keyPairsBuf.exists(_._1 == tgtN(a.exprId)) =>
+        keyPairsBuf += tgtN(a.exprId) -> b
       case EqualTo(a, b: AttributeReference)
-          if tgtN.contains(b.exprId) && srcOnly(a) => tgtN(b.exprId) -> a
-      case other => fail("ON must be a conjunction of <target key> = " +
-        s"<source expression> equalities over the table keys " +
-        s"(${gt.keys.mkString(", ")}); got: ${other.sql}")
+          if tgtN.contains(b.exprId) && srcOnly(a) &&
+            gt.keys.contains(tgtN(b.exprId)) &&
+            !keyPairsBuf.exists(_._1 == tgtN(b.exprId)) =>
+        keyPairsBuf += tgtN(b.exprId) -> a
+      case other => residuals += other
     }
+    val keyPairs: Seq[(String, Expression)] = keyPairsBuf.toSeq
     val onCols = keyPairs.map(_._1)
-    if (onCols.distinct.size != onCols.size)
-      fail(s"ON equates a key twice: ${onCols.diff(onCols.distinct).mkString(", ")}")
     if (onCols.toSet != gt.keys.toSet)
-      fail(s"ON must cover exactly the table keys ${gt.keys.mkString(", ")}; " +
-        s"got ${onCols.mkString(", ")}")
+      fail(s"ON must contain <target key> = <source expression> equalities " +
+        s"covering exactly the table keys ${gt.keys.mkString(", ")}; " +
+        s"got ${if (onCols.isEmpty) "none" else onCols.mkString(", ")} " +
+        s"(non-key conjuncts fold into the matched clauses)")
+    // ANSI caveat, enforced not silently diverged: a residual-failing
+    // key match counts as NOT MATCHED in ANSI (insert candidate +
+    // not-matched-by-source), while the fold leaves it untouched —
+    // reject the one clause family that would misclassify
+    if (residuals.nonEmpty && m.notMatchedBySourceActions.nonEmpty)
+      fail("a non-key ON conjunct cannot combine with WHEN NOT MATCHED " +
+        "BY SOURCE: ANSI classifies key matches failing the residual as " +
+        "not-matched-by-source, which the clause fold cannot honor")
+    val residualCol: Option[Column] = residuals.toSeq
+      .map(remap(_, tgtN, srcN, "the ON residual")).reduceOption(_ && _)
+    def foldResidual(c: Column): Column =
+      residualCol.map(r => coalesce(r, lit(false)) && c).getOrElse(c)
 
     // the source frame [[GraftTable.merge]] receives: the source plan's
     // columns, plus each key materialized under its target name when the
@@ -212,16 +240,20 @@ object GraftRowLevelSql {
       }
     }
 
-    def clauses(actions: Seq[MergeAction], where: String): Seq[GraftTable.MatchedClause] =
+    def clauses(actions: Seq[MergeAction], where: String,
+                wrap: Column => Column = identity): Seq[GraftTable.MatchedClause] =
       actions.map {
         case UpdateAction(cond, assigns, _) => GraftTable.MatchedUpdate(
-          cond.map(remap(_, tgtN, srcN, s"$where UPDATE condition")).getOrElse(lit(true)),
+          wrap(cond.map(remap(_, tgtN, srcN, s"$where UPDATE condition")).getOrElse(lit(true))),
           assignMap(assigns, tgtN, srcN, s"$where UPDATE"))
         case DeleteAction(cond) => GraftTable.MatchedDelete(
-          cond.map(remap(_, tgtN, srcN, s"$where DELETE condition")).getOrElse(lit(true)))
+          wrap(cond.map(remap(_, tgtN, srcN, s"$where DELETE condition")).getOrElse(lit(true))))
         case other => fail(s"unsupported $where action: $other")
       }
-    val matched = clauses(m.matchedActions, "WHEN MATCHED")
+    // the ON residual gates every matched clause (a residual-failing
+    // key match fires nothing); NMBS clauses never see it (they are
+    // rejected above when a residual exists)
+    val matched = clauses(m.matchedActions, "WHEN MATCHED", foldResidual)
     val nmbs = clauses(m.notMatchedBySourceActions, "WHEN NOT MATCHED BY SOURCE")
     val inserts = m.notMatchedActions.map {
       case InsertAction(cond, assigns) =>

@@ -129,13 +129,15 @@ class GraftMergeSqlSpec extends SparkSpec {
         WHEN MATCHED THEN UPDATE SET n = s.n""")
     }
     assert(e1.getMessage.contains("table keys"), e1.getMessage)
-    // extra non-equality conjunct
+    // a non-key residual combined with NOT MATCHED BY SOURCE would
+    // silently misclassify under the fold — rejected
     val e2 = intercept[Exception] {
       spark.sql(s"""MERGE INTO $cat.db.t t USING msql_src4 s
         ON t.pk = s.pk AND t.n > 0
-        WHEN MATCHED THEN UPDATE SET n = s.n""")
+        WHEN MATCHED THEN UPDATE SET n = s.n
+        WHEN NOT MATCHED BY SOURCE THEN DELETE""")
     }
-    assert(e2.getMessage.contains("conjunction"), e2.getMessage)
+    assert(e2.getMessage.contains("BY SOURCE"), e2.getMessage)
     // time-travel target
     val e3 = intercept[Exception] {
       spark.sql(s"""MERGE INTO $cat.db.t VERSION AS OF 1 t USING msql_src4 s
@@ -174,6 +176,32 @@ class GraftMergeSqlSpec extends SparkSpec {
     // time travel intact across all three statements
     assert(t.readAt(v0).filter($"pk" === "b").select("n").as[Long]
       .collect().toSeq == Seq(2L))
+  }
+
+  test("MERGE INTO: a non-key ON residual folds into the matched " +
+    "clauses — residual-failing key matches take no action and their " +
+    "partitions keep their files byte-for-byte; inserts stay key-based") {
+    val (cat, root) = freshCatalog()
+    val t = seed(root) // a:1@d1, x:7@d1, b:2@d2, z:9@d3
+    val before = filesWithMtimes(t.path)
+    Seq(("d1", "a", 100L), ("d2", "b", 200L), ("d9", "new", 5L))
+      .toDF("day", "pk", "n").createOrReplaceTempView("msql_res")
+    spark.sql(s"""MERGE INTO $cat.db.t t USING msql_res s
+      ON t.pk = s.pk AND t.n > 1
+      WHEN MATCHED THEN UPDATE SET n = s.n
+      WHEN NOT MATCHED THEN INSERT (day, pk, n) VALUES (s.day, s.pk, s.n)""")
+    // a key-matches but fails the residual (n=1): untouched, and NOT
+    // re-inserted (the documented ANSI caveat — inserts stay key-based);
+    // b (n=2) passes → 200; 'new' has no key match → inserted
+    assert(state(t) == Map("a" -> 1L, "x" -> 7L, "b" -> 200L, "z" -> 9L,
+      "new" -> 5L))
+    // d1 (residual-failing match) and d3 (unclaimed) keep their files
+    val after = filesWithMtimes(t.path)
+    before.filter { case (f, _) =>
+      f.startsWith("day=d1") || f.startsWith("day=d3") }.foreach { case (f, m) =>
+      assert(after.get(f).contains(m),
+        s"residual merge rewrote an unclaimed partition file $f")
+    }
   }
 
   test("DELETE FROM with an IN subquery plans through the row-level " +
