@@ -2305,6 +2305,52 @@ object IngestQueries {
         FROM tgt t LEFT JOIN src s ON t.event_id = s.event_id
         UNION ALL
         SELECT s.event_id, s.user_id, s.cents, s.pk FROM src s
-        WHERE s.event_id NOT IN (SELECT event_id FROM tgt)"""))
+        WHERE s.event_id NOT IN (SELECT event_id FROM tgt)""")),
+
+    // DESCRIBE HISTORY AS SQL (round 10): `SELECT … FROM t__history` —
+    // the `__history` metadata table (GraftHistoryTable, a LocalScan:
+    // version-count-bounded, zero data files touched, no distributed
+    // job). The query drives a fixed mutation ladder — CREATE, INSERT,
+    // DV DELETE, partition-scoped UPDATE, TRUNCATE — whose history
+    // shape (version, kind, partition drops, marker kinds) is
+    // MECHANISM-determined, identical at every SF; the commit clock
+    // and file counts are host-dependent and stay out of the output.
+    // Oracle: the expected ledger as literal rows.
+    QuerySpec("q248_sql_history",
+      (s, dir) => {
+        GraftSession.tune(s)
+        val base = java.nio.file.Files.createTempDirectory("graft_q248_").toString
+        Tables.events(s, dir).createOrReplaceTempView("q248_events")
+        val cat = s"gcat_${java.util.UUID.randomUUID().toString.take(8)}"
+          .replace("-", "_")
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.root", base)
+        s.sql(s"""CREATE TABLE $cat.db.h (
+            event_id BIGINT, user_id BIGINT, cents BIGINT, pk BIGINT)
+          PARTITIONED BY (pk)
+          TBLPROPERTIES ('keys'='event_id', 'statsCols'='cents')""")
+        s.sql(s"""INSERT INTO $cat.db.h (event_id, user_id, cents, pk)
+          SELECT event_id, user_id, CAST(round(value * 100) AS BIGINT),
+            user_id % 4
+          FROM q248_events""")
+        s.sql(s"DELETE FROM $cat.db.h WHERE cents < 200")    // DV commit
+        s.sql(s"UPDATE $cat.db.h SET user_id = user_id + 1 WHERE pk = 2")
+        s.sql(s"TRUNCATE TABLE $cat.db.h")
+        val out = s.sql(s"""SELECT version, kind,
+            CAST(partitions_dropped AS BIGINT) AS pdrops,
+            array_join(markers, ',') AS marks
+          FROM $cat.db.h__history""")
+        val snap = out.localCheckpoint(true)
+        graft.operators.Fs.deleteTree(base)
+        snap
+      },
+      Some("""
+        SELECT * FROM (VALUES
+          (CAST(1 AS BIGINT), 'base',  CAST(0 AS BIGINT), ''),
+          (CAST(2 AS BIGINT), 'delta', CAST(0 AS BIGINT), ''),
+          (CAST(3 AS BIGINT), 'delta', CAST(0 AS BIGINT), 'dv'),
+          (CAST(4 AS BIGINT), 'delta', CAST(1 AS BIGINT), ''),
+          (CAST(5 AS BIGINT), 'delta', CAST(4 AS BIGINT), '')
+        ) AS t(version, kind, pdrops, marks)"""))
   )
 }

@@ -93,6 +93,15 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
       if (tableExists(base))
         return new org.apache.spark.sql.graft.GraftCdcTable(spark, open(base))
     }
+    // `<name>__history` is DESCRIBE HISTORY as a metadata table: one
+    // row per retained version (commit clock, kind, delta sizes,
+    // markers), served as a local scan — no distributed job
+    if (ident.name.endsWith("__history")) {
+      val base = Identifier.of(ident.namespace,
+        ident.name.stripSuffix("__history"))
+      if (tableExists(base))
+        return new org.apache.spark.sql.graft.GraftHistoryTable(spark, open(base))
+    }
     val gt = open(ident)
     org.apache.spark.sql.graft.GraftSqlRead.table(spark, gt, gt.currentVersion)
   }
@@ -147,12 +156,15 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
       "GraftCatalog supports identity PARTITIONED BY columns only")
     require(!schema.fieldNames.contains(GraftTable.SyntheticPartition),
       s"column name ${GraftTable.SyntheticPartition} is reserved")
-    // `<name>__changes` is the CDC-feed identifier of `<name>` — a real
-    // table by that name would be unreachable (loadTable routes it to
-    // the base table's feed)
+    // `<name>__changes` / `<name>__history` are metadata-table
+    // identifiers of `<name>` — a real table by either name would be
+    // unreachable (loadTable routes them to the base table's feed)
     require(!ident.name.endsWith("__changes"),
       s"table name ${ident.name} is reserved: the __changes suffix " +
         "addresses a table's CDC feed")
+    require(!ident.name.endsWith("__history"),
+      s"table name ${ident.name} is reserved: the __history suffix " +
+        "addresses a table's commit history")
     partCols.foreach(c => require(schema.fieldNames.contains(c),
       s"PARTITIONED BY column '$c' is not in the table schema"))
     // zero partition columns → one synthetic partition (unpartitioned
@@ -228,6 +240,9 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
     require(!newIdent.name.endsWith("__changes"),
       s"table name ${newIdent.name} is reserved: the __changes suffix " +
         "addresses a table's CDC feed")
+    require(!newIdent.name.endsWith("__history"),
+      s"table name ${newIdent.name} is reserved: the __history suffix " +
+        "addresses a table's commit history")
     val from = Paths.get(dirOf(oldIdent.namespace, oldIdent.name))
     val to = Paths.get(dirOf(newIdent.namespace, newIdent.name))
     if (!Files.isDirectory(from))

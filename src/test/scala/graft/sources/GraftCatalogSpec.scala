@@ -712,6 +712,30 @@ class GraftCatalogSpec extends SparkSpec {
       ("r1", 10L, "update_postimage"), ("r2", 2L, "delete")), s"got $viaSql")
   }
 
+  test("history metadata table: SELECT … FROM t__history equals the " +
+    "Scala history frame, plans as a LOCAL scan, and the name is reserved") {
+    val (cat, root) = freshCatalog()
+    val t = seed(root)
+    t.importOnce(Seq(("d1", "p", "r1", 1L), ("d2", "p", "r2", 2L))
+      .toDF("day", "pk", "rk", "n"))
+    t.deleteWhere(col("n") === 1L) // a DV commit — 'dv' marker row
+    t.upsertReplace(Seq(("d2", "p", "r2", 20L)).toDF("day", "pk", "rk", "n"))
+    val df = spark.sql(s"SELECT version, kind, files_added, " +
+      s"partitions_dropped, markers FROM $cat.db.t__history")
+    val viaSql = df.collect().map(_.toSeq).toSet
+    val viaScala = t.history.select("version", "kind", "files_added",
+      "partitions_dropped", "markers").collect().map(_.toSeq).toSet
+    assert(viaSql == viaScala, "SQL history must equal GraftTable.history")
+    assert(viaSql.size == t.versions.size)
+    // metadata-scale: a local scan, not a distributed file scan
+    assert(df.queryExecution.executedPlan.toString.contains("LocalTableScan"),
+      s"history must plan as a local scan:\n${df.queryExecution.executedPlan}")
+    // the suffix is reserved at CREATE and RENAME
+    intercept[Exception](spark.sql(
+      s"""CREATE TABLE $cat.db.x__history (k STRING, day STRING)
+        PARTITIONED BY (day) TBLPROPERTIES ('keys'='k')"""))
+  }
+
   test("DROP TABLE only deletes graft tables: a stranger directory under " +
     "the catalog root survives; cascade refuses it") {
     val (cat, root) = freshCatalog()
