@@ -2991,6 +2991,65 @@ final class GraftTable(spark: SparkSession, val path: String,
       (partitionCol +: rangeBy).map(col): _*), base, clusterBy = rangeBy)
   }
 
+  /** DV-HEALTH GAUGE: the fraction of live files (current version) a
+    * committed deletion vector touches. DV'd files read row-based with
+    * no parquet pushdown until their partitions rewrite — transient by
+    * design, but nothing else MEASURES it, so this is the knob
+    * [[compactDvHeavy]] (and an operator's monitoring) watches. Cost:
+    * one small scan of the vector parquets' `file` column, only when
+    * vector dirs exist.
+    */
+  def dvFraction: Double = {
+    val v = currentVersion
+    if (v <= 0L) return 0.0
+    val live = manifestFiles(v)
+    if (live.isEmpty) return 0.0
+    val dvs = applicableDvDirs(v)
+    if (dvs.isEmpty) return 0.0
+    val liveSet = live.toSet
+    val dvd = readDv(dvs).select("file").distinct().collect()
+      .map(_.getString(0)).count(liveSet.contains) // bounded by DV'd-file count
+    dvd.toDouble / live.size
+  }
+
+  /** MAINTENANCE TRIGGER for DV-heavy tables: when [[dvFraction]]
+    * exceeds `maxFraction`, rewrite EXACTLY the partitions holding
+    * DV'd files (their resolved content, one commit) — the vectors'
+    * files die, the vectors no-op, and the scan plans columnar +
+    * filter-pushed again. Partitions without vectors are never read or
+    * written, so the cost is proportional to the DV'd data, not the
+    * table. A partition whose rows are ALL deleted drops entirely
+    * (explicit touched-partition commit, not inferred from the — empty
+    * — surviving rows). Returns true when a compaction committed; call
+    * it from the same maintenance cadence as vacuum, or after bursts
+    * of row-level deletes, so the row-based-scan tax cannot silently
+    * become the steady state.
+    */
+  def compactDvHeavy(maxFraction: Double = 0.1): Boolean = {
+    require(maxFraction >= 0.0, s"maxFraction must be >= 0, got $maxFraction")
+    val base = ensureBaselineVersion()
+    val live = manifestFiles(base)
+    if (live.isEmpty) return false
+    val dvs = applicableDvDirs(base)
+    if (dvs.isEmpty) return false
+    val liveSet = live.toSet
+    val dvdFiles = readDv(dvs).select("file").distinct().collect()
+      .map(_.getString(0)).filter(liveSet.contains)
+    if (dvdFiles.isEmpty ||
+      dvdFiles.length.toDouble / live.size <= maxFraction) return false
+    val dirs = dvdFiles.map(f => f.split('/').dropRight(1).mkString("/")).toSet
+    val touchedFiles = live.filter(f =>
+      dirs.contains(f.split('/').dropRight(1).mkString("/")))
+    val touchedVals: Seq[Option[String]] = dirs.toSeq.sorted.map { dir =>
+      val raw = dir.stripPrefix(s"$partitionCol=")
+      if (raw == "__HIVE_DEFAULT_PARTITION__") None
+      else Some(org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+        .unescapePathName(raw))
+    }
+    commitRewrite(readResolved(touchedFiles, base), touchedVals, base)
+    true
+  }
+
   /** LIVE data file count — the current version's manifest size for a
     * versioned table (historical files don't count; they are storage,
     * not table). Physical walk only for legacy no-log tables.

@@ -206,6 +206,40 @@ class GraftCatalogSpec extends SparkSpec {
       (0L until 20000L by 2).sum)
   }
 
+  test("DV auto-compaction: dvFraction gauges DV'd files; crossing the " +
+    "threshold rewrites ONLY the DV'd partitions, purges the vectors, " +
+    "and an all-deleted partition drops entirely") {
+    val (cat, root) = freshCatalog()
+    val t = seed(root)
+    t.importOnce((0L until 100L).map(i => (s"d${i % 4}", "p", s"r$i", i))
+      .toDF("day", "pk", "rk", "n"))
+    assert(t.dvFraction == 0.0)
+    t.deleteWhere(col("n") % 4 === 1 && col("n") < 50) // rows live in d1 only
+    assert(t.dvFraction > 0.0)
+    // below the threshold: a no-op, vectors stay
+    assert(!t.compactDvHeavy(maxFraction = 0.99))
+    assert(t.hasDeletionVectorsAt(t.currentVersion))
+    val beforeLive = t.liveFilesAt(t.currentVersion).toSet
+    // above: rewrites exactly the DV'd partitions
+    assert(t.compactDvHeavy(maxFraction = 0.01))
+    val afterLive = t.liveFilesAt(t.currentVersion).toSet
+    beforeLive.filterNot(_.startsWith("day=d1/")).foreach(f =>
+      assert(afterLive.contains(f),
+        s"DV compaction rewrote a vector-free partition's file $f"))
+    assert(!t.hasDeletionVectorsAt(t.currentVersion) && t.dvFraction == 0.0,
+      "compaction must purge the vectors")
+    val expect = (0L until 100L).filterNot(i => i % 4 == 1 && i < 50)
+      .map(i => s"r$i" -> i).toMap
+    assert(spark.sql(s"SELECT rk, n FROM $cat.db.t")
+      .as[(String, Long)].collect().toMap == expect)
+    // a partition whose rows are ALL deleted drops entirely
+    t.deleteWhere(col("day") === "d2")
+    assert(t.compactDvHeavy(maxFraction = 0.0))
+    assert(t.liveFilesAt(t.currentVersion).forall(!_.startsWith("day=d2/")),
+      "an all-deleted partition must drop at compaction")
+    assert(t.read.filter($"day" === "d2").count() == 0)
+  }
+
   test("streaming over deletion vectors: a DV'd SNAPSHOT drains " +
     "subtracted; a mid-stream DV commit refuses unless ignoreDeletes") {
     val (cat, root) = freshCatalog()
