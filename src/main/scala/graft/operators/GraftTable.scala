@@ -305,10 +305,9 @@ final class GraftTable(spark: SparkSession, val path: String,
       // overwrite: `exists` just said there is NO committed data here —
       // at most an empty/partial directory from a crashed write, which
       // this create recovers by replacing
-      withMicrosTimestamps {
-        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-          .write.mode(SaveMode.Overwrite).partitionBy(partitionCol).parquet(path)
-      }
+      microsWrite(spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema))
+        .write.mode(SaveMode.Overwrite).partitionBy(partitionCol).parquet(path)
       java.nio.file.Files.writeString(schemaSidecar, schema.json)
       commitEntries(0L, Seq.empty)
     }
@@ -2042,35 +2041,40 @@ final class GraftTable(spark: SparkSession, val path: String,
     * partition directory under a commit-unique name. O(files written),
     * independent of table size.
     */
-  /** Run `body` with `spark.sql.parquet.outputTimestampType` pinned to
-    * TIMESTAMP_MICROS: graft DATA files need trustworthy parquet footer
-    * min/max for timestamp zone maps (INT96, the default, has no usable
-    * footer ordering — footerCanon rightly distrusts it). Scoped and
-    * restored so the SESSION default stays untouched — a global pin
-    * would change how every OTHER parquet this session writes renders
-    * in non-Spark readers (instant MICROS reads back as timestamptz).
-    * Serialized on the session object: two concurrent graft writes
-    * restoring out of order could leak the pin.
+  /** Session graft DATA-file writes run on: a CLONE of the caller's
+    * session with `spark.sql.parquet.outputTimestampType` pinned to
+    * TIMESTAMP_MICROS — graft data files need trustworthy parquet
+    * footer min/max for timestamp zone maps (INT96, the default, has
+    * no usable footer ordering — footerCanon rightly distrusts it).
+    * The clone isolates the pin COMPLETELY: the round-9 set/restore
+    * on the shared session (even `spark.synchronized`) still leaked
+    * the pin to a concurrent NON-graft parquet write on another thread
+    * during the window; a pinned clone cannot. One clone per table
+    * instance, built lazily at first write: it copies the session conf
+    * AT THAT POINT — the one documented caveat is that caller conf
+    * changes made after the first write do not propagate to later
+    * graft data-file writes of the same instance.
     */
-  private def withMicrosTimestamps[T](body: => T): T = spark.synchronized {
-    val key = "spark.sql.parquet.outputTimestampType"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key, "TIMESTAMP_MICROS")
-    try body
-    finally prev match {
-      case Some(v) => spark.conf.set(key, v)
-      case None => spark.conf.unset(key)
-    }
+  private lazy val microsWriteSession: SparkSession = {
+    val s2 = org.apache.spark.sql.graft.Bridge.cloneSession(spark)
+    s2.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    s2
   }
+
+  /** `df` re-bound to [[microsWriteSession]] (analysis already done —
+    * the clone supplies conf + runtime only): `.write` on the result
+    * produces MICROS-stamped parquet without touching the caller's
+    * session.
+    */
+  private def microsWrite(df: DataFrame): DataFrame =
+    org.apache.spark.sql.graft.Bridge.rebind(microsWriteSession, df)
 
   private def writeCommitFiles(df: DataFrame): Seq[String] = {
     if (df.isEmpty) return Seq.empty
     val nonce = java.util.UUID.randomUUID().toString.take(8)
     val stage = java.nio.file.Paths.get(path, "_graft_staging", s"c_$nonce")
-    withMicrosTimestamps {
-      df.write.mode(SaveMode.Overwrite).partitionBy(partitionCol)
-        .parquet(stage.toString)
-    }
+    microsWrite(df).write.mode(SaveMode.Overwrite).partitionBy(partitionCol)
+      .parquet(stage.toString)
     val moved = scala.collection.mutable.ListBuffer.empty[String]
     def walk(f: java.io.File): Unit =
       if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(walk)

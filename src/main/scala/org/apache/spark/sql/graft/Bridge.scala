@@ -13,6 +13,24 @@ object Bridge {
   def toColumn(e: Expression): Column = ExpressionUtils.column(e)
   def toExpression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Surface the `private[sql]` session clone: an identical session
+    * (same SparkContext + shared state, copied SQL conf / temp views)
+    * whose conf can be pinned WITHOUT touching the caller's session —
+    * how graft scopes its TIMESTAMP_MICROS data-file-write pin.
+    */
+  def cloneSession(s: org.apache.spark.sql.SparkSession): org.apache.spark.sql.SparkSession =
+    s.asInstanceOf[org.apache.spark.sql.classic.SparkSession].cloneSession()
+
+  /** Re-bind an already-ANALYZED frame to another session of the same
+    * context (resolution happened; the target session supplies conf +
+    * runtime only).
+    */
+  def rebind(s: org.apache.spark.sql.SparkSession,
+             df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      s.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
+      df.queryExecution.analyzed)
+
   /** Names of unresolved attribute references in `c` matching `p` —
     * walked over the COLUMN NODE tree (Spark 4 converts Column →
     * catalyst Expression lazily via ColumnNodeExpression, so the

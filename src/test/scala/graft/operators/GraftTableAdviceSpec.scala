@@ -334,6 +334,31 @@ class GraftTableAdviceSpec extends SparkSpec {
       .select("n").as[Int].collect().toSet == Set(3, 4))
   }
 
+  test("the MICROS data-file pin lives on a CLONED write session: the " +
+    "caller's session conf is never touched, before, during or after") {
+    val p = dir()
+    val key = "spark.sql.parquet.outputTimestampType"
+    val before = spark.conf.getOption(key)
+    val t = new GraftTable(spark, p, keys = Seq("pk"), partitionCol = "day",
+      statsCols = Seq("at"))
+    val df = Seq(("d1", "a", java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 1))
+      .toDF("day", "pk", "at", "n")
+    t.createIfNotExists(df.schema)
+    t.importOnce(df)
+    t.upsertReplace(Seq(("d2", "b",
+      java.sql.Timestamp.valueOf("2024-06-01 00:00:00"), 2))
+      .toDF("day", "pk", "at", "n"))
+    assert(spark.conf.getOption(key) == before,
+      "graft data-file writes must never mutate the caller session's " +
+        "timestamp type (the pin lives on the write clone)")
+    // and the pin still lands: timestamp zone maps prune (INT96 footers
+    // would yield no stats at all)
+    val cand = t.candidateFiles("at",
+      java.sql.Timestamp.valueOf("2024-01-01 00:00:00"),
+      java.sql.Timestamp.valueOf("2024-01-02 00:00:00"))
+    assert(cand.size == 1, s"footer stats missing under the clone: $cand")
+  }
+
   test("DF-path bloom probe at checkpoint-backed versions honors each " +
     "entry's own geometry (mixed-bits history, reopened instance)") {
     val p = dir()
