@@ -152,6 +152,30 @@ object StorageProbe {
         f"${tDelta * 1000}%8.2f ms   liveList=${tLive * 1000}%8.2f ms")
     }
 
+    // 5. MUTATION DISCOVERY PRUNING (round 10): a selective UPDATE /
+    // DELETE on a stats-tracked column discovers its matched rows over
+    // zone-map CANDIDATE files only — vs the r9 shape that filtered the
+    // full live set (reproduced here with an arithmetically-wrapped,
+    // unprunable predicate over the same rows).
+    {
+      import graft.operators.PredicatePruning
+      def upd(name: String, cond: org.apache.spark.sql.Column): (Long, Long, Double) = {
+        val t = build(name, Seq("cents"))
+        PredicatePruning.lastMutationLiveFiles.set(-1)
+        PredicatePruning.lastMutationCandidateFiles.set(-1)
+        val w = { val t0 = System.nanoTime()
+          t.updateWhere(cond, Map("user_id" -> (col("user_id") + 1)))
+          (System.nanoTime() - t0) / 1e9 }
+        (PredicatePruning.lastMutationCandidateFiles.get(),
+          PredicatePruning.lastMutationLiveFiles.get(), w)
+      }
+      val (candU, liveU, wPruned) = upd("updp", col("cents").between(2000, 2050))
+      // cents + 0 defeats the (attribute ⋈ literal) ladder → full scan
+      val (_, _, wFull) = upd("updf", (col("cents") + 0).between(2000, 2050))
+      println(f"MUTATE update discovery files=$candU%d/$liveU%d   " +
+        f"pruned=$wPruned%.3f s   fullScanShape=$wFull%.3f s")
+    }
+
     graft.operators.Fs.deleteTree(base)
     spark.stop()
   }
