@@ -2351,6 +2351,51 @@ object IngestQueries {
           (CAST(3 AS BIGINT), 'delta', CAST(0 AS BIGINT), 'dv'),
           (CAST(4 AS BIGINT), 'delta', CAST(1 AS BIGINT), ''),
           (CAST(5 AS BIGINT), 'delta', CAST(4 AS BIGINT), '')
-        ) AS t(version, kind, pdrops, marks)"""))
+        ) AS t(version, kind, pdrops, marks)""")),
+
+    // SQL MAINTENANCE STATEMENTS (round 10): `CALL graft.system.…` —
+    // the Iceberg stored-procedure idiom over Spark 4's native
+    // ProcedureCatalog (analyzer-resolved, named/default args, SHOW
+    // PROCEDURES). The ladder exercises RESTORE's semantics under the
+    // oracle (a mis-restore leaves the UPDATE visible and breaks the
+    // hash), a DV DELETE followed by CALL compact_dv (vectors purged,
+    // columnar scan back) and CALL vacuum (history reclaim must not
+    // change the data). Oracle: replay — the restored-away UPDATE
+    // never happened; the DV delete is a filter.
+    QuerySpec("q249_sql_call_maintenance",
+      (s, dir) => {
+        GraftSession.tune(s)
+        val base = java.nio.file.Files.createTempDirectory("graft_q249_").toString
+        Tables.events(s, dir).createOrReplaceTempView("q249_events")
+        val cat = s"gcat_${java.util.UUID.randomUUID().toString.take(8)}"
+          .replace("-", "_")
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.root", base)
+        s.sql(s"""CREATE TABLE $cat.db.m (
+            event_id BIGINT, user_id BIGINT, cents BIGINT, pk BIGINT)
+          PARTITIONED BY (pk)
+          TBLPROPERTIES ('keys'='event_id', 'statsCols'='cents')""")
+        s.sql(s"""INSERT INTO $cat.db.m (event_id, user_id, cents, pk)
+          SELECT event_id, user_id, CAST(round(value * 100) AS BIGINT),
+            user_id % 4
+          FROM q249_events WHERE event_id % 2 = 0""") // v2
+        s.sql(s"UPDATE $cat.db.m SET cents = cents * 2 WHERE pk = 1") // v3
+        s.sql(s"CALL $cat.system.restore('db.m', 2)") // the UPDATE un-happens
+        s.sql(s"DELETE FROM $cat.db.m WHERE cents < 500") // DV commit
+        s.sql(s"CALL $cat.system.compact_dv('db.m', max_fraction => 0.0)")
+        s.sql(s"CALL $cat.system.vacuum('db.m', keep_versions => 2)")
+        val out = s.sql(s"SELECT event_id, user_id, cents, pk FROM $cat.db.m")
+        val snap = out.localCheckpoint(true)
+        graft.operators.Fs.deleteTree(base)
+        snap
+      },
+      Some("""
+        WITH e AS (
+          SELECT event_id, user_id,
+            CAST(round(value * 100) AS BIGINT) AS cents,
+            CAST(user_id % 4 AS BIGINT) AS pk
+          FROM events)
+        SELECT event_id, user_id, cents, pk FROM e
+        WHERE event_id % 2 = 0 AND cents >= 500"""))
   )
 }

@@ -56,6 +56,35 @@ object GraftTable {
     */
   val snapshotPruneJobs = new java.util.concurrent.atomic.AtomicLong(0)
 
+  /** The session graft DATA-file writes run on: ONE clone of the
+    * caller's session per session (weakly held — dying sessions drop
+    * their clone) with `spark.sql.parquet.outputTimestampType` pinned
+    * to TIMESTAMP_MICROS. Graft data files need trustworthy parquet
+    * footer min/max for timestamp zone maps (INT96, the default, has
+    * no usable footer ordering — footerCanon rightly distrusts it),
+    * and the clone isolates the pin COMPLETELY: a set/restore on the
+    * shared session (even synchronized) leaks the pin to a concurrent
+    * NON-graft parquet write on another thread during the window; a
+    * pinned clone cannot. Shared across table instances because the
+    * SQL catalog opens a fresh GraftTable per statement — a per-
+    * instance clone re-paid SessionState construction on every DML
+    * statement. Documented caveat: the clone snapshots the caller's
+    * conf at the session's FIRST graft data write; later caller conf
+    * changes do not propagate to graft data-file writes.
+    */
+  private val microsSessions =
+    new java.util.WeakHashMap[SparkSession, SparkSession]()
+  private[operators] def microsSessionFor(spark: SparkSession): SparkSession =
+    microsSessions.synchronized {
+      var s2 = microsSessions.get(spark)
+      if (s2 == null) {
+        s2 = org.apache.spark.sql.graft.Bridge.cloneSession(spark)
+        s2.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+        microsSessions.put(spark, s2)
+      }
+      s2
+    }
+
   /** Reserved partition-column name that switches a table to SYNTHETIC
     * partitioning: every write derives the value from `partitionSrc`
     * (one constant partition when empty — the unpartitioned-table
@@ -2041,33 +2070,15 @@ final class GraftTable(spark: SparkSession, val path: String,
     * partition directory under a commit-unique name. O(files written),
     * independent of table size.
     */
-  /** Session graft DATA-file writes run on: a CLONE of the caller's
-    * session with `spark.sql.parquet.outputTimestampType` pinned to
-    * TIMESTAMP_MICROS — graft data files need trustworthy parquet
-    * footer min/max for timestamp zone maps (INT96, the default, has
-    * no usable footer ordering — footerCanon rightly distrusts it).
-    * The clone isolates the pin COMPLETELY: the round-9 set/restore
-    * on the shared session (even `spark.synchronized`) still leaked
-    * the pin to a concurrent NON-graft parquet write on another thread
-    * during the window; a pinned clone cannot. One clone per table
-    * instance, built lazily at first write: it copies the session conf
-    * AT THAT POINT — the one documented caveat is that caller conf
-    * changes made after the first write do not propagate to later
-    * graft data-file writes of the same instance.
-    */
-  private lazy val microsWriteSession: SparkSession = {
-    val s2 = org.apache.spark.sql.graft.Bridge.cloneSession(spark)
-    s2.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
-    s2
-  }
-
-  /** `df` re-bound to [[microsWriteSession]] (analysis already done —
-    * the clone supplies conf + runtime only): `.write` on the result
+  /** `df` re-bound to the session's shared MICROS write clone
+    * ([[GraftTable.microsSessionFor]] — analysis already done, the
+    * clone supplies conf + runtime only): `.write` on the result
     * produces MICROS-stamped parquet without touching the caller's
     * session.
     */
   private def microsWrite(df: DataFrame): DataFrame =
-    org.apache.spark.sql.graft.Bridge.rebind(microsWriteSession, df)
+    org.apache.spark.sql.graft.Bridge.rebind(
+      GraftTable.microsSessionFor(spark), df)
 
   private def writeCommitFiles(df: DataFrame): Seq[String] = {
     if (df.isEmpty) return Seq.empty

@@ -42,7 +42,8 @@ import graft.operators.{GraftTable, GraftTableMeta}
   * `ALTER TABLE ADD COLUMNS` via the sidecar schema evolution below —
   * every other ALTER class stays rejected by design.
   */
-final class GraftCatalog extends TableCatalog with SupportsNamespaces {
+final class GraftCatalog extends TableCatalog with SupportsNamespaces
+    with ProcedureCatalog {
 
   private var catalogName: String = _
   private var root: String = _
@@ -83,10 +84,32 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
         ident: org.apache.spark.sql.connector.catalog.Identifier))
 
+  /** [[GraftProcedures]]' table access (procedures receive table refs
+    * as string arguments — `'db.t'` — and open through the catalog's
+    * own registry).
+    */
+  private[sources] def openTable(ident: Identifier): GraftTable = open(ident)
+
+  // ----------------------------------------------------- procedures
+  //
+  // SQL maintenance statements (`CALL graft.system.restore/vacuum/
+  // compact/compact_dv(…)`) — the Iceberg stored-procedure idiom over
+  // Spark 4's native ProcedureCatalog. See [[GraftProcedures]].
+
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure =
+    GraftProcedures.load(this, ident)
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.isEmpty || namespace.toSeq == Seq("system"))
+      GraftProcedures.identifiers
+    else Array.empty
+
   override def loadTable(ident: Identifier): Table = {
     // `<name>__changes` is the table's CDC feed (the Iceberg
-    // metadata-table idiom): a streaming-only relation emitting
-    // _change_type rows per version increment
+    // metadata-table idiom): a relation emitting _change_type rows per
+    // version increment as a stream, or batch-read with a default
+    // full-history anchor (snapshot-as-inserts)
     if (ident.name.endsWith("__changes")) {
       val base = Identifier.of(ident.namespace,
         ident.name.stripSuffix("__changes"))

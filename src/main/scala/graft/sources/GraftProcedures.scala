@@ -1,0 +1,144 @@
+package graft.sources
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.Identifier
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.operators.GraftTable
+
+/** SQL MAINTENANCE STATEMENTS as stored procedures (the Iceberg
+  * `CALL cat.system.<proc>(…)` idiom over Spark 4's native
+  * [[org.apache.spark.sql.connector.catalog.ProcedureCatalog]] —
+  * analyzer `ResolveProcedures`/`BindProcedures`/`InvokeProcedures`
+  * do the resolution, named/default arguments and invocation; `SHOW
+  * PROCEDURES` / `DESCRIBE PROCEDURE` work out of the box):
+  *
+  * {{{
+  *   CALL graft.system.restore('db.t', 3)
+  *   CALL graft.system.vacuum('db.t', keep_versions => 2)
+  *   CALL graft.system.compact('db.t')
+  *   CALL graft.system.compact_dv('db.t', max_fraction => 0.1)
+  * }}}
+  *
+  * Each procedure is driver-orchestrated metadata work plus the same
+  * distributed jobs its Scala API twin runs ([[GraftTable.restore]] /
+  * `vacuum` / `compact` / `compactDvHeavy`), and returns ONE summary
+  * row through a [[LocalScan]] so `CALL` surfaces what happened.
+  */
+object GraftProcedures {
+
+  private val TableParam =
+    ProcedureParameter.in("table", StringType)
+      .comment("table identifier under this catalog, e.g. 'db.t'").build()
+
+  val identifiers: Array[Identifier] =
+    Array("restore", "vacuum", "compact", "compact_dv")
+      .map(n => Identifier.of(Array("system"), n))
+
+  def load(cat: GraftCatalog, ident: Identifier): UnboundProcedure = {
+    require(ident.namespace.toSeq == Seq("system"),
+      s"procedures live under the 'system' namespace, got " +
+        s"${(ident.namespace :+ ident.name).mkString(".")}")
+    def open(tableRef: String): GraftTable = {
+      val parts = tableRef.split('.')
+      require(parts.length >= 1 && parts.forall(_.nonEmpty),
+        s"bad table reference '$tableRef' — expected 'namespace.table'")
+      cat.openTable(Identifier.of(parts.dropRight(1), parts.last))
+    }
+    ident.name match {
+      case "restore" => proc("restore",
+        "restore the table to a committed version as a NEW commit " +
+          "(all history stays time-travelable)",
+        Array(TableParam,
+          ProcedureParameter.in("version", LongType).build()),
+        StructType(Seq(StructField("table", StringType),
+          StructField("restored_to", LongType),
+          StructField("new_version", LongType))),
+        in => {
+          val t = open(in.getUTF8String(0).toString)
+          val v = in.getLong(1)
+          t.restore(v)
+          Seq(InternalRow(in.getUTF8String(0).copy(), v, t.currentVersion))
+        })
+      case "vacuum" => proc("vacuum",
+        "reclaim history: keep the last keep_versions manifests, " +
+          "delete data files only they referenced, sweep orphans",
+        Array(TableParam,
+          ProcedureParameter.in("keep_versions", IntegerType)
+            .defaultValue("1").build()),
+        StructType(Seq(StructField("table", StringType),
+          StructField("kept_versions", IntegerType),
+          StructField("live_files", IntegerType))),
+        in => {
+          val t = open(in.getUTF8String(0).toString)
+          val keep = in.getInt(1)
+          t.vacuum(keep)
+          Seq(InternalRow(in.getUTF8String(0).copy(),
+            math.min(keep, t.versions.size), t.dataFileCount))
+        })
+      case "compact" => proc("compact",
+        "rewrite every partition's live files into parallelism files " +
+          "(content-invariant; purges deletion vectors)",
+        Array(TableParam,
+          ProcedureParameter.in("parallelism", IntegerType)
+            .defaultValue("16").build()),
+        StructType(Seq(StructField("table", StringType),
+          StructField("live_files", IntegerType))),
+        in => {
+          val t = open(in.getUTF8String(0).toString)
+          t.compact(in.getInt(1))
+          Seq(InternalRow(in.getUTF8String(0).copy(), t.dataFileCount))
+        })
+      case "compact_dv" => proc("compact_dv",
+        "when the fraction of deletion-vector'd live files exceeds " +
+          "max_fraction, rewrite exactly those partitions and purge " +
+          "the vectors (restores the columnar filter-pushed scan)",
+        Array(TableParam,
+          ProcedureParameter.in("max_fraction", DoubleType)
+            .defaultValue("0.1").build()),
+        StructType(Seq(StructField("table", StringType),
+          StructField("compacted", BooleanType),
+          StructField("dv_fraction_before", DoubleType))),
+        in => {
+          val t = open(in.getUTF8String(0).toString)
+          val before = t.dvFraction
+          val did = t.compactDvHeavy(in.getDouble(1))
+          Seq(InternalRow(in.getUTF8String(0).copy(), did, before))
+        })
+      case other => throw new UnsupportedOperationException(
+        s"unknown procedure graft system.$other — available: " +
+          identifiers.map(_.name).mkString(", "))
+    }
+  }
+
+  /** An [[UnboundProcedure]] whose bound form runs `body` on the
+    * driver and returns its rows through one [[LocalScan]].
+    */
+  private def proc(procName: String, desc: String,
+                   params: Array[ProcedureParameter],
+                   outSchema: StructType,
+                   body: InternalRow => Seq[InternalRow]): UnboundProcedure =
+    new UnboundProcedure {
+      override def name: String = procName
+      override def description: String = desc
+      override def bind(inputType: StructType): BoundProcedure =
+        new BoundProcedure {
+          override def name: String = procName
+          override def description: String = desc
+          override def parameters: Array[ProcedureParameter] = params
+          // mutations commit through OCC — not idempotent re-runs
+          override def isDeterministic: Boolean = false
+          override def call(input: InternalRow): java.util.Iterator[Scan] = {
+            val out = body(input).toArray
+            java.util.List.of[Scan](new LocalScan {
+              override def readSchema(): StructType = outSchema
+              override def rows(): Array[InternalRow] = out
+              override def description(): String = s"GraftProcedure($procName)"
+            }).iterator()
+          }
+        }
+    }
+}

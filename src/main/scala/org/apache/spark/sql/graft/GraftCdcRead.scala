@@ -29,8 +29,11 @@ import graft.operators.GraftTable
   * `_graft_cdc/` (O(changed rows), distributed write) and plans the
   * batch as a plain parquet scan over the staged files; committed
   * batches' staging reclaims on `commit(end)`, crashed runs' leftovers
-  * are age-gated away by vacuum. Batch (non-streaming) SQL reads of the
-  * changes table are rejected — use `readChangesRowsSince` in Scala.
+  * are age-gated away by vacuum. Batch (non-streaming) SQL reads:
+  * `VERSION AS OF v` anchors "every change since v"; an UN-anchored
+  * read defaults to the full history — the pinned head snapshot as
+  * inserts (net-change semantics; the stream's own fresh-checkpoint
+  * convention).
   */
 final class GraftCdcTable(spark: SparkSession, gt: GraftTable,
                           batchSince: Option[Long] = None)
@@ -50,15 +53,21 @@ final class GraftCdcTable(spark: SparkSession, gt: GraftTable,
   override def name: String = s"graft_cdc:${gt.path.replace('.', '_')}" +
     batchSince.map(v => s"@since$v").getOrElse("")
   override def schema: StructType = cdcSchema
+  // un-anchored identifiers serve BOTH: the micro-batch change stream
+  // and (since round 10) a default-anchored batch read — every change
+  // since the beginning, which under net-change semantics is the
+  // pinned head snapshot as inserts (the stream's own fresh-checkpoint
+  // convention)
   override def capabilities: java.util.Set[TableCapability] =
     if (batchSince.isDefined) java.util.EnumSet.of(TableCapability.BATCH_READ)
-    else java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+    else java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ,
+      TableCapability.BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder {
       override def build(): Scan = new Scan {
         override def readSchema(): StructType = cdcSchema
-        override def toBatch: Batch = batchSince match {
+        override def toBatch: Batch = batchSince.orElse(Some(0L)) match {
           case Some(since) =>
             // stage the (since, until] change frame and serve it as a
             // plain parquet batch — the same execution shape as one
@@ -87,7 +96,21 @@ final class GraftCdcTable(spark: SparkSession, gt: GraftTable,
               val tmp = java.nio.file.Paths.get(
                 new Path(parent, s".btmp_${java.util.UUID.randomUUID()
                   .toString.take(8)}").toUri.getPath)
-              gt.readChangesRowsBetween(since, batchUntil)
+              // since = 0 is the default (un-anchored) batch feed:
+              // every change since the beginning, which under net-
+              // change semantics is the pinned head snapshot as
+              // inserts — the stream's fresh-checkpoint convention
+              val frame =
+                if (since == 0L) {
+                  val snap =
+                    if (batchUntil == 0L)
+                      spark.createDataFrame(
+                        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+                        gt.read.schema)
+                    else gt.readAt(batchUntil)
+                  snap.withColumn("_change_type", lit("insert"))
+                } else gt.readChangesRowsBetween(since, batchUntil)
+              frame
                 .select(cols.map(org.apache.spark.sql.functions.col): _*)
                 .write.mode("overwrite").parquet(tmp.toString)
               try java.nio.file.Files.move(tmp, dirPath,
@@ -107,11 +130,7 @@ final class GraftCdcTable(spark: SparkSession, gt: GraftTable,
                   System.currentTimeMillis()))
             }
             GraftCdcMicroBatchStream.scanOver(spark, cdcSchema, dir).toBatch
-          case None =>
-            throw new UnsupportedOperationException(
-              s"the changes table of ${gt.path} is streaming-only without " +
-                "an anchor — SELECT … VERSION AS OF <v> reads the batch " +
-                "change feed since version v (Scala: readChangesRowsSince)")
+          case None => throw new IllegalStateException("unreachable")
         }
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
           new GraftCdcMicroBatchStream(spark, gt, cdcSchema)

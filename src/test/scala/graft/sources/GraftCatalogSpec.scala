@@ -449,12 +449,15 @@ class GraftCatalogSpec extends SparkSpec {
     t.deleteByKeys(Seq(("r3")).toDF("rk").withColumn("pk", lit("p"))
       .select("pk", "rk"))
     assert(drain(ckpt) == Set(("r3", 3L, "delete")))
-    // batch SQL over the changes table refuses loudly (the engine's
-    // capability check fires before our scan's own refusal)
-    val e = intercept[Exception](
-      spark.sql(s"SELECT * FROM $cat.db.t__changes").collect())
-    assert(e.getMessage.contains("streaming-only") ||
-      e.getMessage.contains("does not support batch scan"), e.getMessage)
+    // un-anchored batch SQL defaults to the full-history feed: the
+    // pinned head snapshot as inserts (net-change semantics)
+    val unanchored = spark.sql(
+      s"SELECT pk, rk, n, _change_type FROM $cat.db.t__changes").collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getString(3))).toSet
+    val snapshot = t.read.select("rk", "n").as[(String, Long)].collect()
+      .map { case (rk, n) => (rk, n, "insert") }.toSet
+    assert(unanchored == snapshot,
+      s"un-anchored changes read must equal snapshot-as-inserts: $unanchored")
   }
 
   test("IN-list pruning at a checkpoint-backed version costs ONE " +
@@ -768,6 +771,39 @@ class GraftCatalogSpec extends SparkSpec {
     intercept[Exception](spark.sql(
       s"""CREATE TABLE $cat.db.x__history (k STRING, day STRING)
         PARTITIONED BY (day) TBLPROPERTIES ('keys'='k')"""))
+  }
+
+  test("stored procedures: CALL graft.system.restore/vacuum/compact/" +
+    "compact_dv run the maintenance ops and return summary rows; " +
+    "SHOW PROCEDURES lists them") {
+    val (cat, root) = freshCatalog()
+    val t = seed(root)
+    t.importOnce((0L until 100L).map(i => (s"d${i % 2}", "p", s"r$i", i))
+      .toDF("day", "pk", "rk", "n"))
+    val vGood = t.currentVersion
+    t.upsertReplace(Seq(("d1", "p", "r1", 999L)).toDF("day", "pk", "rk", "n"))
+    // restore back — the update disappears, history stays
+    val res = spark.sql(s"CALL $cat.system.restore('db.t', $vGood)").collect()
+    assert(res.head.getLong(1) == vGood && res.head.getLong(2) > vGood)
+    assert(t.read.filter($"rk" === "r1").select("n").as[Long].head() == 1L)
+    // a DV delete, then compact_dv through CALL (named arg + default)
+    t.deleteWhere(col("n") < 10L)
+    val cd = spark.sql(
+      s"CALL $cat.system.compact_dv('db.t', max_fraction => 0.0)").collect()
+    assert(cd.head.getBoolean(1) && cd.head.getDouble(2) > 0.0)
+    assert(!t.hasDeletionVectorsAt(t.currentVersion))
+    // compact with the parallelism default
+    val cp = spark.sql(s"CALL $cat.system.compact('db.t')").collect()
+    assert(cp.head.getInt(1) == t.dataFileCount)
+    // vacuum keeps 1 version; history truncates
+    spark.sql(s"CALL $cat.system.vacuum('db.t')").collect()
+    assert(t.history.count() == 1L)
+    assert(t.read.count() == 90L, "maintenance must not change the data")
+    // discoverability
+    val procs = spark.sql(s"SHOW PROCEDURES IN $cat.system").collect()
+      .map(_.toSeq.map(String.valueOf).mkString(" ")).mkString("\n")
+    Seq("restore", "vacuum", "compact", "compact_dv").foreach(p =>
+      assert(procs.contains(p), s"SHOW PROCEDURES missing $p:\n$procs"))
   }
 
   test("DROP TABLE only deletes graft tables: a stranger directory under " +
