@@ -73,14 +73,21 @@ object GraftTable {
     * changes do not propagate to graft data-file writes.
     */
   private val microsSessions =
-    new java.util.WeakHashMap[SparkSession, SparkSession]()
+    new java.util.WeakHashMap[SparkSession,
+      java.lang.ref.WeakReference[SparkSession]]()
   private[operators] def microsSessionFor(spark: SparkSession): SparkSession =
     microsSessions.synchronized {
-      var s2 = microsSessions.get(spark)
+      // the VALUE must be weak too: a clone strongly references its
+      // parent (SessionState keeps the parent for lazy re-derivation),
+      // so a strong value would pin its own key and the entry would
+      // never collect — a long-running driver creating many sessions
+      // would leak a full SessionState per session. A collected clone
+      // simply re-creates on the next write (same conf-snapshot caveat).
+      var s2 = Option(microsSessions.get(spark)).map(_.get()).orNull
       if (s2 == null) {
         s2 = org.apache.spark.sql.graft.Bridge.cloneSession(spark)
         s2.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
-        microsSessions.put(spark, s2)
+        microsSessions.put(spark, new java.lang.ref.WeakReference(s2))
       }
       s2
     }
@@ -1482,66 +1489,96 @@ final class GraftTable(spark: SparkSession, val path: String,
   def dvPointersAt(v: Long): Map[String, String] = {
     val dirs = applicableDvDirs(v)
     if (dirs.isEmpty) return Map.empty
-    val key = {
-      val md = java.security.MessageDigest.getInstance("MD5")
-      dirs.map(_.getFileName.toString).sorted
-        .foreach(n => md.update(n.getBytes("UTF-8")))
-      md.digest().take(8).map("%02x".format(_)).mkString
-    }
     val resolvedRoot = dvRoot.resolve("_resolved")
-    val target = resolvedRoot.resolve(key)
-    if (!java.nio.file.Files.isDirectory(target)) {
-      java.nio.file.Files.createDirectories(resolvedRoot)
-      val tmp = resolvedRoot.resolve(
-        s".tmp_${java.util.UUID.randomUUID().toString.take(8)}")
-      java.nio.file.Files.createDirectories(tmp)
-      val tmpStr = tmp.toString
-      // one sidecar per DV'd data file: repartition co-locates each
-      // file's entries in one task, the within-partition sort makes
-      // them contiguous and ordered, the task streams them out as raw
-      // longs (URL-encoded name: relative paths contain '/'). Local-FS
-      // java.nio here for the same reason the manifest log uses it; on
-      // shared storage this write goes through the Hadoop FS API.
-      readDv(dirs).repartition(col("file")).sortWithinPartitions("file", "ri")
-        .foreachPartition { it: Iterator[org.apache.spark.sql.Row] =>
-          var curFile: String = null
-          var out: java.io.DataOutputStream = null
-          var last = Long.MinValue
-          def closeOut(): Unit = if (out != null) { out.close(); out = null }
-          it.foreach { r =>
-            val f = r.getString(0)
-            val ri = r.getLong(1)
-            if (f != curFile) {
-              closeOut(); curFile = f; last = Long.MinValue
-              val enc = java.net.URLEncoder.encode(f, "UTF-8")
-              out = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
-                java.nio.file.Files.newOutputStream(
-                  java.nio.file.Paths.get(tmpStr, s"$enc.pos"))))
+    val target = resolvedRoot.resolve(dvResolvedKey(dirs))
+    var attempt = 0
+    while (attempt < 3) {
+      attempt += 1
+      if (!java.nio.file.Files.isDirectory(target)) {
+        java.nio.file.Files.createDirectories(resolvedRoot)
+        val tmp = resolvedRoot.resolve(
+          s".tmp_${java.util.UUID.randomUUID().toString.take(8)}")
+        java.nio.file.Files.createDirectories(tmp)
+        val tmpStr = tmp.toString
+        // one sidecar per DV'd data file: repartition co-locates each
+        // file's entries in one task, the within-partition sort makes
+        // them contiguous and ordered, the task streams them out as raw
+        // longs (URL-encoded name: relative paths contain '/'). Local-FS
+        // java.nio here for the same reason the manifest log uses it; on
+        // shared storage this write goes through the Hadoop FS API.
+        readDv(dirs).repartition(col("file")).sortWithinPartitions("file", "ri")
+          .foreachPartition { it: Iterator[org.apache.spark.sql.Row] =>
+            var curFile: String = null
+            var out: java.io.DataOutputStream = null
+            var last = Long.MinValue
+            def closeOut(): Unit = if (out != null) { out.close(); out = null }
+            it.foreach { r =>
+              val f = r.getString(0)
+              val ri = r.getLong(1)
+              if (f != curFile) {
+                closeOut(); curFile = f; last = Long.MinValue
+                val enc = java.net.URLEncoder.encode(f, "UTF-8")
+                out = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
+                  java.nio.file.Files.newOutputStream(
+                    java.nio.file.Paths.get(tmpStr, s"$enc.pos"))))
+              }
+              if (ri != last) { out.writeLong(ri); last = ri }
             }
-            if (ri != last) { out.writeLong(ri); last = ri }
+            closeOut()
           }
-          closeOut()
+        // completeness manifest: the reader below validates the sidecar
+        // COUNT, so a staging half-deleted by a concurrent sweep can
+        // never silently plan some DV'd files as clean
+        val staged = Option(tmp.toFile.listFiles()).getOrElse(Array.empty)
+          .count(_.getName.endsWith(".pos"))
+        java.nio.file.Files.writeString(tmp.resolve("_count"), staged.toString)
+        try java.nio.file.Files.move(tmp, target,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        catch { // lost the staging race — the winner's set is identical
+          case _: java.nio.file.FileAlreadyExistsException |
+               _: java.nio.file.DirectoryNotEmptyException |
+               _: java.nio.file.AccessDeniedException => Fs.deleteTree(tmp)
         }
-      try java.nio.file.Files.move(tmp, target,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-      catch { // lost the staging race — the winner's set is identical
-        case _: java.nio.file.FileAlreadyExistsException |
-             _: java.nio.file.DirectoryNotEmptyException |
-             _: java.nio.file.AccessDeniedException => Fs.deleteTree(tmp)
+      } else {
+        // refresh the cache clock so vacuum's age-gated sweep cannot
+        // reclaim a staging a concurrent scan just planned over
+        java.nio.file.Files.setLastModifiedTime(target,
+          java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
+        ()
       }
-    } else {
-      // refresh the cache clock so vacuum's age-gated sweep cannot
-      // reclaim a staging a concurrent scan just planned over
-      java.nio.file.Files.setLastModifiedTime(target,
-        java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
+      val listed = Option(target.toFile.listFiles()).getOrElse(Array.empty)
+      val pos = listed.filter(_.getName.endsWith(".pos"))
+      val expected = listed.find(_.getName == "_count").flatMap(f =>
+        scala.util.Try(java.nio.file.Files.readString(f.toPath).trim.toInt)
+          .toOption)
+      // valid = complete: the count matches and at least one sidecar
+      // exists (committed DV dirs always hold >= 1 position). Anything
+      // else — mid-sweep partial listing, vanished dir, a legacy
+      // staging without its manifest — reclaims and restages rather
+      // than silently resurrecting deleted rows.
+      if (pos.nonEmpty && expected.contains(pos.length))
+        return pos.map { f =>
+          java.net.URLDecoder.decode(f.getName.stripSuffix(".pos"), "UTF-8") ->
+            f.getAbsolutePath
+        }.toMap
+      scala.util.Try(Fs.deleteTree(target))
       ()
     }
-    Option(target.toFile.listFiles()).getOrElse(Array.empty)
-      .filter(_.getName.endsWith(".pos"))
-      .map { f =>
-        java.net.URLDecoder.decode(f.getName.stripSuffix(".pos"), "UTF-8") ->
-          f.getAbsolutePath
-      }.toMap
+    throw new IllegalStateException(
+      s"table $path: deletion-vector sidecar staging $target stayed " +
+        "incomplete after 3 attempts — a concurrent vacuum may be " +
+        "sweeping it; retry the scan")
+  }
+
+  /** Deterministic cache key of a resolved-DV sidecar staging: the
+    * committed DV dir set it was built from. Vacuum keeps every key a
+    * RETAINED version still resolves ([[vacuum]]'s `_resolved` sweep).
+    */
+  private def dvResolvedKey(dirs: Seq[java.nio.file.Path]): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    dirs.map(_.getFileName.toString).sorted
+      .foreach(n => md.update(n.getBytes("UTF-8")))
+    md.digest().take(8).map("%02x".format(_)).mkString
   }
 
   /** True if version `v`'s manifest is still retained (vacuum drops
@@ -1705,11 +1742,14 @@ final class GraftTable(spark: SparkSession, val path: String,
         scan.join(dv, scan("__dvf") === dv("file") && scan("__dvi") === dv("ri"),
           "left_anti")
       }
+    if (inSets.nonEmpty)
+      require(!readAt(base).columns.contains("__inv"),
+        "deleteWhereIn: the table has a column named __inv — reserved " +
+          "for the membership join; rename it")
     val matched = inSets.foldLeft(already.filter(cond)) { case (m, (c, vals)) =>
       require(vals.columns.length == 1,
         s"deleteWhereIn: the values frame for '$c' must have exactly one " +
           s"column, got ${vals.columns.mkString(", ")}")
-      require(c != "__inv", "deleteWhereIn: column name __inv is reserved")
       m.join(vals.toDF("__inv"), col(c) === col("__inv"), "left_semi")
     }
       .select(col("__dvf").as("file"), col("__dvi").as("ri"))
@@ -2039,13 +2079,21 @@ final class GraftTable(spark: SparkSession, val path: String,
     sweepOrphans(ckptRoot, "ckpt", curV)
     sweepOrphans(dvRoot, "dv", curV)
     // resolved-DV sidecar stagings (`_resolved/<key>`) are pure caches —
-    // regenerated on demand from the committed vector dirs — so they
-    // sweep purely by age: planners touch the dir mtime on every reuse,
-    // keeping any staging a live scan may still be reading inside the
-    // grace window. Crashed `.tmp_*` stagings sweep the same way.
+    // regenerated on demand from the committed vector dirs. Keys any
+    // RETAINED version still resolves are NEVER swept (a reader of a
+    // retained version may be mid-scan at any age — sweeping its
+    // staging under it risks a partial listing); stale keys (their
+    // vector sets merged away, their versions dropped) sweep by age,
+    // as do crashed `.tmp_*` stagings. Readers additionally validate
+    // the staging's `_count` manifest, so even a cross-process sweep
+    // can only force a restage, never a silent partial map.
+    val resolvedKeep: Set[String] = keep
+      .map(v => applicableDvDirs(v)).filter(_.nonEmpty)
+      .map(dvResolvedKey).toSet
     Option(dvRoot.resolve("_resolved").toFile.listFiles())
       .foreach(_.foreach { f =>
-        if (sweepNow - f.lastModified() >= orphanGraceMs) rmTree(f)
+        if (!resolvedKeep.contains(f.getName) &&
+          sweepNow - f.lastModified() >= orphanGraceMs) rmTree(f)
       })
     // prune now-empty partition directories (an all-history partition
     // leaves an empty dir behind once its files are reclaimed)
@@ -2610,6 +2658,13 @@ final class GraftTable(spark: SparkSession, val path: String,
       require(typeOf.contains(c),
         s"updateWhereIn constrains a column not in the table: $c")
     }
+    if (inSets.nonEmpty) {
+      val clash = tgt.columns.filter(c => c == "__inv" ||
+        c.matches("__gin\\d+"))
+      require(clash.isEmpty,
+        s"updateWhereIn: the table has column(s) reserved for the " +
+          s"membership join (${clash.mkString(", ")}) — rename them")
+    }
     var matched = coalesce(cond, lit(false))
     // touched-partition discovery through the skipping indexes, like
     // [[deleteWhereRewrite]] — an UPDATE on a stats-tracked column
@@ -3014,17 +3069,22 @@ final class GraftTable(spark: SparkSession, val path: String,
     * one small scan of the vector parquets' `file` column, only when
     * vector dirs exist.
     */
-  def dvFraction: Double = {
-    val v = currentVersion
-    if (v <= 0L) return 0.0
+  def dvFraction: Double = dvdLiveFiles(currentVersion)._3
+
+  /** (live files, DV'd live files, fraction) at `v` — the one scan
+    * [[dvFraction]] and [[compactDvHeavyMeasured]] share.
+    */
+  private def dvdLiveFiles(v: Long): (Seq[String], Seq[String], Double) = {
+    if (v <= 0L) return (Seq.empty, Seq.empty, 0.0)
     val live = manifestFiles(v)
-    if (live.isEmpty) return 0.0
+    if (live.isEmpty) return (live, Seq.empty, 0.0)
     val dvs = applicableDvDirs(v)
-    if (dvs.isEmpty) return 0.0
+    if (dvs.isEmpty) return (live, Seq.empty, 0.0)
     val liveSet = live.toSet
     val dvd = readDv(dvs).select("file").distinct().collect()
-      .map(_.getString(0)).count(liveSet.contains) // bounded by DV'd-file count
-    dvd.toDouble / live.size
+      .map(_.getString(0)).filter(liveSet.contains) // bounded by DV'd-file count
+      .toSeq
+    (live, dvd, dvd.size.toDouble / live.size)
   }
 
   /** MAINTENANCE TRIGGER for DV-heavy tables: when [[dvFraction]]
@@ -3040,18 +3100,19 @@ final class GraftTable(spark: SparkSession, val path: String,
     * of row-level deletes, so the row-based-scan tax cannot silently
     * become the steady state.
     */
-  def compactDvHeavy(maxFraction: Double = 0.1): Boolean = {
+  def compactDvHeavy(maxFraction: Double = 0.1): Boolean =
+    compactDvHeavyMeasured(maxFraction)._1
+
+  /** [[compactDvHeavy]] plus the measured pre-compaction
+    * [[dvFraction]], from ONE discovery scan (the `CALL
+    * graft.system.compact_dv` summary row's source — a separate
+    * dvFraction call would re-scan the vector parquets).
+    */
+  def compactDvHeavyMeasured(maxFraction: Double = 0.1): (Boolean, Double) = {
     require(maxFraction >= 0.0, s"maxFraction must be >= 0, got $maxFraction")
     val base = ensureBaselineVersion()
-    val live = manifestFiles(base)
-    if (live.isEmpty) return false
-    val dvs = applicableDvDirs(base)
-    if (dvs.isEmpty) return false
-    val liveSet = live.toSet
-    val dvdFiles = readDv(dvs).select("file").distinct().collect()
-      .map(_.getString(0)).filter(liveSet.contains)
-    if (dvdFiles.isEmpty ||
-      dvdFiles.length.toDouble / live.size <= maxFraction) return false
+    val (live, dvdFiles, fraction) = dvdLiveFiles(base)
+    if (dvdFiles.isEmpty || fraction <= maxFraction) return (false, fraction)
     val dirs = dvdFiles.map(f => f.split('/').dropRight(1).mkString("/")).toSet
     val touchedFiles = live.filter(f =>
       dirs.contains(f.split('/').dropRight(1).mkString("/")))
@@ -3062,7 +3123,7 @@ final class GraftTable(spark: SparkSession, val path: String,
         .unescapePathName(raw))
     }
     commitRewrite(readResolved(touchedFiles, base), touchedVals, base)
-    true
+    (true, fraction)
   }
 
   /** LIVE data file count — the current version's manifest size for a

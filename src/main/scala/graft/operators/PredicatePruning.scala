@@ -128,8 +128,13 @@ object PredicatePruning {
     }
   }
 
-  private def conjuncts(e: Expression): Seq[Expression] = e match {
-    case And(l, r) => conjuncts(l) ++ conjuncts(r)
+  /** Flatten a predicate into its AND-conjuncts — shared by this
+    * ladder and the row-level SQL translation (one definition; the
+    * mutation planners, MERGE ON split and subquery-DML split must
+    * never disagree on what a conjunct is).
+    */
+  def splitConjuncts(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => splitConjuncts(l) ++ splitConjuncts(r)
     case x => Seq(x)
   }
 
@@ -147,7 +152,7 @@ object PredicatePruning {
                          files: Seq[String], v: Long): Seq[String] = {
     val resolved: Seq[Expression] = scala.util.Try {
       frame.filter(cond).queryExecution.analyzed match {
-        case f: logical.Filter => conjuncts(f.condition)
+        case f: logical.Filter => splitConjuncts(f.condition)
         case _ => Seq.empty[Expression]
       }
     }.getOrElse(Seq.empty)

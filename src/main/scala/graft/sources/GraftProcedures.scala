@@ -104,8 +104,7 @@ object GraftProcedures {
           StructField("dv_fraction_before", DoubleType))),
         in => {
           val t = open(in.getUTF8String(0).toString)
-          val before = t.dvFraction
-          val did = t.compactDvHeavy(in.getDouble(1))
+          val (did, before) = t.compactDvHeavyMeasured(in.getDouble(1))
           Seq(InternalRow(in.getUTF8String(0).copy(), did, before))
         })
       case other => throw new UnsupportedOperationException(

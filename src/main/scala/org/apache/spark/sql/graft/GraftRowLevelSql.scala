@@ -91,12 +91,9 @@ object GraftRowLevelSql {
   private def splitSubqueryCondition(spark: ClassicSession, cond: Expression,
       tgtN: Map[ExprId, String], where: String)
       : (Column, Seq[(String, org.apache.spark.sql.DataFrame)]) = {
-    def conj(e: Expression): Seq[Expression] = e match {
-      case And(l, r) => conj(l) ++ conj(r)
-      case x => Seq(x)
-    }
     val none = Map.empty[ExprId, String]
-    val (subs, plain) = conj(cond).partition(
+    val (subs, plain) = graft.operators.PredicatePruning
+      .splitConjuncts(cond).partition(
       _.exists(_.isInstanceOf[SubqueryExpression]))
     val inSets = subs.map {
       case InSubquery(Seq(a: AttributeReference), lq: ListQuery)
@@ -180,24 +177,28 @@ object GraftRowLevelSql {
     // ON: key equalities (covering exactly the table keys) plus an
     // optional RESIDUAL of further conjuncts, folded into the matched
     // clauses below
-    def conjuncts(e: Expression): Seq[Expression] = e match {
-      case And(l, r) => conjuncts(l) ++ conjuncts(r)
-      case x => Seq(x)
-    }
     def srcOnly(e: Expression) = e.references.forall(a => srcN.contains(a.exprId))
     val keyPairsBuf = scala.collection.mutable.ArrayBuffer.empty[(String, Expression)]
     val residuals = scala.collection.mutable.ArrayBuffer.empty[Expression]
-    conjuncts(m.mergeCondition).foreach {
+    // a key equated TWICE rejects rather than first-conjunct-wins:
+    // `ON t.pk = 'a' AND t.pk = s.pk` would otherwise silently join on
+    // the CONSTANT and demote the real key equality to a residual —
+    // order-dependent and nothing like ANSI
+    def claim(k: String, e: Expression): Unit = {
+      if (keyPairsBuf.exists(_._1 == k))
+        fail(s"ON equates key '$k' twice — fold one side into a clause " +
+          "condition instead")
+      keyPairsBuf += k -> e
+    }
+    graft.operators.PredicatePruning.splitConjuncts(m.mergeCondition).foreach {
       case EqualTo(a: AttributeReference, b)
           if tgtN.contains(a.exprId) && srcOnly(b) &&
-            gt.keys.contains(tgtN(a.exprId)) &&
-            !keyPairsBuf.exists(_._1 == tgtN(a.exprId)) =>
-        keyPairsBuf += tgtN(a.exprId) -> b
+            gt.keys.contains(tgtN(a.exprId)) =>
+        claim(tgtN(a.exprId), b)
       case EqualTo(a, b: AttributeReference)
           if tgtN.contains(b.exprId) && srcOnly(a) &&
-            gt.keys.contains(tgtN(b.exprId)) &&
-            !keyPairsBuf.exists(_._1 == tgtN(b.exprId)) =>
-        keyPairsBuf += tgtN(b.exprId) -> a
+            gt.keys.contains(tgtN(b.exprId)) =>
+        claim(tgtN(b.exprId), a)
       case other => residuals += other
     }
     val keyPairs: Seq[(String, Expression)] = keyPairsBuf.toSeq

@@ -184,6 +184,15 @@ class GraftCatalogSpec extends SparkSpec {
     val resolved = java.nio.file.Paths.get(root, "db/t/_graft_log/dv/_resolved")
     assert(Option(resolved.toFile.listFiles()).get.count(_.isDirectory) == 1,
       "repeated planning must reuse one sidecar staging, not accumulate")
+    // an INCOMPLETE staging (lost its _count manifest — crash or a
+    // concurrent sweep) is reclaimed and restaged, never served partial
+    val stagingDir = Option(resolved.toFile.listFiles()).get
+      .find(_.isDirectory).get.toPath
+    java.nio.file.Files.delete(stagingDir.resolve("_count"))
+    val restaged = t.dvPointersAt(t.currentVersion)
+    assert(restaged.keySet == ptrs.keySet,
+      "restage after a lost completeness manifest must be complete")
+    assert(java.nio.file.Files.exists(stagingDir.resolve("_count")))
     // the planned DV partitions serialize O(1): a pointer, not 10k longs
     val tbl = GraftSqlRead.table(spark, t, t.currentVersion)
       .asInstanceOf[org.apache.spark.sql.connector.catalog.SupportsRead]

@@ -138,6 +138,15 @@ class GraftMergeSqlSpec extends SparkSpec {
         WHEN NOT MATCHED BY SOURCE THEN DELETE""")
     }
     assert(e2.getMessage.contains("BY SOURCE"), e2.getMessage)
+    // a key equated twice (constant + the real source key) must reject
+    // — first-conjunct-wins would silently JOIN ON THE CONSTANT and
+    // demote the real equality to a residual (order-dependent)
+    val e4 = intercept[Exception] {
+      spark.sql(s"""MERGE INTO $cat.db.t t USING msql_src4 s
+        ON t.pk = 'a' AND t.pk = s.pk
+        WHEN MATCHED THEN UPDATE SET n = s.n""")
+    }
+    assert(e4.getMessage.contains("twice"), e4.getMessage)
     // time-travel target
     val e3 = intercept[Exception] {
       spark.sql(s"""MERGE INTO $cat.db.t VERSION AS OF 1 t USING msql_src4 s
