@@ -2244,13 +2244,15 @@ object IngestQueries {
         WHERE NOT (cents >= 1000 AND
           event_id IN (SELECT event_id FROM del))""")),
 
-    // SQL MERGE WITH A NON-KEY ON RESIDUAL (round 10): `ON t.k = s.k
-    // AND t.cents >= 500` — the common ANSI composite ON. The residual
-    // FOLDS into every matched clause (GraftRowLevelSql): a key match
-    // failing it takes no action and its partition keeps its files;
-    // inserts stay key-based (the documented ANSI caveat — a
-    // residual-failing source row is NOT re-inserted). Oracle: left
-    // join with the residual in the CASE, key-based anti-join inserts.
+    // SQL MERGE WITH A NON-KEY ON RESIDUAL (round 10; ANSI-true since
+    // round 11): `ON t.k = s.k AND t.cents >= 500` — the common ANSI
+    // composite ON. MATCHED = key equality AND residual
+    // (GraftTable.merge onResidual): a key match failing the residual
+    // is NOT matched — its target row keeps its files AND its source
+    // row becomes a WHEN NOT MATCHED insert candidate, exactly
+    // Spark/Delta's classification. Oracle: left join with the
+    // residual in the CASE; inserts anti-join on (key AND residual) —
+    // a residual-failing source row lands NEXT TO its target row.
     QuerySpec("q247_sql_merge_residual",
       (s, dir) => {
         GraftSession.tune(s)
@@ -2305,7 +2307,8 @@ object IngestQueries {
         FROM tgt t LEFT JOIN src s ON t.event_id = s.event_id
         UNION ALL
         SELECT s.event_id, s.user_id, s.cents, s.pk FROM src s
-        WHERE s.event_id NOT IN (SELECT event_id FROM tgt)""")),
+        WHERE NOT EXISTS (SELECT 1 FROM tgt t
+          WHERE t.event_id = s.event_id AND t.cents >= 500)""")),
 
     // DESCRIBE HISTORY AS SQL (round 10): `SELECT … FROM t__history` —
     // the `__history` metadata table (GraftHistoryTable, a LocalScan:
@@ -2396,6 +2399,125 @@ object IngestQueries {
             CAST(user_id % 4 AS BIGINT) AS pk
           FROM events)
         SELECT event_id, user_id, cents, pk FROM e
-        WHERE event_id % 2 = 0 AND cents >= 500"""))
+        WHERE event_id % 2 = 0 AND cents >= 500""")),
+
+    // SQL DELETE WITH NOT IN / EXISTS / NOT EXISTS SUBQUERIES
+    // (round 11): the remaining first-month DML subquery shapes.
+    // GraftRowLevelSqlStrategy claims each DeleteFromTable; NOT IN runs
+    // as a null-aware hash anti-join (SQL three-valued semantics — the
+    // edges decided by one small aggregate of the subquery, never a
+    // nested loop), correlated [NOT] EXISTS as hash semi/anti joins on
+    // the PULLED-UP correlation equalities (the optimizer's
+    // PullupCorrelatedPredicates fills joinCond). Each commit stays the
+    // O(matched-rows) deletion vector. Oracle: replay the three
+    // deletes as sequential filters with DuckDB's own NOT IN/EXISTS.
+    QuerySpec("q250_sql_delete_notin_exists",
+      (s, dir) => {
+        GraftSession.tune(s)
+        val base = java.nio.file.Files.createTempDirectory("graft_q250_").toString
+        Tables.events(s, dir).createOrReplaceTempView("q250_events")
+        val cat = s"gcat_${java.util.UUID.randomUUID().toString.take(8)}"
+          .replace("-", "_")
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.root", base)
+        s.sql(s"""CREATE TABLE $cat.db.d (
+            event_id BIGINT, user_id BIGINT, cents BIGINT, pk BIGINT)
+          PARTITIONED BY (pk)
+          TBLPROPERTIES ('keys'='event_id', 'statsCols'='cents')""")
+        s.sql(s"""INSERT INTO $cat.db.d (event_id, user_id, cents, pk)
+          SELECT event_id, user_id, CAST(round(value * 100) AS BIGINT),
+            user_id % 4
+          FROM q250_events WHERE event_id % 2 = 0""")
+        s.sql("""CREATE OR REPLACE TEMP VIEW q250_keep AS
+          SELECT event_id FROM q250_events WHERE event_id % 3 = 0""")
+        s.sql("""CREATE OR REPLACE TEMP VIEW q250_wit AS
+          SELECT DISTINCT user_id FROM q250_events WHERE user_id % 3 = 0""")
+        s.sql(s"""DELETE FROM $cat.db.d
+          WHERE cents % 3 = 0 AND event_id NOT IN
+            (SELECT event_id FROM q250_keep)""")
+        s.sql(s"""DELETE FROM $cat.db.d t
+          WHERE cents % 5 = 1 AND EXISTS
+            (SELECT 1 FROM q250_wit w WHERE w.user_id = t.user_id)""")
+        s.sql(s"""DELETE FROM $cat.db.d t
+          WHERE cents % 5 = 2 AND NOT EXISTS
+            (SELECT 1 FROM q250_wit w WHERE w.user_id = t.user_id)""")
+        val out = s.sql(s"SELECT event_id, user_id, cents, pk FROM $cat.db.d")
+        val snap = out.localCheckpoint(true)
+        graft.operators.Fs.deleteTree(base)
+        snap
+      },
+      Some("""
+        WITH e AS (
+          SELECT event_id, user_id,
+            CAST(round(value * 100) AS BIGINT) AS cents,
+            CAST(user_id % 4 AS BIGINT) AS pk
+          FROM events),
+        keep AS (SELECT event_id FROM e WHERE event_id % 3 = 0),
+        wit AS (SELECT DISTINCT user_id FROM e WHERE user_id % 3 = 0),
+        t0 AS (SELECT * FROM e WHERE event_id % 2 = 0),
+        t1 AS (SELECT * FROM t0 WHERE NOT (cents % 3 = 0 AND
+          event_id NOT IN (SELECT event_id FROM keep))),
+        t2 AS (SELECT * FROM t1 t WHERE NOT (cents % 5 = 1 AND
+          EXISTS (SELECT 1 FROM wit w WHERE w.user_id = t.user_id))),
+        t3 AS (SELECT * FROM t2 t WHERE NOT (cents % 5 = 2 AND
+          NOT EXISTS (SELECT 1 FROM wit w WHERE w.user_id = t.user_id)))
+        SELECT event_id, user_id, cents, pk FROM t3""")),
+
+    // NATIVE STREAMING WRITE CAPSTONE (round 11): `df.writeStream
+    // .toTable("graft.db.t")` — the Delta idiom, previously only
+    // reachable via foreachBatch. Two AvailableNow runs on ONE
+    // checkpoint: the first streams half the source files into the
+    // sink through GraftStreamingWrite (tasks stage parquet, the epoch
+    // commits via appendBatch's atomic (appId, epochId) txn marker —
+    // exactly-once under redelivery), the restart processes ONLY the
+    // new files (offsets + txn state), and a third, empty restart
+    // commits nothing. Oracle: the sink equals the full source set.
+    QuerySpec("q251_sql_stream_write",
+      (s, dir) => {
+        import s.implicits._
+        GraftSession.tune(s)
+        val base = java.nio.file.Files.createTempDirectory("graft_q251_").toString
+        Tables.events(s, dir).createOrReplaceTempView("q251_events")
+        val cat = s"gcat_${java.util.UUID.randomUUID().toString.take(8)}"
+          .replace("-", "_")
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.root", base)
+        s.sql(s"""CREATE TABLE $cat.db.sw (
+            event_id BIGINT, user_id BIGINT, cents BIGINT, pk BIGINT)
+          PARTITIONED BY (pk)
+          TBLPROPERTIES ('keys'='event_id', 'statsCols'='cents')""")
+        val srcDir = s"$base/_src"
+        val ckpt = s"$base/_ckpt"
+        val feed = s.sql("""SELECT event_id, user_id,
+            CAST(round(value * 100) AS BIGINT) AS cents,
+            CAST(user_id % 4 AS BIGINT) AS pk
+          FROM q251_events""")
+        val schema = feed.schema
+        def run(): Unit = {
+          val q = s.readStream.schema(schema).parquet(srcDir)
+            .writeStream
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .option("checkpointLocation", ckpt)
+            .toTable(s"$cat.db.sw")
+          q.awaitTermination(180000)
+          require(!q.isActive, "q251 stream did not drain")
+        }
+        feed.filter($"event_id" % 2 === 0).coalesce(2)
+          .write.mode("append").parquet(srcDir)
+        run() // tick 1: even event_ids
+        feed.filter($"event_id" % 2 === 1).coalesce(2)
+          .write.mode("append").parquet(srcDir)
+        run() // tick 2 (same checkpoint): only the new files
+        run() // tick 3: empty — must commit nothing and change nothing
+        val out = s.sql(s"SELECT event_id, user_id, cents, pk FROM $cat.db.sw")
+        val snap = out.localCheckpoint(true)
+        graft.operators.Fs.deleteTree(base)
+        snap
+      },
+      Some("""
+        SELECT event_id, user_id,
+          CAST(round(value * 100) AS BIGINT) AS cents,
+          CAST(user_id % 4 AS BIGINT) AS pk
+        FROM events"""))
   )
 }

@@ -68,9 +68,11 @@ object GraftTable {
     * pinned clone cannot. Shared across table instances because the
     * SQL catalog opens a fresh GraftTable per statement — a per-
     * instance clone re-paid SessionState construction on every DML
-    * statement. Documented caveat: the clone snapshots the caller's
-    * conf at the session's FIRST graft data write; later caller conf
-    * changes do not propagate to graft data-file writes.
+    * statement. The VALUE-SHAPING caller confs (session timezone, ANSI
+    * mode) re-apply on every write, so write-side evaluation follows
+    * the caller's current conf deterministically; other caller conf
+    * snapshots at clone creation (and a GC'd clone re-snapshots on
+    * re-creation).
     */
   private val microsSessions =
     new java.util.WeakHashMap[SparkSession,
@@ -88,6 +90,15 @@ object GraftTable {
         s2 = org.apache.spark.sql.graft.Bridge.cloneSession(spark)
         s2.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         microsSessions.put(spark, new java.lang.ref.WeakReference(s2))
+      }
+      // value-shaping caller conf RE-APPLIES on every write: the clone
+      // otherwise snapshots at creation, and since GC may collect and
+      // re-create it at ANY later write, a creation-time snapshot would
+      // make stale-vs-fresh conf NONDETERMINISTIC. Timezone and ANSI
+      // are the confs that change written bytes.
+      Seq("spark.sql.session.timeZone", "spark.sql.ansi.enabled").foreach { k =>
+        val v = spark.conf.get(k)
+        if (s2.conf.get(k) != v) s2.conf.set(k, v)
       }
       s2
     }
@@ -144,6 +155,40 @@ object GraftTable {
   /** DELETE: the matched row is removed. */
   final case class MatchedDelete(
     cond: org.apache.spark.sql.Column) extends MatchedClause
+
+  /** Subquery MEMBERSHIP constraint for [[GraftTable.deleteWhereIn]] /
+    * [[GraftTable.updateWhereIn]] — the executable form of one DML
+    * subquery conjunct (`WHERE c IN (SELECT …)`, `NOT IN`, `EXISTS`,
+    * `NOT EXISTS`, correlated or not). A row QUALIFIES when some
+    * subquery row satisfies every `(target column = subquery output
+    * column INDEX)` pair; `negated` flips it (NO subquery row may):
+    *
+    *   - IN:         `pairs` = (inColumn -> 0) ++ correlation pairs
+    *   - EXISTS:     `pairs` = the correlation pairs
+    *   - NOT EXISTS: `negated = true`
+    *   - NOT IN:     `negated = true, nullAware = true` — the FIRST
+    *     pair is the IN column with SQL three-valued semantics (an
+    *     EMPTY subquery qualifies every row; ANY null member qualifies
+    *     none; a null probe value never qualifies), remaining pairs are
+    *     plain correlation equalities evaluated per group.
+    *
+    * `pairs` may be empty only for (NOT) EXISTS — the uncorrelated
+    * form, decided by one subquery non-emptiness probe. Execution is
+    * always a DISTRIBUTED hash semi/anti join (or a 1:1 marker join on
+    * the UPDATE path) against the materialized subquery frame — never a
+    * collected IN list, never a nested-loop join: the null-aware edges
+    * resolve via one small aggregate of the subquery, not a join
+    * disjunction.
+    */
+  final case class Membership(pairs: Seq[(String, Int)],
+                              frame: org.apache.spark.sql.DataFrame,
+                              negated: Boolean = false,
+                              nullAware: Boolean = false)
+  object Membership {
+    /** `c IN (single-column uncorrelated subquery)` — the round-10 shape. */
+    def inSet(column: String, frame: org.apache.spark.sql.DataFrame): Membership =
+      Membership(Seq(column -> 0), frame)
+  }
 
   /** A persisted per-(file, column) Bloom filter with its geometry:
     * modulus = 64 × words.length bits, `k` hash probes.
@@ -1506,32 +1551,60 @@ final class GraftTable(spark: SparkSession, val path: String,
         // longs (URL-encoded name: relative paths contain '/'). Local-FS
         // java.nio here for the same reason the manifest log uses it; on
         // shared storage this write goes through the Hadoop FS API.
+        // Task-ATTEMPT isolation: each attempt writes `.a<id>_<enc>` and
+        // atomically renames to `<enc>.pos` per file — a retried or
+        // speculative attempt can never truncate a sidecar a zombie
+        // attempt is still writing; the first completed rename wins
+        // (attempts produce identical bytes — the per-file input is
+        // deterministic and sorted).
         readDv(dirs).repartition(col("file")).sortWithinPartitions("file", "ri")
           .foreachPartition { it: Iterator[org.apache.spark.sql.Row] =>
+            val attempt = Option(org.apache.spark.TaskContext.get())
+              .map(_.taskAttemptId()).getOrElse(0L)
             var curFile: String = null
             var out: java.io.DataOutputStream = null
+            var curTmp: java.nio.file.Path = null
+            var curFinal: java.nio.file.Path = null
             var last = Long.MinValue
-            def closeOut(): Unit = if (out != null) { out.close(); out = null }
+            def closeOut(): Unit = if (out != null) {
+              out.close(); out = null
+              try java.nio.file.Files.move(curTmp, curFinal,
+                java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+              catch { // another attempt finished this file first
+                case _: java.nio.file.FileAlreadyExistsException =>
+                  java.nio.file.Files.deleteIfExists(curTmp); ()
+              }
+            }
             it.foreach { r =>
               val f = r.getString(0)
               val ri = r.getLong(1)
               if (f != curFile) {
                 closeOut(); curFile = f; last = Long.MinValue
                 val enc = java.net.URLEncoder.encode(f, "UTF-8")
+                curTmp = java.nio.file.Paths.get(tmpStr, s".a${attempt}_$enc")
+                curFinal = java.nio.file.Paths.get(tmpStr, s"$enc.pos")
                 out = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
-                  java.nio.file.Files.newOutputStream(
-                    java.nio.file.Paths.get(tmpStr, s"$enc.pos"))))
+                  java.nio.file.Files.newOutputStream(curTmp)))
               }
               if (ri != last) { out.writeLong(ri); last = ri }
             }
             closeOut()
           }
-        // completeness manifest: the reader below validates the sidecar
-        // COUNT, so a staging half-deleted by a concurrent sweep can
-        // never silently plan some DV'd files as clean
+        // completeness + CONTENT manifest: sidecar count plus each
+        // sidecar's byte size. Readers validate both, so a staging
+        // half-deleted by a concurrent sweep can never silently plan
+        // some DV'd files as clean, and a truncated/corrupt sidecar
+        // can never silently drop or resurrect rows. Leftover attempt
+        // temps (zombies that lost their rename) are swept first.
+        Option(tmp.toFile.listFiles()).getOrElse(Array.empty)
+          .filter(_.getName.startsWith(".a"))
+          .foreach(f => java.nio.file.Files.deleteIfExists(f.toPath))
         val staged = Option(tmp.toFile.listFiles()).getOrElse(Array.empty)
-          .count(_.getName.endsWith(".pos"))
-        java.nio.file.Files.writeString(tmp.resolve("_count"), staged.toString)
+          .filter(_.getName.endsWith(".pos")).sortBy(_.getName)
+        java.nio.file.Files.writeString(tmp.resolve("_count"),
+          (staged.length.toString +:
+            staged.map(f => s"${f.length} ${f.getName}").toSeq)
+            .mkString("\n"))
         try java.nio.file.Files.move(tmp, target,
           java.nio.file.StandardCopyOption.ATOMIC_MOVE)
         catch { // lost the staging race — the winner's set is identical
@@ -1541,22 +1614,42 @@ final class GraftTable(spark: SparkSession, val path: String,
         }
       } else {
         // refresh the cache clock so vacuum's age-gated sweep cannot
-        // reclaim a staging a concurrent scan just planned over
-        java.nio.file.Files.setLastModifiedTime(target,
-          java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
+        // reclaim a staging a concurrent scan just planned over.
+        // Try-guarded: the dir can vanish between the isDirectory check
+        // and the touch (the concurrent-vacuum race this retry loop
+        // exists for) — fall through to validation, which reclaims
+        scala.util.Try(java.nio.file.Files.setLastModifiedTime(target,
+          java.nio.file.attribute.FileTime.fromMillis(
+            System.currentTimeMillis())))
         ()
       }
       val listed = Option(target.toFile.listFiles()).getOrElse(Array.empty)
       val pos = listed.filter(_.getName.endsWith(".pos"))
-      val expected = listed.find(_.getName == "_count").flatMap(f =>
-        scala.util.Try(java.nio.file.Files.readString(f.toPath).trim.toInt)
-          .toOption)
-      // valid = complete: the count matches and at least one sidecar
-      // exists (committed DV dirs always hold >= 1 position). Anything
-      // else — mid-sweep partial listing, vanished dir, a legacy
-      // staging without its manifest — reclaims and restages rather
-      // than silently resurrecting deleted rows.
-      if (pos.nonEmpty && expected.contains(pos.length))
+      // valid = complete AND intact: the manifest's count matches, every
+      // sidecar's byte size matches its manifest entry, and every size
+      // is a whole number of longs. Anything else — mid-sweep partial
+      // listing, vanished dir, a legacy count-only manifest, a
+      // truncated sidecar — reclaims and restages rather than silently
+      // resurrecting (or dropping the wrong) deleted rows.
+      val manifest = listed.find(_.getName == "_count").flatMap(f =>
+        scala.util.Try(java.nio.file.Files.readString(f.toPath)).toOption)
+      val valid = manifest.exists { m =>
+        val lines = m.split('\n').toSeq
+        lines.headOption.flatMap(h =>
+          scala.util.Try(h.trim.toInt).toOption).contains(pos.length) &&
+          lines.tail.length == pos.length && {
+            val sizes = lines.tail.flatMap { l =>
+              l.split(" ", 2) match {
+                case Array(sz, name) =>
+                  scala.util.Try(sz.toLong).toOption.map(name -> _)
+                case _ => None
+              }
+            }.toMap
+            sizes.size == pos.length && pos.forall(f =>
+              sizes.get(f.getName).contains(f.length) && f.length % 8 == 0)
+          }
+      }
+      if (pos.nonEmpty && valid)
         return pos.map { f =>
           java.net.URLDecoder.decode(f.getName.stripSuffix(".pos"), "UTF-8") ->
             f.getAbsolutePath
@@ -1701,6 +1794,141 @@ final class GraftTable(spark: SparkSession, val path: String,
     }
   }
 
+  /** The membership joins reserve the `__gm<i>` (renamed subquery
+    * columns) and `__gq…` (UPDATE-path markers) name spaces — a table
+    * column there would make the joins ambiguous; reject up front.
+    */
+  private def guardMembershipNames(op: String, base: Long): Unit = {
+    val clash = readAt(base).columns.filter(c =>
+      c.matches("__gm\\d+") || c.startsWith("__gq"))
+    require(clash.isEmpty,
+      s"$op: the table has column(s) reserved for the membership join " +
+        s"(${clash.mkString(", ")}) — rename them")
+  }
+
+  /** `mem.frame` with its columns renamed into the reserved `__gm<i>`
+    * space (collision-proof against target columns), indices validated.
+    */
+  private def membershipFrame(mem: GraftTable.Membership): DataFrame = {
+    val f = mem.frame
+    require(mem.pairs.nonEmpty || mem.negated || !mem.nullAware,
+      "membership constraint needs at least one pair unless (NOT) EXISTS")
+    mem.pairs.foreach { case (c, i) =>
+      require(i >= 0 && i < f.columns.length,
+        s"membership constraint pairs '$c' with subquery column $i, but " +
+          s"the subquery has ${f.columns.length} column(s)")
+    }
+    f.toDF(f.columns.indices.map(i => s"__gm$i"): _*)
+  }
+
+  /** Restrict `m` to the rows [[GraftTable.Membership]] `mem`
+    * qualifies — SEMI/ANTI joins only, so rows are never duplicated.
+    * Drives DELETE's matched-row selection and UPDATE's
+    * touched-partition probe. The null-aware NOT IN edges (empty
+    * subquery / null member) resolve via ONE small aggregate of the
+    * subquery frame, keeping the join itself a plain hash anti-join.
+    */
+  private def membershipFilter(m: DataFrame, mem: GraftTable.Membership): DataFrame = {
+    val jf = membershipFrame(mem)
+    def eq(ps: Seq[(String, Int)]) = ps.map { case (c, i) => col(c) === col(s"__gm$i") }
+    if (mem.pairs.isEmpty) {
+      // uncorrelated (NOT) EXISTS: one non-emptiness probe decides all rows
+      val nonEmpty = jf.limit(1).count() > 0
+      if (nonEmpty != mem.negated) m else m.limit(0)
+    } else if (!mem.negated) {
+      m.join(jf, eq(mem.pairs).reduce(_ && _), "left_semi")
+    } else if (!mem.nullAware) {
+      m.join(jf, eq(mem.pairs).reduce(_ && _), "left_anti")
+    } else {
+      val (inCol, inIdx) = mem.pairs.head
+      val gv = col(s"__gm$inIdx")
+      if (mem.pairs.tail.isEmpty) {
+        // uncorrelated NOT IN: the aggregate decides the three-valued
+        // edges; the main path is a hash anti-join over DISTINCT values
+        val agg = jf.agg(count(lit(1)), count(when(gv.isNull, lit(1)))).head()
+        if (agg.getLong(0) == 0L) m              // NOT IN (empty) = TRUE
+        else if (agg.getLong(1) > 0L) m.limit(0) // a null member: never TRUE
+        else m.filter(col(inCol).isNotNull)
+          .join(jf.select(gv).distinct(), col(inCol) === gv, "left_anti")
+      } else {
+        // correlated NOT IN: a hash ANTI join keyed on the correlation
+        // equalities; the null-aware IN disjunction rides as the join
+        // residual (per SQL, within a correlation group: empty group →
+        // qualifies, null member or null probe → does not)
+        val naCond = eq(mem.pairs.tail).reduce(_ && _) &&
+          (col(inCol) === gv || col(inCol).isNull || gv.isNull)
+        m.join(jf, naCond, "left_anti")
+      }
+    }
+  }
+
+  /** Per-row qualification MARKER for `mem` over `cur` — the UPDATE
+    * path's form (assignments flip row-by-row, so the frame cannot be
+    * restricted). Returns the augmented frame and the qualifies
+    * column; every probe joins a DISTINCT projection of the subquery
+    * frame, so the joins are 1:1 and never duplicate target rows.
+    * Marker columns live in the `__gq` space and fall away when the
+    * caller projects the table columns.
+    */
+  private def membershipMark(cur: DataFrame, mem: GraftTable.Membership,
+                             i: Int): (DataFrame, org.apache.spark.sql.Column) = {
+    val jf = membershipFrame(mem)
+    def eq(ps: Seq[(String, Int)]) = ps.map { case (c, ix) => col(c) === col(s"__gm$ix") }
+    val mk = s"__gq$i"
+    if (mem.pairs.isEmpty) {
+      val nonEmpty = jf.limit(1).count() > 0
+      (cur, lit(nonEmpty != mem.negated))
+    } else if (!mem.nullAware) {
+      // IN / EXISTS / NOT EXISTS: one 1:1 left join against the
+      // DISTINCT paired projection; a present marker = a subquery row
+      // satisfies every pair
+      val idxs = mem.pairs.map(_._2).distinct
+      val proj = jf.select(idxs.map(ix => col(s"__gm$ix")): _*)
+        .distinct().withColumn(mk, lit(true))
+      val joined = cur.join(proj, eq(mem.pairs).reduce(_ && _), "left_outer")
+        .drop(idxs.map(ix => s"__gm$ix"): _*)
+      val hit = coalesce(col(mk), lit(false))
+      (joined, if (mem.negated) !hit else hit)
+    } else {
+      val (inCol, inIdx) = mem.pairs.head
+      val gv = col(s"__gm$inIdx")
+      if (mem.pairs.tail.isEmpty) {
+        // uncorrelated NOT IN: aggregate-decided edges, else a value probe
+        val agg = jf.agg(count(lit(1)), count(when(gv.isNull, lit(1)))).head()
+        if (agg.getLong(0) == 0L) (cur, lit(true))
+        else if (agg.getLong(1) > 0L) (cur, lit(false))
+        else {
+          val proj = jf.select(gv).distinct().withColumn(mk, lit(true))
+          val joined = cur.join(proj, col(inCol) === gv, "left_outer")
+            .drop(s"__gm$inIdx")
+          (joined, col(inCol).isNotNull && !coalesce(col(mk), lit(false)))
+        }
+      } else {
+        // correlated NOT IN: per correlation group, SQL gives — empty
+        // group qualifies; a null member or a null probe value does
+        // not; otherwise qualify iff the value is absent. Two 1:1
+        // probes: the grouped (exists, has-null-member) join and the
+        // exact value-hit join.
+        val keyIdxs = mem.pairs.tail.map(_._2).distinct
+        val grouped = jf.groupBy(keyIdxs.map(ix => col(s"__gm$ix")): _*)
+          .agg(max(gv.isNull).as(s"${mk}n")).withColumn(s"${mk}g", lit(true))
+        val keyEq = eq(mem.pairs.tail).reduce(_ && _)
+        val withGroup = cur.join(grouped, keyEq, "left_outer")
+          .drop(keyIdxs.map(ix => s"__gm$ix"): _*)
+        val valIdxs = (inIdx +: keyIdxs).distinct
+        val valProj = jf.select(valIdxs.map(ix => col(s"__gm$ix")): _*)
+          .distinct().withColumn(mk, lit(true))
+        val joined = withGroup.join(valProj,
+          keyEq && col(inCol) === gv, "left_outer")
+          .drop(valIdxs.map(ix => s"__gm$ix"): _*)
+        val qual = !coalesce(col(s"${mk}g"), lit(false)) ||
+          (!coalesce(col(s"${mk}n"), lit(false)) && col(inCol).isNotNull &&
+            !coalesce(col(mk), lit(false)))
+        (joined, qual)
+      }
+    }
+  }
+
   /** ROW-LEVEL DELETE as a deletion-vector commit: rows of the CURRENT
     * state matching `cond` stop being visible from the new version on,
     * with O(matched rows) write I/O and zero data files rewritten or
@@ -1709,20 +1937,21 @@ final class GraftTable(spark: SparkSession, val path: String,
   def deleteWhere(cond: org.apache.spark.sql.Column): this.type =
     deleteWhereIn(cond, Nil)
 
-  /** [[deleteWhere]] with additional IN-SET constraints: a row is
-    * deleted when `cond` holds AND, for each `(column, values)` pair,
-    * the row's column value appears in the values frame's single
-    * column — the `DELETE FROM t WHERE … AND c IN (SELECT …)` shape
+  /** [[deleteWhere]] with additional subquery MEMBERSHIP constraints
+    * ([[GraftTable.Membership]]): a row is deleted when `cond` holds
+    * AND every constraint qualifies it — the `DELETE FROM t WHERE … AND
+    * c IN / NOT IN (SELECT …)` / `[NOT] EXISTS (SELECT …)` statements
     * ([[org.apache.spark.sql.graft.GraftRowLevelSql]] routes the SQL
-    * statement here). Each constraint executes as a DISTRIBUTED
-    * semi-join against the materialized subquery frame — never a
-    * collected IN list — so an arbitrarily large key set costs one
-    * shuffle (or a broadcast when small), and the commit stays the
-    * same O(matched-rows) deletion vector. SQL IN-null semantics hold:
-    * a null column value never matches (row kept).
+    * here), correlated or not. Each constraint executes as a
+    * DISTRIBUTED hash semi/anti join against the materialized subquery
+    * frame — never a collected IN list, never a nested loop — so an
+    * arbitrarily large key set costs one shuffle (or a broadcast when
+    * small), and the commit stays the same O(matched-rows) deletion
+    * vector. SQL null semantics hold exactly: IN never matches a null
+    * probe; NOT IN evaluates three-valued (see [[Membership]]).
     */
   def deleteWhereIn(cond: org.apache.spark.sql.Column,
-                    inSets: Seq[(String, DataFrame)]): this.type = {
+                    memberships: Seq[GraftTable.Membership]): this.type = {
     val base = ensureBaselineVersion()
     val live = manifestFiles(base)
     if (live.isEmpty) return this
@@ -1742,16 +1971,9 @@ final class GraftTable(spark: SparkSession, val path: String,
         scan.join(dv, scan("__dvf") === dv("file") && scan("__dvi") === dv("ri"),
           "left_anti")
       }
-    if (inSets.nonEmpty)
-      require(!readAt(base).columns.contains("__inv"),
-        "deleteWhereIn: the table has a column named __inv — reserved " +
-          "for the membership join; rename it")
-    val matched = inSets.foldLeft(already.filter(cond)) { case (m, (c, vals)) =>
-      require(vals.columns.length == 1,
-        s"deleteWhereIn: the values frame for '$c' must have exactly one " +
-          s"column, got ${vals.columns.mkString(", ")}")
-      m.join(vals.toDF("__inv"), col(c) === col("__inv"), "left_semi")
-    }
+    if (memberships.nonEmpty) guardMembershipNames("deleteWhereIn", base)
+    val matched = memberships
+      .foldLeft(already.filter(cond))(membershipFilter)
       .select(col("__dvf").as("file"), col("__dvi").as("ri"))
     val nonce = java.util.UUID.randomUUID().toString.take(8)
     val stage = dvRoot.resolve(s".stage_$nonce")
@@ -2562,6 +2784,23 @@ final class GraftTable(spark: SparkSession, val path: String,
     commitRewrite(conform(rows), Seq.empty, base, blindRetry = true)
   }
 
+  /** IDEMPOTENT [[append]] for exactly-once streaming ingestion — the
+    * [[upsertReplaceBatch]] discipline on the INSERT path: the
+    * `(appId, batchId)` txn marker commits ATOMICALLY with the
+    * append's manifest, and a batch at or below the recorded id skips
+    * (returns false). This is what makes the native
+    * `writeStream.toTable` epoch commit exactly-once under Structured
+    * Streaming's at-least-once epoch redelivery
+    * ([[org.apache.spark.sql.graft.GraftStreamingWrite]]).
+    */
+  def appendBatch(appId: String, batchId: Long, rows: DataFrame): Boolean = {
+    val base = ensureBaselineVersion()
+    if (batchId <= txnState(base).getOrElse(b64e(appId), -1L)) return false
+    commitRewrite(conform(rows), Seq.empty, base,
+      markers = Seq(s"#txn:${b64e(appId)}:$batchId"), blindRetry = true)
+    true
+  }
+
   /** Full-table OVERWRITE — the SQL `INSERT OVERWRITE` semantics:
     * every currently-live partition's files leave the manifest and the
     * new rows land, in ONE atomic commit; the old state stays
@@ -2632,18 +2871,20 @@ final class GraftTable(spark: SparkSession, val path: String,
                   set: Map[String, org.apache.spark.sql.Column]): this.type =
     updateWhereIn(cond, set, Nil)
 
-  /** [[updateWhere]] with additional IN-SET constraints, like
-    * [[deleteWhereIn]]: a row takes its assignments when `cond` holds
-    * AND each constrained column's value appears in its values frame —
-    * the `UPDATE t SET … WHERE … AND c IN (SELECT …)` shape. Membership
-    * evaluates as a distributed left join against the DISTINCT values
-    * (distinct keeps the join 1:1 — a duplicated subquery value must
-    * not duplicate target rows); discovery semi-joins the same frames
-    * so only partitions holding a fully-matched row rewrite.
+  /** [[updateWhere]] with additional subquery MEMBERSHIP constraints,
+    * like [[deleteWhereIn]]: a row takes its assignments when `cond`
+    * holds AND every [[GraftTable.Membership]] qualifies it — the
+    * `UPDATE t SET … WHERE … AND c IN / NOT IN (SELECT …)` / `[NOT]
+    * EXISTS` statements, correlated or not. Qualification evaluates as
+    * 1:1 marker joins against DISTINCT subquery projections (a
+    * duplicated subquery value must not duplicate target rows);
+    * discovery semi/anti-joins the same frames so only partitions
+    * holding a fully-qualified row rewrite. NOT IN keeps SQL
+    * three-valued semantics (see [[Membership]]).
     */
   def updateWhereIn(cond: org.apache.spark.sql.Column,
                     set: Map[String, org.apache.spark.sql.Column],
-                    inSets: Seq[(String, DataFrame)]): this.type = {
+                    memberships: Seq[GraftTable.Membership]): this.type = {
     require(set.nonEmpty, "updateWhere needs at least one assignment")
     val base = ensureBaselineVersion()
     val tgt = readAt(base)
@@ -2651,42 +2892,29 @@ final class GraftTable(spark: SparkSession, val path: String,
     val bad = set.keys.filterNot(typeOf.contains)
     require(bad.isEmpty,
       s"updateWhere assigns columns not in the table: ${bad.mkString(", ")}")
-    inSets.foreach { case (c, vals) =>
-      require(vals.columns.length == 1,
-        s"updateWhereIn: the values frame for '$c' must have exactly one " +
-          s"column, got ${vals.columns.mkString(", ")}")
+    memberships.flatMap(_.pairs).foreach { case (c, _) =>
       require(typeOf.contains(c),
         s"updateWhereIn constrains a column not in the table: $c")
     }
-    if (inSets.nonEmpty) {
-      val clash = tgt.columns.filter(c => c == "__inv" ||
-        c.matches("__gin\\d+"))
-      require(clash.isEmpty,
-        s"updateWhereIn: the table has column(s) reserved for the " +
-          s"membership join (${clash.mkString(", ")}) — rename them")
-    }
+    if (memberships.nonEmpty) guardMembershipNames("updateWhereIn", base)
     var matched = coalesce(cond, lit(false))
     // touched-partition discovery through the skipping indexes, like
     // [[deleteWhereRewrite]] — an UPDATE on a stats-tracked column
     // reads candidate files only to find its partitions
     val discover = PredicatePruning.mutationCandidates(this, cond,
       tgt, manifestFiles(base), base)
-    val probe = inSets.foldLeft(readResolved(discover, base).filter(matched)) {
-      case (p, (c, vals)) =>
-        p.join(vals.toDF("__inv"), col(c) === col("__inv"), "left_semi")
-    }
+    val probe = memberships
+      .foldLeft(readResolved(discover, base).filter(matched))(membershipFilter)
     val touchedVals = partitionValsOf(probe)
     if (touchedVals.isEmpty) return this // no match — no commit
     val touched = spark.createDataset(touchedVals.map(_.orNull))(
       org.apache.spark.sql.Encoders.STRING).toDF("__tp")
     var current = tgt
       .join(touched, col(partitionCol).cast("string") <=> col("__tp"), "left_semi")
-    inSets.zipWithIndex.foreach { case ((c, vals), i) =>
-      val mk = s"__gin$i"
-      current = current.join(
-        vals.toDF("__inv").distinct().withColumn(mk, lit(true)),
-        col(c) === col("__inv"), "left_outer").drop("__inv")
-      matched = matched && coalesce(col(mk), lit(false))
+    memberships.zipWithIndex.foreach { case (mem, i) =>
+      val (cur2, qual) = membershipMark(current, mem, i)
+      current = cur2
+      matched = matched && qual
     }
     // the select below projects exactly tgt's columns — membership
     // markers drop with it
@@ -2744,7 +2972,16 @@ final class GraftTable(spark: SparkSession, val path: String,
     * }}}
     *
     *   - ON is key equality (the table's `keys`; SQL semantics — null
-    *     keys never match, a null-key source row is "not matched").
+    *     keys never match, a null-key source row is "not matched"),
+    *     optionally AND `onResidual` (the ANSI composite ON): a
+    *     key-matched pair failing the residual is NOT matched — ANSI
+    *     classification — so its target row is a `notMatchedBySource`
+    *     candidate and its source row an insert candidate. A residual
+    *     plus an unconditional insert can therefore land a source row
+    *     NEXT TO its residual-failing target row (duplicate keys, by
+    *     the user's explicit choice — exactly Delta's behavior);
+    *     keep the keyed one-row-per-key discipline by conditioning
+    *     the insert or not writing residual ONs against keyed tables.
     *   - `matched` clauses evaluate IN ORDER per matched target row;
     *     the first whose condition holds fires (update applies its
     *     assignments, delete drops the row); no hit → row unchanged.
@@ -2774,9 +3011,10 @@ final class GraftTable(spark: SparkSession, val path: String,
             notMatchedInsert: Option[(org.apache.spark.sql.Column,
                                       Map[String, org.apache.spark.sql.Column])] = None,
             allowSchemaEvolution: Boolean = false,
-            notMatchedBySource: Seq[GraftTable.MatchedClause] = Nil): this.type =
+            notMatchedBySource: Seq[GraftTable.MatchedClause] = Nil,
+            onResidual: Option[org.apache.spark.sql.Column] = None): this.type =
     doMerge(source, matched, notMatchedInsert, allowSchemaEvolution, Nil,
-      notMatchedBySource)
+      notMatchedBySource, onResidual)
 
   /** IDEMPOTENT [[merge]] for exactly-once streaming CDC apply — the
     * [[upsertReplaceBatch]] discipline generalized to the full MERGE
@@ -2791,11 +3029,12 @@ final class GraftTable(spark: SparkSession, val path: String,
                  notMatchedInsert: Option[(org.apache.spark.sql.Column,
                                            Map[String, org.apache.spark.sql.Column])] = None,
                  allowSchemaEvolution: Boolean = false,
-                 notMatchedBySource: Seq[GraftTable.MatchedClause] = Nil): Boolean = {
+                 notMatchedBySource: Seq[GraftTable.MatchedClause] = Nil,
+                 onResidual: Option[org.apache.spark.sql.Column] = None): Boolean = {
     val base = ensureBaselineVersion()
     if (batchId <= txnState(base).getOrElse(b64e(appId), -1L)) return false
     doMerge(source, matched, notMatchedInsert, allowSchemaEvolution,
-      Seq(s"#txn:${b64e(appId)}:$batchId"), notMatchedBySource)
+      Seq(s"#txn:${b64e(appId)}:$batchId"), notMatchedBySource, onResidual)
     true
   }
 
@@ -2804,7 +3043,8 @@ final class GraftTable(spark: SparkSession, val path: String,
                                                 Map[String, org.apache.spark.sql.Column])],
                       allowSchemaEvolution: Boolean,
                       markers: Seq[String],
-                      notMatchedBySource: Seq[GraftTable.MatchedClause] = Nil)
+                      notMatchedBySource: Seq[GraftTable.MatchedClause] = Nil,
+                      onResidual: Option[org.apache.spark.sql.Column] = None)
       : this.type = {
     import GraftTable.{MatchedDelete, MatchedUpdate}
     require(matched.nonEmpty || notMatchedInsert.nonEmpty ||
@@ -2840,7 +3080,8 @@ final class GraftTable(spark: SparkSession, val path: String,
 
     val sPref = source.select(
       source.columns.toSeq.map(c => col(c).as(s"__s_$c")): _*)
-      .localCheckpoint(true) // consumed 3× (dup guard, matched join, anti)
+      .localCheckpoint(true) // consumed 3-5× (dup guard, touched probes,
+                             // matched join, insert anti)
     // a source row with ANY null key can never match a target row (SQL
     // null-key semantics) — it is a legitimate not-matched insert
     // candidate, so it is EXCLUDED from the multiple-match guard (the
@@ -2854,16 +3095,35 @@ final class GraftTable(spark: SparkSession, val path: String,
       "merge source has duplicate keys — one source row may match a " +
         "target row (the ANSI/Delta multiple-match error); de-duplicate first")
 
-    // partitions holding a matched key rewrite; everything else is
+    // MATCHED = key equality AND (when present) the composite-ON
+    // residual — ANSI/Delta classification: a key-matched pair failing
+    // the residual is NOT matched (its target row is a by-source
+    // candidate, its source row an insert candidate). The residual
+    // references target columns by bare name and source columns via
+    // src(); coalesce keeps the join condition null-safe.
+    val keyEqPair = keys.map(k => col(k) === col(s"__s_$k")).reduce(_ && _)
+    val matchCond = onResidual match {
+      case Some(r) => keyEqPair && coalesce(r, lit(false))
+      case None => keyEqPair
+    }
+
+    // partitions holding a MATCHED row rewrite; everything else is
     // untouched (clause-less matched side: nothing can change, so no
     // partition rewrites — an insert-only merge is a pure append).
     // WHEN NOT MATCHED BY SOURCE widens the touched set to partitions
     // holding an UNMATCHED row some by-source clause claims — the
     // clause conditions reference target columns only (ANSI), so they
-    // evaluate on the bare target frame.
+    // evaluate on the bare target frame. Residual-free merges probe the
+    // DISTINCT KEY frame (column-pruned); a residual probes the full
+    // source frame, since it may reference any source column.
     val matchedKeys = sPref.select(keys.map(k => col(s"__s_$k").as(k)): _*).distinct()
+    def semiMatched(frame: DataFrame, joinType: String): DataFrame =
+      onResidual match {
+        case None => frame.join(matchedKeys, keys.toSeq, joinType)
+        case Some(_) => frame.join(sPref, matchCond, joinType)
+      }
     val matchedTouched =
-      (if (matched.isEmpty) tgt.limit(0) else tgt.join(matchedKeys, keys.toSeq, "left_semi"))
+      (if (matched.isEmpty) tgt.limit(0) else semiMatched(tgt, "left_semi"))
         .select(col(partitionCol))
     val nmbsTouched =
       if (notMatchedBySource.isEmpty) tgt.limit(0).select(col(partitionCol))
@@ -2872,7 +3132,7 @@ final class GraftTable(spark: SparkSession, val path: String,
           case MatchedUpdate(c, _) => c
           case MatchedDelete(c)    => c
         }.map(c => coalesce(c, lit(false))).reduce(_ || _)
-        tgt.join(matchedKeys, keys.toSeq, "left_anti").filter(anyCond)
+        semiMatched(tgt, "left_anti").filter(anyCond)
           .select(col(partitionCol))
       }
     val touched = matchedTouched.union(nmbsTouched)
@@ -2880,8 +3140,9 @@ final class GraftTable(spark: SparkSession, val path: String,
     val tp = touched.withColumnRenamed(partitionCol, "__tp")
     val current = tgt.join(tp, col(partitionCol) <=> col("__tp"), "left_semi")
 
-    val joined = current.join(sPref,
-      keys.map(k => col(k) === col(s"__s_$k")).reduce(_ && _), "left")
+    // a residual-failing pair surfaces here as an UNMATCHED target row
+    // (null source side) — by-source clauses see it, matched ones don't
+    val joined = current.join(sPref, matchCond, "left")
 
     // SCHEMA EVOLUTION (opt-in): unknown assigned columns append
     // nullable, typed by resolving their FIRST assignment expression
@@ -2933,9 +3194,26 @@ final class GraftTable(spark: SparkSession, val path: String,
     val written = notMatchedInsert match {
       case None => survivors
       case Some((cond, set)) =>
-        // key-column-only scan of the whole table — the insertIfAbsent shape
-        val tgtKeys = tgt.select(keys.map(k => col(k).as(s"__s_$k")): _*).distinct()
-        val ins = sPref.join(tgtKeys, keys.map(k => s"__s_$k").toSeq, "left_anti")
+        val unmatched = onResidual match {
+          case None =>
+            // key-column-only scan of the whole table — the insertIfAbsent shape
+            val tgtKeys = tgt.select(keys.map(k => col(k).as(s"__s_$k")): _*).distinct()
+            sPref.join(tgtKeys, keys.map(k => s"__s_$k").toSeq, "left_anti")
+          case Some(r) =>
+            // ANSI: a source row whose key match FAILS the residual is an
+            // insert candidate. The anti-join probes the target pruned to
+            // keys + the residual's target columns (still the
+            // column-pruned insertIfAbsent shape). NOTE the documented
+            // consequence (same as Delta): such an insert lands NEXT TO
+            // the residual-failing target row — a residual plus an
+            // unconditional INSERT can produce duplicate keys, by the
+            // user's explicit choice.
+            val refs = (keys ++ org.apache.spark.sql.graft.Bridge
+              .attrNames(r, !_.startsWith("__s_"))).distinct
+              .filter(tgt.columns.contains)
+            sPref.join(tgt.select(refs.map(col): _*), matchCond, "left_anti")
+        }
+        val ins = unmatched
           .filter(coalesce(cond, lit(false)))
           .select(tableCols.map { c =>
             set.get(c).map(_.cast(typeOf(c)))

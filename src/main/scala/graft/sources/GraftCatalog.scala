@@ -56,6 +56,14 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   override def name(): String = catalogName
 
+  /** Opt into Spark 4's constraint DDL: `ALTER TABLE … ADD/DROP
+    * CONSTRAINT … CHECK` analyzes only when the catalog declares it.
+    */
+  override def capabilities()
+      : java.util.Set[org.apache.spark.sql.connector.catalog.TableCatalogCapability] =
+    java.util.EnumSet.of(org.apache.spark.sql.connector.catalog
+      .TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT)
+
   private def spark = SparkSession.active
 
   private def dirOf(ns: Array[String], table: String): String =
@@ -216,13 +224,37 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
   /** `ALTER TABLE ADD COLUMNS` maps onto the lock-safe sidecar
     * evolution (merge-by-union — concurrent writers cannot lose the
     * column): existing files and versions project typed null, zero
-    * data rewrites. Every other change class (RENAME / DROP / type
-    * changes) stays rejected by design — they would reinterpret
-    * already-written files.
+    * data rewrites. `ALTER TABLE ADD/DROP CONSTRAINT … CHECK` (Spark
+    * 4's native constraint DDL) maps onto [[GraftTable.addCheck]] /
+    * `dropCheck` — ADD validates the CURRENT rows first and throws
+    * `CheckViolationException` without recording anything if they
+    * violate; from then on every mutation that would commit a
+    * violating row aborts atomically (no version, no files). Every
+    * other change class (RENAME / DROP / type changes) stays rejected
+    * by design — they would reinterpret already-written files.
     */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val gt = open(ident)
-    val adds = changes.map {
+    changes.collect {
+      case a: TableChange.AddConstraint => a.constraint() match {
+        case ck: org.apache.spark.sql.connector.catalog.constraints.Check =>
+          require(ck.predicateSql != null && ck.predicateSql.nonEmpty,
+            "GraftCatalog: CHECK constraint carries no predicate SQL")
+          gt.addCheck(ck.name, ck.predicateSql)
+        case other => throw new UnsupportedOperationException(
+          s"GraftCatalog: unsupported constraint ${other.toDDL} — only " +
+            "CHECK constraints are supported (keys are declared at CREATE " +
+            "TABLE via TBLPROPERTIES; PRIMARY KEY / UNIQUE / FOREIGN KEY " +
+            "are not enforceable here)")
+      }
+      case d: TableChange.DropConstraint =>
+        if (!d.ifExists) require(gt.checks.contains(d.name),
+          s"GraftCatalog: no CHECK constraint named '${d.name}' on the " +
+            s"table — existing: ${gt.checks.keys.toSeq.sorted.mkString(", ")}")
+        gt.dropCheck(d.name)
+    }
+    val adds = changes.filterNot(c => c.isInstanceOf[TableChange.AddConstraint]
+      || c.isInstanceOf[TableChange.DropConstraint]).map {
       case a: TableChange.AddColumn =>
         require(a.fieldNames.length == 1,
           s"GraftCatalog: nested ADD COLUMNS (${a.fieldNames.mkString(".")}) " +
@@ -240,10 +272,10 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
           nullable = true)
       case other => throw new UnsupportedOperationException(
         s"GraftCatalog: unsupported ALTER TABLE change $other — only ADD " +
-          "COLUMNS (nullable, top-level) is supported; schema otherwise " +
-          "evolves on the write path")
+          "COLUMNS (nullable, top-level) and ADD/DROP CONSTRAINT … CHECK " +
+          "are supported; schema otherwise evolves on the write path")
     }
-    gt.addColumns(adds)
+    if (adds.nonEmpty) gt.addColumns(adds)
     org.apache.spark.sql.graft.GraftSqlRead.table(spark, gt, gt.currentVersion)
   }
 

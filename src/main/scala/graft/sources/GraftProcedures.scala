@@ -21,6 +21,7 @@ import graft.operators.GraftTable
   *   CALL graft.system.vacuum('db.t', keep_versions => 2)
   *   CALL graft.system.compact('db.t')
   *   CALL graft.system.compact_dv('db.t', max_fraction => 0.1)
+  *   CALL graft.system.compact_range('db.t', 'cents', buckets => 8)
   * }}}
   *
   * Each procedure is driver-orchestrated metadata work plus the same
@@ -35,7 +36,7 @@ object GraftProcedures {
       .comment("table identifier under this catalog, e.g. 'db.t'").build()
 
   val identifiers: Array[Identifier] =
-    Array("restore", "vacuum", "compact", "compact_dv")
+    Array("restore", "vacuum", "compact", "compact_dv", "compact_range")
       .map(n => Identifier.of(Array("system"), n))
 
   def load(cat: GraftCatalog, ident: Identifier): UnboundProcedure = {
@@ -106,6 +107,28 @@ object GraftProcedures {
           val t = open(in.getUTF8String(0).toString)
           val (did, before) = t.compactDvHeavyMeasured(in.getDouble(1))
           Seq(InternalRow(in.getUTF8String(0).copy(), did, before))
+        })
+      case "compact_range" => proc("compact_range",
+        "range-clustering compaction (the OPTIMIZE … ZORDER intent): " +
+          "re-cut each partition into ~buckets range-disjoint, sorted " +
+          "files on cluster_by (comma-separated columns), so file-level " +
+          "zone maps and row-group stats become selective on them " +
+          "(content-invariant; purges deletion vectors)",
+        Array(TableParam,
+          ProcedureParameter.in("cluster_by", StringType).build(),
+          ProcedureParameter.in("buckets", IntegerType)
+            .defaultValue("16").build()),
+        StructType(Seq(StructField("table", StringType),
+          StructField("cluster_by", StringType),
+          StructField("live_files", IntegerType))),
+        in => {
+          val t = open(in.getUTF8String(0).toString)
+          val cols = in.getUTF8String(1).toString.split(',')
+            .map(_.trim).filter(_.nonEmpty).toSeq
+          require(cols.nonEmpty, "compact_range needs cluster_by columns")
+          t.compactRange(in.getInt(2), cols)
+          Seq(InternalRow(in.getUTF8String(0).copy(),
+            in.getUTF8String(1).copy(), t.dataFileCount))
         })
       case other => throw new UnsupportedOperationException(
         s"unknown procedure graft system.$other — available: " +

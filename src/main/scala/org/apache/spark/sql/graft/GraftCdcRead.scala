@@ -33,7 +33,13 @@ import graft.operators.GraftTable
   * `VERSION AS OF v` anchors "every change since v"; an UN-anchored
   * read defaults to the full history — the pinned head snapshot as
   * inserts (net-change semantics; the stream's own fresh-checkpoint
-  * convention).
+  * convention). STORAGE COST, documented deliberately: the un-anchored
+  * default stages a full copy of the head snapshot under `_graft_cdc/`
+  * per head version polled — repeated polls of one version reuse one
+  * staging, superseded `batch_v0_*` stagings reclaim via vacuum's age
+  * gate. Anchor with `VERSION AS OF` (O(changed rows) staging) for
+  * routine incremental consumption; the un-anchored form is the
+  * bootstrap read.
   */
 final class GraftCdcTable(spark: SparkSession, gt: GraftTable,
                           batchSince: Option[Long] = None)
@@ -124,10 +130,15 @@ final class GraftCdcTable(spark: SparkSession, gt: GraftTable,
             } else {
               // refresh the reuse clock: vacuum's orphan sweep is
               // age-gated on dir mtime, and a poll must not have its
-              // files reclaimed mid-scan because the staging is old
-              java.nio.file.Files.setLastModifiedTime(dirPath,
-                java.nio.file.attribute.FileTime.fromMillis(
-                  System.currentTimeMillis()))
+              // files reclaimed mid-scan because the staging is old.
+              // Try-guarded: the dir can vanish between the exists
+              // check and the touch (concurrent vacuum) — the scan
+              // then fails on the missing files with a clear cause
+              // rather than aborting planning here
+              scala.util.Try(java.nio.file.Files.setLastModifiedTime(
+                dirPath, java.nio.file.attribute.FileTime.fromMillis(
+                  System.currentTimeMillis())))
+              ()
             }
             GraftCdcMicroBatchStream.scanOver(spark, cdcSchema, dir).toBatch
           case None => throw new IllegalStateException("unreachable")

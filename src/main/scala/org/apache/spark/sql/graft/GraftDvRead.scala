@@ -156,12 +156,26 @@ final class GraftDvFilteredReader(inner: PartitionReader[InternalRow],
 
   private def loadDrop(): Unit = {
     val p = java.nio.file.Paths.get(dvPath)
-    val n = (java.nio.file.Files.size(p) / 8).toInt
+    val size = java.nio.file.Files.size(p)
+    // integrity gate: a truncated or corrupt sidecar must FAIL the
+    // task, never silently drop/resurrect the wrong rows — the drop
+    // loop below RELIES on whole longs and ascending order
+    require(size % 8 == 0,
+      s"deletion-vector sidecar $dvPath is corrupt: $size bytes is not " +
+        "a whole number of positions — reclaim the staging and rescan")
+    val n = (size / 8).toInt
     val out = new Array[Long](n)
     val in = new java.io.DataInputStream(new java.io.BufferedInputStream(
       java.nio.file.Files.newInputStream(p)))
     try { var i = 0; while (i < n) { out(i) = in.readLong(); i += 1 } }
     finally in.close()
+    var i = 1
+    while (i < n) {
+      require(out(i - 1) < out(i),
+        s"deletion-vector sidecar $dvPath is corrupt: positions are not " +
+          "strictly ascending — reclaim the staging and rescan")
+      i += 1
+    }
     drop = out
   }
 

@@ -30,15 +30,16 @@ import graft.operators.GraftTable
   * Restrictions (each rejected loudly, never silently degraded):
   *   - ON must CONTAIN a conjunction of `target-key = source-expression`
   *     equalities covering exactly the table's keys — the keyed-merge
-  *     contract. ADDITIONAL (non-key) conjuncts are accepted by FOLDING
-  *     them into every matched clause's condition: a key-matched pair
-  *     failing the residual takes NO action. Documented ANSI caveat:
-  *     ANSI would re-classify such pairs as NOT matched — the source
-  *     row would become an insert candidate and the target row
-  *     "not matched by source" — while the fold leaves both untouched;
-  *     inserts stay key-based. Because of that, a residual combined
-  *     with WHEN NOT MATCHED BY SOURCE is rejected rather than
-  *     silently misclassifying.
+  *     contract. ADDITIONAL (non-key) conjuncts form a RESIDUAL with
+  *     full ANSI classification (round 11; [[GraftTable.merge]]'s
+  *     `onResidual`): MATCHED = key equality AND residual, so a
+  *     key-matched pair failing the residual is NOT matched — its
+  *     target row is a WHEN NOT MATCHED BY SOURCE candidate and its
+  *     source row a WHEN NOT MATCHED insert candidate, exactly
+  *     Spark/Delta's MERGE semantics. (Consequence, same as Delta: a
+  *     residual plus an unconditional INSERT can insert a source row
+  *     next to its residual-failing target row — duplicate keys by the
+  *     user's explicit choice.)
   *   - No subqueries inside clause conditions or assignments.
   *   - Nested-field assignments (`SET s.a.b = …`) are not supported.
   */
@@ -80,36 +81,88 @@ object GraftRowLevelSql {
       fail(s"subqueries are not supported in $where")
 
   /** Split a DELETE/UPDATE condition into (plain residual Column over
-    * bare target names, IN-SET constraints): each conjunct of the form
-    * `<target column> IN (<uncorrelated single-column subquery>)`
-    * materializes its subquery plan as a DataFrame and routes to
-    * [[GraftTable.deleteWhereIn]]/[[GraftTable.updateWhereIn]]'s
-    * distributed semi-join — the `WHERE k IN (SELECT …)` statement a
-    * real user writes in week one. Every other subquery shape (NOT IN,
-    * EXISTS, correlated, scalar) fails loudly rather than degrading.
+    * bare target names, subquery MEMBERSHIP constraints): each conjunct
+    * of the form `<target column> [NOT] IN (<single-column subquery>)`
+    * or `[NOT] EXISTS (<subquery>)` — correlated or not — materializes
+    * its subquery plan as a DataFrame and becomes a
+    * [[GraftTable.Membership]] routed to [[GraftTable.deleteWhereIn]] /
+    * [[GraftTable.updateWhereIn]]'s distributed hash semi/anti joins,
+    * with exact SQL null semantics (NOT IN is the null-aware
+    * three-valued form). Correlation predicates arrive PULLED UP: the
+    * optimizer's PullupCorrelatedPredicates fills the subquery's
+    * `joinCond` with the correlated predicates and extends the plan's
+    * projection with the columns they need — accepted here as a
+    * conjunction of `<target column> = <subquery column>` equalities
+    * (any other correlation shape fails loudly). Scalar subqueries
+    * fail loudly rather than degrading.
     */
   private def splitSubqueryCondition(spark: ClassicSession, cond: Expression,
       tgtN: Map[ExprId, String], where: String)
-      : (Column, Seq[(String, org.apache.spark.sql.DataFrame)]) = {
+      : (Column, Seq[GraftTable.Membership]) = {
     val none = Map.empty[ExprId, String]
     val (subs, plain) = graft.operators.PredicatePruning
       .splitConjuncts(cond).partition(
       _.exists(_.isInstanceOf[SubqueryExpression]))
-    val inSets = subs.map {
-      case InSubquery(Seq(a: AttributeReference), lq: ListQuery)
-          if tgtN.contains(a.exprId) =>
-        if (lq.outerAttrs.nonEmpty || lq.joinCond.nonEmpty)
-          fail(s"correlated subqueries are not supported in $where")
-        if (lq.plan.output.size != 1)
-          fail(s"the IN subquery in $where must select exactly one column")
-        tgtN(a.exprId) -> Dataset.ofRows(spark, lq.plan).toDF()
+
+    def checkPulled(outerAttrs: Seq[Expression], joinCond: Seq[Expression]): Unit =
+      if (outerAttrs.nonEmpty && joinCond.isEmpty)
+        fail(s"a correlated subquery in $where has an unsupported " +
+          "correlation shape (its predicates could not be pulled up)")
+    def pairsOf(joinCond: Seq[Expression], planOut: Seq[Attribute])
+        : Seq[(String, Int)] = {
+      val outIdx = planOut.map(_.exprId).zipWithIndex.toMap
+      joinCond.map {
+        case EqualTo(a: AttributeReference, b: AttributeReference)
+            if tgtN.contains(a.exprId) && outIdx.contains(b.exprId) =>
+          tgtN(a.exprId) -> outIdx(b.exprId)
+        case EqualTo(a: AttributeReference, b: AttributeReference)
+            if tgtN.contains(b.exprId) && outIdx.contains(a.exprId) =>
+          tgtN(b.exprId) -> outIdx(a.exprId)
+        case other => fail(s"unsupported correlation predicate in $where: " +
+          s"${other.sql} — only <target column> = <subquery column> " +
+          "equalities are supported")
+      }
+    }
+    def inPairs(a: AttributeReference, lq: ListQuery): Seq[(String, Int)] = {
+      if (!tgtN.contains(a.exprId))
+        fail(s"the IN probe in $where must be a bare target column")
+      checkPulled(lq.outerAttrs, lq.joinCond)
+      if (lq.numCols != 1)
+        fail(s"the IN subquery in $where must select exactly one column")
+      (tgtN(a.exprId) -> 0) +: pairsOf(lq.joinCond, lq.plan.output)
+    }
+    def frame(p: LogicalPlan) = Dataset.ofRows(spark, p).toDF()
+    val mems = subs.map {
+      case InSubquery(Seq(a: AttributeReference), lq: ListQuery) =>
+        GraftTable.Membership(inPairs(a, lq), frame(lq.plan))
+      case Not(InSubquery(Seq(a: AttributeReference), lq: ListQuery)) =>
+        GraftTable.Membership(inPairs(a, lq), frame(lq.plan),
+          negated = true, nullAware = true)
+      case ex: Exists =>
+        checkPulled(ex.outerAttrs, ex.joinCond)
+        GraftTable.Membership(pairsOf(ex.joinCond, ex.plan.output), frame(ex.plan))
+      case Not(ex: Exists) =>
+        checkPulled(ex.outerAttrs, ex.joinCond)
+        GraftTable.Membership(pairsOf(ex.joinCond, ex.plan.output), frame(ex.plan),
+          negated = true)
+      // the optimizer's RewriteNonCorrelatedExists turns an
+      // UNCORRELATED [NOT] EXISTS into `scalarsubquery(limit 1) IS
+      // [NOT] NULL` before the strategy sees it — a pure
+      // non-emptiness probe
+      case IsNotNull(sc: ScalarSubquery) if sc.outerAttrs.isEmpty =>
+        GraftTable.Membership(Nil, frame(sc.plan))
+      case IsNull(sc: ScalarSubquery) if sc.outerAttrs.isEmpty =>
+        GraftTable.Membership(Nil, frame(sc.plan), negated = true)
+      case Not(IsNotNull(sc: ScalarSubquery)) if sc.outerAttrs.isEmpty =>
+        GraftTable.Membership(Nil, frame(sc.plan), negated = true)
       case other => fail(s"unsupported subquery conjunct in $where: " +
-        s"${other.sql} — supported: <target column> IN (<uncorrelated " +
-        "single-column subquery>)")
+        s"${other.sql} — supported: <target column> [NOT] IN " +
+        "(<single-column subquery>) and [NOT] EXISTS (<subquery>), " +
+        "correlated by <target column> = <subquery column> equalities")
     }
     val residual = plain.map(remap(_, tgtN, none, where))
       .reduceOption(_ && _).getOrElse(lit(true))
-    (residual, inSets)
+    (residual, mems)
   }
 
   /** Remap attribute references to the name space of
@@ -207,19 +260,13 @@ object GraftRowLevelSql {
       fail(s"ON must contain <target key> = <source expression> equalities " +
         s"covering exactly the table keys ${gt.keys.mkString(", ")}; " +
         s"got ${if (onCols.isEmpty) "none" else onCols.mkString(", ")} " +
-        s"(non-key conjuncts fold into the matched clauses)")
-    // ANSI caveat, enforced not silently diverged: a residual-failing
-    // key match counts as NOT MATCHED in ANSI (insert candidate +
-    // not-matched-by-source), while the fold leaves it untouched —
-    // reject the one clause family that would misclassify
-    if (residuals.nonEmpty && m.notMatchedBySourceActions.nonEmpty)
-      fail("a non-key ON conjunct cannot combine with WHEN NOT MATCHED " +
-        "BY SOURCE: ANSI classifies key matches failing the residual as " +
-        "not-matched-by-source, which the clause fold cannot honor")
+        s"(non-key conjuncts form the ANSI residual)")
+    // the residual rides into the MATCH CONDITION itself
+    // (GraftTable.merge onResidual) — ANSI classification, so every
+    // clause family (matched / not-matched / by-source) sees exactly
+    // the rows ANSI gives it; nothing folds, nothing is rejected
     val residualCol: Option[Column] = residuals.toSeq
       .map(remap(_, tgtN, srcN, "the ON residual")).reduceOption(_ && _)
-    def foldResidual(c: Column): Column =
-      residualCol.map(r => coalesce(r, lit(false)) && c).getOrElse(c)
 
     // the source frame [[GraftTable.merge]] receives: the source plan's
     // columns, plus each key materialized under its target name when the
@@ -241,20 +288,16 @@ object GraftRowLevelSql {
       }
     }
 
-    def clauses(actions: Seq[MergeAction], where: String,
-                wrap: Column => Column = identity): Seq[GraftTable.MatchedClause] =
+    def clauses(actions: Seq[MergeAction], where: String): Seq[GraftTable.MatchedClause] =
       actions.map {
         case UpdateAction(cond, assigns, _) => GraftTable.MatchedUpdate(
-          wrap(cond.map(remap(_, tgtN, srcN, s"$where UPDATE condition")).getOrElse(lit(true))),
+          cond.map(remap(_, tgtN, srcN, s"$where UPDATE condition")).getOrElse(lit(true)),
           assignMap(assigns, tgtN, srcN, s"$where UPDATE"))
         case DeleteAction(cond) => GraftTable.MatchedDelete(
-          wrap(cond.map(remap(_, tgtN, srcN, s"$where DELETE condition")).getOrElse(lit(true))))
+          cond.map(remap(_, tgtN, srcN, s"$where DELETE condition")).getOrElse(lit(true)))
         case other => fail(s"unsupported $where action: $other")
       }
-    // the ON residual gates every matched clause (a residual-failing
-    // key match fires nothing); NMBS clauses never see it (they are
-    // rejected above when a residual exists)
-    val matched = clauses(m.matchedActions, "WHEN MATCHED", foldResidual)
+    val matched = clauses(m.matchedActions, "WHEN MATCHED")
     val nmbs = clauses(m.notMatchedBySourceActions, "WHEN NOT MATCHED BY SOURCE")
     val inserts = m.notMatchedActions.map {
       case InsertAction(cond, assigns) =>
@@ -265,7 +308,8 @@ object GraftRowLevelSql {
     val insert = if (inserts.isEmpty) None else Some(composeInserts(inserts))
 
     gt.merge(srcDf, matched, insert,
-      allowSchemaEvolution = m.withSchemaEvolution, notMatchedBySource = nmbs)
+      allowSchemaEvolution = m.withSchemaEvolution, notMatchedBySource = nmbs,
+      onResidual = residualCol)
     ()
   }
 

@@ -152,6 +152,21 @@ final class GraftSqlTable(spark: SparkSession, val gt: GraftTable,
     with org.apache.spark.sql.connector.catalog.SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDeleteV2 {
 
+  /** The table's CHECK constraints (`ALTER TABLE … ADD CONSTRAINT …
+    * CHECK` / [[GraftTable.addCheck]]) surfaced through Spark 4's
+    * constraint API — enforced (every graft mutation validates before
+    * committing) and validated (ADD validates the standing rows).
+    */
+  override def constraints()
+      : Array[org.apache.spark.sql.connector.catalog.constraints.Constraint] =
+    gt.checks.toSeq.sortBy(_._1).map { case (n, p) =>
+      org.apache.spark.sql.connector.catalog.constraints.Constraint.check(n)
+        .predicateSql(p).enforced(true)
+        .validationStatus(org.apache.spark.sql.connector.catalog.constraints
+          .Constraint.ValidationStatus.VALID)
+        .build(): org.apache.spark.sql.connector.catalog.constraints.Constraint
+    }.toArray
+
   /** Sidecar schema (metadata only — building the empty frame plans no
     * job). Synthetic tables hide their derived `__gp` partition column:
     * SQL users never see or write it.
@@ -175,6 +190,7 @@ final class GraftSqlTable(spark: SparkSession, val gt: GraftTable,
     java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE,
+      TableCapability.STREAMING_WRITE,
       TableCapability.TRUNCATE)
 
   private def requireHead(op: String): Unit =
@@ -186,7 +202,10 @@ final class GraftSqlTable(spark: SparkSession, val gt: GraftTable,
     * `spark.sql.sources.partitionOverwriteMode=static` for the
     * statement — the dynamic mode plans a v2 dynamic-partition write
     * this V1-backed table rejects with the engine's clear capability
-    * error) replaces the whole table in one commit.
+    * error) replaces the whole table in one commit. The SAME builder
+    * serves `df.writeStream.toTable(…)`: `toStreaming` is the
+    * exactly-once epoch-committed append
+    * ([[GraftStreamingWrite]] — APPEND output mode only).
     */
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
@@ -209,6 +228,16 @@ final class GraftSqlTable(spark: SparkSession, val gt: GraftTable,
                 ()
               }
             }
+          override def toStreaming
+              : org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
+            if (overwrite)
+              throw new UnsupportedOperationException(
+                "graft streaming writes support the APPEND output mode " +
+                  "only — complete/update need per-epoch replace " +
+                  "semantics; use foreachBatch with upsertReplaceBatch/" +
+                  "mergeBatch for keyed apply")
+            new GraftStreamingWrite(spark, gt, info.queryId(), info.schema())
+          }
         }
     }
   }

@@ -384,4 +384,25 @@ class GraftTableAdviceSpec extends SparkSpec {
     assert(t.readWhereEquals("rk", "r1").select("n").as[Int].collect().toSet
       == Set(1))
   }
+
+  test("micros write clone re-applies value-shaping caller conf " +
+    "(timezone, ANSI) on every write — never a stale creation snapshot") {
+    val tz0 = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+      val s1 = GraftTable.microsSessionFor(spark)
+      assert(s1.conf.get("spark.sql.session.timeZone") == "America/New_York")
+      // the caller changes conf AFTER the clone exists: the next write
+      // sees the change (the r10 behavior snapshotted at creation)
+      spark.conf.set("spark.sql.session.timeZone", "UTC")
+      val s2 = GraftTable.microsSessionFor(spark)
+      assert(s2.conf.get("spark.sql.session.timeZone") == "UTC",
+        "the clone must follow the caller's CURRENT timezone")
+      // the MICROS pin itself persists, and the caller stays unpinned
+      assert(s2.conf.get("spark.sql.parquet.outputTimestampType")
+        == "TIMESTAMP_MICROS")
+      assert(spark.conf.get("spark.sql.parquet.outputTimestampType")
+        != "TIMESTAMP_MICROS", "the caller's session must stay unpinned")
+    } finally spark.conf.set("spark.sql.session.timeZone", tz0)
+  }
 }

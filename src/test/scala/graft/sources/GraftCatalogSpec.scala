@@ -193,6 +193,20 @@ class GraftCatalogSpec extends SparkSpec {
     assert(restaged.keySet == ptrs.keySet,
       "restage after a lost completeness manifest must be complete")
     assert(java.nio.file.Files.exists(stagingDir.resolve("_count")))
+    // a TRUNCATED sidecar (size no longer matches the content manifest)
+    // is detected and the whole staging reclaims + restages — content
+    // validation, not just file counting (r10 ADVICE)
+    val victim = Option(stagingDir.toFile.listFiles()).get
+      .filter(_.getName.endsWith(".pos")).minBy(_.getName).toPath
+    val bytes = java.nio.file.Files.readAllBytes(victim)
+    java.nio.file.Files.write(victim, bytes.dropRight(5)) // corrupt: %8 != 0
+    val healed = t.dvPointersAt(t.currentVersion)
+    assert(healed.keySet == ptrs.keySet,
+      "restage after a corrupt sidecar must be complete")
+    val healedFile = healed(java.net.URLDecoder.decode(
+      victim.getFileName.toString.stripSuffix(".pos"), "UTF-8"))
+    assert(java.nio.file.Files.size(java.nio.file.Paths.get(healedFile))
+      == bytes.length, "the restaged sidecar must carry the full content")
     // the planned DV partitions serialize O(1): a pointer, not 10k longs
     val tbl = GraftSqlRead.table(spark, t, t.currentVersion)
       .asInstanceOf[org.apache.spark.sql.connector.catalog.SupportsRead]
@@ -811,8 +825,148 @@ class GraftCatalogSpec extends SparkSpec {
     // discoverability
     val procs = spark.sql(s"SHOW PROCEDURES IN $cat.system").collect()
       .map(_.toSeq.map(String.valueOf).mkString(" ")).mkString("\n")
-    Seq("restore", "vacuum", "compact", "compact_dv").foreach(p =>
-      assert(procs.contains(p), s"SHOW PROCEDURES missing $p:\n$procs"))
+    Seq("restore", "vacuum", "compact", "compact_dv", "compact_range")
+      .foreach(p =>
+        assert(procs.contains(p), s"SHOW PROCEDURES missing $p:\n$procs"))
+  }
+
+  test("native streaming write: writeStream.toTable appends epochs " +
+    "exactly-once; a same-checkpoint restart processes only new input; " +
+    "a replayed epoch skips; staging reclaims") {
+    val (cat, root) = freshCatalog()
+    spark.sql(s"""CREATE TABLE $cat.db.sink (day STRING, pk STRING, n BIGINT)
+      PARTITIONED BY (day) TBLPROPERTIES ('keys'='pk')""")
+    val srcDir = Files.createTempDirectory("graft_swsrc").toString
+    val ckpt = Files.createTempDirectory("graft_swckpt").toString
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "day STRING, pk STRING, n BIGINT")
+    def tick(rows: Seq[(String, String, Long)]): Unit =
+      rows.toDF("day", "pk", "n").coalesce(1)
+        .write.mode("append").parquet(srcDir)
+    def run(): Unit = {
+      val q = spark.readStream.schema(schema).parquet(srcDir)
+        .writeStream
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt)
+        .toTable(s"$cat.db.sink")
+      q.awaitTermination(120000)
+      assert(!q.isActive)
+    }
+    tick(Seq(("d1", "a", 1L), ("d2", "b", 2L)))
+    run()
+    def state() = spark.sql(s"SELECT pk, n FROM $cat.db.sink")
+      .as[(String, Long)].collect().toSet
+    assert(state() == Set("a" -> 1L, "b" -> 2L))
+    val t = new GraftTable(spark, s"$root/db/sink", keys = Seq("pk"),
+      partitionCol = "day")
+    val v1 = t.currentVersion
+    // restart on the SAME checkpoint: only NEW source files process
+    tick(Seq(("d1", "c", 3L)))
+    run()
+    assert(state() == Set("a" -> 1L, "b" -> 2L, "c" -> 3L))
+    // nothing new → an empty tick commits nothing
+    run()
+    assert(t.currentVersion > v1)
+    val v2 = t.currentVersion
+    run()
+    assert(t.currentVersion == v2, "an empty restart must not commit")
+    // staging reclaimed after every committed epoch
+    val staging = java.nio.file.Paths.get(root, "db/sink/_graft_staging")
+    val leftovers = Option(staging.toFile.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.startsWith("stream_"))
+      .flatMap(d => Option(d.listFiles()).getOrElse(Array.empty))
+    assert(leftovers.isEmpty,
+      s"committed epochs must reclaim their staging: ${leftovers.mkString(", ")}")
+    // the exactly-once core: a REPLAYED epoch (same appId + batchId —
+    // the crash window between an epoch's table commit and its
+    // checkpoint write) skips without re-appending
+    val df = Seq(("d9", "z", 9L)).toDF("day", "pk", "n")
+    assert(t.appendBatch("replay_app", 7L, df))
+    val v3 = t.currentVersion
+    assert(!t.appendBatch("replay_app", 7L, df), "a replayed epoch must skip")
+    assert(t.currentVersion == v3)
+    assert(t.appendBatch("replay_app", 8L, df.filter($"pk" =!= "z")
+      .union(Seq(("d9", "y", 8L)).toDF("day", "pk", "n"))))
+    // complete output mode rejects loudly
+    val e = intercept[Exception] {
+      val q = spark.readStream.schema(schema).parquet(srcDir)
+        .groupBy($"day").count()
+        .select($"day", lit("x").as("pk"), $"count".as("n"))
+        .writeStream.outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation",
+          Files.createTempDirectory("graft_swc2").toString)
+        .toTable(s"$cat.db.sink")
+      q.awaitTermination(120000)
+      throw new IllegalStateException(
+        q.exception.map(_.toString).getOrElse("no failure"))
+    }
+    assert(e.getMessage.toLowerCase.contains("append") ||
+      e.getMessage.toLowerCase.contains("complete"), e.getMessage)
+  }
+
+  test("ALTER TABLE ADD/DROP CONSTRAINT … CHECK: a SQL-added constraint " +
+    "aborts a violating SQL INSERT atomically (no version, no files); " +
+    "DROP re-allows; ADD against violating standing rows records nothing") {
+    val (cat, root) = freshCatalog()
+    val t = seed(root)
+    t.importOnce(Seq(("d1", "p", "r1", 5L)).toDF("day", "pk", "rk", "n"))
+    // ADD validates standing rows first: n >= 10 is violated → throws,
+    // nothing recorded
+    intercept[Exception](spark.sql(
+      s"ALTER TABLE $cat.db.t ADD CONSTRAINT big CHECK (n >= 10)"))
+    assert(t.checks.isEmpty, "a failed ADD CONSTRAINT must record nothing")
+    spark.sql(s"ALTER TABLE $cat.db.t ADD CONSTRAINT pos CHECK (n >= 0)")
+    assert(t.checks.keySet == Set("pos"))
+    // a violating SQL INSERT aborts atomically
+    val v0 = t.currentVersion
+    val files0 = t.dataFileCount
+    val e = intercept[Exception](spark.sql(
+      s"INSERT INTO $cat.db.t (day, pk, rk, n) VALUES ('d1', 'p', 'r2', -1)"))
+    assert(e.getMessage.contains("pos") || e.getMessage.toLowerCase
+      .contains("check"), e.getMessage)
+    assert(t.currentVersion == v0 && t.dataFileCount == files0,
+      "a violating INSERT must commit no version and land no files")
+    // a passing INSERT goes through
+    spark.sql(s"INSERT INTO $cat.db.t (day, pk, rk, n) VALUES ('d1', 'p', 'r2', 7)")
+    assert(t.read.count() == 2L)
+    // DROP CONSTRAINT re-allows
+    spark.sql(s"ALTER TABLE $cat.db.t DROP CONSTRAINT pos")
+    assert(t.checks.isEmpty)
+    spark.sql(s"INSERT INTO $cat.db.t (day, pk, rk, n) VALUES ('d1', 'p', 'r3', -1)")
+    assert(t.read.count() == 3L)
+    // dropping an unknown constraint without IF EXISTS rejects loudly
+    intercept[Exception](spark.sql(
+      s"ALTER TABLE $cat.db.t DROP CONSTRAINT nope"))
+  }
+
+  test("CALL graft.system.compact_range: SQL-only range clustering — " +
+    "content invariant, and a clustered-column filter prunes files") {
+    val (cat, root) = freshCatalog()
+    val t = seed(root)
+    t.importOnce((0L until 400L).map(i => (s"d${i % 2}", "p", s"r$i", i))
+      .toDF("day", "pk", "rk", "n"))
+    val before = spark.sql(s"SELECT rk, n FROM $cat.db.t")
+      .as[(String, Long)].collect().toSet
+    val out = spark.sql(
+      s"CALL $cat.system.compact_range('db.t', 'n', buckets => 8)").collect()
+    assert(out.head.getString(1) == "n" &&
+      out.head.getInt(2) == t.dataFileCount)
+    // content invariant
+    assert(spark.sql(s"SELECT rk, n FROM $cat.db.t")
+      .as[(String, Long)].collect().toSet == before)
+    // the range-disjoint layout makes a clustered-column filter prune
+    // at the FILE level
+    val got = spark.sql(s"SELECT rk FROM $cat.db.t WHERE n BETWEEN 10 AND 20")
+      .as[String].collect().toSet
+    assert(got == (10L to 20L).map(i => s"r$i").toSet)
+    assert(GraftSqlRead.lastPlannedFiles.get() < GraftSqlRead.lastTotalFiles.get(),
+      s"compact_range layout did not prune: planned " +
+        s"${GraftSqlRead.lastPlannedFiles.get()} of " +
+        s"${GraftSqlRead.lastTotalFiles.get()}")
+    // bad arguments reject loudly
+    intercept[Exception](spark.sql(
+      s"CALL $cat.system.compact_range('db.t', '')").collect())
   }
 
   test("DROP TABLE only deletes graft tables: a stranger directory under " +

@@ -129,15 +129,6 @@ class GraftMergeSqlSpec extends SparkSpec {
         WHEN MATCHED THEN UPDATE SET n = s.n""")
     }
     assert(e1.getMessage.contains("table keys"), e1.getMessage)
-    // a non-key residual combined with NOT MATCHED BY SOURCE would
-    // silently misclassify under the fold — rejected
-    val e2 = intercept[Exception] {
-      spark.sql(s"""MERGE INTO $cat.db.t t USING msql_src4 s
-        ON t.pk = s.pk AND t.n > 0
-        WHEN MATCHED THEN UPDATE SET n = s.n
-        WHEN NOT MATCHED BY SOURCE THEN DELETE""")
-    }
-    assert(e2.getMessage.contains("BY SOURCE"), e2.getMessage)
     // a key equated twice (constant + the real source key) must reject
     // — first-conjunct-wins would silently JOIN ON THE CONSTANT and
     // demote the real equality to a residual (order-dependent)
@@ -187,9 +178,9 @@ class GraftMergeSqlSpec extends SparkSpec {
       .collect().toSeq == Seq(2L))
   }
 
-  test("MERGE INTO: a non-key ON residual folds into the matched " +
-    "clauses — residual-failing key matches take no action and their " +
-    "partitions keep their files byte-for-byte; inserts stay key-based") {
+  test("MERGE INTO: composite ON classifies ANSI-true — a residual-" +
+    "failing key match is NOT matched: target row untouched (files " +
+    "byte-for-byte), source row INSERTED") {
     val (cat, root) = freshCatalog()
     val t = seed(root) // a:1@d1, x:7@d1, b:2@d2, z:9@d3
     val before = filesWithMtimes(t.path)
@@ -199,12 +190,20 @@ class GraftMergeSqlSpec extends SparkSpec {
       ON t.pk = s.pk AND t.n > 1
       WHEN MATCHED THEN UPDATE SET n = s.n
       WHEN NOT MATCHED THEN INSERT (day, pk, n) VALUES (s.day, s.pk, s.n)""")
-    // a key-matches but fails the residual (n=1): untouched, and NOT
-    // re-inserted (the documented ANSI caveat — inserts stay key-based);
-    // b (n=2) passes → 200; 'new' has no key match → inserted
-    assert(state(t) == Map("a" -> 1L, "x" -> 7L, "b" -> 200L, "z" -> 9L,
-      "new" -> 5L))
-    // d1 (residual-failing match) and d3 (unclaimed) keep their files
+    // Row-by-row contrast with the pre-round-11 FOLD semantics:
+    //   row                      old (fold)          new (ANSI, Delta)
+    //   a: key match, residual   no action; source   target KEPT and source
+    //      FAILS (n=1, not >1)   row dropped         row INSERTED (dup key —
+    //                                                the user's explicit ON)
+    //   b: residual holds (n=2)  update → 200        update → 200
+    //   x, z: no key match       kept                kept
+    //   new: no key match        inserted            inserted
+    val rows = t.read.select("pk", "n").as[(String, Long)].collect().toSeq.sorted
+    assert(rows == Seq(("a", 1L), ("a", 100L), ("b", 200L), ("new", 5L),
+      ("x", 7L), ("z", 9L)).sorted)
+    // the residual-failing match is NOT matched: d1's pre-merge files
+    // stay byte-for-byte (the a-insert lands as a NEW d1 file); d3 is
+    // unclaimed entirely
     val after = filesWithMtimes(t.path)
     before.filter { case (f, _) =>
       f.startsWith("day=d1") || f.startsWith("day=d3") }.foreach { case (f, m) =>
@@ -213,9 +212,26 @@ class GraftMergeSqlSpec extends SparkSpec {
     }
   }
 
+  test("MERGE INTO: composite ON + WHEN NOT MATCHED BY SOURCE — a " +
+    "residual-failing key match IS a by-source candidate (ANSI)") {
+    val (cat, root) = freshCatalog()
+    val t = seed(root) // a:1@d1, x:7@d1, b:2@d2, z:9@d3
+    Seq(("d1", "a", 100L), ("d2", "b", 200L)).toDF("day", "pk", "n")
+      .createOrReplaceTempView("msql_resnmbs")
+    spark.sql(s"""MERGE INTO $cat.db.t t USING msql_resnmbs s
+      ON t.pk = s.pk AND t.n > 1
+      WHEN MATCHED THEN UPDATE SET n = s.n
+      WHEN NOT MATCHED BY SOURCE AND t.n < 8 THEN UPDATE SET n = t.n * -1""")
+    // a: key match but residual fails (n=1) → not matched BY SOURCE → -1
+    // b: residual holds → 200; x (n=7): unmatched → -7;
+    // z (n=9): unmatched but the by-source condition fails → kept
+    assert(state(t) == Map("a" -> -1L, "b" -> 200L, "x" -> -7L, "z" -> 9L))
+  }
+
   test("DELETE FROM with an IN subquery plans through the row-level " +
     "strategy: deletion-vector commit, distributed semi-join, residual " +
-    "conjuncts honored; unsupported subquery shapes reject loudly") {
+    "conjuncts honored; correlated NOT EXISTS anti-joins; scalar " +
+    "subqueries reject loudly") {
     val (cat, root) = freshCatalog()
     val t = seed(root)
     Seq("a", "z", "nope").toDF("k").createOrReplaceTempView("msql_delkeys")
@@ -226,16 +242,104 @@ class GraftMergeSqlSpec extends SparkSpec {
     // the commit is an O(matched) deletion vector, not a rewrite
     assert(t.hasDeletionVectorsAt(t.currentVersion),
       "a subquery DELETE must land as a deletion-vector commit")
-    // NOT IN and correlated EXISTS reject loudly, nothing commits
+    // correlated NOT EXISTS (round 11): a distributed hash ANTI join on
+    // the pulled-up correlation equality — x and b have no key entry
+    spark.sql(s"DELETE FROM $cat.db.t t WHERE NOT EXISTS " +
+      "(SELECT 1 FROM msql_delkeys d WHERE d.k = t.pk)")
+    assert(state(t) == Map("z" -> 9L))
+    // scalar subqueries still reject loudly, nothing commits
     val v = t.currentVersion
     val e1 = intercept[Exception](spark.sql(
-      s"DELETE FROM $cat.db.t WHERE pk NOT IN (SELECT k FROM msql_delkeys)"))
+      s"DELETE FROM $cat.db.t WHERE n = (SELECT max(n) FROM $cat.db.t)"))
     assert(e1.getMessage.toLowerCase.contains("subquer"), e1.getMessage)
-    val e2 = intercept[Exception](spark.sql(
-      s"DELETE FROM $cat.db.t WHERE EXISTS " +
-        "(SELECT 1 FROM msql_delkeys d WHERE d.k = pk)"))
-    assert(e2.getMessage.toLowerCase.contains("subquer"), e2.getMessage)
     assert(t.currentVersion == v, "a rejected DELETE must not commit")
+  }
+
+  test("DELETE FROM with NOT IN: exact SQL three-valued semantics — a " +
+    "null member keeps every row (no commit), a null probe value never " +
+    "matches, an empty subquery matches ALL rows") {
+    val (cat, _) = freshCatalog()
+    spark.sql(s"""CREATE TABLE $cat.db.nt (day STRING, pk STRING, v BIGINT)
+      PARTITIONED BY (day) TBLPROPERTIES ('keys'='pk')""")
+    spark.sql(s"""INSERT INTO $cat.db.nt (day, pk, v) VALUES
+      ('d1', 'a', 1), ('d1', 'b', CAST(NULL AS BIGINT)), ('d2', 'c', 3)""")
+    Seq(Some(1L), None).toDF("x").createOrReplaceTempView("msql_ninull")
+    Seq(1L).toDF("x").createOrReplaceTempView("msql_nione")
+    spark.sql("SELECT CAST(1 AS BIGINT) AS x WHERE 1 = 0")
+      .createOrReplaceTempView("msql_niempty")
+    def rows() = spark.sql(s"SELECT pk FROM $cat.db.nt")
+      .as[String].collect().toSet
+    // a NULL member: `v NOT IN (…)` is never TRUE — nothing deletes,
+    // nothing commits
+    spark.sql(s"DELETE FROM $cat.db.nt WHERE v NOT IN (SELECT x FROM msql_ninull)")
+    assert(rows() == Set("a", "b", "c"))
+    // plain set [1]: c (v=3) deletes; a (v=1) is IN; b's NULL probe
+    // never satisfies NOT IN
+    spark.sql(s"DELETE FROM $cat.db.nt WHERE v NOT IN (SELECT x FROM msql_nione)")
+    assert(rows() == Set("a", "b"))
+    // empty subquery: NOT IN (empty) is TRUE for every row, null probe
+    // included
+    spark.sql(s"DELETE FROM $cat.db.nt WHERE v NOT IN (SELECT x FROM msql_niempty)")
+    assert(rows() == Set.empty[String])
+  }
+
+  test("DELETE FROM with correlated NOT IN: per-group three-valued " +
+    "semantics through one hash anti-join — empty group qualifies, a " +
+    "null member or a value hit does not") {
+    val (cat, _) = freshCatalog()
+    spark.sql(s"""CREATE TABLE $cat.db.cn (day STRING, pk STRING, v BIGINT)
+      PARTITIONED BY (day) TBLPROPERTIES ('keys'='pk')""")
+    spark.sql(s"""INSERT INTO $cat.db.cn (day, pk, v) VALUES
+      ('d1', 'a', 1), ('d1', 'b', 2), ('d2', 'c', CAST(NULL AS BIGINT)),
+      ('d2', 'd', 7)""")
+    Seq(("a", Some(1L)), ("b", Some(99L)), ("b", None), ("d", Some(5L)))
+      .toDF("k", "x").createOrReplaceTempView("msql_cnin")
+    spark.sql(s"DELETE FROM $cat.db.cn t WHERE t.v NOT IN " +
+      "(SELECT x FROM msql_cnin s WHERE s.k = t.pk)")
+    // a: group [1], v=1 is IN → kept; b: group [99, null] has a null
+    // member → kept; c: group EMPTY → NOT IN (empty) = TRUE even for a
+    // null probe → deleted; d: group [5], v=7 ∉ and no nulls → deleted
+    assert(spark.sql(s"SELECT pk FROM $cat.db.cn").as[String].collect()
+      .toSet == Set("a", "b"))
+  }
+
+  test("UPDATE with NOT IN / correlated EXISTS / uncorrelated EXISTS: " +
+    "1:1 marker joins with SQL null semantics; duplicated subquery " +
+    "values never duplicate target rows") {
+    val (cat, _) = freshCatalog()
+    spark.sql(s"""CREATE TABLE $cat.db.un (day STRING, pk STRING, v BIGINT)
+      PARTITIONED BY (day) TBLPROPERTIES ('keys'='pk')""")
+    spark.sql(s"""INSERT INTO $cat.db.un (day, pk, v) VALUES
+      ('d1', 'a', 1), ('d1', 'b', CAST(NULL AS BIGINT)), ('d2', 'c', 3)""")
+    def state2() = spark.sql(s"SELECT pk, v FROM $cat.db.un")
+      .collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    // duplicated subquery values: the DISTINCT marker join keeps 1:1
+    Seq(1L, 1L, 3L).toDF("x").createOrReplaceTempView("msql_updup")
+    spark.sql(s"UPDATE $cat.db.un SET v = v + 100 WHERE v IN " +
+      "(SELECT x FROM msql_updup)")
+    assert(state2() == Map("a" -> Some(101L), "b" -> None, "c" -> Some(103L)))
+    assert(spark.sql(s"SELECT count(*) FROM $cat.db.un").head.getLong(0) == 3L,
+      "a duplicated subquery value duplicated target rows")
+    // NOT IN with set [101]: c qualifies (103 ∉), b's null probe does not
+    Seq(101L).toDF("x").createOrReplaceTempView("msql_upni")
+    spark.sql(s"UPDATE $cat.db.un SET v = 0 WHERE v NOT IN " +
+      "(SELECT x FROM msql_upni)")
+    assert(state2() == Map("a" -> Some(101L), "b" -> None, "c" -> Some(0L)))
+    // correlated EXISTS: only pk 'b' has a witness row
+    Seq("b").toDF("k").createOrReplaceTempView("msql_upex")
+    spark.sql(s"UPDATE $cat.db.un t SET v = -1 WHERE EXISTS " +
+      "(SELECT 1 FROM msql_upex s WHERE s.k = t.pk)")
+    assert(state2() == Map("a" -> Some(101L), "b" -> Some(-1L), "c" -> Some(0L)))
+    // uncorrelated NOT EXISTS over a non-empty subquery: no row
+    // qualifies, nothing commits
+    val t = new GraftTable(spark, spark.conf.get(s"spark.sql.catalog.$cat.root")
+      + "/db/un", keys = Seq("pk"), partitionCol = "day")
+    val v0 = t.currentVersion
+    spark.sql(s"UPDATE $cat.db.un SET v = 9 WHERE NOT EXISTS " +
+      "(SELECT 1 FROM msql_upex)")
+    assert(t.currentVersion == v0, "a no-match UPDATE must not commit")
+    assert(state2() == Map("a" -> Some(101L), "b" -> Some(-1L), "c" -> Some(0L)))
   }
 
   test("UPDATE with an IN subquery constrains matched rows via a " +
