@@ -2518,6 +2518,69 @@ object IngestQueries {
         SELECT event_id, user_id,
           CAST(round(value * 100) AS BIGINT) AS cents,
           CAST(user_id % 4 AS BIGINT) AS pk
-        FROM events"""))
+        FROM events""")),
+
+    // COLUMN-MAPPING LIFECYCLE (round 11): RENAME COLUMN / DROP COLUMN
+    // as METADATA-ONLY operations (the Delta column-mapping shape —
+    // files keep their physical names forever, reads translate, a
+    // dropped slot is retired so a re-added name reads NULL for old
+    // rows, never the dropped bytes), then mutations over the renamed
+    // surface: an INSERT by the new names, an UPDATE on the renamed
+    // column, and a DELETE whose predicate the V2 filter language
+    // cannot express (modulo — claimed by the row-level strategy, lands
+    // as a deletion vector). Oracle: replay the lifecycle relationally;
+    // a resurrecting drop, a missed rename or a mis-scoped mutation
+    // breaks the hash.
+    QuerySpec("q252_sql_column_mapping",
+      (s, dir) => {
+        GraftSession.tune(s)
+        val base = java.nio.file.Files.createTempDirectory("graft_q252_").toString
+        Tables.events(s, dir).createOrReplaceTempView("q252_events")
+        val cat = s"gcat_${java.util.UUID.randomUUID().toString.take(8)}"
+          .replace("-", "_")
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.root", base)
+        s.sql(s"""CREATE TABLE $cat.db.cm (
+            event_id BIGINT, user_id BIGINT, cents BIGINT, pk BIGINT)
+          PARTITIONED BY (pk)
+          TBLPROPERTIES ('keys'='event_id', 'statsCols'='cents')""")
+        s.sql(s"""INSERT INTO $cat.db.cm (event_id, user_id, cents, pk)
+          SELECT event_id, user_id, CAST(round(value * 100) AS BIGINT),
+            user_id % 4
+          FROM q252_events WHERE event_id % 2 = 0""")
+        s.sql(s"ALTER TABLE $cat.db.cm RENAME COLUMN cents TO amount")
+        s.sql(s"ALTER TABLE $cat.db.cm DROP COLUMN user_id")
+        // re-added name: FRESH physical slot — the old rows read NULL
+        s.sql(s"ALTER TABLE $cat.db.cm ADD COLUMNS (user_id BIGINT)")
+        s.sql(s"""INSERT INTO $cat.db.cm (event_id, amount, pk, user_id)
+          SELECT event_id, CAST(round(value * 100) + 1 AS BIGINT),
+            user_id % 4, user_id
+          FROM q252_events WHERE event_id % 2 = 1""")
+        s.sql(s"UPDATE $cat.db.cm SET amount = amount * 2 WHERE amount % 10 = 3")
+        s.sql(s"DELETE FROM $cat.db.cm WHERE amount % 7 = 0")
+        val out = s.sql(s"SELECT event_id, amount, user_id, pk FROM $cat.db.cm")
+        val snap = out.localCheckpoint(true)
+        graft.operators.Fs.deleteTree(base)
+        snap
+      },
+      Some("""
+        WITH e AS (
+          SELECT event_id, user_id,
+            CAST(round(value * 100) AS BIGINT) AS cents,
+            CAST(user_id % 4 AS BIGINT) AS pk
+          FROM events),
+        t0 AS (
+          SELECT event_id, cents AS amount, CAST(NULL AS BIGINT) AS user_id, pk
+          FROM e WHERE event_id % 2 = 0
+          UNION ALL
+          SELECT event_id, cents + 1 AS amount, user_id, pk
+          FROM e WHERE event_id % 2 = 1),
+        t1 AS (
+          SELECT event_id,
+            CASE WHEN amount % 10 = 3 THEN amount * 2 ELSE amount END AS amount,
+            user_id, pk
+          FROM t0)
+        SELECT event_id, amount, user_id, pk FROM t1
+        WHERE NOT (amount % 7 = 0)"""))
   )
 }

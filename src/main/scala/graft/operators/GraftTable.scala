@@ -1070,7 +1070,7 @@ final class GraftTable(spark: SparkSession, val path: String,
     * without stats always survive.
     */
   def candidateFiles(c: String, lo: Any, hi: Any): Seq[String] =
-    candidateFilesAt(c, lo, hi, currentVersion)
+    candidateFilesAt(physicalName(c), lo, hi, currentVersion)
 
   // ---------------------------------- distributed data-skipping (DF path)
   //
@@ -1182,9 +1182,10 @@ final class GraftTable(spark: SparkSession, val path: String,
     * longs (days/micros) for date/timestamp columns.
     */
   def readWhereBetween(c: String, lo: Any, hi: Any): DataFrame = {
-    val tag = tagOf(c)
+    val pc = physicalName(c) // stats are keyed physical, the frame is logical
+    val tag = tagOf(pc)
     val v = currentVersion // one snapshot for both file list and vectors
-    readResolved(candidateFilesAt(c, lo, hi, v), v)
+    readResolved(candidateFilesAt(pc, lo, hi, v), v)
       .filter(col(c) >= litOf(lo, tag) && col(c) <= litOf(hi, tag))
   }
 
@@ -1197,7 +1198,7 @@ final class GraftTable(spark: SparkSession, val path: String,
     */
   def candidateFilesEquals(c: String, x: Any): Seq[String] = {
     val v = currentVersion
-    candidateFilesEqualsAt(c, x, v)
+    candidateFilesEqualsAt(physicalName(c), x, v)
   }
 
   private def candidateFilesEqualsAt(c: String, x: Any, v: Long): Seq[String] = {
@@ -1239,9 +1240,10 @@ final class GraftTable(spark: SparkSession, val path: String,
     * residual filter drops Bloom false positives).
     */
   def readWhereEquals(c: String, x: Any): DataFrame = {
-    val tag = tagOf(c)
+    val pc = physicalName(c) // stats are keyed physical, the frame is logical
+    val tag = tagOf(pc)
     val v = currentVersion
-    readResolved(candidateFilesEqualsAt(c, x, v), v)
+    readResolved(candidateFilesEqualsAt(pc, x, v), v)
       .filter(col(c) <=> litOf(x, tag))
   }
 
@@ -1428,12 +1430,16 @@ final class GraftTable(spark: SparkSession, val path: String,
     case None => s"$partitionCol=__HIVE_DEFAULT_PARTITION__"
   }
 
+  // the single file-read boundary: files carry PHYSICAL names, the
+  // returned frame is LOGICAL (renameToLogical — identity when the
+  // table has no column mapping)
   private def readFiles(files: Seq[String]): DataFrame =
     if (files.isEmpty) {
       val schema = org.apache.spark.sql.types.DataType
         .fromJson(java.nio.file.Files.readString(schemaSidecar))
         .asInstanceOf[org.apache.spark.sql.types.StructType]
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      renameToLogical(spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema))
     } else {
       val base = spark.read.option("basePath", path)
       val withSchema =
@@ -1443,7 +1449,7 @@ final class GraftTable(spark: SparkSession, val path: String,
             .asInstanceOf[org.apache.spark.sql.types.StructType]
           base.schema(schema)
         } else base
-      withSchema.parquet(files.map(f => s"$path/$f"): _*)
+      renameToLogical(withSchema.parquet(files.map(f => s"$path/$f"): _*))
     }
 
   // ------------------------------------------------ deletion vectors
@@ -2350,7 +2356,11 @@ final class GraftTable(spark: SparkSession, val path: String,
     org.apache.spark.sql.graft.Bridge.rebind(
       GraftTable.microsSessionFor(spark), df)
 
-  private def writeCommitFiles(df: DataFrame): Seq[String] = {
+  private def writeCommitFiles(df0: DataFrame): Seq[String] = {
+    // the single file-write boundary: frames are LOGICAL above here,
+    // files carry PHYSICAL names (renameToPhysical — identity when the
+    // table has no column mapping)
+    val df = renameToPhysical(df0)
     if (df.isEmpty) return Seq.empty
     val nonce = java.util.UUID.randomUUID().toString.take(8)
     val stage = java.nio.file.Paths.get(path, "_graft_staging", s"c_$nonce")
@@ -2501,7 +2511,8 @@ final class GraftTable(spark: SparkSession, val path: String,
     */
   private def conform(df0: DataFrame): DataFrame = sidecarSchemaOpt match {
     case None => deriveGp(df0)
-    case Some(cur) =>
+    case Some(physCur) =>
+      val cur = toLogicalSchema(physCur) // mutation rows speak LOGICAL
       val df = deriveGp(df0) // synthetic tables always (re)derive __gp
       (keys :+ partitionCol).foreach(c => require(df.columns.contains(c),
         s"mutation rows must carry key/partition column '$c'"))
@@ -2515,11 +2526,184 @@ final class GraftTable(spark: SparkSession, val path: String,
       val newFields = df.schema.fields.filterNot(f => curByName.contains(f.name))
         .map(f => org.apache.spark.sql.types.StructField(f.name, f.dataType,
           nullable = true))
-      val evolved = evolveSidecar(cur, newFields.toSeq)
+      val evolved = evolveLogical(cur, newFields.toSeq)
       val dfCols = df.columns.toSet
       df.select(evolved.fields.toSeq.map(f =>
         if (dfCols.contains(f.name)) col(f.name)
         else lit(null).cast(f.dataType).as(f.name)): _*)
+  }
+
+  // ----------------------------------------------------- column mapping
+
+  private def colMapSidecar = java.nio.file.Paths.get(path, "_graft_colmap.json")
+
+  /** COLUMN MAPPING (the Delta column-mapping shape, round 11): the
+    * table's LOGICAL (user-visible) column names map onto fixed
+    * PHYSICAL (in-file) names, making RENAME COLUMN and DROP COLUMN
+    * metadata-only — zero file rewrites, history included. Returns
+    * (logical → physical for every column where the two differ,
+    * HIDDEN physical names — dropped columns). A hidden physical slot
+    * is never reused: a re-added same-named column gets a FRESH
+    * physical name, so old files' bytes can never resurrect under the
+    * new column. Absent sidecar = identity — every legacy code path is
+    * byte-identical. Files, manifests, zone maps and Bloom indexes
+    * speak PHYSICAL; everything above [[readFiles]] (reads rename
+    * physical → logical) and [[writeCommitFiles]] (writes rename
+    * logical → physical) speaks LOGICAL.
+    */
+  def columnMap: (Map[String, String], Set[String]) =
+    if (!java.nio.file.Files.exists(colMapSidecar)) (Map.empty, Set.empty)
+    else {
+      val dec = (s: String) =>
+        new String(java.util.Base64.getDecoder.decode(s), "UTF-8")
+      val lines = java.nio.file.Files.readAllLines(colMapSidecar)
+        .toArray.toSeq.map(_.toString).filter(_.nonEmpty)
+      val m = lines.collect { case l if l.startsWith("m\t") =>
+        val Array(_, lo, ph) = l.split("\t", 3); dec(lo) -> dec(ph)
+      }.toMap
+      val h = lines.collect { case l if l.startsWith("h\t") =>
+        dec(l.split("\t", 2)(1))
+      }.toSet
+      (m, h)
+    }
+
+  private def writeColMap(m: Map[String, String], h: Set[String]): Unit = {
+    val enc = (s: String) => java.util.Base64.getEncoder
+      .encodeToString(s.getBytes("UTF-8"))
+    val body = (m.toSeq.sortBy(_._1).map { case (l, p) =>
+      s"m\t${enc(l)}\t${enc(p)}"
+    } ++ h.toSeq.sorted.map(p => s"h\t${enc(p)}")).mkString("\n")
+    val tmp = java.nio.file.Paths.get(path,
+      s"._graft_colmap_tmp_${java.util.UUID.randomUUID().toString.take(8)}")
+    java.nio.file.Files.writeString(tmp, body)
+    java.nio.file.Files.move(tmp, colMapSidecar,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    ()
+  }
+
+  /** The PHYSICAL (in-file) name of a logical column (identity when
+    * unmapped).
+    */
+  def physicalName(logical: String): String =
+    columnMap._1.getOrElse(logical, logical)
+
+  /** The LOGICAL name a physical column surfaces as (identity when
+    * unmapped).
+    */
+  def logicalName(physical: String): String =
+    columnMap._1.collectFirst { case (l, p) if p == physical => l }
+      .getOrElse(physical)
+
+  /** A physical schema as its LOGICAL projection: hidden columns drop,
+    * mapped columns rename; order preserved.
+    */
+  private def toLogicalSchema(phys: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.types.StructType = {
+    val (m, h) = columnMap
+    if (m.isEmpty && h.isEmpty) phys
+    else {
+      val physToLog = m.map(_.swap)
+      org.apache.spark.sql.types.StructType(
+        phys.fields.filterNot(f => h.contains(f.name))
+          .map(f => f.copy(name = physToLog.getOrElse(f.name, f.name))))
+    }
+  }
+
+  /** Rename a frame read from FILES (physical names) to the logical
+    * surface — the read boundary. Identity when unmapped.
+    */
+  private def renameToLogical(df: DataFrame): DataFrame = {
+    val (m, h) = columnMap
+    if (m.isEmpty && h.isEmpty) df
+    else {
+      val physToLog = m.map(_.swap)
+      df.select(df.columns.toSeq.filterNot(h.contains)
+        .map(p => col(p).as(physToLog.getOrElse(p, p))): _*)
+    }
+  }
+
+  /** Rename a LOGICAL frame to physical names just before it lands as
+    * files — the write boundary. Identity when unmapped.
+    */
+  private def renameToPhysical(df: DataFrame): DataFrame = {
+    val (m, _) = columnMap
+    if (m.isEmpty) df
+    else df.select(df.columns.toSeq.map(l => col(l).as(m.getOrElse(l, l))): _*)
+  }
+
+  /** The PHYSICAL schema of the VISIBLE columns, in logical order —
+    * what the DSv2 parquet machinery scans with ([[read]]'s schema is
+    * its logical rename). Falls back to the public read schema for
+    * unmapped (incl. legacy sidecar-less) tables.
+    */
+  def physicalReadSchema: org.apache.spark.sql.types.StructType = {
+    val (m, h) = columnMap
+    if (m.isEmpty && h.isEmpty) read.schema
+    else org.apache.spark.sql.types.StructType(
+      sidecarSchemaOpt.get.fields.filterNot(f => h.contains(f.name)))
+  }
+
+  /** Columns a CHECK constraint references (rename/drop must not
+    * silently break a stored predicate).
+    */
+  private def checkReferences: Map[String, Seq[String]] =
+    checks.map { case (n, e) =>
+      n -> scala.util.Try(spark.sessionState.sqlParser.parseExpression(e)
+        .collect { case u: org.apache.spark.sql.catalyst.analysis
+          .UnresolvedAttribute => u.name }.distinct)
+        .getOrElse(Seq.empty)
+    }
+
+  private def guardMappable(op: String, name: String): Unit = {
+    require(!keys.contains(name),
+      s"$op: '$name' is a key column — keys are identity-bearing and " +
+        "cannot be renamed or dropped")
+    require(name != partitionCol && !partitionSrc.contains(name),
+      s"$op: '$name' drives the partition layout and cannot be renamed " +
+        "or dropped")
+    val broken = checkReferences.filter(_._2.contains(name)).keys.toSeq.sorted
+    require(broken.isEmpty,
+      s"$op: '$name' is referenced by CHECK constraint(s) " +
+        s"${broken.mkString(", ")} — drop them first")
+  }
+
+  /** METADATA-ONLY COLUMN RENAME (the Delta column-mapping rename):
+    * the logical name changes, every file — past and future versions —
+    * keeps the physical name; reads translate. Key, partition-layout
+    * and CHECK-referenced columns reject. Time travel reads history
+    * through the CURRENT names (the existing evolved-schema semantics).
+    */
+  def renameColumn(oldName: String, newName: String): this.type =
+    withSidecarLock {
+      val logical = read.schema.fieldNames.toSeq
+      require(logical.contains(oldName),
+        s"renameColumn: no column '$oldName' — columns: ${logical.mkString(", ")}")
+      require(!logical.contains(newName),
+        s"renameColumn: a column named '$newName' already exists")
+      require(!newName.startsWith("__"),
+        s"renameColumn: '$newName' is in the reserved __ name space")
+      guardMappable("renameColumn", oldName)
+      val (m, h) = columnMap
+      writeColMap(m - oldName + (newName -> m.getOrElse(oldName, oldName)), h)
+      this
+    }
+
+  /** METADATA-ONLY COLUMN DROP (the Delta column-mapping drop): the
+    * physical column stays in already-written files but becomes
+    * invisible at every version, and its physical slot is retired — a
+    * later ADD COLUMN with the same name gets a fresh slot and reads
+    * null for old rows, never the dropped bytes. Key, partition-layout
+    * and CHECK-referenced columns reject.
+    */
+  def dropColumn(name: String): this.type = withSidecarLock {
+    val logical = read.schema.fieldNames.toSeq
+    require(logical.contains(name),
+      s"dropColumn: no column '$name' — columns: ${logical.mkString(", ")}")
+    guardMappable("dropColumn", name)
+    val (m, h) = columnMap
+    writeColMap(m - name, h + m.getOrElse(name, name))
+    this
   }
 
   private def checksSidecar = java.nio.file.Paths.get(path, "_graft_checks.json")
@@ -2641,7 +2825,7 @@ final class GraftTable(spark: SparkSession, val path: String,
     require(fields.nonEmpty, "addColumns needs at least one column")
     require(fields.forall(_.nullable),
       "added columns must be nullable — existing rows project null")
-    evolveSidecar(org.apache.spark.sql.types.StructType(read.schema.fields),
+    evolveLogical(org.apache.spark.sql.types.StructType(read.schema.fields),
       fields)
   }
 
@@ -2662,16 +2846,72 @@ final class GraftTable(spark: SparkSession, val path: String,
       }
       val toAdd = newFields.filterNot(f => freshBy.contains(f.name))
       val s2 = org.apache.spark.sql.types.StructType(fresh.fields ++ toAdd)
-      if (toAdd.nonEmpty) {
-        val tmp = java.nio.file.Paths.get(path,
-          s"._graft_schema_tmp_${java.util.UUID.randomUUID().toString.take(8)}")
-        java.nio.file.Files.writeString(tmp, s2.json)
-        java.nio.file.Files.move(tmp, schemaSidecar,
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-      }
+      if (toAdd.nonEmpty) writeSchemaSidecar(s2)
       s2
     }
+
+  private def writeSchemaSidecar(s2: org.apache.spark.sql.types.StructType): Unit = {
+    val tmp = java.nio.file.Paths.get(path,
+      s"._graft_schema_tmp_${java.util.UUID.randomUUID().toString.take(8)}")
+    java.nio.file.Files.writeString(tmp, s2.json)
+    java.nio.file.Files.move(tmp, schemaSidecar,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    ()
+  }
+
+  /** MAPPING-AWARE [[evolveSidecar]]: `newFields` carry LOGICAL names.
+    * Each genuinely-new column gets a collision-free PHYSICAL slot —
+    * a name whose slot was EVER used (live, mapped-away or dropped)
+    * gets a fresh one, so a dropped column's bytes can never resurrect
+    * under a re-added name — plus a map entry when the two differ.
+    * Same-name re-evolves type-check like [[evolveSidecar]]; unmapped
+    * tables take the identical legacy path (physical == logical).
+    * Returns the evolved LOGICAL schema.
+    */
+  private[operators] def evolveLogical(cur: org.apache.spark.sql.types.StructType,
+      newFields: Seq[org.apache.spark.sql.types.StructField])
+      : org.apache.spark.sql.types.StructType = {
+    if (newFields.isEmpty) return cur
+    val (m0, h0) = columnMap
+    if (m0.isEmpty && h0.isEmpty) return evolveSidecar(cur, newFields)
+    withSidecarLock {
+      val (m, h) = columnMap
+      val phys = sidecarSchemaOpt.getOrElse(
+        org.apache.spark.sql.types.StructType(cur.fields))
+      val physByName = phys.fields.map(f => f.name -> f).toMap
+      val physToLog = m.map(_.swap)
+      // the fresh sidecar's LOGICAL view — concurrent evolutions fold in
+      val logByName = phys.fields.filterNot(f => h.contains(f.name))
+        .map(f => physToLog.getOrElse(f.name, f.name) -> f).toMap
+      var m2 = m
+      val toAdd =
+        scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.types.StructField]
+      newFields.foreach { f =>
+        logByName.get(f.name) match {
+          case Some(g) =>
+            require(g.dataType == f.dataType,
+              s"column '${f.name}' was concurrently evolved to type " +
+                s"${g.dataType.simpleString}; this mutation carries " +
+                s"${f.dataType.simpleString} — no type evolution")
+          case None =>
+            val used = physByName.keySet ++ h ++ m2.values
+            var p = f.name
+            while (used.contains(p) || toAdd.exists(_.name == p))
+              p = s"${f.name}_r${java.util.UUID.randomUUID().toString.take(8)}"
+            toAdd += org.apache.spark.sql.types.StructField(p, f.dataType,
+              nullable = true)
+            if (p != f.name) m2 += (f.name -> p)
+        }
+      }
+      if (toAdd.nonEmpty)
+        writeSchemaSidecar(org.apache.spark.sql.types.StructType(
+          phys.fields ++ toAdd))
+      if (m2 != m) writeColMap(m2, h)
+      toLogicalSchema(org.apache.spark.sql.types.StructType(
+        phys.fields ++ toAdd))
+    }
+  }
 
   /** A table exists when its creation COMMITTED. `createIfNotExists`
     * writes the schema sidecar last, so the sidecar is the commit
@@ -2698,7 +2938,7 @@ final class GraftTable(spark: SparkSession, val path: String,
       val schema = org.apache.spark.sql.types.DataType
         .fromJson(java.nio.file.Files.readString(schemaSidecar))
         .asInstanceOf[org.apache.spark.sql.types.StructType]
-      spark.read.schema(schema).parquet(path)
+      renameToLogical(spark.read.schema(schema).parquet(path))
     } else spark.read.parquet(path)
   }
 
@@ -3153,8 +3393,8 @@ final class GraftTable(spark: SparkSession, val path: String,
         joined.select(e.as(c)).schema.head.dataType, nullable = true)
     }
     if (newFields.nonEmpty)
-      evolveSidecar(sidecarSchemaOpt.getOrElse(
-        org.apache.spark.sql.types.StructType(tgt.schema.fields)), newFields)
+      evolveLogical(org.apache.spark.sql.types.StructType(tgt.schema.fields),
+        newFields)
     val tableCols = tgt.columns.toSeq ++ badAssign
     val typeOf = typeOf0 ++ newFields.map(f => f.name -> f.dataType)
     val isNew = badAssign.toSet

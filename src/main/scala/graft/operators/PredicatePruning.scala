@@ -156,6 +156,12 @@ object PredicatePruning {
         case _ => Seq.empty[Expression]
       }
     }.getOrElse(Seq.empty)
+      // mutation predicates speak LOGICAL column names; the stats/Bloom
+      // tiers are keyed by the PHYSICAL (in-file) names — translate
+      // (identity for unmapped tables; exprIds preserved)
+      .map(_.transform {
+        case a: AttributeReference => a.withName(gt.physicalName(a.name))
+      })
     val sets = resolved.flatMap(e => candidates(gt, e, v))
     if (sets.isEmpty) files
     else {

@@ -229,13 +229,30 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     * `dropCheck` — ADD validates the CURRENT rows first and throws
     * `CheckViolationException` without recording anything if they
     * violate; from then on every mutation that would commit a
-    * violating row aborts atomically (no version, no files). Every
-    * other change class (RENAME / DROP / type changes) stays rejected
-    * by design — they would reinterpret already-written files.
+    * violating row aborts atomically (no version, no files).
+    * `ALTER TABLE RENAME COLUMN / DROP COLUMN` are METADATA-ONLY via
+    * column mapping ([[graft.operators.GraftTable.columnMap]], the
+    * Delta shape): zero file rewrites, reads translate, key/partition/
+    * CHECK-referenced columns reject. Type changes stay rejected by
+    * design — they would reinterpret already-written files.
     */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val gt = open(ident)
     changes.collect {
+      // metadata-only column mapping (round 11, the Delta shape): zero
+      // file rewrites — reads translate, old files keep physical names,
+      // a re-added dropped name gets a fresh physical slot
+      case r: TableChange.RenameColumn =>
+        require(r.fieldNames.length == 1,
+          s"GraftCatalog: nested RENAME COLUMN (${r.fieldNames.mkString(".")}) " +
+            "is not supported")
+        gt.renameColumn(r.fieldNames.head, r.newName)
+      case d: TableChange.DeleteColumn =>
+        require(d.fieldNames.length == 1,
+          s"GraftCatalog: nested DROP COLUMN (${d.fieldNames.mkString(".")}) " +
+            "is not supported")
+        if (d.ifExists && !gt.read.schema.fieldNames.contains(d.fieldNames.head)) ()
+        else gt.dropColumn(d.fieldNames.head)
       case a: TableChange.AddConstraint => a.constraint() match {
         case ck: org.apache.spark.sql.connector.catalog.constraints.Check =>
           require(ck.predicateSql != null && ck.predicateSql.nonEmpty,
@@ -254,7 +271,9 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
         gt.dropCheck(d.name)
     }
     val adds = changes.filterNot(c => c.isInstanceOf[TableChange.AddConstraint]
-      || c.isInstanceOf[TableChange.DropConstraint]).map {
+      || c.isInstanceOf[TableChange.DropConstraint]
+      || c.isInstanceOf[TableChange.RenameColumn]
+      || c.isInstanceOf[TableChange.DeleteColumn]).map {
       case a: TableChange.AddColumn =>
         require(a.fieldNames.length == 1,
           s"GraftCatalog: nested ADD COLUMNS (${a.fieldNames.mkString(".")}) " +
@@ -271,9 +290,10 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
         org.apache.spark.sql.types.StructField(a.fieldNames.head, a.dataType,
           nullable = true)
       case other => throw new UnsupportedOperationException(
-        s"GraftCatalog: unsupported ALTER TABLE change $other — only ADD " +
-          "COLUMNS (nullable, top-level) and ADD/DROP CONSTRAINT … CHECK " +
-          "are supported; schema otherwise evolves on the write path")
+        s"GraftCatalog: unsupported ALTER TABLE change $other — supported: " +
+          "ADD COLUMNS (nullable, top-level), RENAME COLUMN, DROP COLUMN " +
+          "and ADD/DROP CONSTRAINT … CHECK; schema otherwise evolves on " +
+          "the write path")
     }
     if (adds.nonEmpty) gt.addColumns(adds)
     org.apache.spark.sql.graft.GraftSqlRead.table(spark, gt, gt.currentVersion)

@@ -340,6 +340,17 @@ object GraftRowLevelSql {
     * deletion-vector commit as any selective SQL DELETE, with the
     * subquery materialized once and semi-joined distributed.
     */
+  /** True when the SupportsDeleteV2 capability path can take the
+    * statement: every conjunct translates to the V2 filter language AND
+    * [[GraftSqlTable.deleteWhere]]'s own translation accepts it.
+    */
+  private[graft] def deletableByCapability(cond: Expression): Boolean =
+    graft.operators.PredicatePruning.splitConjuncts(cond).forall { c =>
+      org.apache.spark.sql.execution.datasources.v2.DataSourceV2Strategy
+        .translateFilterV2(c).exists(p =>
+          GraftSqlRead.predicateColumn(p).isDefined)
+    }
+
   def runDelete(spark: ClassicSession, d: DeleteFromTable): Unit = {
     val st = graftTarget(d.table).getOrElse(
       fail("DELETE target is not a graft table"))
@@ -386,11 +397,16 @@ object GraftRowLevelSqlStrategy extends SparkStrategy {
       GraftRowLevelExec(m) :: Nil
     case u: UpdateTable if GraftRowLevelSql.graftTarget(u.table).isDefined =>
       GraftRowLevelExec(u) :: Nil
-    // only SUBQUERY deletes: translatable predicates keep the
-    // SupportsDeleteV2 capability path (incl. its metadata-only tiers)
+    // fully-translatable predicates keep the SupportsDeleteV2
+    // capability path (incl. its metadata-only TRUNCATE/partition-drop
+    // tiers); the strategy claims what that path would REJECT —
+    // subqueries, and predicates the V2 filter language cannot express
+    // (`c % 3 = 0`, function calls, …), which run as the same
+    // deletion-vector commit through GraftTable.deleteWhereIn
     case d: DeleteFromTable
         if GraftRowLevelSql.graftTarget(d.table).isDefined &&
-          d.condition.exists(_.isInstanceOf[SubqueryExpression]) =>
+          (d.condition.exists(_.isInstanceOf[SubqueryExpression]) ||
+            !GraftRowLevelSql.deletableByCapability(d.condition)) =>
       GraftRowLevelExec(d) :: Nil
     case _ => Nil
   }

@@ -284,24 +284,43 @@ final class GraftScanBuilder(spark: SparkSession, gt: GraftTable,
     extends ScanBuilder with SupportsPushDownCatalystFilters
     with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
 
-  private val dataSchema = StructType(
-    tableSchema.fields.filterNot(_.name == gt.partitionCol))
-  // the file index needs the FULL schema (it types the partition dirs,
-  // incl. a synthetic table's hidden __gp); the scan builder gets the
-  // PUBLIC one, so readSchema never surfaces the hidden column
+  // COLUMN MAPPING boundary: the engine (and `tableSchema`) speaks
+  // LOGICAL names; files, pushed parquet filters and the zone-map/Bloom
+  // tiers speak PHYSICAL — the parquet machinery below is built over
+  // the physical rename (identity for unmapped tables), row output is
+  // positional, and [[GraftScan.readSchema]] renames back
+  private def physOf(s: StructType): StructType =
+    StructType(s.fields.map(f => f.copy(name = gt.physicalName(f.name))))
+  private def toPhys(e: Expression): Expression = e.transform {
+    case a: org.apache.spark.sql.catalyst.expressions.AttributeReference =>
+      a.withName(gt.physicalName(a.name))
+  }
+  private def toLogical(e: Expression): Expression = e.transform {
+    case a: org.apache.spark.sql.catalyst.expressions.AttributeReference =>
+      a.withName(gt.logicalName(a.name))
+  }
+  private val physTableSchema = physOf(tableSchema)
+  private val physDataSchema = StructType(
+    physTableSchema.fields.filterNot(_.name == gt.partitionCol))
+  // the file index needs the FULL physical schema (it types the
+  // partition dirs, incl. a synthetic table's hidden __gp); the scan
+  // builder gets the PUBLIC one, so readSchema never surfaces hidden
+  // columns
   private val fileIndex =
-    new GraftPrunedFileIndex(spark, gt, version, gt.read.schema)
-  private val inner = ParquetScanBuilder(spark, fileIndex, tableSchema,
-    dataSchema, GraftSqlRead.emptyOptions)
+    new GraftPrunedFileIndex(spark, gt, version, gt.physicalReadSchema)
+  private val inner = ParquetScanBuilder(spark, fileIndex, physTableSchema,
+    physDataSchema, GraftSqlRead.emptyOptions)
   private var prunedSchema: Option[StructType] = None
 
   override def pushFilters(filters: Seq[Expression]): Seq[Expression] =
-    inner.pushFilters(filters)
+    // residuals return in LOGICAL terms (exprIds are preserved either
+    // way — the engine binds by id; names keep plans readable)
+    inner.pushFilters(filters.map(toPhys)).map(toLogical)
   override def pushedFilters: Array[org.apache.spark.sql.connector.expressions.filter.Predicate] =
     inner.pushedFilters
   override def pruneColumns(requiredSchema: StructType): Unit = {
-    prunedSchema = Some(requiredSchema)
-    inner.pruneColumns(requiredSchema)
+    prunedSchema = Some(physOf(requiredSchema))
+    inner.pruneColumns(physOf(requiredSchema))
   }
   override def build(): Scan = {
     // versions with live deletion vectors subtract them inside the
@@ -313,8 +332,8 @@ final class GraftScanBuilder(spark: SparkSession, gt: GraftTable,
     // used as a micro-batch stream resolves its own per-batch vectors.
     lazy val dv = gt.dvPointersAt(version)
     lazy val clean = if (dv.isEmpty) None else Some {
-      val b = ParquetScanBuilder(spark, fileIndex, tableSchema,
-        dataSchema, GraftSqlRead.emptyOptions)
+      val b = ParquetScanBuilder(spark, fileIndex, physTableSchema,
+        physDataSchema, GraftSqlRead.emptyOptions)
       prunedSchema.foreach(b.pruneColumns)
       b.build()
     }
@@ -333,7 +352,9 @@ final class GraftScan(spark: SparkSession, gt: GraftTable,
                       dv: () => Map[String, String] = () => Map.empty)
     extends Scan
     with org.apache.spark.sql.connector.read.SupportsReportStatistics {
-  override def readSchema(): StructType = inner.readSchema()
+  // positional rename physical → logical (identity for unmapped tables)
+  override def readSchema(): StructType = StructType(
+    inner.readSchema().fields.map(f => f.copy(name = gt.logicalName(f.name))))
   override def toBatch: Batch = {
     val d = dv()
     cleanScan() match {
@@ -397,15 +418,20 @@ final class GraftMicroBatchStream(spark: SparkSession, gt: GraftTable,
   }
 
   private def scanFor(files: Seq[String]): Scan = {
-    // index over the FULL schema (types the partition dirs, incl. a
-    // synthetic table's hidden __gp); prune to the PUBLIC schema so the
-    // stream's rows match the table schema exactly
+    // index over the FULL PHYSICAL schema (types the partition dirs,
+    // incl. a synthetic table's hidden __gp; files carry physical
+    // names); prune to the PUBLIC schema's physical rename so the
+    // stream's rows match the table schema positionally
+    val physTable = StructType(
+      tableSchema.fields.map(f => f.copy(name = gt.physicalName(f.name))))
+    val physData = StructType(
+      physTable.fields.filterNot(_.name == gt.partitionCol))
     val fi = new InMemoryFileIndex(spark,
       files.map(f => new Path(s"${gt.path}/$f")),
-      Map("basePath" -> gt.path), Some(gt.read.schema))
-    val b = ParquetScanBuilder(spark, fi, tableSchema, dataSchema,
+      Map("basePath" -> gt.path), Some(gt.physicalReadSchema))
+    val b = ParquetScanBuilder(spark, fi, physTable, physData,
       GraftSqlRead.emptyOptions)
-    b.pruneColumns(tableSchema)
+    b.pruneColumns(physTable)
     b.build()
   }
 
