@@ -190,6 +190,24 @@ object GraftTable {
       Membership(Seq(column -> 0), frame)
   }
 
+  /** Widening lattice for METADATA-ONLY `ALTER COLUMN TYPE` — exactly
+    * the pairs Spark 4.1's parquet readers (vectorized AND row-based)
+    * serve over narrower file types, probed by
+    * [[graft.tools.WidenProbe]]: the integral up-chain and
+    * float → double. Zone-map canon tags are INVARIANT under these
+    * pairs (integral types share the 'l' tag, floating the 'd' tag),
+    * so the persisted stats/Bloom log stays valid unchanged.
+    */
+  val Widenings: Set[(org.apache.spark.sql.types.DataType,
+                      org.apache.spark.sql.types.DataType)] = {
+    import org.apache.spark.sql.types._
+    val ints = Seq[DataType](ByteType, ShortType, IntegerType, LongType)
+    (for {
+      (from, i) <- ints.zipWithIndex
+      to <- ints.drop(i + 1)
+    } yield from -> to).toSet + (FloatType -> (DoubleType: DataType))
+  }
+
   /** A persisted per-(file, column) Bloom filter with its geometry:
     * modulus = 64 × words.length bits, `k` hash probes.
     */
@@ -2518,19 +2536,25 @@ final class GraftTable(spark: SparkSession, val path: String,
         s"mutation rows must carry key/partition column '$c'"))
       val curByName = cur.fields.map(f => f.name -> f).toMap
       df.schema.fields.filter(f => curByName.contains(f.name)).foreach { f =>
-        require(curByName(f.name).dataType == f.dataType,
+        val tt = curByName(f.name).dataType
+        // exact match, or the input is NARROWER along the widening
+        // lattice (a table widened to BIGINT keeps accepting INT rows —
+        // the projection below up-casts)
+        require(tt == f.dataType ||
+          GraftTable.Widenings.contains(f.dataType -> tt),
           s"column '${f.name}' has type ${f.dataType.simpleString} but the " +
-            s"table stores ${curByName(f.name).dataType.simpleString} — " +
-            "no type evolution")
+            s"table stores ${tt.simpleString} — no type evolution")
       }
       val newFields = df.schema.fields.filterNot(f => curByName.contains(f.name))
         .map(f => org.apache.spark.sql.types.StructField(f.name, f.dataType,
           nullable = true))
       val evolved = evolveLogical(cur, newFields.toSeq)
-      val dfCols = df.columns.toSet
+      val inType = df.schema.fields.map(f => f.name -> f.dataType).toMap
       df.select(evolved.fields.toSeq.map(f =>
-        if (dfCols.contains(f.name)) col(f.name)
-        else lit(null).cast(f.dataType).as(f.name)): _*)
+        if (inType.contains(f.name)) {
+          if (inType(f.name) == f.dataType) col(f.name)
+          else col(f.name).cast(f.dataType).as(f.name)
+        } else lit(null).cast(f.dataType).as(f.name)): _*)
   }
 
   // ----------------------------------------------------- column mapping
@@ -2705,6 +2729,42 @@ final class GraftTable(spark: SparkSession, val path: String,
     writeColMap(m - name, h + m.getOrElse(name, name))
     this
   }
+
+  /** METADATA-ONLY TYPE WIDENING (`ALTER TABLE … ALTER COLUMN c TYPE
+    * t`): the declared schema widens along [[GraftTable.Widenings]]
+    * and every already-written file keeps its narrower physical type —
+    * Spark's parquet readers up-convert per file (probed both
+    * vectorized and row-based), zone maps stay valid (canon tags are
+    * invariant under the lattice), and new files land the wide type.
+    * Mutations may keep supplying the NARROWER type — [[conform]]
+    * up-casts along the same lattice. Partition-layout columns reject
+    * (directory values are parsed by the declared type — widening them
+    * is possible but gratuitous churn); anything off-lattice rejects
+    * (it would reinterpret already-written bytes).
+    */
+  def widenColumnType(name: String,
+                      to: org.apache.spark.sql.types.DataType): this.type =
+    withSidecarLock {
+      val phys = sidecarSchemaOpt.getOrElse(throw new IllegalArgumentException(
+        s"widenColumnType: table $path has no schema sidecar"))
+      val logical = toLogicalSchema(phys)
+      require(logical.fieldNames.contains(name),
+        s"widenColumnType: no column '$name' — columns: " +
+          logical.fieldNames.mkString(", "))
+      require(name != partitionCol && !partitionSrc.contains(name),
+        s"widenColumnType: '$name' drives the partition layout")
+      val p = physicalName(name)
+      val from = phys.fields(phys.fieldIndex(p)).dataType
+      if (from == to) return this
+      require(GraftTable.Widenings.contains(from -> to),
+        s"widenColumnType: ${from.simpleString} -> ${to.simpleString} is " +
+          "not a supported widening — supported: byte/short/int/long " +
+          "up-chain and float -> double (anything else would reinterpret " +
+          "already-written bytes)")
+      writeSchemaSidecar(org.apache.spark.sql.types.StructType(
+        phys.fields.map(f => if (f.name == p) f.copy(dataType = to) else f)))
+      this
+    }
 
   private def checksSidecar = java.nio.file.Paths.get(path, "_graft_checks.json")
 

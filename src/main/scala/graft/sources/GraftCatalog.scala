@@ -253,6 +253,14 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
             "is not supported")
         if (d.ifExists && !gt.read.schema.fieldNames.contains(d.fieldNames.head)) ()
         else gt.dropColumn(d.fieldNames.head)
+      // metadata-only TYPE WIDENING (round 11): the declared schema
+      // widens along the probed lattice, files keep their narrower
+      // physical type, the parquet readers up-convert per file
+      case u: TableChange.UpdateColumnType =>
+        require(u.fieldNames.length == 1,
+          s"GraftCatalog: nested ALTER COLUMN (${u.fieldNames.mkString(".")}) " +
+            "is not supported")
+        gt.widenColumnType(u.fieldNames.head, u.newDataType)
       case a: TableChange.AddConstraint => a.constraint() match {
         case ck: org.apache.spark.sql.connector.catalog.constraints.Check =>
           require(ck.predicateSql != null && ck.predicateSql.nonEmpty,
@@ -273,7 +281,8 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     val adds = changes.filterNot(c => c.isInstanceOf[TableChange.AddConstraint]
       || c.isInstanceOf[TableChange.DropConstraint]
       || c.isInstanceOf[TableChange.RenameColumn]
-      || c.isInstanceOf[TableChange.DeleteColumn]).map {
+      || c.isInstanceOf[TableChange.DeleteColumn]
+      || c.isInstanceOf[TableChange.UpdateColumnType]).map {
       case a: TableChange.AddColumn =>
         require(a.fieldNames.length == 1,
           s"GraftCatalog: nested ADD COLUMNS (${a.fieldNames.mkString(".")}) " +

@@ -155,6 +155,49 @@ class GraftColumnMapSpec extends SparkSpec {
       .asScala.toSet == Set("a" -> 100L, "z" -> 9L))
   }
 
+  test("ALTER COLUMN TYPE widening is metadata-only: old INT files read " +
+    "as BIGINT (filters + stats pruning exact), narrow INSERTs up-cast, " +
+    "off-lattice and partition columns reject") {
+    val (cat, root) = freshCatalog()
+    spark.sql(s"""CREATE TABLE $cat.db.t (day STRING, pk STRING, v INT)
+      PARTITIONED BY (day) TBLPROPERTIES ('keys'='pk', 'statsCols'='v')""")
+    spark.sql(s"""INSERT INTO $cat.db.t (day, pk, v)
+      SELECT 'd' || CAST(id % 2 AS STRING), 'p' || CAST(id AS STRING),
+        CAST(id AS INT)
+      FROM range(0, 50)""")
+    val t = new GraftTable(spark, s"$root/db/t", keys = Seq("pk"),
+      partitionCol = "day", statsCols = Seq("v"))
+    val before = dataFilesWithMtimes(t.path)
+    spark.sql(s"ALTER TABLE $cat.db.t ALTER COLUMN v TYPE BIGINT")
+    assert(dataFilesWithMtimes(t.path) == before,
+      "type widening must not touch any data file")
+    assert(spark.table(s"$cat.db.t").schema("v").dataType
+      == org.apache.spark.sql.types.LongType)
+    // a pushed filter over the NARROW old files answers exactly
+    assert(spark.sql(s"SELECT pk FROM $cat.db.t WHERE v = 7")
+      .as[String].collect().toSeq == Seq("p7"))
+    assert(spark.sql(s"SELECT sum(v) FROM $cat.db.t").as[Long].head()
+      == (0L until 50L).sum)
+    // stats pruning still keys off the same canon (integral 'l' tag)
+    assert(t.candidateFilesEquals("v", 7L).size < t.dataFileCount,
+      "widening broke zone-map pruning")
+    // a mutation supplying the NARROWER type up-casts (conform lattice)
+    t.append(Seq(("d1", "p100", 100)).toDF("day", "pk", "v"))
+    assert(spark.sql(s"SELECT v FROM $cat.db.t WHERE pk = 'p100'")
+      .as[Long].head() == 100L)
+    // off-lattice and partition-layout widenings reject
+    intercept[Exception](spark.sql(
+      s"ALTER TABLE $cat.db.t ALTER COLUMN v TYPE INT")) // narrowing
+    intercept[Exception](spark.sql(
+      s"ALTER TABLE $cat.db.t ALTER COLUMN v TYPE STRING"))
+    intercept[Exception](t.widenColumnType("day", org.apache.spark.sql
+      .types.LongType))
+    // compose with a rename: the widened, renamed column keeps working
+    spark.sql(s"ALTER TABLE $cat.db.t RENAME COLUMN v TO amount")
+    assert(spark.sql(s"SELECT amount FROM $cat.db.t WHERE pk = 'p100'")
+      .as[Long].head() == 100L)
+  }
+
   test("deletion vectors + column mapping compose: a DV delete after a " +
     "rename subtracts exactly, through SQL and Scala") {
     val (cat, root) = freshCatalog()
