@@ -1504,6 +1504,10 @@ object IngestQueries {
           val q = s.readStream.table(s"$cat.db.ua").writeStream
             .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
             .option("checkpointLocation", ckpt)
+            // VERIFICATION-HARNESS drain only (not a library operator):
+            // the collect is bounded by the AGGREGATE's size at sandbox
+            // SF — a production consumer would sink the batch, not
+            // collect it
             .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
               df.select("user_id", "n_events", "sum_cents", "pk").collect()
                 .foreach(r => acc.add((run, r.getLong(0), r.getLong(1),
@@ -1903,6 +1907,9 @@ object IngestQueries {
           val q = s.readStream.table(s"$cat.db.agg__changes").writeStream
             .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
             .option("checkpointLocation", s"$base/ckpt")
+            // VERIFICATION-HARNESS drain only (not a library operator):
+            // the collect is bounded by the CHANGE FEED's size at
+            // sandbox SF — a production consumer would sink the batch
             .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
               df.select("user_id", "n_events", "sum_cents", "pk", "_change_type")
                 .collect().foreach(r => acc.add((run, r.getLong(0), r.getLong(1),

@@ -406,9 +406,6 @@ final class GraftMicroBatchStream(spark: SparkSession, gt: GraftTable,
     extends MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
-  private val dataSchema = StructType(
-    tableSchema.fields.filterNot(_.name == gt.partitionCol))
-
   /** Trigger.AvailableNow contract: pin "available" at trigger time —
     * versions committed after this point wait for the next run.
     */
