@@ -2575,20 +2575,34 @@ final class GraftTable(spark: SparkSession, val path: String,
     * physical → logical) and [[writeCommitFiles]] (writes rename
     * logical → physical) speaks LOGICAL.
     */
+  // parse cache keyed by the sidecar's mtime: hot read paths (every
+  // readFiles, every scan-planning attribute translation) pay one
+  // exists() — and at most one stat() — per call instead of re-parsing;
+  // writeColMap's tmp+atomic-move always lands a fresh mtime. DDL is
+  // rare enough that millisecond mtime granularity is not a risk.
+  @volatile private var colMapCache
+      : (Long, (Map[String, String], Set[String])) = null
+
   def columnMap: (Map[String, String], Set[String]) =
     if (!java.nio.file.Files.exists(colMapSidecar)) (Map.empty, Set.empty)
     else {
-      val dec = (s: String) =>
-        new String(java.util.Base64.getDecoder.decode(s), "UTF-8")
-      val lines = java.nio.file.Files.readAllLines(colMapSidecar)
-        .toArray.toSeq.map(_.toString).filter(_.nonEmpty)
-      val m = lines.collect { case l if l.startsWith("m\t") =>
-        val Array(_, lo, ph) = l.split("\t", 3); dec(lo) -> dec(ph)
-      }.toMap
-      val h = lines.collect { case l if l.startsWith("h\t") =>
-        dec(l.split("\t", 2)(1))
-      }.toSet
-      (m, h)
+      val mt = java.nio.file.Files.getLastModifiedTime(colMapSidecar).toMillis
+      val cached = colMapCache
+      if (cached != null && cached._1 == mt) cached._2
+      else {
+        val dec = (s: String) =>
+          new String(java.util.Base64.getDecoder.decode(s), "UTF-8")
+        val lines = java.nio.file.Files.readAllLines(colMapSidecar)
+          .toArray.toSeq.map(_.toString).filter(_.nonEmpty)
+        val m = lines.collect { case l if l.startsWith("m\t") =>
+          val Array(_, lo, ph) = l.split("\t", 3); dec(lo) -> dec(ph)
+        }.toMap
+        val h = lines.collect { case l if l.startsWith("h\t") =>
+          dec(l.split("\t", 2)(1))
+        }.toSet
+        colMapCache = (mt, (m, h))
+        (m, h)
+      }
     }
 
   private def writeColMap(m: Map[String, String], h: Set[String]): Unit = {
@@ -2669,13 +2683,16 @@ final class GraftTable(spark: SparkSession, val path: String,
   }
 
   /** Columns a CHECK constraint references (rename/drop must not
-    * silently break a stored predicate).
+    * silently break a stored predicate) — matched CASE-INSENSITIVELY
+    * on the LAST name part, since Spark resolves CHECK predicates
+    * case-insensitively and qualified (`t.v`) references resolve to
+    * the bare column.
     */
   private def checkReferences: Map[String, Seq[String]] =
     checks.map { case (n, e) =>
       n -> scala.util.Try(spark.sessionState.sqlParser.parseExpression(e)
         .collect { case u: org.apache.spark.sql.catalyst.analysis
-          .UnresolvedAttribute => u.name }.distinct)
+          .UnresolvedAttribute => u.nameParts.last.toLowerCase }.distinct)
         .getOrElse(Seq.empty)
     }
 
@@ -2686,7 +2703,8 @@ final class GraftTable(spark: SparkSession, val path: String,
     require(name != partitionCol && !partitionSrc.contains(name),
       s"$op: '$name' drives the partition layout and cannot be renamed " +
         "or dropped")
-    val broken = checkReferences.filter(_._2.contains(name)).keys.toSeq.sorted
+    val broken = checkReferences
+      .filter(_._2.contains(name.toLowerCase)).keys.toSeq.sorted
     require(broken.isEmpty,
       s"$op: '$name' is referenced by CHECK constraint(s) " +
         s"${broken.mkString(", ")} — drop them first")
@@ -2964,10 +2982,16 @@ final class GraftTable(spark: SparkSession, val path: String,
             if (p != f.name) m2 += (f.name -> p)
         }
       }
+      // MAP FIRST, schema second: a crash (or concurrent reader)
+      // between the two writes must never surface a fresh physical
+      // slot under its raw name — a dangling map entry over a
+      // not-yet-existing physical field is invisible (toLogicalSchema
+      // renames only fields present), while the reverse order would
+      // expose a phantom `<name>_r<nonce>` column
+      if (m2 != m) writeColMap(m2, h)
       if (toAdd.nonEmpty)
         writeSchemaSidecar(org.apache.spark.sql.types.StructType(
           phys.fields ++ toAdd))
-      if (m2 != m) writeColMap(m2, h)
       toLogicalSchema(org.apache.spark.sql.types.StructType(
         phys.fields ++ toAdd))
     }
@@ -3096,8 +3120,14 @@ final class GraftTable(spark: SparkSession, val path: String,
   def appendBatch(appId: String, batchId: Long, rows: DataFrame): Boolean = {
     val base = ensureBaselineVersion()
     if (batchId <= txnState(base).getOrElse(b64e(appId), -1L)) return false
+    // NO blind retry: the txnState probe above IS a read, so a lost OCC
+    // race must RE-ENTER the whole mutation (the winner may have been a
+    // replay of THIS very epoch — a zombie instance of the same query).
+    // Conflicts propagate like mergeBatch/upsertReplaceBatch; callers
+    // wrap in [[GraftTable.retryOnConflict]], whose re-entry re-reads
+    // the txn state and skips if the epoch landed.
     commitRewrite(conform(rows), Seq.empty, base,
-      markers = Seq(s"#txn:${b64e(appId)}:$batchId"), blindRetry = true)
+      markers = Seq(s"#txn:${b64e(appId)}:$batchId"))
     true
   }
 

@@ -131,38 +131,99 @@ object GraftRowLevelSql {
         fail(s"the IN subquery in $where must select exactly one column")
       (tgtN(a.exprId) -> 0) +: pairsOf(lq.joinCond, lq.plan.output)
     }
-    def frame(p: LogicalPlan) = Dataset.ofRows(spark, p).toDF()
-    val mems = subs.map {
+    // materialize each subquery plan ONCE: the membership machinery
+    // consumes a frame up to 4x (discovery filter, null-edge aggregate,
+    // group + value-hit marker joins) — a LAZY local checkpoint caches
+    // on first use without paying a job when discovery short-circuits
+    def frame(p: LogicalPlan) =
+      Dataset.ofRows(spark, p).toDF().localCheckpoint(false)
+    // RewriteNonCorrelatedExists's shape, matched STRUCTURALLY (the
+    // optimizer reshuffles the rewrite's Limit(1, Project(lit)) —
+    // limit pushdown, project collapse): a LIMIT 1 somewhere, a
+    // single CONSTANT output column, and NO aggregate. Anything else —
+    // in particular a user-written `(SELECT max(v) FROM s) IS NULL`,
+    // whose aggregate always returns one row so non-emptiness would be
+    // the WRONG reading — is NOT a probe. (A user's literal
+    // `(SELECT 1 FROM s LIMIT 1) IS NULL` matches, and non-emptiness
+    // IS its exact semantics.)
+    def isExistsProbe(sc: ScalarSubquery): Boolean =
+      sc.outerAttrs.isEmpty && sc.plan.output.size == 1 && {
+        val hasLimit1 = sc.plan.exists {
+          case GlobalLimit(Literal(1, _), _) => true
+          case LocalLimit(Literal(1, _), _) => true
+          case _ => false
+        }
+        val constOutput = sc.plan.exists {
+          case p: Project => p.projectList.size == 1 && p.projectList.forall {
+            case Alias(_: Literal, _) => true
+            case _: Literal => true
+            case _ => false
+          }
+          case _ => false
+        }
+        val noAgg = !sc.plan.exists(_.isInstanceOf[Aggregate])
+        hasLimit1 && constOutput && noAgg
+      }
+    // when the optimizer FULLY FOLDED the scalar subquery to a leaf
+    // LocalRelation (local views: ConvertToLocalRelation collapses the
+    // probe's Limit(1, Project(lit)) — and a user's constant-foldable
+    // scalar too), the null test is EXACTLY evaluable driver-side:
+    // <= 1 row materialized, `IS NULL` = no row or a null head value.
+    // More than one row is the scalar subquery's runtime error — not
+    // ours to swallow, falls through to the loud rejection.
+    def localScalarIsNull(sc: ScalarSubquery): Option[Boolean] =
+      sc.plan match {
+        case lr: LocalRelation if sc.outerAttrs.isEmpty &&
+            lr.output.size == 1 && lr.data.length <= 1 =>
+          Some(lr.data.isEmpty || lr.data.head.isNullAt(0))
+        case _ => None
+      }
+    val parts: Seq[Either[Column, GraftTable.Membership]] = subs.map {
       case InSubquery(Seq(a: AttributeReference), lq: ListQuery) =>
-        GraftTable.Membership(inPairs(a, lq), frame(lq.plan))
+        scala.Right(GraftTable.Membership(inPairs(a, lq), frame(lq.plan)))
       case Not(InSubquery(Seq(a: AttributeReference), lq: ListQuery)) =>
-        GraftTable.Membership(inPairs(a, lq), frame(lq.plan),
-          negated = true, nullAware = true)
+        scala.Right(GraftTable.Membership(inPairs(a, lq), frame(lq.plan),
+          negated = true, nullAware = true))
       case ex: Exists =>
         checkPulled(ex.outerAttrs, ex.joinCond)
-        GraftTable.Membership(pairsOf(ex.joinCond, ex.plan.output), frame(ex.plan))
+        scala.Right(GraftTable.Membership(pairsOf(ex.joinCond, ex.plan.output),
+          frame(ex.plan)))
       case Not(ex: Exists) =>
         checkPulled(ex.outerAttrs, ex.joinCond)
-        GraftTable.Membership(pairsOf(ex.joinCond, ex.plan.output), frame(ex.plan),
-          negated = true)
+        scala.Right(GraftTable.Membership(pairsOf(ex.joinCond, ex.plan.output),
+          frame(ex.plan), negated = true))
+      // scalar null tests over a FULLY-FOLDED subquery (leaf
+      // LocalRelation, <= 1 row — local views and constant-foldable
+      // scalars): exactly evaluable right here, as a constant conjunct
+      case IsNull(sc: ScalarSubquery) if localScalarIsNull(sc).isDefined =>
+        scala.Left(lit(localScalarIsNull(sc).get))
+      case IsNotNull(sc: ScalarSubquery) if localScalarIsNull(sc).isDefined =>
+        scala.Left(lit(!localScalarIsNull(sc).get))
+      case Not(IsNotNull(sc: ScalarSubquery))
+          if localScalarIsNull(sc).isDefined =>
+        scala.Left(lit(localScalarIsNull(sc).get))
       // the optimizer's RewriteNonCorrelatedExists turns an
       // UNCORRELATED [NOT] EXISTS into `scalarsubquery(limit 1) IS
-      // [NOT] NULL` before the strategy sees it — a pure
-      // non-emptiness probe
-      case IsNotNull(sc: ScalarSubquery) if sc.outerAttrs.isEmpty =>
-        GraftTable.Membership(Nil, frame(sc.plan))
-      case IsNull(sc: ScalarSubquery) if sc.outerAttrs.isEmpty =>
-        GraftTable.Membership(Nil, frame(sc.plan), negated = true)
-      case Not(IsNotNull(sc: ScalarSubquery)) if sc.outerAttrs.isEmpty =>
-        GraftTable.Membership(Nil, frame(sc.plan), negated = true)
+      // [NOT] NULL` — a pure non-emptiness probe, matched by SHAPE so a
+      // USER-written scalar null test like `(SELECT max(v) FROM s) IS
+      // NULL` (aggregate ⇒ always one row ⇒ non-emptiness is the WRONG
+      // reading) falls through to the loud rejection instead of
+      // silently misreading
+      case IsNotNull(sc: ScalarSubquery) if isExistsProbe(sc) =>
+        scala.Right(GraftTable.Membership(Nil, frame(sc.plan)))
+      case IsNull(sc: ScalarSubquery) if isExistsProbe(sc) =>
+        scala.Right(GraftTable.Membership(Nil, frame(sc.plan), negated = true))
+      case Not(IsNotNull(sc: ScalarSubquery)) if isExistsProbe(sc) =>
+        scala.Right(GraftTable.Membership(Nil, frame(sc.plan), negated = true))
       case other => fail(s"unsupported subquery conjunct in $where: " +
         s"${other.sql} — supported: <target column> [NOT] IN " +
         "(<single-column subquery>) and [NOT] EXISTS (<subquery>), " +
         "correlated by <target column> = <subquery column> equalities")
     }
-    val residual = plain.map(remap(_, tgtN, none, where))
+    val residual = (plain.map(remap(_, tgtN, none, where)) ++
+      parts.collect { case scala.Left(c) => c })
       .reduceOption(_ && _).getOrElse(lit(true))
-    (residual, mems)
+    (residual, parts.collect { case scala.Right(m) => m })
   }
 
   /** Remap attribute references to the name space of

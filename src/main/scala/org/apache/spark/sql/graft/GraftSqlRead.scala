@@ -288,16 +288,22 @@ final class GraftScanBuilder(spark: SparkSession, gt: GraftTable,
   // LOGICAL names; files, pushed parquet filters and the zone-map/Bloom
   // tiers speak PHYSICAL — the parquet machinery below is built over
   // the physical rename (identity for unmapped tables), row output is
-  // positional, and [[GraftScan.readSchema]] renames back
+  // positional, and [[GraftScan.readSchema]] renames back. ONE map
+  // SNAPSHOT per builder: a concurrent rename landing mid-planning can
+  // never produce a torn translation (filters under the old map, output
+  // renamed under the new).
+  private val (logToPhys, _) = gt.columnMap
+  private val physToLog = logToPhys.map(_.swap)
+  private def physName(n: String): String = logToPhys.getOrElse(n, n)
   private def physOf(s: StructType): StructType =
-    StructType(s.fields.map(f => f.copy(name = gt.physicalName(f.name))))
+    StructType(s.fields.map(f => f.copy(name = physName(f.name))))
   private def toPhys(e: Expression): Expression = e.transform {
     case a: org.apache.spark.sql.catalyst.expressions.AttributeReference =>
-      a.withName(gt.physicalName(a.name))
+      a.withName(physName(a.name))
   }
   private def toLogical(e: Expression): Expression = e.transform {
     case a: org.apache.spark.sql.catalyst.expressions.AttributeReference =>
-      a.withName(gt.logicalName(a.name))
+      a.withName(physToLog.getOrElse(a.name, a.name))
   }
   private val physTableSchema = physOf(tableSchema)
   private val physDataSchema = StructType(
@@ -338,7 +344,7 @@ final class GraftScanBuilder(spark: SparkSession, gt: GraftTable,
       b.build()
     }
     new GraftScan(spark, gt, tableSchema, inner.build(), ignoreDeletes,
-      () => clean, () => dv)
+      () => clean, () => dv, physToLog)
   }
 }
 
@@ -349,12 +355,15 @@ final class GraftScan(spark: SparkSession, gt: GraftTable,
                       tableSchema: StructType, inner: Scan,
                       ignoreDeletes: Boolean = false,
                       cleanScan: () => Option[Scan] = () => None,
-                      dv: () => Map[String, String] = () => Map.empty)
+                      dv: () => Map[String, String] = () => Map.empty,
+                      physToLog: Map[String, String] = Map.empty)
     extends Scan
     with org.apache.spark.sql.connector.read.SupportsReportStatistics {
-  // positional rename physical → logical (identity for unmapped tables)
+  // positional rename physical → logical (identity for unmapped
+  // tables; the builder's ONE map snapshot — never re-read mid-plan)
   override def readSchema(): StructType = StructType(
-    inner.readSchema().fields.map(f => f.copy(name = gt.logicalName(f.name))))
+    inner.readSchema().fields.map(f =>
+      f.copy(name = physToLog.getOrElse(f.name, f.name))))
   override def toBatch: Batch = {
     val d = dv()
     cleanScan() match {

@@ -73,8 +73,14 @@ final class GraftStreamingWrite(spark: SparkSession, gt: GraftTable,
     }.flatten.toSeq
     if (files.nonEmpty) {
       val frame = spark.read.schema(inputSchema).parquet(files: _*)
-      // a replayed epoch (<= the recorded txn id) skips — exactly-once
-      gt.appendBatch(s"stream:$queryId", epochId, frame)
+      // a replayed epoch (<= the recorded txn id) skips — exactly-once.
+      // retryOnConflict re-ENTERS on a lost OCC race, so a conflicting
+      // winner that was a replay of this very epoch (a zombie instance
+      // of the same query) is seen by the re-read txn state and skipped
+      // rather than double-applied.
+      GraftTable.retryOnConflict() {
+        gt.appendBatch(s"stream:$queryId", epochId, frame)
+      }
       ()
     }
     graft.operators.Fs.deleteTree(epochDir(epochId))

@@ -252,6 +252,12 @@ class GraftMergeSqlSpec extends SparkSpec {
     val e1 = intercept[Exception](spark.sql(
       s"DELETE FROM $cat.db.t WHERE n = (SELECT max(n) FROM $cat.db.t)"))
     assert(e1.getMessage.toLowerCase.contains("subquer"), e1.getMessage)
+    // a USER-written scalar null test must NOT be misread as the
+    // optimizer's uncorrelated-EXISTS probe (same IsNull(ScalarSubquery)
+    // surface, entirely different semantics — the shape check guards it)
+    val e2 = intercept[Exception](spark.sql(
+      s"DELETE FROM $cat.db.t WHERE (SELECT max(k) FROM msql_delkeys) IS NULL"))
+    assert(e2.getMessage.toLowerCase.contains("subquer"), e2.getMessage)
     assert(t.currentVersion == v, "a rejected DELETE must not commit")
   }
 
