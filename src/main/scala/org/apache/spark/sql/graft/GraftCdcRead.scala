@@ -69,7 +69,18 @@ final class GraftCdcTable(spark: SparkSession, gt: GraftTable,
     else java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_READ)
 
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    // streaming option (Delta readChangeFeed parity, our
+    // exclusive-anchor convention): .option("startingVersion", v)
+    // starts the CHANGE stream at "every change since v" instead of
+    // the fresh-checkpoint snapshot-as-inserts
+    val startingVersion = Option(options.get("startingVersion")).map { raw =>
+      val v = scala.util.Try(raw.trim.toLong).getOrElse(
+        throw new IllegalArgumentException(
+          s"startingVersion must be a version number, got '$raw'"))
+      require(v >= 0, s"startingVersion must be >= 0, got $v")
+      v
+    }
     new ScanBuilder {
       override def build(): Scan = new Scan {
         override def readSchema(): StructType = cdcSchema
@@ -144,9 +155,10 @@ final class GraftCdcTable(spark: SparkSession, gt: GraftTable,
           case None => throw new IllegalStateException("unreachable")
         }
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-          new GraftCdcMicroBatchStream(spark, gt, cdcSchema)
+          new GraftCdcMicroBatchStream(spark, gt, cdcSchema, startingVersion)
       }
     }
+  }
 }
 
 object GraftCdcMicroBatchStream {
@@ -160,7 +172,8 @@ object GraftCdcMicroBatchStream {
 }
 
 final class GraftCdcMicroBatchStream(spark: SparkSession, gt: GraftTable,
-                                     cdcSchema: StructType)
+                                     cdcSchema: StructType,
+                                     startingVersion: Option[Long] = None)
     extends MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
@@ -174,7 +187,11 @@ final class GraftCdcMicroBatchStream(spark: SparkSession, gt: GraftTable,
   override def latestOffset(start: Offset,
       limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset =
     latestOffset()
-  override def initialOffset(): Offset = GraftOffset(0L)
+  // fresh checkpoint: snapshot-as-inserts (offset 0) or
+  // .option("startingVersion", v) — every change SINCE v (exclusive,
+  // like the batch `VERSION AS OF v` anchor)
+  override def initialOffset(): Offset =
+    GraftOffset(startingVersion.getOrElse(0L))
   override def deserializeOffset(json: String): Offset =
     GraftOffset(json.trim.toLong)
 

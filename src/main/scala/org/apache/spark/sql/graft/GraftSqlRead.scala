@@ -269,9 +269,23 @@ final class GraftSqlTable(spark: SparkSession, val gt: GraftTable,
     ()
   }
 
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    // streaming option (Delta parity, our exclusive-anchor convention):
+    // .option("startingVersion", v) starts the STREAM at commit version
+    // v — the first batch emits what entered the live set AFTER v (the
+    // same "every change since v" anchor as `t__changes VERSION AS OF
+    // v`), instead of the fresh-checkpoint full snapshot
+    val startingVersion = Option(options.get("startingVersion")).map { raw =>
+      val v = scala.util.Try(raw.trim.toLong).getOrElse(
+        throw new IllegalArgumentException(
+          s"startingVersion must be a version number, got '$raw'"))
+      require(v >= 0, s"startingVersion must be >= 0, got $v")
+      v
+    }
     new GraftScanBuilder(spark, gt, pinnedVersion, tableSchema,
-      ignoreDeletes = options.getBoolean("ignoreDeletes", false))
+      ignoreDeletes = options.getBoolean("ignoreDeletes", false),
+      startingVersion = startingVersion)
+  }
 }
 
 /** Delegates the entire pushdown protocol to Spark's parquet scan
@@ -280,7 +294,8 @@ final class GraftSqlTable(spark: SparkSession, val gt: GraftTable,
   */
 final class GraftScanBuilder(spark: SparkSession, gt: GraftTable,
                              version: Long, tableSchema: StructType,
-                             ignoreDeletes: Boolean = false)
+                             ignoreDeletes: Boolean = false,
+                             startingVersion: Option[Long] = None)
     extends ScanBuilder with SupportsPushDownCatalystFilters
     with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
 
@@ -344,7 +359,7 @@ final class GraftScanBuilder(spark: SparkSession, gt: GraftTable,
       b.build()
     }
     new GraftScan(spark, gt, tableSchema, inner.build(), ignoreDeletes,
-      () => clean, () => dv, physToLog)
+      () => clean, () => dv, physToLog, startingVersion)
   }
 }
 
@@ -356,7 +371,8 @@ final class GraftScan(spark: SparkSession, gt: GraftTable,
                       ignoreDeletes: Boolean = false,
                       cleanScan: () => Option[Scan] = () => None,
                       dv: () => Map[String, String] = () => Map.empty,
-                      physToLog: Map[String, String] = Map.empty)
+                      physToLog: Map[String, String] = Map.empty,
+                      startingVersion: Option[Long] = None)
     extends Scan
     with org.apache.spark.sql.connector.read.SupportsReportStatistics {
   // positional rename physical → logical (identity for unmapped
@@ -373,7 +389,8 @@ final class GraftScan(spark: SparkSession, gt: GraftTable,
   }
   override def description(): String = s"GraftScan(${gt.path}) -> ${inner.description()}"
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new GraftMicroBatchStream(spark, gt, tableSchema, ignoreDeletes)
+    new GraftMicroBatchStream(spark, gt, tableSchema, ignoreDeletes,
+      startingVersion)
 
   /** Size/row statistics forwarded from the parquet scan (post-pruning
     * file sizes) — without this, the wrapper would hide the estimate
@@ -411,7 +428,8 @@ final case class GraftOffset(v: Long) extends Offset {
   */
 final class GraftMicroBatchStream(spark: SparkSession, gt: GraftTable,
                                   tableSchema: StructType,
-                                  ignoreDeletes: Boolean = false)
+                                  ignoreDeletes: Boolean = false,
+                                  startingVersion: Option[Long] = None)
     extends MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
@@ -451,7 +469,11 @@ final class GraftMicroBatchStream(spark: SparkSession, gt: GraftTable,
   override def latestOffset(start: Offset,
       limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset =
     latestOffset()
-  override def initialOffset(): Offset = GraftOffset(0L)
+  // a fresh checkpoint starts at the full snapshot (offset 0), or at
+  // .option("startingVersion", v) — "every change since v", the
+  // exclusive anchor the batch `t__changes VERSION AS OF v` read uses
+  override def initialOffset(): Offset =
+    GraftOffset(startingVersion.getOrElse(0L))
   override def deserializeOffset(json: String): Offset =
     GraftOffset(json.trim.toLong)
 

@@ -833,6 +833,54 @@ class GraftCatalogSpec extends SparkSpec {
         assert(procs.contains(p), s"SHOW PROCEDURES missing $p:\n$procs"))
   }
 
+  test("startingVersion streams: a plain table stream anchored at v " +
+    "emits only post-v files; the __changes stream emits exactly " +
+    "readChangesRowsSince(v); 0/absent keeps the snapshot convention") {
+    val (cat, root) = freshCatalog()
+    val t = seed(root)
+    t.importOnce(Seq(("d1", "p", "r1", 1L), ("d2", "p", "r2", 2L))
+      .toDF("day", "pk", "rk", "n"))
+    val v1 = t.currentVersion
+    t.upsertReplace(Seq(("d1", "p", "r1", 10L), ("d3", "p", "r3", 3L))
+      .toDF("day", "pk", "rk", "n"))
+    def drain(reader: org.apache.spark.sql.streaming.DataStreamReader,
+              table: String, cols: Seq[String]): Set[Seq[Any]] = {
+      val acc = new java.util.concurrent.ConcurrentLinkedQueue[Seq[Any]]()
+      val q = reader.table(table).writeStream
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation",
+          Files.createTempDirectory("graft_sv").toString)
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          df.select(cols.map(org.apache.spark.sql.functions.col): _*)
+            .collect().foreach(r => acc.add(r.toSeq)); ()
+        }.start()
+      q.awaitTermination(60000)
+      assert(!q.isActive)
+      scala.jdk.CollectionConverters.CollectionHasAsScala(acc).asScala.toSet
+    }
+    // plain stream anchored at v1: only the post-v1 files (the d1
+    // rewrite's post-state + d3's new file), never r2's untouched d2
+    val anchored = drain(
+      spark.readStream.option("startingVersion", v1.toString),
+      s"$cat.db.t", Seq("rk", "n"))
+    assert(anchored == Set(Seq("r1", 10L), Seq("r3", 3L)),
+      s"anchored stream emitted $anchored")
+    // changes stream anchored at v1 ≡ the row-level feed since v1
+    val changed = drain(
+      spark.readStream.option("startingVersion", v1.toString),
+      s"$cat.db.t__changes", Seq("rk", "n", "_change_type"))
+    val expect = t.readChangesRowsSince(v1)
+      .select("rk", "n", "_change_type").collect().map(_.toSeq).toSet
+    assert(changed == expect, s"changes stream: $changed vs $expect")
+    // absent option keeps the full-snapshot convention
+    val snap = drain(spark.readStream, s"$cat.db.t", Seq("rk", "n"))
+    assert(snap == Set(Seq("r1", 10L), Seq("r2", 2L), Seq("r3", 3L)))
+    // a malformed anchor rejects loudly
+    intercept[Exception](drain(
+      spark.readStream.option("startingVersion", "-3"),
+      s"$cat.db.t", Seq("rk", "n")))
+  }
+
   test("native streaming write: writeStream.toTable appends epochs " +
     "exactly-once; a same-checkpoint restart processes only new input; " +
     "a replayed epoch skips; staging reclaims") {
