@@ -181,6 +181,33 @@ final class GraftSqlTable(spark: SparkSession, val gt: GraftTable,
   // no dots/backticks: some engine paths parse the name as an attribute
   override def name: String =
     s"graft:${gt.path.replace('.', '_')}@v$pinnedVersion"
+
+  /** `SHOW TBLPROPERTIES` / `DESCRIBE TABLE EXTENDED` surface: the
+    * table's configuration (keys, stats/Bloom columns, partition
+    * layout), its CHECK constraints, the column-mapping state and the
+    * pinned version — all metadata-only reads.
+    */
+  override def properties(): java.util.Map[String, String] = {
+    val m = new java.util.LinkedHashMap[String, String]()
+    m.put("keys", gt.keys.mkString(","))
+    if (gt.partitionCol == GraftTable.SyntheticPartition)
+      m.put("partitioning",
+        if (gt.partitionSrc.isEmpty) "unpartitioned"
+        else s"synthetic(${gt.partitionSrc.mkString(",")})")
+    else m.put("partitioning", gt.partitionCol)
+    if (gt.statsCols.nonEmpty) m.put("statsCols", gt.statsCols.mkString(","))
+    if (gt.bloomCols.nonEmpty) m.put("bloomCols", gt.bloomCols.mkString(","))
+    m.put("version", pinnedVersion.toString)
+    gt.checks.toSeq.sortBy(_._1).foreach { case (n, p) =>
+      m.put(s"check.$n", p)
+    }
+    val (cmap, hidden) = gt.columnMap
+    if (cmap.nonEmpty) m.put("columnMapping",
+      cmap.toSeq.sortBy(_._1).map { case (l, p) => s"$l->$p" }.mkString(","))
+    if (hidden.nonEmpty) m.put("droppedPhysicalColumns",
+      hidden.toSeq.sorted.mkString(","))
+    m
+  }
   override def schema: StructType = tableSchema
   override def partitioning: Array[Transform] =
     if (gt.partitionCol == GraftTable.SyntheticPartition)

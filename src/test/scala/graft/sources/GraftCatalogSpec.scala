@@ -833,6 +833,21 @@ class GraftCatalogSpec extends SparkSpec {
         assert(procs.contains(p), s"SHOW PROCEDURES missing $p:\n$procs"))
   }
 
+  test("SHOW TBLPROPERTIES surfaces the table configuration, CHECK " +
+    "constraints and column-mapping state — metadata only") {
+    val (cat, root) = freshCatalog()
+    val t = seed(root)
+    t.importOnce(Seq(("d1", "p", "r1", 1L)).toDF("day", "pk", "rk", "n"))
+    spark.sql(s"ALTER TABLE $cat.db.t RENAME COLUMN n TO cnt")
+    spark.sql(s"ALTER TABLE $cat.db.t ADD CONSTRAINT posn CHECK (cnt >= 0)")
+    val props = spark.sql(s"SHOW TBLPROPERTIES $cat.db.t").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props.get("keys").contains("pk,rk"), props.toString)
+    assert(props.get("partitioning").contains("day"))
+    assert(props.get("check.posn").exists(_.contains(">= 0")), props.toString)
+    assert(props.get("columnMapping").contains("cnt->n"))
+  }
+
   test("startingVersion streams: a plain table stream anchored at v " +
     "emits only post-v files; the __changes stream emits exactly " +
     "readChangesRowsSince(v); 0/absent keeps the snapshot convention") {
