@@ -61,8 +61,17 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     */
   override def capabilities()
       : java.util.Set[org.apache.spark.sql.connector.catalog.TableCatalogCapability] =
-    java.util.EnumSet.of(org.apache.spark.sql.connector.catalog
-      .TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT)
+    java.util.EnumSet.of(
+      org.apache.spark.sql.connector.catalog
+        .TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT,
+      // column DEFAULT values: the analyzer stores the default in the
+      // column metadata (CURRENT_DEFAULT/EXISTS_DEFAULT) and fills
+      // omitted INSERT columns; the schema sidecar persists the
+      // metadata verbatim (StructType.json), so defaults survive
+      // restarts — CREATE TABLE-time only (ALTER ADD COLUMN keeps the
+      // nullable-null contract: existing rows project null)
+      org.apache.spark.sql.connector.catalog
+        .TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
 
   private def spark = SparkSession.active
 

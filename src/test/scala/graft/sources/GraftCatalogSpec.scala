@@ -833,6 +833,25 @@ class GraftCatalogSpec extends SparkSpec {
         assert(procs.contains(p), s"SHOW PROCEDURES missing $p:\n$procs"))
   }
 
+  test("column DEFAULT values: CREATE TABLE … DEFAULT fills omitted " +
+    "INSERT columns; defaults survive the sidecar round-trip; " +
+    "explicit DEFAULT keyword works") {
+    val (cat, _) = freshCatalog()
+    spark.sql(s"""CREATE TABLE $cat.db.dv (day STRING, pk STRING,
+        n BIGINT DEFAULT 42, tag STRING DEFAULT 'none')
+      PARTITIONED BY (day) TBLPROPERTIES ('keys'='pk')""")
+    spark.sql(s"INSERT INTO $cat.db.dv (day, pk) VALUES ('d1', 'a')")
+    spark.sql(s"INSERT INTO $cat.db.dv (day, pk, n) VALUES ('d1', 'b', 7)")
+    // explicit column list (positional INSERTs on partitioned v2
+    // tables take data-columns-then-partition order — the known trap)
+    spark.sql(s"INSERT INTO $cat.db.dv (day, pk, n, tag) " +
+      "VALUES ('d2', 'c', DEFAULT, 'x')")
+    val got = spark.sql(s"SELECT pk, n, tag FROM $cat.db.dv").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+    assert(got == Set(("a", 42L, "none"), ("b", 7L, "none"),
+      ("c", 42L, "x")), got.toString)
+  }
+
   test("SHOW TBLPROPERTIES surfaces the table configuration, CHECK " +
     "constraints and column-mapping state — metadata only") {
     val (cat, root) = freshCatalog()
