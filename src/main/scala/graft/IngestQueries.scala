@@ -2588,6 +2588,64 @@ object IngestQueries {
             user_id, pk
           FROM t0)
         SELECT event_id, amount, user_id, pk FROM t1
-        WHERE NOT (amount % 7 = 0)"""))
+        WHERE NOT (amount % 7 = 0)""")),
+
+    // SCHEMA-LIFECYCLE CAPSTONE (round 11): column DEFAULT values +
+    // metadata-only TYPE WIDENING + RENAME in one SQL ladder. The
+    // first insert OMITS the defaulted column (the analyzer fills
+    // 'std'); the INT column then widens to BIGINT (files keep INT32 —
+    // the readers up-convert) and renames; the second insert lands
+    // values ABOVE Int.MaxValue under the new name — only possible
+    // because the widen is real — and an UPDATE flips the defaulted
+    // column on a modulo of the widened one. Oracle: replay; a missed
+    // default, a broken widen read or a half-applied rename breaks the
+    // hash.
+    QuerySpec("q253_sql_schema_lifecycle",
+      (s, dir) => {
+        GraftSession.tune(s)
+        val base = java.nio.file.Files.createTempDirectory("graft_q253_").toString
+        Tables.events(s, dir).createOrReplaceTempView("q253_events")
+        val cat = s"gcat_${java.util.UUID.randomUUID().toString.take(8)}"
+          .replace("-", "_")
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.root", base)
+        s.sql(s"""CREATE TABLE $cat.db.sl (
+            event_id BIGINT, user_id BIGINT, cents INT,
+            grade STRING DEFAULT 'std', pk BIGINT)
+          PARTITIONED BY (pk)
+          TBLPROPERTIES ('keys'='event_id', 'statsCols'='cents')""")
+        s.sql(s"""INSERT INTO $cat.db.sl (event_id, user_id, cents, pk)
+          SELECT event_id, user_id, CAST(user_id % 1000 AS INT),
+            user_id % 4
+          FROM q253_events WHERE event_id % 2 = 0""") // grade -> 'std'
+        s.sql(s"ALTER TABLE $cat.db.sl ALTER COLUMN cents TYPE BIGINT")
+        s.sql(s"ALTER TABLE $cat.db.sl RENAME COLUMN cents TO amount")
+        s.sql(s"""INSERT INTO $cat.db.sl (event_id, user_id, amount, grade, pk)
+          SELECT event_id, user_id,
+            CAST(10000000000 + event_id AS BIGINT), 'big', user_id % 4
+          FROM q253_events WHERE event_id % 2 = 1""") // beyond Int.MaxValue
+        s.sql(s"UPDATE $cat.db.sl SET grade = 'hot' WHERE amount % 9 = 0")
+        val out = s.sql(
+          s"SELECT event_id, user_id, amount, grade, pk FROM $cat.db.sl")
+        val snap = out.localCheckpoint(true)
+        graft.operators.Fs.deleteTree(base)
+        snap
+      },
+      Some("""
+        WITH e AS (
+          SELECT event_id, user_id, CAST(user_id % 4 AS BIGINT) AS pk
+          FROM events),
+        t0 AS (
+          SELECT event_id, user_id,
+            CAST(user_id % 1000 AS BIGINT) AS amount, 'std' AS grade, pk
+          FROM e WHERE event_id % 2 = 0
+          UNION ALL
+          SELECT event_id, user_id,
+            CAST(10000000000 + event_id AS BIGINT) AS amount,
+            'big' AS grade, pk
+          FROM e WHERE event_id % 2 = 1)
+        SELECT event_id, user_id, amount,
+          CASE WHEN amount % 9 = 0 THEN 'hot' ELSE grade END AS grade, pk
+        FROM t0"""))
   )
 }
