@@ -2646,6 +2646,62 @@ object IngestQueries {
           FROM e WHERE event_id % 2 = 1)
         SELECT event_id, user_id, amount,
           CASE WHEN amount % 9 = 0 THEN 'hot' ELSE grade END AS grade, pk
-        FROM t0"""))
+        FROM t0""")),
+
+    // METADATA-ONLY AGGREGATE PUSHDOWN (round 11): `SELECT count(*) /
+    // count(c) / min(c) / max(c) FROM t` answers from the manifest's
+    // footer row counts and zone maps — the statement plans a
+    // LocalTableScan (REQUIRED in-query: a silent fallback to the
+    // parquet scan fails the run, not just the plan), opens zero data
+    // files and runs zero jobs. Two commits + a nullable column prove
+    // the merge across commits and the null accounting; the oracle
+    // replays the same aggregates relationally in DuckDB — a wrong
+    // row count, missed null or truncated extremum breaks the hash.
+    QuerySpec("q254_sql_meta_agg",
+      (s, dir) => {
+        GraftSession.tune(s)
+        val base = java.nio.file.Files.createTempDirectory("graft_q254_").toString
+        Tables.events(s, dir).createOrReplaceTempView("q254_events")
+        val cat = s"gcat_${java.util.UUID.randomUUID().toString.take(8)}"
+          .replace("-", "_")
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.root", base)
+        s.sql(s"""CREATE TABLE $cat.db.ma (
+            event_id BIGINT, amount BIGINT, pk BIGINT)
+          PARTITIONED BY (pk)
+          TBLPROPERTIES ('keys'='event_id', 'statsCols'='event_id,amount')""")
+        s.sql(s"""INSERT INTO $cat.db.ma (event_id, amount, pk)
+          SELECT event_id,
+            CASE WHEN event_id % 5 = 0 THEN NULL
+              ELSE CAST(round(value * 100) AS BIGINT) END,
+            user_id % 4
+          FROM q254_events WHERE event_id % 2 = 0""")
+        s.sql(s"""INSERT INTO $cat.db.ma (event_id, amount, pk)
+          SELECT event_id,
+            CASE WHEN event_id % 5 = 0 THEN NULL
+              ELSE CAST(round(value * 100) AS BIGINT) END,
+            user_id % 4
+          FROM q254_events WHERE event_id % 2 = 1""")
+        val out = s.sql(s"""SELECT count(*) AS cnt, count(amount) AS cnt_amt,
+            min(amount) AS mn_amt, max(amount) AS mx_amt,
+            min(event_id) AS mn_id, max(event_id) AS mx_id
+          FROM $cat.db.ma""")
+        require(out.queryExecution.executedPlan.toString
+          .contains("LocalTableScan"),
+          "metadata aggregate pushdown did not engage — the statement " +
+            "planned a data scan")
+        val snap = out.localCheckpoint(true)
+        graft.operators.Fs.deleteTree(base)
+        snap
+      },
+      Some("""
+        SELECT count(*) AS cnt, count(amount) AS cnt_amt,
+          min(amount) AS mn_amt, max(amount) AS mx_amt,
+          min(event_id) AS mn_id, max(event_id) AS mx_id
+        FROM (
+          SELECT event_id,
+            CASE WHEN event_id % 5 = 0 THEN NULL
+              ELSE CAST(round(value * 100) AS BIGINT) END AS amount
+          FROM events) t"""))
   )
 }

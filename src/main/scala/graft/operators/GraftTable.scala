@@ -17,6 +17,17 @@ import org.apache.spark.sql.functions._
   */
 object GraftTable {
 
+  /** Aggregate shapes computable from manifest METADATA alone
+    * ([[GraftTable.metadataAggregates]]) — the DSv2 aggregate-pushdown
+    * vocabulary (`SELECT count(*) / count(c) / min(c) / max(c) FROM t`
+    * with no WHERE, no GROUP BY). Column names are LOGICAL.
+    */
+  sealed trait MetaAgg
+  case object MetaCountStar extends MetaAgg
+  final case class MetaCountCol(col: String) extends MetaAgg
+  final case class MetaMin(col: String) extends MetaAgg
+  final case class MetaMax(col: String) extends MetaAgg
+
   /** Write `df` as a BUCKETED table: rows are hash-distributed into
     * `buckets` files by `bucketCols` and sorted within each bucket, and
     * the bucketing is recorded in the catalog — so a later equi-join or
@@ -1406,6 +1417,124 @@ final class GraftTable(spark: SparkSession, val path: String,
         }
       }
     }.getOrElse(manifestFiles(v))
+
+  /** Evaluate `COUNT(*)` / `COUNT(c)` / `MIN(c)` / `MAX(c)` from the
+    * version's MANIFEST METADATA alone — zero data files opened, the
+    * Delta "metadata-only count" shape generalized to min/max over the
+    * zone maps. Returns None (caller falls back to a normal scan)
+    * unless the answer is PROVABLY exact:
+    *
+    *   - no deletion vector applies at `v` (vectors subtract rows the
+    *     manifest row counts still include);
+    *   - EVERY live file carries a trusted footer-stats entry (row
+    *     count; plus, for per-column aggregates, that column's
+    *     null count and min/max — a single stats-free or untrusted
+    *     file rejects the whole statement, never degrades it);
+    *   - MIN/MAX only on integral/boolean/date/timestamp columns:
+    *     string zone maps may be TRUNCATED (parquet lowers the min /
+    *     raises the max — valid range bounds, not exact extrema) and
+    *     float/double footer stats exclude NaN (Spark's MAX treats NaN
+    *     as the largest value), so both reject.
+    *
+    * Values: counts as Long; MIN/MAX as canonical primitives (long for
+    * integral, Boolean, Int epoch days for dates, Long micros for
+    * timestamps; null = column all-null at `v`). At a checkpoint-backed
+    * version the whole spec list evaluates in ONE distributed job over
+    * the snapshot frame; legacy JSON chains use the driver stats map.
+    * Cost is metadata-scale either way — at 100 TB this answers
+    * `count(*)` without touching a single data page.
+    */
+  def metadataAggregates(v: Long, specs: Seq[GraftTable.MetaAgg]):
+      Option[Seq[Any]] = scala.util.Try {
+    import GraftTable.{MetaAgg, MetaCountCol, MetaCountStar, MetaMax, MetaMin}
+    if (specs.isEmpty) return None
+    // physical stats keys per referenced logical column; tag gates
+    val cols: Seq[String] = specs.collect {
+      case MetaCountCol(c) => c
+      case MetaMin(c) => c
+      case MetaMax(c) => c
+    }.distinct
+    val phys = cols.map(c => c -> physicalName(c)).toMap
+    val tags = phys.map { case (c, pc) => c -> tagOf(pc) } // throws → None
+    val minMaxOk = Set('l', 'b', 'D', 't')
+    specs.foreach {
+      case MetaMin(c) => require(minMaxOk.contains(tags(c)))
+      case MetaMax(c) => require(minMaxOk.contains(tags(c)))
+      case _ =>
+    }
+    // the partition column never has file stats (it lives in the
+    // directory name, not the pages) — rejected by the coverage check
+    if (hasDeletionVectorsAt(v)) return None
+    def canonOut(canon: String, tag: Char): Any = tag match {
+      case 'b' => canon.trim == "1"
+      case 'D' => canon.trim.toInt
+      case _ => java.lang.Long.valueOf(canon.trim.toLong) // l, t
+    }
+    if (hasCkptBase(v)) {
+      // ONE distributed job over the snapshot frame: total rows,
+      // unknown-row files, and per-column missing/nulls/min/max
+      def typed(x: org.apache.spark.sql.Column, tag: Char) = tag match {
+        case 'b' => x.cast("long")
+        case 'd' => x.cast("double")
+        case 's' => x
+        case _ => x.cast("long")
+      }
+      val aggs = Seq(
+        coalesce(sum(when(col("rows").geq(lit(0L)), col("rows"))), lit(0L)),
+        coalesce(sum(when(col("rows").lt(lit(0L)), lit(1L)).otherwise(lit(0L))),
+          lit(0L))) ++
+        cols.flatMap { c =>
+          val st = element_at(col("stats"), lit(phys(c)))
+          Seq(
+            coalesce(sum(when(st.isNull, lit(1L)).otherwise(lit(0L))), lit(0L)),
+            coalesce(sum(st.getField("nulls")), lit(0L)),
+            min(typed(st.getField("mn"), tags(c))).cast("string"),
+            max(typed(st.getField("mx"), tags(c))).cast("string"))
+        }
+      GraftTable.snapshotPruneJobs.incrementAndGet()
+      val r = snapshotDF(v).agg(aggs.head, aggs.tail: _*).collect()(0)
+      val totalRows = r.getLong(0)
+      if (r.getLong(1) > 0) return None // a file without a row count
+      val perCol = cols.zipWithIndex.map { case (c, i) =>
+        val o = 2 + i * 4
+        c -> (r.getLong(o), r.getLong(o + 1),
+          Option(r.getString(o + 2)), Option(r.getString(o + 3)))
+      }.toMap
+      if (perCol.values.exists(_._1 > 0)) return None // stats-less file
+      Some(specs.map {
+        case MetaCountStar => java.lang.Long.valueOf(totalRows)
+        case MetaCountCol(c) => java.lang.Long.valueOf(totalRows - perCol(c)._2)
+        case MetaMin(c) => perCol(c)._3.map(canonOut(_, tags(c))).orNull
+        case MetaMax(c) => perCol(c)._4.map(canonOut(_, tags(c))).orNull
+      })
+    } else {
+      val files = manifestFiles(v)
+      val stats = replayStats(v)
+      if (!files.forall(stats.contains)) return None
+      val fss = files.map(stats)
+      def colStatsAll(c: String): Option[Seq[ColStats]] = {
+        val cs = fss.map(_.cols.get(phys(c)))
+        if (cs.exists(_.isEmpty)) None else Some(cs.flatten)
+      }
+      val perCol = cols.map(c => c -> colStatsAll(c)).toMap
+      if (cols.exists(c => perCol(c).isEmpty)) return None
+      Some(specs.map {
+        case MetaCountStar => java.lang.Long.valueOf(fss.map(_.rows).sum)
+        case MetaCountCol(c) => java.lang.Long.valueOf(
+          fss.map(_.rows).sum - perCol(c).get.map(_.nulls).sum)
+        case MetaMin(c) =>
+          val t = tags(c)
+          perCol(c).get.flatMap(_.min)
+            .reduceOption((a, b) => if (cmpCanon(t, a, b) <= 0) a else b)
+            .map(canonOut(_, t)).orNull
+        case MetaMax(c) =>
+          val t = tags(c)
+          perCol(c).get.flatMap(_.max)
+            .reduceOption((a, b) => if (cmpCanon(t, a, b) >= 0) a else b)
+            .map(canonOut(_, t)).orNull
+      })
+    }
+  }.toOption.flatten
 
   /** Diagnostic: how many FULL data-tree walks this instance has done.
     * For a table created through [[createIfNotExists]] this must stay 0

@@ -54,6 +54,12 @@ object GraftSqlRead {
   val lastPlannedFiles = new AtomicLong(-1)
   val lastTotalFiles = new AtomicLong(-1)
 
+  /** How many RUNTIME (DPP) restrictions scans have installed — a
+    * join-shape probe for specs: nonzero means dynamic pruning reached
+    * a graft scan and re-planned it.
+    */
+  val runtimeFilterEvents = new AtomicLong(0)
+
   private[graft] def emptyOptions =
     new CaseInsensitiveStringMap(java.util.Collections.emptyMap[String, String]())
 
@@ -324,7 +330,8 @@ final class GraftScanBuilder(spark: SparkSession, gt: GraftTable,
                              ignoreDeletes: Boolean = false,
                              startingVersion: Option[Long] = None)
     extends ScanBuilder with SupportsPushDownCatalystFilters
-    with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
+    with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
 
   // COLUMN MAPPING boundary: the engine (and `tableSchema`) speaks
   // LOGICAL names; files, pushed parquet filters and the zone-map/Bloom
@@ -360,10 +367,65 @@ final class GraftScanBuilder(spark: SparkSession, gt: GraftTable,
     physDataSchema, GraftSqlRead.emptyOptions)
   private var prunedSchema: Option[StructType] = None
 
-  override def pushFilters(filters: Seq[Expression]): Seq[Expression] =
+  // any pushed filter (partition OR data) defeats metadata-only
+  // aggregation: the manifest row counts describe whole files
+  private var sawFilters = false
+  // (output schema, EXTERNAL values) once a metadata aggregate pushed
+  private var metaAgg: Option[(StructType, Seq[Any])] = None
+
+  override def pushFilters(filters: Seq[Expression]): Seq[Expression] = {
+    if (filters.nonEmpty) sawFilters = true
     // residuals return in LOGICAL terms (exprIds are preserved either
     // way — the engine binds by id; names keep plans readable)
     inner.pushFilters(filters.map(toPhys)).map(toLogical)
+  }
+
+  /** METADATA-ONLY AGGREGATE PUSHDOWN: `SELECT count(*) / count(c) /
+    * min(c) / max(c) FROM t` (no WHERE, no GROUP BY, no DISTINCT)
+    * answers from the manifest's footer-harvested row counts and zone
+    * maps — ZERO data files read, planned as a [[LocalScan]] (a local
+    * table scan, no distributed job). PARTIAL-pushdown contract
+    * (`supportCompletePushDown` stays false): the scan emits ONE row of
+    * partials and the engine's final aggregate folds it — exact for
+    * empty tables (count 0, min/max null) under the same rewrite the
+    * parquet source uses. [[GraftTable.metadataAggregates]] holds the
+    * exactness rules (every live file stats-covered, no deletion
+    * vectors, no truncatable string / NaN-able double extrema);
+    * anything unprovable returns false and the normal scan runs.
+    */
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean = {
+    import org.apache.spark.sql.connector.expressions.NamedReference
+    import org.apache.spark.sql.connector.expressions.aggregate.{Count, CountStar, Max, Min}
+    if (sawFilters || agg.groupByExpressions().nonEmpty) return false
+    def fieldOf(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Option[String] = e match {
+      case n: NamedReference if n.fieldNames().length == 1 =>
+        Some(n.fieldNames()(0))
+      case _ => None
+    }
+    val specs: Seq[Option[GraftTable.MetaAgg]] =
+      agg.aggregateExpressions().toSeq.map {
+        case _: CountStar => Some(GraftTable.MetaCountStar)
+        case c: Count if !c.isDistinct =>
+          fieldOf(c.column).map(GraftTable.MetaCountCol)
+        case m: Min => fieldOf(m.column).map(GraftTable.MetaMin)
+        case m: Max => fieldOf(m.column).map(GraftTable.MetaMax)
+        case _ => None
+      }
+    if (specs.isEmpty || specs.exists(_.isEmpty)) return false
+    // the engine-shared schema builder — the exact shape the partial-
+    // aggregate rewrite expects back from readSchema()
+    val outSchema = org.apache.spark.sql.execution.datasources
+      .AggregatePushDownUtils.getSchemaForPushedAggregation(
+        agg, tableSchema, Set.empty[String], Seq.empty[Expression])
+      .getOrElse(return false)
+    gt.metadataAggregates(version, specs.flatten) match {
+      case Some(vals) => metaAgg = Some((outSchema, vals)); true
+      case None => false
+    }
+  }
   override def pushedFilters: Array[org.apache.spark.sql.connector.expressions.filter.Predicate] =
     inner.pushedFilters
   override def pruneColumns(requiredSchema: StructType): Unit = {
@@ -371,6 +433,8 @@ final class GraftScanBuilder(spark: SparkSession, gt: GraftTable,
     inner.pruneColumns(physOf(requiredSchema))
   }
   override def build(): Scan = {
+    metaAgg.foreach { case (outSchema, vals) => return GraftMetaAggScan(
+      gt.path, outSchema, vals) }
     // versions with live deletion vectors subtract them inside the
     // scan ([[GraftDvBatch]]): DV'd files re-read whole through a scan
     // with NO pushed parquet filters (identical column pruning), so
@@ -386,7 +450,8 @@ final class GraftScanBuilder(spark: SparkSession, gt: GraftTable,
       b.build()
     }
     new GraftScan(spark, gt, tableSchema, inner.build(), ignoreDeletes,
-      () => clean, () => dv, physToLog, startingVersion)
+      () => clean, () => dv, physToLog, startingVersion,
+      fileIndexForRuntime = Some(fileIndex), version = version)
   }
 }
 
@@ -399,9 +464,102 @@ final class GraftScan(spark: SparkSession, gt: GraftTable,
                       cleanScan: () => Option[Scan] = () => None,
                       dv: () => Map[String, String] = () => Map.empty,
                       physToLog: Map[String, String] = Map.empty,
-                      startingVersion: Option[Long] = None)
+                      startingVersion: Option[Long] = None,
+                      fileIndexForRuntime: Option[GraftPrunedFileIndex] = None,
+                      version: Long = -1L)
     extends Scan
-    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics
+    with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
+
+  private lazy val logToPhys = physToLog.map(_.swap)
+
+  /** RUNTIME FILTERING (dynamic partition pruning, DSv2 form): the
+    * engine hands this scan the JOIN-KEY VALUES a dynamic-pruning
+    * subquery materialized (one `IN` predicate per pruning key), and
+    * the scan re-plans its partitions before executing — the classic
+    * star-schema win, where a filtered dimension prunes the fact scan
+    * AT RUNTIME. Declared prunable: the zone-map/Bloom columns (values
+    * probe the same candidate ladder every static predicate uses — one
+    * metadata job, never a data read) and the partition column (values
+    * become partition-directory filters on the file index, the same
+    * path static partition predicates prune through). Conservative
+    * supersets always — the join itself still filters rows; at 100 TB
+    * this is the difference between scanning the fact table and
+    * scanning the handful of files the dimension's keys can touch.
+    */
+  override def filterAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    fileIndexForRuntime match {
+      case None => Array.empty
+      case Some(_) =>
+        val visible = tableSchema.fields.map(_.name).toSet
+        val statCols = (gt.statsCols ++ gt.bloomCols)
+          .map(p => physToLog.getOrElse(p, p)).filter(visible)
+        val partCol =
+          if (gt.partitionCol == GraftTable.SyntheticPartition) Nil
+          else Seq(gt.partitionCol).filter(visible)
+        (statCols ++ partCol).distinct
+          .map(Expressions.column).toArray
+    }
+
+  override def filter(
+      predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate])
+      : Unit = fileIndexForRuntime.foreach { fi =>
+    import org.apache.spark.sql.connector.expressions.{NamedReference, Literal => VLit}
+    def colAndLits(p: org.apache.spark.sql.connector.expressions.filter.Predicate)
+        : Option[(String, Seq[VLit[_]])] = {
+      val kids = p.children().toSeq
+      p.name() match {
+        case "IN" => kids match {
+          case (n: NamedReference) +: rest
+              if n.fieldNames().length == 1 && rest.nonEmpty &&
+                rest.forall(_.isInstanceOf[VLit[_]]) =>
+            Some(n.fieldNames()(0) -> rest.map(_.asInstanceOf[VLit[_]]))
+          case _ => None
+        }
+        case "=" => kids match {
+          case Seq(n: NamedReference, l: VLit[_]) if n.fieldNames().length == 1 =>
+            Some(n.fieldNames()(0) -> Seq(l))
+          case Seq(l: VLit[_], n: NamedReference) if n.fieldNames().length == 1 =>
+            Some(n.fieldNames()(0) -> Seq(l))
+          case _ => None
+        }
+        case _ => None
+      }
+    }
+    predicates.foreach { p =>
+      colAndLits(p).foreach { case (logical, lits) =>
+        val phys = logToPhys.getOrElse(logical, logical)
+        if (phys == gt.partitionCol &&
+          gt.partitionCol != GraftTable.SyntheticPartition) {
+          fi.partitionSchema.fields.find(_.name == phys).foreach { field =>
+            val catLits = lits.map(l => Literal(l.value, l.dataType))
+              .filter(_.value != null) // equality never matches null
+            if (catLits.nonEmpty && catLits.forall(_.dataType == field.dataType)) {
+              val attr = AttributeReference(field.name, field.dataType)()
+              val e: Expression =
+                if (catLits.size == 1) EqualTo(attr, catLits.head)
+                else In(attr, catLits)
+              fi.runtimePartFilters = fi.runtimePartFilters :+ e
+              GraftSqlRead.runtimeFilterEvents.incrementAndGet()
+            }
+          }
+        } else if (gt.statsCols.contains(phys) || gt.bloomCols.contains(phys)) {
+          val ext = lits.flatMap(l => Option(
+            org.apache.spark.sql.catalyst.CatalystTypeConverters
+              .convertToScala(l.value, l.dataType)))
+          if (ext.nonEmpty) {
+            val cand = (
+              if (ext.size <= graft.operators.PredicatePruning.BloomProbeMaxValues)
+                gt.candidateFilesEqualsAnyVersioned(phys, ext, version)
+              else gt.candidateFilesInSortedVersioned(phys, ext, version)).toSet
+            fi.runtimeKeep = Some(fi.runtimeKeep.fold(cand)(_ intersect cand))
+            GraftSqlRead.runtimeFilterEvents.incrementAndGet()
+          }
+        }
+      }
+    }
+  }
   // positional rename physical → logical (identity for unmapped
   // tables; the builder's ONE map snapshot — never re-read mid-plan)
   override def readSchema(): StructType = StructType(
@@ -433,6 +591,45 @@ final class GraftScan(spark: SparkSession, gt: GraftTable,
         override def numRows(): java.util.OptionalLong = java.util.OptionalLong.empty()
       }
     }
+}
+
+/** The one-row result of a METADATA-ONLY aggregate pushdown
+  * ([[GraftScanBuilder.pushAggregation]]): a [[LocalScan]], so the
+  * engine plans a LocalTableScanExec — the whole statement runs zero
+  * distributed jobs and opens zero data files. Values arrive as the
+  * canonical primitives [[GraftTable.metadataAggregates]] emits and
+  * convert here to the output schema's INTERNAL representation
+  * (narrowing integral counts/extrema back to the column's declared
+  * width; dates stay epoch-day ints, timestamps epoch-micros longs).
+  */
+final case class GraftMetaAggScan(tablePath: String, outSchema: StructType,
+                                  vals: Seq[Any])
+    extends org.apache.spark.sql.connector.read.LocalScan {
+  override def readSchema(): StructType = outSchema
+  override def description(): String = s"GraftMetaAggScan($tablePath)"
+  override def rows(): Array[org.apache.spark.sql.catalyst.InternalRow] = {
+    import org.apache.spark.sql.types._
+    val internal = outSchema.fields.toSeq.zip(vals).map {
+      case (_, null) => null
+      case (f, v: java.lang.Long) => f.dataType match {
+        case LongType | TimestampType | TimestampNTZType => v
+        case IntegerType => java.lang.Integer.valueOf(v.intValue)
+        case ShortType => java.lang.Short.valueOf(v.shortValue)
+        case ByteType => java.lang.Byte.valueOf(v.byteValue)
+        case other => throw new IllegalStateException(
+          s"metadata aggregate: long value for ${other.simpleString}")
+      }
+      case (f, v: java.lang.Integer) => f.dataType match {
+        case DateType | IntegerType => v
+        case other => throw new IllegalStateException(
+          s"metadata aggregate: int value for ${other.simpleString}")
+      }
+      case (_, v: java.lang.Boolean) => v
+      case (f, v) => throw new IllegalStateException(
+        s"metadata aggregate: unexpected $v for ${f.dataType.simpleString}")
+    }
+    Array(org.apache.spark.sql.catalyst.InternalRow.fromSeq(internal))
+  }
 }
 
 /** Offsets are commit versions; `v` means "everything live at version v
@@ -601,6 +798,16 @@ final class GraftPrunedFileIndex(spark: SparkSession, gt: GraftTable,
       gt.liveFilesAt(version).map(f => new Path(s"${gt.path}/$f")),
       Map("basePath" -> gt.path), Some(tableSchema)) {
 
+  /** RUNTIME (DPP) restrictions, installed by [[GraftScan.filter]]
+    * after the join side materializes and BEFORE the engine re-plans
+    * this scan's partitions: an extra candidate-file keep set (join
+    * values probed through the zone-map/Bloom tiers) and extra
+    * partition-directory filters (join values on the partition
+    * column). Conservative supersets — the join itself still runs.
+    */
+  @volatile private[graft] var runtimeKeep: Option[Set[String]] = None
+  @volatile private[graft] var runtimePartFilters: Seq[Expression] = Nil
+
   /** Candidate (table-relative) files for one conjunct, or None if the
     * conjunct does not constrain a prunable column in a supported form.
     * The translation ladder is SHARED with the mutation planners
@@ -622,13 +829,19 @@ final class GraftPrunedFileIndex(spark: SparkSession, gt: GraftTable,
   override def listFiles(partitionFilters: Seq[Expression],
                          dataFilters: Seq[Expression])
       : Seq[org.apache.spark.sql.execution.datasources.PartitionDirectory] = {
-    val base = super.listFiles(partitionFilters, dataFilters)
+    // runtime partition filters ride the ENGINE's own partition-pruning
+    // path (InMemoryFileIndex binds them to the partition schema by
+    // name), so join-key values on the partition column skip whole
+    // directories exactly like a static partition predicate
+    val base = super.listFiles(partitionFilters ++ runtimePartFilters,
+      dataFilters)
     val perConjunct = candidateCache.synchronized {
       candidateCache.getOrElseUpdate(dataFilters.map(_.canonicalized),
         dataFilters.flatMap(candidates))
     }
-    if (perConjunct.isEmpty) return base
-    val keep = perConjunct.reduce(_ intersect _)
+    val allKeeps = perConjunct ++ runtimeKeep.toSeq
+    if (allKeeps.isEmpty) return base
+    val keep = allKeeps.reduce(_ intersect _)
     def relOf(p: Path): String =
       s"${p.getParent.getName}/${p.getName}"
     val pruned = base.map(pd =>
