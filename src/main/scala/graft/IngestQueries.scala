@@ -2702,6 +2702,108 @@ object IngestQueries {
           SELECT event_id,
             CASE WHEN event_id % 5 = 0 THEN NULL
               ELSE CAST(round(value * 100) AS BIGINT) END AS amount
-          FROM events) t"""))
+          FROM events) t""")),
+
+    // RUNTIME FILTERING / DYNAMIC PARTITION PRUNING (round 11): the
+    // classic star-schema shape — a filtered parquet dimension joins a
+    // graft fact table ON ITS PARTITION COLUMN, and the scan re-plans
+    // at runtime with the dimension's join keys (SupportsRuntimeV2-
+    // Filtering): only the matching partition directories are read.
+    // Mechanism-gated in-query: the plan must carry the dynamic-
+    // pruning subquery AND the scan must record a runtime re-plan —
+    // a silent fallback to the full scan fails the run. Oracle: the
+    // same join replayed relationally in DuckDB.
+    QuerySpec("q255_sql_dpp_join",
+      (s, dir) => {
+        GraftSession.tune(s)
+        val base = java.nio.file.Files.createTempDirectory("graft_q255_").toString
+        Tables.events(s, dir).createOrReplaceTempView("q255_events")
+        Tables.nation(s, dir).createOrReplaceTempView("q255_nation")
+        val cat = s"gcat_${java.util.UUID.randomUUID().toString.take(8)}"
+          .replace("-", "_")
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.root", base)
+        s.sql(s"""CREATE TABLE $cat.db.fact (
+            event_id BIGINT, amount BIGINT, pk BIGINT)
+          PARTITIONED BY (pk)
+          TBLPROPERTIES ('keys'='event_id', 'statsCols'='amount')""")
+        s.sql(s"""INSERT INTO $cat.db.fact (event_id, amount, pk)
+          SELECT event_id, CAST(round(value * 100) AS BIGINT), user_id % 8
+          FROM q255_events""")
+        val before = org.apache.spark.sql.graft.GraftSqlRead
+          .runtimeFilterEvents.get
+        val out = s.sql(s"""SELECT f.event_id, f.amount, n.n_name AS nation
+          FROM $cat.db.fact f
+          JOIN q255_nation n ON f.pk = CAST(n.n_nationkey AS BIGINT)
+          WHERE n.n_regionkey = 1""")
+        val snap = out.localCheckpoint(true)
+        require(out.queryExecution.executedPlan.toString
+          .contains("dynamicpruning"),
+          "dynamic partition pruning did not reach the fact scan")
+        require(org.apache.spark.sql.graft.GraftSqlRead
+          .runtimeFilterEvents.get > before,
+          "the fact scan did not re-plan with the dimension's join keys")
+        graft.operators.Fs.deleteTree(base)
+        snap
+      },
+      Some("""
+        SELECT e.event_id, CAST(round(e.value * 100) AS BIGINT) AS amount,
+          n.n_name AS nation
+        FROM events e
+        JOIN nation n ON e.user_id % 8 = n.n_nationkey
+        WHERE n.n_regionkey = 1""")),
+
+    // INSERT OVERWRITE LADDER (round 11): STATIC `PARTITION (pk = 2)`
+    // replaces exactly that partition (the replaceWhere shape), then a
+    // DYNAMIC overwrite (the session's partitionOverwriteMode=dynamic,
+    // the per-day re-import idiom) replaces exactly the partitions the
+    // incoming rows touch — pk 3 must survive both untouched. The
+    // dynamic statement runs through the staged V2 write
+    // (GraftBatchStageWrite: tasks stage parquet, the driver commit
+    // replaces touched partitions atomically). Oracle: the three
+    // regimes replayed relationally — a whole-table replace, a missed
+    // partition or a half-applied overwrite breaks the hash.
+    QuerySpec("q256_sql_overwrite",
+      (s, dir) => {
+        GraftSession.tune(s)
+        val base = java.nio.file.Files.createTempDirectory("graft_q256_").toString
+        Tables.events(s, dir).createOrReplaceTempView("q256_events")
+        val cat = s"gcat_${java.util.UUID.randomUUID().toString.take(8)}"
+          .replace("-", "_")
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.root", base)
+        s.sql(s"""CREATE TABLE $cat.db.fact (
+            event_id BIGINT, amount BIGINT, pk BIGINT)
+          PARTITIONED BY (pk)
+          TBLPROPERTIES ('keys'='event_id', 'statsCols'='amount')""")
+        s.sql(s"""INSERT INTO $cat.db.fact (event_id, amount, pk)
+          SELECT event_id, CAST(round(value * 100) AS BIGINT), user_id % 4
+          FROM q256_events""")
+        // static partition overwrite: doubled amounts land in pk=2 only
+        s.sql(s"""INSERT OVERWRITE $cat.db.fact PARTITION (pk = 2)
+          SELECT event_id, CAST(round(value * 100) * 2 AS BIGINT)
+          FROM q256_events WHERE user_id % 4 = 2""")
+        // dynamic overwrite: replaces pk 0 and 1 with a sparser set
+        s.sql(s"""INSERT OVERWRITE $cat.db.fact
+          SELECT event_id, CAST(round(value * 100) + 7 AS BIGINT),
+            user_id % 4
+          FROM q256_events
+          WHERE user_id % 4 IN (0, 1) AND event_id % 3 = 0""")
+        val out = s.sql(s"SELECT event_id, amount, pk FROM $cat.db.fact")
+        val snap = out.localCheckpoint(true)
+        graft.operators.Fs.deleteTree(base)
+        snap
+      },
+      Some("""
+        WITH e AS (
+          SELECT event_id, CAST(round(value * 100) AS BIGINT) AS amount,
+            CAST(user_id % 4 AS BIGINT) AS pk
+          FROM events)
+        SELECT event_id, amount, pk FROM e WHERE pk = 3
+        UNION ALL
+        SELECT event_id, amount * 2 AS amount, pk FROM e WHERE pk = 2
+        UNION ALL
+        SELECT event_id, amount + 7 AS amount, pk FROM e
+        WHERE pk IN (0, 1) AND event_id % 3 = 0"""))
   )
 }

@@ -3282,6 +3282,43 @@ final class GraftTable(spark: SparkSession, val path: String,
     commitRewrite(df, (curVals ++ newVals).distinct, base)
   }
 
+  /** DYNAMIC PARTITION OVERWRITE — the SQL `INSERT OVERWRITE` in
+    * `partitionOverwriteMode=dynamic` (and the Scala twin): every
+    * partition the new rows TOUCH is replaced wholesale, untouched
+    * partitions are never read or written, all in ONE atomic commit
+    * with history intact. The per-day re-import shape: re-landing one
+    * day's corrected extract replaces that day only, at any table
+    * size. Partition-scoped OCC: losers against disjoint-partition
+    * winners re-commit their files without re-running anything.
+    */
+  def overwritePartitions(rows: DataFrame): this.type = {
+    val base = ensureBaselineVersion()
+    val df = conform(rows)
+    commitRewrite(df, partitionValsOf(df), base, partitionScoped = true)
+  }
+
+  /** STATIC partition overwrite — `INSERT OVERWRITE t PARTITION
+    * (p = v) SELECT …`: replaces exactly the partitions named by
+    * `vals` (string-rendered partition values; None = the null
+    * partition) with `rows`. Every incoming row must fall inside the
+    * target partitions (the Delta `replaceWhere` validation — a
+    * mis-routed row rejects the whole statement BEFORE anything
+    * lands); partitions in `vals` with no incoming rows simply drop.
+    */
+  def overwritePartitionValues(vals: Seq[Option[String]],
+                               rows: DataFrame): this.type = {
+    val base = ensureBaselineVersion()
+    val df = conform(rows)
+    val target = vals.toSet
+    val outside = partitionValsOf(df).filterNot(target)
+    require(outside.isEmpty,
+      s"INSERT OVERWRITE PARTITION on $path: ${outside.size} incoming " +
+        s"partition value(s) fall outside the target " +
+        s"(${outside.take(3).map(_.getOrElse("null")).mkString(", ")}…) — " +
+        "rows must match the static partition spec")
+    commitRewrite(df, vals.distinct, base, partitionScoped = true)
+  }
+
   /** Predicate DELETE by PARTITION REWRITE — the SQL `DELETE FROM`
     * semantics without deletion vectors: rows where `cond` is TRUE are
     * removed (null/unknown keeps, ANSI), only partitions holding a

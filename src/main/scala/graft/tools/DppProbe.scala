@@ -34,10 +34,15 @@ object DppProbe {
         .createOrReplaceTempView("src")
       spark.sql("INSERT INTO dpp.db.fact (k, v, pk) SELECT k, v, pk FROM src")
     }
+    // dims must be FILE-backed: a LocalRelation folds its filter away
+    // before the dynamic-pruning rule can see it
     Seq((0L, 1), (1L, 0), (2L, 0), (3L, 0), (4L, 0), (5L, 0), (6L, 0),
-      (7L, 0)).toDF("dk", "flag").createOrReplaceTempView("dim")
+      (7L, 0)).toDF("dk", "flag").write.mode("overwrite")
+      .parquet(s"$base/_dim")
+    spark.read.parquet(s"$base/_dim").createOrReplaceTempView("dim")
     Seq((50L, 1), (1500L, 1), (99999L, 0)).toDF("dv", "flag")
-      .createOrReplaceTempView("dimv")
+      .write.mode("overwrite").parquet(s"$base/_dimv")
+    spark.read.parquet(s"$base/_dimv").createOrReplaceTempView("dimv")
 
     def run(tag: String, sql: String): Unit = {
       GraftSqlRead.runtimeFilterEvents.set(0)

@@ -224,20 +224,24 @@ final class GraftSqlTable(spark: SparkSession, val gt: GraftTable,
       TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE,
       TableCapability.STREAMING_WRITE,
-      TableCapability.TRUNCATE)
+      TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER,
+      TableCapability.OVERWRITE_DYNAMIC)
 
   private def requireHead(op: String): Unit =
     require(pinnedVersion == gt.currentVersion,
       s"$op targets a time-travel snapshot (v$pinnedVersion, head is " +
         s"v${gt.currentVersion}) — writes go to the live table only")
 
-  /** INSERT INTO appends; INSERT OVERWRITE (which requires
-    * `spark.sql.sources.partitionOverwriteMode=static` for the
-    * statement — the dynamic mode plans a v2 dynamic-partition write
-    * this V1-backed table rejects with the engine's clear capability
-    * error) replaces the whole table in one commit. The SAME builder
-    * serves `df.writeStream.toTable(…)`: `toStreaming` is the
-    * exactly-once epoch-committed append
+  /** INSERT INTO appends. INSERT OVERWRITE covers all three SQL
+    * shapes: whole-table (truncate-form — one atomic replace commit),
+    * STATIC `PARTITION (p = v)` (OVERWRITE_BY_FILTER → only the named
+    * partitions replace, incoming rows validated against the spec,
+    * the Delta `replaceWhere` discipline), and DYNAMIC
+    * `partitionOverwriteMode=dynamic` (OVERWRITE_DYNAMIC → a real V2
+    * staged write, [[GraftBatchStageWrite]]: tasks stage parquet, the
+    * driver commit replaces exactly the partitions the rows touch).
+    * The SAME builder serves `df.writeStream.toTable(…)`:
+    * `toStreaming` is the exactly-once epoch-committed append
     * ([[GraftStreamingWrite]] — APPEND output mode only).
     */
   override def newWriteBuilder(
@@ -245,25 +249,86 @@ final class GraftSqlTable(spark: SparkSession, val gt: GraftTable,
       : org.apache.spark.sql.connector.write.WriteBuilder = {
     requireHead("INSERT")
     new org.apache.spark.sql.connector.write.WriteBuilder
-      with org.apache.spark.sql.connector.write.SupportsTruncate {
-      private var overwrite = false
-      override def truncate(): org.apache.spark.sql.connector.write.WriteBuilder = {
-        overwrite = true; this
+      with org.apache.spark.sql.connector.write.SupportsOverwriteV2
+      with org.apache.spark.sql.connector.write.SupportsDynamicOverwrite {
+      // None = append; Some(Nil) = whole-table; Some(preds) = static
+      // partition filter
+      private var overwritePreds: Option[
+        Seq[org.apache.spark.sql.connector.expressions.filter.Predicate]] = None
+      private var dynamic = false
+
+      /** Static-overwrite filters this table accepts: none (truncate),
+        * or equality conjuncts on the PARTITION column only — a filter
+        * on any other column cannot name a partition set and rejects
+        * the statement up front (the engine errors cleanly).
+        */
+      private def partitionValuesOf(
+          preds: Seq[org.apache.spark.sql.connector.expressions.filter.Predicate])
+          : Option[Seq[Option[String]]] = {
+        import org.apache.spark.sql.connector.expressions.{NamedReference, Literal => VLit}
+        val perPred = preds.map { p =>
+          if (p.name() == "ALWAYS_TRUE") Some(Nil)
+          else if (p.name() == "=") p.children().toSeq match {
+            case Seq(n: NamedReference, l: VLit[_])
+                if n.fieldNames().length == 1 &&
+                  n.fieldNames()(0) == gt.partitionCol =>
+              Some(Seq(Option(org.apache.spark.sql.catalyst
+                .CatalystTypeConverters.convertToScala(l.value, l.dataType))
+                .map(_.toString)))
+            case _ => None
+          } else None
+        }
+        if (perPred.exists(_.isEmpty)) None
+        else Some(perPred.flatten.flatten)
       }
-      override def build(): org.apache.spark.sql.connector.write.Write =
+
+      override def canOverwrite(
+          predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate])
+          : Boolean = partitionValuesOf(predicates.toSeq).isDefined
+
+      override def overwrite(
+          predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate])
+          : org.apache.spark.sql.connector.write.WriteBuilder = {
+        overwritePreds = Some(predicates.toSeq); this
+      }
+
+      override def truncate(): org.apache.spark.sql.connector.write.WriteBuilder = {
+        overwritePreds = Some(Nil); this
+      }
+
+      override def overwriteDynamicPartitions()
+          : org.apache.spark.sql.connector.write.WriteBuilder = {
+        dynamic = true; this
+      }
+
+      override def build(): org.apache.spark.sql.connector.write.Write = {
+        if (dynamic)
+          return new GraftBatchStageWrite(spark, gt, info.schema(), "dynov",
+            frame => { gt.overwritePartitions(frame); () })
         new org.apache.spark.sql.connector.write.V1Write {
           override def toInsertableRelation: org.apache.spark.sql.sources.InsertableRelation =
             new org.apache.spark.sql.sources.InsertableRelation {
               override def insert(data: org.apache.spark.sql.DataFrame,
                                   ov: Boolean): Unit = {
-                if (overwrite || ov) gt.overwriteAll(data)
-                else gt.append(data)
+                overwritePreds match {
+                  case None if !ov => gt.append(data)
+                  case None => gt.overwriteAll(data)
+                  case Some(preds) =>
+                    val vals = partitionValuesOf(preds).getOrElse(
+                      throw new UnsupportedOperationException(
+                        "INSERT OVERWRITE supports a whole-table " +
+                          "overwrite or equality predicates on the " +
+                          "partition column (PARTITION (p = v)); got: " +
+                          preds.map(_.describe()).mkString(" AND ")))
+                    if (vals.isEmpty) gt.overwriteAll(data)
+                    else gt.overwritePartitionValues(vals, data)
+                }
                 ()
               }
             }
           override def toStreaming
               : org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
-            if (overwrite)
+            if (overwritePreds.nonEmpty || dynamic)
               throw new UnsupportedOperationException(
                 "graft streaming writes support the APPEND output mode " +
                   "only — complete/update need per-epoch replace " +
@@ -272,6 +337,7 @@ final class GraftSqlTable(spark: SparkSession, val gt: GraftTable,
             new GraftStreamingWrite(spark, gt, info.queryId(), info.schema())
           }
         }
+      }
     }
   }
 
@@ -492,7 +558,9 @@ final class GraftScan(spark: SparkSession, gt: GraftTable,
     fileIndexForRuntime match {
       case None => Array.empty
       case Some(_) =>
-        val visible = tableSchema.fields.map(_.name).toSet
+        // only columns in the PRUNED scan output: the engine resolves
+        // these against the scan relation and errors on absent names
+        val visible = readSchema().fields.map(_.name).toSet
         val statCols = (gt.statsCols ++ gt.bloomCols)
           .map(p => physToLog.getOrElse(p, p)).filter(visible)
         val partCol =
@@ -840,13 +908,21 @@ final class GraftPrunedFileIndex(spark: SparkSession, gt: GraftTable,
         dataFilters.flatMap(candidates))
     }
     val allKeeps = perConjunct ++ runtimeKeep.toSeq
-    if (allKeeps.isEmpty) return base
+    if (allKeeps.isEmpty) {
+      if (runtimePartFilters.nonEmpty) { // gauge runtime DIR pruning too
+        GraftSqlRead.lastTotalFiles.set(allFiles().size.toLong)
+        GraftSqlRead.lastPlannedFiles.set(base.map(_.files.size.toLong).sum)
+      }
+      return base
+    }
     val keep = allKeeps.reduce(_ intersect _)
     def relOf(p: Path): String =
       s"${p.getParent.getName}/${p.getName}"
     val pruned = base.map(pd =>
       pd.copy(files = pd.files.filter(f => keep.contains(relOf(f.getPath)))))
-    GraftSqlRead.lastTotalFiles.set(base.map(_.files.size.toLong).sum)
+    GraftSqlRead.lastTotalFiles.set(
+      if (runtimePartFilters.nonEmpty) allFiles().size.toLong
+      else base.map(_.files.size.toLong).sum)
     GraftSqlRead.lastPlannedFiles.set(pruned.map(_.files.size.toLong).sum)
     pruned
   }

@@ -95,6 +95,66 @@ final class GraftStreamingWrite(spark: SparkSession, gt: GraftTable,
 final case class GraftStreamCommitMessage(files: Seq[String])
     extends WriterCommitMessage
 
+/** BATCH form of the staged write — the V2 `BatchWrite` behind DYNAMIC
+  * `INSERT OVERWRITE` (no V1 fallback exists for
+  * `OverwritePartitionsDynamic`): tasks stage parquet under
+  * `_graft_staging/batch_<writeId>/` exactly like the streaming epochs
+  * (attempt-unique names, messages carry paths only), and the driver's
+  * commit re-lands the staged rows through `apply` — here
+  * [[GraftTable.overwritePartitions]], one atomic touched-partition
+  * commit through the normal path (conform, CHECK constraints, MICROS
+  * footer stats, zone maps). Abort (or a crash) leaves only staging,
+  * which vacuum reclaims.
+  */
+final class GraftBatchStageWrite(spark: SparkSession, gt: GraftTable,
+                                 inputSchema: StructType, label: String,
+                                 apply: org.apache.spark.sql.DataFrame => Unit)
+    extends org.apache.spark.sql.connector.write.Write
+    with org.apache.spark.sql.connector.write.BatchWrite {
+
+  private val stageDir = java.nio.file.Paths.get(gt.path, "_graft_staging",
+    s"${label}_${java.util.UUID.randomUUID().toString.take(12)}")
+
+  override def toBatch: org.apache.spark.sql.connector.write.BatchWrite = this
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo)
+      : org.apache.spark.sql.connector.write.DataWriterFactory = {
+    val job = Job.getInstance(spark.sessionState.newHadoopConf())
+    val owf = ParquetUtils.prepareWrite(spark.sessionState.conf, job,
+      inputSchema, new ParquetOptions(Map.empty[String, String],
+        spark.sessionState.conf))
+    new GraftBatchWriterFactory(owf, inputSchema, stageDir.toString,
+      new SerializableConfiguration(job.getConfiguration))
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val files = messages.collect {
+      case m: GraftStreamCommitMessage => m.files
+    }.flatten.toSeq
+    if (files.nonEmpty) {
+      val frame = spark.read.schema(inputSchema).parquet(files: _*)
+      GraftTable.retryOnConflict() { apply(frame) }
+    }
+    graft.operators.Fs.deleteTree(stageDir)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    graft.operators.Fs.deleteTree(stageDir)
+  }
+}
+
+/** Batch twin of [[GraftStreamWriterFactory]] — same one-file-per-task
+  * staging writer under a fixed directory.
+  */
+final class GraftBatchWriterFactory(owf: OutputWriterFactory,
+                                    schema: StructType, dir: String,
+                                    conf: SerializableConfiguration)
+    extends org.apache.spark.sql.connector.write.DataWriterFactory {
+  override def createWriter(partitionId: Int,
+                            taskId: Long): DataWriter[InternalRow] =
+    new GraftStreamDataWriter(owf, schema, dir, partitionId, taskId, conf)
+}
+
 /** Task-side writer factory: each task writes ONE parquet staging file
   * (task-attempt-unique name — speculative attempts cannot collide;
   * only the winning attempt's message reaches `commit`, the loser's
