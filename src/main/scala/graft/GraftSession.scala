@@ -51,6 +51,20 @@ object GraftSession {
     // incoming frame — the physical form of the reference's per-day
     // import-once upserts (reference `server/etl.py:71`).
     c.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    // STORAGE-PARTITIONED JOINS (SPARK-37375): graft catalog scans
+    // report KeyGroupedPartitioning over the table's partition column,
+    // so two tables partitioned on the same key join WITHOUT a shuffle
+    // exchange on either side — the fact-fact lever at 100 TB. The
+    // engine only honors the report under this flag; pushPartValues
+    // keeps the join exchange-free when one side is missing partition
+    // values (it replays the union of values instead of shuffling).
+    c.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    c.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+    // join keys are usually a SUPERSET of the partition key (pk +
+    // row key); co-partitioning on the partition-key subset is exactly
+    // what storage partitioning guarantees — the engine's strict
+    // default would re-shuffle both sides anyway
+    c.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
     // Engine optimizer rule on a LIVE session (the driver hands us an
     // already-built one, so the spark.sql.extensions hook is past):
     // rewrite user-written HOF fixed-point dot products to the fused

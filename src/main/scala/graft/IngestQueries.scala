@@ -2804,6 +2804,59 @@ object IngestQueries {
         SELECT event_id, amount * 2 AS amount, pk FROM e WHERE pk = 2
         UNION ALL
         SELECT event_id, amount + 7 AS amount, pk FROM e
-        WHERE pk IN (0, 1) AND event_id % 3 = 0"""))
+        WHERE pk IN (0, 1) AND event_id % 3 = 0""")),
+
+    // STORAGE-PARTITIONED JOIN (round 11, SPARK-37375 over the graft
+    // manifest): two catalog tables partitioned on the same key join
+    // with ZERO shuffle exchanges — each scan plans key-grouped input
+    // partitions and reports KeyGroupedPartitioning, so the engine
+    // lines the directories up instead of shuffling both facts. The
+    // no-shuffle claim is REQUIRED in-query (broadcast disabled so the
+    // exchange-free plan can only come from storage partitioning); the
+    // oracle replays the join relationally — at 100 TB this plan shape
+    // is the difference between a co-located merge and shuffling two
+    // fact tables.
+    QuerySpec("q257_sql_spj_join",
+      (s, dir) => {
+        GraftSession.tune(s)
+        val base = java.nio.file.Files.createTempDirectory("graft_q257_").toString
+        Tables.events(s, dir).createOrReplaceTempView("q257_events")
+        val cat = s"gcat_${java.util.UUID.randomUUID().toString.take(8)}"
+          .replace("-", "_")
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.root", base)
+        Seq("amount" -> "round(value * 100)",
+          "score" -> "round(value * 1000)").foreach { case (colName, e) =>
+          val t = if (colName == "amount") "fa" else "fb"
+          s.sql(s"""CREATE TABLE $cat.db.$t (
+              event_id BIGINT, $colName BIGINT, pk BIGINT)
+            PARTITIONED BY (pk) TBLPROPERTIES ('keys'='event_id')""")
+          s.sql(s"""INSERT INTO $cat.db.$t (event_id, $colName, pk)
+            SELECT event_id, CAST($e AS BIGINT), user_id % 4
+            FROM q257_events""")
+        }
+        val prevB = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try {
+          val out = s.sql(s"""SELECT a.event_id, a.amount, b.score, a.pk
+            FROM $cat.db.fa a
+            JOIN $cat.db.fb b ON a.pk = b.pk AND a.event_id = b.event_id""")
+          val snap = out.localCheckpoint(true)
+          val plan = out.queryExecution.executedPlan.toString
+          require(!plan.contains("Exchange hashpartitioning"),
+            "storage-partitioned join shuffled — the co-located plan " +
+              "did not engage")
+          graft.operators.Fs.deleteTree(base)
+          snap
+        } finally
+          s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevB)
+      },
+      Some("""
+        WITH e AS (
+          SELECT event_id, CAST(round(value * 100) AS BIGINT) AS amount,
+            CAST(round(value * 1000) AS BIGINT) AS score,
+            CAST(user_id % 4 AS BIGINT) AS pk
+          FROM events)
+        SELECT event_id, amount, score, pk FROM e"""))
   )
 }

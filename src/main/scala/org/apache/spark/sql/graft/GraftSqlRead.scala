@@ -9,7 +9,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability}
 import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.execution.datasources.InMemoryFileIndex
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder
@@ -535,6 +535,7 @@ final class GraftScan(spark: SparkSession, gt: GraftTable,
                       version: Long = -1L)
     extends Scan
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
+    with org.apache.spark.sql.connector.read.SupportsReportPartitioning
     with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
 
   private lazy val logToPhys = physToLog.map(_.swap)
@@ -633,10 +634,49 @@ final class GraftScan(spark: SparkSession, gt: GraftTable,
   override def readSchema(): StructType = StructType(
     inner.readSchema().fields.map(f =>
       f.copy(name = physToLog.getOrElse(f.name, f.name))))
+
+  /** STORAGE-PARTITIONED JOIN eligibility: a Hive-partitioned (non-
+    * synthetic) table whose partition column survives column pruning,
+    * under the engine's v2-bucketing flag, with no live deletion
+    * vectors (the DV re-plan mixes directories). When eligible, the
+    * scan plans ONE-OR-MORE input partitions per partition VALUE (each
+    * carrying its key row) and reports [[KeyGroupedPartitioning]] —
+    * two graft tables partitioned on the same key then join with NO
+    * shuffle exchange on either side, and a groupBy on the partition
+    * key aggregates exchange-free. At 100 TB this is the fact-fact
+    * join lever: partition both facts on the join key once, and every
+    * subsequent join is co-located by the manifest, not by a 100 TB
+    * shuffle.
+    */
+  private lazy val keyedEligible: Boolean =
+    fileIndexForRuntime.isDefined &&
+      gt.partitionCol != GraftTable.SyntheticPartition &&
+      readSchema().fieldNames.contains(gt.partitionCol) &&
+      spark.conf.get("spark.sql.sources.v2.bucketing.enabled",
+        "false") == "true" &&
+      inner.isInstanceOf[
+        org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan] &&
+      dv().isEmpty
+
+  override def outputPartitioning()
+      : org.apache.spark.sql.connector.read.partitioning.Partitioning =
+    if (keyedEligible)
+      new org.apache.spark.sql.connector.read.partitioning
+        .KeyGroupedPartitioning(
+          Array(Expressions.identity(gt.partitionCol)),
+          fileIndexForRuntime.get.partitionSpec().partitions.size)
+    else new org.apache.spark.sql.connector.read.partitioning
+      .UnknownPartitioning(0)
+
   override def toBatch: Batch = {
     val d = dv()
     cleanScan() match {
       case Some(c) if d.nonEmpty => new GraftDvBatch(inner.toBatch, c.toBatch, d)
+      case _ if keyedEligible =>
+        new GraftKeyedBatch(spark,
+          inner.asInstanceOf[
+            org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan],
+          fileIndexForRuntime.get)
       case _ => inner.toBatch
     }
   }
@@ -698,6 +738,76 @@ final case class GraftMetaAggScan(tablePath: String, outSchema: StructType,
     }
     Array(org.apache.spark.sql.catalyst.InternalRow.fromSeq(internal))
   }
+}
+
+/** One input partition of a KEY-GROUPED scan: a [[FilePartition]] whose
+  * files all share ONE partition value, plus that value as the key row
+  * ([[HasPartitionKey]]) — what lets the engine line two scans up for a
+  * storage-partitioned join.
+  */
+final case class GraftKeyedInputPartition(
+    file: org.apache.spark.sql.execution.datasources.FilePartition,
+    key: org.apache.spark.sql.catalyst.InternalRow)
+    extends InputPartition
+    with org.apache.spark.sql.connector.read.HasPartitionKey {
+  override def partitionKey(): org.apache.spark.sql.catalyst.InternalRow = key
+  override def preferredLocations(): Array[String] = file.preferredLocations()
+}
+
+/** Batch planning for the storage-partitioned form: the same pushed
+  * filters and split sizing as Spark's own [[FileScan]], but files
+  * never pack ACROSS partition directories — each directory plans its
+  * own (possibly several) [[GraftKeyedInputPartition]]s carrying the
+  * directory's partition value, read through the untouched parquet
+  * reader factory (a thin unwrap shim). Zone-map pruning and runtime
+  * filters ride [[GraftPrunedFileIndex.listFiles]] unchanged.
+  */
+final class GraftKeyedBatch(spark: SparkSession,
+    scan: org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan,
+    fileIndex: GraftPrunedFileIndex) extends Batch {
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    import org.apache.spark.sql.execution.datasources.FilePartition
+    val dirs = fileIndex.listFiles(scan.partitionFilters, scan.dataFilters)
+    val maxSplit = FilePartition.maxSplitBytes(spark, dirs)
+    val out = scala.collection.mutable.ArrayBuffer.empty[InputPartition]
+    var idx = 0
+    dirs.foreach { pd =>
+      val splits = pd.files.flatMap { f =>
+        org.apache.spark.sql.execution.PartitionedFileUtil.splitFiles(
+          f, f.getPath, isSplitable = true, maxSplit, pd.values)
+      }.sortBy(-_.length)
+      FilePartition.getFilePartitions(spark, splits, maxSplit).foreach { fp =>
+        out += GraftKeyedInputPartition(
+          FilePartition(idx, fp.files), pd.values)
+        idx += 1
+      }
+    }
+    out.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftKeyedReaderFactory(scan.toBatch.createReaderFactory())
+}
+
+/** Unwrap shim: the parquet reader factory sees the plain
+  * [[FilePartition]] inside each keyed partition — columnar decisions
+  * and readers are exactly the inner scan's.
+  */
+final class GraftKeyedReaderFactory(inner: PartitionReaderFactory)
+    extends PartitionReaderFactory {
+  private def unwrap(p: InputPartition): InputPartition = p match {
+    case k: GraftKeyedInputPartition => k.file
+    case other => other
+  }
+  override def supportColumnarReads(partition: InputPartition): Boolean =
+    inner.supportColumnarReads(unwrap(partition))
+  override def createColumnarReader(partition: InputPartition)
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
+    inner.createColumnarReader(unwrap(partition))
+  override def createReader(partition: InputPartition)
+      : PartitionReader[org.apache.spark.sql.catalyst.InternalRow] =
+    inner.createReader(unwrap(partition))
 }
 
 /** Offsets are commit versions; `v` means "everything live at version v
