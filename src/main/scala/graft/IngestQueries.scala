@@ -2857,6 +2857,55 @@ object IngestQueries {
             CAST(round(value * 1000) AS BIGINT) AS score,
             CAST(user_id % 4 AS BIGINT) AS pk
           FROM events)
-        SELECT event_id, amount, score, pk FROM e"""))
+        SELECT event_id, amount, score, pk FROM e""")),
+
+    // HIDDEN PARTITIONING (round 11, the Iceberg transform vocabulary):
+    // the table is PARTITIONED BY (days(ts), bucket(4, user_id)) — the
+    // partition value is DERIVED on every write path and never appears
+    // in the schema. The ladder mutates through UPDATE and DELETE: a
+    // replace-semantics rewrite under a transform is only exact if the
+    // mutation re-derives the hidden value identically (a drifted
+    // derivation strands or duplicates rows), so the relational oracle
+    // gates the derivation itself. The day render in the output also
+    // pins the calendar transform's clock (UTC).
+    QuerySpec("q258_sql_hidden_partition",
+      (s, dir) => {
+        GraftSession.tune(s)
+        val base = java.nio.file.Files.createTempDirectory("graft_q258_").toString
+        Tables.events(s, dir).createOrReplaceTempView("q258_events")
+        val cat = s"gcat_${java.util.UUID.randomUUID().toString.take(8)}"
+          .replace("-", "_")
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.root", base)
+        s.sql(s"""CREATE TABLE $cat.db.hp (
+            event_id BIGINT, amount BIGINT, user_id BIGINT, ts TIMESTAMP)
+          PARTITIONED BY (days(ts), bucket(4, user_id))
+          TBLPROPERTIES ('keys'='event_id', 'statsCols'='amount')""")
+        s.sql(s"""INSERT INTO $cat.db.hp (event_id, amount, user_id, ts)
+          SELECT event_id, CAST(round(value * 100) AS BIGINT), user_id, ts
+          FROM q258_events""")
+        s.sql(s"UPDATE $cat.db.hp SET amount = amount * 3 WHERE amount % 11 = 0")
+        s.sql(s"DELETE FROM $cat.db.hp WHERE amount % 13 = 0")
+        val out = s.sql(s"""SELECT event_id, amount, user_id,
+            date_format(ts, 'yyyy-MM-dd') AS day
+          FROM $cat.db.hp""")
+        val snap = out.localCheckpoint(true)
+        graft.operators.Fs.deleteTree(base)
+        snap
+      },
+      Some("""
+        WITH e AS (
+          SELECT event_id, CAST(round(value * 100) AS BIGINT) AS amount,
+            user_id, ts
+          FROM events),
+        t0 AS (
+          SELECT event_id,
+            CASE WHEN amount % 11 = 0 THEN amount * 3 ELSE amount END
+              AS amount,
+            user_id, ts
+          FROM e)
+        SELECT event_id, amount, user_id,
+          strftime(ts, '%Y-%m-%d') AS day
+        FROM t0 WHERE NOT (amount % 13 = 0)"""))
   )
 }

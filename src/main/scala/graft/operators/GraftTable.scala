@@ -361,9 +361,14 @@ final class GraftTable(spark: SparkSession, val path: String,
                        val statsCols: Seq[String] = Nil,
                        val bloomCols: Seq[String] = Nil,
                        val bloomBits: Int = 1024,
-                       val partitionSrc: Seq[String] = Nil) {
+                       val partitionSrc: Seq[String] = Nil,
+                       val partitionXform: Seq[String] = Nil) {
 
   import GraftTable.{CheckpointEvery, orphanGraceMs}
+
+  require(partitionXform.isEmpty || partitionXform.size == partitionSrc.size,
+    s"partitionXform must align 1:1 with partitionSrc " +
+      s"(${partitionXform.size} vs ${partitionSrc.size})")
 
   require(bloomBits % 64 == 0 && bloomBits >= 64 && bloomBits <= (1 << 20),
     s"bloomBits must be a multiple of 64 in [64, 2^20], got $bloomBits")
@@ -388,13 +393,64 @@ final class GraftTable(spark: SparkSession, val path: String,
     * catalog hides it from the table schema.
     */
   private def synthetic = partitionCol == GraftTable.SyntheticPartition
+
+  /** HIDDEN-PARTITIONING transform of ONE source column into its
+    * partition-path rendering (the Iceberg transform vocabulary over
+    * the synthetic machinery): `identity` (default), calendar
+    * `years`/`months`/`days`/`hours` over date/timestamp columns
+    * (UTC session — rendered as sortable date prefixes), `bucket[n]`
+    * (murmur3 mod n — co-locates a high-cardinality key into n
+    * directories), `truncate[w]` (string prefix / integral
+    * width-floor). Deterministic BY CONSTRUCTION: every write path
+    * re-derives the value, so a query never needs to carry the
+    * transform — and a mutation can never strand a row in a stale
+    * directory.
+    */
+  private def xformExpr(c: String, xf: String,
+                        dt: => org.apache.spark.sql.types.DataType)
+      : org.apache.spark.sql.Column = {
+    val raw = xf match {
+      case "" | "identity" => col(c).cast("string")
+      case "years" => date_format(col(c), "yyyy")
+      case "months" => date_format(col(c), "yyyy-MM")
+      case "days" => date_format(col(c), "yyyy-MM-dd")
+      case "hours" => date_format(col(c), "yyyy-MM-dd-HH")
+      case b if b.startsWith("bucket[") =>
+        val n = b.stripPrefix("bucket[").stripSuffix("]").toInt
+        require(n > 0, s"bucket width must be positive, got $n")
+        pmod(hash(col(c)), lit(n)).cast("string")
+      case t if t.startsWith("truncate[") =>
+        val w = t.stripPrefix("truncate[").stripSuffix("]").toInt
+        require(w > 0, s"truncate width must be positive, got $w")
+        dt match {
+          case org.apache.spark.sql.types.StringType =>
+            substring(col(c), 1, w)
+          case org.apache.spark.sql.types.ByteType |
+               org.apache.spark.sql.types.ShortType |
+               org.apache.spark.sql.types.IntegerType |
+               org.apache.spark.sql.types.LongType =>
+            (floor(col(c).cast("long") / w) * w).cast("string")
+          case other => throw new IllegalArgumentException(
+            s"truncate[$w] supports string/integral columns, " +
+              s"got ${other.simpleString} for '$c'")
+        }
+      case other => throw new IllegalArgumentException(
+        s"unknown partition transform '$other' on column '$c'")
+    }
+    coalesce(raw, lit("\u0002"))
+  }
+
   private def deriveGp(df: DataFrame): DataFrame =
     if (!synthetic) df
     else {
+      val xfs =
+        if (partitionXform.nonEmpty) partitionXform
+        else partitionSrc.map(_ => "identity")
       val v =
         if (partitionSrc.isEmpty) lit("all")
-        else concat_ws("\u0001", partitionSrc.map(c =>
-          coalesce(col(c).cast("string"), lit("\u0002"))): _*)
+        else concat_ws("\u0001", partitionSrc.zip(xfs).map { case (c, xf) =>
+          xformExpr(c, xf, df.schema(c).dataType)
+        }: _*)
       df.withColumn(partitionCol, v)
     }
 
@@ -1642,9 +1698,20 @@ final class GraftTable(spark: SparkSession, val path: String,
     * row's position in it.
     */
   private def readFilesWithMeta(files: Seq[String]): DataFrame = {
+    // `_metadata.file_path` is a URI: percent-escapable characters in
+    // the ON-DISK names arrive encoded once more (a partition dir
+    // `__gp=d%01b` — any multi-column/hidden partition value, or a
+    // value with spaces — reads back as `__gp=d%2501b`). The DV `file`
+    // key must be the on-disk table-relative path EXACTLY as the
+    // manifest renders it, or vectors silently stop matching their
+    // files (the scan would resurrect deleted rows). Literal '+' is
+    // pre-escaped because url_decode would otherwise read it as a
+    // space — the one place URL and URI percent-decoding differ.
     val parts = split(col("_metadata.file_path"), "/")
+    def seg(i: Int) = url_decode(
+      regexp_replace(element_at(parts, i), "\\+", "%2B"))
     readFiles(files).select(col("*"),
-      concat_ws("/", element_at(parts, -2), element_at(parts, -1)).as("__dvf"),
+      concat_ws("/", seg(-2), seg(-1)).as("__dvf"),
       col("_metadata.row_index").as("__dvi"))
   }
 

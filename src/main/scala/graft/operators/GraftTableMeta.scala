@@ -14,7 +14,8 @@ import org.apache.spark.sql.SparkSession
 final case class GraftTableMeta(keys: Seq[String], partitionCol: String,
                                 statsCols: Seq[String], bloomCols: Seq[String],
                                 bloomBits: Int,
-                                partitionSrc: Seq[String] = Nil)
+                                partitionSrc: Seq[String] = Nil,
+                                partitionXform: Seq[String] = Nil)
 
 object GraftTableMeta {
 
@@ -89,7 +90,8 @@ object GraftTableMeta {
   def write(path: String, m: GraftTableMeta): Unit = {
     val json = s"""{"keys":${arr(m.keys)},"partitionCol":"${esc(m.partitionCol)}",""" +
       s""""statsCols":${arr(m.statsCols)},"bloomCols":${arr(m.bloomCols)},""" +
-      s""""bloomBits":${m.bloomBits},"partitionSrc":${arr(m.partitionSrc)}}"""
+      s""""bloomBits":${m.bloomBits},"partitionSrc":${arr(m.partitionSrc)},""" +
+      s""""partitionXform":${arr(m.partitionXform)}}"""
     val tmp = java.nio.file.Paths.get(path,
       s"._graft_meta_tmp_${java.util.UUID.randomUUID().toString.take(8)}")
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(path))
@@ -123,15 +125,20 @@ object GraftTableMeta {
       case Some(Right(xs)) => xs
       case _ => Seq.empty[String]
     }
+    // absent in pre-transform sidecars -> all-identity
+    val partitionXform = fields.get("partitionXform") match {
+      case Some(Right(xs)) => xs
+      case _ => Seq.empty[String]
+    }
     Some(GraftTableMeta(arrField("keys"), strField("partitionCol"),
       arrField("statsCols"), arrField("bloomCols"), intField("bloomBits"),
-      partitionSrc))
+      partitionSrc, partitionXform))
   }
 
   /** Record `t`'s configuration so the catalog can load it by name. */
   def annotate(t: GraftTable): GraftTable = {
     write(t.path, GraftTableMeta(t.keys, t.partitionCol, t.statsCols,
-      t.bloomCols, t.bloomBits, t.partitionSrc))
+      t.bloomCols, t.bloomBits, t.partitionSrc, t.partitionXform))
     t
   }
 
@@ -140,5 +147,6 @@ object GraftTableMeta {
     */
   def open(spark: SparkSession, path: String): Option[GraftTable] =
     read(path).map(m => new GraftTable(spark, path, m.keys, m.partitionCol,
-      m.statsCols, m.bloomCols, m.bloomBits, m.partitionSrc))
+      m.statsCols, m.bloomCols, m.bloomBits, m.partitionSrc,
+      m.partitionXform))
 }

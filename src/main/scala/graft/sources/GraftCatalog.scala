@@ -190,10 +190,36 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
       throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(
         (catalogName +: ident.namespace.toSeq :+ ident.name).map(p => s"`$p`")
           .mkString("."))
-    val partCols = partitions.toSeq.flatMap(t => t.references.toSeq
-      .flatMap(_.fieldNames.toSeq))
-    require(partitions.forall(_.name == "identity"),
-      "GraftCatalog supports identity PARTITIONED BY columns only")
+    // each transform = (source column, xform tag): identity passes the
+    // value through; years/months/days/hours/bucket(n)/truncate(w) are
+    // HIDDEN partitioning (the Iceberg vocabulary) — the table derives
+    // the partition value itself on every write path
+    val partSpecs: Seq[(String, String)] = partitions.toSeq.map { t =>
+      def ref: String = {
+        val refs = t.references.toSeq.flatMap(_.fieldNames.toSeq)
+        require(refs.length == 1,
+          s"PARTITIONED BY transform ${t.describe()} must reference " +
+            "exactly one column")
+        refs.head
+      }
+      def width: Int = t.arguments.collectFirst {
+        case l: org.apache.spark.sql.connector.expressions.Literal[_]
+            if l.value.isInstanceOf[Number] =>
+          l.value.asInstanceOf[Number].intValue
+      }.getOrElse(throw new IllegalArgumentException(
+        s"transform ${t.describe()} needs an integer argument"))
+      t.name match {
+        case "identity" => ref -> "identity"
+        case n @ ("years" | "months" | "days" | "hours") => ref -> n
+        case "bucket" => ref -> s"bucket[$width]"
+        case "truncate" => ref -> s"truncate[$width]"
+        case other => throw new IllegalArgumentException(
+          s"GraftCatalog supports identity/years/months/days/hours/" +
+            s"bucket/truncate PARTITIONED BY transforms, got '$other'")
+      }
+    }
+    val partCols = partSpecs.map(_._1)
+    val hiddenXform = partSpecs.exists(_._2 != "identity")
     require(!schema.fieldNames.contains(GraftTable.SyntheticPartition),
       s"column name ${GraftTable.SyntheticPartition} is reserved")
     // `<name>__changes` / `<name>__history` are metadata-table
@@ -208,12 +234,16 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     partCols.foreach(c => require(schema.fieldNames.contains(c),
       s"PARTITIONED BY column '$c' is not in the table schema"))
     // zero partition columns → one synthetic partition (unpartitioned
-    // table); several → composed into one synthetic path level; one →
-    // plain physical partitioning
-    val (pcol, psrc) = partCols match {
-      case Seq(one) => (one, Seq.empty[String])
-      case Seq() => (GraftTable.SyntheticPartition, Seq.empty[String])
-      case many => (GraftTable.SyntheticPartition, many)
+    // table); several, or ANY non-identity transform → composed into
+    // one synthetic path level (the table derives the rendered value);
+    // one identity column → plain physical partitioning
+    val (pcol, psrc, pxf) = partCols match {
+      case Seq(one) if !hiddenXform =>
+        (one, Seq.empty[String], Seq.empty[String])
+      case Seq() =>
+        (GraftTable.SyntheticPartition, Seq.empty[String], Seq.empty[String])
+      case many =>
+        (GraftTable.SyntheticPartition, many, partSpecs.map(_._2))
     }
     def csv(k: String) = Option(properties.get(k)).toSeq
       .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
@@ -224,7 +254,7 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     val dir = dirOf(ident.namespace, ident.name)
     Files.createDirectories(Paths.get(dir).getParent)
     val gt = new GraftTable(spark, dir, keys, pcol,
-      csv("statsCols"), csv("bloomCols"), bloomBits, psrc)
+      csv("statsCols"), csv("bloomCols"), bloomBits, psrc, pxf)
     gt.createIfNotExists(schema)
     GraftTableMeta.annotate(gt)
     org.apache.spark.sql.graft.GraftSqlRead.table(spark, gt, gt.currentVersion)

@@ -199,6 +199,9 @@ final class GraftSqlTable(spark: SparkSession, val gt: GraftTable,
     if (gt.partitionCol == GraftTable.SyntheticPartition)
       m.put("partitioning",
         if (gt.partitionSrc.isEmpty) "unpartitioned"
+        else if (gt.partitionXform.exists(_ != "identity"))
+          s"hidden(${gt.partitionSrc.zip(gt.partitionXform)
+            .map { case (c, xf) => s"$xf($c)" }.mkString(",")})"
         else s"synthetic(${gt.partitionSrc.mkString(",")})")
     else m.put("partitioning", gt.partitionCol)
     if (gt.statsCols.nonEmpty) m.put("statsCols", gt.statsCols.mkString(","))
@@ -216,9 +219,27 @@ final class GraftSqlTable(spark: SparkSession, val gt: GraftTable,
   }
   override def schema: StructType = tableSchema
   override def partitioning: Array[Transform] =
-    if (gt.partitionCol == GraftTable.SyntheticPartition)
-      gt.partitionSrc.map(Expressions.identity).toArray // logical partitioning
-    else Array(Expressions.identity(gt.partitionCol))
+    if (gt.partitionCol == GraftTable.SyntheticPartition) {
+      val xfs =
+        if (gt.partitionXform.nonEmpty) gt.partitionXform
+        else gt.partitionSrc.map(_ => "identity")
+      gt.partitionSrc.zip(xfs).map { // logical (possibly hidden) partitioning
+        case (c, "identity") => Expressions.identity(c)
+        case (c, "years") => Expressions.years(c)
+        case (c, "months") => Expressions.months(c)
+        case (c, "days") => Expressions.days(c)
+        case (c, "hours") => Expressions.hours(c)
+        case (c, b) if b.startsWith("bucket[") =>
+          Expressions.bucket(
+            b.stripPrefix("bucket[").stripSuffix("]").toInt, c)
+        case (c, t) if t.startsWith("truncate[") =>
+          Expressions.apply("truncate",
+            Expressions.literal(
+              t.stripPrefix("truncate[").stripSuffix("]").toInt),
+            Expressions.column(c))
+        case (c, _) => Expressions.identity(c)
+      }.toArray
+    } else Array(Expressions.identity(gt.partitionCol))
   override def capabilities: java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ,
