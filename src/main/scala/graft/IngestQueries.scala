@@ -2906,6 +2906,62 @@ object IngestQueries {
           FROM e)
         SELECT event_id, amount, user_id,
           strftime(ts, '%Y-%m-%d') AS day
-        FROM t0 WHERE NOT (amount % 13 = 0)"""))
+        FROM t0 WHERE NOT (amount % 13 = 0)""")),
+
+    // GENERATED + IDENTITY COLUMNS (round 11, native capabilities):
+    // `twice BIGINT GENERATED ALWAYS AS (amount * 2)` recomputes
+    // through INSERT and UPDATE (the invariant holds by construction —
+    // the oracle replays the expression relationally and a stale
+    // generated value breaks the hash), and a surrogate-key table with
+    // `id GENERATED ALWAYS AS IDENTITY` allocates unique values from
+    // the zone-map watermark across two separate INSERT commits —
+    // uniqueness (count distinct == count) rides the same result row.
+    QuerySpec("q259_sql_generated_identity",
+      (s, dir) => {
+        GraftSession.tune(s)
+        val base = java.nio.file.Files.createTempDirectory("graft_q259_").toString
+        Tables.events(s, dir).createOrReplaceTempView("q259_events")
+        val cat = s"gcat_${java.util.UUID.randomUUID().toString.take(8)}"
+          .replace("-", "_")
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.root", base)
+        s.sql(s"""CREATE TABLE $cat.db.g (
+            event_id BIGINT, amount BIGINT,
+            twice BIGINT GENERATED ALWAYS AS (amount * 2), pk BIGINT)
+          PARTITIONED BY (pk) TBLPROPERTIES ('keys'='event_id')""")
+        s.sql(s"""INSERT INTO $cat.db.g (event_id, amount, pk)
+          SELECT event_id, CAST(round(value * 100) AS BIGINT), user_id % 4
+          FROM q259_events""")
+        s.sql(s"UPDATE $cat.db.g SET amount = amount + 7 WHERE amount % 5 = 0")
+        s.sql(s"""CREATE TABLE $cat.db.i (
+            id BIGINT GENERATED ALWAYS AS IDENTITY (START WITH 1000
+              INCREMENT BY 2),
+            event_id BIGINT) TBLPROPERTIES ('keys'='id')""")
+        s.sql(s"""INSERT INTO $cat.db.i (event_id)
+          SELECT event_id FROM q259_events WHERE event_id % 2 = 0""")
+        s.sql(s"""INSERT INTO $cat.db.i (event_id)
+          SELECT event_id FROM q259_events WHERE event_id % 2 = 1""")
+        val out = s.sql(s"""SELECT g.event_id, g.amount, g.twice,
+            s.n AS id_rows, s.d AS id_distinct
+          FROM $cat.db.g g
+          CROSS JOIN (SELECT count(*) AS n, count(DISTINCT id) AS d
+            FROM $cat.db.i) s""")
+        val snap = out.localCheckpoint(true)
+        graft.operators.Fs.deleteTree(base)
+        snap
+      },
+      Some("""
+        WITH e AS (
+          SELECT event_id, CAST(round(value * 100) AS BIGINT) AS amount
+          FROM events),
+        g AS (
+          SELECT event_id,
+            CASE WHEN amount % 5 = 0 THEN amount + 7 ELSE amount END
+              AS amount
+          FROM e)
+        SELECT g.event_id, g.amount, g.amount * 2 AS twice,
+          s.n AS id_rows, s.d AS id_distinct
+        FROM g
+        CROSS JOIN (SELECT count(*) AS n, count(*) AS d FROM events) s"""))
   )
 }

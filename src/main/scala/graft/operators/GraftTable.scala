@@ -28,6 +28,19 @@ object GraftTable {
   final case class MetaMin(col: String) extends MetaAgg
   final case class MetaMax(col: String) extends MetaAgg
 
+  /** Schema-metadata keys for GENERATED / IDENTITY columns (round 11):
+    * persisted verbatim in the schema sidecar (StructField metadata),
+    * applied by `conform` on every write path.
+    */
+  /** [[GraftTable.vacuumDryRun]]'s report. */
+  final case class VacuumReport(droppedVersions: Seq[Long], deadFiles: Long,
+                                deadBytes: Long, orphanFiles: Long)
+
+  val GeneratedExprKey = "graft.generatedExpr"
+  val IdentityStartKey = "graft.identity.start"
+  val IdentityStepKey = "graft.identity.step"
+  val IdentityExplicitKey = "graft.identity.allowExplicit"
+
   /** Write `df` as a BUCKETED table: rows are hash-distributed into
     * `buckets` files by `bucketCols` and sorted within each bucket, and
     * the bucketing is recorded in the catalog — so a later equi-join or
@@ -2381,6 +2394,28 @@ final class GraftTable(spark: SparkSession, val path: String,
     * KEPT manifest is first materialized as a full checkpoint (its
     * delta chain may reference dropped manifests).
     */
+  /** What [[vacuum]] would reclaim, WITHOUT reclaiming anything — the
+    * `CALL graft.system.vacuum(…, dry_run => true)` report: versions
+    * that would drop, dead data files (referenced only by dropped
+    * versions) with their byte size, and orphan files (in no manifest —
+    * crash leftovers). Read-only; safe under concurrent writers (the
+    * numbers are advisory: a racing commit can change them).
+    */
+  def vacuumDryRun(keepVersions: Int = 1): GraftTable.VacuumReport = {
+    require(keepVersions >= 1, s"keepVersions must be >= 1, got $keepVersions")
+    val vs = versions
+    if (vs.isEmpty) return GraftTable.VacuumReport(Nil, 0L, 0L, 0L)
+    val (drop, keep) = vs.splitAt(math.max(0, vs.size - keepVersions))
+    val liveSet = keep.flatMap(manifestFiles).toSet
+    val dead = drop.flatMap(manifestFiles).toSet -- liveSet
+    val bytes = dead.toSeq.map { f =>
+      scala.util.Try(java.nio.file.Files.size(
+        java.nio.file.Paths.get(path, f))).getOrElse(0L)
+    }.sum
+    val orphans = listDataFiles().filterNot(liveSet).filterNot(dead).size
+    GraftTable.VacuumReport(drop, dead.size.toLong, bytes, orphans.toLong)
+  }
+
   def vacuum(keepVersions: Int = 1): this.type = {
     require(keepVersions >= 1, s"keepVersions must be >= 1, got $keepVersions")
     val vs = versions
@@ -2746,11 +2781,91 @@ final class GraftTable(spark: SparkSession, val path: String,
           nullable = true))
       val evolved = evolveLogical(cur, newFields.toSeq)
       val inType = df.schema.fields.map(f => f.name -> f.dataType).toMap
-      df.select(evolved.fields.toSeq.map(f =>
+      val aligned = df.select(evolved.fields.toSeq.map(f =>
         if (inType.contains(f.name)) {
           if (inType(f.name) == f.dataType) col(f.name)
           else col(f.name).cast(f.dataType).as(f.name)
         } else lit(null).cast(f.dataType).as(f.name)): _*)
+      applyColumnSpecs(aligned, evolved)
+  }
+
+  /** GENERATED + IDENTITY columns (round 11), applied on EVERY write
+    * path so the invariants hold through inserts, upserts, UPDATE,
+    * MERGE and partition rewrites:
+    *
+    *   - a `GENERATED ALWAYS AS (expr)` column is RECOMPUTED
+    *     unconditionally over the final row — an UPDATE that changes a
+    *     referenced column keeps the generated value consistent, and a
+    *     provided value is overwritten by the expression (documented
+    *     divergence from Delta's statement-level rejection: the
+    *     invariant is enforced by construction instead);
+    *   - an IDENTITY column fills its NULL slots from a fresh block
+    *     above (below, for negative steps) the CURRENT extremum — the
+    *     table itself is the allocation state (no sidecar counter, no
+    *     crash window): the high watermark reads METADATA-ONLY through
+    *     the zone maps when provable ([[metadataAggregates]]; identity
+    *     columns are auto-stats-tracked at CREATE), else one max()
+    *     scan. Values are unique, monotone in allocation order, NOT
+    *     gap-free (the Delta identity contract — a per-task offset
+    *     avoids any global ordering shuffle). Rows that already carry
+    *     a value (rewrites; explicit inserts) keep it.
+    *
+    * Concurrency: an identity allocation is a READ of the table's
+    * extremum, so identity-table appends never blind-retry — a lost
+    * OCC race re-enters and re-reads ([[append]]).
+    */
+  /** Re-apply the generated/identity specs to a REWRITE frame — the
+    * UPDATE/MERGE paths build their result directly (assignments may
+    * have changed referenced columns; merge inserts carry null
+    * identity slots), so they re-enter here instead of [[conform]].
+    */
+  private def respecs(df: DataFrame): DataFrame =
+    sidecarSchemaOpt.map(p => applyColumnSpecs(df, toLogicalSchema(p)))
+      .getOrElse(df)
+
+  private def applyColumnSpecs(df: DataFrame,
+                               schema: org.apache.spark.sql.types.StructType)
+      : DataFrame = {
+    import GraftTable.{GeneratedExprKey, IdentityStartKey, IdentityStepKey}
+    val gen = schema.fields.filter(_.metadata.contains(GeneratedExprKey))
+    val ident = schema.fields.filter(_.metadata.contains(IdentityStartKey))
+    if (gen.isEmpty && ident.isEmpty) return df
+    var out = df
+    gen.foreach { f =>
+      out = out.withColumn(f.name,
+        expr(f.metadata.getString(GeneratedExprKey)).cast(f.dataType))
+    }
+    ident.foreach { f =>
+      val start = f.metadata.getLong(IdentityStartKey)
+      val step = f.metadata.getLong(IdentityStepKey)
+      require(step != 0, s"identity column '${f.name}': step must be nonzero")
+      val spec: GraftTable.MetaAgg =
+        if (step > 0) GraftTable.MetaMax(f.name) else GraftTable.MetaMin(f.name)
+      val hw: Option[Long] = {
+        val v = currentVersion
+        val meta =
+          if (v > 0) metadataAggregates(v, Seq(spec)).map(_.head) else Some(null)
+        meta match {
+          case Some(null) => None // provably empty column
+          case Some(x: java.lang.Long) => Some(x.longValue)
+          case Some(x: java.lang.Integer) => Some(x.longValue)
+          case _ => // unprovable (stats-free files) — one narrow scan
+            val agg = if (step > 0) max(col(f.name)) else min(col(f.name))
+            Option(read.agg(agg.cast("long")).collect()(0))
+              .filterNot(_.isNullAt(0)).map(_.getLong(0))
+        }
+      }
+      val base = hw match {
+        case Some(h) =>
+          if (step > 0) math.max(h, start - step)
+          else math.min(h, start - step)
+        case None => start - step
+      }
+      out = out.withColumn(f.name, coalesce(col(f.name),
+        (lit(base) + (monotonically_increasing_id() + lit(1L)) * lit(step))
+          .cast(f.dataType)))
+    }
+    out
   }
 
   // ----------------------------------------------------- column mapping
@@ -2904,6 +3019,20 @@ final class GraftTable(spark: SparkSession, val path: String,
     require(broken.isEmpty,
       s"$op: '$name' is referenced by CHECK constraint(s) " +
         s"${broken.mkString(", ")} — drop them first")
+    // a rename/drop would break generation expressions referencing the
+    // column by name (the expression string cannot translate)
+    sidecarSchemaOpt.foreach(_.fields
+      .filter(_.metadata.contains(GraftTable.GeneratedExprKey)).foreach { f =>
+        val refs = scala.util.Try(
+          spark.sessionState.sqlParser.parseExpression(
+            f.metadata.getString(GraftTable.GeneratedExprKey))
+            .collect { case a: org.apache.spark.sql.catalyst.analysis
+              .UnresolvedAttribute => a.nameParts.last.toLowerCase }
+        ).getOrElse(Seq.empty)
+        require(!refs.contains(name.toLowerCase),
+          s"$op: '$name' is referenced by generated column '${f.name}' " +
+            s"(${f.metadata.getString(GraftTable.GeneratedExprKey)})")
+      })
   }
 
   /** METADATA-ONLY COLUMN RENAME (the Delta column-mapping rename):
@@ -3300,8 +3429,13 @@ final class GraftTable(spark: SparkSession, val path: String,
     val base = ensureBaselineVersion()
     // blind append: EMPTY read-set — a lost OCC race always re-commits
     // the already-written files against the new head, so concurrent
-    // INSERTs never spuriously conflict (the Delta append discipline)
-    commitRewrite(conform(rows), Seq.empty, base, blindRetry = true)
+    // INSERTs never spuriously conflict (the Delta append discipline).
+    // EXCEPT identity tables: the allocation read the table's extremum
+    // (a real read-set), so a lost race must conflict — re-committing
+    // blindly could land the same block twice
+    val blind = !sidecarSchemaOpt.exists(_.fields.exists(
+      _.metadata.contains(GraftTable.IdentityStartKey)))
+    commitRewrite(conform(rows), Seq.empty, base, blindRetry = blind)
   }
 
   /** IDEMPOTENT [[append]] for exactly-once streaming ingestion — the
@@ -3487,7 +3621,8 @@ final class GraftTable(spark: SparkSession, val path: String,
     }: _*)
     // synthetic tables re-derive __gp: assigning a partition-source
     // column moves the row
-    val staged = Staging.stage(deriveGp(updated), "update_where_barrier")
+    val staged = Staging.stage(deriveGp(respecs(updated)),
+      "update_where_barrier")
     commitRewrite(staged.df, touchedVals, base)
     staged.delete()
     this
@@ -3787,7 +3922,7 @@ final class GraftTable(spark: SparkSession, val path: String,
     // synthetic tables re-derive __gp over the final frame: inserts pad
     // it null, and a clause assigning a partition-source column must
     // MOVE the row (the partition-moving-update discipline)
-    val staged = Staging.stage(deriveGp(written), "merge_barrier")
+    val staged = Staging.stage(deriveGp(respecs(written)), "merge_barrier")
     commitRewrite(staged.df, partitionValsOf(touched), base, markers)
     staged.delete()
     this

@@ -71,7 +71,16 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
       // restarts — CREATE TABLE-time only (ALTER ADD COLUMN keeps the
       // nullable-null contract: existing rows project null)
       org.apache.spark.sql.connector.catalog
-        .TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
+        .TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE,
+      // GENERATED ALWAYS AS (expr) + GENERATED ALWAYS AS IDENTITY:
+      // the analyzer stores the generation/identity spec in the column
+      // metadata (persisted verbatim by the schema sidecar);
+      // [[GraftTable.conform]] computes generated values and allocates
+      // identity blocks on every write path
+      org.apache.spark.sql.connector.catalog
+        .TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_GENERATED_COLUMNS,
+      org.apache.spark.sql.connector.catalog
+        .TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_IDENTITY_COLUMNS)
 
   private def spark = SparkSession.active
 
@@ -181,6 +190,48 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     val gt = open(ident)
     org.apache.spark.sql.graft.GraftSqlRead.table(spark, gt,
       gt.versionAtTimestamp(timestampMicros))
+  }
+
+  /** Column-spec form of CREATE TABLE — the path the analyzer takes
+    * when GENERATED / IDENTITY column capabilities are declared: the
+    * generation expression and identity (start, step, allowExplicit)
+    * arrive on the [[org.apache.spark.sql.connector.catalog.Column]]
+    * objects (NOT in the StructType), get encoded into the schema
+    * sidecar's column metadata, and [[GraftTable]]'s `conform` applies
+    * them on every write path. Identity columns auto-join `statsCols`
+    * so the high-watermark read stays metadata-only.
+    */
+  override def createTable(ident: Identifier,
+                           columns: Array[org.apache.spark.sql.connector.catalog.Column],
+                           partitions: Array[Transform],
+                           properties: java.util.Map[String, String]): Table = {
+    val base = org.apache.spark.sql.graft.Bridge
+      .v2ColumnsToStructType(columns)
+    var identityCols = Seq.empty[String]
+    val enriched = StructType(base.fields.zip(columns).map { case (f, c) =>
+      var mb = new org.apache.spark.sql.types.MetadataBuilder()
+        .withMetadata(f.metadata)
+      Option(c.generationExpression()).foreach { g =>
+        mb = mb.putString(GraftTable.GeneratedExprKey, g)
+      }
+      Option(c.identityColumnSpec()).foreach { s =>
+        identityCols :+= f.name
+        mb = mb.putLong(GraftTable.IdentityStartKey, s.getStart)
+          .putLong(GraftTable.IdentityStepKey, s.getStep)
+          .putBoolean(GraftTable.IdentityExplicitKey, s.isAllowExplicitInsert)
+      }
+      f.copy(metadata = mb.build())
+    })
+    val props =
+      if (identityCols.isEmpty) properties
+      else {
+        val m = new java.util.LinkedHashMap[String, String](properties)
+        val prev = Option(m.get("statsCols")).toSeq
+          .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
+        m.put("statsCols", (prev ++ identityCols).distinct.mkString(","))
+        m
+      }
+    createTable(ident, enriched, partitions, props)
   }
 
   override def createTable(ident: Identifier, schema: StructType,

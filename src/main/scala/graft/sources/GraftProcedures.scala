@@ -66,19 +66,32 @@ object GraftProcedures {
         })
       case "vacuum" => proc("vacuum",
         "reclaim history: keep the last keep_versions manifests, " +
-          "delete data files only they referenced, sweep orphans",
+          "delete data files only they referenced, sweep orphans; " +
+          "dry_run => true reports what WOULD reclaim without touching " +
+          "anything",
         Array(TableParam,
           ProcedureParameter.in("keep_versions", IntegerType)
-            .defaultValue("1").build()),
+            .defaultValue("1").build(),
+          ProcedureParameter.in("dry_run", BooleanType)
+            .defaultValue("false").build()),
         StructType(Seq(StructField("table", StringType),
           StructField("kept_versions", IntegerType),
-          StructField("live_files", IntegerType))),
+          StructField("live_files", IntegerType),
+          StructField("dry_run", BooleanType),
+          StructField("reclaimable_versions", IntegerType),
+          StructField("reclaimable_files", LongType),
+          StructField("reclaimable_bytes", LongType),
+          StructField("orphan_files", LongType))),
         in => {
           val t = open(in.getUTF8String(0).toString)
           val keep = in.getInt(1)
-          t.vacuum(keep)
+          val dry = in.getBoolean(2)
+          val r = t.vacuumDryRun(keep)
+          if (!dry) t.vacuum(keep)
           Seq(InternalRow(in.getUTF8String(0).copy(),
-            math.min(keep, t.versions.size), t.dataFileCount))
+            math.min(keep, t.versions.size), t.dataFileCount, dry,
+            r.droppedVersions.size, r.deadFiles, r.deadBytes,
+            r.orphanFiles))
         })
       case "compact" => proc("compact",
         "rewrite every partition's live files into parallelism files " +

@@ -65,4 +65,15 @@ object Bridge {
       : Seq[org.apache.spark.sql.catalyst.rules.Rule[
         org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]] =
     ext.buildOptimizerRules(spark)
+
+  /** The `private[sql]` Column[] → StructType conversion (defaults
+    * encode into metadata) — the catalog's GENERATED/IDENTITY
+    * createTable path needs the engine's own conversion before
+    * enriching the fields with the generation/identity specs.
+    */
+  def v2ColumnsToStructType(
+      cols: Array[org.apache.spark.sql.connector.catalog.Column])
+      : org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.connector.catalog.CatalogV2Util
+      .v2ColumnsToStructType(cols)
 }

@@ -821,6 +821,13 @@ class GraftCatalogSpec extends SparkSpec {
     // compact with the parallelism default
     val cp = spark.sql(s"CALL $cat.system.compact('db.t')").collect()
     assert(cp.head.getInt(1) == t.dataFileCount)
+    // dry_run reports what WOULD reclaim without touching anything
+    val hist0 = t.history.count()
+    val dr = spark.sql(
+      s"CALL $cat.system.vacuum('db.t', dry_run => true)").collect().head
+    assert(dr.getBoolean(3) && dr.getInt(4) >= 1,
+      s"dry run should name reclaimable versions: $dr")
+    assert(t.history.count() == hist0, "dry_run must not reclaim")
     // vacuum keeps 1 version; history truncates
     spark.sql(s"CALL $cat.system.vacuum('db.t')").collect()
     assert(t.history.count() == 1L)
