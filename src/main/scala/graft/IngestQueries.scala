@@ -2860,14 +2860,16 @@ object IngestQueries {
         SELECT event_id, amount, score, pk FROM e""")),
 
     // HIDDEN PARTITIONING (round 11, the Iceberg transform vocabulary):
-    // the table is PARTITIONED BY (days(ts), bucket(4, user_id)) — the
+    // the table is PARTITIONED BY (months(ts), bucket(4, user_id)) — the
     // partition value is DERIVED on every write path and never appears
     // in the schema. The ladder mutates through UPDATE and DELETE: a
     // replace-semantics rewrite under a transform is only exact if the
     // mutation re-derives the hidden value identically (a drifted
     // derivation strands or duplicates rows), so the relational oracle
     // gates the derivation itself. The day render in the output also
-    // pins the calendar transform's clock (UTC).
+    // pins the calendar transform's clock (UTC). months (not days):
+    // the mechanism is identical and the partition count stays
+    // bench-sane at any SF.
     QuerySpec("q258_sql_hidden_partition",
       (s, dir) => {
         GraftSession.tune(s)
@@ -2879,7 +2881,7 @@ object IngestQueries {
         s.conf.set(s"spark.sql.catalog.$cat.root", base)
         s.sql(s"""CREATE TABLE $cat.db.hp (
             event_id BIGINT, amount BIGINT, user_id BIGINT, ts TIMESTAMP)
-          PARTITIONED BY (days(ts), bucket(4, user_id))
+          PARTITIONED BY (months(ts), bucket(4, user_id))
           TBLPROPERTIES ('keys'='event_id', 'statsCols'='amount')""")
         s.sql(s"""INSERT INTO $cat.db.hp (event_id, amount, user_id, ts)
           SELECT event_id, CAST(round(value * 100) AS BIGINT), user_id, ts

@@ -65,6 +65,10 @@ class GraftHiddenPartitionSpec extends SparkSpec {
     val props = spark.sql(s"SHOW TBLPROPERTIES $cat.db.d").collect()
       .map(r => r.getString(0) -> r.getString(1)).toMap
     assert(props("partitioning") == "hidden(days(ts))")
+    // SHOW CREATE TABLE round-trips the transform spelling
+    val ddl = spark.sql(s"SHOW CREATE TABLE $cat.db.d")
+      .collect()(0).getString(0)
+    assert(ddl.contains("PARTITIONED BY (days(ts))"), ddl)
   }
 
   test("bucket(8, k) routes into at most 8 stable directories; " +
