@@ -43,7 +43,22 @@ import graft.operators.{GraftTable, GraftTableMeta}
   * every other ALTER class stays rejected by design.
   */
 final class GraftCatalog extends TableCatalog with SupportsNamespaces
-    with ProcedureCatalog {
+    with ProcedureCatalog with FunctionCatalog {
+
+  /** FunctionCatalog: the engine resolves a scan's reported
+    * `bucket(n, col)` partition transform through here (storage-
+    * partitioned joins over hidden bucket partitioning — the Iceberg
+    * idiom). One function, namespace-agnostic.
+    */
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    Array(Identifier.of(namespace, "bucket"))
+
+  override def loadFunction(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
+    if (ident.name.equalsIgnoreCase("bucket"))
+      org.apache.spark.sql.graft.GraftBucketFunction
+    else throw new org.apache.spark.sql.catalyst.analysis
+      .NoSuchFunctionException(ident)
 
   private var catalogName: String = _
   private var root: String = _

@@ -43,6 +43,14 @@ object SpjProbe {
       run("fact-fact-join", """SELECT a.k, a.v, b.v AS v2
         FROM sp.db.a a JOIN sp.db.b b ON a.pk = b.pk AND a.k = b.k""")
       run("groupby-pk", """SELECT pk, sum(v) AS s FROM sp.db.a GROUP BY pk""")
+      // hidden bucket[8] tables joined on the bucket SOURCE column
+      Seq("ba", "bb").foreach { t =>
+        spark.sql(s"""CREATE TABLE sp.db.$t (k BIGINT, v BIGINT)
+          PARTITIONED BY (bucket(8, k)) TBLPROPERTIES ('keys'='k')""")
+        spark.sql(s"INSERT INTO sp.db.$t (k, v) SELECT k, v FROM src_a")
+      }
+      run("bucket-join", """SELECT a.k, a.v, b.v AS v2
+        FROM sp.db.ba a JOIN sp.db.bb b ON a.k = b.k""")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevB)
     graft.operators.Fs.deleteTree(base)
     spark.stop()

@@ -669,15 +669,36 @@ final class GraftScan(spark: SparkSession, gt: GraftTable,
     * subsequent join is co-located by the manifest, not by a 100 TB
     * shuffle.
     */
-  private lazy val keyedEligible: Boolean =
+  /** Hidden `bucket[n]` partitioning over exactly one source column:
+    * (n, source col) — reportable as a bucket transform for
+    * storage-partitioned joins (the source column is guarded
+    * unrenamable, so logical == physical).
+    */
+  private lazy val bucketSpec: Option[(Int, String)] =
+    if (gt.partitionCol == GraftTable.SyntheticPartition &&
+      gt.partitionSrc.size == 1 && gt.partitionXform.size == 1 &&
+      gt.partitionXform.head.startsWith("bucket["))
+      Some((gt.partitionXform.head.stripPrefix("bucket[")
+        .stripSuffix("]").toInt, gt.partitionSrc.head))
+    else None
+
+  private lazy val keyedCommonOk: Boolean =
     fileIndexForRuntime.isDefined &&
-      gt.partitionCol != GraftTable.SyntheticPartition &&
-      readSchema().fieldNames.contains(gt.partitionCol) &&
       spark.conf.get("spark.sql.sources.v2.bucketing.enabled",
         "false") == "true" &&
       inner.isInstanceOf[
         org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan] &&
       dv().isEmpty
+
+  private lazy val keyedEligible: Boolean =
+    keyedCommonOk &&
+      gt.partitionCol != GraftTable.SyntheticPartition &&
+      readSchema().fieldNames.contains(gt.partitionCol)
+
+  private lazy val bucketEligible: Boolean =
+    keyedCommonOk && bucketSpec.exists { case (_, src) =>
+      readSchema().fieldNames.contains(src)
+    }
 
   override def outputPartitioning()
       : org.apache.spark.sql.connector.read.partitioning.Partitioning =
@@ -686,18 +707,34 @@ final class GraftScan(spark: SparkSession, gt: GraftTable,
         .KeyGroupedPartitioning(
           Array(Expressions.identity(gt.partitionCol)),
           fileIndexForRuntime.get.partitionSpec().partitions.size)
-    else new org.apache.spark.sql.connector.read.partitioning
+    else if (bucketEligible) {
+      val (n, src) = bucketSpec.get
+      new org.apache.spark.sql.connector.read.partitioning
+        .KeyGroupedPartitioning(
+          Array(Expressions.bucket(n, src)),
+          fileIndexForRuntime.get.partitionSpec().partitions.size)
+    } else new org.apache.spark.sql.connector.read.partitioning
       .UnknownPartitioning(0)
 
   override def toBatch: Batch = {
     val d = dv()
+    // bucket-partitioned scans key each directory by its PARSED bucket
+    // id (an INT row — the bucket transform's output type); identity
+    // scans pass the directory's typed value row through
+    val keyOf: Option[org.apache.spark.sql.catalyst.InternalRow =>
+      org.apache.spark.sql.catalyst.InternalRow] =
+      if (keyedEligible) Some(identity)
+      else if (bucketEligible) Some(values =>
+        org.apache.spark.sql.catalyst.InternalRow(
+          values.getUTF8String(0).toString.toInt))
+      else None
     cleanScan() match {
       case Some(c) if d.nonEmpty => new GraftDvBatch(inner.toBatch, c.toBatch, d)
-      case _ if keyedEligible =>
+      case _ if keyOf.isDefined =>
         new GraftKeyedBatch(spark,
           inner.asInstanceOf[
             org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan],
-          fileIndexForRuntime.get)
+          fileIndexForRuntime.get, keyOf.get)
       case _ => inner.toBatch
     }
   }
@@ -785,7 +822,9 @@ final case class GraftKeyedInputPartition(
   */
 final class GraftKeyedBatch(spark: SparkSession,
     scan: org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan,
-    fileIndex: GraftPrunedFileIndex) extends Batch {
+    fileIndex: GraftPrunedFileIndex,
+    keyOf: org.apache.spark.sql.catalyst.InternalRow =>
+      org.apache.spark.sql.catalyst.InternalRow = identity) extends Batch {
 
   override def planInputPartitions(): Array[InputPartition] = {
     import org.apache.spark.sql.execution.datasources.FilePartition
@@ -798,9 +837,10 @@ final class GraftKeyedBatch(spark: SparkSession,
         org.apache.spark.sql.execution.PartitionedFileUtil.splitFiles(
           f, f.getPath, isSplitable = true, maxSplit, pd.values)
       }.sortBy(-_.length)
+      val key = keyOf(pd.values)
       FilePartition.getFilePartitions(spark, splits, maxSplit).foreach { fp =>
         out += GraftKeyedInputPartition(
-          FilePartition(idx, fp.files), pd.values)
+          FilePartition(idx, fp.files), key)
         idx += 1
       }
     }

@@ -97,6 +97,62 @@ class GraftSpjSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("hidden bucket[n] tables join on the bucket SOURCE column with " +
+    "zero shuffles (the catalog's bucket function resolves the " +
+    "transform); mismatched bucket counts stay exact") {
+    val (cat, _) = freshCatalog()
+    Seq("ba", "bb").foreach { t =>
+      spark.sql(s"""CREATE TABLE $cat.db.$t (k BIGINT, v BIGINT)
+        PARTITIONED BY (bucket(8, k)) TBLPROPERTIES ('keys'='k')""")
+      spark.range(0, 1500).selectExpr("id AS k", s"id * 3 AS v")
+        .createOrReplaceTempView(s"spj_bsrc_$t")
+      spark.sql(s"INSERT INTO $cat.db.$t (k, v) " +
+        s"SELECT k, v FROM spj_bsrc_$t")
+    }
+    val q = s"""SELECT a.k, a.v, b.v AS v2 FROM $cat.db.ba a
+      JOIN $cat.db.bb b ON a.k = b.k"""
+    noBroadcast {
+      val df = spark.sql(q)
+      val got = df.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(shufflesIn(df) == 0,
+        "co-bucketed storage-partitioned join must not shuffle")
+      assert(got == (0L until 1500L).map(i => (i, i * 3, i * 3)).toSet)
+    }
+
+    // the catalog function is BIT-IDENTICAL to the write-side
+    // derivation (pmod(hash(col), n)) — the join test alone could not
+    // catch a drifted definition (co-partitioned joins compare the two
+    // sides' reported values, they never re-evaluate the function)
+    val bound = org.apache.spark.sql.graft.GraftBucketFunction.bind(
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("n",
+          org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("c",
+          org.apache.spark.sql.types.LongType))))
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.functions
+        .ScalarFunction[Integer]]
+    val viaSql = spark.range(0, 200)
+      .selectExpr("id", "pmod(hash(id), 8) AS b").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    (0L until 200L).foreach { k =>
+      assert(bound.produceResult(
+        org.apache.spark.sql.catalyst.InternalRow(8, k)).intValue
+        == viaSql(k), s"bucket($k) drifted from the write derivation")
+    }
+
+    // a 4-bucket side cannot co-locate with an 8-bucket side — the
+    // plan shuffles, the rows stay exact
+    spark.sql(s"""CREATE TABLE $cat.db.b4 (k BIGINT, v BIGINT)
+      PARTITIONED BY (bucket(4, k)) TBLPROPERTIES ('keys'='k')""")
+    spark.sql(s"INSERT INTO $cat.db.b4 (k, v) SELECT k, v FROM spj_bsrc_ba")
+    noBroadcast {
+      val df = spark.sql(s"""SELECT a.k FROM $cat.db.ba a
+        JOIN $cat.db.b4 b ON a.k = b.k""")
+      assert(df.collect().length == 1500)
+    }
+  }
+
   test("graceful fallbacks: a deletion-vectored table and a pruned-out " +
     "partition column keep exact results (with a shuffle)") {
     val (cat, _) = freshCatalog()
