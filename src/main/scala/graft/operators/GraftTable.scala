@@ -2401,7 +2401,8 @@ final class GraftTable(spark: SparkSession, val path: String,
     * crash leftovers). Read-only; safe under concurrent writers (the
     * numbers are advisory: a racing commit can change them).
     */
-  def vacuumDryRun(keepVersions: Int = 1): GraftTable.VacuumReport = {
+  def vacuumDryRun(keepVersions: Int = 1,
+                   includeOrphans: Boolean = true): GraftTable.VacuumReport = {
     require(keepVersions >= 1, s"keepVersions must be >= 1, got $keepVersions")
     val vs = versions
     if (vs.isEmpty) return GraftTable.VacuumReport(Nil, 0L, 0L, 0L)
@@ -2412,8 +2413,14 @@ final class GraftTable(spark: SparkSession, val path: String,
       scala.util.Try(java.nio.file.Files.size(
         java.nio.file.Paths.get(path, f))).getOrElse(0L)
     }.sum
-    val orphans = listDataFiles().filterNot(liveSet).filterNot(dead).size
-    GraftTable.VacuumReport(drop, dead.size.toLong, bytes, orphans.toLong)
+    // the orphan count is the one O(all-files) tree walk — skippable
+    // when the caller is about to run the real vacuum anyway (its own
+    // sweep covers orphans); -1 = not counted
+    val orphans =
+      if (includeOrphans)
+        listDataFiles().filterNot(liveSet).filterNot(dead).size.toLong
+      else -1L
+    GraftTable.VacuumReport(drop, dead.size.toLong, bytes, orphans)
   }
 
   def vacuum(keepVersions: Int = 1): this.type = {
@@ -2758,7 +2765,9 @@ final class GraftTable(spark: SparkSession, val path: String,
     * the evolved column order. No-op for legacy tables without a
     * sidecar.
     */
-  private def conform(df0: DataFrame): DataFrame = sidecarSchemaOpt match {
+  private def conform(df0: DataFrame,
+                      insertShaped: Boolean = true): DataFrame =
+    sidecarSchemaOpt match {
     case None => deriveGp(df0)
     case Some(physCur) =>
       val cur = toLogicalSchema(physCur) // mutation rows speak LOGICAL
@@ -2786,7 +2795,12 @@ final class GraftTable(spark: SparkSession, val path: String,
           if (inType(f.name) == f.dataType) col(f.name)
           else col(f.name).cast(f.dataType).as(f.name)
         } else lit(null).cast(f.dataType).as(f.name)): _*)
-      applyColumnSpecs(aligned, evolved)
+      // specs BEFORE the final derive: a generated/identity column may
+      // BE a partition source (bucket(8, id)) — the partition value
+      // must reflect the FILLED column, or rows land in the
+      // null-sentinel directory (code-review fix; the update/merge
+      // paths already run respecs-then-deriveGp)
+      deriveGp(applyColumnSpecs(aligned, evolved, insertShaped))
   }
 
   /** GENERATED + IDENTITY columns (round 11), applied on EVERY write
@@ -2820,13 +2834,15 @@ final class GraftTable(spark: SparkSession, val path: String,
     * identity slots), so they re-enter here instead of [[conform]].
     */
   private def respecs(df: DataFrame): DataFrame =
-    sidecarSchemaOpt.map(p => applyColumnSpecs(df, toLogicalSchema(p)))
+    sidecarSchemaOpt.map(p =>
+      applyColumnSpecs(df, toLogicalSchema(p), insertShaped = false))
       .getOrElse(df)
 
   private def applyColumnSpecs(df: DataFrame,
-                               schema: org.apache.spark.sql.types.StructType)
+                               schema: org.apache.spark.sql.types.StructType,
+                               insertShaped: Boolean = true)
       : DataFrame = {
-    import GraftTable.{GeneratedExprKey, IdentityStartKey, IdentityStepKey}
+    import GraftTable.{GeneratedExprKey, IdentityExplicitKey, IdentityStartKey, IdentityStepKey}
     val gen = schema.fields.filter(_.metadata.contains(GeneratedExprKey))
     val ident = schema.fields.filter(_.metadata.contains(IdentityStartKey))
     if (gen.isEmpty && ident.isEmpty) return df
@@ -2861,9 +2877,24 @@ final class GraftTable(spark: SparkSession, val path: String,
           else math.min(h, start - step)
         case None => start - step
       }
-      out = out.withColumn(f.name, coalesce(col(f.name),
+      val allocated =
         (lit(base) + (monotonically_increasing_id() + lit(1L)) * lit(step))
-          .cast(f.dataType)))
+          .cast(f.dataType)
+      val allowExplicit = !f.metadata.contains(IdentityExplicitKey) ||
+        f.metadata.getBoolean(IdentityExplicitKey)
+      // GENERATED ALWAYS (allowExplicitInsert = false): an INSERT that
+      // provides the column rejects (the SQL/Delta contract — a silent
+      // duplicate would break the uniqueness the column exists for);
+      // rewrite paths (respecs) keep existing values by construction
+      val filled =
+        if (insertShaped && !allowExplicit)
+          when(col(f.name).isNotNull, raise_error(concat(
+            lit(s"identity column '${f.name}' is GENERATED ALWAYS — " +
+              "explicit inserts are not allowed (got "),
+            col(f.name).cast("string"), lit(")"))).cast(f.dataType))
+            .otherwise(allocated)
+        else coalesce(col(f.name), allocated)
+      out = out.withColumn(f.name, filled)
     }
     out
   }
@@ -3379,7 +3410,7 @@ final class GraftTable(spark: SparkSession, val path: String,
   private def doUpsertReplace(updates: DataFrame, tiebreak: Seq[String],
                               markers: Seq[String]): this.type = {
     val base = ensureBaselineVersion()
-    val up = conform(updates)
+    val up = conform(updates, insertShaped = false) // updates carry ids
     val touched = up.select(col(partitionCol).as("__tp")).distinct()
     val current = readAt(base)
       .join(touched, col(partitionCol) <=> col("__tp"), "left_semi")

@@ -86,7 +86,9 @@ object GraftProcedures {
           val t = open(in.getUTF8String(0).toString)
           val keep = in.getInt(1)
           val dry = in.getBoolean(2)
-          val r = t.vacuumDryRun(keep)
+          // real vacuums skip the dry run's orphan tree walk (their own
+          // sweep covers orphans): orphan_files reports -1 = not counted
+          val r = t.vacuumDryRun(keep, includeOrphans = dry)
           if (!dry) t.vacuum(keep)
           Seq(InternalRow(in.getUTF8String(0).copy(),
             math.min(keep, t.versions.size), t.dataFileCount, dry,

@@ -293,9 +293,16 @@ final class GraftSqlTable(spark: SparkSession, val gt: GraftTable,
             case Seq(n: NamedReference, l: VLit[_])
                 if n.fieldNames().length == 1 &&
                   n.fieldNames()(0) == gt.partitionCol =>
-              Some(Seq(Option(org.apache.spark.sql.catalyst
-                .CatalystTypeConverters.convertToScala(l.value, l.dataType))
-                .map(_.toString)))
+              // render through catalyst's cast-to-string — the SAME
+              // rendering the write side uses for partition values
+              // (java toString diverges for timestamps/dates and the
+              // statement would spuriously reject)
+              val rendered = Option(Cast(
+                Literal(l.value, l.dataType),
+                org.apache.spark.sql.types.StringType,
+                Option(spark.sessionState.conf.sessionLocalTimeZone))
+                .eval(null)).map(_.toString)
+              Some(Seq(rendered))
             case _ => None
           } else None
         }

@@ -127,6 +127,23 @@ class GraftOverwriteSpec extends SparkSpec {
     assert(rows(cat) == Set((9L, 90L, "d9")))
   }
 
+  test("static PARTITION overwrite on a TIMESTAMP partition column " +
+    "renders the target value like the write side (regression: java " +
+    "toString drift spuriously rejected the statement)") {
+    val (cat, _) = freshCatalog()
+    spark.sql(s"""CREATE TABLE $cat.db.ts (k BIGINT, v BIGINT,
+      ts TIMESTAMP) PARTITIONED BY (ts) TBLPROPERTIES ('keys'='k')""")
+    spark.sql(s"""INSERT INTO $cat.db.ts (k, v, ts) VALUES
+      (1, 10, TIMESTAMP '2024-01-01 00:00:00'),
+      (2, 20, TIMESTAMP '2024-02-01 00:00:00')""")
+    spark.sql(s"""INSERT OVERWRITE $cat.db.ts
+      PARTITION (ts = TIMESTAMP '2024-01-01 00:00:00')
+      SELECT 9, 90""")
+    assert(spark.sql(s"SELECT k, v FROM $cat.db.ts").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toSet ==
+      Set(9L -> 90L, 2L -> 20L))
+  }
+
   test("dynamic overwrite honors CHECK constraints atomically") {
     val (cat, root) = freshCatalog()
     seed(cat)
