@@ -1513,7 +1513,8 @@ final class GraftTable(spark: SparkSession, val path: String,
     * Cost is metadata-scale either way — at 100 TB this answers
     * `count(*)` without touching a single data page.
     */
-  def metadataAggregates(v: Long, specs: Seq[GraftTable.MetaAgg]):
+  def metadataAggregates(v: Long, specs: Seq[GraftTable.MetaAgg],
+                         restrictTo: Option[Set[String]] = None):
       Option[Seq[Any]] = scala.util.Try {
     import GraftTable.{MetaAgg, MetaCountCol, MetaCountStar, MetaMax, MetaMin}
     if (specs.isEmpty) return None
@@ -1542,6 +1543,8 @@ final class GraftTable(spark: SparkSession, val path: String,
     if (hasCkptBase(v)) {
       // ONE distributed job over the snapshot frame: total rows,
       // unknown-row files, and per-column missing/nulls/min/max
+      // (optionally restricted to a partition-filtered file subset —
+      // the WHERE-on-partition-column aggregate)
       def typed(x: org.apache.spark.sql.Column, tag: Char) = tag match {
         case 'b' => x.cast("long")
         case 'd' => x.cast("double")
@@ -1561,7 +1564,15 @@ final class GraftTable(spark: SparkSession, val path: String,
             max(typed(st.getField("mx"), tags(c))).cast("string"))
         }
       GraftTable.snapshotPruneJobs.incrementAndGet()
-      val r = snapshotDF(v).agg(aggs.head, aggs.tail: _*).collect()(0)
+      val snap0 = snapshotDF(v)
+      val snap = restrictTo match {
+        case None => snap0
+        case Some(keep) =>
+          val keepDf = spark.createDataset(keep.toSeq)(
+            org.apache.spark.sql.Encoders.STRING).toDF("__keep")
+          snap0.join(keepDf, snap0("file") === col("__keep"), "left_semi")
+      }
+      val r = snap.agg(aggs.head, aggs.tail: _*).collect()(0)
       val totalRows = r.getLong(0)
       if (r.getLong(1) > 0) return None // a file without a row count
       val perCol = cols.zipWithIndex.map { case (c, i) =>
@@ -1577,7 +1588,10 @@ final class GraftTable(spark: SparkSession, val path: String,
         case MetaMax(c) => perCol(c)._4.map(canonOut(_, tags(c))).orNull
       })
     } else {
-      val files = manifestFiles(v)
+      val files = restrictTo match {
+        case None => manifestFiles(v)
+        case Some(keep) => manifestFiles(v).filter(keep)
+      }
       val stats = replayStats(v)
       if (!files.forall(stats.contains)) return None
       val fss = files.map(stats)

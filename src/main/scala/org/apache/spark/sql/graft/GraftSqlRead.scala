@@ -461,17 +461,21 @@ final class GraftScanBuilder(spark: SparkSession, gt: GraftTable,
     physDataSchema, GraftSqlRead.emptyOptions)
   private var prunedSchema: Option[StructType] = None
 
-  // any pushed filter (partition OR data) defeats metadata-only
-  // aggregation: the manifest row counts describe whole files
-  private var sawFilters = false
+  // pushed filters (physical terms): data filters defeat metadata-only
+  // aggregation (manifest row counts describe whole files), but
+  // filters referencing ONLY the partition column restrict it to the
+  // matching directories — every row of a surviving file matches, so
+  // per-file counts stay exact
+  private var pushedPhys: Seq[Expression] = Nil
   // (output schema, EXTERNAL values) once a metadata aggregate pushed
   private var metaAgg: Option[(StructType, Seq[Any])] = None
 
   override def pushFilters(filters: Seq[Expression]): Seq[Expression] = {
-    if (filters.nonEmpty) sawFilters = true
+    val phys = filters.map(toPhys)
+    pushedPhys = pushedPhys ++ phys
     // residuals return in LOGICAL terms (exprIds are preserved either
     // way — the engine binds by id; names keep plans readable)
-    inner.pushFilters(filters.map(toPhys)).map(toLogical)
+    inner.pushFilters(phys).map(toLogical)
   }
 
   /** METADATA-ONLY AGGREGATE PUSHDOWN: `SELECT count(*) / count(c) /
@@ -492,7 +496,14 @@ final class GraftScanBuilder(spark: SparkSession, gt: GraftTable,
       : Boolean = {
     import org.apache.spark.sql.connector.expressions.NamedReference
     import org.apache.spark.sql.connector.expressions.aggregate.{Count, CountStar, Max, Min}
-    if (sawFilters || agg.groupByExpressions().nonEmpty) return false
+    if (agg.groupByExpressions().nonEmpty) return false
+    // filters are acceptable ONLY when every one constrains the
+    // (physical, Hive-layout) partition column alone — the file
+    // listing then restricts the manifest read exactly
+    val partOnly = gt.partitionCol != GraftTable.SyntheticPartition &&
+      pushedPhys.forall(_.references.toSeq.map(_.name).toSet
+        == Set(gt.partitionCol))
+    if (pushedPhys.nonEmpty && !partOnly) return false
     def fieldOf(e: org.apache.spark.sql.connector.expressions.Expression)
         : Option[String] = e match {
       case n: NamedReference if n.fieldNames().length == 1 =>
@@ -515,7 +526,17 @@ final class GraftScanBuilder(spark: SparkSession, gt: GraftTable,
       .AggregatePushDownUtils.getSchemaForPushedAggregation(
         agg, tableSchema, Set.empty[String], Seq.empty[Expression])
       .getOrElse(return false)
-    gt.metadataAggregates(version, specs.flatten) match {
+    val restrict: Option[Set[String]] =
+      if (pushedPhys.isEmpty) None
+      else scala.util.Try {
+        // the engine's own partition pruning decides which directories
+        // survive — exactly the pruning the real scan would apply
+        Some(fileIndex.listFiles(pushedPhys, Nil).flatMap(_.files.map { f =>
+          val p = f.getPath
+          s"${p.getParent.getName}/${p.getName}"
+        }).toSet)
+      }.getOrElse(return false)
+    gt.metadataAggregates(version, specs.flatten, restrict) match {
       case Some(vals) => metaAgg = Some((outSchema, vals)); true
       case None => false
     }

@@ -102,6 +102,37 @@ class GraftAggPushdownSpec extends SparkSpec {
     assert(dv.getLong(0) == 2L && dv.getLong(1) == 30L)
   }
 
+  test("a WHERE on the partition column stays metadata-only (the " +
+    "matching directories' manifests answer); any data filter or a " +
+    "mixed filter declines") {
+    val (cat, _) = freshCatalog()
+    spark.sql(s"""CREATE TABLE $cat.db.p (day STRING, pk BIGINT, v BIGINT)
+      PARTITIONED BY (day) TBLPROPERTIES ('keys'='pk', 'statsCols'='v')""")
+    spark.sql(s"""INSERT INTO $cat.db.p (day, pk, v) VALUES
+      ('d1', 1, 10), ('d1', 2, 20), ('d2', 3, 7), ('d3', 4, 40)""")
+
+    val q = s"SELECT count(*) AS c, min(v) AS mn, max(v) AS mx " +
+      s"FROM $cat.db.p WHERE day = 'd1'"
+    assert(isMetadataOnly(q), "partition-only WHERE should stay metadata")
+    val r = spark.sql(q).collect()(0)
+    assert(r.getLong(0) == 2L && r.getLong(1) == 10L && r.getLong(2) == 20L)
+
+    // IN over partitions; and a no-match partition gives exact zeros
+    val qin = s"SELECT count(*) AS c FROM $cat.db.p WHERE day IN ('d1', 'd3')"
+    assert(isMetadataOnly(qin))
+    assert(spark.sql(qin).collect()(0).getLong(0) == 3L)
+    val qnone = s"SELECT count(*) AS c, max(v) AS mx FROM $cat.db.p " +
+      s"WHERE day = 'nope'"
+    assert(isMetadataOnly(qnone))
+    val z = spark.sql(qnone).collect()(0)
+    assert(z.getLong(0) == 0L && z.isNullAt(1))
+
+    // a data filter — alone or mixed with the partition filter — declines
+    val qd = s"SELECT count(*) AS c FROM $cat.db.p WHERE day = 'd1' AND v > 15"
+    assert(!isMetadataOnly(qd))
+    assert(spark.sql(qd).collect()(0).getLong(0) == 1L)
+  }
+
   test("composes with time travel, column mapping and type widening; " +
     "a stats-free table never pushes") {
     val (cat, _) = freshCatalog()
