@@ -3403,7 +3403,8 @@ final class GraftTable(spark: SparkSession, val path: String,
     */
   def importOnce(incoming: DataFrame): this.type = {
     val base = ensureBaselineVersion()
-    val inc = conform(incoming)
+    // re-imports legitimately carry identity values (exported rows)
+    val inc = conform(incoming, insertShaped = false)
     val existing = readAt(base).select(col(partitionCol).as("__tp")).distinct()
     val fresh = inc.join(existing, col(partitionCol) <=> col("__tp"), "left_anti")
     // partitionScoped: the logical read was "do MY partitions exist" —
@@ -3679,7 +3680,9 @@ final class GraftTable(spark: SparkSession, val path: String,
     */
   def insertIfAbsent(inserts: DataFrame): this.type = {
     val base = ensureBaselineVersion()
-    val ins = conform(inserts)
+    // keyed insert-if-absent: the caller PROVIDES the key by contract,
+    // which on an identity-keyed table means providing the id
+    val ins = conform(inserts, insertShaped = false)
     val fresh = ins.join(readAt(base).select(keys.map(col).toSeq: _*).distinct(),
       keys, "left_anti")
     commitAppend(fresh, base)
@@ -3690,7 +3693,7 @@ final class GraftTable(spark: SparkSession, val path: String,
     */
   def upsertMerge(updates: DataFrame, defaults: Map[String, Any]): this.type = {
     val base = ensureBaselineVersion()
-    val up = conform(updates)
+    val up = conform(updates, insertShaped = false) // updates carry ids
     val touched = up.select(col(partitionCol).as("__tp")).distinct()
     val current = readAt(base)
       .join(touched, col(partitionCol) <=> col("__tp"), "left_semi")

@@ -50,8 +50,12 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     * partitioned joins over hidden bucket partitioning — the Iceberg
     * idiom). One function, namespace-agnostic.
     */
-  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+  override def listFunctions(namespace: Array[String]): Array[Identifier] = {
+    if (namespace.nonEmpty && !Files.isDirectory(nsDir(namespace)))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchNamespaceException(catalogName +: namespace.toSeq)
     Array(Identifier.of(namespace, "bucket"))
+  }
 
   override def loadFunction(ident: Identifier)
       : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =

@@ -68,7 +68,8 @@ object GraftProcedures {
         "reclaim history: keep the last keep_versions manifests, " +
           "delete data files only they referenced, sweep orphans; " +
           "dry_run => true reports what WOULD reclaim without touching " +
-          "anything",
+          "anything (orphan_files is -1 on real vacuums — not counted, " +
+          "the sweep itself reclaims them)",
         Array(TableParam,
           ProcedureParameter.in("keep_versions", IntegerType)
             .defaultValue("1").build(),
