@@ -422,12 +422,26 @@ final class GraftTable(spark: SparkSession, val path: String,
   private def xformExpr(c: String, xf: String,
                         dt: => org.apache.spark.sql.types.DataType)
       : org.apache.spark.sql.Column = {
+    // calendar transforms render in an EXPLICIT UTC zone (pinned on the
+    // catalyst expression itself, not the session): partition-value
+    // derivation must be session-independent — a writer on a non-UTC
+    // session deriving different values than earlier commits for the
+    // same rows would silently fragment placement and break the
+    // mutation paths' consistent-routing invariant
+    def utcRender(fmt: String): org.apache.spark.sql.Column =
+      org.apache.spark.sql.graft.Bridge.toColumn(
+        org.apache.spark.sql.catalyst.expressions.DateFormatClass(
+          org.apache.spark.sql.catalyst.expressions.Cast(
+            org.apache.spark.sql.graft.Bridge.toExpression(col(c)),
+            org.apache.spark.sql.types.TimestampType, Option("UTC")),
+          org.apache.spark.sql.catalyst.expressions.Literal(fmt),
+          Option("UTC")))
     val raw = xf match {
       case "" | "identity" => col(c).cast("string")
-      case "years" => date_format(col(c), "yyyy")
-      case "months" => date_format(col(c), "yyyy-MM")
-      case "days" => date_format(col(c), "yyyy-MM-dd")
-      case "hours" => date_format(col(c), "yyyy-MM-dd-HH")
+      case "years" => utcRender("yyyy")
+      case "months" => utcRender("yyyy-MM")
+      case "days" => utcRender("yyyy-MM-dd")
+      case "hours" => utcRender("yyyy-MM-dd-HH")
       case b if b.startsWith("bucket[") =>
         val n = b.stripPrefix("bucket[").stripSuffix("]").toInt
         require(n > 0, s"bucket width must be positive, got $n")
@@ -2692,9 +2706,18 @@ final class GraftTable(spark: SparkSession, val path: String,
         return this
       } catch {
         case e: CommitConflictException =>
+          // IDENTITY tables never take the partition-scoped logical
+          // retry: allocation read the TABLE-WIDE extremum (a read-set
+          // outside the touched partitions), so a lost race against a
+          // disjoint-partition writer that also allocated must re-enter
+          // the whole mutation and re-read the watermark — re-committing
+          // the already-written files could land the same identity block
+          // twice (the same hazard [[append]]'s blindRetry=false closes
+          // for INSERT INTO)
           val retryAt =
             if (blindRetry) Some(currentVersion) // empty read-set: always safe
-            else if (partitionScoped) logicalRetryBase(b, myDirs, markers)
+            else if (partitionScoped && !hasIdentityColumns)
+              logicalRetryBase(b, myDirs, markers)
             else None
           retryAt match {
             case Some(nb) => b = nb // re-commit the same files, no re-write
@@ -2847,14 +2870,33 @@ final class GraftTable(spark: SparkSession, val path: String,
     * have changed referenced columns; merge inserts carry null
     * identity slots), so they re-enter here instead of [[conform]].
     */
-  private def respecs(df: DataFrame): DataFrame =
+  private def respecs(df: DataFrame, mayAllocate: Boolean = true): DataFrame =
     sidecarSchemaOpt.map(p =>
-      applyColumnSpecs(df, toLogicalSchema(p), insertShaped = false))
+      applyColumnSpecs(df, toLogicalSchema(p), insertShaped = false,
+        mayAllocate = mayAllocate))
       .getOrElse(df)
+
+  /** Logical names of the declared IDENTITY columns (empty without a
+    * sidecar).
+    */
+  private def identityColumnNames: Seq[String] =
+    sidecarSchemaOpt.toSeq.flatMap(p => toLogicalSchema(p).fields.toSeq
+      .filter(_.metadata.contains(GraftTable.IdentityStartKey)).map(_.name))
+
+  /** Does the declared schema carry any IDENTITY column? Identity
+    * allocation reads the table-wide extremum, which widens every
+    * mutation's read-set beyond its touched partitions — the OCC retry
+    * tiers (blind append retry, partition-scoped logical retry) check
+    * this to fall back to full re-entry.
+    */
+  private def hasIdentityColumns: Boolean =
+    sidecarSchemaOpt.exists(_.fields.exists(
+      _.metadata.contains(GraftTable.IdentityStartKey)))
 
   private def applyColumnSpecs(df: DataFrame,
                                schema: org.apache.spark.sql.types.StructType,
-                               insertShaped: Boolean = true)
+                               insertShaped: Boolean = true,
+                               mayAllocate: Boolean = true)
       : DataFrame = {
     import GraftTable.{GeneratedExprKey, IdentityExplicitKey, IdentityStartKey, IdentityStepKey}
     val gen = schema.fields.filter(_.metadata.contains(GeneratedExprKey))
@@ -2865,7 +2907,12 @@ final class GraftTable(spark: SparkSession, val path: String,
       out = out.withColumn(f.name,
         expr(f.metadata.getString(GeneratedExprKey)).cast(f.dataType))
     }
-    ident.foreach { f =>
+    // a rewrite frame the caller PROVES carries no null identity slot
+    // (an UPDATE/MERGE that never assigns the identity column and
+    // inserts nothing re-lands stored values only) skips the whole
+    // allocation arm — no high-watermark read, metadata or otherwise,
+    // on the hot mutation path
+    ident.filter(_ => mayAllocate).foreach { f =>
       val start = f.metadata.getLong(IdentityStartKey)
       val step = f.metadata.getLong(IdentityStepKey)
       require(step != 0, s"identity column '${f.name}': step must be nonzero")
@@ -3472,16 +3519,21 @@ final class GraftTable(spark: SparkSession, val path: String,
     * partitions never read.
     */
   def append(rows: DataFrame): this.type = {
-    val base = ensureBaselineVersion()
     // blind append: EMPTY read-set — a lost OCC race always re-commits
     // the already-written files against the new head, so concurrent
     // INSERTs never spuriously conflict (the Delta append discipline).
     // EXCEPT identity tables: the allocation read the table's extremum
-    // (a real read-set), so a lost race must conflict — re-committing
-    // blindly could land the same block twice
-    val blind = !sidecarSchemaOpt.exists(_.fields.exists(
-      _.metadata.contains(GraftTable.IdentityStartKey)))
-    commitRewrite(conform(rows), Seq.empty, base, blindRetry = blind)
+    // (a REAL read-set), so a lost race re-enters the whole mutation
+    // here — the retry re-runs conform, which re-reads the high
+    // watermark against the winner's state, so the loser's re-allocated
+    // block can never collide with the block the winner landed
+    if (!hasIdentityColumns) {
+      val base = ensureBaselineVersion()
+      commitRewrite(conform(rows), Seq.empty, base, blindRetry = true)
+    } else GraftTable.retryOnConflict() {
+      val base = ensureBaselineVersion()
+      commitRewrite(conform(rows), Seq.empty, base)
+    }
   }
 
   /** IDEMPOTENT [[append]] for exactly-once streaming ingestion — the
@@ -3666,8 +3718,11 @@ final class GraftTable(spark: SparkSession, val path: String,
         .getOrElse(col(c)).as(c)
     }: _*)
     // synthetic tables re-derive __gp: assigning a partition-source
-    // column moves the row
-    val staged = Staging.stage(deriveGp(respecs(updated)),
+    // column moves the row. An UPDATE that never assigns an identity
+    // column re-lands stored (filled) values only — skip the
+    // watermark read (mayAllocate = false)
+    val staged = Staging.stage(deriveGp(respecs(updated,
+      mayAllocate = identityColumnNames.exists(set.contains))),
       "update_where_barrier")
     commitRewrite(staged.df, touchedVals, base)
     staged.delete()
@@ -3969,8 +4024,13 @@ final class GraftTable(spark: SparkSession, val path: String,
     }
     // synthetic tables re-derive __gp over the final frame: inserts pad
     // it null, and a clause assigning a partition-source column must
-    // MOVE the row (the partition-moving-update discipline)
-    val staged = Staging.stage(deriveGp(respecs(written)), "merge_barrier")
+    // MOVE the row (the partition-moving-update discipline). A merge
+    // with no insert clause and no identity assignment re-lands stored
+    // (filled) identity values only — skip the watermark read
+    val mergeMayAllocate = notMatchedInsert.nonEmpty ||
+      identityColumnNames.exists(c => assignments.exists(_._1 == c))
+    val staged = Staging.stage(deriveGp(respecs(written,
+      mayAllocate = mergeMayAllocate)), "merge_barrier")
     commitRewrite(staged.df, partitionValsOf(touched), base, markers)
     staged.delete()
     this

@@ -307,7 +307,19 @@ final class GraftSqlTable(spark: SparkSession, val gt: GraftTable,
           } else None
         }
         if (perPred.exists(_.isEmpty)) None
-        else Some(perPred.flatten.flatten)
+        else {
+          // the predicate array is a CONJUNCTION: equality conjuncts
+          // on the partition column INTERSECT (they do not union — a
+          // V2 overwrite(p === 2 && p === 3) matches zero rows and
+          // must not replace partitions 2 AND 3). Distinct conflicting
+          // values make the conjunction unsatisfiable → reject the
+          // capability up front (canOverwrite = false) instead of
+          // deleting data the predicate does not cover.
+          val eqs = perPred.flatten.flatten
+          if (eqs.isEmpty) Some(Nil) // truncate / ALWAYS_TRUE only
+          else if (eqs.distinct.size == 1) Some(Seq(eqs.head))
+          else None
+        }
       }
 
       override def canOverwrite(
