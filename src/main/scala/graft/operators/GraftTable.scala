@@ -41,6 +41,22 @@ object GraftTable {
   val IdentityStepKey = "graft.identity.step"
   val IdentityExplicitKey = "graft.identity.allowExplicit"
 
+  /** Column-metadata marker on every field APPENDED after CREATE
+    * (write-path schema evolution, `ALTER TABLE ADD COLUMNS`, MERGE
+    * schema evolution): the SQL surface reports evolved columns at the
+    * very END of the table schema — after the partition column — the
+    * append-at-end contract the engine's merge-evolution attribute
+    * remapping assumes (create-time columns keep the physical read
+    * order, so existing tables are bit-identical).
+    */
+  val EvolvedKey = "graft.evolvedAfterCreate"
+
+  private[operators] def tagEvolved(
+      f: org.apache.spark.sql.types.StructField)
+      : org.apache.spark.sql.types.StructField =
+    f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+      .withMetadata(f.metadata).putBoolean(EvolvedKey, true).build())
+
   /** Write `df` as a BUCKETED table: rows are hash-distributed into
     * `buckets` files by `bucketCols` and sorted within each bucket, and
     * the bucketing is recorded in the catalog — so a later equi-join or
@@ -2794,6 +2810,18 @@ final class GraftTable(spark: SparkSession, val path: String,
         .asInstanceOf[org.apache.spark.sql.types.StructType])
     else None
 
+  /** The table's LOGICAL schema in DECLARED order (column mapping
+    * applied, dropped slots hidden): the CREATE-time column order with
+    * evolution appends at the very END — the order SQL surfaces must
+    * report, since the engine's star-expansion/alignment machinery
+    * (MERGE schema evolution in particular) assumes new columns land
+    * last. The physical READ order differs (Spark's partition
+    * discovery moves the partition column to the end); [[readAt]]
+    * callers see read order, catalogs should see this.
+    */
+  def declaredLogicalSchema: Option[org.apache.spark.sql.types.StructType] =
+    sidecarSchemaOpt.map(toLogicalSchema)
+
   /** SCHEMA-EVOLVE + ALIGN a mutation's rows to the table: new columns
     * append to the sidecar as nullable (old files/versions read them as
     * null); table columns the mutation lacks are padded with typed
@@ -3340,6 +3368,7 @@ final class GraftTable(spark: SparkSession, val path: String,
         }
       }
       val toAdd = newFields.filterNot(f => freshBy.contains(f.name))
+        .map(GraftTable.tagEvolved)
       val s2 = org.apache.spark.sql.types.StructType(fresh.fields ++ toAdd)
       if (toAdd.nonEmpty) writeSchemaSidecar(s2)
       s2
@@ -3394,8 +3423,9 @@ final class GraftTable(spark: SparkSession, val path: String,
             var p = f.name
             while (used.contains(p) || toAdd.exists(_.name == p))
               p = s"${f.name}_r${java.util.UUID.randomUUID().toString.take(8)}"
-            toAdd += org.apache.spark.sql.types.StructField(p, f.dataType,
-              nullable = true)
+            toAdd += GraftTable.tagEvolved(
+              org.apache.spark.sql.types.StructField(p, f.dataType,
+                nullable = true))
             if (p != f.name) m2 += (f.name -> p)
         }
       }

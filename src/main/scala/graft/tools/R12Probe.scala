@@ -34,9 +34,21 @@ object R12Probe {
           e.getMessage.linesIterator.take(3).mkString(" | "))
       }
 
-    probe("merge-evolve") {
-      spark.range(0, 10).selectExpr("id AS k", "id+1 AS v", "id % 4 AS pk",
-        "concat('x', id) AS note").createOrReplaceTempView("msrc")
+    spark.range(0, 10).selectExpr("id AS k", "id+1 AS v", "id % 4 AS pk",
+      "concat('x', id) AS note").createOrReplaceTempView("msrc")
+    probe("merge-evolve-insertstar") {
+      spark.sql("""MERGE WITH SCHEMA EVOLUTION INTO g12.db.t t USING msrc s
+        ON t.k = s.k
+        WHEN NOT MATCHED THEN INSERT *""")
+      spark.sql("SELECT count(note) FROM g12.db.t").collect()(0).getLong(0)
+    }
+    probe("merge-evolve-updatestar") {
+      spark.sql("""MERGE WITH SCHEMA EVOLUTION INTO g12.db.t t USING msrc s
+        ON t.k = s.k
+        WHEN MATCHED THEN UPDATE SET *""")
+      spark.sql("SELECT count(note) FROM g12.db.t").collect()(0).getLong(0)
+    }
+    probe("merge-evolve-setexplicit") {
       spark.sql("""MERGE WITH SCHEMA EVOLUTION INTO g12.db.t t USING msrc s
         ON t.k = s.k
         WHEN MATCHED THEN UPDATE SET t.note = s.note
@@ -53,20 +65,30 @@ object R12Probe {
     probe("show-partitions") {
       spark.sql("SHOW PARTITIONS g12.db.t").collect().mkString(",")
     }
-    probe("insert-extra-col") {
+    probe("insert-extra-col-confoff") {
       spark.sql("INSERT INTO g12.db.t SELECT k, v, pk, concat('e', k) AS extra2 FROM src LIMIT 5")
       "inserted"
     }
+    spark.conf.set("spark.graft.schema.autoMerge", "true")
     probe("insert-byname-extra-col") {
-      spark.sql("INSERT INTO g12.db.t BY NAME SELECT k, v, pk, concat('e', k) AS extra3 FROM src LIMIT 5")
-      "inserted"
+      spark.sql("INSERT INTO g12.db.t BY NAME SELECT k, v, pk, concat('e', k) AS extra3 FROM src WHERE k < 5")
+      spark.sql("SELECT count(extra3) FROM g12.db.t").collect()(0).getLong(0)
     }
     probe("writeTo-append-extra-col") {
       spark.range(0, 5).selectExpr("id + 1000 AS k", "id AS v",
         "id % 4 AS pk", "concat('w', id) AS extra4")
         .writeTo("g12.db.t").append()
-      "appended"
+      spark.sql("SELECT count(extra4) FROM g12.db.t").collect()(0).getLong(0)
     }
+    probe("insert-positional-wrongnames-automerge") {
+      spark.sql("INSERT INTO g12.db.t SELECT k AS a, v AS b, pk AS c FROM src WHERE k > 90")
+      "inserted (BAD if silent)"
+    }
+    probe("insert-positional-samenames-automerge") {
+      spark.sql("INSERT INTO g12.db.t SELECT k, v, pk FROM src WHERE k = 50")
+      "inserted"
+    }
+    spark.conf.set("spark.graft.schema.autoMerge", "false")
     probe("timestamp-as-of") {
       spark.sql("SELECT count(*) FROM g12.db.t TIMESTAMP AS OF '2099-01-01'")
         .collect()(0).getLong(0)

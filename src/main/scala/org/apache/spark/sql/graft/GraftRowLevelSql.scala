@@ -45,10 +45,18 @@ import graft.operators.GraftTable
   */
 object GraftRowLevelSql {
 
-  /** Strip alias wrappers down to the relation. */
+  /** Strip alias wrappers — and pure attribute-permutation Projects —
+    * down to the relation. The optimizer normalizes a schema-evolved
+    * merge target to `Project [declared order] over RelationV2 [read
+    * order]`; the projection renames nothing (same exprIds), so the
+    * relation underneath is still the mutation target.
+    */
   @scala.annotation.tailrec
   private def stripAlias(p: LogicalPlan): LogicalPlan = p match {
     case SubqueryAlias(_, child) => stripAlias(child)
+    case Project(exprs, child)
+        if exprs.forall(_.isInstanceOf[AttributeReference]) =>
+      stripAlias(child)
     case other => other
   }
 
@@ -65,6 +73,22 @@ object GraftRowLevelSql {
       }
       case _ => None
     }
+
+  /** Is the mutation target a bare relation once aliases strip — i.e.
+    * NO reordering Project in between (the shape the built-in
+    * capability execs require)?
+    */
+  private[graft] def bareRelationTarget(p: LogicalPlan): Boolean = {
+    @scala.annotation.tailrec
+    def strip(q: LogicalPlan): LogicalPlan = q match {
+      case SubqueryAlias(_, child) => strip(child)
+      case other => other
+    }
+    strip(p) match {
+      case _: DataSourceV2Relation | _: DataSourceV2ScanRelation => true
+      case _ => false
+    }
+  }
 
   private def targetOutput(p: LogicalPlan): Seq[Attribute] =
     stripAlias(p) match {
@@ -467,7 +491,14 @@ object GraftRowLevelSqlStrategy extends SparkStrategy {
     case d: DeleteFromTable
         if GraftRowLevelSql.graftTarget(d.table).isDefined &&
           (d.condition.exists(_.isInstanceOf[SubqueryExpression]) ||
-            !GraftRowLevelSql.deletableByCapability(d.condition)) =>
+            !GraftRowLevelSql.deletableByCapability(d.condition) ||
+            !GraftRowLevelSql.bareRelationTarget(d.table)) =>
+      // the third arm: a SCHEMA-EVOLVED table's relation arrives under
+      // a reordering Project (evolved columns report after the
+      // partition column) — the SupportsDeleteV2 capability exec
+      // requires a bare relation and would internal-error, so the
+      // strategy claims the statement and runs the same deletion-vector
+      // commit through GraftTable.deleteWhereIn
       GraftRowLevelExec(d) :: Nil
     case _ => Nil
   }

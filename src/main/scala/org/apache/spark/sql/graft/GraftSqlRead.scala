@@ -177,8 +177,20 @@ final class GraftSqlTable(spark: SparkSession, val gt: GraftTable,
     * job). Synthetic tables hide their derived `__gp` partition column:
     * SQL users never see or write it.
     */
+  /** Reported column order = the DECLARED (sidecar) order: the
+    * CREATE-time order with evolution appends at the very end — what
+    * DESCRIBE should show, what positional INSERT/CTAS writes resolve
+    * against, and the append-at-end prefix rule the engine's `MERGE
+    * WITH SCHEMA EVOLUTION` attribute remapping assumes. The physical
+    * scans still produce (data columns ++ partition column)
+    * positionally; the V2 pushdown compensates with a name-based
+    * projection on reads, the streaming source reorders its readers
+    * ([[GraftReorderingReaderFactory]]), and the row-level strategy
+    * claims DELETEs whose target arrives Project-wrapped (the
+    * capability exec requires a bare relation).
+    */
   val tableSchema: StructType = {
-    val full = gt.read.schema
+    val full = gt.declaredLogicalSchema.getOrElse(gt.read.schema)
     if (gt.partitionCol == GraftTable.SyntheticPartition)
       StructType(full.fields.filterNot(_.name == gt.partitionCol))
     else full
@@ -240,13 +252,32 @@ final class GraftSqlTable(spark: SparkSession, val gt: GraftTable,
         case (c, _) => Expressions.identity(c)
       }.toArray
     } else Array(Expressions.identity(gt.partitionCol))
-  override def capabilities: java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ,
+  override def capabilities: java.util.Set[TableCapability] = {
+    val caps = java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE,
       TableCapability.STREAMING_WRITE,
       TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER,
-      TableCapability.OVERWRITE_DYNAMIC)
+      TableCapability.OVERWRITE_DYNAMIC,
+      // `MERGE WITH SCHEMA EVOLUTION`: the analyzer computes the
+      // source-vs-target schema delta itself and applies it through
+      // [[graft.sources.GraftCatalog.alterTable]] (AddColumn -> the
+      // lock-safe sidecar evolution; a type conflict arrives as
+      // UpdateColumnType and passes only up the widening lattice) --
+      // gated on the explicit SQL syntax, so a plain MERGE still
+      // rejects unknown assignment targets
+      TableCapability.AUTOMATIC_SCHEMA_EVOLUTION)
+    // DataFrame/SQL appends with NEW source columns (opt-in, the Delta
+    // autoMerge shape): skipping the analyzer's output resolution lets
+    // the frame reach [[GraftTable.conform]], which evolves the sidecar
+    // schema and aligns BY NAME -- key/partition columns stay required
+    // (a positionally-shaped insert whose names don't line up fails
+    // loudly rather than scrambling)
+    if (SparkSession.active.conf
+        .getOption("spark.graft.schema.autoMerge").exists(_.toBoolean))
+      caps.add(TableCapability.ACCEPT_ANY_SCHEMA)
+    caps
+  }
 
   private def requireHead(op: String): Unit =
     require(pinnedVersion == gt.currentVersion,
@@ -1053,7 +1084,18 @@ final class GraftMicroBatchStream(spark: SparkSession, gt: GraftTable,
     // streaming scans push no parquet filters, so the same factory
     // serves both partition kinds (position counting needs no clean
     // variant)
-    new GraftDvReaderFactory(f, f)
+    val dv = new GraftDvReaderFactory(f, f)
+    // SCHEMA-EVOLVED tables: the stream's declared output is the table
+    // schema (evolved columns AFTER the partition column) but the
+    // parquet readers produce (data columns ++ partition column)
+    // positionally — reorder (zero-copy column-vector permutation on
+    // the columnar path) whenever the two differ
+    val scanOrder = tableSchema.fields.filterNot(_.name == gt.partitionCol) ++
+      tableSchema.fields.filter(_.name == gt.partitionCol)
+    if (scanOrder.map(_.name).toSeq == tableSchema.fields.map(_.name).toSeq) dv
+    else new GraftReorderingReaderFactory(dv,
+      scanOrder.map(_.dataType).toArray,
+      tableSchema.fields.map(f => scanOrder.indexWhere(_.name == f.name)).toArray)
   }
 
   override def createReaderFactory(): org.apache.spark.sql.connector.read.PartitionReaderFactory =
@@ -1061,6 +1103,53 @@ final class GraftMicroBatchStream(spark: SparkSession, gt: GraftTable,
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
+}
+
+/** Permutes reader output from scan order into the table's declared
+  * order (`out(i) = scan(indices(i))`). Columnar reads permute the
+  * COLUMN VECTOR array — zero copies, zero per-row work; row reads run
+  * one codegen'd [[UnsafeProjection]] built task-side (the factory
+  * ships to executors; projections are not serializable).
+  */
+final class GraftReorderingReaderFactory(
+    inner: org.apache.spark.sql.connector.read.PartitionReaderFactory,
+    scanTypes: Array[org.apache.spark.sql.types.DataType],
+    indices: Array[Int])
+    extends org.apache.spark.sql.connector.read.PartitionReaderFactory {
+
+  override def supportColumnarReads(p: InputPartition): Boolean =
+    inner.supportColumnarReads(p)
+
+  override def createColumnarReader(p: InputPartition)
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
+    val r = inner.createColumnarReader(p)
+    new PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
+      override def next(): Boolean = r.next()
+      override def get(): org.apache.spark.sql.vectorized.ColumnarBatch = {
+        val b = r.get()
+        val cols = indices.map(b.column)
+        new org.apache.spark.sql.vectorized.ColumnarBatch(
+          cols.toArray[org.apache.spark.sql.vectorized.ColumnVector],
+          b.numRows())
+      }
+      override def close(): Unit = r.close()
+    }
+  }
+
+  override def createReader(p: InputPartition)
+      : PartitionReader[org.apache.spark.sql.catalyst.InternalRow] = {
+    val r = inner.createReader(p)
+    val proj = org.apache.spark.sql.catalyst.expressions.UnsafeProjection
+      .create(indices.toIndexedSeq.map(i =>
+        org.apache.spark.sql.catalyst.expressions.BoundReference(
+          i, scanTypes(i), nullable = true)))
+    new PartitionReader[org.apache.spark.sql.catalyst.InternalRow] {
+      override def next(): Boolean = r.next()
+      override def get(): org.apache.spark.sql.catalyst.InternalRow =
+        proj(r.get())
+      override def close(): Unit = r.close()
+    }
+  }
 }
 
 /** An [[InMemoryFileIndex]] fixed to ONE version's live files, with the
