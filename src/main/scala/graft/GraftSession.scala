@@ -92,6 +92,7 @@ object GraftSession {
       .master(s"local[$n]")
       .appName("graft")
       .config("spark.sql.shuffle.partitions", n.toString)
+      .config("spark.sql.extensions", "graft.ext.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -2964,6 +2964,231 @@ object IngestQueries {
         SELECT g.event_id, g.amount, g.amount * 2 AS twice,
           s.n AS id_rows, s.d AS id_distinct
         FROM g
-        CROSS JOIN (SELECT count(*) AS n, count(*) AS d FROM events) s"""))
+        CROSS JOIN (SELECT count(*) AS n, count(*) AS d FROM events) s""")),
+
+    // MERGE WITH SCHEMA EVOLUTION (round 12): the two-batch evolving
+    // ingest — batch 1 lands three columns, batch 2 arrives with a NEW
+    // `src` column through the Spark 4 native capability
+    // (AUTOMATIC_SCHEMA_EVOLUTION → the analyzer computes the delta and
+    // ALTERs through the catalog, metadata-only): matched rows take the
+    // new values, unmatched batch-1 rows project null for the evolved
+    // column, batch-2-only rows insert with it. Oracle replays the
+    // two-batch merge relationally; a missed update, a lost insert or a
+    // null-projection miss breaks the hash.
+    QuerySpec("q260_sql_merge_schema_evolution",
+      (s, dir) => {
+        GraftSession.tune(s)
+        val base = java.nio.file.Files.createTempDirectory("graft_q260_").toString
+        Tables.events(s, dir).createOrReplaceTempView("q260_events")
+        val cat = s"gcat_${java.util.UUID.randomUUID().toString.take(8)}"
+          .replace("-", "_")
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.root", base)
+        s.sql(s"""CREATE TABLE $cat.db.ev (
+            event_id BIGINT, user_id BIGINT, cents BIGINT, pk BIGINT)
+          PARTITIONED BY (pk)
+          TBLPROPERTIES ('keys'='event_id', 'statsCols'='cents')""")
+        s.sql(s"""INSERT INTO $cat.db.ev (event_id, user_id, cents, pk)
+          SELECT event_id, user_id, CAST(round(value * 100) AS BIGINT),
+            user_id % 4
+          FROM q260_events WHERE event_id % 2 = 0""")
+        s.sql("""CREATE OR REPLACE TEMP VIEW q260_b2 AS
+          SELECT event_id, user_id,
+            CAST(round(value * 100) AS BIGINT) + 1 AS cents,
+            user_id % 4 AS pk,
+            concat('b', CAST(event_id % 7 AS STRING)) AS src
+          FROM q260_events WHERE event_id % 3 = 0""")
+        s.sql(s"""MERGE WITH SCHEMA EVOLUTION INTO $cat.db.ev t
+          USING q260_b2 s ON t.event_id = s.event_id
+          WHEN MATCHED THEN UPDATE SET *
+          WHEN NOT MATCHED THEN INSERT *""")
+        val out = s.sql(
+          s"SELECT event_id, user_id, cents, pk, src FROM $cat.db.ev")
+        val snap = out.localCheckpoint(true)
+        graft.operators.Fs.deleteTree(base)
+        snap
+      },
+      Some("""
+        WITH e AS (
+          SELECT event_id, user_id,
+            CAST(round(value * 100) AS BIGINT) AS cents,
+            CAST(user_id % 4 AS BIGINT) AS pk
+          FROM events),
+        b1 AS (SELECT * FROM e WHERE event_id % 2 = 0),
+        b2 AS (
+          SELECT event_id, user_id, cents + 1 AS cents, pk,
+            concat('b', CAST(event_id % 7 AS VARCHAR)) AS src
+          FROM e WHERE event_id % 3 = 0)
+        SELECT event_id, user_id, cents, pk, src FROM b2
+        UNION ALL
+        SELECT event_id, user_id, cents, pk, CAST(NULL AS VARCHAR) AS src
+        FROM b1
+        WHERE event_id NOT IN (SELECT event_id FROM b2)""")),
+
+    // AUTO-MERGE APPENDS (round 12, the Delta autoMerge shape):
+    // `spark.graft.schema.autoMerge = true` lets a BY-NAME append whose
+    // frame carries a new column evolve the table instead of failing
+    // the analyzer arity check — the write bypasses output resolution
+    // (ACCEPT_ANY_SCHEMA) and lands through conform's lock-safe sidecar
+    // evolution. Oracle: batch 1 null-pads the evolved column, batch 2
+    // carries it.
+    QuerySpec("q261_sql_automerge_append",
+      (s, dir) => {
+        GraftSession.tune(s)
+        val base = java.nio.file.Files.createTempDirectory("graft_q261_").toString
+        Tables.events(s, dir).createOrReplaceTempView("q261_events")
+        val cat = s"gcat_${java.util.UUID.randomUUID().toString.take(8)}"
+          .replace("-", "_")
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.root", base)
+        s.sql(s"""CREATE TABLE $cat.db.am (
+            event_id BIGINT, cents BIGINT, pk BIGINT)
+          PARTITIONED BY (pk)
+          TBLPROPERTIES ('keys'='event_id', 'statsCols'='cents')""")
+        s.sql(s"""INSERT INTO $cat.db.am (event_id, cents, pk)
+          SELECT event_id, CAST(round(value * 100) AS BIGINT), user_id % 4
+          FROM q261_events WHERE event_id % 2 = 0""")
+        val b2 = s.sql("""SELECT event_id,
+            CAST(round(value * 100) AS BIGINT) AS cents,
+            user_id % 4 AS pk,
+            CASE WHEN user_id % 3 = 0 THEN 'de' ELSE 'en' END AS lang
+          FROM q261_events WHERE event_id % 2 = 1""")
+        s.conf.set("spark.graft.schema.autoMerge", "true")
+        try b2.writeTo(s"$cat.db.am").append()
+        finally s.conf.set("spark.graft.schema.autoMerge", "false")
+        val out = s.sql(s"SELECT event_id, cents, pk, lang FROM $cat.db.am")
+        val snap = out.localCheckpoint(true)
+        graft.operators.Fs.deleteTree(base)
+        snap
+      },
+      Some("""
+        WITH e AS (
+          SELECT event_id, user_id,
+            CAST(round(value * 100) AS BIGINT) AS cents,
+            CAST(user_id % 4 AS BIGINT) AS pk
+          FROM events)
+        SELECT event_id, cents, pk, CAST(NULL AS VARCHAR) AS lang
+        FROM e WHERE event_id % 2 = 0
+        UNION ALL
+        SELECT event_id, cents, pk,
+          CASE WHEN user_id % 3 = 0 THEN 'de' ELSE 'en' END AS lang
+        FROM e WHERE event_id % 2 = 1""")),
+
+    // TIMESTAMP AS OF (round 12): time travel by COMMIT TIME (manifest
+    // mtimes are the commit clock, the Delta convention), laddered over
+    // a fixed three-commit history whose clock the query pins
+    // explicitly — snapshot 1 (first insert only), snapshot 2 (both
+    // inserts, pre-delete), head (post-delete), all three tagged and
+    // unioned. Oracle replays the three states; a wrong version
+    // resolution breaks the hash.
+    QuerySpec("q265_sql_timestamp_as_of",
+      (s, dir) => {
+        GraftSession.tune(s)
+        val base = java.nio.file.Files.createTempDirectory("graft_q265_").toString
+        Tables.events(s, dir).createOrReplaceTempView("q265_events")
+        val cat = s"gcat_${java.util.UUID.randomUUID().toString.take(8)}"
+          .replace("-", "_")
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.root", base)
+        s.sql(s"""CREATE TABLE $cat.db.tt (
+            event_id BIGINT, cents BIGINT, pk BIGINT)
+          PARTITIONED BY (pk)
+          TBLPROPERTIES ('keys'='event_id', 'statsCols'='cents')""")
+        s.sql(s"""INSERT INTO $cat.db.tt (event_id, cents, pk)
+          SELECT event_id, CAST(round(value * 100) AS BIGINT), user_id % 4
+          FROM q265_events WHERE event_id % 2 = 0""")
+        s.sql(s"""INSERT INTO $cat.db.tt (event_id, cents, pk)
+          SELECT event_id, CAST(round(value * 100) AS BIGINT), user_id % 4
+          FROM q265_events WHERE event_id % 2 = 1""")
+        s.sql(s"DELETE FROM $cat.db.tt WHERE cents % 3 = 0")
+        // pin the commit clock: one minute apart per version, so the
+        // AS OF instants below are unambiguous at any mtime granularity
+        val log = java.nio.file.Paths.get(s"$base/db/tt/_graft_log")
+        val t0 = java.time.Instant.parse("2024-01-01T00:00:00Z")
+        val vs = java.nio.file.Files.list(log).toArray.map(_.toString)
+          .filter(_.endsWith(".json")).sorted
+        vs.zipWithIndex.foreach { case (f, i) =>
+          java.nio.file.Files.setLastModifiedTime(
+            java.nio.file.Paths.get(f),
+            java.nio.file.attribute.FileTime.from(t0.plusSeconds(60L * i)))
+        }
+        // vs(0) = the create, vs(1) = insert 1, vs(2) = insert 2,
+        // vs(3) = the delete; AS OF 30s past a commit resolves to it
+        val out = s.sql(s"""
+          SELECT 's1' AS snap, event_id, cents, pk
+          FROM $cat.db.tt TIMESTAMP AS OF '2024-01-01 00:01:30'
+          UNION ALL
+          SELECT 's2' AS snap, event_id, cents, pk
+          FROM $cat.db.tt TIMESTAMP AS OF '2024-01-01 00:02:30'
+          UNION ALL
+          SELECT 'now' AS snap, event_id, cents, pk
+          FROM $cat.db.tt""")
+        val snap = out.localCheckpoint(true)
+        graft.operators.Fs.deleteTree(base)
+        snap
+      },
+      Some("""
+        WITH e AS (
+          SELECT event_id, user_id,
+            CAST(round(value * 100) AS BIGINT) AS cents,
+            CAST(user_id % 4 AS BIGINT) AS pk
+          FROM events),
+        b1 AS (SELECT event_id, cents, pk FROM e WHERE event_id % 2 = 0),
+        b2 AS (SELECT event_id, cents, pk FROM e WHERE event_id % 2 = 1)
+        SELECT 's1' AS snap, event_id, cents, pk FROM b1
+        UNION ALL
+        SELECT 's2' AS snap, event_id, cents, pk
+        FROM (SELECT * FROM b1 UNION ALL SELECT * FROM b2)
+        UNION ALL
+        SELECT 'now' AS snap, event_id, cents, pk
+        FROM (SELECT * FROM b1 UNION ALL SELECT * FROM b2)
+        WHERE cents % 3 <> 0""")),
+
+    // PERSISTENT VIEWS (round 12): GraftCatalog implements Spark 4's
+    // native ViewCatalog; SELECTs resolve through the extension rule
+    // (vanilla 4.1 ships the protocol unwired — the Iceberg model) and
+    // INLINE the stored SQL, so pushdown reaches the table scan; DDL
+    // rides CALL procedures since vanilla CREATE VIEW is session-
+    // catalog-only. The query builds a view WITH column pruning + a
+    // predicate, layers a second view over it, and reads through both.
+    QuerySpec("q262_sql_view",
+      (s, dir) => {
+        GraftSession.tune(s)
+        val base = java.nio.file.Files.createTempDirectory("graft_q262_").toString
+        Tables.events(s, dir).createOrReplaceTempView("q262_events")
+        val cat = s"gcat_${java.util.UUID.randomUUID().toString.take(8)}"
+          .replace("-", "_")
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.root", base)
+        s.sql(s"""CREATE TABLE $cat.db.ve (
+            event_id BIGINT, user_id BIGINT, cents BIGINT, pk BIGINT)
+          PARTITIONED BY (pk)
+          TBLPROPERTIES ('keys'='event_id', 'statsCols'='cents')""")
+        s.sql(s"""INSERT INTO $cat.db.ve (event_id, user_id, cents, pk)
+          SELECT event_id, user_id, CAST(round(value * 100) AS BIGINT),
+            user_id % 4
+          FROM q262_events""")
+        s.sql(s"""CALL $cat.system.create_view('db.spend',
+          'SELECT user_id, cents FROM $cat.db.ve WHERE cents % 3 = 0')""")
+        s.sql(s"""CALL $cat.system.create_view('db.spend_agg',
+          'SELECT user_id, CAST(sum(cents) AS BIGINT) AS total,
+             CAST(count(*) AS BIGINT) AS n
+           FROM $cat.db.spend GROUP BY user_id')""")
+        val out = s.sql(s"""SELECT user_id, total, n
+          FROM $cat.db.spend_agg WHERE total % 2 = 0""")
+        val snap = out.localCheckpoint(true)
+        graft.operators.Fs.deleteTree(base)
+        snap
+      },
+      Some("""
+        WITH e AS (
+          SELECT user_id, CAST(round(value * 100) AS BIGINT) AS cents
+          FROM events),
+        spend AS (SELECT user_id, cents FROM e WHERE cents % 3 = 0),
+        agg AS (
+          SELECT user_id, CAST(sum(cents) AS BIGINT) AS total,
+            CAST(count(*) AS BIGINT) AS n
+          FROM spend GROUP BY user_id)
+        SELECT user_id, total, n FROM agg WHERE total % 2 = 0"""))
   )
 }

@@ -97,5 +97,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectOptimizerRule(_ => RewriteHofFixedDot)
     ext.injectPlannerStrategy(_ =>
       org.apache.spark.sql.graft.GraftRowLevelSqlStrategy)
+    // persisted V2 views resolve in SELECTs (vanilla 4.1 ships the
+    // ViewCatalog protocol with no SQL read wiring) — build-time only,
+    // analyzer rules cannot be added to a live session
+    ext.injectResolutionRule(session => new GraftResolveViews(session))
   }
 }

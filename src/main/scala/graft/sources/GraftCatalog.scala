@@ -43,7 +43,100 @@ import graft.operators.{GraftTable, GraftTableMeta}
   * every other ALTER class stays rejected by design.
   */
 final class GraftCatalog extends TableCatalog with SupportsNamespaces
-    with ProcedureCatalog with FunctionCatalog {
+    with ProcedureCatalog with FunctionCatalog with ViewCatalog {
+
+  // ------------------------------------------------------------- views
+  //
+  // Spark 4's native V2 view protocol: CREATE [OR REPLACE] VIEW /
+  // DROP VIEW / SHOW VIEWS / ALTER VIEW … SET TBLPROPERTIES analyze
+  // natively once the catalog is a ViewCatalog, and SELECTs through a
+  // view re-resolve its stored SQL in the view's own catalog+namespace
+  // context — filters/pruning push into the underlying table scan as
+  // if the query were inlined. Views persist as one small metadata
+  // file each under `<ns>/_graft_views/` ([[GraftViews]]).
+
+  override def listViews(namespace: String*): Array[Identifier] = {
+    if (namespace.nonEmpty && !Files.isDirectory(nsDir(namespace.toArray)))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchNamespaceException(catalogName +: namespace.toSeq)
+    GraftViews.list(root, namespace.toSeq)
+      .map(n => Identifier.of(namespace.toArray, n)).toArray
+  }
+
+  override def loadView(ident: Identifier): View =
+    GraftViews.read(root, ident).getOrElse(
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchViewException(ident))
+
+  override def viewExists(ident: Identifier): Boolean =
+    GraftViews.exists(root, ident)
+
+  override def createView(info: ViewInfo): View = {
+    require(!tableExists(info.ident),
+      s"cannot create view ${info.ident}: a TABLE with that name exists")
+    if (GraftViews.exists(root, info.ident))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .ViewAlreadyExistsException(info.ident)
+    GraftViews.write(root, info.ident, info.ident.name, info.sql,
+      info.currentCatalog, info.currentNamespace.toSeq, info.schema,
+      info.queryColumnNames.toSeq, info.columnAliases.toSeq,
+      info.columnComments.toSeq,
+      scala.jdk.CollectionConverters.MapHasAsScala(info.properties)
+        .asScala.toMap)
+    loadView(info.ident)
+  }
+
+  override def replaceView(info: ViewInfo, orCreate: Boolean): View = {
+    require(!tableExists(info.ident),
+      s"cannot create view ${info.ident}: a TABLE with that name exists")
+    if (!orCreate && !GraftViews.exists(root, info.ident))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchViewException(info.ident)
+    GraftViews.write(root, info.ident, info.ident.name, info.sql,
+      info.currentCatalog, info.currentNamespace.toSeq, info.schema,
+      info.queryColumnNames.toSeq, info.columnAliases.toSeq,
+      info.columnComments.toSeq,
+      scala.jdk.CollectionConverters.MapHasAsScala(info.properties)
+        .asScala.toMap)
+    loadView(info.ident)
+  }
+
+  override def alterView(ident: Identifier, changes: ViewChange*): View = {
+    val v = loadView(ident).asInstanceOf[GraftView]
+    var props = v.propsMap
+    changes.foreach {
+      case sp: ViewChange.SetProperty => props += (sp.property -> sp.value)
+      case rp: ViewChange.RemoveProperty => props -= rp.property
+      case other => throw new UnsupportedOperationException(
+        s"GraftCatalog: unsupported ALTER VIEW change $other")
+    }
+    val updated = v.withProperties(props)
+    updated.persist(root, ident)
+    updated
+  }
+
+  override def dropView(ident: Identifier): Boolean = {
+    val f = GraftViews.fileFor(root, ident)
+    Files.deleteIfExists(f)
+  }
+
+  override def renameView(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    if (!GraftViews.exists(root, oldIdent))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchViewException(oldIdent)
+    if (GraftViews.exists(root, newIdent) || tableExists(newIdent))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .ViewAlreadyExistsException(newIdent)
+    val v = loadView(oldIdent).asInstanceOf[GraftView]
+    Files.createDirectories(
+      GraftViews.dirFor(root, newIdent.namespace.toSeq))
+    GraftViews.write(root, newIdent, newIdent.name, v.query(),
+      v.currentCatalog(), v.currentNamespace().toSeq, v.schema(),
+      v.queryColumnNames().toSeq, v.columnAliases().toSeq,
+      v.columnComments().toSeq, v.propsMap)
+    Files.deleteIfExists(GraftViews.fileFor(root, oldIdent))
+    ()
+  }
 
   /** FunctionCatalog: the engine resolves a scan's reported
     * `bucket(n, col)` partition transform through here (storage-
@@ -369,7 +462,25 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
         require(u.fieldNames.length == 1,
           s"GraftCatalog: nested ALTER COLUMN (${u.fieldNames.mkString(".")}) " +
             "is not supported")
-        gt.widenColumnType(u.fieldNames.head, u.newDataType)
+        // MERGE WITH SCHEMA EVOLUTION emits a SOURCE-typed
+        // UpdateColumnType even when the source is NARROWER along the
+        // widening lattice (an INT source into a BIGINT column); the
+        // engine cannot complete that evolution (and a narrowed
+        // declared type would reinterpret written bytes) — reject with
+        // the actionable fix. Equal types no-op; genuine widenings
+        // evolve metadata-only; anything else widenColumnType rejects.
+        val curType = gt.declaredLogicalSchema
+          .flatMap(_.fields.find(_.name == u.fieldNames.head).map(_.dataType))
+        if (curType.exists(c =>
+            GraftTable.Widenings.contains(u.newDataType -> c)))
+          throw new IllegalArgumentException(
+            s"GraftCatalog: column '${u.fieldNames.head}' would NARROW " +
+              s"from ${curType.get.simpleString} to " +
+              s"${u.newDataType.simpleString} — narrower sources need no " +
+              "schema evolution: drop WITH SCHEMA EVOLUTION (a plain " +
+              "MERGE up-casts them)")
+        else if (!curType.contains(u.newDataType))
+          gt.widenColumnType(u.fieldNames.head, u.newDataType)
       case a: TableChange.AddConstraint => a.constraint() match {
         case ck: org.apache.spark.sql.connector.catalog.constraints.Check =>
           require(ck.predicateSql != null && ck.predicateSql.nonEmpty,
@@ -488,6 +599,7 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     // cascade only reclaims graft tables; refuse if a non-table
     // directory is nested here (same guard as dropTable)
     val strangers = children.filter(c => c.isDirectory &&
+      c.getName != "_graft_views" && // the namespace's view store
       !Files.exists(c.toPath.resolve("_graft_meta.json")))
     if (strangers.nonEmpty)
       throw new IllegalStateException(

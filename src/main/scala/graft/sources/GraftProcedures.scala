@@ -36,7 +36,8 @@ object GraftProcedures {
       .comment("table identifier under this catalog, e.g. 'db.t'").build()
 
   val identifiers: Array[Identifier] =
-    Array("restore", "vacuum", "compact", "compact_dv", "compact_range")
+    Array("restore", "vacuum", "compact", "compact_dv", "compact_range",
+        "create_view", "drop_view", "show_views")
       .map(n => Identifier.of(Array("system"), n))
 
   def load(cat: GraftCatalog, ident: Identifier): UnboundProcedure = {
@@ -145,6 +146,75 @@ object GraftProcedures {
           t.compactRange(in.getInt(2), cols)
           Seq(InternalRow(in.getUTF8String(0).copy(),
             in.getUTF8String(1).copy(), t.dataFileCount))
+        })
+      // ----------------------------------------------------- view DDL
+      //
+      // Vanilla Spark 4.1 routes `CREATE VIEW` DDL to the session
+      // catalog only (every other catalog gets MISSING_CATALOG_ABILITY
+      // before a ViewCatalog implementation is ever consulted), so the
+      // SQL-reachable DDL surface is CALL procedures — the Iceberg
+      // maintenance-statement idiom. Reads resolve natively on
+      // extension-built sessions ([[graft.ext.GraftResolveViews]]);
+      // programmatic DDL can also use the ViewCatalog API directly.
+      case "create_view" => proc("create_view",
+        "persist a SQL view under this catalog (use fully-qualified " +
+          "table names in the SQL so the view resolves from any " +
+          "session); replace => true for CREATE OR REPLACE semantics",
+        Array(
+          ProcedureParameter.in("view", StringType)
+            .comment("view identifier under this catalog, e.g. 'db.v'")
+            .build(),
+          ProcedureParameter.in("sql", StringType).build(),
+          ProcedureParameter.in("replace", BooleanType)
+            .defaultValue("false").build()),
+        StructType(Seq(StructField("view", StringType),
+          StructField("columns", IntegerType))),
+        in => {
+          val viewRef = in.getUTF8String(0).toString
+          val sql = in.getUTF8String(1).toString
+          val replace = in.getBoolean(2)
+          val parts = viewRef.split('.')
+          require(parts.length >= 2 && parts.forall(_.nonEmpty),
+            s"bad view reference '$viewRef' — expected 'namespace.view'")
+          val ident = Identifier.of(parts.dropRight(1), parts.last)
+          val spark = org.apache.spark.sql.SparkSession.active
+          // the analyzed frame pins the view's schema + column names
+          // (and rejects broken SQL at CREATE time, not first read)
+          val frame = spark.sql(sql)
+          val info = new org.apache.spark.sql.connector.catalog.ViewInfo(
+            ident, sql, cat.name(), parts.dropRight(1), frame.schema,
+            frame.columns, Array.empty[String], Array.empty[String],
+            java.util.Collections.emptyMap[String, String]())
+          if (replace) cat.replaceView(info, true) else cat.createView(info)
+          Seq(InternalRow(UTF8String.fromString(viewRef),
+            frame.columns.length))
+        })
+      case "drop_view" => proc("drop_view",
+        "drop a persisted view (returns whether one existed)",
+        Array(ProcedureParameter.in("view", StringType).build()),
+        StructType(Seq(StructField("view", StringType),
+          StructField("dropped", BooleanType))),
+        in => {
+          val viewRef = in.getUTF8String(0).toString
+          val parts = viewRef.split('.')
+          require(parts.length >= 2 && parts.forall(_.nonEmpty),
+            s"bad view reference '$viewRef' — expected 'namespace.view'")
+          val dropped =
+            cat.dropView(Identifier.of(parts.dropRight(1), parts.last))
+          Seq(InternalRow(UTF8String.fromString(viewRef), dropped))
+        })
+      case "show_views" => proc("show_views",
+        "list the persisted views of a namespace (SHOW VIEWS routes " +
+          "to the session catalog only in vanilla Spark)",
+        Array(ProcedureParameter.in("namespace", StringType).build()),
+        StructType(Seq(StructField("namespace", StringType),
+          StructField("view", StringType))),
+        in => {
+          val ns = in.getUTF8String(0).toString
+          val parts = ns.split('.').filter(_.nonEmpty)
+          cat.listViews(parts.toIndexedSeq: _*).toSeq.map(i =>
+            InternalRow(UTF8String.fromString(ns),
+              UTF8String.fromString(i.name)))
         })
       case other => throw new UnsupportedOperationException(
         s"unknown procedure graft system.$other — available: " +
