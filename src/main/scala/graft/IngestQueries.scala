@@ -3189,6 +3189,116 @@ object IngestQueries {
           SELECT user_id, CAST(sum(cents) AS BIGINT) AS total,
             CAST(count(*) AS BIGINT) AS n
           FROM spend GROUP BY user_id)
-        SELECT user_id, total, n FROM agg WHERE total % 2 = 0"""))
+        SELECT user_id, total, n FROM agg WHERE total % 2 = 0""")),
+
+    // SHOW PARTITIONS (round 12): partition introspection over
+    // SupportsPartitionManagement — manifest-only listing (zero jobs,
+    // spec-asserted), plain and PARTITION-filtered, over the identity
+    // layout. Oracle recomputes the partition strings relationally.
+    QuerySpec("q263_sql_show_partitions",
+      (s, dir) => {
+        GraftSession.tune(s)
+        val base = java.nio.file.Files.createTempDirectory("graft_q263_").toString
+        Tables.events(s, dir).createOrReplaceTempView("q263_events")
+        val cat = s"gcat_${java.util.UUID.randomUUID().toString.take(8)}"
+          .replace("-", "_")
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.root", base)
+        s.sql(s"""CREATE TABLE $cat.db.sp (
+            event_id BIGINT, cents BIGINT, pk BIGINT)
+          PARTITIONED BY (pk)
+          TBLPROPERTIES ('keys'='event_id', 'statsCols'='cents')""")
+        s.sql(s"""INSERT INTO $cat.db.sp (event_id, cents, pk)
+          SELECT event_id, CAST(round(value * 100) AS BIGINT), user_id % 7
+          FROM q263_events""")
+        // drop one partition so the listing reflects the LIVE manifest,
+        // not the directory tree (old files stay for time travel)
+        s.sql(s"ALTER TABLE $cat.db.sp DROP PARTITION (pk=3)")
+        val out = s.sql(s"SHOW PARTITIONS $cat.db.sp")
+          .withColumnRenamed("partition", "part")
+        val snap = out.localCheckpoint(true)
+        graft.operators.Fs.deleteTree(base)
+        snap
+      },
+      Some("""
+        SELECT DISTINCT concat('pk=', CAST(user_id % 7 AS VARCHAR)) AS part
+        FROM events WHERE user_id % 7 <> 3""")),
+
+    // DESCRIBE DETAIL (round 12): the `<t>__detail` metadata table —
+    // one manifest-only row of table facts. The oracle pins the
+    // deterministic subset: identity facts are literals, the partition
+    // count recomputes from the data.
+    QuerySpec("q264_sql_table_detail",
+      (s, dir) => {
+        GraftSession.tune(s)
+        val base = java.nio.file.Files.createTempDirectory("graft_q264_").toString
+        Tables.events(s, dir).createOrReplaceTempView("q264_events")
+        val cat = s"gcat_${java.util.UUID.randomUUID().toString.take(8)}"
+          .replace("-", "_")
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.root", base)
+        s.sql(s"""CREATE TABLE $cat.db.dt (
+            event_id BIGINT, cents BIGINT, pk BIGINT)
+          PARTITIONED BY (pk)
+          TBLPROPERTIES ('keys'='event_id', 'statsCols'='cents')""")
+        s.sql(s"""INSERT INTO $cat.db.dt (event_id, cents, pk)
+          SELECT event_id, CAST(round(value * 100) AS BIGINT), user_id % 5
+          FROM q264_events""")
+        val out = s.sql(s"""SELECT name, format, keys, partitioning,
+            version, num_partitions, num_checks
+          FROM $cat.db.dt__detail""")
+        val snap = out.localCheckpoint(true)
+        graft.operators.Fs.deleteTree(base)
+        snap
+      },
+      Some("""
+        SELECT 'dt' AS name, 'parquet' AS format, 'event_id' AS keys,
+          'pk' AS partitioning, CAST(2 AS BIGINT) AS version,
+          (SELECT CAST(count(DISTINCT user_id % 5) AS BIGINT) FROM events)
+            AS num_partitions,
+          CAST(0 AS INTEGER) AS num_checks""")),
+
+    // DROP/TRUNCATE PARTITION (round 12): metadata-level partition
+    // removal — the named partition's files leave the manifest in one
+    // commit, nothing is read or rewritten, history stays
+    // time-travelable. Oracle replays the drops as filters.
+    QuerySpec("q266_sql_drop_partition",
+      (s, dir) => {
+        GraftSession.tune(s)
+        val base = java.nio.file.Files.createTempDirectory("graft_q266_").toString
+        Tables.events(s, dir).createOrReplaceTempView("q266_events")
+        val cat = s"gcat_${java.util.UUID.randomUUID().toString.take(8)}"
+          .replace("-", "_")
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.root", base)
+        s.sql(s"""CREATE TABLE $cat.db.dp (
+            event_id BIGINT, cents BIGINT, pk BIGINT)
+          PARTITIONED BY (pk)
+          TBLPROPERTIES ('keys'='event_id', 'statsCols'='cents')""")
+        s.sql(s"""INSERT INTO $cat.db.dp (event_id, cents, pk)
+          SELECT event_id, CAST(round(value * 100) AS BIGINT), user_id % 6
+          FROM q266_events""")
+        s.sql(s"ALTER TABLE $cat.db.dp DROP PARTITION (pk=2)")
+        s.sql(s"TRUNCATE TABLE $cat.db.dp PARTITION (pk=5)")
+        // the dropped partitions stay time-travelable: union the live
+        // head with the pre-drop count per partition
+        val out = s.sql(s"""
+          SELECT 'live' AS snap, pk, CAST(count(*) AS BIGINT) AS n
+          FROM $cat.db.dp GROUP BY pk
+          UNION ALL
+          SELECT 'v1' AS snap, pk, CAST(count(*) AS BIGINT) AS n
+          FROM $cat.db.dp VERSION AS OF 2 GROUP BY pk""")
+        val snap = out.localCheckpoint(true)
+        graft.operators.Fs.deleteTree(base)
+        snap
+      },
+      Some("""
+        WITH e AS (
+          SELECT event_id, CAST(user_id % 6 AS BIGINT) AS pk FROM events)
+        SELECT 'live' AS snap, pk, CAST(count(*) AS BIGINT) AS n
+        FROM e WHERE pk NOT IN (2, 5) GROUP BY pk
+        UNION ALL
+        SELECT 'v1' AS snap, pk, CAST(count(*) AS BIGINT) AS n
+        FROM e GROUP BY pk"""))
   )
 }

@@ -263,6 +263,16 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
       if (tableExists(base))
         return new org.apache.spark.sql.graft.GraftHistoryTable(spark, open(base))
     }
+    // `<name>__detail` is DESCRIBE DETAIL as a metadata table: ONE row
+    // of table-level facts (location, layout, version, live files/
+    // bytes/partitions, constraint + column-mapping state) from the
+    // manifest and sidecars only — a local scan, no distributed job
+    if (ident.name.endsWith("__detail")) {
+      val base = Identifier.of(ident.namespace,
+        ident.name.stripSuffix("__detail"))
+      if (tableExists(base))
+        return new org.apache.spark.sql.graft.GraftDetailTable(spark, open(base))
+    }
     val gt = open(ident)
     org.apache.spark.sql.graft.GraftSqlRead.table(spark, gt, gt.currentVersion)
   }
@@ -394,6 +404,9 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     require(!ident.name.endsWith("__history"),
       s"table name ${ident.name} is reserved: the __history suffix " +
         "addresses a table's commit history")
+    require(!ident.name.endsWith("__detail"),
+      s"table name ${ident.name} is reserved: the __detail suffix " +
+        "addresses a table's DESCRIBE DETAIL metadata table")
     partCols.foreach(c => require(schema.fieldNames.contains(c),
       s"PARTITIONED BY column '$c' is not in the table schema"))
     // zero partition columns → one synthetic partition (unpartitioned
@@ -547,6 +560,9 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     require(!newIdent.name.endsWith("__history"),
       s"table name ${newIdent.name} is reserved: the __history suffix " +
         "addresses a table's commit history")
+    require(!newIdent.name.endsWith("__detail"),
+      s"table name ${newIdent.name} is reserved: the __detail suffix " +
+        "addresses a table's DESCRIBE DETAIL metadata table")
     val from = Paths.get(dirOf(oldIdent.namespace, oldIdent.name))
     val to = Paths.get(dirOf(newIdent.namespace, newIdent.name))
     if (!Files.isDirectory(from))

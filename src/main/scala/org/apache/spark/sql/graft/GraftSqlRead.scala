@@ -14,7 +14,7 @@ import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.execution.datasources.InMemoryFileIndex
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder
 import org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -156,7 +156,116 @@ final class GraftSqlTable(spark: SparkSession, val gt: GraftTable,
                           val pinnedVersion: Long)
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite
-    with org.apache.spark.sql.connector.catalog.SupportsDeleteV2 {
+    with org.apache.spark.sql.connector.catalog.SupportsDeleteV2
+    with org.apache.spark.sql.connector.catalog.SupportsPartitionManagement {
+
+  // ---------------------------------------------- partition management
+  //
+  // `SHOW PARTITIONS` / `ALTER TABLE … DROP PARTITION` / `TRUNCATE
+  // TABLE … PARTITION` over every layout family: identity partitioning
+  // lists typed values, hidden/multi-column layouts list the table's
+  // RENDERED synthetic values (the directory grain mutations operate
+  // on). Listing reads the pinned version's MANIFEST only — bounded by
+  // the partition count, no data files touched, no distributed job.
+  // Partitions materialize with data, so CREATE/RENAME PARTITION
+  // reject; DROP and TRUNCATE are one metadata-level overwrite commit
+  // (files leave the manifest, history stays time-travelable).
+
+  private def partitionField: StructField =
+    if (gt.partitionCol == GraftTable.SyntheticPartition)
+      StructField(GraftTable.SyntheticPartition, org.apache.spark.sql.types.StringType)
+    else tableSchema.fields.find(_.name == gt.partitionCol).getOrElse(
+      StructField(gt.partitionCol, org.apache.spark.sql.types.StringType))
+
+  override def partitionSchema(): StructType = StructType(Seq(partitionField))
+
+  /** The pinned version's live partition VALUES as directory strings
+    * (None = the Hive default/null partition) — manifest-only.
+    */
+  private def livePartitionStrings: Seq[Option[String]] =
+    gt.liveFilesAt(pinnedVersion)
+      .map(_.split('/').dropRight(1).mkString("/")).distinct.map { dir =>
+        val raw = dir.stripPrefix(s"${gt.partitionCol}=")
+        if (raw == "__HIVE_DEFAULT_PARTITION__") None
+        else Some(org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+          .unescapePathName(raw))
+      }
+
+  private def toInternal(v: Option[String]): Any = v match {
+    case None => null
+    case Some(str) => Cast(
+      Literal(UTF8String.fromString(str),
+        org.apache.spark.sql.types.StringType),
+      partitionField.dataType,
+      Option(spark.sessionState.conf.sessionLocalTimeZone)).eval(null)
+  }
+
+  private def renderIdent(ident: org.apache.spark.sql.catalyst.InternalRow)
+      : Option[String] = {
+    if (ident.isNullAt(0)) return None
+    val v = ident.get(0, partitionField.dataType)
+    Option(Cast(Literal(v, partitionField.dataType),
+      org.apache.spark.sql.types.StringType,
+      Option(spark.sessionState.conf.sessionLocalTimeZone)).eval(null))
+      .map(_.toString)
+  }
+
+  override def listPartitionIdentifiers(names: Array[String],
+      ident: org.apache.spark.sql.catalyst.InternalRow)
+      : Array[org.apache.spark.sql.catalyst.InternalRow] = {
+    require(names.forall(_ == partitionField.name),
+      s"unknown partition column(s) ${names.mkString(", ")} — the table " +
+        s"partitions by ${partitionField.name}")
+    val want: Option[Option[String]] =
+      if (names.isEmpty) None
+      else Some(if (ident.isNullAt(0)) None else renderIdent(ident))
+    livePartitionStrings
+      .filter(v => want.forall(_ == v))
+      .map(v => org.apache.spark.sql.catalyst.InternalRow(toInternal(v)))
+      .toArray
+  }
+
+  override def partitionExists(
+      ident: org.apache.spark.sql.catalyst.InternalRow): Boolean = {
+    val v = if (ident.isNullAt(0)) None else renderIdent(ident)
+    livePartitionStrings.contains(v)
+  }
+
+  override def dropPartition(
+      ident: org.apache.spark.sql.catalyst.InternalRow): Boolean = {
+    requireHead("DROP PARTITION")
+    val v = if (ident.isNullAt(0)) None else renderIdent(ident)
+    if (!livePartitionStrings.contains(v)) return false
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], tableSchema)
+    gt.overwritePartitionValues(Seq(v), empty)
+    true
+  }
+
+  override def truncatePartition(
+      ident: org.apache.spark.sql.catalyst.InternalRow): Boolean =
+    dropPartition(ident) || {
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchPartitionException(name, ident, partitionSchema())
+    }
+
+  override def createPartition(
+      ident: org.apache.spark.sql.catalyst.InternalRow,
+      properties: java.util.Map[String, String]): Unit =
+    throw new UnsupportedOperationException(
+      "graft partitions materialize with data — INSERT rows instead of " +
+        "ADD PARTITION")
+
+  override def replacePartitionMetadata(
+      ident: org.apache.spark.sql.catalyst.InternalRow,
+      properties: java.util.Map[String, String]): Unit =
+    throw new UnsupportedOperationException(
+      "graft partitions carry no metadata")
+
+  override def loadPartitionMetadata(
+      ident: org.apache.spark.sql.catalyst.InternalRow)
+      : java.util.Map[String, String] =
+    java.util.Collections.emptyMap[String, String]()
 
   /** The table's CHECK constraints (`ALTER TABLE … ADD CONSTRAINT …
     * CHECK` / [[GraftTable.addCheck]]) surfaced through Spark 4's
