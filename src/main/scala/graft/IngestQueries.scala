@@ -3299,6 +3299,73 @@ object IngestQueries {
         FROM e WHERE pk NOT IN (2, 5) GROUP BY pk
         UNION ALL
         SELECT 'v1' AS snap, pk, CAST(count(*) AS BIGINT) AS n
-        FROM e GROUP BY pk"""))
+        FROM e GROUP BY pk""")),
+
+    // ANALYZE → CBO (round 12): `CALL <cat>.system.analyze` computes
+    // table/column statistics in ONE distributed pass; the scan reports
+    // them as V2 column statistics and the query REQUIRES in-plan that
+    // they reached the optimizer (exact rowCount + attributeStats on
+    // the logical leaves, a broadcast join chosen under cbo with a
+    // tight threshold) — the oracle then gates the VALUES. The
+    // broadcast-decision FLIP itself (no-stats SMJ → with-stats BHJ)
+    // is asserted in GraftCboStatsSpec with controlled sizes.
+    QuerySpec("q267_sql_analyze_cbo",
+      (s, dir) => {
+        GraftSession.tune(s)
+        val base = java.nio.file.Files.createTempDirectory("graft_q267_").toString
+        Tables.events(s, dir).createOrReplaceTempView("q267_events")
+        val cat = s"gcat_${java.util.UUID.randomUUID().toString.take(8)}"
+          .replace("-", "_")
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.root", base)
+        s.sql(s"""CREATE TABLE $cat.db.f (
+            event_id BIGINT, v BIGINT, pk BIGINT)
+          PARTITIONED BY (pk) TBLPROPERTIES ('keys'='event_id')""")
+        s.sql(s"""INSERT INTO $cat.db.f (event_id, v, pk)
+          SELECT event_id, CAST(round(value * 100) AS BIGINT) % 1000,
+            user_id % 4
+          FROM q267_events""")
+        s.sql(s"""CREATE TABLE $cat.db.d (
+            event_id BIGINT, w BIGINT, pk BIGINT)
+          PARTITIONED BY (pk) TBLPROPERTIES ('keys'='event_id')""")
+        s.sql(s"""INSERT INTO $cat.db.d (event_id, w, pk)
+          SELECT event_id, user_id, user_id % 4 FROM q267_events""")
+        s.sql(s"CALL $cat.system.analyze('db.f')")
+        s.sql(s"CALL $cat.system.analyze('db.d')")
+        val prevCbo = s.conf.get("spark.sql.cbo.enabled", "false")
+        val prevThr = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        val out =
+          try {
+            s.conf.set("spark.sql.cbo.enabled", "true")
+            s.conf.set("spark.sql.autoBroadcastJoinThreshold",
+              (4 * 1024 * 1024).toString)
+            val df = s.sql(s"""
+              SELECT d.event_id, d.w, f.v
+              FROM $cat.db.d d JOIN $cat.db.f f ON d.event_id = f.event_id
+              WHERE f.v < 50""")
+            val qe = df.queryExecution
+            val leaves = qe.optimizedPlan.collectLeaves()
+            require(leaves.forall(_.stats.rowCount.isDefined),
+              "q267: ANALYZE row counts must reach the logical plan")
+            require(leaves.exists(_.stats.attributeStats.nonEmpty),
+              "q267: column stats must reach attributeStats")
+            require(qe.executedPlan.toString.contains("BroadcastHashJoin"),
+              "q267: the cost model must choose a broadcast join here")
+            df.localCheckpoint(true)
+          } finally {
+            s.conf.set("spark.sql.cbo.enabled", prevCbo)
+            s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThr)
+          }
+        graft.operators.Fs.deleteTree(base)
+        out
+      },
+      Some("""
+        WITH e AS (
+          SELECT event_id, user_id,
+            CAST(round(value * 100) AS BIGINT) % 1000 AS v
+          FROM events)
+        SELECT d.event_id, d.user_id AS w, f.v
+        FROM e d JOIN e f ON d.event_id = f.event_id
+        WHERE f.v < 50"""))
   )
 }

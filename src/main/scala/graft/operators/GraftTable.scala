@@ -28,6 +28,24 @@ object GraftTable {
   final case class MetaMin(col: String) extends MetaAgg
   final case class MetaMax(col: String) extends MetaAgg
 
+  /** One column's ANALYZE output ([[GraftTable.analyzeTable]]): NDV is
+    * an HLL estimate (`approx_count_distinct`), extrema are canonical
+    * Long/Double for integral/floating columns, lengths are bytes for
+    * string/binary. Everything optional — absent facts simply don't
+    * feed the optimizer.
+    */
+  final case class ColumnStats(ndv: Option[Long], nullCount: Option[Long],
+                               min: Option[Double], max: Option[Double],
+                               avgLen: Option[Long], maxLen: Option[Long])
+
+  /** The stats sidecar's content: computed AT `version` over
+    * `rowCount` rows. Staleness is visible (current version vs
+    * `version`) and tolerated — estimates feed the cost model, never
+    * results.
+    */
+  final case class TableStats(version: Long, rowCount: Long,
+                              cols: Map[String, ColumnStats])
+
   /** Schema-metadata keys for GENERATED / IDENTITY columns (round 11):
     * persisted verbatim in the schema sidecar (StructField metadata),
     * applied by `conform` on every write path.
@@ -3228,6 +3246,116 @@ final class GraftTable(spark: SparkSession, val path: String,
         phys.fields.map(f => if (f.name == p) f.copy(dataType = to) else f)))
       this
     }
+
+  // ------------------------------------------------------ column stats
+
+  private def statsSidecar = java.nio.file.Paths.get(path, "_graft_stats.json")
+
+  /** ANALYZE: ONE distributed pass over the live table computing
+    * row count, per-column approximate NDV (HLL), null counts,
+    * integral/floating extrema and string/binary lengths — persisted
+    * to the stats sidecar, from where the SQL scan reports them as V2
+    * column statistics into Spark's cost-based optimizer (join
+    * reordering, filter selectivity, broadcast decisions). Scale
+    * shape: a single map-side-combined aggregate (no per-column
+    * scans); re-run after bulk loads, stale stats only weaken
+    * estimates.
+    */
+  def analyzeTable(columns: Seq[String] = Nil): GraftTable.TableStats = {
+    import org.apache.spark.sql.types._
+    val v = currentVersion
+    val df = read
+    val byName = df.schema.fields.map(f => f.name -> f).toMap
+    val targets =
+      (if (columns.nonEmpty) columns
+       else df.schema.fieldNames.toSeq.filterNot(_ == GraftTable.SyntheticPartition))
+        .distinct
+    targets.foreach(c => require(byName.contains(c),
+      s"analyzeTable: no column '$c' — table has " +
+        df.schema.fieldNames.mkString(", ")))
+    val aggs = scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Column](
+      count(lit(1)).as("__rows"))
+    targets.foreach { c =>
+      aggs += approx_count_distinct(col(c)).as(s"__ndv_$c")
+      aggs += sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nc_$c")
+      byName(c).dataType match {
+        case ByteType | ShortType | IntegerType | LongType |
+             FloatType | DoubleType =>
+          aggs += min(col(c)).cast("double").as(s"__mn_$c")
+          aggs += max(col(c)).cast("double").as(s"__mx_$c")
+        case StringType =>
+          aggs += ceil(avg(length(col(c)))).cast("long").as(s"__al_$c")
+          aggs += max(length(col(c))).cast("long").as(s"__ml_$c")
+        case BinaryType =>
+          aggs += ceil(avg(org.apache.spark.sql.functions.octet_length(col(c))))
+            .cast("long").as(s"__al_$c")
+          aggs += max(org.apache.spark.sql.functions.octet_length(col(c)))
+            .cast("long").as(s"__ml_$c")
+        case _ => () // ndv + null count only
+      }
+    }
+    val row = df.agg(aggs.head, aggs.tail.toSeq: _*).collect()(0)
+    def optL(n: String): Option[Long] = {
+      val i = row.fieldIndex(n)
+      if (row.isNullAt(i)) None else Some(row.getLong(i))
+    }
+    def optD(n: String): Option[Double] = {
+      val i = scala.util.Try(row.fieldIndex(n)).getOrElse(-1)
+      if (i < 0 || row.isNullAt(i)) None else Some(row.getDouble(i))
+    }
+    def optLIf(n: String): Option[Long] = {
+      val i = scala.util.Try(row.fieldIndex(n)).getOrElse(-1)
+      if (i < 0 || row.isNullAt(i)) None else Some(row.getLong(i))
+    }
+    val stats = GraftTable.TableStats(v, row.getLong(0),
+      targets.map { c =>
+        c -> GraftTable.ColumnStats(optL(s"__ndv_$c"), optL(s"__nc_$c"),
+          optD(s"__mn_$c"), optD(s"__mx_$c"),
+          optLIf(s"__al_$c"), optLIf(s"__ml_$c"))
+      }.toMap)
+    writeTableStats(stats)
+    stats
+  }
+
+  private def writeTableStats(ts: GraftTable.TableStats): Unit = {
+    val enc = (s: String) => java.util.Base64.getEncoder
+      .encodeToString(s.getBytes("UTF-8"))
+    def r(o: Option[_]): String = o.map(_.toString).getOrElse("")
+    val body = (s"t\t${ts.version}\t${ts.rowCount}" +: ts.cols.toSeq
+      .sortBy(_._1).map { case (c, cs) =>
+        s"c\t${enc(c)}\t${r(cs.ndv)}\t${r(cs.nullCount)}\t${r(cs.min)}\t" +
+          s"${r(cs.max)}\t${r(cs.avgLen)}\t${r(cs.maxLen)}"
+      }).mkString("\n")
+    val tmp = java.nio.file.Paths.get(path,
+      s"._graft_stats_tmp_${java.util.UUID.randomUUID().toString.take(8)}")
+    java.nio.file.Files.writeString(tmp, body)
+    java.nio.file.Files.move(tmp, statsSidecar,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    ()
+  }
+
+  /** The last ANALYZE's output, if any (column names are LOGICAL as of
+    * analyze time — a later rename invalidates that column's entry by
+    * name, which simply stops feeding it).
+    */
+  def tableStats: Option[GraftTable.TableStats] =
+    if (!java.nio.file.Files.exists(statsSidecar)) None
+    else scala.util.Try {
+      val dec = (s: String) =>
+        new String(java.util.Base64.getDecoder.decode(s), "UTF-8")
+      val lines = java.nio.file.Files.readAllLines(statsSidecar)
+        .toArray.toSeq.map(_.toString).filter(_.nonEmpty)
+      val Array(_, v, rows) = lines.head.split("\t", 3)
+      def oL(s: String) = if (s.isEmpty) None else Some(s.toLong)
+      def oD(s: String) = if (s.isEmpty) None else Some(s.toDouble)
+      val cols = lines.tail.map { l =>
+        val p = l.split("\t", 8)
+        dec(p(1)) -> GraftTable.ColumnStats(oL(p(2)), oL(p(3)),
+          oD(p(4)), oD(p(5)), oL(p(6)), oL(p(7)))
+      }.toMap
+      GraftTable.TableStats(v.toLong, rows.toLong, cols)
+    }.toOption
 
   private def checksSidecar = java.nio.file.Paths.get(path, "_graft_checks.json")
 

@@ -37,7 +37,7 @@ object GraftProcedures {
 
   val identifiers: Array[Identifier] =
     Array("restore", "vacuum", "compact", "compact_dv", "compact_range",
-        "create_view", "drop_view", "show_views")
+        "analyze", "create_view", "drop_view", "show_views")
       .map(n => Identifier.of(Array("system"), n))
 
   def load(cat: GraftCatalog, ident: Identifier): UnboundProcedure = {
@@ -146,6 +146,28 @@ object GraftProcedures {
           t.compactRange(in.getInt(2), cols)
           Seq(InternalRow(in.getUTF8String(0).copy(),
             in.getUTF8String(1).copy(), t.dataFileCount))
+        })
+      case "analyze" => proc("analyze",
+        "ONE distributed pass computing table row count and per-column " +
+          "statistics (HLL NDV, null counts, numeric extrema, string " +
+          "lengths) into the stats sidecar; the SQL scan reports them " +
+          "into Spark's cost-based optimizer (spark.sql.cbo.enabled)",
+        Array(TableParam,
+          ProcedureParameter.in("columns", StringType)
+            .defaultValue("''")
+            .comment("comma-separated column subset; empty = all")
+            .build()),
+        StructType(Seq(StructField("table", StringType),
+          StructField("version", LongType),
+          StructField("row_count", LongType),
+          StructField("columns_analyzed", IntegerType))),
+        in => {
+          val t = open(in.getUTF8String(0).toString)
+          val cols = Option(in.getUTF8String(1)).map(_.toString).getOrElse("")
+            .split(',').map(_.trim).filter(_.nonEmpty).toSeq
+          val ts = t.analyzeTable(cols)
+          Seq(InternalRow(in.getUTF8String(0).copy(), ts.version,
+            ts.rowCount, ts.cols.size))
         })
       // ----------------------------------------------------- view DDL
       //

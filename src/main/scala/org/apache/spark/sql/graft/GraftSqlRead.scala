@@ -924,12 +924,18 @@ final class GraftScan(spark: SparkSession, gt: GraftTable,
       startingVersion)
 
   /** Size/row statistics forwarded from the parquet scan (post-pruning
-    * file sizes) — without this, the wrapper would hide the estimate
-    * and broadcast-join planning on catalog tables would fall back to
-    * defaults.
+    * file sizes), ENRICHED with the table's ANALYZE output
+    * ([[GraftTable.analyzeTable]] / `CALL <cat>.system.analyze`): V2
+    * column statistics (NDV, null count, integral/floating extrema,
+    * string lengths) flow through `transformV2Stats` into the logical
+    * plan's `attributeStats`, feeding the cost-based optimizer's
+    * filter-selectivity / join-reorder / broadcast decisions. Row
+    * count falls back to the ANALYZE row count when the parquet
+    * estimate has none. Stats may be STALE (computed at an older
+    * version) — estimates only, never results.
     */
-  override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics =
-    inner match {
+  override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics = {
+    val base = inner match {
       case s: org.apache.spark.sql.connector.read.SupportsReportStatistics =>
         s.estimateStatistics()
       case _ => new org.apache.spark.sql.connector.read.Statistics {
@@ -937,6 +943,59 @@ final class GraftScan(spark: SparkSession, gt: GraftTable,
         override def numRows(): java.util.OptionalLong = java.util.OptionalLong.empty()
       }
     }
+    gt.tableStats match {
+      case None => base
+      case Some(ts) =>
+        val colStats = new java.util.HashMap[
+          org.apache.spark.sql.connector.expressions.NamedReference,
+          org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
+        tableSchema.fields.foreach { f =>
+          ts.cols.get(f.name).foreach { cs =>
+            colStats.put(Expressions.column(f.name),
+              GraftColumnStatistics(cs, f.dataType))
+          }
+        }
+        new org.apache.spark.sql.connector.read.Statistics {
+          override def sizeInBytes(): java.util.OptionalLong = base.sizeInBytes()
+          override def numRows(): java.util.OptionalLong =
+            if (base.numRows().isPresent) base.numRows()
+            else java.util.OptionalLong.of(ts.rowCount)
+          override def columnStats(): java.util.Map[
+            org.apache.spark.sql.connector.expressions.NamedReference,
+            org.apache.spark.sql.connector.read.colstats.ColumnStatistics] =
+            colStats
+        }
+    }
+  }
+}
+
+/** One column's V2 statistics view over the ANALYZE sidecar entry —
+  * extrema are re-typed to the COLUMN's catalyst representation (the
+  * cost model compares them against literals of the attribute type).
+  */
+final case class GraftColumnStatistics(cs: GraftTable.ColumnStats,
+                                       dt: org.apache.spark.sql.types.DataType)
+    extends org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
+  private def oL(o: Option[Long]): java.util.OptionalLong =
+    o.map(java.util.OptionalLong.of).getOrElse(java.util.OptionalLong.empty())
+  private def typed(v: Double): Object = dt match {
+    case org.apache.spark.sql.types.ByteType => java.lang.Byte.valueOf(v.toByte)
+    case org.apache.spark.sql.types.ShortType => java.lang.Short.valueOf(v.toShort)
+    case org.apache.spark.sql.types.IntegerType => java.lang.Integer.valueOf(v.toInt)
+    case org.apache.spark.sql.types.LongType => java.lang.Long.valueOf(v.toLong)
+    case org.apache.spark.sql.types.FloatType => java.lang.Float.valueOf(v.toFloat)
+    case _ => java.lang.Double.valueOf(v)
+  }
+  override def distinctCount(): java.util.OptionalLong = oL(cs.ndv)
+  override def nullCount(): java.util.OptionalLong = oL(cs.nullCount)
+  override def min(): java.util.Optional[Object] =
+    cs.min.map(v => java.util.Optional.of(typed(v)))
+      .getOrElse(java.util.Optional.empty[Object]())
+  override def max(): java.util.Optional[Object] =
+    cs.max.map(v => java.util.Optional.of(typed(v)))
+      .getOrElse(java.util.Optional.empty[Object]())
+  override def avgLen(): java.util.OptionalLong = oL(cs.avgLen)
+  override def maxLen(): java.util.OptionalLong = oL(cs.maxLen)
 }
 
 /** The one-row result of a METADATA-ONLY aggregate pushdown
