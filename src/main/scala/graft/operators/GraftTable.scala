@@ -2678,8 +2678,22 @@ final class GraftTable(spark: SparkSession, val path: String,
     // the single file-write boundary: frames are LOGICAL above here,
     // files carry PHYSICAL names (renameToPhysical — identity when the
     // table has no column mapping)
-    val df = renameToPhysical(df0)
-    if (df.isEmpty) return Seq.empty
+    val df1 = renameToPhysical(df0)
+    if (df1.isEmpty) return Seq.empty
+    // CLUSTERED WRITES (opt-in, the 100 TB small-file lever): without
+    // clustering, a partitionBy write emits one file per (task ×
+    // partition value) — a 1000-task mutation touching 100 partitions
+    // lands up to 100k near-empty files. The REBALANCE hint shuffles
+    // rows so each output task holds whole partition values, and AQE's
+    // skew-aware rebalance SPLITS a hot partition back across tasks
+    // (one file per cold partition, several size-bounded files for hot
+    // ones). Default OFF: local/small-SF mutations would pay a shuffle
+    // per commit for nothing.
+    val df =
+      if (spark.conf.getOption("spark.graft.write.clusterByPartition")
+          .exists(_.toBoolean))
+        df1.hint("rebalance", col(partitionCol))
+      else df1
     val nonce = java.util.UUID.randomUUID().toString.take(8)
     val stage = java.nio.file.Paths.get(path, "_graft_staging", s"c_$nonce")
     microsWrite(df).write.mode(SaveMode.Overwrite).partitionBy(partitionCol)
