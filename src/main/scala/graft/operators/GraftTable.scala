@@ -35,7 +35,7 @@ object GraftTable {
     * feed the optimizer.
     */
   final case class ColumnStats(ndv: Option[Long], nullCount: Option[Long],
-                               min: Option[Double], max: Option[Double],
+                               min: Option[String], max: Option[String],
                                avgLen: Option[Long], maxLen: Option[Long])
 
   /** The stats sidecar's content: computed AT `version` over
@@ -61,11 +61,10 @@ object GraftTable {
 
   /** Column-metadata marker on every field APPENDED after CREATE
     * (write-path schema evolution, `ALTER TABLE ADD COLUMNS`, MERGE
-    * schema evolution): the SQL surface reports evolved columns at the
-    * very END of the table schema — after the partition column — the
-    * append-at-end contract the engine's merge-evolution attribute
-    * remapping assumes (create-time columns keep the physical read
-    * order, so existing tables are bit-identical).
+    * schema evolution) — provenance metadata the `<t>__detail` table
+    * surfaces as `evolved_columns`. The append-at-end reporting
+    * contract itself comes from SIDECAR ORDER (appends land last);
+    * the tag records WHICH columns arrived by evolution.
     */
   val EvolvedKey = "graft.evolvedAfterCreate"
 
@@ -3295,8 +3294,10 @@ final class GraftTable(spark: SparkSession, val path: String,
       byName(c).dataType match {
         case ByteType | ShortType | IntegerType | LongType |
              FloatType | DoubleType =>
-          aggs += min(col(c)).cast("double").as(s"__mn_$c")
-          aggs += max(col(c)).cast("double").as(s"__mx_$c")
+          // exact string rendering — a double roundtrip would corrupt
+          // BIGINT extrema beyond 2^53 before they reach the optimizer
+          aggs += min(col(c)).cast("string").as(s"__mn_$c")
+          aggs += max(col(c)).cast("string").as(s"__mx_$c")
         case StringType =>
           aggs += ceil(avg(length(col(c)))).cast("long").as(s"__al_$c")
           aggs += max(length(col(c))).cast("long").as(s"__ml_$c")
@@ -3313,9 +3314,9 @@ final class GraftTable(spark: SparkSession, val path: String,
       val i = row.fieldIndex(n)
       if (row.isNullAt(i)) None else Some(row.getLong(i))
     }
-    def optD(n: String): Option[Double] = {
+    def optS(n: String): Option[String] = {
       val i = scala.util.Try(row.fieldIndex(n)).getOrElse(-1)
-      if (i < 0 || row.isNullAt(i)) None else Some(row.getDouble(i))
+      if (i < 0 || row.isNullAt(i)) None else Some(row.getString(i))
     }
     def optLIf(n: String): Option[Long] = {
       val i = scala.util.Try(row.fieldIndex(n)).getOrElse(-1)
@@ -3324,7 +3325,7 @@ final class GraftTable(spark: SparkSession, val path: String,
     val stats = GraftTable.TableStats(v, row.getLong(0),
       targets.map { c =>
         c -> GraftTable.ColumnStats(optL(s"__ndv_$c"), optL(s"__nc_$c"),
-          optD(s"__mn_$c"), optD(s"__mx_$c"),
+          optS(s"__mn_$c"), optS(s"__mx_$c"),
           optLIf(s"__al_$c"), optLIf(s"__ml_$c"))
       }.toMap)
     writeTableStats(stats)
@@ -3349,24 +3350,43 @@ final class GraftTable(spark: SparkSession, val path: String,
     ()
   }
 
+  // parse cache keyed by the sidecar's mtime (the colMapCache
+  // pattern): estimateStatistics runs during EVERY query compilation
+  // over the table — repeated per-plan file reads+parses would sit on
+  // the planning hot path; writeTableStats' tmp+atomic-move always
+  // lands a fresh mtime
+  @volatile private var statsCache: (Long, Option[GraftTable.TableStats]) = null
+
   /** The last ANALYZE's output, if any (column names are LOGICAL as of
     * analyze time — a later rename invalidates that column's entry by
     * name, which simply stops feeding it).
     */
   def tableStats: Option[GraftTable.TableStats] =
     if (!java.nio.file.Files.exists(statsSidecar)) None
-    else scala.util.Try {
+    else {
+      val mt = java.nio.file.Files.getLastModifiedTime(statsSidecar).toMillis
+      val cached = statsCache
+      if (cached != null && cached._1 == mt) cached._2
+      else {
+        val parsed = parseTableStats()
+        statsCache = (mt, parsed)
+        parsed
+      }
+    }
+
+  private def parseTableStats(): Option[GraftTable.TableStats] =
+    scala.util.Try {
       val dec = (s: String) =>
         new String(java.util.Base64.getDecoder.decode(s), "UTF-8")
       val lines = java.nio.file.Files.readAllLines(statsSidecar)
         .toArray.toSeq.map(_.toString).filter(_.nonEmpty)
       val Array(_, v, rows) = lines.head.split("\t", 3)
       def oL(s: String) = if (s.isEmpty) None else Some(s.toLong)
-      def oD(s: String) = if (s.isEmpty) None else Some(s.toDouble)
+      def oS(s: String) = if (s.isEmpty) None else Some(s)
       val cols = lines.tail.map { l =>
         val p = l.split("\t", 8)
         dec(p(1)) -> GraftTable.ColumnStats(oL(p(2)), oL(p(3)),
-          oD(p(4)), oD(p(5)), oL(p(6)), oL(p(7)))
+          oS(p(4)), oS(p(5)), oL(p(6)), oL(p(7)))
       }.toMap
       GraftTable.TableStats(v.toLong, rows.toLong, cols)
     }.toOption

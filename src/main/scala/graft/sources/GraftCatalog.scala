@@ -453,6 +453,34 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val gt = open(ident)
+    // VALIDATE the whole change set BEFORE applying anything: a batch
+    // mixing an AddColumn with a rejected UpdateColumnType (merge
+    // schema evolution emits both) must not persist the add and then
+    // fail — the statement aborts with the table untouched
+    changes.foreach {
+      case u: TableChange.UpdateColumnType if u.fieldNames.length == 1 =>
+        val curType = gt.declaredLogicalSchema
+          .flatMap(_.fields.find(_.name == u.fieldNames.head).map(_.dataType))
+        if (curType.exists(c =>
+            GraftTable.Widenings.contains(u.newDataType -> c)))
+          throw new IllegalArgumentException(
+            s"GraftCatalog: column '${u.fieldNames.head}' would NARROW " +
+              s"from ${curType.get.simpleString} to " +
+              s"${u.newDataType.simpleString} — narrower sources need no " +
+              "schema evolution: CAST the source column to " +
+              s"${curType.get.simpleString}, or drop WITH SCHEMA " +
+              "EVOLUTION (a plain MERGE up-casts narrower sources)")
+        if (!curType.contains(u.newDataType) &&
+            curType.exists(c =>
+              !GraftTable.Widenings.contains(c -> u.newDataType)))
+          throw new IllegalArgumentException(
+            s"GraftCatalog: column '${u.fieldNames.head}' cannot change " +
+              s"from ${curType.get.simpleString} to " +
+              s"${u.newDataType.simpleString} — only the widening lattice " +
+              "(byte/short/int/long up-chain, float -> double) evolves " +
+              "metadata-only; CAST the source column instead")
+      case _ => ()
+    }
     changes.collect {
       // metadata-only column mapping (round 11, the Delta shape): zero
       // file rewrites — reads translate, old files keep physical names,
@@ -475,24 +503,12 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
         require(u.fieldNames.length == 1,
           s"GraftCatalog: nested ALTER COLUMN (${u.fieldNames.mkString(".")}) " +
             "is not supported")
-        // MERGE WITH SCHEMA EVOLUTION emits a SOURCE-typed
-        // UpdateColumnType even when the source is NARROWER along the
-        // widening lattice (an INT source into a BIGINT column); the
-        // engine cannot complete that evolution (and a narrowed
-        // declared type would reinterpret written bytes) — reject with
-        // the actionable fix. Equal types no-op; genuine widenings
-        // evolve metadata-only; anything else widenColumnType rejects.
+        // pre-validated above (narrowing / off-lattice throw before
+        // ANY change lands); equal types no-op, widenings evolve
+        // metadata-only
         val curType = gt.declaredLogicalSchema
           .flatMap(_.fields.find(_.name == u.fieldNames.head).map(_.dataType))
-        if (curType.exists(c =>
-            GraftTable.Widenings.contains(u.newDataType -> c)))
-          throw new IllegalArgumentException(
-            s"GraftCatalog: column '${u.fieldNames.head}' would NARROW " +
-              s"from ${curType.get.simpleString} to " +
-              s"${u.newDataType.simpleString} — narrower sources need no " +
-              "schema evolution: drop WITH SCHEMA EVOLUTION (a plain " +
-              "MERGE up-casts them)")
-        else if (!curType.contains(u.newDataType))
+        if (!curType.contains(u.newDataType))
           gt.widenColumnType(u.fieldNames.head, u.newDataType)
       case a: TableChange.AddConstraint => a.constraint() match {
         case ck: org.apache.spark.sql.connector.catalog.constraints.Check =>

@@ -36,7 +36,8 @@ final class GraftDetailTable(spark: SparkSession, gt: GraftTable)
     StructField("num_mapped_columns", IntegerType),
     StructField("num_dropped_columns", IntegerType),
     StructField("stats_columns", StringType),
-    StructField("bloom_columns", StringType)))
+    StructField("bloom_columns", StringType),
+    StructField("evolved_columns", StringType)))
 
   override def name: String = s"graft_detail:${gt.path.replace('.', '_')}"
   override def schema: StructType = detailSchema
@@ -73,12 +74,16 @@ final class GraftDetailTable(spark: SparkSession, gt: GraftTable)
             .distinct.size
           val (cmap, hidden) = gt.columnMap
           def s(x: String) = UTF8String.fromString(x)
+          val evolved = gt.declaredLogicalSchema.toSeq.flatMap(
+            _.fields.filter(_.metadata.contains(GraftTable.EvolvedKey))
+              .map(_.name))
           Array(InternalRow(
             s(gt.path.split('/').last), s(gt.path), s("parquet"),
             s(gt.keys.mkString(",")), s(partitioningDesc),
             v, files.size.toLong, bytes, parts.toLong,
             gt.checks.size, cmap.size, hidden.size,
-            s(gt.statsCols.mkString(",")), s(gt.bloomCols.mkString(","))))
+            s(gt.statsCols.mkString(",")), s(gt.bloomCols.mkString(",")),
+            s(evolved.mkString(","))))
         }
         override def description(): String = s"GraftDetailScan(${gt.path})"
       }

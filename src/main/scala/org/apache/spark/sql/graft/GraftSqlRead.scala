@@ -382,8 +382,14 @@ final class GraftSqlTable(spark: SparkSession, val gt: GraftTable,
     // schema and aligns BY NAME -- key/partition columns stay required
     // (a positionally-shaped insert whose names don't line up fails
     // loudly rather than scrambling)
-    if (SparkSession.active.conf
-        .getOption("spark.graft.schema.autoMerge").exists(_.toBoolean))
+    // NOTE while the conf is on, INSERTs align BY NAME (conform) —
+    // positional inserts whose names happen to match table columns in
+    // a different order land by name, a documented divergence of the
+    // opt-in (the analyzer's positional resolution is what the
+    // capability bypasses). Session-scoped: the conf is read from the
+    // session that loaded this table, not whichever is thread-active.
+    if (spark.conf.getOption("spark.graft.schema.autoMerge")
+        .exists(_.toBoolean))
       caps.add(TableCapability.ACCEPT_ANY_SCHEMA)
     caps
   }
@@ -978,21 +984,25 @@ final case class GraftColumnStatistics(cs: GraftTable.ColumnStats,
     extends org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
   private def oL(o: Option[Long]): java.util.OptionalLong =
     o.map(java.util.OptionalLong.of).getOrElse(java.util.OptionalLong.empty())
-  private def typed(v: Double): Object = dt match {
+  /** Sidecar extrema are EXACT string renderings; parse back to the
+    * column's catalyst representation (a double roundtrip would
+    * corrupt BIGINT bounds beyond 2^53).
+    */
+  private def typed(v: String): Option[Object] = scala.util.Try[Object](dt match {
     case org.apache.spark.sql.types.ByteType => java.lang.Byte.valueOf(v.toByte)
     case org.apache.spark.sql.types.ShortType => java.lang.Short.valueOf(v.toShort)
     case org.apache.spark.sql.types.IntegerType => java.lang.Integer.valueOf(v.toInt)
     case org.apache.spark.sql.types.LongType => java.lang.Long.valueOf(v.toLong)
     case org.apache.spark.sql.types.FloatType => java.lang.Float.valueOf(v.toFloat)
-    case _ => java.lang.Double.valueOf(v)
-  }
+    case _ => java.lang.Double.valueOf(v.toDouble)
+  }).toOption
   override def distinctCount(): java.util.OptionalLong = oL(cs.ndv)
   override def nullCount(): java.util.OptionalLong = oL(cs.nullCount)
   override def min(): java.util.Optional[Object] =
-    cs.min.map(v => java.util.Optional.of(typed(v)))
+    cs.min.flatMap(typed).map(java.util.Optional.of[Object])
       .getOrElse(java.util.Optional.empty[Object]())
   override def max(): java.util.Optional[Object] =
-    cs.max.map(v => java.util.Optional.of(typed(v)))
+    cs.max.flatMap(typed).map(java.util.Optional.of[Object])
       .getOrElse(java.util.Optional.empty[Object]())
   override def avgLen(): java.util.OptionalLong = oL(cs.avgLen)
   override def maxLen(): java.util.OptionalLong = oL(cs.maxLen)

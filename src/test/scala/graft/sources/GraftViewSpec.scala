@@ -86,6 +86,29 @@ class GraftViewSpec extends SparkSpec {
       "the view must read pre-rename files through the column map")
   }
 
+  test("a view with UNQUALIFIED inner names resolves in its OWN stored " +
+    "catalog+namespace context from any session context; its own CTE " +
+    "names stay untouched") {
+    val (cat, _) = freshCatalog()
+    seed(cat)
+    val prevCat = spark.catalog.currentCatalog()
+    val prevDb = spark.catalog.currentDatabase
+    try {
+      spark.sql(s"USE $cat.db")
+      // unqualified `t` + a CTE the view defines itself: the CTE name
+      // must NOT be qualified away, the table name must pin to $cat.db
+      spark.sql(s"""CALL $cat.system.create_view('db.ctx',
+        'WITH capped AS (SELECT k, v FROM t WHERE v < 70)
+         SELECT k FROM capped WHERE k >= 2')""")
+    } finally spark.sql(s"USE $prevCat.$prevDb")
+    // read from a DIFFERENT session context (the default catalog)
+    assert(spark.catalog.currentCatalog() != cat)
+    assert(spark.sql(s"SELECT * FROM $cat.db.ctx ORDER BY k").collect()
+      .map(_.getLong(0)).toSeq == Seq(2L, 3L),
+      "the view's unqualified names must resolve in ITS context, not " +
+        "the reader's")
+  }
+
   test("guards: a view cannot shadow a table; namespaces holding only " +
     "a view store still cascade-drop; broken SQL rejects at CREATE") {
     val (cat, root) = freshCatalog()
