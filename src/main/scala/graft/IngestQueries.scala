@@ -3366,6 +3366,92 @@ object IngestQueries {
           FROM events)
         SELECT d.event_id, d.user_id AS w, f.v
         FROM e d JOIN e f ON d.event_id = f.event_id
-        WHERE f.v < 50"""))
+        WHERE f.v < 50""")),
+
+    // HIDDEN-LAYOUT SHOW PARTITIONS (round 12): partition introspection
+    // over a days() hidden layout — the listing is the table's OWN
+    // UTC-derived rendering, manifest-only, and reflects the LIVE set
+    // after a DELETE empties one day. Oracle recomputes the rendering.
+    QuerySpec("q268_sql_show_partitions_hidden",
+      (s, dir) => {
+        GraftSession.tune(s)
+        val base = java.nio.file.Files.createTempDirectory("graft_q268_").toString
+        Tables.events(s, dir).createOrReplaceTempView("q268_events")
+        val cat = s"gcat_${java.util.UUID.randomUUID().toString.take(8)}"
+          .replace("-", "_")
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.root", base)
+        s.sql(s"""CREATE TABLE $cat.db.hsp (
+            event_id BIGINT, cents BIGINT, ts TIMESTAMP)
+          PARTITIONED BY (days(ts))
+          TBLPROPERTIES ('keys'='event_id', 'statsCols'='cents')""")
+        s.sql(s"""INSERT INTO $cat.db.hsp (event_id, cents, ts)
+          SELECT event_id, CAST(round(value * 100) AS BIGINT), ts
+          FROM q268_events""")
+        // drop the earliest day AT THE MANIFEST level: the listing must
+        // track the live manifest, not the directory tree (a selective
+        // DELETE would land a deletion vector and correctly KEEP the
+        // partition listed — its files stay live)
+        val minDay = s.sql(
+          "SELECT min(date_format(ts, 'yyyy-MM-dd')) FROM q268_events")
+          .collect()(0).getString(0)
+        s.sql(s"ALTER TABLE $cat.db.hsp DROP PARTITION (__gp = '$minDay')")
+        val out = s.sql(s"SHOW PARTITIONS $cat.db.hsp")
+          .withColumnRenamed("partition", "part")
+        val snap = out.localCheckpoint(true)
+        graft.operators.Fs.deleteTree(base)
+        snap
+      },
+      Some("""
+        WITH d AS (SELECT DISTINCT strftime(ts, '%Y-%m-%d') AS day
+                   FROM events)
+        SELECT concat('__gp=', day) AS part FROM d
+        WHERE day <> (SELECT min(day) FROM d)""")),
+
+    // CLUSTERED-WRITE INGEST (round 12): the same two-batch ingest with
+    // `spark.graft.write.clusterByPartition = true` — the REBALANCE
+    // shuffle before the file write changes LAYOUT only (one file per
+    // cold partition; GraftClusteredWriteSpec asserts the collapse);
+    // the oracle gates that CONTENT is bit-identical to the plain path.
+    QuerySpec("q269_sql_clustered_write",
+      (s, dir) => {
+        GraftSession.tune(s)
+        val base = java.nio.file.Files.createTempDirectory("graft_q269_").toString
+        Tables.events(s, dir).createOrReplaceTempView("q269_events")
+        val cat = s"gcat_${java.util.UUID.randomUUID().toString.take(8)}"
+          .replace("-", "_")
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.root", base)
+        s.sql(s"""CREATE TABLE $cat.db.cw (
+            event_id BIGINT, cents BIGINT, pk BIGINT)
+          PARTITIONED BY (pk)
+          TBLPROPERTIES ('keys'='event_id', 'statsCols'='cents')""")
+        s.conf.set("spark.graft.write.clusterByPartition", "true")
+        try {
+          s.sql(s"""INSERT INTO $cat.db.cw (event_id, cents, pk)
+            SELECT event_id, CAST(round(value * 100) AS BIGINT),
+              user_id % 8
+            FROM q269_events WHERE event_id % 2 = 0""")
+          // the keyed upsert path rebalances too (same write barrier)
+          s.sql(s"""INSERT INTO $cat.db.cw (event_id, cents, pk)
+            SELECT event_id, CAST(round(value * 100) AS BIGINT) + 5,
+              user_id % 8
+            FROM q269_events WHERE event_id % 2 = 1""")
+        } finally s.conf.unset("spark.graft.write.clusterByPartition")
+        val out = s.sql(s"SELECT event_id, cents, pk FROM $cat.db.cw")
+        val snap = out.localCheckpoint(true)
+        graft.operators.Fs.deleteTree(base)
+        snap
+      },
+      Some("""
+        WITH e AS (
+          SELECT event_id, user_id,
+            CAST(round(value * 100) AS BIGINT) AS cents,
+            CAST(user_id % 8 AS BIGINT) AS pk
+          FROM events)
+        SELECT event_id, cents, pk FROM e WHERE event_id % 2 = 0
+        UNION ALL
+        SELECT event_id, cents + 5 AS cents, pk FROM e
+        WHERE event_id % 2 = 1"""))
   )
 }
