@@ -2963,8 +2963,26 @@ final class GraftTable(spark: SparkSession, val path: String,
     if (gen.isEmpty && ident.isEmpty) return df
     var out = df
     gen.foreach { f =>
-      out = out.withColumn(f.name,
-        expr(f.metadata.getString(GeneratedExprKey)).cast(f.dataType))
+      val computed = expr(f.metadata.getString(GeneratedExprKey))
+        .cast(f.dataType)
+      // Delta semantics on INSERT-shaped writes: an explicitly provided
+      // value must EQUAL the generation expression's result, else the
+      // statement fails in-flight (a silent overwrite would hide the
+      // caller's bug; a silent accept would break the invariant).
+      // Rewrite paths (respecs) recompute unconditionally — an UPDATE
+      // changing a referenced column keeps the generated value
+      // consistent by construction.
+      val value =
+        if (insertShaped)
+          when(col(f.name).isNotNull && !(col(f.name) <=> computed),
+            raise_error(concat(
+              lit(s"generated column '${f.name}' is GENERATED ALWAYS AS " +
+                "(...) — a provided value must match the expression (got "),
+              col(f.name).cast("string"), lit(", expected "),
+              computed.cast("string"), lit(")"))).cast(f.dataType))
+            .otherwise(computed)
+        else computed
+      out = out.withColumn(f.name, value)
     }
     // a rewrite frame the caller PROVES carries no null identity slot
     // (an UPDATE/MERGE that never assigns the identity column and
