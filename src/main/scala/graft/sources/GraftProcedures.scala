@@ -37,7 +37,7 @@ object GraftProcedures {
 
   val identifiers: Array[Identifier] =
     Array("restore", "vacuum", "compact", "compact_dv", "compact_range",
-        "analyze", "create_view", "drop_view", "show_views")
+        "analyze", "show_stats", "create_view", "drop_view", "show_views")
       .map(n => Identifier.of(Array("system"), n))
 
   def load(cat: GraftCatalog, ident: Identifier): UnboundProcedure = {
@@ -168,6 +168,38 @@ object GraftProcedures {
           val ts = t.analyzeTable(cols)
           Seq(InternalRow(in.getUTF8String(0).copy(), ts.version,
             ts.rowCount, ts.cols.size))
+        })
+      case "show_stats" => proc("show_stats",
+        "the stats sidecar's content (CALL analyze first): one row per " +
+          "analyzed column plus a '*' table row — version the stats " +
+          "were computed at, row count, NDV, null count, extrema, " +
+          "lengths; metadata-only",
+        Array(TableParam),
+        StructType(Seq(StructField("column", StringType),
+          StructField("stats_version", LongType),
+          StructField("row_count", LongType),
+          StructField("ndv", LongType),
+          StructField("null_count", LongType),
+          StructField("min", StringType),
+          StructField("max", StringType),
+          StructField("avg_len", LongType),
+          StructField("max_len", LongType))),
+        in => {
+          val t = open(in.getUTF8String(0).toString)
+          val ts = t.tableStats.getOrElse(throw new IllegalStateException(
+            s"no statistics for '${in.getUTF8String(0)}' — run " +
+              "CALL <catalog>.system.analyze first"))
+          def l(o: Option[Long]) =
+            o.map(java.lang.Long.valueOf).orNull
+          def u(o: Option[String]) =
+            o.map(UTF8String.fromString).orNull
+          InternalRow(UTF8String.fromString("*"), ts.version, ts.rowCount,
+            null, null, null, null, null, null) +:
+            ts.cols.toSeq.sortBy(_._1).map { case (c, cs) =>
+              InternalRow(UTF8String.fromString(c), ts.version, ts.rowCount,
+                l(cs.ndv), l(cs.nullCount), u(cs.min), u(cs.max),
+                l(cs.avgLen), l(cs.maxLen))
+            }
         })
       // ----------------------------------------------------- view DDL
       //

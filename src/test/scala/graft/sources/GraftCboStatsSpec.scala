@@ -82,5 +82,14 @@ class GraftCboStatsSpec extends SparkSpec {
     assert(ts.rowCount == 40000L && ts.cols("v").nullCount.contains(0L))
     assert(ts.cols("pad").avgLen.contains(64L) &&
       ts.cols("pad").maxLen.contains(64L))
+    // integral extrema survive EXACTLY (string-rendered, not a double
+    // roundtrip) and surface through CALL show_stats
+    assert(ts.cols("k").min.contains("0") &&
+      ts.cols("k").max.contains("39999"), ts.cols("k"))
+    val shown = spark.sql(s"CALL $cat.system.show_stats('db.f')").collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(shown("*").getLong(2) == 40000L)
+    assert(shown("v").getString(5) == "0" && shown("v").getString(6) == "999")
+    assert(shown("pad").getLong(8) == 64L)
   }
 }
