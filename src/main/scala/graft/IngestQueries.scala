@@ -3452,6 +3452,64 @@ object IngestQueries {
         SELECT event_id, cents, pk FROM e WHERE event_id % 2 = 0
         UNION ALL
         SELECT event_id, cents + 5 AS cents, pk FROM e
-        WHERE event_id % 2 = 1"""))
+        WHERE event_id % 2 = 1""")),
+
+    // MATERIALIZED VIEW with INCREMENTAL refresh (round 12 capstone —
+    // CDC change rows × txn-anchored MERGE × algebraic Incremental
+    // state × the persisted-view surface): batch 1 materializes, batch
+    // 2 folds in INCREMENTALLY (mode REQUIRED in-query — a silent full
+    // recompute fails the run), an UPDATE then forces ONE full
+    // recompute+sync (mode required too), and the view serves the
+    // finish. Oracle: the same grouped aggregate over the final base.
+    QuerySpec("q270_sql_materialized_view",
+      (s, dir) => {
+        GraftSession.tune(s)
+        val base = java.nio.file.Files.createTempDirectory("graft_q270_").toString
+        Tables.events(s, dir).createOrReplaceTempView("q270_events")
+        val cat = s"gcat_${java.util.UUID.randomUUID().toString.take(8)}"
+          .replace("-", "_")
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.root", base)
+        s.sql(s"""CREATE TABLE $cat.db.ev (
+            event_id BIGINT, user_id BIGINT, cents BIGINT, pk BIGINT)
+          PARTITIONED BY (pk)
+          TBLPROPERTIES ('keys'='event_id', 'statsCols'='cents')""")
+        s.sql(s"""INSERT INTO $cat.db.ev (event_id, user_id, cents, pk)
+          SELECT event_id, user_id, CAST(round(value * 100) AS BIGINT),
+            user_id % 4
+          FROM q270_events WHERE event_id % 2 = 0""")
+        s.sql(s"""CALL $cat.system.create_mview('db.spend',
+          base => 'db.ev', keys => 'user_id', measures => 'cents')""")
+        s.sql(s"""INSERT INTO $cat.db.ev (event_id, user_id, cents, pk)
+          SELECT event_id, user_id, CAST(round(value * 100) AS BIGINT),
+            user_id % 4
+          FROM q270_events WHERE event_id % 2 = 1""")
+        val r1 = s.sql(s"CALL $cat.system.refresh_mview('db.spend')")
+          .collect()(0)
+        require(r1.getString(1) == "incremental",
+          s"q270: the insert-only delta must fold INCREMENTALLY, got $r1")
+        s.sql(s"UPDATE $cat.db.ev SET cents = cents + 7 WHERE cents % 5 = 0")
+        val r2 = s.sql(s"CALL $cat.system.refresh_mview('db.spend')")
+          .collect()(0)
+        require(r2.getString(1) == "full",
+          s"q270: an UPDATE in range must force a full recompute, got $r2")
+        val out = s.sql(s"""SELECT user_id, n_rows, sum_cents, avg_cents
+          FROM $cat.db.spend""")
+        val snap = out.localCheckpoint(true)
+        graft.operators.Fs.deleteTree(base)
+        snap
+      },
+      Some("""
+        WITH e0 AS (
+          SELECT user_id, CAST(round(value * 100) AS BIGINT) AS cents
+          FROM events),
+        e AS (
+          SELECT user_id,
+            CASE WHEN cents % 5 = 0 THEN cents + 7 ELSE cents END AS cents
+          FROM e0)
+        SELECT user_id, CAST(count(*) AS BIGINT) AS n_rows,
+          CAST(sum(cents) AS DOUBLE) AS sum_cents,
+          CAST(sum(cents) AS DOUBLE) / count(*) AS avg_cents
+        FROM e GROUP BY user_id"""))
   )
 }

@@ -160,6 +160,11 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
   private var catalogName: String = _
   private var root: String = _
 
+  /** The catalog's root directory ([[GraftMaterializedViews]] builds
+    * state-table paths under it).
+    */
+  private[sources] def rootDir: String = root
+
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
     catalogName = name
     root = Option(options.get("root")).getOrElse(throw new IllegalArgumentException(

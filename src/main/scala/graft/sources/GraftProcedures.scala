@@ -37,7 +37,8 @@ object GraftProcedures {
 
   val identifiers: Array[Identifier] =
     Array("restore", "vacuum", "compact", "compact_dv", "compact_range",
-        "analyze", "show_stats", "create_view", "drop_view", "show_views")
+        "analyze", "show_stats", "create_view", "drop_view", "show_views",
+        "create_mview", "refresh_mview")
       .map(n => Identifier.of(Array("system"), n))
 
   def load(cat: GraftCatalog, ident: Identifier): UnboundProcedure = {
@@ -242,6 +243,49 @@ object GraftProcedures {
           if (replace) cat.replaceView(info, true) else cat.createView(info)
           Seq(InternalRow(UTF8String.fromString(viewRef),
             frame.columns.length))
+        })
+      case "create_mview" => proc("create_mview",
+        "materialize a per-key algebraic aggregate (count / exact sum / " +
+          "derived avg over 'measures', grouped by 'keys') of a base " +
+          "table into a state table '<view>_state', surfaced as the " +
+          "persisted view '<view>'; refresh with refresh_mview",
+        Array(
+          ProcedureParameter.in("view", StringType).build(),
+          ProcedureParameter.in("base", StringType).build(),
+          ProcedureParameter.in("keys", StringType)
+            .comment("comma-separated group-key columns").build(),
+          ProcedureParameter.in("measures", StringType)
+            .comment("comma-separated numeric measure columns").build()),
+        StructType(Seq(StructField("view", StringType),
+          StructField("base_version", LongType),
+          StructField("state_rows", LongType))),
+        in => {
+          val viewRef = in.getUTF8String(0).toString
+          val (v, rows) = GraftMaterializedViews.create(
+            org.apache.spark.sql.SparkSession.active, cat, viewRef,
+            in.getUTF8String(1).toString,
+            in.getUTF8String(2).toString.split(',').map(_.trim)
+              .filter(_.nonEmpty).toSeq,
+            in.getUTF8String(3).toString.split(',').map(_.trim)
+              .filter(_.nonEmpty).toSeq)
+          Seq(InternalRow(UTF8String.fromString(viewRef), v, rows))
+        })
+      case "refresh_mview" => proc("refresh_mview",
+        "fold the base table's changes since the last refresh into the " +
+          "materialized view's state: insert-only deltas fold " +
+          "INCREMENTALLY (O(delta)); deletes/updates trigger one full " +
+          "recompute+sync; a replayed refresh skips (txn-anchored)",
+        Array(ProcedureParameter.in("view", StringType).build()),
+        StructType(Seq(StructField("view", StringType),
+          StructField("mode", StringType),
+          StructField("from_version", LongType),
+          StructField("to_version", LongType))),
+        in => {
+          val viewRef = in.getUTF8String(0).toString
+          val (mode, from, to) = GraftMaterializedViews.refresh(
+            org.apache.spark.sql.SparkSession.active, cat, viewRef)
+          Seq(InternalRow(UTF8String.fromString(viewRef),
+            UTF8String.fromString(mode), from, to))
         })
       case "drop_view" => proc("drop_view",
         "drop a persisted view (returns whether one existed)",

@@ -1,0 +1,107 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+
+/** Materialized views with incremental refresh (round 12 capstone —
+  * composes the CDC change rows, the txn-marked MERGE, the Incremental
+  * algebraic state and the persisted-view surface):
+  *
+  *   - insert-only base changes fold INCREMENTALLY (mode reported);
+  *   - deletes/updates in range trigger ONE full recompute + sync
+  *     (vanished groups leave the state via NOT MATCHED BY SOURCE);
+  *   - the refresh anchor is the state table's txn marker — atomic
+  *     with the state mutation, so a replayed refresh SKIPS instead of
+  *     double-counting;
+  *   - the view surface reads the finish (n_rows / sum_* / avg_*).
+  */
+class GraftMviewSpec extends SparkSpec {
+
+  private def freshCatalog(): (String, String) = {
+    val root = Files.createTempDirectory("graft_mv").toString
+    val cat = s"gmv_${System.nanoTime()}"
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    (cat, root)
+  }
+
+  private def agg(cat: String): Map[Long, (Long, Double)] =
+    spark.sql(s"SELECT user_id, n_rows, sum_cents FROM $cat.db.spend")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+
+  private def expected(cat: String): Map[Long, (Long, Double)] =
+    spark.sql(s"""SELECT user_id, count(*) AS n,
+        CAST(sum(cents) AS DOUBLE) AS s
+      FROM $cat.db.ev GROUP BY user_id""").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+
+  test("create → incremental refresh → full refresh after an update; " +
+    "replayed/no-op refreshes skip; vanished groups leave the state") {
+    val (cat, _) = freshCatalog()
+    spark.sql(s"""CREATE TABLE $cat.db.ev (k BIGINT, user_id BIGINT,
+        cents BIGINT, pk BIGINT)
+      PARTITIONED BY (pk) TBLPROPERTIES ('keys'='k')""")
+    spark.sql(s"""INSERT INTO $cat.db.ev (k, user_id, cents, pk)
+      SELECT id, id % 5, id * 10, id % 2 FROM range(100)""")
+    val created = spark.sql(s"""CALL $cat.system.create_mview('db.spend',
+      base => 'db.ev', keys => 'user_id', measures => 'cents')""")
+      .collect()(0)
+    assert(created.getLong(2) == 5L)
+    assert(agg(cat) == expected(cat))
+
+    // insert-only delta (new groups + existing groups) → INCREMENTAL
+    spark.sql(s"""INSERT INTO $cat.db.ev (k, user_id, cents, pk)
+      SELECT id, id % 7, id, id % 2 FROM range(100, 160)""")
+    val r1 = spark.sql(s"CALL $cat.system.refresh_mview('db.spend')")
+      .collect()(0)
+    assert(r1.getString(1) == "incremental", r1.toString)
+    assert(agg(cat) == expected(cat))
+
+    // a no-op refresh reports current and changes nothing
+    val r2 = spark.sql(s"CALL $cat.system.refresh_mview('db.spend')")
+      .collect()(0)
+    assert(r2.getString(1) == "current")
+    assert(agg(cat) == expected(cat))
+
+    // an UPDATE in range → full recompute, still exact
+    spark.sql(s"UPDATE $cat.db.ev SET cents = cents + 1 WHERE k % 10 = 0")
+    val r3 = spark.sql(s"CALL $cat.system.refresh_mview('db.spend')")
+      .collect()(0)
+    assert(r3.getString(1) == "full", r3.toString)
+    assert(agg(cat) == expected(cat))
+
+    // a DELETE that removes an entire group → the group leaves the state
+    spark.sql(s"DELETE FROM $cat.db.ev WHERE user_id = 6")
+    val r4 = spark.sql(s"CALL $cat.system.refresh_mview('db.spend')")
+      .collect()(0)
+    assert(r4.getString(1) == "full")
+    val m = agg(cat)
+    assert(!m.contains(6L) && m == expected(cat))
+  }
+
+  test("guards: missing base column rejects; the state table refuses a " +
+    "second create; avg derives exactly from the decimal state") {
+    val (cat, _) = freshCatalog()
+    spark.sql(s"""CREATE TABLE $cat.db.ev (k BIGINT, user_id BIGINT,
+        cents BIGINT, pk BIGINT)
+      PARTITIONED BY (pk) TBLPROPERTIES ('keys'='k')""")
+    spark.sql(s"""INSERT INTO $cat.db.ev (k, user_id, cents, pk)
+      VALUES (1, 1, 10, 0), (2, 1, 11, 1), (3, 2, 7, 0)""")
+    intercept[Throwable] {
+      spark.sql(s"""CALL $cat.system.create_mview('db.bad',
+        base => 'db.ev', keys => 'user_id', measures => 'nope')""")
+    }
+    spark.sql(s"""CALL $cat.system.create_mview('db.spend',
+      base => 'db.ev', keys => 'user_id', measures => 'cents')""")
+    intercept[Throwable] {
+      spark.sql(s"""CALL $cat.system.create_mview('db.spend',
+        base => 'db.ev', keys => 'user_id', measures => 'cents')""")
+    }
+    val rows = spark.sql(
+      s"SELECT user_id, n_rows, avg_cents FROM $cat.db.spend ORDER BY user_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(rows == Seq((1L, 2L, 10.5), (2L, 1L, 7.0)))
+  }
+}
