@@ -2905,10 +2905,12 @@ final class GraftTable(spark: SparkSession, val path: String,
     *
     *   - a `GENERATED ALWAYS AS (expr)` column is RECOMPUTED
     *     unconditionally over the final row — an UPDATE that changes a
-    *     referenced column keeps the generated value consistent, and a
-    *     provided value is overwritten by the expression (documented
-    *     divergence from Delta's statement-level rejection: the
-    *     invariant is enforced by construction instead);
+    *     referenced column keeps the generated value consistent. On
+    *     INSERT-shaped writes a provided value must EQUAL the
+    *     expression's result or the statement fails in-flight (Delta
+    *     semantics); an explicitly provided NULL is indistinguishable
+    *     from an omitted column at this layer and takes the computed
+    *     value (documented divergence — Delta rejects it);
     *   - an IDENTITY column fills its NULL slots from a fresh block
     *     above (below, for negative steps) the CURRENT extremum — the
     *     table itself is the allocation state (no sidecar counter, no

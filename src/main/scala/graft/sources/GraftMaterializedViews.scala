@@ -6,11 +6,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.connector.catalog.Identifier
 import org.apache.spark.sql.functions._
 
-import graft.operators.{GraftTable, GraftTableMeta, Incremental}
+import graft.operators.{GraftTable, GraftTableMeta}
 
 /** MATERIALIZED VIEWS with INCREMENTAL refresh — the composition the
   * round-12 pieces exist for: a per-key algebraic aggregate
-  * (count / exact-decimal sum / derived avg — [[Incremental]]) over a
+  * (count / exact-decimal sum / derived avg — the
+  * [[graft.operators.Incremental]] discipline) over a
   * base catalog table, materialized as a STATE table and surfaced as a
   * persisted VIEW of its read-time finish.
   *
@@ -91,21 +92,40 @@ object GraftMaterializedViews {
 
   private def stateRef(viewRef: String): String = s"${viewRef}_state"
 
+  /** Per-key algebraic state with PER-MEASURE non-null counts: `_cnt`
+    * (all rows), and per measure `_sum_<m>` (exact-decimal sum of the
+    * NON-NULL values, 0 when none — always non-null so incremental
+    * addition is plain `+`) and `_nn_<m>` (non-null count). The finish
+    * derives SQL semantics: SUM is NULL when `_nn` is 0, AVG divides
+    * by `_nn` (never the row count) — so the view matches
+    * `sum(m)`/`avg(m)` exactly for nullable measures.
+    */
+  private def state(df: DataFrame, keys: Seq[String],
+                    measures: Seq[String]): DataFrame =
+    df.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("_cnt"),
+        measures.flatMap(m => Seq(
+          coalesce(sum(graft.Agg.dec4(col(m))), lit(0).cast("decimal(38,4)"))
+            .as(s"_sum_$m"),
+          count(col(m)).as(s"_nn_$m"))): _*)
+
   /** The keyed MERGE both refresh modes commit through: matched keys
     * ADD the delta partials, unmatched delta keys insert; `fullSync`
     * additionally deletes state keys the (full) source no longer has.
     */
+  private def stateCols(cfg: Config): Seq[String] =
+    "_cnt" +: cfg.measures.flatMap(m => Seq(s"_sum_$m", s"_nn_$m"))
+
   private def foldInto(st: GraftTable, toVersion: Long, delta: DataFrame,
                        cfg: Config, fullSync: Boolean): Boolean = {
+    // fullSync = SET the source partials; incremental = ADD them (all
+    // state columns are non-null by construction, so + is exact)
+    def assign(c: String): org.apache.spark.sql.Column =
+      if (fullSync) GraftTable.src(c) else col(c) + GraftTable.src(c)
     val assigns: Map[String, org.apache.spark.sql.Column] =
-      (("_cnt" -> (col("_cnt") + GraftTable.src("_cnt"))) +:
-        cfg.measures.map(m =>
-          s"_sum_$m" -> (if (fullSync) GraftTable.src(s"_sum_$m")
-                         else col(s"_sum_$m") + GraftTable.src(s"_sum_$m"))))
-        .toMap ++ (if (fullSync) Map("_cnt" -> GraftTable.src("_cnt"))
-                   else Map.empty)
+      stateCols(cfg).map(c => c -> assign(c)).toMap
     val insert = Some((lit(true),
-      (cfg.keys ++ ("_cnt" +: cfg.measures.map(m => s"_sum_$m")))
+      (cfg.keys ++ stateCols(cfg))
         .map(c => c -> GraftTable.src(c)).toMap))
     val nmbs =
       if (fullSync) Seq(GraftTable.MatchedDelete(lit(true)))
@@ -127,12 +147,18 @@ object GraftMaterializedViews {
       : (Long, Long) = {
     require(keys.nonEmpty && measures.nonEmpty,
       "create_mview needs keys and measures")
+    val cfg = Config(baseRef, keys, measures)
+    // EVERY precondition before ANY mutation — a late failure must not
+    // orphan a committed state table
+    require(!GraftViews.exists(catRoot(cat), split(viewRef)),
+      s"cannot create materialized view $viewRef: a VIEW with that " +
+        "name exists")
     val base = cat.openTable(split(baseRef))
     val baseV = base.currentVersion
     val snap = base.readAt(baseV)
     (keys ++ measures).foreach(c => require(snap.columns.contains(c),
       s"base '$baseRef' has no column '$c'"))
-    val state0 = Incremental.state(snap, keys, measures)
+    val state0 = state(snap, keys, measures)
     // the state table: keyed on the group keys, unpartitioned (state is
     // |keys|-sized), stats on _cnt for the metadata tiers
     val stIdent = split(stateRef(viewRef))
@@ -148,17 +174,20 @@ object GraftMaterializedViews {
       statsCols = Seq("_cnt"))
     st.createIfNotExists(state0.schema)
     GraftTableMeta.annotate(st)
-    writeConfig(dir, Config(baseRef, keys, measures))
+    writeConfig(dir, cfg)
     // the initial load is refresh #baseV — same txn discipline
-    foldInto(st, baseV, state0, Config(baseRef, keys, measures),
-      fullSync = true)
+    foldInto(st, baseV, state0, cfg, fullSync = true)
     // the user-facing finish view (exact-decimal state, double surface)
     val finishSql = {
       val catName = cat.name()
       val stName = s"$catName.${stateRef(viewRef)}"
+      // SQL semantics for nullable measures: SUM is NULL when no
+      // non-null value exists, AVG divides by the NON-NULL count
       val ms = measures.flatMap(m => Seq(
-        s"CAST(_sum_$m AS DOUBLE) AS sum_$m",
-        s"CAST(_sum_$m AS DOUBLE) / _cnt AS avg_$m"))
+        s"CASE WHEN _nn_$m = 0 THEN CAST(NULL AS DOUBLE) " +
+          s"ELSE CAST(_sum_$m AS DOUBLE) END AS sum_$m",
+        s"CASE WHEN _nn_$m = 0 THEN CAST(NULL AS DOUBLE) " +
+          s"ELSE CAST(_sum_$m AS DOUBLE) / _nn_$m END AS avg_$m"))
       s"SELECT ${(keys :+ "_cnt AS n_rows").mkString(", ")}, " +
         s"${ms.mkString(", ")} FROM $stName"
     }
@@ -176,7 +205,7 @@ object GraftMaterializedViews {
     * is `current` (nothing to do), `incremental` (insert-only delta
     * folded) or `full` (recompute + sync — deletes/updates in range).
     */
-  def refresh(spark: SparkSession, cat: GraftCatalog, viewRef: String)
+  def refresh(cat: GraftCatalog, viewRef: String)
       : (String, Long, Long) = {
     val stIdent = split(stateRef(viewRef))
     val st = cat.openTable(stIdent)
@@ -188,15 +217,21 @@ object GraftMaterializedViews {
     if (curV <= lastV) return ("current", lastV, lastV)
     val changes = base.readChangesRowsBetween(lastV, curV)
       .localCheckpoint(true)
-    val insertOnly =
-      changes.filter(col("_change_type") =!= "insert").limit(1).count() == 0L
-    if (insertOnly) {
-      val delta = Incremental.state(
-        changes.drop("_change_type"), cfg.keys, cfg.measures)
+    // incremental needs (a) insert-only changes and (b) NO null group
+    // key in the delta — the keyed MERGE matches with === (ANSI: a
+    // null key never matches), so a null-key delta group would INSERT
+    // a duplicate state row instead of folding; the full sync handles
+    // it exactly
+    val nonIncremental = changes.filter(
+      col("_change_type") =!= "insert" ||
+        cfg.keys.map(k => col(k).isNull).reduce(_ || _))
+      .limit(1).count() > 0L
+    if (!nonIncremental) {
+      val delta = state(changes.drop("_change_type"), cfg.keys, cfg.measures)
       foldInto(st, curV, delta, cfg, fullSync = false)
       ("incremental", lastV, curV)
     } else {
-      val full = Incremental.state(base.readAt(curV), cfg.keys, cfg.measures)
+      val full = state(base.readAt(curV), cfg.keys, cfg.measures)
       foldInto(st, curV, full, cfg, fullSync = true)
       ("full", lastV, curV)
     }

@@ -282,8 +282,7 @@ object GraftProcedures {
           StructField("to_version", LongType))),
         in => {
           val viewRef = in.getUTF8String(0).toString
-          val (mode, from, to) = GraftMaterializedViews.refresh(
-            org.apache.spark.sql.SparkSession.active, cat, viewRef)
+          val (mode, from, to) = GraftMaterializedViews.refresh(cat, viewRef)
           Seq(InternalRow(UTF8String.fromString(viewRef),
             UTF8String.fromString(mode), from, to))
         })

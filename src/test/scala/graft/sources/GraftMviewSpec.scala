@@ -81,6 +81,50 @@ class GraftMviewSpec extends SparkSpec {
     assert(!m.contains(6L) && m == expected(cat))
   }
 
+  test("null semantics: an all-NULL-measure delta keeps SUM/AVG exact " +
+    "(SQL semantics — NULLs excluded, NULL only when no value exists); " +
+    "a NULL group key in the delta forces the full sync (no duplicate " +
+    "state rows)") {
+    val (cat, _) = freshCatalog()
+    spark.sql(s"""CREATE TABLE $cat.db.ev (k BIGINT, user_id BIGINT,
+        cents BIGINT, pk BIGINT)
+      PARTITIONED BY (pk) TBLPROPERTIES ('keys'='k')""")
+    spark.sql(s"""INSERT INTO $cat.db.ev (k, user_id, cents, pk) VALUES
+      (1, 1, 10, 0), (2, 2, CAST(NULL AS BIGINT), 1), (3, NULL, 5, 0)""")
+    spark.sql(s"""CALL $cat.system.create_mview('db.spend',
+      base => 'db.ev', keys => 'user_id', measures => 'cents')""")
+    // delta: all-NULL measure for existing group 1 (must NOT poison the
+    // running sum), plus another NULL-key row (forces full sync)
+    spark.sql(s"""INSERT INTO $cat.db.ev (k, user_id, cents, pk) VALUES
+      (4, 1, CAST(NULL AS BIGINT), 0), (5, NULL, 7, 1)""")
+    val r = spark.sql(s"CALL $cat.system.refresh_mview('db.spend')")
+      .collect()(0)
+    assert(r.getString(1) == "full",
+      s"a NULL group key in the delta must force the full sync, got $r")
+    val rows = spark.sql(s"""SELECT user_id, n_rows, sum_cents, avg_cents
+      FROM $cat.db.spend""").collect()
+      .map(r => (Option(if (r.isNullAt(0)) null else r.getLong(0)),
+        r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toSet
+    assert(rows == Set(
+      (Option(1L), 2L, Some(10.0), Some(10.0)),  // NULL excluded from agg
+      (Option(2L), 1L, None, None),              // no value → NULL sum/avg
+      (Option.empty[Long], 2L, Some(12.0), Some(6.0))), // ONE null group
+      s"got $rows")
+    // a later insert-only delta without null keys folds incrementally
+    // and the all-NULL-sum group heals arithmetic (10 + 2 = 12)
+    spark.sql(s"""INSERT INTO $cat.db.ev (k, user_id, cents, pk) VALUES
+      (6, 1, 2, 0), (7, 2, 4, 1)""")
+    val r2 = spark.sql(s"CALL $cat.system.refresh_mview('db.spend')")
+      .collect()(0)
+    assert(r2.getString(1) == "incremental", r2.toString)
+    val after = spark.sql(s"""SELECT user_id, sum_cents, avg_cents
+      FROM $cat.db.spend WHERE user_id IS NOT NULL ORDER BY user_id""")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSeq
+    assert(after == Seq((1L, 12.0, 6.0), (2L, 4.0, 4.0)), s"got $after")
+  }
+
   test("guards: missing base column rejects; the state table refuses a " +
     "second create; avg derives exactly from the decimal state") {
     val (cat, _) = freshCatalog()
