@@ -237,5 +237,15 @@ object GraftMaterializedViews {
     }
   }
 
+  /** DROP: remove the finish view and the state table (with its
+    * config + txn anchor). Returns whether anything existed.
+    */
+  def drop(cat: GraftCatalog, viewRef: String): Boolean = {
+    val v = cat.dropView(split(viewRef))
+    val stIdent = split(stateRef(viewRef))
+    val t = cat.tableExists(stIdent) && cat.dropTable(stIdent)
+    v || t
+  }
+
   private def catRoot(cat: GraftCatalog): String = cat.rootDir
 }

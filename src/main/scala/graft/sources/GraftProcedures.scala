@@ -38,7 +38,7 @@ object GraftProcedures {
   val identifiers: Array[Identifier] =
     Array("restore", "vacuum", "compact", "compact_dv", "compact_range",
         "analyze", "show_stats", "create_view", "drop_view", "show_views",
-        "create_mview", "refresh_mview")
+        "create_mview", "refresh_mview", "drop_mview")
       .map(n => Identifier.of(Array("system"), n))
 
   def load(cat: GraftCatalog, ident: Identifier): UnboundProcedure = {
@@ -285,6 +285,17 @@ object GraftProcedures {
           val (mode, from, to) = GraftMaterializedViews.refresh(cat, viewRef)
           Seq(InternalRow(UTF8String.fromString(viewRef),
             UTF8String.fromString(mode), from, to))
+        })
+      case "drop_mview" => proc("drop_mview",
+        "drop a materialized view: the finish view AND its state table " +
+          "(config + refresh anchor included)",
+        Array(ProcedureParameter.in("view", StringType).build()),
+        StructType(Seq(StructField("view", StringType),
+          StructField("dropped", BooleanType))),
+        in => {
+          val viewRef = in.getUTF8String(0).toString
+          Seq(InternalRow(UTF8String.fromString(viewRef),
+            GraftMaterializedViews.drop(cat, viewRef)))
         })
       case "drop_view" => proc("drop_view",
         "drop a persisted view (returns whether one existed)",

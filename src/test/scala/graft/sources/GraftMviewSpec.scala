@@ -147,5 +147,17 @@ class GraftMviewSpec extends SparkSpec {
       s"SELECT user_id, n_rows, avg_cents FROM $cat.db.spend ORDER BY user_id")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
     assert(rows == Seq((1L, 2L, 10.5), (2L, 1L, 7.0)))
+    // drop_mview removes BOTH the view and the state table; a recreate
+    // then works
+    assert(spark.sql(s"CALL $cat.system.drop_mview('db.spend')")
+      .collect()(0).getBoolean(1))
+    intercept[Throwable] { spark.sql(s"SELECT * FROM $cat.db.spend").collect() }
+    intercept[Throwable] {
+      spark.sql(s"SELECT * FROM $cat.db.spend_state").collect()
+    }
+    spark.sql(s"""CALL $cat.system.create_mview('db.spend',
+      base => 'db.ev', keys => 'user_id', measures => 'cents')""")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.db.spend").collect()(0)
+      .getLong(0) == 2L)
   }
 }
