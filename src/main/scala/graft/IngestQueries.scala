@@ -3510,6 +3510,142 @@ object IngestQueries {
         SELECT user_id, CAST(count(*) AS BIGINT) AS n_rows,
           CAST(sum(cents) AS DOUBLE) AS sum_cents,
           CAST(sum(cents) AS DOUBLE) / count(*) AS avg_cents
+        FROM e GROUP BY user_id""")),
+
+    // NATIVE VIEW DDL (round 13): CREATE VIEW / CREATE OR REPLACE VIEW
+    // / SHOW VIEWS / DROP VIEW as plain SQL statements against the
+    // graft catalog, through the injected parser (GraftSqlParser —
+    // vanilla 4.1 hard-wires view DDL to the session catalog). The
+    // lifecycle is gated in-query: SHOW VIEWS must list exactly the
+    // live views after a create+drop, the REPLACE must swap the
+    // definition the aggregate view then reads through.
+    QuerySpec("q271_sql_view_ddl",
+      (s, dir) => {
+        GraftSession.tune(s)
+        val base = java.nio.file.Files.createTempDirectory("graft_q271_").toString
+        Tables.events(s, dir).createOrReplaceTempView("q271_events")
+        val cat = s"gcat_${java.util.UUID.randomUUID().toString.take(8)}"
+          .replace("-", "_")
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.root", base)
+        s.sql(s"""CREATE TABLE $cat.db.ve (
+            event_id BIGINT, user_id BIGINT, cents BIGINT, pk BIGINT)
+          PARTITIONED BY (pk)
+          TBLPROPERTIES ('keys'='event_id', 'statsCols'='cents')""")
+        s.sql(s"""INSERT INTO $cat.db.ve (event_id, user_id, cents, pk)
+          SELECT event_id, user_id, CAST(round(value * 100) AS BIGINT),
+            user_id % 4
+          FROM q271_events""")
+        // native DDL: create, then REPLACE with the definition the
+        // oracle models (the replace must win)
+        s.sql(s"""CREATE VIEW $cat.db.spend AS
+          SELECT user_id, cents FROM $cat.db.ve WHERE cents % 3 = 0""")
+        s.sql(s"""CREATE OR REPLACE VIEW $cat.db.spend AS
+          SELECT user_id, cents FROM $cat.db.ve WHERE cents % 2 = 0""")
+        s.sql(s"""CREATE VIEW $cat.db.spend_agg AS
+          SELECT user_id, CAST(sum(cents) AS BIGINT) AS total,
+            CAST(count(*) AS BIGINT) AS n
+          FROM $cat.db.spend GROUP BY user_id""")
+        // a scratch view leaves via DROP VIEW; SHOW VIEWS gates the
+        // surviving set
+        s.sql(s"CREATE VIEW $cat.db.scratch AS SELECT 1 AS one")
+        s.sql(s"DROP VIEW $cat.db.scratch")
+        s.sql(s"DROP VIEW IF EXISTS $cat.db.scratch")
+        val shown = s.sql(s"SHOW VIEWS IN $cat.db").collect()
+          .map(_.getString(1)).toSeq.sorted
+        require(shown == Seq("spend", "spend_agg"),
+          s"q271: SHOW VIEWS must list the live views, got $shown")
+        val out = s.sql(s"""SELECT user_id, total, n
+          FROM $cat.db.spend_agg WHERE n % 2 = 1""")
+        val snap = out.localCheckpoint(true)
+        graft.operators.Fs.deleteTree(base)
+        snap
+      },
+      Some("""
+        WITH e AS (
+          SELECT user_id, CAST(round(value * 100) AS BIGINT) AS cents
+          FROM events),
+        spend AS (SELECT user_id, cents FROM e WHERE cents % 2 = 0),
+        agg AS (
+          SELECT user_id, CAST(sum(cents) AS BIGINT) AS total,
+            CAST(count(*) AS BIGINT) AS n
+          FROM spend GROUP BY user_id)
+        SELECT user_id, total, n FROM agg WHERE n % 2 = 1""")),
+
+    // MATERIALIZED-VIEW MEASURE ALGEBRA (round 13): min / max /
+    // dcount (DataSketches HLL) / predicate-filtered measures through
+    // BOTH refresh modes (incremental after an insert-only delta, full
+    // after an UPDATE — modes REQUIRED in-query). Exact measures
+    // oracle-replay against the final base; the approximate dcount is
+    // gated in-query against the EXACT per-group distinct count
+    // (within max(1, 5%)) and surfaces as a boolean the oracle pins
+    // true — the measured-recall idiom the ANN ladder uses.
+    QuerySpec("q272_sql_mview_algebra",
+      (s, dir) => {
+        GraftSession.tune(s)
+        val base = java.nio.file.Files.createTempDirectory("graft_q272_").toString
+        Tables.events(s, dir).createOrReplaceTempView("q272_events")
+        val cat = s"gcat_${java.util.UUID.randomUUID().toString.take(8)}"
+          .replace("-", "_")
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.root", base)
+        s.sql(s"""CREATE TABLE $cat.db.ev (
+            event_id BIGINT, user_id BIGINT, cents BIGINT, pk BIGINT)
+          PARTITIONED BY (pk)
+          TBLPROPERTIES ('keys'='event_id', 'statsCols'='cents')""")
+        s.sql(s"""INSERT INTO $cat.db.ev (event_id, user_id, cents, pk)
+          SELECT event_id, user_id, CAST(round(value * 100) AS BIGINT),
+            user_id % 4
+          FROM q272_events WHERE event_id % 2 = 0""")
+        s.sql(s"""CALL $cat.system.create_mview('db.alg',
+          base => 'db.ev', keys => 'user_id',
+          measures => 'cents, min:cents, max:cents,
+                       dcount:cents AS dc,
+                       sum:cents WHERE cents % 3 = 0 AS c3')""")
+        s.sql(s"""INSERT INTO $cat.db.ev (event_id, user_id, cents, pk)
+          SELECT event_id, user_id, CAST(round(value * 100) AS BIGINT),
+            user_id % 4
+          FROM q272_events WHERE event_id % 2 = 1""")
+        val r1 = s.sql(s"CALL $cat.system.refresh_mview('db.alg')")
+          .collect()(0)
+        require(r1.getString(1) == "incremental",
+          s"q272: the insert-only delta must fold INCREMENTALLY, got $r1")
+        s.sql(s"UPDATE $cat.db.ev SET cents = cents + 7 WHERE cents % 5 = 0")
+        val r2 = s.sql(s"CALL $cat.system.refresh_mview('db.alg')")
+          .collect()(0)
+        require(r2.getString(1) == "full",
+          s"q272: an UPDATE in range must force a full recompute, got $r2")
+        val out = s.sql(s"""
+          SELECT v.user_id, v.n_rows, v.sum_cents, v.avg_cents,
+            v.min_cents, v.max_cents, v.sum_c3, v.avg_c3,
+            abs(v.dcount_dc - x.exact_dc) <= greatest(1, x.exact_dc / 20)
+              AS dcount_ok
+          FROM $cat.db.alg v
+          JOIN (SELECT user_id, count(DISTINCT cents) AS exact_dc
+                FROM $cat.db.ev GROUP BY user_id) x
+            ON v.user_id = x.user_id""")
+        val snap = out.localCheckpoint(true)
+        graft.operators.Fs.deleteTree(base)
+        snap
+      },
+      Some("""
+        WITH e0 AS (
+          SELECT user_id, CAST(round(value * 100) AS BIGINT) AS cents
+          FROM events),
+        e AS (
+          SELECT user_id,
+            CASE WHEN cents % 5 = 0 THEN cents + 7 ELSE cents END AS cents
+          FROM e0)
+        SELECT user_id, CAST(count(*) AS BIGINT) AS n_rows,
+          CAST(sum(cents) AS DOUBLE) AS sum_cents,
+          CAST(sum(cents) AS DOUBLE) / count(*) AS avg_cents,
+          CAST(min(cents) AS DOUBLE) AS min_cents,
+          CAST(max(cents) AS DOUBLE) AS max_cents,
+          CAST(sum(CASE WHEN cents % 3 = 0 THEN cents END) AS DOUBLE)
+            AS sum_c3,
+          CAST(avg(CASE WHEN cents % 3 = 0 THEN cents END) AS DOUBLE)
+            AS avg_c3,
+          true AS dcount_ok
         FROM e GROUP BY user_id"""))
   )
 }

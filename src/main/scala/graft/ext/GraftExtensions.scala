@@ -101,5 +101,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // ViewCatalog protocol with no SQL read wiring) — build-time only,
     // analyzer rules cannot be added to a live session
     ext.injectResolutionRule(session => new GraftResolveViews(session))
+    // … and view DDL (CREATE/DROP VIEW, SHOW VIEWS) targeting a graft
+    // catalog parses natively (vanilla hard-wires view DDL to the
+    // session catalog); everything else delegates verbatim
+    ext.injectParser((session, parser) => new GraftSqlParser(session, parser))
   }
 }

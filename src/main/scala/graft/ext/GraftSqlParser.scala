@@ -1,0 +1,240 @@
+package graft.ext
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.parser.ParserInterface
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.connector.catalog.Identifier
+import org.apache.spark.sql.types.{DataType, StructType}
+
+import org.apache.spark.sql.graft.{GraftCreateViewCommand, GraftDropViewCommand, GraftShowViewsCommand}
+
+/** Injected SQL parser (the Iceberg SQL-extensions-parser model):
+  * intercepts the three VIEW DDL statements when they target a
+  * [[graft.sources.GraftCatalog]] and routes them to the catalog's
+  * native `ViewCatalog` implementation — vanilla Spark 4.1 hard-wires
+  * view DDL to the session catalog (`MISSING_CATALOG_ABILITY` for
+  * every other catalog), so without this a user typing standard DDL
+  * against a graft catalog dead-ends even though the catalog fully
+  * implements the protocol.
+  *
+  *   - `CREATE [OR REPLACE] VIEW [IF NOT EXISTS] <ident> AS <query>`
+  *   - `DROP VIEW [IF EXISTS] <ident>`
+  *   - `SHOW VIEWS {IN | FROM} <catalog>[.<ns>…]`
+  *
+  * EVERYTHING ELSE — including these statements against any other
+  * catalog, `CREATE [GLOBAL] TEMPORARY VIEW`, and view DDL with
+  * column lists / COMMENT / TBLPROPERTIES clauses (not in the graft
+  * surface; the CALL procedures cover programmatic needs) — delegates
+  * verbatim to the vanilla parser, so nothing changes for other
+  * catalogs. Identifier lexing honors backtick quoting (including
+  * doubled backticks); statement-head matching is whitespace- and
+  * case-insensitive, the vanilla rules.
+  *
+  * Installed build-time by [[GraftExtensions]] (`injectParser`);
+  * sessions without the extension keep the CALL-procedure DDL surface
+  * ([[graft.sources.GraftProcedures]] create_view/drop_view/show_views).
+  */
+class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
+    extends ParserInterface {
+
+  override def parsePlan(sqlText: String): LogicalPlan =
+    GraftSqlParser.viewDdl(session, sqlText)
+      .getOrElse(delegate.parsePlan(sqlText))
+
+  override def parseExpression(sqlText: String): Expression =
+    delegate.parseExpression(sqlText)
+  override def parseTableIdentifier(sqlText: String): TableIdentifier =
+    delegate.parseTableIdentifier(sqlText)
+  override def parseFunctionIdentifier(sqlText: String): FunctionIdentifier =
+    delegate.parseFunctionIdentifier(sqlText)
+  override def parseMultipartIdentifier(sqlText: String): Seq[String] =
+    delegate.parseMultipartIdentifier(sqlText)
+  override def parseQuery(sqlText: String): LogicalPlan =
+    delegate.parseQuery(sqlText)
+  override def parseRoutineParam(sqlText: String): StructType =
+    delegate.parseRoutineParam(sqlText)
+  override def parseTableSchema(sqlText: String): StructType =
+    delegate.parseTableSchema(sqlText)
+  override def parseDataType(sqlText: String): DataType =
+    delegate.parseDataType(sqlText)
+}
+
+object GraftSqlParser {
+
+  /** The intercepted statement, or None = delegate. */
+  private[ext] def viewDdl(session: SparkSession, sql: String)
+      : Option[LogicalPlan] = {
+    val s = sql.trim.stripSuffix(";")
+    matchCreate(session, s)
+      .orElse(matchDrop(session, s))
+      .orElse(matchShow(session, s))
+  }
+
+  // --------------------------------------------------------- lexing
+
+  /** Consume one dot-separated, possibly-backquoted multipart
+    * identifier from the head of `s`; returns (parts, rest). Doubled
+    * backticks unescape inside a quoted part (the vanilla rule).
+    */
+  private def ident(s: String): Option[(Seq[String], String)] = {
+    var i = 0
+    val n = s.length
+    val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+    def part(): Boolean =
+      if (i < n && s(i) == '`') {
+        val sb = new StringBuilder
+        i += 1
+        while (i < n) {
+          if (s(i) == '`') {
+            if (i + 1 < n && s(i + 1) == '`') { sb.append('`'); i += 2 }
+            else { i += 1; parts += sb.toString; return true }
+          } else { sb.append(s(i)); i += 1 }
+        }
+        false // unterminated quote
+      } else {
+        val start = i
+        while (i < n && (s(i).isLetterOrDigit || s(i) == '_')) i += 1
+        if (i == start) false
+        else { parts += s.substring(start, i); true }
+      }
+    if (!part()) return None
+    while (i < n && s(i) == '.') { i += 1; if (!part()) return None }
+    Some((parts.toSeq, s.substring(i)))
+  }
+
+  /** Case-insensitively consume `words` (each separated by whitespace)
+    * from the head of `s`; returns the rest.
+    */
+  private def keywords(s: String, words: String*): Option[String] = {
+    var rest = s
+    var first = true
+    for (w <- words) {
+      val trimmed = rest.dropWhile(_.isWhitespace)
+      // every keyword after the first must have consumed whitespace
+      if (!first && (trimmed.length == rest.length)) return None
+      if (trimmed.length < w.length ||
+        !trimmed.substring(0, w.length).equalsIgnoreCase(w)) return None
+      // keyword boundary: next char must not be a word char
+      val after = trimmed.substring(w.length)
+      if (after.nonEmpty && (after(0).isLetterOrDigit || after(0) == '_'))
+        return None
+      rest = after
+      first = false
+    }
+    Some(rest)
+  }
+
+  // ---------------------------------------------- catalog resolution
+
+  /** (catalog name, identifier) when `parts` addresses a graft
+    * catalog — either explicitly (head is a registered GraftCatalog)
+    * or implicitly (session's current catalog is one). None = not
+    * graft's statement, delegate.
+    */
+  private def address(session: SparkSession, parts: Seq[String])
+      : Option[(String, Identifier)] = {
+    val cm = session.sessionState.catalogManager
+    def isGraft(name: String): Boolean =
+      scala.util.Try(cm.catalog(name)).toOption
+        .exists(_.isInstanceOf[graft.sources.GraftCatalog])
+    if (parts.length >= 2 && cm.isCatalogRegistered(parts.head) &&
+        isGraft(parts.head))
+      Some((parts.head,
+        Identifier.of(parts.tail.dropRight(1).toArray, parts.last)))
+    else if (!cm.isCatalogRegistered(parts.head) &&
+        isGraft(cm.currentCatalog.name)) {
+      val full =
+        if (parts.length == 1) cm.currentNamespace.toSeq ++ parts else parts
+      Some((cm.currentCatalog.name,
+        Identifier.of(full.dropRight(1).toArray, full.last)))
+    } else None
+  }
+
+  // -------------------------------------------------- the statements
+
+  private def matchCreate(session: SparkSession, s: String)
+      : Option[LogicalPlan] = {
+    val afterCreate = keywords(s, "CREATE") match {
+      case Some(r) => r
+      case None => return None
+    }
+    val (replace, afterReplace) =
+      keywords(afterCreate, "OR", "REPLACE") match {
+        case Some(r) => (true, r)
+        case None => (false, afterCreate)
+      }
+    val afterView = keywords(afterReplace, "VIEW") match {
+      case Some(r) => r
+      case None => return None // incl. TEMPORARY/GLOBAL TEMP → delegate
+    }
+    val (ifNotExists, afterIne) =
+      keywords(afterView, "IF", "NOT", "EXISTS") match {
+        case Some(r) => (true, r)
+        case None => (false, afterView)
+      }
+    val trimmed = afterIne.dropWhile(_.isWhitespace)
+    val (parts, afterIdent) = ident(trimmed) match {
+      case Some(pr) => pr
+      case None => return None
+    }
+    // only the bare `… AS <query>` form; column lists / COMMENT /
+    // TBLPROPERTIES fall through to the vanilla parser (clear error)
+    val query = keywords(afterIdent, "AS") match {
+      case Some(q) if q.exists(!_.isWhitespace) => q.trim
+      case _ => return None
+    }
+    address(session, parts).map { case (cat, id) =>
+      GraftCreateViewCommand(cat, id, query, replace, ifNotExists)
+    }
+  }
+
+  private def matchDrop(session: SparkSession, s: String)
+      : Option[LogicalPlan] = {
+    val afterDrop = keywords(s, "DROP", "VIEW") match {
+      case Some(r) => r
+      case None => return None
+    }
+    val (ifExists, afterIe) = keywords(afterDrop, "IF", "EXISTS") match {
+      case Some(r) => (true, r)
+      case None => (false, afterDrop)
+    }
+    val trimmed = afterIe.dropWhile(_.isWhitespace)
+    ident(trimmed) match {
+      case Some((parts, rest)) if rest.forall(_.isWhitespace) =>
+        address(session, parts).map { case (cat, id) =>
+          GraftDropViewCommand(cat, id, ifExists)
+        }
+      case _ => None
+    }
+  }
+
+  private def matchShow(session: SparkSession, s: String)
+      : Option[LogicalPlan] = {
+    val afterShow = keywords(s, "SHOW", "VIEWS") match {
+      case Some(r) => r
+      case None => return None
+    }
+    val afterIn = keywords(afterShow, "IN")
+      .orElse(keywords(afterShow, "FROM")) match {
+      case Some(r) => r
+      case None => return None // bare SHOW VIEWS → session catalog
+    }
+    val trimmed = afterIn.dropWhile(_.isWhitespace)
+    ident(trimmed) match {
+      case Some((parts, rest)) if rest.forall(_.isWhitespace) =>
+        val cm = session.sessionState.catalogManager
+        def isGraft(name: String): Boolean =
+          scala.util.Try(cm.catalog(name)).toOption
+            .exists(_.isInstanceOf[graft.sources.GraftCatalog])
+        if (cm.isCatalogRegistered(parts.head) && isGraft(parts.head))
+          Some(GraftShowViewsCommand(parts.head, parts.tail))
+        else if (!cm.isCatalogRegistered(parts.head) &&
+            isGraft(cm.currentCatalog.name))
+          Some(GraftShowViewsCommand(cm.currentCatalog.name, parts))
+        else None
+      case _ => None
+    }
+  }
+}

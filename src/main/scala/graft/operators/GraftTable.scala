@@ -336,6 +336,16 @@ final class CommitConflictException(message: String)
 final class CheckViolationException(message: String)
   extends RuntimeException(message)
 
+/** Thrown by [[GraftTable.mergeBatch]] when the caller pinned the txn
+  * anchor it computed its batch FROM (`expectedLastBatch`) and another
+  * writer advanced it meanwhile — applying the batch would double-count
+  * the overlap. The check reads the anchor at the SAME version the OCC
+  * commit is anchored to, so no interleaving escapes it: callers
+  * recompute their delta from the new anchor and retry.
+  */
+final class StaleTxnAnchorException(message: String)
+  extends RuntimeException(message)
+
 /** Per-file zone map for one column: null count and the canonical
   * min/max (None = the file has no non-null value for the column, so
   * NO range predicate on it can match any of the file's rows).
@@ -4025,9 +4035,11 @@ final class GraftTable(spark: SparkSession, val path: String,
                                       Map[String, org.apache.spark.sql.Column])] = None,
             allowSchemaEvolution: Boolean = false,
             notMatchedBySource: Seq[GraftTable.MatchedClause] = Nil,
-            onResidual: Option[org.apache.spark.sql.Column] = None): this.type =
+            onResidual: Option[org.apache.spark.sql.Column] = None): this.type = {
     doMerge(source, matched, notMatchedInsert, allowSchemaEvolution, Nil,
       notMatchedBySource, onResidual)
+    this
+  }
 
   /** IDEMPOTENT [[merge]] for exactly-once streaming CDC apply — the
     * [[upsertReplaceBatch]] discipline generalized to the full MERGE
@@ -4043,22 +4055,28 @@ final class GraftTable(spark: SparkSession, val path: String,
                                            Map[String, org.apache.spark.sql.Column])] = None,
                  allowSchemaEvolution: Boolean = false,
                  notMatchedBySource: Seq[GraftTable.MatchedClause] = Nil,
-                 onResidual: Option[org.apache.spark.sql.Column] = None): Boolean = {
-    val base = ensureBaselineVersion()
-    if (batchId <= txnState(base).getOrElse(b64e(appId), -1L)) return false
+                 onResidual: Option[org.apache.spark.sql.Column] = None,
+                 expectedLastBatch: Option[Long] = None): Boolean =
+    // the replay check (and the optional anchor pin) live INSIDE doMerge
+    // against the SAME baseline the OCC commit is anchored to — a racing
+    // commit between check and commit surfaces as CommitConflictException
+    // and the retry re-evaluates both at the winner's version
     doMerge(source, matched, notMatchedInsert, allowSchemaEvolution,
-      Seq(s"#txn:${b64e(appId)}:$batchId"), notMatchedBySource, onResidual)
-    true
-  }
+      Seq(s"#txn:${b64e(appId)}:$batchId"), notMatchedBySource, onResidual,
+      txn = Some((appId, batchId, expectedLastBatch)))
 
+  /** Returns whether the merge APPLIED (always true without `txn`; a
+    * txn batch at or below the recorded id skips with false).
+    */
   private def doMerge(source: DataFrame, matched: Seq[GraftTable.MatchedClause],
                       notMatchedInsert: Option[(org.apache.spark.sql.Column,
                                                 Map[String, org.apache.spark.sql.Column])],
                       allowSchemaEvolution: Boolean,
                       markers: Seq[String],
                       notMatchedBySource: Seq[GraftTable.MatchedClause] = Nil,
-                      onResidual: Option[org.apache.spark.sql.Column] = None)
-      : this.type = {
+                      onResidual: Option[org.apache.spark.sql.Column] = None,
+                      txn: Option[(String, Long, Option[Long])] = None)
+      : Boolean = {
     import GraftTable.{MatchedDelete, MatchedUpdate}
     require(matched.nonEmpty || notMatchedInsert.nonEmpty ||
       notMatchedBySource.nonEmpty, "merge needs at least one clause")
@@ -4079,6 +4097,21 @@ final class GraftTable(spark: SparkSession, val path: String,
           s"(ANSI) — found source references: ${srcRefs.mkString(", ")}")
     }
     val base = ensureBaselineVersion()
+    txn.foreach { case (appId, batchId, expectedLast) =>
+      val recorded = txnState(base).getOrElse(b64e(appId), -1L)
+      // a batch at or below the recorded id is a replay — skip
+      if (batchId <= recorded) return false
+      // a caller that computed its batch FROM a specific anchor aborts
+      // when another writer advanced it meanwhile (applying would
+      // double-count the overlap); recorded is read at `base`, the same
+      // version the commit below is OCC-anchored to, so an interleaving
+      // advance surfaces as CommitConflictException and re-enters here
+      expectedLast.foreach { exp =>
+        if (recorded != exp) throw new StaleTxnAnchorException(
+          s"txn anchor for '$appId' is at $recorded, expected $exp — a " +
+            "concurrent batch advanced it; recompute from the new anchor")
+      }
+    }
     val tgt = readAt(base)
     val typeOf0 = tgt.schema.fields.map(f => f.name -> f.dataType).toMap
     val assignments = (matched.collect { case MatchedUpdate(_, set) => set.toSeq }
@@ -4245,7 +4278,7 @@ final class GraftTable(spark: SparkSession, val path: String,
       mayAllocate = mergeMayAllocate)), "merge_barrier")
     commitRewrite(staged.df, partitionValsOf(touched), base, markers)
     staged.delete()
-    this
+    true
   }
 
   /** Keyed DELETE (K5): anti-join rewrite of only the touched

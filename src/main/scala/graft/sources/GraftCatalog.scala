@@ -459,10 +459,36 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val gt = open(ident)
     // VALIDATE the whole change set BEFORE applying anything: a batch
-    // mixing an AddColumn with a rejected UpdateColumnType (merge
-    // schema evolution emits both) must not persist the add and then
-    // fail — the statement aborts with the table untouched
+    // mixing an AddColumn with a rejected change (merge schema
+    // evolution emits both kinds) must not persist the add and then
+    // fail — the statement aborts with the table untouched. EVERY
+    // structural rejection the apply loop makes is mirrored here:
+    // nested field names, non-nullable/positioned adds, unsupported
+    // change classes, and the type-widening lattice
     changes.foreach {
+      case r: TableChange.RenameColumn =>
+        require(r.fieldNames.length == 1,
+          s"GraftCatalog: nested RENAME COLUMN (${r.fieldNames.mkString(".")}) " +
+            "is not supported")
+      case d: TableChange.DeleteColumn =>
+        require(d.fieldNames.length == 1,
+          s"GraftCatalog: nested DROP COLUMN (${d.fieldNames.mkString(".")}) " +
+            "is not supported")
+      case a: TableChange.AddColumn =>
+        require(a.fieldNames.length == 1,
+          s"GraftCatalog: nested ADD COLUMNS (${a.fieldNames.mkString(".")}) " +
+            "is not supported")
+        require(a.isNullable,
+          s"GraftCatalog: added column ${a.fieldNames.head} must be nullable " +
+            "— existing rows project null")
+        require(a.position() == null,
+          s"GraftCatalog: ADD COLUMNS ${a.fieldNames.head} with a position " +
+            "(FIRST/AFTER) is not supported — columns append at the end")
+      case _: TableChange.AddConstraint | _: TableChange.DropConstraint => ()
+      case u: TableChange.UpdateColumnType if u.fieldNames.length > 1 =>
+        throw new IllegalArgumentException(
+          s"GraftCatalog: nested ALTER COLUMN (${u.fieldNames.mkString(".")}) " +
+            "is not supported")
       case u: TableChange.UpdateColumnType if u.fieldNames.length == 1 =>
         val curType = gt.declaredLogicalSchema
           .flatMap(_.fields.find(_.name == u.fieldNames.head).map(_.dataType))
@@ -484,7 +510,11 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
               s"${u.newDataType.simpleString} — only the widening lattice " +
               "(byte/short/int/long up-chain, float -> double) evolves " +
               "metadata-only; CAST the source column instead")
-      case _ => ()
+      case other => throw new UnsupportedOperationException(
+        s"GraftCatalog: unsupported ALTER TABLE change $other — supported: " +
+          "ADD COLUMNS (nullable, top-level), RENAME COLUMN, DROP COLUMN, " +
+          "ALTER COLUMN TYPE (widening), and ADD/DROP CONSTRAINT … CHECK; " +
+          "schema otherwise evolves on the write path")
     }
     changes.collect {
       // metadata-only column mapping (round 11, the Delta shape): zero

@@ -10,18 +10,26 @@ import graft.operators.{GraftTable, GraftTableMeta}
 
 /** MATERIALIZED VIEWS with INCREMENTAL refresh — the composition the
   * round-12 pieces exist for: a per-key algebraic aggregate
-  * (count / exact-decimal sum / derived avg — the
-  * [[graft.operators.Incremental]] discipline) over a
+  * (count / exact-decimal sum / derived avg / min / max / HLL
+  * approximate count-distinct, each optionally predicate-filtered —
+  * the [[graft.operators.Incremental]] discipline) over a
   * base catalog table, materialized as a STATE table and surfaced as a
   * persisted VIEW of its read-time finish.
   *
   * {{{
   *   CALL cat.system.create_mview('db.spend', base => 'db.events',
-  *     keys => 'user_id', measures => 'cents')
+  *     keys => 'user_id', measures =>
+  *       'cents, max:cents, dcount:sku,
+  *        sum:cents WHERE kind = \'x\' AS x_cents')
   *   -- base keeps ingesting …
   *   CALL cat.system.refresh_mview('db.spend')   -- incremental
-  *   SELECT * FROM cat.db.spend                  -- n_rows / sum_* / avg_*
+  *   SELECT * FROM cat.db.spend   -- n_rows / sum_* / avg_* / max_* / …
   * }}}
+  *
+  * The STATE table is hash-bucketed on the first group key
+  * (`buckets => n`, default 16): the keyed MERGE's rewrite unit is the
+  * bucket, so an incremental refresh rewrites only buckets holding
+  * delta keys — O(delta) write cost even at billions of groups.
   *
   * REFRESH reads the base's CHANGE ROWS since the last refreshed
   * version ([[GraftTable.readChangesRowsBetween]] — O(changed files),
@@ -53,16 +61,106 @@ object GraftMaterializedViews {
 
   private val AppId = "mview"
 
+  /** One measure of the view's algebra. The `measures` argument is a
+    * comma-separated list (commas inside parens/quotes don't split) of
+    *
+    * {{{ [func:]column [WHERE predicate] [AS alias] }}}
+    *
+    * where `func` ∈ sum (default — emits `sum_*` AND `avg_*`), `min`,
+    * `max`, `dcount` (approximate COUNT DISTINCT via the DataSketches
+    * HLL aggregate — exact below the sketch's set-mode threshold), the
+    * predicate is any Spark SQL boolean over base columns (rows failing
+    * it contribute nothing to THIS measure), and the alias names the
+    * finish columns (`sum_<name>`, `min_<name>`, …; defaults to the
+    * column name — required when the same column appears twice under
+    * one func). ALL funcs fold incrementally under insert-only deltas
+    * (sums add, min/max fold through least/greatest, HLL sketches
+    * union); deletes/updates fall back to the one full recompute like
+    * before — min/max/dcount are not algebraically subtractable, which
+    * is exactly what the mode split exists for.
+    */
+  final case class Measure(func: String, col: String,
+                           pred: Option[String], name: String) {
+    /** Canonical round-trip form (what the config file stores). */
+    def spec: String =
+      s"$func:$col${pred.map(p => s" WHERE $p").getOrElse("")} AS $name"
+    /** The measure's source column, gated by its predicate. */
+    def gated: org.apache.spark.sql.Column =
+      pred match {
+        case Some(p) => when(expr(p), col_(col))
+        case None => col_(col)
+      }
+    private def col_(c: String) = org.apache.spark.sql.functions.col(c)
+  }
+
+  private val FinishFuncs = Set("sum", "min", "max", "dcount")
+
+  /** Split on TOP-LEVEL commas only (predicates may contain `IN (a,b)`
+    * or quoted strings with commas).
+    */
+  private def splitTop(s: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val sb = new StringBuilder
+    var depth = 0
+    var inStr = false
+    s.foreach { c =>
+      if (inStr) { sb.append(c); if (c == '\'') inStr = false }
+      else c match {
+        case '\'' => inStr = true; sb.append(c)
+        case '(' => depth += 1; sb.append(c)
+        case ')' => depth -= 1; sb.append(c)
+        case ',' if depth == 0 => out += sb.toString; sb.clear()
+        case _ => sb.append(c)
+      }
+    }
+    out += sb.toString
+    out.toSeq.map(_.trim).filter(_.nonEmpty)
+  }
+
+  private val AsRe = "(?is)^(.*)\\s+AS\\s+([A-Za-z_][A-Za-z0-9_]*)\\s*$".r
+  private val WhereRe = "(?is)^(.*?)\\s+WHERE\\s+(.+)$".r
+
+  def parseMeasure(raw: String): Measure = {
+    val (body, alias) = raw.trim match {
+      case AsRe(b, a) => (b.trim, Some(a))
+      case other => (other, None)
+    }
+    val (head, pred) = body match {
+      case WhereRe(h, p) => (h.trim, Some(p.trim))
+      case _ => (body, None)
+    }
+    val (func, col) = head.split(":", 2) match {
+      case Array(f, c) if FinishFuncs.contains(f.trim.toLowerCase) =>
+        (f.trim.toLowerCase, c.trim)
+      case _ => ("sum", head.trim)
+    }
+    val name = alias.getOrElse(col)
+    require(name.matches("[A-Za-z_][A-Za-z0-9_]*"),
+      s"measure '$raw': state/finish columns derive from the measure " +
+        s"name and '$name' is not a bare identifier — add 'AS <alias>'")
+    require(col.nonEmpty, s"measure '$raw' names no column")
+    Measure(func, col, pred, name)
+  }
+
+  def parseMeasures(raw: String): Seq[Measure] = {
+    val ms = splitTop(raw).map(parseMeasure)
+    val dups = ms.groupBy(m => (m.func, m.name)).filter(_._2.size > 1).keys
+    require(dups.isEmpty,
+      s"duplicate measure names ${dups.mkString(", ")} — disambiguate " +
+        "with 'AS <alias>'")
+    ms
+  }
+
   final case class Config(base: String, keys: Seq[String],
-                          measures: Seq[String])
+                          measures: Seq[Measure])
 
   private def configPath(stateDir: String) =
     Paths.get(stateDir, "_graft_mview.json")
 
   private def writeConfig(stateDir: String, c: Config): Unit = {
-    val body = Seq(s"base\t${enc(c.base)}",
-      s"keys\t${enc(c.keys.mkString(","))}",
-      s"measures\t${enc(c.measures.mkString(","))}").mkString("\n")
+    val body = (Seq(s"base\t${enc(c.base)}",
+      s"keys\t${enc(c.keys.mkString(","))}") ++
+      c.measures.map(m => s"measure\t${enc(m.spec)}")).mkString("\n")
     val tmp = Paths.get(stateDir,
       s"._graft_mview_tmp_${java.util.UUID.randomUUID().toString.take(8)}")
     Files.writeString(tmp, body)
@@ -76,11 +174,14 @@ object GraftMaterializedViews {
     require(Files.isRegularFile(configPath(stateDir)),
       s"no materialized-view config under $stateDir — not a state table " +
         "created by create_mview")
-    val m = Files.readAllLines(configPath(stateDir)).toArray.toSeq
+    val lines = Files.readAllLines(configPath(stateDir)).toArray.toSeq
       .map(_.toString).filter(_.nonEmpty)
-      .map { l => val Array(k, v) = l.split("\t", 2); k -> dec(v) }.toMap
-    Config(m("base"), m("keys").split(',').toSeq,
-      m("measures").split(',').toSeq)
+      .map { l => val Array(k, v) = l.split("\t", 2); k -> dec(v) }
+    val m = lines.toMap
+    val measures = lines.collect { case ("measure", spec) =>
+      parseMeasure(spec)
+    }
+    Config(m("base"), m("keys").split(',').toSeq, measures)
   }
 
   private def split(ref: String): Identifier = {
@@ -92,38 +193,84 @@ object GraftMaterializedViews {
 
   private def stateRef(viewRef: String): String = s"${viewRef}_state"
 
-  /** Per-key algebraic state with PER-MEASURE non-null counts: `_cnt`
-    * (all rows), and per measure `_sum_<m>` (exact-decimal sum of the
-    * NON-NULL values, 0 when none — always non-null so incremental
-    * addition is plain `+`) and `_nn_<m>` (non-null count). The finish
-    * derives SQL semantics: SUM is NULL when `_nn` is 0, AVG divides
-    * by `_nn` (never the row count) — so the view matches
+  /** Per-key algebraic state: `_cnt` (all rows), and per measure its
+    * func's mergeable partial over the predicate-gated, NON-NULL
+    * values —
+    *
+    *   - sum: `_sum_<m>` exact-decimal sum (0 when none — always
+    *     non-null so incremental addition is plain `+`) and `_nn_<m>`
+    *     non-null count;
+    *   - min/max: `_min_<m>` / `_max_<m>` decimal extremum (NULL =
+    *     no value; least/greatest skip nulls, the SQL MIN/MAX fold);
+    *   - dcount: `_hll_<m>` DataSketches HLL sketch (unions are the
+    *     merge).
+    *
+    * The finish derives SQL semantics: SUM is NULL when `_nn` is 0,
+    * AVG divides by `_nn` (never the row count) — so the view matches
     * `sum(m)`/`avg(m)` exactly for nullable measures.
     */
   private def state(df: DataFrame, keys: Seq[String],
-                    measures: Seq[String]): DataFrame =
+                    measures: Seq[Measure]): DataFrame =
     df.groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("_cnt"),
-        measures.flatMap(m => Seq(
-          coalesce(sum(graft.Agg.dec4(col(m))), lit(0).cast("decimal(38,4)"))
-            .as(s"_sum_$m"),
-          count(col(m)).as(s"_nn_$m"))): _*)
+        measures.flatMap { m =>
+          val g = m.gated
+          m.func match {
+            case "sum" => Seq(
+              coalesce(sum(graft.Agg.dec4(g)), lit(0).cast("decimal(38,4)"))
+                .as(s"_sum_${m.name}"),
+              count(g).as(s"_nn_${m.name}"))
+            case "min" => Seq(min(graft.Agg.dec4(g)).as(s"_min_${m.name}"))
+            case "max" => Seq(max(graft.Agg.dec4(g)).as(s"_max_${m.name}"))
+            case "dcount" =>
+              Seq(hll_sketch_agg(g).as(s"_hll_${m.name}"))
+          }
+        }: _*)
 
   /** The keyed MERGE both refresh modes commit through: matched keys
-    * ADD the delta partials, unmatched delta keys insert; `fullSync`
-    * additionally deletes state keys the (full) source no longer has.
+    * FOLD the delta partials per func, unmatched delta keys insert;
+    * `fullSync` additionally deletes state keys the (full) source no
+    * longer has.
     */
+  private def stateColsOf(m: Measure): Seq[String] = m.func match {
+    case "sum" => Seq(s"_sum_${m.name}", s"_nn_${m.name}")
+    case "min" => Seq(s"_min_${m.name}")
+    case "max" => Seq(s"_max_${m.name}")
+    case "dcount" => Seq(s"_hll_${m.name}")
+  }
+
   private def stateCols(cfg: Config): Seq[String] =
-    "_cnt" +: cfg.measures.flatMap(m => Seq(s"_sum_$m", s"_nn_$m"))
+    "_cnt" +: cfg.measures.flatMap(stateColsOf)
 
   private def foldInto(st: GraftTable, toVersion: Long, delta: DataFrame,
-                       cfg: Config, fullSync: Boolean): Boolean = {
-    // fullSync = SET the source partials; incremental = ADD them (all
-    // state columns are non-null by construction, so + is exact)
-    def assign(c: String): org.apache.spark.sql.Column =
-      if (fullSync) GraftTable.src(c) else col(c) + GraftTable.src(c)
+                       cfg: Config, fullSync: Boolean,
+                       expectedLast: Long): Boolean = {
+    // fullSync = SET the source partials; incremental = FOLD them per
+    // func (sums add — non-null by construction; min/max through
+    // least/greatest — both skip nulls, the SQL fold; sketches union
+    // null-safely)
+    val src = GraftTable.src _
     val assigns: Map[String, org.apache.spark.sql.Column] =
-      stateCols(cfg).map(c => c -> assign(c)).toMap
+      if (fullSync) stateCols(cfg).map(c => c -> src(c)).toMap
+      else Map("_cnt" -> (col("_cnt") + src("_cnt"))) ++
+        cfg.measures.flatMap { m =>
+          m.func match {
+            case "sum" => Seq(
+              s"_sum_${m.name}" ->
+                (col(s"_sum_${m.name}") + src(s"_sum_${m.name}")),
+              s"_nn_${m.name}" ->
+                (col(s"_nn_${m.name}") + src(s"_nn_${m.name}")))
+            case "min" => Seq(s"_min_${m.name}" ->
+              least(col(s"_min_${m.name}"), src(s"_min_${m.name}")))
+            case "max" => Seq(s"_max_${m.name}" ->
+              greatest(col(s"_max_${m.name}"), src(s"_max_${m.name}")))
+            case "dcount" =>
+              val c = s"_hll_${m.name}"
+              Seq(c -> when(col(c).isNull, src(c))
+                .when(src(c).isNull, col(c))
+                .otherwise(hll_union(col(c), src(c))))
+          }
+        }.toMap
     val insert = Some((lit(true),
       (cfg.keys ++ stateCols(cfg))
         .map(c => c -> GraftTable.src(c)).toMap))
@@ -131,9 +278,16 @@ object GraftMaterializedViews {
       if (fullSync) Seq(GraftTable.MatchedDelete(lit(true)))
       else Seq.empty[GraftTable.MatchedClause]
     GraftTable.retryOnConflict() {
+      // expectedLastBatch pins the anchor this delta was computed FROM:
+      // two refreshes that both read anchor v but race to commit
+      // different head versions would otherwise BOTH pass the replay
+      // check and fold the overlapping range twice — the loser now gets
+      // StaleTxnAnchorException (checked atomically with the commit)
+      // and the refresh loop recomputes from the winner's anchor
       st.mergeBatch(AppId, toVersion, delta,
         matched = Seq(GraftTable.MatchedUpdate(lit(true), assigns)),
-        notMatchedInsert = insert, notMatchedBySource = nmbs)
+        notMatchedInsert = insert, notMatchedBySource = nmbs,
+        expectedLastBatch = Some(expectedLast))
     }
   }
 
@@ -141,12 +295,24 @@ object GraftMaterializedViews {
     * version, persist the config, and surface the finish as a
     * persisted VIEW named `viewRef` (readable on extension sessions).
     * Returns (base version materialized, state rows).
+    *
+    * The state table is HASH-BUCKETED on the first group key
+    * (`bucket[buckets]` hidden partitioning): the keyed MERGE's rewrite
+    * unit is the partition, so an incremental refresh rewrites ONLY the
+    * buckets holding delta keys — at billions of groups the write side
+    * stays O(delta-buckets), never O(|state|).
+    *
+    * NOT atomic-by-construction (two filesystem artifacts + a view),
+    * but CRASH-SAFE: any failure after the state table materializes
+    * rolls the state table (and a created view) back, so a retry never
+    * trips the already-exists preconditions on orphaned debris.
     */
   def create(spark: SparkSession, cat: GraftCatalog, viewRef: String,
-             baseRef: String, keys: Seq[String], measures: Seq[String])
-      : (Long, Long) = {
+             baseRef: String, keys: Seq[String], measures: Seq[Measure],
+             buckets: Int = 16): (Long, Long) = {
     require(keys.nonEmpty && measures.nonEmpty,
       "create_mview needs keys and measures")
+    require(buckets > 0, s"buckets must be positive, got $buckets")
     val cfg = Config(baseRef, keys, measures)
     // EVERY precondition before ANY mutation — a late failure must not
     // orphan a committed state table
@@ -156,11 +322,18 @@ object GraftMaterializedViews {
     val base = cat.openTable(split(baseRef))
     val baseV = base.currentVersion
     val snap = base.readAt(baseV)
-    (keys ++ measures).foreach(c => require(snap.columns.contains(c),
-      s"base '$baseRef' has no column '$c'"))
+    (keys ++ measures.map(_.col)).foreach(c =>
+      require(snap.columns.contains(c),
+        s"base '$baseRef' has no column '$c'"))
+    // measure predicates must resolve against the base NOW — a broken
+    // predicate fails the CREATE, not the first refresh
+    measures.foreach(m => m.pred.foreach { p =>
+      snap.select(expr(p).cast("boolean")).schema
+    })
     val state0 = state(snap, keys, measures)
-    // the state table: keyed on the group keys, unpartitioned (state is
-    // |keys|-sized), stats on _cnt for the metadata tiers
+    // the state table: keyed on the group keys, hash-bucketed on the
+    // first one (incremental MERGE rewrites only delta buckets), stats
+    // on _cnt for the metadata tiers
     val stIdent = split(stateRef(viewRef))
     require(!cat.tableExists(stIdent) && !GraftViews.exists(catRoot(cat), stIdent),
       s"${stateRef(viewRef)} already exists")
@@ -171,33 +344,57 @@ object GraftMaterializedViews {
       .mkString("/")
     Files.createDirectories(Paths.get(dir).getParent)
     val st = new GraftTable(spark, dir, keys, GraftTable.SyntheticPartition,
-      statsCols = Seq("_cnt"))
+      statsCols = Seq("_cnt"), partitionSrc = Seq(keys.head),
+      partitionXform = Seq(s"bucket[$buckets]"))
     st.createIfNotExists(state0.schema)
-    GraftTableMeta.annotate(st)
-    writeConfig(dir, cfg)
-    // the initial load is refresh #baseV — same txn discipline
-    foldInto(st, baseV, state0, cfg, fullSync = true)
-    // the user-facing finish view (exact-decimal state, double surface)
-    val finishSql = {
-      val catName = cat.name()
-      val stName = s"$catName.${stateRef(viewRef)}"
-      // SQL semantics for nullable measures: SUM is NULL when no
-      // non-null value exists, AVG divides by the NON-NULL count
-      val ms = measures.flatMap(m => Seq(
-        s"CASE WHEN _nn_$m = 0 THEN CAST(NULL AS DOUBLE) " +
-          s"ELSE CAST(_sum_$m AS DOUBLE) END AS sum_$m",
-        s"CASE WHEN _nn_$m = 0 THEN CAST(NULL AS DOUBLE) " +
-          s"ELSE CAST(_sum_$m AS DOUBLE) / _nn_$m END AS avg_$m"))
-      s"SELECT ${(keys :+ "_cnt AS n_rows").mkString(", ")}, " +
-        s"${ms.mkString(", ")} FROM $stName"
+    // everything past the table's first commit rolls back on failure:
+    // a broken finish SQL or a createView race must not orphan a state
+    // table that blocks the retry
+    try {
+      GraftTableMeta.annotate(st)
+      writeConfig(dir, cfg)
+      // the initial load is refresh #baseV — same txn discipline (the
+      // -1 anchor pin makes a raced double-create lose loudly)
+      foldInto(st, baseV, state0, cfg, fullSync = true, expectedLast = -1L)
+      // the user-facing finish view (exact-decimal state, double surface)
+      val finishSql = {
+        val catName = cat.name()
+        val stName = s"$catName.${stateRef(viewRef)}"
+        // SQL semantics for nullable measures: SUM is NULL when no
+        // non-null value exists, AVG divides by the NON-NULL count,
+        // MIN/MAX are NULL when no value exists (the nullable state
+        // column IS that), COUNT DISTINCT of none is 0
+        val ms = measures.flatMap { m =>
+          val n = m.name
+          m.func match {
+            case "sum" => Seq(
+              s"CASE WHEN _nn_$n = 0 THEN CAST(NULL AS DOUBLE) " +
+                s"ELSE CAST(_sum_$n AS DOUBLE) END AS sum_$n",
+              s"CASE WHEN _nn_$n = 0 THEN CAST(NULL AS DOUBLE) " +
+                s"ELSE CAST(_sum_$n AS DOUBLE) / _nn_$n END AS avg_$n")
+            case "min" => Seq(s"CAST(_min_$n AS DOUBLE) AS min_$n")
+            case "max" => Seq(s"CAST(_max_$n AS DOUBLE) AS max_$n")
+            case "dcount" => Seq(
+              s"CAST(coalesce(hll_sketch_estimate(_hll_$n), 0) AS BIGINT) " +
+                s"AS dcount_$n")
+          }
+        }
+        s"SELECT ${(keys :+ "_cnt AS n_rows").mkString(", ")}, " +
+          s"${ms.mkString(", ")} FROM $stName"
+      }
+      val frame = spark.sql(finishSql)
+      cat.createView(new org.apache.spark.sql.connector.catalog.ViewInfo(
+        split(viewRef), finishSql, cat.name(),
+        split(viewRef).namespace(), frame.schema, frame.columns,
+        Array.empty[String], Array.empty[String],
+        java.util.Collections.emptyMap[String, String]()))
+      (baseV, st.read.count())
+    } catch {
+      case e: Throwable =>
+        scala.util.Try(cat.dropView(split(viewRef)))
+        scala.util.Try(graft.operators.Fs.deleteTree(Paths.get(dir)))
+        throw e
     }
-    val frame = spark.sql(finishSql)
-    cat.createView(new org.apache.spark.sql.connector.catalog.ViewInfo(
-      split(viewRef), finishSql, cat.name(),
-      split(viewRef).namespace(), frame.schema, frame.columns,
-      Array.empty[String], Array.empty[String],
-      java.util.Collections.emptyMap[String, String]()))
-    (baseV, st.read.count())
   }
 
   /** REFRESH: fold the base's changes since the last refreshed version
@@ -211,39 +408,72 @@ object GraftMaterializedViews {
     val st = cat.openTable(stIdent)
     val cfg = readConfig(st.path)
     val base = cat.openTable(split(cfg.base))
-    val lastV = st.txnVersion(AppId)
-    require(lastV >= 0, s"$viewRef has no refresh anchor — recreate it")
-    val curV = base.currentVersion
-    if (curV <= lastV) return ("current", lastV, lastV)
-    val changes = base.readChangesRowsBetween(lastV, curV)
-      .localCheckpoint(true)
-    // incremental needs (a) insert-only changes and (b) NO null group
-    // key in the delta — the keyed MERGE matches with === (ANSI: a
-    // null key never matches), so a null-key delta group would INSERT
-    // a duplicate state row instead of folding; the full sync handles
-    // it exactly
-    val nonIncremental = changes.filter(
-      col("_change_type") =!= "insert" ||
-        cfg.keys.map(k => col(k).isNull).reduce(_ || _))
-      .limit(1).count() > 0L
-    if (!nonIncremental) {
-      val delta = state(changes.drop("_change_type"), cfg.keys, cfg.measures)
-      foldInto(st, curV, delta, cfg, fullSync = false)
-      ("incremental", lastV, curV)
-    } else {
-      val full = state(base.readAt(curV), cfg.keys, cfg.measures)
-      foldInto(st, curV, full, cfg, fullSync = true)
-      ("full", lastV, curV)
+    val MaxAttempts = 5
+    var attempt = 1
+    while (true) {
+      val lastV = st.txnVersion(AppId)
+      require(lastV >= 0, s"$viewRef has no refresh anchor — recreate it")
+      val curV = base.currentVersion
+      if (curV <= lastV) return ("current", lastV, lastV)
+      val changes = base.readChangesRowsBetween(lastV, curV)
+        .localCheckpoint(true)
+      // incremental needs (a) insert-only changes and (b) NO null group
+      // key in the delta — the keyed MERGE matches with === (ANSI: a
+      // null key never matches), so a null-key delta group would INSERT
+      // a duplicate state row instead of folding; the full sync handles
+      // it exactly
+      val nonIncremental = changes.filter(
+        col("_change_type") =!= "insert" ||
+          cfg.keys.map(k => col(k).isNull).reduce(_ || _))
+        .limit(1).count() > 0L
+      try {
+        if (!nonIncremental) {
+          val delta = state(changes.drop("_change_type"), cfg.keys, cfg.measures)
+          // applied=false: a concurrent refresh already folded to >= curV
+          if (foldInto(st, curV, delta, cfg, fullSync = false,
+              expectedLast = lastV))
+            return ("incremental", lastV, curV)
+          return ("current", lastV, st.txnVersion(AppId))
+        } else {
+          val full = state(base.readAt(curV), cfg.keys, cfg.measures)
+          if (foldInto(st, curV, full, cfg, fullSync = true,
+              expectedLast = lastV))
+            return ("full", lastV, curV)
+          return ("current", lastV, st.txnVersion(AppId))
+        }
+      } catch {
+        // a concurrent refresh advanced the anchor past the lastV this
+        // delta was computed from — folding it would double-count the
+        // overlap; recompute from the NEW anchor
+        case e: graft.operators.StaleTxnAnchorException =>
+          if (attempt >= MaxAttempts) throw e
+          attempt += 1
+      }
     }
+    throw new IllegalStateException("unreachable")
   }
 
   /** DROP: remove the finish view and the state table (with its
-    * config + txn anchor). Returns whether anything existed.
+    * config + txn anchor). Returns whether anything existed. Refuses
+    * unless the state table CARRIES the mview config — a user table
+    * that merely happens to be named `<view>_state` (or a plain view
+    * with no state at all) is never destroyed through this path.
     */
   def drop(cat: GraftCatalog, viewRef: String): Boolean = {
-    val v = cat.dropView(split(viewRef))
+    val vIdent = split(viewRef)
     val stIdent = split(stateRef(viewRef))
-    val t = cat.tableExists(stIdent) && cat.dropTable(stIdent)
+    val stExists = cat.tableExists(stIdent)
+    val vExists = GraftViews.exists(catRoot(cat), vIdent)
+    if (!stExists && !vExists) return false
+    require(stExists,
+      s"$viewRef is not a materialized view (no state table " +
+        s"'${stateRef(viewRef)}') — a plain view of this name can be " +
+        "dropped with drop_view")
+    // readConfig throws (clear message) when the directory carries no
+    // _graft_mview.json — i.e. the table was NOT created by create_mview
+    readConfig(cat.openTable(stIdent).path)
+    val v = cat.dropView(vIdent)
+    val t = cat.dropTable(stIdent)
     v || t
   }
 

@@ -245,17 +245,26 @@ object GraftProcedures {
             frame.columns.length))
         })
       case "create_mview" => proc("create_mview",
-        "materialize a per-key algebraic aggregate (count / exact sum / " +
-          "derived avg over 'measures', grouped by 'keys') of a base " +
-          "table into a state table '<view>_state', surfaced as the " +
-          "persisted view '<view>'; refresh with refresh_mview",
+        "materialize a per-key algebraic aggregate of a base table " +
+          "into a state table '<view>_state' hash-bucketed on the " +
+          "first key (incremental refresh rewrites only delta buckets), " +
+          "surfaced as the persisted view '<view>'; refresh with " +
+          "refresh_mview",
         Array(
           ProcedureParameter.in("view", StringType).build(),
           ProcedureParameter.in("base", StringType).build(),
           ProcedureParameter.in("keys", StringType)
             .comment("comma-separated group-key columns").build(),
           ProcedureParameter.in("measures", StringType)
-            .comment("comma-separated numeric measure columns").build()),
+            .comment("comma-separated measures, each " +
+              "'[sum:|min:|max:|dcount:]col [WHERE pred] [AS alias]' " +
+              "(sum — the default — also derives avg; dcount is the " +
+              "DataSketches HLL approximate COUNT DISTINCT)").build(),
+          ProcedureParameter.in("buckets", IntegerType)
+            .defaultValue("16")
+            .comment("state-table hash buckets on the first key — size " +
+              "so |state|/buckets files stay small; only buckets " +
+              "holding delta keys rewrite per refresh").build()),
         StructType(Seq(StructField("view", StringType),
           StructField("base_version", LongType),
           StructField("state_rows", LongType))),
@@ -266,8 +275,9 @@ object GraftProcedures {
             in.getUTF8String(1).toString,
             in.getUTF8String(2).toString.split(',').map(_.trim)
               .filter(_.nonEmpty).toSeq,
-            in.getUTF8String(3).toString.split(',').map(_.trim)
-              .filter(_.nonEmpty).toSeq)
+            GraftMaterializedViews.parseMeasures(
+              in.getUTF8String(3).toString),
+            in.getInt(4))
           Seq(InternalRow(UTF8String.fromString(viewRef), v, rows))
         })
       case "refresh_mview" => proc("refresh_mview",

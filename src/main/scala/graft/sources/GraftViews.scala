@@ -46,8 +46,12 @@ private[sources] object GraftViews {
   }
 
   /** One line per field; every value Base64-armored (view SQL contains
-    * arbitrary text), multi-valued fields joined with `` BEFORE
-    * encoding.
+    * arbitrary text). Multi-valued fields carry their ELEMENT COUNT on
+    * the line (`key\tcount\tvalue`, values joined with `` before
+    * encoding) and split with limit -1 — so a trailing empty
+    * alias/comment round-trips exactly (Java's default split drops
+    * trailing empties) and `Seq("")` stays distinguishable from
+    * `Seq()`.
     */
   def write(root: String, ident: Identifier, name: String, sql: String,
             currentCatalog: String, currentNamespace: Seq[String],
@@ -56,16 +60,17 @@ private[sources] object GraftViews {
             properties: Map[String, String]): Unit = {
     val d = dirFor(root, ident.namespace.toSeq)
     Files.createDirectories(d)
-    def joined(xs: Seq[String]) = enc(xs.mkString(""))
+    def multi(key: String, xs: Seq[String]) =
+      s"$key\t${xs.length}\t${enc(xs.mkString(""))}"
     val body = (Seq(
       s"name\t${enc(name)}",
       s"sql\t${enc(sql)}",
       s"cat\t${enc(currentCatalog)}",
-      s"ns\t${joined(currentNamespace)}",
+      multi("ns", currentNamespace),
       s"schema\t${enc(schema.json)}",
-      s"qcols\t${joined(queryColumnNames)}",
-      s"aliases\t${joined(columnAliases)}",
-      s"comments\t${joined(columnComments)}") ++
+      multi("qcols", queryColumnNames),
+      multi("aliases", columnAliases),
+      multi("comments", columnComments)) ++
       properties.toSeq.sortBy(_._1).map { case (k, v) =>
         s"prop\t${enc(k)}\t${enc(v)}"
       }).mkString("\n")
@@ -81,18 +86,26 @@ private[sources] object GraftViews {
     val f = fileFor(root, ident)
     if (!Files.isRegularFile(f)) return None
     val fields = scala.collection.mutable.Map.empty[String, String]
+    val multis = scala.collection.mutable.Map.empty[String, Array[String]]
     val props = scala.collection.mutable.LinkedHashMap.empty[String, String]
     Files.readAllLines(f).forEach { l =>
       l.split("\t", 3) match {
         case Array("prop", k, v) => props(dec(k)) = dec(v)
+        case Array(key, n, v) =>
+          // count-carrying multi field: split with -1 keeps trailing
+          // empties; count 0 is the empty Seq (vs Seq("") = count 1)
+          val parts =
+            if (n.toInt == 0) Array.empty[String]
+            else dec(v).split("", -1)
+          require(parts.length == n.toInt,
+            s"corrupt view file $f: field '$key' declares ${n.toInt} " +
+              s"elements but decodes ${parts.length}")
+          multis(key) = parts
         case Array(key, v) => fields(key) = v
         case _ => ()
       }
     }
-    def split(key: String): Array[String] = {
-      val raw = dec(fields(key))
-      if (raw.isEmpty) Array.empty else raw.split("")
-    }
+    def split(key: String): Array[String] = multis(key)
     Some(new GraftView(dec(fields("name")), dec(fields("sql")),
       dec(fields("cat")), split("ns"),
       org.apache.spark.sql.types.DataType.fromJson(dec(fields("schema")))

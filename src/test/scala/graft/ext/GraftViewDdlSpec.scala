@@ -1,0 +1,94 @@
+package graft.ext
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+
+/** Native VIEW DDL through the injected parser ([[GraftSqlParser]] —
+  * round 13): `CREATE [OR REPLACE] VIEW [IF NOT EXISTS] … AS …`,
+  * `DROP VIEW [IF EXISTS] …` and `SHOW VIEWS IN …` work as plain SQL
+  * statements against a graft catalog (vanilla Spark 4.1 hard-wires
+  * view DDL to the session catalog), while everything else — including
+  * temp-view DDL and statements on other catalogs — delegates to the
+  * vanilla parser untouched.
+  */
+class GraftViewDdlSpec extends SparkSpec {
+
+  private def freshCatalog(): String = {
+    val root = Files.createTempDirectory("graft_vddl").toString
+    val cat = s"gvd_${System.nanoTime()}"
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    cat
+  }
+
+  test("CREATE VIEW / SHOW VIEWS / SELECT through / CREATE OR REPLACE / " +
+    "DROP VIEW — the full native-DDL lifecycle on a graft catalog") {
+    val cat = freshCatalog()
+    spark.sql(s"""CREATE TABLE $cat.db.ev (k BIGINT, cents BIGINT)
+      TBLPROPERTIES ('keys'='k')""")
+    spark.sql(s"INSERT INTO $cat.db.ev SELECT id, id * 10 FROM range(20)")
+    spark.sql(s"""CREATE VIEW $cat.db.pricey AS
+      SELECT k, cents FROM $cat.db.ev WHERE cents >= 100""")
+    // SELECT through the view (resolution rule inlines the stored SQL)
+    assert(spark.sql(s"SELECT count(*) AS n FROM $cat.db.pricey")
+      .collect()(0).getLong(0) == 10L)
+    // SHOW VIEWS IN <cat>.<ns> lists it with the vanilla output shape
+    val shown = spark.sql(s"SHOW VIEWS IN $cat.db").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getBoolean(2)))
+    assert(shown.contains(("db", "pricey", false)), shown.mkString(", "))
+    // a second CREATE VIEW rejects; IF NOT EXISTS no-ops
+    intercept[Exception] {
+      spark.sql(s"CREATE VIEW $cat.db.pricey AS SELECT 1 AS one")
+    }
+    spark.sql(s"CREATE VIEW IF NOT EXISTS $cat.db.pricey AS SELECT 1 AS one")
+    assert(spark.sql(s"SELECT count(*) AS n FROM $cat.db.pricey")
+      .collect()(0).getLong(0) == 10L, "IF NOT EXISTS must not replace")
+    // CREATE OR REPLACE swaps the definition
+    spark.sql(s"""CREATE OR REPLACE VIEW $cat.db.pricey AS
+      SELECT k FROM $cat.db.ev WHERE cents < 50""")
+    val cols = spark.sql(s"SELECT * FROM $cat.db.pricey").columns.toSeq
+    assert(cols == Seq("k"))
+    assert(spark.sql(s"SELECT count(*) FROM $cat.db.pricey")
+      .collect()(0).getLong(0) == 5L)
+    // broken SQL fails the DDL, not the first read
+    intercept[Exception] {
+      spark.sql(s"CREATE OR REPLACE VIEW $cat.db.pricey AS SELECT nope FROM $cat.db.ev")
+    }
+    // DROP VIEW removes it; a second drop needs IF EXISTS
+    spark.sql(s"DROP VIEW $cat.db.pricey")
+    intercept[Exception] { spark.sql(s"SELECT * FROM $cat.db.pricey").collect() }
+    intercept[Exception] { spark.sql(s"DROP VIEW $cat.db.pricey") }
+    spark.sql(s"DROP VIEW IF EXISTS $cat.db.pricey") // no-op, no error
+    assert(spark.sql(s"SHOW VIEWS IN $cat.db").collect().isEmpty)
+  }
+
+  test("backtick-quoted identifiers parse (incl. doubled backticks)") {
+    val cat = freshCatalog()
+    spark.sql(s"""CREATE TABLE $cat.db.t (k BIGINT)
+      TBLPROPERTIES ('keys'='k')""")
+    spark.sql(s"INSERT INTO $cat.db.t VALUES (1)")
+    spark.sql(s"CREATE VIEW `$cat`.`db`.`my view` AS SELECT k FROM $cat.db.t")
+    assert(spark.sql(s"SELECT * FROM $cat.db.`my view`").collect().length == 1)
+    val shown = spark.sql(s"SHOW VIEWS IN `$cat`.db").collect()
+      .map(_.getString(1)).toSeq
+    assert(shown == Seq("my view"))
+    spark.sql(s"DROP VIEW `$cat`.db.`my view`")
+  }
+
+  test("everything else delegates: temp-view DDL and session-catalog " +
+    "view DDL behave exactly as vanilla") {
+    // TEMPORARY view DDL is untouched
+    spark.sql("CREATE OR REPLACE TEMPORARY VIEW gvddl_tmp AS SELECT 7 AS x")
+    assert(spark.sql("SELECT x FROM gvddl_tmp").collect()(0).getInt(0) == 7)
+    spark.sql("DROP VIEW gvddl_tmp")
+    // session-catalog (current catalog ≠ graft) CREATE VIEW still routes
+    // to the vanilla path — a view in the session catalog
+    spark.sql("CREATE VIEW gvddl_sess AS SELECT 8 AS y")
+    try
+      assert(spark.sql("SELECT y FROM gvddl_sess").collect()(0).getInt(0) == 8)
+    finally spark.sql("DROP VIEW gvddl_sess")
+    // and bare SHOW VIEWS stays the session-catalog listing (no crash)
+    spark.sql("SHOW VIEWS").collect()
+  }
+}

@@ -125,6 +125,137 @@ class GraftMviewSpec extends SparkSpec {
     assert(after == Seq((1L, 12.0, 6.0), (2L, 4.0, 4.0)), s"got $after")
   }
 
+  test("bucketed state: an incremental refresh rewrites ONLY the " +
+    "buckets holding delta keys — untouched buckets' files are " +
+    "byte-identical (same name, same mtime)") {
+    val (cat, root) = freshCatalog()
+    spark.sql(s"""CREATE TABLE $cat.db.ev (k BIGINT, user_id BIGINT,
+        cents BIGINT) TBLPROPERTIES ('keys'='k')""")
+    // 64 distinct user_ids spread across 8 state buckets
+    spark.sql(s"""INSERT INTO $cat.db.ev
+      SELECT id, id % 64, id * 10 FROM range(512)""")
+    spark.sql(s"""CALL $cat.system.create_mview('db.spend',
+      base => 'db.ev', keys => 'user_id', measures => 'cents',
+      buckets => 8)""")
+    val stateDir = java.nio.file.Paths.get(root, "db", "spend_state")
+    def dataFiles(): Map[String, Long] = {
+      val out = scala.collection.mutable.Map.empty[String, Long]
+      java.nio.file.Files.walk(stateDir).forEach { p =>
+        val n = p.getFileName.toString
+        if (n.endsWith(".parquet") && !n.startsWith("."))
+          out(stateDir.relativize(p).toString) =
+            java.nio.file.Files.getLastModifiedTime(p).toMillis
+      }
+      out.toMap
+    }
+    val before = dataFiles()
+    // the state spreads over >1 bucket directory (real partitioning)
+    val bucketsBefore = before.keys.map(_.split('/').head).toSet
+    assert(bucketsBefore.size > 1, s"expected >1 bucket, got $bucketsBefore")
+    // delta touches ONE existing group key → exactly one bucket rewrites
+    spark.sql(s"INSERT INTO $cat.db.ev VALUES (9001, 7, 5)")
+    val r = spark.sql(s"CALL $cat.system.refresh_mview('db.spend')")
+      .collect()(0)
+    assert(r.getString(1) == "incremental", r.toString)
+    val after = dataFiles()
+    val deltaBucket = spark.sql("SELECT pmod(hash(CAST(7 AS BIGINT)), 8)")
+      .collect()(0).get(0).toString
+    // every file outside the delta key's bucket survived IDENTICALLY
+    val untouchedBefore = before.filterNot(_._1.startsWith(s"__gp=$deltaBucket/"))
+    val untouchedAfter = after.filterNot(_._1.startsWith(s"__gp=$deltaBucket/"))
+    assert(untouchedBefore == untouchedAfter,
+      s"untouched buckets must not rewrite:\n$untouchedBefore\nvs\n$untouchedAfter")
+    // the touched bucket DID change (the fold landed)
+    assert(before.filter(_._1.startsWith(s"__gp=$deltaBucket/")) !=
+      after.filter(_._1.startsWith(s"__gp=$deltaBucket/")))
+    // and the view is exact
+    assert(agg(cat) == expected(cat))
+  }
+
+  test("widened measure algebra: min/max/dcount/filtered measures stay " +
+    "exact through BOTH refresh modes; a group with no qualifying rows " +
+    "renders NULL for its filtered sum") {
+    val (cat, _) = freshCatalog()
+    spark.sql(s"""CREATE TABLE $cat.db.ev (k BIGINT, user_id BIGINT,
+        cents BIGINT) TBLPROPERTIES ('keys'='k')""")
+    spark.sql(s"""INSERT INTO $cat.db.ev
+      SELECT id, id % 4, id * 7 FROM range(40)""")
+    spark.sql(s"""CALL $cat.system.create_mview('db.alg',
+      base => 'db.ev', keys => 'user_id',
+      measures => 'cents, min:cents, max:cents, dcount:cents AS dc,
+                   sum:cents WHERE cents % 3 = 0 AS c3')""")
+    def check(): Unit = {
+      val got = spark.sql(s"""SELECT user_id, n_rows, sum_cents,
+          min_cents, max_cents, dcount_dc, sum_c3, avg_c3
+        FROM $cat.db.alg""").collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2),
+          r.getDouble(3), r.getDouble(4), r.getLong(5),
+          if (r.isNullAt(6)) None else Some(r.getDouble(6)),
+          if (r.isNullAt(7)) None else Some(r.getDouble(7)))).toMap
+      val want = spark.sql(s"""SELECT user_id, count(*),
+          CAST(sum(cents) AS DOUBLE), CAST(min(cents) AS DOUBLE),
+          CAST(max(cents) AS DOUBLE), count(DISTINCT cents),
+          CAST(sum(CASE WHEN cents % 3 = 0 THEN cents END) AS DOUBLE),
+          CAST(avg(CASE WHEN cents % 3 = 0 THEN cents END) AS DOUBLE)
+        FROM $cat.db.ev GROUP BY user_id""").collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2),
+          r.getDouble(3), r.getDouble(4), r.getLong(5),
+          if (r.isNullAt(6)) None else Some(r.getDouble(6)),
+          if (r.isNullAt(7)) None else Some(r.getDouble(7)))).toMap
+      assert(got == want, s"got $got\nwant $want")
+    }
+    check()
+    // insert-only delta (low cardinality → the sketch is exact) must
+    // fold INCREMENTALLY and stay exact across every measure family
+    spark.sql(s"""INSERT INTO $cat.db.ev
+      SELECT id, id % 6, id * 5 FROM range(40, 70)""")
+    val r1 = spark.sql(s"CALL $cat.system.refresh_mview('db.alg')")
+      .collect()(0)
+    assert(r1.getString(1) == "incremental", r1.toString)
+    check()
+    // an UPDATE forces the full recompute (min/max/dcount are not
+    // subtractable — exactly what the mode split is for), still exact
+    spark.sql(s"UPDATE $cat.db.ev SET cents = cents - 3 WHERE k % 4 = 1")
+    val r2 = spark.sql(s"CALL $cat.system.refresh_mview('db.alg')")
+      .collect()(0)
+    assert(r2.getString(1) == "full", r2.toString)
+    check()
+    // a group whose rows ALL fail the filter renders NULL for sum_c3:
+    // user 99 gets one row with cents % 3 != 0
+    spark.sql(s"INSERT INTO $cat.db.ev VALUES (900, 99, 8)")
+    spark.sql(s"CALL $cat.system.refresh_mview('db.alg')")
+    val u99 = spark.sql(
+      s"SELECT sum_c3, dcount_dc FROM $cat.db.alg WHERE user_id = 99")
+      .collect()(0)
+    assert(u99.isNullAt(0) && u99.getLong(1) == 1L)
+  }
+
+  test("measure spec parsing: duplicate names reject; bad predicate " +
+    "fails the CREATE, not the first refresh") {
+    val (cat, _) = freshCatalog()
+    spark.sql(s"""CREATE TABLE $cat.db.ev (k BIGINT, user_id BIGINT,
+        cents BIGINT) TBLPROPERTIES ('keys'='k')""")
+    spark.sql(s"INSERT INTO $cat.db.ev VALUES (1, 1, 10)")
+    intercept[Throwable] {
+      spark.sql(s"""CALL $cat.system.create_mview('db.bad',
+        base => 'db.ev', keys => 'user_id',
+        measures => 'cents, sum:cents')""") // same (func, name) twice
+    }
+    intercept[Throwable] {
+      spark.sql(s"""CALL $cat.system.create_mview('db.bad2',
+        base => 'db.ev', keys => 'user_id',
+        measures => 'sum:cents WHERE nope > 1 AS x')""")
+    }
+    // neither failed create left debris: both names create cleanly now
+    spark.sql(s"""CALL $cat.system.create_mview('db.bad',
+      base => 'db.ev', keys => 'user_id', measures => 'cents')""")
+    spark.sql(s"""CALL $cat.system.create_mview('db.bad2',
+      base => 'db.ev', keys => 'user_id',
+      measures => 'sum:cents WHERE cents > 1 AS x')""")
+    assert(spark.sql(s"SELECT sum_x FROM $cat.db.bad2").collect()(0)
+      .getDouble(0) == 10.0)
+  }
+
   test("guards: missing base column rejects; the state table refuses a " +
     "second create; avg derives exactly from the decimal state") {
     val (cat, _) = freshCatalog()
