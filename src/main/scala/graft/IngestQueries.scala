@@ -3646,6 +3646,82 @@ object IngestQueries {
           CAST(avg(CASE WHEN cents % 3 = 0 THEN cents END) AS DOUBLE)
             AS avg_c3,
           true AS dcount_ok
-        FROM e GROUP BY user_id"""))
+        FROM e GROUP BY user_id""")),
+
+    // CBO HISTOGRAMS (round 13): ANALYZE's equi-height histograms
+    // (percentile endpoints, same single pass) flip a plan that
+    // min/max interpolation CANNOT — 99.5% of `c` sits in [0,99] with
+    // 0.5% up at ~1e9, so `c >= 500000`'s uniform estimate keeps
+    // ~everything (gated: NO broadcast without the histogram) while
+    // bin coverage shrinks it ~64x (gated: broadcast WITH it). The
+    // threshold scales with the SF's row count (5 bytes/row sits
+    // between the ~0.6N with-histogram and ~32N without estimates), so
+    // the flip gates identically at every SF. Results oracle-replayed.
+    QuerySpec("q273_sql_cbo_histogram",
+      (s, dir) => {
+        GraftSession.tune(s)
+        val base = java.nio.file.Files.createTempDirectory("graft_q273_").toString
+        Tables.events(s, dir).createOrReplaceTempView("q273_events")
+        val cat = s"gcat_${java.util.UUID.randomUUID().toString.take(8)}"
+          .replace("-", "_")
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.root", base)
+        s.sql(s"""CREATE TABLE $cat.db.f (
+            event_id BIGINT, c BIGINT, pk BIGINT)
+          PARTITIONED BY (pk) TBLPROPERTIES ('keys'='event_id')""")
+        s.sql(s"""INSERT INTO $cat.db.f (event_id, c, pk)
+          SELECT event_id,
+            CASE WHEN event_id % 200 = 0 THEN 1000000000 + event_id
+                 ELSE event_id % 100 END,
+            user_id % 4
+          FROM q273_events""")
+        s.sql(s"""CREATE TABLE $cat.db.d (
+            event_id BIGINT, w BIGINT, pk BIGINT)
+          PARTITIONED BY (pk) TBLPROPERTIES ('keys'='event_id')""")
+        s.sql(s"""INSERT INTO $cat.db.d (event_id, w, pk)
+          SELECT event_id, user_id, user_id % 4 FROM q273_events""")
+        s.sql(s"CALL $cat.system.analyze('db.d')")
+        val n = s.sql(s"SELECT count(*) FROM q273_events").collect()(0)
+          .getLong(0)
+        val q = s"""SELECT d.event_id, d.w, f.c
+          FROM $cat.db.d d JOIN $cat.db.f f ON d.event_id = f.event_id
+          WHERE f.c >= 500000"""
+        val prevCbo = s.conf.get("spark.sql.cbo.enabled", "false")
+        val prevThr = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        val out =
+          try {
+            s.conf.set("spark.sql.cbo.enabled", "true")
+            s.conf.set("spark.sql.autoBroadcastJoinThreshold",
+              (5L * n).toString)
+            s.sql(s"CALL $cat.system.analyze('db.f', histogram_bins => 0)")
+            require(!s.sql(q).queryExecution.executedPlan.toString
+                .contains("BroadcastHashJoin"),
+              "q273: min/max alone must NOT see through the skew")
+            s.sql(s"CALL $cat.system.analyze('db.f', histogram_bins => 64)")
+            val qe = s.sql(q).queryExecution
+            require(qe.optimizedPlan.collectLeaves()
+                .flatMap(_.stats.attributeStats.toSeq)
+                .exists(kv => kv._1.name == "c" &&
+                  kv._2.histogram.exists(_.bins.length == 64)),
+              "q273: the histogram must reach catalyst ColumnStat")
+            require(qe.executedPlan.toString.contains("BroadcastHashJoin"),
+              "q273: bin coverage must flip the join to broadcast")
+            s.sql(q).localCheckpoint(true)
+          } finally {
+            s.conf.set("spark.sql.cbo.enabled", prevCbo)
+            s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThr)
+          }
+        graft.operators.Fs.deleteTree(base)
+        out
+      },
+      Some("""
+        WITH f AS (
+          SELECT event_id,
+            CASE WHEN event_id % 200 = 0 THEN 1000000000 + event_id
+                 ELSE event_id % 100 END AS c
+          FROM events)
+        SELECT d.event_id, d.user_id AS w, f.c
+        FROM events d JOIN f ON d.event_id = f.event_id
+        WHERE f.c >= 500000"""))
   )
 }

@@ -28,15 +28,32 @@ object GraftTable {
   final case class MetaMin(col: String) extends MetaAgg
   final case class MetaMax(col: String) extends MetaAgg
 
+  /** One bin of an EQUI-HEIGHT histogram: ~`height` rows fall in
+    * [lo, hi] (lo == hi = a heavy-hitter value pinned to its own bin).
+    * Bin NDV is the uniform split of the column NDV (collapsed bins
+    * are a single value) — endpoints, not bin NDVs, are what capture
+    * skew for range selectivity.
+    */
+  final case class HistBin(lo: Double, hi: Double, ndv: Long)
+
+  /** An equi-height histogram over a numeric column ([[HistBin]]s in
+    * ascending order; `height` = non-null rows / bin count).
+    */
+  final case class Hist(height: Double, bins: Seq[HistBin])
+
   /** One column's ANALYZE output ([[GraftTable.analyzeTable]]): NDV is
     * an HLL estimate (`approx_count_distinct`), extrema are canonical
     * Long/Double for integral/floating columns, lengths are bytes for
-    * string/binary. Everything optional — absent facts simply don't
-    * feed the optimizer.
+    * string/binary, and numeric columns carry an EQUI-HEIGHT histogram
+    * (percentile endpoints — narrow bins in dense regions are what let
+    * the optimizer see skew that min/max interpolation cannot).
+    * Everything optional — absent facts simply don't feed the
+    * optimizer.
     */
   final case class ColumnStats(ndv: Option[Long], nullCount: Option[Long],
                                min: Option[String], max: Option[String],
-                               avgLen: Option[Long], maxLen: Option[Long])
+                               avgLen: Option[Long], maxLen: Option[Long],
+                               hist: Option[Hist] = None)
 
   /** The stats sidecar's content: computed AT `version` over
     * `rowCount` rows. Staleness is visible (current version vs
@@ -3304,8 +3321,11 @@ final class GraftTable(spark: SparkSession, val path: String,
     * scans); re-run after bulk loads, stale stats only weaken
     * estimates.
     */
-  def analyzeTable(columns: Seq[String] = Nil): GraftTable.TableStats = {
+  def analyzeTable(columns: Seq[String] = Nil,
+                   histogramBins: Int = 64): GraftTable.TableStats = {
     import org.apache.spark.sql.types._
+    require(histogramBins >= 0 && histogramBins <= 1024,
+      s"histogramBins must be in [0, 1024], got $histogramBins")
     val v = currentVersion
     val df = read
     val byName = df.schema.fields.map(f => f.name -> f).toMap
@@ -3316,6 +3336,11 @@ final class GraftTable(spark: SparkSession, val path: String,
     targets.foreach(c => require(byName.contains(c),
       s"analyzeTable: no column '$c' — table has " +
         df.schema.fieldNames.mkString(", ")))
+    def numeric(c: String) = byName(c).dataType match {
+      case ByteType | ShortType | IntegerType | LongType |
+           FloatType | DoubleType => true
+      case _ => false
+    }
     val aggs = scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Column](
       count(lit(1)).as("__rows"))
     targets.foreach { c =>
@@ -3338,6 +3363,17 @@ final class GraftTable(spark: SparkSession, val path: String,
             .cast("long").as(s"__ml_$c")
         case _ => () // ndv + null count only
       }
+      // EQUI-HEIGHT histogram endpoints for numeric columns, in the
+      // SAME single pass (the percentile sketch rides the aggregate):
+      // bin boundaries at i/bins quantiles — narrow bins where the
+      // data is dense, so a range predicate over a skewed column
+      // estimates from bin coverage instead of the min/max uniform
+      // interpolation that skew defeats
+      if (histogramBins > 0 && numeric(c))
+        aggs += percentile_approx(col(c).cast("double"),
+          array((0 to histogramBins).map(i =>
+            lit(i.toDouble / histogramBins)): _*),
+          lit(10000)).as(s"__hb_$c")
     }
     val row = df.agg(aggs.head, aggs.tail.toSeq: _*).collect()(0)
     def optL(n: String): Option[Long] = {
@@ -3352,11 +3388,33 @@ final class GraftTable(spark: SparkSession, val path: String,
       val i = scala.util.Try(row.fieldIndex(n)).getOrElse(-1)
       if (i < 0 || row.isNullAt(i)) None else Some(row.getLong(i))
     }
-    val stats = GraftTable.TableStats(v, row.getLong(0),
+    val rowCount = row.getLong(0)
+    def hist(c: String, ndv: Option[Long], nulls: Option[Long])
+        : Option[GraftTable.Hist] = {
+      val i = scala.util.Try(row.fieldIndex(s"__hb_$c")).getOrElse(-1)
+      if (i < 0 || row.isNullAt(i)) return None
+      val eps = row.getSeq[Double](i)
+      if (eps.length < 2) return None
+      val bins = eps.length - 1
+      val nonNull = rowCount - nulls.getOrElse(0L)
+      if (nonNull <= 0) return None
+      // uniform NDV split; a collapsed bin (lo == hi) is one
+      // heavy-hitter value
+      val perBin = math.max(1L,
+        math.round(ndv.getOrElse(bins.toLong).toDouble / bins))
+      Some(GraftTable.Hist(nonNull.toDouble / bins,
+        eps.sliding(2).map { w =>
+          GraftTable.HistBin(w(0), w(1),
+            if (w(0) == w(1)) 1L else perBin)
+        }.toSeq))
+    }
+    val stats = GraftTable.TableStats(v, rowCount,
       targets.map { c =>
-        c -> GraftTable.ColumnStats(optL(s"__ndv_$c"), optL(s"__nc_$c"),
+        val ndv = optL(s"__ndv_$c")
+        val nc = optL(s"__nc_$c")
+        c -> GraftTable.ColumnStats(ndv, nc,
           optS(s"__mn_$c"), optS(s"__mx_$c"),
-          optLIf(s"__al_$c"), optLIf(s"__ml_$c"))
+          optLIf(s"__al_$c"), optLIf(s"__ml_$c"), hist(c, ndv, nc))
       }.toMap)
     writeTableStats(stats)
     stats
@@ -3367,9 +3425,15 @@ final class GraftTable(spark: SparkSession, val path: String,
       .encodeToString(s.getBytes("UTF-8"))
     def r(o: Option[_]): String = o.map(_.toString).getOrElse("")
     val body = (s"t\t${ts.version}\t${ts.rowCount}" +: ts.cols.toSeq
-      .sortBy(_._1).map { case (c, cs) =>
-        s"c\t${enc(c)}\t${r(cs.ndv)}\t${r(cs.nullCount)}\t${r(cs.min)}\t" +
-          s"${r(cs.max)}\t${r(cs.avgLen)}\t${r(cs.maxLen)}"
+      .sortBy(_._1).flatMap { case (c, cs) =>
+        // doubles render through toString (round-trip exact); the `h`
+        // histogram line is optional and ignored by older parsers
+        val hLine = cs.hist.map { h =>
+          s"h\t${enc(c)}\t${h.height}\t" +
+            h.bins.map(b => s"${b.lo}:${b.hi}:${b.ndv}").mkString(",")
+        }
+        Seq(s"c\t${enc(c)}\t${r(cs.ndv)}\t${r(cs.nullCount)}\t${r(cs.min)}\t" +
+          s"${r(cs.max)}\t${r(cs.avgLen)}\t${r(cs.maxLen)}") ++ hLine
       }).mkString("\n")
     val tmp = java.nio.file.Paths.get(path,
       s"._graft_stats_tmp_${java.util.UUID.randomUUID().toString.take(8)}")
@@ -3413,10 +3477,19 @@ final class GraftTable(spark: SparkSession, val path: String,
       val Array(_, v, rows) = lines.head.split("\t", 3)
       def oL(s: String) = if (s.isEmpty) None else Some(s.toLong)
       def oS(s: String) = if (s.isEmpty) None else Some(s)
-      val cols = lines.tail.map { l =>
+      val hists = lines.tail.filter(_.startsWith("h\t")).map { l =>
+        val p = l.split("\t", 4)
+        dec(p(1)) -> GraftTable.Hist(p(2).toDouble,
+          p(3).split(',').toSeq.map { b =>
+            val Array(lo, hi, n) = b.split(':')
+            GraftTable.HistBin(lo.toDouble, hi.toDouble, n.toLong)
+          })
+      }.toMap
+      val cols = lines.tail.filter(_.startsWith("c\t")).map { l =>
         val p = l.split("\t", 8)
-        dec(p(1)) -> GraftTable.ColumnStats(oL(p(2)), oL(p(3)),
-          oS(p(4)), oS(p(5)), oL(p(6)), oL(p(7)))
+        val name = dec(p(1))
+        name -> GraftTable.ColumnStats(oL(p(2)), oL(p(3)),
+          oS(p(4)), oS(p(5)), oL(p(6)), oL(p(7)), hists.get(name))
       }.toMap
       GraftTable.TableStats(v.toLong, rows.toLong, cols)
     }.toOption

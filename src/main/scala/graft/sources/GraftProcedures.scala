@@ -151,13 +151,18 @@ object GraftProcedures {
       case "analyze" => proc("analyze",
         "ONE distributed pass computing table row count and per-column " +
           "statistics (HLL NDV, null counts, numeric extrema, string " +
-          "lengths) into the stats sidecar; the SQL scan reports them " +
-          "into Spark's cost-based optimizer (spark.sql.cbo.enabled)",
+          "lengths, equi-height histograms on numeric columns) into the " +
+          "stats sidecar; the SQL scan reports them into Spark's " +
+          "cost-based optimizer (spark.sql.cbo.enabled)",
         Array(TableParam,
           ProcedureParameter.in("columns", StringType)
             .defaultValue("''")
             .comment("comma-separated column subset; empty = all")
-            .build()),
+            .build(),
+          ProcedureParameter.in("histogram_bins", IntegerType)
+            .defaultValue("64")
+            .comment("equi-height histogram bins for numeric columns " +
+              "(0 = no histograms)").build()),
         StructType(Seq(StructField("table", StringType),
           StructField("version", LongType),
           StructField("row_count", LongType),
@@ -166,7 +171,7 @@ object GraftProcedures {
           val t = open(in.getUTF8String(0).toString)
           val cols = Option(in.getUTF8String(1)).map(_.toString).getOrElse("")
             .split(',').map(_.trim).filter(_.nonEmpty).toSeq
-          val ts = t.analyzeTable(cols)
+          val ts = t.analyzeTable(cols, in.getInt(2))
           Seq(InternalRow(in.getUTF8String(0).copy(), ts.version,
             ts.rowCount, ts.cols.size))
         })
@@ -174,7 +179,7 @@ object GraftProcedures {
         "the stats sidecar's content (CALL analyze first): one row per " +
           "analyzed column plus a '*' table row — version the stats " +
           "were computed at, row count, NDV, null count, extrema, " +
-          "lengths; metadata-only",
+          "lengths, histogram bin count + rendered bins; metadata-only",
         Array(TableParam),
         StructType(Seq(StructField("column", StringType),
           StructField("stats_version", LongType),
@@ -184,7 +189,9 @@ object GraftProcedures {
           StructField("min", StringType),
           StructField("max", StringType),
           StructField("avg_len", LongType),
-          StructField("max_len", LongType))),
+          StructField("max_len", LongType),
+          StructField("hist_bins", IntegerType),
+          StructField("histogram", StringType))),
         in => {
           val t = open(in.getUTF8String(0).toString)
           val ts = t.tableStats.getOrElse(throw new IllegalStateException(
@@ -195,11 +202,15 @@ object GraftProcedures {
           def u(o: Option[String]) =
             o.map(UTF8String.fromString).orNull
           InternalRow(UTF8String.fromString("*"), ts.version, ts.rowCount,
-            null, null, null, null, null, null) +:
+            null, null, null, null, null, null, null, null) +:
             ts.cols.toSeq.sortBy(_._1).map { case (c, cs) =>
+              val bins = cs.hist.map(h => Integer.valueOf(h.bins.size)).orNull
+              val rendered = cs.hist.map(h => UTF8String.fromString(
+                h.bins.map(b => s"[${b.lo},${b.hi}]:${b.ndv}")
+                  .mkString(" "))).orNull
               InternalRow(UTF8String.fromString(c), ts.version, ts.rowCount,
                 l(cs.ndv), l(cs.nullCount), u(cs.min), u(cs.max),
-                l(cs.avgLen), l(cs.maxLen))
+                l(cs.avgLen), l(cs.maxLen), bins, rendered)
             }
         })
       // ----------------------------------------------------- view DDL

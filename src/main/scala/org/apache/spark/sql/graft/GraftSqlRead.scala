@@ -1006,6 +1006,31 @@ final case class GraftColumnStatistics(cs: GraftTable.ColumnStats,
       .getOrElse(java.util.Optional.empty[Object]())
   override def avgLen(): java.util.OptionalLong = oL(cs.avgLen)
   override def maxLen(): java.util.OptionalLong = oL(cs.maxLen)
+  /** The ANALYZE equi-height histogram (numeric columns):
+    * `transformV2Stats` lands it in the attribute's catalyst
+    * `ColumnStat.histogram`, where filter estimation reads range/equality
+    * selectivity off bin coverage — the statistic that survives skew
+    * (min/max uniform interpolation does not).
+    */
+  override def histogram(): java.util.Optional[
+      org.apache.spark.sql.connector.read.colstats.Histogram] =
+    cs.hist match {
+      case Some(h) =>
+        java.util.Optional.of(
+          new org.apache.spark.sql.connector.read.colstats.Histogram {
+            override def height(): Double = h.height
+            override def bins(): Array[
+                org.apache.spark.sql.connector.read.colstats.HistogramBin] =
+              h.bins.map { b =>
+                new org.apache.spark.sql.connector.read.colstats.HistogramBin {
+                  override def lo(): Double = b.lo
+                  override def hi(): Double = b.hi
+                  override def ndv(): Long = b.ndv
+                }
+              }.toArray
+          })
+      case None => java.util.Optional.empty()
+    }
 }
 
 /** The one-row result of a METADATA-ONLY aggregate pushdown

@@ -92,4 +92,63 @@ class GraftCboStatsSpec extends SparkSpec {
     assert(shown("v").getString(5) == "0" && shown("v").getString(6) == "999")
     assert(shown("pad").getLong(8) == 64L)
   }
+
+  test("equi-height histograms flip a plan min/max cannot: a skewed " +
+    "column's range predicate estimates from bin coverage") {
+    val (cat, _) = freshCatalog()
+    // SKEW: 99.5% of rows in [0, 99], 0.5% up at ~1e9 — min/max uniform
+    // interpolation estimates `c >= 500000` keeps ~everything (no
+    // broadcast); the histogram sees the range covered by <1 of 64
+    // bins and shrinks the estimate ~64x
+    spark.sql(s"""CREATE TABLE $cat.db.f (k BIGINT, c BIGINT, pad STRING,
+        pk BIGINT)
+      PARTITIONED BY (pk) TBLPROPERTIES ('keys'='k')""")
+    spark.range(0, 40000).selectExpr("id AS k",
+      "CASE WHEN id % 200 = 0 THEN 1000000000 + id ELSE id % 100 END AS c",
+      "repeat('x', 64) AS pad", "id % 4 AS pk")
+      .createOrReplaceTempView("cbo_skew_src")
+    spark.sql(s"INSERT INTO $cat.db.f (k, c, pad, pk) SELECT * FROM cbo_skew_src")
+    spark.sql(s"""CREATE TABLE $cat.db.d (k BIGINT, w BIGINT, pk BIGINT)
+      PARTITIONED BY (pk) TBLPROPERTIES ('keys'='k')""")
+    spark.sql(s"""INSERT INTO $cat.db.d (k, w, pk)
+      SELECT id, id * 2, id % 4 FROM range(40000)""")
+    spark.sql(s"CALL $cat.system.analyze('db.d')")
+    val q = s"""SELECT count(*) FROM $cat.db.d d JOIN $cat.db.f f
+      ON d.k = f.k WHERE f.c >= 500000"""
+    val prevCbo = spark.conf.get("spark.sql.cbo.enabled")
+    val prevThr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+        (100 * 1024).toString)
+      // NDV + extrema, NO histogram: the uniform interpolation keeps
+      // ~all 40000 rows — too big to broadcast
+      spark.sql(s"CALL $cat.system.analyze('db.f', histogram_bins => 0)")
+      val before = spark.sql(q).queryExecution
+      assert(!before.executedPlan.toString.contains("BroadcastHashJoin"),
+        "min/max alone must NOT see through the skew")
+      // re-analyze WITH the histogram: same extrema, same NDV — the
+      // bins are the only new fact, and they flip the plan
+      spark.sql(s"CALL $cat.system.analyze('db.f', histogram_bins => 64)")
+      val after = spark.sql(q).queryExecution
+      val cStat = after.optimizedPlan.collectLeaves()
+        .flatMap(_.stats.attributeStats.toSeq)
+        .find(_._1.name == "c").map(_._2)
+      assert(cStat.exists(_.histogram.exists(_.bins.length == 64)),
+        s"the 64-bin histogram must reach catalyst ColumnStat, got $cStat")
+      assert(after.executedPlan.toString.contains("BroadcastHashJoin"),
+        "bin coverage must shrink the skewed-range estimate below the " +
+          "broadcast threshold")
+      assert(spark.sql(q).collect()(0).getLong(0) == 200L)
+    } finally {
+      spark.conf.set("spark.sql.cbo.enabled", prevCbo)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThr)
+    }
+    // the bins surface through CALL show_stats (count + rendering)
+    val shown = spark.sql(s"CALL $cat.system.show_stats('db.f')").collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(shown("c").getInt(9) == 64)
+    assert(shown("c").getString(10).contains(":"))
+    assert(shown("pad").isNullAt(9), "non-numeric columns carry no histogram")
+  }
 }
