@@ -3722,6 +3722,122 @@ object IngestQueries {
           FROM events)
         SELECT d.event_id, d.user_id AS w, f.c
         FROM events d JOIN f ON d.event_id = f.event_id
-        WHERE f.c >= 500000"""))
+        WHERE f.c >= 500000""")),
+
+    // ATOMIC CREATE OR REPLACE / RTAS (round 13): the catalog is a
+    // StagingTableCatalog — the replacement builds invisibly in a
+    // gen_<uuid> subdirectory and commit is ONE atomic _graft_ptr
+    // move (the old drop+create crash window that could LOSE the
+    // table is retired; GraftReplaceTableSpec proves the window shut).
+    // Gated in-query: the planner must pick the Atomic RTAS exec; the
+    // ladder replaces a seeded table twice (RTAS, then CREATE OR
+    // REPLACE ... AS SELECT with a different shape) and the final
+    // contents oracle-replay.
+    QuerySpec("q274_sql_atomic_replace",
+      (s, dir) => {
+        GraftSession.tune(s)
+        val base = java.nio.file.Files.createTempDirectory("graft_q274_").toString
+        Tables.events(s, dir).createOrReplaceTempView("q274_events")
+        val cat = s"gcat_${java.util.UUID.randomUUID().toString.take(8)}"
+          .replace("-", "_")
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.root", base)
+        s.sql(s"""CREATE TABLE $cat.db.t (
+            event_id BIGINT, cents BIGINT)
+          TBLPROPERTIES ('keys'='event_id')""")
+        s.sql(s"""INSERT INTO $cat.db.t
+          SELECT event_id, CAST(round(value * 100) AS BIGINT)
+          FROM q274_events""")
+        val rtas = s"""REPLACE TABLE $cat.db.t
+          TBLPROPERTIES ('keys'='event_id')
+          AS SELECT event_id, user_id,
+            CAST(round(value * 100) AS BIGINT) AS cents
+          FROM q274_events WHERE event_id % 3 = 0"""
+        require(s.sql(s"EXPLAIN $rtas").collect()(0).getString(0)
+            .contains("AtomicReplaceTableAsSelect"),
+          "q274: REPLACE must plan through the ATOMIC staged exec")
+        s.sql(rtas)
+        require(s.sql(s"SELECT count(*) FROM $cat.db.t WHERE event_id % 3 <> 0")
+            .collect()(0).getLong(0) == 0L,
+          "q274: the replace must swap contents")
+        // second replace: generational -> generational (old gen swept)
+        s.sql(s"""CREATE OR REPLACE TABLE $cat.db.t
+          TBLPROPERTIES ('keys'='event_id')
+          AS SELECT event_id, user_id,
+            CAST(round(value * 100) AS BIGINT) * 2 AS cents2
+          FROM q274_events WHERE event_id % 3 = 1""")
+        val out = s.sql(s"SELECT event_id, user_id, cents2 FROM $cat.db.t")
+        val snap = out.localCheckpoint(true)
+        graft.operators.Fs.deleteTree(base)
+        snap
+      },
+      Some("""
+        SELECT event_id, user_id,
+          CAST(round(value * 100) AS BIGINT) * 2 AS cents2
+        FROM events WHERE event_id % 3 = 1""")),
+
+    // SELECT-DEFINED MATERIALIZED VIEW (round 13): create_mview_sql
+    // pattern-matches the ANALYZED plan of a full SELECT (WHERE +
+    // per-aggregate FILTER + sum/avg/min/max/count families) onto the
+    // incremental algebra; the view renders EXACTLY the SELECT's
+    // columns. Ladder: create at batch 1, insert-only delta folds
+    // INCREMENTALLY, an UPDATE forces the full recompute (modes
+    // required in-query); oracle replays the SELECT over the final
+    // base.
+    QuerySpec("q275_sql_mview_select",
+      (s, dir) => {
+        GraftSession.tune(s)
+        val base = java.nio.file.Files.createTempDirectory("graft_q275_").toString
+        Tables.events(s, dir).createOrReplaceTempView("q275_events")
+        val cat = s"gcat_${java.util.UUID.randomUUID().toString.take(8)}"
+          .replace("-", "_")
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.root", base)
+        s.sql(s"""CREATE TABLE $cat.db.ev (
+            event_id BIGINT, user_id BIGINT, cents BIGINT, pk BIGINT)
+          PARTITIONED BY (pk)
+          TBLPROPERTIES ('keys'='event_id', 'statsCols'='cents')""")
+        s.sql(s"""INSERT INTO $cat.db.ev (event_id, user_id, cents, pk)
+          SELECT event_id, user_id, CAST(round(value * 100) AS BIGINT),
+            user_id % 4
+          FROM q275_events WHERE event_id % 2 = 0""")
+        s.sql(s"""CALL $cat.system.create_mview_sql('db.agg', sql =>
+          "SELECT user_id, sum(cents) AS total, count(*) AS n,
+             min(cents) AS lo, max(cents) AS hi, avg(cents) AS mean,
+             sum(cents) FILTER (WHERE cents % 2 = 0) AS even_total
+           FROM $cat.db.ev WHERE cents > 10 GROUP BY user_id")""")
+        s.sql(s"""INSERT INTO $cat.db.ev (event_id, user_id, cents, pk)
+          SELECT event_id, user_id, CAST(round(value * 100) AS BIGINT),
+            user_id % 4
+          FROM q275_events WHERE event_id % 2 = 1""")
+        val r1 = s.sql(s"CALL $cat.system.refresh_mview('db.agg')")
+          .collect()(0)
+        require(r1.getString(1) == "incremental",
+          s"q275: the insert-only delta must fold INCREMENTALLY, got $r1")
+        s.sql(s"UPDATE $cat.db.ev SET cents = cents + 7 WHERE cents % 5 = 0")
+        val r2 = s.sql(s"CALL $cat.system.refresh_mview('db.agg')")
+          .collect()(0)
+        require(r2.getString(1) == "full",
+          s"q275: an UPDATE in range must force a full recompute, got $r2")
+        val out = s.sql(s"""SELECT user_id, total, n, lo, hi, mean,
+          even_total FROM $cat.db.agg""")
+        val snap = out.localCheckpoint(true)
+        graft.operators.Fs.deleteTree(base)
+        snap
+      },
+      Some("""
+        WITH e0 AS (
+          SELECT user_id, CAST(round(value * 100) AS BIGINT) AS cents
+          FROM events),
+        e AS (
+          SELECT user_id,
+            CASE WHEN cents % 5 = 0 THEN cents + 7 ELSE cents END AS cents
+          FROM e0)
+        SELECT user_id, CAST(sum(cents) AS BIGINT) AS total,
+          CAST(count(*) AS BIGINT) AS n, min(cents) AS lo,
+          max(cents) AS hi, CAST(sum(cents) AS DOUBLE) / count(*) AS mean,
+          CAST(sum(CASE WHEN cents % 2 = 0 THEN cents END) AS BIGINT)
+            AS even_total
+        FROM e WHERE cents > 10 GROUP BY user_id"""))
   )
 }

@@ -142,11 +142,25 @@ object GraftTableMeta {
     t
   }
 
-  /** Open a table directory through its sidecar (None if the directory
-    * was never annotated).
+  /** Follow a GENERATION POINTER (`_graft_ptr`, written by the SQL
+    * catalog's atomic CREATE OR REPLACE): the file names the
+    * subdirectory holding the table's CURRENT generation. Directories
+    * without one (the common in-place layout) resolve to themselves.
     */
-  def open(spark: SparkSession, path: String): Option[GraftTable] =
-    read(path).map(m => new GraftTable(spark, path, m.keys, m.partitionCol,
+  def resolve(path: String): String = {
+    val p = java.nio.file.Paths.get(path, "_graft_ptr")
+    if (java.nio.file.Files.isRegularFile(p))
+      s"$path/${java.nio.file.Files.readString(p).trim}"
+    else path
+  }
+
+  /** Open a table directory through its sidecar (None if the directory
+    * was never annotated), following a generation pointer if present.
+    */
+  def open(spark: SparkSession, path: String): Option[GraftTable] = {
+    val dir = resolve(path)
+    read(dir).map(m => new GraftTable(spark, dir, m.keys, m.partitionCol,
       m.statsCols, m.bloomCols, m.bloomBits, m.partitionSrc,
       m.partitionXform))
+  }
 }

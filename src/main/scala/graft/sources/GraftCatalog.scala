@@ -43,7 +43,129 @@ import graft.operators.{GraftTable, GraftTableMeta}
   * every other ALTER class stays rejected by design.
   */
 final class GraftCatalog extends TableCatalog with SupportsNamespaces
-    with ProcedureCatalog with FunctionCatalog with ViewCatalog {
+    with ProcedureCatalog with FunctionCatalog with ViewCatalog
+    with StagingTableCatalog {
+
+  // ------------------------------------------- atomic REPLACE (staging)
+  //
+  // CREATE OR REPLACE TABLE / REPLACE TABLE [AS SELECT] / atomic CTAS
+  // through Spark's native StagingTableCatalog protocol, made ATOMIC by
+  // a GENERATION POINTER: the staged table builds in a fresh
+  // `<table>/gen_<uuid>` subdirectory (fully invisible — readers keep
+  // resolving the old generation), and commit is ONE atomic move of the
+  // `_graft_ptr` file naming the new generation. No crash window can
+  // lose the table: before the pointer lands readers see the old state,
+  // after it the new — the drop+create gap of the non-atomic fallback
+  // is gone. A table created by plain CREATE TABLE lives directly in
+  // `<table>/` (the legacy layout, no pointer); its first REPLACE
+  // upgrades it to the generational layout (the pointer wins over
+  // in-place metadata on resolve, so the upgrade commit is still the
+  // single pointer move; the superseded in-place files are swept after,
+  // crash-tolerantly). REPLACE starts a fresh history by design (the
+  // documented divergence) — but now atomically.
+
+  private def ptrFile(dir: String) = Paths.get(dir, "_graft_ptr")
+
+  /** The directory actually holding the table's GraftTable: the
+    * pointed-to generation when `_graft_ptr` exists, the table
+    * directory itself otherwise (in-place layout).
+    */
+  private def resolveDir(ident: Identifier): String =
+    GraftTableMeta.resolve(dirOf(ident.namespace, ident.name))
+
+  override def stageCreate(ident: Identifier, info: TableInfo): StagedTable =
+    stage(ident, info, StageMode.Create)
+
+  override def stageReplace(ident: Identifier, info: TableInfo): StagedTable = {
+    if (!tableExists(ident))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
+        ident: Identifier)
+    stage(ident, info, StageMode.Replace)
+  }
+
+  override def stageCreateOrReplace(ident: Identifier,
+                                    info: TableInfo): StagedTable =
+    stage(ident, info, StageMode.CreateOrReplace)
+
+  private object StageMode extends Enumeration {
+    val Create, Replace, CreateOrReplace = Value
+  }
+
+  private def stage(ident: Identifier, info: TableInfo,
+                    mode: StageMode.Value): StagedTable = {
+    if (mode == StageMode.Create && tableExists(ident))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .TableAlreadyExistsException(
+          (catalogName +: ident.namespace.toSeq :+ ident.name)
+            .map(p => s"`$p`").mkString("."))
+    val (schema, props) = enrichColumns(info.columns(), info.properties())
+    validateIdent(ident, schema)
+    val dir = dirOf(ident.namespace, ident.name)
+    val gen = s"gen_${java.util.UUID.randomUUID().toString.replace("-", "").take(16)}"
+    val genDir = s"$dir/$gen"
+    Files.createDirectories(Paths.get(genDir))
+    val gt =
+      try buildTable(genDir, schema, info.partitions(), props)
+      catch {
+        case e: Throwable =>
+          scala.util.Try(graft.operators.Fs.deleteTree(Paths.get(genDir)))
+          throw e
+      }
+    val inner = org.apache.spark.sql.graft.GraftSqlRead
+      .table(spark, gt, gt.currentVersion)
+      .asInstanceOf[org.apache.spark.sql.graft.GraftSqlTable]
+    new org.apache.spark.sql.graft.GraftStagedTable(inner,
+      onCommit = () => commitGeneration(ident, dir, gen, mode),
+      onAbort = () => {
+        graft.operators.Fs.deleteTree(Paths.get(genDir)); ()
+      })
+  }
+
+  /** THE atomic swap: one tmp-write + atomic move of `_graft_ptr`.
+    * Existence semantics re-check at commit time (a raced create/drop
+    * between stage and commit decides here, atomically with the swap's
+    * precondition); post-swap cleanup of the superseded generation /
+    * legacy in-place files is best-effort — the pointer already
+    * decides every subsequent resolve, so leftover debris is inert.
+    */
+  private def commitGeneration(ident: Identifier, dir: String, gen: String,
+                               mode: StageMode.Value): Unit = {
+    val p = ptrFile(dir)
+    val legacyLive = Files.exists(Paths.get(dir, "_graft_meta.json"))
+    val oldGen = if (Files.isRegularFile(p)) Some(Files.readString(p).trim)
+      else None
+    val existed = legacyLive || oldGen.nonEmpty
+    def abortWith(e: Throwable): Nothing = {
+      scala.util.Try(graft.operators.Fs.deleteTree(Paths.get(s"$dir/$gen")))
+      throw e
+    }
+    if (mode == StageMode.Create && existed)
+      abortWith(new org.apache.spark.sql.catalyst.analysis
+        .TableAlreadyExistsException(
+          (catalogName +: ident.namespace.toSeq :+ ident.name)
+            .map(x => s"`$x`").mkString(".")))
+    if (mode == StageMode.Replace && !existed)
+      abortWith(new org.apache.spark.sql.catalyst.analysis
+        .NoSuchTableException(ident: Identifier))
+    val tmp = Paths.get(dir,
+      s"._graft_ptr_tmp_${java.util.UUID.randomUUID().toString.take(8)}")
+    Files.writeString(tmp, gen)
+    Files.move(tmp, p,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    // post-swap sweep: the generation the pointer just superseded, and
+    // (on a legacy upgrade) the in-place table files — NOT other gen_
+    // dirs, which may be concurrent stages in flight
+    oldGen.filter(_ != gen).foreach { g =>
+      scala.util.Try(graft.operators.Fs.deleteTree(Paths.get(s"$dir/$g")))
+    }
+    if (legacyLive)
+      Option(Paths.get(dir).toFile.listFiles()).getOrElse(Array.empty)
+        .foreach { f =>
+          val keep = f.getName == "_graft_ptr" || f.getName.startsWith("gen_")
+          if (!keep) scala.util.Try(graft.operators.Fs.deleteTree(f.toPath))
+        }
+  }
 
   // ------------------------------------------------------------- views
   //
@@ -215,15 +337,17 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchNamespaceException(
         catalogName +: namespace.toSeq)
     Option(d.toFile.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && Files.exists(f.toPath.resolve("_graft_meta.json")))
+      .filter(f => f.isDirectory &&
+        (Files.exists(f.toPath.resolve("_graft_meta.json")) ||
+          Files.isRegularFile(f.toPath.resolve("_graft_ptr"))))
       .map(f => Identifier.of(namespace, f.getName))
   }
 
   override def tableExists(ident: Identifier): Boolean =
-    GraftTableMeta.read(dirOf(ident.namespace, ident.name)).nonEmpty
+    GraftTableMeta.read(resolveDir(ident)).nonEmpty
 
   private def open(ident: Identifier): GraftTable =
-    GraftTableMeta.open(spark, dirOf(ident.namespace, ident.name)).getOrElse(
+    GraftTableMeta.open(spark, resolveDir(ident)).getOrElse(
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
         ident: org.apache.spark.sql.connector.catalog.Identifier))
 
@@ -328,10 +452,15 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     * them on every write path. Identity columns auto-join `statsCols`
     * so the high-watermark read stays metadata-only.
     */
-  override def createTable(ident: Identifier,
-                           columns: Array[org.apache.spark.sql.connector.catalog.Column],
-                           partitions: Array[Transform],
-                           properties: java.util.Map[String, String]): Table = {
+  /** GENERATED / IDENTITY specs arrive on the V2 Column objects —
+    * encode them into StructField metadata (persisted by the schema
+    * sidecar) and auto-join identity columns into statsCols so the
+    * high-watermark read stays metadata-only.
+    */
+  private def enrichColumns(
+      columns: Array[org.apache.spark.sql.connector.catalog.Column],
+      properties: java.util.Map[String, String])
+      : (StructType, java.util.Map[String, String]) = {
     val base = org.apache.spark.sql.graft.Bridge
       .v2ColumnsToStructType(columns)
     var identityCols = Seq.empty[String]
@@ -358,16 +487,47 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
         m.put("statsCols", (prev ++ identityCols).distinct.mkString(","))
         m
       }
+    (enriched, props)
+  }
+
+  override def createTable(ident: Identifier,
+                           columns: Array[org.apache.spark.sql.connector.catalog.Column],
+                           partitions: Array[Transform],
+                           properties: java.util.Map[String, String]): Table = {
+    val (enriched, props) = enrichColumns(columns, properties)
     createTable(ident, enriched, partitions, props)
   }
 
-  override def createTable(ident: Identifier, schema: StructType,
-                           partitions: Array[Transform],
-                           properties: java.util.Map[String, String]): Table = {
-    if (tableExists(ident))
-      throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(
-        (catalogName +: ident.namespace.toSeq :+ ident.name).map(p => s"`$p`")
-          .mkString("."))
+  /** Ident-level invariants shared by createTable and the staging
+    * path: reserved metadata-table suffixes and the reserved synthetic
+    * partition column name.
+    */
+  private def validateIdent(ident: Identifier, schema: StructType): Unit = {
+    require(!schema.fieldNames.contains(GraftTable.SyntheticPartition),
+      s"column name ${GraftTable.SyntheticPartition} is reserved")
+    // `<name>__changes` / `<name>__history` are metadata-table
+    // identifiers of `<name>` — a real table by either name would be
+    // unreachable (loadTable routes them to the base table's feed)
+    require(!ident.name.endsWith("__changes"),
+      s"table name ${ident.name} is reserved: the __changes suffix " +
+        "addresses a table's CDC feed")
+    require(!ident.name.endsWith("__history"),
+      s"table name ${ident.name} is reserved: the __history suffix " +
+        "addresses a table's commit history")
+    require(!ident.name.endsWith("__detail"),
+      s"table name ${ident.name} is reserved: the __detail suffix " +
+        "addresses a table's DESCRIBE DETAIL metadata table")
+  }
+
+  /** Materialize a GraftTable at `dir` from the SQL-surface arguments
+    * (transform parsing, key/index properties, schema sidecar) — the
+    * shared build step of createTable (in-place) and the staging path
+    * (a generation subdirectory).
+    */
+  private def buildTable(dir: String, schema: StructType,
+                         partitions: Array[Transform],
+                         properties: java.util.Map[String, String])
+      : GraftTable = {
     // each transform = (source column, xform tag): identity passes the
     // value through; years/months/days/hours/bucket(n)/truncate(w) are
     // HIDDEN partitioning (the Iceberg vocabulary) — the table derives
@@ -398,20 +558,6 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     }
     val partCols = partSpecs.map(_._1)
     val hiddenXform = partSpecs.exists(_._2 != "identity")
-    require(!schema.fieldNames.contains(GraftTable.SyntheticPartition),
-      s"column name ${GraftTable.SyntheticPartition} is reserved")
-    // `<name>__changes` / `<name>__history` are metadata-table
-    // identifiers of `<name>` — a real table by either name would be
-    // unreachable (loadTable routes them to the base table's feed)
-    require(!ident.name.endsWith("__changes"),
-      s"table name ${ident.name} is reserved: the __changes suffix " +
-        "addresses a table's CDC feed")
-    require(!ident.name.endsWith("__history"),
-      s"table name ${ident.name} is reserved: the __history suffix " +
-        "addresses a table's commit history")
-    require(!ident.name.endsWith("__detail"),
-      s"table name ${ident.name} is reserved: the __detail suffix " +
-        "addresses a table's DESCRIBE DETAIL metadata table")
     partCols.foreach(c => require(schema.fieldNames.contains(c),
       s"PARTITIONED BY column '$c' is not in the table schema"))
     // zero partition columns → one synthetic partition (unpartitioned
@@ -432,12 +578,24 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     require(keys.nonEmpty,
       "GraftCatalog tables need TBLPROPERTIES ('keys'='k1[,k2...]')")
     val bloomBits = Option(properties.get("bloomBits")).map(_.toInt).getOrElse(1024)
-    val dir = dirOf(ident.namespace, ident.name)
     Files.createDirectories(Paths.get(dir).getParent)
     val gt = new GraftTable(spark, dir, keys, pcol,
       csv("statsCols"), csv("bloomCols"), bloomBits, psrc, pxf)
     gt.createIfNotExists(schema)
     GraftTableMeta.annotate(gt)
+    gt
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+                           partitions: Array[Transform],
+                           properties: java.util.Map[String, String]): Table = {
+    if (tableExists(ident))
+      throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(
+        (catalogName +: ident.namespace.toSeq :+ ident.name).map(p => s"`$p`")
+          .mkString("."))
+    validateIdent(ident, schema)
+    val gt = buildTable(dirOf(ident.namespace, ident.name), schema,
+      partitions, properties)
     org.apache.spark.sql.graft.GraftSqlRead.table(spark, gt, gt.currentVersion)
   }
 
@@ -595,11 +753,13 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def dropTable(ident: Identifier): Boolean = {
     val dir = Paths.get(dirOf(ident.namespace, ident.name))
     // only remove directories that ARE graft tables (the same
-    // _graft_meta.json predicate tableExists/listTables use) — DROP
+    // meta/pointer predicate tableExists/listTables use) — DROP
     // TABLE on an identifier that happens to name an arbitrary
-    // directory under the catalog root must not delete it
+    // directory under the catalog root must not delete it. A
+    // generational table drops whole (pointer + every generation).
     if (!Files.isDirectory(dir) ||
-      !Files.exists(dir.resolve("_graft_meta.json"))) return false
+      (!Files.exists(dir.resolve("_graft_meta.json")) &&
+        !Files.isRegularFile(dir.resolve("_graft_ptr")))) return false
     graft.operators.Fs.deleteTree(dir)
     true
   }
@@ -667,7 +827,8 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     // directory is nested here (same guard as dropTable)
     val strangers = children.filter(c => c.isDirectory &&
       c.getName != "_graft_views" && // the namespace's view store
-      !Files.exists(c.toPath.resolve("_graft_meta.json")))
+      !Files.exists(c.toPath.resolve("_graft_meta.json")) &&
+      !Files.isRegularFile(c.toPath.resolve("_graft_ptr")))
     if (strangers.nonEmpty)
       throw new IllegalStateException(
         s"namespace ${namespace.mkString(".")} contains non-graft-table " +

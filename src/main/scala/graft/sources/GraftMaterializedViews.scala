@@ -151,8 +151,14 @@ object GraftMaterializedViews {
     ms
   }
 
+  /** `filter` = an optional WHERE over base rows (the SQL-defined
+    * flavor): applied to every state input — the initial snapshot,
+    * each insert-only delta, and full recomputes — so the view models
+    * `SELECT … FROM base WHERE filter GROUP BY keys` exactly.
+    */
   final case class Config(base: String, keys: Seq[String],
-                          measures: Seq[Measure])
+                          measures: Seq[Measure],
+                          filter: Option[String] = None)
 
   private def configPath(stateDir: String) =
     Paths.get(stateDir, "_graft_mview.json")
@@ -160,6 +166,7 @@ object GraftMaterializedViews {
   private def writeConfig(stateDir: String, c: Config): Unit = {
     val body = (Seq(s"base\t${enc(c.base)}",
       s"keys\t${enc(c.keys.mkString(","))}") ++
+      c.filter.map(f => s"filter\t${enc(f)}").toSeq ++
       c.measures.map(m => s"measure\t${enc(m.spec)}")).mkString("\n")
     val tmp = Paths.get(stateDir,
       s"._graft_mview_tmp_${java.util.UUID.randomUUID().toString.take(8)}")
@@ -181,8 +188,13 @@ object GraftMaterializedViews {
     val measures = lines.collect { case ("measure", spec) =>
       parseMeasure(spec)
     }
-    Config(m("base"), m("keys").split(',').toSeq, measures)
+    Config(m("base"), m("keys").split(',').toSeq, measures,
+      m.get("filter"))
   }
+
+  /** Every state input flows through the config's row filter. */
+  private def filtered(df: DataFrame, cfg: Config): DataFrame =
+    cfg.filter.map(f => df.filter(expr(f))).getOrElse(df)
 
   private def split(ref: String): Identifier = {
     val parts = ref.split('.')
@@ -309,11 +321,13 @@ object GraftMaterializedViews {
     */
   def create(spark: SparkSession, cat: GraftCatalog, viewRef: String,
              baseRef: String, keys: Seq[String], measures: Seq[Measure],
-             buckets: Int = 16): (Long, Long) = {
+             buckets: Int = 16, filterSql: Option[String] = None,
+             finishOverride: Option[String => String] = None)
+      : (Long, Long) = {
     require(keys.nonEmpty && measures.nonEmpty,
       "create_mview needs keys and measures")
     require(buckets > 0, s"buckets must be positive, got $buckets")
-    val cfg = Config(baseRef, keys, measures)
+    val cfg = Config(baseRef, keys, measures, filterSql)
     // EVERY precondition before ANY mutation — a late failure must not
     // orphan a committed state table
     require(!GraftViews.exists(catRoot(cat), split(viewRef)),
@@ -325,12 +339,13 @@ object GraftMaterializedViews {
     (keys ++ measures.map(_.col)).foreach(c =>
       require(snap.columns.contains(c),
         s"base '$baseRef' has no column '$c'"))
-    // measure predicates must resolve against the base NOW — a broken
-    // predicate fails the CREATE, not the first refresh
-    measures.foreach(m => m.pred.foreach { p =>
+    // measure predicates AND the row filter must resolve against the
+    // base NOW — a broken predicate fails the CREATE, not the first
+    // refresh
+    (measures.flatMap(_.pred) ++ filterSql).foreach { p =>
       snap.select(expr(p).cast("boolean")).schema
-    })
-    val state0 = state(snap, keys, measures)
+    }
+    val state0 = state(filtered(snap, cfg), keys, measures)
     // the state table: keyed on the group keys, hash-bucketed on the
     // first one (incremental MERGE rewrites only delta buckets), stats
     // on _cnt for the metadata tiers
@@ -356,8 +371,10 @@ object GraftMaterializedViews {
       // the initial load is refresh #baseV — same txn discipline (the
       // -1 anchor pin makes a raced double-create lose loudly)
       foldInto(st, baseV, state0, cfg, fullSync = true, expectedLast = -1L)
-      // the user-facing finish view (exact-decimal state, double surface)
-      val finishSql = {
+      // the user-facing finish view (exact-decimal state, double
+      // surface; the SQL-defined flavor supplies its own rendering)
+      val finishSql = finishOverride.map(
+        _(s"${cat.name()}.${stateRef(viewRef)}")).getOrElse {
         val catName = cat.name()
         val stName = s"$catName.${stateRef(viewRef)}"
         // SQL semantics for nullable measures: SUM is NULL when no
@@ -397,6 +414,171 @@ object GraftMaterializedViews {
     }
   }
 
+  /** CREATE from a full SELECT (the way users actually write
+    * materialized views):
+    *
+    * {{{
+    *   CALL cat.system.create_mview_sql('db.spend', sql =>
+    *     'SELECT user_id, sum(cents) AS total, count(*) AS n,
+    *             max(cents) AS biggest,
+    *             sum(cents) FILTER (WHERE cents % 2 = 0) AS even_total
+    *      FROM cat.db.ev WHERE cents > 0 GROUP BY user_id')
+    * }}}
+    *
+    * The ANALYZED plan is pattern-matched onto the incremental algebra:
+    * one `Aggregate` over (optionally filtered) scans of ONE graft
+    * table of THIS catalog; grouping expressions must be bare columns;
+    * aggregates are sum / avg / min / max / count(*) / count(col),
+    * each with an optional `FILTER (WHERE …)`, over bare INTEGRAL
+    * columns (the exact-decimal state discipline — float/double sums
+    * are not exactly foldable and reject loudly). The finish view
+    * renders EXACTLY the SELECT's columns (names, order, types), so
+    * reading the mview is indistinguishable from running the SELECT at
+    * the refreshed version. Anything outside the shape rejects with
+    * the supported grammar in the message — never a silently-wrong
+    * view.
+    */
+  def createFromSql(spark: SparkSession, cat: GraftCatalog,
+                    viewRef: String, sql: String, buckets: Int = 16)
+      : (Long, Long) = {
+    import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Expression, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, Max, Min, Sum}
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, SubqueryAlias, Filter => LFilter}
+    import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+    import org.apache.spark.sql.types._
+
+    def bad(why: String): Nothing = throw new IllegalArgumentException(
+      s"create_mview_sql: $why — supported shape: SELECT <group cols>, " +
+        "<sum|avg|min|max|count aggregates [FILTER (WHERE …)] AS alias> " +
+        s"FROM <one table of catalog ${cat.name()}> [WHERE …] GROUP BY " +
+        "<the group cols>; aggregate inputs must be bare integral " +
+        "columns. Got: " + sql)
+
+    val analyzed = spark.sql(sql).queryExecution.analyzed
+    val (groups, aggs, child) = analyzed match {
+      case Aggregate(g, a, c, _) => (g, a, c)
+      case _ => bad("the query is not a single grouped aggregate")
+    }
+    // peel the chain down to ONE graft relation, collecting WHEREs
+    def peel(p: LogicalPlan, conds: List[Expression])
+        : (DataSourceV2Relation, List[Expression]) = p match {
+      case SubqueryAlias(_, c) => peel(c, conds)
+      case LFilter(cond, c) => peel(c, cond :: conds)
+      case r: DataSourceV2Relation => (r, conds)
+      case other => bad(s"unsupported operator ${other.nodeName} between " +
+        "the aggregate and the table scan")
+    }
+    val (rel, conds) = peel(child, Nil)
+    val baseRef = (rel.catalog, rel.identifier) match {
+      case (Some(c), Some(id)) if c.name() == cat.name() =>
+        (id.namespace.toSeq :+ id.name).mkString(".")
+      case _ => bad("the FROM table must be a table of this catalog")
+    }
+    val baseCols = rel.output.map(_.name).toSet
+    def bareCol(e: Expression, what: String): String = e match {
+      case a: AttributeReference if baseCols.contains(a.name) => a.name
+      case other => bad(s"$what must be a bare base column, got " +
+        other.sql)
+    }
+    // predicates round-trip through expr() against BARE frames later —
+    // strip the reader-context qualifiers off every attribute
+    def predSql(e: Expression): String =
+      e.transform {
+        case a: AttributeReference => a.withQualifier(Nil)
+      }.sql
+    val filterSql = conds match {
+      case Nil => None
+      case cs => Some(cs.map(c => s"(${predSql(c)})").mkString(" AND "))
+    }
+    val keys = groups.map(bareCol(_, "every GROUP BY expression"))
+    def integral(c: String): Unit = rel.output.find(_.name == c)
+      .map(_.dataType) match {
+      case Some(ByteType | ShortType | IntegerType | LongType) => ()
+      case Some(dt) => bad(s"aggregate input '$c' is ${dt.simpleString} " +
+        "— the exact-decimal incremental state folds INTEGRAL columns " +
+        "only (float/double sums are not exactly foldable)")
+      case None => bad(s"no column '$c'")
+    }
+    // measure naming: the source column, plus a deterministic suffix
+    // when a per-aggregate FILTER makes it a distinct state family
+    def measureName(colName: String, pred: Option[String]): String =
+      pred match {
+        case None => colName
+        case Some(p) =>
+          val h = java.security.MessageDigest.getInstance("MD5")
+            .digest(p.getBytes("UTF-8")).take(3).map("%02x".format(_))
+            .mkString
+          s"${colName}_f$h"
+      }
+    // one pass over the SELECT list: collect measures (deduped by
+    // state family) and the finish rendering per output column
+    val measures = scala.collection.mutable.LinkedHashMap
+      .empty[(String, String, Option[String]), Measure]
+    def measure(func: String, colName: String, pred: Option[String])
+        : Measure =
+      measures.getOrElseUpdate((func, colName, pred),
+        Measure(func, colName, pred, measureName(colName, pred)))
+    def render(out: org.apache.spark.sql.catalyst.expressions.NamedExpression)
+        : String = out match {
+      case a: AttributeReference =>
+        if (!keys.contains(a.name)) bad(s"non-aggregate output " +
+          s"'${a.name}' is not a GROUP BY column")
+        s"`${a.name}`"
+      case Alias(a: AttributeReference, name) =>
+        if (!keys.contains(a.name)) bad(s"non-aggregate output " +
+          s"'${a.name}' is not a GROUP BY column")
+        s"`${a.name}` AS `$name`"
+      case al @ Alias(ae: AggregateExpression, name) =>
+        if (ae.isDistinct) bad("DISTINCT aggregates are not exactly " +
+          "foldable (use the measures grammar's approximate dcount:col)")
+        val pred = ae.filter.map(predSql)
+        def cast(inner: String): String =
+          s"CAST($inner AS ${al.dataType.sql})"
+        ae.aggregateFunction match {
+          case Sum(e, _) =>
+            val c = bareCol(e, "sum's input"); integral(c)
+            val m = measure("sum", c, pred)
+            s"CASE WHEN _nn_${m.name} = 0 THEN CAST(NULL AS " +
+              s"${al.dataType.sql}) ELSE ${cast(s"_sum_${m.name}")} END " +
+              s"AS `$name`"
+          case Average(e, _) =>
+            val c = bareCol(e, "avg's input"); integral(c)
+            val m = measure("sum", c, pred)
+            s"CASE WHEN _nn_${m.name} = 0 THEN CAST(NULL AS " +
+              s"${al.dataType.sql}) ELSE ${cast(
+                s"CAST(_sum_${m.name} AS DOUBLE) / _nn_${m.name}")} END " +
+              s"AS `$name`"
+          case Min(e) =>
+            val c = bareCol(e, "min's input"); integral(c)
+            val m = measure("min", c, pred)
+            s"${cast(s"_min_${m.name}")} AS `$name`"
+          case Max(e) =>
+            val c = bareCol(e, "max's input"); integral(c)
+            val m = measure("max", c, pred)
+            s"${cast(s"_max_${m.name}")} AS `$name`"
+          case Count(Seq(Literal(1, IntegerType))) if pred.isEmpty =>
+            s"_cnt AS `$name`"
+          case Count(Seq(e)) if !e.isInstanceOf[Literal] =>
+            val c = bareCol(e, "count's input")
+            val m = measure("sum", c, pred) // _nn_<name> IS count(col)
+            s"_nn_${m.name} AS `$name`"
+          case other => bad(s"unsupported aggregate ${other.prettyName}" +
+            (if (pred.nonEmpty && other.isInstanceOf[Count])
+              " (count(*) FILTER needs a column: count(col) FILTER …)"
+            else ""))
+        }
+      case other => bad(s"unsupported output expression ${other.sql} " +
+        "(expressions OVER aggregates don't fold; alias the raw " +
+        "aggregate and compute downstream)")
+    }
+    val rendered = aggs.map(render)
+    if (measures.isEmpty) bad("the SELECT has no aggregate")
+    val finish = (stName: String) =>
+      s"SELECT ${rendered.mkString(", ")} FROM $stName"
+    create(spark, cat, viewRef, baseRef, keys,
+      measures.values.toSeq, buckets, filterSql, Some(finish))
+  }
+
   /** REFRESH: fold the base's changes since the last refreshed version
     * into the state. Returns (mode, fromVersion, toVersion) where mode
     * is `current` (nothing to do), `incremental` (insert-only delta
@@ -415,7 +597,10 @@ object GraftMaterializedViews {
       require(lastV >= 0, s"$viewRef has no refresh anchor — recreate it")
       val curV = base.currentVersion
       if (curV <= lastV) return ("current", lastV, lastV)
-      val changes = base.readChangesRowsBetween(lastV, curV)
+      // the config's row filter applies BEFORE everything (including
+      // the incremental-eligibility probe: a null-key or non-insert
+      // row OUTSIDE the filter is irrelevant to this view)
+      val changes = filtered(base.readChangesRowsBetween(lastV, curV), cfg)
         .localCheckpoint(true)
       // incremental needs (a) insert-only changes and (b) NO null group
       // key in the delta — the keyed MERGE matches with === (ANSI: a
@@ -435,7 +620,8 @@ object GraftMaterializedViews {
             return ("incremental", lastV, curV)
           return ("current", lastV, st.txnVersion(AppId))
         } else {
-          val full = state(base.readAt(curV), cfg.keys, cfg.measures)
+          val full = state(filtered(base.readAt(curV), cfg), cfg.keys,
+            cfg.measures)
           if (foldInto(st, curV, full, cfg, fullSync = true,
               expectedLast = lastV))
             return ("full", lastV, curV)
@@ -452,6 +638,43 @@ object GraftMaterializedViews {
     }
     throw new IllegalStateException("unreachable")
   }
+
+  /** Every materialized view registered under the catalog (ident of
+    * the FINISH view, derived by stripping the `_state` suffix from
+    * state tables carrying the mview config), optionally restricted to
+    * those over `base`. Discovery is a metadata walk — namespace
+    * listing + one config-file existence probe per table, no jobs.
+    */
+  def list(cat: GraftCatalog, base: Option[String]): Seq[String] = {
+    val suffix = "_state"
+    cat.listNamespaces().toSeq.flatMap { ns =>
+      cat.listTables(ns).toSeq
+        .filter(_.name.endsWith(suffix))
+        .flatMap { st =>
+          val dir = scala.util.Try(cat.openTable(st).path).toOption
+          dir.filter(d => Files.isRegularFile(configPath(d))).flatMap { d =>
+            val cfg = readConfig(d)
+            if (base.forall(_ == cfg.base))
+              Some((st.namespace.toSeq :+
+                st.name.stripSuffix(suffix)).mkString("."))
+            else None
+          }
+        }
+    }.sorted
+  }
+
+  /** REFRESH every registered materialized view (of `base`, when
+    * given): the operational tick after a base mutation — two mviews
+    * over one base stay consistent because each refresh anchors on its
+    * own state's txn marker. Returns one (view, mode, from, to) per
+    * mview.
+    */
+  def refreshAll(cat: GraftCatalog, base: Option[String])
+      : Seq[(String, String, Long, Long)] =
+    list(cat, base).map { viewRef =>
+      val (mode, from, to) = refresh(cat, viewRef)
+      (viewRef, mode, from, to)
+    }
 
   /** DROP: remove the finish view and the state table (with its
     * config + txn anchor). Returns whether anything existed. Refuses

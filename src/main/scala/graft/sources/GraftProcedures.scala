@@ -38,7 +38,8 @@ object GraftProcedures {
   val identifiers: Array[Identifier] =
     Array("restore", "vacuum", "compact", "compact_dv", "compact_range",
         "analyze", "show_stats", "create_view", "drop_view", "show_views",
-        "create_mview", "refresh_mview", "drop_mview")
+        "create_mview", "create_mview_sql", "refresh_mview",
+        "refresh_all_mviews", "drop_mview")
       .map(n => Identifier.of(Array("system"), n))
 
   def load(cat: GraftCatalog, ident: Identifier): UnboundProcedure = {
@@ -291,6 +292,28 @@ object GraftProcedures {
             in.getInt(4))
           Seq(InternalRow(UTF8String.fromString(viewRef), v, rows))
         })
+      case "create_mview_sql" => proc("create_mview_sql",
+        "materialize a SELECT (one grouped aggregate over one table of " +
+          "this catalog, optional WHERE, sum/avg/min/max/count " +
+          "aggregates with optional per-aggregate FILTER over integral " +
+          "columns) as an incrementally-refreshable mview whose reads " +
+          "render EXACTLY the SELECT's columns; refresh with " +
+          "refresh_mview",
+        Array(
+          ProcedureParameter.in("view", StringType).build(),
+          ProcedureParameter.in("sql", StringType).build(),
+          ProcedureParameter.in("buckets", IntegerType)
+            .defaultValue("16").build()),
+        StructType(Seq(StructField("view", StringType),
+          StructField("base_version", LongType),
+          StructField("state_rows", LongType))),
+        in => {
+          val viewRef = in.getUTF8String(0).toString
+          val (v, rows) = GraftMaterializedViews.createFromSql(
+            org.apache.spark.sql.SparkSession.active, cat, viewRef,
+            in.getUTF8String(1).toString, in.getInt(2))
+          Seq(InternalRow(UTF8String.fromString(viewRef), v, rows))
+        })
       case "refresh_mview" => proc("refresh_mview",
         "fold the base table's changes since the last refresh into the " +
           "materialized view's state: insert-only deltas fold " +
@@ -306,6 +329,28 @@ object GraftProcedures {
           val (mode, from, to) = GraftMaterializedViews.refresh(cat, viewRef)
           Seq(InternalRow(UTF8String.fromString(viewRef),
             UTF8String.fromString(mode), from, to))
+        })
+      case "refresh_all_mviews" => proc("refresh_all_mviews",
+        "refresh EVERY registered materialized view (optionally only " +
+          "those over 'base') — the operational tick after base " +
+          "mutations; discovery is a metadata walk, each refresh " +
+          "anchors on its own state's txn marker; returns one row per " +
+          "mview with its refresh mode",
+        Array(ProcedureParameter.in("base", StringType)
+          .defaultValue("''")
+          .comment("restrict to mviews over this base table; empty = all")
+          .build()),
+        StructType(Seq(StructField("view", StringType),
+          StructField("mode", StringType),
+          StructField("from_version", LongType),
+          StructField("to_version", LongType))),
+        in => {
+          val b = Option(in.getUTF8String(0)).map(_.toString.trim)
+            .filter(_.nonEmpty)
+          GraftMaterializedViews.refreshAll(cat, b).map {
+            case (v, m, f, t) => InternalRow(UTF8String.fromString(v),
+              UTF8String.fromString(m), f, t)
+          }
         })
       case "drop_mview" => proc("drop_mview",
         "drop a materialized view: the finish view AND its state table " +

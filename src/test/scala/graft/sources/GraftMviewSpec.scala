@@ -230,6 +230,113 @@ class GraftMviewSpec extends SparkSpec {
     assert(u99.isNullAt(0) && u99.getLong(1) == 1L)
   }
 
+  test("refresh_all_mviews: two mviews over one base stay consistent " +
+    "through a mixed insert/update tick; a base filter restricts the " +
+    "walk; other bases' mviews are untouched") {
+    val (cat, _) = freshCatalog()
+    spark.sql(s"""CREATE TABLE $cat.db.ev (k BIGINT, user_id BIGINT,
+        cents BIGINT) TBLPROPERTIES ('keys'='k')""")
+    spark.sql(s"""CREATE TABLE $cat.db.other (k BIGINT, v BIGINT)
+      TBLPROPERTIES ('keys'='k')""")
+    spark.sql(s"INSERT INTO $cat.db.ev SELECT id, id % 5, id FROM range(50)")
+    spark.sql(s"INSERT INTO $cat.db.other VALUES (1, 1)")
+    spark.sql(s"""CALL $cat.system.create_mview('db.by_user',
+      base => 'db.ev', keys => 'user_id', measures => 'cents')""")
+    spark.sql(s"""CALL $cat.system.create_mview('db.maxima',
+      base => 'db.ev', keys => 'user_id', measures => 'max:cents')""")
+    spark.sql(s"""CALL $cat.system.create_mview('db.of_other',
+      base => 'db.other', keys => 'k', measures => 'v')""")
+    // a mixed tick: insert-only for a while, then an update; the other
+    // base moves too (but the base-filtered refresh must not touch it)
+    spark.sql(s"INSERT INTO $cat.db.ev SELECT id, id % 7, id FROM range(50, 80)")
+    spark.sql(s"UPDATE $cat.db.ev SET cents = cents + 1 WHERE k % 9 = 0")
+    spark.sql(s"INSERT INTO $cat.db.other VALUES (2, 2)")
+    val rows = spark.sql(
+      s"CALL $cat.system.refresh_all_mviews(base => 'db.ev')").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(rows.keySet == Set("db.by_user", "db.maxima"), rows)
+    assert(rows.values.forall(_ == "full"), rows) // the UPDATE is in range
+    // both views exact against the final base
+    val sums = spark.sql(s"SELECT user_id, sum_cents FROM $cat.db.by_user")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val maxes = spark.sql(s"SELECT user_id, max_cents FROM $cat.db.maxima")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val want = spark.sql(s"""SELECT user_id, CAST(sum(cents) AS DOUBLE),
+        CAST(max(cents) AS DOUBLE) FROM $cat.db.ev GROUP BY user_id""")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    assert(want.forall { case (u, s0, m0) =>
+      sums(u) == s0 && maxes(u) == m0 }, s"$sums / $maxes")
+    // db.other's mview was NOT refreshed by the base-filtered call, so
+    // the unfiltered walk finds it still behind (incremental fold);
+    // the db.ev views are already current
+    val otherRow = spark.sql(
+      s"CALL $cat.system.refresh_all_mviews()").collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+    assert(otherRow ==
+      Map("db.by_user" -> "current", "db.maxima" -> "current",
+        "db.of_other" -> "incremental"), otherRow)
+    assert(spark.sql(s"SELECT sum(sum_v) FROM $cat.db.of_other")
+      .collect()(0).getDouble(0) == 3.0)
+  }
+
+  test("create_mview_sql: a SELECT-defined mview renders EXACTLY the " +
+    "SELECT's columns and stays equal to running it, through both " +
+    "refresh modes (WHERE + per-aggregate FILTER + every family)") {
+    val (cat, _) = freshCatalog()
+    spark.sql(s"""CREATE TABLE $cat.db.ev (k BIGINT, user_id BIGINT,
+        cents BIGINT) TBLPROPERTIES ('keys'='k')""")
+    spark.sql(s"INSERT INTO $cat.db.ev SELECT id, id % 4, id FROM range(60)")
+    val select = s"""SELECT user_id, sum(cents) AS total,
+        count(*) AS n, count(cents) AS nc, min(cents) AS lo,
+        max(cents) AS hi, avg(cents) AS mean,
+        sum(cents) FILTER (WHERE cents % 2 = 0) AS even_total
+      FROM $cat.db.ev WHERE cents > 5 GROUP BY user_id"""
+    spark.sql(s"""CALL $cat.system.create_mview_sql('db.agg',
+      sql => "$select")""")
+    def check(): Unit = {
+      val view = spark.sql(s"SELECT * FROM $cat.db.agg")
+      val direct = spark.sql(select)
+      assert(view.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+        direct.schema.fields.map(f => (f.name, f.dataType)).toSeq,
+        s"${view.schema} vs ${direct.schema}")
+      val a = view.collect().map(_.toSeq).toSet
+      val b = direct.collect().map(_.toSeq).toSet
+      assert(a == b, s"view $a\nselect $b")
+    }
+    check()
+    spark.sql(s"INSERT INTO $cat.db.ev SELECT id, id % 6, id FROM range(60, 90)")
+    val r1 = spark.sql(s"CALL $cat.system.refresh_mview('db.agg')")
+      .collect()(0)
+    assert(r1.getString(1) == "incremental", r1.toString)
+    check()
+    spark.sql(s"UPDATE $cat.db.ev SET cents = cents + 1 WHERE k % 7 = 0")
+    val r2 = spark.sql(s"CALL $cat.system.refresh_mview('db.agg')")
+      .collect()(0)
+    assert(r2.getString(1) == "full", r2.toString)
+    check()
+    // out-of-shape SELECTs reject LOUDLY (never a silently-wrong view)
+    def rejects(sql: String, needle: String): Unit = {
+      val e = intercept[Exception] {
+        spark.sql(s"""CALL $cat.system.create_mview_sql('db.bad',
+          sql => "$sql")""")
+      }
+      assert(e.getMessage.contains(needle),
+        s"expected '$needle' in: ${e.getMessage}")
+    }
+    rejects(s"SELECT count(DISTINCT cents) AS d FROM $cat.db.ev GROUP BY user_id",
+      "DISTINCT")
+    rejects(s"SELECT user_id, sum(cents) + 1 AS x FROM $cat.db.ev GROUP BY user_id",
+      "unsupported output expression")
+    rejects(s"SELECT a.user_id, sum(a.cents) AS s FROM $cat.db.ev a JOIN $cat.db.ev b ON a.k = b.k GROUP BY a.user_id",
+      "unsupported")
+    rejects(s"SELECT user_id FROM $cat.db.ev GROUP BY user_id",
+      "no aggregate")
+    spark.sql(s"""CREATE TABLE $cat.db.fl (k BIGINT, x DOUBLE)
+      TBLPROPERTIES ('keys'='k')""")
+    rejects(s"SELECT k, sum(x) AS s FROM $cat.db.fl GROUP BY k",
+      "INTEGRAL")
+  }
+
   test("measure spec parsing: duplicate names reject; bad predicate " +
     "fails the CREATE, not the first refresh") {
     val (cat, _) = freshCatalog()

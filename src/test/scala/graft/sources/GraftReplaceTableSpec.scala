@@ -5,12 +5,15 @@ import java.nio.file.Files
 import graft.SparkSpec
 
 /** CREATE OR REPLACE TABLE / REPLACE TABLE … AS SELECT over the graft
-  * catalog — served by the engine's non-atomic fallback (drop +
-  * create; the catalog is not a StagingTableCatalog). Documented
-  * divergence from Delta: REPLACE starts a FRESH history (version
-  * clock resets) — the old table's time travel does not carry across
-  * a replace. A REPLACE of a missing table errors; CREATE OR REPLACE
-  * creates it.
+  * catalog — ATOMIC since round 13 (`GraftCatalog` implements
+  * StagingTableCatalog): the replacement builds invisibly in a
+  * `gen_<uuid>` subdirectory and commit is ONE atomic `_graft_ptr`
+  * move, so readers see the old table until the instant they see the
+  * new one and NO crash window can lose the table (the non-atomic
+  * drop+create gap is retired). Remaining documented divergence from
+  * Delta: REPLACE starts a FRESH history (version clock resets) — the
+  * old table's time travel does not carry across a replace. A REPLACE
+  * of a missing table errors; CREATE OR REPLACE creates it.
   */
 class GraftReplaceTableSpec extends SparkSpec {
 
@@ -60,5 +63,77 @@ class GraftReplaceTableSpec extends SparkSpec {
       TBLPROPERTIES ('keys'='k')""")
     assert(spark.sql(s"SELECT count(*) FROM $cat.db.fresh")
       .collect()(0).getLong(0) == 0L)
+  }
+
+  test("REPLACE plans through the ATOMIC staged exec, and the crash " +
+    "window is gone: an uncommitted stage leaves the old table fully " +
+    "readable; abort cleans the staged generation") {
+    val (cat, root) = freshCatalog()
+    spark.sql(s"""CREATE TABLE $cat.db.t (k BIGINT, v BIGINT)
+      TBLPROPERTIES ('keys'='k')""")
+    spark.sql(s"INSERT INTO $cat.db.t (k, v) VALUES (1, 10), (2, 20)")
+    // the planner must pick the ATOMIC exec (StagingTableCatalog)
+    val plan = spark.sql(s"""EXPLAIN REPLACE TABLE $cat.db.t
+      TBLPROPERTIES ('keys'='k') AS SELECT CAST(5 AS BIGINT) AS k""")
+      .collect()(0).getString(0)
+    assert(plan.contains("AtomicReplaceTableAsSelect"), plan)
+
+    val gc = spark.sessionState.catalogManager.catalog(cat)
+      .asInstanceOf[GraftCatalog]
+    val ident = org.apache.spark.sql.connector.catalog.Identifier
+      .of(Array("db"), "t")
+    val info = new org.apache.spark.sql.connector.catalog.TableInfo.Builder()
+      .withColumns(Array(org.apache.spark.sql.connector.catalog.Column
+        .create("k", org.apache.spark.sql.types.LongType)))
+      .withPartitions(Array.empty)
+      .withProperties(java.util.Map.of("keys", "k"))
+      .build()
+    // STAGE a replacement and DON'T commit — the simulated crash. The
+    // old table must stay fully readable (the drop+create fallback
+    // would have lost it here).
+    val staged = gc.stageReplace(ident, info)
+    assert(spark.sql(s"SELECT sum(v) FROM $cat.db.t").collect()(0)
+      .getLong(0) == 30L, "old table must survive an uncommitted stage")
+    // a SECOND stage committing while the first 'crashed' wins cleanly
+    val staged2 = gc.stageReplace(ident, info)
+    staged2.commitStagedChanges()
+    assert(spark.sql(s"SELECT count(*) FROM $cat.db.t").collect()(0)
+      .getLong(0) == 0L)
+    assert(spark.sql(s"SELECT * FROM $cat.db.t").schema.fieldNames.toSeq
+      == Seq("k"))
+    // the first (crashed) stage aborts away without touching the live
+    // table
+    staged.abortStagedChanges()
+    assert(spark.sql(s"SELECT count(*) FROM $cat.db.t").collect()(0)
+      .getLong(0) == 0L)
+    // the table directory is now generational: pointer + one live gen
+    // (the superseded legacy files were swept post-commit)
+    val entries = java.nio.file.Paths.get(s"$root/db/t").toFile
+      .listFiles().map(_.getName).toSet
+    assert(entries.contains("_graft_ptr"), entries)
+    assert(entries.count(_.startsWith("gen_")) == 1, entries)
+    assert(!entries.contains("_graft_meta.json"), entries)
+    // generational tables keep working end-to-end: insert, replace
+    // again (old gen swept), drop
+    spark.sql(s"INSERT INTO $cat.db.t (k) VALUES (42)")
+    assert(spark.sql(s"SELECT k FROM $cat.db.t").collect()(0).getLong(0) == 42L)
+    spark.sql(s"""CREATE OR REPLACE TABLE $cat.db.t (z STRING)
+      TBLPROPERTIES ('keys'='z')""")
+    val entries2 = java.nio.file.Paths.get(s"$root/db/t").toFile
+      .listFiles().map(_.getName).toSet
+    assert(entries2.count(_.startsWith("gen_")) == 1,
+      s"the superseded generation must be swept: $entries2")
+    assert(spark.sql(s"SHOW TABLES IN $cat.db").collect()
+      .map(_.getString(1)).contains("t"))
+    spark.sql(s"DROP TABLE $cat.db.t")
+    assert(!Files.exists(java.nio.file.Paths.get(s"$root/db/t")))
+    // a replace RACING a drop: stage, drop the table, then commit —
+    // strict REPLACE semantics reject at the atomic commit point
+    spark.sql(s"""CREATE TABLE $cat.db.t (k BIGINT)
+      TBLPROPERTIES ('keys'='k')""")
+    val staged3 = gc.stageReplace(ident, info)
+    spark.sql(s"DROP TABLE $cat.db.t")
+    intercept[Exception] { staged3.commitStagedChanges() }
+    assert(!Files.exists(java.nio.file.Paths.get(s"$root/db/t")))
   }
 }
