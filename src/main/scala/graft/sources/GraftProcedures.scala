@@ -218,11 +218,14 @@ object GraftProcedures {
       //
       // Vanilla Spark 4.1 routes `CREATE VIEW` DDL to the session
       // catalog only (every other catalog gets MISSING_CATALOG_ABILITY
-      // before a ViewCatalog implementation is ever consulted), so the
-      // SQL-reachable DDL surface is CALL procedures — the Iceberg
-      // maintenance-statement idiom. Reads resolve natively on
-      // extension-built sessions ([[graft.ext.GraftResolveViews]]);
-      // programmatic DDL can also use the ViewCatalog API directly.
+      // before a ViewCatalog implementation is ever consulted). On
+      // extension-built sessions the injected parser
+      // ([[graft.ext.GraftSqlParser]], round 13) serves the native
+      // CREATE/DROP VIEW + SHOW VIEWS statements; these CALL
+      // procedures remain the DDL surface for sessions WITHOUT the
+      // extension — the Iceberg maintenance-statement idiom. Reads
+      // resolve through [[graft.ext.GraftResolveViews]]; programmatic
+      // DDL can also use the ViewCatalog API directly.
       case "create_view" => proc("create_view",
         "persist a SQL view under this catalog (use fully-qualified " +
           "table names in the SQL so the view resolves from any " +
