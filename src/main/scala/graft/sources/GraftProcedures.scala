@@ -93,7 +93,30 @@ object GraftProcedures {
           // real vacuums skip the dry run's orphan tree walk (their own
           // sweep covers orphans): orphan_files reports -1 = not counted
           val r = t.vacuumDryRun(keep, includeOrphans = dry)
-          if (!dry) t.vacuum(keep)
+          if (!dry) {
+            t.vacuum(keep)
+            // atomic-REPLACE housekeeping: when this table is a pointed-
+            // to generation, sweep SIBLING gen_ dirs that are NOT
+            // current and are older than the grace window — debris of
+            // stages that crashed before commit (the pointer already
+            // decides every resolve, so the sweep is always safe)
+            val genDir = java.nio.file.Paths.get(t.path)
+            val tableDir = genDir.getParent
+            val ptr = tableDir.resolve("_graft_ptr")
+            if (java.nio.file.Files.isRegularFile(ptr)) {
+              val current = java.nio.file.Files.readString(ptr).trim
+              val grace = org.apache.spark.sql.SparkSession.active.conf
+                .get("spark.graft.vacuum.generationGraceMs", "3600000")
+                .toLong
+              val cutoff = System.currentTimeMillis() - grace
+              Option(tableDir.toFile.listFiles()).getOrElse(Array.empty)
+                .foreach { f =>
+                  if (f.isDirectory && f.getName.startsWith("gen_") &&
+                      f.getName != current && f.lastModified() < cutoff)
+                    scala.util.Try(graft.operators.Fs.deleteTree(f.toPath))
+                }
+            }
+          }
           Seq(InternalRow(in.getUTF8String(0).copy(),
             math.min(keep, t.versions.size), t.dataFileCount, dry,
             r.droppedVersions.size, r.deadFiles, r.deadBytes,
@@ -180,7 +203,9 @@ object GraftProcedures {
         "the stats sidecar's content (CALL analyze first): one row per " +
           "analyzed column plus a '*' table row — version the stats " +
           "were computed at, row count, NDV, null count, extrema, " +
-          "lengths, histogram bin count + rendered bins; metadata-only",
+          "lengths, histogram bin count + rendered bins, and staleness " +
+          "(commits since the stats were computed — re-analyze when it " +
+          "grows); metadata-only",
         Array(TableParam),
         StructType(Seq(StructField("column", StringType),
           StructField("stats_version", LongType),
@@ -192,7 +217,8 @@ object GraftProcedures {
           StructField("avg_len", LongType),
           StructField("max_len", LongType),
           StructField("hist_bins", IntegerType),
-          StructField("histogram", StringType))),
+          StructField("histogram", StringType),
+          StructField("stale_commits", LongType))),
         in => {
           val t = open(in.getUTF8String(0).toString)
           val ts = t.tableStats.getOrElse(throw new IllegalStateException(
@@ -202,8 +228,9 @@ object GraftProcedures {
             o.map(java.lang.Long.valueOf).orNull
           def u(o: Option[String]) =
             o.map(UTF8String.fromString).orNull
+          val stale = t.currentVersion - ts.version
           InternalRow(UTF8String.fromString("*"), ts.version, ts.rowCount,
-            null, null, null, null, null, null, null, null) +:
+            null, null, null, null, null, null, null, null, stale) +:
             ts.cols.toSeq.sortBy(_._1).map { case (c, cs) =>
               val bins = cs.hist.map(h => Integer.valueOf(h.bins.size)).orNull
               val rendered = cs.hist.map(h => UTF8String.fromString(
@@ -211,7 +238,7 @@ object GraftProcedures {
                   .mkString(" "))).orNull
               InternalRow(UTF8String.fromString(c), ts.version, ts.rowCount,
                 l(cs.ndv), l(cs.nullCount), u(cs.min), u(cs.max),
-                l(cs.avgLen), l(cs.maxLen), bins, rendered)
+                l(cs.avgLen), l(cs.maxLen), bins, rendered, stale)
             }
         })
       // ----------------------------------------------------- view DDL

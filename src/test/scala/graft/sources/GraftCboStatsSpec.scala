@@ -150,5 +150,12 @@ class GraftCboStatsSpec extends SparkSpec {
     assert(shown("c").getInt(9) == 64)
     assert(shown("c").getString(10).contains(":"))
     assert(shown("pad").isNullAt(9), "non-numeric columns carry no histogram")
+    // staleness surfaces: a commit after ANALYZE bumps stale_commits
+    assert(shown("*").getLong(11) == 0L)
+    spark.sql(s"INSERT INTO $cat.db.f (k, c, pad, pk) VALUES (99999, 1, 'x', 0)")
+    val shown2 = spark.sql(s"CALL $cat.system.show_stats('db.f')").collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(shown2("*").getLong(11) == 1L,
+      "stale_commits must count commits since the stats were computed")
   }
 }

@@ -136,4 +136,30 @@ class GraftReplaceTableSpec extends SparkSpec {
     intercept[Exception] { staged3.commitStagedChanges() }
     assert(!Files.exists(java.nio.file.Paths.get(s"$root/db/t")))
   }
+
+  test("vacuum sweeps crashed-stage generation debris (grace-gated), " +
+    "never the current generation") {
+    val (cat, root) = freshCatalog()
+    spark.sql(s"""CREATE TABLE $cat.db.g (k BIGINT)
+      TBLPROPERTIES ('keys'='k')""")
+    spark.sql(s"""CREATE OR REPLACE TABLE $cat.db.g
+      TBLPROPERTIES ('keys'='k') AS SELECT CAST(id AS BIGINT) AS k
+      FROM range(10)""")
+    val dir = java.nio.file.Paths.get(s"$root/db/g")
+    // plant crashed-stage debris
+    Files.createDirectories(dir.resolve("gen_deadbeef"))
+    Files.writeString(dir.resolve("gen_deadbeef").resolve("junk"), "x")
+    val current = Files.readString(dir.resolve("_graft_ptr")).trim
+    // within the grace window nothing sweeps (a stage may be in flight)
+    spark.sql(s"CALL $cat.system.vacuum('db.g')")
+    assert(Files.isDirectory(dir.resolve("gen_deadbeef")))
+    // past the grace it does — and only the non-current generation
+    spark.conf.set("spark.graft.vacuum.generationGraceMs", "0")
+    try spark.sql(s"CALL $cat.system.vacuum('db.g')")
+    finally spark.conf.unset("spark.graft.vacuum.generationGraceMs")
+    assert(!Files.exists(dir.resolve("gen_deadbeef")))
+    assert(Files.isDirectory(dir.resolve(current)))
+    assert(spark.sql(s"SELECT count(*) FROM $cat.db.g").collect()(0)
+      .getLong(0) == 10L)
+  }
 }
