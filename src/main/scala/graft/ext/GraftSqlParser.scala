@@ -40,7 +40,7 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     extends ParserInterface {
 
   override def parsePlan(sqlText: String): LogicalPlan =
-    GraftSqlParser.viewDdl(session, sqlText)
+    GraftSqlParser.viewDdl(session, delegate, sqlText)
       .getOrElse(delegate.parsePlan(sqlText))
 
   override def parseExpression(sqlText: String): Expression =
@@ -64,10 +64,10 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
 object GraftSqlParser {
 
   /** The intercepted statement, or None = delegate. */
-  private[ext] def viewDdl(session: SparkSession, sql: String)
-      : Option[LogicalPlan] = {
+  private[ext] def viewDdl(session: SparkSession, delegate: ParserInterface,
+                           sql: String): Option[LogicalPlan] = {
     val s = sql.trim.stripSuffix(";")
-    matchCreate(session, s)
+    matchCreate(session, delegate, s)
       .orElse(matchDrop(session, s))
       .orElse(matchShow(session, s))
   }
@@ -154,7 +154,8 @@ object GraftSqlParser {
 
   // -------------------------------------------------- the statements
 
-  private def matchCreate(session: SparkSession, s: String)
+  private def matchCreate(session: SparkSession,
+                          delegate: ParserInterface, s: String)
       : Option[LogicalPlan] = {
     val afterCreate = keywords(s, "CREATE") match {
       case Some(r) => r
@@ -186,6 +187,10 @@ object GraftSqlParser {
       case _ => return None
     }
     address(session, parts).map { case (cat, id) =>
+      // the body must be a QUERY — validated AT PARSE TIME like
+      // vanilla (parseQuery throws on commands), so `CREATE VIEW … AS
+      // DROP TABLE t` is a parse error, never an executed statement
+      delegate.parseQuery(query)
       GraftCreateViewCommand(cat, id, query, replace, ifNotExists)
     }
   }

@@ -55,6 +55,13 @@ class GraftViewDdlSpec extends SparkSpec {
     intercept[Exception] {
       spark.sql(s"CREATE OR REPLACE VIEW $cat.db.pricey AS SELECT nope FROM $cat.db.ev")
     }
+    // a COMMAND body is a PARSE error (vanilla semantics) — and is
+    // NEVER executed
+    intercept[org.apache.spark.sql.catalyst.parser.ParseException] {
+      spark.sql(s"CREATE OR REPLACE VIEW $cat.db.evil AS DROP TABLE $cat.db.ev")
+    }
+    assert(spark.sql(s"SELECT count(*) FROM $cat.db.ev").collect()(0)
+      .getLong(0) == 20L, "the command body must not have executed")
     // DROP VIEW removes it; a second drop needs IF EXISTS
     spark.sql(s"DROP VIEW $cat.db.pricey")
     intercept[Exception] { spark.sql(s"SELECT * FROM $cat.db.pricey").collect() }

@@ -137,6 +137,20 @@ class GraftReplaceTableSpec extends SparkSpec {
     assert(!Files.exists(java.nio.file.Paths.get(s"$root/db/t")))
   }
 
+  test("SELF-replace: REPLACE TABLE t AS SELECT … FROM t reads the old " +
+    "generation while writing the new — only the staged swap makes " +
+    "this well-defined") {
+    val (cat, _) = freshCatalog()
+    spark.sql(s"""CREATE TABLE $cat.db.s (k BIGINT, v BIGINT)
+      TBLPROPERTIES ('keys'='k')""")
+    spark.sql(s"INSERT INTO $cat.db.s SELECT id, id * 10 FROM range(100)")
+    spark.sql(s"""REPLACE TABLE $cat.db.s TBLPROPERTIES ('keys'='k')
+      AS SELECT k, v * 2 AS v2 FROM $cat.db.s WHERE k % 2 = 0""")
+    val got = spark.sql(s"SELECT sum(v2), count(*) FROM $cat.db.s")
+      .collect()(0)
+    assert((got.getLong(0), got.getLong(1)) == (2 * 10 * (0 until 100 by 2).sum.toLong, 50L))
+  }
+
   test("vacuum sweeps crashed-stage generation debris (grace-gated), " +
     "never the current generation") {
     val (cat, root) = freshCatalog()
