@@ -133,12 +133,28 @@ object GraftSqlParser {
     * or implicitly (session's current catalog is one). None = not
     * graft's statement, delegate.
     */
+  /** Shared probe: does `name` resolve to a GraftCatalog? (forces
+    * catalog instantiation only after a statement shape fully matched.)
+    */
+  private def isGraftCatalog(session: SparkSession, name: String): Boolean =
+    scala.util.Try(session.sessionState.catalogManager.catalog(name))
+      .toOption.exists(_.isInstanceOf[graft.sources.GraftCatalog])
+
   private def address(session: SparkSession, parts: Seq[String])
       : Option[(String, Identifier)] = {
     val cm = session.sessionState.catalogManager
-    def isGraft(name: String): Boolean =
-      scala.util.Try(cm.catalog(name)).toOption
-        .exists(_.isInstanceOf[graft.sources.GraftCatalog])
+    def isGraft(name: String): Boolean = isGraftCatalog(session, name)
+    // vanilla resolution order wins for TEMP views: a 1-part name
+    // matching a session temp view, or a global_temp.x reference,
+    // always delegates — even under a graft current catalog (DROP VIEW
+    // t must drop the temp view, never shadow-delete a persisted one)
+    if (parts.length == 1 &&
+        session.sessionState.catalog.getTempView(parts.head).isDefined)
+      return None
+    if (parts.length == 2 && parts.head ==
+        session.sessionState.conf.getConfString(
+          "spark.sql.globalTempDatabase", "global_temp"))
+      return None
     if (parts.length >= 2 && cm.isCatalogRegistered(parts.head) &&
         isGraft(parts.head))
       Some((parts.head,
@@ -230,9 +246,7 @@ object GraftSqlParser {
     ident(trimmed) match {
       case Some((parts, rest)) if rest.forall(_.isWhitespace) =>
         val cm = session.sessionState.catalogManager
-        def isGraft(name: String): Boolean =
-          scala.util.Try(cm.catalog(name)).toOption
-            .exists(_.isInstanceOf[graft.sources.GraftCatalog])
+        def isGraft(name: String): Boolean = isGraftCatalog(session, name)
         if (cm.isCatalogRegistered(parts.head) && isGraft(parts.head))
           Some(GraftShowViewsCommand(parts.head, parts.tail))
         else if (!cm.isCatalogRegistered(parts.head) &&

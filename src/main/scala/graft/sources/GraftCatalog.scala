@@ -117,16 +117,19 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     new org.apache.spark.sql.graft.GraftStagedTable(inner,
       onCommit = () => commitGeneration(ident, dir, gen, mode),
       onAbort = () => {
-        graft.operators.Fs.deleteTree(Paths.get(genDir)); ()
+        graft.operators.Fs.deleteTree(Paths.get(genDir))
+        sweepIfBare(dir) // a table dir this stage created stays behind
       })
   }
 
   /** THE atomic swap: one tmp-write + atomic move of `_graft_ptr`.
-    * Existence semantics re-check at commit time (a raced create/drop
-    * between stage and commit decides here, atomically with the swap's
-    * precondition); post-swap cleanup of the superseded generation /
-    * legacy in-place files is best-effort — the pointer already
-    * decides every subsequent resolve, so leftover debris is inert.
+    * Existence semantics re-check at commit time (CREATE's "nobody
+    * beat me" is enforced by the pointer move itself — no
+    * REPLACE_EXISTING, so the loser of two racing atomic CTAS commits
+    * gets TableAlreadyExists instead of silently clobbering the
+    * winner); post-swap cleanup of the superseded generation / legacy
+    * in-place files is best-effort — the pointer already decides every
+    * subsequent resolve, so leftover debris is inert.
     */
   private def commitGeneration(ident: Identifier, dir: String, gen: String,
                                mode: StageMode.Value): Unit = {
@@ -137,22 +140,41 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     val existed = legacyLive || oldGen.nonEmpty
     def abortWith(e: Throwable): Nothing = {
       scala.util.Try(graft.operators.Fs.deleteTree(Paths.get(s"$dir/$gen")))
+      sweepIfBare(dir)
       throw e
     }
-    if (mode == StageMode.Create && existed)
-      abortWith(new org.apache.spark.sql.catalyst.analysis
-        .TableAlreadyExistsException(
-          (catalogName +: ident.namespace.toSeq :+ ident.name)
-            .map(x => s"`$x`").mkString(".")))
+    def alreadyExists = new org.apache.spark.sql.catalyst.analysis
+      .TableAlreadyExistsException(
+        (catalogName +: ident.namespace.toSeq :+ ident.name)
+          .map(x => s"`$x`").mkString("."))
+    if (mode == StageMode.Create && existed) abortWith(alreadyExists)
     if (mode == StageMode.Replace && !existed)
       abortWith(new org.apache.spark.sql.catalyst.analysis
         .NoSuchTableException(ident: Identifier))
+    // the staged generation must still BE a table — a mis-configured
+    // external sweep (or manual deletion) between stage and commit must
+    // fail the statement, never point the table at garbage
+    if (!Files.exists(Paths.get(s"$dir/$gen", "_graft_meta.json")))
+      abortWith(new IllegalStateException(
+        s"staged generation $gen of ${ident} vanished before commit — " +
+          "the replace/create is aborted; the previous table state (if " +
+          "any) is untouched"))
     val tmp = Paths.get(dir,
       s"._graft_ptr_tmp_${java.util.UUID.randomUUID().toString.take(8)}")
     Files.writeString(tmp, gen)
-    Files.move(tmp, p,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    if (mode == StageMode.Create && !legacyLive) {
+      // CREATE: the move itself is the existence gate — no
+      // REPLACE_EXISTING, so of two racing creates exactly one wins
+      try Files.move(tmp, p, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          scala.util.Try(Files.deleteIfExists(tmp))
+          abortWith(alreadyExists)
+      }
+    } else
+      Files.move(tmp, p,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     // post-swap sweep: the generation the pointer just superseded, and
     // (on a legacy upgrade) the in-place table files — NOT other gen_
     // dirs, which may be concurrent stages in flight
@@ -165,6 +187,19 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
           val keep = f.getName == "_graft_ptr" || f.getName.startsWith("gen_")
           if (!keep) scala.util.Try(graft.operators.Fs.deleteTree(f.toPath))
         }
+  }
+
+  /** Remove a table directory that holds NO table (no meta, no
+    * pointer) and no other entries — the debris an aborted staged
+    * CREATE would otherwise leave, which blocks DROP NAMESPACE.
+    */
+  private def sweepIfBare(dir: String): Unit = {
+    val d = Paths.get(dir)
+    val bare = Files.isDirectory(d) &&
+      !Files.exists(d.resolve("_graft_meta.json")) &&
+      !Files.isRegularFile(d.resolve("_graft_ptr")) &&
+      Option(d.toFile.listFiles()).getOrElse(Array.empty).isEmpty
+    if (bare) { scala.util.Try(Files.deleteIfExists(d)); () }
   }
 
   // ------------------------------------------------------------- views
@@ -825,10 +860,16 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
         s"namespace ${namespace.mkString(".")} is not empty")
     // cascade only reclaims graft tables; refuse if a non-table
     // directory is nested here (same guard as dropTable)
+    // a dir holding ONLY gen_* entries (no meta, no pointer) is the
+    // debris of a crashed staged CREATE — graft-owned, reclaimable
+    def stageDebris(c: java.io.File): Boolean =
+      Option(c.listFiles()).getOrElse(Array.empty).forall(e =>
+        e.getName.startsWith("gen_") || e.getName.startsWith("._graft_"))
     val strangers = children.filter(c => c.isDirectory &&
       c.getName != "_graft_views" && // the namespace's view store
       !Files.exists(c.toPath.resolve("_graft_meta.json")) &&
-      !Files.isRegularFile(c.toPath.resolve("_graft_ptr")))
+      !Files.isRegularFile(c.toPath.resolve("_graft_ptr")) &&
+      !stageDebris(c))
     if (strangers.nonEmpty)
       throw new IllegalStateException(
         s"namespace ${namespace.mkString(".")} contains non-graft-table " +

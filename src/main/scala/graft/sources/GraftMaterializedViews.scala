@@ -185,9 +185,19 @@ object GraftMaterializedViews {
       .map(_.toString).filter(_.nonEmpty)
       .map { l => val Array(k, v) = l.split("\t", 2); k -> dec(v) }
     val m = lines.toMap
-    val measures = lines.collect { case ("measure", spec) =>
+    val measures0 = lines.collect { case ("measure", spec) =>
       parseMeasure(spec)
     }
+    // pre-round-13 configs wrote ONE comma-joined 'measures' line of
+    // plain sum columns — parse it so existing mviews keep refreshing
+    // (an empty measure set would silently stop folding the sums)
+    val measures =
+      if (measures0.nonEmpty) measures0
+      else m.get("measures").toSeq
+        .flatMap(_.split(',').toSeq.filter(_.nonEmpty))
+        .map(c => Measure("sum", c, None, c))
+    require(measures.nonEmpty,
+      s"mview config under $stateDir declares no measures — corrupt?")
     Config(m("base"), m("keys").split(',').toSeq, measures,
       m.get("filter"))
   }
@@ -365,6 +375,7 @@ object GraftMaterializedViews {
     // everything past the table's first commit rolls back on failure:
     // a broken finish SQL or a createView race must not orphan a state
     // table that blocks the retry
+    var viewCreated = false
     try {
       GraftTableMeta.annotate(st)
       writeConfig(dir, cfg)
@@ -405,10 +416,14 @@ object GraftMaterializedViews {
         split(viewRef).namespace(), frame.schema, frame.columns,
         Array.empty[String], Array.empty[String],
         java.util.Collections.emptyMap[String, String]()))
+      viewCreated = true
       (baseV, st.read.count())
     } catch {
       case e: Throwable =>
-        scala.util.Try(cat.dropView(split(viewRef)))
+        // roll back ONLY what THIS call created: dropping the view
+        // unconditionally would delete a concurrent winner's view when
+        // our own createView lost the race
+        if (viewCreated) scala.util.Try(cat.dropView(split(viewRef)))
         scala.util.Try(graft.operators.Fs.deleteTree(Paths.get(dir)))
         throw e
     }
@@ -602,16 +617,16 @@ object GraftMaterializedViews {
       // row OUTSIDE the filter is irrelevant to this view)
       val changes = filtered(base.readChangesRowsBetween(lastV, curV), cfg)
         .localCheckpoint(true)
-      // incremental needs (a) insert-only changes and (b) NO null group
-      // key in the delta — the keyed MERGE matches with === (ANSI: a
-      // null key never matches), so a null-key delta group would INSERT
-      // a duplicate state row instead of folding; the full sync handles
-      // it exactly
-      val nonIncremental = changes.filter(
-        col("_change_type") =!= "insert" ||
-          cfg.keys.map(k => col(k).isNull).reduce(_ || _))
-        .limit(1).count() > 0L
       try {
+        // incremental needs (a) insert-only changes and (b) NO null
+        // group key in the delta — the keyed MERGE matches with ===
+        // (ANSI: a null key never matches), so a null-key delta group
+        // would INSERT a duplicate state row instead of folding; the
+        // full sync handles it exactly
+        val nonIncremental = changes.filter(
+          col("_change_type") =!= "insert" ||
+            cfg.keys.map(k => col(k).isNull).reduce(_ || _))
+          .limit(1).count() > 0L
         if (!nonIncremental) {
           val delta = state(changes.drop("_change_type"), cfg.keys, cfg.measures)
           // applied=false: a concurrent refresh already folded to >= curV
@@ -634,6 +649,11 @@ object GraftMaterializedViews {
         case e: graft.operators.StaleTxnAnchorException =>
           if (attempt >= MaxAttempts) throw e
           attempt += 1
+      } finally {
+        // free the checkpointed blocks — retries (and long sessions
+        // running many refreshes) must not accumulate executor storage
+        changes.unpersist()
+        ()
       }
     }
     throw new IllegalStateException("unreachable")

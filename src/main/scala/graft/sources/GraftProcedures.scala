@@ -97,22 +97,37 @@ object GraftProcedures {
             t.vacuum(keep)
             // atomic-REPLACE housekeeping: when this table is a pointed-
             // to generation, sweep SIBLING gen_ dirs that are NOT
-            // current and are older than the grace window — debris of
-            // stages that crashed before commit (the pointer already
-            // decides every resolve, so the sweep is always safe)
+            // current and whose NEWEST file (deep mtime — an in-flight
+            // stage keeps writing, so its tree stays fresh) is older
+            // than the grace window (default 24h, the conservative
+            // orphan-cleanup posture) — debris of stages that crashed
+            // before commit. commitGeneration independently verifies
+            // the staged generation still exists before any pointer
+            // swap, so even a mis-tuned grace can only fail a straggler
+            // replace loudly, never point the table at garbage.
             val genDir = java.nio.file.Paths.get(t.path)
             val tableDir = genDir.getParent
             val ptr = tableDir.resolve("_graft_ptr")
             if (java.nio.file.Files.isRegularFile(ptr)) {
               val current = java.nio.file.Files.readString(ptr).trim
               val grace = org.apache.spark.sql.SparkSession.active.conf
-                .get("spark.graft.vacuum.generationGraceMs", "3600000")
+                .get("spark.graft.vacuum.generationGraceMs", "86400000")
                 .toLong
               val cutoff = System.currentTimeMillis() - grace
+              def newestMtime(p: java.nio.file.Path): Long = {
+                var mx = 0L
+                java.nio.file.Files.walk(p).forEach { f =>
+                  val m = java.nio.file.Files.getLastModifiedTime(f).toMillis
+                  if (m > mx) mx = m
+                }
+                mx
+              }
               Option(tableDir.toFile.listFiles()).getOrElse(Array.empty)
                 .foreach { f =>
                   if (f.isDirectory && f.getName.startsWith("gen_") &&
-                      f.getName != current && f.lastModified() < cutoff)
+                      f.getName != current &&
+                      scala.util.Try(newestMtime(f.toPath))
+                        .getOrElse(Long.MaxValue) < cutoff)
                     scala.util.Try(graft.operators.Fs.deleteTree(f.toPath))
                 }
             }

@@ -105,7 +105,13 @@ private[sources] object GraftViews {
         case _ => ()
       }
     }
-    def split(key: String): Array[String] = multis(key)
+    def split(key: String): Array[String] = multis.get(key).getOrElse {
+      // pre-round-13 files wrote multi fields WITHOUT the count token —
+      // fall back to the legacy decode (default split: trailing empties
+      // were not representable then, so none are lost)
+      val raw = dec(fields(key))
+      if (raw.isEmpty) Array.empty[String] else raw.split("")
+    }
     Some(new GraftView(dec(fields("name")), dec(fields("sql")),
       dec(fields("cat")), split("ns"),
       org.apache.spark.sql.types.DataType.fromJson(dec(fields("schema")))

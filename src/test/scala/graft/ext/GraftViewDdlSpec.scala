@@ -83,6 +83,28 @@ class GraftViewDdlSpec extends SparkSpec {
     spark.sql(s"DROP VIEW `$cat`.db.`my view`")
   }
 
+  test("temp views win 1-part resolution even under a graft current " +
+    "catalog: DROP VIEW t drops the TEMP view, never a persisted one") {
+    val cat = freshCatalog()
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
+    spark.sql(s"CREATE VIEW $cat.db.shade AS SELECT 1 AS one")
+    val prevCat = spark.catalog.currentCatalog()
+    try {
+      spark.sql(s"USE $cat.db")
+      spark.sql("CREATE TEMPORARY VIEW shade AS SELECT 2 AS two")
+      // vanilla resolution: the TEMP view wins the 1-part name
+      spark.sql("DROP VIEW shade")
+      // the persisted graft view SURVIVED the temp drop (and now wins
+      // the 1-part read through the resolution rule)
+      assert(spark.sql("SELECT one FROM shade").collect()(0).getInt(0) == 1)
+      assert(spark.sql(s"SELECT one FROM $cat.db.shade").collect()(0)
+        .getInt(0) == 1)
+      // with no temp view in the way, the 1-part drop reaches graft
+      spark.sql("DROP VIEW shade")
+      assert(spark.sql(s"SHOW VIEWS IN $cat.db").collect().isEmpty)
+    } finally spark.sql(s"USE $prevCat")
+  }
+
   test("everything else delegates: temp-view DDL and session-catalog " +
     "view DDL behave exactly as vanilla") {
     // TEMPORARY view DDL is untouched

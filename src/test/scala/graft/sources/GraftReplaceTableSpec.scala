@@ -151,6 +151,57 @@ class GraftReplaceTableSpec extends SparkSpec {
     assert((got.getLong(0), got.getLong(1)) == (2 * 10 * (0 until 100 by 2).sum.toLong, 50L))
   }
 
+  test("staged-commit hardening: racing CREATEs — exactly one wins; a " +
+    "vanished staged generation aborts instead of pointing at garbage; " +
+    "an aborted staged CREATE leaves no debris blocking DROP NAMESPACE") {
+    val (cat, root) = freshCatalog()
+    val gc = spark.sessionState.catalogManager.catalog(cat)
+      .asInstanceOf[GraftCatalog]
+    spark.sql(s"SELECT 1").collect()
+    Files.createDirectories(java.nio.file.Paths.get(s"$root/db"))
+    def info() = new org.apache.spark.sql.connector.catalog.TableInfo.Builder()
+      .withColumns(Array(org.apache.spark.sql.connector.catalog.Column
+        .create("k", org.apache.spark.sql.types.LongType)))
+      .withPartitions(Array.empty)
+      .withProperties(java.util.Map.of("keys", "k"))
+      .build()
+    val ident = org.apache.spark.sql.connector.catalog.Identifier
+      .of(Array("db"), "race")
+    // two racing staged CREATEs: both stage, both commit — exactly one
+    // wins, the loser gets TableAlreadyExists (no silent clobber)
+    val s1 = gc.stageCreate(ident, info())
+    val s2 = gc.stageCreate(ident, info())
+    s1.commitStagedChanges()
+    intercept[org.apache.spark.sql.catalyst.analysis
+      .TableAlreadyExistsException] { s2.commitStagedChanges() }
+    assert(spark.sql(s"SELECT count(*) FROM $cat.db.race").collect()(0)
+      .getLong(0) == 0L)
+    spark.sql(s"DROP TABLE $cat.db.race")
+    // a staged generation DELETED before commit (external sweep /
+    // manual rm) aborts loudly; the previous state stays intact
+    spark.sql(s"CREATE TABLE $cat.db.v (k BIGINT) TBLPROPERTIES ('keys'='k')")
+    spark.sql(s"INSERT INTO $cat.db.v VALUES (1)")
+    val identV = org.apache.spark.sql.connector.catalog.Identifier
+      .of(Array("db"), "v")
+    val s3 = gc.stageReplace(identV, info())
+    // find and delete the staged gen dir
+    val vDir = java.nio.file.Paths.get(s"$root/db/v")
+    val gens = vDir.toFile.listFiles().filter(_.getName.startsWith("gen_"))
+    assert(gens.length == 1)
+    graft.operators.Fs.deleteTree(gens(0).toPath)
+    intercept[IllegalStateException] { s3.commitStagedChanges() }
+    assert(spark.sql(s"SELECT count(*) FROM $cat.db.v").collect()(0)
+      .getLong(0) == 1L, "the old table must survive the aborted commit")
+    // an ABORTED staged CREATE sweeps its bare table dir, so
+    // DROP NAMESPACE cascade is not blocked by debris
+    val identW = org.apache.spark.sql.connector.catalog.Identifier
+      .of(Array("db"), "w")
+    val s4 = gc.stageCreate(identW, info())
+    s4.abortStagedChanges()
+    assert(!Files.exists(java.nio.file.Paths.get(s"$root/db/w")),
+      "abort must not leave a bare table directory behind")
+  }
+
   test("vacuum sweeps crashed-stage generation debris (grace-gated), " +
     "never the current generation") {
     val (cat, root) = freshCatalog()
