@@ -3838,6 +3838,57 @@ object IngestQueries {
           max(cents) AS hi, CAST(sum(cents) AS DOUBLE) / count(*) AS mean,
           CAST(sum(CASE WHEN cents % 2 = 0 THEN cents END) AS BIGINT)
             AS even_total
-        FROM e WHERE cents > 10 GROUP BY user_id"""))
+        FROM e WHERE cents > 10 GROUP BY user_id""")),
+
+    // TIME-BUCKETED ROLLUP MVIEW (round 13): expression GROUP BYs in
+    // the SELECT-defined flavor — `GROUP BY CAST(ts AS DATE)` becomes
+    // a DERIVED state key recomputed on every state input, THE
+    // canonical materialized-view shape (daily rollups). Two-batch
+    // ladder with required refresh modes; oracle replays the rollup.
+    QuerySpec("q276_sql_mview_rollup",
+      (s, dir) => {
+        GraftSession.tune(s)
+        val base = java.nio.file.Files.createTempDirectory("graft_q276_").toString
+        Tables.events(s, dir).createOrReplaceTempView("q276_events")
+        val cat = s"gcat_${java.util.UUID.randomUUID().toString.take(8)}"
+          .replace("-", "_")
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.root", base)
+        s.sql(s"""CREATE TABLE $cat.db.ev (
+            event_id BIGINT, ts TIMESTAMP, user_id BIGINT, cents BIGINT)
+          TBLPROPERTIES ('keys'='event_id')""")
+        s.sql(s"""INSERT INTO $cat.db.ev
+          SELECT event_id, ts, user_id, CAST(round(value * 100) AS BIGINT)
+          FROM q276_events WHERE event_id % 2 = 0""")
+        s.sql(s"""CALL $cat.system.create_mview_sql('db.daily', sql =>
+          "SELECT CAST(ts AS DATE) AS day, user_id % 4 AS cohort,
+             sum(cents) AS total, count(*) AS n, max(cents) AS peak
+           FROM $cat.db.ev GROUP BY CAST(ts AS DATE), user_id % 4")""")
+        s.sql(s"""INSERT INTO $cat.db.ev
+          SELECT event_id, ts, user_id, CAST(round(value * 100) AS BIGINT)
+          FROM q276_events WHERE event_id % 2 = 1""")
+        val r1 = s.sql(s"CALL $cat.system.refresh_mview('db.daily')")
+          .collect()(0)
+        require(r1.getString(1) == "incremental",
+          s"q276: the insert-only delta must fold INCREMENTALLY, got $r1")
+        s.sql(s"DELETE FROM $cat.db.ev WHERE cents % 7 = 0")
+        val r2 = s.sql(s"CALL $cat.system.refresh_mview('db.daily')")
+          .collect()(0)
+        require(r2.getString(1) == "full",
+          s"q276: a DELETE in range must force a full recompute, got $r2")
+        val out = s.sql(
+          s"SELECT day, cohort, total, n, peak FROM $cat.db.daily")
+        val snap = out.localCheckpoint(true)
+        graft.operators.Fs.deleteTree(base)
+        snap
+      },
+      Some("""
+        WITH e AS (
+          SELECT CAST(ts AS DATE) AS day, user_id % 4 AS cohort,
+            CAST(round(value * 100) AS BIGINT) AS cents
+          FROM events)
+        SELECT day, cohort, CAST(sum(cents) AS BIGINT) AS total,
+          CAST(count(*) AS BIGINT) AS n, max(cents) AS peak
+        FROM e WHERE cents % 7 <> 0 GROUP BY day, cohort"""))
   )
 }

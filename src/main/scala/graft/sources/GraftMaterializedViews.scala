@@ -155,10 +155,16 @@ object GraftMaterializedViews {
     * flavor): applied to every state input — the initial snapshot,
     * each insert-only delta, and full recomputes — so the view models
     * `SELECT … FROM base WHERE filter GROUP BY keys` exactly.
+    * `derived` = the subset of `keys` that are EXPRESSIONS over base
+    * columns (name → expr SQL — `GROUP BY CAST(ts AS DATE)` aliased in
+    * the SELECT): computed onto every state input right after the
+    * filter, so grouping, null-key probing and the state MERGE all see
+    * them as plain columns.
     */
   final case class Config(base: String, keys: Seq[String],
                           measures: Seq[Measure],
-                          filter: Option[String] = None)
+                          filter: Option[String] = None,
+                          derived: Seq[(String, String)] = Nil)
 
   private def configPath(stateDir: String) =
     Paths.get(stateDir, "_graft_mview.json")
@@ -167,6 +173,7 @@ object GraftMaterializedViews {
     val body = (Seq(s"base\t${enc(c.base)}",
       s"keys\t${enc(c.keys.mkString(","))}") ++
       c.filter.map(f => s"filter\t${enc(f)}").toSeq ++
+      c.derived.map { case (n, ex) => s"dkey\t${enc(n)}\t${enc(ex)}" } ++
       c.measures.map(m => s"measure\t${enc(m.spec)}")).mkString("\n")
     val tmp = Paths.get(stateDir,
       s"._graft_mview_tmp_${java.util.UUID.randomUUID().toString.take(8)}")
@@ -181,8 +188,13 @@ object GraftMaterializedViews {
     require(Files.isRegularFile(configPath(stateDir)),
       s"no materialized-view config under $stateDir — not a state table " +
         "created by create_mview")
-    val lines = Files.readAllLines(configPath(stateDir)).toArray.toSeq
+    val raw = Files.readAllLines(configPath(stateDir)).toArray.toSeq
       .map(_.toString).filter(_.nonEmpty)
+    val derived = raw.collect { case l if l.startsWith("dkey\t") =>
+      val Array(_, n, ex) = l.split("\t", 3)
+      dec(n) -> dec(ex)
+    }
+    val lines = raw.filterNot(_.startsWith("dkey\t"))
       .map { l => val Array(k, v) = l.split("\t", 2); k -> dec(v) }
     val m = lines.toMap
     val measures0 = lines.collect { case ("measure", spec) =>
@@ -199,12 +211,19 @@ object GraftMaterializedViews {
     require(measures.nonEmpty,
       s"mview config under $stateDir declares no measures — corrupt?")
     Config(m("base"), m("keys").split(',').toSeq, measures,
-      m.get("filter"))
+      m.get("filter"), derived)
   }
 
-  /** Every state input flows through the config's row filter. */
-  private def filtered(df: DataFrame, cfg: Config): DataFrame =
-    cfg.filter.map(f => df.filter(expr(f))).getOrElse(df)
+  /** Every state input flows through the config's row filter, then
+    * gains the DERIVED key columns — grouping, null-key probing and
+    * the state MERGE all see them as plain columns.
+    */
+  private def prepared(df: DataFrame, cfg: Config): DataFrame = {
+    val f = cfg.filter.map(p => df.filter(expr(p))).getOrElse(df)
+    cfg.derived.foldLeft(f) { case (d, (n, ex)) =>
+      d.withColumn(n, expr(ex))
+    }
+  }
 
   private def split(ref: String): Identifier = {
     val parts = ref.split('.')
@@ -332,12 +351,13 @@ object GraftMaterializedViews {
   def create(spark: SparkSession, cat: GraftCatalog, viewRef: String,
              baseRef: String, keys: Seq[String], measures: Seq[Measure],
              buckets: Int = 16, filterSql: Option[String] = None,
-             finishOverride: Option[String => String] = None)
+             finishOverride: Option[String => String] = None,
+             derivedKeys: Seq[(String, String)] = Nil)
       : (Long, Long) = {
     require(keys.nonEmpty && measures.nonEmpty,
       "create_mview needs keys and measures")
     require(buckets > 0, s"buckets must be positive, got $buckets")
-    val cfg = Config(baseRef, keys, measures, filterSql)
+    val cfg = Config(baseRef, keys, measures, filterSql, derivedKeys)
     // EVERY precondition before ANY mutation — a late failure must not
     // orphan a committed state table
     require(!GraftViews.exists(catRoot(cat), split(viewRef)),
@@ -346,16 +366,22 @@ object GraftMaterializedViews {
     val base = cat.openTable(split(baseRef))
     val baseV = base.currentVersion
     val snap = base.readAt(baseV)
-    (keys ++ measures.map(_.col)).foreach(c =>
+    val derivedNames = derivedKeys.map(_._1).toSet
+    // derived key names must be FRESH — overwriting a base column
+    // would silently change what the measures aggregate
+    derivedNames.foreach(n => require(!snap.columns.contains(n),
+      s"derived key '$n' collides with a base column — alias it"))
+    (keys.filterNot(derivedNames) ++ measures.map(_.col)).foreach(c =>
       require(snap.columns.contains(c),
         s"base '$baseRef' has no column '$c'"))
-    // measure predicates AND the row filter must resolve against the
-    // base NOW — a broken predicate fails the CREATE, not the first
-    // refresh
+    // measure predicates, the row filter AND derived-key expressions
+    // must resolve against the base NOW — a broken expression fails
+    // the CREATE, not the first refresh
     (measures.flatMap(_.pred) ++ filterSql).foreach { p =>
       snap.select(expr(p).cast("boolean")).schema
     }
-    val state0 = state(filtered(snap, cfg), keys, measures)
+    derivedKeys.foreach { case (_, ex) => snap.select(expr(ex)).schema }
+    val state0 = state(prepared(snap, cfg), keys, measures)
     // the state table: keyed on the group keys, hash-bucketed on the
     // first one (incremental MERGE rewrites only delta buckets), stats
     // on _cnt for the metadata tiers
@@ -505,7 +531,35 @@ object GraftMaterializedViews {
       case Nil => None
       case cs => Some(cs.map(c => s"(${predSql(c)})").mkString(" AND "))
     }
-    val keys = groups.map(bareCol(_, "every GROUP BY expression"))
+    // grouping: bare columns pass through; any other DETERMINISTIC
+    // expression over base columns becomes a DERIVED key — its alias
+    // in the SELECT list names the state column (`GROUP BY
+    // CAST(ts AS DATE)` with `SELECT CAST(ts AS DATE) AS day …` keys
+    // the state on `day`), the expression recomputes on every state
+    // input
+    val derivedKeys =
+      scala.collection.mutable.LinkedHashMap.empty[String, String]
+    def keyName(g: Expression): String = g match {
+      case a: AttributeReference if baseCols.contains(a.name) => a.name
+      case e if e.deterministic =>
+        val alias = aggs.collectFirst {
+          case Alias(child, name) if child.semanticEquals(e) => name
+        }.getOrElse(bad(s"GROUP BY expression ${e.sql} must appear " +
+          "ALIASED in the SELECT list (AS <name>) — the alias names " +
+          "the key"))
+        if (!alias.matches("[A-Za-z_][A-Za-z0-9_]*"))
+          bad(s"GROUP BY expression ${e.sql} needs a bare-identifier " +
+            s"alias, got '$alias'")
+        e.collect { case a: AttributeReference => a.name }.foreach { r =>
+          if (!baseCols.contains(r))
+            bad(s"GROUP BY expression ${e.sql} references non-base " +
+              s"column '$r'")
+        }
+        derivedKeys(alias) = predSql(e)
+        alias
+      case e => bad(s"non-deterministic GROUP BY expression ${e.sql}")
+    }
+    val keys = groups.map(keyName)
     def integral(c: String): Unit = rel.output.find(_.name == c)
       .map(_.dataType) match {
       case Some(ByteType | ShortType | IntegerType | LongType) => ()
@@ -543,6 +597,13 @@ object GraftMaterializedViews {
         if (!keys.contains(a.name)) bad(s"non-aggregate output " +
           s"'${a.name}' is not a GROUP BY column")
         s"`${a.name}` AS `$name`"
+      // a DERIVED key's select-list alias: the state stores it under
+      // this name already
+      case Alias(childE, name)
+          if !childE.isInstanceOf[AggregateExpression] &&
+            derivedKeys.contains(name) &&
+            groups.exists(_.semanticEquals(childE)) =>
+        s"`$name`"
       case al @ Alias(ae: AggregateExpression, name) =>
         if (ae.isDistinct) bad("DISTINCT aggregates are not exactly " +
           "foldable (use the measures grammar's approximate dcount:col)")
@@ -591,7 +652,8 @@ object GraftMaterializedViews {
     val finish = (stName: String) =>
       s"SELECT ${rendered.mkString(", ")} FROM $stName"
     create(spark, cat, viewRef, baseRef, keys,
-      measures.values.toSeq, buckets, filterSql, Some(finish))
+      measures.values.toSeq, buckets, filterSql, Some(finish),
+      derivedKeys.toSeq)
   }
 
   /** REFRESH: fold the base's changes since the last refreshed version
@@ -615,7 +677,7 @@ object GraftMaterializedViews {
       // the config's row filter applies BEFORE everything (including
       // the incremental-eligibility probe: a null-key or non-insert
       // row OUTSIDE the filter is irrelevant to this view)
-      val changes = filtered(base.readChangesRowsBetween(lastV, curV), cfg)
+      val changes = prepared(base.readChangesRowsBetween(lastV, curV), cfg)
         .localCheckpoint(true)
       try {
         // incremental needs (a) insert-only changes and (b) NO null
@@ -635,7 +697,7 @@ object GraftMaterializedViews {
             return ("incremental", lastV, curV)
           return ("current", lastV, st.txnVersion(AppId))
         } else {
-          val full = state(filtered(base.readAt(curV), cfg), cfg.keys,
+          val full = state(prepared(base.readAt(curV), cfg), cfg.keys,
             cfg.measures)
           if (foldInto(st, curV, full, cfg, fullSync = true,
               expectedLast = lastV))

@@ -337,6 +337,56 @@ class GraftMviewSpec extends SparkSpec {
       "INTEGRAL")
   }
 
+  test("create_mview_sql with EXPRESSION group keys (the time-bucketed " +
+    "rollup shape): GROUP BY CAST(ts AS DATE)-style derived keys stay " +
+    "exact through both refresh modes; unaliased expressions reject") {
+    val (cat, _) = freshCatalog()
+    spark.sql(s"""CREATE TABLE $cat.db.ev (k BIGINT, ts TIMESTAMP,
+        user_id BIGINT, cents BIGINT) TBLPROPERTIES ('keys'='k')""")
+    spark.sql(s"""INSERT INTO $cat.db.ev
+      SELECT id, timestamp_seconds(1700000000 + id * 20000), id % 3,
+        id * 3 FROM range(60)""")
+    val select = s"""SELECT CAST(ts AS DATE) AS day,
+        user_id % 2 AS cohort, sum(cents) AS total, count(*) AS n
+      FROM $cat.db.ev GROUP BY CAST(ts AS DATE), user_id % 2"""
+    spark.sql(s"""CALL $cat.system.create_mview_sql('db.daily',
+      sql => "$select")""")
+    def check(): Unit = {
+      val a = spark.sql(s"SELECT * FROM $cat.db.daily")
+      val b = spark.sql(select)
+      assert(a.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+        b.schema.fields.map(f => (f.name, f.dataType)).toSeq,
+        s"${a.schema} vs ${b.schema}")
+      assert(a.collect().map(_.toSeq).toSet == b.collect().map(_.toSeq).toSet)
+    }
+    check()
+    spark.sql(s"""INSERT INTO $cat.db.ev
+      SELECT id, timestamp_seconds(1700000000 + id * 20000), id % 5,
+        id FROM range(60, 100)""")
+    val r1 = spark.sql(s"CALL $cat.system.refresh_mview('db.daily')")
+      .collect()(0)
+    assert(r1.getString(1) == "incremental", r1.toString)
+    check()
+    spark.sql(s"UPDATE $cat.db.ev SET cents = cents + 1 WHERE k % 8 = 0")
+    val r2 = spark.sql(s"CALL $cat.system.refresh_mview('db.daily')")
+      .collect()(0)
+    assert(r2.getString(1) == "full", r2.toString)
+    check()
+    // an UNALIASED grouping expression rejects with guidance
+    val e = intercept[Exception] {
+      spark.sql(s"""CALL $cat.system.create_mview_sql('db.bad', sql =>
+        "SELECT sum(cents) AS s FROM $cat.db.ev GROUP BY CAST(ts AS DATE)")""")
+    }
+    assert(e.getMessage.contains("ALIASED"), e.getMessage)
+    // a derived alias colliding with a base column rejects
+    val e2 = intercept[Exception] {
+      spark.sql(s"""CALL $cat.system.create_mview_sql('db.bad2', sql =>
+        "SELECT CAST(ts AS DATE) AS cents, sum(cents) AS s
+         FROM $cat.db.ev GROUP BY CAST(ts AS DATE)")""")
+    }
+    assert(e2.getMessage.contains("collides"), e2.getMessage)
+  }
+
   test("measure spec parsing: duplicate names reject; bad predicate " +
     "fails the CREATE, not the first refresh") {
     val (cat, _) = freshCatalog()
