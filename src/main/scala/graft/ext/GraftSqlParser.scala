@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.connector.catalog.Identifier
 import org.apache.spark.sql.types.{DataType, StructType}
 
-import org.apache.spark.sql.graft.{GraftCreateViewCommand, GraftDropViewCommand, GraftShowViewsCommand}
+import org.apache.spark.sql.graft.{GraftAlterViewAsCommand, GraftAlterViewPropsCommand, GraftCreateViewCommand, GraftDropViewCommand, GraftShowViewsCommand}
 
 /** Injected SQL parser (the Iceberg SQL-extensions-parser model):
   * intercepts the three VIEW DDL statements when they target a
@@ -68,6 +68,7 @@ object GraftSqlParser {
                            sql: String): Option[LogicalPlan] = {
     val s = sql.trim.stripSuffix(";")
     matchCreate(session, delegate, s)
+      .orElse(matchAlterAs(session, delegate, s))
       .orElse(matchDrop(session, s))
       .orElse(matchShow(session, s))
   }
@@ -209,6 +210,103 @@ object GraftSqlParser {
       delegate.parseQuery(query)
       GraftCreateViewCommand(cat, id, query, replace, ifNotExists)
     }
+  }
+
+  /** `ALTER VIEW <ident> AS <query>` — other ALTER VIEW forms (SET
+    * TBLPROPERTIES …) delegate to the vanilla path, which serves them
+    * through the ViewCatalog protocol already.
+    */
+  private def matchAlterAs(session: SparkSession,
+                           delegate: ParserInterface, s: String)
+      : Option[LogicalPlan] = {
+    val afterAlter = keywords(s, "ALTER", "VIEW") match {
+      case Some(r) => r
+      case None => return None
+    }
+    val trimmed = afterAlter.dropWhile(_.isWhitespace)
+    val (parts, afterIdent) = ident(trimmed) match {
+      case Some(pr) => pr
+      case None => return None
+    }
+    keywords(afterIdent, "AS") match {
+      case Some(q) if q.exists(!_.isWhitespace) =>
+        val query = q.trim
+        address(session, parts).map { case (cat, id) =>
+          delegate.parseQuery(query) // body must be a QUERY, at parse time
+          GraftAlterViewAsCommand(cat, id, query)
+        }
+      case _ =>
+        // SET / UNSET TBLPROPERTIES (vanilla never routes these to a
+        // V2 ViewCatalog either)
+        val setRest = keywords(afterIdent, "SET", "TBLPROPERTIES")
+        val unsetRest = keywords(afterIdent, "UNSET", "TBLPROPERTIES")
+          .flatMap(r => keywords(r, "IF", "EXISTS").orElse(Some(r)))
+        (setRest, unsetRest) match {
+          case (Some(r), _) =>
+            propList(r, withValues = true).collect {
+              case (props, tail) if tail.forall(_.isWhitespace) =>
+                address(session, parts).map { case (cat, id) =>
+                  GraftAlterViewPropsCommand(cat, id, props, Nil)
+                }
+            }.flatten
+          case (_, Some(r)) =>
+            propList(r, withValues = false).collect {
+              case (props, tail) if tail.forall(_.isWhitespace) =>
+                address(session, parts).map { case (cat, id) =>
+                  GraftAlterViewPropsCommand(cat, id, Nil, props.map(_._1))
+                }
+            }.flatten
+          case _ => None
+        }
+    }
+  }
+
+  /** A parenthesized TBLPROPERTIES list: `('k' = 'v', key2 = 'w')`
+    * (keys/values single-quoted — doubled-quote escapes — or bare
+    * identifier-ish tokens). Returns (pairs, rest-after-paren); None =
+    * not this shape, delegate.
+    */
+  private def propList(s0: String, withValues: Boolean)
+      : Option[(Seq[(String, String)], String)] = {
+    var s = s0.dropWhile(_.isWhitespace)
+    if (!s.startsWith("(")) return None
+    s = s.drop(1)
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    def tok(): Option[String] = {
+      s = s.dropWhile(_.isWhitespace)
+      if (s.startsWith("'")) {
+        val sb = new StringBuilder
+        var i = 1
+        while (i < s.length) {
+          if (s(i) == '\'') {
+            if (i + 1 < s.length && s(i + 1) == '\'') {
+              sb.append('\''); i += 2
+            } else { s = s.substring(i + 1); return Some(sb.toString) }
+          } else { sb.append(s(i)); i += 1 }
+        }
+        None // unterminated
+      } else {
+        val t = s.takeWhile(c => c.isLetterOrDigit || c == '_' || c == '.')
+        if (t.isEmpty) None else { s = s.drop(t.length); Some(t) }
+      }
+    }
+    while (true) {
+      val k = tok().getOrElse(return None)
+      val v =
+        if (!withValues) ""
+        else {
+          s = s.dropWhile(_.isWhitespace)
+          if (!s.startsWith("=")) return None
+          s = s.drop(1)
+          tok().getOrElse(return None)
+        }
+      out += (k -> v)
+      s = s.dropWhile(_.isWhitespace)
+      if (s.startsWith(",")) s = s.drop(1)
+      else if (s.startsWith(")")) return Some((out.toSeq, s.drop(1)))
+      else return None
+    }
+    None
   }
 
   private def matchDrop(session: SparkSession, s: String)

@@ -204,13 +204,17 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   // ------------------------------------------------------------- views
   //
-  // Spark 4's native V2 view protocol: CREATE [OR REPLACE] VIEW /
-  // DROP VIEW / SHOW VIEWS / ALTER VIEW … SET TBLPROPERTIES analyze
-  // natively once the catalog is a ViewCatalog, and SELECTs through a
-  // view re-resolve its stored SQL in the view's own catalog+namespace
-  // context — filters/pruning push into the underlying table scan as
-  // if the query were inlined. Views persist as one small metadata
-  // file each under `<ns>/_graft_views/` ([[GraftViews]]).
+  // Spark 4's native V2 view protocol (the ViewCatalog interface ships
+  // UNWIRED in vanilla 4.1 — no SQL statement routes here on its own):
+  // CREATE [OR REPLACE] VIEW / DROP VIEW / SHOW VIEWS / ALTER VIEW …
+  // {AS | SET/UNSET TBLPROPERTIES} reach these methods through the
+  // injected parser (graft.ext.GraftSqlParser) on extension sessions,
+  // or the CALL procedures elsewhere; SELECTs through a view
+  // re-resolve its stored SQL in the view's own catalog+namespace
+  // context (graft.ext.GraftResolveViews) — filters/pruning push into
+  // the underlying table scan as if the query were inlined. Views
+  // persist as one small metadata file each under `<ns>/_graft_views/`
+  // ([[GraftViews]]).
 
   override def listViews(namespace: String*): Array[Identifier] = {
     if (namespace.nonEmpty && !Files.isDirectory(nsDir(namespace.toArray)))

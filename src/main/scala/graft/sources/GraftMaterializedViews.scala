@@ -172,6 +172,8 @@ object GraftMaterializedViews {
   private def writeConfig(stateDir: String, c: Config): Unit = {
     val body = (Seq(s"base\t${enc(c.base)}",
       s"keys\t${enc(c.keys.mkString(","))}") ++
+      (if (c.measures.isEmpty) Seq(s"nomeasures\t${enc("1")}")
+       else Seq.empty) ++
       c.filter.map(f => s"filter\t${enc(f)}").toSeq ++
       c.derived.map { case (n, ex) => s"dkey\t${enc(n)}\t${enc(ex)}" } ++
       c.measures.map(m => s"measure\t${enc(m.spec)}")).mkString("\n")
@@ -208,7 +210,7 @@ object GraftMaterializedViews {
       else m.get("measures").toSeq
         .flatMap(_.split(',').toSeq.filter(_.nonEmpty))
         .map(c => Measure("sum", c, None, c))
-    require(measures.nonEmpty,
+    require(measures.nonEmpty || m.contains("nomeasures"),
       s"mview config under $stateDir declares no measures — corrupt?")
     Config(m("base"), m("keys").split(',').toSeq, measures,
       m.get("filter"), derived)
@@ -354,8 +356,8 @@ object GraftMaterializedViews {
              finishOverride: Option[String => String] = None,
              derivedKeys: Seq[(String, String)] = Nil)
       : (Long, Long) = {
-    require(keys.nonEmpty && measures.nonEmpty,
-      "create_mview needs keys and measures")
+    require(keys.nonEmpty, "create_mview needs keys")
+    // measures MAY be empty: a count(*)-only view rides the _cnt state
     require(buckets > 0, s"buckets must be positive, got $buckets")
     val cfg = Config(baseRef, keys, measures, filterSql, derivedKeys)
     // EVERY precondition before ANY mutation — a late failure must not
@@ -489,17 +491,35 @@ object GraftMaterializedViews {
     import org.apache.spark.sql.types._
 
     def bad(why: String): Nothing = throw new IllegalArgumentException(
-      s"create_mview_sql: $why — supported shape: SELECT <group cols>, " +
-        "<sum|avg|min|max|count aggregates [FILTER (WHERE …)] AS alias> " +
+      s"create_mview_sql: $why — supported shape: SELECT <group cols or " +
+        "aliased group exprs>, <sum|avg|min|max|count aggregates " +
+        "[FILTER (WHERE …)] AS alias> " +
         s"FROM <one table of catalog ${cat.name()}> [WHERE …] GROUP BY " +
-        "<the group cols>; aggregate inputs must be bare integral " +
-        "columns. Got: " + sql)
+        "<the group cols/exprs> [HAVING …]; aggregate inputs must be " +
+        "bare integral columns. Got: " + sql)
 
     val analyzed = spark.sql(sql).queryExecution.analyzed
-    val (groups, aggs, child) = analyzed match {
-      case Aggregate(g, a, c, _) => (g, a, c)
-      case _ => bad("the query is not a single grouped aggregate")
-    }
+    // HAVING analyzes as Filter-over-Aggregate (plus a narrowing
+    // Project when the HAVING references aggregates not in the SELECT
+    // list — the analyzer materializes them as hidden aggregate
+    // outputs): the condition becomes a READ-TIME filter over the
+    // finish rendering, so the state keeps every group (SQL HAVING
+    // semantics survive refreshes that move groups across the bar)
+    import org.apache.spark.sql.catalyst.plans.logical.Project
+    import org.apache.spark.sql.catalyst.expressions.NamedExpression
+    val (visible, having, groups, aggs, child):
+        (Option[Seq[AttributeReference]], Option[Expression],
+         Seq[Expression], Seq[NamedExpression], LogicalPlan) =
+      analyzed match {
+        case Project(pl, LFilter(cond, Aggregate(g, a, c, _)))
+            if pl.forall(_.isInstanceOf[AttributeReference]) =>
+          (Some(pl.map(_.asInstanceOf[AttributeReference])), Some(cond),
+            g, a, c)
+        case LFilter(cond, Aggregate(g, a, c, _)) =>
+          (None, Some(cond), g, a, c)
+        case Aggregate(g, a, c, _) => (None, None, g, a, c)
+        case _ => bad("the query is not a single grouped aggregate")
+      }
     // peel the chain down to ONE graft relation, collecting WHEREs
     def peel(p: LogicalPlan, conds: List[Expression])
         : (DataSourceV2Relation, List[Expression]) = p match {
@@ -583,6 +603,7 @@ object GraftMaterializedViews {
     // state family) and the finish rendering per output column
     val measures = scala.collection.mutable.LinkedHashMap
       .empty[(String, String, Option[String]), Measure]
+    var sawCountStar = false
     def measure(func: String, colName: String, pred: Option[String])
         : Measure =
       measures.getOrElseUpdate((func, colName, pred),
@@ -633,6 +654,7 @@ object GraftMaterializedViews {
             val m = measure("max", c, pred)
             s"${cast(s"_max_${m.name}")} AS `$name`"
           case Count(Seq(Literal(1, IntegerType))) if pred.isEmpty =>
+            sawCountStar = true
             s"_cnt AS `$name`"
           case Count(Seq(e)) if !e.isInstanceOf[Literal] =>
             val c = bareCol(e, "count's input")
@@ -648,9 +670,34 @@ object GraftMaterializedViews {
         "aggregate and compute downstream)")
     }
     val rendered = aggs.map(render)
-    if (measures.isEmpty) bad("the SELECT has no aggregate")
-    val finish = (stName: String) =>
-      s"SELECT ${rendered.mkString(", ")} FROM $stName"
+    if (measures.isEmpty && !sawCountStar)
+      bad("the SELECT has no aggregate")
+    // output-attribute names by exprId — HAVING conditions and the
+    // narrowing projection reference aggregate outputs by attribute
+    val outName = aggs.map(ne => ne.exprId -> ne.name).toMap
+    val havingSql = having.map { cond =>
+      cond.transform {
+        case a: AttributeReference =>
+          org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute(
+            Seq(outName.getOrElse(a.exprId,
+              bad(s"HAVING references '${a.name}', not an aggregate output"))))
+      }.sql
+    }
+    val visibleNames = visible.map(_.map(a =>
+      outName.getOrElse(a.exprId,
+        bad(s"projected column '${a.name}' is not an aggregate output"))))
+    val finish = (stName: String) => {
+      val inner = s"SELECT ${rendered.mkString(", ")} FROM $stName"
+      (havingSql, visibleNames) match {
+        case (None, _) => inner
+        case (Some(h), None) => s"SELECT * FROM ($inner) WHERE $h"
+        case (Some(h), Some(vs)) =>
+          // hidden HAVING-only aggregates stay in the inner rendering
+          // (their state columns exist either way) and drop here
+          s"SELECT ${vs.map(n => s"`$n`").mkString(", ")} " +
+            s"FROM ($inner) WHERE $h"
+      }
+    }
     create(spark, cat, viewRef, baseRef, keys,
       measures.values.toSeq, buckets, filterSql, Some(finish),
       derivedKeys.toSeq)

@@ -59,6 +59,50 @@ case class GraftCreateViewCommand(catalogName: String,
   }
 }
 
+/** `ALTER VIEW <ident> AS <query>` — redefine an EXISTING view's body
+  * (schema re-pins from the new query; properties reset, the vanilla
+  * semantic).
+  */
+case class GraftAlterViewAsCommand(catalogName: String,
+                                   ident: Identifier,
+                                   query: String)
+    extends LeafRunnableCommand {
+
+  override def run(sparkSession: SparkSession): Seq[Row] = {
+    val vc = GraftViewDdl.viewCatalog(sparkSession, catalogName)
+    if (!vc.viewExists(ident))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchViewException(ident)
+    val frame = sparkSession.sql(query)
+    val info = new ViewInfo(ident, query, catalogName, ident.namespace(),
+      frame.schema, frame.columns, Array.empty[String], Array.empty[String],
+      java.util.Collections.emptyMap[String, String]())
+    vc.replaceView(info, false)
+    Seq.empty
+  }
+}
+
+/** `ALTER VIEW <ident> SET TBLPROPERTIES (…)` / `UNSET TBLPROPERTIES
+  * (…)` onto the catalog's native `alterView`.
+  */
+case class GraftAlterViewPropsCommand(catalogName: String,
+                                      ident: Identifier,
+                                      set: Seq[(String, String)],
+                                      unset: Seq[String])
+    extends LeafRunnableCommand {
+
+  override def run(sparkSession: SparkSession): Seq[Row] = {
+    val vc = GraftViewDdl.viewCatalog(sparkSession, catalogName)
+    val changes: Seq[org.apache.spark.sql.connector.catalog.ViewChange] =
+      set.map { case (k, v) =>
+        org.apache.spark.sql.connector.catalog.ViewChange.setProperty(k, v)
+      } ++ unset.map(
+        org.apache.spark.sql.connector.catalog.ViewChange.removeProperty)
+    vc.alterView(ident, changes: _*)
+    Seq.empty
+  }
+}
+
 /** `DROP VIEW [IF EXISTS] <ident>`. */
 case class GraftDropViewCommand(catalogName: String,
                                              ident: Identifier,

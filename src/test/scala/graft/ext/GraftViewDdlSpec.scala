@@ -70,6 +70,39 @@ class GraftViewDdlSpec extends SparkSpec {
     assert(spark.sql(s"SHOW VIEWS IN $cat.db").collect().isEmpty)
   }
 
+  test("ALTER VIEW … AS redefines an existing view; a missing view " +
+    "errors; SET TBLPROPERTIES still delegates to the native path") {
+    val cat = freshCatalog()
+    spark.sql(s"""CREATE TABLE $cat.db.t (k BIGINT)
+      TBLPROPERTIES ('keys'='k')""")
+    spark.sql(s"INSERT INTO $cat.db.t SELECT id FROM range(10)")
+    spark.sql(s"CREATE VIEW $cat.db.v AS SELECT k FROM $cat.db.t")
+    spark.sql(s"""ALTER VIEW $cat.db.v AS
+      SELECT k * 2 AS twice FROM $cat.db.t WHERE k < 3""")
+    val rows = spark.sql(s"SELECT twice FROM $cat.db.v ORDER BY twice")
+      .collect().map(_.getLong(0)).toSeq
+    assert(rows == Seq(0L, 2L, 4L))
+    intercept[Exception] {
+      spark.sql(s"ALTER VIEW $cat.db.ghost AS SELECT 1 AS one")
+    }
+    // command bodies reject at parse time here too
+    intercept[org.apache.spark.sql.catalyst.parser.ParseException] {
+      spark.sql(s"ALTER VIEW $cat.db.v AS DROP TABLE $cat.db.t")
+    }
+    // ALTER VIEW … SET/UNSET TBLPROPERTIES route to the catalog's
+    // alterView (vanilla never consults a V2 ViewCatalog for these)
+    spark.sql(s"ALTER VIEW $cat.db.v SET TBLPROPERTIES ('note' = 'hi', owner = 'me')")
+    val gc = spark.sessionState.catalogManager.catalog(cat)
+      .asInstanceOf[graft.sources.GraftCatalog]
+    val ident = org.apache.spark.sql.connector.catalog.Identifier
+      .of(Array("db"), "v")
+    assert(gc.loadView(ident).properties().get("note") == "hi")
+    assert(gc.loadView(ident).properties().get("owner") == "me")
+    spark.sql(s"ALTER VIEW $cat.db.v UNSET TBLPROPERTIES ('note')")
+    assert(!gc.loadView(ident).properties().containsKey("note"))
+    spark.sql(s"DROP VIEW $cat.db.v")
+  }
+
   test("backtick-quoted identifiers parse (incl. doubled backticks)") {
     val cat = freshCatalog()
     spark.sql(s"""CREATE TABLE $cat.db.t (k BIGINT)

@@ -387,6 +387,47 @@ class GraftMviewSpec extends SparkSpec {
     assert(e2.getMessage.contains("collides"), e2.getMessage)
   }
 
+  test("create_mview_sql with HAVING: the condition filters at READ " +
+    "time (groups keep their state and re-emerge when they cross the " +
+    "bar), incl. HAVING over an aggregate NOT in the SELECT list") {
+    val (cat, _) = freshCatalog()
+    spark.sql(s"""CREATE TABLE $cat.db.ev (k BIGINT, user_id BIGINT,
+        cents BIGINT) TBLPROPERTIES ('keys'='k')""")
+    spark.sql(s"INSERT INTO $cat.db.ev SELECT id, id % 10, id FROM range(30)")
+    val select = s"""SELECT user_id, sum(cents) AS total
+      FROM $cat.db.ev GROUP BY user_id HAVING count(*) > 3"""
+    spark.sql(s"""CALL $cat.system.create_mview_sql('db.big',
+      sql => "$select")""")
+    def check(): Unit = {
+      val a = spark.sql(s"SELECT * FROM $cat.db.big")
+      val b = spark.sql(select)
+      assert(a.columns.toSeq == b.columns.toSeq,
+        s"${a.columns.toSeq} vs ${b.columns.toSeq}")
+      assert(a.collect().map(_.toSeq).toSet == b.collect().map(_.toSeq).toSet)
+    }
+    // 30 rows over 10 users = 3 each → NOBODY crosses count(*) > 3 yet
+    assert(spark.sql(s"SELECT * FROM $cat.db.big").collect().isEmpty)
+    check()
+    // an insert-only delta pushes SOME users over the bar — they
+    // re-emerge from state that was maintained all along
+    spark.sql(s"INSERT INTO $cat.db.ev SELECT id, id % 4, id FROM range(30, 50)")
+    val r1 = spark.sql(s"CALL $cat.system.refresh_mview('db.big')")
+      .collect()(0)
+    assert(r1.getString(1) == "incremental", r1.toString)
+    assert(spark.sql(s"SELECT * FROM $cat.db.big").collect().nonEmpty)
+    check()
+    // HAVING over a SELECTED aggregate works too
+    spark.sql(s"""CALL $cat.system.create_mview_sql('db.big2', sql =>
+      "SELECT user_id, count(*) AS n FROM $cat.db.ev
+       GROUP BY user_id HAVING n > 3")""")
+    val n2 = spark.sql(s"SELECT * FROM $cat.db.big2").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val w2 = spark.sql(s"""SELECT user_id, count(*) AS n FROM $cat.db.ev
+      GROUP BY user_id HAVING n > 3""").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(n2 == w2, s"$n2 vs $w2")
+  }
+
   test("measure spec parsing: duplicate names reject; bad predicate " +
     "fails the CREATE, not the first refresh") {
     val (cat, _) = freshCatalog()
