@@ -3889,6 +3889,70 @@ object IngestQueries {
           FROM events)
         SELECT day, cohort, CAST(sum(cents) AS BIGINT) AS total,
           CAST(count(*) AS BIGINT) AS n, max(cents) AS peak
-        FROM e WHERE cents % 7 <> 0 GROUP BY day, cohort"""))
+        FROM e WHERE cents % 7 <> 0 GROUP BY day, cohort""")),
+
+    // HAVING MVIEW (round 13): the HAVING condition — here over an
+    // aggregate NOT in the SELECT list, which the analyzer
+    // materializes as a hidden aggregate output — filters at READ
+    // time, so groups keep their state and re-emerge when a later
+    // delta pushes them over the bar (gated in-query: a group absent
+    // at batch 1 must appear after the incremental fold). Oracle
+    // replays the HAVING aggregate over the final base.
+    QuerySpec("q277_sql_mview_having",
+      (s, dir) => {
+        GraftSession.tune(s)
+        val base = java.nio.file.Files.createTempDirectory("graft_q277_").toString
+        Tables.events(s, dir).createOrReplaceTempView("q277_events")
+        val cat = s"gcat_${java.util.UUID.randomUUID().toString.take(8)}"
+          .replace("-", "_")
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.root", base)
+        s.sql(s"""CREATE TABLE $cat.db.ev (
+            event_id BIGINT, user_id BIGINT, cents BIGINT)
+          TBLPROPERTIES ('keys'='event_id')""")
+        s.sql(s"""INSERT INTO $cat.db.ev
+          SELECT event_id, user_id, CAST(round(value * 100) AS BIGINT)
+          FROM q277_events WHERE event_id % 4 = 0""")
+        // the bar sits between batch-1's per-user row count (~n/4u)
+        // and the final one (~n/u), at EVERY SF: floor(floor(n/u)/2)
+        // == floor(n/u/2), so the oracle recomputes it identically
+        val stats = s.sql(
+          "SELECT count(*), count(DISTINCT user_id) FROM q277_events")
+          .collect()(0)
+        val bar = stats.getLong(0) / stats.getLong(1) / 2
+        s.sql(s"""CALL $cat.system.create_mview_sql('db.heavy', sql =>
+          "SELECT user_id, sum(cents) AS total
+           FROM $cat.db.ev GROUP BY user_id
+           HAVING count(*) > CAST($bar AS BIGINT)")""")
+        val before = s.sql(s"SELECT count(*) FROM $cat.db.heavy")
+          .collect()(0).getLong(0)
+        s.sql(s"""INSERT INTO $cat.db.ev
+          SELECT event_id, user_id, CAST(round(value * 100) AS BIGINT)
+          FROM q277_events WHERE event_id % 4 <> 0""")
+        val r1 = s.sql(s"CALL $cat.system.refresh_mview('db.heavy')")
+          .collect()(0)
+        require(r1.getString(1) == "incremental",
+          s"q277: the insert-only delta must fold INCREMENTALLY, got $r1")
+        val after = s.sql(s"SELECT count(*) FROM $cat.db.heavy")
+          .collect()(0).getLong(0)
+        require(after > before,
+          s"q277: groups must RE-EMERGE across the HAVING bar after the " +
+            s"fold (before=$before, after=$after) — state is kept for " +
+            "every group")
+        val out = s.sql(s"SELECT user_id, total FROM $cat.db.heavy")
+        val snap = out.localCheckpoint(true)
+        graft.operators.Fs.deleteTree(base)
+        snap
+      },
+      Some("""
+        WITH e AS (
+          SELECT user_id, CAST(round(value * 100) AS BIGINT) AS cents
+          FROM events),
+        bar AS (
+          SELECT CAST(count(*) / count(DISTINCT user_id) / 2 AS BIGINT) AS b
+          FROM events)
+        SELECT user_id, CAST(sum(cents) AS BIGINT) AS total
+        FROM e GROUP BY user_id
+        HAVING count(*) > (SELECT b FROM bar)"""))
   )
 }
