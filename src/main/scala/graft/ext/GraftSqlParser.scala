@@ -212,9 +212,11 @@ object GraftSqlParser {
     }
   }
 
-  /** `ALTER VIEW <ident> AS <query>` — other ALTER VIEW forms (SET
-    * TBLPROPERTIES …) delegate to the vanilla path, which serves them
-    * through the ViewCatalog protocol already.
+  /** `ALTER VIEW <ident> {AS <query> | SET TBLPROPERTIES (…) |
+    * UNSET TBLPROPERTIES [IF EXISTS] (…)}` — vanilla 4.1 routes NO
+    * view statement to a V2 ViewCatalog, so all three forms intercept
+    * here; anything else (unrecognized property syntax included)
+    * delegates and surfaces the vanilla error.
     */
   private def matchAlterAs(session: SparkSession,
                            delegate: ParserInterface, s: String)
@@ -240,7 +242,12 @@ object GraftSqlParser {
         // V2 ViewCatalog either)
         val setRest = keywords(afterIdent, "SET", "TBLPROPERTIES")
         val unsetRest = keywords(afterIdent, "UNSET", "TBLPROPERTIES")
-          .flatMap(r => keywords(r, "IF", "EXISTS").orElse(Some(r)))
+          .map { r =>
+            keywords(r, "IF", "EXISTS") match {
+              case Some(r2) => (r2, true)
+              case None => (r, false)
+            }
+          }
         (setRest, unsetRest) match {
           case (Some(r), _) =>
             propList(r, withValues = true).collect {
@@ -249,11 +256,12 @@ object GraftSqlParser {
                   GraftAlterViewPropsCommand(cat, id, props, Nil)
                 }
             }.flatten
-          case (_, Some(r)) =>
+          case (_, Some((r, ifExists))) =>
             propList(r, withValues = false).collect {
               case (props, tail) if tail.forall(_.isWhitespace) =>
                 address(session, parts).map { case (cat, id) =>
-                  GraftAlterViewPropsCommand(cat, id, Nil, props.map(_._1))
+                  GraftAlterViewPropsCommand(cat, id, Nil,
+                    props.map(_._1), ifExists)
                 }
             }.flatten
           case _ => None
@@ -274,20 +282,27 @@ object GraftSqlParser {
     val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     def tok(): Option[String] = {
       s = s.dropWhile(_.isWhitespace)
-      if (s.startsWith("'")) {
-        val sb = new StringBuilder
-        var i = 1
-        while (i < s.length) {
-          if (s(i) == '\'') {
-            if (i + 1 < s.length && s(i + 1) == '\'') {
-              sb.append('\''); i += 2
-            } else { s = s.substring(i + 1); return Some(sb.toString) }
-          } else { sb.append(s(i)); i += 1 }
-        }
-        None // unterminated
-      } else {
-        val t = s.takeWhile(c => c.isLetterOrDigit || c == '_' || c == '.')
-        if (t.isEmpty) None else { s = s.drop(t.length); Some(t) }
+      // single- OR double-quoted (both are stringLit in the vanilla
+      // grammar; doubled-quote escapes), else a bare identifier-ish run
+      val q = if (s.startsWith("'")) Some('\'')
+        else if (s.startsWith("\"")) Some('"')
+        else None
+      q match {
+        case Some(quote) =>
+          val sb = new StringBuilder
+          var i = 1
+          while (i < s.length) {
+            if (s(i) == quote) {
+              if (i + 1 < s.length && s(i + 1) == quote) {
+                sb.append(quote); i += 2
+              } else { s = s.substring(i + 1); return Some(sb.toString) }
+            } else { sb.append(s(i)); i += 1 }
+          }
+          None // unterminated
+        case None =>
+          val t = s.takeWhile(c => c.isLetterOrDigit || c == '_' ||
+            c == '.' || c == '-')
+          if (t.isEmpty) None else { s = s.drop(t.length); Some(t) }
       }
     }
     while (true) {

@@ -369,10 +369,18 @@ object GraftMaterializedViews {
     val baseV = base.currentVersion
     val snap = base.readAt(baseV)
     val derivedNames = derivedKeys.map(_._1).toSet
-    // derived key names must be FRESH — overwriting a base column
-    // would silently change what the measures aggregate
-    derivedNames.foreach(n => require(!snap.columns.contains(n),
-      s"derived key '$n' collides with a base column — alias it"))
+    // derived key names must be FRESH — withColumn resolves
+    // CASE-INSENSITIVELY, so the collision check must too (a
+    // case-variant alias would silently REPLACE the base column the
+    // measures aggregate) — and never underscore-prefixed (those are
+    // the engine's internal columns: _change_type, _cnt, _sum_*, …)
+    derivedNames.foreach { n =>
+      require(!snap.columns.exists(_.equalsIgnoreCase(n)),
+        s"derived key '$n' collides with a base column — alias it")
+      require(!n.startsWith("_"),
+        s"derived key '$n': underscore-prefixed names are reserved " +
+          "for the engine's internal columns")
+    }
     (keys.filterNot(derivedNames) ++ measures.map(_.col)).foreach(c =>
       require(snap.columns.contains(c),
         s"base '$baseRef' has no column '$c'"))
@@ -408,8 +416,13 @@ object GraftMaterializedViews {
       GraftTableMeta.annotate(st)
       writeConfig(dir, cfg)
       // the initial load is refresh #baseV — same txn discipline (the
-      // -1 anchor pin makes a raced double-create lose loudly)
-      foldInto(st, baseV, state0, cfg, fullSync = true, expectedLast = -1L)
+      // -1 anchor pin makes a raced double-create lose loudly); a skip
+      // means a concurrent creator already anchored this exact version
+      if (!foldInto(st, baseV, state0, cfg, fullSync = true,
+          expectedLast = -1L))
+        throw new graft.operators.StaleTxnAnchorException(
+          s"create_mview($viewRef): a concurrent create already " +
+            "anchored the state")
       // the user-facing finish view (exact-decimal state, double
       // surface; the SQL-defined flavor supplies its own rendering)
       val finishSql = finishOverride.map(
@@ -447,6 +460,15 @@ object GraftMaterializedViews {
       viewCreated = true
       (baseV, st.read.count())
     } catch {
+      // a CONCURRENCY loser must not roll back anything: in a raced
+      // double create both callers touched the SAME state directory
+      // (createIfNotExists is idempotent), so deleting it would
+      // destroy the winner's committed table
+      case e @ (_: graft.operators.StaleTxnAnchorException |
+                _: graft.operators.CommitConflictException) =>
+        throw new IllegalStateException(
+          s"create_mview($viewRef) lost a concurrent-create race — " +
+            "the other creator's view stands", e)
       case e: Throwable =>
         // roll back ONLY what THIS call created: dropping the view
         // unconditionally would delete a concurrent winner's view when
@@ -541,12 +563,26 @@ object GraftMaterializedViews {
       case other => bad(s"$what must be a bare base column, got " +
         other.sql)
     }
+    // clock-dependent functions are DETERMINISTIC within one query but
+    // vary across refreshes — a WHERE/FILTER/key built on them would
+    // fold new deltas under different semantics than the existing
+    // state, silently diverging the view from its SELECT
+    val ClockFns = Set("current_date", "current_timestamp", "now",
+      "localtimestamp", "current_timezone", "current_time",
+      "unix_timestamp")
+    def rejectClock(e: Expression, what: String): Unit =
+      ClockFns.find(f => e.exists(_.prettyName == f)).foreach { f =>
+        bad(s"$what uses $f(), which would evaluate DIFFERENTLY at " +
+          "each refresh — materialize against a literal instant instead")
+      }
     // predicates round-trip through expr() against BARE frames later —
     // strip the reader-context qualifiers off every attribute
-    def predSql(e: Expression): String =
+    def predSql(e: Expression): String = {
+      rejectClock(e, "a WHERE/FILTER predicate")
       e.transform {
         case a: AttributeReference => a.withQualifier(Nil)
       }.sql
+    }
     val filterSql = conds match {
       case Nil => None
       case cs => Some(cs.map(c => s"(${predSql(c)})").mkString(" AND "))
@@ -575,6 +611,7 @@ object GraftMaterializedViews {
             bad(s"GROUP BY expression ${e.sql} references non-base " +
               s"column '$r'")
         }
+        rejectClock(e, s"the GROUP BY expression ${e.sql}")
         derivedKeys(alias) = predSql(e)
         alias
       case e => bad(s"non-deterministic GROUP BY expression ${e.sql}")

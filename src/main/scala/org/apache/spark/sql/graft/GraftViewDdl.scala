@@ -60,8 +60,8 @@ case class GraftCreateViewCommand(catalogName: String,
 }
 
 /** `ALTER VIEW <ident> AS <query>` — redefine an EXISTING view's body
-  * (schema re-pins from the new query; properties reset, the vanilla
-  * semantic).
+  * (schema re-pins from the new query; user TBLPROPERTIES are
+  * PRESERVED, the vanilla AlterViewAs semantic).
   */
 case class GraftAlterViewAsCommand(catalogName: String,
                                    ident: Identifier,
@@ -73,26 +73,39 @@ case class GraftAlterViewAsCommand(catalogName: String,
     if (!vc.viewExists(ident))
       throw new org.apache.spark.sql.catalyst.analysis
         .NoSuchViewException(ident)
+    val existing = vc.loadView(ident)
     val frame = sparkSession.sql(query)
     val info = new ViewInfo(ident, query, catalogName, ident.namespace(),
       frame.schema, frame.columns, Array.empty[String], Array.empty[String],
-      java.util.Collections.emptyMap[String, String]())
+      existing.properties())
     vc.replaceView(info, false)
     Seq.empty
   }
 }
 
 /** `ALTER VIEW <ident> SET TBLPROPERTIES (…)` / `UNSET TBLPROPERTIES
-  * (…)` onto the catalog's native `alterView`.
+  * [IF EXISTS] (…)` onto the catalog's native `alterView`. UNSET
+  * without IF EXISTS rejects missing keys (the vanilla
+  * UNSET_NONEXISTENT_PROPERTIES semantic — a typo must not be
+  * swallowed).
   */
 case class GraftAlterViewPropsCommand(catalogName: String,
                                       ident: Identifier,
                                       set: Seq[(String, String)],
-                                      unset: Seq[String])
+                                      unset: Seq[String],
+                                      unsetIfExists: Boolean = false)
     extends LeafRunnableCommand {
 
   override def run(sparkSession: SparkSession): Seq[Row] = {
     val vc = GraftViewDdl.viewCatalog(sparkSession, catalogName)
+    if (unset.nonEmpty && !unsetIfExists) {
+      val existing = vc.loadView(ident).properties()
+      val missing = unset.filterNot(existing.containsKey)
+      if (missing.nonEmpty) throw new IllegalArgumentException(
+        s"UNSET TBLPROPERTIES: view $ident has no " +
+          s"propert${if (missing.size == 1) "y" else "ies"} " +
+          s"${missing.mkString(", ")} — use IF EXISTS to ignore")
+    }
     val changes: Seq[org.apache.spark.sql.connector.catalog.ViewChange] =
       set.map { case (k, v) =>
         org.apache.spark.sql.connector.catalog.ViewChange.setProperty(k, v)

@@ -90,16 +90,30 @@ class GraftViewDdlSpec extends SparkSpec {
       spark.sql(s"ALTER VIEW $cat.db.v AS DROP TABLE $cat.db.t")
     }
     // ALTER VIEW … SET/UNSET TBLPROPERTIES route to the catalog's
-    // alterView (vanilla never consults a V2 ViewCatalog for these)
-    spark.sql(s"ALTER VIEW $cat.db.v SET TBLPROPERTIES ('note' = 'hi', owner = 'me')")
+    // alterView (vanilla never consults a V2 ViewCatalog for these);
+    // double-quoted values are the vanilla stringLit too
+    spark.sql(s"""ALTER VIEW $cat.db.v SET TBLPROPERTIES
+      ('note' = 'hi', owner = 'me', "retention" = "7d")""")
     val gc = spark.sessionState.catalogManager.catalog(cat)
       .asInstanceOf[graft.sources.GraftCatalog]
     val ident = org.apache.spark.sql.connector.catalog.Identifier
       .of(Array("db"), "v")
     assert(gc.loadView(ident).properties().get("note") == "hi")
     assert(gc.loadView(ident).properties().get("owner") == "me")
+    assert(gc.loadView(ident).properties().get("retention") == "7d")
+    // ALTER VIEW … AS PRESERVES user properties (vanilla semantic)
+    spark.sql(s"ALTER VIEW $cat.db.v AS SELECT k AS again FROM $cat.db.t")
+    assert(gc.loadView(ident).properties().get("note") == "hi",
+      "redefining the body must not wipe TBLPROPERTIES")
     spark.sql(s"ALTER VIEW $cat.db.v UNSET TBLPROPERTIES ('note')")
     assert(!gc.loadView(ident).properties().containsKey("note"))
+    // UNSET of a MISSING key errors without IF EXISTS (a typo must not
+    // be swallowed), passes with it
+    val e3 = intercept[Exception] {
+      spark.sql(s"ALTER VIEW $cat.db.v UNSET TBLPROPERTIES ('typo_key')")
+    }
+    assert(e3.getMessage.contains("typo_key"), e3.getMessage)
+    spark.sql(s"ALTER VIEW $cat.db.v UNSET TBLPROPERTIES IF EXISTS ('typo_key')")
     spark.sql(s"DROP VIEW $cat.db.v")
   }
 

@@ -335,6 +335,12 @@ class GraftMviewSpec extends SparkSpec {
       TBLPROPERTIES ('keys'='k')""")
     rejects(s"SELECT k, sum(x) AS s FROM $cat.db.fl GROUP BY k",
       "INTEGRAL")
+    // clock-dependent expressions vary ACROSS refreshes — rejected in
+    // WHERE, per-aggregate FILTER and GROUP BY alike
+    rejects(s"SELECT user_id, sum(cents) AS s FROM $cat.db.ev WHERE cents > unix_timestamp() GROUP BY user_id",
+      "DIFFERENTLY at each refresh")
+    rejects(s"SELECT user_id + year(current_date()) AS age, sum(cents) AS s FROM $cat.db.ev GROUP BY user_id + year(current_date())",
+      "DIFFERENTLY at each refresh")
   }
 
   test("create_mview_sql with EXPRESSION group keys (the time-bucketed " +
