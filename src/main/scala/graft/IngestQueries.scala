@@ -3953,6 +3953,141 @@ object IngestQueries {
           FROM events)
         SELECT user_id, CAST(sum(cents) AS BIGINT) AS total
         FROM e GROUP BY user_id
-        HAVING count(*) > (SELECT b FROM bar)"""))
+        HAVING count(*) > (SELECT b FROM bar)""")),
+
+    // FACT ⋈ DIMS MATERIALIZED VIEW (round 14): create_mview_sql
+    // accepts a star join — fact (leftmost) JOIN small dims — and
+    // folds insert-only FACT deltas incrementally (delta ⋈ broadcast
+    // dims → partial aggregate → bucketed state MERGE) while any
+    // DIM-side change forces ONE honest full recompute that re-anchors
+    // the dim versions. Gated in-query: batch-2 fact delta must fold
+    // "incremental"; the dim UPDATE (with NO fact movement) must
+    // recompute "full" AT THE UNCHANGED fact anchor (from == to — the
+    // reapply-equal-batch commit). Oracle replays the join rollup over
+    // the final tables.
+    QuerySpec("q278_sql_mview_join",
+      (s, dir) => {
+        GraftSession.tune(s)
+        val base = java.nio.file.Files.createTempDirectory("graft_q278_").toString
+        Tables.events(s, dir).createOrReplaceTempView("q278_events")
+        val cat = s"gcat_${java.util.UUID.randomUUID().toString.take(8)}"
+          .replace("-", "_")
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.root", base)
+        s.sql(s"""CREATE TABLE $cat.db.fact (
+            event_id BIGINT, user_id BIGINT, cents BIGINT, pk BIGINT)
+          PARTITIONED BY (pk)
+          TBLPROPERTIES ('keys'='event_id', 'statsCols'='cents')""")
+        s.sql(s"""CREATE TABLE $cat.db.dim (g BIGINT, tag STRING)
+          TBLPROPERTIES ('keys'='g')""")
+        s.sql(s"""INSERT INTO $cat.db.dim
+          SELECT id, concat('g', CAST(id AS STRING)) FROM range(8)""")
+        s.sql(s"""INSERT INTO $cat.db.fact (event_id, user_id, cents, pk)
+          SELECT event_id, user_id, CAST(round(value * 100) AS BIGINT),
+            user_id % 4
+          FROM q278_events WHERE event_id % 2 = 0""")
+        s.sql(s"""CALL $cat.system.create_mview_sql('db.rollup', sql =>
+          "SELECT d.tag, sum(f.cents) AS total, count(*) AS n,
+             max(f.cents) AS peak
+           FROM $cat.db.fact f JOIN $cat.db.dim d ON f.user_id % 8 = d.g
+           GROUP BY d.tag")""")
+        s.sql(s"""INSERT INTO $cat.db.fact (event_id, user_id, cents, pk)
+          SELECT event_id, user_id, CAST(round(value * 100) AS BIGINT),
+            user_id % 4
+          FROM q278_events WHERE event_id % 2 = 1""")
+        val r1 = s.sql(s"CALL $cat.system.refresh_mview('db.rollup')")
+          .collect()(0)
+        require(r1.getString(1) == "incremental",
+          s"q278: the insert-only FACT delta must fold INCREMENTALLY, got $r1")
+        // a DIM change rewrites join history → full recompute, and the
+        // fact did NOT move: from == to proves the re-anchor committed
+        // at the unchanged fact anchor
+        s.sql(s"UPDATE $cat.db.dim SET tag = 'gX' WHERE g = 3")
+        val r2 = s.sql(s"CALL $cat.system.refresh_mview('db.rollup')")
+          .collect()(0)
+        require(r2.getString(1) == "full",
+          s"q278: a DIM change must force a FULL recompute, got $r2")
+        require(r2.getLong(2) == r2.getLong(3),
+          s"q278: the dim-driven recompute must commit at the UNCHANGED " +
+            s"fact anchor, got $r2")
+        val out = s.sql(s"SELECT tag, total, n, peak FROM $cat.db.rollup")
+        val snap = out.localCheckpoint(true)
+        graft.operators.Fs.deleteTree(base)
+        snap
+      },
+      Some("""
+        WITH e AS (
+          SELECT user_id % 8 AS g,
+            CAST(round(value * 100) AS BIGINT) AS cents
+          FROM events),
+        t AS (
+          SELECT CASE WHEN g = 3 THEN 'gX'
+                      ELSE 'g' || CAST(g AS VARCHAR) END AS tag, cents
+          FROM e)
+        SELECT tag, CAST(sum(cents) AS BIGINT) AS total,
+          CAST(count(*) AS BIGINT) AS n, max(cents) AS peak
+        FROM t GROUP BY tag""")),
+
+    // APPROX_COUNT_DISTINCT MVIEW (round 14): the SQL-defined flavor
+    // maps approx_count_distinct(col) onto the dcount HLL state (the
+    // sketch union IS the incremental fold); exact COUNT(DISTINCT)
+    // rejects loudly NAMING the approximate alternative (gated
+    // in-query). The estimate is gated against the exact per-group
+    // distinct count (within max(1, 5%)) like q272; exact measures
+    // oracle-replay.
+    QuerySpec("q279_sql_mview_adc",
+      (s, dir) => {
+        GraftSession.tune(s)
+        val base = java.nio.file.Files.createTempDirectory("graft_q279_").toString
+        Tables.events(s, dir).createOrReplaceTempView("q279_events")
+        val cat = s"gcat_${java.util.UUID.randomUUID().toString.take(8)}"
+          .replace("-", "_")
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.root", base)
+        s.sql(s"""CREATE TABLE $cat.db.ev (
+            event_id BIGINT, user_id BIGINT, cents BIGINT, pk BIGINT)
+          PARTITIONED BY (pk)
+          TBLPROPERTIES ('keys'='event_id', 'statsCols'='cents')""")
+        s.sql(s"""INSERT INTO $cat.db.ev (event_id, user_id, cents, pk)
+          SELECT event_id, user_id, CAST(round(value * 100) AS BIGINT),
+            user_id % 4
+          FROM q279_events WHERE event_id % 2 = 0""")
+        // exact COUNT(DISTINCT) rejects, NAMING the approx alternative
+        val rej = try {
+          s.sql(s"""CALL $cat.system.create_mview_sql('db.adc', sql =>
+            "SELECT user_id, count(DISTINCT cents) AS dc
+             FROM $cat.db.ev GROUP BY user_id")""").collect()
+          "no-error"
+        } catch { case e: Throwable => e.getMessage }
+        require(rej.contains("approx_count_distinct"),
+          s"q279: exact COUNT(DISTINCT) must reject naming the " +
+            s"approximate alternative, got: $rej")
+        s.sql(s"""CALL $cat.system.create_mview_sql('db.adc', sql =>
+          "SELECT user_id, approx_count_distinct(cents) AS dc,
+             count(*) AS n
+           FROM $cat.db.ev GROUP BY user_id")""")
+        s.sql(s"""INSERT INTO $cat.db.ev (event_id, user_id, cents, pk)
+          SELECT event_id, user_id, CAST(round(value * 100) AS BIGINT),
+            user_id % 4
+          FROM q279_events WHERE event_id % 2 = 1""")
+        val r1 = s.sql(s"CALL $cat.system.refresh_mview('db.adc')")
+          .collect()(0)
+        require(r1.getString(1) == "incremental",
+          s"q279: the insert-only delta must fold INCREMENTALLY, got $r1")
+        val out = s.sql(s"""
+          SELECT v.user_id, v.n,
+            abs(v.dc - x.exact_dc) <= greatest(1, x.exact_dc / 20)
+              AS dc_ok
+          FROM $cat.db.adc v
+          JOIN (SELECT user_id, count(DISTINCT cents) AS exact_dc
+                FROM $cat.db.ev GROUP BY user_id) x
+            ON v.user_id = x.user_id""")
+        val snap = out.localCheckpoint(true)
+        graft.operators.Fs.deleteTree(base)
+        snap
+      },
+      Some("""
+        SELECT user_id, CAST(count(*) AS BIGINT) AS n, true AS dc_ok
+        FROM events GROUP BY user_id"""))
   )
 }

@@ -4129,14 +4129,20 @@ final class GraftTable(spark: SparkSession, val path: String,
                  allowSchemaEvolution: Boolean = false,
                  notMatchedBySource: Seq[GraftTable.MatchedClause] = Nil,
                  onResidual: Option[org.apache.spark.sql.Column] = None,
-                 expectedLastBatch: Option[Long] = None): Boolean =
+                 expectedLastBatch: Option[Long] = None,
+                 reapplyEqualBatch: Boolean = false): Boolean =
     // the replay check (and the optional anchor pin) live INSIDE doMerge
     // against the SAME baseline the OCC commit is anchored to — a racing
     // commit between check and commit surfaces as CommitConflictException
-    // and the retry re-evaluates both at the winner's version
+    // and the retry re-evaluates both at the winner's version.
+    // reapplyEqualBatch relaxes the replay skip for batchId == recorded
+    // ONLY — for IDEMPOTENT merges (full-sync SET) that must re-commit
+    // at an unchanged anchor (an mview full recompute driven by a DIM
+    // change, where the fact version did not move); batches BELOW the
+    // recorded id still skip
     doMerge(source, matched, notMatchedInsert, allowSchemaEvolution,
       Seq(s"#txn:${b64e(appId)}:$batchId"), notMatchedBySource, onResidual,
-      txn = Some((appId, batchId, expectedLastBatch)))
+      txn = Some((appId, batchId, expectedLastBatch, reapplyEqualBatch)))
 
   /** Returns whether the merge APPLIED (always true without `txn`; a
     * txn batch at or below the recorded id skips with false).
@@ -4148,7 +4154,7 @@ final class GraftTable(spark: SparkSession, val path: String,
                       markers: Seq[String],
                       notMatchedBySource: Seq[GraftTable.MatchedClause] = Nil,
                       onResidual: Option[org.apache.spark.sql.Column] = None,
-                      txn: Option[(String, Long, Option[Long])] = None)
+                      txn: Option[(String, Long, Option[Long], Boolean)] = None)
       : Boolean = {
     import GraftTable.{MatchedDelete, MatchedUpdate}
     require(matched.nonEmpty || notMatchedInsert.nonEmpty ||
@@ -4170,10 +4176,13 @@ final class GraftTable(spark: SparkSession, val path: String,
           s"(ANSI) — found source references: ${srcRefs.mkString(", ")}")
     }
     val base = ensureBaselineVersion()
-    txn.foreach { case (appId, batchId, expectedLast) =>
+    txn.foreach { case (appId, batchId, expectedLast, reapplyEqual) =>
       val recorded = txnState(base).getOrElse(b64e(appId), -1L)
-      // a batch at or below the recorded id is a replay — skip
-      if (batchId <= recorded) return false
+      // a batch at or below the recorded id is a replay — skip (an
+      // EQUAL batch re-applies only when the caller declared the merge
+      // idempotent via reapplyEqualBatch)
+      if (batchId < recorded || (batchId == recorded && !reapplyEqual))
+        return false
       // a caller that computed its batch FROM a specific anchor aborts
       // when another writer advanced it meanwhile (applying would
       // double-count the overlap); recorded is read at `base`, the same

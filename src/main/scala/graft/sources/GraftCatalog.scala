@@ -163,14 +163,15 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
       s"._graft_ptr_tmp_${java.util.UUID.randomUUID().toString.take(8)}")
     Files.writeString(tmp, gen)
     if (mode == StageMode.Create && !legacyLive) {
-      // CREATE: the move itself is the existence gate — no
-      // REPLACE_EXISTING, so of two racing creates exactly one wins
-      try Files.move(tmp, p, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-      catch {
-        case _: java.nio.file.FileAlreadyExistsException =>
-          scala.util.Try(Files.deleteIfExists(tmp))
-          abortWith(alreadyExists)
-      }
+      // CREATE: publishing the pointer IS the existence gate. NOT a
+      // rename — on POSIX Files.move(…, ATOMIC_MOVE) maps to rename(2),
+      // which silently REPLACES an existing target, so two racing
+      // atomic creates would both "win" and the loser's data would
+      // clobber the winner's pointer. Hard-link creation is the
+      // primitive that actually fails atomically on an existing target
+      // (link(2) → EEXIST), the same OCC gate commitEntries uses.
+      if (!GraftCatalog.publishPointerIfAbsent(tmp, p))
+        abortWith(alreadyExists)
     } else
       Files.move(tmp, p,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING,
@@ -881,4 +882,37 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     graft.operators.Fs.deleteTree(d)
     true
   }
+}
+
+object GraftCatalog {
+
+  /** Atomically publish `tmp`'s content at `target` ONLY if `target`
+    * does not exist: hard-link creation (link(2) → EEXIST on an
+    * existing target — unlike rename(2), which silently replaces), with
+    * an exclusive CREATE_NEW copy as the fallback for filesystems
+    * without hard links. Returns false when `target` already exists —
+    * the loser of a racing-create commit. `tmp` is consumed either way.
+    */
+  private[sources] def publishPointerIfAbsent(
+      tmp: java.nio.file.Path, target: java.nio.file.Path): Boolean =
+    try {
+      try { Files.createLink(target, tmp); true }
+      catch {
+        case _: UnsupportedOperationException =>
+          // no hard links (e.g. some network mounts): exclusive create
+          // of the target — CREATE_NEW fails atomically on existence
+          try {
+            Files.write(target, Files.readAllBytes(tmp),
+              java.nio.file.StandardOpenOption.CREATE_NEW,
+              java.nio.file.StandardOpenOption.WRITE)
+            true
+          } catch {
+            case _: java.nio.file.FileAlreadyExistsException => false
+          }
+      }
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException => false
+    } finally {
+      scala.util.Try(Files.deleteIfExists(tmp)); ()
+    }
 }

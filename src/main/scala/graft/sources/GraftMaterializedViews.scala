@@ -68,7 +68,9 @@ object GraftMaterializedViews {
     *
     * where `func` ∈ sum (default — emits `sum_*` AND `avg_*`), `min`,
     * `max`, `dcount` (approximate COUNT DISTINCT via the DataSketches
-    * HLL aggregate — exact below the sketch's set-mode threshold), the
+    * HLL aggregate — exact below the sketch's set-mode threshold),
+    * `cnt` (non-null count — the COUNT(col) family for columns of ANY
+    * type, no numeric state attached), the
     * predicate is any Spark SQL boolean over base columns (rows failing
     * it contribute nothing to THIS measure), and the alias names the
     * finish columns (`sum_<name>`, `min_<name>`, …; defaults to the
@@ -93,7 +95,7 @@ object GraftMaterializedViews {
     private def col_(c: String) = org.apache.spark.sql.functions.col(c)
   }
 
-  private val FinishFuncs = Set("sum", "min", "max", "dcount")
+  private val FinishFuncs = Set("sum", "min", "max", "dcount", "cnt")
 
   /** Split on TOP-LEVEL commas only (predicates may contain `IN (a,b)`
     * or quoted strings with commas).
@@ -151,6 +153,19 @@ object GraftMaterializedViews {
     ms
   }
 
+  /** One DIMENSION side of a fact ⋈ dims materialized view: a small
+    * graft table of the same catalog, equi-joined onto the (projected,
+    * renamed) fact frame. `cols` maps the dim's ORIGINAL column names
+    * to their flat STATE names (renamed on collision across the join);
+    * `condSql` is the join condition over the renamed flat columns;
+    * `anchor` pins the dim VERSION the current state was computed
+    * against — any drift forces the honest full recompute (a dim
+    * change can rewrite history for every fact row that joins it, so
+    * no delta algebra is sound).
+    */
+  final case class Dim(ref: String, joinType: String, condSql: String,
+                       cols: Seq[(String, String)], anchor: Long)
+
   /** `filter` = an optional WHERE over base rows (the SQL-defined
     * flavor): applied to every state input — the initial snapshot,
     * each insert-only delta, and full recomputes — so the view models
@@ -160,11 +175,18 @@ object GraftMaterializedViews {
     * the SELECT): computed onto every state input right after the
     * filter, so grouping, null-key probing and the state MERGE all see
     * them as plain columns.
+    * `factCols` (join views only) = the fact-side projection (orig →
+    * state name); `dims` = the joined dimensions IN JOIN ORDER. With
+    * dims, every state input is fact → project/rename → ⋈ broadcast
+    * dims → filter → derived keys, so the whole algebra downstream
+    * sees one flat frame.
     */
   final case class Config(base: String, keys: Seq[String],
                           measures: Seq[Measure],
                           filter: Option[String] = None,
-                          derived: Seq[(String, String)] = Nil)
+                          derived: Seq[(String, String)] = Nil,
+                          factCols: Seq[(String, String)] = Nil,
+                          dims: Seq[Dim] = Nil)
 
   private def configPath(stateDir: String) =
     Paths.get(stateDir, "_graft_mview.json")
@@ -176,6 +198,13 @@ object GraftMaterializedViews {
        else Seq.empty) ++
       c.filter.map(f => s"filter\t${enc(f)}").toSeq ++
       c.derived.map { case (n, ex) => s"dkey\t${enc(n)}\t${enc(ex)}" } ++
+      c.factCols.map { case (o, n) => s"factcol\t${enc(o)}\t${enc(n)}" } ++
+      c.dims.zipWithIndex.flatMap { case (d, i) =>
+        val head = s"dim\t$i\t${enc(d.ref)}\t${enc(d.joinType)}\t" +
+          s"${d.anchor}\t${enc(d.condSql)}"
+        head +:
+          d.cols.map { case (o, n) => s"dimcol\t$i\t${enc(o)}\t${enc(n)}" }
+      } ++
       c.measures.map(m => s"measure\t${enc(m.spec)}")).mkString("\n")
     val tmp = Paths.get(stateDir,
       s"._graft_mview_tmp_${java.util.UUID.randomUUID().toString.take(8)}")
@@ -196,7 +225,21 @@ object GraftMaterializedViews {
       val Array(_, n, ex) = l.split("\t", 3)
       dec(n) -> dec(ex)
     }
-    val lines = raw.filterNot(_.startsWith("dkey\t"))
+    val factCols = raw.collect { case l if l.startsWith("factcol\t") =>
+      val Array(_, o, n) = l.split("\t", 3)
+      dec(o) -> dec(n)
+    }
+    val dimCols = raw.collect { case l if l.startsWith("dimcol\t") =>
+      val Array(_, i, o, n) = l.split("\t", 4)
+      i.toInt -> (dec(o) -> dec(n))
+    }
+    val dims = raw.collect { case l if l.startsWith("dim\t") =>
+      val Array(_, i, r, jt, anchor, cond) = l.split("\t", 6)
+      i.toInt -> Dim(dec(r), dec(jt), dec(cond),
+        dimCols.filter(_._1 == i.toInt).map(_._2), anchor.toLong)
+    }.sortBy(_._1).map(_._2)
+    val multiTag = Set("dkey\t", "factcol\t", "dim\t", "dimcol\t")
+    val lines = raw.filterNot(l => multiTag.exists(l.startsWith))
       .map { l => val Array(k, v) = l.split("\t", 2); k -> dec(v) }
     val m = lines.toMap
     val measures0 = lines.collect { case ("measure", spec) =>
@@ -213,7 +256,7 @@ object GraftMaterializedViews {
     require(measures.nonEmpty || m.contains("nomeasures"),
       s"mview config under $stateDir declares no measures — corrupt?")
     Config(m("base"), m("keys").split(',').toSeq, measures,
-      m.get("filter"), derived)
+      m.get("filter"), derived, factCols, dims)
   }
 
   /** Every state input flows through the config's row filter, then
@@ -226,6 +269,35 @@ object GraftMaterializedViews {
       d.withColumn(n, expr(ex))
     }
   }
+
+  /** Fact ⋈ dims (join views; identity otherwise): project+rename the
+    * fact side (keeping `_change_type` when the input is a CDC delta),
+    * then fold each dim in — read AT ITS ANCHORED VERSION (so a
+    * concurrent dim write mid-refresh cannot tear the join; the next
+    * refresh sees the anchor drift and recomputes), projected to the
+    * renamed columns the view references, and BROADCAST: dims are
+    * small by the join-mview contract, so an incremental fold is
+    * |fact delta| ⋈ broadcast — no shuffle at any corpus size.
+    */
+  private def joinInput(cat: GraftCatalog, cfg: Config,
+                        factDf: DataFrame): DataFrame = {
+    if (cfg.dims.isEmpty) return factDf
+    val hasCdc = factDf.columns.contains("_change_type")
+    val factSel = cfg.factCols.map { case (o, n) => col(o).as(n) } ++
+      (if (hasCdc) Seq(col("_change_type")) else Nil)
+    cfg.dims.foldLeft(factDf.select(factSel: _*)) { (df, d) =>
+      val dimDf = cat.openTable(split(d.ref)).readAt(d.anchor)
+        .select(d.cols.map { case (o, n) => col(o).as(n) }: _*)
+      df.join(broadcast(dimDf), expr(d.condSql), d.joinType)
+    }
+  }
+
+  /** The complete state-input pipeline: join (when dims), then filter,
+    * then derived keys.
+    */
+  private def preparedInput(cat: GraftCatalog, cfg: Config,
+                            factDf: DataFrame): DataFrame =
+    prepared(joinInput(cat, cfg, factDf), cfg)
 
   private def split(ref: String): Identifier = {
     val parts = ref.split('.')
@@ -267,6 +339,7 @@ object GraftMaterializedViews {
             case "max" => Seq(max(graft.Agg.dec4(g)).as(s"_max_${m.name}"))
             case "dcount" =>
               Seq(hll_sketch_agg(g).as(s"_hll_${m.name}"))
+            case "cnt" => Seq(count(g).as(s"_cn_${m.name}"))
           }
         }: _*)
 
@@ -280,6 +353,7 @@ object GraftMaterializedViews {
     case "min" => Seq(s"_min_${m.name}")
     case "max" => Seq(s"_max_${m.name}")
     case "dcount" => Seq(s"_hll_${m.name}")
+    case "cnt" => Seq(s"_cn_${m.name}")
   }
 
   private def stateCols(cfg: Config): Seq[String] =
@@ -287,7 +361,8 @@ object GraftMaterializedViews {
 
   private def foldInto(st: GraftTable, toVersion: Long, delta: DataFrame,
                        cfg: Config, fullSync: Boolean,
-                       expectedLast: Long): Boolean = {
+                       expectedLast: Long,
+                       reapplyEqual: Boolean = false): Boolean = {
     // fullSync = SET the source partials; incremental = FOLD them per
     // func (sums add — non-null by construction; min/max through
     // least/greatest — both skip nulls, the SQL fold; sketches union
@@ -312,6 +387,8 @@ object GraftMaterializedViews {
               Seq(c -> when(col(c).isNull, src(c))
                 .when(src(c).isNull, col(c))
                 .otherwise(hll_union(col(c), src(c))))
+            case "cnt" => Seq(s"_cn_${m.name}" ->
+              (col(s"_cn_${m.name}") + src(s"_cn_${m.name}")))
           }
         }.toMap
     val insert = Some((lit(true),
@@ -330,7 +407,12 @@ object GraftMaterializedViews {
       st.mergeBatch(AppId, toVersion, delta,
         matched = Seq(GraftTable.MatchedUpdate(lit(true), assigns)),
         notMatchedInsert = insert, notMatchedBySource = nmbs,
-        expectedLastBatch = Some(expectedLast))
+        expectedLastBatch = Some(expectedLast),
+        // a DIM-driven full recompute may re-commit at an UNCHANGED
+        // fact anchor (the dim moved, the fact did not): safe because
+        // full sync is an idempotent SET, and only that path passes
+        // fullSync together with reapplyEqual
+        reapplyEqualBatch = reapplyEqual && fullSync)
     }
   }
 
@@ -354,12 +436,22 @@ object GraftMaterializedViews {
              baseRef: String, keys: Seq[String], measures: Seq[Measure],
              buckets: Int = 16, filterSql: Option[String] = None,
              finishOverride: Option[String => String] = None,
-             derivedKeys: Seq[(String, String)] = Nil)
+             derivedKeys: Seq[(String, String)] = Nil,
+             factCols: Seq[(String, String)] = Nil,
+             dims: Seq[Dim] = Nil)
       : (Long, Long) = {
     require(keys.nonEmpty, "create_mview needs keys")
     // measures MAY be empty: a count(*)-only view rides the _cnt state
     require(buckets > 0, s"buckets must be positive, got $buckets")
-    val cfg = Config(baseRef, keys, measures, filterSql, derivedKeys)
+    require(factCols.isEmpty || dims.nonEmpty,
+      "a fact projection without dims makes no sense — single-table " +
+        "mviews read the base unprojected")
+    // dim anchors pin at CREATE: every dim read below (and every
+    // incremental fold until a dim moves) happens AT these versions
+    val anchoredDims = dims.map(d =>
+      d.copy(anchor = cat.openTable(split(d.ref)).currentVersion))
+    val cfg = Config(baseRef, keys, measures, filterSql, derivedKeys,
+      factCols, anchoredDims)
     // EVERY precondition before ANY mutation — a late failure must not
     // orphan a committed state table
     require(!GraftViews.exists(catRoot(cat), split(viewRef)),
@@ -367,7 +459,9 @@ object GraftMaterializedViews {
         "name exists")
     val base = cat.openTable(split(baseRef))
     val baseV = base.currentVersion
-    val snap = base.readAt(baseV)
+    // validations and the initial state both run over the JOINED,
+    // renamed input frame (identity when the view has no dims)
+    val snap = joinInput(cat, cfg, base.readAt(baseV))
     val derivedNames = derivedKeys.map(_._1).toSet
     // derived key names must be FRESH — withColumn resolves
     // CASE-INSENSITIVELY, so the collision check must too (a
@@ -446,6 +540,7 @@ object GraftMaterializedViews {
             case "dcount" => Seq(
               s"CAST(coalesce(hll_sketch_estimate(_hll_$n), 0) AS BIGINT) " +
                 s"AS dcount_$n")
+            case "cnt" => Seq(s"_cn_$n AS cnt_$n")
           }
         }
         s"SELECT ${(keys :+ "_cnt AS n_rows").mkString(", ")}, " +
@@ -492,16 +587,22 @@ object GraftMaterializedViews {
     *
     * The ANALYZED plan is pattern-matched onto the incremental algebra:
     * one `Aggregate` over (optionally filtered) scans of ONE graft
-    * table of THIS catalog; grouping expressions must be bare columns;
-    * aggregates are sum / avg / min / max / count(*) / count(col),
-    * each with an optional `FILTER (WHERE …)`, over bare INTEGRAL
-    * columns (the exact-decimal state discipline — float/double sums
-    * are not exactly foldable and reject loudly). The finish view
-    * renders EXACTLY the SELECT's columns (names, order, types), so
-    * reading the mview is indistinguishable from running the SELECT at
-    * the refreshed version. Anything outside the shape rejects with
-    * the supported grammar in the message — never a silently-wrong
-    * view.
+    * table of THIS catalog — or a LEFT-DEEP join tree `fact [INNER |
+    * LEFT] JOIN dim₁ ON … JOIN dim₂ ON …` of tables of this catalog
+    * (the star-rollup shape: the leftmost table is the FACT whose CDC
+    * drives incremental refresh; every right side is a small DIM,
+    * version-anchored and broadcast into each fold — any dim change
+    * forces one honest full recompute). Grouping expressions must be
+    * bare columns (of fact OR dims) or aliased deterministic
+    * expressions; aggregates are sum / avg / min / max / count(*) /
+    * count(col) / approx_count_distinct(col), each with an optional
+    * `FILTER (WHERE …)`, over bare columns — INTEGRAL for the
+    * exact-decimal families (float/double sums are not exactly
+    * foldable and reject loudly). The finish view renders EXACTLY the
+    * SELECT's columns (names, order, types), so reading the mview is
+    * indistinguishable from running the SELECT at the refreshed
+    * versions. Anything outside the shape rejects with the supported
+    * grammar in the message — never a silently-wrong view.
     */
   def createFromSql(spark: SparkSession, cat: GraftCatalog,
                     viewRef: String, sql: String, buckets: Int = 16)
@@ -518,7 +619,8 @@ object GraftMaterializedViews {
         "[FILTER (WHERE …)] AS alias> " +
         s"FROM <one table of catalog ${cat.name()}> [WHERE …] GROUP BY " +
         "<the group cols/exprs> [HAVING …]; aggregate inputs must be " +
-        "bare integral columns. Got: " + sql)
+        "bare columns (integral for sum/avg/min/max; any type for " +
+        "count/approx_count_distinct). Got: " + sql)
 
     val analyzed = spark.sql(sql).queryExecution.analyzed
     // HAVING analyzes as Filter-over-Aggregate (plus a narrowing
@@ -542,27 +644,94 @@ object GraftMaterializedViews {
         case Aggregate(g, a, c, _) => (None, None, g, a, c)
         case _ => bad("the query is not a single grouped aggregate")
       }
-    // peel the chain down to ONE graft relation, collecting WHEREs
+    // peel the chain down to a LEFT-DEEP join tree of graft relations:
+    // the LEFTMOST leaf is the FACT (its CDC drives incremental
+    // refresh), every INNER/LEFT-joined right side is a DIM (read at
+    // an anchored version, broadcast into every fold; any dim change
+    // forces the honest full recompute). WHEREs collect wherever they
+    // sit on the fact spine — a fact-side filter commutes with the
+    // joins; a filtered DIM subquery does NOT (pre- vs post-join
+    // filtering differ under LEFT OUTER) and rejects.
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    import org.apache.spark.sql.catalyst.plans.{Inner, LeftOuter}
+    def stripAlias(p: LogicalPlan): LogicalPlan = p match {
+      case SubqueryAlias(_, c) => stripAlias(c)
+      case other => other
+    }
     def peel(p: LogicalPlan, conds: List[Expression])
-        : (DataSourceV2Relation, List[Expression]) = p match {
+        : (DataSourceV2Relation,
+           List[(DataSourceV2Relation, String, Expression)],
+           List[Expression]) = p match {
       case SubqueryAlias(_, c) => peel(c, conds)
       case LFilter(cond, c) => peel(c, cond :: conds)
-      case r: DataSourceV2Relation => (r, conds)
+      case Join(l, r, jt, cond, _) =>
+        val jtName = jt match {
+          case Inner => "inner"
+          case LeftOuter => "left_outer"
+          case other => bad(s"unsupported join type ${other.sql} — " +
+            "fact ⋈ dims mviews fold INNER and LEFT OUTER joins (fact " +
+            "on the left)")
+        }
+        val dimRel = stripAlias(r) match {
+          case dr: DataSourceV2Relation => dr
+          case other => bad("the right (dimension) side of a join must " +
+            s"be a bare table of this catalog, got ${other.nodeName}")
+        }
+        val c = cond.getOrElse(bad("joins need an ON condition"))
+        val (fact, ds, cs) = peel(l, conds)
+        (fact, ds :+ ((dimRel, jtName, c)), cs)
+      case r: DataSourceV2Relation => (r, Nil, conds)
       case other => bad(s"unsupported operator ${other.nodeName} between " +
         "the aggregate and the table scan")
     }
-    val (rel, conds) = peel(child, Nil)
-    val baseRef = (rel.catalog, rel.identifier) match {
-      case (Some(c), Some(id)) if c.name() == cat.name() =>
-        (id.namespace.toSeq :+ id.name).mkString(".")
-      case _ => bad("the FROM table must be a table of this catalog")
-    }
-    val baseCols = rel.output.map(_.name).toSet
-    def bareCol(e: Expression, what: String): String = e match {
-      case a: AttributeReference if baseCols.contains(a.name) => a.name
-      case other => bad(s"$what must be a bare base column, got " +
-        other.sql)
-    }
+    val (rel, dimsRaw, conds) = peel(child, Nil)
+    def refOf(r: DataSourceV2Relation): String =
+      (r.catalog, r.identifier) match {
+        case (Some(c), Some(id)) if c.name() == cat.name() =>
+          (id.namespace.toSeq :+ id.name).mkString(".")
+        case _ => bad("every table in the FROM must be a table of " +
+          "this catalog")
+      }
+    val baseRef = refOf(rel)
+    val dimRefs = dimsRaw.map { case (dr, _, _) => refOf(dr) }
+    // exprId → (relation index, original name): 0 = fact, i = dim i.
+    // All downstream resolution is BY exprId — names may collide
+    // across the join (the classic `id` ⋈ `id`), so colliding
+    // referenced columns get a flat `<name>_<relIdx>` state rename
+    import org.apache.spark.sql.catalyst.expressions.ExprId
+    val rels = rel +: dimsRaw.map(_._1)
+    val attrInfo: Map[ExprId, (Int, String)] =
+      rels.zipWithIndex.flatMap { case (r, i) =>
+        r.output.map(a => a.exprId -> ((i, a.name)))
+      }.toMap
+    val referenced: Seq[ExprId] =
+      (groups ++ aggs ++ conds ++ dimsRaw.map(_._3))
+        .flatMap(_.collect { case a: AttributeReference => a.exprId })
+        .filter(attrInfo.contains).distinct
+    val stateNameOf: Map[ExprId, String] =
+      if (dimsRaw.isEmpty)
+        attrInfo.map { case (id, (_, n)) => id -> n }
+      else {
+        val byName = referenced.groupBy(id => attrInfo(id)._2)
+        val m = referenced.map { id =>
+          val (ri, n) = attrInfo(id)
+          id -> (if (byName(n).size == 1) n else s"${n}_$ri")
+        }.toMap
+        val names = m.values.toSeq
+        if (names.distinct.size != names.size)
+          bad("flat state names collide after join disambiguation (" +
+            names.diff(names.distinct).distinct.mkString(", ") +
+            ") — rename the clashing columns")
+        m
+      }
+    def bareAttr(e: Expression, what: String): AttributeReference =
+      e match {
+        case a: AttributeReference if stateNameOf.contains(a.exprId) => a
+        case other => bad(s"$what must be a bare base column, got " +
+          other.sql)
+      }
+    def bareCol(e: Expression, what: String): String =
+      stateNameOf(bareAttr(e, what).exprId)
     // clock-dependent functions are DETERMINISTIC within one query but
     // vary across refreshes — a WHERE/FILTER/key built on them would
     // fold new deltas under different semantics than the existing
@@ -575,12 +744,16 @@ object GraftMaterializedViews {
         bad(s"$what uses $f(), which would evaluate DIFFERENTLY at " +
           "each refresh — materialize against a literal instant instead")
       }
-    // predicates round-trip through expr() against BARE frames later —
-    // strip the reader-context qualifiers off every attribute
+    // predicates round-trip through expr() against BARE flat frames
+    // later — strip the reader-context qualifiers off every attribute
+    // and swap in its flat state name
     def predSql(e: Expression): String = {
-      rejectClock(e, "a WHERE/FILTER predicate")
+      rejectClock(e, "a WHERE/FILTER/ON predicate or key expression")
       e.transform {
-        case a: AttributeReference => a.withQualifier(Nil)
+        case a: AttributeReference =>
+          a.withQualifier(Nil).withName(stateNameOf.getOrElse(a.exprId,
+            bad(s"reference '${a.name}' does not resolve to a column " +
+              "of the joined tables")))
       }.sql
     }
     val filterSql = conds match {
@@ -596,7 +769,8 @@ object GraftMaterializedViews {
     val derivedKeys =
       scala.collection.mutable.LinkedHashMap.empty[String, String]
     def keyName(g: Expression): String = g match {
-      case a: AttributeReference if baseCols.contains(a.name) => a.name
+      case a: AttributeReference if stateNameOf.contains(a.exprId) =>
+        stateNameOf(a.exprId)
       case e if e.deterministic =>
         val alias = aggs.collectFirst {
           case Alias(child, name) if child.semanticEquals(e) => name
@@ -606,24 +780,23 @@ object GraftMaterializedViews {
         if (!alias.matches("[A-Za-z_][A-Za-z0-9_]*"))
           bad(s"GROUP BY expression ${e.sql} needs a bare-identifier " +
             s"alias, got '$alias'")
-        e.collect { case a: AttributeReference => a.name }.foreach { r =>
-          if (!baseCols.contains(r))
-            bad(s"GROUP BY expression ${e.sql} references non-base " +
-              s"column '$r'")
-        }
         rejectClock(e, s"the GROUP BY expression ${e.sql}")
+        // predSql validates every reference resolves (and renames it)
         derivedKeys(alias) = predSql(e)
         alias
       case e => bad(s"non-deterministic GROUP BY expression ${e.sql}")
     }
     val keys = groups.map(keyName)
-    def integral(c: String): Unit = rel.output.find(_.name == c)
-      .map(_.dataType) match {
-      case Some(ByteType | ShortType | IntegerType | LongType) => ()
-      case Some(dt) => bad(s"aggregate input '$c' is ${dt.simpleString} " +
-        "— the exact-decimal incremental state folds INTEGRAL columns " +
-        "only (float/double sums are not exactly foldable)")
-      case None => bad(s"no column '$c'")
+    def integral(e: Expression, what: String): String = {
+      val a = bareAttr(e, what)
+      a.dataType match {
+        case ByteType | ShortType | IntegerType | LongType => ()
+        case dt => bad(s"aggregate input '${a.name}' is " +
+          s"${dt.simpleString} — the exact-decimal incremental state " +
+          "folds INTEGRAL columns only (float/double sums are not " +
+          "exactly foldable)")
+      }
+      stateNameOf(a.exprId)
     }
     // measure naming: the source column, plus a deterministic suffix
     // when a per-aggregate FILTER makes it a distinct state family
@@ -648,13 +821,18 @@ object GraftMaterializedViews {
     def render(out: org.apache.spark.sql.catalyst.expressions.NamedExpression)
         : String = out match {
       case a: AttributeReference =>
-        if (!keys.contains(a.name)) bad(s"non-aggregate output " +
+        val st = stateNameOf.getOrElse(a.exprId, bad(s"non-aggregate " +
+          s"output '${a.name}' is not a base column"))
+        if (!keys.contains(st)) bad(s"non-aggregate output " +
           s"'${a.name}' is not a GROUP BY column")
-        s"`${a.name}`"
+        // a join-renamed key surfaces under the SELECT's own name
+        if (st == a.name) s"`$st`" else s"`$st` AS `${a.name}`"
       case Alias(a: AttributeReference, name) =>
-        if (!keys.contains(a.name)) bad(s"non-aggregate output " +
+        val st = stateNameOf.getOrElse(a.exprId, bad(s"non-aggregate " +
+          s"output '${a.name}' is not a base column"))
+        if (!keys.contains(st)) bad(s"non-aggregate output " +
           s"'${a.name}' is not a GROUP BY column")
-        s"`${a.name}` AS `$name`"
+        s"`$st` AS `$name`"
       // a DERIVED key's select-list alias: the state stores it under
       // this name already
       case Alias(childE, name)
@@ -663,40 +841,75 @@ object GraftMaterializedViews {
             groups.exists(_.semanticEquals(childE)) =>
         s"`$name`"
       case al @ Alias(ae: AggregateExpression, name) =>
-        if (ae.isDistinct) bad("DISTINCT aggregates are not exactly " +
-          "foldable (use the measures grammar's approximate dcount:col)")
+        if (ae.isDistinct) bad("exact COUNT(DISTINCT col) is not " +
+          "incrementally foldable — use approx_count_distinct(col) " +
+          "(HLL-sketch state; sketch unions ARE the fold) or the " +
+          "measures grammar's dcount:col")
         val pred = ae.filter.map(predSql)
         def cast(inner: String): String =
           s"CAST($inner AS ${al.dataType.sql})"
         ae.aggregateFunction match {
           case Sum(e, _) =>
-            val c = bareCol(e, "sum's input"); integral(c)
+            val c = integral(e, "sum's input")
             val m = measure("sum", c, pred)
             s"CASE WHEN _nn_${m.name} = 0 THEN CAST(NULL AS " +
               s"${al.dataType.sql}) ELSE ${cast(s"_sum_${m.name}")} END " +
               s"AS `$name`"
           case Average(e, _) =>
-            val c = bareCol(e, "avg's input"); integral(c)
+            val c = integral(e, "avg's input")
             val m = measure("sum", c, pred)
             s"CASE WHEN _nn_${m.name} = 0 THEN CAST(NULL AS " +
               s"${al.dataType.sql}) ELSE ${cast(
                 s"CAST(_sum_${m.name} AS DOUBLE) / _nn_${m.name}")} END " +
               s"AS `$name`"
           case Min(e) =>
-            val c = bareCol(e, "min's input"); integral(c)
+            val c = integral(e, "min's input")
             val m = measure("min", c, pred)
             s"${cast(s"_min_${m.name}")} AS `$name`"
           case Max(e) =>
-            val c = bareCol(e, "max's input"); integral(c)
+            val c = integral(e, "max's input")
             val m = measure("max", c, pred)
             s"${cast(s"_max_${m.name}")} AS `$name`"
           case Count(Seq(Literal(1, IntegerType))) if pred.isEmpty =>
             sawCountStar = true
             s"_cnt AS `$name`"
+          // approx_count_distinct rides the dcount HLL state: the
+          // sketch union IS the incremental fold. The state estimator
+          // is the DataSketches HLL (hll_sketch_agg), not Spark's
+          // HLL++ — both approximate the same cardinality within ~2%
+          // default error, so the view is as-approximate as the
+          // SELECT, not bit-identical to its estimates
+          case h: org.apache.spark.sql.catalyst.expressions.aggregate
+              .HyperLogLogPlusPlus =>
+            val a = bareAttr(h.child, "approx_count_distinct's input")
+            a.dataType match {
+              case IntegerType | LongType | StringType | BinaryType => ()
+              case dt => bad("approx_count_distinct's input '" + a.name +
+                s"' is ${dt.simpleString} — the HLL sketch state folds " +
+                "INT/BIGINT/STRING/BINARY columns only (CAST in a " +
+                "generated column, or count a key of that type)")
+            }
+            val m = measure("dcount", stateNameOf(a.exprId), pred)
+            s"CAST(coalesce(hll_sketch_estimate(_hll_${m.name}), 0) AS " +
+              s"BIGINT) AS `$name`"
           case Count(Seq(e)) if !e.isInstanceOf[Literal] =>
-            val c = bareCol(e, "count's input")
-            val m = measure("sum", c, pred) // _nn_<name> IS count(col)
-            s"_nn_${m.name} AS `$name`"
+            val a = bareAttr(e, "count's input")
+            val c = stateNameOf(a.exprId)
+            // an INTEGRAL column rides the sum family's _nn_ partial
+            // (state shared with any sum/avg over the same column); any
+            // other type gets the count-only family — never a _sum_
+            // state whose CAST(col AS DECIMAL) would fail or rot
+            val isIntegral = a.dataType match {
+              case ByteType | ShortType | IntegerType | LongType => true
+              case _ => false
+            }
+            if (isIntegral) {
+              val m = measure("sum", c, pred) // _nn_<name> IS count(col)
+              s"_nn_${m.name} AS `$name`"
+            } else {
+              val m = measure("cnt", c, pred)
+              s"_cn_${m.name} AS `$name`"
+            }
           case other => bad(s"unsupported aggregate ${other.prettyName}" +
             (if (pred.nonEmpty && other.isInstanceOf[Count])
               " (count(*) FILTER needs a column: count(col) FILTER …)"
@@ -735,15 +948,37 @@ object GraftMaterializedViews {
             s"FROM ($inner) WHERE $h"
       }
     }
+    // the flat projections: only columns the view actually references
+    // reach the join (column-pruned dims broadcast small)
+    val factColsProj =
+      if (dimsRaw.isEmpty) Nil
+      else referenced.filter(id => attrInfo(id)._1 == 0)
+        .map(id => attrInfo(id)._2 -> stateNameOf(id))
+    val dimSpecs = dimsRaw.zipWithIndex.map { case ((_, jt, cond), i0) =>
+      val i = i0 + 1
+      Dim(dimRefs(i0), jt, predSql(cond),
+        referenced.filter(id => attrInfo(id)._1 == i)
+          .map(id => attrInfo(id)._2 -> stateNameOf(id)),
+        anchor = -1L) // create() re-anchors at the dims' current versions
+    }
     create(spark, cat, viewRef, baseRef, keys,
       measures.values.toSeq, buckets, filterSql, Some(finish),
-      derivedKeys.toSeq)
+      derivedKeys.toSeq, factColsProj, dimSpecs)
   }
 
   /** REFRESH: fold the base's changes since the last refreshed version
     * into the state. Returns (mode, fromVersion, toVersion) where mode
-    * is `current` (nothing to do), `incremental` (insert-only delta
-    * folded) or `full` (recompute + sync — deletes/updates in range).
+    * is `current` (nothing to do), `incremental` (insert-only FACT
+    * delta folded — requires every dim at its anchored version) or
+    * `full` (recompute + sync — deletes/updates in the fact range, OR
+    * any dim moved off its anchor: a dim change can rewrite the join
+    * result for arbitrary EXISTING fact rows, so no delta is sound).
+    *
+    * A dim-driven full recompute re-anchors: it reads every dim at its
+    * CURRENT version and persists the new anchors AFTER the state
+    * commit. A crash between commit and config write self-heals — the
+    * next refresh still sees anchor ≠ current and recomputes again
+    * (full sync is an idempotent SET).
     */
   def refresh(cat: GraftCatalog, viewRef: String)
       : (String, Long, Long) = {
@@ -757,36 +992,56 @@ object GraftMaterializedViews {
       val lastV = st.txnVersion(AppId)
       require(lastV >= 0, s"$viewRef has no refresh anchor — recreate it")
       val curV = base.currentVersion
-      if (curV <= lastV) return ("current", lastV, lastV)
-      // the config's row filter applies BEFORE everything (including
-      // the incremental-eligibility probe: a null-key or non-insert
-      // row OUTSIDE the filter is irrelevant to this view)
-      val changes = prepared(base.readChangesRowsBetween(lastV, curV), cfg)
-        .localCheckpoint(true)
+      val dimNow: Map[String, Long] = cfg.dims.map(d =>
+        d.ref -> cat.openTable(split(d.ref)).currentVersion).toMap
+      val dimsMoved = cfg.dims.exists(d => dimNow(d.ref) != d.anchor)
+      if (curV <= lastV && !dimsMoved) return ("current", lastV, lastV)
+      def fullRecompute(): (String, Long, Long) = {
+        val newCfg = cfg.copy(dims =
+          cfg.dims.map(d => d.copy(anchor = dimNow(d.ref))))
+        val full = state(preparedInput(cat, newCfg, base.readAt(curV)),
+          cfg.keys, cfg.measures)
+        if (foldInto(st, curV, full, cfg, fullSync = true,
+            expectedLast = lastV, reapplyEqual = dimsMoved)) {
+          if (cfg.dims.nonEmpty) writeConfig(st.path, newCfg)
+          ("full", lastV, curV)
+        } else ("current", lastV, st.txnVersion(AppId))
+      }
       try {
-        // incremental needs (a) insert-only changes and (b) NO null
-        // group key in the delta — the keyed MERGE matches with ===
-        // (ANSI: a null key never matches), so a null-key delta group
-        // would INSERT a duplicate state row instead of folding; the
-        // full sync handles it exactly
-        val nonIncremental = changes.filter(
-          col("_change_type") =!= "insert" ||
-            cfg.keys.map(k => col(k).isNull).reduce(_ || _))
-          .limit(1).count() > 0L
-        if (!nonIncremental) {
-          val delta = state(changes.drop("_change_type"), cfg.keys, cfg.measures)
-          // applied=false: a concurrent refresh already folded to >= curV
-          if (foldInto(st, curV, delta, cfg, fullSync = false,
-              expectedLast = lastV))
-            return ("incremental", lastV, curV)
-          return ("current", lastV, st.txnVersion(AppId))
-        } else {
-          val full = state(prepared(base.readAt(curV), cfg), cfg.keys,
-            cfg.measures)
-          if (foldInto(st, curV, full, cfg, fullSync = true,
-              expectedLast = lastV))
-            return ("full", lastV, curV)
-          return ("current", lastV, st.txnVersion(AppId))
+        if (dimsMoved || curV <= lastV) return fullRecompute()
+        // the config's row filter (and the dim join) applies BEFORE
+        // everything, including the incremental-eligibility probe: a
+        // null-key or non-insert row OUTSIDE the filter — or an
+        // inner-joined fact row matching no dim — is irrelevant to
+        // this view (it never contributed to the state)
+        val changes = preparedInput(cat, cfg,
+          base.readChangesRowsBetween(lastV, curV)).localCheckpoint(true)
+        try {
+          // incremental needs (a) insert-only changes and (b) NO null
+          // group key in the delta — the keyed MERGE matches with ===
+          // (ANSI: a null key never matches), so a null-key delta group
+          // would INSERT a duplicate state row instead of folding; the
+          // full sync handles it exactly. (A LEFT-joined fact insert
+          // matching no dim surfaces dim-sourced keys as null and
+          // honestly lands here too.)
+          val nonIncremental = changes.filter(
+            col("_change_type") =!= "insert" ||
+              cfg.keys.map(k => col(k).isNull).reduce(_ || _))
+            .limit(1).count() > 0L
+          if (!nonIncremental) {
+            val delta = state(changes.drop("_change_type"), cfg.keys,
+              cfg.measures)
+            // applied=false: a concurrent refresh already folded to >= curV
+            if (foldInto(st, curV, delta, cfg, fullSync = false,
+                expectedLast = lastV))
+              return ("incremental", lastV, curV)
+            return ("current", lastV, st.txnVersion(AppId))
+          } else return fullRecompute()
+        } finally {
+          // free the checkpointed blocks — retries (and long sessions
+          // running many refreshes) must not accumulate executor storage
+          changes.unpersist()
+          ()
         }
       } catch {
         // a concurrent refresh advanced the anchor past the lastV this
@@ -795,11 +1050,6 @@ object GraftMaterializedViews {
         case e: graft.operators.StaleTxnAnchorException =>
           if (attempt >= MaxAttempts) throw e
           attempt += 1
-      } finally {
-        // free the checkpointed blocks — retries (and long sessions
-        // running many refreshes) must not accumulate executor storage
-        changes.unpersist()
-        ()
       }
     }
     throw new IllegalStateException("unreachable")

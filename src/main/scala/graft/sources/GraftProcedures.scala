@@ -116,10 +116,13 @@ object GraftProcedures {
               val cutoff = System.currentTimeMillis() - grace
               def newestMtime(p: java.nio.file.Path): Long = {
                 var mx = 0L
-                java.nio.file.Files.walk(p).forEach { f =>
+                // close the walk stream — forEach alone leaks the
+                // directory fd per swept sibling on long-lived sessions
+                val s = java.nio.file.Files.walk(p)
+                try s.forEach { f =>
                   val m = java.nio.file.Files.getLastModifiedTime(f).toMillis
                   if (m > mx) mx = m
-                }
+                } finally s.close()
                 mx
               }
               Option(tableDir.toFile.listFiles()).getOrElse(Array.empty)
