@@ -4088,6 +4088,66 @@ object IngestQueries {
       },
       Some("""
         SELECT user_id, CAST(count(*) AS BIGINT) AS n, true AS dc_ok
-        FROM events GROUP BY user_id"""))
+        FROM events GROUP BY user_id""")),
+
+    // TRANSPARENT MVIEW REWRITE (round 14): an aggregate that exactly
+    // matches a registered FULLY-FRESH materialized view reads the
+    // view's bucketed state table instead of re-aggregating the base —
+    // without naming the view. Triple-gated in-query: (a) fresh → the
+    // optimized plan MUST read the state table; (b) after a base
+    // insert with no refresh → the rewrite MUST NOT fire (stale state
+    // never silently answers); (c) after refresh_mview → it fires
+    // again, and THAT plan produces the output the oracle replays as
+    // the direct aggregate over the final base.
+    QuerySpec("q280_sql_mview_rewrite",
+      (s, dir) => {
+        GraftSession.tune(s)
+        val base = java.nio.file.Files.createTempDirectory("graft_q280_").toString
+        Tables.events(s, dir).createOrReplaceTempView("q280_events")
+        val cat = s"gcat_${java.util.UUID.randomUUID().toString.take(8)}"
+          .replace("-", "_")
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.root", base)
+        s.sql(s"""CREATE TABLE $cat.db.ev (
+            event_id BIGINT, user_id BIGINT, cents BIGINT, pk BIGINT)
+          PARTITIONED BY (pk)
+          TBLPROPERTIES ('keys'='event_id', 'statsCols'='cents')""")
+        s.sql(s"""INSERT INTO $cat.db.ev (event_id, user_id, cents, pk)
+          SELECT event_id, user_id, CAST(round(value * 100) AS BIGINT),
+            user_id % 4
+          FROM q280_events WHERE event_id % 2 = 0""")
+        s.sql(s"""CALL $cat.system.create_mview('db.spend',
+          base => 'db.ev', keys => 'user_id', measures => 'cents')""")
+        val q = s"""SELECT user_id, sum(cents) AS total, count(*) AS n,
+            avg(cents) AS mean
+          FROM $cat.db.ev GROUP BY user_id"""
+        require(s.sql(q).queryExecution.optimizedPlan.toString
+            .contains("spend_state"),
+          "q280: a FRESH mview must answer the aggregate transparently " +
+            "(plan must read the state table)")
+        s.sql(s"""INSERT INTO $cat.db.ev (event_id, user_id, cents, pk)
+          SELECT event_id, user_id, CAST(round(value * 100) AS BIGINT),
+            user_id % 4
+          FROM q280_events WHERE event_id % 2 = 1""")
+        require(!s.sql(q).queryExecution.optimizedPlan.toString
+            .contains("spend_state"),
+          "q280: a STALE mview must NEVER answer transparently")
+        s.sql(s"CALL $cat.system.refresh_mview('db.spend')")
+        val out = s.sql(q)
+        require(out.queryExecution.optimizedPlan.toString
+            .contains("spend_state"),
+          "q280: the refreshed mview must answer transparently again")
+        val snap = out.localCheckpoint(true)
+        graft.operators.Fs.deleteTree(base)
+        snap
+      },
+      Some("""
+        WITH e AS (
+          SELECT user_id, CAST(round(value * 100) AS BIGINT) AS cents
+          FROM events)
+        SELECT user_id, CAST(sum(cents) AS BIGINT) AS total,
+          CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(cents) AS DOUBLE) / count(*) AS mean
+        FROM e GROUP BY user_id"""))
   )
 }

@@ -95,6 +95,13 @@ object RewriteHofFixedDot extends Rule[LogicalPlan] {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => RewriteHofFixedDot)
+    // transparent materialized-view rewrite: an aggregate exactly
+    // matching a registered FULLY-FRESH mview answers from its state
+    // table (provably identical results; stale/partial → untouched).
+    // Build-time only: the spliced state relation must flow through
+    // the V2 pushdown batch, which has already run by the time live
+    // extraOptimizations execute.
+    ext.injectOptimizerRule(session => new GraftMviewRewrite(session))
     ext.injectPlannerStrategy(_ =>
       org.apache.spark.sql.graft.GraftRowLevelSqlStrategy)
     // persisted V2 views resolve in SELECTs (vanilla 4.1 ships the

@@ -1079,6 +1079,32 @@ object GraftMaterializedViews {
     }.sorted
   }
 
+  /** The registered materialized views over `base`, WITH their parsed
+    * configs — the transparent-rewrite rule's discovery probe
+    * ([[graft.ext.GraftMviewRewrite]]): one namespace walk + one
+    * config read per mview, metadata-only. A state table whose config
+    * fails to parse is skipped (the rewrite must never fail a user
+    * query over catalog debris).
+    */
+  def registered(cat: GraftCatalog, base: String): Seq[(String, Config)] =
+    list(cat, Some(base)).flatMap { viewRef =>
+      scala.util.Try(
+        viewRef -> readConfig(cat.openTable(split(stateRef(viewRef))).path))
+        .toOption
+    }
+
+  /** The state table's txn anchor = the base version the state was
+    * last refreshed to. The rewrite fires ONLY when this equals the
+    * base's current version (fully fresh ⇒ provably identical
+    * results).
+    */
+  def stateAnchor(cat: GraftCatalog, viewRef: String): Long =
+    cat.openTable(split(stateRef(viewRef))).txnVersion(AppId)
+
+  /** The state table's name parts for `viewRef` (`<ns…>, <name>_state`). */
+  def stateTableParts(viewRef: String): Seq[String] =
+    stateRef(viewRef).split('.').toSeq
+
   /** REFRESH every registered materialized view (of `base`, when
     * given): the operational tick after a base mutation — two mviews
     * over one base stay consistent because each refresh anchors on its
