@@ -3551,6 +3551,30 @@ object IngestQueries {
         s.sql(s"CREATE VIEW $cat.db.scratch AS SELECT 1 AS one")
         s.sql(s"DROP VIEW $cat.db.scratch")
         s.sql(s"DROP VIEW IF EXISTS $cat.db.scratch")
+        // round 14: the FULL clause surface — column list (with a
+        // comment), view COMMENT, TBLPROPERTIES — read back through
+        // DESCRIBE and reconstructed as RUNNABLE DDL by SHOW CREATE
+        // VIEW (gated by replaying it)
+        s.sql(s"""CREATE VIEW $cat.db.fancy
+          (key COMMENT 'the key', money) COMMENT 'clause surface'
+          TBLPROPERTIES ('tier' = 'gold')
+          AS SELECT user_id, cents FROM $cat.db.ve WHERE cents % 2 = 0""")
+        require(s.sql(s"SELECT * FROM $cat.db.fancy").columns.toSeq ==
+          Seq("key", "money"),
+          "q271: the CREATE VIEW column list must rename the outputs")
+        val d = s.sql(s"DESCRIBE EXTENDED $cat.db.fancy").collect()
+          .map(r => r.getString(0) -> r.getString(1)).toMap
+        require(d.get("Comment").contains("clause surface") &&
+          d.get("View Properties").exists(_.contains("tier=gold")),
+          s"q271: DESCRIBE EXTENDED must surface comment+properties, got $d")
+        val ddl = s.sql(s"SHOW CREATE VIEW $cat.db.fancy")
+          .collect()(0).getString(0)
+        s.sql(s"DROP VIEW $cat.db.fancy")
+        s.sql(ddl) // SHOW CREATE VIEW output must be RUNNABLE
+        require(s.sql(s"SELECT * FROM $cat.db.fancy").columns.toSeq ==
+          Seq("key", "money"),
+          "q271: replayed SHOW CREATE VIEW DDL must rebuild the view")
+        s.sql(s"DROP VIEW $cat.db.fancy")
         val shown = s.sql(s"SHOW VIEWS IN $cat.db").collect()
           .map(_.getString(1)).toSeq.sorted
         require(shown == Seq("spend", "spend_agg"),

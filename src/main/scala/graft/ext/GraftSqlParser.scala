@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.connector.catalog.Identifier
 import org.apache.spark.sql.types.{DataType, StructType}
 
-import org.apache.spark.sql.graft.{GraftAlterViewAsCommand, GraftAlterViewPropsCommand, GraftCreateViewCommand, GraftDropViewCommand, GraftShowViewsCommand}
+import org.apache.spark.sql.graft.{GraftAlterViewAsCommand, GraftAlterViewPropsCommand, GraftCreateViewCommand, GraftDescribeViewCommand, GraftDropViewCommand, GraftShowCreateViewCommand, GraftShowViewsCommand}
 
 /** Injected SQL parser (the Iceberg SQL-extensions-parser model):
   * intercepts the three VIEW DDL statements when they target a
@@ -19,17 +19,21 @@ import org.apache.spark.sql.graft.{GraftAlterViewAsCommand, GraftAlterViewPropsC
   * against a graft catalog dead-ends even though the catalog fully
   * implements the protocol.
   *
-  *   - `CREATE [OR REPLACE] VIEW [IF NOT EXISTS] <ident> AS <query>`
+  *   - `CREATE [OR REPLACE] VIEW [IF NOT EXISTS] <ident>
+  *     [(col [COMMENT '…'], …)] [COMMENT '…'] [TBLPROPERTIES (…)]
+  *     AS <query>`
   *   - `DROP VIEW [IF EXISTS] <ident>`
   *   - `SHOW VIEWS {IN | FROM} <catalog>[.<ns>…]`
+  *   - `SHOW CREATE VIEW <ident>` (and `SHOW CREATE TABLE` naming a
+  *     graft view; graft TABLES keep the vanilla path)
+  *   - `DESCRIBE [TABLE] [EXTENDED|FORMATTED] <ident>` naming a graft
+  *     view (tables delegate to the native V2 DESCRIBE)
   *
   * EVERYTHING ELSE — including these statements against any other
-  * catalog, `CREATE [GLOBAL] TEMPORARY VIEW`, and view DDL with
-  * column lists / COMMENT / TBLPROPERTIES clauses (not in the graft
-  * surface; the CALL procedures cover programmatic needs) — delegates
-  * verbatim to the vanilla parser, so nothing changes for other
-  * catalogs. Identifier lexing honors backtick quoting (including
-  * doubled backticks); statement-head matching is whitespace- and
+  * catalog and `CREATE [GLOBAL] TEMPORARY VIEW` — delegates verbatim
+  * to the vanilla parser, so nothing changes for other catalogs.
+  * Identifier lexing honors backtick quoting (including doubled
+  * backticks); statement-head matching is whitespace- and
   * case-insensitive, the vanilla rules.
   *
   * Installed build-time by [[GraftExtensions]] (`injectParser`);
@@ -71,6 +75,8 @@ object GraftSqlParser {
       .orElse(matchAlterAs(session, delegate, s))
       .orElse(matchDrop(session, s))
       .orElse(matchShow(session, s))
+      .orElse(matchShowCreate(session, s))
+      .orElse(matchDescribe(session, s))
   }
 
   // --------------------------------------------------------- lexing
@@ -197,9 +203,28 @@ object GraftSqlParser {
       case Some(pr) => pr
       case None => return None
     }
-    // only the bare `… AS <query>` form; column lists / COMMENT /
-    // TBLPROPERTIES fall through to the vanilla parser (clear error)
-    val query = keywords(afterIdent, "AS") match {
+    // optional clauses, the vanilla order:
+    //   (col [COMMENT '…'], …)  COMMENT '…'  TBLPROPERTIES (…)  AS query
+    val (cols, afterCols) = colList(afterIdent) match {
+      case Some((cs, rest)) => (cs, rest)
+      case None => (Seq.empty[(String, String)], afterIdent)
+    }
+    val (comment, afterComment) = keywords(afterCols, "COMMENT") match {
+      case Some(r) => stringLit(r) match {
+        case Some((c, rest)) => (Some(c), rest)
+        case None => return None // COMMENT without a literal → vanilla
+      }
+      case None => (None, afterCols)
+    }
+    val (props, afterProps) =
+      keywords(afterComment, "TBLPROPERTIES") match {
+        case Some(r) => propList(r, withValues = true) match {
+          case Some((ps, rest)) => (ps, rest)
+          case None => return None
+        }
+        case None => (Seq.empty[(String, String)], afterComment)
+      }
+    val query = keywords(afterProps, "AS") match {
       case Some(q) if q.exists(!_.isWhitespace) => q.trim
       case _ => return None
     }
@@ -208,8 +233,63 @@ object GraftSqlParser {
       // vanilla (parseQuery throws on commands), so `CREATE VIEW … AS
       // DROP TABLE t` is a parse error, never an executed statement
       delegate.parseQuery(query)
-      GraftCreateViewCommand(cat, id, query, replace, ifNotExists)
+      GraftCreateViewCommand(cat, id, query, replace, ifNotExists,
+        columnAliases = cols.map(_._1), columnComments = cols.map(_._2),
+        comment = comment, properties = props)
     }
+  }
+
+  /** One single-/double-quoted string literal (doubled-quote escapes)
+    * at the head of `s` (after whitespace); (value, rest).
+    */
+  private def stringLit(s0: String): Option[(String, String)] = {
+    val s = s0.dropWhile(_.isWhitespace)
+    val quote = if (s.startsWith("'")) '\''
+      else if (s.startsWith("\"")) '"'
+      else return None
+    val sb = new StringBuilder
+    var i = 1
+    while (i < s.length) {
+      if (s(i) == quote) {
+        if (i + 1 < s.length && s(i + 1) == quote) { sb.append(quote); i += 2 }
+        else return Some((sb.toString, s.substring(i + 1)))
+      } else { sb.append(s(i)); i += 1 }
+    }
+    None // unterminated
+  }
+
+  /** A CREATE VIEW column list: `(col [COMMENT '…'], …)` — names
+    * single-part (backtick-quoting honored), comments optional ("" =
+    * none, positional with the aliases). None = not this shape.
+    */
+  private def colList(s0: String)
+      : Option[(Seq[(String, String)], String)] = {
+    var s = s0.dropWhile(_.isWhitespace)
+    if (!s.startsWith("(")) return None
+    s = s.drop(1)
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    while (true) {
+      s = s.dropWhile(_.isWhitespace)
+      val (parts, rest) = ident(s) match {
+        case Some(pr) => pr
+        case None => return None
+      }
+      if (parts.length != 1) return None
+      s = rest
+      val comment = keywords(s, "COMMENT") match {
+        case Some(r) => stringLit(r) match {
+          case Some((c, r2)) => s = r2; c
+          case None => return None
+        }
+        case None => ""
+      }
+      out += (parts.head -> comment)
+      s = s.dropWhile(_.isWhitespace)
+      if (s.startsWith(",")) s = s.drop(1)
+      else if (s.startsWith(")")) return Some((out.toSeq, s.drop(1)))
+      else return None
+    }
+    None
   }
 
   /** `ALTER VIEW <ident> {AS <query> | SET TBLPROPERTIES (…) |
@@ -339,6 +419,63 @@ object GraftSqlParser {
       case Some((parts, rest)) if rest.forall(_.isWhitespace) =>
         address(session, parts).map { case (cat, id) =>
           GraftDropViewCommand(cat, id, ifExists)
+        }
+      case _ => None
+    }
+  }
+
+  private def graftViewExists(session: SparkSession, cat: String,
+                              id: Identifier): Boolean =
+    scala.util.Try(session.sessionState.catalogManager.catalog(cat))
+      .toOption.collect {
+        case vc: org.apache.spark.sql.connector.catalog.ViewCatalog =>
+          vc.viewExists(id)
+      }.getOrElse(false)
+
+  /** `SHOW CREATE VIEW <ident>` / `SHOW CREATE TABLE <ident>` when the
+    * identifier names an EXISTING graft view (graft TABLES keep the
+    * vanilla ShowCreateTable path — the existence probe decides at
+    * parse time, the Iceberg model).
+    */
+  private def matchShowCreate(session: SparkSession, s: String)
+      : Option[LogicalPlan] = {
+    val rest = keywords(s, "SHOW", "CREATE", "VIEW")
+      .orElse(keywords(s, "SHOW", "CREATE", "TABLE")) match {
+      case Some(r) => r
+      case None => return None
+    }
+    ident(rest.dropWhile(_.isWhitespace)) match {
+      case Some((parts, tail)) if tail.forall(_.isWhitespace) =>
+        address(session, parts).collect {
+          case (cat, id) if graftViewExists(session, cat, id) =>
+            GraftShowCreateViewCommand(cat, id)
+        }
+      case _ => None
+    }
+  }
+
+  /** `DESCRIBE|DESC [TABLE] [EXTENDED|FORMATTED] <ident>` when the
+    * identifier names an EXISTING graft view — vanilla resolves
+    * DESCRIBE against tables only, so a persisted V2 view dead-ends
+    * without this. Tables (and anything with partition specs / column
+    * paths after the identifier) delegate untouched.
+    */
+  private def matchDescribe(session: SparkSession, s: String)
+      : Option[LogicalPlan] = {
+    val afterDesc = keywords(s, "DESCRIBE").orElse(keywords(s, "DESC")) match {
+      case Some(r) => r
+      case None => return None
+    }
+    val afterTable = keywords(afterDesc, "TABLE").getOrElse(afterDesc)
+    val (extended, rest) = keywords(afterTable, "EXTENDED")
+      .map((true, _))
+      .orElse(keywords(afterTable, "FORMATTED").map((true, _)))
+      .getOrElse((false, afterTable))
+    ident(rest.dropWhile(_.isWhitespace)) match {
+      case Some((parts, tail)) if tail.forall(_.isWhitespace) =>
+        address(session, parts).collect {
+          case (cat, id) if graftViewExists(session, cat, id) =>
+            GraftDescribeViewCommand(cat, id, extended)
         }
       case _ => None
     }

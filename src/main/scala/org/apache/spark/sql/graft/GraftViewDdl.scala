@@ -35,12 +35,22 @@ object GraftViewDdl {
     }
 }
 
-/** `CREATE [OR REPLACE] VIEW [IF NOT EXISTS] <ident> AS <query>`. */
+/** `CREATE [OR REPLACE] VIEW [IF NOT EXISTS] <ident>
+  * [(col [COMMENT '…'], …)] [COMMENT '…'] [TBLPROPERTIES (…)]
+  * AS <query>` — the full vanilla clause surface. A column list
+  * RENAMES the query's outputs (vanilla rule: counts must match); the
+  * view comment persists as the reserved `comment` property (the
+  * `ViewCatalog.PROP_COMMENT` convention).
+  */
 case class GraftCreateViewCommand(catalogName: String,
                                                ident: Identifier,
                                                query: String,
                                                replace: Boolean,
-                                               ifNotExists: Boolean)
+                                               ifNotExists: Boolean,
+                                               columnAliases: Seq[String] = Nil,
+                                               columnComments: Seq[String] = Nil,
+                                               comment: Option[String] = None,
+                                               properties: Seq[(String, String)] = Nil)
     extends LeafRunnableCommand {
 
   override def run(sparkSession: SparkSession): Seq[Row] = {
@@ -51,9 +61,30 @@ case class GraftCreateViewCommand(catalogName: String,
     // analyzing the defining query pins schema + column names (and
     // rejects broken SQL at CREATE time, not first read)
     val frame = sparkSession.sql(query)
+    if (columnAliases.nonEmpty &&
+        columnAliases.length != frame.columns.length)
+      throw new IllegalArgumentException(
+        s"CREATE VIEW $ident: the column list names " +
+          s"${columnAliases.length} columns but the query produces " +
+          s"${frame.columns.length}")
+    val dup = columnAliases.groupBy(_.toLowerCase).filter(_._2.size > 1)
+    if (dup.nonEmpty) throw new IllegalArgumentException(
+      s"CREATE VIEW $ident: duplicate column name" +
+        s"${if (dup.size == 1) "" else "s"} ${dup.keys.mkString(", ")}")
+    // the stored schema carries the ALIASED names (what DESCRIBE and
+    // reads surface); queryColumnNames keep the query's own outputs
+    val schema =
+      if (columnAliases.isEmpty) frame.schema
+      else org.apache.spark.sql.types.StructType(
+        frame.schema.fields.zip(columnAliases).map { case (f, a) =>
+          f.copy(name = a)
+        })
+    val props = new java.util.LinkedHashMap[String, String]()
+    properties.foreach { case (k, v) => props.put(k, v) }
+    comment.foreach(c => props.put(ViewCatalog.PROP_COMMENT, c))
     val info = new ViewInfo(ident, query, catalogName, ident.namespace(),
-      frame.schema, frame.columns, Array.empty[String], Array.empty[String],
-      java.util.Collections.emptyMap[String, String]())
+      schema, frame.columns, columnAliases.toArray,
+      columnComments.toArray, props)
     if (replace) vc.replaceView(info, true) else vc.createView(info)
     Seq.empty
   }
@@ -128,6 +159,103 @@ case class GraftDropViewCommand(catalogName: String,
       throw new org.apache.spark.sql.catalyst.analysis
         .NoSuchViewException(ident)
     Seq.empty
+  }
+}
+
+/** `SHOW CREATE VIEW <ident>` (also served for `SHOW CREATE TABLE`
+  * naming a graft VIEW): reconstructs runnable DDL from the stored
+  * metadata — column aliases with their comments, the view comment,
+  * user TBLPROPERTIES (reserved properties excluded), and the defining
+  * SQL. Output column matches vanilla (`createtab_stmt`).
+  */
+case class GraftShowCreateViewCommand(catalogName: String,
+                                      ident: Identifier)
+    extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("createtab_stmt", StringType, nullable = false)())
+
+  private def q(s: String): String = s"'${s.replace("'", "''")}'"
+  private def bq(s: String): String = s"`${s.replace("`", "``")}`"
+
+  override def run(sparkSession: SparkSession): Seq[Row] = {
+    val vc = GraftViewDdl.viewCatalog(sparkSession, catalogName)
+    val v = vc.loadView(ident)
+    val props = v.properties()
+    val cols =
+      if (v.columnAliases() == null || v.columnAliases().isEmpty) ""
+      else v.columnAliases().toSeq.zipWithIndex.map { case (a, i) =>
+        val c = v.columnComments() match {
+          case cc if cc != null && i < cc.length && cc(i).nonEmpty =>
+            s" COMMENT ${q(cc(i))}"
+          case _ => ""
+        }
+        s"${bq(a)}$c"
+      }.mkString(" (", ", ", ")")
+    val comment = Option(props.get(ViewCatalog.PROP_COMMENT))
+      .map(c => s"\nCOMMENT ${q(c)}").getOrElse("")
+    val userProps = props.entrySet().toArray(
+      Array.empty[java.util.Map.Entry[String, String]]).toSeq
+      .filterNot(e => ViewCatalog.RESERVED_PROPERTIES.contains(e.getKey))
+    val tblProps =
+      if (userProps.isEmpty) ""
+      else userProps.map(e => s"${q(e.getKey)} = ${q(e.getValue)}")
+        .mkString("\nTBLPROPERTIES (", ", ", ")")
+    val fq = (catalogName +: ident.namespace().toSeq :+ ident.name())
+      .map(bq).mkString(".")
+    Seq(Row(s"CREATE VIEW $fq$cols$comment$tblProps AS\n${v.query()}\n"))
+  }
+}
+
+/** `DESCRIBE [TABLE] [EXTENDED|FORMATTED] <ident>` on a graft VIEW:
+  * the vanilla view shape — one row per column (aliased names, stored
+  * comments), EXTENDED adds the detailed-information section (view
+  * text, catalog/namespace context, query output columns, properties).
+  */
+case class GraftDescribeViewCommand(catalogName: String,
+                                    ident: Identifier,
+                                    extended: Boolean)
+    extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("col_name", StringType, nullable = false)(),
+    AttributeReference("data_type", StringType, nullable = false)(),
+    AttributeReference("comment", StringType, nullable = true)())
+
+  override def run(sparkSession: SparkSession): Seq[Row] = {
+    val vc = GraftViewDdl.viewCatalog(sparkSession, catalogName)
+    val v = vc.loadView(ident)
+    val comments = Option(v.columnComments()).getOrElse(Array.empty)
+    val colRows = v.schema().fields.toSeq.zipWithIndex.map { case (f, i) =>
+      Row(f.name, f.dataType.simpleString,
+        if (i < comments.length && comments(i).nonEmpty) comments(i)
+        else null)
+    }
+    if (!extended) colRows
+    else {
+      val props = v.properties()
+      val userProps = props.entrySet().toArray(
+        Array.empty[java.util.Map.Entry[String, String]]).toSeq
+        .filterNot(e => ViewCatalog.RESERVED_PROPERTIES.contains(e.getKey))
+        .map(e => s"${e.getKey}=${e.getValue}")
+      colRows ++ Seq(
+        Row("", "", null),
+        Row("# Detailed View Information", "", null),
+        Row("Catalog", catalogName, null),
+        Row("Namespace", ident.namespace().mkString("."), null),
+        Row("View Name", ident.name(), null),
+        Row("View Text", v.query(), null),
+        Row("View Catalog and Namespace",
+          (v.currentCatalog() +: v.currentNamespace().toSeq)
+            .mkString("."), null),
+        Row("View Query Output Columns",
+          v.queryColumnNames().mkString("[", ", ", "]"), null)) ++
+        Option(props.get(ViewCatalog.PROP_COMMENT))
+          .map(c => Row("Comment", c, null)).toSeq ++
+        (if (userProps.isEmpty) Seq.empty
+         else Seq(Row("View Properties",
+           userProps.mkString("[", ", ", "]"), null)))
+    }
   }
 }
 

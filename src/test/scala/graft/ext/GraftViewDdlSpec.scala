@@ -167,4 +167,58 @@ class GraftViewDdlSpec extends SparkSpec {
     // and bare SHOW VIEWS stays the session-catalog listing (no crash)
     spark.sql("SHOW VIEWS").collect()
   }
+
+  test("CREATE VIEW with column list / COMMENT / TBLPROPERTIES; read " +
+    "back via SHOW CREATE VIEW and DESCRIBE [EXTENDED]") {
+    val cat = freshCatalog()
+    spark.sql(s"""CREATE TABLE $cat.db.ev (k BIGINT, cents BIGINT)
+      TBLPROPERTIES ('keys'='k')""")
+    spark.sql(s"INSERT INTO $cat.db.ev SELECT id, id * 10 FROM range(20)")
+    spark.sql(s"""CREATE VIEW $cat.db.fancy
+      (key COMMENT 'the row key', money)
+      COMMENT 'a fancy view'
+      TBLPROPERTIES ('owner.team' = 'etl', 'tier' = 'gold')
+      AS SELECT k, cents FROM $cat.db.ev WHERE cents >= 50""")
+    // the column list RENAMES the outputs
+    val df = spark.sql(s"SELECT * FROM $cat.db.fancy")
+    assert(df.columns.toSeq == Seq("key", "money"))
+    assert(df.collect().length == 15)
+    // DESCRIBE: aliased names, types, stored comments
+    val desc = spark.sql(s"DESCRIBE $cat.db.fancy").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    assert(desc.toSeq == Seq(("key", "bigint", "the row key"),
+      ("money", "bigint", null)), desc.mkString(", "))
+    // DESCRIBE EXTENDED adds view text + properties
+    val ext = spark.sql(s"DESCRIBE EXTENDED $cat.db.fancy").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(ext("View Text").contains("cents >= 50"))
+    assert(ext("Comment") == "a fancy view")
+    assert(ext("View Properties").contains("owner.team=etl"))
+    // SHOW CREATE VIEW reconstructs RUNNABLE DDL: drop + replay = same
+    val ddl = spark.sql(s"SHOW CREATE VIEW $cat.db.fancy")
+      .collect()(0).getString(0)
+    assert(ddl.contains("COMMENT 'a fancy view'") &&
+      ddl.contains("`key` COMMENT 'the row key'") &&
+      ddl.contains("'tier' = 'gold'"), ddl)
+    spark.sql(s"DROP VIEW $cat.db.fancy")
+    spark.sql(ddl)
+    assert(spark.sql(s"SELECT * FROM $cat.db.fancy").columns.toSeq ==
+      Seq("key", "money"))
+    val desc2 = spark.sql(s"DESC TABLE $cat.db.fancy").collect()
+      .map(r => (r.getString(0), r.getString(2)))
+    assert(desc2.toSeq == Seq(("key", "the row key"), ("money", null)))
+    // SHOW CREATE TABLE naming the VIEW also serves the view DDL
+    assert(spark.sql(s"SHOW CREATE TABLE $cat.db.fancy")
+      .collect()(0).getString(0).contains("CREATE VIEW"))
+    // a mismatched column list rejects at CREATE
+    val e = intercept[Exception] {
+      spark.sql(s"""CREATE VIEW $cat.db.broken (one, two, three)
+        AS SELECT k FROM $cat.db.ev""")
+    }
+    assert(e.getMessage.contains("names 3 columns"), e.getMessage)
+    // graft TABLES keep their native DESCRIBE path
+    val tdesc = spark.sql(s"DESCRIBE $cat.db.ev").collect()
+      .map(_.getString(0))
+    assert(tdesc.contains("k") && tdesc.contains("cents"))
+  }
 }
