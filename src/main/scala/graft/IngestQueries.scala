@@ -4172,6 +4172,162 @@ object IngestQueries {
         SELECT user_id, CAST(sum(cents) AS BIGINT) AS total,
           CAST(count(*) AS BIGINT) AS n,
           CAST(sum(cents) AS DOUBLE) / count(*) AS mean
-        FROM e GROUP BY user_id"""))
+        FROM e GROUP BY user_id""")),
+
+    // HISTOGRAMS IN JOIN ESTIMATION (round 14): catalyst's
+    // JoinEstimation computes equi-join cardinality from BOTH keys'
+    // equi-height histograms (bin-overlap math) when present; without
+    // them it prices rows·rows/max(ndv), blind to the overlap
+    // fraction. Here a.k spans [0,1000) and b.k spans [990,1990) — a
+    // 1% overlap NDV cannot see. Double-gated in-query like q273: the
+    // histogram estimate must be ≥8× tighter than the NDV estimate AND
+    // the tighter intermediate must flip the downstream join to
+    // broadcast (strictly more BroadcastHashJoins than the bins=0
+    // negative control). Every size scales linearly with the SF's row
+    // count (b is fixed 10k rows), so the flip gates at every SF.
+    QuerySpec("q281_sql_cbo_join_hist",
+      (s, dir) => {
+        GraftSession.tune(s)
+        val base = java.nio.file.Files.createTempDirectory("graft_q281_").toString
+        Tables.events(s, dir).createOrReplaceTempView("q281_events")
+        val cat = s"gcat_${java.util.UUID.randomUUID().toString.take(8)}"
+          .replace("-", "_")
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.root", base)
+        s.sql(s"""CREATE TABLE $cat.db.a (id BIGINT, k BIGINT)
+          TBLPROPERTIES ('keys'='id')""")
+        s.sql(s"""CREATE TABLE $cat.db.b (id BIGINT, k BIGINT)
+          TBLPROPERTIES ('keys'='id')""")
+        s.sql(s"""CREATE TABLE $cat.db.c (id BIGINT, w BIGINT)
+          TBLPROPERTIES ('keys'='id')""")
+        s.sql(s"""INSERT INTO $cat.db.a
+          SELECT event_id, event_id % 1000 FROM q281_events""")
+        s.sql(s"""INSERT INTO $cat.db.b
+          SELECT id, 990 + id % 1000 FROM range(10000)""")
+        // c carries 4 SF-scaled copies (3 on non-matching id offsets):
+        // big enough that it never broadcasts, so the flip can only
+        // come from the INTERMEDIATE's estimate
+        val n = s.sql("SELECT count(*), max(event_id) FROM q281_events")
+          .collect()(0)
+        val off = n.getLong(1) + 1
+        s.sql(s"""INSERT INTO $cat.db.c
+          SELECT event_id + $off * r.id, user_id % 7
+          FROM q281_events CROSS JOIN range(4) r""")
+        val q = s"""SELECT c.w, count(*) AS cnt FROM $cat.db.a a
+          JOIN $cat.db.b b ON a.k = b.k
+          JOIN $cat.db.c c ON a.id = c.id
+          GROUP BY c.w"""
+        val prevCbo = s.conf.get("spark.sql.cbo.enabled", "false")
+        val prevThr = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        val out =
+          try {
+            s.conf.set("spark.sql.cbo.enabled", "true")
+            s.conf.set("spark.sql.autoBroadcastJoinThreshold",
+              (32L * n.getLong(0)).toString)
+            def joinEstimate(): BigInt = s.sql(
+              s"SELECT 1 FROM $cat.db.a a JOIN $cat.db.b b ON a.k = b.k")
+              .queryExecution.optimizedPlan.collect {
+                case j: org.apache.spark.sql.catalyst.plans.logical.Join =>
+                  j.stats.rowCount.getOrElse(BigInt(-1))
+              }.head
+            def bhjCount(): Int = "BroadcastHashJoin".r.findAllIn(
+              s.sql(q).queryExecution.executedPlan.toString).length
+            s.sql(s"CALL $cat.system.analyze('db.a', histogram_bins => 0)")
+            s.sql(s"CALL $cat.system.analyze('db.b', histogram_bins => 0)")
+            s.sql(s"CALL $cat.system.analyze('db.c', histogram_bins => 0)")
+            val estNdv = joinEstimate(); val bhjNdv = bhjCount()
+            s.sql(s"CALL $cat.system.analyze('db.a', histogram_bins => 64)")
+            s.sql(s"CALL $cat.system.analyze('db.b', histogram_bins => 64)")
+            val estHist = joinEstimate(); val bhjHist = bhjCount()
+            require(estHist > 0 && estNdv > 0 && estHist * 8 <= estNdv,
+              s"q281: the histogram join estimate ($estHist) must be ≥8x " +
+                s"tighter than NDV's ($estNdv)")
+            require(bhjHist > bhjNdv,
+              s"q281: the tighter intermediate estimate must flip the " +
+                s"downstream join to broadcast (ndv=$bhjNdv hist=$bhjHist)")
+            s.sql(q).localCheckpoint(true)
+          } finally {
+            s.conf.set("spark.sql.cbo.enabled", prevCbo)
+            s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThr)
+          }
+        graft.operators.Fs.deleteTree(base)
+        out
+      },
+      Some("""
+        WITH a AS (SELECT event_id AS id, event_id % 1000 AS k FROM events),
+        b AS (SELECT 990 + i % 1000 AS k FROM range(10000) t(i)),
+        c AS (SELECT event_id AS id, user_id % 7 AS w FROM events)
+        SELECT w, CAST(count(*) AS BIGINT) AS cnt
+        FROM a JOIN b ON a.k = b.k JOIN c ON a.id = c.id
+        GROUP BY w""")),
+
+    // STATS AUTO-REFRESH POLICY (round 14): `analyze_after_commits=>N`
+    // re-runs the last ANALYZE automatically once a data commit leaves
+    // the stats N versions behind — CBO tracks continuous ingest with
+    // no operator in the loop. Gated in-query: 100 analyzed rows plan
+    // a broadcast join; after THREE growth commits (and ZERO manual
+    // ANALYZE calls) the policy has refreshed the stats and the same
+    // query must NOT broadcast the now-SF-sized table; show_stats must
+    // read tier 'fresh'. Oracle replays the final join.
+    QuerySpec("q282_sql_stats_policy",
+      (s, dir) => {
+        GraftSession.tune(s)
+        val base = java.nio.file.Files.createTempDirectory("graft_q282_").toString
+        Tables.events(s, dir).createOrReplaceTempView("q282_events")
+        val cat = s"gcat_${java.util.UUID.randomUUID().toString.take(8)}"
+          .replace("-", "_")
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.root", base)
+        s.sql(s"""CREATE TABLE $cat.db.f (id BIGINT, v BIGINT)
+          TBLPROPERTIES ('keys'='id', 'analyze_after_commits'='3')""")
+        s.sql(s"""CREATE TABLE $cat.db.d (id BIGINT, w BIGINT)
+          TBLPROPERTIES ('keys'='id')""")
+        s.sql(s"""INSERT INTO $cat.db.d
+          SELECT event_id, user_id % 5 FROM q282_events""")
+        s.sql(s"CALL $cat.system.analyze('db.d')")
+        s.sql(s"""INSERT INTO $cat.db.f
+          SELECT event_id, event_id FROM q282_events WHERE event_id < 100""")
+        s.sql(s"CALL $cat.system.analyze('db.f')") // the ONE manual analyze
+        val q = s"""SELECT d.w, count(*) AS cnt FROM $cat.db.f f
+          JOIN $cat.db.d d ON f.id = d.id GROUP BY d.w"""
+        val nEv = s.sql("SELECT count(*) FROM q282_events").collect()(0)
+          .getLong(0)
+        val prevCbo = s.conf.get("spark.sql.cbo.enabled", "false")
+        val prevThr = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        val out =
+          try {
+            s.conf.set("spark.sql.cbo.enabled", "true")
+            // SF-scaled bar: above the 100-row estimate, below the
+            // full-table estimate (~24+ bytes/row) at EVERY SF
+            s.conf.set("spark.sql.autoBroadcastJoinThreshold",
+              (8L * nEv).toString)
+            require(s.sql(q).queryExecution.executedPlan.toString
+                .contains("BroadcastHashJoin"),
+              "q282: 100 analyzed rows must plan broadcast")
+            // three growth commits — NO manual ANALYZE below this line
+            (0 to 2).foreach { r =>
+              s.sql(s"""INSERT INTO $cat.db.f
+                SELECT event_id, event_id FROM q282_events
+                WHERE event_id >= 100 AND event_id % 3 = $r""")
+            }
+            require(!s.sql(q).queryExecution.executedPlan.toString
+                .contains("BroadcastHashJoin"),
+              "q282: the policy must refresh the stats — the SF-sized " +
+                "table may not plan broadcast off 100-row stale stats")
+            val tiers = s.sql(s"CALL $cat.system.show_stats('db.f')")
+              .collect().map(_.getString(12)).distinct.toSeq
+            require(tiers == Seq("fresh"),
+              s"q282: post-policy stats must read tier 'fresh', got $tiers")
+            s.sql(q).localCheckpoint(true)
+          } finally {
+            s.conf.set("spark.sql.cbo.enabled", prevCbo)
+            s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThr)
+          }
+        graft.operators.Fs.deleteTree(base)
+        out
+      },
+      Some("""
+        SELECT user_id % 5 AS w, CAST(count(*) AS BIGINT) AS cnt
+        FROM events GROUP BY user_id % 5"""))
   )
 }

@@ -186,6 +186,11 @@ object GraftTable {
     */
   val SyntheticPartition = "__gp"
 
+  /** Table property: commits of stats drift before a data commit
+    * triggers an automatic re-ANALYZE (stats lifecycle policy).
+    */
+  val AutoAnalyzeProp = "analyze_after_commits"
+
   /** Run `body` (a table mutation, or several) retrying on lost
     * optimistic-concurrency races — each retry re-enters the mutation,
     * which re-reads the table at its NEW current version, so the merge
@@ -848,18 +853,22 @@ final class GraftTable(spark: SparkSession, val path: String,
       // across checkpoint versions. manifestFiles ignores these (the
       // #ckpt base wins); legacy checkpoints lack #cdelta and make the
       // range fall back to the live diff.
-      try commitEntries(base,
-        (carried ++ markers ++ dropDirs.sorted.map("-" + _) ++
-          added.sorted.map("+" + _) :+ s"#cdelta" :+ s"#ckpt:$nonce").sorted)
-      catch {
-        case e: CommitConflictException =>
-          Fs.deleteTree(ckptDirFor(v, nonce))
-          throw e
-      }
+      val nv =
+        try commitEntries(base,
+          (carried ++ markers ++ dropDirs.sorted.map("-" + _) ++
+            added.sorted.map("+" + _) :+ s"#cdelta" :+ s"#ckpt:$nonce").sorted)
+        catch {
+          case e: CommitConflictException =>
+            Fs.deleteTree(ckptDirFor(v, nonce))
+            throw e
+        }
+      maybeAutoAnalyze(nv)
+      nv
     } else {
       val nv = commitEntries(base, "#delta" +: (markers.sorted ++
         dropDirs.sorted.map("-" + _) ++ added.sorted.map("+" + _)))
       writeStatsDelta(nv, statsEntries)
+      maybeAutoAnalyze(nv)
       nv
     }
   }
@@ -3493,6 +3502,90 @@ final class GraftTable(spark: SparkSession, val path: String,
       }.toMap
       GraftTable.TableStats(v.toLong, rows.toLong, cols)
     }.toOption
+
+  // ------------------------------------------------- table properties
+
+  private def propsSidecar = java.nio.file.Paths.get(path, "_graft_props.json")
+
+  /** Free-form table properties (`ALTER TABLE … SET TBLPROPERTIES`,
+    * or non-config keys at CREATE): persisted name → value. Engine
+    * POLICIES read from here — `analyze_after_commits => N` re-runs
+    * the last ANALYZE automatically once the stats drift N commits
+    * behind (see [[maybeAutoAnalyze]]).
+    */
+  def tableProps: Map[String, String] =
+    if (!java.nio.file.Files.exists(propsSidecar)) Map.empty
+    else java.nio.file.Files.readAllLines(propsSidecar).toArray.toSeq
+      .map(_.toString).filter(_.nonEmpty)
+      .map { line =>
+        val Array(k, v) = line.split("\t", 2)
+        new String(java.util.Base64.getDecoder.decode(k), "UTF-8") ->
+          new String(java.util.Base64.getDecoder.decode(v), "UTF-8")
+      }.toMap
+
+  private def writeProps(ps: Map[String, String]): Unit = {
+    val enc = (s: String) => java.util.Base64.getEncoder
+      .encodeToString(s.getBytes("UTF-8"))
+    val tmp = java.nio.file.Paths.get(path,
+      s"._graft_props_tmp_${java.util.UUID.randomUUID().toString.take(8)}")
+    java.nio.file.Files.writeString(tmp,
+      ps.toSeq.sortBy(_._1).map { case (k, v) => s"${enc(k)}\t${enc(v)}" }
+        .mkString("\n"))
+    java.nio.file.Files.move(tmp, propsSidecar,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    ()
+  }
+
+  private def validateProp(k: String, v: String): Unit = {
+    require(k.nonEmpty && !k.contains("\t"), s"bad property name '$k'")
+    if (k == GraftTable.AutoAnalyzeProp)
+      require(scala.util.Try(v.toLong).toOption.exists(_ > 0),
+        s"$k must be a positive integer (commits of stats drift " +
+          s"before an automatic re-ANALYZE), got '$v'")
+  }
+
+  /** SET properties (validated: policy keys reject bad values loudly
+    * at DDL time, never at the commit that would consult them).
+    */
+  def setTableProps(ps: Map[String, String]): this.type = {
+    ps.foreach { case (k, v) => validateProp(k, v) }
+    withSidecarLock { writeProps(tableProps ++ ps) }
+    this
+  }
+
+  /** UNSET properties by name (no-op for absent keys). */
+  def unsetTableProps(ks: Seq[String]): this.type = {
+    withSidecarLock { writeProps(tableProps -- ks) }
+    this
+  }
+
+  /** STATS AUTO-REFRESH (`analyze_after_commits => N`): after a
+    * successful data commit, when the stats sidecar has drifted ≥ N
+    * commits behind the table, re-run the LAST analyze — same columns,
+    * same histogram resolution — so CBO estimates track continuous
+    * ingest without an operator in the loop. A table never analyzed
+    * gets the default full analyze (the property IS the opt-in).
+    * Runs post-commit and best-effort: a stats failure never fails the
+    * writer, and the cost (one map-side-combined stats pass) is the
+    * price the property explicitly opts into, paid by every Nth
+    * commit.
+    */
+  private def maybeAutoAnalyze(v: Long): Unit = {
+    val n = tableProps.get(GraftTable.AutoAnalyzeProp)
+      .flatMap(s => scala.util.Try(s.toLong).toOption).getOrElse(return)
+    if (n <= 0) return
+    val ts = tableStats
+    val staleBy = v - ts.map(_.version).getOrElse(0L)
+    if (staleBy < n) return
+    scala.util.Try {
+      val cols = ts.map(_.cols.keys.toSeq.sorted).getOrElse(Nil)
+      val bins = ts.map(_.cols.values.flatMap(_.hist)
+        .map(_.bins.length).maxOption.getOrElse(0)).getOrElse(64)
+      analyzeTable(cols, bins)
+    }
+    ()
+  }
 
   private def checksSidecar = java.nio.file.Paths.get(path, "_graft_checks.json")
 

@@ -623,6 +623,14 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
       csv("statsCols"), csv("bloomCols"), bloomBits, psrc, pxf)
     gt.createIfNotExists(schema)
     GraftTableMeta.annotate(gt)
+    // non-config, non-engine-reserved TBLPROPERTIES persist as
+    // free-form properties (the sidecar ALTER TABLE SET TBLPROPERTIES
+    // maintains) — policy keys like analyze_after_commits validate here
+    val userProps = properties.entrySet().toArray(
+      Array.empty[java.util.Map.Entry[String, String]]).toSeq
+      .map(e => e.getKey -> e.getValue)
+      .filterNot { case (k, _) => GraftCatalog.ConfigProps.contains(k) }
+    if (userProps.nonEmpty) gt.setTableProps(userProps.toMap)
     gt
   }
 
@@ -683,6 +691,19 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
           s"GraftCatalog: ADD COLUMNS ${a.fieldNames.head} with a position " +
             "(FIRST/AFTER) is not supported — columns append at the end")
       case _: TableChange.AddConstraint | _: TableChange.DropConstraint => ()
+      case sp: TableChange.SetProperty =>
+        require(!GraftCatalog.ConfigProps.contains(sp.property),
+          s"GraftCatalog: property '${sp.property}' is table CONFIG, " +
+            "fixed at CREATE TABLE — it cannot be altered")
+        // policy keys validate their value HERE (all-or-nothing batch)
+        if (sp.property == graft.operators.GraftTable.AutoAnalyzeProp)
+          require(scala.util.Try(sp.value.toLong).toOption.exists(_ > 0),
+            s"GraftCatalog: ${sp.property} must be a positive integer, " +
+              s"got '${sp.value}'")
+      case rp: TableChange.RemoveProperty =>
+        require(!GraftCatalog.ConfigProps.contains(rp.property),
+          s"GraftCatalog: property '${rp.property}' is table CONFIG, " +
+            "fixed at CREATE TABLE — it cannot be removed")
       case u: TableChange.UpdateColumnType if u.fieldNames.length > 1 =>
         throw new IllegalArgumentException(
           s"GraftCatalog: nested ALTER COLUMN (${u.fieldNames.mkString(".")}) " +
@@ -711,8 +732,9 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
       case other => throw new UnsupportedOperationException(
         s"GraftCatalog: unsupported ALTER TABLE change $other — supported: " +
           "ADD COLUMNS (nullable, top-level), RENAME COLUMN, DROP COLUMN, " +
-          "ALTER COLUMN TYPE (widening), and ADD/DROP CONSTRAINT … CHECK; " +
-          "schema otherwise evolves on the write path")
+          "ALTER COLUMN TYPE (widening), ADD/DROP CONSTRAINT … CHECK, " +
+          "and SET/UNSET TBLPROPERTIES (non-config keys); schema " +
+          "otherwise evolves on the write path")
     }
     changes.collect {
       // metadata-only column mapping (round 11, the Delta shape): zero
@@ -759,12 +781,18 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
           s"GraftCatalog: no CHECK constraint named '${d.name}' on the " +
             s"table — existing: ${gt.checks.keys.toSeq.sorted.mkString(", ")}")
         gt.dropCheck(d.name)
+      case sp: TableChange.SetProperty =>
+        gt.setTableProps(Map(sp.property -> sp.value))
+      case rp: TableChange.RemoveProperty =>
+        gt.unsetTableProps(Seq(rp.property))
     }
     val adds = changes.filterNot(c => c.isInstanceOf[TableChange.AddConstraint]
       || c.isInstanceOf[TableChange.DropConstraint]
       || c.isInstanceOf[TableChange.RenameColumn]
       || c.isInstanceOf[TableChange.DeleteColumn]
-      || c.isInstanceOf[TableChange.UpdateColumnType]).map {
+      || c.isInstanceOf[TableChange.UpdateColumnType]
+      || c.isInstanceOf[TableChange.SetProperty]
+      || c.isInstanceOf[TableChange.RemoveProperty]).map {
       case a: TableChange.AddColumn =>
         require(a.fieldNames.length == 1,
           s"GraftCatalog: nested ADD COLUMNS (${a.fieldNames.mkString(".")}) " +
@@ -885,6 +913,17 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
 }
 
 object GraftCatalog {
+
+  /** CREATE-time TBLPROPERTIES consumed as table CONFIG (or written by
+    * the engine itself) — never persisted to the free-form property
+    * sidecar, and rejected by ALTER TABLE SET TBLPROPERTIES (config is
+    * immutable after CREATE).
+    */
+  private[sources] val ConfigProps: Set[String] = Set(
+    "keys", "statsCols", "bloomCols", "bloomBits",
+    // Spark-managed reserved keys that ride createTable properties
+    "provider", "owner", "location", "external", "is_managed_location",
+    "option.path", "path")
 
   /** Atomically publish `tmp`'s content at `target` ONLY if `target`
     * does not exist: hard-link creation (link(2) → EEXIST on an

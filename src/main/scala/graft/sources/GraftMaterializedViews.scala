@@ -1050,6 +1050,25 @@ object GraftMaterializedViews {
         case e: graft.operators.StaleTxnAnchorException =>
           if (attempt >= MaxAttempts) throw e
           attempt += 1
+        // the base (or a dim) evolved out from under the view's
+        // definition — a dropped/renamed column referenced by keys,
+        // measures, filter or join surfaces as a resolution failure
+        // deep in the fold; rethrow NAMING the mview with the action
+        // (ADD COLUMN and type WIDENING refresh fine and never land
+        // here — those are spec'd compatible)
+        case e: org.apache.spark.sql.AnalysisException =>
+          throw new IllegalStateException(
+            s"refresh_mview($viewRef): the view's definition no longer " +
+              s"resolves against base '${cfg.base}'" +
+              (if (cfg.dims.nonEmpty)
+                cfg.dims.map(_.ref).mkString(" (dims ", ", ", ")")
+              else "") +
+              s" — keys [${cfg.keys.mkString(", ")}], measures [" +
+              cfg.measures.map(_.spec).mkString("; ") + "]" +
+              cfg.filter.map(f => s", filter [$f]").getOrElse("") +
+              ". A referenced column was likely DROPPED or RENAMED: " +
+              "drop_mview and recreate against the new schema. " +
+              s"Original: ${e.getMessage}", e)
       }
     }
     throw new IllegalStateException("unreachable")

@@ -221,9 +221,11 @@ object GraftProcedures {
         "the stats sidecar's content (CALL analyze first): one row per " +
           "analyzed column plus a '*' table row — version the stats " +
           "were computed at, row count, NDV, null count, extrema, " +
-          "lengths, histogram bin count + rendered bins, and staleness " +
-          "(commits since the stats were computed — re-analyze when it " +
-          "grows); metadata-only",
+          "lengths, histogram bin count + rendered bins, staleness " +
+          "(commits since the stats were computed) and its WARNING " +
+          "TIER: fresh / drifting / stale (stale = drift at or past " +
+          "the analyze_after_commits policy bar, or any drift with no " +
+          "policy set — re-analyze, or set the policy); metadata-only",
         Array(TableParam),
         StructType(Seq(StructField("column", StringType),
           StructField("stats_version", LongType),
@@ -236,7 +238,8 @@ object GraftProcedures {
           StructField("max_len", LongType),
           StructField("hist_bins", IntegerType),
           StructField("histogram", StringType),
-          StructField("stale_commits", LongType))),
+          StructField("stale_commits", LongType),
+          StructField("staleness", StringType))),
         in => {
           val t = open(in.getUTF8String(0).toString)
           val ts = t.tableStats.getOrElse(throw new IllegalStateException(
@@ -247,8 +250,17 @@ object GraftProcedures {
           def u(o: Option[String]) =
             o.map(UTF8String.fromString).orNull
           val stale = t.currentVersion - ts.version
+          val policy = t.tableProps
+            .get(graft.operators.GraftTable.AutoAnalyzeProp)
+            .flatMap(s => scala.util.Try(s.toLong).toOption)
+          val tier = UTF8String.fromString(
+            if (stale == 0) "fresh"
+            else policy match {
+              case Some(n) if stale < n => "drifting"
+              case _ => "stale"
+            })
           InternalRow(UTF8String.fromString("*"), ts.version, ts.rowCount,
-            null, null, null, null, null, null, null, null, stale) +:
+            null, null, null, null, null, null, null, null, stale, tier) +:
             ts.cols.toSeq.sortBy(_._1).map { case (c, cs) =>
               val bins = cs.hist.map(h => Integer.valueOf(h.bins.size)).orNull
               val rendered = cs.hist.map(h => UTF8String.fromString(
@@ -256,7 +268,7 @@ object GraftProcedures {
                   .mkString(" "))).orNull
               InternalRow(UTF8String.fromString(c), ts.version, ts.rowCount,
                 l(cs.ndv), l(cs.nullCount), u(cs.min), u(cs.max),
-                l(cs.avgLen), l(cs.maxLen), bins, rendered, stale)
+                l(cs.avgLen), l(cs.maxLen), bins, rendered, stale, tier)
             }
         })
       // ----------------------------------------------------- view DDL

@@ -336,6 +336,9 @@ final class GraftSqlTable(spark: SparkSession, val gt: GraftTable,
       cmap.toSeq.sortBy(_._1).map { case (l, p) => s"$l->$p" }.mkString(","))
     if (hidden.nonEmpty) m.put("droppedPhysicalColumns",
       hidden.toSeq.sorted.mkString(","))
+    // free-form properties (ALTER TABLE SET TBLPROPERTIES / non-config
+    // CREATE keys) surface verbatim — SHOW TBLPROPERTIES round-trips
+    gt.tableProps.toSeq.sortBy(_._1).foreach { case (k, v) => m.put(k, v) }
     m
   }
   override def schema: StructType = tableSchema

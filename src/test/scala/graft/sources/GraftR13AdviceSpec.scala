@@ -189,12 +189,27 @@ class GraftR13AdviceSpec extends SparkSpec {
     val after = gc.loadTable(ident).columns().map(_.name).toSeq
     assert(after == before,
       s"the batch must be all-or-nothing: $before -> $after")
-    // same for a batch with an UNSUPPORTED change class
+    // same for a batch with an UNSUPPORTED change class (SetProperty
+    // became SUPPORTED in round 14 — use nullability, still rejected)
     intercept[Exception] {
       gc.alterTable(ident,
         TableChange.addColumn(Array("fresh2"), IntegerType, true),
-        TableChange.setProperty("foo", "bar"))
+        TableChange.updateColumnNullability(Array("v"), false))
     }
     assert(gc.loadTable(ident).columns().map(_.name).toSeq == before)
+    // …and a batch mixing an AddColumn with a REJECTED property (config
+    // keys are immutable) is also all-or-nothing
+    intercept[Exception] {
+      gc.alterTable(ident,
+        TableChange.addColumn(Array("fresh3"), IntegerType, true),
+        TableChange.setProperty("keys", "v"))
+    }
+    assert(gc.loadTable(ident).columns().map(_.name).toSeq == before)
+    // a VALID mixed batch (round 14): both the add and the property land
+    gc.alterTable(ident,
+      TableChange.addColumn(Array("fresh4"), IntegerType, true),
+      TableChange.setProperty("foo", "bar"))
+    assert(gc.loadTable(ident).columns().map(_.name).contains("fresh4"))
+    assert(gc.loadTable(ident).properties().get("foo") == "bar")
   }
 }
