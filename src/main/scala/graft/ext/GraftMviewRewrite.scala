@@ -29,15 +29,18 @@ import graft.sources.{GraftCatalog, GraftMaterializedViews}
   *   - the state's txn anchor EQUALS the base's current version (fully
   *     fresh; a stale view never silently answers) AND the scan is not
   *     time-travel-pinned to any other version;
-  *   - the mview is the plain single-table shape (no row filter, no
-  *     dims, no derived keys) and the query has no WHERE below the
-  *     aggregate (a `Filter` between `Aggregate` and the relation
-  *     simply fails the match);
+  *   - the mview is single-table (no dims, no derived keys); a WHERE
+  *     below the aggregate matches ONLY when it renders identically to
+  *     the view's stored row filter, or references GROUP KEYS only
+  *     (key predicates select whole groups, so they commute through
+  *     the aggregation and apply to the state read instead);
   *   - group keys are exactly the view's keys (as a set);
   *   - every aggregate maps onto exact state: sum/avg/min/max over the
-  *     INTEGRAL column of a registered unfiltered measure, count(*),
-  *     count(col). Approximate families (HLL dcount) never rewrite —
-  *     estimator internals differ, results would not be bit-identical.
+  *     INTEGRAL column of a registered measure (per-aggregate
+  *     `FILTER (WHERE …)` matches a filtered measure by exact
+  *     rendering), count(*), count(col). Approximate families (HLL
+  *     dcount) never rewrite — estimator internals differ, results
+  *     would not be bit-identical.
   *
   * HAVING and post-aggregation projections need no special handling:
   * they analyze ABOVE the `Aggregate`, the rewrite swaps the aggregate
@@ -65,23 +68,105 @@ class GraftMviewRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     if (!enabled) plan
     else plan.transformUp {
       case agg: Aggregate =>
+        // defensive: catalog debris / racing drops must degrade to the
+        // untouched plan, never fail the user's query (fatal errors
+        // still propagate)
         try rewrite(agg).getOrElse(agg)
-        catch { case _: Throwable => agg }
+        catch { case scala.util.control.NonFatal(_) => agg }
     }
 
   private val Integral = Set[org.apache.spark.sql.types.DataType](
     ByteType, ShortType, IntegerType, LongType)
 
+  /** Mirror of createFromSql's predSql rendering: qualifiers stripped,
+    * then `.sql` — a WHERE (or per-aggregate FILTER) matches a stored
+    * view filter iff the two analyzed to the SAME rendering (exact,
+    * conservative: superficially different but equivalent predicates
+    * simply do not rewrite).
+    */
+  private def predSql(e: Expression): String =
+    e.transform {
+      case a: AttributeReference => a.withQualifier(Nil)
+    }.sql
+
+  /** The optimizer's InferFiltersFromConstraints adds `isnotnull(a)`
+    * conjuncts the stored (analysis-time) filter rendering never had.
+    * Strip exactly those: an IsNotNull(a) conjunct is dropped ONLY
+    * when another top-level BinaryComparison conjunct (≠ null-safe
+    * equality) references `a` — such a comparison evaluates null (row
+    * filtered) whenever `a` is null, so the guard is implied and the
+    * normalized predicate is EQUIVALENT, not merely similar.
+    */
+  private def strippedOfImpliedNotNull(e: Expression): Expression = {
+    import org.apache.spark.sql.catalyst.expressions.{And, BinaryComparison, EqualNullSafe, IsNotNull}
+    def split(x: Expression): Seq[Expression] = x match {
+      case And(l, r) => split(l) ++ split(r)
+      case o => Seq(o)
+    }
+    val cs = split(e)
+    val nullRejecting = cs.collect {
+      case c: BinaryComparison if !c.isInstanceOf[EqualNullSafe] =>
+        c.references.toSeq.map(_.exprId)
+    }.flatten.toSet
+    val kept = cs.filter {
+      case IsNotNull(a: AttributeReference) =>
+        !nullRejecting.contains(a.exprId)
+      case _ => true
+    }
+    if (kept.isEmpty) e else kept.reduceLeft(And)
+  }
+
+  /** Rendering-stable form of a predicate: literal casts folded (the
+    * stored analysis-time filter says `CAST(30 AS BIGINT)` where the
+    * optimized query-side says `30L` — identical values), qualifiers
+    * stripped. Both comparison sides run through this.
+    */
+  private def canonicalPredSql(e: Expression): String = {
+    import org.apache.spark.sql.catalyst.expressions.{Cast, Literal}
+    val folded = e.transformUp {
+      case c: Cast if c.child.isInstanceOf[Literal] && c.foldable =>
+        scala.util.Try(Literal.create(c.eval(null), c.dataType))
+          .getOrElse(c): Expression
+    }
+    predSql(folded)
+  }
+
+  /** The stored (analysis-time) rendering of a filter, canonicalized
+    * through parse + literal-cast folding; None when unparseable.
+    */
+  private def canonicalStored(p: String): Option[String] =
+    scala.util.Try(canonicalPredSql(
+      spark.sessionState.sqlParser.parseExpression(p))).toOption
+
   private def rewrite(agg: Aggregate): Option[LogicalPlan] = {
-    // the aggregate's child must be a BARE graft relation (column
-    // pruning may have inserted a pass-through Project); any Filter in
-    // between means a WHERE — no match
-    val rel = agg.child match {
-      case r: DataSourceV2Relation => r
-      case Project(pl, r: DataSourceV2Relation)
-          if pl.forall(_.isInstanceOf[AttributeReference]) => r
+    // the aggregate's child: a BARE graft relation, optionally under a
+    // pass-through Project (column pruning) and ONE Filter (the WHERE
+    // — matched against the view's stored filter, or commuted through
+    // the aggregation when it touches group keys only)
+    def strip(p: LogicalPlan): Option[LogicalPlan] = p match {
+      case r: DataSourceV2Relation => Some(r)
+      case Project(pl, c) if pl.forall(_.isInstanceOf[AttributeReference]) =>
+        strip(c)
+      case _ => None
+    }
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter}
+    val (relPlan, queryFilter) = agg.child match {
+      case LFilter(cond, c) => (strip(c), Some(cond))
+      case other => strip(other) match {
+        case Some(r) => (Some(r), None)
+        case None => other match {
+          case Project(pl, LFilter(cond, c))
+              if pl.forall(_.isInstanceOf[AttributeReference]) =>
+            (strip(c), Some(cond))
+          case _ => (None, None)
+        }
+      }
+    }
+    val rel = relPlan match {
+      case Some(r: DataSourceV2Relation) => r
       case _ => return None
     }
+    if (queryFilter.exists(!_.deterministic)) return None
     val gc = rel.catalog match {
       case Some(c: GraftCatalog) => c
       case _ => return None
@@ -105,21 +190,42 @@ class GraftMviewRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     }
     if (pinned != baseTable.currentVersion) return None
     candidates.iterator.flatMap { case (viewRef, cfg) =>
-      matchOne(agg, groupNames, gc, viewRef, cfg, pinned)
+      matchOne(agg, groupNames, queryFilter, gc, viewRef, cfg, pinned)
     }.take(1).toSeq.headOption
   }
 
   private def matchOne(agg: Aggregate, groupNames: Seq[String],
+                       queryFilter: Option[Expression],
                        gc: GraftCatalog, viewRef: String,
                        cfg: GraftMaterializedViews.Config,
                        baseVersion: Long): Option[LogicalPlan] = {
     // plain single-table shape only; keys exactly the group columns
-    if (cfg.filter.nonEmpty || cfg.dims.nonEmpty || cfg.derived.nonEmpty)
-      return None
+    if (cfg.dims.nonEmpty || cfg.derived.nonEmpty) return None
     if (cfg.keys.toSet != groupNames.toSet) return None
-    def unfiltered(func: String, col: String): Option[String] =
+    // the WHERE contract — identical results in every accepted case:
+    //   - no WHERE, unfiltered view: trivially identical;
+    //   - WHERE == the view's stored row filter (exact rendering
+    //     match): the state aggregates exactly those rows;
+    //   - WHERE over GROUP KEYS ONLY against an unfiltered view:
+    //     key predicates select whole groups, so filtering the state's
+    //     finish commutes with the aggregation.
+    val residual: Option[String] = (cfg.filter, queryFilter) match {
+      case (None, None) => None
+      case (Some(f), Some(qc)) =>
+        if (canonicalStored(f).contains(
+            canonicalPredSql(strippedOfImpliedNotNull(qc)))) None
+        else return None
+      case (None, Some(qc)) =>
+        if (qc.references.toSeq.forall(a => groupNames.contains(a.name)))
+          Some(predSql(qc))
+        else return None
+      case (Some(_), None) => return None
+    }
+    def measureNamed(func: String, col: String,
+                     pred: Option[String]): Option[String] =
       cfg.measures.find(m =>
-        m.func == func && m.col == col && m.pred.isEmpty).map(_.name)
+        m.func == func && m.col == col &&
+          m.pred.map(canonicalStored) == pred.map(Option(_))).map(_.name)
     // each output expression → the state-side SQL computing it exactly
     def stateSql(ne: NamedExpression): Option[String] = ne match {
       case a: AttributeReference if groupNames.contains(a.name) =>
@@ -127,7 +233,8 @@ class GraftMviewRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       case Alias(a: AttributeReference, _) if groupNames.contains(a.name) =>
         Some(s"`${a.name}`")
       case al @ Alias(ae: AggregateExpression, _)
-          if !ae.isDistinct && ae.filter.isEmpty =>
+          if !ae.isDistinct && ae.filter.forall(_.deterministic) =>
+        val aggPred = ae.filter.map(canonicalPredSql)
         def dt = al.dataType.sql
         def intCol(e: Expression): Option[String] = e match {
           case a: AttributeReference if Integral.contains(a.dataType) =>
@@ -136,25 +243,27 @@ class GraftMviewRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         }
         ae.aggregateFunction match {
           case Sum(e, _) => for {
-            c <- intCol(e); m <- unfiltered("sum", c)
+            c <- intCol(e); m <- measureNamed("sum", c, aggPred)
           } yield s"CASE WHEN _nn_$m = 0 THEN CAST(NULL AS $dt) " +
             s"ELSE CAST(_sum_$m AS $dt) END"
           case Average(e, _) => for {
-            c <- intCol(e); m <- unfiltered("sum", c)
+            c <- intCol(e); m <- measureNamed("sum", c, aggPred)
           } yield s"CASE WHEN _nn_$m = 0 THEN CAST(NULL AS $dt) " +
             s"ELSE CAST(CAST(_sum_$m AS DOUBLE) / _nn_$m AS $dt) END"
           case Min(e) => for {
-            c <- intCol(e); m <- unfiltered("min", c)
+            c <- intCol(e); m <- measureNamed("min", c, aggPred)
           } yield s"CAST(_min_$m AS $dt)"
           case Max(e) => for {
-            c <- intCol(e); m <- unfiltered("max", c)
+            c <- intCol(e); m <- measureNamed("max", c, aggPred)
           } yield s"CAST(_max_$m AS $dt)"
-          case Count(Seq(Literal(1, IntegerType))) => Some("_cnt")
+          case Count(Seq(Literal(1, IntegerType))) if aggPred.isEmpty =>
+            Some("_cnt")
           case Count(Seq(e)) if !e.isInstanceOf[Literal] =>
             e match {
               case a: AttributeReference =>
-                unfiltered("sum", a.name).map(m => s"_nn_$m")
-                  .orElse(unfiltered("cnt", a.name).map(m => s"_cn_$m"))
+                measureNamed("sum", a.name, aggPred).map(m => s"_nn_$m")
+                  .orElse(measureNamed("cnt", a.name, aggPred)
+                    .map(m => s"_cn_$m"))
               case _ => None
             }
           case _ => None
@@ -173,8 +282,11 @@ class GraftMviewRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       .map(p => s"`${p.replace("`", "``")}`").mkString(".")
     val sel = items.zipWithIndex
       .map { case (s, i) => s"$s AS `__mv_c$i`" }.mkString(", ")
+    // a group-key-only residual WHERE applies to the STATE rows (same
+    // key column names) — it selects whole groups, so it commutes
+    val where = residual.map(r => s" WHERE $r").getOrElse("")
     val finish = EliminateSubqueryAliases(
-      spark.sql(s"SELECT $sel FROM $stFq").queryExecution.analyzed)
+      spark.sql(s"SELECT $sel FROM $stFq$where").queryExecution.analyzed)
     if (finish.output.length != agg.aggregateExpressions.length)
       return None
     // re-alias onto the ORIGINAL output attributes (names + exprIds),

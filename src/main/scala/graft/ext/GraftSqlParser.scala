@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.connector.catalog.Identifier
 import org.apache.spark.sql.types.{DataType, StructType}
 
-import org.apache.spark.sql.graft.{GraftAlterViewAsCommand, GraftAlterViewPropsCommand, GraftCreateViewCommand, GraftDescribeViewCommand, GraftDropViewCommand, GraftShowCreateViewCommand, GraftShowViewsCommand}
+import org.apache.spark.sql.graft.{GraftAlterViewAsCommand, GraftAlterViewPropsCommand, GraftCreateViewCommand, GraftDescribeViewCommand, GraftDropViewCommand, GraftRenameViewCommand, GraftShowCreateViewCommand, GraftShowViewsCommand}
 
 /** Injected SQL parser (the Iceberg SQL-extensions-parser model):
   * intercepts the three VIEW DDL statements when they target a
@@ -292,11 +292,11 @@ object GraftSqlParser {
     None
   }
 
-  /** `ALTER VIEW <ident> {AS <query> | SET TBLPROPERTIES (…) |
-    * UNSET TBLPROPERTIES [IF EXISTS] (…)}` — vanilla 4.1 routes NO
-    * view statement to a V2 ViewCatalog, so all three forms intercept
-    * here; anything else (unrecognized property syntax included)
-    * delegates and surfaces the vanilla error.
+  /** `ALTER VIEW <ident> {AS <query> | RENAME TO <ident> |
+    * SET TBLPROPERTIES (…) | UNSET TBLPROPERTIES [IF EXISTS] (…)}` —
+    * vanilla 4.1 routes NO view statement to a V2 ViewCatalog, so all
+    * four forms intercept here; anything else (unrecognized property
+    * syntax included) delegates and surfaces the vanilla error.
     */
   private def matchAlterAs(session: SparkSession,
                            delegate: ParserInterface, s: String)
@@ -318,6 +318,20 @@ object GraftSqlParser {
           GraftAlterViewAsCommand(cat, id, query)
         }
       case _ =>
+        // RENAME TO — the catalog's native renameView
+        keywords(afterIdent, "RENAME", "TO").foreach { r =>
+          ident(r.dropWhile(_.isWhitespace)) match {
+            case Some((toParts, tail)) if tail.forall(_.isWhitespace) =>
+              return (address(session, parts), address(session, toParts)) match {
+                case (Some((cat, from)), Some((cat2, to))) if cat == cat2 =>
+                  Some(GraftRenameViewCommand(cat, from, to))
+                case (Some(_), Some(_)) => throw new IllegalArgumentException(
+                  "ALTER VIEW … RENAME TO cannot move a view across catalogs")
+                case _ => None
+              }
+            case _ => return None
+          }
+        }
         // SET / UNSET TBLPROPERTIES (vanilla never routes these to a
         // V2 ViewCatalog either)
         val setRest = keywords(afterIdent, "SET", "TBLPROPERTIES")

@@ -147,6 +147,21 @@ case class GraftAlterViewPropsCommand(catalogName: String,
   }
 }
 
+/** `ALTER VIEW <from> RENAME TO <to>` — the catalog's native
+  * renameView (same catalog; the metadata file moves, the defining SQL
+  * and its stored resolution context are untouched).
+  */
+case class GraftRenameViewCommand(catalogName: String,
+                                  from: Identifier,
+                                  to: Identifier)
+    extends LeafRunnableCommand {
+
+  override def run(sparkSession: SparkSession): Seq[Row] = {
+    GraftViewDdl.viewCatalog(sparkSession, catalogName).renameView(from, to)
+    Seq.empty
+  }
+}
+
 /** `DROP VIEW [IF EXISTS] <ident>`. */
 case class GraftDropViewCommand(catalogName: String,
                                              ident: Identifier,

@@ -216,6 +216,20 @@ class GraftViewDdlSpec extends SparkSpec {
         AS SELECT k FROM $cat.db.ev""")
     }
     assert(e.getMessage.contains("names 3 columns"), e.getMessage)
+    // ALTER VIEW … RENAME TO: metadata (aliases/comments/props) rides
+    // along; the old name is gone
+    spark.sql(s"ALTER VIEW $cat.db.fancy RENAME TO $cat.db.fancier")
+    assert(spark.sql(s"SELECT * FROM $cat.db.fancier").columns.toSeq ==
+      Seq("key", "money"))
+    assert(spark.sql(s"DESCRIBE $cat.db.fancier").collect()(0)
+      .getString(2) == "the row key")
+    intercept[Exception] {
+      spark.sql(s"SELECT * FROM $cat.db.fancy").collect()
+    }
+    intercept[Exception] { // renaming onto an EXISTING name rejects
+      spark.sql(s"ALTER VIEW $cat.db.fancier RENAME TO $cat.db.fancier")
+    }
+    spark.sql(s"ALTER VIEW $cat.db.fancier RENAME TO $cat.db.fancy")
     // graft TABLES keep their native DESCRIBE path
     val tdesc = spark.sql(s"DESCRIBE $cat.db.ev").collect()
       .map(_.getString(0))

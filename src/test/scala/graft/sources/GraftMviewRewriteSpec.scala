@@ -101,6 +101,68 @@ class GraftMviewRewriteSpec extends SparkSpec {
     finally spark.conf.set("spark.graft.mview.rewrite", "true")
   }
 
+  test("WHERE matching (round-14 extension): an identical WHERE matches " +
+    "the view's stored filter; a group-key-only WHERE commutes; " +
+    "anything else never rewrites") {
+    val cat = freshCatalog()
+    spark.sql(s"""CREATE TABLE $cat.db.ev (id BIGINT, user_id BIGINT,
+        cents BIGINT) TBLPROPERTIES ('keys'='id')""")
+    spark.sql(s"INSERT INTO $cat.db.ev SELECT id, id % 7, id * 3 FROM range(200)")
+    // a FILTERED view (SQL flavor persists the WHERE + a FILTER measure)
+    spark.sql(s"""CALL $cat.system.create_mview_sql('db.spend', sql =>
+      "SELECT user_id, sum(cents) AS s, count(*) AS n,
+         sum(cents) FILTER (WHERE cents % 2 = 0) AS evens
+       FROM $cat.db.ev WHERE cents > 30 GROUP BY user_id")""")
+    def run(sql: String) = spark.sql(sql)
+    val matching = run(s"""SELECT user_id, sum(cents) AS s,
+        sum(cents) FILTER (WHERE cents % 2 = 0) AS evens
+      FROM $cat.db.ev WHERE cents > 30 GROUP BY user_id""")
+    assert(readsState(matching),
+      matching.queryExecution.optimizedPlan.toString)
+    val want = {
+      spark.conf.set("spark.graft.mview.rewrite", "false")
+      try run(s"""SELECT user_id, sum(cents) AS s,
+          sum(cents) FILTER (WHERE cents % 2 = 0) AS evens
+        FROM $cat.db.ev WHERE cents > 30 GROUP BY user_id""").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      finally spark.conf.set("spark.graft.mview.rewrite", "true")
+    }
+    assert(matching.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet == want)
+    // a DIFFERENT WHERE must not match the filtered view
+    assert(!readsState(run(s"""SELECT user_id, sum(cents) AS s
+      FROM $cat.db.ev WHERE cents > 31 GROUP BY user_id""")))
+    // …nor may the filtered view answer the UNFILTERED aggregate
+    assert(!readsState(run(s"""SELECT user_id, sum(cents) AS s
+      FROM $cat.db.ev GROUP BY user_id""")))
+    // a mismatched aggregate FILTER must not match the filtered measure
+    assert(!readsState(run(s"""SELECT user_id,
+        sum(cents) FILTER (WHERE cents % 3 = 0) AS thirds
+      FROM $cat.db.ev WHERE cents > 30 GROUP BY user_id""")))
+
+    // an UNFILTERED view + a GROUP-KEY-ONLY WHERE: commutes through
+    // the aggregation and applies to the state read
+    spark.sql(s"""CALL $cat.system.create_mview('db.all',
+      base => 'db.ev', keys => 'user_id', measures => 'cents')""")
+    val keyed = run(s"""SELECT user_id, sum(cents) AS s, count(*) AS n
+      FROM $cat.db.ev WHERE user_id >= 3 GROUP BY user_id""")
+    assert(keyed.queryExecution.optimizedPlan.toString.contains("all_state"),
+      keyed.queryExecution.optimizedPlan.toString)
+    val wantK = {
+      spark.conf.set("spark.graft.mview.rewrite", "false")
+      try run(s"""SELECT user_id, sum(cents) AS s, count(*) AS n
+        FROM $cat.db.ev WHERE user_id >= 3 GROUP BY user_id""").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      finally spark.conf.set("spark.graft.mview.rewrite", "true")
+    }
+    assert(keyed.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet == wantK)
+    // a NON-key WHERE on the unfiltered view never rewrites
+    assert(!run(s"""SELECT user_id, sum(cents) AS s
+      FROM $cat.db.ev WHERE cents > 100 GROUP BY user_id""")
+      .queryExecution.optimizedPlan.toString.contains("all_state"))
+  }
+
   test("HAVING and projections above the aggregate survive the swap") {
     val cat = freshCatalog()
     seed(cat)
