@@ -139,46 +139,53 @@ class GraftMviewRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       spark.sessionState.sqlParser.parseExpression(p))).toOption
 
   private def rewrite(agg: Aggregate): Option[LogicalPlan] = {
-    // the aggregate's child: a BARE graft relation, optionally under a
-    // pass-through Project (column pruning) and ONE Filter (the WHERE
-    // — matched against the view's stored filter, or commuted through
-    // the aggregation when it touches group keys only)
-    def strip(p: LogicalPlan): Option[LogicalPlan] = p match {
+    // the aggregate's child: a BARE graft relation, optionally under
+    // pass-through/extraction Projects (column pruning; the analyzer's
+    // `_groupingexpression` extraction for expression GROUP BYs —
+    // their aliases INLINE back into the groups/outputs) and at most
+    // ONE deterministic Filter (the WHERE — matched against the view's
+    // stored filter, or commuted through the aggregation when it
+    // touches plain group keys only)
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter}
+    var subst = Map.empty[org.apache.spark.sql.catalyst.expressions.ExprId,
+      Expression]
+    var queryFilter: Option[Expression] = None
+    def peel(p: LogicalPlan): Option[DataSourceV2Relation] = p match {
       case r: DataSourceV2Relation => Some(r)
-      case Project(pl, c) if pl.forall(_.isInstanceOf[AttributeReference]) =>
-        strip(c)
+      case Project(pl, c) if pl.forall {
+          case _: AttributeReference => true
+          case al: Alias => al.child.deterministic
+          case _ => false
+        } =>
+        subst ++= pl.collect { case al: Alias => al.exprId -> al.child }
+        peel(c)
+      case LFilter(cond, c) if queryFilter.isEmpty && cond.deterministic =>
+        queryFilter = Some(cond); peel(c)
       case _ => None
     }
-    import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter}
-    val (relPlan, queryFilter) = agg.child match {
-      case LFilter(cond, c) => (strip(c), Some(cond))
-      case other => strip(other) match {
-        case Some(r) => (Some(r), None)
-        case None => other match {
-          case Project(pl, LFilter(cond, c))
-              if pl.forall(_.isInstanceOf[AttributeReference]) =>
-            (strip(c), Some(cond))
-          case _ => (None, None)
-        }
-      }
+    val rel = peel(agg.child).getOrElse(return None)
+    // inline extracted aliases transitively, so groups/outputs/filter
+    // reference the relation's own attributes
+    def inline(e: Expression): Expression = e.transformUp {
+      case a: AttributeReference if subst.contains(a.exprId) =>
+        inline(subst(a.exprId))
     }
-    val rel = relPlan match {
-      case Some(r: DataSourceV2Relation) => r
-      case _ => return None
+    val groups = agg.groupingExpressions.map(inline)
+    val outputs: Seq[NamedExpression] = agg.aggregateExpressions.map {
+      case al @ Alias(child, name) =>
+        Alias(inline(child), name)(exprId = al.exprId)
+      case a: AttributeReference if subst.contains(a.exprId) =>
+        Alias(inline(a), a.name)(exprId = a.exprId)
+      case ne => ne
     }
-    if (queryFilter.exists(!_.deterministic)) return None
+    queryFilter = queryFilter.map(inline)
+    if (groups.isEmpty || !groups.forall(_.deterministic)) return None
     val gc = rel.catalog match {
       case Some(c: GraftCatalog) => c
       case _ => return None
     }
     val ident = rel.identifier.getOrElse(return None)
     val baseRef = (ident.namespace.toSeq :+ ident.name).mkString(".")
-    // group keys: bare base columns only
-    val groupNames = agg.groupingExpressions.map {
-      case a: AttributeReference => a.name
-      case _ => return None
-    }
-    if (groupNames.isEmpty) return None
     val candidates = GraftMaterializedViews.registered(gc, baseRef)
     if (candidates.isEmpty) return None
     // freshness inputs: the scan's pinned version must BE the base's
@@ -190,18 +197,39 @@ class GraftMviewRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     }
     if (pinned != baseTable.currentVersion) return None
     candidates.iterator.flatMap { case (viewRef, cfg) =>
-      matchOne(agg, groupNames, queryFilter, gc, viewRef, cfg, pinned)
+      matchOne(groups, outputs, queryFilter, gc, viewRef, cfg, pinned)
     }.take(1).toSeq.headOption
   }
 
-  private def matchOne(agg: Aggregate, groupNames: Seq[String],
+  private def matchOne(groups: Seq[Expression],
+                       outputs: Seq[NamedExpression],
                        queryFilter: Option[Expression],
                        gc: GraftCatalog, viewRef: String,
                        cfg: GraftMaterializedViews.Config,
                        baseVersion: Long): Option[LogicalPlan] = {
-    // plain single-table shape only; keys exactly the group columns
-    if (cfg.dims.nonEmpty || cfg.derived.nonEmpty) return None
-    if (cfg.keys.toSet != groupNames.toSet) return None
+    // single-table shape only (join mviews never rewrite: pushed
+    // predicates perturb the query's join tree beyond exact matching)
+    if (cfg.dims.nonEmpty) return None
+    // group matching: a bare column is a plain key; any other
+    // deterministic expression must render CANONICALLY EQUAL to a
+    // DERIVED key's stored expression (`GROUP BY CAST(ts AS DATE)`
+    // matches the daily-rollup mview's derived `day` key)
+    val derivedByCanon: Map[String, String] = cfg.derived.flatMap {
+      case (n, ex) => canonicalStored(ex).map(_ -> n)
+    }.toMap
+    val derivedNames = cfg.derived.map(_._1).toSet
+    def keyOf(g: Expression): Option[String] = g match {
+      case a: AttributeReference
+          if cfg.keys.contains(a.name) && !derivedNames.contains(a.name) =>
+        Some(a.name)
+      case e => derivedByCanon.get(canonicalPredSql(e))
+    }
+    val groupKeys = groups.map(g =>
+      keyOf(g).getOrElse(return None))
+    if (cfg.keys.toSet != groupKeys.toSet) return None
+    // plain (non-derived) key names — the only ones a residual WHERE
+    // may reference (they are base columns AND state columns)
+    val groupNames = groupKeys.filterNot(derivedNames)
     // the WHERE contract — identical results in every accepted case:
     //   - no WHERE, unfiltered view: trivially identical;
     //   - WHERE == the view's stored row filter (exact rendering
@@ -232,6 +260,11 @@ class GraftMviewRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         Some(s"`${a.name}`")
       case Alias(a: AttributeReference, _) if groupNames.contains(a.name) =>
         Some(s"`${a.name}`")
+      // a DERIVED key's select-list expression: the state stores it as
+      // a plain column under the derived name
+      case Alias(e, _) if !e.isInstanceOf[AggregateExpression] &&
+          groups.exists(_.semanticEquals(e)) =>
+        keyOf(e).map(n => s"`$n`")
       case al @ Alias(ae: AggregateExpression, _)
           if !ae.isDistinct && ae.filter.forall(_.deterministic) =>
         val aggPred = ae.filter.map(canonicalPredSql)
@@ -270,7 +303,7 @@ class GraftMviewRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         }
       case _ => None
     }
-    val items = agg.aggregateExpressions.map(ne => stateSql(ne) match {
+    val items = outputs.map(ne => stateSql(ne) match {
       case Some(s) => s
       case None => return None
     })
@@ -287,12 +320,12 @@ class GraftMviewRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     val where = residual.map(r => s" WHERE $r").getOrElse("")
     val finish = EliminateSubqueryAliases(
       spark.sql(s"SELECT $sel FROM $stFq$where").queryExecution.analyzed)
-    if (finish.output.length != agg.aggregateExpressions.length)
+    if (finish.output.length != outputs.length)
       return None
     // re-alias onto the ORIGINAL output attributes (names + exprIds),
     // so parent operators — HAVING filters, projections, sorts — are
     // untouched
-    val out = agg.aggregateExpressions.zip(finish.output).map {
+    val out = outputs.zip(finish.output).map {
       case (orig, na) =>
         Alias(na, orig.name)(exprId = orig.exprId)
     }

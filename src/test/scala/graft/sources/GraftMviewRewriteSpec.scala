@@ -163,6 +163,40 @@ class GraftMviewRewriteSpec extends SparkSpec {
       .queryExecution.optimizedPlan.toString.contains("all_state"))
   }
 
+  test("derived-key mviews rewrite: GROUP BY CAST(ts AS DATE) matches " +
+    "the daily rollup's derived key by canonical rendering") {
+    val cat = freshCatalog()
+    spark.sql(s"""CREATE TABLE $cat.db.ev (id BIGINT, ts TIMESTAMP,
+        user_id BIGINT, cents BIGINT) TBLPROPERTIES ('keys'='id')""")
+    spark.sql(s"""INSERT INTO $cat.db.ev
+      SELECT id, timestamp_seconds(1700000000 + id * 40000), id % 3, id
+      FROM range(120)""")
+    spark.sql(s"""CALL $cat.system.create_mview_sql('db.daily', sql =>
+      "SELECT CAST(ts AS DATE) AS day, user_id, sum(cents) AS total,
+         count(*) AS n
+       FROM $cat.db.ev GROUP BY CAST(ts AS DATE), user_id")""")
+    val q = s"""SELECT CAST(ts AS DATE) AS d, user_id,
+        sum(cents) AS s, count(*) AS n
+      FROM $cat.db.ev GROUP BY CAST(ts AS DATE), user_id"""
+    val df = spark.sql(q)
+    assert(df.queryExecution.optimizedPlan.toString.contains("daily_state"),
+      df.queryExecution.optimizedPlan.toString)
+    val want = {
+      spark.conf.set("spark.graft.mview.rewrite", "false")
+      try spark.sql(q).collect()
+        .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSet
+      finally spark.conf.set("spark.graft.mview.rewrite", "true")
+    }
+    assert(df.collect().map(r => (r.getDate(0).toString, r.getLong(1),
+      r.getLong(2), r.getLong(3))).toSet == want)
+    // a DIFFERENT derivation must not match
+    assert(!spark.sql(s"""SELECT CAST(ts AS STRING) AS d, user_id,
+        sum(cents) AS s FROM $cat.db.ev
+      GROUP BY CAST(ts AS STRING), user_id""")
+      .queryExecution.optimizedPlan.toString.contains("daily_state"))
+  }
+
   test("HAVING and projections above the aggregate survive the swap") {
     val cat = freshCatalog()
     seed(cat)
