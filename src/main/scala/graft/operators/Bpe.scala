@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -55,22 +55,75 @@ object Bpe {
     * symbol table (the per-word encoding cache) and joins it back to the
     * corpus. Caller owns deleting the returned stage.
     */
-  private def trainCore(docs: DataFrame, textCol: String,
-                        merges: Int): (Seq[Merge], Staging.Staged) = {
-    require(merges >= 1 && merges <= 1000, s"merges must be in [1,1000], got $merges")
+  /** The symbolized vocabulary table, WITH the successor column: every
+    * staged round carries (word, wc, pos, sym, nxt) where nxt =
+    * lead(sym) in word order. Persisting nxt costs one extra column per
+    * stage and buys two things per round: the pair-count argmax becomes
+    * a PLAIN aggregate over the staged table (no window, no sort — the
+    * round's first job drops from exchange+sort+agg to agg), and the
+    * rewrite no longer needs to recompute the pairing before merging.
+    */
+  private def symbolized(docs: DataFrame, textCol: String): DataFrame = {
     val words = docs
       .select(explode(TextFns.tokens(col(textCol))).as("word"))
       .groupBy("word").agg(count(lit(1)).as("wc"))
-    val chars = words.select(col("word"), col("wc"),
-      posexplode(expr("filter(split(word, ''), s -> s != '')")).as(Seq("pos", "sym")))
-    var cur = Staging.stage(chars, "bpe_0")
+    val wn = Window.partitionBy("word").orderBy("pos")
+    words.select(col("word"), col("wc"),
+        posexplode(expr("filter(split(word, ''), s -> s != '')")).as(Seq("pos", "sym")))
+      .withColumn("nxt", lead(col("sym"), 1).over(wn))
+  }
+
+  /** One leftmost-non-overlapping merge rewrite over the symbolized
+    * table, for every position whose (sym, nxt) satisfies `cand` — as a
+    * SINGLE window chain over one (word, pos) sort (the old
+    * formulation's candidate-run ranking used a second (word, grp)
+    * partitioning plus a (word, pos) self-join: 4 more exchanges per
+    * round for the same rows):
+    *   run_start = latest candidate-run start at or before pos (runs of
+    *               consecutive candidate positions — positions are
+    *               dense, so adjacency is rank adjacency);
+    *   kept      = candidate ∧ (pos − run_start) even — exactly "odd
+    *               rank within run" of the ranked form;
+    *   drop rows whose predecessor was kept (the absorbed rhs), then
+    *   re-rank positions and recompute nxt over the SAME sort.
+    */
+  private def mergeRewrite(cur: DataFrame, cand: Column): DataFrame = {
+    val wn = Window.partitionBy("word").orderBy("pos")
+    val running = wn.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cur
+      .withColumn("cand", coalesce(cand, lit(false)))
+      .withColumn("is_start", col("cand") && !lag(col("cand"), 1, false).over(wn))
+      .withColumn("run_start", max(when(col("is_start"), col("pos"))).over(running))
+      .withColumn("kept",
+        coalesce(col("cand") && (col("pos") - col("run_start")) % 2 === 0, lit(false)))
+      .withColumn("prev_kept", lag(col("kept"), 1, false).over(wn))
+      .filter(!col("prev_kept"))
+      .select(col("word"), col("wc"),
+        (row_number().over(wn) - 1).as("pos"),
+        when(col("kept"), concat(col("sym"), col("nxt")))
+          .otherwise(col("sym")).as("sym"))
+      .withColumn("nxt", lead(col("sym"), 1).over(wn))
+  }
+
+  /** Dev hook for [[graft.tools.InnerPlans]]: one merge round's plan
+    * over a staged symbol table (the plan every training round pays).
+    */
+  private[graft] def explainRound(docs: DataFrame, textCol: String): Unit = {
+    val cur = Staging.stage(symbolized(docs, textCol), "bpe_explain")
+    mergeRewrite(cur.df, col("sym") === "e" && col("nxt") === "s")
+      .explain("formatted")
+    cur.delete()
+  }
+
+  private def trainCore(docs: DataFrame, textCol: String,
+                        merges: Int): (Seq[Merge], Staging.Staged) = {
+    require(merges >= 1 && merges <= 1000, s"merges must be in [1,1000], got $merges")
+    var cur = Staging.stage(symbolized(docs, textCol), "bpe_0")
     val learned = scala.collection.mutable.ArrayBuffer.empty[Merge]
     var i = 0
     var done = false
     while (i < merges && !done) {
-      val wn = Window.partitionBy("word").orderBy("pos")
-      val paired = cur.df.withColumn("nxt", lead(col("sym"), 1).over(wn))
-      val top = paired.filter(col("nxt").isNotNull)
+      val top = cur.df.filter(col("nxt").isNotNull)
         .groupBy("sym", "nxt").agg(sum(col("wc")).as("cnt"))
         .orderBy(col("cnt").desc, col("sym"), col("nxt"))
         .limit(1).collect()
@@ -78,24 +131,9 @@ object Bpe {
       else {
         val (a, b, cnt) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         learned += Merge(i + 1, a, b, cnt)
-        // leftmost-non-overlapping merge of (a,b): candidates → runs of
-        // consecutive candidate positions → keep odd ranks within run
-        val cand = paired.filter(col("sym") === a && col("nxt") === b)
-          .withColumn("grp", col("pos") - row_number().over(wn))
-          .withColumn("rn2", row_number().over(
-            Window.partitionBy("word", "grp").orderBy("pos")))
-          .filter(col("rn2") % 2 === 1)
-          .select(col("word"), col("pos"), lit(true).as("kept"))
-        val merged = paired.join(cand, Seq("word", "pos"), "left")
-          .withColumn("kept", coalesce(col("kept"), lit(false)))
-          .withColumn("prev_kept",
-            lag(col("kept"), 1, false).over(wn))
-          .filter(!col("prev_kept"))
-          .select(col("word"), col("wc"),
-            (row_number().over(wn) - 1).as("pos"),
-            when(col("kept"), concat(col("sym"), col("nxt")))
-              .otherwise(col("sym")).as("sym"))
-        val staged = Staging.stage(merged, s"bpe_${i + 1}")
+        val staged = Staging.stage(
+          mergeRewrite(cur.df, col("sym") === a && col("nxt") === b),
+          s"bpe_${i + 1}")
         cur.delete()
         cur = staged
         i += 1
@@ -192,20 +230,12 @@ object Bpe {
     require(rounds >= 1 && rounds <= 1000, s"rounds must be in [1,1000], got $rounds")
     require(f >= 1 && f <= 64, s"f must be in [1,64] (driver collects f rows/round), got $f")
     val spark = docs.sparkSession
-    import spark.implicits._
-    val words = docs
-      .select(explode(TextFns.tokens(col(textCol))).as("word"))
-      .groupBy("word").agg(count(lit(1)).as("wc"))
-    val chars = words.select(col("word"), col("wc"),
-      posexplode(expr("filter(split(word, ''), s -> s != '')")).as(Seq("pos", "sym")))
-    var cur = Staging.stage(chars, "bpeb_0")
+    var cur = Staging.stage(symbolized(docs, textCol), "bpeb_0")
     val learned = scala.collection.mutable.ArrayBuffer.empty[Merge]
     var i = 0
     var done = false
     while (i < rounds && !done) {
-      val wn = Window.partitionBy("word").orderBy("pos")
-      val paired = cur.df.withColumn("nxt", lead(col("sym"), 1).over(wn))
-      val top = paired.filter(col("nxt").isNotNull)
+      val top = cur.df.filter(col("nxt").isNotNull)
         .groupBy("sym", "nxt").agg(sum(col("wc")).as("cnt"))
         .orderBy(col("cnt").desc, col("sym"), col("nxt"))
         .limit(f).collect()
@@ -219,25 +249,14 @@ object Bpe {
         admitted.foreach { case (a, b, cnt) =>
           learned += Merge(learned.size + 1, a, b, cnt)
         }
-        val adm = admitted.map { case (a, b, _) => (a, b) }
-          .toDF("adm_a", "adm_b")
-        val cand = paired
-          .join(broadcast(adm),
-            col("sym") === col("adm_a") && col("nxt") === col("adm_b"), "left_semi")
-          .withColumn("grp", col("pos") - row_number().over(wn))
-          .withColumn("rn2", row_number().over(
-            Window.partitionBy("word", "grp").orderBy("pos")))
-          .filter(col("rn2") % 2 === 1)
-          .select(col("word"), col("pos"), lit(true).as("kept"))
-        val merged = paired.join(cand, Seq("word", "pos"), "left")
-          .withColumn("kept", coalesce(col("kept"), lit(false)))
-          .withColumn("prev_kept", lag(col("kept"), 1, false).over(wn))
-          .filter(!col("prev_kept"))
-          .select(col("word"), col("wc"),
-            (row_number().over(wn) - 1).as("pos"),
-            when(col("kept"), concat(col("sym"), col("nxt")))
-              .otherwise(col("sym")).as("sym"))
-        val staged = Staging.stage(merged, s"bpeb_${i + 1}")
+        // admitted is a driver-side list of <= f pairs: candidate
+        // membership is a literal OR-of-equalities predicate, not a
+        // broadcast semi-join (one less join per round; the one-pass
+        // multi-pair rewrite is safe because admitted pairs are
+        // symbol-disjoint — see the admission-rule doc above)
+        val isAdm = admitted.map { case (a, b, _) =>
+          col("sym") === a && col("nxt") === b }.reduce(_ || _)
+        val staged = Staging.stage(mergeRewrite(cur.df, isAdm), s"bpeb_${i + 1}")
         cur.delete()
         cur = staged
         i += 1

@@ -100,50 +100,43 @@ object Unigram {
       .select(col("word"), (col("s") - 1).as("j"), (col("s") + col("l") - 1).as("k"),
         expr("substring(word, s, l)").as("piece"))
 
-  /** Viterbi over staged rounds: best(word, pos) as min comb; round k
-    * computes position k from positions k−P..k−1 (each a previously
-    * STAGED frame — O(1) plan depth, bounded lineage, the Bpe round
-    * discipline). Returns ALL per-position frames; caller owns deletion.
+  /** The Viterbi DP, collapsed to a PER-WORD array fold: the DP for a
+    * word reads only that word's own edges (position k's best from
+    * positions k−P..k−1), so the whole chain is word-local — one
+    * per-word edge collect + one bounded `aggregate` expression replace
+    * `maxWordLen` staged join+aggregate rounds (each a Spark job + a
+    * vocabulary-table shuffle; the round latency, not the data, was the
+    * cost at every scale). Output: (word, es, best) where best[k]
+    * (1-indexed k+1) is the min comb settling position k — bit-identical
+    * to the staged rounds because each entry is the same integer `min`
+    * over the same edges, just evaluated locally.
+    *
+    * Every position of every word is reachable (the vocabulary contains
+    * ALL single characters), so `best` is dense and the inner
+    * `array_min` never sees an empty input.
     */
-  /** Per-position best frames plus the stages backing them. Every round
-    * is staged: each b_k is consumed by up to maxPieceLen later rounds
-    * AND the final union, so an unstaged round would be recomputed per
-    * consumer with nested plan growth. (A lazy-alternate variant was
-    * measured faster but trips Catalyst's Union constraint rewriting on
-    * the mixed staged/lazy unions — the staged form is the one that is
-    * robust across Spark versions.)
-    */
-  private final case class DpChain(frames: Seq[DataFrame], stages: Seq[Staging.Staged])
+  private def bestArrays(edges: DataFrame): DataFrame =
+    edges.groupBy("word")
+      .agg(collect_list(struct(col("j"), col("k"), col("cost_mb"))).as("es"))
+      .withColumn("best", expr("""aggregate(
+          sequence(1, length(word)),
+          array(CAST(0 AS BIGINT)),
+          (acc, kk) -> array_append(acc, array_min(transform(
+            filter(es, e -> e.k = kk),
+            e -> (element_at(acc, e.j + 1) div 1000 + e.cost_mb) * 1000
+                 + element_at(acc, e.j + 1) % 1000 + 1))))"""))
 
-  private def dpRounds(words: DataFrame, edges: DataFrame, maxWordLen: Int,
-                       maxPieceLen: Int, tag: String): DpChain = {
-    val b0 = Staging.stage(
-      words.select(col("word"), lit(0).as("pos"), lit(0L).as("comb")), s"${tag}_b0")
-    val frames = scala.collection.mutable.ArrayBuffer[DataFrame](b0.df)
-    val stages = scala.collection.mutable.ArrayBuffer[Staging.Staged](b0)
-    for (k <- 1 to maxWordLen) {
-      val lo = math.max(0, k - maxPieceLen)
-      val prior = (lo until k).map(j => frames(j)).reduce(_ unionByName _)
-      val bk = edges.filter(col("k") === k)
-        .join(prior, edges("word") === prior("word") && col("j") === col("pos"))
-        .groupBy(edges("word"))
-        .agg(min(expr("(comb div 1000 + cost_mb) * 1000 + comb % 1000 + 1")).as("comb"))
-        .select(col("word"), lit(k).as("pos"), col("comb"))
-      val s = Staging.stage(bk, s"${tag}_b$k")
-      stages += s
-      frames += s.df
-    }
-    DpChain(frames.toSeq, stages.toSeq)
-  }
+  /** (word, cost_mb, n_pieces) from the per-word DP: comb = best[len]. */
+  private def segment(edges: DataFrame): DataFrame =
+    bestArrays(edges)
+      .select(col("word"),
+        element_at(col("best"), length(col("word")) + 1).as("comb"))
+      .select(col("word"), expr("comb div 1000").as("cost_mb"),
+        expr("comb % 1000").as("n_pieces"))
 
   /** Per-doc rollup of per-word segmentation results. */
   private def rollup(docs: DataFrame, idCol: String, textCol: String,
-                     bests: DpChain, words: DataFrame): DataFrame = {
-    val allBest = bests.frames.reduce(_ unionByName _)
-    val seg = allBest.join(words, Seq("word"))
-      .filter(col("pos") === length(col("word")))
-      .select(col("word"), expr("comb div 1000").as("cost_mb"),
-        expr("comb % 1000").as("n_pieces"))
+                     seg: DataFrame): DataFrame =
     docs.select(col(idCol).as("id"),
         explode(TextFns.tokens(col(textCol))).as("word"))
       .join(seg, Seq("word"))
@@ -151,6 +144,16 @@ object Unigram {
       .agg(count(lit(1)).as("n_words"),
         sum(col("n_pieces")).as("n_pieces"),
         sum(col("cost_mb")).as("mb_total"))
+
+  /** Dev hook for [[graft.tools.InnerPlans]]: the per-word DP's plan. */
+  private[graft] def explainDp(docs: DataFrame, idCol: String, textCol: String,
+                               vExtra: Int, maxPieceLen: Int, maxWordLen: Int): Unit = {
+    val words = wordTable(docs, textCol, maxWordLen)
+    val vocab = vocabulary(words, vExtra, maxPieceLen)
+    segment(edgeGeometry(words, maxPieceLen)
+        .join(broadcast(vocab.select(col("piece"), col("cost_mb"))), Seq("piece"))
+        .select("word", "j", "k", "cost_mb"))
+      .explain("formatted")
   }
 
   private def validate(vExtra: Int, maxPieceLen: Int, maxWordLen: Int): Unit = {
@@ -170,16 +173,20 @@ object Unigram {
   def unigramSegment(docs: DataFrame, idCol: String, textCol: String,
                      vExtra: Int, maxPieceLen: Int, maxWordLen: Int): DataFrame = {
     validate(vExtra, maxPieceLen, maxWordLen)
-    val words = wordTable(docs, textCol, maxWordLen)
-    val vocab = vocabulary(words, vExtra, maxPieceLen)
-    val edges = Staging.stage(
-      edgeGeometry(words, maxPieceLen)
-        .join(vocab.select(col("piece"), col("cost_mb")), Seq("piece"))
-        .select("word", "j", "k", "cost_mb"),
-      "uni_edges")
-    val bests = dpRounds(words, edges.df, maxWordLen, maxPieceLen, "uni")
-    val out = Staging.stage(rollup(docs, idCol, textCol, bests, words), "uni_out")
-    (bests.stages :+ edges).foreach(_.delete())
+    // words feeds vocabulary AND edge geometry — stage once (one small
+    // job; the corpus collapse never re-runs per consumer). The costed
+    // vocabulary is bounded (chars + vExtra, a TakeOrdered result), so
+    // the edge join BROADCASTS it: the substring fan-out never shuffles,
+    // and the only corpus-scale shuffles left are the word collapse and
+    // the per-doc rollup join.
+    val words = Staging.stage(wordTable(docs, textCol, maxWordLen), "uni_words")
+    val vocab = vocabulary(words.df, vExtra, maxPieceLen)
+    val edges = edgeGeometry(words.df, maxPieceLen)
+      .join(broadcast(vocab.select(col("piece"), col("cost_mb"))), Seq("piece"))
+      .select("word", "j", "k", "cost_mb")
+    val out = Staging.stage(
+      rollup(docs, idCol, textCol, segment(edges)), "uni_out")
+    words.delete()
     out.df
   }
 
@@ -207,52 +214,35 @@ object Unigram {
     validate(vExtra, maxPieceLen, maxWordLen)
     val words = Staging.stage(wordTable(docs, textCol, maxWordLen), "em_words")
     val vocab0 = vocabulary(words.df, vExtra, maxPieceLen)
-    val geom = Staging.stage(edgeGeometry(words.df, maxPieceLen), "em_geom")
-    val edges0 = Staging.stage(
-      geom.df.join(vocab0.select(col("piece"), col("cost_mb")), Seq("piece"))
-        .select("word", "j", "k", "cost_mb"),
-      "em_edges0")
-    val bests0 = dpRounds(words.df, edges0.df, maxWordLen, maxPieceLen, "em0")
-    val allBest0 = bests0.frames.reduce(_ unionByName _)
+    def costedEdges(vc: DataFrame): DataFrame =
+      edgeGeometry(words.df, maxPieceLen)
+        .join(broadcast(vc), Seq("piece"))
+        .select("word", "j", "k", "cost_mb")
+    val edges0 = costedEdges(vocab0.select(col("piece"), col("cost_mb")))
 
-    // predecessor recovery: for every settled (word, k), the used edge
-    // is the min-j edge whose source best reproduces best[k] exactly.
-    // (allBest0 appears on BOTH sides — dataset aliases disambiguate
-    // the self-join's shared attribute ids.)
-    val pred = Staging.stage(
-      edges0.df.as("E")
-        .join(allBest0.as("L"),
-          col("E.word") === col("L.word") && col("E.j") === col("L.pos"))
-        .join(allBest0.as("R"),
-          col("E.word") === col("R.word") && col("E.k") === col("R.pos"))
-        .filter(expr("(L.comb div 1000 + E.cost_mb) * 1000 + L.comb % 1000 + 1 = R.comb"))
-        .groupBy(col("E.word").as("word"), col("E.k").as("k"))
-        .agg(min(col("E.j")).as("j")),
-      "em_pred")
-
-    // walk back from each word's end; each round emits one used edge.
-    // The walk is a LINEAR chain (unlike the DP's fan-in), so staging
-    // every round would pay ~maxWordLen jobs for nothing — stage every
-    // 4th round only (bounds the unstaged plan fan while cutting the
-    // job count 4×). Fresh aliases per round keep the repeated pred
-    // join unambiguous.
-    var cur: DataFrame = words.df.select(col("word"), length(col("word")).as("pos"))
-    val walkStages = scala.collection.mutable.ArrayBuffer.empty[Staging.Staged]
-    val usedFrames = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
-    for (t <- 1 to maxWordLen) {
-      val p = s"P$t"
-      val step = cur.as(s"C$t").join(pred.df.as(p),
-          col(s"C$t.word") === col(s"$p.word") && col(s"C$t.pos") === col(s"$p.k"))
-        .select(col(s"C$t.word").as("word"), col(s"$p.j").as("j"), col(s"$p.k").as("k"))
-      usedFrames += step
-      cur = step.filter(col("j") > 0).select(col("word"), col("j").as("pos"))
-      if (t % 4 == 0 && t < maxWordLen) {
-        val s = Staging.stage(cur, s"em_w$t")
-        walkStages += s
-        cur = s.df
-      }
-    }
-    val used = usedFrames.reduce(_ unionByName _)
+    // E-step, PER-WORD LOCAL (the [[bestArrays]] collapse, extended to
+    // the path walk): with a word's own edge set and best array in one
+    // row, predecessor recovery — "the used edge into position k is the
+    // min-j edge whose source best reproduces best[k] exactly" — is a
+    // bounded fold walking back from the word end, not maxWordLen
+    // pred-join rounds. `chain` is the visited position sequence
+    // [len, ..., 0]; the used edges are its consecutive pairs.
+    val used = bestArrays(edges0)
+      .withColumn("chain", expr("""aggregate(
+          sequence(1, length(word)),
+          array(length(word)),
+          (acc, t) -> IF(element_at(acc, -1) <= 0, acc,
+            array_append(acc, array_min(transform(
+              filter(es, e -> e.k = element_at(acc, -1) AND
+                (element_at(best, e.j + 1) div 1000 + e.cost_mb) * 1000
+                + element_at(best, e.j + 1) % 1000 + 1
+                = element_at(best, element_at(acc, -1) + 1)),
+              e -> e.j)))))"""))
+      .select(col("word"), explode(expr(
+        """transform(sequence(1, size(chain) - 1),
+             i -> named_struct('k', element_at(chain, i),
+                               'j', element_at(chain, i + 1)))""")).as("e"))
+      .select(col("word"), col("e.j").as("j"), col("e.k").as("k"))
 
     // M-step: usage-weighted re-cost over the same vocabulary, add-one
     val usage = used.join(words.df, Seq("word"))
@@ -266,14 +256,11 @@ object Unigram {
       .withColumn("cost_mb",
         expr(CorpusText.mlog2Sql("t")) - expr(CorpusText.mlog2Sql("u1")))
       .select("piece", "cost_mb")
-    val edges1 = Staging.stage(
-      geom.df.join(vocab1, Seq("piece")).select("word", "j", "k", "cost_mb"),
-      "em_edges1")
 
-    val bests1 = dpRounds(words.df, edges1.df, maxWordLen, maxPieceLen, "em1")
-    val out = Staging.stage(rollup(docs, idCol, textCol, bests1, words.df), "em_out")
-    (bests0.stages ++ bests1.stages ++ walkStages ++
-      Seq(words, geom, edges0, edges1, pred)).foreach(_.delete())
+    // re-segment under the new costs: the same per-word DP fold
+    val out = Staging.stage(
+      rollup(docs, idCol, textCol, segment(costedEdges(vocab1))), "em_out")
+    words.delete()
     out.df
   }
 

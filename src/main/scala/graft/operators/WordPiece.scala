@@ -105,29 +105,8 @@ object WordPiece {
       s"maxWordLen must be in [$maxPieceLen,16] (greedy rounds + cuts-mask bits), got $maxWordLen")
     require(vExtra >= 0 && vExtra <= 100000, s"vExtra out of range: $vExtra")
     val words = Staging.stage(wordTable(docs, textCol, maxWordLen), "wp_words")
-    val vocab = vocabulary(words.df, vExtra, maxPieceLen)
-    val eg = Staging.stage(edges(words.df, vocab, maxPieceLen), "wp_edges")
-
-    // greedy rounds: each consumes >= 1 char per unfinished word, so
-    // maxWordLen rounds settle everything; each round is staged (O(1)
-    // plan depth, the Bpe round discipline)
-    var state = Staging.stage(
-      words.df.select(col("word"), lit(0).as("pos"),
-        lit(0L).as("np"), lit(0L).as("cuts")), "wp_s0")
-    val stages = scala.collection.mutable.ArrayBuffer[Staging.Staged](words, eg, state)
-    for (r <- 1 to maxWordLen) {
-      val done = state.df.filter(col("pos") === length(col("word")))
-      val stepped = state.df.filter(col("pos") < length(col("word"))).as("S")
-        .join(eg.df.as("E"),
-          col("S.word") === col("E.word") && col("E.j") === col("S.pos"))
-        .groupBy(col("S.word").as("word"), col("S.np").as("np0"), col("S.cuts").as("cuts0"))
-        .agg(max(col("E.k")).as("k"))
-        .select(col("word"), col("k").as("pos"), (col("np0") + 1).as("np"),
-          (col("cuts0") + expr("shiftleft(cast(1 as bigint), k)")).as("cuts"))
-      state = Staging.stage(done.unionByName(stepped), s"wp_s$r")
-      stages += state
-    }
-    val seg = state.df.filter(col("pos") === length(col("word")))
+    val seg = walk(words.df, vExtra, maxPieceLen)
+    val stages = scala.collection.mutable.ArrayBuffer[Staging.Staged](words)
     val out = Staging.stage(
       docs.select(col(idCol).as("id"), explode(TextFns.tokens(col(textCol))).as("word"))
         .join(seg, Seq("word"))
@@ -138,4 +117,52 @@ object WordPiece {
     stages.foreach(_.delete())
     out.df
   }
+
+  /** (word, pos, np, cuts) greedy segmentation of every word. */
+  private def walk(words: DataFrame, vExtra: Int, maxPieceLen: Int): DataFrame = {
+    // The vocabulary is bounded (observed single chars per role + vExtra
+    // rows — a TakeOrdered result), so the edge join broadcasts it: the
+    // word-substring fan-out never shuffles.
+    val eg = edges(words, broadcast(vocabulary(words, vExtra, maxPieceLen)),
+      maxPieceLen)
+
+    // The greedy walk is PER-WORD LOCAL: each round's step for a word
+    // reads only that word's own edges (max valid k from the current
+    // position). So instead of maxWordLen staged join+aggregate rounds
+    // (one Spark job + one shuffle each — round-latency-bound, and at
+    // scale maxWordLen full passes over the vocabulary table), collapse
+    // the edge set to ONE per-word jump table and run the whole walk
+    // inside a single codegen-stage expression:
+    //   jump[j] = max k over edges starting at j (greedy longest match;
+    //             dense in j because every (char, role) is in-vocab),
+    //   state fold: pos <- jump[pos], np += 1, cuts += 2^pos' —
+    //             exactly the per-round `max(E.k)` aggregate, iterated
+    //             maxWordLen times with done-words passing through.
+    // One shuffle (the per-word collect) replaces maxWordLen rounds;
+    // results are bit-identical because each step is the same integer
+    // max/add.
+    val jumps = eg.groupBy("word", "j").agg(max(col("k")).as("mk"))
+      .groupBy("word")
+      .agg(transform(array_sort(collect_list(struct(col("j"), col("mk")))),
+        s => s("mk")).as("jump"))
+    words.join(jumps, Seq("word"))
+      .withColumn("st", expr(s"""aggregate(
+          sequence(1, length(word)),
+          named_struct('pos', 0, 'np', CAST(0 AS BIGINT), 'cuts', CAST(0 AS BIGINT)),
+          (acc, r) -> IF(acc.pos >= length(word), acc,
+            named_struct(
+              'pos', element_at(jump, acc.pos + 1),
+              'np', acc.np + CAST(1 AS BIGINT),
+              'cuts', acc.cuts + shiftleft(CAST(1 AS BIGINT),
+                element_at(jump, acc.pos + 1)))))"""))
+      .select(col("word"), col("st.pos").as("pos"), col("st.np").as("np"),
+        col("st.cuts").as("cuts"))
+      .filter(col("pos") === length(col("word")))
+  }
+
+  /** Dev hook for [[graft.tools.InnerPlans]]: the walk's plan. */
+  private[graft] def explainWalk(docs: DataFrame, idCol: String, textCol: String,
+                                 vExtra: Int, maxPieceLen: Int, maxWordLen: Int): Unit =
+    walk(wordTable(docs, textCol, maxWordLen), vExtra, maxPieceLen)
+      .explain("formatted")
 }
