@@ -2868,6 +2868,15 @@ final class GraftTable(spark: SparkSession, val path: String,
     df.select(col(partitionCol).cast("string")).distinct()
       .collect().map(r => Option(r.getString(0))).toSeq
 
+  /** [[partitionValsOf]] for frames ALREADY distinct on the partition
+    * column (the touched-partition probes dedup before checkpointing):
+    * skips the plan-side distinct — one less exchange per mutation —
+    * and dedups the metadata-scale values on the driver instead.
+    */
+  private def partitionValsOfDistinct(df: DataFrame): Seq[Option[String]] =
+    df.select(col(partitionCol).cast("string"))
+      .collect().map(r => Option(r.getString(0))).toSeq.distinct
+
   private def schemaSidecar = java.nio.file.Paths.get(path, "_graft_schema.json")
 
   private def sidecarSchemaOpt: Option[org.apache.spark.sql.types.StructType] =
@@ -4307,8 +4316,33 @@ final class GraftTable(spark: SparkSession, val path: String,
     // null-key semantics) — it is a legitimate not-matched insert
     // candidate, so it is EXCLUDED from the multiple-match guard (the
     // ANSI/Delta rule only forbids two source rows matching the same
-    // target row)
-    val dup = sPref
+    // target row).
+    //
+    // The guard costs one full shuffle of the source per merge — skip
+    // it when uniqueness holds BY CONSTRUCTION: a source whose plan is
+    // an Aggregate grouped by (a subset of) the merge keys emits at
+    // most one row per key combination (distinct grouping values imply
+    // distinct keys), so the guard can never fire. This is the mview
+    // fold shape (delta = groupBy(keys).agg(...)) — every refresh was
+    // paying a provably-redundant aggregate of its delta.
+    val provablyKeyUnique = {
+      import org.apache.spark.sql.catalyst.expressions.Attribute
+      import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, SubqueryAlias}
+      def strip(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+          : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = p match {
+        case s: SubqueryAlias => strip(s.child)
+        case other => other
+      }
+      strip(source.queryExecution.analyzed) match {
+        case a: Aggregate if a.groupingExpressions.nonEmpty =>
+          a.groupingExpressions.forall {
+            case attr: Attribute => keys.exists(_.equalsIgnoreCase(attr.name))
+            case _ => false
+          }
+        case _ => false
+      }
+    }
+    val dup = if (provablyKeyUnique) 0L else sPref
       .filter(keys.map(k => col(s"__s_$k").isNotNull).reduce(_ && _))
       .groupBy(keys.map(k => col(s"__s_$k")): _*)
       .count().filter(col("count") > 1).limit(1).count()
@@ -4451,7 +4485,7 @@ final class GraftTable(spark: SparkSession, val path: String,
       identityColumnNames.exists(c => assignments.exists(_._1 == c))
     val staged = Staging.stage(deriveGp(respecs(written,
       mayAllocate = mergeMayAllocate)), "merge_barrier")
-    commitRewrite(staged.df, partitionValsOf(touched), base, markers)
+    commitRewrite(staged.df, partitionValsOfDistinct(touched), base, markers)
     staged.delete()
     true
   }
@@ -4479,7 +4513,7 @@ final class GraftTable(spark: SparkSession, val path: String,
     // stage once: the remaining rows feed the append write, and the
     // touched values collect feeds the manifest — one computation
     val staged = Staging.stage(remaining, "delete_barrier")
-    commitRewrite(staged.df, partitionValsOf(touched), base)
+    commitRewrite(staged.df, partitionValsOfDistinct(touched), base)
     staged.delete()
     this
   }
