@@ -121,11 +121,19 @@ object ContentFilter {
     val dupNs = 5 to 10
     val topMax = Map(2 -> 200L, 3 -> 180L, 4 -> 160L)
     val dupMax = Map(5 -> 150L, 6 -> 140L, 7 -> 130L, 8 -> 120L, 9 -> 110L, 10 -> 100L)
+    // ONE shuffle, before the explode: every aggregate below groups by
+    // a key set CONTAINING the doc id, so hash-partitioning on id alone
+    // satisfies all three clustering requirements (HashPartitioning ⊆
+    // grouping keys) and the gram streams never cross the network — the
+    // exchange carries the compact (id, tokens) rows, not the 9-way
+    // exploded gram strings (previously three cascading exchanges whose
+    // first carried every gram).
     val base = docs
       .withColumn("rw", TextFns.tokens(col(textCol)))
       .select(col(idCol).as("id"), col("rw"),
         length(array_join(col("rw"), " ")).cast("long").as("total"))
       .filter(col("total") > 0L)
+      .repartition(Dedup.fanout(docs.sparkSession), col("id"))
     val gramArrays = (topNs ++ dupNs).map { n =>
       when(size(col("rw")) >= n,
         transform(sequence(lit(0), size(col("rw")) - n),
