@@ -330,12 +330,14 @@ object ExtQueries {
           docs.filter(col("doc_id") >= 250))
         val state0 = Dedup.lshBandState(docs.filter(lit(false)),
           "doc_id", "text", n = 4, k = 12, rowsPerBand = 3)
-        val adm1 = Dedup.dedupIncrementLsh(b1, "doc_id", "text",
-          n = 4, k = 12, rowsPerBand = 3, knownBands = state0)
-        val state1 = Dedup.lshBandState(b1, "doc_id", "text",
-          n = 4, k = 12, rowsPerBand = 3)
+        // b1's band table serves BOTH tick 1's probe and tick 2's
+        // state — one shingle+minhash pass, not two
+        val bands1 = Dedup.lshBandState(b1, "doc_id", "text",
+          n = 4, k = 12, rowsPerBand = 3).localCheckpoint(true)
+        val adm1 = Dedup.dedupIncrementLshBanded(b1, "doc_id", bands1,
+          knownBands = state0)
         val adm2 = Dedup.dedupIncrementLsh(b2, "doc_id", "text",
-          n = 4, k = 12, rowsPerBand = 3, knownBands = state1)
+          n = 4, k = 12, rowsPerBand = 3, knownBands = bands1)
         adm1.unionByName(adm2).select("doc_id", "n_chars")
       },
       Some(s"""
@@ -362,11 +364,14 @@ object ExtQueries {
           docs.filter(col("doc_id") >= 250))
         val state0 = Dedup.simhashSignatures(docs.filter(lit(false)),
           "doc_id", "text")
-        val adm1 = Dedup.dedupIncrementSimhash(b1, "doc_id", "text",
+        // b1's signature table serves BOTH tick 1's probe and tick 2's
+        // state — one signature pass, not two
+        val sigs1 = Dedup.simhashSignatures(b1, "doc_id", "text")
+          .localCheckpoint(true)
+        val adm1 = Dedup.dedupIncrementSimhashSigned(b1, "doc_id", sigs1,
           maxHamming = 1, knownSigs = state0)
-        val state1 = Dedup.simhashSignatures(b1, "doc_id", "text")
         val adm2 = Dedup.dedupIncrementSimhash(b2, "doc_id", "text",
-          maxHamming = 1, knownSigs = state1)
+          maxHamming = 1, knownSigs = sigs1)
         adm1.unionByName(adm2).select("doc_id", "n_chars")
       },
       Some(s"""
@@ -440,11 +445,13 @@ object ExtQueries {
           .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
             val batch = b.localCheckpoint(true)
             val st = s.read.parquet(s"$base/state")
-            operators.Dedup.dedupIncrementLsh(batch, "doc_id", "text",
-                4, 12, 3, st)
+            // ONE shingle+minhash pass per tick: the band table this
+            // tick appends to the state is also the probe's batch side
+            val bands = operators.Dedup.lshBandState(
+              batch, "doc_id", "text", 4, 12, 3).localCheckpoint(true)
+            operators.Dedup.dedupIncrementLshBanded(batch, "doc_id", bands, st)
               .write.mode("append").parquet(s"$base/admitted")
-            operators.Dedup.lshBandState(batch, "doc_id", "text", 4, 12, 3)
-              .write.mode("append").parquet(s"$base/state")
+            bands.write.mode("append").parquet(s"$base/state")
             ()
           }.start()
         q.awaitTermination()

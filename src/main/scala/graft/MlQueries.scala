@@ -573,11 +573,14 @@ object MlQueries {
           docs.filter(col("doc_id") >= 250))
         val state0 = operators.Dedup.lshBandState(
           docs.filter(col("doc_id") < 0), "doc_id", "text", 4, 12, 3)
-        val adm1 = operators.Dedup.dedupIncrementLsh(
-          b1, "doc_id", "text", 4, 12, 3, state0)
-        val state1 = operators.Dedup.lshBandState(b1, "doc_id", "text", 4, 12, 3)
+        // b1's band table serves BOTH tick 1's probe and tick 2's
+        // state — one shingle+minhash pass, not two
+        val bands1 = operators.Dedup.lshBandState(
+          b1, "doc_id", "text", 4, 12, 3).localCheckpoint(true)
+        val adm1 = operators.Dedup.dedupIncrementLshBanded(
+          b1, "doc_id", bands1, state0)
         val adm2 = operators.Dedup.dedupIncrementLsh(
-          b2, "doc_id", "text", 4, 12, 3, state1)
+          b2, "doc_id", "text", 4, 12, 3, bands1)
         val model = Classifier.syntheticModel(s, 4096, 4)
         def gated(df: org.apache.spark.sql.DataFrame) = df.join(
           Classifier.predictFused(df, "doc_id", "text", model, 4096)

@@ -502,13 +502,21 @@ object CorpusText {
       return docs.filter(col(textCol).contains(pattern))
         .select(col(idCol).as("id"), lit(true).as("verified"))
     val pats = pattern.sliding(3).toSeq.distinct
+    // intersect BEFORE the dedup exchange: the broadcast join against
+    // the (bounded) pattern-trigram set runs inside the explode's
+    // codegen stage, so the only shuffle carries the few surviving
+    // (id, pattern-trigram) rows — the previous order paid a full
+    // corpus-trigram-stream shuffle for the distinct first. distinct ∘
+    // equi-join ≡ equi-join ∘ distinct here (the build side is
+    // distinct), so the postings-intersection result is unchanged.
+    val patDf = docs.sparkSession.createDataFrame(pats.map(Tuple1(_))).toDF("tri")
     val docTris = docs
       .select(col(idCol).as("id"), col(textCol).as("t"),
         explode(sequence(lit(1), length(col(textCol)) - 2)).as("s"))
       .select(col("id"), expr("substring(t, s, 3)").as("tri"))
+      .join(broadcast(patDf), Seq("tri"))
       .distinct()
-    val patDf = docs.sparkSession.createDataFrame(pats.map(Tuple1(_))).toDF("tri")
-    val cands = docTris.join(broadcast(patDf), Seq("tri"))
+    val cands = docTris
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_hit"))
       .filter(col("n_hit") === pats.size)

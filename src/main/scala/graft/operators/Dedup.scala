@@ -137,6 +137,20 @@ object Dedup {
     val bands = staged(
       minhashBands(shingleSet(batch, idCol, textCol, n), k, rowsPerBand),
       "inc_lsh_bands")
+    dedupIncrementLshBanded(batch, idCol, bands, knownBands)
+  }
+
+  /** [[dedupIncrementLsh]] with the batch's band table PRECOMPUTED — for
+    * ingestion ticks that also maintain the state ([[lshBandState]] of
+    * the same batch): the tick computes the shingle+minhash pass ONCE,
+    * appends it to the state, and probes with the same materialized
+    * frame, instead of running the identical band derivation twice per
+    * batch. `bands` must be the [[lshBandState]] of `batch`, already
+    * materialized (checkpoint/staging) — it is consumed three times.
+    */
+  def dedupIncrementLshBanded(batch: DataFrame, idCol: String,
+                              bands: DataFrame,
+                              knownBands: DataFrame): DataFrame = {
     // PROBE SHAPE (the 100 TB contract): the state side is unbounded
     // (every doc ever admitted keeps its signatures forever) while the
     // batch side is one tick — so the state must NEVER shuffle. A plain
@@ -575,8 +589,19 @@ object Dedup {
     */
   def dedupIncrementSimhash(batch: DataFrame, idCol: String, textCol: String,
                             maxHamming: Int, knownSigs: DataFrame): DataFrame = {
-    require(maxHamming <= 3, s"4-band blocking covers maxHamming <= 3, got $maxHamming")
     val sigs = staged(simhashSignatures(batch, idCol, textCol), "inc_sh_sigs")
+    dedupIncrementSimhashSigned(batch, idCol, sigs, maxHamming, knownSigs)
+  }
+
+  /** [[dedupIncrementSimhash]] with the batch's signatures PRECOMPUTED
+    * (the [[dedupIncrementLshBanded]] pattern): a tick that also appends
+    * the batch's [[simhashSignatures]] to the state computes them once
+    * and probes with the same materialized frame.
+    */
+  def dedupIncrementSimhashSigned(batch: DataFrame, idCol: String,
+                                  sigs: DataFrame, maxHamming: Int,
+                                  knownSigs: DataFrame): DataFrame = {
+    require(maxHamming <= 3, s"4-band blocking covers maxHamming <= 3, got $maxHamming")
     val bandKeys =
       if (maxHamming <= 2) for (k1 <- 0 until 4; k2 <- k1 + 1 until 4) yield k1 * 4 + k2
       else 16 until 20
