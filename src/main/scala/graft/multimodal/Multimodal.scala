@@ -492,10 +492,14 @@ object Multimodal {
     // PCM body as ONE hex string per row + a single unhex — a per-sample
     // binary fold costs thousands of interpreted concats per clip (the
     // q146/q235 lesson); little-endian int16 = hex byte pair swapped
+    // byte swap ARITHMETICALLY ((v & 255)·256 + (v >> 8)), not by
+    // slicing the hex string: transform lambdas evaluate interpreted,
+    // and the lpad+2×substring+concat form paid five allocating string
+    // ops per sample — the arithmetic form pays one hex + one lpad
     val body = unhex(array_join(
       transform(samples, s => {
-        val h = lpad(hex(pmod(s.cast("long"), lit(65536L))), 4, "0")
-        concat(substring(h, 3, 2), substring(h, 1, 2))
+        val v = pmod(s.cast("long"), lit(65536L))
+        lpad(hex(v.bitwiseAND(lit(255L)) * 256L + shiftright(v, 8)), 4, "0")
       }), ""))
     concat(
       unhex(lit("52494646")), le((dataSize + 36).cast("long"), 4), // "RIFF" + file size
