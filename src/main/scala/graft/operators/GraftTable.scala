@@ -2714,7 +2714,11 @@ final class GraftTable(spark: SparkSession, val path: String,
     // files carry PHYSICAL names (renameToPhysical — identity when the
     // table has no column mapping)
     val df1 = renameToPhysical(df0)
-    if (df1.isEmpty) return Seq.empty
+    // NO isEmpty probe: it cost one extra job on EVERY commit to save a
+    // write job only in the rare all-rows-deleted case — and an empty
+    // partitioned write already degenerates to the same outcome (no
+    // .parquet files land in staging, the walk moves nothing, the
+    // commit records zero added files)
     // CLUSTERED WRITES (opt-in, the 100 TB small-file lever): without
     // clustering, a partitionBy write emits one file per (task ×
     // partition value) — a 1000-task mutation touching 100 partitions
