@@ -756,12 +756,7 @@ object SimilaritySearch {
                       degree: Int, rounds: Int): DataFrame = {
     require(degree >= 1, s"degree must be >= 1, got $degree")
     require(rounds >= 1 && rounds <= 8, s"rounds must be in [1,8], got $rounds")
-    // the norm table feeds two join sides of EVERY round's scoring pass
-    // (and the final re-score): stage once — its producing scan must not
-    // re-run 2·rounds+2 times (at corpus scale each re-run is a full
-    // corpus scan)
-    val cSt = Staging.stage(withNorm(corpus, idCol, vecCol, "n"), "nnd_norms")
-    val c = cSt.df
+    val c = withNorm(corpus, idCol, vecCol, "n")
     val h60 = (x: org.apache.spark.sql.Column) =>
       conv(substring(md5(x), 1, 15), 16, 10).cast("long")
     val nCount = corpus.count()
@@ -776,14 +771,10 @@ object SimilaritySearch {
     }.reduce(_.unionByName(_)).distinct()
     val sim = VectorFns.cosineFrom(
       VectorFns.dotFixed9(col("svec"), col("nvec")), col("sn2"), col("nn2"))
-    // join order is deliberate: nbr side first, src side LAST, so the
-    // scored frame leaves the second join hash-partitioned on src and
-    // the top-degree window needs NO further exchange (src-last saves
-    // one full shuffle of the scored pair table per scoring pass)
     def scoreRank(pairs: DataFrame) = pairs // (src, nbr) → + sim, rn
-      .join(c.select(col("nid").as("nbr"), col("nvec"), col("nn2")), Seq("nbr"))
       .join(c.select(col("nid").as("src"), col("nvec").as("svec"),
         col("nn2").as("sn2")), Seq("src"))
+      .join(c.select(col("nid").as("nbr"), col("nvec"), col("nn2")), Seq("nbr"))
       .select(col("src"), col("nbr"), sim.as("sim"))
       .withColumn("rn", row_number().over(
         Window.partitionBy("src").orderBy(col("sim").desc, col("nbr"))))
@@ -813,7 +804,6 @@ object SimilaritySearch {
           col("rn").cast("int").as("rank")),
       "nnd_fin")
     edges.delete()
-    cSt.delete()
     fin.df
   }
 
