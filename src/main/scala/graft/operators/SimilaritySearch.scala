@@ -753,28 +753,48 @@ object SimilaritySearch {
     * descent graph against the exact-graph walk.
     */
   def knnGraphDescent(corpus: DataFrame, idCol: String, vecCol: String,
-                      degree: Int, rounds: Int): DataFrame = {
+                      degree: Int, rounds: Int,
+                      maxBroadcastNorms: Long = 4000000L): DataFrame = {
     require(degree >= 1, s"degree must be >= 1, got $degree")
     require(rounds >= 1 && rounds <= 8, s"rounds must be in [1,8], got $rounds")
-    val c = withNorm(corpus, idCol, vecCol, "n")
+    // the norm table feeds two join sides of EVERY round's scoring pass
+    // (and the final re-score): stage once instead of re-running its
+    // producing corpus scan 2·rounds+2 times. A staged frame carries no
+    // size statistics, so the scoring joins would silently degrade from
+    // broadcast to sort-merge (measured slower at small scale); the hint
+    // is SIZE-GATED like [[graphWalk]]'s frontier contract — above
+    // `maxBroadcastNorms` rows the staged table shuffle-joins instead,
+    // which is the correct shape when the corpus outgrows executor
+    // memory anyway.
+    val cSt = Staging.stage(withNorm(corpus, idCol, vecCol, "n"), "nnd_norms")
+    val nCount = cSt.df.count()
+    val useHint = nCount <= maxBroadcastNorms
+    def hintC(df: DataFrame) = if (useHint) broadcast(df) else df
+    val c = cSt.df
     val h60 = (x: org.apache.spark.sql.Column) =>
       conv(substring(md5(x), 1, 15), 16, 10).cast("long")
-    val nCount = corpus.count()
     val b = math.max(nCount / (degree + 1L), 1L)
-    def bucketed(salt: Int) = corpus.select(col(idCol).as("id"),
-      (h60(concat(lit(s"nnd$salt:"), col(idCol).cast("string"))) % b).as("bk"))
-    val init = (0 to 1).map { s =>
+    // id universe from the staged norms — the corpus scan already ran
+    def bucketed(salt: Int) = c.select(col("nid").as("id"),
+      (h60(concat(lit(s"nnd$salt:"), col("nid").cast("string"))) % b).as("bk"))
+    // candidate streams dedup on (src, nbr) and are then ranked by a
+    // src-partitioned window: repartitioning by src FIRST lets the
+    // dedup aggregate (grouping keys ⊇ src) AND the window share that
+    // single exchange — one candidate-stream shuffle per pass, not two
+    def dedupBySrc(pairs: DataFrame) =
+      pairs.repartition(col("src")).dropDuplicates("src", "nbr")
+    val init = dedupBySrc((0 to 1).map { s =>
       val x = bucketed(s)
       x.join(x.select(col("id").as("id2"), col("bk")), Seq("bk"))
         .filter(col("id") =!= col("id2"))
         .select(col("id").as("src"), col("id2").as("nbr"))
-    }.reduce(_.unionByName(_)).distinct()
+    }.reduce(_.unionByName(_)))
     val sim = VectorFns.cosineFrom(
       VectorFns.dotFixed9(col("svec"), col("nvec")), col("sn2"), col("nn2"))
     def scoreRank(pairs: DataFrame) = pairs // (src, nbr) → + sim, rn
-      .join(c.select(col("nid").as("src"), col("nvec").as("svec"),
-        col("nn2").as("sn2")), Seq("src"))
-      .join(c.select(col("nid").as("nbr"), col("nvec"), col("nn2")), Seq("nbr"))
+      .join(hintC(c.select(col("nid").as("src"), col("nvec").as("svec"),
+        col("nn2").as("sn2"))), Seq("src"))
+      .join(hintC(c.select(col("nid").as("nbr"), col("nvec"), col("nn2"))), Seq("nbr"))
       .select(col("src"), col("nbr"), sim.as("sim"))
       .withColumn("rn", row_number().over(
         Window.partitionBy("src").orderBy(col("sim").desc, col("nbr"))))
@@ -785,12 +805,12 @@ object SimilaritySearch {
       val sym = edges.df
         .unionByName(edges.df.select(col("nbr").as("src"), col("src").as("nbr")))
         .distinct()
-      val cand = sym.join(sym.select(col("src").as("nbr"), col("nbr").as("hop2")),
+      val cand = dedupBySrc(
+        sym.join(sym.select(col("src").as("nbr"), col("nbr").as("hop2")),
           Seq("nbr"))
         .filter(col("hop2") =!= col("src"))
         .select(col("src"), col("hop2").as("nbr"))
-        .unionByName(edges.df)
-        .distinct()
+        .unionByName(edges.df))
       val next = Staging.stage(topDeg(cand), s"nnd_e$r")
       edges.delete()
       edges = next
@@ -804,7 +824,56 @@ object SimilaritySearch {
           col("rn").cast("int").as("rank")),
       "nnd_fin")
     edges.delete()
+    cSt.delete()
     fin.df
+  }
+
+  /** Dev hook for [[graft.tools.InnerPlans]]: the plan of ONE NN-descent
+    * scoring pass (the plan every round pays — explain on the descent
+    * output only shows the final staging scan), in both shapes: the
+    * pre-r15 form that re-derived the norm table from the corpus on both
+    * join sides of every pass, and the staged + size-gated-broadcast
+    * form [[knnGraphDescent]] runs now.
+    */
+  private[graft] def explainDescentScore(corpus: DataFrame, idCol: String,
+                                         vecCol: String, degree: Int): Unit = {
+    val h60 = (x: org.apache.spark.sql.Column) =>
+      conv(substring(md5(x), 1, 15), 16, 10).cast("long")
+    val nCount = corpus.count()
+    val b = math.max(nCount / (degree + 1L), 1L)
+    val sim = VectorFns.cosineFrom(
+      VectorFns.dotFixed9(col("svec"), col("nvec")), col("sn2"), col("nn2"))
+    def scorePlan(c: DataFrame, hint: Boolean): DataFrame = {
+      def h(df: DataFrame) = if (hint) broadcast(df) else df
+      def bucketed(salt: Int) = c.select(col("nid").as("id"),
+        (h60(concat(lit(s"nnd$salt:"), col("nid").cast("string"))) % b).as("bk"))
+      val pairs = (0 to 1).map { s =>
+        val x = bucketed(s)
+        x.join(x.select(col("id").as("id2"), col("bk")), Seq("bk"))
+          .filter(col("id") =!= col("id2"))
+          .select(col("id").as("src"), col("id2").as("nbr"))
+      }.reduce(_.unionByName(_))
+      // before: plain distinct — its own (src, nbr) exchange on top of
+      // the window's src exchange; after: one src repartition shared by
+      // the dedup aggregate and the ranking window
+      val init =
+        if (hint) pairs.repartition(col("src")).dropDuplicates("src", "nbr")
+        else pairs.distinct()
+      init
+        .join(h(c.select(col("nid").as("src"), col("nvec").as("svec"),
+          col("nn2").as("sn2"))), Seq("src"))
+        .join(h(c.select(col("nid").as("nbr"), col("nvec"), col("nn2"))), Seq("nbr"))
+        .select(col("src"), col("nbr"), sim.as("sim"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("src").orderBy(col("sim").desc, col("nbr"))))
+        .filter(col("rn") <= degree).select("src", "nbr")
+    }
+    println("---- descent scoring pass, BEFORE (norm table re-derived per join side)")
+    scorePlan(withNorm(corpus, idCol, vecCol, "n"), hint = false).explain("formatted")
+    println("---- descent scoring pass, AFTER (norms staged once + size-gated broadcast)")
+    val cSt = Staging.stage(withNorm(corpus, idCol, vecCol, "n"), "nnd_explain")
+    scorePlan(cSt.df, hint = true).explain("formatted")
+    cSt.delete()
   }
 
   /** BEAM SEARCH over a k-NN graph — the query side of graph-based ANN,
@@ -960,8 +1029,20 @@ object SimilaritySearch {
         .join(graph.select(col("src").as("nid"), col("nbr")), Seq("nid"))
         .select(col("qid"), col("nbr").as("nid"))
         .unionByName(frontier.df.select(col("qid"), col("nid")))
-        .distinct()
-      val next = Staging.stage(topBeam(scored(cand)), s"gann_f$h")
+      // hinted path: the scoring joins stream the corpus against a
+      // broadcast frontier, so a pre-scoring dedup exchange can never
+      // be reused by the ranking window — dedup AFTER scoring instead,
+      // sharing the window's single qid exchange (sim is deterministic
+      // per (qid, nid), so scoring duplicates first changes nothing).
+      // Unhinted path: dedup BEFORE scoring — duplicates would inflate
+      // the pair shuffle, and the second scoring join already leaves
+      // the frame qid-partitioned for the window.
+      val next = Staging.stage(
+        if (useHint)
+          topBeam(scored(cand).repartition(col("qid"))
+            .dropDuplicates("qid", "nid"))
+        else topBeam(scored(cand.distinct())),
+        s"gann_f$h")
       frontier.delete()
       frontier = next
     }

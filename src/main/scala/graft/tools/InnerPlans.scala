@@ -34,6 +34,15 @@ object InnerPlans {
     println("==== wordpiece_walk (per-word greedy fold, pre-rollup)")
     graft.operators.WordPiece.explainWalk(docs, "doc_id", "text", 24, 4, 16)
 
+    println("==== nnd_score (one NN-descent scoring pass, before/after r15)")
+    graft.operators.SimilaritySearch.explainDescentScore(
+      Tables.embeddings(spark, sfDir), "vec_id", "embedding", 6)
+
+    println("==== qd_compress (q-digest compression, before/after r15)")
+    graft.operators.Sketches.explainQdigestCompress(
+      Tables.events(spark, sfDir).select(col("value").as("v")), "v",
+      0.0, 100.0, 64)
+
     spark.stop()
   }
 }
