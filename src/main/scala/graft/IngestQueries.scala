@@ -1269,7 +1269,13 @@ object IngestQueries {
                       Map("cents" -> (col("cents") + src("delta"))))),
                   notMatchedInsert = Some((src("op") === "ins", Map(
                     "event_id" -> src("event_id"), "user_id" -> src("user_id"),
-                    "cents" -> src("v"), "pk" -> (src("user_id") % 4)))))
+                    "cents" -> src("v"), "pk" -> (src("user_id") % 4)))),
+                  // the feed is one op per key by construction (upd
+                  // u%3=0, del u%9=4 ⊂ u%3=1 — disjoint; ins keys are
+                  // fresh negatives), so the multiple-match guard's
+                  // per-batch source shuffle is skipped — the
+                  // CDC-apply caller owns the dedup invariant
+                  sourceKeyUnique = true)
               }
               ()
             }.start()

@@ -3,7 +3,7 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
-  * The queries/oracle registry (275 entries) lives in [[Queries]] (core
+  * The queries/oracle registry (280 entries) lives in [[Queries]] (core
   * relational), [[EventQueries]] (JSON + event-time windows/streaming),
   * [[ExtQueries]] (dedup / similarity / text analysis), [[RelQueries]],
   * [[AnalyticsQueries]], [[TokenQueries]], [[FilterQueries]],

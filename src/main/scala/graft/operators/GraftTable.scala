@@ -4214,9 +4214,10 @@ final class GraftTable(spark: SparkSession, val path: String,
                                       Map[String, org.apache.spark.sql.Column])] = None,
             allowSchemaEvolution: Boolean = false,
             notMatchedBySource: Seq[GraftTable.MatchedClause] = Nil,
-            onResidual: Option[org.apache.spark.sql.Column] = None): this.type = {
+            onResidual: Option[org.apache.spark.sql.Column] = None,
+            sourceKeyUnique: Boolean = false): this.type = {
     doMerge(source, matched, notMatchedInsert, allowSchemaEvolution, Nil,
-      notMatchedBySource, onResidual)
+      notMatchedBySource, onResidual, sourceKeyUnique = sourceKeyUnique)
     this
   }
 
@@ -4236,7 +4237,8 @@ final class GraftTable(spark: SparkSession, val path: String,
                  notMatchedBySource: Seq[GraftTable.MatchedClause] = Nil,
                  onResidual: Option[org.apache.spark.sql.Column] = None,
                  expectedLastBatch: Option[Long] = None,
-                 reapplyEqualBatch: Boolean = false): Boolean =
+                 reapplyEqualBatch: Boolean = false,
+                 sourceKeyUnique: Boolean = false): Boolean =
     // the replay check (and the optional anchor pin) live INSIDE doMerge
     // against the SAME baseline the OCC commit is anchored to — a racing
     // commit between check and commit surfaces as CommitConflictException
@@ -4248,7 +4250,8 @@ final class GraftTable(spark: SparkSession, val path: String,
     // recorded id still skip
     doMerge(source, matched, notMatchedInsert, allowSchemaEvolution,
       Seq(s"#txn:${b64e(appId)}:$batchId"), notMatchedBySource, onResidual,
-      txn = Some((appId, batchId, expectedLastBatch, reapplyEqualBatch)))
+      txn = Some((appId, batchId, expectedLastBatch, reapplyEqualBatch)),
+      sourceKeyUnique = sourceKeyUnique)
 
   /** Returns whether the merge APPLIED (always true without `txn`; a
     * txn batch at or below the recorded id skips with false).
@@ -4260,7 +4263,8 @@ final class GraftTable(spark: SparkSession, val path: String,
                       markers: Seq[String],
                       notMatchedBySource: Seq[GraftTable.MatchedClause] = Nil,
                       onResidual: Option[org.apache.spark.sql.Column] = None,
-                      txn: Option[(String, Long, Option[Long], Boolean)] = None)
+                      txn: Option[(String, Long, Option[Long], Boolean)] = None,
+                      sourceKeyUnique: Boolean = false)
       : Boolean = {
     import GraftTable.{MatchedDelete, MatchedUpdate}
     require(matched.nonEmpty || notMatchedInsert.nonEmpty ||
@@ -4329,7 +4333,16 @@ final class GraftTable(spark: SparkSession, val path: String,
     // distinct keys), so the guard can never fire. This is the mview
     // fold shape (delta = groupBy(keys).agg(...)) — every refresh was
     // paying a provably-redundant aggregate of its delta.
-    val provablyKeyUnique = {
+    //
+    // `sourceKeyUnique` is the CALLER-asserted version of the same fact
+    // for sources whose uniqueness the plan cannot show (a CDC change
+    // feed deduped to one op per key upstream, arriving as a plain
+    // file-stream micro-batch) — the Iceberg
+    // `merge.cardinality-check.enabled=false` escape hatch. The caller
+    // owns the invariant; a false assertion trades the loud
+    // multiple-match error for ANSI-undefined duplicate-match results,
+    // exactly as on those engines.
+    val provablyKeyUnique = sourceKeyUnique || {
       import org.apache.spark.sql.catalyst.expressions.Attribute
       import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, SubqueryAlias}
       def strip(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
@@ -4375,7 +4388,11 @@ final class GraftTable(spark: SparkSession, val path: String,
     // evaluate on the bare target frame. Residual-free merges probe the
     // DISTINCT KEY frame (column-pruned); a residual probes the full
     // source frame, since it may reference any source column.
-    val matchedKeys = sPref.select(keys.map(k => col(s"__s_$k").as(k)): _*).distinct()
+    // no distinct on the key projection: the guard (or the caller's
+    // assertion) already established key uniqueness, and the touched
+    // probes below are semi/anti joins — insensitive to build-side
+    // duplicates either way
+    val matchedKeys = sPref.select(keys.map(k => col(s"__s_$k").as(k)): _*)
     def semiMatched(frame: DataFrame, joinType: String): DataFrame =
       onResidual match {
         case None => frame.join(matchedKeys, keys.toSeq, joinType)
@@ -4394,10 +4411,31 @@ final class GraftTable(spark: SparkSession, val path: String,
         semiMatched(tgt, "left_anti").filter(anyCond)
           .select(col(partitionCol))
       }
-    val touched = matchedTouched.union(nmbsTouched)
-      .distinct().localCheckpoint(true)
-    val tp = touched.withColumnRenamed(partitionCol, "__tp")
-    val current = tgt.join(tp, col(partitionCol) <=> col("__tp"), "left_semi")
+    // touched partitions: ONE metadata-scale collect of (raw, hive
+    // string) values — the strings were always collected for the
+    // manifest swap; collecting BEFORE the rewrite additionally turns
+    // the touched-partition read into a STATICALLY pruned scan
+    // (literal null-safe equalities prune at planning time — the old
+    // left-semi join read every partition and filtered after) and
+    // drops one localCheckpoint job per merge. Bounded by the
+    // partition count like every partition-value collect here; a
+    // pathological >4096-partition touch keeps the join shape rather
+    // than a 4096-term predicate.
+    val touchedRows = matchedTouched.union(nmbsTouched)
+      .select(col(partitionCol), col(partitionCol).cast("string"))
+      .distinct().collect()
+    val touchedVals: Seq[Option[String]] =
+      touchedRows.map(r => Option(r.getString(1))).toSeq
+    val current =
+      if (touchedRows.isEmpty) tgt.limit(0)
+      else if (touchedRows.length <= 4096)
+        tgt.filter(touchedRows.map(r =>
+          col(partitionCol) <=> lit(r.get(0))).reduce(_ || _))
+      else {
+        val tp = matchedTouched.union(nmbsTouched).distinct()
+          .withColumnRenamed(partitionCol, "__tp")
+        tgt.join(tp, col(partitionCol) <=> col("__tp"), "left_semi")
+      }
 
     // a residual-failing pair surfaces here as an UNMATCHED target row
     // (null source side) — by-source clauses see it, matched ones don't
@@ -4455,8 +4493,11 @@ final class GraftTable(spark: SparkSession, val path: String,
       case Some((cond, set)) =>
         val unmatched = onResidual match {
           case None =>
-            // key-column-only scan of the whole table — the insertIfAbsent shape
-            val tgtKeys = tgt.select(keys.map(k => col(k).as(s"__s_$k")): _*).distinct()
+            // key-column-only scan of the whole table — the
+            // insertIfAbsent shape. No distinct: an anti join is
+            // insensitive to build-side duplicates, so the dedup
+            // aggregate over the whole table's keys was pure overhead
+            val tgtKeys = tgt.select(keys.map(k => col(k).as(s"__s_$k")): _*)
             sPref.join(tgtKeys, keys.map(k => s"__s_$k").toSeq, "left_anti")
           case Some(r) =>
             // ANSI: a source row whose key match FAILS the residual is an
@@ -4489,7 +4530,7 @@ final class GraftTable(spark: SparkSession, val path: String,
       identityColumnNames.exists(c => assignments.exists(_._1 == c))
     val staged = Staging.stage(deriveGp(respecs(written,
       mayAllocate = mergeMayAllocate)), "merge_barrier")
-    commitRewrite(staged.df, partitionValsOfDistinct(touched), base, markers)
+    commitRewrite(staged.df, touchedVals, base, markers)
     staged.delete()
     true
   }

@@ -610,6 +610,25 @@ class GraftTableSpec extends SparkSpec {
       MatchedDelete(lit(true)))) == Seq(100))
   }
 
+  test("merge: sourceKeyUnique skips the guard, same result on a unique source") {
+    def run(flag: Boolean): Map[String, Int] = {
+      val t = freshTable().createIfNotExists(rows().schema)
+      t.importOnce(rows(("d1", "p", "r1", 1), ("d1", "p", "r2", 2)))
+      t.merge(Seq(("p", "r1", "del", 0), ("p", "r2", "upd", 20),
+          ("p", "r9", "ins", 9)).toDF("pk", "rk", "op", "v"),
+        matched = Seq(
+          MatchedDelete(src("op") === "del"),
+          MatchedUpdate(src("op") === "upd", Map("n" -> src("v")))),
+        notMatchedInsert = Some((src("op") === "ins",
+          Map("day" -> lit("d9"), "pk" -> src("pk"), "rk" -> src("rk"),
+            "n" -> src("v")))),
+        sourceKeyUnique = flag)
+      t.read.select("rk", "n").as[(String, Int)].collect().toMap
+    }
+    assert(run(flag = true) == run(flag = false))
+    assert(run(flag = true) == Map("r2" -> 20, "r9" -> 9))
+  }
+
   test("merge: duplicate source keys and unknown assignment columns are rejected") {
     val t = freshTable().createIfNotExists(rows().schema)
     t.importOnce(rows(("d1", "p", "r1", 1)))
