@@ -42,8 +42,11 @@ object Graph {
     val und = edges.select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
       .union(edges.select(col(dstCol).cast("long").as("a"), col(srcCol).cast("long").as("b")))
     // stage the (small) edge frame once: it is re-read every round, and
-    // its producing plan may be an expensive dedup pipeline
-    val ust = Staging.stage(und, "cc_edges")
+    // its producing plan may be an expensive dedup pipeline. Staged
+    // HASH-PARTITIONED on the round join's key (b): the checkpoint
+    // preserves the layout, so every round's label-propagation join
+    // reuses it instead of re-exchanging the edge table per round
+    val ust = Staging.stage(und.repartition(col("b")), "cc_edges")
     val u = ust.df
     // Seed = the FIRST propagation round folded into initialization:
     // label(x) = min over {x} ∪ neighbors(x), one aggregate over the
@@ -225,7 +228,10 @@ object Graph {
     val Scale = 1000000000L
     val und = edges.select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
       .union(edges.select(col(dstCol).cast("long").as("a"), col(srcCol).cast("long").as("b")))
-    val ust = Staging.stage(und, "pr_edges")
+    // staged hash-partitioned on `a`: the degree aggregate AND every
+    // round's contribution join key on it, so neither re-exchanges the
+    // edge table (the [[connectedComponents]] staging discipline)
+    val ust = Staging.stage(und.repartition(col("a")), "pr_edges")
     val u = ust.df
     val deg = u.groupBy(col("a").as("id")).agg(count(lit(1)).as("deg"))
     var cur = Staging.stage(deg.select(col("id"), lit(Scale).as("pr"), col("deg")), "pr_0")
@@ -275,7 +281,9 @@ object Graph {
     val Scale = 1000000000L
     val e = edges.select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
       .filter(col("src") =!= col("dst")).distinct()
-    val est = Staging.stage(e, "prd_edges")
+    // staged hash-partitioned on `src`: out-degree aggregate and every
+    // round's contribution join reuse the layout
+    val est = Staging.stage(e.repartition(col("src")), "prd_edges")
     val ed = est.df
     val nodes = ed.select(col("src").as("id"))
       .union(ed.select(col("dst").as("id"))).distinct()
@@ -460,8 +468,14 @@ object Graph {
         least(col(srcCol), col(dstCol)).cast("long").as("a"),
         greatest(col(srcCol), col(dstCol)).cast("long").as("b"))
       .filter(col("a") =!= col("b")).distinct()
-    val cst = Staging.stage(canon, "bfs_edges")
-    val und = cst.df.union(cst.df.select(col("b").as("a"), col("a").as("b")))
+    // stage the UNDIRECTED list hash-partitioned on the round join's
+    // key (b): each relaxation join reuses the layout instead of
+    // re-deriving (union) and re-exchanging the edge table per round
+    val cst = Staging.stage(
+      canon.union(canon.select(col("b").as("a"), col("a").as("b")))
+        .repartition(col("b")),
+      "bfs_edges")
+    val und = cst.df
     var cur = Staging.stage(
       seeds.select(col(seedCol).cast("long").as("id")).distinct()
         .withColumn("d", lit(0L)),
