@@ -2881,6 +2881,33 @@ final class GraftTable(spark: SparkSession, val path: String,
     df.select(col(partitionCol).cast("string"))
       .collect().map(r => Option(r.getString(0))).toSeq.distinct
 
+  /** Touched-partition values as (raw, hive-string) pairs — ONE
+    * metadata-scale collect serving both the statically pruned rewrite
+    * read ([[prunedToTouched]], raw values) and the manifest swap
+    * (strings, [[touchedStrings]]).
+    */
+  private def touchedPairsOf(df: DataFrame): Array[org.apache.spark.sql.Row] =
+    df.select(col(partitionCol), col(partitionCol).cast("string"))
+      .distinct().collect()
+
+  private def touchedStrings(rows: Array[org.apache.spark.sql.Row]): Seq[Option[String]] =
+    rows.map(r => Option(r.getString(1))).toSeq
+
+  /** Read of exactly the partitions in `rows`: literal null-safe
+    * equalities prune at planning time (a semi join against the
+    * touched frame read every partition and filtered after). A
+    * pathological >4096-partition touch takes `semiFallback` (the old
+    * join shape) rather than a 4096-term predicate.
+    */
+  private def prunedToTouched(tgt: DataFrame,
+                              rows: Array[org.apache.spark.sql.Row],
+                              semiFallback: => DataFrame): DataFrame =
+    if (rows.isEmpty) tgt.limit(0)
+    else if (rows.length <= 4096)
+      tgt.filter(rows.map(r =>
+        col(partitionCol) <=> lit(r.get(0))).reduce(_ || _))
+    else semiFallback
+
   private def schemaSidecar = java.nio.file.Paths.get(path, "_graft_schema.json")
 
   private def sidecarSchemaOpt: Option[org.apache.spark.sql.types.StructType] =
@@ -3874,9 +3901,14 @@ final class GraftTable(spark: SparkSession, val path: String,
                               markers: Seq[String]): this.type = {
     val base = ensureBaselineVersion()
     val up = conform(updates, insertShaped = false) // updates carry ids
-    val touched = up.select(col(partitionCol).as("__tp")).distinct()
-    val current = readAt(base)
-      .join(touched, col(partitionCol) <=> col("__tp"), "left_semi")
+    // statically pruned touched-partition read (the doMerge shape):
+    // only the touched partitions' FILES are opened, where the semi
+    // join read every partition and filtered after
+    val current = prunedToTouched(readAt(base), touchedPairsOf(up), {
+      val touched = up.select(col(partitionCol).as("__tp")).distinct()
+      readAt(base)
+        .join(touched, col(partitionCol) <=> col("__tp"), "left_semi")
+    })
     val merged = KeyedTable.upsertReplace(
       current.withColumn("__v", lit(1)), up.withColumn("__v", lit(2)),
       keys, "__v", tiebreak).drop("__v")
@@ -4038,12 +4070,15 @@ final class GraftTable(spark: SparkSession, val path: String,
     // reads every row of the touched partitions, as it must
     val discover = PredicatePruning.mutationCandidates(this, cond,
       readAt(base), manifestFiles(base), base)
-    val touchedVals = partitionValsOf(readResolved(discover, base).filter(matched))
-    if (touchedVals.isEmpty) return this // no match — no commit
-    val touched = spark.createDataset(touchedVals.map(_.orNull))(
-      org.apache.spark.sql.Encoders.STRING).toDF("__tp")
-    val current = readAt(base)
-      .join(touched, col(partitionCol).cast("string") <=> col("__tp"), "left_semi")
+    val touchedRows = touchedPairsOf(readResolved(discover, base).filter(matched))
+    if (touchedRows.isEmpty) return this // no match — no commit
+    val touchedVals = touchedStrings(touchedRows)
+    val current = prunedToTouched(readAt(base), touchedRows, {
+      val touched = spark.createDataset(touchedVals.map(_.orNull))(
+        org.apache.spark.sql.Encoders.STRING).toDF("__tp")
+      readAt(base)
+        .join(touched, col(partitionCol).cast("string") <=> col("__tp"), "left_semi")
+    })
     val remaining = current.filter(!matched)
     // touchedVals drives the manifest drop (a fully-deleted partition
     // contributes no surviving rows, so it must NOT come from the
@@ -4101,12 +4136,15 @@ final class GraftTable(spark: SparkSession, val path: String,
       tgt, manifestFiles(base), base)
     val probe = memberships
       .foldLeft(readResolved(discover, base).filter(matched))(membershipFilter)
-    val touchedVals = partitionValsOf(probe)
-    if (touchedVals.isEmpty) return this // no match — no commit
-    val touched = spark.createDataset(touchedVals.map(_.orNull))(
-      org.apache.spark.sql.Encoders.STRING).toDF("__tp")
-    var current = tgt
-      .join(touched, col(partitionCol).cast("string") <=> col("__tp"), "left_semi")
+    val touchedRows = touchedPairsOf(probe)
+    if (touchedRows.isEmpty) return this // no match — no commit
+    val touchedVals = touchedStrings(touchedRows)
+    var current = prunedToTouched(tgt, touchedRows, {
+      val touched = spark.createDataset(touchedVals.map(_.orNull))(
+        org.apache.spark.sql.Encoders.STRING).toDF("__tp")
+      tgt.join(touched,
+        col(partitionCol).cast("string") <=> col("__tp"), "left_semi")
+    })
     memberships.zipWithIndex.foreach { case (mem, i) =>
       val (cur2, qual) = membershipMark(current, mem, i)
       current = cur2
@@ -4415,27 +4453,14 @@ final class GraftTable(spark: SparkSession, val path: String,
     // string) values — the strings were always collected for the
     // manifest swap; collecting BEFORE the rewrite additionally turns
     // the touched-partition read into a STATICALLY pruned scan
-    // (literal null-safe equalities prune at planning time — the old
-    // left-semi join read every partition and filtered after) and
-    // drops one localCheckpoint job per merge. Bounded by the
-    // partition count like every partition-value collect here; a
-    // pathological >4096-partition touch keeps the join shape rather
-    // than a 4096-term predicate.
-    val touchedRows = matchedTouched.union(nmbsTouched)
-      .select(col(partitionCol), col(partitionCol).cast("string"))
-      .distinct().collect()
-    val touchedVals: Seq[Option[String]] =
-      touchedRows.map(r => Option(r.getString(1))).toSeq
-    val current =
-      if (touchedRows.isEmpty) tgt.limit(0)
-      else if (touchedRows.length <= 4096)
-        tgt.filter(touchedRows.map(r =>
-          col(partitionCol) <=> lit(r.get(0))).reduce(_ || _))
-      else {
-        val tp = matchedTouched.union(nmbsTouched).distinct()
-          .withColumnRenamed(partitionCol, "__tp")
-        tgt.join(tp, col(partitionCol) <=> col("__tp"), "left_semi")
-      }
+    // ([[prunedToTouched]]) and drops one localCheckpoint job per merge.
+    val touchedRows = touchedPairsOf(matchedTouched.union(nmbsTouched))
+    val touchedVals = touchedStrings(touchedRows)
+    val current = prunedToTouched(tgt, touchedRows, {
+      val tp = matchedTouched.union(nmbsTouched).distinct()
+        .withColumnRenamed(partitionCol, "__tp")
+      tgt.join(tp, col(partitionCol) <=> col("__tp"), "left_semi")
+    })
 
     // a residual-failing pair surfaces here as an UNMATCHED target row
     // (null source side) — by-source clauses see it, matched ones don't
@@ -4545,20 +4570,19 @@ final class GraftTable(spark: SparkSession, val path: String,
     */
   def deleteByKeys(deleteKeys: DataFrame): this.type = {
     val base = ensureBaselineVersion()
-    val touched = readAt(base).join(deleteKeys, keys, "left_semi")
-      .select(partitionCol).distinct()
-    // partition-value joins must be NULL-SAFE: a null partition value is
-    // legal (Hive default partition), and a null-unsafe semi join would
-    // silently exclude its surviving rows from the rewrite while the
-    // manifest still drops the partition's old files — i.e. delete rows
-    // it was never asked to delete
-    val tp = touched.withColumnRenamed(partitionCol, "__tp")
-    val current = readAt(base).join(tp, col(partitionCol) <=> col("__tp"), "left_semi")
+    // touched values collected once (they feed the manifest anyway);
+    // the rewrite reads a statically pruned scan — null-safe literal
+    // equalities, so the Hive default (null) partition still rewrites
+    val touchedRows = touchedPairsOf(
+      readAt(base).join(deleteKeys, keys, "left_semi"))
+    val current = prunedToTouched(readAt(base), touchedRows, {
+      val tp = readAt(base).join(deleteKeys, keys, "left_semi")
+        .select(partitionCol).distinct().withColumnRenamed(partitionCol, "__tp")
+      readAt(base).join(tp, col(partitionCol) <=> col("__tp"), "left_semi")
+    })
     val remaining = KeyedTable.deleteByKeys(current, deleteKeys, keys)
-    // stage once: the remaining rows feed the append write, and the
-    // touched values collect feeds the manifest — one computation
     val staged = Staging.stage(remaining, "delete_barrier")
-    commitRewrite(staged.df, partitionValsOfDistinct(touched), base)
+    commitRewrite(staged.df, touchedStrings(touchedRows), base)
     staged.delete()
     this
   }

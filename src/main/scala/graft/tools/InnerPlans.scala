@@ -43,6 +43,11 @@ object InnerPlans {
       Tables.events(spark, sfDir).select(col("value").as("v")), "v",
       0.0, 100.0, 64)
 
+    println("==== cc_round (one label-propagation round, before/after r15)")
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id")).limit(10000)
+    graft.operators.Graph.explainCcRound(ev, "event_id", "user_id")
+
     spark.stop()
   }
 }
